@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations: named boolean SQL constraints with a
+  * warn / drop / fail action, the runtime semantics of the reference's
+  * `@dp.expect_all[_or_drop|_or_fail]` decorators
+  * (reference: templates/transform/data_quality.py.j2:1-30,
+  * src/lhp/generators/transform/data_quality.py:68-117).
+  *
+  * Spark-first design: violations are evaluated as `Column` predicates inside
+  * the same whole-stage-codegen pipeline as the rest of the plan — no UDFs, no
+  * extra pass over the data.
+  *   - warn  → counted via `Dataset.observe` (Catalyst `CollectMetrics` node;
+  *             zero extra action, metrics arrive with the job that consumes
+  *             the DataFrame)
+  *   - drop  → a single conjunctive `filter`
+  *   - fail  → violations counted by the caller (`failViolations`) which
+  *             throws; at scale this is one aggregate over the already-scanned
+  *             data
+  */
+object Expectations {
+
+  sealed trait FailureAction
+  case object Warn extends FailureAction
+  case object Drop extends FailureAction
+  case object Fail extends FailureAction
+
+  final case class Rule(name: String, expression: String, action: FailureAction)
+
+  final case class ExpectationViolation(rule: String, count: Long)
+    extends RuntimeException(s"expectation '$rule' violated by $count row(s)")
+
+  private def pred(r: Rule): Column = expr(r.expression)
+
+  /** All rules pass ⇔ conjunction holds. Null predicate results count as
+    * violations (matching DLT: a NULL constraint result is a failed row). */
+  private def conj(rules: Seq[Rule]): Column =
+    rules.map(r => coalesce(pred(r), lit(false))).reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Apply drop-mode rules: keep only rows passing every rule. */
+  def dropViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val dropRules = rules.filter(_.action == Drop)
+    if (dropRules.isEmpty) df else df.filter(conj(dropRules))
+  }
+
+  /** Inverse filter: the rows that violate at least one drop/fail rule,
+    * annotated with the list of failed rule names (the quarantine path —
+    * reference: templates/transform/data_quality_quarantine.py.j2:120-135,
+    * `array_compact(array(when(~expr(rule), struct(...))))`). */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val checked = rules.filterNot(_.action == Warn)
+    val failedArr = array_compact(array(checked.map { r =>
+      when(!coalesce(pred(r), lit(false)), lit(r.name))
+    }: _*))
+    df.withColumn("_failed_rules", failedArr)
+      .filter(size(col("_failed_rules")) > 0)
+  }
+
+  /** Attach warn-mode rules as observed metrics named `violations_<rule>`.
+    * Metrics materialize when the DataFrame is consumed — no separate job. */
+  def observeWarnings(df: DataFrame, rules: Seq[Rule], observationName: String = "expectations"): DataFrame = {
+    val warnRules = rules.filter(_.action == Warn)
+    if (warnRules.isEmpty) df
+    else {
+      val metrics = warnRules.map { r =>
+        sum(when(!coalesce(pred(r), lit(false)), 1L).otherwise(0L)).as(s"violations_${r.name}")
+      }
+      df.observe(observationName, metrics.head, metrics.tail: _*)
+    }
+  }
+
+  /** Enforce fail-mode rules: one aggregate job counting violations per rule;
+    * throws on the first rule with violations. */
+  def failViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val failRules = rules.filter(_.action == Fail)
+    if (failRules.nonEmpty) {
+      val counts = df.select(failRules.map { r =>
+        sum(when(!coalesce(pred(r), lit(false)), 1L).otherwise(0L)).as(r.name)
+      }: _*).first()
+      failRules.zipWithIndex.foreach { case (r, i) =>
+        val c = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+        if (c > 0) throw ExpectationViolation(r.name, c)
+      }
+    }
+    df
+  }
+
+  /** Full pipeline: warn → observe, drop → filter, fail → check-and-throw. */
+  def apply(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    dropViolations(failViolations(observeWarnings(df, rules), rules), rules)
+}
