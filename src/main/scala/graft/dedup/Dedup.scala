@@ -1,0 +1,160 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant is a group-by/join on a *bounded
+  * candidate key* (content hash, LSH band bucket, SimHash band) — never an
+  * all-pairs comparison. The exact-similarity verification step only runs on
+  * candidate pairs emitted by bucketing, so the quadratic blowup is confined
+  * to same-bucket collisions. All expressions are built-in (codegen'd); no
+  * UDFs.
+  */
+object Dedup {
+
+  /** Word-level n-gram shingles of a text column, distinct per doc.
+    * One row per (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    val sh = transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  /** Exact dedup: canonical keeper per content hash. `fp` = md5(text),
+    * `keeper` = min id in the group, `n_dups` = group size. At scale this is
+    * one hash-shuffle on a 16-byte key. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via shingle inverted index:
+    * docs sharing a shingle produce a candidate pair; intersection = count of
+    * shared shingles; union from per-doc sizes. The self-join is keyed on the
+    * shingle (co-partitioned), not all-pairs. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding: k independent min-hashes per doc (xxhash64 with
+    * k salts), banded into `bands` buckets of `rowsPerBand`; docs colliding on
+    * any (band, band-signature) become candidates; candidates are verified
+    * with exact Jaccard ≥ threshold, so output is exact-precision with LSH
+    * recall (≥ 0.999 at j = threshold for 16 bands × 2 rows).
+    *
+    * Scale: the per-doc signature is one aggregation over the shingle index;
+    * the candidate join is keyed on (band, signature) — the classic
+    * shingle→minhash→band→bucket-join pipeline. */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sh = shingles(df, idCol, textCol, n).cache()
+    // k min-hashes in one pass: min(xxhash64(shingle, salt_i))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val minhashes = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // band signature = xxhash64 over the band's row hashes
+    val bandCols = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
+    }
+    val buckets = minhashes
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.sig"))
+    val l = buckets.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val r = buckets.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    val candidates = l.join(r, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification on candidates only
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b2 = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(candidates, Seq("id_a"), "left_semi")
+      .join(b2.join(candidates, Seq("id_b"), "left_semi"), Seq("shingle"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word unigrams: each word's xxhash64 votes ±1 on each
+    * bit position weighted by term frequency; the signature's bit b is the
+    * sign of the vote sum. Near-dup candidates collide on one of 4 16-bit
+    * bands; verified by exact Hamming distance ≤ maxHamming via bit_count.
+    * Everything is integer expressions inside codegen. */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    // per-bit vote: tf if bit set else -tf; then sign → bit
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"v$b")
+    }
+    val sigs = words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    val signatures = sigs.select(col(idCol), sig.as("simhash"))
+    // band on 16-bit quarters for candidates
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig")).as(s"b$b")
+    }
+    val buckets = signatures.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.sig"))
+    val l = buckets.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("sig"))
+    val r = buckets.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Dot products computed as a sequential fold over the vector (identical
+    * order on any engine → deterministic). This variant is brute-force over
+    * `candidatePairs`; see [[graft.similarity.Similarity]] for the LSH-bucketed
+    * scale path that feeds candidate pairs instead of the full cross join. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot / (na * nb))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

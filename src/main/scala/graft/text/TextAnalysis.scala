@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID (n-gram /
+  * stopword heuristic), quality scoring, token counting, document
+  * fingerprinting. Pure column expressions — whole-stage-codegen'd, no UDFs,
+  * embarrassingly parallel (no shuffle at all). */
+object TextAnalysis {
+
+  /** Minimal per-language stopword lists for the heuristic language
+    * identifier. Deliberately tiny and deterministic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pas", "pour", "que", "dans"))
+
+  private def words(textCol: Column): Column = split(textCol, " ")
+
+  private def stopwordHits(textCol: Column, lang: String): Column =
+    size(filter(words(textCol), w => w.isin(stopwords(lang): _*)))
+
+  /** Heuristic language ID: highest stopword-hit count wins (alphabetical
+    * tie-break via the comparison order); 'und' (undetermined) when no list
+    * matches at all. */
+  def languageId(textCol: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => stopwordHits(textCol, l))
+    val best = hits.reduce((a, b) => greatest(a, b))
+    val pick = langs.zip(hits).foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // nested whens in foldRight order ⇒ alphabetically-first language wins ties
+    pick
+  }
+
+  /** Quality-scoring feature set: length, word stats, punctuation/digit
+    * ratios, stopword ratio, plus a composite keep/drop flag with the usual
+    * training-data heuristics (C4-style length + symbol filters). */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws)
+    val nChars = length(t)
+    val enHits = stopwordHits(t, "en")
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("avg_word_len",
+        round((nChars - (nWords - lit(1))).cast("double") / nWords, 6))
+      .withColumn("uniq_word_ratio",
+        round(size(array_distinct(ws)).cast("double") / nWords, 6))
+      .withColumn("digit_ratio",
+        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") / nChars, 6))
+      .withColumn("stopword_ratio", round(enHits.cast("double") / nWords, 6))
+      .withColumn("quality_keep",
+        nWords >= 5 && nWords <= 100000 && col("avg_word_len") >= 2
+          && col("avg_word_len") <= 15 && col("uniq_word_ratio") > 0.1)
+  }
+
+  /** Token counts: exact whitespace tokens + a BPE-ish estimate
+    * (chars/4, the standard subword-token rule of thumb). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens_ws", size(words(col(textCol))).cast("long"))
+      .withColumn("n_tokens_bpe", ceil(length(col(textCol)) / lit(4.0)).cast("long"))
+
+  /** Normalized content fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dedup key robust to casing/spacing noise. */
+  def fingerprint(textCol: Column): Column =
+    md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
+}
