@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("language id picks the dominant stopword language") {
+    val d = Seq(
+      (1, "the cat sat of the mat and it is that for sure"),
+      (2, "der hund ist ein tier und das ist nicht schlecht"),
+      (3, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.languageId(col("text")).as("l"))
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "en", 2 -> "de", 3 -> "und"))
+  }
+
+  test("quality features compute word stats") {
+    val d = Seq((1, "one two three four five six")).toDF("id", "text")
+    val r = TextAnalysis.qualityFeatures(d, "text")
+      .select("n_words", "uniq_word_ratio", "quality_keep")
+      .as[(Long, Double, Boolean)].head()
+    assert(r._1 == 6 && r._2 == 1.0 && r._3)
+  }
+
+  test("token counts: whitespace and bpe estimate") {
+    val d = Seq((1, "abcd efgh")).toDF("id", "text")
+    val r = TextAnalysis.tokenCounts(d, "text")
+      .select("n_tokens_ws", "n_tokens_bpe").as[(Long, Long)].head()
+    assert(r == ((2L, 3L))) // 9 chars / 4 → ceil = 3
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val d = Seq((1, "Hello   World"), (2, "hello world"), (3, "different")).toDF("id", "text")
+    val fps = d.select(TextAnalysis.fingerprint(col("text")).as("fp")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}
