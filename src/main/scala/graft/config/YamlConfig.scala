@@ -1,0 +1,224 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.model._
+import graft.operators.Expectations
+
+/** YAML front end: parse flowgroup documents into the [[graft.model]] case
+  * classes (reference: src/lhp/parsers + models; we parse the same action
+  * vocabulary). Parsing is deliberately lenient on unknown keys — like the
+  * reference, unknown fields are ignored rather than fatal. */
+object YamlConfig {
+
+  final case class ConfigError(msg: String) extends RuntimeException(msg)
+
+  def parseFlowGroup(yaml: String): FlowGroup = {
+    val root = asMap(new Yaml().load[Any](yaml))
+    FlowGroup(
+      pipeline = str(root, "pipeline").getOrElse(throw ConfigError("missing 'pipeline'")),
+      flowgroup = str(root, "flowgroup").getOrElse(throw ConfigError("missing 'flowgroup'")),
+      presets = strSeq(root, "presets"),
+      useTemplate = str(root, "use_template"),
+      templateParameters = anyMap(root, "template_parameters"),
+      variables = anyMap(root, "variables").map { case (k, v) => k -> v.toString },
+      actions = seq(root, "actions").map(a => parseAction(asMap(a))))
+  }
+
+  /** Substitute tokens/vars/secrets through every string in a YAML document
+    * *textually* before parsing — matching the reference, which substitutes on
+    * raw YAML text. */
+  def resolveAndParse(yamlText: String, vars: Map[String, String],
+      tokens: Map[String, String],
+      secrets: Substitution.SecretProvider = Substitution.envSecrets): FlowGroup = {
+    val fg0 = parseFlowGroup(yamlText) // first parse to pick up local variables
+    val allVars = fg0.variables ++ vars
+    parseFlowGroup(Substitution(yamlText, allVars, tokens, secrets))
+  }
+
+  // ---------------------------------------------------------------- actions
+
+  def parseAction(m: Map[String, Any]): Action = {
+    val name = str(m, "name").getOrElse(throw ConfigError(s"action missing 'name': $m"))
+    val actionType = str(m, "type").getOrElse(throw ConfigError(s"action '$name' missing 'type'"))
+    val target = str(m, "target")
+    actionType match {
+      case "load" => parseLoad(name, target, m)
+      case "transform" => parseTransform(name, target, m)
+      case "write" => parseWrite(name, m)
+      case "test" => TestAction(name, str(m, "test_type").getOrElse("custom_sql"),
+        sourceSeq(m), anyMap(m, "config") ++ (m - "name" - "type" - "source"))
+      case other => throw ConfigError(s"unknown action type '$other' on '$name'")
+    }
+  }
+
+  private def parseLoad(name: String, target: Option[String], m: Map[String, Any]): Action = {
+    val src = m.get("source") match {
+      case Some(s: java.util.Map[_, _]) => asMap(s)
+      case Some(s: String) => Map[String, Any]("type" -> "sql", "sql" -> s)
+      case _ => Map.empty[String, Any]
+    }
+    val readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("batch")
+    str(src, "type").getOrElse("sql") match {
+      case "cloudfiles" => CloudFilesLoad(name, target,
+        path = str(src, "path").getOrElse(throw ConfigError(s"cloudfiles '$name' missing path")),
+        format = str(src, "format").getOrElse("json"),
+        options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
+        schemaPath = str(src, "schema_path"),
+        schemaDdl = str(src, "table_schema"),
+        readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"))
+      case "delta" | "table" => TableLoad(name, target,
+        table = str(src, "table").orElse(str(src, "path"))
+          .getOrElse(throw ConfigError(s"table load '$name' missing table")),
+        whereClause = strSeq(src, "where_clause"),
+        selectColumns = strSeq(src, "select_columns"),
+        readMode = readMode)
+      case "sql" => SqlLoad(name, target,
+        sql = str(src, "sql").orElse(str(m, "sql"))
+          .getOrElse(throw ConfigError(s"sql load '$name' missing sql")),
+        readMode = readMode)
+      case "jdbc" => JdbcLoad(name, target,
+        url = str(src, "url").getOrElse(throw ConfigError(s"jdbc '$name' missing url")),
+        query = str(src, "query"), dbtable = str(src, "dbtable"),
+        options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
+        readMode = readMode)
+      case "kafka" => KafkaLoad(name, target,
+        bootstrapServers = str(src, "bootstrap_servers")
+          .getOrElse(throw ConfigError(s"kafka '$name' missing bootstrap_servers")),
+        subscribe = str(src, "subscribe"),
+        subscribePattern = str(src, "subscribe_pattern"),
+        assign = str(src, "assign"),
+        options = anyMap(src, "options").map { case (k, v) => k -> v.toString })
+      case "python" | "function" => FunctionLoad(name, target,
+        functionClass = str(src, "function").orElse(str(src, "class"))
+          .getOrElse(throw ConfigError(s"function load '$name' missing function")),
+        parameters = anyMap(src, "parameters"), readMode = readMode)
+      case other => throw ConfigError(s"unknown load source type '$other' on '$name'")
+    }
+  }
+
+  private def parseTransform(name: String, target: Option[String], m: Map[String, Any]): Action = {
+    str(m, "transform_type").getOrElse("sql") match {
+      case "sql" => SqlTransform(name, target, sourceSeq(m),
+        str(m, "sql").getOrElse(throw ConfigError(s"sql transform '$name' missing sql")))
+      case "schema" =>
+        val sm = asMap(m.getOrElse("schema", new java.util.HashMap[String, Any]()))
+        SchemaTransformAction(name, target, sourceSeq(m).headOption.getOrElse(""),
+          renames = anyMap(sm, "renames").map { case (k, v) => k -> v.toString },
+          casts = anyMap(sm, "casts").map { case (k, v) => k -> v.toString },
+          declared = strSeq(sm, "columns"),
+          strict = str(sm, "enforcement").contains("strict"))
+      case "data_quality" => DataQualityTransform(name, target,
+        sourceSeq(m).headOption.getOrElse(""),
+        rules = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
+        quarantineTable = str(asMap(m.getOrElse("quarantine", new java.util.HashMap[String, Any]())), "table"))
+      case "temp_table" => TempTableTransform(name, target, sourceSeq(m).headOption.getOrElse(""))
+      case "python" | "function" => FunctionTransform(name, target, sourceSeq(m),
+        functionClass = str(m, "function").orElse(str(m, "class"))
+          .getOrElse(throw ConfigError(s"function transform '$name' missing function")),
+        parameters = anyMap(m, "parameters"))
+      case other => throw ConfigError(s"unknown transform type '$other' on '$name'")
+    }
+  }
+
+  private def parseWrite(name: String, m: Map[String, Any]): Action = {
+    val wt = asMap(m.getOrElse("write_target", new java.util.HashMap[String, Any]()))
+    val table = str(wt, "table").orElse(str(m, "table")).getOrElse(name)
+    str(wt, "type").orElse(str(m, "write_type")).getOrElse("streaming_table") match {
+      case "streaming_table" =>
+        val cdcMap = m.get("cdc_config").orElse(wt.get("cdc_config")).map(asMap)
+        val cdc = cdcMap.map { c =>
+          CdcConfig(
+            keys = strSeq(c, "keys"),
+            sequenceBy = str(c, "sequence_by").map(Seq(_)).getOrElse(strSeq(c, "sequence_by")),
+            scdType = c.get("scd_type").map(_.toString.toInt).getOrElse(1),
+            ignoreNullUpdates = c.get("ignore_null_updates").exists(_.toString.toBoolean),
+            applyAsDeletes = str(c, "apply_as_deletes"),
+            applyAsTruncates = str(c, "apply_as_truncates"),
+            columnList = if (strSeq(c, "column_list").nonEmpty) Some(strSeq(c, "column_list")) else None,
+            exceptColumnList = strSeq(c, "except_column_list"),
+            trackHistoryColumnList =
+              if (strSeq(c, "track_history_column_list").nonEmpty)
+                Some(strSeq(c, "track_history_column_list")) else None,
+            trackHistoryExceptColumnList = strSeq(c, "track_history_except_column_list"))
+        }
+        StreamingTableWrite(name,
+          source = sourceSeq(m).headOption.getOrElse(""),
+          table = table,
+          partitionColumns = strSeq(wt, "partition_columns"),
+          once = m.get("once").exists(_.toString.toBoolean),
+          cdc = cdc,
+          snapshotCdc = str(wt, "mode").contains("snapshot_cdc"),
+          expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
+      case "materialized_view" => MaterializedViewWrite(name,
+        source = sourceSeq(m).headOption,
+        table = table,
+        sql = str(m, "sql").orElse(str(wt, "sql")),
+        partitionColumns = strSeq(wt, "partition_columns"),
+        expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
+      case "sink" => SinkWrite(name,
+        source = sourceSeq(m).headOption.getOrElse(""),
+        sinkType = str(wt, "format").getOrElse("files"),
+        options = anyMap(wt, "options").map { case (k, v) => k -> v.toString },
+        handlerClass = str(wt, "handler"))
+      case other => throw ConfigError(s"unknown write type '$other' on '$name'")
+    }
+  }
+
+  /** Both reference expectation formats (data_quality.py:73-96): a list of
+    * `{name, expression, failureAction}` or a map `constraint -> {action,name}`. */
+  def parseRules(raw: Any): Seq[Expectations.Rule] = raw match {
+    case l: java.util.List[_] => l.asScala.toSeq.map { e =>
+      val m = asMap(e)
+      Expectations.Rule(
+        str(m, "name").getOrElse("expectation"),
+        str(m, "expression").getOrElse(throw ConfigError(s"expectation missing expression: $m")),
+        parseAction(str(m, "failureAction").orElse(str(m, "action")).getOrElse("warn")))
+    }
+    case m: java.util.Map[_, _] => asMap(m).map { case (constraint, cfg) =>
+      val c = asMap(cfg)
+      Expectations.Rule(
+        str(c, "name").getOrElse(constraint),
+        constraint,
+        parseAction(str(c, "action").getOrElse("warn")))
+    }.toSeq
+    case null => Nil
+    case other => throw ConfigError(s"unparseable expectations: $other")
+  }
+
+  private def parseAction(s: String): Expectations.FailureAction = s match {
+    case "warn" => Expectations.Warn
+    case "drop" => Expectations.Drop
+    case "fail" => Expectations.Fail
+    case other => throw ConfigError(s"unknown failureAction '$other'")
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def asMap(o: Any): Map[String, Any] = o match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap
+    case null => Map.empty
+    case other => throw ConfigError(s"expected map, got: $other")
+  }
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).flatMap(Option(_)).map(_.toString)
+  private def seq(m: Map[String, Any], k: String): Seq[Any] = m.get(k) match {
+    case Some(l: java.util.List[_]) => l.asScala.toSeq
+    case _ => Nil
+  }
+  private def strSeq(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
+    case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+    case Some(s: String) => Seq(s)
+    case _ => Nil
+  }
+  private def anyMap(m: Map[String, Any], k: String): Map[String, Any] =
+    m.get(k).map(asMap).getOrElse(Map.empty)
+  private def sourceSeq(m: Map[String, Any]): Seq[String] = m.get("source") match {
+    case Some(s: String) => Seq(s)
+    case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+    case Some(mm: java.util.Map[_, _]) => str(asMap(mm), "view").toSeq
+    case _ => Nil
+  }
+}

@@ -1,0 +1,311 @@
+package graft.exec
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.model._
+import graft.operators.{DataTests, Expectations, ScdMerge, SchemaTransform, SnapshotCdc}
+import graft.plan.Planner
+
+/** Plugin traits — the Scala equivalent of the reference's python-function
+  * load/transform plugins (generators/load/python.py,
+  * generators/transform/python.py). Implementations are looked up by class
+  * name and instantiated reflectively. */
+trait SourceFunction {
+  def apply(spark: SparkSession, parameters: Map[String, Any]): DataFrame
+}
+trait TransformFunction {
+  def apply(inputs: Seq[DataFrame], spark: SparkSession, parameters: Map[String, Any]): DataFrame
+}
+trait BatchHandler {
+  def apply(df: DataFrame, batchId: Long): Unit
+}
+
+/** The interpreter: executes a resolved FlowGroup as real DataFrames — the
+  * Spark-native replacement for the reference's generate-then-run-on-DLT
+  * design (SURVEY preamble: "an interpreter, not a generator").
+  *
+  * Each action builds a DataFrame registered in the view registry; write
+  * actions run batch jobs or streaming queries. Batch writes and
+  * `Trigger.AvailableNow` streams make the whole pipeline runnable to
+  * completion in one call — the `once` backfill semantics of DLT flows.
+  */
+final class PipelineRunner(
+    spark: SparkSession,
+    store: TableStore,
+    checkpointRoot: String,
+    plugins: Map[String, AnyRef] = Map.empty) {
+
+  /** View registry: our stand-in for dp.temporary_view (SURVEY §1.1). */
+  private val views = mutable.LinkedHashMap[String, DataFrame]()
+  /** Views that are streaming DataFrames. */
+  private val streamingViews = mutable.Set[String]()
+  /** Observed warn-metrics per data-quality action. */
+  val observations = mutable.Map[String, DataFrame]()
+
+  def view(name: String): DataFrame = views.getOrElse(name,
+    spark.table(name)) // fall through to catalog temp views / tables
+
+  private def resolveSource(name: String): DataFrame =
+    views.getOrElse(name, store.readIfExists(name).getOrElse(spark.table(name)))
+
+  private def register(target: Option[String], df: DataFrame, streaming: Boolean): Unit =
+    target.foreach { t =>
+      views(t) = df
+      if (streaming) streamingViews += t
+      else df.createOrReplaceTempView(t)
+    }
+
+  def run(fg: FlowGroup): Unit = Planner.plan(fg).foreach(execute)
+
+  def execute(action: Action): Unit = action match {
+
+    // ------------------------------------------------------------- loads
+    case a: CloudFilesLoad =>
+      val schema = a.schemaDdl.map(StructType.fromDDL)
+      val base =
+        if (a.readMode == "stream") {
+          val r = spark.readStream.format(a.format)
+          val withSchema = schema.map(r.schema).getOrElse {
+            // file streams need a schema: infer from existing files (dev
+            // convenience; production passes a schema file/DDL)
+            r.schema(spark.read.format(a.format)
+              .options(a.options).load(a.path).schema)
+          }
+          withSchema.options(translateCloudFilesOptions(a.options)).load(a.path)
+        } else {
+          val r = spark.read.format(a.format).options(a.options)
+          schema.map(r.schema).getOrElse(r).load(a.path)
+        }
+      register(a.target, base, a.readMode == "stream")
+
+    case a: TableLoad =>
+      val base0 = if (a.readMode == "stream") {
+        // stream a parquet-backed table directory
+        val batch = resolveSource(a.table)
+        spark.readStream.schema(batch.schema).parquet(s"${store.warehouse}/${a.table.replace('.', '/')}")
+      } else resolveSource(a.table)
+      val filtered = a.whereClause.foldLeft(base0)((d, w) => d.where(w))
+      val projected = if (a.selectColumns.nonEmpty)
+        filtered.select(a.selectColumns.map(col): _*) else filtered
+      register(a.target, projected, a.readMode == "stream")
+
+    case a: SqlLoad =>
+      register(a.target, spark.sql(a.sql), streaming = false)
+
+    case a: JdbcLoad =>
+      var r = spark.read.format("jdbc").option("url", a.url).options(a.options)
+      a.query.foreach(q => r = r.option("query", q))
+      a.dbtable.foreach(t => r = r.option("dbtable", t))
+      register(a.target, r.load(), streaming = false)
+
+    case a: KafkaLoad =>
+      var r = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", a.bootstrapServers)
+        .options(a.options)
+      a.subscribe.foreach(s => r = r.option("subscribe", s))
+      a.subscribePattern.foreach(s => r = r.option("subscribePattern", s))
+      a.assign.foreach(s => r = r.option("assign", s))
+      register(a.target, r.load(), streaming = true)
+
+    case a: FunctionLoad =>
+      val fn = plugin[SourceFunction](a.functionClass)
+      register(a.target, fn(spark, a.parameters), streaming = false)
+
+    // -------------------------------------------------------- transforms
+    case a: SqlTransform =>
+      // upstream views are already temp views; batch-only SQL here (the
+      // `stream(view)` rewrite happens at resolve time)
+      register(a.target, spark.sql(a.sql), a.source.exists(streamingViews.contains))
+
+    case a: SchemaTransformAction =>
+      val spec = SchemaTransform.Spec(a.renames, a.casts, a.declared,
+        if (a.strict) SchemaTransform.Strict else SchemaTransform.Permissive)
+      register(a.target, SchemaTransform(resolveSource(a.source), spec),
+        streamingViews.contains(a.source))
+
+    case a: DataQualityTransform =>
+      val src = resolveSource(a.source)
+      a.quarantineTable match {
+        case None =>
+          val out = Expectations(
+            Expectations.observeWarnings(src, a.rules, a.name), a.rules)
+          register(a.target, out, streamingViews.contains(a.source))
+        case Some(dlq) =>
+          // quarantine mode: clean rows pass through; violating rows are
+          // annotated and upserted into the DLQ keyed by content hash
+          val clean = Expectations.dropViolations(src, a.rules)
+          val bad = Expectations.quarantine(src, a.rules)
+            .withColumn("_dlq_sk", xxhash64(lit(dlq), to_json(struct(src.columns.map(col): _*))))
+            .withColumn("_dlq_status", lit("quarantined"))
+            .withColumn("_quarantined_at", current_timestamp())
+          store.upsert(dlq, bad, Seq("_dlq_sk"))
+          register(a.target, clean, streamingViews.contains(a.source))
+      }
+
+    case a: TempTableTransform =>
+      val tmp = s"__tmp_${a.name}"
+      store.overwrite(tmp, resolveSource(a.source))
+      register(a.target, store.read(tmp), streaming = false)
+
+    case a: FunctionTransform =>
+      val fn = plugin[TransformFunction](a.functionClass)
+      register(a.target, fn(a.source.map(resolveSource), spark, a.parameters),
+        a.source.exists(streamingViews.contains))
+
+    // ------------------------------------------------------------ writes
+    case a: StreamingTableWrite => executeStreamingWrite(a)
+
+    case a: MaterializedViewWrite =>
+      val df0 = a.sql.map(spark.sql).getOrElse(resolveSource(a.source.get))
+      val df = Expectations(df0, a.expectations)
+      store.overwrite(a.table, df, a.partitionColumns)
+      store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
+
+    case a: SinkWrite =>
+      val src = resolveSource(a.source)
+      a.sinkType match {
+        case "files" =>
+          val p = a.options.getOrElse("path", s"${store.warehouse}/_sinks/${a.name}")
+          if (src.isStreaming)
+            src.writeStream.format(a.options.getOrElse("format", "parquet"))
+              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .option("path", p).trigger(Trigger.AvailableNow())
+              .start().awaitTermination()
+          else src.write.mode("append")
+            .format(a.options.getOrElse("format", "parquet")).save(p)
+        case "kafka" =>
+          require(src.columns.contains("value"), s"kafka sink '${a.name}' needs a 'value' column")
+          if (src.isStreaming)
+            src.writeStream.format("kafka").options(a.options)
+              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+          else src.write.format("kafka").options(a.options).save()
+        case "foreachbatch" =>
+          val handler = plugin[BatchHandler](a.handlerClass.getOrElse(
+            throw Planner.PlanError(s"foreachbatch sink '${a.name}' missing handler")))
+          if (src.isStreaming)
+            src.writeStream.foreachBatch((df: DataFrame, id: Long) => handler(df, id))
+              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+          else handler(src, 0L)
+        case other => throw Planner.PlanError(s"unknown sink type '$other'")
+      }
+
+    // ------------------------------------------------------------- tests
+    case a: TestAction => executeTest(a)
+  }
+
+  private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
+    val src0 = resolveSource(a.source)
+    val src = Expectations(src0, a.expectations)
+    val scdOpts = a.cdc.map(c => ScdMerge.Options(
+      keys = c.keys, sequenceBy = c.sequenceBy, scdType = c.scdType,
+      trackHistoryColumns = c.trackHistoryColumnList,
+      trackHistoryExcept = c.trackHistoryExceptColumnList,
+      ignoreNullUpdates = c.ignoreNullUpdates,
+      applyAsDeletes = c.applyAsDeletes,
+      applyAsTruncates = c.applyAsTruncates,
+      columnList = c.columnList,
+      exceptColumnList = c.exceptColumnList))
+
+    (a.cdc, a.snapshotCdc) match {
+      case (Some(_), false) if src.isStreaming =>
+        // CDC apply-changes: foreachBatch merge engine
+        val opts = scdOpts.get
+        src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val merged = ScdMerge.applyChanges(store.readIfExists(a.table), batch, opts)
+            store.replace(a.table, merged, a.partitionColumns)
+          }
+          .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      case (Some(_), false) =>
+        val merged = ScdMerge.applyChanges(store.readIfExists(a.table), src, scdOpts.get)
+        store.replace(a.table, merged, a.partitionColumns)
+      case (Some(_), true) =>
+        // snapshot-CDC: diff the incoming full snapshot against current state
+        val changes = SnapshotCdc.diff(store.readIfExists(a.table), src, scdOpts.get)
+        val mergeOpts = SnapshotCdc.mergeOptions(scdOpts.get)
+        val merged = ScdMerge.applyChanges(store.readIfExists(a.table), changes, mergeOpts)
+        store.replace(a.table, merged, a.partitionColumns)
+      case (None, _) if src.isStreaming =>
+        src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            store.append(a.table, batch, a.partitionColumns)
+          }
+          .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      case (None, _) =>
+        store.append(a.table, src, a.partitionColumns)
+    }
+    store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
+  }
+
+  private def executeTest(a: TestAction): Unit = {
+    def cfgStr(k: String): Option[String] = a.config.get(k).map(_.toString)
+    def cfgSeq(k: String): Seq[String] = a.config.get(k) match {
+      case Some(l: java.util.List[_]) =>
+        import scala.jdk.CollectionConverters._
+        l.asScala.toSeq.map(_.toString)
+      case Some(s: String) => Seq(s)
+      case _ => Nil
+    }
+    val violations: DataFrame = a.testType match {
+      case "row_count" => DataTests.rowCount(
+        resolveSource(a.source.head), resolveSource(a.source(1)),
+        cfgStr("tolerance").map(_.toLong).getOrElse(0L))
+      case "uniqueness" => DataTests.uniqueness(
+        resolveSource(a.source.head), cfgSeq("columns"), cfgStr("filter"))
+      case "referential_integrity" => DataTests.referentialIntegrity(
+        resolveSource(a.source.head), resolveSource(cfgStr("reference").get),
+        cfgSeq("source_columns"), cfgSeq("reference_columns"))
+      case "completeness" => DataTests.completeness(
+        resolveSource(a.source.head), cfgSeq("required_columns"))
+      case "range" => DataTests.range(resolveSource(a.source.head),
+        cfgStr("column").get, cfgStr("min").get.toDouble, cfgStr("max").get.toDouble)
+      case "schema_match" => DataTests.schemaMatch(spark, a.source.head, cfgStr("reference").get)
+      case "all_lookups_found" => DataTests.allLookupsFound(
+        resolveSource(a.source.head), resolveSource(cfgStr("lookup_table").get),
+        cfgSeq("lookup_columns"), cfgSeq("lookup_result_columns"))
+      case "custom_sql" => spark.sql(cfgStr("sql").get)
+      case "custom_expectations" => DataTests.customExpectations(
+        resolveSource(a.source.head), YamlConfigRules(a.config))
+      case other => throw Planner.PlanError(s"unknown test type '$other'")
+    }
+    val n = violations.count()
+    val onFail = cfgStr("on_fail").getOrElse("fail")
+    if (n > 0) {
+      if (onFail == "warn")
+        System.err.println(s"[graft] data test '${a.name}' (${a.testType}): $n violation(s)")
+      else
+        throw Expectations.ExpectationViolation(s"${a.name}(${a.testType})", n)
+    }
+  }
+
+  private def YamlConfigRules(config: Map[String, Any]): Seq[Expectations.Rule] =
+    graft.config.YamlConfig.parseRules(config.getOrElse("expectations", null))
+
+  /** `table` may be `catalog.schema.name`; views use the last component. */
+  private def tableViewName(table: String): String = table.split('.').last
+
+  private def plugin[T](className: String): T =
+    plugins.get(className).map(_.asInstanceOf[T]).getOrElse(
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[T])
+
+  /** Map the reference's cloudFiles.* option vocabulary onto OSS file-source
+    * options (SURVEY §2.1 row 1). */
+  private def translateCloudFilesOptions(opts: Map[String, String]): Map[String, String] =
+    opts.flatMap {
+      case ("cloudFiles.maxFilesPerTrigger", v) => Some("maxFilesPerTrigger" -> v)
+      case ("cloudFiles.includeExistingFiles", v) => Some("latestFirst" -> (!v.toBoolean).toString)
+      case (k, v) if !k.startsWith("cloudFiles.") => Some(k -> v)
+      case _ => None // schema-evolution/rescue options have no OSS equivalent
+    }
+}

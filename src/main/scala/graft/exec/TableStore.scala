@@ -1,0 +1,84 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet-backed table storage for pipeline targets (no Delta jars in the
+  * environment — SURVEY §7). Tables are directories under a warehouse root.
+  *
+  * Concurrency/scale notes: appends go to unique part-files (Spark's normal
+  * committer); `overwrite` swaps the directory atomically enough for a
+  * single-writer-per-table discipline, which the runner enforces by
+  * serializing flows per table (SURVEY §7.3c). A real deployment would swap
+  * this for Delta/Iceberg commit protocols — the interface is the seam.
+  */
+final class TableStore(spark: SparkSession, val warehouse: String) {
+
+  private def path(table: String): String = s"$warehouse/${table.replace('.', '/')}"
+
+  def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def readIfExists(table: String): Option[DataFrame] =
+    if (exists(table)) Some(read(table)) else None
+
+  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+  }
+
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+  }
+
+  /** Upsert = anti-join rewrite (the parquet stand-in for Delta MERGE
+    * `whenNotMatchedInsertAll` / full upsert — SURVEY §2.2 quarantine row).
+    * The result is computed BEFORE the overwrite so the read and write of the
+    * same table never race. */
+  def upsert(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    readIfExists(table) match {
+      case None => overwrite(table, updates)
+      case Some(existing) =>
+        val kept = existing.join(updates.select(keys.head, keys.tail: _*).distinct(),
+          keys, "left_anti")
+        val merged = kept.unionByName(updates, allowMissingColumns = true)
+          .localCheckpoint(eager = true) // break lineage on the table being replaced
+        overwrite(table, merged)
+    }
+  }
+
+  /** Insert rows whose keys are absent (Delta `whenNotMatchedInsertAll`). */
+  def insertIfAbsent(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    readIfExists(table) match {
+      case None => overwrite(table, updates)
+      case Some(existing) =>
+        val fresh = updates.join(existing.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
+          .localCheckpoint(eager = true)
+        append(table, fresh)
+    }
+  }
+
+  /** Replace table contents with `df`, where `df` may derive from the current
+    * table contents (lineage broken via localCheckpoint). */
+  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    overwrite(table, df.localCheckpoint(eager = true), partitionBy)
+
+  def drop(table: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(): Unit
+    }
+    val f = new java.io.File(path(table))
+    if (f.exists()) rm(f)
+  }
+
+  def registerAll(): Unit = {
+    val root = new java.io.File(warehouse)
+    if (root.exists()) root.listFiles().filter(_.isDirectory).foreach { d =>
+      spark.read.parquet(d.getAbsolutePath).createOrReplaceTempView(d.getName)
+    }
+  }
+}

@@ -1,0 +1,217 @@
+package graft.model
+
+/** Config model: a Scala mirror of the reference's FlowGroup/Action YAML
+  * surface (reference: src/lhp/models/_flowgroup.py:12-21,
+  * src/lhp/models/_action.py:65-128, _enums.py:6-10,60-63).
+  *
+  * Unlike the reference's single ~60-field pydantic God-model, actions are a
+  * sealed trait with per-subtype payloads — invalid combinations are
+  * unrepresentable.
+  */
+
+final case class FlowGroup(
+    pipeline: String,
+    flowgroup: String,
+    presets: Seq[String] = Nil,
+    useTemplate: Option[String] = None,
+    templateParameters: Map[String, Any] = Map.empty,
+    variables: Map[String, String] = Map.empty,
+    actions: Seq[Action] = Nil)
+
+sealed trait Action {
+  def name: String
+  /** Output view name this action defines (actions chain by view name). */
+  def target: Option[String]
+  /** Input view/table names. */
+  def sources: Seq[String]
+}
+
+// ------------------------------------------------------------------- loads
+
+sealed trait LoadAction extends Action {
+  def readMode: String // "batch" | "stream"
+}
+
+/** File-based incremental ingestion (the cloudfiles operator, mapped to OSS
+  * file-stream sources — reference: generators/load/cloudfiles.py). */
+final case class CloudFilesLoad(
+    name: String,
+    target: Option[String],
+    path: String,
+    format: String, // json | csv | parquet | text
+    options: Map[String, String] = Map.empty,
+    schemaPath: Option[String] = None,
+    schemaDdl: Option[String] = None,
+    readMode: String = "stream") extends LoadAction {
+  def sources: Seq[String] = Nil
+}
+
+/** Catalog-table read, batch or stream (the delta load operator). */
+final case class TableLoad(
+    name: String,
+    target: Option[String],
+    table: String,
+    whereClause: Seq[String] = Nil,
+    selectColumns: Seq[String] = Nil,
+    readMode: String = "batch") extends LoadAction {
+  def sources: Seq[String] = Seq(table)
+}
+
+/** Named view defined by a SQL query. */
+final case class SqlLoad(
+    name: String,
+    target: Option[String],
+    sql: String,
+    readMode: String = "batch") extends LoadAction {
+  def sources: Seq[String] = Nil // dependencies resolved from SQL at plan time
+}
+
+/** JDBC external read. */
+final case class JdbcLoad(
+    name: String,
+    target: Option[String],
+    url: String,
+    query: Option[String],
+    dbtable: Option[String],
+    options: Map[String, String] = Map.empty,
+    readMode: String = "batch") extends LoadAction {
+  def sources: Seq[String] = Nil
+}
+
+/** Kafka stream read. */
+final case class KafkaLoad(
+    name: String,
+    target: Option[String],
+    bootstrapServers: String,
+    subscribe: Option[String] = None,
+    subscribePattern: Option[String] = None,
+    assign: Option[String] = None,
+    options: Map[String, String] = Map.empty) extends LoadAction {
+  def readMode: String = "stream"
+  def sources: Seq[String] = Nil
+}
+
+/** Plugin source: a registered Scala function producing a DataFrame
+  * (the python-function load). */
+final case class FunctionLoad(
+    name: String,
+    target: Option[String],
+    functionClass: String,
+    parameters: Map[String, Any] = Map.empty,
+    readMode: String = "batch") extends LoadAction {
+  def sources: Seq[String] = Nil
+}
+
+// --------------------------------------------------------------- transforms
+
+final case class SqlTransform(
+    name: String,
+    target: Option[String],
+    source: Seq[String],
+    sql: String) extends Action {
+  def sources: Seq[String] = source
+}
+
+final case class SchemaTransformAction(
+    name: String,
+    target: Option[String],
+    source: String,
+    renames: Map[String, String] = Map.empty,
+    casts: Map[String, String] = Map.empty,
+    declared: Seq[String] = Nil,
+    strict: Boolean = false) extends Action {
+  def sources: Seq[String] = Seq(source)
+}
+
+final case class DataQualityTransform(
+    name: String,
+    target: Option[String],
+    source: String,
+    rules: Seq[graft.operators.Expectations.Rule],
+    quarantineTable: Option[String] = None) extends Action {
+  def sources: Seq[String] = Seq(source)
+}
+
+/** Materialize an intermediate as a temp table (spill/share point). */
+final case class TempTableTransform(
+    name: String,
+    target: Option[String],
+    source: String) extends Action {
+  def sources: Seq[String] = Seq(source)
+}
+
+/** Plugin transform over 1..N source views. */
+final case class FunctionTransform(
+    name: String,
+    target: Option[String],
+    source: Seq[String],
+    functionClass: String,
+    parameters: Map[String, Any] = Map.empty) extends Action {
+  def sources: Seq[String] = source
+}
+
+// ------------------------------------------------------------------- writes
+
+final case class CdcConfig(
+    keys: Seq[String],
+    sequenceBy: Seq[String],
+    scdType: Int = 1,
+    ignoreNullUpdates: Boolean = false,
+    applyAsDeletes: Option[String] = None,
+    applyAsTruncates: Option[String] = None,
+    columnList: Option[Seq[String]] = None,
+    exceptColumnList: Seq[String] = Nil,
+    trackHistoryColumnList: Option[Seq[String]] = None,
+    trackHistoryExceptColumnList: Seq[String] = Nil)
+
+sealed trait WriteAction extends Action {
+  def table: String
+  def target: Option[String] = None
+}
+
+/** Streaming table: standard append flows, CDC mode, or snapshot-CDC mode. */
+final case class StreamingTableWrite(
+    name: String,
+    source: String,
+    table: String,
+    partitionColumns: Seq[String] = Nil,
+    once: Boolean = false,
+    cdc: Option[CdcConfig] = None,
+    snapshotCdc: Boolean = false,
+    expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
+  def sources: Seq[String] = Seq(source)
+}
+
+/** Batch-refreshed materialized view (full refresh per run — DLT's
+  * incremental MV maintenance is proprietary; SURVEY §7.3d). */
+final case class MaterializedViewWrite(
+    name: String,
+    source: Option[String],
+    table: String,
+    sql: Option[String] = None,
+    partitionColumns: Seq[String] = Nil,
+    expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
+  def sources: Seq[String] = source.toSeq
+}
+
+/** External sink: kafka / foreachBatch handler / files. */
+final case class SinkWrite(
+    name: String,
+    source: String,
+    sinkType: String, // "files" | "kafka" | "foreachbatch"
+    options: Map[String, String] = Map.empty,
+    handlerClass: Option[String] = None) extends WriteAction {
+  def table: String = name
+  def sources: Seq[String] = Seq(source)
+}
+
+// -------------------------------------------------------------------- tests
+
+final case class TestAction(
+    name: String,
+    testType: String,
+    source: Seq[String],
+    config: Map[String, Any] = Map.empty) extends Action {
+  def target: Option[String] = None
+  def sources: Seq[String] = source
+}

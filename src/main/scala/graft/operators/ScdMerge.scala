@@ -52,13 +52,19 @@ object ScdMerge {
     if (opts.sequenceBy.size == 1) col(opts.sequenceBy.head)
     else struct(opts.sequenceBy.map(col): _*)
 
-  /** Project the change feed down to the declared column surface. */
+  /** Project the change feed down to the declared column surface. Internal
+    * bookkeeping columns (OpCol, StartCol) always survive — the delete/
+    * truncate predicates are evaluated BEFORE this projection, so an
+    * `except_column_list` entry may itself feed a predicate. */
   private def selectColumns(changes: DataFrame, opts: Options): DataFrame = {
+    val keep = Set(OpCol, StartCol)
     val base = opts.columnList match {
-      case Some(cs) => changes.select((opts.keys ++ opts.sequenceBy ++ cs).distinct.map(col): _*)
+      case Some(cs) => changes.select(
+        ((opts.keys ++ opts.sequenceBy ++ cs).distinct ++ changes.columns.filter(keep)).map(col): _*)
       case None => changes
     }
-    val dropped = opts.exceptColumnList.filterNot(c => opts.keys.contains(c) || opts.sequenceBy.contains(c))
+    val dropped = opts.exceptColumnList
+      .filterNot(c => opts.keys.contains(c) || opts.sequenceBy.contains(c) || keep(c))
     base.drop(dropped: _*)
   }
 
@@ -66,8 +72,8 @@ object ScdMerge {
     * rows with sequence below the truncate's. Result = the current table. */
   def scd1(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
     val sq = seqCol(opts)
-    val ch0 = selectColumns(changes, opts)
-      .withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false)))
+    val ch0 = selectColumns(
+      changes.withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false))), opts)
 
     // Truncates are batch-scoped: everything at or below the max truncate
     // sequence is discarded (target rows carry no sequence → a truncate in the
@@ -108,8 +114,8 @@ object ScdMerge {
     * the open version, matching DLT's track_history semantics). */
   def scd2(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
     val sq = seqCol(opts)
-    val ch = selectColumns(changes, opts)
-      .withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false)))
+    val ch = selectColumns(
+      changes.withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false))), opts)
       .withColumn(StartCol, sq)
 
     // Convert existing history rows back into change rows: a closed final row

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-CDC: derive a change feed by diffing a full snapshot against the
+  * target's current state (the reference's
+  * `create_auto_cdc_from_snapshot_flow` — templates/write/
+  * streaming_table.py.j2:75-127). Inserts/updates come from the snapshot;
+  * deletes are open keys absent from the snapshot. The emitted feed carries
+  * `__snapshot_op` and is consumed by [[ScdMerge]] with
+  * `applyAsDeletes = "__snapshot_op = 'delete'"`.
+  *
+  * Scale: two hash joins on the key columns (snapshot vs current state) — no
+  * driver-side diffing; 100 TB snapshots diff as ordinary co-partitioned
+  * joins.
+  */
+object SnapshotCdc {
+
+  val OpCol = "__snapshot_op"
+
+  /** @param target   current SCD table contents (None on first snapshot)
+    * @param snapshot full current snapshot, must contain key + sequence cols
+    * @param opts     the merge options (keys + sequenceBy drive the diff) */
+  def diff(target: Option[DataFrame], snapshot: DataFrame, opts: ScdMerge.Options): DataFrame = {
+    val keys = opts.keys
+    val snapCols = snapshot.columns.toSeq
+    val attrCols = snapCols.filterNot(c => keys.contains(c) || opts.sequenceBy.contains(c))
+
+    target match {
+      case None => snapshot.withColumn(OpCol, lit("insert"))
+      case Some(t) =>
+        // current open state: SCD2 ⇒ __end_at is null; SCD1 ⇒ all rows
+        val current0 = if (t.columns.contains(ScdMerge.EndCol)) t.filter(col(ScdMerge.EndCol).isNull) else t
+        val current = current0.select(snapCols.filter(current0.columns.contains).map(col): _*)
+
+        val joined = snapshot.as("s").join(current.as("c"),
+          keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _), "full_outer")
+
+        val inSnap = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+        val inCur = keys.map(k => col(s"c.$k").isNotNull).reduce(_ && _)
+        val changed = attrCols.filter(current.columns.contains)
+          .map(c => !(col(s"s.$c") <=> col(s"c.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+
+        val maxSeq: Column =
+          if (opts.sequenceBy.size == 1) max(col(opts.sequenceBy.head))
+          else max(struct(opts.sequenceBy.map(col): _*))
+
+        val upserts = joined.filter(inSnap && (!inCur || changed))
+          .select((snapCols.map(c => col(s"s.$c").as(c)) :+
+            when(inCur, lit("update")).otherwise(lit("insert")).as(OpCol)): _*)
+
+        // deletes: open keys absent from the snapshot, sequenced at the
+        // snapshot's max sequence value (the "snapshot version")
+        val snapVersion = snapshot.agg(maxSeq.as("__v"))
+        val deletes0 = joined.filter(inCur && !inSnap)
+          .select(snapCols.map {
+            case c if keys.contains(c) || attrCols.contains(c) => col(s"c.$c").as(c)
+            case c => lit(null).as(c) // sequence cols filled from snapshot version
+          }: _*)
+        val deletes =
+          if (opts.sequenceBy.size == 1)
+            deletes0.crossJoin(broadcast(snapVersion))
+              .withColumn(opts.sequenceBy.head, col("__v")).drop("__v")
+              .withColumn(OpCol, lit("delete"))
+          else deletes0.withColumn(OpCol, lit("delete")) // multi-col seq: keep nulls (sorts first)
+
+        upserts.unionByName(deletes)
+    }
+  }
+
+  /** Merge options adjusted for a snapshot-diff feed. */
+  def mergeOptions(opts: ScdMerge.Options): ScdMerge.Options =
+    opts.copy(applyAsDeletes = Some(s"$OpCol = 'delete'"),
+      exceptColumnList = opts.exceptColumnList :+ OpCol)
+}

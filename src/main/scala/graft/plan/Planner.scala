@@ -1,0 +1,74 @@
+package graft.plan
+
+import graft.model._
+
+/** Per-flowgroup action planner: topological order by view-name edges, cycle
+  * detection with the offending residual, and validation (≥1 load unless
+  * self-contained, ≥1 write, no orphan transforms) — the semantics of the
+  * reference's DependencyResolver
+  * (src/lhp/core/dependencies/dependency_resolver.py:25-100,134-222). */
+object Planner {
+
+  final case class PlanError(msg: String) extends RuntimeException(msg)
+
+  /** A materialized-view write with its own SQL (or a snapshot-CDC write) is
+    * self-contained: it needs no load in the flowgroup
+    * (dependency_resolver.py:134-153). */
+  private def selfContained(a: Action): Boolean = a match {
+    case m: MaterializedViewWrite => m.sql.isDefined
+    case s: StreamingTableWrite => s.snapshotCdc
+    case _ => false
+  }
+
+  /** Kahn topo-sort of actions by target→source edges. Sources that no action
+    * produces are external tables (resolved from the catalog at run time). */
+  def order(actions: Seq[Action]): Seq[Action] = {
+    val byTarget: Map[String, Action] =
+      actions.flatMap(a => a.target.map(_ -> a)).toMap
+    val deps: Map[String, Set[String]] = actions.map { a =>
+      a.name -> a.sources.flatMap(byTarget.get).map(_.name).toSet
+    }.toMap
+    val byName = actions.map(a => a.name -> a).toMap
+
+    var remaining = deps
+    val out = Seq.newBuilder[Action]
+    while (remaining.nonEmpty) {
+      val ready = remaining.collect {
+        case (n, ds) if ds.forall(d => !remaining.contains(d)) => n
+      }.toSeq.sorted // deterministic order among ready actions
+      if (ready.isEmpty)
+        throw PlanError(s"dependency cycle among actions: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+      ready.foreach(n => out += byName(n))
+      remaining = remaining -- ready
+    }
+    out.result()
+  }
+
+  def validate(fg: FlowGroup): Unit = {
+    val actions = fg.actions
+    if (actions.isEmpty) throw PlanError(s"flowgroup '${fg.flowgroup}' has no actions")
+    val writes = actions.collect { case w: WriteAction => w }
+    if (writes.isEmpty)
+      throw PlanError(s"flowgroup '${fg.flowgroup}' has no write action")
+    val hasLoad = actions.exists(_.isInstanceOf[LoadAction])
+    if (!hasLoad && !writes.exists(selfContained))
+      throw PlanError(s"flowgroup '${fg.flowgroup}' has no load action and no self-contained write")
+    // orphan transforms: a non-write action whose target no other action consumes
+    val consumed = actions.flatMap(_.sources).toSet
+    val orphans = actions.collect {
+      case a if !a.isInstanceOf[WriteAction] && a.target.exists(t => !consumed.contains(t)) => a.name
+    }
+    if (orphans.nonEmpty)
+      throw PlanError(s"orphan actions (target never consumed): ${orphans.mkString(", ")}")
+  }
+
+  /** Write fan-in grouping: N writes to one table → one create + N flows
+    * (reference: core/codegen/action_dispatch.py:179-206). */
+  def groupWrites(actions: Seq[Action]): Map[String, Seq[WriteAction]] =
+    actions.collect { case w: WriteAction => w }.groupBy(_.table)
+
+  def plan(fg: FlowGroup): Seq[Action] = {
+    validate(fg)
+    order(fg.actions)
+  }
+}

@@ -1,0 +1,263 @@
+package graft.exec
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.config.YamlConfig
+import graft.model._
+import graft.operators.Expectations
+import graft.sources.Tables
+
+class PipelineRunnerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRunner(): (PipelineRunner, TableStore, String) = {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    (new PipelineRunner(spark, store, s"$dir/checkpoints"), store, dir)
+  }
+
+  test("minimum slice: sql load -> materialized_view write (SURVEY §7.2)") {
+    val (runner, store, _) = freshRunner()
+    Tables.registerAll(spark, sf0001)
+    val yaml =
+      """pipeline: gold
+        |flowgroup: revenue
+        |actions:
+        |  - name: load_revenue
+        |    type: load
+        |    source:
+        |      type: sql
+        |      sql: |
+        |        SELECT r_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |        FROM lineitem
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |        JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation ON c_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey
+        |        GROUP BY r_name
+        |    target: v_revenue
+        |  - name: write_revenue
+        |    type: write
+        |    source: v_revenue
+        |    write_target:
+        |      type: materialized_view
+        |      table: revenue_by_region
+        |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("revenue_by_region")
+    assert(out.count() == 5) // five regions
+    assert(out.columns.toSet == Set("r_name", "revenue"))
+  }
+
+  test("token/variable substitution resolves through YAML") {
+    val yaml =
+      """pipeline: p_{env}
+        |flowgroup: fg
+        |variables:
+        |  tbl: mytable
+        |actions:
+        |  - name: a1
+        |    type: load
+        |    source: {type: sql, sql: "SELECT 1 AS x"}
+        |    target: "%{tbl}_v"
+        |  - name: w1
+        |    type: write
+        |    source: "%{tbl}_v"
+        |    write_target: {type: materialized_view, table: "{env}_out"}
+        |""".stripMargin
+    val fg = YamlConfig.resolveAndParse(yaml, Map.empty, Map("env" -> "dev"))
+    assert(fg.pipeline == "p_dev")
+    assert(fg.actions.head.target.contains("mytable_v"))
+    assert(fg.actions(1).asInstanceOf[MaterializedViewWrite].table == "dev_out")
+  }
+
+  test("streaming cloudfiles load -> streaming_table append flow (AvailableNow)") {
+    val (runner, store, dir) = freshRunner()
+    // landing zone with two json files
+    val landing = s"$dir/landing"
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: bronze
+         |flowgroup: ingest
+         |actions:
+         |  - name: load_raw
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |    target: v_raw
+         |  - name: write_raw
+         |    type: write
+         |    source: v_raw
+         |    write_target: {type: streaming_table, table: raw_events}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").count() == 2)
+    // second run with one more file appends only the new file (checkpointed)
+    Seq((3, "c")).toDF("id", "v").write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").count() == 3)
+  }
+
+  test("streaming CDC flow: SCD2 merge via foreachBatch") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/cdc_landing"
+    Seq((1L, 1L, "alice", "NY"), (1L, 3L, "alice", "LA"), (2L, 1L, "bob", "SF"))
+      .toDF("id", "seq", "name", "city").write.json(landing)
+    val yaml =
+      s"""pipeline: silver
+         |flowgroup: dim_customer
+         |actions:
+         |  - name: load_changes
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, seq BIGINT, name STRING, city STRING"
+         |    target: v_changes
+         |  - name: write_dim
+         |    type: write
+         |    source: v_changes
+         |    write_target: {type: streaming_table, table: dim_customer}
+         |    cdc_config:
+         |      keys: [id]
+         |      sequence_by: seq
+         |      scd_type: 2
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("dim_customer")
+      .select("id", "city", "__start_at", "__end_at")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "NY", 1L, Some(3L)), (1L, "LA", 3L, None), (2L, "SF", 1L, None)))
+
+    // late batch: bob moves at seq 2 (no effect on alice)
+    Seq((2L, 2L, "bob", "LA")).toDF("id", "seq", "name", "city")
+      .write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out2 = store.read("dim_customer")
+      .select("id", "city", "__start_at", "__end_at")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out2 == Set(
+      (1L, "NY", 1L, Some(3L)), (1L, "LA", 3L, None),
+      (2L, "SF", 1L, Some(2L)), (2L, "LA", 2L, None)))
+  }
+
+  test("snapshot-cdc write diffs successive snapshots into SCD2 history") {
+    val (runner, store, _) = freshRunner()
+    def run(snapshot: Seq[(Long, Long, String)]): Unit = {
+      snapshot.toDF("id", "version", "city").createOrReplaceTempView("snap_src")
+      val yaml =
+        """pipeline: silver
+          |flowgroup: snap
+          |actions:
+          |  - name: load_snap
+          |    type: load
+          |    source: {type: table, table: snap_src}
+          |    target: v_snap
+          |  - name: write_snap
+          |    type: write
+          |    source: v_snap
+          |    write_target: {type: streaming_table, table: snap_dim, mode: snapshot_cdc}
+          |    cdc_config: {keys: [id], sequence_by: version, scd_type: 2}
+          |""".stripMargin
+      runner.run(YamlConfig.parseFlowGroup(yaml))
+    }
+    run(Seq((1L, 1L, "NY"), (2L, 1L, "SF")))
+    run(Seq((1L, 2L, "LA"), (3L, 2L, "CHI"))) // 1 moves, 2 deleted, 3 new
+    val out = store.read("snap_dim")
+      .select("id", "city", "__start_at", "__end_at")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "NY", 1L, Some(2L)), (1L, "LA", 2L, None),
+      (2L, "SF", 1L, Some(2L)), // deleted at snapshot 2
+      (3L, "CHI", 2L, None)))
+  }
+
+  test("data_quality quarantine routes violations to DLQ") {
+    val (runner, store, _) = freshRunner()
+    Seq((1, 10), (2, -1), (3, 5)).toDF("id", "v").createOrReplaceTempView("dq_src")
+    val yaml =
+      """pipeline: p
+        |flowgroup: dq
+        |actions:
+        |  - name: load
+        |    type: load
+        |    source: {type: table, table: dq_src}
+        |    target: v_src
+        |  - name: quality
+        |    type: transform
+        |    transform_type: data_quality
+        |    source: v_src
+        |    target: v_clean
+        |    expectations:
+        |      - {name: positive, expression: "v > 0", failureAction: drop}
+        |    quarantine: {table: dlq}
+        |  - name: write
+        |    type: write
+        |    source: v_clean
+        |    write_target: {type: materialized_view, table: clean_out}
+        |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("clean_out").select("id").as[Int].collect().toSet == Set(1, 3))
+    val dlq = store.read("dlq")
+    assert(dlq.select("id").as[Int].collect().toSeq == Seq(2))
+    assert(dlq.columns.contains("_dlq_sk") && dlq.columns.contains("_failed_rules"))
+  }
+
+  test("planner: cycle detection and validation errors") {
+    import graft.plan.Planner
+    val cyc = FlowGroup("p", "f", actions = Seq(
+      SqlLoad("l", Some("v0"), "SELECT 1"),
+      SqlTransform("t1", Some("a"), Seq("b", "v0"), "SELECT * FROM b"),
+      SqlTransform("t2", Some("b"), Seq("a"), "SELECT * FROM a"),
+      MaterializedViewWrite("w", Some("a"), "out")))
+    val e = intercept[Planner.PlanError](Planner.plan(cyc))
+    assert(e.msg.contains("cycle"))
+
+    val noWrite = FlowGroup("p", "f", actions = Seq(
+      SqlLoad("l", Some("v"), "SELECT 1")))
+    assert(intercept[Planner.PlanError](Planner.plan(noWrite)).msg.contains("no write"))
+
+    // self-contained MV needs no load
+    val selfC = FlowGroup("p", "f", actions = Seq(
+      MaterializedViewWrite("w", None, "out", sql = Some("SELECT 1 AS x"))))
+    Planner.validate(selfC) // must not throw
+  }
+
+  test("fan-in: two flows append into one table") {
+    val (runner, store, _) = freshRunner()
+    Seq(1, 2).toDF("x").createOrReplaceTempView("fan_a")
+    Seq(3).toDF("x").createOrReplaceTempView("fan_b")
+    val yaml =
+      """pipeline: p
+        |flowgroup: fanin
+        |actions:
+        |  - name: la
+        |    type: load
+        |    source: {type: table, table: fan_a}
+        |    target: va
+        |  - name: lb
+        |    type: load
+        |    source: {type: table, table: fan_b}
+        |    target: vb
+        |  - name: wa
+        |    type: write
+        |    source: va
+        |    write_target: {type: streaming_table, table: fan_out}
+        |  - name: wb
+        |    type: write
+        |    source: vb
+        |    write_target: {type: streaming_table, table: fan_out}
+        |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("fan_out").as[Int].collect().toSet == Set(1, 2, 3))
+  }
+}
