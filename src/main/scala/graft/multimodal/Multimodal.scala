@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus batched decode / feature-extraction plumbing.
+  *
+  * The decode kernels themselves are STUBBED (no image/audio libraries in
+  * this container — see the builder prompt): [[StubDecoder]] produces
+  * deterministic fake features from the bytes. Everything around the stub is
+  * real and tested: the schema contract, the `mapPartitions` batching shape
+  * (the Scala analogue of `mapInPandas` — per-partition iterator, amortized
+  * per-batch setup, no driver collect), partition sizing for blob columns,
+  * and metadata projection.
+  *
+  * Scale notes: blob rows are large — callers should size partitions by bytes
+  * (`repartitionForBlobs`), not rows, so a 100 TB media table yields
+  * executor-memory-sized tasks. Decode runs once per row inside a single
+  * partition pass; features land in a flat struct for columnar storage.
+  */
+object Multimodal {
+
+  /** Canonical media-column schema: (media binary, mime string, meta map). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("bytes", BinaryType),
+    StructField("mime", StringType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  final case class MediaFeatures(
+      media_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, sha_prefix: String)
+
+  /** The decode seam: a real deployment plugs libjpeg/ffmpeg here. The stub
+    * derives deterministic pseudo-dimensions from a content hash so tests
+    * can assert exact values. */
+  trait Decoder extends Serializable {
+    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) // (w, h, channels)
+  }
+
+  object StubDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      // ??? <- real decode goes here; deterministic fake in its place
+      val h = java.util.Arrays.hashCode(bytes)
+      val w = 64 + math.abs(h % 1024)
+      val ht = 64 + math.abs((h / 1024) % 1024)
+      val ch = if (mime.startsWith("audio")) 1 else 3
+      (w, ht, ch)
+    }
+  }
+
+  /** Batched feature extraction over a media table — the `mapInPandas`
+    * plumbing shape: one pass per partition, per-row decode, typed output
+    * via an implicit Encoder. */
+  def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes", "mime")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // per-partition setup happens once (codec tables, model weights, …)
+        rows.map { case (id, bytes, mime) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val (w, h, c) = decoder.decode(mime, b)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(b).take(4).map("%02x".format(_)).mkString
+          MediaFeatures(id, mime, b.length.toLong, w, h, c, sha)
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic frame sampling plumbing for video-ish blobs: emits
+    * `framesPerItem` (media_id, frame_idx, frame_bytes) rows per input via
+    * posexplode — the fan-out shape of real frame extraction, with byte
+    * slicing standing in for actual decoding. */
+  def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {
+    val slices = transform(sequence(lit(0), lit(framesPerItem - 1)), i =>
+      struct(i.as("frame_idx"),
+        // stub: slice of the blob stands in for a decoded frame
+        substring(col("bytes"), lit(1) * (i + 1), lit(16)).as("frame_bytes")))
+    media.select(col("media_id"), explode(slices).as("f"))
+      .select(col("media_id"), col("f.frame_idx"), col("f.frame_bytes"))
+  }
+
+  /** Partition a blob table by cumulative byte size (approximate, via a
+    * range repartition on a size-bucket key) so tasks stay memory-bounded
+    * regardless of row width. */
+  def repartitionForBlobs(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val sized = media.withColumn("__bytes", coalesce(length(col("bytes")).cast("long"), lit(0L)))
+    val total = sized.agg(sum("__bytes")).first().getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    sized.repartitionByRange(parts, col("media_id")).drop("__bytes")
+  }
+
+  /** Build a media table from any (id, string-payload) source — test/demo
+    * helper that treats text bytes as the opaque blob. */
+  def fromText(df: DataFrame, idCol: String, textCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      lit(mime).as("mime"),
+      map(lit("origin"), lit("text")).as("meta"))
+}

@@ -1,0 +1,93 @@
+package graft.config
+
+import graft.SparkSuite
+import graft.model._
+
+class FlowGroupResolverSpec extends SparkSuite {
+
+  private val template =
+    """name: csv_ingestion
+      |parameters:
+      |  - {name: table_name}
+      |  - {name: landing, default: /data/landing}
+      |actions:
+      |  - name: load_{{ table_name }}
+      |    type: load
+      |    source:
+      |      type: cloudfiles
+      |      path: "{{ landing }}/{{ table_name }}"
+      |      format: csv
+      |    target: v_{{ table_name }}
+      |""".stripMargin
+
+  test("template expansion renders parameters and appends actions") {
+    val fg = FlowGroupResolver.resolve(
+      """pipeline: bronze
+        |flowgroup: ingest_customer
+        |use_template: csv_ingestion
+        |template_parameters: {table_name: customer}
+        |actions:
+        |  - name: write_customer
+        |    type: write
+        |    source: v_customer
+        |    write_target: {type: streaming_table, table: customer_raw}
+        |""".stripMargin,
+      templates = Map("csv_ingestion" -> template))
+    assert(fg.actions.size == 2)
+    val load = fg.actions.head.asInstanceOf[CloudFilesLoad]
+    assert(load.name == "load_customer")
+    assert(load.path == "/data/landing/customer") // default parameter used
+    assert(load.target.contains("v_customer"))
+  }
+
+  test("missing required template parameter fails") {
+    intercept[Substitution.UnresolvedToken] {
+      FlowGroupResolver.resolve(
+        """pipeline: p
+          |flowgroup: f
+          |use_template: csv_ingestion
+          |actions: []
+          |""".stripMargin,
+        templates = Map("csv_ingestion" -> template))
+    }
+  }
+
+  test("presets provide defaults, flowgroup wins on conflict") {
+    val preset =
+      """pipeline: ignored_default
+        |presets: []
+        |variables: {region: us-east}
+        |""".stripMargin
+    val fg = FlowGroupResolver.resolve(
+      """pipeline: real_pipeline
+        |flowgroup: f
+        |presets: [base]
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: sql, sql: "SELECT 1 AS x"}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: materialized_view, table: out}
+        |""".stripMargin,
+      presets = Map("base" -> preset))
+    assert(fg.pipeline == "real_pipeline") // flowgroup wins
+    assert(fg.variables == Map("region" -> "us-east")) // preset default flows in
+  }
+
+  test("token substitution with recursion and secrets") {
+    val out = Substitution("{a}/${secret:sc/key}",
+      vars = Map.empty,
+      tokens = Map("a" -> "x-{b}", "b" -> "y"),
+      secrets = (s, k) => Some(s"$s-$k-v"))
+    assert(out == "x-y/sc-key-v")
+  }
+
+  test("unresolved token is a strict error") {
+    intercept[Substitution.UnresolvedToken] {
+      Substitution("{nope}", Map.empty, Map.empty, strict = true)
+    }
+  }
+}
