@@ -23,9 +23,9 @@ object Dedup {
     val sh = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    // array_distinct already dedupes within the doc — no global shuffle needed
     df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
       .filter(length(col("shingle")) > 0)
-      .distinct()
   }
 
   /** Exact dedup: canonical keeper per content hash. `fp` = md5(text),
@@ -69,9 +69,13 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val bands = numHashes / rowsPerBand
     val sh = shingles(df, idCol, textCol, n).cache()
-    // k min-hashes in one pass: min(xxhash64(shingle, salt_i))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    val minhashes = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // k min-hashes in one pass: the shingle string is hashed ONCE to 64 bits,
+    // then the k-member hash family re-hashes the 8-byte value — ~10× less
+    // bytes through xxhash64 than hashing the string k times, same MinHash
+    // collision properties.
+    val hashed = sh.withColumn("h0", xxhash64(col("shingle")))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
+    val minhashes = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // band signature = xxhash64 over the band's row hashes
     val bandCols = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -146,14 +150,16 @@ object Dedup {
     * scale path that feeds candidate pairs instead of the full cross join. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("vb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    // Norms are computed once per vector BEFORE the pair join (the pairwise
+    // arithmetic dot/(na*nb) is unchanged, so scores stay bit-identical to a
+    // naive evaluation) — at n² pairs this hoist is a ~3× flop reduction.
+    val normed = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", graft.functions.ArrayMath.l2Norm(col("v")))
+    val a = normed.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = normed.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val dot = graft.functions.ArrayMath.dot(col("va"), col("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine", dot / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

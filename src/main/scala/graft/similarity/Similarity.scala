@@ -22,21 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = graft.functions.ArrayMath.l2Norm(a)
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
     * (excluding itself). Ties broken by neighbor id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms hoisted out of the pair loop; pairwise arithmetic unchanged
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -44,17 +45,25 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Random-hyperplane signature: `numBits` sign bits, each from a projection
-    * onto a pseudo-random hyperplane derived deterministically from
-    * xxhash64(bit, dim) — no stored model, reproducible across runs. */
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * (bit, dim) via SplitMix64 — no stored model, reproducible across runs. */
+  private def hyperplane(bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      var z = bit.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      z.toDouble / Long.MaxValue.toDouble
+    }
+
+  /** Random-hyperplane signature: `numBits` sign bits, each from one
+    * codegen'd dot product against a constant hyperplane array (the
+    * expression-tree alternative — a 1000-term sum — defeats whole-stage
+    * codegen). */
   private def rhpSignature(vec: Column, dim: Int, numBits: Int): Column = {
     val bits = (0 until numBits).map { b =>
-      // hyperplane component for (bit b, dim d): uniform in [-1, 1)
-      val proj = (0 until dim).map { d =>
-        element_at(vec, d + 1) *
-          (xxhash64(lit(b), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
-      }.reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val plane = array(hyperplane(b, dim).map(lit): _*)
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce[Column]((x, y) => x.bitwiseOR(y))
   }
@@ -73,16 +82,17 @@ object Similarity {
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bsig")).as(s"b$b")
       }
-      s.select(col(id), col(v), explode(array(bandCols: _*)).as("bk"))
-        .select(col(id), col(v), col("bk.band"), col("bk.bsig"))
+      s.withColumn("nrm", norm(col(v)))
+        .select(col(id), col(v), col("nrm"), explode(array(bandCols: _*)).as("bk"))
+        .select(col(id), col(v), col("nrm"), col("bk.band"), col("bk.bsig"))
     }
-    val qb = withSig(queries, "query_id", "qv")
-    val cb = withSig(corpus, "neighbor_id", "cv")
+    val qb = withSig(queries, "query_id", "qv").withColumnRenamed("nrm", "qn")
+    val cb = withSig(corpus, "neighbor_id", "cv").withColumnRenamed("nrm", "cn")
     val candidates = qb.join(cb, Seq("band", "bsig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
     val scored = candidates
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
