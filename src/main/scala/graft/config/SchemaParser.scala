@@ -1,0 +1,86 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import org.apache.spark.sql.types._
+
+/** Schema-file parsing: YAML/JSON schema documents → Spark `StructType`, and
+  * schema-hint strings (reference: src/lhp/parsers/schema_parser.py:19-92,
+  * core/codegen/struct_type_emitter.py:27-115).
+  *
+  * Format: `name` / `version` / `columns: [{name, type, nullable, comment}]`
+  * / `primary_key`. Type vocabulary per SURVEY §1.2, with the reference's
+  * lenient unknown-type → STRING fallback.
+  */
+object SchemaParser {
+
+  final case class SchemaDoc(
+      name: String,
+      version: Option[String],
+      schema: StructType,
+      primaryKey: Seq[String])
+
+  private val DecimalPat = "(?i)DECIMAL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+
+  /** The emitted type mapping (struct_type_emitter.py:27-44). */
+  def sparkType(t: String): DataType = t.trim.toUpperCase match {
+    case "STRING" | "VARCHAR" | "TEXT" => StringType
+    case "BIGINT" | "LONG" => LongType
+    case "INT" | "INTEGER" => IntegerType
+    case "DOUBLE" => DoubleType
+    case "FLOAT" | "REAL" => FloatType
+    case "BOOLEAN" | "BOOL" => BooleanType
+    case "DATE" => DateType
+    case "TIMESTAMP" => TimestampType
+    case "BINARY" => BinaryType
+    case "BYTE" | "TINYINT" => ByteType
+    case "SHORT" | "SMALLINT" => ShortType
+    case s => DecimalPat.findFirstMatchIn(s) match {
+      case Some(m) => DecimalType(m.group(1).toInt, m.group(2).toInt)
+      case None => StringType // lenient fallback (struct_type_emitter.py:114-115)
+    }
+  }
+
+  def parse(yamlText: String): SchemaDoc = {
+    val root = new Yaml().load[Any](yamlText).asInstanceOf[java.util.Map[String, Any]]
+      .asScala.map { case (k, v) => k.toString -> v }.toMap
+    val cols = root.get("columns") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map { c =>
+        val m = c.asInstanceOf[java.util.Map[String, Any]].asScala
+        val name = m("name").toString
+        val dt = sparkType(m.get("type").map(_.toString).getOrElse("STRING"))
+        val nullable = m.get("nullable").forall(_.toString.toBoolean)
+        val field = StructField(name, dt, nullable)
+        m.get("comment").map(c => field.withComment(c.toString)).getOrElse(field)
+      }
+      case _ => throw YamlConfig.ConfigError("schema file missing 'columns'")
+    }
+    val pk = root.get("primary_key") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+      case Some(s: String) => Seq(s)
+      case _ => Nil
+    }
+    SchemaDoc(
+      root.get("name").map(_.toString).getOrElse("schema"),
+      root.get("version").map(_.toString),
+      StructType(cols),
+      pk)
+  }
+
+  private val Identifier = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Render a schema as `cloudFiles.schemaHints`-style `"col TYPE [NOT
+    * NULL], ..."` with backtick-quoting of non-identifier names
+    * (schema_parser.py:53-92). */
+  def hints(schema: StructType): String =
+    schema.fields.map { f =>
+      val name = f.name match {
+        case Identifier() => f.name
+        case other => s"`$other`"
+      }
+      val notNull = if (f.nullable) "" else " NOT NULL"
+      s"$name ${f.dataType.sql}$notNull"
+    }.mkString(", ")
+}

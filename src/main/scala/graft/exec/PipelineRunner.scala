@@ -95,7 +95,11 @@ final class PipelineRunner(
       register(a.target, projected, a.readMode == "stream")
 
     case a: SqlLoad =>
-      register(a.target, spark.sql(a.sql), streaming = false)
+      // `stream(view)` wrappers are stripped (each run processes the
+      // available data — AvailableNow semantics); the streamed marker
+      // propagates so downstream writes use checkpointed flows
+      register(a.target, spark.sql(graft.plan.StreamRef.strip(a.sql)),
+        graft.plan.StreamRef.streamedViews(a.sql).nonEmpty)
 
     case a: JdbcLoad =>
       var r = spark.read.format("jdbc").option("url", a.url).options(a.options)
@@ -118,9 +122,10 @@ final class PipelineRunner(
 
     // -------------------------------------------------------- transforms
     case a: SqlTransform =>
-      // upstream views are already temp views; batch-only SQL here (the
-      // `stream(view)` rewrite happens at resolve time)
-      register(a.target, spark.sql(a.sql), a.source.exists(streamingViews.contains))
+      // upstream views are already temp views; stream(view) refs stripped
+      val streamed = graft.plan.StreamRef.streamedViews(a.sql)
+      register(a.target, spark.sql(graft.plan.StreamRef.strip(a.sql)),
+        (a.source ++ streamed).exists(streamingViews.contains) || streamed.nonEmpty)
 
     case a: SchemaTransformAction =>
       val spec = SchemaTransform.Spec(a.renames, a.casts, a.declared,

@@ -1,0 +1,123 @@
+package graft.plan
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.model._
+
+/** Cross-flowgroup dependency analysis — the reference's three-level graph
+  * builder (core/dependencies/builder.py:123-326, analyzer.py:41-60), with
+  * Catalyst's own SQL parser standing in for sqlglot: table references are
+  * collected from the *parsed logical plan*, so every SQL shape Spark accepts
+  * is analyzed correctly (CTEs, subqueries, lateral views…).
+  */
+object DependencyAnalyzer {
+
+  /** Extract referenced table/view names from a SQL string via Catalyst.
+    * Recurses into innerChildren (CTE definitions, views) which `collect`
+    * skips, and excludes names the statement itself defines (CTE aliases). */
+  def tablesInSql(spark: SparkSession, sql: String): Seq[String] = {
+    def refs(p: LogicalPlan): Seq[String] = {
+      val here = p match {
+        case r: UnresolvedRelation => Seq(r.multipartIdentifier.mkString("."))
+        case _ => Nil
+      }
+      val inner = p.innerChildren.collect { case lp: LogicalPlan => refs(lp) }.flatten
+      here ++ inner ++ p.children.flatMap(refs)
+    }
+    def definedNames(p: LogicalPlan): Seq[String] = {
+      val here = p match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map(_._1)
+        case _ => Nil
+      }
+      val inner = p.innerChildren.collect { case lp: LogicalPlan => definedNames(lp) }.flatten
+      here ++ inner ++ p.children.flatMap(definedNames)
+    }
+    Try(spark.sessionState.sqlParser.parsePlan(StreamRef.strip(sql))).toOption
+      .map(p => (refs(p).distinct diff definedNames(p).distinct))
+      .getOrElse(Nil)
+  }
+
+  /** Sources an action consumes, including those referenced inside SQL. */
+  def actionInputs(spark: SparkSession, a: Action): Seq[String] = a match {
+    case s: SqlLoad => tablesInSql(spark, s.sql)
+    case s: SqlTransform => (s.sources ++ tablesInSql(spark, s.sql)).distinct
+    case m: MaterializedViewWrite =>
+      (m.sources ++ m.sql.toSeq.flatMap(tablesInSql(spark, _))).distinct
+    case other => other.sources
+  }
+
+  /** Tables a flowgroup produces (its write targets). */
+  def produces(fg: FlowGroup): Set[String] =
+    fg.actions.collect { case w: WriteAction => w.table }.toSet
+
+  /** External tables a flowgroup consumes: inputs not defined by any action
+    * in the same flowgroup. */
+  def consumes(spark: SparkSession, fg: FlowGroup): Set[String] = {
+    val internal = fg.actions.flatMap(_.target).toSet
+    fg.actions.flatMap(a => actionInputs(spark, a)).toSet -- internal
+  }
+
+  final case class Graph(edges: Map[String, Set[String]]) { // node -> deps
+    def nodes: Set[String] = edges.keySet ++ edges.values.flatten
+
+    /** Kahn generations: each generation's nodes depend only on earlier
+      * generations; a cycle raises with the residual. */
+    def generations: Seq[Seq[String]] = {
+      var remaining = nodes.map(n => n -> edges.getOrElse(n, Set.empty).filter(nodes)).toMap
+      val out = Seq.newBuilder[Seq[String]]
+      while (remaining.nonEmpty) {
+        val ready = remaining.collect {
+          case (n, ds) if ds.forall(d => !remaining.contains(d)) => n
+        }.toSeq.sorted
+        if (ready.isEmpty)
+          throw Planner.PlanError(
+            s"flowgroup dependency cycle: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+        out += ready
+        remaining = remaining -- ready
+      }
+      out.result()
+    }
+  }
+
+  /** Flowgroup-level graph: fg depends on fgs producing tables it consumes. */
+  def flowgroupGraph(spark: SparkSession, fgs: Seq[FlowGroup]): Graph = {
+    val producers: Map[String, String] = fgs.flatMap { fg =>
+      produces(fg).map(_ -> s"${fg.pipeline}.${fg.flowgroup}")
+    }.toMap
+    Graph(fgs.map { fg =>
+      val me = s"${fg.pipeline}.${fg.flowgroup}"
+      me -> consumes(spark, fg).flatMap(producers.get).filterNot(_ == me)
+    }.toMap)
+  }
+
+  /** Pipeline-level graph, folded up from the flowgroup graph. */
+  def pipelineGraph(spark: SparkSession, fgs: Seq[FlowGroup]): Graph = {
+    val fgGraph = flowgroupGraph(spark, fgs)
+    val pipelineOf = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg.pipeline).toMap
+    Graph(fgGraph.edges.groupBy { case (n, _) => pipelineOf(n) }
+      .map { case (p, es) =>
+        p -> es.values.flatten.map(pipelineOf).filterNot(_ == p).toSet
+      })
+  }
+}
+
+/** The reference SQL dialect allows `FROM stream(view)` to request a
+  * streaming read of a view (docs/concepts/the-action-model.rst:73). Spark's
+  * parser rejects it, so the wrapper is stripped before parsing/execution and
+  * the referenced views are surfaced to the caller. */
+object StreamRef {
+  private val Pat = "(?i)\\bstream\\s*\\(\\s*([A-Za-z0-9_.`]+)\\s*\\)".r
+
+  /** Views referenced as stream(...) in the SQL text. */
+  def streamedViews(sql: String): Seq[String] =
+    Pat.findAllMatchIn(sql).map(_.group(1).replace("`", "")).toSeq.distinct
+
+  /** SQL with stream(...) wrappers replaced by the bare view name. */
+  def strip(sql: String): String =
+    Pat.replaceAllIn(sql, m => m.group(1))
+}

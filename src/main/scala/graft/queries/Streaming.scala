@@ -84,7 +84,34 @@ object Streaming {
         col("version"), col(SnapshotCdc.OpCol).as("op"))
   }
 
+  /** SCD2 temporal range join — the reference acmi gold-layer shape
+    * (`o.order_date >= c.__start_at AND (o.order_date < c.__end_at OR
+    * c.__end_at IS NULL)`, SQL/gld/revenue_by_region_mv.sql:8-27): each event
+    * joined to the dimension version active at its timestamp. The join is
+    * equi on the key + range residual, so Catalyst executes it as a hash join
+    * on user_id with a filtered probe — no cross product. */
+  def q20TemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = q14Scd2Hist(s, dir) // SCD2 versions of event_type per user
+    val facts = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    facts.join(dim,
+      facts("user_id") === dim("user_id") &&
+        facts("us") >= dim(ScdMerge.StartCol) &&
+        (facts("us") < dim(ScdMerge.EndCol) || dim(ScdMerge.EndCol).isNull))
+      .groupBy(dim("event_type"))
+      .agg(count(lit(1)).as("n_facts"))
+  }
+
+  private def q14Scd2Hist(s: SparkSession, dir: String): DataFrame = {
+    val changes = events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("seq"), col("event_type"))
+    ScdMerge.scd2(None, changes,
+      ScdMerge.Options(keys = Seq("user_id"), sequenceBy = Seq("seq"), scdType = 2,
+        trackHistoryColumns = Some(Seq("event_type"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_temporal_join" -> q20TemporalJoin,
     "q15_hourly_agg" -> q15HourlyAgg,
     "q16_sessionize" -> q16Sessionize,
     "q17_quarantine" -> q17Quarantine,
@@ -92,6 +119,23 @@ object Streaming {
     "q19_snapshot_diff" -> q19SnapshotDiff)
 
   val oracle: Map[String, String] = Map(
+    "q20_temporal_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS seq, event_type FROM events),
+        |ordered AS (
+        |  SELECT user_id, seq, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY seq) AS prev
+        |  FROM c),
+        |dim AS (
+        |  SELECT user_id, event_type, seq AS s_at,
+        |    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS e_at
+        |  FROM ordered WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+        |facts AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events)
+        |SELECT d.event_type, COUNT(*) AS n_facts
+        |FROM facts f JOIN dim d
+        |  ON f.user_id = d.user_id AND f.us >= d.s_at
+        |  AND (f.us < d.e_at OR d.e_at IS NULL)
+        |GROUP BY d.event_type""".stripMargin,
     "q15_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
