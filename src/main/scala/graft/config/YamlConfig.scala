@@ -151,6 +151,7 @@ object YamlConfig {
           once = m.get("once").exists(_.toString.toBoolean),
           cdc = cdc,
           snapshotCdc = str(wt, "mode").contains("snapshot_cdc"),
+          changeLog = wt.get("change_log").exists(_.toString.toBoolean),
           expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
       case "materialized_view" => MaterializedViewWrite(name,
         source = sourceSeq(m).headOption,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 import graft.model._
-import graft.operators.{DataTests, Expectations, ScdMerge, SchemaTransform, SnapshotCdc}
+import graft.operators.{DataTests, Expectations, Quarantine, ScdMerge, SchemaTransform, SnapshotCdc}
 import graft.plan.Planner
 
 /** Plugin traits — the Scala equivalent of the reference's python-function
@@ -142,13 +142,9 @@ final class PipelineRunner(
           register(a.target, out, streamingViews.contains(a.source))
         case Some(dlq) =>
           // quarantine mode: clean rows pass through; violating rows are
-          // annotated and upserted into the DLQ keyed by content hash
-          val clean = Expectations.dropViolations(src, a.rules)
-          val bad = Expectations.quarantine(src, a.rules)
-            .withColumn("_dlq_sk", xxhash64(lit(dlq), to_json(struct(src.columns.map(col): _*))))
-            .withColumn("_dlq_status", lit("quarantined"))
-            .withColumn("_quarantined_at", current_timestamp())
-          store.upsert(dlq, bad, Seq("_dlq_sk"))
+          // annotated and inserted into the DLQ keyed by content hash
+          // (see Quarantine for the full recycle cycle)
+          val clean = Quarantine.routeViolations(store, dlq, src, a.rules, a.source)
           register(a.target, clean, streamingViews.contains(a.source))
       }
 
@@ -205,6 +201,20 @@ final class PipelineRunner(
     case a: TestAction => executeTest(a)
   }
 
+  /** CDF emulation (SURVEY §7.3b): append the applied batch to an
+    * append-only `<table>__changes` companion with `_change_type` +
+    * `_commit_version` — the parquet stand-in for Delta's readChangeFeed. */
+  private def logChanges(a: StreamingTableWrite, batch: DataFrame,
+      deleteExpr: Option[String]): Unit = if (a.changeLog) {
+    val chTable = s"${a.table}__changes"
+    val version = store.readIfExists(chTable)
+      .map(_.agg(max("_commit_version")).first().getLong(0) + 1).getOrElse(0L)
+    store.append(chTable, batch
+      .withColumn("_change_type",
+        when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
+      .withColumn("_commit_version", lit(version)))
+  }
+
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
     val src0 = resolveSource(a.source)
     val src = Expectations(src0, a.expectations)
@@ -224,6 +234,7 @@ final class PipelineRunner(
         val opts = scdOpts.get
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
+            logChanges(a, batch, opts.applyAsDeletes)
             val merged = ScdMerge.applyChanges(store.readIfExists(a.table), batch, opts)
             store.replace(a.table, merged, a.partitionColumns)
           }
@@ -231,23 +242,28 @@ final class PipelineRunner(
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (Some(_), false) =>
+        logChanges(a, src, scdOpts.get.applyAsDeletes)
         val merged = ScdMerge.applyChanges(store.readIfExists(a.table), src, scdOpts.get)
         store.replace(a.table, merged, a.partitionColumns)
       case (Some(_), true) =>
         // snapshot-CDC: diff the incoming full snapshot against current state
         val changes = SnapshotCdc.diff(store.readIfExists(a.table), src, scdOpts.get)
+          .localCheckpoint(eager = true) // diff reads the table being replaced
         val mergeOpts = SnapshotCdc.mergeOptions(scdOpts.get)
+        logChanges(a, changes, mergeOpts.applyAsDeletes)
         val merged = ScdMerge.applyChanges(store.readIfExists(a.table), changes, mergeOpts)
         store.replace(a.table, merged, a.partitionColumns)
       case (None, _) if src.isStreaming =>
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
+            logChanges(a, batch, None)
             store.append(a.table, batch, a.partitionColumns)
           }
           .option("checkpointLocation", s"$checkpointRoot/${a.name}")
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (None, _) =>
+        logChanges(a, src, None)
         store.append(a.table, src, a.partitionColumns)
     }
     store.read(a.table).createOrReplaceTempView(tableViewName(a.table))

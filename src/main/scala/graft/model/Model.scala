@@ -178,6 +178,9 @@ final case class StreamingTableWrite(
     once: Boolean = false,
     cdc: Option[CdcConfig] = None,
     snapshotCdc: Boolean = false,
+    /** Maintain an append-only `<table>__changes` companion table — the
+      * parquet emulation of Delta Change Data Feed (SURVEY §7.3b). */
+    changeLog: Boolean = false,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.exec.TableStore
+
+/** The full DLQ quarantine/recycle cycle — runtime semantics of the
+  * reference's quarantine mode (templates/transform/
+  * data_quality_quarantine.py.j2:1-215): violating rows land in a DLQ keyed
+  * by content hash; externally-fixed rows (`_dlq_status = 'fixed'`) are
+  * deduped (latest per `_dlq_sk`), re-projected onto the clean schema,
+  * re-validated against the same rules, and unioned back into the clean
+  * stream. Delta MERGE → [[TableStore.upsert]] (anti-join rewrite); CDF-based
+  * recycle polling → status-column polling (SURVEY §2.2 quarantine row).
+  */
+object Quarantine {
+
+  val SkCol = "_dlq_sk"
+  val StatusCol = "_dlq_status"
+  val VersionCol = "_dlq_version"
+
+  /** Annotate violations and upsert them into the DLQ table. Returns the
+    * clean (passing) rows. */
+  def routeViolations(store: TableStore, dlqTable: String, src: DataFrame,
+      rules: Seq[Expectations.Rule], sourceName: String): DataFrame = {
+    val srcCols = src.columns.toSeq
+    val bad = Expectations.quarantine(src, rules)
+      .withColumn(SkCol, xxhash64(lit(sourceName), to_json(struct(srcCols.map(col): _*))))
+      .withColumn(StatusCol, lit("quarantined"))
+      .withColumn(VersionCol, lit(System.currentTimeMillis()))
+    // whenNotMatchedInsertAll semantics: an operator-fixed row must not be
+    // clobbered by the same violation arriving again
+    store.insertIfAbsent(dlqTable, bad, Seq(SkCol))
+    Expectations.dropViolations(src, rules)
+  }
+
+  /** Recycle pass: latest fixed row per `_dlq_sk` (row_number over commit
+    * version desc), projected to `cleanColumns`, re-validated; rows passing
+    * re-validation are returned and marked `recycled` in the DLQ. */
+  def recycle(store: TableStore, dlqTable: String, cleanColumns: Seq[String],
+      rules: Seq[Expectations.Rule]): DataFrame = {
+    store.readIfExists(dlqTable) match {
+      case None => throw new IllegalStateException(s"no DLQ table '$dlqTable'")
+      case Some(dlq) =>
+        val w = Window.partitionBy(SkCol).orderBy(col(VersionCol).desc)
+        val fixed = dlq.filter(col(StatusCol) === "fixed")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        val candidates = fixed.select((cleanColumns :+ SkCol).map(col): _*)
+        // materialize BEFORE the DLQ rewrite below invalidates the files this
+        // plan reads from
+        val passed = Expectations.dropViolations(candidates, rules)
+          .localCheckpoint(eager = true)
+        // mark recycled rows so the next poll skips them
+        val passedKeys = passed.select(SkCol)
+        val updated = dlq.join(passedKeys, Seq(SkCol), "left_semi")
+          .withColumn(StatusCol, lit("recycled"))
+        store.upsert(dlqTable, updated, Seq(SkCol))
+        passed.drop(SkCol)
+    }
+  }
+
+  /** Clean stream = current clean rows ∪ recycled repaired rows — the final
+    * union view of the quarantine template (.j2:204). */
+  def cleanWithRecycled(clean: DataFrame, recycled: DataFrame): DataFrame =
+    clean.unionByName(recycled, allowMissingColumns = true)
+}
