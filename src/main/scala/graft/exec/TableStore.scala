@@ -13,9 +13,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * serializing flows per table (SURVEY §7.3c). A real deployment would swap
   * this for Delta/Iceberg commit protocols — the interface is the seam.
   */
-final class TableStore(spark: SparkSession, val warehouse: String) {
+final class TableStore(spark: SparkSession, val warehouse: String,
+    /** Sandbox name remapping (the reference's dev-sandbox table rewriting,
+      * core/sandbox/ — here a catalog-level mapping, no text rewriting):
+      * every table name passes through before hitting storage. */
+    nameMap: String => String = identity) {
 
-  private def path(table: String): String = s"$warehouse/${table.replace('.', '/')}"
+  private def path(table: String): String = s"$warehouse/${nameMap(table).replace('.', '/')}"
 
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Wider relational/analytic surface available through the SQL transform
+  * path (SURVEY §2.5: grouping sets/rollup "come free via spark.sql" — these
+  * queries prove it end-to-end against the oracle): multi-level aggregation,
+  * top-k per group, existential joins, conditional/pivot aggregation, scalar
+  * string functions.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** GROUPING SETS over the region/nation hierarchy. */
+  def q21GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""".stripMargin)
+  }
+
+  /** ROLLUP by order year/month (DataFrame rollup API). */
+  def q22Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .rollup("y", "m")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+
+  /** Top-3 orders by price per priority (dense window top-k). */
+  def q23TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+  }
+
+  /** Customers with ≥1 order but no order above a threshold (semi + anti). */
+  def q24ExistsAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(o.filter(col("o_totalprice") > 400000.0), c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** Conditional (pivot-style) aggregation by return flag. */
+  def q25ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0.0))
+          .cast("double").as("qty_a"),
+        sum(when(col("l_returnflag") === "N", col("l_quantity")).otherwise(0.0))
+          .cast("double").as("qty_n"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0))
+          .cast("double").as("qty_r"),
+        count(lit(1)).as("n"))
+
+  /** Scalar string-function projection. */
+  def q26StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_grouping_sets" -> q21GroupingSets,
+    "q22_rollup" -> q22Rollup,
+    "q23_topk_per_group" -> q23TopKPerGroup,
+    "q24_exists_anti" -> q24ExistsAnti,
+    "q25_conditional_agg" -> q25ConditionalAgg,
+    "q26_string_funcs" -> q26StringFuncs)
+
+  val oracle: Map[String, String] = Map(
+    "q21_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""".stripMargin,
+    "q22_rollup" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))""".stripMargin,
+    "q23_topk_per_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q24_exists_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+    "q25_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END) AS DOUBLE) AS qty_r,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q26_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin)
+}
