@@ -71,6 +71,10 @@ object LlmData {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  def t5Redact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.redact(col("text")).as("redacted"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
@@ -82,7 +86,8 @@ object LlmData {
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
-    "t4_fingerprint" -> t4Fingerprint)
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_redact" -> t5Redact)
 
   private val exactJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -168,5 +173,14 @@ object LlmData {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+    "t5_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g') AS redacted
         |FROM documents""".stripMargin)
 }

@@ -69,4 +69,15 @@ object TextAnalysis {
     * text — the exact-dedup key robust to casing/spacing noise. */
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
+
+  /** PII-style redaction: emails, long digit runs (phone/account numbers),
+    * and IPv4 literals replaced with typed placeholder tokens. Pure
+    * regexp_replace chain — codegen'd, shuffle-free. */
+  def redact(textCol: Column): Column = {
+    val email = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\d{7,}", "<NUM>")
+  }
 }
