@@ -41,11 +41,14 @@ object Dedup {
     * shingle (co-partitioned), not all-pairs. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    // the inverted index joins on the shingle's 64-bit hash, not the string —
+    // same pairs and counts modulo a 2^-64 collision, ~10× less join-key bytes
+    val sh = shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("h")).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    val a = sh.select(col(idCol).as("id_a"), col("h"))
+    val b = sh.select(col(idCol).as("id_b"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
@@ -68,12 +71,12 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val sh = shingles(df, idCol, textCol, n).cache()
     // k min-hashes in one pass: the shingle string is hashed ONCE to 64 bits,
     // then the k-member hash family re-hashes the 8-byte value — ~10× less
     // bytes through xxhash64 than hashing the string k times, same MinHash
     // collision properties.
-    val hashed = sh.withColumn("h0", xxhash64(col("shingle")))
+    val hashed = shingles(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("h0")).cache()
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
     val minhashes = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // band signature = xxhash64 over the band's row hashes
@@ -89,17 +92,16 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // exact verification on candidates only
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b2 = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(candidates, Seq("id_a"), "left_semi")
-      .join(b2.join(candidates, Seq("id_b"), "left_semi"), Seq("shingle"))
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("id_a") === sizes(idCol)).drop(idCol)
-      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("id_b") === sizes(idCol)).drop(idCol)
+    // exact verification on candidates only: each candidate doc's shingle-hash
+    // set is collected once (bounded by doc length) and pairs verify via
+    // array_intersect — no second pass over the full inverted index
+    val docSets = hashed.groupBy(col(idCol))
+      .agg(collect_set(col("h0")).as("hs"), count(lit(1)).as("n_sh"))
+    val aSets = docSets.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("n_sh").as("n_a"))
+    val bSets = docSets.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))
+    candidates
+      .join(aSets, Seq("id_a")).join(bSets, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
