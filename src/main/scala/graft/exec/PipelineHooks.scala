@@ -1,0 +1,35 @@
+package graft.exec
+
+/** Event hooks — the runtime counterpart of the reference's UC-tagging and
+  * test-reporting hook templates (templates/uc_tagging/hook.py.j2,
+  * templates/test_reporting/hook.py.j2): callbacks fired on table writes,
+  * test results, and flowgroup completion. Implementations register with the
+  * runner/orchestrator; the default is a no-op.
+  */
+trait PipelineHooks {
+  /** A write action finished materializing `table`. */
+  def onTableWritten(pipeline: String, flowgroup: String, table: String): Unit = ()
+  /** A data test completed with `violations` violating rows. */
+  def onTestResult(pipeline: String, flowgroup: String, testName: String,
+      testType: String, violations: Long): Unit = ()
+  /** A flowgroup finished (error = None on success). */
+  def onFlowgroupComplete(pipeline: String, flowgroup: String,
+      error: Option[Throwable]): Unit = ()
+}
+
+object PipelineHooks {
+  val noop: PipelineHooks = new PipelineHooks {}
+
+  /** Collecting implementation for tests/reporting. */
+  final class Recording extends PipelineHooks {
+    val tables = scala.collection.mutable.ListBuffer[String]()
+    val tests = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    val flowgroups = scala.collection.mutable.ListBuffer[(String, Boolean)]()
+    override def onTableWritten(p: String, f: String, table: String): Unit =
+      tables += table
+    override def onTestResult(p: String, f: String, name: String, tt: String, v: Long): Unit =
+      tests += ((name, tt, v))
+    override def onFlowgroupComplete(p: String, f: String, e: Option[Throwable]): Unit =
+      flowgroups += ((s"$p.$f", e.isEmpty))
+  }
+}

@@ -22,7 +22,8 @@ final class PipelineOrchestrator(
     store: TableStore,
     checkpointRoot: String,
     maxParallelism: Int = 4,
-    plugins: Map[String, AnyRef] = Map.empty) {
+    plugins: Map[String, AnyRef] = Map.empty,
+    hooks: PipelineHooks = PipelineHooks.noop) {
 
   final case class Outcome(flowgroup: String, error: Option[Throwable])
 
@@ -37,7 +38,7 @@ final class PipelineOrchestrator(
       graph.generations.flatMap { gen =>
         val futures = gen.flatMap(byName.get).map { fg =>
           Future {
-            val runner = new PipelineRunner(spark, store, checkpointRoot, plugins)
+            val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
             try { runner.run(fg); Outcome(name, None) }
             catch { case e: Throwable => Outcome(name, Some(e)) }

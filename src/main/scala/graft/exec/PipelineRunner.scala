@@ -38,7 +38,12 @@ final class PipelineRunner(
     spark: SparkSession,
     store: TableStore,
     checkpointRoot: String,
-    plugins: Map[String, AnyRef] = Map.empty) {
+    plugins: Map[String, AnyRef] = Map.empty,
+    hooks: PipelineHooks = PipelineHooks.noop) {
+
+  private var currentPipeline = ""
+  private var currentFlowgroup = ""
+
 
   /** View registry: our stand-in for dp.temporary_view (SURVEY §1.1). */
   private val views = mutable.LinkedHashMap[String, DataFrame]()
@@ -60,7 +65,17 @@ final class PipelineRunner(
       else df.createOrReplaceTempView(t)
     }
 
-  def run(fg: FlowGroup): Unit = Planner.plan(fg).foreach(execute)
+  def run(fg: FlowGroup): Unit = {
+    currentPipeline = fg.pipeline
+    currentFlowgroup = fg.flowgroup
+    try {
+      Planner.plan(fg).foreach(execute)
+      hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, None)
+    } catch { case e: Throwable =>
+      hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, Some(e))
+      throw e
+    }
+  }
 
   def execute(action: Action): Unit = action match {
 
@@ -166,6 +181,7 @@ final class PipelineRunner(
       val df = Expectations(df0, a.expectations)
       store.overwrite(a.table, df, a.partitionColumns)
       store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
+      hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: SinkWrite =>
       val src = resolveSource(a.source)
@@ -267,6 +283,7 @@ final class PipelineRunner(
         store.append(a.table, src, a.partitionColumns)
     }
     store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
+    hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
   }
 
   private def executeTest(a: TestAction): Unit = {
@@ -301,6 +318,7 @@ final class PipelineRunner(
       case other => throw Planner.PlanError(s"unknown test type '$other'")
     }
     val n = violations.count()
+    hooks.onTestResult(currentPipeline, currentFlowgroup, a.name, a.testType, n)
     val onFail = cfgStr("on_fail").getOrElse("fail")
     if (n > 0) {
       if (onFail == "warn")
