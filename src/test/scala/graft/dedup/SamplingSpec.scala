@@ -1,0 +1,36 @@
+package graft.dedup
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hash sampling is deterministic and ~proportional") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val s1 = Sampling.byHash(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.byHash(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // reproducible
+    assert(s1.size > 50 && s1.size < 150) // ~100 of 500
+    // nested property: a 10% sample is a subset of the 20% sample (same salt)
+    val s3 = Sampling.byHash(docs, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Sampling.stratified(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "zh" -> 0.0), default = 0.0)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"))
+    assert(out.count() == docs.filter($"lang" === "en").count()) // rate 1.0 keeps all
+  }
+
+  test("mix unions sources with tags at given rates") {
+    val a = Seq((1L, "xa"), (2L, "ya")).toDF("id", "text")
+    val b = Seq((10L, "xb")).toDF("id", "text")
+    val m = Sampling.mix(Seq(("src_a", a, 1.0), ("src_b", b, 1.0)), "id", Seq("id", "text"))
+    assert(m.count() == 3)
+    assert(m.filter($"_source" === "src_b").count() == 1)
+  }
+}
