@@ -24,8 +24,7 @@ final class PipelineOrchestrator(
     maxParallelism: Int = 4,
     plugins: Map[String, AnyRef] = Map.empty,
     hooks: PipelineHooks = PipelineHooks.noop) {
-
-  final case class Outcome(flowgroup: String, error: Option[Throwable])
+  import PipelineOrchestrator.Outcome
 
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
     * Returns per-flowgroup outcomes; fails fast only within a generation. */
@@ -48,4 +47,8 @@ final class PipelineOrchestrator(
       }
     } finally pool.shutdown()
   }
+}
+
+object PipelineOrchestrator {
+  final case class Outcome(flowgroup: String, error: Option[Throwable])
 }

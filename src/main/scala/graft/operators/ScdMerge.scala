@@ -96,12 +96,12 @@ object ScdMerge {
         // nulls last, so any change in the batch wins, i.e. existing = oldest.
         val tAligned = attrCols.foldLeft(t) { (d, c) =>
           if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-        }.select(attrCols.map(col): _*)
+        }.select(attrCols.toSeq.map(col): _*)
         tAligned.withColumn(OpCol, lit(false)).unionByName(ch)
     }
 
     val w = Window.partitionBy(opts.keys.map(col): _*)
-      .orderBy(sq.desc, struct(attrCols.map(col): _*).desc)
+      .orderBy(sq.desc, struct(attrCols.toSeq.map(col): _*).desc)
     unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(OpCol))
@@ -156,7 +156,7 @@ object ScdMerge {
     val wAsc = Window.partitionBy(keys.map(col): _*).orderBy(col(StartCol).asc)
     // 1. deterministic squash of duplicate (key, seq) rows
     val wDup = Window.partitionBy((keys :+ StartCol).map(col): _*)
-      .orderBy(struct(dataCols.map(col): _*).desc, col(OpCol).desc)
+      .orderBy(struct(dataCols.toSeq.map(col): _*).desc, col(OpCol).desc)
     val squashed = versions
       .withColumn("__dup", row_number().over(wDup)).filter(col("__dup") === 1).drop("__dup")
 

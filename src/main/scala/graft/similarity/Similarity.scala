@@ -62,7 +62,7 @@ object Similarity {
     * codegen). */
   private def rhpSignature(vec: Column, dim: Int, numBits: Int): Column = {
     val bits = (0 until numBits).map { b =>
-      val plane = array(hyperplane(b, dim).map(lit): _*)
+      val plane = array(hyperplane(b, dim).toSeq.map(lit): _*)
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce[Column]((x, y) => x.bitwiseOR(y))
