@@ -114,14 +114,15 @@ object Dedup {
     * Everything is integer expressions inside codegen. */
   def simHash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6): DataFrame = {
+    // summing ±1 per word OCCURRENCE equals summing ±tf per distinct word —
+    // the TF weighting falls out of the sum, saving the (doc, word) pre-
+    // aggregation shuffle entirely (one shuffle, map-side partial aggs)
     val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("w")))
-    // per-bit vote: tf if bit set else -tf; then sign → bit
+    // per-bit vote: +1 if bit set else -1, summed over occurrences
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"v$b")
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
     }
     val sigs = words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64).map { b =>
