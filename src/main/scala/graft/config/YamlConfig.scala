@@ -168,6 +168,19 @@ object YamlConfig {
     }
   }
 
+  /** Load an expectations file (JSON or YAML — both reference formats,
+    * data_quality.py:73-96) into rules. */
+  def rulesFromFile(path: String): Seq[Expectations.Rule] = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val doc = new Yaml().load[Any](text)
+    // list-format files may nest under an "expectations" key
+    doc match {
+      case m: java.util.Map[_, _] if asMap(m).contains("expectations") =>
+        parseRules(asMap(m)("expectations"))
+      case other => parseRules(other)
+    }
+  }
+
   /** Both reference expectation formats (data_quality.py:73-96): a list of
     * `{name, expression, failureAction}` or a map `constraint -> {action,name}`. */
   def parseRules(raw: Any): Seq[Expectations.Rule] = raw match {

@@ -1,0 +1,52 @@
+package graft.config
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.operators.Expectations
+
+class YamlConfigSpec extends SparkSuite {
+
+  test("expectations map format: constraint -> {action, name}") {
+    val rules = YamlConfig.parseRules(
+      new org.yaml.snakeyaml.Yaml().load[Any](
+        """"v > 0": {action: drop, name: positive}
+          |"v < 100": {action: warn}
+          |""".stripMargin))
+    assert(rules.toSet == Set(
+      Expectations.Rule("positive", "v > 0", Expectations.Drop),
+      Expectations.Rule("v < 100", "v < 100", Expectations.Warn)))
+  }
+
+  test("expectations file: JSON list format with failureAction") {
+    val f = Files.createTempFile("exp", ".json")
+    Files.writeString(f,
+      """{"expectations": [
+        |  {"name": "valid_key", "expression": "id IS NOT NULL", "failureAction": "fail"},
+        |  {"name": "valid_v", "expression": "v >= 0", "failureAction": "drop"}
+        |]}""".stripMargin)
+    val rules = YamlConfig.rulesFromFile(f.toString)
+    assert(rules == Seq(
+      Expectations.Rule("valid_key", "id IS NOT NULL", Expectations.Fail),
+      Expectations.Rule("valid_v", "v >= 0", Expectations.Drop)))
+  }
+
+  test("expectations file: bare YAML list") {
+    val f = Files.createTempFile("exp", ".yaml")
+    Files.writeString(f,
+      """- {name: r1, expression: "x > 0", failureAction: warn}
+        |""".stripMargin)
+    assert(YamlConfig.rulesFromFile(f.toString) ==
+      Seq(Expectations.Rule("r1", "x > 0", Expectations.Warn)))
+  }
+
+  test("unknown action type and failureAction are errors") {
+    intercept[YamlConfig.ConfigError] {
+      YamlConfig.parseAction(Map("name" -> "a", "type" -> "nonsense"))
+    }
+    intercept[YamlConfig.ConfigError] {
+      YamlConfig.parseRules(new org.yaml.snakeyaml.Yaml().load[Any](
+        """- {name: r, expression: "1=1", failureAction: explode}"""))
+    }
+  }
+}

@@ -212,6 +212,31 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(dlq.columns.contains("_dlq_sk") && dlq.columns.contains("_failed_rules"))
   }
 
+  test("table load in stream mode: checkpointed incremental read of a warehouse table") {
+    val (runner, store, _) = freshRunner()
+    store.overwrite("stream_src_tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val yaml =
+      """pipeline: p
+        |flowgroup: tstream
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: stream_src_tbl}
+        |    readMode: stream
+        |    target: v_s
+        |  - name: w
+        |    type: write
+        |    source: v_s
+        |    write_target: {type: streaming_table, table: stream_tgt_tbl}
+        |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("stream_tgt_tbl").count() == 2)
+    // append new rows to the source table; a re-run picks up only those
+    store.append("stream_src_tbl", Seq((3, "c")).toDF("id", "v"))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("stream_tgt_tbl").count() == 3)
+  }
+
   test("planner: cycle detection and validation errors") {
     import graft.plan.Planner
     val cyc = FlowGroup("p", "f", actions = Seq(
