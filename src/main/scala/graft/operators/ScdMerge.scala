@@ -154,11 +154,15 @@ object ScdMerge {
       .filterNot(opts.trackHistoryExcept.contains)
 
     val wAsc = Window.partitionBy(keys.map(col): _*).orderBy(col(StartCol).asc)
-    // 1. deterministic squash of duplicate (key, seq) rows
-    val wDup = Window.partitionBy((keys :+ StartCol).map(col): _*)
-      .orderBy(struct(dataCols.toSeq.map(col): _*).desc, col(OpCol).desc)
+    // 1. deterministic squash of duplicate (key, seq) rows — expressed as a
+    //    lag on the SAME key partitioning as the chain windows below, so all
+    //    window steps share ONE hash exchange (verified: plan has a single
+    //    Exchange for the whole rebuild)
+    val wDedup = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(StartCol).asc, struct(dataCols.toSeq.map(col): _*).desc, col(OpCol).desc)
     val squashed = versions
-      .withColumn("__dup", row_number().over(wDup)).filter(col("__dup") === 1).drop("__dup")
+      .withColumn("__dup", lag(col(StartCol), 1).over(wDedup) <=> col(StartCol))
+      .filter(!col("__dup")).drop("__dup")
 
     // 2. forward-fill nulls from earlier versions (ignore_null_updates)
     val filled =
