@@ -152,12 +152,16 @@ object YamlConfig {
           cdc = cdc,
           snapshotCdc = str(wt, "mode").contains("snapshot_cdc"),
           changeLog = wt.get("change_log").exists(_.toString.toBoolean),
+          rowFilter = str(wt, "row_filter"),
+          tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
           expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
       case "materialized_view" => MaterializedViewWrite(name,
         source = sourceSeq(m).headOption,
         table = table,
         sql = str(m, "sql").orElse(str(wt, "sql")),
         partitionColumns = strSeq(wt, "partition_columns"),
+        rowFilter = str(wt, "row_filter"),
+        tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
         expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
       case "sink" => SinkWrite(name,
         source = sourceSeq(m).headOption.getOrElse(""),

@@ -178,8 +178,10 @@ final class PipelineRunner(
 
     case a: MaterializedViewWrite =>
       val df0 = a.sql.map(spark.sql).getOrElse(resolveSource(a.source.get))
-      val df = Expectations(df0, a.expectations)
+      val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
+      val df = Expectations(df1, a.expectations)
       store.overwrite(a.table, df, a.partitionColumns)
+      store.setProperties(a.table, a.tableProperties)
       store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
@@ -232,8 +234,10 @@ final class PipelineRunner(
   }
 
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
-    val src0 = resolveSource(a.source)
+    val src0raw = resolveSource(a.source)
+    val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
     val src = Expectations(src0, a.expectations)
+    store.setProperties(a.table, a.tableProperties)
     val scdOpts = a.cdc.map(c => ScdMerge.Options(
       keys = c.keys, sequenceBy = c.sequenceBy, scdType = c.scdType,
       trackHistoryColumns = c.trackHistoryColumnList,

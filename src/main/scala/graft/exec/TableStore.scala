@@ -79,6 +79,29 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     if (f.exists()) rm(f)
   }
 
+  /** Persist table properties as a JSON sidecar (the TBLPROPERTIES stand-in
+    * for a catalog-less parquet warehouse). */
+  def setProperties(table: String, props: Map[String, String]): Unit = if (props.nonEmpty) {
+    val json = props.map { case (k, v) =>
+      "\"" + k.replace("\"", "\\\"") + "\": \"" + v.replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val p = Paths.get(path(table) + "._properties.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, json): Unit
+  }
+
+  def properties(table: String): Map[String, String] = {
+    val p = Paths.get(path(table) + "._properties.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      new org.yaml.snakeyaml.Yaml().load[Any](Files.readString(p)) match {
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
   def registerAll(): Unit = {
     val root = new java.io.File(warehouse)
     if (root.exists()) root.listFiles().filter(_.isDirectory).foreach { d =>

@@ -181,6 +181,9 @@ final case class StreamingTableWrite(
     /** Maintain an append-only `<table>__changes` companion table — the
       * parquet emulation of Delta Change Data Feed (SURVEY §7.3b). */
     changeLog: Boolean = false,
+    /** SQL predicate applied to rows before write (DLT row_filter). */
+    rowFilter: Option[String] = None,
+    tableProperties: Map[String, String] = Map.empty,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)
 }
@@ -193,6 +196,8 @@ final case class MaterializedViewWrite(
     table: String,
     sql: Option[String] = None,
     partitionColumns: Seq[String] = Nil,
+    rowFilter: Option[String] = None,
+    tableProperties: Map[String, String] = Map.empty,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq
 }

@@ -237,6 +237,30 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(store.read("stream_tgt_tbl").count() == 3)
   }
 
+  test("row_filter and table_properties apply on writes") {
+    val (runner, store, _) = freshRunner()
+    Seq((1, "keep"), (2, "drop")).toDF("id", "tag").createOrReplaceTempView("rf_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: rf
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: rf_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target:
+        |      type: materialized_view
+        |      table: rf_out
+        |      row_filter: "tag = 'keep'"
+        |      table_properties: {quality: gold, owner: data-eng}
+        |""".stripMargin))
+    assert(store.read("rf_out").count() == 1)
+    assert(store.properties("rf_out") == Map("quality" -> "gold", "owner" -> "data-eng"))
+  }
+
   test("planner: cycle detection and validation errors") {
     import graft.plan.Planner
     val cyc = FlowGroup("p", "f", actions = Seq(
