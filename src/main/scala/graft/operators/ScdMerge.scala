@@ -126,13 +126,16 @@ object ScdMerge {
       case Some(t) =>
         val affected = t.join(ch.select(opts.keys.map(col): _*).distinct(), opts.keys, "left_semi")
         val untouched = t.join(ch.select(opts.keys.map(col): _*).distinct(), opts.keys, "left_anti")
-        val wk = Window.partitionBy(opts.keys.map(col): _*).orderBy(col(StartCol).desc)
-        val withLast = affected.withColumn("__rnk", row_number().over(wk))
-        val reChanges = withLast.drop("__rnk", EndCol).withColumn(OpCol, lit(false))
-        val tombstones = withLast
-          .filter(col("__rnk") === 1 && col(EndCol).isNotNull)
+        // A row whose __end_at does not meet its successor's __start_at was
+        // closed by a DELETE (mid-history gap or final closure) — re-emit
+        // that tombstone or the rebuild would resurrect the span.
+        val wk = Window.partitionBy(opts.keys.map(col): _*).orderBy(col(StartCol).asc)
+        val withNext = affected.withColumn("__next", lead(col(StartCol), 1).over(wk))
+        val reChanges = withNext.drop("__next", EndCol).withColumn(OpCol, lit(false))
+        val tombstones = withNext
+          .filter(col(EndCol).isNotNull && !(col(EndCol) <=> col("__next")))
           .withColumn(StartCol, col(EndCol))
-          .drop("__rnk", EndCol)
+          .drop("__next", EndCol)
           .withColumn(OpCol, lit(true))
         val rebuilt = rebuildChains(reChanges.unionByName(tombstones).unionByName(ch.drop(EndCol)), opts)
         return untouched.unionByName(rebuilt)

@@ -85,6 +85,34 @@ class ScdMergeSpec extends SparkSuite {
     assert(out == Set((1, "b", 1L, Some(2L)), (1, "c", 2L, None)))
   }
 
+  test("scd2: multi-column sequence_by chains by struct order") {
+    val o = ScdMerge.Options(keys = Seq("k"), sequenceBy = Seq("d", "tiebreak"), scdType = 2)
+    val ch = Seq((1, 10L, 1L, "a"), (1, 10L, 2L, "b"), (1, 9L, 9L, "z"))
+      .toDF("k", "d", "tiebreak", "v")
+    val out = ScdMerge.scd2(None, ch, o)
+      .selectExpr("k", "v", "__start_at.d", "__start_at.tiebreak", "__end_at IS NULL")
+      .as[(Int, String, Long, Long, Boolean)].collect().toSet
+    // order: (9,9)=z -> (10,1)=a -> (10,2)=b; only b open
+    assert(out == Set((1, "z", 9L, 9L, false), (1, "a", 10L, 1L, false), (1, "b", 10L, 2L, true)))
+  }
+
+  test("scd1: column_list / except_column_list project the change surface") {
+    val o1 = opts1.copy(columnList = Some(Seq("v")))
+    val ch = Seq((1, 1L, "a", "noise")).toDF("k", "seq", "v", "extra")
+    val out = ScdMerge.scd1(None, ch, o1)
+    assert(out.columns.toSet == Set("k", "seq", "v"))
+    val o2 = opts1.copy(exceptColumnList = Seq("extra"))
+    assert(ScdMerge.scd1(None, ch, o2).columns.toSet == Set("k", "seq", "v"))
+  }
+
+  test("scd1: truncate discards prior state, keeps post-truncate changes") {
+    val o = opts1.copy(applyAsTruncates = Some("v = 'TRUNC'"))
+    val t0 = ScdMerge.scd1(None, changes((1, 1L, "a"), (2, 1L, "b")), opts1)
+    val t1 = ScdMerge.scd1(Some(t0), changes((3, 2L, "TRUNC"), (4, 3L, "new")), o)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(t1 == Set((4, "new")))
+  }
+
   // ---------------------------------------------------- randomized property
 
   test("scd2 property: incremental merge == one-shot merge; invariants hold") {
@@ -120,6 +148,41 @@ class ScdMergeSpec extends SparkSuite {
         val sorted = vs.toList.sortBy(_._3)
         sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
           assert(a._4.contains(b._3), s"trial $trial key $k: gap/overlap between $a and $b")
+        }
+      }
+    }
+  }
+
+  test("scd2 property with deletes: invariants hold; incremental == one-shot") {
+    val rnd = new scala.util.Random(7)
+    val o = opts2.copy(applyAsDeletes = Some("v = 'DEL'"))
+    for (trial <- 1 to 10) {
+      val n = 1 + rnd.nextInt(25)
+      val rows = List.fill(n)((1 + rnd.nextInt(3), 1L + rnd.nextInt(12),
+        Seq("a", "b", "DEL")(rnd.nextInt(3))))
+      val distinctRows = rows.groupBy(r => (r._1, r._2)).map(_._2.last).toList
+      val t = 1L + rnd.nextInt(12)
+      val (first, second) = distinctRows.partition(_._2 <= t)
+
+      def resultSet(df: DataFrame) = df.select("k", "v", "__start_at", "__end_at")
+        .as[(Int, String, Long, Option[Long])].collect().toSet
+
+      val oneShot = resultSet(ScdMerge.scd2(None, distinctRows.toDF("k", "seq", "v"), o))
+      val t0 = if (first.isEmpty) None
+        else Some(ScdMerge.scd2(None, first.toDF("k", "seq", "v"), o))
+      val incr =
+        if (second.isEmpty) t0.map(resultSet).getOrElse(Set.empty)
+        else resultSet(ScdMerge.scd2(t0, second.toDF("k", "seq", "v"), o))
+
+      assert(oneShot == incr,
+        s"trial $trial: one-shot $oneShot != incremental $incr (feed=$distinctRows wm=$t)")
+      oneShot.groupBy(_._1).foreach { case (k, vs) =>
+        // with deletes a key may end fully closed, but never >1 open row
+        assert(vs.count(_._4.isEmpty) <= 1, s"trial $trial key $k: >1 open row in $vs")
+        assert(!vs.exists(_._2 == "DEL"), s"trial $trial key $k: tombstone leaked into $vs")
+        val sorted = vs.toList.sortBy(_._3)
+        sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+          assert(a._4.exists(_ <= b._3), s"trial $trial key $k: overlap between $a and $b")
         }
       }
     }
