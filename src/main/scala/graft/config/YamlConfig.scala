@@ -132,7 +132,7 @@ object YamlConfig {
         val cdc = cdcMap.map { c =>
           CdcConfig(
             keys = strSeq(c, "keys"),
-            sequenceBy = str(c, "sequence_by").map(Seq(_)).getOrElse(strSeq(c, "sequence_by")),
+            sequenceBy = strSeq(c, "sequence_by"),
             scdType = c.get("scd_type").map(_.toString.toInt).getOrElse(1),
             ignoreNullUpdates = c.get("ignore_null_updates").exists(_.toString.toBoolean),
             applyAsDeletes = str(c, "apply_as_deletes"),
@@ -228,8 +228,8 @@ object YamlConfig {
   }
   private def strSeq(m: Map[String, Any], k: String): Seq[String] = m.get(k) match {
     case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
-    case Some(s: String) => Seq(s)
-    case _ => Nil
+    case Some(null) | None => Nil
+    case Some(s) => Seq(s.toString) // any YAML scalar → singleton list
   }
   private def anyMap(m: Map[String, Any], k: String): Map[String, Any] =
     m.get(k).map(asMap).getOrElse(Map.empty)

@@ -102,7 +102,7 @@ final class PipelineRunner(
       val base0 = if (a.readMode == "stream") {
         // stream a parquet-backed table directory
         val batch = resolveSource(a.table)
-        spark.readStream.schema(batch.schema).parquet(s"${store.warehouse}/${a.table.replace('.', '/')}")
+        spark.readStream.schema(batch.schema).parquet(store.path(a.table))
       } else resolveSource(a.table)
       val filtered = a.whereClause.foldLeft(base0)((d, w) => d.where(w))
       val projected = if (a.selectColumns.nonEmpty)

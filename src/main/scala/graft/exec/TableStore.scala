@@ -19,7 +19,10 @@ final class TableStore(spark: SparkSession, val warehouse: String,
       * every table name passes through before hitting storage. */
     nameMap: String => String = identity) {
 
-  private def path(table: String): String = s"$warehouse/${nameMap(table).replace('.', '/')}"
+  /** Storage path for a table, with the sandbox nameMap applied — the single
+    * place table names resolve to directories (callers must never rebuild
+    * this by hand or they bypass sandbox isolation). */
+  def path(table: String): String = s"$warehouse/${nameMap(table).replace('.', '/')}"
 
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 

@@ -183,7 +183,33 @@ object ScdMerge {
     val prevOp = lag(col(OpCol), 1).over(wAsc)
     val keep = prevOp.isNull || col(OpCol) =!= prevOp ||
       !(trackedStruct <=> prevTracked)
-    val kept = filled.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
+
+    // 3b. untracked columns update in place: the surviving (first) version of
+    //     a collapsed run must carry the LATEST untracked values of that run
+    //     (DLT track_history semantics). Runs are contiguous per key, so the
+    //     run-last row is recoverable inside the same key partition — a
+    //     running keep-count tags runs, a descending scan pulls the nearest
+    //     run-last at-or-after each row. Same hash exchange, extra sorts only.
+    val untracked = dataCols.toSeq.filterNot(tracked.contains)
+    val kept =
+      if (untracked.isEmpty)
+        filled.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
+      else {
+        val wAscRows = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDescRows = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(StartCol).desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tagged = filled
+          .withColumn("__keep", keep)
+          .withColumn("__run", sum(col("__keep").cast("long")).over(wAscRows))
+        val isRunLast = lead(col("__run"), 1).over(wAsc).isNull ||
+          lead(col("__run"), 1).over(wAsc) =!= col("__run")
+        val latest = tagged
+          .withColumn("__runlast", when(isRunLast, struct(untracked.map(col): _*)))
+          .withColumn("__latest", last(col("__runlast"), ignoreNulls = true).over(wDescRows))
+        untracked.foldLeft(latest) { (d, c) => d.withColumn(c, col(s"__latest.$c")) }
+          .filter(col("__keep")).drop("__keep", "__run", "__runlast", "__latest")
+      }
 
     // 4. close each version at the next surviving version's start
     val wKept = Window.partitionBy(keys.map(col): _*).orderBy(col(StartCol).asc)

@@ -59,12 +59,15 @@ object SnapshotCdc {
             case c if keys.contains(c) || attrCols.contains(c) => col(s"c.$c").as(c)
             case c => lit(null).as(c) // sequence cols filled from snapshot version
           }: _*)
+        // Sequence deletes at the snapshot's max sequence so they sort AFTER
+        // every version the snapshot itself carries and close the chain.
+        val withVersion = deletes0.crossJoin(broadcast(snapVersion))
         val deletes =
-          if (opts.sequenceBy.size == 1)
-            deletes0.crossJoin(broadcast(snapVersion))
-              .withColumn(opts.sequenceBy.head, col("__v")).drop("__v")
-              .withColumn(OpCol, lit("delete"))
-          else deletes0.withColumn(OpCol, lit("delete")) // multi-col seq: keep nulls (sorts first)
+          (if (opts.sequenceBy.size == 1)
+            withVersion.withColumn(opts.sequenceBy.head, col("__v"))
+          else opts.sequenceBy.foldLeft(withVersion) { (d, c) =>
+            d.withColumn(c, col(s"__v.$c"))
+          }).drop("__v").withColumn(OpCol, lit("delete"))
 
         upserts.unionByName(deletes)
     }
