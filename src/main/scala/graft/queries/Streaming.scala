@@ -155,7 +155,8 @@ object Streaming {
         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM flagged)
-        |SELECT user_id, session_idx, min(us) AS session_start,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(us) AS session_start,
         |  max(us) AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
     "q17_quarantine" ->
