@@ -155,12 +155,25 @@ final class PipelineRunner(
           val out = Expectations(
             Expectations.observeWarnings(src, a.rules, a.name), a.rules)
           register(a.target, out, streamingViews.contains(a.source))
+        case Some(dlq) if streamingViews.contains(a.source) || src.isStreaming =>
+          // streaming quarantine: DLQ routing needs batch writes, so the
+          // violations drain through their own checkpointed foreachBatch
+          // query (AvailableNow — only new files route per run), while the
+          // clean view stays a pure streaming filter for downstream writes
+          src.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              Quarantine.routeViolations(store, dlq, batch, a.rules, a.source): Unit
+            }
+            .option("checkpointLocation", s"$checkpointRoot/${a.name}__quarantine")
+            .trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+          register(a.target, Expectations.dropViolations(src, a.rules), streaming = true)
         case Some(dlq) =>
-          // quarantine mode: clean rows pass through; violating rows are
+          // batch quarantine: clean rows pass through; violating rows are
           // annotated and inserted into the DLQ keyed by content hash
           // (see Quarantine for the full recycle cycle)
           val clean = Quarantine.routeViolations(store, dlq, src, a.rules, a.source)
-          register(a.target, clean, streamingViews.contains(a.source))
+          register(a.target, clean, streaming = false)
       }
 
     case a: TempTableTransform =>

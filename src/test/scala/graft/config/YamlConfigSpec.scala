@@ -40,6 +40,27 @@ class YamlConfigSpec extends SparkSuite {
       Seq(Expectations.Rule("r1", "x > 0", Expectations.Warn)))
   }
 
+  test("cdc_config: sequence_by parses as scalar, single-item list, and multi-column list") {
+    import graft.model.StreamingTableWrite
+    def parse(seqBy: String) = YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: t}
+         |    cdc_config:
+         |      keys: [k]
+         |      sequence_by: $seqBy
+         |      scd_type: 2
+         |""".stripMargin)
+      .actions.head.asInstanceOf[StreamingTableWrite].cdc.get.sequenceBy
+    assert(parse("ts") == Seq("ts"))
+    assert(parse("[ts]") == Seq("ts"))
+    assert(parse("[d, tiebreak]") == Seq("d", "tiebreak"))
+  }
+
   test("unknown action type and failureAction are errors") {
     intercept[YamlConfig.ConfigError] {
       YamlConfig.parseAction(Map("name" -> "a", "type" -> "nonsense"))

@@ -212,6 +212,58 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(dlq.columns.contains("_dlq_sk") && dlq.columns.contains("_failed_rules"))
   }
 
+  test("streaming quarantine: violations drain to DLQ via foreachBatch, checkpointed; recycle returns fixed row") {
+    import graft.operators.Quarantine
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/sdq_landing"
+    Seq((1, 10), (2, -1), (3, 5)).toDF("id", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: sdq
+         |actions:
+         |  - name: load
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, v BIGINT"
+         |    target: v_src
+         |  - name: quality
+         |    type: transform
+         |    transform_type: data_quality
+         |    source: v_src
+         |    target: v_clean
+         |    expectations:
+         |      - {name: positive, expression: "v > 0", failureAction: drop}
+         |    quarantine: {table: sdlq}
+         |  - name: write
+         |    type: write
+         |    source: v_clean
+         |    write_target: {type: streaming_table, table: sclean}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("sclean").select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(store.read("sdlq").select("id").as[Long].collect().toSeq == Seq(2L))
+
+    // incremental: only the new file routes (checkpointed AvailableNow)
+    Seq((4, -7), (5, 2)).toDF("id", "v").write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("sclean").select("id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    assert(store.read("sdlq").select("id").as[Long].collect().toSet == Set(2L, 4L))
+
+    // fix row 2 and recycle it through the DLQ
+    val fixed = store.read("sdlq")
+      .withColumn("v", when(col("id") === 2, lit(42L)).otherwise(col("v")))
+      .withColumn(Quarantine.StatusCol,
+        when(col("id") === 2, lit("fixed")).otherwise(col(Quarantine.StatusCol)))
+    store.replace("sdlq", fixed)
+    val rules = Seq(graft.operators.Expectations.Rule("positive", "v > 0", graft.operators.Expectations.Drop))
+    val recycled = Quarantine.recycle(store, "sdlq", Seq("id", "v"), rules)
+    assert(recycled.select("id", "v").as[(Long, Long)].collect().toSet == Set((2L, 42L)))
+  }
+
   test("table load in stream mode: checkpointed incremental read of a warehouse table") {
     val (runner, store, _) = freshRunner()
     store.overwrite("stream_src_tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))

@@ -96,6 +96,58 @@ class ScdMergeSpec extends SparkSuite {
     assert(out == Set((1, "z", 9L, 9L, false), (1, "a", 10L, 1L, false), (1, "b", 10L, 2L, true)))
   }
 
+  test("scd2: track_history_column_list — untracked changes update in place, not new versions") {
+    val o = opts2.copy(trackHistoryColumns = Some(Seq("v")))
+    val ch = Seq((1, 1L, "a", "n1"), (1, 2L, "a", "n2"), (1, 3L, "b", "n3"), (1, 4L, "b", "n4"))
+      .toDF("k", "seq", "v", "note")
+    val out = ScdMerge.scd2(None, ch, o)
+      .select("k", "v", "note", "__start_at", "__end_at")
+      .as[(Int, String, String, Long, Option[Long])].collect().toSet
+    // v changes open versions at 1 and 3; each surviving version carries the
+    // LATEST untracked `note` of its collapsed run (DLT track_history)
+    assert(out == Set((1, "a", "n2", 1L, Some(3L)), (1, "b", "n4", 3L, None)))
+  }
+
+  test("scd2: track_history_except_column_list — excluded column updates in place") {
+    val o = opts2.copy(trackHistoryExcept = Seq("audit"))
+    val ch = Seq((1, 1L, "a", "x1"), (1, 2L, "a", "x2"), (1, 5L, "b", "x3"))
+      .toDF("k", "seq", "v", "audit")
+    val out = ScdMerge.scd2(None, ch, o)
+      .select("k", "v", "audit", "__start_at", "__end_at")
+      .as[(Int, String, String, Long, Option[Long])].collect().toSet
+    assert(out == Set((1, "a", "x2", 1L, Some(5L)), (1, "b", "x3", 5L, None)))
+  }
+
+  test("scd2: track_history with incremental merges keeps latest untracked value") {
+    val o = opts2.copy(trackHistoryColumns = Some(Seq("v")))
+    def df(rows: (Int, Long, String, String)*) = rows.toSeq.toDF("k", "seq", "v", "note")
+    val b1 = ScdMerge.scd2(None, df((1, 1L, "a", "n1")), o)
+    val b2 = ScdMerge.scd2(Some(b1), df((1, 2L, "a", "n2")), o)
+      .select("k", "v", "note", "__start_at", "__end_at")
+      .as[(Int, String, String, Long, Option[Long])].collect().toSet
+    // same tracked value arriving later: no new version, note updates in place
+    assert(b2 == Set((1, "a", "n2", 1L, None)))
+  }
+
+  test("snapshot-cdc: multi-column sequence deletes close the chain at snapshot max") {
+    val o = ScdMerge.Options(keys = Seq("k"), sequenceBy = Seq("d", "tiebreak"), scdType = 2)
+    def snap(rows: (Int, Long, Long, String)*) = rows.toSeq.toDF("k", "d", "tiebreak", "v")
+    val s1 = snap((1, 1L, 1L, "a"), (2, 1L, 1L, "x"))
+    val t1 = ScdMerge.applyChanges(None,
+      SnapshotCdc.diff(None, s1, o), SnapshotCdc.mergeOptions(o))
+    // snapshot 2: key 2 vanished — its chain must close at (2, 0)
+    val s2 = snap((1, 2L, 0L, "a"))
+    val changes = SnapshotCdc.diff(Some(t1), s2, o)
+    val t2 = ScdMerge.applyChanges(Some(t1), changes, SnapshotCdc.mergeOptions(o))
+      .selectExpr("k", "v", "__end_at IS NULL")
+      .as[(Int, String, Boolean)].collect().toSet
+    assert(t2 == Set((1, "a", true), (2, "x", false)))
+    // the delete row itself was sequenced at the snapshot's max sequence
+    val del = changes.filter(s"${SnapshotCdc.OpCol} = 'delete'")
+      .select("d", "tiebreak").as[(Long, Long)].collect().toSeq
+    assert(del == Seq((2L, 0L)))
+  }
+
   test("scd1: column_list / except_column_list project the change surface") {
     val o1 = opts1.copy(columnList = Some(Seq("v")))
     val ch = Seq((1, 1L, "a", "noise")).toDF("k", "seq", "v", "extra")
