@@ -268,24 +268,22 @@ final class PipelineRunner(
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             logChanges(a, batch, opts.applyAsDeletes)
-            val merged = ScdMerge.applyChanges(store.readIfExists(a.table), batch, opts)
-            store.replace(a.table, merged, a.partitionColumns)
+            mergeInto(a, batch, opts)
           }
           .option("checkpointLocation", s"$checkpointRoot/${a.name}")
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (Some(_), false) =>
         logChanges(a, src, scdOpts.get.applyAsDeletes)
-        val merged = ScdMerge.applyChanges(store.readIfExists(a.table), src, scdOpts.get)
-        store.replace(a.table, merged, a.partitionColumns)
+        mergeInto(a, src, scdOpts.get)
       case (Some(_), true) =>
-        // snapshot-CDC: diff the incoming full snapshot against current state
+        // snapshot-CDC: diff the incoming full snapshot against current
+        // state (the diff needs the FULL target — deletes are keys absent
+        // from the snapshot); the merge itself is partition-scoped
         val changes = SnapshotCdc.diff(store.readIfExists(a.table), src, scdOpts.get)
-          .localCheckpoint(eager = true) // diff reads the table being replaced
         val mergeOpts = SnapshotCdc.mergeOptions(scdOpts.get)
         logChanges(a, changes, mergeOpts.applyAsDeletes)
-        val merged = ScdMerge.applyChanges(store.readIfExists(a.table), changes, mergeOpts)
-        store.replace(a.table, merged, a.partitionColumns)
+        mergeInto(a, changes, mergeOpts)
       case (None, _) if src.isStreaming =>
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -301,6 +299,27 @@ final class PipelineRunner(
     }
     store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
+  }
+
+  /** Apply a CDC change batch to the target. When the write's partition
+    * columns are all merge keys, the merge closes over exactly the
+    * partitions the batch touches: the target is filtered to those
+    * partitions (static pruning via literal predicate) and only their
+    * directories are rewritten — a CDC batch touching 50 of 50k partitions
+    * at 100 TB reads and moves 50, not the whole table. Truncates clear the
+    * whole target by definition, so they fall back to a full replace. */
+  private def mergeInto(a: StreamingTableWrite, batch: DataFrame, opts: ScdMerge.Options): Unit = {
+    val partCols = a.partitionColumns
+    store.readIfExists(a.table) match {
+      case Some(t) if partCols.nonEmpty && partCols.forall(opts.keys.contains) &&
+          opts.applyAsTruncates.isEmpty =>
+        val affected = store.affectedValues(batch, partCols)
+        val scoped = t.filter(TableStore.partitionPredicate(partCols, affected))
+        val merged = ScdMerge.applyChanges(Some(scoped), batch, opts)
+        store.replacePartitions(a.table, merged, partCols, affected)
+      case t =>
+        store.replace(a.table, ScdMerge.applyChanges(t, batch, opts), partCols)
+    }
   }
 
   private def executeTest(a: TestAction): Unit = {

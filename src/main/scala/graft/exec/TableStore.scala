@@ -1,17 +1,27 @@
 package graft.exec
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Parquet-backed table storage for pipeline targets (no Delta jars in the
   * environment — SURVEY §7). Tables are directories under a warehouse root.
   *
   * Concurrency/scale notes: appends go to unique part-files (Spark's normal
-  * committer); `overwrite` swaps the directory atomically enough for a
-  * single-writer-per-table discipline, which the runner enforces by
-  * serializing flows per table (SURVEY §7.3c). A real deployment would swap
-  * this for Delta/Iceberg commit protocols — the interface is the seam.
+  * committer). Rewrites (`replace`/`upsert`) stage the new contents into a
+  * side directory and then swap directories (whole-table) or move only the
+  * affected partition directories into place (partition-scoped) — the result
+  * is computed entirely BEFORE the target is touched, so a plan may read the
+  * table it replaces without lineage breaks, and nothing is ever pinned in
+  * executor storage memory (the old `localCheckpoint` design materialized the
+  * full table per rewrite — a non-starter at 100 TB). Locally the swap is a
+  * same-filesystem rename; on HDFS/S3A-with-committers it maps to the same
+  * rename/commit primitives. Single-writer-per-table discipline is enforced
+  * by the runner serializing flows per table (SURVEY §7.3c). A real
+  * deployment would swap this class for Delta/Iceberg commit protocols — the
+  * interface is the seam.
   */
 final class TableStore(spark: SparkSession, val warehouse: String,
     /** Sandbox name remapping (the reference's dev-sandbox table rewriting,
@@ -41,46 +51,149 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
   }
 
+  /** Replace table contents with `df`, where `df` may derive from the current
+    * table contents: the new contents are staged to a side directory first
+    * (reading the old files), then swapped in with two renames. */
+  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    if (!exists(table)) overwrite(table, df, partitionBy)
+    else {
+      val staging = freshStaging(table)
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
+      swapDir(staging, path(table))
+    }
+
   /** Upsert = anti-join rewrite (the parquet stand-in for Delta MERGE
     * `whenNotMatchedInsertAll` / full upsert — SURVEY §2.2 quarantine row).
-    * The result is computed BEFORE the overwrite so the read and write of the
-    * same table never race. */
+    * When the table's on-disk partition columns are all merge keys, only the
+    * partitions containing updated keys are rewritten — untouched partition
+    * files are left byte-identical (the Delta MERGE file-skipping analogue). */
   def upsert(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
     readIfExists(table) match {
       case None => overwrite(table, updates)
       case Some(existing) =>
-        val kept = existing.join(updates.select(keys.head, keys.tail: _*).distinct(),
-          keys, "left_anti")
-        val merged = kept.unionByName(updates, allowMissingColumns = true)
-          .localCheckpoint(eager = true) // break lineage on the table being replaced
-        overwrite(table, merged)
+        val partCols = partitionColumnsOf(table)
+        if (partCols.nonEmpty && partCols.forall(keys.contains)) {
+          // every row of an affected key lives in an affected partition, so
+          // the merge closes over exactly the partitions the updates touch
+          val affected = affectedValues(updates, partCols)
+          val kept = existing.filter(TableStore.partitionPredicate(partCols, affected))
+            .join(updates.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
+          replacePartitions(table, kept.unionByName(updates, allowMissingColumns = true),
+            partCols, affected)
+        } else {
+          val kept = existing.join(updates.select(keys.head, keys.tail: _*).distinct(),
+            keys, "left_anti")
+          replace(table, kept.unionByName(updates, allowMissingColumns = true))
+        }
     }
   }
 
-  /** Insert rows whose keys are absent (Delta `whenNotMatchedInsertAll`). */
+  /** Insert rows whose keys are absent (Delta `whenNotMatchedInsertAll`).
+    * Append-only: the job reads the old file listing while new part-files
+    * land beside it — no staging or lineage break needed. */
   def insertIfAbsent(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
     readIfExists(table) match {
       case None => overwrite(table, updates)
       case Some(existing) =>
         val fresh = updates.join(existing.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
-          .localCheckpoint(eager = true)
         append(table, fresh)
     }
   }
 
-  /** Replace table contents with `df`, where `df` may derive from the current
-    * table contents (lineage broken via localCheckpoint). */
-  def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    overwrite(table, df.localCheckpoint(eager = true), partitionBy)
+  /** Overwrite ONLY the partitions whose values appear in `affected`.
+    * `rows` must be the complete new contents of those partitions (it may
+    * contain nothing for a partition whose rows were all deleted — that
+    * partition directory is dropped). Untouched partitions are never read,
+    * rewritten, or moved: at 100 TB a CDC batch touching 50 of 50k partitions
+    * moves 50 directories. */
+  def replacePartitions(table: String, rows: DataFrame, partitionBy: Seq[String],
+      affected: Seq[Row]): Unit = {
+    val staging = freshStaging(table)
+    rows.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
+
+    val targetRoot = Paths.get(path(table))
+    // 1. drop affected partition dirs (covers fully-deleted partitions);
+    //    match by unescaped dir values against the affected value tuples
+    val affectedStrs: Set[Seq[Option[String]]] =
+      affected.map(r => partitionBy.indices.map(i => Option(r.get(i)).map(_.toString))).toSet
+    partitionDirs(targetRoot, partitionBy.size).foreach { case (values, dir) =>
+      if (affectedStrs.contains(values)) rm(dir.toFile)
+    }
+    // 2. move staged partition dirs into place
+    val stagingRootPath = Paths.get(staging)
+    partitionDirs(stagingRootPath, partitionBy.size).foreach { case (_, dir) =>
+      val dest = targetRoot.resolve(stagingRootPath.relativize(dir))
+      if (Files.exists(dest)) rm(dest.toFile)
+      Files.createDirectories(dest.getParent)
+      Files.move(dir, dest): Unit
+    }
+    rm(stagingRootPath.toFile)
+  }
+
+  /** On-disk Hive-style partition columns of a table (outermost first),
+    * detected from the directory layout. */
+  def partitionColumnsOf(table: String): Seq[String] = {
+    def walk(dir: java.io.File): List[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isDirectory && f.getName.contains('=')) match {
+        case Some(d) => d.getName.takeWhile(_ != '=') :: walk(d)
+        case None => Nil
+      }
+    walk(new java.io.File(path(table)))
+  }
+
+  /** Distinct partition-value tuples present in `df` — driver-side, bounded
+    * by the number of affected partitions (metadata-scale, like a Delta
+    * commit's file list). */
+  def affectedValues(df: DataFrame, partitionBy: Seq[String]): Seq[Row] =
+    df.select(partitionBy.map(col): _*).distinct().collect().toSeq
 
   def drop(table: String): Unit = {
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete(): Unit
-    }
     val f = new java.io.File(path(table))
     if (f.exists()) rm(f)
   }
+
+  // ------------------------------------------------------------ internals
+
+  private def rm(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rm)
+    p.delete(): Unit
+  }
+
+  private def freshStaging(table: String): String = {
+    val dir = s"$warehouse/.staging/${nameMap(table).replace('.', '/')}-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(dir).getParent)
+    dir
+  }
+
+  /** Swap `staging` into place at `target` with two renames; the old contents
+    * are restored if the second rename fails. */
+  private def swapDir(staging: String, target: String): Unit = {
+    val trash = staging + ".old"
+    Files.move(Paths.get(target), Paths.get(trash))
+    try Files.move(Paths.get(staging), Paths.get(target))
+    catch { case e: Throwable =>
+      Files.move(Paths.get(trash), Paths.get(target))
+      throw e
+    }
+    rm(new java.io.File(trash))
+  }
+
+  /** Leaf partition directories exactly `depth` levels below `root`, with
+    * their unescaped partition values (None = the Hive null partition). */
+  private def partitionDirs(root: Path, depth: Int): Seq[(Seq[Option[String]], Path)] =
+    if (!Files.exists(root)) Nil
+    else if (depth == 0) Seq((Nil, root))
+    else Option(root.toFile.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.contains('='))
+      .flatMap { d =>
+        val raw = d.getName.dropWhile(_ != '=').drop(1)
+        val value =
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+          else Some(ExternalCatalogUtils.unescapePathName(raw))
+        partitionDirs(d.toPath, depth - 1).map { case (vs, leaf) => (value +: vs, leaf) }
+      }
 
   /** Persist table properties as a JSON sidecar (the TBLPROPERTIES stand-in
     * for a catalog-less parquet warehouse). */
@@ -107,8 +220,24 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 
   def registerAll(): Unit = {
     val root = new java.io.File(warehouse)
-    if (root.exists()) root.listFiles().filter(_.isDirectory).foreach { d =>
-      spark.read.parquet(d.getAbsolutePath).createOrReplaceTempView(d.getName)
-    }
+    if (root.exists()) root.listFiles()
+      .filter(d => d.isDirectory && !d.getName.startsWith(".")).foreach { d =>
+        spark.read.parquet(d.getAbsolutePath).createOrReplaceTempView(d.getName)
+      }
   }
+}
+
+object TableStore {
+  /** Filter matching exactly the partitions whose values appear in
+    * `affected` (literal OR-of-ANDs — prunes statically at the parquet
+    * scan, unlike a semi-join which needs runtime DPP). */
+  def partitionPredicate(partitionBy: Seq[String], affected: Seq[Row]): Column =
+    affected.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        Option(r.get(i)) match {
+          case None => col(c).isNull
+          case Some(v) => col(c) === lit(v)
+        }
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
 }

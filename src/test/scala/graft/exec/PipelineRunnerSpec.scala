@@ -181,6 +181,57 @@ class PipelineRunnerSpec extends SparkSuite {
       (3L, "CHI", 2L, None)))
   }
 
+  test("partitioned CDC merge rewrites only affected partitions") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/pcdc_landing"
+    Seq((1L, 1L, "NY"), (2L, 1L, "SF"), (3L, 1L, "CHI"))
+      .toDF("id", "seq", "city").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: pcdc
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, seq BIGINT, city STRING"
+         |    target: v_ch
+         |  - name: w
+         |    type: write
+         |    source: v_ch
+         |    write_target:
+         |      type: streaming_table
+         |      table: pdim
+         |      partition_columns: [id]
+         |    cdc_config: {keys: [id], sequence_by: seq, scd_type: 2}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val root = java.nio.file.Paths.get(store.path("pdim"))
+    def files(prefix: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .filter(_._1.startsWith(prefix)).toMap
+    }
+    val before1 = files("id=1/"); val before2 = files("id=2/")
+    Thread.sleep(5)
+    // batch 2 touches only id=2
+    Seq((2L, 5L, "LA")).toDF("id", "seq", "city").write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(files("id=1/") == before1) // untouched partition: identical files
+    assert(files("id=2/") != before2)
+    val out = store.read("pdim").select("id", "city", "__end_at")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, "NY", None), (2L, "SF", Some(5L)), (2L, "LA", None),
+      (3L, "CHI", None)))
+  }
+
   test("data_quality quarantine routes violations to DLQ") {
     val (runner, store, _) = freshRunner()
     Seq((1, 10), (2, -1), (3, 5)).toDF("id", "v").createOrReplaceTempView("dq_src")

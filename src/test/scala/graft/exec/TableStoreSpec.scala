@@ -1,0 +1,96 @@
+package graft.exec
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSuite
+
+class TableStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("ts-wh").toString + "/wh")
+
+  /** (relative path, size, mtime, first bytes) fingerprint of every data file. */
+  private def fingerprint(root: Path): Map[String, (Long, Long, Long)] =
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+      .map { p =>
+        root.relativize(p).toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis,
+            java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong))
+      }.toMap
+
+  test("replace stages then swaps: self-referencing plan, no localCheckpoint") {
+    val store = freshStore()
+    store.overwrite("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    // the replacement plan reads the table being replaced
+    store.replace("t", store.read("t").filter("k <> 2"))
+    assert(store.read("t").select("k").as[Int].collect().toSet == Set(1, 3))
+    // no staging residue
+    val staging = new java.io.File(s"${store.warehouse}/.staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
+  }
+
+  test("partition-scoped upsert leaves untouched partition files byte-identical") {
+    val store = freshStore()
+    store.overwrite("pt", Seq((1, 1L, "a"), (1, 2L, "a2"), (2, 1L, "b"), (3, 1L, "c"))
+      .toDF("k", "seq", "v"), partitionBy = Seq("k"))
+    assert(store.partitionColumnsOf("pt") == Seq("k"))
+
+    val before = fingerprint(java.nio.file.Paths.get(store.path("pt")))
+    Thread.sleep(5) // make mtime changes observable
+    store.upsert("pt", Seq((2, 9L, "B"), (4, 1L, "d")).toDF("k", "seq", "v"), Seq("k", "seq"))
+
+    val after = fingerprint(java.nio.file.Paths.get(store.path("pt")))
+    val untouchedBefore = before.filter { case (p, _) => p.startsWith("k=1/") || p.startsWith("k=3/") }
+    val untouchedAfter = after.filter { case (p, _) => p.startsWith("k=1/") || p.startsWith("k=3/") }
+    assert(untouchedBefore == untouchedAfter) // same files, sizes, mtimes, bytes
+    assert(before.keys.exists(_.startsWith("k=2/")) &&
+      before.filter(_._1.startsWith("k=2/")) != after.filter(_._1.startsWith("k=2/")))
+
+    val out = store.read("pt").select("k", "seq", "v").as[(Int, Long, String)].collect().toSet
+    assert(out == Set((1, 1L, "a"), (1, 2L, "a2"), (2, 1L, "b"), (2, 9L, "B"),
+      (3, 1L, "c"), (4, 1L, "d")))
+  }
+
+  test("replacePartitions drops a partition whose rows were all deleted") {
+    val store = freshStore()
+    store.overwrite("dp", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k"))
+    // new contents for partitions {2, 3}: k=2 keeps a row, k=3 is emptied
+    val affected = store.affectedValues(Seq((2, ""), (3, "")).toDF("k", "v"), Seq("k"))
+    store.replacePartitions("dp", Seq((2, "B")).toDF("k", "v"), Seq("k"), affected)
+    assert(store.read("dp").select("k", "v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B")))
+    assert(!new java.io.File(s"${store.path("dp")}/k=3").exists())
+  }
+
+  test("upsert on an unpartitioned table still anti-join-rewrites") {
+    val store = freshStore()
+    store.overwrite("u", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    store.upsert("u", Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))
+    assert(store.read("u").select("k", "v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("partition predicate matches null partitions and prunes to affected only") {
+    val store = freshStore()
+    store.overwrite("np", Seq((Some(1), "a"), (None, "n"), (Some(2), "b"))
+      .toDF("k", "v"), Seq("k"))
+    val affected = store.affectedValues(Seq((None: Option[Int], "x")).toDF("k", "v"), Seq("k"))
+    val pred = TableStore.partitionPredicate(Seq("k"), affected)
+    assert(store.read("np").filter(pred).select("v").as[String].collect().toSeq == Seq("n"))
+    // replace the null partition only
+    store.replacePartitions("np", Seq((None: Option[Int], "N")).toDF("k", "v"), Seq("k"), affected)
+    assert(store.read("np").select("v").as[String].collect().toSet == Set("a", "N", "b"))
+  }
+
+  test("registerAll skips staging and dot directories") {
+    val store = freshStore()
+    store.overwrite("vis", Seq(1).toDF("x"))
+    Files.createDirectories(java.nio.file.Paths.get(s"${store.warehouse}/.staging/junk"))
+    store.registerAll() // must not throw on the empty .staging dir
+    assert(spark.table("vis").count() == 1)
+  }
+}
