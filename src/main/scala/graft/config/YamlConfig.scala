@@ -69,12 +69,27 @@ object YamlConfig {
         schemaPath = str(src, "schema_path"),
         schemaDdl = str(src, "table_schema"),
         readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"))
-      case "delta" | "table" => TableLoad(name, target,
-        table = str(src, "table").orElse(str(src, "path"))
-          .getOrElse(throw ConfigError(s"table load '$name' missing table")),
-        whereClause = strSeq(src, "where_clause"),
-        selectColumns = strSeq(src, "select_columns"),
-        readMode = readMode)
+      case "delta" | "table" =>
+        // Documented gap (SURVEY §7.3): time travel / CDF need Delta commit
+        // history, which a plain-parquet warehouse does not have. The
+        // engine-managed `<table>__changes` companion covers CDF for
+        // engine-written tables. Reject loudly rather than silently ignore.
+        Seq("timestamp_as_of", "version_as_of").foreach { k =>
+          if (src.contains(k)) throw ConfigError(
+            s"load '$name': '$k' (time travel) is not supported on the " +
+            "parquet-backed warehouse — it needs Delta commit history (SURVEY §7.3)")
+        }
+        if (src.get("read_change_feed").exists(_.toString.toBoolean))
+          throw ConfigError(
+            s"load '$name': 'read_change_feed' on external tables is not " +
+            s"supported — read the engine-managed '${str(src, "table").getOrElse("?")}__changes' " +
+            "companion table instead (SURVEY §7.3b)")
+        TableLoad(name, target,
+          table = str(src, "table").orElse(str(src, "path"))
+            .getOrElse(throw ConfigError(s"table load '$name' missing table")),
+          whereClause = strSeq(src, "where_clause"),
+          selectColumns = strSeq(src, "select_columns"),
+          readMode = readMode)
       case "sql" => SqlLoad(name, target,
         sql = str(src, "sql").orElse(str(m, "sql"))
           .getOrElse(throw ConfigError(s"sql load '$name' missing sql")),
@@ -125,6 +140,17 @@ object YamlConfig {
 
   private def parseWrite(name: String, m: Map[String, Any]): Action = {
     val wt = asMap(m.getOrElse("write_target", new java.util.HashMap[String, Any]()))
+    // Options that are catalog/Databricks features with no parquet-warehouse
+    // equivalent (reference: models/_action.py:11-62) — reject loudly so a
+    // user never ships a config believing they took effect.
+    Map(
+      "cluster_columns" -> "liquid clustering needs a Delta/Iceberg table format",
+      "refresh_schedule" -> "scheduled refresh needs an external scheduler; run the flowgroup from one",
+      "temporary" -> "temporary tables need a session catalog"
+    ).foreach { case (k, why) =>
+      if (wt.contains(k)) throw ConfigError(
+        s"write '$name': '$k' is not supported on the parquet-backed warehouse — $why")
+    }
     val table = str(wt, "table").orElse(str(m, "table")).getOrElse(name)
     str(wt, "type").orElse(str(m, "write_type")).getOrElse("streaming_table") match {
       case "streaming_table" =>
@@ -165,9 +191,9 @@ object YamlConfig {
         expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
       case "sink" => SinkWrite(name,
         source = sourceSeq(m).headOption.getOrElse(""),
-        sinkType = str(wt, "format").getOrElse("files"),
+        sinkType = str(wt, "sink_type").orElse(str(wt, "format")).getOrElse("files"),
         options = anyMap(wt, "options").map { case (k, v) => k -> v.toString },
-        handlerClass = str(wt, "handler"))
+        handlerClass = str(wt, "handler").orElse(str(wt, "custom_sink_class")))
       case other => throw ConfigError(s"unknown write type '$other' on '$name'")
     }
   }

@@ -81,20 +81,39 @@ final class PipelineRunner(
 
     // ------------------------------------------------------------- loads
     case a: CloudFilesLoad =>
-      val schema = a.schemaDdl.map(StructType.fromDDL)
+      // declared schema: inline DDL wins, else a schema FILE via SchemaParser
+      // (reference: schema_parser.py:19-92, cloudfiles.py:30-55)
+      val declared = a.schemaDdl.map(StructType.fromDDL).orElse(
+        a.schemaPath.map(p => graft.config.SchemaParser.parse(
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))).schema))
+      // schema hints override/extend the INFERRED schema (Auto Loader
+      // semantics — unused when a full schema is declared)
+      val hintSchema = a.options.get("cloudFiles.schemaHints")
+        .orElse(a.options.get("schemaHints")).map(StructType.fromDDL)
+      def merge(inferred: StructType): StructType = hintSchema match {
+        case None => inferred
+        case Some(hints) => StructType(
+          inferred.map(f => hints.find(_.name.equalsIgnoreCase(f.name))
+            .map(h => f.copy(dataType = h.dataType, nullable = h.nullable)).getOrElse(f)) ++
+          hints.filterNot(h => inferred.exists(_.name.equalsIgnoreCase(h.name))))
+      }
       val base =
         if (a.readMode == "stream") {
-          val r = spark.readStream.format(a.format)
-          val withSchema = schema.map(r.schema).getOrElse {
-            // file streams need a schema: infer from existing files (dev
-            // convenience; production passes a schema file/DDL)
-            r.schema(spark.read.format(a.format)
-              .options(a.options).load(a.path).schema)
-          }
-          withSchema.options(translateCloudFilesOptions(a.options)).load(a.path)
+          // file streams need a schema: declared, or inferred from existing
+          // files (dev convenience) merged with hints
+          val schema = declared.getOrElse(merge(
+            spark.read.format(a.format).options(a.options).load(a.path).schema))
+          spark.readStream.format(a.format).schema(schema)
+            .options(translateCloudFilesOptions(a.options)).load(a.path)
         } else {
           val r = spark.read.format(a.format).options(a.options)
-          schema.map(r.schema).getOrElse(r).load(a.path)
+          val df0 = declared.map(r.schema).getOrElse(r).load(a.path)
+          if (declared.isEmpty && hintSchema.isDefined) {
+            val merged = merge(df0.schema)
+            df0.select(merged.map(f =>
+              (if (df0.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+               else lit(null)).cast(f.dataType).as(f.name)): _*)
+          } else df0
         }
       register(a.target, base, a.readMode == "stream")
 
@@ -225,6 +244,17 @@ final class PipelineRunner(
               .option("checkpointLocation", s"$checkpointRoot/${a.name}")
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else handler(src, 0L)
+        case "custom" =>
+          // DataSource V2 custom sink: a classpath TableProvider with
+          // SupportsWrite (reference: generators/write/sinks/custom_sink.py
+          // registers a DataSink class and writes format(sink_name))
+          val provider = a.handlerClass.getOrElse(throw Planner.PlanError(
+            s"custom sink '${a.name}' missing custom_sink_class"))
+          if (src.isStreaming)
+            src.writeStream.format(provider).options(a.options)
+              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+          else src.write.format(provider).options(a.options).mode("append").save()
         case other => throw Planner.PlanError(s"unknown sink type '$other'")
       }
 
@@ -238,8 +268,7 @@ final class PipelineRunner(
   private def logChanges(a: StreamingTableWrite, batch: DataFrame,
       deleteExpr: Option[String]): Unit = if (a.changeLog) {
     val chTable = s"${a.table}__changes"
-    val version = store.readIfExists(chTable)
-      .map(_.agg(max("_commit_version")).first().getLong(0) + 1).getOrElse(0L)
+    val version = store.nextCommitVersion(chTable, "_commit_version")
     store.append(chTable, batch
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))

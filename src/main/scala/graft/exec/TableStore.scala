@@ -152,6 +152,24 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def drop(table: String): Unit = {
     val f = new java.io.File(path(table))
     if (f.exists()) rm(f)
+    Files.deleteIfExists(Paths.get(path(table) + "._properties.json"))
+    Files.deleteIfExists(Paths.get(path(table) + "._version")): Unit
+  }
+
+  /** Monotonic commit counter for an append-only changes table, kept in a
+    * sidecar file — O(1) per commit instead of a `max(version)` scan over
+    * the whole history every microbatch. Tables created before the sidecar
+    * existed are migrated with one final scan. */
+  def nextCommitVersion(table: String, versionCol: String): Long = {
+    val p = Paths.get(path(table) + "._version")
+    val next =
+      if (Files.exists(p)) Files.readString(p).trim.toLong + 1
+      else readIfExists(table)
+        .map(_.agg(org.apache.spark.sql.functions.max(versionCol)).first().getLong(0))
+        .getOrElse(-1L) + 1
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, next.toString)
+    next
   }
 
   // ------------------------------------------------------------ internals

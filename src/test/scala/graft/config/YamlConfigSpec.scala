@@ -61,6 +61,38 @@ class YamlConfigSpec extends SparkSuite {
     assert(parse("[d, tiebreak]") == Seq("d", "tiebreak"))
   }
 
+  test("unsupported options fail loudly: time travel, CDF-external, cluster/refresh/temporary") {
+    def load(extra: String) = YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: delta, table: t, $extra}
+         |    target: v
+         |""".stripMargin)
+    assert(intercept[YamlConfig.ConfigError](load("timestamp_as_of: \"2026-01-01\""))
+      .msg.contains("time travel"))
+    assert(intercept[YamlConfig.ConfigError](load("version_as_of: 3")).msg.contains("time travel"))
+    assert(intercept[YamlConfig.ConfigError](load("read_change_feed: true"))
+      .msg.contains("__changes"))
+
+    def write(extra: String) = YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: t, $extra}
+         |""".stripMargin)
+    assert(intercept[YamlConfig.ConfigError](write("cluster_columns: [a]"))
+      .msg.contains("cluster_columns"))
+    assert(intercept[YamlConfig.ConfigError](write("refresh_schedule: \"0 * * * *\""))
+      .msg.contains("refresh_schedule"))
+    assert(intercept[YamlConfig.ConfigError](write("temporary: true")).msg.contains("temporary"))
+  }
+
   test("unknown action type and failureAction are errors") {
     intercept[YamlConfig.ConfigError] {
       YamlConfig.parseAction(Map("name" -> "a", "type" -> "nonsense"))

@@ -340,6 +340,69 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(store.read("stream_tgt_tbl").count() == 3)
   }
 
+  test("cloudfiles schema file (schema_path) and schema hints drive the load schema") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/schema_landing"
+    Seq(("1", "9.5", "x")).toDF("id", "score", "extra").write.json(landing)
+    val schemaFile = Files.createTempFile("sch", ".yaml")
+    Files.writeString(schemaFile,
+      """name: t
+        |columns:
+        |  - {name: id, type: BIGINT, nullable: false}
+        |  - {name: score, type: DOUBLE}
+        |  - {name: extra, type: STRING}
+        |""".stripMargin)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: sf
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      schema_path: $schemaFile
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: sch_out}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("sch_out")
+    assert(out.schema.map(f => (f.name, f.dataType.typeName)).toSet ==
+      Set(("id", "long"), ("score", "double"), ("extra", "string")))
+
+    // hints merge over the INFERRED schema: override a type, add a column
+    val (runner2, store2, dir2) = freshRunner()
+    val landing2 = s"$dir2/hints_landing"
+    Seq((7, "a")).toDF("id", "v").write.json(landing2) // id infers as bigint
+    runner2.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: hints
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing2
+         |      format: json
+         |      readMode: stream
+         |      options: {"cloudFiles.schemaHints": "id DOUBLE, added DOUBLE"}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: hint_out}
+         |""".stripMargin))
+    val out2 = store2.read("hint_out")
+    assert(out2.schema.map(f => (f.name, f.dataType.typeName)).toSet ==
+      Set(("id", "double"), ("v", "string"), ("added", "double")))
+    assert(out2.select("id").as[Double].collect().toSeq == Seq(7.0))
+  }
+
   test("row_filter and table_properties apply on writes") {
     val (runner, store, _) = freshRunner()
     Seq((1, "keep"), (2, "drop")).toDF("id", "tag").createOrReplaceTempView("rf_src")
