@@ -107,19 +107,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over word unigrams: each word's xxhash64 votes ±1 on each
-    * bit position weighted by term frequency; the signature's bit b is the
-    * sign of the vote sum. Near-dup candidates collide on one of 4 16-bit
+  /** 64-bit SimHash over word unigrams: each word's 64-bit hash votes ±1 on
+    * each bit position weighted by term frequency; the signature's bit b is
+    * the sign of the vote sum. Near-dup candidates collide on one of 4 16-bit
     * bands; verified by exact Hamming distance ≤ maxHamming via bit_count.
-    * Everything is integer expressions inside codegen. */
-  def simHash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+    * Everything is integer expressions inside codegen.
+    *
+    * With `maxHamming <= 3` the 4-band bucketing is EXACT (pigeonhole: ≤ 3
+    * differing bits across 4 bands leave at least one band identical), so
+    * the output equals the all-pairs result. `portable = true` derives the
+    * word hash from md5 (two big-endian 32-bit halves of the digest's first
+    * 16 hex chars) so any md5-capable engine reproduces the signatures
+    * bit-for-bit; xxhash64 stays the cheap default. */
+  /** Per-doc 64-bit SimHash signatures: `(idCol, simhash)`. */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     // summing ±1 per word OCCURRENCE equals summing ±tf per distinct word —
     // the TF weighting falls out of the sum, saving the (doc, word) pre-
     // aggregation shuffle entirely (one shuffle, map-side partial aggs)
+    val wordHash =
+      if (!portable) xxhash64(col("w"))
+      else shiftleft(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(col("w").cast("binary")), 9, 8), 16, 10).cast("long"))
     val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", wordHash)
     // per-bit vote: +1 if bit set else -1, summed over occurrences
     val votes = (0 until 64).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")
@@ -128,7 +141,12 @@ object Dedup {
     val sig = (0 until 64).map { b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce[Column]((x, y) => x.bitwiseOR(y))
-    val signatures = sigs.select(col(idCol), sig.as("simhash"))
+    sigs.select(col(idCol), sig.as("simhash"))
+  }
+
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, portable: Boolean = false): DataFrame = {
+    val signatures = simHashSignatures(df, idCol, textCol, portable)
     // band on 16-bit quarters for candidates
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -148,9 +166,10 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
     * Dot products computed as a sequential fold over the vector (identical
-    * order on any engine → deterministic). This variant is brute-force over
-    * `candidatePairs`; see [[graft.similarity.Similarity]] for the LSH-bucketed
-    * scale path that feeds candidate pairs instead of the full cross join. */
+    * order on any engine → deterministic). This variant is the all-pairs
+    * ORACLE BASELINE — at scale use [[embeddingNearDupLsh]], which feeds the
+    * same exact verification from LSH bucket candidates instead of the full
+    * cross join. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     // Norms are computed once per vector BEFORE the pair join (the pairwise
@@ -163,6 +182,27 @@ object Dedup {
     val dot = graft.functions.ArrayMath.dot(col("va"), col("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", dot / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The production near-dup path at scale: random-hyperplane LSH buckets
+    * produce candidate pairs (a band-keyed self-join — no cross join), which
+    * are then verified with the same exact cosine as [[embeddingNearDup]].
+    * Precision = 1 (exact verify); recall < 1 by LSH construction, tunable
+    * via numBits/bandBits. Output ⊆ the brute-force output with identical
+    * scores (DedupSpec asserts this). */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numBits: Int = 16, bandBits: Int = 8): DataFrame = {
+    val candidates = graft.similarity.Similarity.candidatePairs(
+      df, idCol, vecCol, dim, numBits, bandBits)
+    val normed = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", graft.functions.ArrayMath.l2Norm(col("v")))
+    val a = normed.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = normed.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cosine",
+        graft.functions.ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -13,21 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Portable 32-bit bucket in [0, 2^32): the big-endian first 8 hex chars
+    * of `md5(key + ":" + salt)`. Reproducible in ANY engine with md5 (DuckDB:
+    * `('0x' || substring(md5(k || ':0'), 1, 8))::BIGINT`) — use when a
+    * sample must be re-derivable outside this engine (audits, oracles,
+    * cross-system curation). xxhash64 stays the cheap default. */
+  def md5Bucket(keyCol: String, salt: Int): Column =
+    conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$salt"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val PortableBuckets = 4294967296L // 2^32
+  private val HashBuckets = 1000000L
+
+  private def bucketAndScale(keyCol: String, salt: Int, portable: Boolean): (Column, Long) =
+    if (portable) (md5Bucket(keyCol, salt), PortableBuckets)
+    else (pmod(xxhash64(col(keyCol), lit(salt)), lit(HashBuckets)), HashBuckets)
+
   /** Keep ~`fraction` of rows, decided by key hash (deterministic). */
-  def byHash(df: DataFrame, keyCol: String, fraction: Double, salt: Int = 0): DataFrame = {
+  def byHash(df: DataFrame, keyCol: String, fraction: Double, salt: Int = 0,
+      portable: Boolean = false): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    val bucket = pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L))
-    df.filter(bucket < (fraction * 1000000L).toLong)
+    val (bucket, scale) = bucketAndScale(keyCol, salt, portable)
+    df.filter(bucket < (fraction * scale).toLong)
   }
 
   /** Per-stratum fractions (`sampleBy` made deterministic): each stratum
     * value samples at its own rate; missing strata default to `default`. */
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,
-      fractions: Map[String, Double], default: Double = 0.0, salt: Int = 0): DataFrame = {
-    val bucket = pmod(xxhash64(col(keyCol), lit(salt)), lit(1000000L))
-    val threshold = fractions.foldLeft(lit((default * 1000000L).toLong): Column) {
+      fractions: Map[String, Double], default: Double = 0.0, salt: Int = 0,
+      portable: Boolean = false): DataFrame = {
+    val (bucket, scale) = bucketAndScale(keyCol, salt, portable)
+    val threshold = fractions.foldLeft(lit((default * scale).toLong): Column) {
       case (acc, (value, frac)) =>
-        when(col(stratumCol) === value, lit((frac * 1000000L).toLong)).otherwise(acc)
+        when(col(stratumCol) === value, lit((frac * scale).toLong)).otherwise(acc)
     }
     df.filter(bucket < threshold)
   }

@@ -20,15 +20,17 @@ object Extras {
       .select("media_id", "n_bytes", "width", "height", "channels", "sha_prefix")
   }
 
-  /** Deterministic 10% hash sample of documents (reproducible curation). */
+  /** Deterministic 10% hash sample of documents, portable mode: the md5
+    * bucket is re-derivable by any md5-capable engine (and the oracle). */
   def m2Sample(s: SparkSession, dir: String): DataFrame =
-    Sampling.byHash(Tables.load(s, dir, "documents"), "doc_id", 0.1)
+    Sampling.byHash(Tables.load(s, dir, "documents"), "doc_id", 0.1, portable = true)
       .select("doc_id", "lang", "n_chars")
 
   /** Stratified mix: all English + 20% of the rest, tagged. */
   def m3StratifiedMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 1.0), default = 0.2)
+    Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 1.0), default = 0.2,
+      portable = true)
       .select("doc_id", "lang")
   }
 
@@ -37,7 +39,19 @@ object Extras {
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix)
 
-  /** No oracle SQL: outputs depend on engine-side hashing (xxhash64 / JVM
-    * Arrays.hashCode) that DuckDB cannot reproduce — rows-only checks. */
-  val oracle: Map[String, String] = Map.empty
+  /** m1 has no oracle (stub decoder uses JVM Arrays.hashCode); the samples
+    * run in portable-md5 mode, so DuckDB reproduces the exact bucket:
+    * `('0x' || substring(md5(key || ':salt'), 1, 8))::BIGINT` is the
+    * big-endian first-8-hex bucket of [[Sampling.md5Bucket]]. Thresholds are
+    * `(fraction * 2^32).toLong` — 0.1 → 429496729, 0.2 → 858993459,
+    * 1.0 → 4294967296 (all-pass). */
+  val oracle: Map[String, String] = Map(
+    "m2_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
+        |      < 429496729""".stripMargin,
+    "m3_stratified_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
+        |      < CASE WHEN lang = 'en' THEN 4294967296 ELSE 858993459 END""".stripMargin)
 }

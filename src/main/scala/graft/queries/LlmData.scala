@@ -33,8 +33,10 @@ object LlmData {
     Dedup.minHashLsh(docs(s, dir), "doc_id", "text", n = 3,
       numHashes = 32, rowsPerBand = 2, threshold = 0.6)
 
+  /** Portable-md5 word hashes + maxHamming 3 make the 4-band bucketing
+    * EXACT (pigeonhole) and the whole pipeline DuckDB-reproducible. */
   def d4SimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(docs(s, dir), "doc_id", "text", maxHamming = 6)
+    Dedup.simHash(docs(s, dir), "doc_id", "text", maxHamming = 3, portable = true)
 
   def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(embs(s, dir), "vec_id", "embedding", threshold = 0.45)
@@ -50,6 +52,28 @@ object LlmData {
     val e = embs(s, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 3, dim = 64, numBits = 16, bandBits = 8)
+  }
+
+  /** Self-checking verification of s2: every LSH result present in the
+    * brute-force top-k must carry an identical exact cosine, and the LSH
+    * ranks must be consistent with cosine order. Violations returned —
+    * correct output is EMPTY, which the trivial oracle pins exactly. */
+  def s3LshCheck(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      k = 3, dim = 64, numBits = 16, bandBits = 8)
+    val mismatch = lsh.join(bf, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("cosine") - col("bf_cosine")) > 1e-9)
+      .select(col("query_id"), col("neighbor_id"), lit("cosine_mismatch").as("reason"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val rankBroken = lsh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") =!= col("rank"))
+      .select(col("query_id"), col("neighbor_id"), lit("rank_order").as("reason"))
+    mismatch.unionByName(rankBroken)
   }
 
   // ------------------------------------------------------------------- text
@@ -83,6 +107,7 @@ object LlmData {
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
+    "s3_lsh_check" -> s3LshCheck,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
@@ -114,6 +139,40 @@ object LlmData {
     // j = 0.6 and < 1e-12 at the observed pair similarities (≥ 0.85), so the
     // output equals the exact result on this data.
     "d3_minhash_lsh" -> exactJaccardSql,
+    // SimHash in portable-md5 mode: DuckDB rebuilds the word hashes from the
+    // md5 hex digest (two big-endian 32-bit halves), replays the ±1 bit
+    // votes, and compares ALL pairs — exact vs Spark's banded version
+    // because maxHamming 3 < 4 bands guarantees a shared band (pigeonhole).
+    "d4_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wh AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substring(md5(w), 9, 8))::BIGINT AS lo
+        |  FROM words WHERE length(w) > 0),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (((CASE WHEN b < 32 THEN lo ELSE hi END)
+        |          >> (CASE WHEN b < 32 THEN b ELSE b - 32 END)::INT) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM wh CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 AND b < 32
+        |                  THEN (1::BIGINT << b::INT) ELSE 0 END) AS BIGINT) AS slo,
+        |    CAST(SUM(CASE WHEN v > 0 AND b >= 32
+        |                  THEN (1::BIGINT << (b - 32)::INT) ELSE 0 END) AS BIGINT) AS shi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3""".stripMargin,
+    // s3 is a self-check: its correct output is EMPTY, pinned by a
+    // schema-matching empty oracle (like the q9/q10 zero-violation tests).
+    "s3_lsh_check" ->
+      """SELECT vec_id AS query_id, vec_id AS neighbor_id, 'x' AS reason
+        |FROM embeddings WHERE 1 = 0""".stripMargin,
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

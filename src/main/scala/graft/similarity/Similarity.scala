@@ -68,6 +68,28 @@ object Similarity {
     bits.reduce[Column]((x, y) => x.bitwiseOR(y))
   }
 
+  /** Unordered candidate pairs (id_a < id_b) from random-hyperplane band
+    * collisions — the bucket-join core shared by ANN search and
+    * [[graft.dedup.Dedup.embeddingNearDupLsh]]. One band-keyed self-join;
+    * no cross join anywhere. */
+  def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numBits: Int = 16, bandBits: Int = 8): DataFrame = {
+    val numBands = numBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).as("id"),
+      rhpSignature(col(vecCol).cast("array<double>"), dim, numBits).as("sig"))
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bsig")).as(s"b$b")
+    }
+    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bsig"))
+    buckets.select(col("id").as("id_a"), col("band"), col("bsig"))
+      .join(buckets.select(col("id").as("id_b"), col("band"), col("bsig")), Seq("band", "bsig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** LSH-bucketed ANN: signature bands → bucket join → exact re-rank.
     * Recall < 1 by construction; the exact re-rank keeps precision = 1. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

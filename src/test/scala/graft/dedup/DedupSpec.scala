@@ -46,6 +46,43 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((1, 3)) && !pairs.contains((2, 3)))
   }
 
+  test("LSH near-dup: precision-1 subset of brute force; exact dups guaranteed found") {
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val bf = Dedup.embeddingNearDup(embs, "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(embs, "vec_id", "embedding",
+      threshold = 0.45, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bf.nonEmpty, "testdata should contain planted embedding near-dups")
+    assert(lsh.subsetOf(bf)) // precision 1: every LSH pair is a true pair, same score
+    // identical vectors share every band signature, so the collision — and
+    // therefore recall — is guaranteed, not probabilistic
+    val v = Seq.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val other = Seq.tabulate(64)(i => math.cos(i * 3.0 + 1).toFloat)
+    val planted = Seq((1L, v), (2L, v), (3L, other)).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDupLsh(planted, "vec_id", "embedding",
+      threshold = 0.99, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((1L, 2L)))
+  }
+
+  test("portable simhash with maxHamming <= 3 equals the all-pairs result") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val banded = Dedup.simHash(docs, "doc_id", "text", maxHamming = 3, portable = true)
+      .as[(Long, Long, Int)].collect().toSet
+    // exhaustive reference: cross-join the signatures themselves — pigeonhole
+    // (<= 3 diffs over 4 bands) says banding must not lose any of these pairs
+    val sigs = Dedup.simHashSignatures(docs, "doc_id", "text", portable = true)
+    val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val allPairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == allPairs)
+  }
+
   test("embedding near-dup finds identical vectors") {
     val d = Seq(
       (1, Seq(1.0f, 0.0f, 0.0f)),

@@ -17,6 +17,23 @@ class SamplingSpec extends SparkSuite {
     assert(s3.subsetOf(s1))
   }
 
+  test("portable md5 sampling: deterministic, nested, and matching the documented bucket") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val s20 = Sampling.byHash(docs, "doc_id", 0.2, portable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.size > 50 && s20.size < 150)
+    val s10 = Sampling.byHash(docs, "doc_id", 0.1, portable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20))
+    // fraction 1.0 keeps everything (threshold 2^32 > any bucket)
+    assert(Sampling.byHash(docs, "doc_id", 1.0, portable = true).count() == docs.count())
+    // the bucket is the documented md5 construction, reproducible off-engine
+    val id = s20.head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:0".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    assert(java.lang.Long.parseLong(hex, 16) < (0.2 * 4294967296L.toDouble).toLong)
+  }
+
   test("stratified sampling applies per-stratum rates") {
     val docs = Tables.load(spark, sf0001, "documents")
     val out = Sampling.stratified(docs, "doc_id", "lang",
