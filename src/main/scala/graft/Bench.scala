@@ -1,10 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark main: runs every SparkEntry query `SPARK_GRAFT_ITERS` times
+  * (default 3) and reports the per-query MEDIAN — one JSON line. A single
+  * pass per round proved unfalsifiable against JVM/environment noise
+  * (BENCH_r01 vs r02 diverged 1.55× on queries whose code had not changed),
+  * so medians are the contract now; `queries_all` carries the raw
+  * per-iteration timings for dispersion checks. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,15 +25,31 @@ object Bench {
     graft.sources.Tables.all.foreach { t =>
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // iterate OUTER over passes, INNER over queries: consecutive runs of the
+    // same query would share page cache/JIT state unrealistically; interleaving
+    // spaces them out the way the driver's one-pass run sees them
+    val timings: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val perQuery: Seq[(String, Seq[Double])] =
+      names.map { case (name, _) => name -> timings.map(_.toMap.apply(name)) }
+    val medians = perQuery.map { case (n, xs) => n -> median(xs) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val all = perQuery.map { case (k, xs) =>
+      s"\"" + k + "\":" + xs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
