@@ -127,12 +127,13 @@ object Dedup {
     // aggregation shuffle entirely (one shuffle, map-side partial aggs)
     val wordHash =
       if (!portable) xxhash64(col("w"))
-      else shiftleft(conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
-          .cast("long"), 32)
-        .bitwiseOR(conv(substring(md5(col("w").cast("binary")), 9, 8), 16, 10).cast("long"))
+      else shiftleft(conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
     val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
+      .withColumn("__md5", md5(col("w").cast("binary"))) // one digest per word
       .withColumn("h", wordHash)
+      .drop("__md5")
     // per-bit vote: +1 if bit set else -1, summed over occurrences
     val votes = (0 until 64).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"v$b")

@@ -75,16 +75,18 @@ object ScdMerge {
     val ch0 = selectColumns(
       changes.withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false))), opts)
 
-    // Truncates are batch-scoped: everything at or below the max truncate
-    // sequence is discarded (target rows carry no sequence → a truncate in the
-    // batch clears the prior table for affected scope; DLT truncates the whole
-    // target).
-    val truncated = opts.applyAsTruncates match {
-      case Some(p) if !ch0.filter(expr(p)).isEmpty =>
-        (ch0.filter(!expr(p)), None: Option[DataFrame])
-      case _ => (ch0, target)
+    // Truncates: a truncate row in the batch clears the prior table (DLT
+    // truncates the whole target). The has-truncate flag is a 1-row broadcast
+    // folded into the merge plan — no separate driver-side job per merge.
+    val (ch, tgt) = opts.applyAsTruncates match {
+      case Some(p) =>
+        val flag = broadcast(ch0.agg(
+          max(when(expr(p), lit(1)).otherwise(lit(0))).as("__trunc")))
+        val tgtKept = target.map(_.crossJoin(flag)
+          .filter(col("__trunc").isNull || col("__trunc") === 0).drop("__trunc"))
+        (ch0.filter(!coalesce(expr(p), lit(false))), tgtKept)
+      case None => (ch0, target)
     }
-    val (ch, tgt) = truncated
 
     val attrCols = ch.columns.filterNot(_ == OpCol)
     val unioned = tgt match {

@@ -36,4 +36,32 @@ class PipelineHooksSpec extends SparkSuite {
     assert(rec.tests.toList == List(("t", "range", 1L))) // v=7 out of range
     assert(rec.flowgroups.toList == List(("p.f", true)))
   }
+
+  test("test reporters: audit-table rows and JUnit XML per flowgroup") {
+    val dir = Files.createTempDirectory("reporters").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val table = new TestReporters.TableTestReporter(spark, store)
+    val junit = new TestReporters.JUnitXmlReporter(s"$dir/reports")
+
+    table.onTestResult("p", "f", "uniq_ids", "uniqueness", 0L)
+    table.onTestResult("p", "f", "in_range", "range", 3L)
+    junit.onTestResult("p", "f", "uniq_ids", "uniqueness", 0L)
+    junit.onTestResult("p", "f", "in_range", "range", 3L)
+    junit.onFlowgroupComplete("p", "f", None)
+
+    val rows = store.read("lhp_test_results")
+      .select("test_name", "status", "violations")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("uniq_ids", "passed", 0L), ("in_range", "failed", 3L)))
+
+    val xml = Files.readString(java.nio.file.Paths.get(s"$dir/reports/TEST-p.f.xml"))
+    assert(xml.contains("""<testsuite name="p.f" tests="2" failures="1">"""))
+    assert(xml.contains("""name="uniq_ids"""") && !xml.contains("""name="uniq_ids"><failure"""))
+    assert(xml.contains("""<failure message="3 violating row(s)" type="range"/>"""))
+
+    // a flowgroup error becomes an <error> entry in its own suite
+    junit.onFlowgroupComplete("p", "g", Some(new RuntimeException("boom & bust")))
+    val xml2 = Files.readString(java.nio.file.Paths.get(s"$dir/reports/TEST-p.g.xml"))
+    assert(xml2.contains("""<error message="boom &amp; bust"/>"""))
+  }
 }
