@@ -42,10 +42,15 @@ object Multimodal {
 
   object StubDecoder extends Decoder {
     def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      // ??? <- real decode goes here; deterministic fake in its place
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
+      // ??? <- real decode goes here; deterministic fake in its place.
+      // Pseudo-dimensions derive from the big-endian first 4 md5 bytes
+      // (= first 8 hex chars), so any md5-capable engine — including the
+      // DuckDB correctness oracle — replays them exactly.
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val w = 64 + (h % 1024).toInt
+      val ht = 64 + ((h / 1024) % 1024).toInt
       val ch = if (mime.startsWith("audio")) 1 else 3
       (w, ht, ch)
     }

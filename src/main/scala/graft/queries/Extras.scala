@@ -39,13 +39,21 @@ object Extras {
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix)
 
-  /** m1 has no oracle (stub decoder uses JVM Arrays.hashCode); the samples
-    * run in portable-md5 mode, so DuckDB reproduces the exact bucket:
-    * `('0x' || substring(md5(key || ':salt'), 1, 8))::BIGINT` is the
-    * big-endian first-8-hex bucket of [[Sampling.md5Bucket]]. Thresholds are
-    * `(fraction * 2^32).toLong` — 0.1 → 429496729, 0.2 → 858993459,
+  /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
+    * the sample buckets are md5-derived (big-endian first-8-hex =
+    * `('0x' || substring(md5(x), 1, 8))::BIGINT` in DuckDB), and sha_prefix
+    * uses sha256 — both engines hash the same UTF-8 bytes. Sample thresholds
+    * are `(fraction * 2^32).toLong` — 0.1 → 429496729, 0.2 → 858993459,
     * 1.0 → 4294967296 (all-pass). */
   val oracle: Map[String, String] = Map(
+    "m1_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(64 + (('0x' || substring(md5(text), 1, 8))::BIGINT % 1024) AS INT) AS width,
+        |  CAST(64 + ((('0x' || substring(md5(text), 1, 8))::BIGINT // 1024) % 1024) AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  substring(sha256(text), 1, 8) AS sha_prefix
+        |FROM documents""".stripMargin,
     "m2_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT

@@ -22,6 +22,14 @@ class MultimodalSpec extends SparkSuite {
     val row = Multimodal.extractFeatures(media)
       .filter($"media_id" === 0).as[Multimodal.MediaFeatures].head()
     assert(row.n_bytes > 0 && row.channels == 3 && row.width >= 64 && row.sha_prefix.length == 8)
+    // the stub's dimensions are the documented md5 construction
+    val text = Tables.load(spark, sf0001, "documents")
+      .filter($"doc_id" === 0).select("text").as[String].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    assert(row.width == 64 + (h % 1024).toInt)
+    assert(row.height == 64 + ((h / 1024) % 1024).toInt)
   }
 
   test("sampleFrames fans out frames per media item") {
