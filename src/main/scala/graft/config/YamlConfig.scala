@@ -15,16 +15,42 @@ object YamlConfig {
 
   final case class ConfigError(msg: String) extends RuntimeException(msg)
 
-  def parseFlowGroup(yaml: String): FlowGroup = {
-    val root = asMap(new Yaml().load[Any](yaml))
-    FlowGroup(
-      pipeline = str(root, "pipeline").getOrElse(throw ConfigError("missing 'pipeline'")),
-      flowgroup = str(root, "flowgroup").getOrElse(throw ConfigError("missing 'flowgroup'")),
-      presets = strSeq(root, "presets"),
-      useTemplate = str(root, "use_template"),
-      templateParameters = anyMap(root, "template_parameters"),
-      variables = anyMap(root, "variables").map { case (k, v) => k -> v.toString },
-      actions = seq(root, "actions").map(a => parseAction(asMap(a))))
+  def parseFlowGroup(yaml: String): FlowGroup = parseFlowGroup(yaml, lenient = false)
+
+  def parseFlowGroup(yaml: String, lenient: Boolean): FlowGroup =
+    parseRoot(asMap(new Yaml().load[Any](yaml)), lenient) match {
+      case Seq(fg) => fg
+      case many => throw ConfigError(
+        s"expected one flowgroup, found ${many.size} — use parseDocuments for flowgroups-list files")
+    }
+
+  /** Parse a full YAML file: multiple `---` documents and the `flowgroups:`
+    * list form (one pipeline header, N flowgroups each with their own
+    * template parameters/actions) both yield one FlowGroup per entry. */
+  def parseDocuments(yaml: String, lenient: Boolean = false): Seq[FlowGroup] =
+    new Yaml().loadAll(yaml).asScala.toSeq
+      .filter(_ != null)
+      .flatMap(doc => parseRoot(asMap(doc), lenient))
+
+  private def parseRoot(root: Map[String, Any], lenient: Boolean): Seq[FlowGroup] = {
+    val pipeline = str(root, "pipeline").getOrElse(throw ConfigError("missing 'pipeline'"))
+    def build(m: Map[String, Any], flowgroup: String) = FlowGroup(
+      pipeline = pipeline,
+      flowgroup = flowgroup,
+      presets = (strSeq(root, "presets") ++ strSeq(m, "presets")).distinct,
+      useTemplate = str(m, "use_template").orElse(str(root, "use_template")),
+      templateParameters = anyMap(root, "template_parameters") ++ anyMap(m, "template_parameters"),
+      variables = (anyMap(root, "variables") ++ anyMap(m, "variables"))
+        .map { case (k, v) => k -> v.toString },
+      actions = seq(m, "actions").map(a => parseAction(asMap(a), lenient)))
+    root.get("flowgroups") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
+        val m = asMap(e)
+        build(m, str(m, "flowgroup").getOrElse(throw ConfigError("flowgroups entry missing 'flowgroup'")))
+      }
+      case _ => Seq(build(root,
+        str(root, "flowgroup").getOrElse(throw ConfigError("missing 'flowgroup'"))))
+    }
   }
 
   /** Substitute tokens/vars/secrets through every string in a YAML document
@@ -40,14 +66,16 @@ object YamlConfig {
 
   // ---------------------------------------------------------------- actions
 
-  def parseAction(m: Map[String, Any]): Action = {
+  def parseAction(m: Map[String, Any]): Action = parseAction(m, lenient = false)
+
+  def parseAction(m: Map[String, Any], lenient: Boolean): Action = {
     val name = str(m, "name").getOrElse(throw ConfigError(s"action missing 'name': $m"))
     val actionType = str(m, "type").getOrElse(throw ConfigError(s"action '$name' missing 'type'"))
     val target = str(m, "target")
     actionType match {
       case "load" => parseLoad(name, target, m)
       case "transform" => parseTransform(name, target, m)
-      case "write" => parseWrite(name, m)
+      case "write" => parseWrite(name, m, lenient)
       case "test" => TestAction(name, str(m, "test_type").getOrElse("custom_sql"),
         sourceSeq(m), anyMap(m, "config") ++ (m - "name" - "type" - "source"))
       case other => throw ConfigError(s"unknown action type '$other' on '$name'")
@@ -66,7 +94,7 @@ object YamlConfig {
         path = str(src, "path").getOrElse(throw ConfigError(s"cloudfiles '$name' missing path")),
         format = str(src, "format").getOrElse("json"),
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
-        schemaPath = str(src, "schema_path"),
+        schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),
         schemaDdl = str(src, "table_schema"),
         readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"))
       case "delta" | "table" =>
@@ -85,15 +113,20 @@ object YamlConfig {
             s"supported — read the engine-managed '${str(src, "table").getOrElse("?")}__changes' " +
             "companion table instead (SURVEY §7.3b)")
         TableLoad(name, target,
-          table = str(src, "table").orElse(str(src, "path"))
-            .getOrElse(throw ConfigError(s"table load '$name' missing table")),
+          table = qualified(src,
+            str(src, "table").orElse(str(src, "path"))
+              .getOrElse(throw ConfigError(s"table load '$name' missing table"))),
           whereClause = strSeq(src, "where_clause"),
           selectColumns = strSeq(src, "select_columns"),
           readMode = readMode)
-      case "sql" => SqlLoad(name, target,
-        sql = str(src, "sql").orElse(str(m, "sql"))
-          .getOrElse(throw ConfigError(s"sql load '$name' missing sql")),
-        readMode = readMode)
+      case "sql" =>
+        val sqlPath = str(src, "sql_path").orElse(str(m, "sql_path"))
+        SqlLoad(name, target,
+          sql = str(src, "sql").orElse(str(m, "sql")).getOrElse(
+            if (sqlPath.isDefined) ""
+            else throw ConfigError(s"sql load '$name' missing sql")),
+          sqlPath = sqlPath,
+          readMode = readMode)
       case "jdbc" => JdbcLoad(name, target,
         url = str(src, "url").getOrElse(throw ConfigError(s"jdbc '$name' missing url")),
         query = str(src, "query"), dbtable = str(src, "dbtable"),
@@ -108,8 +141,14 @@ object YamlConfig {
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString })
       case "python" | "function" => FunctionLoad(name, target,
         functionClass = str(src, "function").orElse(str(src, "class"))
+          .orElse(str(src, "function_name"))
           .getOrElse(throw ConfigError(s"function load '$name' missing function")),
         parameters = anyMap(src, "parameters"), readMode = readMode)
+      case "custom_datasource" => CustomSourceLoad(name, target,
+        providerClass = str(src, "custom_datasource_class")
+          .getOrElse(throw ConfigError(s"custom_datasource '$name' missing custom_datasource_class")),
+        options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
+        readMode = readMode)
       case other => throw ConfigError(s"unknown load source type '$other' on '$name'")
     }
   }
@@ -117,7 +156,10 @@ object YamlConfig {
   private def parseTransform(name: String, target: Option[String], m: Map[String, Any]): Action = {
     str(m, "transform_type").getOrElse("sql") match {
       case "sql" => SqlTransform(name, target, sourceSeq(m),
-        str(m, "sql").getOrElse(throw ConfigError(s"sql transform '$name' missing sql")))
+        sql = str(m, "sql").getOrElse(
+          if (str(m, "sql_path").isDefined) ""
+          else throw ConfigError(s"sql transform '$name' missing sql")),
+        sqlPath = str(m, "sql_path"))
       case "schema" =>
         val sm = asMap(m.getOrElse("schema", new java.util.HashMap[String, Any]()))
         SchemaTransformAction(name, target, sourceSeq(m).headOption.getOrElse(""),
@@ -128,30 +170,37 @@ object YamlConfig {
       case "data_quality" => DataQualityTransform(name, target,
         sourceSeq(m).headOption.getOrElse(""),
         rules = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
-        quarantineTable = str(asMap(m.getOrElse("quarantine", new java.util.HashMap[String, Any]())), "table"))
+        quarantineTable = str(asMap(m.getOrElse("quarantine", new java.util.HashMap[String, Any]())), "table"),
+        expectationsFile = str(m, "expectations_file"))
       case "temp_table" => TempTableTransform(name, target, sourceSeq(m).headOption.getOrElse(""))
       case "python" | "function" => FunctionTransform(name, target, sourceSeq(m),
         functionClass = str(m, "function").orElse(str(m, "class"))
+          .orElse(str(m, "function_name"))
           .getOrElse(throw ConfigError(s"function transform '$name' missing function")),
         parameters = anyMap(m, "parameters"))
       case other => throw ConfigError(s"unknown transform type '$other' on '$name'")
     }
   }
 
-  private def parseWrite(name: String, m: Map[String, Any]): Action = {
+  private def parseWrite(name: String, m: Map[String, Any], lenient: Boolean = false): Action = {
     val wt = asMap(m.getOrElse("write_target", new java.util.HashMap[String, Any]()))
-    // Options that are catalog/Databricks features with no parquet-warehouse
-    // equivalent (reference: models/_action.py:11-62) — reject loudly so a
-    // user never ships a config believing they took effect.
+    // Advisory options that are catalog/Databricks features with no
+    // parquet-warehouse equivalent (reference: models/_action.py:11-62) —
+    // loud by default so a user never ships a config believing they took
+    // effect; `lenient` downgrades to a warning (they are safe no-ops, and
+    // real reference example projects do use them).
     Map(
       "cluster_columns" -> "liquid clustering needs a Delta/Iceberg table format",
       "refresh_schedule" -> "scheduled refresh needs an external scheduler; run the flowgroup from one",
       "temporary" -> "temporary tables need a session catalog"
     ).foreach { case (k, why) =>
-      if (wt.contains(k)) throw ConfigError(
-        s"write '$name': '$k' is not supported on the parquet-backed warehouse — $why")
+      if (wt.contains(k)) {
+        val msg = s"write '$name': '$k' is not supported on the parquet-backed warehouse — $why"
+        if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
+      }
     }
-    val table = str(wt, "table").orElse(str(m, "table")).getOrElse(name)
+    val table = str(wt, "table").orElse(str(m, "table"))
+      .map(qualified(wt, _)).getOrElse(name)
     str(wt, "type").orElse(str(m, "write_type")).getOrElse("streaming_table") match {
       case "streaming_table" =>
         val cdcMap = m.get("cdc_config").orElse(wt.get("cdc_config")).map(asMap)
@@ -240,6 +289,18 @@ object YamlConfig {
   }
 
   // ---------------------------------------------------------------- helpers
+
+  /** Compose `catalog`/`schema` qualifiers around a table name (the
+    * reference's three-part naming — generators/load/delta.py:54). An
+    * already-qualified name is left as-is. */
+  private def qualified(m: Map[String, Any], table: String): String =
+    if (table.contains(".")) table
+    else {
+      // `database` may itself be "catalog.schema"; else catalog + schema
+      val quals = str(m, "database").map(Seq(_))
+        .getOrElse(str(m, "catalog").toSeq ++ str(m, "schema").toSeq)
+      (quals :+ table).mkString(".")
+    }
 
   private def asMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap

@@ -39,7 +39,24 @@ final class PipelineRunner(
     store: TableStore,
     checkpointRoot: String,
     plugins: Map[String, AnyRef] = Map.empty,
-    hooks: PipelineHooks = PipelineHooks.noop) {
+    hooks: PipelineHooks = PipelineHooks.noop,
+    /** Base for project-relative file references in YAML (sql_path,
+      * expectations_file, schema_path/schema_file). */
+    projectRoot: String = ".") {
+
+  /** Resolve a YAML file reference: absolute/existing as-is, else relative
+    * to the project root; bare schema names resolve to
+    * `<root>/schemas/<name>.yaml` (the reference's schema_file layout). */
+  private def resolveFile(ref: String): java.nio.file.Path = {
+    val direct = java.nio.file.Paths.get(ref)
+    val inRoot = java.nio.file.Paths.get(projectRoot, ref)
+    if (java.nio.file.Files.exists(direct)) direct
+    else if (java.nio.file.Files.exists(inRoot)) inRoot
+    else java.nio.file.Paths.get(projectRoot, "schemas", s"$ref.yaml")
+  }
+
+  private def readFile(ref: String): String =
+    new String(java.nio.file.Files.readAllBytes(resolveFile(ref)))
 
   private var currentPipeline = ""
   private var currentFlowgroup = ""
@@ -84,12 +101,16 @@ final class PipelineRunner(
       // declared schema: inline DDL wins, else a schema FILE via SchemaParser
       // (reference: schema_parser.py:19-92, cloudfiles.py:30-55)
       val declared = a.schemaDdl.map(StructType.fromDDL).orElse(
-        a.schemaPath.map(p => graft.config.SchemaParser.parse(
-          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))).schema))
+        a.schemaPath.map(p => graft.config.SchemaParser.parse(readFile(p)).schema))
       // schema hints override/extend the INFERRED schema (Auto Loader
-      // semantics — unused when a full schema is declared)
+      // semantics — unused when a full schema is declared); the value may be
+      // inline DDL or a schema-file reference (cloudfiles.py:30-55)
       val hintSchema = a.options.get("cloudFiles.schemaHints")
-        .orElse(a.options.get("schemaHints")).map(StructType.fromDDL)
+        .orElse(a.options.get("schemaHints")).map { h =>
+          if (h.endsWith(".yaml") || h.endsWith(".yml") || h.endsWith(".json"))
+            graft.config.SchemaParser.parse(readFile(h)).schema
+          else StructType.fromDDL(h)
+        }
       def merge(inferred: StructType): StructType = hintSchema match {
         case None => inferred
         case Some(hints) => StructType(
@@ -132,8 +153,9 @@ final class PipelineRunner(
       // `stream(view)` wrappers are stripped (each run processes the
       // available data — AvailableNow semantics); the streamed marker
       // propagates so downstream writes use checkpointed flows
-      register(a.target, spark.sql(graft.plan.StreamRef.strip(a.sql)),
-        graft.plan.StreamRef.streamedViews(a.sql).nonEmpty)
+      val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
+      register(a.target, spark.sql(graft.plan.StreamRef.strip(sql)),
+        graft.plan.StreamRef.streamedViews(sql).nonEmpty)
 
     case a: JdbcLoad =>
       var r = spark.read.format("jdbc").option("url", a.url).options(a.options)
@@ -154,11 +176,20 @@ final class PipelineRunner(
       val fn = plugin[SourceFunction](a.functionClass)
       register(a.target, fn(spark, a.parameters), streaming = false)
 
+    case a: CustomSourceLoad =>
+      // DataSource V2 provider by class name — the custom_datasource load
+      val df =
+        if (a.readMode == "stream")
+          spark.readStream.format(a.providerClass).options(a.options).load()
+        else spark.read.format(a.providerClass).options(a.options).load()
+      register(a.target, df, a.readMode == "stream")
+
     // -------------------------------------------------------- transforms
     case a: SqlTransform =>
       // upstream views are already temp views; stream(view) refs stripped
-      val streamed = graft.plan.StreamRef.streamedViews(a.sql)
-      register(a.target, spark.sql(graft.plan.StreamRef.strip(a.sql)),
+      val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
+      val streamed = graft.plan.StreamRef.streamedViews(sql)
+      register(a.target, spark.sql(graft.plan.StreamRef.strip(sql)),
         (a.source ++ streamed).exists(streamingViews.contains) || streamed.nonEmpty)
 
     case a: SchemaTransformAction =>
@@ -167,7 +198,11 @@ final class PipelineRunner(
       register(a.target, SchemaTransform(resolveSource(a.source), spec),
         streamingViews.contains(a.source))
 
-    case a: DataQualityTransform =>
+    case a0: DataQualityTransform =>
+      // inline expectations plus any expectations_file rules
+      val a = a0.copy(rules = a0.rules ++
+        a0.expectationsFile.toSeq.flatMap(f =>
+          graft.config.YamlConfig.rulesFromFile(resolveFile(f).toString)))
       val src = resolveSource(a.source)
       a.quarantineTable match {
         case None =>
@@ -372,7 +407,9 @@ final class PipelineRunner(
       case "completeness" => DataTests.completeness(
         resolveSource(a.source.head), cfgSeq("required_columns"))
       case "range" => DataTests.range(resolveSource(a.source.head),
-        cfgStr("column").get, cfgStr("min").get.toDouble, cfgStr("max").get.toDouble)
+        cfgStr("column").get,
+        cfgStr("min").orElse(cfgStr("min_value")).get.toDouble,
+        cfgStr("max").orElse(cfgStr("max_value")).get.toDouble)
       case "schema_match" => DataTests.schemaMatch(spark, a.source.head, cfgStr("reference").get)
       case "all_lookups_found" => DataTests.allLookupsFound(
         resolveSource(a.source.head), resolveSource(cfgStr("lookup_table").get),
@@ -384,9 +421,12 @@ final class PipelineRunner(
     }
     val n = violations.count()
     hooks.onTestResult(currentPipeline, currentFlowgroup, a.name, a.testType, n)
-    val onFail = cfgStr("on_fail").getOrElse("fail")
+    // reference vocabulary: on_violation in {fail, warn, drop}, default fail
+    // (generators/test/_base.py:40-43); drop records-but-continues like warn
+    // (violating rows are already excluded from the test view's output)
+    val onFail = cfgStr("on_violation").orElse(cfgStr("on_fail")).getOrElse("fail")
     if (n > 0) {
-      if (onFail == "warn")
+      if (onFail == "warn" || onFail == "drop")
         System.err.println(s"[graft] data test '${a.name}' (${a.testType}): $n violation(s)")
       else
         throw Expectations.ExpectationViolation(s"${a.name}(${a.testType})", n)

@@ -62,7 +62,9 @@ final case class SqlLoad(
     name: String,
     target: Option[String],
     sql: String,
-    readMode: String = "batch") extends LoadAction {
+    readMode: String = "batch",
+    /** Load the SQL text from a project-relative file instead (sql_path). */
+    sqlPath: Option[String] = None) extends LoadAction {
   def sources: Seq[String] = Nil // dependencies resolved from SQL at plan time
 }
 
@@ -91,6 +93,18 @@ final case class KafkaLoad(
   def sources: Seq[String] = Nil
 }
 
+/** Custom DataSource V2 read: a classpath TableProvider referenced by class
+  * name (the reference's custom_datasource load —
+  * generators/load/custom_datasource.py). */
+final case class CustomSourceLoad(
+    name: String,
+    target: Option[String],
+    providerClass: String,
+    options: Map[String, String] = Map.empty,
+    readMode: String = "batch") extends LoadAction {
+  def sources: Seq[String] = Nil
+}
+
 /** Plugin source: a registered Scala function producing a DataFrame
   * (the python-function load). */
 final case class FunctionLoad(
@@ -108,7 +122,9 @@ final case class SqlTransform(
     name: String,
     target: Option[String],
     source: Seq[String],
-    sql: String) extends Action {
+    sql: String,
+    /** Load the SQL text from a project-relative file instead (sql_path). */
+    sqlPath: Option[String] = None) extends Action {
   def sources: Seq[String] = source
 }
 
@@ -128,7 +144,9 @@ final case class DataQualityTransform(
     target: Option[String],
     source: String,
     rules: Seq[graft.operators.Expectations.Rule],
-    quarantineTable: Option[String] = None) extends Action {
+    quarantineTable: Option[String] = None,
+    /** Load rules from a project-relative JSON/YAML file (expectations_file). */
+    expectationsFile: Option[String] = None) extends Action {
   def sources: Seq[String] = Seq(source)
 }
 
