@@ -73,7 +73,8 @@ object FlowGroupResolver {
       templates: Map[String, String] = Map.empty,
       presets: Map[String, String] = Map.empty,
       tokens: Map[String, String] = Map.empty,
-      secrets: Substitution.SecretProvider = Substitution.envSecrets): FlowGroup = {
+      secrets: Substitution.SecretProvider = Substitution.envSecrets,
+      lenient: Boolean = false): FlowGroup = {
     val yaml = new Yaml()
     val raw = javaToMap(yaml.load[Any](yamlText))
 
@@ -83,38 +84,117 @@ object FlowGroupResolver {
       case _ => Map.empty[String, String]
     }
 
-    // 2. template expansion: rendered template actions are appended
-    val withTemplate: Map[String, Any] = raw.get("use_template") match {
-      case Some(tName) =>
-        val tDoc = templates.getOrElse(tName.toString,
-          throw YamlConfig.ConfigError(s"unknown template '$tName'"))
-        val params = raw.get("template_parameters") match {
-          case Some(m: java.util.Map[_, _]) => javaToMap(m).map { case (k, v) => k -> String.valueOf(v) }
-          case _ => Map.empty[String, String]
-        }
-        val rendered = javaToMap(yaml.load[Any](renderTemplate(parseTemplate(tDoc), params)))
-        val tActions = rendered.get("actions").map(asList).getOrElse(Nil)
-        val fgActions = raw.get("actions").map(asList).getOrElse(Nil)
-        val merged = new java.util.ArrayList[Any]((tActions ++ fgActions).asJava)
-        raw + ("actions" -> merged)
-      case None => raw
-    }
+    // 2. template expansion: rendered template actions are appended; the
+    //    template's own presets apply FIRST (reference
+    //    flowgroup_resolver.py:135-155 — template presets set defaults the
+    //    flowgroup-level presets may override)
+    val (withTemplate: Map[String, Any], templatePresets: Seq[String]) =
+      raw.get("use_template") match {
+        case Some(tName) =>
+          val tDoc = templates.getOrElse(tName.toString,
+            throw YamlConfig.ConfigError(s"unknown template '$tName'"))
+          val params = raw.get("template_parameters") match {
+            case Some(m: java.util.Map[_, _]) => javaToMap(m).map { case (k, v) => k -> String.valueOf(v) }
+            case _ => Map.empty[String, String]
+          }
+          val rendered = javaToMap(yaml.load[Any](renderTemplate(parseTemplate(tDoc), params)))
+          val tActions = rendered.get("actions").map(asList).getOrElse(Nil)
+          val fgActions = raw.get("actions").map(asList).getOrElse(Nil)
+          val merged = new java.util.ArrayList[Any]((tActions ++ fgActions).asJava)
+          (raw + ("actions" -> merged),
+            rendered.get("presets").map(asList).getOrElse(Nil).map(_.toString))
+        case None => (raw, Nil)
+      }
 
-    // 3. presets: template-level then flowgroup-level, each chain deep-merged
-    //    with the flowgroup winning
-    val presetNames = withTemplate.get("presets").map(asList).getOrElse(Nil).map(_.toString)
-    val presetBase = presetNames.foldLeft(Map.empty[String, Any]) { (acc, p) =>
-      val doc = presets.getOrElse(p, throw YamlConfig.ConfigError(s"unknown preset '$p'"))
-      deepMerge(acc, javaToMap(yaml.load[Any](doc)))
-    }
-    val mergedCfg = deepMerge(presetBase - "name", withTemplate)
+    // 3. presets: each chain resolves to its merged `defaults` config
+    //    (with `extends` inheritance), then applies per-action-type sections
+    //    (load_actions/transform_actions/write_actions) and flowgroup-level
+    //    fill-ins — the reference's apply_preset_config semantics
+    val fgPresetNames = withTemplate.get("presets").map(asList).getOrElse(Nil).map(_.toString)
+    val mergedCfg = Seq(templatePresets, fgPresetNames)
+      .filter(_.nonEmpty)
+      .foldLeft(withTemplate) { (fg, chain) =>
+        applyPresetConfig(fg, resolvePresetChain(chain, presets))
+      }
 
     // 4. token/secret substitution, textually over the re-serialized document
     val text = yaml.dump(mapToJava(mergedCfg))
     val substituted = Substitution(text, vars, tokens, secrets)
 
     // 5. parse + (validation happens in Planner.validate at plan time)
-    YamlConfig.parseFlowGroup(substituted)
+    YamlConfig.parseFlowGroup(substituted, lenient)
+  }
+
+  /** Resolve a preset chain to one merged config: each preset file is
+    * `{name, extends?, defaults: {...}}`; the chain merges each preset's
+    * `defaults` (with `extends` inheritance, child winning) left to right
+    * (reference: presets/preset_manager.py:34-96). */
+  def resolvePresetChain(names: Seq[String], presets: Map[String, String]): Map[String, Any] = {
+    def defaults(name: String, visited: Set[String]): Map[String, Any] = {
+      if (visited(name))
+        throw YamlConfig.ConfigError(s"circular preset inheritance at '$name'")
+      val doc = javaToMap(new Yaml().load[Any](presets.getOrElse(name,
+        throw YamlConfig.ConfigError(s"unknown preset '$name'"))))
+      val own = doc.get("defaults") match {
+        case Some(m: java.util.Map[_, _]) => javaToMap(m)
+        case _ => Map.empty[String, Any]
+      }
+      doc.get("extends").map(_.toString) match {
+        case Some(parent) => deepMerge(defaults(parent, visited + name), own)
+        case None => own
+      }
+    }
+    names.foldLeft(Map.empty[String, Any])((acc, n) => deepMerge(acc, defaults(n, Set.empty)))
+  }
+
+  /** Apply a resolved preset config to a flowgroup map: `load_actions.<type>`
+    * deep-merges into matching loads' `source` (preset wins on leaves),
+    * `transform_actions.<type>` fills missing transform keys,
+    * `write_actions.<type>` deep-merges into matching `write_target`s, and
+    * the remaining keys fill missing flowgroup-level fields (reference:
+    * flowgroup_resolver.py:255-312). */
+  def applyPresetConfig(fg: Map[String, Any], config: Map[String, Any]): Map[String, Any] = {
+    def section(key: String): Map[String, Any] = config.get(key) match {
+      case Some(m: java.util.Map[_, _]) => javaToMap(m)
+      case _ => Map.empty
+    }
+    def sub(m: Map[String, Any], key: String): Option[Map[String, Any]] = m.get(key) match {
+      case Some(j: java.util.Map[_, _]) => Some(javaToMap(j))
+      case _ => None
+    }
+    val actions = fg.get("actions").map(asList).getOrElse(Nil).map { a =>
+      val am = javaToMap(a)
+      val merged = am.get("type").map(_.toString) match {
+        case Some("load") =>
+          (for {
+            src <- sub(am, "source")
+            t <- src.get("type").map(_.toString)
+            d <- sub(section("load_actions"), t)
+          } yield am + ("source" -> mapToJava(deepMerge(src, d)))).getOrElse(am)
+        case Some("transform") =>
+          (for {
+            t <- am.get("transform_type").map(_.toString)
+            d <- sub(section("transform_actions"), t)
+          } yield d.foldLeft(am) { case (acc, (k, v)) =>
+            if (acc.contains(k)) acc else acc + (k -> v)
+          }).getOrElse(am)
+        case Some("write") =>
+          (for {
+            wt <- sub(am, "write_target")
+            t <- wt.get("type").map(_.toString)
+            d <- sub(section("write_actions"), t)
+          } yield am + ("write_target" -> mapToJava(deepMerge(wt, d)))).getOrElse(am)
+        case _ => am
+      }
+      mapToJava(merged): Any
+    }
+    val withActions =
+      if (actions.isEmpty) fg
+      else fg + ("actions" -> new java.util.ArrayList[Any](actions.asJava))
+    val flowLevel = config -- Seq("load_actions", "transform_actions", "write_actions")
+    flowLevel.foldLeft(withActions) { case (acc, (k, v)) =>
+      if (acc.contains(k)) acc else acc + (k -> v)
+    }
   }
 
   // ------------------------------------------------------------------ java

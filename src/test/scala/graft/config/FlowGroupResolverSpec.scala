@@ -52,16 +52,28 @@ class FlowGroupResolverSpec extends SparkSuite {
     }
   }
 
-  test("presets provide defaults, flowgroup wins on conflict") {
-    val preset =
-      """pipeline: ignored_default
-        |presets: []
-        |variables: {region: us-east}
+  test("presets: defaults sections merge into matching actions; extends chains") {
+    val base =
+      """name: base
+        |defaults:
+        |  variables: {region: us-east}
+        |  write_actions:
+        |    streaming_table:
+        |      table_properties: {quality: bronze, owner: base-team}
+        |""".stripMargin
+    val child =
+      """name: child
+        |extends: base
+        |defaults:
+        |  write_actions:
+        |    streaming_table:
+        |      table_properties: {owner: child-team}
         |""".stripMargin
     val fg = FlowGroupResolver.resolve(
       """pipeline: real_pipeline
         |flowgroup: f
-        |presets: [base]
+        |presets: [child]
+        |variables: {env: dev}
         |actions:
         |  - name: l
         |    type: load
@@ -70,11 +82,24 @@ class FlowGroupResolverSpec extends SparkSuite {
         |  - name: w
         |    type: write
         |    source: v
-        |    write_target: {type: materialized_view, table: out}
+        |    write_target: {type: streaming_table, table: out}
         |""".stripMargin,
-      presets = Map("base" -> preset))
-    assert(fg.pipeline == "real_pipeline") // flowgroup wins
-    assert(fg.variables == Map("region" -> "us-east")) // preset default flows in
+      presets = Map("base" -> base, "child" -> child))
+    assert(fg.pipeline == "real_pipeline")
+    // flowgroup-level default fills only missing keys (variables already set)
+    assert(fg.variables == Map("env" -> "dev"))
+    // write_actions.streaming_table merged into the write target, with the
+    // extends child overriding the parent per-key
+    val w = fg.actions.collectFirst { case x: StreamingTableWrite => x }.get
+    assert(w.tableProperties == Map("quality" -> "bronze", "owner" -> "child-team"))
+  }
+
+  test("preset inheritance cycle is an error") {
+    val a = "name: a\nextends: b\ndefaults: {}\n"
+    val b = "name: b\nextends: a\ndefaults: {}\n"
+    intercept[YamlConfig.ConfigError] {
+      FlowGroupResolver.resolvePresetChain(Seq("a"), Map("a" -> a, "b" -> b))
+    }
   }
 
   test("token substitution with recursion and secrets") {

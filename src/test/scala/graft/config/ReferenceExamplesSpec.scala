@@ -40,4 +40,65 @@ class ReferenceExamplesSpec extends AnyFunSuite {
     assert(failures.isEmpty,
       s"${failures.size} example file(s) failed to parse:\n" + failures.take(15).mkString("\n"))
   }
+
+  test("example projects resolve end-to-end through templates, presets, and tokens") {
+    assume(Files.exists(root), "reference examples not present in this environment")
+
+    def yamlDocs(dir: Path): Map[String, String] =
+      if (!Files.exists(dir)) Map.empty
+      else Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".yaml"))
+        .map { p =>
+          val text = Files.readString(p)
+          val name = text.linesIterator.find(_.startsWith("name:"))
+            .map(_.stripPrefix("name:").trim.stripPrefix("\"").stripSuffix("\""))
+            .getOrElse(p.getFileName.toString.stripSuffix(".yaml"))
+          name -> text
+        }.toMap
+
+    def tokensOf(project: Path): Map[String, String] = {
+      val sub = project.resolve("substitutions/dev.yaml")
+      if (!Files.exists(sub)) Map.empty
+      else {
+        val doc = new org.yaml.snakeyaml.Yaml().load[Any](Files.readString(sub))
+        doc match {
+          case m: java.util.Map[_, _] => m.asScala.collectFirst {
+            case (env, v: java.util.Map[_, _]) if env.toString != "secrets" =>
+              v.asScala.map { case (k, x) => k.toString -> String.valueOf(x) }.toMap
+          }.getOrElse(Map.empty)
+          case _ => Map.empty
+        }
+      }
+    }
+
+    val projects = Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toList
+    val failures = projects.flatMap { project =>
+      val templates = yamlDocs(project.resolve("templates"))
+      val presets = yamlDocs(project.resolve("presets"))
+      val tokens = tokensOf(project)
+      val pipelinesDir = project.resolve("pipelines")
+      if (!Files.exists(pipelinesDir)) Nil
+      else Files.walk(pipelinesDir).iterator().asScala
+        .filter(p => p.toString.endsWith(".yaml") && Files.isRegularFile(p))
+        .flatMap { p =>
+          val text = Files.readString(p)
+          val singleFlowgroup = text.linesIterator.exists(_.startsWith("pipeline:")) &&
+            text.linesIterator.exists(_.startsWith("flowgroup:")) &&
+            !text.linesIterator.exists(_.startsWith("flowgroups:")) &&
+            !text.contains("\n---")
+          if (!singleFlowgroup) None
+          else try {
+            val fg = FlowGroupResolver.resolve(text, templates, presets, tokens,
+              secrets = (_, _) => Some("xsecret"), lenient = true)
+            if (fg.actions.isEmpty) Some(s"$p: resolved to zero actions") else None
+          } catch { case e: Throwable => Some(s"$p: ${e.getMessage}") }
+        }.toList
+    }
+    // Known upstream fixture bug: acmi's 02_bronze_layer_tests.yaml uses
+    // {old_schema}, which no acmi substitution env defines — our strict
+    // unresolved-token validation catching it is correct behavior.
+    val unexpected = failures.filterNot(_.contains("unresolved token 'old_schema'"))
+    assert(unexpected.isEmpty,
+      s"${unexpected.size} example file(s) failed to resolve:\n" + unexpected.take(15).mkString("\n"))
+  }
 }
