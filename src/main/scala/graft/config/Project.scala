@@ -1,0 +1,168 @@
+package graft.config
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.model.FlowGroup
+
+/** Project manifest + loader — the `lhp.yaml` surface (reference:
+  * src/lhp/models/_project.py): a project directory holds `pipelines/`,
+  * `templates/`, `presets/`, `substitutions/<env>.yaml`, `schemas/`,
+  * `expectations/`, and a manifest with `include` globs and the
+  * operational-metadata column catalog. `Project.load(dir)` +
+  * `flowgroups(env)` is the library counterpart of the reference CLI's
+  * generate step: YAML in, resolved FlowGroups out, ready for
+  * [[graft.exec.PipelineOrchestrator]].
+  */
+final case class Project(
+    name: String,
+    version: Option[String],
+    root: Path,
+    include: Seq[String],
+    /** Operational-metadata catalog: column name → Spark SQL expression. */
+    opMetaColumns: Map[String, String],
+    templates: Map[String, String],
+    presets: Map[String, String],
+    /** env → token map. */
+    substitutions: Map[String, Map[String, String]]) {
+
+  /** Pipeline YAML files selected by the manifest's include globs
+    * (relative to `pipelines/`; empty include = everything). */
+  def pipelineFiles: Seq[Path] = {
+    val dir = root.resolve("pipelines")
+    if (!Files.exists(dir)) Nil
+    else {
+      val fs = dir.getFileSystem
+      val matchers = include.map(g => fs.getPathMatcher(s"glob:$g"))
+      Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.endsWith(".yaml") && Files.isRegularFile(p))
+        .filter(p => matchers.isEmpty || matchers.exists(_.matches(dir.relativize(p))))
+        .toSeq.sortBy(_.toString)
+    }
+  }
+
+  /** Resolve every included flowgroup for an environment: templates,
+    * presets, token substitution, parse. Multi-flowgroup files
+    * (`flowgroups:` lists / `---` documents) resolve entry-wise. */
+  def flowgroups(env: String, lenient: Boolean = false,
+      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] = {
+    val tokens = substitutions.getOrElse(env,
+      throw YamlConfig.ConfigError(
+        s"unknown environment '$env'; have: ${substitutions.keys.toSeq.sorted.mkString(", ")}"))
+    pipelineFiles.flatMap { p =>
+      val text = Files.readString(p)
+      // split multi-flowgroup files into per-flowgroup documents, then run
+      // each through the full resolution pipeline (textual substitution
+      // requires source text, so re-dump each entry)
+      val yaml = new Yaml()
+      yaml.loadAll(text).asScala.filter(_ != null).flatMap { doc =>
+        val m = doc.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+        m.get("flowgroups") match {
+          case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
+            val entry = e.asInstanceOf[java.util.Map[String, Any]]
+            val merged = new java.util.LinkedHashMap[String, Any]()
+            (m - "flowgroups").foreach { case (k, v) => merged.put(k, v) }
+            entry.asScala.foreach { case (k, v) => merged.put(k.toString, v) }
+            yaml.dump(merged)
+          }
+          case _ => Seq(yaml.dump(doc))
+        }
+      }.map(t => FlowGroupResolver.resolve(t, templates, presets, tokens, secrets, lenient))
+    }
+  }
+}
+
+object Project {
+
+  def load(dir: String): Project = {
+    val root = Paths.get(dir)
+    val manifestPath = root.resolve("lhp.yaml")
+    val manifest: Map[String, Any] =
+      if (!Files.exists(manifestPath)) Map.empty
+      else new Yaml().load[Any](Files.readString(manifestPath)) match {
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap
+        case _ => Map.empty
+      }
+    Project(
+      name = manifest.get("name").map(_.toString)
+        .getOrElse(root.getFileName.toString),
+      version = manifest.get("version").map(_.toString),
+      root = root,
+      include = manifest.get("include") match {
+        case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+        case _ => Nil
+      },
+      opMetaColumns = parseOpMeta(manifest),
+      templates = yamlDocs(root.resolve("templates")),
+      presets = yamlDocs(root.resolve("presets")),
+      substitutions = loadSubstitutions(root.resolve("substitutions")))
+  }
+
+  /** `operational_metadata.columns.<name>.expression` — expressions are
+    * written as PySpark in the reference manifest; the common `F.*` forms
+    * translate mechanically to Spark SQL, and anything else must already be
+    * a Spark SQL expression string. */
+  private[config] def parseOpMeta(manifest: Map[String, Any]): Map[String, String] = {
+    val om = manifest.get("operational_metadata") match {
+      case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> v }.toMap
+      case _ => Map.empty[String, Any]
+    }
+    om.get("columns") match {
+      case Some(cols: java.util.Map[_, _]) => cols.asScala.flatMap {
+        case (name, cfg: java.util.Map[_, _]) =>
+          cfg.asScala.collectFirst { case (k, v) if k.toString == "expression" =>
+            name.toString -> pysparkToSql(v.toString)
+          }
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private val FCol = """F\.col\(['"]([^'"]+)['"]\)""".r
+  private val FCall = """F\.([A-Za-z_][A-Za-z0-9_]*)\(\)""".r
+
+  private[config] def pysparkToSql(e: String): String = {
+    val colsDone = FCol.replaceAllIn(e, m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    FCall.replaceAllIn(colsDone, m => s"${m.group(1)}()")
+  }
+
+  private def yamlDocs(dir: Path): Map[String, String] =
+    if (!Files.exists(dir)) Map.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+      .map { p =>
+        val text = Files.readString(p)
+        val name = new Yaml().load[Any](text) match {
+          case m: java.util.Map[_, _] =>
+            m.asScala.collectFirst { case (k, v) if k.toString == "name" => v.toString }
+              .getOrElse(stripExt(p))
+          case _ => stripExt(p)
+        }
+        name -> text
+      }.toMap
+
+  /** `substitutions/<env>.yaml`: the env's token map lives under a single
+    * top-level key matching the env (secrets config is separate). */
+  private def loadSubstitutions(dir: Path): Map[String, Map[String, String]] =
+    if (!Files.exists(dir)) Map.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".yaml"))
+      .map { p =>
+        val env = stripExt(p)
+        val tokens = new Yaml().load[Any](Files.readString(p)) match {
+          case m: java.util.Map[_, _] => m.asScala.collectFirst {
+            case (k, v: java.util.Map[_, _]) if k.toString == env =>
+              v.asScala.map { case (tk, tv) => tk.toString -> String.valueOf(tv) }.toMap
+          }.getOrElse(Map.empty[String, String])
+          case _ => Map.empty[String, String]
+        }
+        env -> tokens
+      }.toMap
+
+  private def stripExt(p: Path): String =
+    p.getFileName.toString.replaceAll("\\.ya?ml$", "")
+}

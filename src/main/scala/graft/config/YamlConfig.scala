@@ -42,7 +42,8 @@ object YamlConfig {
       templateParameters = anyMap(root, "template_parameters") ++ anyMap(m, "template_parameters"),
       variables = (anyMap(root, "variables") ++ anyMap(m, "variables"))
         .map { case (k, v) => k -> v.toString },
-      actions = seq(m, "actions").map(a => parseAction(asMap(a), lenient)))
+      actions = seq(m, "actions").map(a => parseAction(asMap(a), lenient)),
+      operationalMetadata = opMeta(m).orElse(opMeta(root)))
     root.get("flowgroups") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
         val m = asMap(e)
@@ -96,7 +97,8 @@ object YamlConfig {
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),
         schemaDdl = str(src, "table_schema"),
-        readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"))
+        readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"),
+        operationalMetadata = opMeta(m))
       case "delta" | "table" =>
         // Documented gap (SURVEY §7.3): time travel / CDF need Delta commit
         // history, which a plain-parquet warehouse does not have. The
@@ -289,6 +291,15 @@ object YamlConfig {
   }
 
   // ---------------------------------------------------------------- helpers
+
+  /** `operational_metadata: true | [col, ...]` on a flowgroup or action
+    * (reference models/_flowgroup.py / _action.py): true → Some(Nil) = all
+    * default columns; a list → that subset; absent/false → None. */
+  private def opMeta(m: Map[String, Any]): Option[Seq[String]] = m.get("operational_metadata") match {
+    case Some(b: java.lang.Boolean) => if (b) Some(Nil) else None
+    case Some(l: java.util.List[_]) => Some(l.asScala.toSeq.map(_.toString))
+    case _ => None
+  }
 
   /** Compose `catalog`/`schema` qualifiers around a table name (the
     * reference's three-part naming — generators/load/delta.py:54). An

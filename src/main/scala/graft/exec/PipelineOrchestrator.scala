@@ -23,7 +23,9 @@ final class PipelineOrchestrator(
     checkpointRoot: String,
     maxParallelism: Int = 4,
     plugins: Map[String, AnyRef] = Map.empty,
-    hooks: PipelineHooks = PipelineHooks.noop) {
+    hooks: PipelineHooks = PipelineHooks.noop,
+    projectRoot: String = ".",
+    opMetaColumns: Map[String, String] = Map.empty) {
   import PipelineOrchestrator.Outcome
 
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
@@ -37,7 +39,8 @@ final class PipelineOrchestrator(
       graph.generations.flatMap { gen =>
         val futures = gen.flatMap(byName.get).map { fg =>
           Future {
-            val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks)
+            val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
+              projectRoot, opMetaColumns)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
             try { runner.run(fg); Outcome(name, None) }
             catch { case e: Throwable => Outcome(name, Some(e)) }

@@ -42,7 +42,11 @@ final class PipelineRunner(
     hooks: PipelineHooks = PipelineHooks.noop,
     /** Base for project-relative file references in YAML (sql_path,
       * expectations_file, schema_path/schema_file). */
-    projectRoot: String = ".") {
+    projectRoot: String = ".",
+    /** Project-defined operational-metadata columns: name → Spark SQL
+      * expression (the lhp.yaml operational_metadata catalog). */
+    opMetaColumns: Map[String, String] = Map.empty,
+    runId: String = java.util.UUID.randomUUID().toString) {
 
   /** Resolve a YAML file reference: absolute/existing as-is, else relative
     * to the project root; bare schema names resolve to
@@ -60,6 +64,7 @@ final class PipelineRunner(
 
   private var currentPipeline = ""
   private var currentFlowgroup = ""
+  private var currentOpMeta: Option[Seq[String]] = None
 
 
   /** View registry: our stand-in for dp.temporary_view (SURVEY §1.1). */
@@ -85,6 +90,7 @@ final class PipelineRunner(
   def run(fg: FlowGroup): Unit = {
     currentPipeline = fg.pipeline
     currentFlowgroup = fg.flowgroup
+    currentOpMeta = fg.operationalMetadata
     try {
       Planner.plan(fg).foreach(execute)
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, None)
@@ -136,7 +142,16 @@ final class PipelineRunner(
                else lit(null)).cast(f.dataType).as(f.name)): _*)
           } else df0
         }
-      register(a.target, base, a.readMode == "stream")
+      // operational metadata: action-level selection wins over the
+      // flowgroup-level toggle (reference metadata.py selection order)
+      val withMeta = a.operationalMetadata.orElse(currentOpMeta) match {
+        case None => base
+        case Some(select) => graft.operators.OperationalMetadata.inject(base,
+          graft.operators.OperationalMetadata.Context(
+            currentPipeline, currentFlowgroup, runId, isFileLoad = true),
+          custom = opMetaColumns, select = select)
+      }
+      register(a.target, withMeta, a.readMode == "stream")
 
     case a: TableLoad =>
       val base0 = if (a.readMode == "stream") {

@@ -16,7 +16,10 @@ final case class FlowGroup(
     useTemplate: Option[String] = None,
     templateParameters: Map[String, Any] = Map.empty,
     variables: Map[String, String] = Map.empty,
-    actions: Seq[Action] = Nil)
+    actions: Seq[Action] = Nil,
+    /** Operational-metadata toggle: None = off, Some(Nil) = all default
+      * columns, Some(names) = that subset (reference FlowGroup model). */
+    operationalMetadata: Option[Seq[String]] = None)
 
 sealed trait Action {
   def name: String
@@ -42,7 +45,9 @@ final case class CloudFilesLoad(
     options: Map[String, String] = Map.empty,
     schemaPath: Option[String] = None,
     schemaDdl: Option[String] = None,
-    readMode: String = "stream") extends LoadAction {
+    readMode: String = "stream",
+    /** Action-level operational-metadata column selection. */
+    operationalMetadata: Option[Seq[String]] = None) extends LoadAction {
   def sources: Seq[String] = Nil
 }
 

@@ -1,0 +1,153 @@
+package graft.config
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSuite
+import graft.exec.{PipelineOrchestrator, TableStore}
+
+class ProjectSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Build a minimal but complete on-disk project: manifest with an
+    * operational-metadata catalog and include globs, substitutions,
+    * a template + preset, schema file, and two pipeline files. */
+  private def writeFixtureProject(): Path = {
+    val root = Files.createTempDirectory("graft-project")
+    def write(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text): Unit
+    }
+    write("lhp.yaml",
+      """name: fixture_project
+        |version: "1.0"
+        |include:
+        |  - "bronze/**"
+        |  - "gold/revenue.yaml"
+        |operational_metadata:
+        |  columns:
+        |    _processing_timestamp:
+        |      expression: "F.current_timestamp()"
+        |    _source_system:
+        |      expression: "'fixture'"
+        |""".stripMargin)
+    write("substitutions/dev.yaml",
+      """dev:
+        |  env: dev
+        |  bronze_schema: bronze_dev
+        |""".stripMargin)
+    write("templates/ingest_template.yaml",
+      """name: ingest_template
+        |presets: [bronze_layer]
+        |parameters:
+        |  - {name: entity, required: true}
+        |  - {name: landing, required: true}
+        |actions:
+        |  - name: load_{{ entity }}
+        |    type: load
+        |    operational_metadata: ["_source_system"]
+        |    source:
+        |      type: cloudfiles
+        |      path: "{{ landing }}"
+        |      format: json
+        |      readMode: stream
+        |    target: v_{{ entity }}
+        |  - name: write_{{ entity }}
+        |    type: write
+        |    source: v_{{ entity }}
+        |    write_target:
+        |      type: streaming_table
+        |      schema: "{bronze_schema}"
+        |      table: "{{ entity }}"
+        |""".stripMargin)
+    write("presets/bronze_layer.yaml",
+      """name: bronze_layer
+        |defaults:
+        |  write_actions:
+        |    streaming_table:
+        |      table_properties: {quality: bronze}
+        |""".stripMargin)
+    write("gold/ignored_outside_pipelines.yaml", "not: included\n")
+    root
+  }
+
+  test("project load + resolve + run end-to-end with operational metadata") {
+    val root = writeFixtureProject()
+    val landing = root.resolve("landing").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.json(landing)
+    Files.createDirectories(root.resolve("pipelines/bronze"))
+    Files.createDirectories(root.resolve("pipelines/gold"))
+    Files.writeString(root.resolve("pipelines/bronze/events.yaml"),
+      s"""pipeline: bronze
+         |flowgroup: events_ingest
+         |use_template: ingest_template
+         |template_parameters:
+         |  entity: events
+         |  landing: "$landing"
+         |""".stripMargin)
+    // qualified table load so the cross-flowgroup dependency edge orders
+    // gold after bronze in the orchestrator
+    Files.writeString(root.resolve("pipelines/gold/revenue.yaml"),
+      """pipeline: gold
+        |flowgroup: revenue
+        |actions:
+        |  - name: load_events
+        |    type: load
+        |    source: {type: table, table: "{bronze_schema}.events"}
+        |    target: v_src
+        |  - name: agg
+        |    type: transform
+        |    transform_type: sql
+        |    source: v_src
+        |    target: v_rev
+        |    sql: "SELECT count(*) AS n FROM v_src"
+        |  - name: w
+        |    type: write
+        |    source: v_rev
+        |    write_target: {type: materialized_view, table: revenue}
+        |""".stripMargin)
+    Files.writeString(root.resolve("pipelines/bronze/excluded_elsewhere.yml"), "ignored")
+
+    val project = Project.load(root.toString)
+    assert(project.name == "fixture_project")
+    assert(project.opMetaColumns == Map(
+      "_processing_timestamp" -> "current_timestamp()",
+      "_source_system" -> "'fixture'"))
+
+    val fgs = project.flowgroups("dev")
+    assert(fgs.map(_.flowgroup).toSet == Set("events_ingest", "revenue"))
+
+    // template + preset + token resolution all landed
+    val ingest = fgs.find(_.flowgroup == "events_ingest").get
+    val write = ingest.actions.collectFirst { case w: graft.model.StreamingTableWrite => w }.get
+    assert(write.table == "bronze_dev.events") // {bronze_schema} token + schema qualifier
+    assert(write.tableProperties == Map("quality" -> "bronze")) // template-level preset
+
+    // run the whole project through the orchestrator
+    val wh = Files.createTempDirectory("graft-project-wh").toString
+    val store = new TableStore(spark, s"$wh/warehouse")
+    val orch = new PipelineOrchestrator(spark, store, s"$wh/ckpt",
+      projectRoot = root.toString, opMetaColumns = project.opMetaColumns)
+    val outcomes = orch.run(fgs)
+    assert(outcomes.forall(_.error.isEmpty), outcomes.flatMap(_.error).map(_.toString))
+
+    val events = store.read("bronze_dev.events")
+    assert(events.count() == 2)
+    // action-level operational_metadata selected ONLY _source_system
+    assert(events.columns.contains("_source_system") &&
+      !events.columns.contains("_processing_timestamp") &&
+      !events.columns.contains("_ingestion_timestamp"))
+    assert(events.select("_source_system").distinct().as[String].collect().toSeq == Seq("fixture"))
+    assert(store.read("revenue").as[Long].head() == 2L)
+
+    // unknown environment is a clear error
+    val e = intercept[YamlConfig.ConfigError](project.flowgroups("prod"))
+    assert(e.msg.contains("unknown environment"))
+  }
+
+  test("pyspark expression forms translate to Spark SQL") {
+    assert(Project.pysparkToSql("F.col('_metadata.file_path')") == "_metadata.file_path")
+    assert(Project.pysparkToSql("F.current_timestamp()") == "current_timestamp()")
+    assert(Project.pysparkToSql("concat(a, b)") == "concat(a, b)")
+  }
+}
