@@ -187,6 +187,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Connected components over an undirected duplicate-pair list — the
+    * canonicalization step after any near-dup detector: every doc in a dup
+    * cluster maps to the cluster's minimum id (the keeper).
+    *
+    * Min-label propagation: each iteration is one shuffle
+    * (edge ⋈ labels → per-node neighbor min), labels converge in ≤ graph
+    * diameter iterations. Dup clusters are shallow (near-clique), so this
+    * terminates in a handful of rounds even on 100 TB pair lists; the label
+    * table is one row per node appearing in a pair (the duplicated subset,
+    * far smaller than the corpus) and is lineage-truncated per round, which
+    * is the standard pattern for iterative DataFrame algorithms. Returns
+    * `(id, component)`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(eager = true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
+        .groupBy("a").agg(min("blbl").as("nbr"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      done = updated.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   /** The production near-dup path at scale: random-hyperplane LSH buckets
     * produce candidate pairs (a band-keyed self-join — no cross join), which
     * are then verified with the same exact cosine as [[embeddingNearDup]].

@@ -41,6 +41,13 @@ object LlmData {
   def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(embs(s, dir), "vec_id", "embedding", threshold = 0.45)
 
+  /** Dup-cluster canonicalization: connected components over the exact
+    * n-gram Jaccard pair graph — every clustered doc with its keeper. */
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.6),
+      "id_a", "id_b")
+
   // ------------------------------------------------------------- similarity
 
   def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -105,6 +112,7 @@ object LlmData {
     "d3_minhash_lsh" -> d3MinHashLsh,
     "d4_simhash" -> d4SimHash,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
+    "d6_dedup_clusters" -> d6DedupClusters,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -168,6 +176,19 @@ object LlmData {
         |  CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS INT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3""".stripMargin,
+    // Connected components replayed in DuckDB: transitive closure over the
+    // same exact-Jaccard edge list via recursive CTE, component = min
+    // reachable id (UNION dedups, so the recursion terminates).
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($exactJaccardSql),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |closure(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS component
+        |FROM closure GROUP BY a""".stripMargin,
     // s3 is a self-check: its correct output is EMPTY, pinned by a
     // schema-matching empty oracle (like the q9/q10 zero-violation tests).
     "s3_lsh_check" ->

@@ -83,6 +83,20 @@ class DedupSpec extends SparkSuite {
     assert(banded == allPairs)
   }
 
+  test("connected components canonicalize dup clusters to min id") {
+    // chain 1-2-3 (one component), pair 10-11, isolated edge 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // long chain exercises multi-iteration propagation
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(0L))
+  }
+
   test("embedding near-dup finds identical vectors") {
     val d = Seq(
       (1, Seq(1.0f, 0.0f, 0.0f)),
