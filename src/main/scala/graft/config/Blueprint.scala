@@ -58,4 +58,60 @@ object Blueprint {
         FlowGroupResolver.Template(doc.name, Map.empty, doc.body), params)
       FlowGroupResolver.resolve(rendered, templates, presets, tokens)
     }
+
+  // ------------------------------------------------- reference file shapes
+
+  /** The reference's blueprint document (models/_blueprint.py:42-54):
+    * `name` + `parameters: [{name, required, default}]` + `flowgroups:` —
+    * flowgroup specs whose strings carry `%{param}` placeholders. */
+  final case class BlueprintDoc(
+      name: String,
+      required: Seq[String],
+      defaults: Map[String, String],
+      flowgroupSpecs: Seq[java.util.Map[String, Any]])
+
+  def parseBlueprintDoc(yamlText: String): BlueprintDoc = {
+    val root = new Yaml().load[Any](yamlText).asInstanceOf[java.util.Map[String, Any]]
+      .asScala.map { case (k, v) => k.toString -> v }.toMap
+    val paramDefs = root.get("parameters") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.collect {
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap
+      }
+      case _ => Nil
+    }
+    BlueprintDoc(
+      name = root.get("name").map(_.toString)
+        .getOrElse(throw YamlConfig.ConfigError("blueprint missing 'name'")),
+      required = paramDefs.filter(_.get("required").exists(_.toString.toBoolean))
+        .flatMap(_.get("name")).map(_.toString),
+      defaults = paramDefs.flatMap(p =>
+        for (n <- p.get("name"); d <- p.get("default") if d != null)
+          yield n.toString -> d.toString).toMap,
+      flowgroupSpecs = root.get("flowgroups") match {
+        case Some(l: java.util.List[_]) => l.asScala.toSeq.map(
+          _.asInstanceOf[java.util.Map[String, Any]])
+        case _ => throw YamlConfig.ConfigError(s"blueprint missing 'flowgroups'")
+      })
+  }
+
+  /** Instantiate a reference-shape blueprint: render every flowgroup spec's
+    * `%{param}` placeholders with the instance parameters (unknown `%{}`
+    * stay for the resolver's flowgroup-local variable pass), then run each
+    * through the full resolution pipeline. */
+  def expandBlueprintDoc(doc: BlueprintDoc, params: Map[String, String],
+      templates: Map[String, String] = Map.empty,
+      presets: Map[String, String] = Map.empty,
+      tokens: Map[String, String] = Map.empty,
+      secrets: Substitution.SecretProvider = Substitution.envSecrets,
+      lenient: Boolean = false): Seq[FlowGroup] = {
+    val missing = doc.required.filterNot(params.contains)
+    if (missing.nonEmpty) throw YamlConfig.ConfigError(
+      s"blueprint '${doc.name}' missing required parameter(s): ${missing.mkString(", ")}")
+    val all = doc.defaults ++ params
+    val yaml = new Yaml()
+    doc.flowgroupSpecs.map { spec =>
+      val rendered = Substitution.substituteVarsPartial(yaml.dump(spec), all)
+      FlowGroupResolver.resolve(rendered, templates, presets, tokens, secrets, lenient)
+    }
+  }
 }

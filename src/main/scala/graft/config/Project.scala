@@ -26,6 +26,7 @@ final case class Project(
     opMetaColumns: Map[String, String],
     templates: Map[String, String],
     presets: Map[String, String],
+    blueprints: Map[String, String],
     /** env → token map. */
     substitutions: Map[String, Map[String, String]]) {
 
@@ -60,17 +61,38 @@ final case class Project(
       val yaml = new Yaml()
       yaml.loadAll(text).asScala.filter(_ != null).flatMap { doc =>
         val m = doc.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
-        m.get("flowgroups") match {
-          case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
-            val entry = e.asInstanceOf[java.util.Map[String, Any]]
-            val merged = new java.util.LinkedHashMap[String, Any]()
-            (m - "flowgroups").foreach { case (k, v) => merged.put(k, v) }
-            entry.asScala.foreach { case (k, v) => merged.put(k.toString, v) }
-            yaml.dump(merged)
-          }
-          case _ => Seq(yaml.dump(doc))
+          .map { case (k, v) => k.toString -> v }
+        // blueprint instance file: use_blueprint + parameters (new shape) or
+        // blueprint + flat top-level params (legacy shape)
+        val instanceOf = m.get("use_blueprint").orElse(m.get("blueprint")).map(_.toString)
+        instanceOf match {
+          case Some(bpName) =>
+            val bp = Blueprint.parseBlueprintDoc(blueprints.getOrElse(bpName,
+              throw YamlConfig.ConfigError(s"unknown blueprint '$bpName' (from $p)")))
+            val params =
+              if (m.contains("use_blueprint")) m.get("parameters") match {
+                case Some(pm: java.util.Map[_, _]) =>
+                  pm.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+                case _ => Map.empty[String, String]
+              }
+              else (m - "blueprint").map { case (k, v) => k -> String.valueOf(v) }
+            Blueprint.expandBlueprintDoc(bp, params, templates, presets, tokens,
+              secrets, lenient)
+          case None =>
+            val texts = m.get("flowgroups") match {
+              case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
+                val entry = e.asInstanceOf[java.util.Map[String, Any]]
+                val merged = new java.util.LinkedHashMap[String, Any]()
+                (m - "flowgroups").foreach { case (k, v) => merged.put(k, v) }
+                entry.asScala.foreach { case (k, v) => merged.put(k.toString, v) }
+                yaml.dump(merged)
+              }
+              case _ => Seq(yaml.dump(doc))
+            }
+            texts.map(t =>
+              FlowGroupResolver.resolve(t, templates, presets, tokens, secrets, lenient))
         }
-      }.map(t => FlowGroupResolver.resolve(t, templates, presets, tokens, secrets, lenient))
+      }
     }
   }
 }
@@ -98,6 +120,7 @@ object Project {
       opMetaColumns = parseOpMeta(manifest),
       templates = yamlDocs(root.resolve("templates")),
       presets = yamlDocs(root.resolve("presets")),
+      blueprints = yamlDocs(root.resolve("blueprints")),
       substitutions = loadSubstitutions(root.resolve("substitutions")))
   }
 

@@ -28,6 +28,13 @@ object Substitution {
     VarPat.replaceAllIn(s, m => Regex.quote(vars.getOrElse(m.group(1),
       throw UnresolvedToken(m.group(1), s))))
 
+  /** Like [[substituteVars]] but leaves unknown `%{var}` untouched — used by
+    * blueprint expansion, where flowgroup-local variables share the `%{}`
+    * syntax and resolve in a later pass. */
+  def substituteVarsPartial(s: String, vars: Map[String, String]): String =
+    VarPat.replaceAllIn(s, m =>
+      Regex.quote(vars.getOrElse(m.group(1), m.matched)))
+
   /** Recursive token expansion with cycle guard (tokens may reference other
     * tokens — reference substitution.py:156-174). */
   def substituteTokens(s: String, tokens: Map[String, String], maxDepth: Int = 10): String = {

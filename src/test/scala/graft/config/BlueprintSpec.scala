@@ -26,6 +26,30 @@ class BlueprintSpec extends SparkSuite {
       |      write_target: {type: materialized_view, table: "{{ table }}_bronze"}
       |""".stripMargin
 
+  test("reference-shape blueprint + use_blueprint instance expand through the project loader") {
+    val root = java.nio.file.Paths.get("/root/reference/Example_Projects/performance_testing")
+    assume(java.nio.file.Files.exists(root), "reference examples not present")
+    val project = Project.load(root.toString)
+    assert(project.blueprints.contains("domain_u_end_to_end"))
+
+    // expand the real blueprint directly with its required parameter
+    val bp = Blueprint.parseBlueprintDoc(project.blueprints("domain_u_end_to_end"))
+    assert(bp.required == Seq("site_name"))
+    val tokens = project.substitutions("dev")
+    val fgs = Blueprint.expandBlueprintDoc(bp, Map("site_name" -> "siteX"),
+      project.templates, project.presets, tokens, secrets = (_, _) => Some("x"),
+      lenient = true)
+    assert(fgs.size == 10) // ten flowgroup specs in the blueprint
+    assert(fgs.forall(_.flowgroup.endsWith("_siteX")))
+    assert(fgs.forall(_.actions.nonEmpty)) // templates expanded into actions
+
+    // missing required parameter is a clear error
+    val e = intercept[YamlConfig.ConfigError](
+      Blueprint.expandBlueprintDoc(bp, Map.empty, project.templates,
+        project.presets, tokens, lenient = true))
+    assert(e.msg.contains("site_name"))
+  }
+
   test("blueprint expands one flowgroup per instance") {
     val fgs = Blueprint.expand(Blueprint.parse(blueprintYaml))
     assert(fgs.map(_.flowgroup) == Seq("ingest_customer", "ingest_orders", "ingest_lineitem"))
