@@ -212,13 +212,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
         .groupBy("a").agg(min("blbl").as("nbr"))
+      // keep the previous label beside the new one so the convergence check
+      // is a cheap scan of the checkpointed frame, not another join job
       val updated = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         .localCheckpoint(eager = true)
-      done = updated.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = updated
+      done = updated.filter(col("lbl") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
       i += 1
     }
     edges.unpersist()
