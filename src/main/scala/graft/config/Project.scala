@@ -45,6 +45,19 @@ final case class Project(
     }
   }
 
+  /** Register the environment's `{catalog}` token as a
+    * [[org.apache.spark.sql.graftnative.WarehouseCatalog]] over `warehouse`,
+    * so post-substitution three-part SQL (`catalog.schema.table`) resolves
+    * against the pipeline store. No-op when the env defines no catalog. */
+  def registerCatalog(spark: org.apache.spark.sql.SparkSession, env: String,
+      warehouse: String): Option[String] =
+    substitutions.getOrElse(env, Map.empty).get("catalog").map { cat =>
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "org.apache.spark.sql.graftnative.WarehouseCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+      cat
+    }
+
   /** Resolve every included flowgroup for an environment: templates,
     * presets, token substitution, parse. Multi-flowgroup files
     * (`flowgroups:` lists / `---` documents) resolve entry-wise. */

@@ -34,6 +34,7 @@ class ProjectSpec extends SparkSuite {
     write("substitutions/dev.yaml",
       """dev:
         |  env: dev
+        |  catalog: fixture_cat
         |  bronze_schema: bronze_dev
         |""".stripMargin)
     write("templates/ingest_template.yaml",
@@ -139,6 +140,12 @@ class ProjectSpec extends SparkSuite {
       !events.columns.contains("_ingestion_timestamp"))
     assert(events.select("_source_system").distinct().as[String].collect().toSeq == Seq("fixture"))
     assert(store.read("revenue").as[Long].head() == 2L)
+
+    // the env's {catalog} token registers as a warehouse catalog, so
+    // three-part SQL over written tables resolves
+    assert(project.registerCatalog(spark, "dev", store.warehouse).contains("fixture_cat"))
+    assert(spark.sql("SELECT count(*) FROM fixture_cat.bronze_dev.events")
+      .as[Long].head() == 2L)
 
     // unknown environment is a clear error
     val e = intercept[YamlConfig.ConfigError](project.flowgroups("prod"))
