@@ -187,6 +187,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing any word n-gram
+    * with a probe set (the held-out benchmark). Returns per-document hit
+    * counts (`n_hits` shared shingles, `n_probes` distinct probes hit) —
+    * downstream policy drops or flags them.
+    *
+    * Scale: the probe side is a benchmark (thousands of docs) — its distinct
+    * shingle-hash set is small and broadcasts; the corpus side is one scan +
+    * map-side join, no shuffle of the 100 TB side. */
+  def contamination(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String,
+      probeIdCol: String, probeTextCol: String, n: Int = 8): DataFrame = {
+    val corpusSh = shingles(corpus, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val probeSh = shingles(probes, probeIdCol, probeTextCol, n)
+      .select(col(probeIdCol).as("__probe_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+    corpusSh.join(broadcast(probeSh), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("__probe_id")).as("n_probes"))
+  }
+
   /** Connected components over an undirected duplicate-pair list — the
     * canonicalization step after any near-dup detector: every doc in a dup
     * cluster maps to the cluster's minimum id (the keeper).

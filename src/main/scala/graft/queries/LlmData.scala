@@ -48,6 +48,14 @@ object LlmData {
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.6),
       "id_a", "id_b")
 
+  /** Decontamination: docs ≥ 20 sharing any 5-gram with the doc < 20
+    * "benchmark" probe set. */
+  def d7Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contamination(d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+      "doc_id", "text", "doc_id", "text", n = 5)
+  }
+
   // ------------------------------------------------------------- similarity
 
   def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -113,6 +121,7 @@ object LlmData {
     "d4_simhash" -> d4SimHash,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "d6_dedup_clusters" -> d6DedupClusters,
+    "d7_contamination" -> d7Contamination,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -189,6 +198,19 @@ object LlmData {
         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a)
         |SELECT a AS id, least(a, min(b)) AS component
         |FROM closure GROUP BY a""".stripMargin,
+    // 5-gram shingles via list_aggregate (skips the tail's missing words the
+    // same way Spark's slice+concat_ws does on short docs)
+    "d7_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         list_aggregate(w[i:i+4], 'string_agg', ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(w) - 3, 2))) AS t(i)),
+        |probes AS (SELECT DISTINCT doc_id AS probe_id, s FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, count(*) AS n_hits,
+        |  count(DISTINCT p.probe_id) AS n_probes
+        |FROM corpus c JOIN probes p USING (s)
+        |GROUP BY c.doc_id""".stripMargin,
     // s3 is a self-check: its correct output is EMPTY, pinned by a
     // schema-matching empty oracle (like the q9/q10 zero-violation tests).
     "s3_lsh_check" ->

@@ -83,6 +83,16 @@ class DedupSpec extends SparkSuite {
     assert(banded == allPairs)
   }
 
+  test("contamination flags docs sharing probe n-grams, broadcast probe side") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // contains probe 5-gram
+      (101L, "completely unrelated words in this document here")).toDF("doc_id", "text")
+    val probes = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, probes, "doc_id", "text", "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L, 1L))) // one 5-gram of doc 100 hits the probe
+  }
+
   test("connected components canonicalize dup clusters to min id") {
     // chain 1-2-3 (one component), pair 10-11, isolated edge 20-21
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
