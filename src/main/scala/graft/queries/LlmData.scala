@@ -114,7 +114,11 @@ object LlmData {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.redact(col("text")).as("redacted"))
 
+  def t6Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t6_repetition" -> t6Repetition,
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinHashLsh,
@@ -272,6 +276,19 @@ object LlmData {
         |  len(string_split(text, ' ')) AS n_tokens_ws,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
+    "t6_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, list_aggregate(w[i:i+1], 'string_agg', ' ') AS g
+        |          FROM toks, UNNEST(range(1, greatest(len(w), 2))) AS t(i)),
+        |counts AS (SELECT doc_id, g, count(*) AS c FROM grams
+        |           WHERE length(g) > 0 GROUP BY 1, 2),
+        |ranked AS (SELECT doc_id, g, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS total
+        |  FROM counts)
+        |SELECT doc_id, g AS top_gram, c AS top_count,
+        |  round(c * 1.0 / total, 6) AS top_fraction
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -67,6 +67,30 @@ object TextAnalysis {
 
   /** Normalized content fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dedup key robust to casing/spacing noise. */
+  /** Repetition scoring (the Gopher-style repetition filters): the most
+    * frequent word n-gram per document and the fraction of the document's
+    * n-grams it occupies — high fractions indicate boilerplate/spam. One
+    * explode + one hash aggregation; ties break lexicographically for
+    * determinism. */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(0), greatest(size(ws) - n, lit(0))),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    val exploded = df.select(col(idCol), explode(grams).as("g"))
+      .filter(length(col("g")) > 0)
+    val counts = exploded.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol))
+    val wTop = w.orderBy(col("c").desc, col("g").asc)
+    counts
+      .withColumn("__rn", row_number().over(wTop))
+      .withColumn("__total", sum(col("c")).over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("g").as("top_gram"), col("c").as("top_count"),
+        round(col("c") / col("__total"), 6).as("top_fraction"))
+  }
+
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
 

@@ -37,4 +37,15 @@ class TextAnalysisSpec extends SparkSuite {
     val fps = d.select(TextAnalysis.fingerprint(col("text")).as("fp")).as[String].collect()
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
+
+  test("repetition: most frequent bigram and its document fraction") {
+    // "spam ham" occurs 3× of 5 bigrams; normal doc has all-unique bigrams
+    val d = Seq(
+      (1L, "spam ham spam ham spam ham"),
+      (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d, "doc_id", "text", n = 2)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "spam ham", 3L, 0.6)))
+    assert(out(1)._3 == 1L && out(1)._4 == 0.333333) // all-unique bigrams, 1 of 3
+  }
 }
