@@ -62,6 +62,13 @@ final class PipelineRunner(
   private def readFile(ref: String): String =
     new String(java.nio.file.Files.readAllBytes(resolveFile(ref)))
 
+  /** Checkpoint location for a streaming action, namespaced by pipeline and
+    * flowgroup — action names are only unique WITHIN a flowgroup, so a bare
+    * `<root>/<action>` path would silently share stream state across
+    * flowgroups (found by the partitioned-vs-flat CDC property test). */
+  private def checkpointFor(action: String): String =
+    s"$checkpointRoot/$currentPipeline/$currentFlowgroup/$action"
+
   private var currentPipeline = ""
   private var currentFlowgroup = ""
   private var currentOpMeta: Option[Seq[String]] = None
@@ -233,7 +240,7 @@ final class PipelineRunner(
             .foreachBatch { (batch: DataFrame, _: Long) =>
               Quarantine.routeViolations(store, dlq, batch, a.rules, a.source): Unit
             }
-            .option("checkpointLocation", s"$checkpointRoot/${a.name}__quarantine")
+            .option("checkpointLocation", checkpointFor(a.name + "__quarantine"))
             .trigger(Trigger.AvailableNow())
             .start().awaitTermination()
           register(a.target, Expectations.dropViolations(src, a.rules), streaming = true)
@@ -274,7 +281,7 @@ final class PipelineRunner(
           val p = a.options.getOrElse("path", s"${store.warehouse}/_sinks/${a.name}")
           if (src.isStreaming)
             src.writeStream.format(a.options.getOrElse("format", "parquet"))
-              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .option("checkpointLocation", checkpointFor(a.name))
               .option("path", p).trigger(Trigger.AvailableNow())
               .start().awaitTermination()
           else src.write.mode("append")
@@ -283,7 +290,7 @@ final class PipelineRunner(
           require(src.columns.contains("value"), s"kafka sink '${a.name}' needs a 'value' column")
           if (src.isStreaming)
             src.writeStream.format("kafka").options(a.options)
-              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .option("checkpointLocation", checkpointFor(a.name))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else src.write.format("kafka").options(a.options).save()
         case "foreachbatch" =>
@@ -291,7 +298,7 @@ final class PipelineRunner(
             throw Planner.PlanError(s"foreachbatch sink '${a.name}' missing handler")))
           if (src.isStreaming)
             src.writeStream.foreachBatch((df: DataFrame, id: Long) => handler(df, id))
-              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .option("checkpointLocation", checkpointFor(a.name))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else handler(src, 0L)
         case "custom" =>
@@ -302,7 +309,7 @@ final class PipelineRunner(
             s"custom sink '${a.name}' missing custom_sink_class"))
           if (src.isStreaming)
             src.writeStream.format(provider).options(a.options)
-              .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+              .option("checkpointLocation", checkpointFor(a.name))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else src.write.format(provider).options(a.options).mode("append").save()
         case other => throw Planner.PlanError(s"unknown sink type '$other'")
@@ -349,7 +356,7 @@ final class PipelineRunner(
             logChanges(a, batch, opts.applyAsDeletes)
             mergeInto(a, batch, opts)
           }
-          .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+          .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (Some(_), false) =>
@@ -369,7 +376,7 @@ final class PipelineRunner(
             logChanges(a, batch, None)
             store.append(a.table, batch, a.partitionColumns)
           }
-          .option("checkpointLocation", s"$checkpointRoot/${a.name}")
+          .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (None, _) =>

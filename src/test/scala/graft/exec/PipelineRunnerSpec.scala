@@ -232,6 +232,56 @@ class PipelineRunnerSpec extends SparkSuite {
       (3L, "CHI", None)))
   }
 
+  test("property: partition-scoped CDC merges == unpartitioned merges over random batch sequences") {
+    val rnd = new scala.util.Random(13)
+    def yaml(landing: String, table: String, partitioned: Boolean) =
+      s"""pipeline: p
+         |flowgroup: fg_$table
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, seq BIGINT, v STRING"
+         |    target: v_ch_$table
+         |  - name: w
+         |    type: write
+         |    source: v_ch_$table
+         |    write_target:
+         |      type: streaming_table
+         |      table: $table
+         |${if (partitioned) "      partition_columns: [id]" else ""}
+         |    cdc_config:
+         |      keys: [id]
+         |      sequence_by: seq
+         |      scd_type: 2
+         |      apply_as_deletes: "v = 'DEL'"
+         |""".stripMargin
+    for (trial <- 1 to 3) {
+      val (runner, store, dir) = freshRunner()
+      val landing = s"$dir/prop_landing"
+      var watermark = 0L
+      for (batch <- 1 to 3) {
+        val n = 1 + rnd.nextInt(8)
+        val rows = List.fill(n)((rnd.nextInt(4).toLong,
+          watermark + 1 + rnd.nextInt(5), Seq("a", "b", "DEL")(rnd.nextInt(3))))
+          .groupBy(r => (r._1, r._2)).map(_._2.head).toList
+        watermark = rows.map(_._2).max
+        rows.toDF("id", "seq", "v").write.mode("append").json(landing)
+        runner.run(YamlConfig.parseFlowGroup(yaml(landing, "flat", partitioned = false)))
+        runner.run(YamlConfig.parseFlowGroup(yaml(landing, "parted", partitioned = true)))
+        val flat = store.read("flat").select("id", "seq", "v", "__start_at", "__end_at")
+          .as[(Long, Long, String, Long, Option[Long])].collect().toSet
+        val parted = store.read("parted").select("id", "seq", "v", "__start_at", "__end_at")
+          .as[(Long, Long, String, Long, Option[Long])].collect().toSet
+        assert(flat == parted, s"trial $trial batch $batch: flat $flat != parted $parted")
+      }
+    }
+  }
+
   test("data_quality quarantine routes violations to DLQ") {
     val (runner, store, _) = freshRunner()
     Seq((1, 10), (2, -1), (3, 5)).toDF("id", "v").createOrReplaceTempView("dq_src")
