@@ -205,12 +205,18 @@ object YamlConfig {
       .map(qualified(wt, _)).getOrElse(name)
     str(wt, "type").orElse(str(m, "write_type")).getOrElse("streaming_table") match {
       case "streaming_table" =>
+        // snapshot mode carries its config under snapshot_cdc_config
+        // (reference streaming_table.py:115-121); same CDC vocabulary plus
+        // stored_as_scd_type naming and an optional polling source_function
+        val snapMap = wt.get("snapshot_cdc_config").orElse(m.get("snapshot_cdc_config")).map(asMap)
         val cdcMap = m.get("cdc_config").orElse(wt.get("cdc_config")).map(asMap)
+          .orElse(snapMap)
         val cdc = cdcMap.map { c =>
           CdcConfig(
             keys = strSeq(c, "keys"),
             sequenceBy = strSeq(c, "sequence_by"),
-            scdType = c.get("scd_type").map(_.toString.toInt).getOrElse(1),
+            scdType = c.get("scd_type").orElse(c.get("stored_as_scd_type"))
+              .map(_.toString.toInt).getOrElse(1),
             ignoreNullUpdates = c.get("ignore_null_updates").exists(_.toString.toBoolean),
             applyAsDeletes = str(c, "apply_as_deletes"),
             applyAsTruncates = str(c, "apply_as_truncates"),
@@ -227,7 +233,10 @@ object YamlConfig {
           partitionColumns = strSeq(wt, "partition_columns"),
           once = m.get("once").exists(_.toString.toBoolean),
           cdc = cdc,
-          snapshotCdc = str(wt, "mode").contains("snapshot_cdc"),
+          snapshotCdc = str(wt, "mode").contains("snapshot_cdc") || snapMap.isDefined,
+          snapshotFunction = snapMap.flatMap(c =>
+            c.get("source_function").map(asMap).flatMap(sf =>
+              str(sf, "class").orElse(str(sf, "function")))),
           changeLog = wt.get("change_log").exists(_.toString.toBoolean),
           rowFilter = str(wt, "row_filter"),
           tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },

@@ -24,6 +24,16 @@ trait TransformFunction {
 trait BatchHandler {
   def apply(df: DataFrame, batchId: Long): Unit
 }
+/** Snapshot-polling source for snapshot-CDC writes — DLT's
+  * `next_snapshot_and_version(latest_snapshot_version)` contract
+  * (reference: snapshot_cdc_source_function.py): given the last processed
+  * version (None on first run), return the next full snapshot and its
+  * version, or None when caught up. Versions must be monotonically
+  * increasing. */
+trait SnapshotFunction {
+  def apply(spark: SparkSession, lastVersion: Option[Long],
+      parameters: Map[String, Any]): Option[(DataFrame, Long)]
+}
 
 /** The interpreter: executes a resolved FlowGroup as real DataFrames — the
   * Spark-native replacement for the reference's generate-then-run-on-DLT
@@ -333,12 +343,18 @@ final class PipelineRunner(
   }
 
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
-    val src0raw = resolveSource(a.source)
-    val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
-    val src = Expectations(src0, a.expectations)
+    // lazy: a snapshot-polling write pulls data from its function, not the
+    // source view (which need not exist in that mode)
+    lazy val src = {
+      val src0raw = resolveSource(a.source)
+      val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
+      Expectations(src0, a.expectations)
+    }
     store.setProperties(a.table, a.tableProperties)
-    val scdOpts = a.cdc.map(c => ScdMerge.Options(
-      keys = c.keys, sequenceBy = c.sequenceBy, scdType = c.scdType,
+    def mkScdOpts(defaultSequenceBy: Seq[String]) = a.cdc.map(c => ScdMerge.Options(
+      keys = c.keys,
+      sequenceBy = if (c.sequenceBy.nonEmpty) c.sequenceBy else defaultSequenceBy,
+      scdType = c.scdType,
       trackHistoryColumns = c.trackHistoryColumnList,
       trackHistoryExcept = c.trackHistoryExceptColumnList,
       ignoreNullUpdates = c.ignoreNullUpdates,
@@ -346,6 +362,7 @@ final class PipelineRunner(
       applyAsTruncates = c.applyAsTruncates,
       columnList = c.columnList,
       exceptColumnList = c.exceptColumnList))
+    lazy val scdOpts = mkScdOpts(Nil)
 
     (a.cdc, a.snapshotCdc) match {
       case (Some(_), false) if src.isStreaming =>
@@ -362,6 +379,30 @@ final class PipelineRunner(
       case (Some(_), false) =>
         logChanges(a, src, scdOpts.get.applyAsDeletes)
         mergeInto(a, src, scdOpts.get)
+      case (Some(_), true) if a.snapshotFunction.isDefined =>
+        // snapshot-polling CDC: drain the source function until caught up,
+        // merging each (snapshot, version) in order; the last processed
+        // version persists in a sidecar so re-runs resume incrementally.
+        // The version is the sequence: injected as a literal column, so
+        // SCD2 history starts/ends at snapshot versions (DLT semantics).
+        val fn = plugin[SnapshotFunction](a.snapshotFunction.get)
+        val verCol = "_snapshot_version"
+        var last = store.getMeta(a.table, "snapshot_version").map(_.toLong)
+        var next = fn(spark, last, Map.empty)
+        while (next.isDefined) {
+          val (snap0, version) = next.get
+          require(last.forall(_ < version),
+            s"snapshot version $version not after ${last.get} on '${a.table}'")
+          val snap = snap0.withColumn(verCol, lit(version))
+          val opts = mkScdOpts(Seq(verCol)).get
+          val changes = SnapshotCdc.diff(store.readIfExists(a.table), snap, opts)
+          val mergeOpts = SnapshotCdc.mergeOptions(opts)
+          logChanges(a, changes, mergeOpts.applyAsDeletes)
+          mergeInto(a, changes, mergeOpts)
+          store.setMeta(a.table, "snapshot_version", version.toString)
+          last = Some(version)
+          next = fn(spark, last, Map.empty)
+        }
       case (Some(_), true) =>
         // snapshot-CDC: diff the incoming full snapshot against current
         // state (the diff needs the FULL target — deletes are keys absent
@@ -383,7 +424,9 @@ final class PipelineRunner(
         logChanges(a, src, None)
         store.append(a.table, src, a.partitionColumns)
     }
-    store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
+    // a snapshot-polling write may legitimately find no snapshots on a run
+    store.readIfExists(a.table)
+      .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
   }
 

@@ -156,6 +156,19 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     Files.deleteIfExists(Paths.get(path(table) + "._version")): Unit
   }
 
+  /** Small per-table metadata values kept in sidecar files (e.g. the last
+    * processed snapshot version for snapshot-polling CDC). */
+  def getMeta(table: String, key: String): Option[String] = {
+    val p = Paths.get(path(table) + s"._$key")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def setMeta(table: String, key: String, value: String): Unit = {
+    val p = Paths.get(path(table) + s"._$key")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, value): Unit
+  }
+
   /** Monotonic commit counter for an append-only changes table, kept in a
     * sidecar file — O(1) per commit instead of a `max(version)` scan over
     * the whole history every microbatch. Tables created before the sidecar

@@ -201,6 +201,10 @@ final case class StreamingTableWrite(
     once: Boolean = false,
     cdc: Option[CdcConfig] = None,
     snapshotCdc: Boolean = false,
+    /** Snapshot-polling source: a [[graft.exec.SnapshotFunction]] class name
+      * (the reference's snapshot_cdc_config.source_function — DLT's
+      * `next_snapshot_and_version` contract). */
+    snapshotFunction: Option[String] = None,
     /** Maintain an append-only `<table>__changes` companion table — the
       * parquet emulation of Delta Change Data Feed (SURVEY §7.3b). */
     changeLog: Boolean = false,

@@ -282,6 +282,62 @@ class PipelineRunnerSpec extends SparkSuite {
     }
   }
 
+  test("snapshot-polling CDC: source function drains versions, persists progress") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    // a versioned snapshot store the function serves from
+    val snapshots = scala.collection.mutable.SortedMap[Long, Seq[(Long, String)]](
+      1L -> Seq((1L, "NY"), (2L, "SF")),
+      2L -> Seq((1L, "LA"), (3L, "CHI"))) // key 2 deleted at v2
+    object Fn extends SnapshotFunction {
+      def apply(s: SparkSession, lastVersion: Option[Long],
+          parameters: Map[String, Any]): Option[(DataFrame, Long)] = {
+        import s.implicits._
+        snapshots.iteratorFrom(lastVersion.getOrElse(0L) + 1).toSeq.headOption
+          .map { case (v, rows) => (rows.toDF("id", "city"), v) }
+      }
+    }
+    val dir = Files.createTempDirectory("snapfn").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/ckpt",
+      plugins = Map("SnapFn" -> Fn))
+    val yaml =
+      """pipeline: p
+        |flowgroup: snapfn
+        |actions:
+        |  - name: w
+        |    type: write
+        |    source: v_absent_ok
+        |    write_target:
+        |      type: streaming_table
+        |      table: snap_poll
+        |      snapshot_cdc_config:
+        |        source_function: {class: SnapFn}
+        |        keys: [id]
+        |        stored_as_scd_type: 2
+        |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    def state() = store.read("snap_poll")
+      .selectExpr("id", "city", "_snapshot_version", "__end_at IS NULL")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(state() == Set(
+      (1L, "NY", 1L, false), (1L, "LA", 2L, true),
+      (2L, "SF", 1L, false), // deleted at v2: chain closed
+      (3L, "CHI", 2L, true)))
+    assert(store.getMeta("snap_poll", "snapshot_version").contains("2"))
+
+    // re-run: caught up, nothing changes
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.getMeta("snap_poll", "snapshot_version").contains("2"))
+
+    // a third snapshot appears; the next run picks up only it
+    snapshots(3L) = Seq((1L, "LA"), (3L, "DET"))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(state() == Set(
+      (1L, "NY", 1L, false), (1L, "LA", 2L, true),
+      (2L, "SF", 1L, false),
+      (3L, "CHI", 2L, false), (3L, "DET", 3L, true)))
+  }
+
   test("data_quality quarantine routes violations to DLQ") {
     val (runner, store, _) = freshRunner()
     Seq((1, 10), (2, -1), (3, 5)).toDF("id", "v").createOrReplaceTempView("dq_src")
