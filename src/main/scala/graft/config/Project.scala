@@ -199,6 +199,34 @@ object Project {
         env -> tokens
       }.toMap
 
+  /** Build an env-var-backed secret provider honoring the substitution
+    * file's `secrets:` block (reference secret-scope config): scope aliases
+    * map through `scopes`, a missing scope falls back to `default_scope`,
+    * and the resolved `SCOPE_KEY` (upper-cased) env var supplies the value. */
+  def secretProvider(projectRoot: Path, env: String,
+      readEnv: String => Option[String] = sys.env.get): Substitution.SecretProvider = {
+    val sub = projectRoot.resolve(s"substitutions/$env.yaml")
+    val cfg: Map[String, Any] =
+      if (!Files.exists(sub)) Map.empty
+      else new Yaml().load[Any](Files.readString(sub)) match {
+        case m: java.util.Map[_, _] => m.asScala.collectFirst {
+          case (k, v: java.util.Map[_, _]) if k.toString == "secrets" =>
+            v.asScala.map { case (sk, sv) => sk.toString -> sv }.toMap
+        }.getOrElse(Map.empty[String, Any])
+        case _ => Map.empty
+      }
+    val defaultScope = cfg.get("default_scope").map(_.toString)
+    val scopeAliases: Map[String, String] = cfg.get("scopes") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty
+    }
+    (scope, key) => {
+      val real = scopeAliases.getOrElse(scope, defaultScope.getOrElse(scope))
+      readEnv(s"${real.toUpperCase}_${key.toUpperCase}")
+    }
+  }
+
   private def stripExt(p: Path): String =
     p.getFileName.toString.replaceAll("\\.ya?ml$", "")
 }

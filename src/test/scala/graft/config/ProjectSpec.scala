@@ -152,6 +152,28 @@ class ProjectSpec extends SparkSuite {
     assert(e.msg.contains("unknown environment"))
   }
 
+  test("secret provider honors scope aliases and default_scope from substitutions") {
+    val root = Files.createTempDirectory("secrets-proj")
+    Files.createDirectories(root.resolve("substitutions"))
+    Files.writeString(root.resolve("substitutions/dev.yaml"),
+      """dev:
+        |  env: dev
+        |secrets:
+        |  default_scope: dev_secrets
+        |  scopes:
+        |    database: dev_db_secrets
+        |""".stripMargin)
+    val fakeEnv = Map(
+      "DEV_DB_SECRETS_PWD" -> "db-pw",
+      "DEV_SECRETS_API_KEY" -> "api-k")
+    val secrets = Project.secretProvider(root, "dev", fakeEnv.get)
+    assert(secrets("database", "pwd").contains("db-pw"))     // alias → real scope
+    assert(secrets("anything", "api_key").contains("api-k")) // default_scope fallback
+    assert(secrets("database", "missing").isEmpty)
+    // resolves inside substitution text as ${secret:scope/key}
+    assert(Substitution("${secret:database/pwd}", Map.empty, Map.empty, secrets) == "db-pw")
+  }
+
   test("pyspark expression forms translate to Spark SQL") {
     assert(Project.pysparkToSql("F.col('_metadata.file_path')") == "_metadata.file_path")
     assert(Project.pysparkToSql("F.current_timestamp()") == "current_timestamp()")
