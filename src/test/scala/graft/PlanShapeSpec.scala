@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Plan-shape regression guards: the properties that make these operators
+  * scale are asserted on the PHYSICAL plan, so a refactor that silently
+  * de-optimizes (drops a pushdown, turns a broadcast into a shuffle, adds
+  * an exchange or a cartesian product) fails here instead of at 100 TB. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("filter pushdown and column pruning reach the parquet scan (q4)") {
+    val plan = physical(queries.Relational.queries("q4_filter_pushdown")(spark, sf0001))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.contains("PushedFilters: []"), "filters were not pushed:\n" + plan)
+  }
+
+  test("dimension joins broadcast; no shuffle of small sides (q2)") {
+    val plan = physical(queries.Relational.queries("q2_region_revenue")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("SCD2 chain rebuild uses ONE exchange for all window steps") {
+    import spark.implicits._
+    val ch = Seq((1, 1L, "a"), (1, 2L, "b"), (2, 1L, "x")).toDF("k", "seq", "v")
+    val plan = physical(graft.operators.ScdMerge.scd2(None, ch,
+      graft.operators.ScdMerge.Options(Seq("k"), Seq("seq"), scdType = 2)))
+    assert(countOccurrences(plan, "Exchange ") == 1,
+      s"expected exactly one exchange in the rebuild:\n$plan")
+  }
+
+  test("LSH near-dup has no cartesian product; brute-force baseline does") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val lsh = physical(graft.dedup.Dedup.embeddingNearDupLsh(
+      e, "vec_id", "embedding", threshold = 0.45, dim = 64))
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"),
+      lsh)
+    val bf = physical(graft.dedup.Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.45))
+    assert(bf.contains("CartesianProduct") || bf.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("contamination broadcasts the probe side") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val plan = physical(graft.dedup.Dedup.contamination(
+      d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+      "doc_id", "text", "doc_id", "text", n = 5))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("hash sampling is a pure scan filter — no exchange at all") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val plan = physical(graft.dedup.Sampling.byHash(d, "doc_id", 0.1))
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
