@@ -1,0 +1,74 @@
+package graft.plugins
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, Sampling}
+import graft.exec.TransformFunction
+import graft.text.TextAnalysis
+
+/** The LLM-data operators packaged as pipeline plugin transforms, so a
+  * training-data curation pipeline is just a YAML flowgroup (the function
+  * plugin seam — SURVEY §2.2 python transform row). Each stage reads its
+  * knobs from `parameters` and returns the filtered corpus; chain them:
+  * quality → exact dedup → near-dup clusters → decontaminate → sample. */
+object CurationTransforms {
+
+  private def str(p: Map[String, Any], k: String, d: String): String =
+    p.get(k).map(_.toString).getOrElse(d)
+  private def num(p: Map[String, Any], k: String, d: Double): Double =
+    p.get(k).map(_.toString.toDouble).getOrElse(d)
+
+  /** Keep documents passing the heuristic quality gate (t2's quality_keep). */
+  final class QualityFilter extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      val in = inputs.head
+      TextAnalysis.qualityFeatures(in, str(p, "text_col", "text"))
+        .filter(col("quality_keep"))
+        .select(in.columns.map(col): _*)
+    }
+  }
+
+  /** Keep one document per exact content hash (the group's min id). */
+  final class ExactDedupFilter extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      val (in, id, text) = (inputs.head, str(p, "id_col", "doc_id"), str(p, "text_col", "text"))
+      val keepers = Dedup.exact(in, id, text).select(col("keeper").as(id))
+      in.join(keepers, Seq(id), "left_semi")
+    }
+  }
+
+  /** Drop near-duplicates: MinHash-LSH pairs → connected components → keep
+    * only each cluster's canonical (min-id) member. */
+  final class NearDupFilter extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      val (in, id, text) = (inputs.head, str(p, "id_col", "doc_id"), str(p, "text_col", "text"))
+      val pairs = Dedup.minHashLsh(in, id, text,
+        threshold = num(p, "threshold", 0.6))
+      val components = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val losers = components.filter(col("id") =!= col("component"))
+        .select(col("id").as(id))
+      in.join(losers, Seq(id), "left_anti")
+    }
+  }
+
+  /** Drop documents sharing any n-gram with the probe (benchmark) input —
+    * the second input view is the probe set. */
+  final class Decontaminate extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      val Seq(corpus, probes) = inputs.take(2)
+      val (id, text) = (str(p, "id_col", "doc_id"), str(p, "text_col", "text"))
+      val contaminated = Dedup.contamination(corpus, probes, id, text, id, text,
+        n = num(p, "ngram", 8).toInt).select(col(id))
+      corpus.join(contaminated, Seq(id), "left_anti")
+    }
+  }
+
+  /** Deterministic hash sample at `fraction` (portable md5 mode optional). */
+  final class HashSample extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame =
+      Sampling.byHash(inputs.head, str(p, "id_col", "doc_id"),
+        num(p, "fraction", 1.0),
+        portable = p.get("portable").exists(_.toString.toBoolean))
+  }
+}
