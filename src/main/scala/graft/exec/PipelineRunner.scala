@@ -88,8 +88,6 @@ final class PipelineRunner(
   private val views = mutable.LinkedHashMap[String, DataFrame]()
   /** Views that are streaming DataFrames. */
   private val streamingViews = mutable.Set[String]()
-  /** Observed warn-metrics per data-quality action. */
-  val observations = mutable.Map[String, DataFrame]()
 
   def view(name: String): DataFrame = views.getOrElse(name,
     spark.table(name)) // fall through to catalog temp views / tables

@@ -47,6 +47,16 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   }
 
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    // Plain parquet has no schema-evolution protocol: files with differing
+    // column sets under one directory read back with whichever schema the
+    // footer sample yields — silent column loss. Fail loudly instead
+    // (Delta/Iceberg mergeSchema is the upgrade path; the interface seam).
+    readIfExists(table).foreach { existing =>
+      val (have, incoming) = (existing.columns.toSet, df.columns.toSet)
+      require(have == incoming,
+        s"append to '$table' with mismatched columns: table has " +
+          s"${have.toSeq.sorted.mkString(",")} vs incoming ${incoming.toSeq.sorted.mkString(",")}")
+    }
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
   }

@@ -86,6 +86,16 @@ class TableStoreSpec extends SparkSuite {
     assert(store.read("np").select("v").as[String].collect().toSet == Set("a", "N", "b"))
   }
 
+  test("append with mismatched columns fails loudly instead of corrupting reads") {
+    val store = freshStore()
+    store.overwrite("ap", Seq((1, "a")).toDF("k", "v"))
+    store.append("ap", Seq((2, "b")).toDF("k", "v")) // matching schema ok
+    val e = intercept[IllegalArgumentException](
+      store.append("ap", Seq((3, "c", "extra")).toDF("k", "v", "w")))
+    assert(e.getMessage.contains("mismatched columns"))
+    assert(store.read("ap").count() == 2)
+  }
+
   test("registerAll skips staging and dot directories") {
     val store = freshStore()
     store.overwrite("vis", Seq(1).toDF("x"))
