@@ -248,7 +248,9 @@ object YamlConfig {
         partitionColumns = strSeq(wt, "partition_columns"),
         rowFilter = str(wt, "row_filter"),
         tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
-        expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
+        expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
+        incremental = str(wt, "mode").contains("incremental") ||
+          wt.get("incremental").exists(_.toString.toBoolean))
       case "sink" => SinkWrite(name,
         source = sourceSeq(m).headOption.getOrElse(""),
         sinkType = str(wt, "sink_type").orElse(str(wt, "format")).getOrElse("files"),

@@ -99,7 +99,9 @@ final class PipelineRunner(
     target.foreach { t =>
       views(t) = df
       if (streaming) streamingViews += t
-      else df.createOrReplaceTempView(t)
+      // streaming DFs register as temp views too: SQL over them stays
+      // streaming (how incremental MVs aggregate their source)
+      df.createOrReplaceTempView(t)
     }
 
   def run(fg: FlowGroup): Unit = {
@@ -107,7 +109,10 @@ final class PipelineRunner(
     currentFlowgroup = fg.flowgroup
     currentOpMeta = fg.operationalMetadata
     try {
-      Planner.plan(fg).foreach(execute)
+      // dependency edges include views referenced inside SQL (Catalyst
+      // parse), so SQL-only consumers order and validate correctly
+      Planner.plan(fg,
+        a => graft.plan.DependencyAnalyzer.actionInputs(spark, a)).foreach(execute)
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, None)
     } catch { case e: Throwable =>
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, Some(e))
@@ -277,9 +282,28 @@ final class PipelineRunner(
       val df0 = a.sql.map(spark.sql).getOrElse(resolveSource(a.source.get))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
       val df = Expectations(df1, a.expectations)
-      store.overwrite(a.table, df, a.partitionColumns)
+      if (a.incremental) {
+        // incremental maintenance: the aggregation runs as a streaming
+        // query in COMPLETE mode — each run reads only new source data,
+        // merges partial aggregates in checkpointed state, and emits the
+        // full (aggregate-sized) result, which replaces the table. A 100 TB
+        // source is scanned once across all runs, not once per refresh.
+        require(df.isStreaming,
+          s"incremental MV '${a.name}' needs a streaming source/SQL " +
+            "(reference a stream-loaded view)")
+        df.writeStream.outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            store.replace(a.table, batch, a.partitionColumns)
+          }
+          .option("checkpointLocation", checkpointFor(a.name))
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      } else {
+        store.overwrite(a.table, df, a.partitionColumns)
+      }
       store.setProperties(a.table, a.tableProperties)
-      store.read(a.table).createOrReplaceTempView(tableViewName(a.table))
+      store.readIfExists(a.table)
+        .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: SinkWrite =>
@@ -441,9 +465,16 @@ final class PipelineRunner(
       case Some(t) if partCols.nonEmpty && partCols.forall(opts.keys.contains) &&
           opts.applyAsTruncates.isEmpty =>
         val affected = store.affectedValues(batch, partCols)
-        val scoped = t.filter(TableStore.partitionPredicate(partCols, affected))
-        val merged = ScdMerge.applyChanges(Some(scoped), batch, opts)
-        store.replacePartitions(a.table, merged, partCols, affected)
+        // a batch touching a huge partition count gains nothing from
+        // scoping (the literal predicate itself becomes the cost) — full
+        // replace is the better plan there
+        if (affected.size > PipelineRunner.MaxScopedPartitions)
+          store.replace(a.table, ScdMerge.applyChanges(Some(t), batch, opts), partCols)
+        else {
+          val scoped = t.filter(TableStore.partitionPredicate(partCols, affected))
+          val merged = ScdMerge.applyChanges(Some(scoped), batch, opts)
+          store.replacePartitions(a.table, merged, partCols, affected)
+        }
       case t =>
         store.replace(a.table, ScdMerge.applyChanges(t, batch, opts), partCols)
     }
@@ -515,4 +546,10 @@ final class PipelineRunner(
       case (k, v) if !k.startsWith("cloudFiles.") => Some(k -> v)
       case _ => None // schema-evolution/rescue options have no OSS equivalent
     }
+}
+
+object PipelineRunner {
+  /** Above this many affected partitions a CDC batch full-replaces instead
+    * of partition-scoping (the literal pruning predicate stops paying). */
+  val MaxScopedPartitions = 2000
 }

@@ -225,7 +225,11 @@ final case class MaterializedViewWrite(
     partitionColumns: Seq[String] = Nil,
     rowFilter: Option[String] = None,
     tableProperties: Map[String, String] = Map.empty,
-    expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
+    expectations: Seq[graft.operators.Expectations.Rule] = Nil,
+    /** Incremental maintenance: the view is a streaming aggregation whose
+      * state lives in the checkpoint — each run reads only NEW source data
+      * and merges partial aggregates, instead of a full recompute. */
+    incremental: Boolean = false) extends WriteAction {
   def sources: Seq[String] = source.toSeq
 }
 

@@ -22,11 +22,12 @@ object Planner {
 
   /** Kahn topo-sort of actions by target→source edges. Sources that no action
     * produces are external tables (resolved from the catalog at run time). */
-  def order(actions: Seq[Action]): Seq[Action] = {
+  def order(actions: Seq[Action],
+      inputs: Action => Seq[String] = _.sources): Seq[Action] = {
     val byTarget: Map[String, Action] =
       actions.flatMap(a => a.target.map(_ -> a)).toMap
     val deps: Map[String, Set[String]] = actions.map { a =>
-      a.name -> a.sources.flatMap(byTarget.get).map(_.name).toSet
+      a.name -> inputs(a).flatMap(byTarget.get).map(_.name).toSet
     }.toMap
     val byName = actions.map(a => a.name -> a).toMap
 
@@ -44,7 +45,7 @@ object Planner {
     out.result()
   }
 
-  def validate(fg: FlowGroup): Unit = {
+  def validate(fg: FlowGroup, inputs: Action => Seq[String] = _.sources): Unit = {
     val actions = fg.actions
     if (actions.isEmpty) throw PlanError(s"flowgroup '${fg.flowgroup}' has no actions")
     val writes = actions.collect { case w: WriteAction => w }
@@ -53,8 +54,9 @@ object Planner {
     val hasLoad = actions.exists(_.isInstanceOf[LoadAction])
     if (!hasLoad && !writes.exists(selfContained))
       throw PlanError(s"flowgroup '${fg.flowgroup}' has no load action and no self-contained write")
-    // orphan transforms: a non-write action whose target no other action consumes
-    val consumed = actions.flatMap(_.sources).toSet
+    // orphan transforms: a non-write action whose target no other action
+    // consumes (SQL-referenced views count — `inputs` may parse SQL)
+    val consumed = actions.flatMap(inputs).toSet
     val orphans = actions.collect {
       case a if !a.isInstanceOf[WriteAction] && a.target.exists(t => !consumed.contains(t)) => a.name
     }
@@ -67,8 +69,9 @@ object Planner {
   def groupWrites(actions: Seq[Action]): Map[String, Seq[WriteAction]] =
     actions.collect { case w: WriteAction => w }.groupBy(_.table)
 
-  def plan(fg: FlowGroup): Seq[Action] = {
-    validate(fg)
-    order(fg.actions)
+  def plan(fg: FlowGroup,
+      inputs: Action => Seq[String] = _.sources): Seq[Action] = {
+    validate(fg, inputs)
+    order(fg.actions, inputs)
   }
 }

@@ -54,7 +54,7 @@ class BlueprintSpec extends SparkSuite {
     val fgs = Blueprint.expand(Blueprint.parse(blueprintYaml))
     assert(fgs.map(_.flowgroup) == Seq("ingest_customer", "ingest_orders", "ingest_lineitem"))
     assert(fgs.head.actions(1).asInstanceOf[MaterializedViewWrite].table == "customer_bronze")
-    fgs.foreach(Planner.validate) // every expansion is a valid flowgroup
+    fgs.foreach(fg => Planner.validate(fg)) // every expansion is a valid flowgroup
   }
 
   test("resolution throughput: 600 blueprint flowgroups resolve + plan fast") {

@@ -516,6 +516,41 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(out2.select("id").as[Double].collect().toSeq == Seq(7.0))
   }
 
+  test("incremental MV: streaming aggregation state merges across runs") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/imv_landing"
+    Seq(("a", 10L), ("a", 5L), ("b", 1L)).toDF("k", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: imv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "k STRING, v BIGINT"
+         |    target: v_ev
+         |  - name: mv
+         |    type: write
+         |    sql: "SELECT k, sum(v) AS total, count(*) AS n FROM v_ev GROUP BY k"
+         |    write_target: {type: materialized_view, table: totals, mode: incremental}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    def totals() = store.read("totals").select("k", "total", "n")
+      .as[(String, Long, Long)].collect().toSet
+    assert(totals() == Set(("a", 15L, 2L), ("b", 1L, 1L)))
+
+    // new file with updates to an EXISTING key and a new key: the second run
+    // reads ONLY the new file, yet totals combine with prior state — proof
+    // the aggregation state persisted rather than recomputing from scratch
+    Seq(("a", 1L), ("c", 7L)).toDF("k", "v").write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(totals() == Set(("a", 16L, 3L), ("b", 1L, 1L), ("c", 7L, 1L)))
+  }
+
   test("row_filter and table_properties apply on writes") {
     val (runner, store, _) = freshRunner()
     Seq((1, "keep"), (2, "drop")).toDF("id", "tag").createOrReplaceTempView("rf_src")
