@@ -551,6 +551,60 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(totals() == Set(("a", 16L, 3L), ("b", 1L, 1L), ("c", 7L, 1L)))
   }
 
+  test("stream-static join: SQL transform enriches a stream with a dimension") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/ssj_landing"
+    Seq((1L, 10L), (2L, 20L)).toDF("dim_id", "v").write.json(landing)
+    Seq((1L, "one"), (2L, "two")).toDF("dim_id", "label")
+      .createOrReplaceTempView("ssj_dim")
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: ssj
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "dim_id BIGINT, v BIGINT"
+         |    target: v_stream
+         |  - name: enrich
+         |    type: transform
+         |    transform_type: sql
+         |    source: v_stream
+         |    target: v_enriched
+         |    sql: "SELECT s.dim_id, s.v, d.label FROM v_stream s JOIN ssj_dim d ON s.dim_id = d.dim_id"
+         |  - name: w
+         |    type: write
+         |    source: v_enriched
+         |    write_target: {type: streaming_table, table: enriched}
+         |""".stripMargin))
+    assert(store.read("enriched").select("dim_id", "v", "label")
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "one"), (2L, 20L, "two")))
+  }
+
+  test("kafka sink validates the value column before connecting") {
+    val (runner, _, _) = freshRunner()
+    Seq((1, "x")).toDF("id", "payload").createOrReplaceTempView("kv_src")
+    val e = intercept[IllegalArgumentException](runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: kafka_bad
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: kv_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: sink, sink_type: kafka, options: {topic: t}}
+        |""".stripMargin)))
+    assert(e.getMessage.contains("value"))
+  }
+
   test("row_filter and table_properties apply on writes") {
     val (runner, store, _) = freshRunner()
     Seq((1, "keep"), (2, "drop")).toDF("id", "tag").createOrReplaceTempView("rf_src")
