@@ -43,4 +43,16 @@ class DependencyAnalyzerSpec extends SparkSuite {
     val g = DependencyAnalyzer.flowgroupGraph(spark, fgs)
     assert(g.generations == Seq(Seq("p.a", "p.b"), Seq("p.c")))
   }
+
+  test("dependency graph exports DOT and generation text") {
+    val fgs = Seq(
+      fg("p", "a", Seq("ext"), "t_a"),
+      fg("p", "b", Seq("t_a"), "t_b"))
+    val g = DependencyAnalyzer.flowgroupGraph(spark, fgs)
+    val dot = graft.tools.Dependencies.toDot("flowgroups", g)
+    assert(dot.startsWith("digraph \"flowgroups\" {"))
+    assert(dot.contains("\"p.a\" -> \"p.b\";")) // data-flow direction
+    assert(graft.tools.Dependencies.toText(g) ==
+      "generation 0: p.a\ngeneration 1: p.b")
+  }
 }
