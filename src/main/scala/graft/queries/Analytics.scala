@@ -80,7 +80,18 @@ object Analytics {
         regexp_replace(col("p_type"), " ", "_").as("type_snake"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
 
+  /** Exact percentiles (continuous interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition). */
+  def q27Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+        round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_percentiles" -> q27Percentiles,
     "q21_grouping_sets" -> q21GroupingSets,
     "q22_rollup" -> q22Rollup,
     "q23_topk_per_group" -> q23TopKPerGroup,
@@ -89,6 +100,12 @@ object Analytics {
     "q26_string_funcs" -> q26StringFuncs)
 
   val oracle: Map[String, String] = Map(
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  round(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q21_grouping_sets" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
