@@ -90,8 +90,37 @@ object Analytics {
         round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
         round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"))
 
+  /** Date/time function surface: truncation, extraction, arithmetic. */
+  def q28Datetime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(lit(java.sql.Date.valueOf("2026-01-01")),
+          col("o_orderdate").cast("date")).as("days_to_2026"))
+
+  /** RANGE-frame window: per customer, the sum of order totals within the
+    * preceding 30 days of each order (event-time sliding aggregate). */
+  def q29RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").cast("timestamp").cast("long").as("ts"),
+        col("o_totalprice"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("ts"))
+      .rangeBetween(-30L * 86400, 0)
+    o.select(col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 4).as("sum_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_percentiles" -> q27Percentiles,
+    "q28_datetime" -> q28Datetime,
+    "q29_range_window" -> q29RangeWindow,
     "q21_grouping_sets" -> q21GroupingSets,
     "q22_rollup" -> q22Rollup,
     "q23_topk_per_group" -> q23TopKPerGroup,
@@ -100,6 +129,22 @@ object Analytics {
     "q26_string_funcs" -> q26StringFuncs)
 
   val oracle: Map[String, String] = Map(
+    "q28_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT)
+        |    AS days_to_2026
+        |FROM orders""".stripMargin,
+    "q29_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(SUM(o_totalprice) OVER w, 4) AS sum_30d,
+        |  COUNT(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
     "q27_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
