@@ -40,10 +40,13 @@ object RunProject {
     val outcomes = orchestrator.run(fgs)
 
     outcomes.foreach { o =>
-      val status = o.error.map(e => s"FAILED: ${e.getMessage}").getOrElse("ok")
+      val status =
+        if (o.skipped) "SKIPPED (upstream failed)"
+        else o.error.map(e => s"FAILED: ${e.getMessage}")
+          .getOrElse(s"ok (${o.durationMs} ms)")
       println(s"[graft] ${o.flowgroup}: $status")
     }
     spark.stop()
-    if (outcomes.exists(_.error.isDefined)) sys.exit(1)
+    if (outcomes.exists(o => o.error.isDefined || o.skipped)) sys.exit(1)
   }
 }

@@ -16,6 +16,11 @@ import graft.plan.DependencyAnalyzer
   * core/coordination/_pool.py:196 — here threads submitting concurrent Spark
   * jobs into one session; Spark's scheduler interleaves their stages across
   * the cluster, which is the idiomatic Spark replacement for a process pool).
+  *
+  * Fault policy: a failure never aborts the run — unaffected flowgroups in
+  * the same and later generations still execute, but transitive DEPENDENTS
+  * of a failed flowgroup are skipped (running them would read stale or
+  * missing upstream tables) and reported with `skipped = true`.
   */
 final class PipelineOrchestrator(
     spark: SparkSession,
@@ -29,29 +34,42 @@ final class PipelineOrchestrator(
   import PipelineOrchestrator.Outcome
 
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
-    * Returns per-flowgroup outcomes; fails fast only within a generation. */
+    * Returns one outcome per flowgroup (run, failed, or skipped). */
   def run(fgs: Seq[FlowGroup]): Seq[Outcome] = {
     val byName = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg).toMap
     val graph = DependencyAnalyzer.flowgroupGraph(spark, fgs)
     val pool = Executors.newFixedThreadPool(math.max(1, maxParallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val dead = scala.collection.mutable.Set[String]() // failed or skipped
     try {
       graph.generations.flatMap { gen =>
-        val futures = gen.flatMap(byName.get).map { fg =>
+        val (blocked, runnable) = gen.partition(n =>
+          graph.edges.getOrElse(n, Set.empty).exists(dead))
+        dead ++= blocked
+        val skips = blocked.flatMap(byName.get).map { fg =>
+          Outcome(s"${fg.pipeline}.${fg.flowgroup}", None, skipped = true,
+            durationMs = 0L)
+        }
+        val futures = runnable.flatMap(byName.get).map { fg =>
           Future {
             val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
               projectRoot, opMetaColumns)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
-            try { runner.run(fg); Outcome(name, None) }
-            catch { case e: Throwable => Outcome(name, Some(e)) }
+            val t0 = System.nanoTime()
+            def ms = (System.nanoTime() - t0) / 1000000
+            try { runner.run(fg); Outcome(name, None, skipped = false, ms) }
+            catch { case e: Throwable => Outcome(name, Some(e), skipped = false, ms) }
           }
         }
-        Await.result(Future.sequence(futures), Duration.Inf)
+        val ran = Await.result(Future.sequence(futures), Duration.Inf)
+        dead ++= ran.filter(_.error.isDefined).map(_.flowgroup)
+        skips ++ ran
       }
     } finally pool.shutdown()
   }
 }
 
 object PipelineOrchestrator {
-  final case class Outcome(flowgroup: String, error: Option[Throwable])
+  final case class Outcome(flowgroup: String, error: Option[Throwable],
+      skipped: Boolean = false, durationMs: Long = 0L)
 }

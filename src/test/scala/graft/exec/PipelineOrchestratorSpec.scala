@@ -44,5 +44,39 @@ class PipelineOrchestratorSpec extends SparkSuite {
     val outcomes = orch.run(Seq(silver, bronze))
     assert(outcomes.forall(_.error.isEmpty), outcomes.flatMap(_.error.map(_.getMessage)))
     assert(store.read("orch_silver").count() == 2)
+    assert(outcomes.filterNot(_.skipped).forall(_.durationMs >= 0))
+  }
+
+  test("failed flowgroup skips its transitive dependents; independents still run") {
+    val dir = Files.createTempDirectory("graft-orch-skip").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    Seq(1).toDF("x").createOrReplaceTempView("ok_src")
+    def fgYaml(pipeline: String, flowgroup: String, srcTable: String, outTable: String) =
+      YamlConfig.parseFlowGroup(
+        s"""pipeline: $pipeline
+           |flowgroup: $flowgroup
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: table, table: $srcTable}
+           |    target: v_$flowgroup
+           |  - name: w
+           |    type: write
+           |    source: v_$flowgroup
+           |    write_target: {type: materialized_view, table: $outTable}
+           |""".stripMargin)
+    val broken = fgYaml("p", "broken", "no_such_table_anywhere", "t_broken")
+    val dependent = fgYaml("p", "dependent", "t_broken", "t_dep")
+    val grandchild = fgYaml("p", "grandchild", "t_dep", "t_grand")
+    val independent = fgYaml("p", "independent", "ok_src", "t_ok")
+
+    val orch = new PipelineOrchestrator(spark, store, s"$dir/cp", maxParallelism = 2)
+    val byName = orch.run(Seq(dependent, grandchild, broken, independent))
+      .map(o => o.flowgroup -> o).toMap
+    assert(byName("p.broken").error.isDefined && !byName("p.broken").skipped)
+    assert(byName("p.dependent").skipped)
+    assert(byName("p.grandchild").skipped) // transitive
+    assert(byName("p.independent").error.isEmpty && !byName("p.independent").skipped)
+    assert(store.read("t_ok").count() == 1)
   }
 }
