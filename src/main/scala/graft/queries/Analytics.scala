@@ -117,7 +117,22 @@ object Analytics {
         count(lit(1)).over(w).as("n_30d"))
   }
 
+  /** Array aggregation surface: per order, the sorted quantity list (joined
+    * to a string for engine-portable comparison), its size, and a
+    * higher-order-function fold over it. */
+  def q30ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("q")).as("qs"))
+      .select(
+        col("l_orderkey"),
+        array_join(sort_array(col("qs")), ",").as("quantities"),
+        size(col("qs")).as("n_items"),
+        aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("total_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_array_agg" -> q30ArrayAgg,
     "q27_percentiles" -> q27Percentiles,
     "q28_datetime" -> q28Datetime,
     "q29_range_window" -> q29RangeWindow,
@@ -129,6 +144,13 @@ object Analytics {
     "q26_string_funcs" -> q26StringFuncs)
 
   val oracle: Map[String, String] = Map(
+    "q30_array_agg" ->
+      """SELECT l_orderkey,
+        |  list_aggregate(list_sort(list(CAST(l_quantity AS BIGINT))),
+        |                 'string_agg', ',') AS quantities,
+        |  CAST(count(*) AS INT) AS n_items,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q28_datetime" ->
       """SELECT o_orderkey,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
