@@ -190,9 +190,9 @@ object YamlConfig {
     // parquet-warehouse equivalent (reference: models/_action.py:11-62) —
     // loud by default so a user never ships a config believing they took
     // effect; `lenient` downgrades to a warning (they are safe no-ops, and
-    // real reference example projects do use them).
+    // real reference example projects do use them). cluster_columns is NOT
+    // here: it maps to range-clustered writes (see ClusterColumns below).
     Map(
-      "cluster_columns" -> "liquid clustering needs a Delta/Iceberg table format",
       "refresh_schedule" -> "scheduled refresh needs an external scheduler; run the flowgroup from one",
       "temporary" -> "temporary tables need a session catalog"
     ).foreach { case (k, why) =>
@@ -231,6 +231,7 @@ object YamlConfig {
           source = sourceSeq(m).headOption.getOrElse(""),
           table = table,
           partitionColumns = strSeq(wt, "partition_columns"),
+          clusterColumns = strSeq(wt, "cluster_columns"),
           once = m.get("once").exists(_.toString.toBoolean),
           cdc = cdc,
           snapshotCdc = str(wt, "mode").contains("snapshot_cdc") || snapMap.isDefined,
@@ -246,6 +247,7 @@ object YamlConfig {
         table = table,
         sql = str(m, "sql").orElse(str(wt, "sql")),
         partitionColumns = strSeq(wt, "partition_columns"),
+        clusterColumns = strSeq(wt, "cluster_columns"),
         rowFilter = str(wt, "row_filter"),
         tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
         expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),

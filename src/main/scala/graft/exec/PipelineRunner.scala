@@ -299,7 +299,7 @@ final class PipelineRunner(
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       } else {
-        store.overwrite(a.table, df, a.partitionColumns)
+        store.overwrite(a.table, clustered(df, a.clusterColumns), a.partitionColumns)
       }
       store.setProperties(a.table, a.tableProperties)
       store.readIfExists(a.table)
@@ -437,20 +437,28 @@ final class PipelineRunner(
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             logChanges(a, batch, None)
-            store.append(a.table, batch, a.partitionColumns)
+            store.append(a.table, clustered(batch, a.clusterColumns), a.partitionColumns)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (None, _) =>
         logChanges(a, src, None)
-        store.append(a.table, src, a.partitionColumns)
+        store.append(a.table, clustered(src, a.clusterColumns), a.partitionColumns)
     }
     // a snapshot-polling write may legitimately find no snapshots on a run
     store.readIfExists(a.table)
       .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
   }
+
+  /** Range-cluster a frame on the write's cluster columns: range
+    * repartition + in-partition sort makes each file's parquet min/max
+    * stats tight and disjoint, so later scans skip files (the parquet
+    * stand-in for liquid clustering). */
+  private def clustered(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df
+    else df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*)
 
   /** Apply a CDC change batch to the target. When the write's partition
     * columns are all merge keys, the merge closes over exactly the
@@ -469,14 +477,18 @@ final class PipelineRunner(
         // scoping (the literal predicate itself becomes the cost) — full
         // replace is the better plan there
         if (affected.size > PipelineRunner.MaxScopedPartitions)
-          store.replace(a.table, ScdMerge.applyChanges(Some(t), batch, opts), partCols)
+          store.replace(a.table,
+            clustered(ScdMerge.applyChanges(Some(t), batch, opts), a.clusterColumns),
+            partCols)
         else {
           val scoped = t.filter(TableStore.partitionPredicate(partCols, affected))
           val merged = ScdMerge.applyChanges(Some(scoped), batch, opts)
-          store.replacePartitions(a.table, merged, partCols, affected)
+          store.replacePartitions(a.table, clustered(merged, a.clusterColumns),
+            partCols, affected)
         }
       case t =>
-        store.replace(a.table, ScdMerge.applyChanges(t, batch, opts), partCols)
+        store.replace(a.table,
+          clustered(ScdMerge.applyChanges(t, batch, opts), a.clusterColumns), partCols)
     }
   }
 

@@ -166,6 +166,29 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     Files.deleteIfExists(Paths.get(path(table) + "._version")): Unit
   }
 
+  /** Compact a table's data files toward `targetBytesPerFile`: many small
+    * part-files (the residue of frequent appends/microbatches) rewrite into
+    * few large ones via the staging/swap path. Run as maintenance, like
+    * Delta OPTIMIZE; optional `sortBy` re-clusters while compacting. */
+  def compact(table: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): Unit = {
+    val dir = new java.io.File(path(table))
+    if (!dir.exists()) return
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) f.length()
+      else 0L
+    val parts = math.max(1, math.ceil(walk(dir).toDouble / targetBytesPerFile).toInt)
+    val df0 = read(table)
+    val df =
+      if (sortBy.nonEmpty)
+        df0.repartitionByRange(parts, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df0.repartition(parts)
+    val partCols = partitionColumnsOf(table)
+    replace(table, df, partCols)
+  }
+
   /** Small per-table metadata values kept in sidecar files (e.g. the last
     * processed snapshot version for snapshot-polling CDC). */
   def getMeta(table: String, key: String): Option[String] = {

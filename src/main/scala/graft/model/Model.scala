@@ -200,6 +200,10 @@ final case class StreamingTableWrite(
     partitionColumns: Seq[String] = Nil,
     once: Boolean = false,
     cdc: Option[CdcConfig] = None,
+    /** Range-cluster data files on these columns at write time (parquet
+      * min/max stats become tight → scan-time data skipping; the
+      * cluster_columns counterpart for a parquet warehouse). */
+    clusterColumns: Seq[String] = Nil,
     snapshotCdc: Boolean = false,
     /** Snapshot-polling source: a [[graft.exec.SnapshotFunction]] class name
       * (the reference's snapshot_cdc_config.source_function — DLT's
@@ -226,6 +230,8 @@ final case class MaterializedViewWrite(
     rowFilter: Option[String] = None,
     tableProperties: Map[String, String] = Map.empty,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil,
+    /** Range-cluster data files on these columns at write time. */
+    clusterColumns: Seq[String] = Nil,
     /** Incremental maintenance: the view is a streaming aggregation whose
       * state lives in the checkpoint — each run reads only NEW source data
       * and merges partial aggregates, instead of a full recompute. */

@@ -86,8 +86,10 @@ class YamlConfigSpec extends SparkSuite {
          |    source: v
          |    write_target: {type: streaming_table, table: t, $extra}
          |""".stripMargin)
-    assert(intercept[YamlConfig.ConfigError](write("cluster_columns: [a]"))
-      .msg.contains("cluster_columns"))
+    // cluster_columns is a FEATURE (range-clustered writes), not an error
+    import graft.model.StreamingTableWrite
+    assert(write("cluster_columns: [a, b]").actions.head
+      .asInstanceOf[StreamingTableWrite].clusterColumns == Seq("a", "b"))
     assert(intercept[YamlConfig.ConfigError](write("refresh_schedule: \"0 * * * *\""))
       .msg.contains("refresh_schedule"))
     assert(intercept[YamlConfig.ConfigError](write("temporary: true")).msg.contains("temporary"))

@@ -605,6 +605,49 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(e.getMessage.contains("value"))
   }
 
+  test("cluster_columns range-clusters data files (disjoint min/max per file)") {
+    val (runner, store, _) = freshRunner()
+    // AQE rightly coalesces this tiny shuffle to one partition; disable it
+    // here so the multi-file disjointness property is observable
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val rnd = new scala.util.Random(5)
+    rnd.shuffle((1 to 4000).toList).map(i => (i.toLong, s"r$i"))
+      .toDF("k", "v").createOrReplaceTempView("cl_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: cl
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: cl_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target:
+        |      type: materialized_view
+        |      table: cl_out
+        |      cluster_columns: [k]
+        |""".stripMargin))
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(store.path("cl_out")))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toList
+    assert(files.size > 1, "expected multiple range partitions")
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"file $f not sorted") // tight row-group stats
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.zip(ranges.drop(1)).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: $ranges") // disjoint → file skipping
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("row_filter and table_properties apply on writes") {
     val (runner, store, _) = freshRunner()
     Seq((1, "keep"), (2, "drop")).toDF("id", "tag").createOrReplaceTempView("rf_src")

@@ -96,6 +96,21 @@ class TableStoreSpec extends SparkSuite {
     assert(store.read("ap").count() == 2)
   }
 
+  test("compact rewrites many small files into few, preserving contents") {
+    val store = freshStore()
+    (1 to 8).foreach(i => store.append("frag",
+      Seq((i, s"v$i")).toDF("k", "v").repartition(2)))
+    def dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(store.path("frag")))
+      .iterator().asScala
+      .count(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
+    val before = store.read("frag").as[(Int, String)].collect().toSet
+    assert(dataFiles >= 8)
+    store.compact("frag")
+    assert(dataFiles <= 2)
+    assert(store.read("frag").as[(Int, String)].collect().toSet == before)
+  }
+
   test("registerAll skips staging and dot directories") {
     val store = freshStore()
     store.overwrite("vis", Seq(1).toDF("x"))
