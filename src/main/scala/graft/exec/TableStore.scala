@@ -124,9 +124,10 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 
     val targetRoot = Paths.get(path(table))
     // 1. drop affected partition dirs (covers fully-deleted partitions);
-    //    match by unescaped dir values against the affected value tuples
-    val affectedStrs: Set[Seq[Option[String]]] =
-      affected.map(r => partitionBy.indices.map(i => Option(r.get(i)).map(_.toString))).toSet
+    //    match by unescaped dir values against the affected value tuples.
+    //    Values canonicalize through Spark's CAST-to-string (JVM toString
+    //    diverges for timestamps: java.sql.Timestamp appends ".0")
+    val affectedStrs: Set[Seq[Option[String]]] = stringForms(affected, partitionBy)
     partitionDirs(targetRoot, partitionBy.size).foreach { case (values, dir) =>
       if (affectedStrs.contains(values)) rm(dir.toFile)
     }
@@ -243,6 +244,17 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     }
     rm(new java.io.File(trash))
   }
+
+  /** Partition-value tuples rendered the way Spark renders them into
+    * directory names: through CAST to string on a local frame. */
+  private def stringForms(affected: Seq[Row], partitionBy: Seq[String]): Set[Seq[Option[String]]] =
+    if (affected.isEmpty) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(affected.asJava, affected.head.schema)
+      df.select(partitionBy.map(c => col(c).cast("string")): _*).collect()
+        .map(r => partitionBy.indices.map(i => Option(r.getString(i))).toSeq).toSet
+    }
 
   /** Leaf partition directories exactly `depth` levels below `root`, with
     * their unescaped partition values (None = the Hive null partition). */

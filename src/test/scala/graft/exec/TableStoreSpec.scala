@@ -66,6 +66,19 @@ class TableStoreSpec extends SparkSuite {
     assert(!new java.io.File(s"${store.path("dp")}/k=3").exists())
   }
 
+  test("partition-scoped replace matches date-typed partition directories") {
+    val store = freshStore()
+    val d1 = java.sql.Date.valueOf("2026-08-01")
+    val d2 = java.sql.Date.valueOf("2026-08-02")
+    store.overwrite("dt", Seq((d1, "a"), (d2, "b")).toDF("d", "v"), Seq("d"))
+    val affected = store.affectedValues(Seq((d2, "")).toDF("d", "v"), Seq("d"))
+    store.replacePartitions("dt", Seq((d2, "B")).toDF("d", "v"), Seq("d"), affected)
+    assert(store.read("dt").select("v").as[String].collect().toSet == Set("a", "B"))
+    // exactly one d=2026-08-02 dir remains (the old one was matched+deleted)
+    val dirs = new java.io.File(store.path("dt")).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.toSeq == Seq("d=2026-08-01", "d=2026-08-02"))
+  }
+
   test("upsert on an unpartitioned table still anti-join-rewrites") {
     val store = freshStore()
     store.overwrite("u", Seq((1, "a"), (2, "b")).toDF("k", "v"))
