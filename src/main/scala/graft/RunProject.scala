@@ -7,7 +7,7 @@ import graft.exec.{PipelineOrchestrator, TableStore, TestReporters}
   * engine's counterpart of the reference CLI's generate-then-run cycle.
   *
   * {{{
-  * sbt "runMain graft.RunProject <projectDir> <env> <warehouse> [pipelineFilter]"
+  * sbt "runMain graft.RunProject <projectDir> <env> <warehouse> [pipelineFilter] [--full-refresh]"
   * }}}
   *
   * Loads lhp.yaml + templates/presets/blueprints/substitutions, resolves the
@@ -22,7 +22,9 @@ object RunProject {
     require(args.length >= 3,
       "usage: RunProject <projectDir> <env> <warehouse> [pipelineFilter]")
     val Array(projectDir, env, warehouse) = args.take(3)
-    val pipelineFilter = args.lift(3)
+    val flags = args.drop(3).filter(_.startsWith("--")).toSet
+    val pipelineFilter = args.drop(3).find(!_.startsWith("--"))
+    val fullRefresh: Set[String] = if (flags("--full-refresh")) Set("*") else Set.empty
 
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,7 +38,8 @@ object RunProject {
     val store = new TableStore(spark, warehouse)
     val orchestrator = new PipelineOrchestrator(spark, store, s"$warehouse/_checkpoints",
       hooks = new TestReporters.JUnitXmlReporter(s"$warehouse/_reports"),
-      projectRoot = projectDir, opMetaColumns = project.opMetaColumns)
+      projectRoot = projectDir, opMetaColumns = project.opMetaColumns,
+      fullRefresh = fullRefresh)
     val outcomes = orchestrator.run(fgs)
 
     outcomes.foreach { o =>

@@ -30,7 +30,8 @@ final class PipelineOrchestrator(
     plugins: Map[String, AnyRef] = Map.empty,
     hooks: PipelineHooks = PipelineHooks.noop,
     projectRoot: String = ".",
-    opMetaColumns: Map[String, String] = Map.empty) {
+    opMetaColumns: Map[String, String] = Map.empty,
+    fullRefresh: Set[String] = Set.empty) {
   import PipelineOrchestrator.Outcome
 
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
@@ -53,7 +54,7 @@ final class PipelineOrchestrator(
         val futures = runnable.flatMap(byName.get).map { fg =>
           Future {
             val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
-              projectRoot, opMetaColumns)
+              projectRoot, opMetaColumns, fullRefresh = fullRefresh)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
             val t0 = System.nanoTime()
             def ms = (System.nanoTime() - t0) / 1000000

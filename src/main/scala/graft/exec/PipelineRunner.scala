@@ -56,7 +56,11 @@ final class PipelineRunner(
     /** Project-defined operational-metadata columns: name → Spark SQL
       * expression (the lhp.yaml operational_metadata catalog). */
     opMetaColumns: Map[String, String] = Map.empty,
-    runId: String = java.util.UUID.randomUUID().toString) {
+    runId: String = java.util.UUID.randomUUID().toString,
+    /** Tables to rebuild from scratch this run (drop table + stream
+      * checkpoints before writing); "*" = every write target — the
+      * reference CLI's --full-refresh. */
+    fullRefresh: Set[String] = Set.empty) {
 
   /** Resolve a YAML file reference: absolute/existing as-is, else relative
     * to the project root; bare schema names resolve to
@@ -279,6 +283,7 @@ final class PipelineRunner(
     case a: StreamingTableWrite => executeStreamingWrite(a)
 
     case a: MaterializedViewWrite =>
+      applyFullRefresh(a.table, a.name)
       val df0 = a.sql.map(spark.sql).getOrElse(resolveSource(a.source.get))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
       val df = Expectations(df1, a.expectations)
@@ -364,7 +369,21 @@ final class PipelineRunner(
       .withColumn("_commit_version", lit(version)))
   }
 
+  /** Drop a write target's table and this action's stream state when it is
+    * marked for full refresh, so the write rebuilds from scratch. */
+  private def applyFullRefresh(table: String, actionName: String): Unit =
+    if (fullRefresh.contains("*") || fullRefresh.contains(table)) {
+      store.drop(table)
+      store.drop(s"${table}__changes")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(checkpointFor(actionName)))
+    }
+
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
+    applyFullRefresh(a.table, a.name)
     // lazy: a snapshot-polling write pulls data from its function, not the
     // source view (which need not exist in that mode)
     lazy val src = {

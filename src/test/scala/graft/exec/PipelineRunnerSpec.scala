@@ -648,6 +648,42 @@ class PipelineRunnerSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("full refresh drops the table, changes companion, and stream state") {
+    val dir = Files.createTempDirectory("graft-fr").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val landing = s"$dir/fr_landing"
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: fr
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, v STRING"
+         |    target: v_fr
+         |  - name: w
+         |    type: write
+         |    source: v_fr
+         |    write_target: {type: streaming_table, table: fr_tbl, change_log: true}
+         |""".stripMargin
+    new PipelineRunner(spark, store, s"$dir/ckpt").run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("fr_tbl").count() == 2)
+    // normal re-run: checkpoint says nothing new
+    new PipelineRunner(spark, store, s"$dir/ckpt").run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("fr_tbl").count() == 2)
+    // full refresh: state wiped, everything re-ingests exactly once
+    new PipelineRunner(spark, store, s"$dir/ckpt", fullRefresh = Set("*"))
+      .run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("fr_tbl").count() == 2)
+    assert(store.read("fr_tbl__changes").select("_commit_version")
+      .as[Long].collect().toSet == Set(0L)) // history restarted
+  }
+
   test("row_filter and table_properties apply on writes") {
     val (runner, store, _) = freshRunner()
     Seq((1, "keep"), (2, "drop")).toDF("id", "tag").createOrReplaceTempView("rf_src")
