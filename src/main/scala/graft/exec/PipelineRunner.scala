@@ -384,6 +384,12 @@ final class PipelineRunner(
 
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
     applyFullRefresh(a.table, a.name)
+    // `once` flows are single backfills (DLT once-flow semantics): after the
+    // first successful run they no-op until a full refresh. Streaming paths
+    // already no-op via checkpoints; this marker covers batch flows, whose
+    // re-runs would otherwise duplicate appends.
+    val onceKey = s"once_${currentPipeline}_${currentFlowgroup}_${a.name}"
+    if (a.once && store.getMeta(a.table, onceKey).isDefined) return
     // lazy: a snapshot-polling write pulls data from its function, not the
     // source view (which need not exist in that mode)
     lazy val src = {
@@ -465,6 +471,7 @@ final class PipelineRunner(
         logChanges(a, src, None)
         store.append(a.table, clustered(src, a.clusterColumns), a.partitionColumns)
     }
+    if (a.once) store.setMeta(a.table, onceKey, "done")
     // a snapshot-polling write may legitimately find no snapshots on a run
     store.readIfExists(a.table)
       .foreach(_.createOrReplaceTempView(tableViewName(a.table)))

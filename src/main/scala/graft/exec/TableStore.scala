@@ -163,8 +163,13 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def drop(table: String): Unit = {
     val f = new java.io.File(path(table))
     if (f.exists()) rm(f)
-    Files.deleteIfExists(Paths.get(path(table) + "._properties.json"))
-    Files.deleteIfExists(Paths.get(path(table) + "._version")): Unit
+    // every sidecar is a sibling file named "<dir>._<key>" — remove them all
+    // (properties, commit version, snapshot version, once markers, ...)
+    Option(f.getParentFile).foreach { parent =>
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getName.startsWith(f.getName + "._"))
+        .foreach(_.delete())
+    }
   }
 
   /** Compact a table's data files toward `targetBytesPerFile`: many small

@@ -648,6 +648,35 @@ class PipelineRunnerSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("once flows backfill a single time; full refresh re-arms them") {
+    val dir = Files.createTempDirectory("graft-once").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    Seq(1, 2).toDF("x").createOrReplaceTempView("once_src")
+    val yaml =
+      """pipeline: p
+        |flowgroup: oncefg
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: once_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    once: true
+        |    write_target: {type: streaming_table, table: once_tbl}
+        |""".stripMargin
+    new PipelineRunner(spark, store, s"$dir/ckpt").run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("once_tbl").count() == 2)
+    // re-run: the batch append does NOT duplicate
+    new PipelineRunner(spark, store, s"$dir/ckpt").run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("once_tbl").count() == 2)
+    // full refresh re-arms the once flow
+    new PipelineRunner(spark, store, s"$dir/ckpt", fullRefresh = Set("*"))
+      .run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("once_tbl").count() == 2)
+  }
+
   test("full refresh drops the table, changes companion, and stream state") {
     val dir = Files.createTempDirectory("graft-fr").toString
     val store = new TableStore(spark, s"$dir/warehouse")
