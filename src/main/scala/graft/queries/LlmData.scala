@@ -117,8 +117,13 @@ object LlmData {
   def t6Repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(docs(s, dir), "doc_id", "text", n = 2)
 
+  def t7Chunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+      chunkChars = 200, overlapChars = 40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t6_repetition" -> t6Repetition,
+    "t7_chunks" -> t7Chunks,
     "d1_exact_dedup" -> d1Exact,
     "d2_ngram_jaccard" -> d2NgramJaccard,
     "d3_minhash_lsh" -> d3MinHashLsh,
@@ -289,6 +294,13 @@ object LlmData {
         |SELECT doc_id, g AS top_gram, c AS top_count,
         |  round(c * 1.0 / total, 6) AS top_fraction
         |FROM ranked WHERE rn = 1""".stripMargin,
+    // chunking: stride 160 = 200 - 40; chunk i = substring(i*160+1, 200)
+    "t7_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  substring(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text,
+        |  CAST(length(substring(text, CAST(i * 160 + 1 AS INT), 200)) AS INT) AS chunk_len
+        |FROM documents, UNNEST(range(0,
+        |  greatest(CAST(ceil((length(text) - 40) * 1.0 / 160) AS BIGINT), 1))) AS t(i)""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

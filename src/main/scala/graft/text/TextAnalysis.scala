@@ -91,6 +91,26 @@ object TextAnalysis {
         round(col("c") / col("__total"), 6).as("top_fraction"))
   }
 
+  /** Split documents into fixed-size character chunks with overlap — the
+    * context-window packing step of a training-data pipeline. Chunk i covers
+    * `[i*stride, i*stride + chunkChars)` with `stride = chunkChars -
+    * overlapChars`; the final chunk may run short. Pure per-row expressions
+    * (sequence + substr) — shuffle-free fan-out. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      "need 0 <= overlap < chunk size")
+    val stride = chunkChars - overlapChars
+    val len = length(col(textCol))
+    val nChunks = greatest(
+      ceil((len - lit(overlapChars)).cast("double") / stride).cast("int"), lit(1))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => col(textCol).substr(i * stride + 1, lit(chunkChars)))))
+      .select(col(idCol), col("pos").as("chunk_idx"), col("col").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
 

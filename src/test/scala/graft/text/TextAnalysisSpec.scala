@@ -38,6 +38,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("chunking: overlapping windows cover the text, short tail kept") {
+    val d = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 chars
+    val out = TextAnalysis.chunk(d, "doc_id", "text", chunkChars = 4, overlapChars = 1)
+      .select("chunk_idx", "chunk_text").as[(Int, String)].collect().toSeq.sortBy(_._1)
+    // stride 3: [abcd, defg, ghij] — ceil((10-1)/3) = 3 chunks
+    assert(out == Seq((0, "abcd"), (1, "defg"), (2, "ghij")))
+    // reconstruction: stripping each chunk's overlap prefix rebuilds the doc
+    val rebuilt = out.head._2 + out.tail.map(_._2.drop(1)).mkString
+    assert(rebuilt == "abcdefghij")
+    // a doc shorter than one chunk yields exactly one (short) chunk
+    val short = TextAnalysis.chunk(Seq((2L, "xy")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .select("chunk_text").as[String].collect().toSeq
+    assert(short == Seq("xy"))
+  }
+
   test("repetition: most frequent bigram and its document fraction") {
     // "spam ham" occurs 3× of 5 bigrams; normal doc has all-unique bigrams
     val d = Seq(
