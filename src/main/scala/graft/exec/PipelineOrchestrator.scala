@@ -37,6 +37,24 @@ final class PipelineOrchestrator(
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
     * Returns one outcome per flowgroup (run, failed, or skipped). */
   def run(fgs: Seq[FlowGroup]): Seq[Outcome] = {
+    // full-refresh tables drop ONCE up front (and each action's stream
+    // state with them) — per-runner drops would let a cross-flowgroup
+    // fan-in's later flow wipe an earlier flow's fresh output
+    if (fullRefresh.nonEmpty) {
+      for {
+        fg <- fgs
+        w <- fg.actions.collect { case w: graft.model.WriteAction => w }
+        if fullRefresh.contains("*") || fullRefresh.contains(w.table)
+      } {
+        store.drop(w.table)
+        store.drop(s"${w.table}__changes")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$checkpointRoot/${fg.pipeline}/${fg.flowgroup}/${w.name}"))
+      }
+    }
     val byName = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg).toMap
     val graph = DependencyAnalyzer.flowgroupGraph(spark, fgs)
     val pool = Executors.newFixedThreadPool(math.max(1, maxParallelism))
@@ -53,8 +71,10 @@ final class PipelineOrchestrator(
         }
         val futures = runnable.flatMap(byName.get).map { fg =>
           Future {
+            // refresh drops already happened up front — runners must not
+            // re-drop, or a cross-flowgroup fan-in loses earlier flows
             val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
-              projectRoot, opMetaColumns, fullRefresh = fullRefresh)
+              projectRoot, opMetaColumns)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
             val t0 = System.nanoTime()
             def ms = (System.nanoTime() - t0) / 1000000

@@ -369,12 +369,19 @@ final class PipelineRunner(
       .withColumn("_commit_version", lit(version)))
   }
 
+  private val refreshed = mutable.Set[String]()
+
   /** Drop a write target's table and this action's stream state when it is
-    * marked for full refresh, so the write rebuilds from scratch. */
+    * marked for full refresh, so the write rebuilds from scratch. The table
+    * drops at most once per run — a fan-in's second flow must append to the
+    * first flow's fresh output, not wipe it. (Fan-in across FLOWGROUPS is
+    * pre-dropped once by the orchestrator for the same reason.) */
   private def applyFullRefresh(table: String, actionName: String): Unit =
     if (fullRefresh.contains("*") || fullRefresh.contains(table)) {
-      store.drop(table)
-      store.drop(s"${table}__changes")
+      if (refreshed.add(table)) {
+        store.drop(table)
+        store.drop(s"${table}__changes")
+      }
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit

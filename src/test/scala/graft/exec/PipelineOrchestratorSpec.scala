@@ -47,6 +47,35 @@ class PipelineOrchestratorSpec extends SparkSuite {
     assert(outcomes.filterNot(_.skipped).forall(_.durationMs >= 0))
   }
 
+  test("full refresh with cross-flowgroup fan-in keeps both flows' output") {
+    val dir = Files.createTempDirectory("graft-orch-fr").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    Seq(1).toDF("x").createOrReplaceTempView("fan_a_src")
+    Seq(2).toDF("x").createOrReplaceTempView("fan_b_src")
+    def fanFg(name: String, src: String) = YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: $name
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $src}
+         |    target: v_$name
+         |  - name: w
+         |    type: write
+         |    source: v_$name
+         |    write_target: {type: streaming_table, table: fan_target}
+         |""".stripMargin)
+    val fgs = Seq(fanFg("fa", "fan_a_src"), fanFg("fb", "fan_b_src"))
+    val orch0 = new PipelineOrchestrator(spark, store, s"$dir/cp", maxParallelism = 1)
+    orch0.run(fgs)
+    assert(store.read("fan_target").as[Int].collect().toSet == Set(1, 2))
+    // full refresh must rebuild BOTH flows' rows, not just the last one's
+    val orch1 = new PipelineOrchestrator(spark, store, s"$dir/cp", maxParallelism = 1,
+      fullRefresh = Set("*"))
+    orch1.run(fgs)
+    assert(store.read("fan_target").as[Int].collect().toSet == Set(1, 2))
+  }
+
   test("failed flowgroup skips its transitive dependents; independents still run") {
     val dir = Files.createTempDirectory("graft-orch-skip").toString
     val store = new TableStore(spark, s"$dir/warehouse")
