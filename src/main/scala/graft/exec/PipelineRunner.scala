@@ -298,7 +298,7 @@ final class PipelineRunner(
             "(reference a stream-loaded view)")
         df.writeStream.outputMode("complete")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            store.replace(a.table, batch, a.partitionColumns)
+            store.replace(a.table, clustered(batch, a.clusterColumns), a.partitionColumns)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())

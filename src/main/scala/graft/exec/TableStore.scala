@@ -217,7 +217,9 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     val next =
       if (Files.exists(p)) Files.readString(p).trim.toLong + 1
       else readIfExists(table)
-        .map(_.agg(org.apache.spark.sql.functions.max(versionCol)).first().getLong(0))
+        .map(_.agg(org.apache.spark.sql.functions.max(versionCol)).first())
+        .filter(!_.isNullAt(0)) // table exists but holds no rows
+        .map(_.getLong(0))
         .getOrElse(-1L) + 1
     Files.createDirectories(p.getParent)
     Files.writeString(p, next.toString)
