@@ -179,7 +179,14 @@ final class PipelineRunner(
 
     case a: TableLoad =>
       val base0 = if (a.readMode == "stream") {
-        // stream a parquet-backed table directory
+        // stream a parquet-backed table directory. Streaming is only sound
+        // over APPEND-ONLY tables: a rewrite (CDC merge / replace) swaps in
+        // new files that the file stream re-reads wholesale.
+        if (store.getMeta(a.table, "rewritten").isDefined)
+          System.err.println(s"[graft] WARN load '${a.name}': table " +
+            s"'${a.table}' is rewritten by merges — a file stream re-reads " +
+            "rewritten files (duplicates); stream its __changes companion " +
+            "(change_log: true) instead")
         val batch = resolveSource(a.table)
         spark.readStream.schema(batch.schema).parquet(store.path(a.table))
       } else resolveSource(a.table)
@@ -526,6 +533,13 @@ final class PipelineRunner(
   }
 
   private def executeTest(a: TestAction): Unit = {
+    // data tests count violations — a batch operation; surface a clear
+    // error instead of Spark's streaming-query one
+    a.source.filter(s => streamingViews.contains(s)).foreach { s =>
+      throw Planner.PlanError(
+        s"data test '${a.name}' targets streaming view '$s' — tests run on " +
+          "tables or batch views; point the test at the written table instead")
+    }
     def cfgStr(k: String): Option[String] = a.config.get(k).map(_.toString)
     def cfgSeq(k: String): Seq[String] = a.config.get(k) match {
       case Some(l: java.util.List[_]) =>

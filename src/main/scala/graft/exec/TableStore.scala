@@ -71,6 +71,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
       swapDir(staging, path(table))
+      setMeta(table, "rewritten", "true") // file streams over this dir re-read
     }
 
   /** Upsert = anti-join rewrite (the parquet stand-in for Delta MERGE
@@ -140,6 +141,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
       Files.move(dir, dest): Unit
     }
     rm(stagingRootPath.toFile)
+    setMeta(table, "rewritten", "true") // file streams over this dir re-read
   }
 
   /** On-disk Hive-style partition columns of a table (outermost first),
