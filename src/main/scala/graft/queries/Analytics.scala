@@ -131,7 +131,20 @@ object Analytics {
         size(col("qs")).as("n_items"),
         aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("total_qty"))
 
+  /** Set-operation surface: INTERSECT and EXCEPT between customer
+    * populations (order-holders vs high-balance). */
+  def q31SetOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+    val highBal = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val both = withOrders.intersect(highBal)
+    val highBalNoOrders = highBal.except(withOrders)
+    both.withColumn("segment", lit("active_high_balance"))
+      .unionByName(highBalNoOrders.withColumn("segment", lit("dormant_high_balance")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_set_ops" -> q31SetOps,
     "q30_array_agg" -> q30ArrayAgg,
     "q27_percentiles" -> q27Percentiles,
     "q28_datetime" -> q28Datetime,
@@ -144,6 +157,14 @@ object Analytics {
     "q26_string_funcs" -> q26StringFuncs)
 
   val oracle: Map[String, String] = Map(
+    "q31_set_ops" ->
+      """WITH with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        |high_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT c_custkey, 'active_high_balance' AS segment
+        |FROM (SELECT c_custkey FROM with_orders INTERSECT SELECT c_custkey FROM high_bal)
+        |UNION ALL
+        |SELECT c_custkey, 'dormant_high_balance' AS segment
+        |FROM (SELECT c_custkey FROM high_bal EXCEPT SELECT c_custkey FROM with_orders)""".stripMargin,
     "q30_array_agg" ->
       """SELECT l_orderkey,
         |  list_aggregate(list_sort(list(CAST(l_quantity AS BIGINT))),
