@@ -25,7 +25,7 @@ object CurationTransforms {
       val in = inputs.head
       TextAnalysis.qualityFeatures(in, str(p, "text_col", "text"))
         .filter(col("quality_keep"))
-        .select(in.columns.map(col): _*)
+        .select(in.columns.toIndexedSeq.map(col): _*)
     }
   }
 

@@ -49,7 +49,8 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident)
-    if (!dir.isDirectory) throw new NoSuchTableException(ident.namespace :+ ident.name)
+    if (!dir.isDirectory)
+      throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
     val path = dir.getAbsolutePath
     ParquetTable(
       (ident.namespace :+ ident.name).mkString("."),
