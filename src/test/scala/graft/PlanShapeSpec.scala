@@ -55,6 +55,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("partition-scoped merge reads carry static PartitionFilters") {
+    import spark.implicits._
+    val store = new graft.exec.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ps-wh").toString + "/wh")
+    store.overwrite("pp", (1 to 100).map(i => (i % 10L, i.toLong)).toDF("k", "seq"), Seq("k"))
+    val affected = store.affectedValues(Seq((3L, 0L), (7L, 0L)).toDF("k", "seq"), Seq("k"))
+    val scoped = store.read("pp")
+      .filter(graft.exec.TableStore.partitionPredicate(Seq("k"), affected))
+    val plan = physical(scoped)
+    assert(plan.contains("PartitionFilters: [((k"), plan) // static pruning, not runtime DPP
+  }
+
   test("hash sampling is a pure scan filter — no exchange at all") {
     val d = Tables.load(spark, sf0001, "documents")
     val plan = physical(graft.dedup.Sampling.byHash(d, "doc_id", 0.1))
