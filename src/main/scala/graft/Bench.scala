@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query `SPARK_GRAFT_ITERS` times
   * (default 3) and reports the per-query MEDIAN — one JSON line. A single
   * pass per round proved unfalsifiable against JVM/environment noise
   * (BENCH_r01 vs r02 diverged 1.55× on queries whose code had not changed),
   * so medians are the contract now; `queries_all` carries the raw
-  * per-iteration timings for dispersion checks. */
+  * per-iteration timings for dispersion checks.
+  *
+  * A failed query must NOT look like a fast timing: errors are recorded
+  * per-query, emitted in the JSON line, and fail the process — the bench
+  * cannot lie about a broken query (BenchSpec pins this). */
 object Bench {
+
+  final case class Result(json: String, errors: Map[String, String])
+
+  def run(spark: SparkSession, sfDir: String, iters: Int,
+      queries: Map[String, (SparkSession, String) => DataFrame]): Result = {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val names = queries.toSeq.sortBy(_._1)
+    // iterate OUTER over passes, INNER over queries: consecutive runs of the
+    // same query would share page cache/JIT state unrealistically; interleaving
+    // spaces them out the way the driver's one-pass run sees them
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timings: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(
+              name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val perQuery: Seq[(String, Seq[Double])] =
+      names.map { case (name, _) => name -> timings.map(_.toMap.apply(name)) }
+    val medians = perQuery.map { case (n, xs) => n -> median(xs) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val all = perQuery.map { case (k, xs) =>
+      s"\"" + k + "\":" + xs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    Result(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"sf":"$sfDir"}""",
+      errors.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,31 +74,13 @@ object Bench {
     graft.sources.Tables.all.foreach { t =>
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // iterate OUTER over passes, INNER over queries: consecutive runs of the
-    // same query would share page cache/JIT state unrealistically; interleaving
-    // spaces them out the way the driver's one-pass run sees them
-    val timings: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
-    val perQuery: Seq[(String, Seq[Double])] =
-      names.map { case (name, _) => name -> timings.map(_.toMap.apply(name)) }
-    val medians = perQuery.map { case (n, xs) => n -> median(xs) }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val all = perQuery.map { case (k, xs) =>
-      s"\"" + k + "\":" + xs.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"sf":"$sfDir"}""")
+    val result = run(spark, sfDir, iters, SparkEntry.queries)
+    println(result.json)
     spark.stop()
+    if (result.errors.nonEmpty) {
+      System.err.println(
+        s"bench FAILED: ${result.errors.size} queries errored: ${result.errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -156,6 +156,11 @@ object Analytics {
     "q25_conditional_agg" -> q25ConditionalAgg,
     "q26_string_funcs" -> q26StringFuncs)
 
+  // ORACLE-AUTHORING RULE: every DuckDB aggregate output must carry an
+  // explicit CAST — SUM over integers yields HUGEINT (arrow decimal128),
+  // which hash-mismatches Spark's int64 even when values agree. This class
+  // of bug cost two rounds (q16 in r2, q30 in r3). Write
+  // `CAST(SUM(...) AS BIGINT)` / `CAST(count(*) AS INT)` etc., always.
   val oracle: Map[String, String] = Map(
     "q31_set_ops" ->
       """WITH with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
@@ -170,7 +175,7 @@ object Analytics {
         |  list_aggregate(list_sort(list(CAST(l_quantity AS BIGINT))),
         |                 'string_agg', ',') AS quantities,
         |  CAST(count(*) AS INT) AS n_items,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q28_datetime" ->
       """SELECT o_orderkey,
