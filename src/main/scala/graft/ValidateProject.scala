@@ -1,0 +1,65 @@
+package graft
+
+import scala.util.{Failure, Success, Try}
+
+import graft.config.Project
+import graft.plan.{DependencyAnalyzer, Planner}
+
+/** `validate` CLI — resolve and plan every flowgroup of a project for an
+  * environment WITHOUT executing anything (the reference CLI's
+  * `lhp validate` — src/lhp/cli/commands/validate_command.py): YAML parse,
+  * template/preset/blueprint expansion, token substitution, action
+  * validation, per-flowgroup topological plan, and the cross-flowgroup
+  * dependency graph. Errors print with their source-file context; exit code
+  * 1 if anything failed.
+  *
+  * {{{
+  * sbt "runMain graft.ValidateProject <projectDir> <env>"
+  * }}}
+  */
+object ValidateProject {
+
+  final case class Issue(context: String, message: String)
+
+  /** Pure validation pass, separated from `main` for spec coverage.
+    * Returns (flowgroups validated OK, issues). */
+  def validate(spark: org.apache.spark.sql.SparkSession, projectDir: String,
+      env: String): (Int, Seq[Issue]) = {
+    val project = Project.load(projectDir)
+    val issues = Seq.newBuilder[Issue]
+    var ok = 0
+    val resolved = project.pipelineFiles.flatMap { p =>
+      Try(project.resolvePipelineFile(p, env, lenient = true)) match {
+        case Success(fgs) => fgs.map(p -> _)
+        case Failure(e) =>
+          issues += Issue(p.toString, e.getMessage)
+          Nil
+      }
+    }
+    resolved.foreach { case (p, fg) =>
+      Try(Planner.plan(fg, a => DependencyAnalyzer.actionInputs(spark, a))) match {
+        case Success(_) => ok += 1
+        case Failure(e) =>
+          issues += Issue(s"$p (${fg.pipeline}.${fg.flowgroup})", e.getMessage)
+      }
+    }
+    // cross-flowgroup cycles surface here, not at run time
+    Try(DependencyAnalyzer.flowgroupGraph(spark, resolved.map(_._2)).generations) match {
+      case Success(_) => ()
+      case Failure(e) => issues += Issue(projectDir, e.getMessage)
+    }
+    (ok, issues.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ValidateProject <projectDir> <env>")
+    val Array(projectDir, env) = args.take(2)
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (ok, issues) = validate(spark, projectDir, env)
+    issues.foreach(i => System.err.println(s"[graft] INVALID ${i.context}: ${i.message}"))
+    println(s"[graft] validate: $ok flowgroup(s) ok, ${issues.size} issue(s)")
+    spark.stop()
+    if (issues.nonEmpty) sys.exit(1)
+  }
+}

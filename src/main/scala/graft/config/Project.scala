@@ -62,12 +62,21 @@ final case class Project(
     * presets, token substitution, parse. Multi-flowgroup files
     * (`flowgroups:` lists / `---` documents) resolve entry-wise. */
   def flowgroups(env: String, lenient: Boolean = false,
-      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] = {
-    val tokens = substitutions.getOrElse(env,
+      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] =
+    pipelineFiles.flatMap(p => resolvePipelineFile(p, env, lenient, secrets))
+
+  def envTokens(env: String): Map[String, String] =
+    substitutions.getOrElse(env,
       throw YamlConfig.ConfigError(
         s"unknown environment '$env'; have: ${substitutions.keys.toSeq.sorted.mkString(", ")}"))
-    pipelineFiles.flatMap { p =>
-      val text = Files.readString(p)
+
+  /** Resolve ONE pipeline file's flowgroups — exposed so tooling (the
+    * validate CLI) can attribute resolution errors to their source file. */
+  def resolvePipelineFile(p: Path, env: String, lenient: Boolean = false,
+      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] = {
+    val tokens: Map[String, String] = envTokens(env)
+    val text = Files.readString(p)
+    locally {
       // split multi-flowgroup files into per-flowgroup documents, then run
       // each through the full resolution pipeline (textual substitution
       // requires source text, so re-dump each entry)
@@ -105,7 +114,7 @@ final case class Project(
             texts.map(t =>
               FlowGroupResolver.resolve(t, templates, presets, tokens, secrets, lenient))
         }
-      }
+      }.toSeq
     }
   }
 }

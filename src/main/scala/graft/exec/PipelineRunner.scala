@@ -148,23 +148,86 @@ final class PipelineRunner(
             .map(h => f.copy(dataType = h.dataType, nullable = h.nullable)).getOrElse(f)) ++
           hints.filterNot(h => inferred.exists(_.name.equalsIgnoreCase(h.name))))
       }
+      // schemaEvolutionMode: "none" maps exactly onto OSS fixed-schema reads
+      // (new source columns are ignored); the evolving modes need Auto
+      // Loader's schema-tracking store — reject loudly, never silently drop
+      // (reference: generators/load/cloudfiles.py:36-44)
+      a.options.get("cloudFiles.schemaEvolutionMode").foreach {
+        case "none" => ()
+        case other => throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': cloudFiles.schemaEvolutionMode='$other' is not " +
+          "supported — schema tracking across restarts needs Auto Loader's " +
+          "schema store; only 'none' (fixed declared/inferred schema) maps " +
+          "onto OSS file sources. Declare the schema and redeploy on change.")
+      }
+      // rescued-data emulation (Auto Loader's rescuedDataColumn): PERMISSIVE
+      // parse + columnNameOfCorruptRecord captures the raw record whenever a
+      // row fails to parse against the schema — json/csv only (parquet/orc
+      // are self-describing; there is nothing to rescue)
+      val rescueCol = a.options.get("cloudFiles.rescuedDataColumn")
+        .orElse(a.options.get("cloudFiles.rescueDataColumn")) // reference examples carry both spellings
+      rescueCol.foreach { rc =>
+        if (a.format != "json" && a.format != "csv")
+          throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': cloudFiles.rescuedDataColumn only applies to " +
+            s"json/csv (got format '${a.format}' — self-describing formats have nothing to rescue)")
+        if (declared.exists(_.fieldNames.contains(rc)))
+          throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': declared schema already contains rescue column '$rc'")
+      }
+      val passThrough = translateCloudFilesOptions(a)
+      // Rescue mode reads RAW TEXT and parses each line with from_json /
+      // from_csv, so the rescue column is an ordinary materialized column.
+      // Reading with the scan-level corrupt-record option instead is subtly
+      // broken: a filter on the corrupt column pushes into the scan, where
+      // the parser evaluates it BEFORE populating the column — the violating
+      // row passes the filter and still shows a rescue value in the output
+      // (caught by CloudFilesOptionsSpec's quarantine round-trip).
+      def rescueParse(raw: DataFrame, rc: String): DataFrame = {
+        val dataSchema = declared.getOrElse(merge(
+          spark.read.format(a.format)
+            .options(passThrough).load(a.path).schema))
+        val full = dataSchema.add(rc, org.apache.spark.sql.types.StringType, nullable = true)
+        val parseOpts = passThrough.filterNot(_._1 == "maxFilesPerTrigger") ++
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> rc)
+        val parsed = a.format match {
+          case "json" => from_json(col("value"), full, parseOpts)
+          case "csv" => from_csv(col("value"), full, parseOpts)
+          case other => throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': rescuedDataColumn unsupported for '$other'")
+        }
+        raw.select(parsed.as("__parsed")).select(col("__parsed.*"))
+      }
       val base =
         if (a.readMode == "stream") {
-          // file streams need a schema: declared, or inferred from existing
-          // files (dev convenience) merged with hints
-          val schema = declared.getOrElse(merge(
-            spark.read.format(a.format).options(a.options).load(a.path).schema))
-          spark.readStream.format(a.format).schema(schema)
-            .options(translateCloudFilesOptions(a.options)).load(a.path)
-        } else {
-          val r = spark.read.format(a.format).options(a.options)
-          val df0 = declared.map(r.schema).getOrElse(r).load(a.path)
-          if (declared.isEmpty && hintSchema.isDefined) {
-            val merged = merge(df0.schema)
-            df0.select(merged.map(f =>
-              (if (df0.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
-               else lit(null)).cast(f.dataType).as(f.name)): _*)
-          } else df0
+          rescueCol match {
+            case Some(rc) =>
+              val raw = spark.readStream.format("text")
+                .options(passThrough.view.filterKeys(
+                  Set("maxFilesPerTrigger", "maxFileAge", "cleanSource", "sourceArchiveDir")).toMap)
+                .load(a.path)
+              rescueParse(excludePreexisting(a, raw), rc)
+            case None =>
+              // file streams need a schema: declared, or inferred from
+              // existing files (dev convenience) merged with hints
+              val schema = declared.getOrElse(merge(
+                spark.read.format(a.format).options(passThrough).load(a.path).schema))
+              val stream0 = spark.readStream.format(a.format).schema(schema)
+                .options(passThrough).load(a.path)
+              excludePreexisting(a, stream0)
+          }
+        } else rescueCol match {
+          case Some(rc) =>
+            rescueParse(spark.read.format("text").load(a.path), rc)
+          case None =>
+            val r = spark.read.format(a.format).options(passThrough)
+            val df0 = declared.map(r.schema).getOrElse(r).load(a.path)
+            if (declared.isEmpty && hintSchema.isDefined) {
+              val merged = merge(df0.schema)
+              df0.select(merged.map(f =>
+                (if (df0.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+                 else lit(null)).cast(f.dataType).as(f.name)): _*)
+            } else df0
         }
       // operational metadata: action-level selection wins over the
       // flowgroup-level toggle (reference metadata.py selection order)
@@ -196,12 +259,9 @@ final class PipelineRunner(
       register(a.target, projected, a.readMode == "stream")
 
     case a: SqlLoad =>
-      // `stream(view)` wrappers are stripped (each run processes the
-      // available data — AvailableNow semantics); the streamed marker
-      // propagates so downstream writes use checkpointed flows
       val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
-      register(a.target, spark.sql(graft.plan.StreamRef.strip(sql)),
-        graft.plan.StreamRef.streamedViews(sql).nonEmpty)
+      val (df, streaming) = sqlWithStreamRefs(sql)
+      register(a.target, df, streaming)
 
     case a: JdbcLoad =>
       var r = spark.read.format("jdbc").option("url", a.url).options(a.options)
@@ -210,13 +270,12 @@ final class PipelineRunner(
       register(a.target, r.load(), streaming = false)
 
     case a: KafkaLoad =>
-      var r = spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", a.bootstrapServers)
-        .options(a.options)
-      a.subscribe.foreach(s => r = r.option("subscribe", s))
-      a.subscribePattern.foreach(s => r = r.option("subscribePattern", s))
-      a.assign.foreach(s => r = r.option("assign", s))
-      register(a.target, r.load(), streaming = true)
+      // option assembly + exclusivity validation live in KafkaSupport so
+      // the contract is spec-pinned without a broker (KafkaSupportSpec)
+      register(a.target,
+        spark.readStream.format("kafka")
+          .options(graft.sources.KafkaSupport.readerOptions(a)).load(),
+        streaming = true)
 
     case a: FunctionLoad =>
       val fn = plugin[SourceFunction](a.functionClass)
@@ -232,11 +291,11 @@ final class PipelineRunner(
 
     // -------------------------------------------------------- transforms
     case a: SqlTransform =>
-      // upstream views are already temp views; stream(view) refs stripped
+      // upstream views are already temp views
       val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
-      val streamed = graft.plan.StreamRef.streamedViews(sql)
-      register(a.target, spark.sql(graft.plan.StreamRef.strip(sql)),
-        (a.source ++ streamed).exists(streamingViews.contains) || streamed.nonEmpty)
+      val (df, streaming) = sqlWithStreamRefs(sql)
+      register(a.target, df,
+        streaming || a.source.exists(streamingViews.contains))
 
     case a: SchemaTransformAction =>
       val spec = SchemaTransform.Spec(a.renames, a.casts, a.declared,
@@ -267,7 +326,7 @@ final class PipelineRunner(
             .option("checkpointLocation", checkpointFor(a.name + "__quarantine"))
             .trigger(Trigger.AvailableNow())
             .start().awaitTermination()
-          register(a.target, Expectations.dropViolations(src, a.rules), streaming = true)
+          register(a.target, Expectations.dropQuarantined(src, a.rules), streaming = true)
         case Some(dlq) =>
           // batch quarantine: clean rows pass through; violating rows are
           // annotated and inserted into the DLQ keyed by content hash
@@ -331,12 +390,14 @@ final class PipelineRunner(
           else src.write.mode("append")
             .format(a.options.getOrElse("format", "parquet")).save(p)
         case "kafka" =>
-          require(src.columns.contains("value"), s"kafka sink '${a.name}' needs a 'value' column")
+          val opts = graft.sources.KafkaSupport.sinkOptions(
+            a.name, a.options, src.columns.toSeq)
+          val conformed = graft.sources.KafkaSupport.conformColumns(src)
           if (src.isStreaming)
-            src.writeStream.format("kafka").options(a.options)
+            conformed.writeStream.format("kafka").options(opts)
               .option("checkpointLocation", checkpointFor(a.name))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
-          else src.write.format("kafka").options(a.options).save()
+          else conformed.write.format("kafka").options(opts).save()
         case "foreachbatch" =>
           val handler = plugin[BatchHandler](a.handlerClass.getOrElse(
             throw Planner.PlanError(s"foreachbatch sink '${a.name}' missing handler")))
@@ -361,6 +422,53 @@ final class PipelineRunner(
 
     // ------------------------------------------------------------- tests
     case a: TestAction => executeTest(a)
+  }
+
+  /** Execute SQL containing `stream(x)` references (the reference dialect —
+    * docs/concepts/the-action-model.rst:73).
+    *
+    *  - `stream(view)` over an in-memory STREAMING view: the temp view is
+    *    already a streaming DataFrame — strip the wrapper, SQL stays
+    *    streaming (unchanged behavior).
+    *  - `stream(table)` over an engine-managed APPEND-ONLY table: overlay
+    *    the name with a file stream over the table directory for the
+    *    duration of the sql() call, so the read is INCREMENTAL across runs
+    *    (checkpointed by the consuming write) — DLT's semantics. Previously
+    *    this degraded to a full batch re-read, so a re-run into an append
+    *    target duplicated every historical row.
+    *  - merge-REWRITTEN tables cannot be file-streamed (rewrites re-appear
+    *    as new files): warn and fall back to the batch read, as before.
+    *
+    * Returns the DataFrame and whether any streamed ref made it streaming. */
+  private def sqlWithStreamRefs(sql: String): (DataFrame, Boolean) = {
+    val streamed = graft.plan.StreamRef.streamedViews(sql)
+    val overlays = streamed.filter { t =>
+      !t.contains(".") && !streamingViews.contains(t) && !views.contains(t) &&
+        store.exists(t)
+    }.flatMap { t =>
+      if (store.getMeta(t, "rewritten").isDefined) {
+        System.err.println(s"[graft] WARN stream($t): table is rewritten by " +
+          "merges — falling back to a batch read (stream its __changes " +
+          "companion for incremental consumption)")
+        None
+      } else Some(t)
+    }
+    val saved = overlays.map { t =>
+      val hadView = spark.catalog.tableExists(t)
+      val batchSchema = store.read(t).schema
+      spark.readStream.schema(batchSchema).parquet(store.path(t))
+        .createOrReplaceTempView(t)
+      t -> hadView
+    }
+    try {
+      val df = spark.sql(graft.plan.StreamRef.strip(sql))
+      (df, df.isStreaming || streamed.exists(streamingViews.contains))
+    } finally saved.foreach { case (t, hadView) =>
+      // restore the batch temp view (or remove ours) — later consumers in
+      // this run must see the table's batch contents again
+      if (hadView) store.read(t).createOrReplaceTempView(t)
+      else spark.catalog.dropTempView(t): Unit
+    }
   }
 
   /** CDF emulation (SURVEY §7.3b): append the applied batch to an
@@ -597,14 +705,104 @@ final class PipelineRunner(
       Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[T])
 
   /** Map the reference's cloudFiles.* option vocabulary onto OSS file-source
-    * options (SURVEY §2.1 row 1). */
-  private def translateCloudFilesOptions(opts: Map[String, String]): Map[String, String] =
-    opts.flatMap {
-      case ("cloudFiles.maxFilesPerTrigger", v) => Some("maxFilesPerTrigger" -> v)
-      case ("cloudFiles.includeExistingFiles", v) => Some("latestFirst" -> (!v.toBoolean).toString)
-      case (k, v) if !k.startsWith("cloudFiles.") => Some(k -> v)
-      case _ => None // schema-evolution/rescue options have no OSS equivalent
+    * options (SURVEY §2.1 row 1). Three tiers, so no option is ever silently
+    * believed-but-dropped (the round-3 verdict's honesty rule):
+    *  - translated: a faithful OSS equivalent exists;
+    *  - handled elsewhere: schema/rescue/backfill options the load path
+    *    emulates itself;
+    *  - infra knobs (cloud credentials, notification queues, scheduling
+    *    hints): no local effect by construction — warn once, drop;
+    *  - anything else: loud ConfigError. */
+  private def translateCloudFilesOptions(a: CloudFilesLoad): Map[String, String] = {
+    // options the CloudFilesLoad branch itself implements
+    val handledInLoad = Set("format", "schemahints", "includeexistingfiles",
+      "rescueddatacolumn", "rescuedatacolumn", "schemaevolutionmode",
+      "schemalocation", "infercolumntypes")
+    // cloud-infra/perf hints with no local-filesystem counterpart: safe
+    // no-ops locally (credentials, SQS/EventGrid queues, listing cadence)
+    val infraNoop = Set("usenotifications", "usemanagedfileevents",
+      "backfillinterval", "awsaccesskey", "awssecretkey", "rolearn",
+      "rolesessionname", "roleexternalid", "stsendpoint", "region",
+      "queueurl", "connectionstring", "clientid", "clientsecret", "tenantid",
+      "subscriptionid", "resourcegroup", "allowoverwrites",
+      "maxbytespertrigger", "maxfileage", "validateoptions")
+    a.options.flatMap { case (k, v) =>
+      if (!k.startsWith("cloudFiles.")) Some(k -> v)
+      else k.stripPrefix("cloudFiles.").toLowerCase match {
+        case "maxfilespertrigger" => Some("maxFilesPerTrigger" -> v)
+        case "cleansource" => Some("cleanSource" -> v)
+        case "sourcearchivedir" => Some("sourceArchiveDir" -> v)
+        case "ignorefilesolderthan" => Some("maxFileAge" -> v)
+        case o if handledInLoad(o) => None
+        case o if infraNoop(o) =>
+          System.err.println(s"[graft] WARN load '${a.name}': '$k' is a " +
+            "cloud-infra option with no local-filesystem effect; ignored")
+          None
+        case _ => throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': unsupported cloudFiles option '$k' — no OSS " +
+          "file-source equivalent; remove it or use a supported option")
+      }
+    } ++ inferColumnTypesOptions(a)
+  }
+
+  /** `cloudFiles.inferColumnTypes` (Auto Loader defaults to all-strings
+    * inference; true infers types): csv has the same knob (`inferSchema`);
+    * json infers types by default, so false maps to `primitivesAsString`. */
+  private def inferColumnTypesOptions(a: CloudFilesLoad): Map[String, String] =
+    a.options.get("cloudFiles.inferColumnTypes").map(_.toBoolean) match {
+      case Some(b) if a.format == "csv" => Map("inferSchema" -> b.toString)
+      case Some(b) if a.format == "json" => Map("primitivesAsString" -> (!b).toString)
+      case _ => Map.empty
     }
+
+  /** Emulate `cloudFiles.includeExistingFiles=false` ("only files arriving
+    * after stream start"): snapshot the directory listing at FIRST start into
+    * a sidecar next to the action's checkpoint, then anti-join the stream on
+    * `_metadata.file_path` against it. The OSS `latestFirst` option the old
+    * translation used only REORDERS processing — every pre-existing file was
+    * still processed, silently giving an opted-out user the full backfill.
+    * The listing snapshot is exactly Auto Loader's semantics; the anti-join
+    * is stream-static (stateless) and the snapshot side is scan-once. */
+  private def excludePreexisting(a: CloudFilesLoad, stream: DataFrame): DataFrame = {
+    val include = a.options.get("cloudFiles.includeExistingFiles").forall(_.toBoolean)
+    if (include) return stream
+    val sidecar = new java.io.File(checkpointFor(a.name) + "__preexisting")
+    if (!sidecar.exists()) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(a.path)
+      val fs = root.getFileSystem(conf)
+      val found = mutable.ArrayBuffer[String]()
+      if (fs.exists(root)) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) found += normalizeFileUri(it.next().getPath.toString)
+      }
+      sidecar.getParentFile.mkdirs()
+      java.nio.file.Files.write(sidecar.toPath,
+        found.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val preexisting = {
+      import spark.implicits._
+      spark.read.textFile(sidecar.toString).toDF("__pre_path")
+    }
+    // materialize the stream's file path BEFORE the join — the static side
+    // is itself a file source with its own hidden `_metadata`, so a bare
+    // reference in the join condition would be ambiguous. URI schemes are
+    // stripped on both sides ("file:///x" vs "file:/x") before comparing;
+    // the static side is tiny relative to the data it excludes.
+    stream
+      .withColumn("__graft_file_path",
+        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      .join(preexisting,
+        col("__graft_file_path")
+          === regexp_replace(col("__pre_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+        "left_anti")
+      .drop("__graft_file_path")
+  }
+
+  /** "file:///x", "file:/x", "hdfs://nn/x" all normalize to "/x" for
+    * listing-vs-`_metadata.file_path` comparison. */
+  private def normalizeFileUri(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 }
 
 object PipelineRunner {

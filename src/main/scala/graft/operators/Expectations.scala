@@ -45,6 +45,15 @@ object Expectations {
     if (dropRules.isEmpty) df else df.filter(conj(dropRules))
   }
 
+  /** Quarantine-mode clean view: every non-warn violation routes to the DLQ,
+    * so the clean stream must exclude rows failing ANY drop/fail rule — not
+    * just drop-mode ones (fail-mode rows would otherwise appear in BOTH the
+    * DLQ and the clean output; caught by CloudFilesOptionsSpec). */
+  def dropQuarantined(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val checked = rules.filterNot(_.action == Warn)
+    if (checked.isEmpty) df else df.filter(conj(checked))
+  }
+
   /** Inverse filter: the rows that violate at least one drop/fail rule,
     * annotated with the list of failed rule names (the quarantine path —
     * reference: templates/transform/data_quality_quarantine.py.j2:120-135,

@@ -33,7 +33,7 @@ object Quarantine {
     // whenNotMatchedInsertAll semantics: an operator-fixed row must not be
     // clobbered by the same violation arriving again
     store.insertIfAbsent(dlqTable, bad, Seq(SkCol))
-    Expectations.dropViolations(src, rules)
+    Expectations.dropQuarantined(src, rules)
   }
 
   /** Recycle pass: latest fixed row per `_dlq_sk` (row_number over commit
@@ -49,8 +49,10 @@ object Quarantine {
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         val candidates = fixed.select((cleanColumns :+ SkCol).map(col): _*)
         // materialize BEFORE the DLQ rewrite below invalidates the files this
-        // plan reads from
-        val passed = Expectations.dropViolations(candidates, rules)
+        // plan reads from. localCheckpoint is safe here because the frame is
+        // bounded by the DLQ's fixed-row count (not corpus-scale); an
+        // iterative/corpus-scale analogue should use Dedup.ReliableCheckpoint.
+        val passed = Expectations.dropQuarantined(candidates, rules)
           .localCheckpoint(eager = true)
         // mark recycled rows so the next poll skips them
         val passedKeys = passed.select(SkCol)

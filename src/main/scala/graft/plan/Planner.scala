@@ -21,13 +21,22 @@ object Planner {
   }
 
   /** Kahn topo-sort of actions by target→source edges. Sources that no action
-    * produces are external tables (resolved from the catalog at run time). */
+    * produces are external tables (resolved from the catalog at run time).
+    * A write action also "produces" its TABLE: SQL in the same flowgroup may
+    * consume it (`FROM stream(bronze)`), so the consumer must order after
+    * the write. View bindings take precedence — a view and a table sharing a
+    * name resolve to the view producer, the pre-existing behavior. */
   def order(actions: Seq[Action],
       inputs: Action => Seq[String] = _.sources): Seq[Action] = {
     val byTarget: Map[String, Action] =
       actions.flatMap(a => a.target.map(_ -> a)).toMap
+    val byTable: Map[String, Action] = actions.collect {
+      case w: WriteAction => Seq(w.table, w.table.split('.').last).map(_ -> w)
+    }.flatten.toMap
     val deps: Map[String, Set[String]] = actions.map { a =>
-      a.name -> inputs(a).flatMap(byTarget.get).map(_.name).toSet
+      a.name -> inputs(a)
+        .flatMap(n => byTarget.get(n).orElse(byTable.get(n)))
+        .map(_.name).filterNot(_ == a.name).toSet
     }.toMap
     val byName = actions.map(a => a.name -> a).toMap
 

@@ -107,6 +107,23 @@ class DedupSpec extends SparkSuite {
     assert(comps == Seq(0L))
   }
 
+  test("connected components: reliable-checkpoint strategy matches local") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // without a checkpoint dir the reliable strategy refuses loudly
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, "id_a", "id_b", 25, Dedup.ReliableCheckpoint)
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b", 25, Dedup.ReliableCheckpoint)
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
   test("embedding near-dup finds identical vectors") {
     val d = Seq(
       (1, Seq(1.0f, 0.0f, 0.0f)),

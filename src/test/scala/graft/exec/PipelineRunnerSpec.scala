@@ -589,7 +589,7 @@ class PipelineRunnerSpec extends SparkSuite {
   test("kafka sink validates the value column before connecting") {
     val (runner, _, _) = freshRunner()
     Seq((1, "x")).toDF("id", "payload").createOrReplaceTempView("kv_src")
-    val e = intercept[IllegalArgumentException](runner.run(YamlConfig.parseFlowGroup(
+    val e = intercept[YamlConfig.ConfigError](runner.run(YamlConfig.parseFlowGroup(
       """pipeline: p
         |flowgroup: kafka_bad
         |actions:
