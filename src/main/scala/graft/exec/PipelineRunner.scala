@@ -148,24 +148,62 @@ final class PipelineRunner(
             .map(h => f.copy(dataType = h.dataType, nullable = h.nullable)).getOrElse(f)) ++
           hints.filterNot(h => inferred.exists(_.name.equalsIgnoreCase(h.name))))
       }
-      // schemaEvolutionMode: "none" maps exactly onto OSS fixed-schema reads
-      // (new source columns are ignored); the evolving modes need Auto
-      // Loader's schema-tracking store — reject loudly, never silently drop
-      // (reference: generators/load/cloudfiles.py:36-44)
-      a.options.get("cloudFiles.schemaEvolutionMode").foreach {
-        case "none" => ()
+      // schemaEvolutionMode emulation (reference: generators/load/
+      // cloudfiles.py:36-44). Auto Loader's semantics are RESTART-time: a
+      // new column fails the stream, and the restarted stream picks up the
+      // evolved schema. Each engine run IS a restart (AvailableNow), so the
+      // emulation is a schema sidecar next to the action's checkpoint:
+      //  - addNewColumns: merge this run's inferred schema into the sidecar;
+      //    new columns appear, old rows read as null (TableStore widening).
+      //  - failOnNewColumns: a new inferred column vs the sidecar is a loud
+      //    error; the schema otherwise stays pinned.
+      //  - rescue: schema stays pinned; unexpected columns land in the
+      //    rescued-data column (see rescueParse).
+      //  - none/absent: fixed declared/inferred schema (OSS default).
+      val evolutionMode = a.options.get("cloudFiles.schemaEvolutionMode")
+      evolutionMode.foreach {
+        case "none" | "addNewColumns" | "failOnNewColumns" | "rescue" => ()
         case other => throw graft.config.YamlConfig.ConfigError(
-          s"load '${a.name}': cloudFiles.schemaEvolutionMode='$other' is not " +
-          "supported — schema tracking across restarts needs Auto Loader's " +
-          "schema store; only 'none' (fixed declared/inferred schema) maps " +
-          "onto OSS file sources. Declare the schema and redeploy on change.")
+          s"load '${a.name}': unknown cloudFiles.schemaEvolutionMode '$other'")
       }
-      // rescued-data emulation (Auto Loader's rescuedDataColumn): PERMISSIVE
-      // parse + columnNameOfCorruptRecord captures the raw record whenever a
-      // row fails to parse against the schema — json/csv only (parquet/orc
-      // are self-describing; there is nothing to rescue)
+      def evolve(current: StructType): StructType = {
+        val sidecar = java.nio.file.Paths.get(checkpointFor(a.name) + "__schema.ddl")
+        def persisted: Option[StructType] =
+          if (java.nio.file.Files.exists(sidecar))
+            Some(StructType.fromDDL(java.nio.file.Files.readString(sidecar)))
+          else None
+        def persist(s: StructType): StructType = {
+          java.nio.file.Files.createDirectories(sidecar.getParent)
+          java.nio.file.Files.writeString(sidecar, s.toDDL)
+          s
+        }
+        evolutionMode match {
+          case Some("addNewColumns") => persist(persisted match {
+            case Some(ps) => StructType(ps ++ current.filterNot(f =>
+              ps.exists(_.name.equalsIgnoreCase(f.name))))
+            case None => current
+          })
+          case Some("failOnNewColumns") => persisted match {
+            case Some(ps) =>
+              val fresh = current.filterNot(f => ps.exists(_.name.equalsIgnoreCase(f.name)))
+              if (fresh.nonEmpty) throw graft.config.YamlConfig.ConfigError(
+                s"load '${a.name}': new column(s) ${fresh.map(_.name).mkString(", ")} " +
+                "appeared in the source (schemaEvolutionMode=failOnNewColumns)")
+              ps
+            case None => persist(current)
+          }
+          case _ => current // none / rescue / absent: schema stays pinned
+        }
+      }
+      // rescued-data emulation (Auto Loader's rescuedDataColumn): raw-text
+      // read + from_json/from_csv parse captures the raw record whenever a
+      // row fails to parse against the schema, and (json) any top-level
+      // field the schema doesn't declare — json/csv only (parquet/orc are
+      // self-describing; there is nothing to rescue).
+      // schemaEvolutionMode=rescue engages it with the default column name.
       val rescueCol = a.options.get("cloudFiles.rescuedDataColumn")
         .orElse(a.options.get("cloudFiles.rescueDataColumn")) // reference examples carry both spellings
+        .orElse(if (evolutionMode.contains("rescue")) Some("_rescued_data") else None)
       rescueCol.foreach { rc =>
         if (a.format != "json" && a.format != "csv")
           throw graft.config.YamlConfig.ConfigError(
@@ -184,9 +222,9 @@ final class PipelineRunner(
       // row passes the filter and still shows a rescue value in the output
       // (caught by CloudFilesOptionsSpec's quarantine round-trip).
       def rescueParse(raw: DataFrame, rc: String): DataFrame = {
-        val dataSchema = declared.getOrElse(merge(
+        val dataSchema = evolve(declared.getOrElse(merge(
           spark.read.format(a.format)
-            .options(passThrough).load(a.path).schema))
+            .options(passThrough).load(a.path).schema)))
         val full = dataSchema.add(rc, org.apache.spark.sql.types.StringType, nullable = true)
         val parseOpts = passThrough.filterNot(_._1 == "maxFilesPerTrigger") ++
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> rc)
@@ -196,7 +234,23 @@ final class PipelineRunner(
           case other => throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': rescuedDataColumn unsupported for '$other'")
         }
-        raw.select(parsed.as("__parsed")).select(col("__parsed.*"))
+        val base = raw.select(parsed.as("__parsed"), col("value"))
+          .select(col("__parsed.*"), col("value"))
+        // json: top-level fields the schema doesn't declare are RESCUED, not
+        // dropped (Auto Loader's rescued-data semantics for new columns).
+        // Scalars only — a nested-object extra nulls the map and is covered
+        // by the corrupt-record path when it matters.
+        val withExtras = a.format match {
+          case "json" =>
+            val declaredArr = array(dataSchema.fieldNames.toSeq.map(lit): _*)
+            val extraMap = map_filter(
+              from_json(col("value"), "map<string,string>", Map.empty[String, String]),
+              (k, _) => !array_contains(declaredArr, k))
+            base.withColumn(rc, coalesce(col(rc),
+              when(extraMap.isNotNull && size(extraMap) > 0, to_json(extraMap))))
+          case _ => base
+        }
+        withExtras.drop("value")
       }
       val base =
         if (a.readMode == "stream") {
@@ -209,9 +263,10 @@ final class PipelineRunner(
               rescueParse(excludePreexisting(a, raw), rc)
             case None =>
               // file streams need a schema: declared, or inferred from
-              // existing files (dev convenience) merged with hints
-              val schema = declared.getOrElse(merge(
-                spark.read.format(a.format).options(passThrough).load(a.path).schema))
+              // existing files (dev convenience) merged with hints; the
+              // evolution sidecar merges/pins/rejects across runs
+              val schema = evolve(declared.getOrElse(merge(
+                spark.read.format(a.format).options(passThrough).load(a.path).schema)))
               val stream0 = spark.readStream.format(a.format).schema(schema)
                 .options(passThrough).load(a.path)
               excludePreexisting(a, stream0)
@@ -221,8 +276,14 @@ final class PipelineRunner(
             rescueParse(spark.read.format("text").load(a.path), rc)
           case None =>
             val r = spark.read.format(a.format).options(passThrough)
-            val df0 = declared.map(r.schema).getOrElse(r).load(a.path)
-            if (declared.isEmpty && hintSchema.isDefined) {
+            val evolved = evolutionMode match {
+              case Some("addNewColumns") | Some("failOnNewColumns") =>
+                Some(evolve(declared.getOrElse(merge(
+                  spark.read.format(a.format).options(passThrough).load(a.path).schema))))
+              case _ => declared
+            }
+            val df0 = evolved.map(r.schema).getOrElse(r).load(a.path)
+            if (evolved.isEmpty && hintSchema.isDefined) {
               val merged = merge(df0.schema)
               df0.select(merged.map(f =>
                 (if (df0.columns.exists(_.equalsIgnoreCase(f.name))) col(f.name)

@@ -36,7 +36,21 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  /** Reads apply the table's recorded schema (sidecar) when present: plain
+    * parquet directories holding files written before a schema WIDENED would
+    * otherwise read back with whichever schema the footer sample yields —
+    * with an explicit schema, the reader fills missing columns with nulls,
+    * which is exactly Delta/Iceberg's add-column semantics. */
+  def read(table: String): DataFrame = savedSchema(table) match {
+    case Some(s) => spark.read.schema(s).parquet(path(table))
+    case None => spark.read.parquet(path(table))
+  }
+
+  def savedSchema(table: String): Option[org.apache.spark.sql.types.StructType] =
+    getMeta(table, "schema").map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  private def recordSchema(table: String, df: DataFrame): Unit =
+    setMeta(table, "schema", df.schema.toDDL)
 
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
@@ -44,21 +58,26 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+    recordSchema(table, df)
   }
 
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    // Plain parquet has no schema-evolution protocol: files with differing
-    // column sets under one directory read back with whichever schema the
-    // footer sample yields — silent column loss. Fail loudly instead
-    // (Delta/Iceberg mergeSchema is the upgrade path; the interface seam).
+    // Plain parquet has no schema-evolution protocol of its own. WIDENING
+    // appends (incoming ⊇ existing columns) are supported via the schema
+    // sidecar: old files read back with nulls for the added columns (the
+    // add-column semantics of Delta's mergeSchema). A NARROWING or renamed
+    // append still fails loudly — silently dropping a column is the bug
+    // class this guard exists for.
     readIfExists(table).foreach { existing =>
       val (have, incoming) = (existing.columns.toSet, df.columns.toSet)
-      require(have == incoming,
+      require(have.subsetOf(incoming),
         s"append to '$table' with mismatched columns: table has " +
-          s"${have.toSeq.sorted.mkString(",")} vs incoming ${incoming.toSeq.sorted.mkString(",")}")
+          s"${have.toSeq.sorted.mkString(",")} vs incoming ${incoming.toSeq.sorted.mkString(",")}" +
+          " (only widening appends are supported)")
     }
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+    recordSchema(table, df)
   }
 
   /** Replace table contents with `df`, where `df` may derive from the current
@@ -72,6 +91,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
       swapDir(staging, path(table))
       setMeta(table, "rewritten", "true") // file streams over this dir re-read
+      recordSchema(table, df)
     }
 
   /** Upsert = anti-join rewrite (the parquet stand-in for Delta MERGE
@@ -142,6 +162,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     }
     rm(stagingRootPath.toFile)
     setMeta(table, "rewritten", "true") // file streams over this dir re-read
+    recordSchema(table, rows)
   }
 
   /** On-disk Hive-style partition columns of a table (outermost first),

@@ -38,16 +38,40 @@ object Quarantine {
 
   /** Recycle pass: latest fixed row per `_dlq_sk` (row_number over commit
     * version desc), projected to `cleanColumns`, re-validated; rows passing
-    * re-validation are returned and marked `recycled` in the DLQ. */
+    * re-validation are returned and marked `recycled` in the DLQ.
+    *
+    * With `rescueCol` set (the rescued-data column of the cloudfiles load),
+    * typed columns that are null are RE-PROJECTED from the rescue payload —
+    * the engine's analogue of the reference's `try_variant_get` recycle
+    * re-projection (templates/transform/data_quality_quarantine.py.j2:
+    * 127-176): an operator repairs the raw record in place, and the recycle
+    * pass parses it back into the typed schema and clears the consumed
+    * rescue column, so `<rescue> IS NULL` expectations re-validate clean. */
   def recycle(store: TableStore, dlqTable: String, cleanColumns: Seq[String],
-      rules: Seq[Expectations.Rule]): DataFrame = {
+      rules: Seq[Expectations.Rule], rescueCol: Option[String] = None): DataFrame = {
     store.readIfExists(dlqTable) match {
       case None => throw new IllegalStateException(s"no DLQ table '$dlqTable'")
       case Some(dlq) =>
         val w = Window.partitionBy(SkCol).orderBy(col(VersionCol).desc)
         val fixed = dlq.filter(col(StatusCol) === "fixed")
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        val candidates = fixed.select((cleanColumns :+ SkCol).map(col): _*)
+        val candidates0 = fixed.select((cleanColumns :+ SkCol).map(col): _*)
+        val candidates = rescueCol.filter(cleanColumns.contains) match {
+          case Some(rc) =>
+            val typed = org.apache.spark.sql.types.StructType(
+              candidates0.schema.fields.filter(f => f.name != rc && f.name != SkCol))
+            val reparsed = candidates0.withColumn("__fix", from_json(col(rc), typed))
+            // from_json yields an ALL-NULL struct (not null) for garbage
+            // input, so "parse succeeded" = at least one field recovered
+            val parseOk = typed.fieldNames.map(c => col(s"__fix.$c").isNotNull)
+              .reduceOption(_ || _).getOrElse(lit(false))
+            typed.fieldNames.foldLeft(reparsed) { (d, c) =>
+              d.withColumn(c, coalesce(col(c), col(s"__fix.$c")))
+            }
+              .withColumn(rc, when(parseOk, lit(null).cast("string")).otherwise(col(rc)))
+              .drop("__fix")
+          case None => candidates0
+        }
         // materialize BEFORE the DLQ rewrite below invalidates the files this
         // plan reads from. localCheckpoint is safe here because the frame is
         // bounded by the DLQ's fixed-row count (not corpus-scale); an

@@ -127,20 +127,70 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(store.read("dlq_raw").filter("_rescued_data IS NOT NULL").count() == 1)
   }
 
-  test("schemaEvolutionMode: none is accepted; evolving modes fail loudly") {
-    val (runner, _, dir) = freshRunner()
+  test("schemaEvolutionMode=none pins the schema; unknown mode fails loudly") {
+    val (runner, store, dir) = freshRunner()
     val landing = s"$dir/landing"
     Seq((1, "a")).toDF("id", "v").write.json(landing)
     runner.run(YamlConfig.parseFlowGroup(
       ingestYaml(landing, "        cloudFiles.schemaEvolutionMode: none")))
-    val (runner2, _, dir2) = freshRunner()
-    val landing2 = s"$dir2/landing"
-    Seq((1, "a")).toDF("id", "v").write.json(landing2)
+    assert(store.read("raw_events").columns.toSet == Set("id", "v"))
     val e = intercept[YamlConfig.ConfigError] {
-      runner2.run(YamlConfig.parseFlowGroup(
-        ingestYaml(landing2, "        cloudFiles.schemaEvolutionMode: addNewColumns")))
+      runner.run(YamlConfig.parseFlowGroup(
+        ingestYaml(landing, "        cloudFiles.schemaEvolutionMode: evolveHarder")))
     }
     assert(e.getMessage.contains("schemaEvolutionMode"))
+  }
+
+  test("schemaEvolutionMode=addNewColumns: restart picks up new columns, old rows null") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    Seq((1L, "a")).toDF("id", "v").write.json(landing)
+    val yaml = ingestYaml(landing, "        cloudFiles.schemaEvolutionMode: addNewColumns")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").columns.toSet == Set("id", "v"))
+    // a file with a NEW column lands; the next run (Auto Loader's "restart")
+    // evolves the schema, appends wide, and old rows read back as null
+    spark.read.json(spark.createDataset(Seq("""{"id": 2, "v": "b", "extra": "nc"}""")))
+      .write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("raw_events")
+    assert(out.columns.toSet == Set("id", "v", "extra"))
+    assert(out.filter("id = 2 AND extra = 'nc'").count() == 1)
+    assert(out.filter("id = 1 AND extra IS NULL").count() == 1)
+  }
+
+  test("schemaEvolutionMode=failOnNewColumns rejects a new source column") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    Seq((1L, "a")).toDF("id", "v").write.json(landing)
+    val yaml = ingestYaml(landing, "        cloudFiles.schemaEvolutionMode: failOnNewColumns")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").count() == 1)
+    spark.read.json(spark.createDataset(Seq("""{"id": 2, "v": "b", "extra": "nc"}""")))
+      .write.mode("append").json(landing)
+    val e = intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(yaml))
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+
+  test("schemaEvolutionMode=rescue: undeclared columns land in _rescued_data") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    Files.write(java.nio.file.Paths.get(landing, "a.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "x", "extra": "boom"}
+        |""".stripMargin.getBytes)
+    val yaml = ingestYaml(landing,
+      "        cloudFiles.schemaEvolutionMode: rescue",
+      schema = "      table_schema: \"id BIGINT, v STRING\"")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("raw_events")
+    assert(out.columns.toSet == Set("id", "v", "_rescued_data"))
+    assert(out.filter("id = 1 AND _rescued_data IS NULL").count() == 1)
+    val rescued = out.filter("id = 2").select("_rescued_data").as[String].head()
+    assert(rescued.contains("extra") && rescued.contains("boom"))
   }
 
   test("unknown cloudFiles option fails loudly; infra options warn and run") {

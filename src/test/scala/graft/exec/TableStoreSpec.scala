@@ -99,14 +99,21 @@ class TableStoreSpec extends SparkSuite {
     assert(store.read("np").select("v").as[String].collect().toSet == Set("a", "N", "b"))
   }
 
-  test("append with mismatched columns fails loudly instead of corrupting reads") {
+  test("append: widening adds columns (old rows null); narrowing fails loudly") {
     val store = freshStore()
     store.overwrite("ap", Seq((1, "a")).toDF("k", "v"))
     store.append("ap", Seq((2, "b")).toDF("k", "v")) // matching schema ok
+    // widening append: new column appears, pre-existing rows read as null
+    store.append("ap", Seq((3, "c", "extra")).toDF("k", "v", "w"))
+    val widened = store.read("ap")
+    assert(widened.columns.toSet == Set("k", "v", "w"))
+    assert(widened.filter("k = 3 AND w = 'extra'").count() == 1)
+    assert(widened.filter("k IN (1, 2) AND w IS NULL").count() == 2)
+    // narrowing (dropping a column) still fails loudly
     val e = intercept[IllegalArgumentException](
-      store.append("ap", Seq((3, "c", "extra")).toDF("k", "v", "w")))
+      store.append("ap", Seq((4, "d")).toDF("k", "v")))
     assert(e.getMessage.contains("mismatched columns"))
-    assert(store.read("ap").count() == 2)
+    assert(store.read("ap").count() == 3)
   }
 
   test("compact rewrites many small files into few, preserving contents") {

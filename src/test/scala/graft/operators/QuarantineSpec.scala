@@ -51,4 +51,41 @@ class QuarantineSpec extends SparkSuite {
     store.replace("dlq", brokenFix)
     assert(Quarantine.recycle(store, "dlq", Seq("id", "v"), rules).isEmpty)
   }
+
+  test("rescue-aware recycle re-projects typed columns from the repaired raw record") {
+    val store = new TableStore(spark, Files.createTempDirectory("q-wh2").toString + "/wh")
+    val rescueRules = Seq(
+      Expectations.Rule("parsed", "_rescued_data IS NULL", Expectations.Fail))
+    // a malformed record: typed cols null, raw payload in _rescued_data
+    val src = Seq(
+      (Some(1L), Some("ok"), None: Option[String]),
+      (None: Option[Long], None: Option[String], Some("""{"id": "oops", "v": "bad"}""")))
+      .toDF("id", "v", "_rescued_data")
+    val clean = Quarantine.routeViolations(store, "dlq", src, rescueRules, "src")
+    assert(clean.count() == 1)
+    assert(store.read("dlq").count() == 1)
+
+    // operator repairs the RAW record (id was unparseable -> corrected JSON)
+    val fixed = store.read("dlq")
+      .withColumn("_rescued_data", lit("""{"id": 2, "v": "bad"}"""))
+      .withColumn(Quarantine.StatusCol, lit("fixed"))
+    store.replace("dlq", fixed)
+
+    // recycle parses the repaired payload back into the typed schema,
+    // clears the consumed rescue column, and re-validation passes
+    val recycled = Quarantine.recycle(store, "dlq",
+      Seq("id", "v", "_rescued_data"), rescueRules, rescueCol = Some("_rescued_data"))
+    val rows = recycled.select("id", "v").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "bad")))
+    assert(recycled.filter("_rescued_data IS NULL").count() == 1)
+
+    // an unparseable "fix" stays quarantined
+    val broken = store.read("dlq")
+      .withColumn("_rescued_data", lit("not json at all"))
+      .withColumn(Quarantine.StatusCol, lit("fixed"))
+      .withColumn("id", lit(null).cast("bigint"))
+    store.replace("dlq", broken)
+    assert(Quarantine.recycle(store, "dlq",
+      Seq("id", "v", "_rescued_data"), rescueRules, Some("_rescued_data")).isEmpty)
+  }
 }
