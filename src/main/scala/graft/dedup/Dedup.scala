@@ -35,6 +35,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the shape that actually runs at 100 TB: the
+    * historical corpus is never re-shuffled; an append-only content-hash
+    * INDEX (one md5 per kept doc, ~3% the corpus size) is maintained
+    * alongside it, and each incoming batch (1) dedups within itself
+    * (hash-window, keeper = min id) then (2) anti-joins the index. The index
+    * side streams through the join build once; nothing touches historical
+    * document bytes. Returns the surviving new docs; append
+    * `md5(text)` of the survivors to the index afterwards. */
+  def incrementalExact(newDocs: DataFrame, index: Option[DataFrame],
+      idCol: String, textCol: String): DataFrame = {
+    val hashed = newDocs.withColumn("__fp", md5(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    val inBatch = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    index match {
+      case Some(ix) =>
+        inBatch.join(ix.select(col(ix.columns.head).as("__fp")).distinct(),
+          Seq("__fp"), "left_anti").drop("__fp")
+      case None => inBatch.drop("__fp")
+    }
+  }
+
   /** Exact pairwise n-gram Jaccard ≥ threshold via shingle inverted index:
     * docs sharing a shingle produce a candidate pair; intersection = count of
     * shared shingles; union from per-doc sizes. The self-join is keyed on the

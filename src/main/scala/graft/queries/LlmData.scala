@@ -56,6 +56,16 @@ object LlmData {
       "doc_id", "text", "doc_id", "text", n = 5)
   }
 
+  /** Incremental dedup: docs < 250 are the "historical corpus" reduced to a
+    * content-hash index; docs ≥ 250 arrive as the new batch and dedup
+    * against the index + themselves without touching historical bytes. */
+  def d8IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val index = d.filter(col("doc_id") < 250).select(md5(col("text")).as("fp")).distinct()
+    Dedup.incrementalExact(d.filter(col("doc_id") >= 250), Some(index), "doc_id", "text")
+      .select("doc_id", "text")
+  }
+
   // ------------------------------------------------------------- similarity
 
   def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -131,6 +141,7 @@ object LlmData {
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_contamination" -> d7Contamination,
+    "d8_incremental_dedup" -> d8IncrementalDedup,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -159,6 +170,14 @@ object LlmData {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d8_incremental_dedup" ->
+      """WITH ix AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text, md5(text) AS fp,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT doc_id, text FROM batch
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ix)""".stripMargin,
     "d2_ngram_jaccard" -> exactJaccardSql,
     // MinHash-LSH verifies candidates with exact Jaccard; at threshold 0.6
     // with 16 bands × 2 rows the LSH miss probability is < 1e-3 per pair at

@@ -107,6 +107,23 @@ class DedupSpec extends SparkSuite {
     assert(comps == Seq(0L))
   }
 
+  test("incremental exact dedup: in-batch keeper + anti-join against the index") {
+    val incoming = Seq(
+      (10L, "seen before"), // in the index -> dropped
+      (11L, "brand new"),
+      (12L, "brand new"), // in-batch dup of 11 -> dropped
+      (13L, "also new")).toDF("doc_id", "text")
+    val index = Seq("seen before").toDF("t")
+      .select(md5($"t").as("fp"))
+    val out = Dedup.incrementalExact(incoming, Some(index), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    // no index: only in-batch dedup
+    val noIx = Dedup.incrementalExact(incoming, None, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(noIx == Set(10L, 11L, 13L))
+  }
+
   test("connected components: reliable-checkpoint strategy matches local") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val expected = Dedup.connectedComponents(pairs, "id_a", "id_b")
