@@ -34,10 +34,28 @@ object Extras {
       .select("doc_id", "lang")
   }
 
+  /** Schema evolution through the store: a table written narrow
+    * (c_custkey, c_name) then appended WIDE (+c_acctbal) reads back with the
+    * widened schema, old rows null — the TableStore schema-sidecar semantics
+    * (Delta mergeSchema add-column analogue), pinned by the DuckDB oracle's
+    * union_by_name-equivalent reconstruction. */
+  def q32SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q32").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val customer = Tables.load(s, dir, "customer")
+    store.overwrite("cust_evo",
+      customer.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_name"))
+    store.append("cust_evo",
+      customer.filter(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal"))
+    store.read("cust_evo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
-    "m3_stratified_mix" -> m3StratifiedMix)
+    "m3_stratified_mix" -> m3StratifiedMix,
+    "q32_schema_evolution" -> q32SchemaEvolution)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -61,5 +79,11 @@ object Extras {
     "m3_stratified_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
-        |      < CASE WHEN lang = 'en' THEN 4294967296 ELSE 858993459 END""".stripMargin)
+        |      < CASE WHEN lang = 'en' THEN 4294967296 ELSE 858993459 END""".stripMargin,
+    "q32_schema_evolution" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
 }

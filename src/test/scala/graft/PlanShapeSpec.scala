@@ -72,4 +72,13 @@ class PlanShapeSpec extends SparkSuite {
     val plan = physical(graft.dedup.Sampling.byHash(d, "doc_id", 0.1))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("incremental dedup anti-joins the index — hash join, no cartesian") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val index = d.filter(col("doc_id") < 250).select(md5(col("text")).as("fp")).distinct()
+    val plan = physical(graft.dedup.Dedup.incrementalExact(
+      d.filter(col("doc_id") >= 250), Some(index), "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
 }
