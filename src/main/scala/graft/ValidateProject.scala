@@ -28,8 +28,14 @@ object ValidateProject {
     val project = Project.load(projectDir)
     val issues = Seq.newBuilder[Issue]
     var ok = 0
+    // validation must not require live secrets: fall back to a deterministic
+    // placeholder when the env-var provider has nothing (reference validate
+    // behaves the same — structure is checked, secret VALUES are not)
+    val secrets: graft.config.Substitution.SecretProvider = (scope, key) =>
+      graft.config.Substitution.envSecrets(scope, key)
+        .orElse(Some(s"__${scope}_${key}__"))
     val resolved = project.pipelineFiles.flatMap { p =>
-      Try(project.resolvePipelineFile(p, env, lenient = true)) match {
+      Try(project.resolvePipelineFile(p, env, lenient = true, secrets)) match {
         case Success(fgs) => fgs.map(p -> _)
         case Failure(e) =>
           issues += Issue(p.toString, e.getMessage)

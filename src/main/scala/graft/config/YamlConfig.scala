@@ -93,7 +93,11 @@ object YamlConfig {
     str(src, "type").getOrElse("sql") match {
       case "cloudfiles" => CloudFilesLoad(name, target,
         path = str(src, "path").getOrElse(throw ConfigError(s"cloudfiles '$name' missing path")),
-        format = str(src, "format").getOrElse("json"),
+        // reference configs may carry the format only as the Auto Loader
+        // option (cloudFiles.format) rather than the `format` field
+        format = str(src, "format")
+          .orElse(str(anyMap(src, "options"), "cloudFiles.format"))
+          .getOrElse("json"),
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),
         schemaDdl = str(src, "table_schema"),

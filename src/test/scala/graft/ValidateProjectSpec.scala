@@ -87,11 +87,15 @@ class ValidateProjectSpec extends SparkSuite {
   }
 
   test("the reference example corpus validates") {
-    val examples = Paths.get("/root/reference/Example_Projects/acmi")
-    assume(Files.exists(examples), "reference examples not present")
-    val (ok, issues) = ValidateProject.validate(spark, examples.toString, "dev")
-    assert(ok > 0, "expected at least one validated flowgroup")
-    assert(issues.isEmpty,
-      s"reference example project has issues:\n${issues.take(5).mkString("\n")}")
+    // the two example dirs that are full projects (mehdi is generated-only,
+    // streaming_datasource_example is a single python file)
+    for (name <- Seq("acmi", "performance_testing")) {
+      val examples = Paths.get(s"/root/reference/Example_Projects/$name")
+      assume(Files.exists(examples), "reference examples not present")
+      val (ok, issues) = ValidateProject.validate(spark, examples.toString, "dev")
+      assert(ok > 0, s"$name: expected at least one validated flowgroup")
+      assert(issues.isEmpty,
+        s"$name has issues:\n${issues.take(5).mkString("\n")}")
+    }
   }
 }

@@ -40,6 +40,27 @@ class YamlConfigSpec extends SparkSuite {
       Seq(Expectations.Rule("r1", "x > 0", Expectations.Warn)))
   }
 
+  test("cloudfiles format falls back to the cloudFiles.format option") {
+    import graft.model.CloudFilesLoad
+    val fg = YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source:
+        |      type: cloudfiles
+        |      path: /data/in
+        |      options: {cloudFiles.format: csv}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, table: t}
+        |""".stripMargin)
+    assert(fg.actions.head.asInstanceOf[CloudFilesLoad].format == "csv")
+  }
+
   test("cdc_config: sequence_by parses as scalar, single-item list, and multi-column list") {
     import graft.model.StreamingTableWrite
     def parse(seqBy: String) = YamlConfig.parseFlowGroup(
