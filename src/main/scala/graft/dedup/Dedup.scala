@@ -57,16 +57,35 @@ object Dedup {
     }
   }
 
+  /** Drop shingles whose document frequency exceeds `cap` — the skew guard
+    * for the inverted-index self-joins: a shingle shared by k docs emits k²
+    * candidate rows, so one boilerplate shingle in 1M docs is 10¹² rows.
+    * Capping makes the candidate volume linear in corpus size; similarity
+    * is then computed consistently over the CAPPED shingle space (a
+    * stop-shingle carries ~no signal — the standard stop-gram treatment). */
+  private def capDocFreq(sh: DataFrame, hashCol: String, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        val hot = sh.groupBy(col(hashCol)).agg(count(lit(1)).as("df"))
+          .filter(col("df") > c).select(col(hashCol))
+        sh.join(hot, Seq(hashCol), "left_anti")
+      case None => sh
+    }
+
   /** Exact pairwise n-gram Jaccard ≥ threshold via shingle inverted index:
     * docs sharing a shingle produce a candidate pair; intersection = count of
     * shared shingles; union from per-doc sizes. The self-join is keyed on the
-    * shingle (co-partitioned), not all-pairs. */
+    * shingle (co-partitioned), not all-pairs. `maxShingleDocFreq` engages the
+    * hot-shingle skew guard (results are then exact over the capped space). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): DataFrame = {
+      n: Int = 3, threshold: Double = 0.6,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
     // the inverted index joins on the shingle's 64-bit hash, not the string —
     // same pairs and counts modulo a 2^-64 collision, ~10× less join-key bytes
-    val sh = shingles(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("h")).cache()
+    val sh = capDocFreq(
+      shingles(df, idCol, textCol, n)
+        .select(col(idCol), xxhash64(col("shingle")).as("h")),
+      "h", maxShingleDocFreq).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("h"))
     val b = sh.select(col(idCol).as("id_b"), col("h"))
@@ -91,14 +110,17 @@ object Dedup {
     * shingle→minhash→band→bucket-join pipeline. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val bands = numHashes / rowsPerBand
     // k min-hashes in one pass: the shingle string is hashed ONCE to 64 bits,
     // then the k-member hash family re-hashes the 8-byte value — ~10× less
     // bytes through xxhash64 than hashing the string k times, same MinHash
     // collision properties.
-    val hashed = shingles(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("h0")).cache()
+    val hashed = capDocFreq(
+      shingles(df, idCol, textCol, n)
+        .select(col(idCol), xxhash64(col("shingle")).as("h0")),
+      "h0", maxShingleDocFreq).cache()
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
     val minhashes = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // band signature = xxhash64 over the band's row hashes

@@ -101,6 +101,28 @@ object LlmData {
     mismatch.unionByName(rankBroken)
   }
 
+  /** Self-checking verification of the IVF ANN path (same pattern as s3):
+    * every IVF result present in brute-force must carry the identical exact
+    * cosine, and IVF ranks must be consistent with cosine order. Correct
+    * output is EMPTY. */
+  def s4IvfCheck(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
+      nCells = 16, nProbe = 4)
+    val mismatch = ivf.join(bf, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("cosine") - col("bf_cosine")) > 1e-9)
+      .select(col("query_id"), col("neighbor_id"), lit("cosine_mismatch").as("reason"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val rankBroken = ivf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") =!= col("rank"))
+      .select(col("query_id"), col("neighbor_id"), lit("rank_order").as("reason"))
+    mismatch.unionByName(rankBroken)
+  }
+
   // ------------------------------------------------------------------- text
 
   def t1LangId(s: SparkSession, dir: String): DataFrame =
@@ -145,6 +167,7 @@ object LlmData {
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
+    "s4_ivf_check" -> s4IvfCheck,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
@@ -242,6 +265,10 @@ object LlmData {
     // s3 is a self-check: its correct output is EMPTY, pinned by a
     // schema-matching empty oracle (like the q9/q10 zero-violation tests).
     "s3_lsh_check" ->
+      """SELECT vec_id AS query_id, vec_id AS neighbor_id, 'x' AS reason
+        |FROM embeddings WHERE 1 = 0""".stripMargin,
+    // s4 mirrors s3 for the IVF path: correct output is EMPTY.
+    "s4_ivf_check" ->
       """SELECT vec_id AS query_id, vec_id AS neighbor_id, 'x' AS reason
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     "d5_embedding_neardup" ->

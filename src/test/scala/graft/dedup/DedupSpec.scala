@@ -107,6 +107,33 @@ class DedupSpec extends SparkSuite {
     assert(comps == Seq(0L))
   }
 
+  test("hot-shingle cap: stop-shingles stop producing candidate pairs") {
+    // three docs share ONLY a boilerplate prefix; two are real near-dups
+    val docs = Seq(
+      (1L, "subscribe to our newsletter today the quick brown fox jumps over the dog"),
+      (2L, "subscribe to our newsletter today the quick brown fox jumps over the dog"),
+      (3L, "subscribe to our newsletter today completely different content here entirely")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1L, 3L)))
+    // cap = 2: the 3-doc boilerplate shingles drop; (1,3) no longer pairs,
+    // the true dup (1,2) survives with jaccard 1 over the capped space
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.1,
+      maxShingleDocFreq = Some(2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)) && !capped.contains((1L, 3L)))
+    // a cap above every doc frequency is a no-op (exact result preserved)
+    val noop = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.1,
+      maxShingleDocFreq = Some(100))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(noop == uncapped)
+    // the LSH path accepts the same knob
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.9,
+      maxShingleDocFreq = Some(2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+
   test("incremental exact dedup: in-batch keeper + anti-join against the index") {
     val incoming = Seq(
       (10L, "seen before"), // in the index -> dropped

@@ -1,0 +1,35 @@
+package graft.similarity
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+/** IVF ANN path: precision-1 (exact re-rank — cosines identical to brute
+  * force), useful recall on the testdata embeddings, no corpus cross join. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ivfTopK: exact cosines, consistent ranks, recall over half at nProbe=4") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter("vec_id < 10")
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // every IVF hit that brute force also returns carries the IDENTICAL score
+    val bfPairs = bf.map { case (a, b, c) => (a, b) -> c }.toMap
+    ivf.foreach { case (a, b, c) =>
+      bfPairs.get((a, b)).foreach(exp => assert(math.abs(exp - c) < 1e-9)) }
+    // recall: the probed cells recover a solid share of the true top-k
+    val hit = ivf.count { case (a, b, _) => bfPairs.contains((a, b)) }
+    assert(hit >= bf.size / 2, s"recall too low: $hit of ${bf.size}")
+    // widening the probe count can only help; full probe = exact result
+    val full = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
+      nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == bf)
+  }
+}
