@@ -51,11 +51,44 @@ object Extras {
     store.read("cust_evo")
   }
 
+  /** CDF emulation through the gate: two CDC batches (split by event_id
+    * parity) merge into a change_log table; the `__changes` companion must
+    * equal the DuckDB reconstruction — every change row with its
+    * _change_type (delete predicate) and _commit_version (batch index). */
+  def q33ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def yamlFor(view: String) =
+      s"""pipeline: q33
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: q33_dim, change_log: true}
+         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
+         |                 apply_as_deletes: "event_type = 'error'"}
+         |""".stripMargin
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q33_b1")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q33_b2")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q33_b1")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q33_b2")))
+    store.read("q33_dim__changes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
-    "q32_schema_evolution" -> q32SchemaEvolution)
+    "q32_schema_evolution" -> q32SchemaEvolution,
+    "q33_change_feed" -> q33ChangeFeed)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -85,5 +118,11 @@ object Extras {
         |FROM customer WHERE c_custkey % 2 = 0
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal
-        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
+    "q33_change_feed" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+        |    AS _change_type,
+        |  CAST(event_id % 2 AS BIGINT) AS _commit_version
+        |FROM events""".stripMargin)
 }
