@@ -73,6 +73,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("sidecar-schema reads keep filter pushdown and pruning") {
+    import spark.implicits._
+    val store = new graft.exec.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("ss-wh").toString + "/wh")
+    store.overwrite("t", (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    store.append("t", Seq((101L, "w", 1.5)).toDF("k", "v", "extra")) // widen -> sidecar read path
+    val plan = physical(store.read("t").filter(col("k") > 50).select("k"))
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,50)]"), plan)
+    assert(plan.contains("ReadSchema: struct<k:bigint>"), plan)
+  }
+
   test("incremental dedup anti-joins the index — hash join, no cartesian") {
     val d = Tables.load(spark, sf0001, "documents")
     val index = d.filter(col("doc_id") < 250).select(md5(col("text")).as("fp")).distinct()
