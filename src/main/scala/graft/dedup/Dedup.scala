@@ -163,7 +163,15 @@ object Dedup {
     * word hash from md5 (two big-endian 32-bit halves of the digest's first
     * 16 hex chars) so any md5-capable engine reproduces the signatures
     * bit-for-bit; xxhash64 stays the cheap default. */
-  /** Per-doc 64-bit SimHash signatures: `(idCol, simhash)`. */
+  /** Per-doc 64-bit SimHash signatures: `(idCol, simhash)`.
+    *
+    * NOTE on shape: an in-row higher-order-function version (aggregate +
+    * zip_with over per-word bit arrays) was tried and REVERTED — HOF lambdas
+    * run interpreted (no whole-stage codegen) and allocate a 64-long array
+    * per word, measuring >5× slower than this explode + 64-column groupBy,
+    * whose sums are codegen'd with map-side partial aggregation (the
+    * shuffle carries only 64 longs per doc). Zero-shuffle is not always the
+    * faster plan. */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
     // summing ±1 per word OCCURRENCE equals summing ±tf per distinct word —

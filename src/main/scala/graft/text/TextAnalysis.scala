@@ -69,26 +69,31 @@ object TextAnalysis {
     * text — the exact-dedup key robust to casing/spacing noise. */
   /** Repetition scoring (the Gopher-style repetition filters): the most
     * frequent word n-gram per document and the fraction of the document's
-    * n-grams it occupies — high fractions indicate boilerplate/spam. One
-    * explode + one hash aggregation; ties break lexicographically for
-    * determinism. */
+    * n-grams it occupies — high fractions indicate boilerplate/spam. Ties
+    * break lexicographically (smallest gram) for determinism.
+    *
+    * ZERO-SHUFFLE shape: the whole computation is per-document, so it runs
+    * as in-row higher-order functions (distinct grams × occurrence counts,
+    * O(L²) on the gram count L — bounded by doc length) inside whole-stage
+    * codegen. The previous explode → groupBy(doc, gram) → two-window shape
+    * paid two shuffles of corpus-sized exploded rows for the same result;
+    * at 100 TB this version is partition-local end-to-end. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ws = split(col(textCol), " ")
-    val grams = transform(
+    val grams0 = transform(
       sequence(lit(0), greatest(size(ws) - n, lit(0))),
       i => concat_ws(" ", slice(ws, i + 1, lit(n))))
-    val exploded = df.select(col(idCol), explode(grams).as("g"))
-      .filter(length(col("g")) > 0)
-    val counts = exploded.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col(idCol))
-    val wTop = w.orderBy(col("c").desc, col("g").asc)
-    counts
-      .withColumn("__rn", row_number().over(wTop))
-      .withColumn("__total", sum(col("c")).over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("g").as("top_gram"), col("c").as("top_count"),
-        round(col("c") / col("__total"), 6).as("top_fraction"))
+    val grams = filter(grams0, g => length(g) > 0)
+    df.select(col(idCol), grams.as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .withColumn("__dg", array_distinct(col("__gs")))
+      .withColumn("__cmax", array_max(
+        transform(col("__dg"), g => size(filter(col("__gs"), x => x === g)))))
+      .withColumn("top_gram", array_min(
+        filter(col("__dg"),
+          g => size(filter(col("__gs"), x => x === g)) === col("__cmax"))))
+      .select(col(idCol), col("top_gram"), col("__cmax").as("top_count"),
+        round(col("__cmax") / size(col("__gs")), 6).as("top_fraction"))
   }
 
   /** Split documents into fixed-size character chunks with overlap — the
