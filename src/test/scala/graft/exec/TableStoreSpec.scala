@@ -116,6 +116,41 @@ class TableStoreSpec extends SparkSuite {
     assert(store.read("ap").count() == 3)
   }
 
+  test("property: random widening-append sequences equal unionByName reference") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val store = freshStore()
+      val allCols = Seq("a", "b", "c", "d")
+      var live = 2 // columns present so far (grows only)
+      var expected: Option[org.apache.spark.sql.DataFrame] = None
+      var id = 0
+      for (_ <- 1 to 6) {
+        live = math.min(allCols.size, live + (if (rnd.nextBoolean()) 1 else 0))
+        val cols = allCols.take(live)
+        val rows = (1 to (1 + rnd.nextInt(4))).map { _ =>
+          id += 1
+          org.apache.spark.sql.Row.fromSeq(id.toLong +: cols.tail.map(c => s"$c$id"))
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType) +:
+          cols.tail.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+        val batch = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), schema)
+        store.append(s"w$trial", batch)
+        expected = Some(expected
+          .map(_.unionByName(batch, allowMissingColumns = true)).getOrElse(batch))
+      }
+      val got = store.read(s"w$trial")
+      val exp = expected.get
+      assert(got.columns.sorted.toSeq == exp.columns.sorted.toSeq)
+      val key = got.columns.sorted.toSeq
+      assert(got.select(key.head, key.tail: _*).collect().map(_.toString).sorted.toSeq
+        == exp.select(key.head, key.tail: _*).collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("compact rewrites many small files into few, preserving contents") {
     val store = freshStore()
     (1 to 8).foreach(i => store.append("frag",
