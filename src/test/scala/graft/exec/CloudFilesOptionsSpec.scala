@@ -208,6 +208,63 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(store.read("raw_events").count() == 1)
   }
 
+  test("csv rescue: malformed rows captured, clean rows typed") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    Files.write(java.nio.file.Paths.get(landing, "a.csv"),
+      """1,alice
+        |oops,bob
+        |3,carol
+        |""".stripMargin.getBytes)
+    val yaml =
+      s"""pipeline: bronze
+         |flowgroup: ingest
+         |actions:
+         |  - name: load_raw
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: csv
+         |      readMode: stream
+         |      table_schema: "id BIGINT, name STRING"
+         |      options:
+         |        cloudFiles.rescuedDataColumn: _rescued_data
+         |    target: v_raw
+         |  - name: write_raw
+         |    type: write
+         |    source: v_raw
+         |    write_target: {type: streaming_table, table: raw_events}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("raw_events")
+    assert(out.count() == 3)
+    assert(out.filter("_rescued_data IS NOT NULL").count() == 1)
+    assert(out.filter("_rescued_data LIKE '%oops%'").count() == 1)
+    assert(out.filter("id = 3 AND name = 'carol' AND _rescued_data IS NULL").count() == 1)
+  }
+
+  test("includeExistingFiles=false composes with the rescue path") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    Files.write(java.nio.file.Paths.get(landing, "pre.json"),
+      """{"id": 1, "v": "pre"}""".getBytes)
+    val yaml = ingestYaml(landing,
+      """        cloudFiles.includeExistingFiles: false
+        |        cloudFiles.rescuedDataColumn: _rescued_data""".stripMargin,
+      schema = "      table_schema: \"id BIGINT, v STRING\"")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.readIfExists("raw_events").map(_.count()).getOrElse(0L) == 0L)
+    Files.write(java.nio.file.Paths.get(landing, "post.json"),
+      """{"id": "bad", "v": "post"}""".getBytes)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("raw_events")
+    assert(out.count() == 1) // only the post-start file, rescue captured
+    assert(out.filter("_rescued_data IS NOT NULL AND v = 'post'").count() == 1)
+  }
+
   test("rescuedDataColumn rejects self-describing formats") {
     val (runner, _, dir) = freshRunner()
     val e = intercept[YamlConfig.ConfigError] {
