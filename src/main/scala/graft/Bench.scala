@@ -48,8 +48,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\u${c.toInt}%04x" // all remaining control chars
+        case c => c.toString
+      } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     Result(

@@ -26,6 +26,16 @@ object Maintain {
     val store = new TableStore(spark, warehouse)
     val tables = only.map(Seq(_)).getOrElse(listTables(warehouse))
     tables.foreach { t =>
+      // Compaction rewrites every part-file, which a checkpointed FILE
+      // STREAM consumer would re-read wholesale. Tables already maintained
+      // by merges carry the 'rewritten' marker (their stream consumers are
+      // directed at the __changes companion); compacting a PRISTINE
+      // append-only table converts it to that regime — warn loudly so an
+      // operator doesn't silently break incremental consumers.
+      if (store.getMeta(t, "rewritten").isEmpty)
+        System.err.println(s"[graft] WARN compacting append-only table '$t': " +
+          "any checkpointed file-stream consumer of it must be full-refreshed " +
+          "(stream its __changes companion to stay incremental)")
       val before = dataFileCount(store, t)
       store.compact(t, targetBytes, sortBy)
       println(s"[graft] compacted $t: $before -> ${dataFileCount(store, t)} data files")
@@ -33,20 +43,18 @@ object Maintain {
     spark.stop()
   }
 
-  /** Table directories under the warehouse root: any directory containing at
-    * least one parquet file (directly or under partition dirs), excluding
-    * internal dirs (checkpoints, staging, sinks, reports). */
+  /** Table directories under the warehouse root: any directory containing a
+    * parquet file directly or Hive-style partition dirs, excluding internal
+    * dirs (checkpoints, staging, sinks, reports) and `__changes` CDF
+    * companions — compacting a change log would break its CDF readers for
+    * no benefit (it is consumed incrementally, never scanned whole). */
   def listTables(warehouse: String): Seq[String] = {
     val root = new java.io.File(warehouse)
-    def hasParquet(dir: java.io.File): Boolean = {
-      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
-      fs.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
-        fs.exists(f => f.isDirectory && hasParquet(f))
-    }
     def walk(dir: java.io.File, prefix: String): Seq[String] = {
       val fs = Option(dir.listFiles()).getOrElse(Array.empty)
       fs.filter(f => f.isDirectory && !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_")).toSeq.flatMap { d =>
+          !f.getName.startsWith("_") && !f.getName.endsWith("__changes"))
+        .toSeq.flatMap { d =>
         val name = if (prefix.isEmpty) d.getName else s"$prefix.${d.getName}"
         val files = Option(d.listFiles()).getOrElse(Array.empty)
         if (files.exists(f => f.isFile && f.getName.endsWith(".parquet"))) Seq(name)

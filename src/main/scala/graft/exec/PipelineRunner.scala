@@ -166,7 +166,8 @@ final class PipelineRunner(
         case other => throw graft.config.YamlConfig.ConfigError(
           s"load '${a.name}': unknown cloudFiles.schemaEvolutionMode '$other'")
       }
-      def evolve(current: StructType): StructType = {
+      def evolve(current: StructType): StructType = evolveSchema(current, declared.isDefined)
+      def evolveSchema(current: StructType, isDeclared: Boolean): StructType = {
         val sidecar = java.nio.file.Paths.get(checkpointFor(a.name) + "__schema.ddl")
         def persisted: Option[StructType] =
           if (java.nio.file.Files.exists(sidecar))
@@ -192,7 +193,15 @@ final class PipelineRunner(
               ps
             case None => persist(current)
           }
-          case _ => current // none / rescue / absent: schema stays pinned
+          case Some("none") | Some("rescue") =>
+            // "pinned" must mean pinned ACROSS RUNS, not per-run inference:
+            // without the sidecar, a new source column would drift into the
+            // re-inferred schema and become a typed column — for rescue mode
+            // that is the exact opposite of the contract (new columns belong
+            // in the rescue column). First run persists; later runs reuse.
+            // A DECLARED schema is already the pin — it always wins.
+            if (isDeclared) current else persisted.getOrElse(persist(current))
+          case _ => current // absent: legacy per-run declared/inferred schema
         }
       }
       // rescued-data emulation (Auto Loader's rescuedDataColumn): raw-text
@@ -212,6 +221,19 @@ final class PipelineRunner(
         if (declared.exists(_.fieldNames.contains(rc)))
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': declared schema already contains rescue column '$rc'")
+        // the rescue path reads raw lines: a csv header line would parse as
+        // a (malformed) data row and emit one phantom rescued record per
+        // file; quoted multi-line records break the same way — reject both
+        // configurations loudly rather than corrupt quietly
+        if (a.format == "csv" && a.options.get("header").exists(_.toBoolean))
+          throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': rescuedDataColumn with csv 'header: true' is " +
+            "not supported (the line-based rescue parse would rescue every " +
+            "header row); drop the header option or pre-strip headers")
+        if (a.format == "csv" && a.options.get("multiLine").exists(_.toBoolean))
+          throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': rescuedDataColumn with csv 'multiLine: true' " +
+            "is not supported (rescue parses line-by-line)")
       }
       val passThrough = translateCloudFilesOptions(a)
       // Rescue mode reads RAW TEXT and parses each line with from_json /

@@ -74,6 +74,19 @@ final class TableStore(spark: SparkSession, val warehouse: String,
         s"append to '$table' with mismatched columns: table has " +
           s"${have.toSeq.sorted.mkString(",")} vs incoming ${incoming.toSeq.sorted.mkString(",")}" +
           " (only widening appends are supported)")
+      // a same-named column with a DIFFERENT type would pass the name check,
+      // then recordSchema would overwrite the sidecar and make every old
+      // file unreadable — the exact silent-corruption class this guard
+      // exists to prevent
+      existing.schema.foreach { f =>
+        df.schema.find(_.name == f.name).foreach { g =>
+          // catalogString ignores nullability (array containsNull etc.) —
+          // only true TYPE changes are corruption
+          require(g.dataType.catalogString == f.dataType.catalogString,
+            s"append to '$table': column '${f.name}' changes type " +
+              s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+        }
+      }
     }
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
@@ -328,7 +341,9 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     val root = new java.io.File(warehouse)
     if (root.exists()) root.listFiles()
       .filter(d => d.isDirectory && !d.getName.startsWith(".")).foreach { d =>
-        spark.read.parquet(d.getAbsolutePath).createOrReplaceTempView(d.getName)
+        // read() applies the schema sidecar — a widened table's view must
+        // carry the added columns (footer sampling may pick a narrow file)
+        read(d.getName).createOrReplaceTempView(d.getName)
       }
   }
 }

@@ -30,12 +30,19 @@ object Planner {
       inputs: Action => Seq[String] = _.sources): Seq[Action] = {
     val byTarget: Map[String, Action] =
       actions.flatMap(a => a.target.map(_ -> a)).toMap
-    val byTable: Map[String, Action] = actions.collect {
-      case w: WriteAction => Seq(w.table, w.table.split('.').last).map(_ -> w)
-    }.flatten.toMap
+    // only TABLE-MATERIALIZING writes produce a readable name; a SinkWrite's
+    // `table` is just its action name (files/kafka/handler — nothing a later
+    // action could read), and binding it would fabricate edges for any
+    // action that happens to share a name with a consumed table. Fan-in:
+    // a consumer must order after EVERY write to the table, so the map
+    // carries all of them.
+    val byTable: Map[String, Seq[Action]] = actions.collect {
+      case w: StreamingTableWrite => Seq(w.table, w.table.split('.').last).map(_ -> (w: Action))
+      case w: MaterializedViewWrite => Seq(w.table, w.table.split('.').last).map(_ -> (w: Action))
+    }.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
     val deps: Map[String, Set[String]] = actions.map { a =>
       a.name -> inputs(a)
-        .flatMap(n => byTarget.get(n).orElse(byTable.get(n)))
+        .flatMap(n => byTarget.get(n).map(Seq(_)).orElse(byTable.get(n)).getOrElse(Nil))
         .map(_.name).filterNot(_ == a.name).toSet
     }.toMap
     val byName = actions.map(a => a.name -> a).toMap

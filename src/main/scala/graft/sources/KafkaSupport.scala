@@ -17,10 +17,14 @@ object KafkaSupport {
     * subscribePattern / assign; validate here so a bad YAML fails at plan
     * time with a config error, not inside the connector at stream start. */
   def readerOptions(a: KafkaLoad): Map[String, String] = {
+    // a mode may arrive as a model field OR through the generic options map
+    // (both YAML spellings occur in the wild); field wins on conflict
+    def mode(k: String, field: Option[String]): Option[(String, String)] =
+      field.orElse(a.options.get(k)).map(k -> _)
     val modes = Seq(
-      "subscribe" -> a.subscribe,
-      "subscribePattern" -> a.subscribePattern,
-      "assign" -> a.assign).collect { case (k, Some(v)) => k -> v }
+      mode("subscribe", a.subscribe),
+      mode("subscribePattern", a.subscribePattern),
+      mode("assign", a.assign)).flatten
     if (modes.size != 1)
       throw ConfigError(s"kafka load '${a.name}': exactly one of subscribe, " +
         s"subscribe_pattern, assign is required (got ${modes.size}: " +

@@ -73,11 +73,15 @@ object TextAnalysis {
     * break lexicographically (smallest gram) for determinism.
     *
     * ZERO-SHUFFLE shape: the whole computation is per-document, so it runs
-    * as in-row higher-order functions (distinct grams × occurrence counts,
-    * O(L²) on the gram count L — bounded by doc length) inside whole-stage
-    * codegen. The previous explode → groupBy(doc, gram) → two-window shape
-    * paid two shuffles of corpus-sized exploded rows for the same result;
-    * at 100 TB this version is partition-local end-to-end. */
+    * in-row — sort the gram array, then one linear scan finds the longest
+    * run of equal neighbors (= the modal gram). O(L log L) per doc, so a
+    * pathological 100k-gram spam page costs a sort, not the O(L²)
+    * distinct×count matrix a naive in-row version pays. The previous
+    * explode → groupBy(doc, gram) → two-window shape paid two shuffles of
+    * corpus-sized exploded rows for the same result; this version is
+    * partition-local end-to-end. Strict `>` on the run comparison keeps the
+    * FIRST maximal run — the lexicographically smallest gram, matching the
+    * oracle's tie-break. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val ws = split(col(textCol), " ")
     val grams0 = transform(
@@ -86,14 +90,20 @@ object TextAnalysis {
     val grams = filter(grams0, g => length(g) > 0)
     df.select(col(idCol), grams.as("__gs"))
       .filter(size(col("__gs")) > 0)
-      .withColumn("__dg", array_distinct(col("__gs")))
-      .withColumn("__cmax", array_max(
-        transform(col("__dg"), g => size(filter(col("__gs"), x => x === g)))))
-      .withColumn("top_gram", array_min(
-        filter(col("__dg"),
-          g => size(filter(col("__gs"), x => x === g)) === col("__cmax"))))
-      .select(col(idCol), col("top_gram"), col("__cmax").as("top_count"),
-        round(col("__cmax") / size(col("__gs")), 6).as("top_fraction"))
+      .withColumn("__top", expr(
+        """aggregate(sort_array(__gs),
+          |  named_struct('prev', cast(null as string), 'run', cast(0 as bigint),
+          |               'best', cast(0 as bigint), 'bestg', cast(null as string)),
+          |  (a, g) -> named_struct(
+          |    'prev', g,
+          |    'run', if(g <=> a.prev, a.run + 1, cast(1 as bigint)),
+          |    'best', if(if(g <=> a.prev, a.run + 1, cast(1 as bigint)) > a.best,
+          |               if(g <=> a.prev, a.run + 1, cast(1 as bigint)), a.best),
+          |    'bestg', if(if(g <=> a.prev, a.run + 1, cast(1 as bigint)) > a.best,
+          |                g, a.bestg)))""".stripMargin))
+      .select(col(idCol), col("__top.bestg").as("top_gram"),
+        col("__top.best").as("top_count"),
+        round(col("__top.best") / size(col("__gs")), 6).as("top_fraction"))
   }
 
   /** Split documents into fixed-size character chunks with overlap — the
