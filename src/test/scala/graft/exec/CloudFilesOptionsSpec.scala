@@ -193,6 +193,56 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(rescued.contains("extra") && rescued.contains("boom"))
   }
 
+  test("rescue mode pins the inferred schema across runs — late columns stay rescued") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    Seq((1L, "a")).toDF("id", "v").write.json(landing)
+    // NO declared schema: run 1 infers {id, v} and pins it in the sidecar
+    val yaml = ingestYaml(landing, "        cloudFiles.schemaEvolutionMode: rescue")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").columns.toSet == Set("id", "v", "_rescued_data"))
+    // a file with a NEW column lands; re-inference would now see it, but the
+    // pinned schema must hold — `extra` lands in the rescue column
+    spark.read.json(spark.createDataset(Seq("""{"id": 2, "v": "b", "extra": "late"}""")))
+      .write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("raw_events")
+    assert(out.columns.toSet == Set("id", "v", "_rescued_data"))
+    assert(out.filter("id = 2").select("_rescued_data").as[String].head()
+      .contains("late"))
+  }
+
+  test("csv rescue rejects header and multiLine options loudly") {
+    val (runner, _, dir) = freshRunner()
+    def yamlWith(opt: String) =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $dir/landing
+         |      format: csv
+         |      readMode: stream
+         |      table_schema: "id BIGINT, v STRING"
+         |      options:
+         |        cloudFiles.rescuedDataColumn: _rescued_data
+         |        $opt
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: t}
+         |""".stripMargin
+    assert(intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(yamlWith("header: true")))
+    }.getMessage.contains("header"))
+    assert(intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(yamlWith("multiLine: true")))
+    }.getMessage.contains("multiLine"))
+  }
+
   test("unknown cloudFiles option fails loudly; infra options warn and run") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/landing"

@@ -755,6 +755,28 @@ class PipelineRunnerSpec extends SparkSuite {
     val selfC = FlowGroup("p", "f", actions = Seq(
       MaterializedViewWrite("w", None, "out", sql = Some("SELECT 1 AS x"))))
     Planner.validate(selfC) // must not throw
+
+    // a SINK whose action name collides with a consumed external table must
+    // NOT create an edge (SinkWrite.table is just the action name) — the
+    // collision previously fabricated a false cycle
+    val sinkCollision = FlowGroup("p", "f", actions = Seq(
+      SqlLoad("l", Some("v"), "SELECT * FROM lookup"), // external table 'lookup'
+      MaterializedViewWrite("w", Some("v"), "out"),
+      SinkWrite("lookup", "v", "files")))
+    Planner.order(sinkCollision.actions) // must not throw
+
+    // fan-in: a consumer of the table depends on BOTH writes
+    val fanIn = Seq(
+      SqlLoad("l1", Some("va"), "SELECT 1"),
+      SqlLoad("l2", Some("vb"), "SELECT 2"),
+      StreamingTableWrite("w1", "va", "t_fan"),
+      StreamingTableWrite("w2", "vb", "t_fan"),
+      SqlLoad("reader", Some("vr"), "SELECT * FROM t_fan"),
+      MaterializedViewWrite("w3", Some("vr"), "out2"))
+    val ordered = Planner.order(fanIn,
+      a => graft.plan.DependencyAnalyzer.actionInputs(spark, a)).map(_.name)
+    assert(ordered.indexOf("reader") > ordered.indexOf("w1"))
+    assert(ordered.indexOf("reader") > ordered.indexOf("w2"))
   }
 
   test("fan-in: two flows append into one table") {

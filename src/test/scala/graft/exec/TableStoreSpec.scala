@@ -114,6 +114,11 @@ class TableStoreSpec extends SparkSuite {
       store.append("ap", Seq((4, "d")).toDF("k", "v")))
     assert(e.getMessage.contains("mismatched columns"))
     assert(store.read("ap").count() == 3)
+    // a same-named column changing TYPE fails loudly (would otherwise make
+    // old files unreadable through the overwritten sidecar schema)
+    val t = intercept[IllegalArgumentException](
+      store.append("ap", Seq((5L, 1.0, "x")).toDF("k", "v", "w")))
+    assert(t.getMessage.contains("changes type"))
   }
 
   test("property: random widening-append sequences equal unionByName reference") {

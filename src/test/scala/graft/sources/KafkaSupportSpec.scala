@@ -30,6 +30,19 @@ class KafkaSupportSpec extends SparkSuite {
       .contains("assign"))
   }
 
+  test("a mode supplied via the generic options map is honored") {
+    val r = KafkaSupport.readerOptions(load(opts = Map("subscribe" -> "topic_a")))
+    assert(r("subscribe") == "topic_a")
+    // field + conflicting option: still exactly one mode (field wins)
+    val r2 = KafkaSupport.readerOptions(
+      load(sub = Some("field_topic"), opts = Map("subscribe" -> "opt_topic")))
+    assert(r2("subscribe") == "field_topic")
+    // two different modes across field and options: rejected
+    intercept[graft.config.YamlConfig.ConfigError] {
+      KafkaSupport.readerOptions(load(sub = Some("t"), opts = Map("assign" -> "{}")))
+    }
+  }
+
   test("consumer and connector options pass through") {
     val r = KafkaSupport.readerOptions(load(sub = Some("t"), opts = Map(
       "startingOffsets" -> "earliest",
