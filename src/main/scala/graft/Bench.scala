@@ -16,12 +16,14 @@ object Bench {
   final case class Result(json: String, errors: Map[String, String])
 
   def run(spark: SparkSession, sfDir: String, iters: Int,
-      queries: Map[String, (SparkSession, String) => DataFrame]): Result = {
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      filter: Option[String] = None): Result = {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val names = queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(n.matches) }
     // iterate OUTER over passes, INNER over queries: consecutive runs of the
     // same query would share page cache/JIT state unrealistically; interleaving
     // spaces them out the way the driver's one-pass run sees them
@@ -81,7 +83,8 @@ object Bench {
     graft.sources.Tables.all.foreach { t =>
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
-    val result = run(spark, sfDir, iters, SparkEntry.queries)
+    val result = run(spark, sfDir, iters, SparkEntry.queries,
+      sys.env.get("SPARK_GRAFT_FILTER"))
     println(result.json)
     spark.stop()
     if (result.errors.nonEmpty) {
