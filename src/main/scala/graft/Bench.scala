@@ -24,6 +24,11 @@ object Bench {
     }
     val names = queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(n.matches) }
+    // benching NOTHING must not read as a massive speedup: a typo'd filter
+    // (it is a full-string regex, not a glob) fails loudly
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_FILTER '${filter.getOrElse("")}' matched no queries " +
+        s"(have: ${queries.keys.toSeq.sorted.mkString(", ")})")
     // iterate OUTER over passes, INNER over queries: consecutive runs of the
     // same query would share page cache/JIT state unrealistically; interleaving
     // spaces them out the way the driver's one-pass run sees them

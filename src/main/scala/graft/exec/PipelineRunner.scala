@@ -166,9 +166,16 @@ final class PipelineRunner(
         case other => throw graft.config.YamlConfig.ConfigError(
           s"load '${a.name}': unknown cloudFiles.schemaEvolutionMode '$other'")
       }
-      def evolve(current: StructType): StructType = evolveSchema(current, declared.isDefined)
-      def evolveSchema(current: StructType, isDeclared: Boolean): StructType = {
+      // `current` is BY-NAME: the pinned modes (none/rescue with a sidecar,
+      // declared schemas) never force it, so inference does not re-scan the
+      // landing directory on every run just to discard the result
+      def evolve(current: => StructType): StructType = {
         val sidecar = java.nio.file.Paths.get(checkpointFor(a.name) + "__schema.ddl")
+        // a full refresh resets the pin (Auto Loader's schema-location
+        // reset): re-infer from what is in the source now
+        if (fullRefresh.contains("*") && java.nio.file.Files.exists(sidecar) &&
+            refreshedSchemaPins.add(sidecar.toString))
+          java.nio.file.Files.delete(sidecar)
         def persisted: Option[StructType] =
           if (java.nio.file.Files.exists(sidecar))
             Some(StructType.fromDDL(java.nio.file.Files.readString(sidecar)))
@@ -179,11 +186,13 @@ final class PipelineRunner(
           s
         }
         evolutionMode match {
-          case Some("addNewColumns") => persist(persisted match {
-            case Some(ps) => StructType(ps ++ current.filterNot(f =>
-              ps.exists(_.name.equalsIgnoreCase(f.name))))
-            case None => current
-          })
+          case Some("addNewColumns") =>
+            lazy val cur = current
+            persist(persisted match {
+              case Some(ps) => StructType(ps ++ cur.filterNot(f =>
+                ps.exists(_.name.equalsIgnoreCase(f.name))))
+              case None => cur
+            })
           case Some("failOnNewColumns") => persisted match {
             case Some(ps) =>
               val fresh = current.filterNot(f => ps.exists(_.name.equalsIgnoreCase(f.name)))
@@ -200,7 +209,7 @@ final class PipelineRunner(
             // that is the exact opposite of the contract (new columns belong
             // in the rescue column). First run persists; later runs reuse.
             // A DECLARED schema is already the pin — it always wins.
-            if (isDeclared) current else persisted.getOrElse(persist(current))
+            if (declared.isDefined) current else persisted.getOrElse(persist(current))
           case _ => current // absent: legacy per-run declared/inferred schema
         }
       }
@@ -298,11 +307,13 @@ final class PipelineRunner(
             rescueParse(spark.read.format("text").load(a.path), rc)
           case None =>
             val r = spark.read.format(a.format).options(passThrough)
+            // EVERY evolution mode routes through evolve on batch reads too
+            // — the none/rescue pin must hold across batch runs as well
             val evolved = evolutionMode match {
-              case Some("addNewColumns") | Some("failOnNewColumns") =>
+              case Some(_) =>
                 Some(evolve(declared.getOrElse(merge(
                   spark.read.format(a.format).options(passThrough).load(a.path).schema))))
-              case _ => declared
+              case None => declared
             }
             val df0 = evolved.map(r.schema).getOrElse(r).load(a.path)
             if (evolved.isEmpty && hintSchema.isDefined) {
@@ -568,6 +579,10 @@ final class PipelineRunner(
   }
 
   private val refreshed = mutable.Set[String]()
+  /** Schema-pin sidecars already reset by this runner's full refresh — the
+    * delete must fire once per runner, not once per run (a re-run would
+    * wipe the freshly re-pinned schema). */
+  private val refreshedSchemaPins = mutable.Set[String]()
 
   /** Drop a write target's table and this action's stream state when it is
     * marked for full refresh, so the write rebuilds from scratch. The table

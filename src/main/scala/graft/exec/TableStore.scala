@@ -341,9 +341,18 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     val root = new java.io.File(warehouse)
     if (root.exists()) root.listFiles()
       .filter(d => d.isDirectory && !d.getName.startsWith(".")).foreach { d =>
-        // read() applies the schema sidecar — a widened table's view must
-        // carry the added columns (footer sampling may pick a narrow file)
-        read(d.getName).createOrReplaceTempView(d.getName)
+        // the directory name is a PHYSICAL name — routing it through
+        // read()/path() would apply the sandbox nameMap a second time, so
+        // the sidecar is resolved against the physical path directly (a
+        // widened table's view must still carry the added columns; footer
+        // sampling may pick a narrow file)
+        val sidecar = Paths.get(d.getAbsolutePath + "._schema")
+        val df =
+          if (Files.exists(sidecar))
+            spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+              Files.readString(sidecar).trim)).parquet(d.getAbsolutePath)
+          else spark.read.parquet(d.getAbsolutePath)
+        df.createOrReplaceTempView(d.getName)
       }
   }
 }

@@ -51,9 +51,16 @@ object DependencyAnalyzer {
     case other => other.sources
   }
 
-  /** Tables a flowgroup produces (its write targets). */
+  /** Tables a flowgroup produces (its write targets). SinkWrites are
+    * excluded — their `table` is just the action name (files/kafka/handler;
+    * nothing another flowgroup could read), and binding it would fabricate
+    * cross-flowgroup edges for any name collision (the same bug class as
+    * the in-flowgroup Planner fix). */
   def produces(fg: FlowGroup): Set[String] =
-    fg.actions.collect { case w: WriteAction => w.table }.toSet
+    fg.actions.collect {
+      case w: StreamingTableWrite => w.table
+      case w: MaterializedViewWrite => w.table
+    }.toSet
 
   /** External tables a flowgroup consumes: inputs not defined by any action
     * in the same flowgroup. */

@@ -212,6 +212,45 @@ class CloudFilesOptionsSpec extends SparkSuite {
       .contains("late"))
   }
 
+  test("batch reads pin none-mode schemas too; full refresh resets the pin") {
+    val dir = Files.createTempDirectory("graft-cfb").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val runner = new PipelineRunner(spark, store, s"$dir/checkpoints")
+    val landing = s"$dir/landing"
+    Seq((1L, "a")).toDF("id", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: load_raw
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: batch
+         |      options:
+         |        cloudFiles.schemaEvolutionMode: none
+         |    target: v_raw
+         |  - name: write_raw
+         |    type: write
+         |    source: v_raw
+         |    write_target: {type: materialized_view, table: raw_mv}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_mv").columns.toSet == Set("id", "v"))
+    // new column lands; BATCH re-run must hold the pin (not silently widen)
+    spark.read.json(spark.createDataset(Seq("""{"id": 2, "v": "b", "extra": "x"}""")))
+      .write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_mv").columns.toSet == Set("id", "v"))
+    // full refresh resets the pin — the schema re-infers from the source
+    val refreshRunner = new PipelineRunner(spark, store, s"$dir/checkpoints",
+      fullRefresh = Set("*"))
+    refreshRunner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_mv").columns.toSet == Set("id", "v", "extra"))
+  }
+
   test("csv rescue rejects header and multiLine options loudly") {
     val (runner, _, dir) = freshRunner()
     def yamlWith(opt: String) =
