@@ -108,6 +108,28 @@ final class PipelineRunner(
       df.createOrReplaceTempView(t)
     }
 
+  /** Load actions transitively upstream of a write target named in this
+    * run's full refresh: their schema-pin / preexisting-listing sidecars
+    * reset along with the table (Auto Loader's schema-location reset applies
+    * to TARGETED refreshes too, not only `--full-refresh *`). */
+  private var refreshTargetedLoads: Set[String] = Set.empty
+
+  private def computeRefreshTargetedLoads(fg: FlowGroup,
+      inputs: Action => Seq[String]): Set[String] =
+    if (fullRefresh.isEmpty) Set.empty
+    else {
+      val deps = Planner.dependencies(fg.actions, inputs)
+      val seeds = fg.actions.collect {
+        case w: WriteAction
+          if fullRefresh.contains("*") || fullRefresh.contains(w.table) => w.name }
+      val closure = mutable.Set[String]()
+      def visit(n: String): Unit =
+        if (closure.add(n)) deps.getOrElse(n, Set.empty).foreach(visit)
+      seeds.foreach(visit)
+      fg.actions.collect {
+        case l: CloudFilesLoad if closure(l.name) => l.name }.toSet
+    }
+
   def run(fg: FlowGroup): Unit = {
     currentPipeline = fg.pipeline
     currentFlowgroup = fg.flowgroup
@@ -115,8 +137,9 @@ final class PipelineRunner(
     try {
       // dependency edges include views referenced inside SQL (Catalyst
       // parse), so SQL-only consumers order and validate correctly
-      Planner.plan(fg,
-        a => graft.plan.DependencyAnalyzer.actionInputs(spark, a)).foreach(execute)
+      val inputs = (a: Action) => graft.plan.DependencyAnalyzer.actionInputs(spark, a)
+      refreshTargetedLoads = computeRefreshTargetedLoads(fg, inputs)
+      Planner.plan(fg, inputs).foreach(execute)
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, None)
     } catch { case e: Throwable =>
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, Some(e))
@@ -170,10 +193,18 @@ final class PipelineRunner(
       // declared schemas) never force it, so inference does not re-scan the
       // landing directory on every run just to discard the result
       def evolve(current: => StructType): StructType = {
-        val sidecar = java.nio.file.Paths.get(checkpointFor(a.name) + "__schema.ddl")
-        // a full refresh resets the pin (Auto Loader's schema-location
-        // reset): re-infer from what is in the source now
-        if (fullRefresh.contains("*") && java.nio.file.Files.exists(sidecar) &&
+        // cloudFiles.schemaLocation (Auto Loader's schema-tracking dir) is
+        // HONORED as the sidecar directory; the default sits next to the
+        // action's checkpoint
+        val sidecar = a.options.get("cloudFiles.schemaLocation") match {
+          case Some(dir) => java.nio.file.Paths.get(dir, "__schema.ddl")
+          case None => java.nio.file.Paths.get(checkpointFor(a.name) + "__schema.ddl")
+        }
+        // a full refresh — global, or TARGETED at a write this load feeds —
+        // resets the pin (Auto Loader's schema-location reset): re-infer
+        // from what is in the source now
+        if ((fullRefresh.contains("*") || refreshTargetedLoads(a.name)) &&
+            java.nio.file.Files.exists(sidecar) &&
             refreshedSchemaPins.add(sidecar.toString))
           java.nio.file.Files.delete(sidecar)
         def persisted: Option[StructType] =
@@ -244,6 +275,16 @@ final class PipelineRunner(
             s"load '${a.name}': rescuedDataColumn with csv 'multiLine: true' " +
             "is not supported (rescue parses line-by-line)")
       }
+      // includeExistingFiles=false means "skip files present at STREAM
+      // start" — a batch read has no stream start, so the option cannot take
+      // effect; silently accepting it would re-read the full backfill every
+      // run while the user believes it excluded
+      if (a.readMode != "stream" &&
+          a.options.get("cloudFiles.includeExistingFiles").exists(!_.toBoolean))
+        throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': cloudFiles.includeExistingFiles=false requires " +
+          "readMode: stream (a batch read has no stream start to exclude " +
+          "files before); use readMode: stream or drop the option")
       val passThrough = translateCloudFilesOptions(a)
       // Rescue mode reads RAW TEXT and parses each line with from_json /
       // from_csv, so the rescue column is an ordinary materialized column.
@@ -252,21 +293,31 @@ final class PipelineRunner(
       // the parser evaluates it BEFORE populating the column — the violating
       // row passes the filter and still shows a rescue value in the output
       // (caught by CloudFilesOptionsSpec's quarantine round-trip).
-      def rescueParse(raw: DataFrame, rc: String): DataFrame = {
+      // The text source names its one column `value`; a data schema with its
+      // own `value` column would collide (ambiguous reference on json, a
+      // silent double-drop on csv) — so the raw line is aliased to a reserved
+      // name immediately after load, before any data column exists.
+      val RawLineCol = "__graft_raw"
+      def rescueParse(raw0: DataFrame, rc: String): DataFrame = {
+        val raw = raw0.select(col("value").as(RawLineCol))
         val dataSchema = evolve(declared.getOrElse(merge(
           spark.read.format(a.format)
             .options(passThrough).load(a.path).schema)))
+        if (dataSchema.fieldNames.exists(_.equalsIgnoreCase(RawLineCol)))
+          throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': column name '$RawLineCol' is reserved by the " +
+            "rescued-data parse; rename the source column")
         val full = dataSchema.add(rc, org.apache.spark.sql.types.StringType, nullable = true)
         val parseOpts = passThrough.filterNot(_._1 == "maxFilesPerTrigger") ++
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> rc)
         val parsed = a.format match {
-          case "json" => from_json(col("value"), full, parseOpts)
-          case "csv" => from_csv(col("value"), full, parseOpts)
+          case "json" => from_json(col(RawLineCol), full, parseOpts)
+          case "csv" => from_csv(col(RawLineCol), full, parseOpts)
           case other => throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': rescuedDataColumn unsupported for '$other'")
         }
-        val base = raw.select(parsed.as("__parsed"), col("value"))
-          .select(col("__parsed.*"), col("value"))
+        val base = raw.select(parsed.as("__parsed"), col(RawLineCol))
+          .select(col("__parsed.*"), col(RawLineCol))
         // json: top-level fields the schema doesn't declare are RESCUED, not
         // dropped (Auto Loader's rescued-data semantics for new columns).
         // Scalars only — a nested-object extra nulls the map and is covered
@@ -275,13 +326,13 @@ final class PipelineRunner(
           case "json" =>
             val declaredArr = array(dataSchema.fieldNames.toSeq.map(lit): _*)
             val extraMap = map_filter(
-              from_json(col("value"), "map<string,string>", Map.empty[String, String]),
+              from_json(col(RawLineCol), "map<string,string>", Map.empty[String, String]),
               (k, _) => !array_contains(declaredArr, k))
             base.withColumn(rc, coalesce(col(rc),
               when(extraMap.isNotNull && size(extraMap) > 0, to_json(extraMap))))
           case _ => base
         }
-        withExtras.drop("value")
+        withExtras.drop(RawLineCol)
       }
       val base =
         if (a.readMode == "stream") {
@@ -865,6 +916,13 @@ final class PipelineRunner(
     val include = a.options.get("cloudFiles.includeExistingFiles").forall(_.toBoolean)
     if (include) return stream
     val sidecar = new java.io.File(checkpointFor(a.name) + "__preexisting")
+    // full refresh (global or targeting a write this load feeds) restarts
+    // the stream from scratch: "stream start" is NOW, so the listing
+    // snapshot re-takes — everything currently in the directory is the new
+    // preexisting set. Once per runner, like the schema pin.
+    if ((fullRefresh.contains("*") || refreshTargetedLoads(a.name)) &&
+        sidecar.exists() && refreshedSchemaPins.add(sidecar.toString))
+      sidecar.delete(): Unit
     if (!sidecar.exists()) {
       val conf = spark.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(a.path)

@@ -46,9 +46,19 @@ object Quarantine {
     * re-projection (templates/transform/data_quality_quarantine.py.j2:
     * 127-176): an operator repairs the raw record in place, and the recycle
     * pass parses it back into the typed schema and clears the consumed
-    * rescue column, so `<rescue> IS NULL` expectations re-validate clean. */
+    * rescue column, so `<rescue> IS NULL` expectations re-validate clean.
+    *
+    * `rescueFormat` must name the format the rescue payload was captured
+    * from: a payload rescued by the csv load path is a raw CSV LINE —
+    * `from_json` can never re-parse it, so repaired csv rows would silently
+    * stay quarantined forever. For `"csv"` the typed columns re-project via
+    * `from_csv` (positional: `cleanColumns` order must match the source's
+    * csv column order, which it does when taken from the load's schema). */
   def recycle(store: TableStore, dlqTable: String, cleanColumns: Seq[String],
-      rules: Seq[Expectations.Rule], rescueCol: Option[String] = None): DataFrame = {
+      rules: Seq[Expectations.Rule], rescueCol: Option[String] = None,
+      rescueFormat: String = "json"): DataFrame = {
+    require(rescueFormat == "json" || rescueFormat == "csv",
+      s"rescueFormat must be json or csv, got '$rescueFormat'")
     store.readIfExists(dlqTable) match {
       case None => throw new IllegalStateException(s"no DLQ table '$dlqTable'")
       case Some(dlq) =>
@@ -60,7 +70,10 @@ object Quarantine {
           case Some(rc) =>
             val typed = org.apache.spark.sql.types.StructType(
               candidates0.schema.fields.filter(f => f.name != rc && f.name != SkCol))
-            val reparsed = candidates0.withColumn("__fix", from_json(col(rc), typed))
+            val parse = if (rescueFormat == "csv")
+              from_csv(col(rc), typed, Map.empty[String, String])
+            else from_json(col(rc), typed)
+            val reparsed = candidates0.withColumn("__fix", parse)
             // from_json yields an ALL-NULL struct (not null) for garbage
             // input, so "parse succeeded" = at least one field recovered
             val parseOk = typed.fieldNames.map(c => col(s"__fix.$c").isNotNull)

@@ -20,14 +20,14 @@ object Planner {
     case _ => false
   }
 
-  /** Kahn topo-sort of actions by target→source edges. Sources that no action
-    * produces are external tables (resolved from the catalog at run time).
-    * A write action also "produces" its TABLE: SQL in the same flowgroup may
-    * consume it (`FROM stream(bronze)`), so the consumer must order after
-    * the write. View bindings take precedence — a view and a table sharing a
-    * name resolve to the view producer, the pre-existing behavior. */
-  def order(actions: Seq[Action],
-      inputs: Action => Seq[String] = _.sources): Seq[Action] = {
+  /** Action-name → upstream-action-name edges, the graph `order` sorts.
+    * A write also "produces" its table (qualified name always; the bare last
+    * segment only when exactly ONE qualified table in the flowgroup carries
+    * it — `a.events` and `b.events` both claiming the short name `events`
+    * would fabricate edges for any consumer of either). A consumer that DOES
+    * reference an ambiguous short name is a loud PlanError, not a guess. */
+  def dependencies(actions: Seq[Action],
+      inputs: Action => Seq[String] = _.sources): Map[String, Set[String]] = {
     val byTarget: Map[String, Action] =
       actions.flatMap(a => a.target.map(_ -> a)).toMap
     // only TABLE-MATERIALIZING writes produce a readable name; a SinkWrite's
@@ -36,15 +36,41 @@ object Planner {
     // action that happens to share a name with a consumed table. Fan-in:
     // a consumer must order after EVERY write to the table, so the map
     // carries all of them.
-    val byTable: Map[String, Seq[Action]] = actions.collect {
-      case w: StreamingTableWrite => Seq(w.table, w.table.split('.').last).map(_ -> (w: Action))
-      case w: MaterializedViewWrite => Seq(w.table, w.table.split('.').last).map(_ -> (w: Action))
-    }.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
-    val deps: Map[String, Set[String]] = actions.map { a =>
+    val tableWrites: Seq[(String, Action)] = actions.collect {
+      case w: StreamingTableWrite => w.table -> (w: Action)
+      case w: MaterializedViewWrite => w.table -> (w: Action)
+    }
+    val byQualified: Map[String, Seq[Action]] =
+      tableWrites.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+    val byBare: Map[String, Seq[String]] = tableWrites.map(_._1).distinct
+      .groupBy(_.split('.').last)
+    val ambiguousBare: Set[String] = byBare.collect {
+      case (b, quals) if quals.size > 1 => b }.toSet
+    val byTable: Map[String, Seq[Action]] = byQualified ++ byBare.collect {
+      case (b, Seq(qual)) if !byQualified.contains(b) => b -> byQualified(qual)
+    }
+    actions.map { a =>
+      val ambiguous = inputs(a).filter(n =>
+        ambiguousBare.contains(n) && !byTarget.contains(n) && !byQualified.contains(n))
+      if (ambiguous.nonEmpty) throw PlanError(
+        s"action '${a.name}' reads short table name(s) ${ambiguous.mkString(", ")} " +
+        s"that match multiple write targets (${ambiguous.flatMap(byBare(_)).mkString(", ")}); " +
+        "use the qualified name")
       a.name -> inputs(a)
         .flatMap(n => byTarget.get(n).map(Seq(_)).orElse(byTable.get(n)).getOrElse(Nil))
         .map(_.name).filterNot(_ == a.name).toSet
     }.toMap
+  }
+
+  /** Kahn topo-sort of actions by target→source edges. Sources that no action
+    * produces are external tables (resolved from the catalog at run time).
+    * A write action also "produces" its TABLE: SQL in the same flowgroup may
+    * consume it (`FROM stream(bronze)`), so the consumer must order after
+    * the write. View bindings take precedence — a view and a table sharing a
+    * name resolve to the view producer, the pre-existing behavior. */
+  def order(actions: Seq[Action],
+      inputs: Action => Seq[String] = _.sources): Seq[Action] = {
+    val deps = dependencies(actions, inputs)
     val byName = actions.map(a => a.name -> a).toMap
 
     var remaining = deps

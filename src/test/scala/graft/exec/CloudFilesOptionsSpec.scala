@@ -354,6 +354,156 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(out.filter("_rescued_data IS NOT NULL AND v = 'post'").count() == 1)
   }
 
+  test("rescue parse tolerates a data column named 'value'") {
+    // the text source's own column is also called `value`: without the
+    // reserved raw alias the json path hits an ambiguous reference and the
+    // csv path silently drops the user's data column (round-4 ADVICE medium)
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    Files.write(java.nio.file.Paths.get(landing, "a.json"),
+      """{"id": 1, "value": "keep"}
+        |{"id": "oops", "value": "bad"}
+        |""".stripMargin.getBytes)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: load_raw
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, value STRING"
+         |      options:
+         |        cloudFiles.rescuedDataColumn: _rescued_data
+         |    target: v_raw
+         |  - name: write_raw
+         |    type: write
+         |    source: v_raw
+         |    write_target: {type: streaming_table, table: raw_events}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("raw_events")
+    assert(out.columns.toSet == Set("id", "value", "_rescued_data"))
+    assert(out.filter("id = 1 AND value = 'keep' AND _rescued_data IS NULL").count() == 1)
+    assert(out.filter("value = 'bad' AND _rescued_data LIKE '%oops%'").count() == 1)
+  }
+
+  test("includeExistingFiles=false with readMode batch is a loud error") {
+    val (runner, _, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    Seq((1, "a")).toDF("id", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: load_raw
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: batch
+         |      options:
+         |        cloudFiles.includeExistingFiles: false
+         |    target: v_raw
+         |  - name: write_raw
+         |    type: write
+         |    source: v_raw
+         |    write_target: {type: materialized_view, table: mv}
+         |""".stripMargin
+    val e = intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(yaml))
+    }
+    assert(e.getMessage.contains("includeExistingFiles"))
+    assert(e.getMessage.contains("readMode: stream"))
+  }
+
+  test("cloudFiles.schemaLocation is honored as the schema-tracking directory") {
+    val dir = Files.createTempDirectory("graft-cfl").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val runner = new PipelineRunner(spark, store, s"$dir/checkpoints")
+    val landing = s"$dir/landing"
+    val schemaLoc = s"$dir/schema-tracking"
+    Seq((1L, "a")).toDF("id", "v").write.json(landing)
+    val yaml = ingestYaml(landing,
+      s"""        cloudFiles.schemaEvolutionMode: none
+         |        cloudFiles.schemaLocation: $schemaLoc""".stripMargin)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val pin = java.nio.file.Paths.get(schemaLoc, "__schema.ddl")
+    assert(java.nio.file.Files.exists(pin), "pin must live under schemaLocation")
+    assert(java.nio.file.Files.readString(pin).toLowerCase.contains("id"))
+  }
+
+  test("TARGETED full refresh resets the upstream load's schema pin") {
+    val dir = Files.createTempDirectory("graft-cft").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val runner = new PipelineRunner(spark, store, s"$dir/checkpoints")
+    val landing = s"$dir/landing"
+    Seq((1L, "a")).toDF("id", "v").write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: load_raw
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: batch
+         |      options:
+         |        cloudFiles.schemaEvolutionMode: none
+         |    target: v_raw
+         |  - name: write_raw
+         |    type: write
+         |    source: v_raw
+         |    write_target: {type: materialized_view, table: raw_mv}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    spark.read.json(spark.createDataset(Seq("""{"id": 2, "v": "b", "extra": "x"}""")))
+      .write.mode("append").json(landing)
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_mv").columns.toSet == Set("id", "v"))
+    // refresh targets ONLY the table this load feeds — the pin must reset
+    // with it (previously only "*" did; round-4 ADVICE)
+    val refreshRunner = new PipelineRunner(spark, store, s"$dir/checkpoints",
+      fullRefresh = Set("raw_mv"))
+    refreshRunner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_mv").columns.toSet == Set("id", "v", "extra"))
+  }
+
+  test("TARGETED full refresh re-snapshots the preexisting-files listing") {
+    val dir = Files.createTempDirectory("graft-cfp").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    def addFile(name: String, json: String): Unit =
+      Files.write(java.nio.file.Paths.get(landing, name), json.getBytes)
+    addFile("pre.json", """{"id": 1, "v": "pre"}""")
+    val yaml = ingestYaml(landing, "        cloudFiles.includeExistingFiles: false",
+      schema = "      table_schema: \"id BIGINT, v STRING\"")
+    val runner = new PipelineRunner(spark, store, s"$dir/checkpoints")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    addFile("post.json", """{"id": 2, "v": "post"}""")
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").select("v").as[String].collect().toSeq == Seq("post"))
+    // refresh restarts the stream: "stream start" is NOW, so everything
+    // currently in the directory becomes preexisting again
+    addFile("mid.json", """{"id": 3, "v": "mid"}""")
+    new PipelineRunner(spark, store, s"$dir/checkpoints",
+      fullRefresh = Set("raw_events")).run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.readIfExists("raw_events").map(_.count()).getOrElse(0L) == 0L)
+    // only files arriving after the refreshed start process
+    addFile("after.json", """{"id": 4, "v": "after"}""")
+    new PipelineRunner(spark, store, s"$dir/checkpoints")
+      .run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("raw_events").select("v").as[String].collect().toSeq == Seq("after"))
+  }
+
   test("rescuedDataColumn rejects self-describing formats") {
     val (runner, _, dir) = freshRunner()
     val e = intercept[YamlConfig.ConfigError] {

@@ -88,4 +88,39 @@ class QuarantineSpec extends SparkSuite {
     assert(Quarantine.recycle(store, "dlq",
       Seq("id", "v", "_rescued_data"), rescueRules, Some("_rescued_data")).isEmpty)
   }
+
+  test("csv-sourced DLQ recycles via from_csv (a csv payload never re-parses as json)") {
+    val store = new TableStore(spark, Files.createTempDirectory("q-wh3").toString + "/wh")
+    val rescueRules = Seq(
+      Expectations.Rule("parsed", "_rescued_data IS NULL", Expectations.Fail))
+    // the rescue payload captured by the CSV load path is a raw CSV LINE
+    val src = Seq(
+      (Some(1L), Some("ok"), None: Option[String]),
+      (None: Option[Long], None: Option[String], Some("oops,bad")))
+      .toDF("id", "v", "_rescued_data")
+    assert(Quarantine.routeViolations(store, "dlq", src, rescueRules, "src").count() == 1)
+
+    // operator repairs the raw CSV line in place
+    store.replace("dlq", store.read("dlq")
+      .withColumn("_rescued_data", lit("2,bad"))
+      .withColumn(Quarantine.StatusCol, lit("fixed")))
+
+    // the json-mode recycle can NEVER repair it — the row would silently
+    // stay quarantined forever (the round-4 ADVICE finding)
+    assert(Quarantine.recycle(store, "dlq",
+      Seq("id", "v", "_rescued_data"), rescueRules, Some("_rescued_data")).isEmpty)
+
+    // csv-mode recycle re-projects positionally and clears the payload
+    val recycled = Quarantine.recycle(store, "dlq",
+      Seq("id", "v", "_rescued_data"), rescueRules, Some("_rescued_data"),
+      rescueFormat = "csv")
+    assert(recycled.select("id", "v").as[(Long, String)].collect().toSeq == Seq((2L, "bad")))
+    assert(recycled.filter("_rescued_data IS NULL").count() == 1)
+
+    // an unknown payload format is loud, not a silent non-recycle
+    intercept[IllegalArgumentException] {
+      Quarantine.recycle(store, "dlq", Seq("id", "v", "_rescued_data"),
+        rescueRules, Some("_rescued_data"), rescueFormat = "xml")
+    }
+  }
 }

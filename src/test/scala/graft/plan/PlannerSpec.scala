@@ -1,0 +1,52 @@
+package graft.plan
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+
+/** Table-name edge resolution in the planner (round-4 ADVICE): the bare last
+  * segment of a qualified write target binds only when it is UNAMBIGUOUS —
+  * `a.events` and `b.events` both claiming `events` would fabricate
+  * dependency edges (and potential false cycles) for any consumer of either
+  * short name. A consumer that does read an ambiguous short name is a loud
+  * PlanError, not a guess. */
+class PlannerSpec extends AnyFunSuite {
+
+  private def write(name: String, table: String): Action =
+    StreamingTableWrite(name, source = "v_src", table = table)
+  private def reader(name: String, from: String): Action =
+    SqlTransform(name, Some(s"v_$name"), Seq(from), "SELECT 1")
+
+  test("bare segment of a qualified table binds when unambiguous") {
+    val deps = Planner.dependencies(Seq(write("w_a", "a.events"), reader("t", "events")))
+    assert(deps("t") == Set("w_a"))
+  }
+
+  test("same-named tables in different schemas do not alias under the short name") {
+    val actions = Seq(write("w_a", "a.events"), write("w_b", "b.events"),
+      reader("t", "a.events"))
+    val deps = Planner.dependencies(actions)
+    // qualified reference resolves exactly; no fabricated edge to w_b
+    assert(deps("t") == Set("w_a"))
+    assert(deps("w_b") == Set.empty)
+  }
+
+  test("consuming an ambiguous short name is a loud PlanError") {
+    val actions = Seq(write("w_a", "a.events"), write("w_b", "b.events"),
+      reader("t", "events"))
+    val e = intercept[Planner.PlanError] { Planner.dependencies(actions) }
+    assert(e.getMessage.contains("events"))
+    assert(e.getMessage.contains("a.events") && e.getMessage.contains("b.events"))
+  }
+
+  test("fan-in to one qualified table keeps every write as a short-name edge") {
+    val actions = Seq(write("w_1", "a.events"), write("w_2", "a.events"),
+      reader("t", "events"))
+    assert(Planner.dependencies(actions)("t") == Set("w_1", "w_2"))
+  }
+
+  test("a write target whose name is itself unqualified still binds") {
+    val deps = Planner.dependencies(Seq(write("w", "events"), reader("t", "events")))
+    assert(deps("t") == Set("w"))
+  }
+}
