@@ -11,10 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.LlmData.queries ++ graft.queries.Streaming.queries ++ graft.queries.Analytics.queries ++ graft.queries.Extras.queries
+    graft.queries.Relational.queries ++ graft.queries.LlmData.queries ++ graft.queries.Streaming.queries ++ graft.queries.Analytics.queries ++ graft.queries.Extras.queries ++ graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.LlmData.oracle ++ graft.queries.Streaming.oracle ++ graft.queries.Analytics.oracle ++ graft.queries.Extras.oracle
+    graft.queries.Relational.oracle ++ graft.queries.LlmData.oracle ++ graft.queries.Streaming.oracle ++ graft.queries.Analytics.oracle ++ graft.queries.Extras.oracle ++ graft.queries.Advanced.oracle
 }

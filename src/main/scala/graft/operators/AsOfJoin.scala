@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal nearest) join — for every left row, the single most
+  * recent right row at or before its time (backward; forward = at or after),
+  * per key. The operator DLT/Spark lack natively and pandas/kdb users expect
+  * (reference analogue: the temporal-join patterns its SCD2 examples emit,
+  * e.g. templates emitting `BETWEEN __START_AT AND __END_AT` joins).
+  *
+  * Spark-first design: NOT a join at all. A range/inequality join would plan
+  * as a sort-merge with per-key explosion (every earlier right row pairs
+  * with every left row before filtering) or worse a broadcast-nested-loop.
+  * Instead both sides UNION into one frame tagged by side, and a single
+  * keyed window (`last(payload, ignoreNulls)` over rows unbounded-preceding)
+  * carries the latest right payload forward onto each left row:
+  *
+  *   - exactly ONE shuffle (the window partition on the key),
+  *   - no row explosion — the frame is |left| + |right| rows throughout,
+  *   - whole-stage-codegen'd window; scales to 100 TB sides as long as a
+  *     single key's rows fit a partition (same bound as any keyed window;
+  *     salt upstream for pathological keys).
+  *
+  * Ties: a right row AT the left row's exact time matches (inclusive), both
+  * directions — the side flag breaks the sort so right rows order first.
+  * Null keys: rows with a null key only ever see null-key right rows (SQL
+  * equality-join semantics would drop them; callers wanting that filter
+  * upstream). Left rows with no earlier right row keep null payloads (left
+  * join semantics).
+  */
+object AsOfJoin {
+
+  /** @param on           equi-join key columns (must exist on both sides)
+    * @param leftTime     left ordering column (numeric or timestamp)
+    * @param rightTime    right ordering column
+    * @param payload      right columns to carry onto the left (must not
+    *                     collide with left column names)
+    * @param forward      false = latest right at-or-before (default);
+    *                     true = earliest right at-or-after
+    * @param tolerance    max |left time − matched right time| in the time
+    *                     column's double-cast units (seconds for timestamps);
+    *                     matches farther away return null payloads */
+  def apply(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      forward: Boolean = false, tolerance: Option[Double] = None): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one key column")
+    val collisions = payload.filter(p => left.columns.exists(_.equalsIgnoreCase(p)))
+    require(collisions.isEmpty,
+      s"payload column(s) ${collisions.mkString(", ")} collide with left columns; rename first")
+
+    // matched right time rides inside the payload struct for the tolerance
+    // check; left rows are reconstructed from their own struct after the
+    // window, so left/right schemas never mix
+    val payStruct = struct((col(rightTime).as("__asof_t") +: payload.map(col)): _*)
+    val payType = right.select(payStruct.as("__p")).schema("__p").dataType
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val leftType = left.select(leftStruct.as("__l")).schema("__l").dataType
+
+    val lRows = left.select(on.map(col) ++ Seq(
+      col(leftTime).as("__t"), lit(1).as("__isL"),
+      leftStruct.as("__l"), lit(null).cast(payType).as("__p")): _*)
+    val rRows = right.select(on.map(col) ++ Seq(
+      col(rightTime).as("__t"), lit(0).as("__isL"),
+      lit(null).cast(leftType).as("__l"), payStruct.as("__p")): _*)
+
+    // backward: ascending time, right-before-left at equal times (inclusive)
+    // forward: descending time, same tie-break
+    val ord: Seq[Column] =
+      if (forward) Seq(col("__t").desc, col("__isL").asc)
+      else Seq(col("__t").asc, col("__isL").asc)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lRows.unionByName(rRows)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__isL") === 1)
+    val withinTol = tolerance match {
+      case Some(tol) =>
+        abs(col("__t").cast("double") - col("__m.__asof_t").cast("double")) <= tol
+      case None => lit(true)
+    }
+    val m = when(col("__m").isNotNull && withinTol, col("__m"))
+    matched.select(col("__l.*") +: payload.map(p => m.getField(p).as(p)): _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join — pair every point row with every interval
+  * row whose `[start, end]` contains it (plus optional equi-keys).
+  *
+  * Spark plans a bare `p.t BETWEEN i.start AND i.end` join as a
+  * BroadcastNestedLoopJoin (or a cartesian product with two inequality
+  * filters) — O(|points| × |intervals|) compared rows, a scale killer. The
+  * standard fix (the bucketed "bin join" behind Databricks' range-join
+  * optimization and the interval-join of stream engines): quantize time
+  * into fixed-width buckets, EXPLODE each interval over the buckets it
+  * covers, and equi-join on (keys…, bucket) with the exact BETWEEN as a
+  * post-filter. A point lives in exactly one bucket, so each qualifying
+  * (point, interval) pair meets exactly once — no dedup pass. Cost:
+  * one shuffle on (keys, bucket), interval rows duplicated only
+  * ceil(len/width)+1 times; pick `bucketWidth` ≈ the typical interval
+  * length to keep that factor ~2.
+  *
+  * Bucketing quantizes the `double` cast (epoch seconds for timestamps,
+  * identity for numerics) — `bucketWidth` is in those units — but the
+  * BETWEEN itself compares the columns NATIVELY, so timestamp boundaries
+  * stay exact to the microsecond. Bounds are inclusive on both ends (SQL
+  * BETWEEN). Null times/keys never match.
+  */
+object RangeJoin {
+
+  /** @param points       the (usually larger) point side
+    * @param intervals    the interval side; start/end columns inclusive
+    * @param pointTime    point column on `points`
+    * @param start        interval start column on `intervals`
+    * @param end          interval end column on `intervals`
+    * @param bucketWidth  bucket width in double-cast time units (> 0)
+    * @param on           optional equi-key columns present on BOTH sides
+    * @return all `points` columns ++ all `intervals` columns (shared key
+    *         columns appear once, from the point side) */
+  def apply(points: DataFrame, intervals: DataFrame, pointTime: String,
+      start: String, end: String, bucketWidth: Double,
+      on: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val overlap = intervals.columns.filterNot(on.contains)
+      .filter(c => points.columns.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"interval column(s) ${overlap.mkString(", ")} collide with point columns; rename first")
+
+    def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth)
+    val p = points.withColumn("__bucket", bucketOf(col(pointTime)))
+    // sequence() is bounded by ceil(len/width)+1 elements per interval; a
+    // degenerate reversed interval (end < start) yields no buckets, matching
+    // BETWEEN's empty semantics
+    val i = intervals
+      .filter(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(start)), bucketOf(col(end)))))
+    p.join(i, on :+ "__bucket")
+      .filter(col(pointTime).between(col(start), col(end)))
+      .drop("__bucket")
+  }
+}

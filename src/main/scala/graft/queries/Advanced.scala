@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.sources.Tables
+
+/** Round-5 operator surface: as-of join, bucketed range join, pivot /
+  * unpivot reshaping, and the HLL sketch self-check — the "operators Spark
+  * lacks" tier of the builder brief, each expressed through the scale-safe
+  * custom operator (no nested-loop joins anywhere).
+  *
+  * ORACLE-AUTHORING RULE: every DuckDB aggregate output carries an explicit
+  * CAST (SUM over integers yields HUGEINT → arrow decimal128 → driver hash
+  * mismatch even when values agree; cost rounds 2 and 3). Computed doubles
+  * aggregate through DECIMAL then cast once to DOUBLE, or summation order
+  * diverges in the last ulp. */
+object Advanced {
+
+  /** As-of join via the union+window operator: for each click, the most
+    * recent error by the same user at or before it (no join in the plan —
+    * one shuffle, no row explosion; see [[AsOfJoin]]). */
+  def j1AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("err_event_id"), col("ts").as("err_ts"))
+    AsOfJoin(clicks, errors, on = Seq("user_id"), leftTime = "ts",
+      rightTime = "ts", payload = Seq("err_event_id", "err_ts"))
+  }
+
+  /** Bucketed range join: clicks landing within 6 hours AFTER an error by
+    * the same user — interval side exploded over 6h buckets, equi-join on
+    * (user, bucket), exact BETWEEN post-filter (see [[RangeJoin]]). */
+  def j2Range(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_event_id"),
+        col("ts").as("err_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("err_end"))
+    RangeJoin(clicks, errors, pointTime = "ts", start = "err_start",
+      end = "err_end", bucketWidth = 21600.0, on = Seq("user_id"))
+      .select("event_id", "user_id", "ts", "err_event_id")
+  }
+
+  private val priorities = Seq(
+    "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+    "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+
+  /** Pivot: order revenue by status × priority, priorities widened to
+    * columns. Exact DECIMAL aggregation, one cast to DOUBLE at the edge. */
+  def q34Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities.map(_._1))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .select(col("o_orderstatus") +:
+        priorities.map { case (v, alias) => col(s"`$v`").as(alias) }: _*)
+
+  /** Unpivot (melt): per-user wide spend metrics back to long
+    * (user_id, metric, amount) rows via Dataset.unpivot. */
+  def q35Unpivot(s: SparkSession, dir: String): DataFrame = {
+    def spend(t: String) =
+      sum(when(col("event_type") === t, col("value").cast("decimal(18,2)")))
+        .cast("double").as(s"${t}_value")
+    val wide = Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(spend("click"), spend("purchase"), spend("view"))
+    wide.unpivot(Array(col("user_id")),
+      Array(col("click_value"), col("purchase_value"), col("view_value")),
+      "metric", "amount")
+  }
+
+  /** HLL sketch self-check: per event type, approx_count_distinct(user_id)
+    * must land within 5% of the exact distinct count — violations surface
+    * as rows (empty = pass), the s3/s4 oracle pattern for engine-specific
+    * estimators. */
+  def q36ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .filter(abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * 0.05)
+      .select("event_type", "approx_users", "exact_users")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_asof_join" -> j1AsOf,
+    "j2_range_join" -> j2Range,
+    "q34_pivot" -> q34Pivot,
+    "q35_unpivot" -> q35Unpivot,
+    "q36_approx_distinct" -> q36ApproxDistinct)
+
+  val oracle: Map[String, String] = Map(
+    "j1_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |       e.event_id AS err_event_id, e.ts AS err_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "j2_range_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, e.event_id AS err_event_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 6 HOUR""".stripMargin,
+    "q34_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p1_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p2_high,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS p3_medium,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS p4_not_specified,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p5_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q35_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_value
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, 'click_value' AS metric, click_value AS amount FROM wide
+        |UNION ALL
+        |SELECT user_id, 'purchase_value' AS metric, purchase_value AS amount FROM wide
+        |UNION ALL
+        |SELECT user_id, 'view_value' AS metric, view_value AS amount FROM wide""".stripMargin,
+    "q36_approx_distinct" ->
+      """SELECT event_type, CAST(0 AS BIGINT) AS approx_users,
+        |       CAST(0 AS BIGINT) AS exact_users
+        |FROM events WHERE 1 = 0""".stripMargin)
+}

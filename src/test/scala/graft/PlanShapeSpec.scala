@@ -67,6 +67,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [((k"), plan) // static pruning, not runtime DPP
   }
 
+  test("as-of join plans with NO join operator — one keyed window pass") {
+    val plan = physical(queries.Advanced.queries("j1_asof_join")(spark, sf0001))
+    assert(!plan.contains("Join"), "as-of must not plan a join:\n" + plan)
+    assert(plan.contains("Window"), plan)
+    // union + window = exactly one shuffle on the key
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"expected one keyed exchange:\n$plan")
+  }
+
+  test("range join is an equi-join on (key, bucket) — no nested loop, no cartesian") {
+    val plan = physical(queries.Advanced.queries("j2_range_join")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join degenerated to a nested loop:\n" + plan)
+  }
+
   test("hash sampling is a pure scan filter — no exchange at all") {
     val d = Tables.load(spark, sf0001, "documents")
     val plan = physical(graft.dedup.Sampling.byHash(d, "doc_id", 0.1))

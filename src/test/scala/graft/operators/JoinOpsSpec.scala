@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** As-of and bucketed range join: equivalence against brute-force
+  * references on randomized data (fixed seed), direction/tolerance/tie
+  * semantics, and the loud collision guards. Plan-shape guards (no join in
+  * as-of, no nested-loop in range) live in PlanShapeSpec. */
+class JoinOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  // keys with heavy collision so windows/joins have real per-key depth
+  private val leftRows = (1 to 300).map(i =>
+    (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+  private val rightRows = (1 to 200).map(i =>
+    (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, s"p$i"))
+  private def leftDf = leftRows.toDF("l_id", "k", "t")
+  private def rightDf = rightRows.toDF("r_id", "k", "rt", "pay")
+
+  test("backward as-of matches the brute-force reference") {
+    val out = AsOfJoin(leftDf, rightDf, on = Seq("k"), leftTime = "t",
+      rightTime = "rt", payload = Seq("r_id", "pay"))
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    val expected = leftRows.map { case (lid, k, t) =>
+      val m = rightRows.filter(r => r._2 == k && r._3 <= t)
+      lid -> m.sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+    }.toMap
+    // ties on (k, rt) between right rows are tie-broken arbitrarily in both
+    // the operator and the reference; compare on the matched TIME instead
+    val timeOf = rightRows.map(r => r._1 -> r._3).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (lid, got) =>
+      assert(got.map(timeOf) == expected(lid).map(timeOf),
+        s"l_id=$lid got=$got expected=${expected(lid)}")
+    }
+  }
+
+  test("forward as-of picks the earliest right at-or-after") {
+    val out = AsOfJoin(leftDf, rightDf, on = Seq("k"), leftTime = "t",
+      rightTime = "rt", payload = Seq("r_id"), forward = true)
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    val timeOf = rightRows.map(r => r._1 -> r._3).toMap
+    leftRows.foreach { case (lid, k, t) =>
+      val expected = rightRows.filter(r => r._2 == k && r._3 >= t)
+        .map(_._3).minOption
+      assert(out(lid).map(timeOf) == expected, s"l_id=$lid")
+    }
+  }
+
+  test("as-of tie at the exact timestamp is inclusive; no match leaves nulls") {
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 50L), (3L, 2L, 100L)).toDF("l_id", "k", "t")
+    val r = Seq((10L, 1L, 100L, "at"), (11L, 3L, 10L, "other")).toDF("r_id", "k", "rt", "pay")
+    val out = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("r_id", "pay"))
+      .select("l_id", "r_id", "pay").as[(Long, Option[Long], Option[String])]
+      .collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(out(1L) == ((Some(10L), Some("at")))) // equal time matches
+    assert(out(2L) == ((None, None)))            // nothing at-or-before
+    assert(out(3L) == ((None, None)))            // key never on right
+  }
+
+  test("as-of tolerance nulls far matches but keeps the left row") {
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 500L)).toDF("l_id", "k", "t")
+    val r = Seq((10L, 1L, 90L, "near")).toDF("r_id", "k", "rt", "pay")
+    val out = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("pay"), tolerance = Some(50.0))
+      .select("l_id", "pay").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("near"), 2L -> None))
+  }
+
+  test("as-of rejects payload columns colliding with the left side") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(leftDf, rightDf.withColumnRenamed("pay", "l_id"),
+        Seq("k"), "t", "rt", Seq("l_id"))
+    }
+    assert(e.getMessage.contains("l_id"))
+  }
+
+  test("bucketed range join matches the brute-force inequality join") {
+    val intervals = rightRows.map { case (rid, k, t, _) => (rid, k, t, t + 73) }
+      .toDF("r_id", "k", "start", "end")
+    val expected = for {
+      (lid, k, t) <- leftRows
+      (rid, rk, s, _) <- rightRows if rk == k && t >= s && t <= s + 73
+    } yield (lid, rid)
+    // sweep widths smaller, comparable, and larger than the interval length
+    for (width <- Seq(10.0, 73.0, 500.0)) {
+      val got = RangeJoin(leftDf, intervals, "t", "start", "end", width, Seq("k"))
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == expected.sorted.toSeq, s"width=$width")
+      assert(got.size == got.distinct.size, s"duplicate pairs at width=$width")
+    }
+  }
+
+  test("range join: inclusive bounds, reversed intervals empty, keyless mode") {
+    val pts = Seq((1L, 10L), (2L, 20L), (3L, 21L)).toDF("p_id", "t")
+    val iv = Seq((100L, 10L, 20L), (101L, 30L, 25L)).toDF("i_id", "start", "end")
+    val got = RangeJoin(pts, iv, "t", "start", "end", 5.0)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    // both endpoints match; the reversed interval (30 > 25) matches nothing
+    assert(got == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("range join rejects colliding non-key columns") {
+    val iv = Seq((1L, 1L, 2L)).toDF("t", "start", "end") // `t` collides
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin(leftDf, iv, "t", "start", "end", 5.0)
+    }
+    assert(e.getMessage.contains("t"))
+  }
+
+  test("as-of on timestamps: matched time survives the round trip") {
+    val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("l_id", "k", "t")
+    val r = Seq((10L, 1L, java.sql.Timestamp.valueOf("2024-01-01 09:30:00")))
+      .toDF("r_id", "k", "rt")
+    val out = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("r_id"),
+      tolerance = Some(3600.0)) // 30 min gap < 1 h tolerance, in seconds
+    assert(out.select("r_id").as[Option[Long]].head() == Some(10L))
+    val strict = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("r_id"),
+      tolerance = Some(60.0))
+    assert(strict.select("r_id").as[Option[Long]].head() == None)
+  }
+}
