@@ -89,12 +89,45 @@ object Advanced {
         col("exact_users") * 0.05)
       .select("event_type", "approx_users", "exact_users")
 
+  /** Approximate-percentile self-check: per event type, the t-digest-style
+    * estimator must land within 5% of the exact median (violations surface
+    * as rows; empty = pass). */
+  def q37ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50"))
+      .filter(abs(col("approx_p50") - col("exact_p50")) >
+        abs(col("exact_p50")) * 0.05)
+      .select("event_type", "approx_p50", "exact_p50")
+
+  /** Mergeable-sketch pipeline (the 100 TB distinct-count shape): build a
+    * DataSketches HLL per group in one map-side-combined pass, UNION the
+    * sketches (never the raw data), estimate, and self-check against the
+    * exact global distinct. At scale the per-partition sketch is KBs while
+    * the raw key set is TBs — this is how distinct-count rolls up without
+    * a global shuffle of keys. */
+  def q38SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val unioned = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_total"))
+    val exact = ev.agg(countDistinct("user_id").as("exact_total"))
+    // 1-row × 1-row flag join (the ScdMerge/DataTests pattern)
+    unioned.crossJoin(exact)
+      .filter(abs(col("approx_total") - col("exact_total")) >
+        col("exact_total") * 0.05)
+      .select("approx_total", "exact_total")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsOf,
     "j2_range_join" -> j2Range,
     "q34_pivot" -> q34Pivot,
     "q35_unpivot" -> q35Unpivot,
-    "q36_approx_distinct" -> q36ApproxDistinct)
+    "q36_approx_distinct" -> q36ApproxDistinct,
+    "q37_approx_percentile" -> q37ApproxPercentile,
+    "q38_sketch_union" -> q38SketchUnion)
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" ->
@@ -140,5 +173,13 @@ object Advanced {
     "q36_approx_distinct" ->
       """SELECT event_type, CAST(0 AS BIGINT) AS approx_users,
         |       CAST(0 AS BIGINT) AS exact_users
+        |FROM events WHERE 1 = 0""".stripMargin,
+    "q37_approx_percentile" ->
+      """SELECT event_type, CAST(0 AS DOUBLE) AS approx_p50,
+        |       CAST(0 AS DOUBLE) AS exact_p50
+        |FROM events WHERE 1 = 0""".stripMargin,
+    "q38_sketch_union" ->
+      """SELECT CAST(0 AS BIGINT) AS approx_total,
+        |       CAST(0 AS BIGINT) AS exact_total
         |FROM events WHERE 1 = 0""".stripMargin)
 }
