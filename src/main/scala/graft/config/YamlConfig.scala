@@ -236,6 +236,7 @@ object YamlConfig {
           table = table,
           partitionColumns = strSeq(wt, "partition_columns"),
           clusterColumns = strSeq(wt, "cluster_columns"),
+          clusterStrategy = clusterStrategyOf(wt, name),
           once = m.get("once").exists(_.toString.toBoolean),
           cdc = cdc,
           snapshotCdc = str(wt, "mode").contains("snapshot_cdc") || snapMap.isDefined,
@@ -252,6 +253,7 @@ object YamlConfig {
         sql = str(m, "sql").orElse(str(wt, "sql")),
         partitionColumns = strSeq(wt, "partition_columns"),
         clusterColumns = strSeq(wt, "cluster_columns"),
+        clusterStrategy = clusterStrategyOf(wt, name),
         rowFilter = str(wt, "row_filter"),
         tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
         expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
@@ -265,6 +267,13 @@ object YamlConfig {
       case other => throw ConfigError(s"unknown write type '$other' on '$name'")
     }
   }
+
+  private def clusterStrategyOf(wt: Map[String, Any], name: String): String =
+    str(wt, "cluster_strategy").getOrElse("range") match {
+      case s @ ("range" | "zorder") => s
+      case other => throw ConfigError(
+        s"write '$name': unknown cluster_strategy '$other' (range | zorder)")
+    }
 
   /** Load an expectations file (JSON or YAML — both reference formats,
     * data_quality.py:73-96) into rules. */

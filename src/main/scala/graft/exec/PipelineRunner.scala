@@ -509,13 +509,13 @@ final class PipelineRunner(
             "(reference a stream-loaded view)")
         df.writeStream.outputMode("complete")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            store.replace(a.table, clustered(batch, a.clusterColumns), a.partitionColumns)
+            store.replace(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       } else {
-        store.overwrite(a.table, clustered(df, a.clusterColumns), a.partitionColumns)
+        store.overwrite(a.table, clustered(df, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
       }
       store.setProperties(a.table, a.tableProperties)
       store.readIfExists(a.table)
@@ -733,14 +733,14 @@ final class PipelineRunner(
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             logChanges(a, batch, None)
-            store.append(a.table, clustered(batch, a.clusterColumns), a.partitionColumns)
+            store.append(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (None, _) =>
         logChanges(a, src, None)
-        store.append(a.table, clustered(src, a.clusterColumns), a.partitionColumns)
+        store.append(a.table, clustered(src, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
     }
     if (a.once) store.setMeta(a.table, onceKey, "done")
     // a snapshot-polling write may legitimately find no snapshots on a run
@@ -749,12 +749,16 @@ final class PipelineRunner(
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
   }
 
-  /** Range-cluster a frame on the write's cluster columns: range
-    * repartition + in-partition sort makes each file's parquet min/max
-    * stats tight and disjoint, so later scans skip files (the parquet
-    * stand-in for liquid clustering). */
-  private def clustered(df: DataFrame, cols: Seq[String]): DataFrame =
+  /** Cluster a frame on the write's cluster columns: repartition +
+    * in-partition sort makes each file's parquet min/max stats tight and
+    * disjoint, so later scans skip files (the parquet stand-in for liquid
+    * clustering). "range" is lexicographic (first column dominates);
+    * "zorder" interleaves quantile-bucket bits so EVERY cluster column
+    * gets skipping locality ([[graft.operators.ZOrder]]). */
+  private def clustered(df: DataFrame, cols: Seq[String],
+      strategy: String = "range"): DataFrame =
     if (cols.isEmpty) df
+    else if (strategy == "zorder") graft.operators.ZOrder.cluster(df, cols)
     else df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*)
 
   /** Apply a CDC change batch to the target. When the write's partition
@@ -775,17 +779,17 @@ final class PipelineRunner(
         // replace is the better plan there
         if (affected.size > PipelineRunner.MaxScopedPartitions)
           store.replace(a.table,
-            clustered(ScdMerge.applyChanges(Some(t), batch, opts), a.clusterColumns),
+            clustered(ScdMerge.applyChanges(Some(t), batch, opts), a.clusterColumns, a.clusterStrategy),
             partCols)
         else {
           val scoped = t.filter(TableStore.partitionPredicate(partCols, affected))
           val merged = ScdMerge.applyChanges(Some(scoped), batch, opts)
-          store.replacePartitions(a.table, clustered(merged, a.clusterColumns),
+          store.replacePartitions(a.table, clustered(merged, a.clusterColumns, a.clusterStrategy),
             partCols, affected)
         }
       case t =>
         store.replace(a.table,
-          clustered(ScdMerge.applyChanges(t, batch, opts), a.clusterColumns), partCols)
+          clustered(ScdMerge.applyChanges(t, batch, opts), a.clusterColumns, a.clusterStrategy), partCols)
     }
   }
 

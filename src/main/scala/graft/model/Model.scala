@@ -204,6 +204,10 @@ final case class StreamingTableWrite(
       * min/max stats become tight → scan-time data skipping; the
       * cluster_columns counterpart for a parquet warehouse). */
     clusterColumns: Seq[String] = Nil,
+    /** "range" (lexicographic, default) or "zorder" (bit-interleaved
+      * multi-dimensional locality — every cluster column skips, not just
+      * the first). */
+    clusterStrategy: String = "range",
     snapshotCdc: Boolean = false,
     /** Snapshot-polling source: a [[graft.exec.SnapshotFunction]] class name
       * (the reference's snapshot_cdc_config.source_function — DLT's
@@ -232,6 +236,8 @@ final case class MaterializedViewWrite(
     expectations: Seq[graft.operators.Expectations.Rule] = Nil,
     /** Range-cluster data files on these columns at write time. */
     clusterColumns: Seq[String] = Nil,
+    /** "range" (default) or "zorder" — see [[StreamingTableWrite]]. */
+    clusterStrategy: String = "range",
     /** Incremental maintenance: the view is a streaming aggregation whose
       * state lives in the checkpoint — each run reads only NEW source data
       * and merges partial aggregates, instead of a full recompute. */
