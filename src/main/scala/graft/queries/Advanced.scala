@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, TimeSeries}
 import graft.sources.Tables
 
 /** Round-5 operator surface: as-of join, bucketed range join, pivot /
@@ -120,6 +120,16 @@ object Advanced {
       .select("approx_total", "exact_total")
   }
 
+  /** Daily resample with forward-fill: one row per user per day between
+    * that user's first and last event, carrying the as-of-latest value —
+    * grid built distributed (per-key min/max + sequence explode), filled by
+    * the as-of pass (see [[TimeSeries.resample]]). */
+  def q39Resample(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.resample(
+      Tables.load(s, dir, "events").select("user_id", "ts", "value"),
+      keys = Seq("user_id"), time = "ts", stepSeconds = 86400L,
+      payload = Seq("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsOf,
     "j2_range_join" -> j2Range,
@@ -127,7 +137,8 @@ object Advanced {
     "q35_unpivot" -> q35Unpivot,
     "q36_approx_distinct" -> q36ApproxDistinct,
     "q37_approx_percentile" -> q37ApproxPercentile,
-    "q38_sketch_union" -> q38SketchUnion)
+    "q38_sketch_union" -> q38SketchUnion,
+    "q39_resample" -> q39Resample)
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" ->
@@ -181,5 +192,19 @@ object Advanced {
     "q38_sketch_union" ->
       """SELECT CAST(0 AS BIGINT) AS approx_total,
         |       CAST(0 AS BIGINT) AS exact_total
-        |FROM events WHERE 1 = 0""".stripMargin)
+        |FROM events WHERE 1 = 0""".stripMargin,
+    "q39_resample" ->
+      """WITH bounds AS (
+        |  SELECT user_id, min(ts) AS mn, max(ts) AS mx
+        |  FROM events GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |         CAST(to_timestamp(b * 86400) AS TIMESTAMP) AS grid_ts
+        |  FROM bounds,
+        |       unnest(generate_series(CAST(floor(epoch(mn) / 86400) AS BIGINT),
+        |                              CAST(floor(epoch(mx) / 86400) AS BIGINT))) AS t(b))
+        |SELECT g.user_id, g.grid_ts, e.value
+        |FROM grid g
+        |ASOF LEFT JOIN events e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin)
 }
