@@ -130,6 +130,25 @@ object Advanced {
       keys = Seq("user_id"), time = "ts", stepSeconds = 86400L,
       payload = Seq("value"))
 
+  /** Window navigation functions — lag/lead/first_value/ntile per user in
+    * time order (ties impossible: (user_id, ts) is unique in events). */
+  def q40WindowNav(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        first_value(col("value")).over(w).as("first_value"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  /** JSON extraction from the semi-structured props column. */
+  def q41JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsOf,
     "j2_range_join" -> j2Range,
@@ -138,7 +157,9 @@ object Advanced {
     "q36_approx_distinct" -> q36ApproxDistinct,
     "q37_approx_percentile" -> q37ApproxPercentile,
     "q38_sketch_union" -> q38SketchUnion,
-    "q39_resample" -> q39Resample)
+    "q39_resample" -> q39Resample,
+    "q40_window_nav" -> q40WindowNav,
+    "q41_json_extract" -> q41JsonExtract)
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" ->
@@ -206,5 +227,19 @@ object Advanced {
         |SELECT g.user_id, g.grid_ts, e.value
         |FROM grid g
         |ASOF LEFT JOIN events e
-        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin)
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
+    "q40_window_nav" ->
+      """SELECT event_id, user_id, ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin,
+    "q41_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin)
 }
