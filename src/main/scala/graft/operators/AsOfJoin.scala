@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   * directions — the side flag breaks the sort so right rows order first.
   * Null keys: rows with a null key only ever see null-key right rows (SQL
   * equality-join semantics would drop them; callers wanting that filter
-  * upstream). Left rows with no earlier right row keep null payloads (left
-  * join semantics).
+  * upstream). Null times follow SQL comparison semantics: a null-time right
+  * row matches nothing (dropped before the window — it would otherwise sort
+  * first and forward-fill as a phantom match), and a null-time left row
+  * keeps null payloads. Left rows with no earlier right row keep null
+  * payloads (left join semantics).
   */
 object AsOfJoin {
 
@@ -61,7 +64,7 @@ object AsOfJoin {
     val lRows = left.select(on.map(col) ++ Seq(
       col(leftTime).as("__t"), lit(1).as("__isL"),
       leftStruct.as("__l"), lit(null).cast(payType).as("__p")): _*)
-    val rRows = right.select(on.map(col) ++ Seq(
+    val rRows = right.filter(col(rightTime).isNotNull).select(on.map(col) ++ Seq(
       col(rightTime).as("__t"), lit(0).as("__isL"),
       lit(null).cast(leftType).as("__l"), payStruct.as("__p")): _*)
 
@@ -81,7 +84,7 @@ object AsOfJoin {
         abs(col("__t").cast("double") - col("__m.__asof_t").cast("double")) <= tol
       case None => lit(true)
     }
-    val m = when(col("__m").isNotNull && withinTol, col("__m"))
+    val m = when(col("__t").isNotNull && col("__m").isNotNull && withinTol, col("__m"))
     matched.select(col("__l.*") +: payload.map(p => m.getField(p).as(p)): _*)
   }
 }

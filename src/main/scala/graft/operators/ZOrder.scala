@@ -81,9 +81,12 @@ object ZOrder {
   /** Z-cluster a frame for writing: range-shuffle + in-partition sort on
     * the z-value, so each output file covers one small hyper-rectangle. */
   def cluster(df: DataFrame, cols: Seq[String], bits: Int = 6,
-      sampleFraction: Option[Double] = None): DataFrame =
+      sampleFraction: Option[Double] = None): DataFrame = {
+    require(!df.columns.contains("__zorder"),
+      "input already has a __zorder column; rename it first")
     df.withColumn("__zorder", zvalue(df, cols, bits, sampleFraction))
       .repartitionByRange(col("__zorder"))
       .sortWithinPartitions(col("__zorder"))
       .drop("__zorder")
+  }
 }

@@ -110,6 +110,20 @@ class JoinOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("t"))
   }
 
+  test("null times: right nulls are never phantom matches; left nulls get null payloads") {
+    val l = Seq((1L, 1L, Some(100L)), (2L, 1L, None: Option[Long])).toDF("l_id", "k", "t")
+    val r = Seq((10L, 1L, None: Option[Long], "ghost"), (11L, 1L, Some(50L), "real"))
+      .toDF("r_id", "k", "rt", "pay")
+    val out = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("pay"))
+      .select("l_id", "pay").as[(Long, Option[String])].collect().toMap
+    // the null-rt row would sort first and forward-fill without the guard
+    assert(out == Map(1L -> Some("real"), 2L -> None))
+    // forward direction: the null-t left row must not see the "last" payload
+    val fwd = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("pay"), forward = true)
+      .select("l_id", "pay").as[(Long, Option[String])].collect().toMap
+    assert(fwd(2L) == None)
+  }
+
   test("as-of on timestamps: matched time survives the round trip") {
     val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("l_id", "k", "t")

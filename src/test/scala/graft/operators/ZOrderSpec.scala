@@ -65,6 +65,9 @@ class ZOrderSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       ZOrder.zvalue(df, Seq.fill(8)("a"), bits = 8) // 64 bits > long
     }
+    intercept[IllegalArgumentException] { // reserved working column
+      ZOrder.cluster(df.withColumn("__zorder", col("a")), Seq("a"))
+    }
   }
 
   test("cluster_strategy: zorder through the YAML write surface") {
