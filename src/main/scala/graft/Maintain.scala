@@ -8,18 +8,24 @@ import graft.exec.TableStore
   * through the stage-and-swap path, optionally re-clustering.
   *
   * {{{
-  * sbt "runMain graft.Maintain <warehouse> [table] [targetMB] [sortCol,...]"
+  * sbt "runMain graft.Maintain <warehouse> [table] [targetMB] [sortCol,...] [range|zorder]"
   * }}}
   */
 object Maintain {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Maintain <warehouse> [table] [targetMB] [sortCol,...]")
+    require(args.nonEmpty,
+      "usage: Maintain <warehouse> [table] [targetMB] [sortCol,...] [range|zorder]")
     val warehouse = args(0)
     val only = args.lift(1).filterNot(_ == "*")
     val targetBytes = args.lift(2).map(_.toLong * 1024 * 1024)
       .getOrElse(128L * 1024 * 1024)
     val sortBy = args.lift(3).map(_.split(',').toSeq).getOrElse(Nil)
+    val strategy = args.lift(4).getOrElse("range")
+    require(strategy == "range" || strategy == "zorder",
+      s"unknown cluster strategy '$strategy' (range | zorder)")
+    require(strategy == "range" || sortBy.nonEmpty,
+      "zorder needs sortCol,... to interleave")
 
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,7 +43,7 @@ object Maintain {
           "any checkpointed file-stream consumer of it must be full-refreshed " +
           "(stream its __changes companion to stay incremental)")
       val before = dataFileCount(store, t)
-      store.compact(t, targetBytes, sortBy)
+      store.compact(t, targetBytes, sortBy, strategy)
       println(s"[graft] compacted $t: $before -> ${dataFileCount(store, t)} data files")
     }
     spark.stop()

@@ -213,7 +213,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * few large ones via the staging/swap path. Run as maintenance, like
     * Delta OPTIMIZE; optional `sortBy` re-clusters while compacting. */
   def compact(table: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): Unit = {
+      sortBy: Seq[String] = Nil, strategy: String = "range"): Unit = {
     val dir = new java.io.File(path(table))
     if (!dir.exists()) return
     def walk(f: java.io.File): Long =
@@ -223,7 +223,9 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     val parts = math.max(1, math.ceil(walk(dir).toDouble / targetBytesPerFile).toInt)
     val df0 = read(table)
     val df =
-      if (sortBy.nonEmpty)
+      if (sortBy.nonEmpty && strategy == "zorder") // OPTIMIZE ZORDER analogue
+        graft.operators.ZOrder.cluster(df0, sortBy, numPartitions = Some(parts))
+      else if (sortBy.nonEmpty)
         df0.repartitionByRange(parts, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else df0.repartition(parts)

@@ -79,13 +79,17 @@ object ZOrder {
   }
 
   /** Z-cluster a frame for writing: range-shuffle + in-partition sort on
-    * the z-value, so each output file covers one small hyper-rectangle. */
+    * the z-value, so each output file covers one small hyper-rectangle.
+    * `numPartitions` pins the output file count (compaction); default is
+    * the session shuffle parallelism. */
   def cluster(df: DataFrame, cols: Seq[String], bits: Int = 6,
-      sampleFraction: Option[Double] = None): DataFrame = {
+      sampleFraction: Option[Double] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
     require(!df.columns.contains("__zorder"),
       "input already has a __zorder column; rename it first")
-    df.withColumn("__zorder", zvalue(df, cols, bits, sampleFraction))
-      .repartitionByRange(col("__zorder"))
+    val z = df.withColumn("__zorder", zvalue(df, cols, bits, sampleFraction))
+    numPartitions.map(n => z.repartitionByRange(n, col("__zorder")))
+      .getOrElse(z.repartitionByRange(col("__zorder")))
       .sortWithinPartitions(col("__zorder"))
       .drop("__zorder")
   }
