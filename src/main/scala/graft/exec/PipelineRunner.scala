@@ -195,9 +195,17 @@ final class PipelineRunner(
       def evolve(current: => StructType): StructType = {
         // cloudFiles.schemaLocation (Auto Loader's schema-tracking dir) is
         // HONORED as the sidecar directory; the default sits next to the
-        // action's checkpoint
+        // action's checkpoint. Sharing one location between two loads would
+        // silently share a pin (Auto Loader errors on this too) — reject.
         val sidecar = a.options.get("cloudFiles.schemaLocation") match {
-          case Some(dir) => java.nio.file.Paths.get(dir, "__schema.ddl")
+          case Some(dir) =>
+            val owner = schemaLocationOwners.getOrElseUpdate(dir,
+              s"$currentPipeline/$currentFlowgroup/${a.name}")
+            if (owner != s"$currentPipeline/$currentFlowgroup/${a.name}")
+              throw graft.config.YamlConfig.ConfigError(
+                s"load '${a.name}': cloudFiles.schemaLocation '$dir' is already " +
+                s"used by load '$owner' — schema-tracking locations must be unique per load")
+            java.nio.file.Paths.get(dir, "__schema.ddl")
           case None => java.nio.file.Paths.get(checkpointFor(a.name) + "__schema.ddl")
         }
         // a full refresh — global, or TARGETED at a write this load feeds —
@@ -628,6 +636,10 @@ final class PipelineRunner(
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version)))
   }
+
+  /** schemaLocation dir → owning load (pipeline/flowgroup/action): two loads
+    * sharing one schema-tracking dir would silently share a pin. */
+  private val schemaLocationOwners = mutable.Map[String, String]()
 
   private val refreshed = mutable.Set[String]()
   /** Schema-pin sidecars already reset by this runner's full refresh — the

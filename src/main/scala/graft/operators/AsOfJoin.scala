@@ -52,6 +52,8 @@ object AsOfJoin {
     val collisions = payload.filter(p => left.columns.exists(_.equalsIgnoreCase(p)))
     require(collisions.isEmpty,
       s"payload column(s) ${collisions.mkString(", ")} collide with left columns; rename first")
+    require(!payload.exists(_.equalsIgnoreCase("__asof_t")),
+      "payload name '__asof_t' is reserved by the as-of join; rename first")
 
     // matched right time rides inside the payload struct for the tolerance
     // check; left rows are reconstructed from their own struct after the

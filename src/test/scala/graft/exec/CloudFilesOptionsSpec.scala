@@ -438,6 +438,35 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(java.nio.file.Files.readString(pin).toLowerCase.contains("id"))
   }
 
+  test("two loads sharing a schemaLocation is a loud error, not a shared pin") {
+    val dir = Files.createTempDirectory("graft-cfshare").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val runner = new PipelineRunner(spark, store, s"$dir/checkpoints")
+    Seq((1L, "a")).toDF("id", "v").write.json(s"$dir/landing_a")
+    Seq((2L, "b")).toDF("id", "v").write.json(s"$dir/landing_b")
+    def load(n: Char) =
+      s"""  - name: load_$n
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $dir/landing_$n
+         |      format: json
+         |      readMode: batch
+         |      options:
+         |        cloudFiles.schemaEvolutionMode: none
+         |        cloudFiles.schemaLocation: $dir/shared-tracking
+         |    target: v_$n
+         |  - name: write_$n
+         |    type: write
+         |    source: v_$n
+         |    write_target: {type: materialized_view, table: mv_$n}""".stripMargin
+    val e = intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(
+        s"pipeline: p\nflowgroup: f\nactions:\n${load('a')}\n${load('b')}\n"))
+    }
+    assert(e.getMessage.contains("schemaLocation") && e.getMessage.contains("load_a"))
+  }
+
   test("TARGETED full refresh resets the upstream load's schema pin") {
     val dir = Files.createTempDirectory("graft-cft").toString
     val store = new TableStore(spark, s"$dir/warehouse")

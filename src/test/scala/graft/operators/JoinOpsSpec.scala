@@ -75,6 +75,10 @@ class JoinOpsSpec extends SparkSuite {
         Seq("k"), "t", "rt", Seq("l_id"))
     }
     assert(e.getMessage.contains("l_id"))
+    intercept[IllegalArgumentException] { // reserved internal name
+      AsOfJoin(leftDf, rightDf.withColumnRenamed("pay", "__asof_t"),
+        Seq("k"), "t", "rt", Seq("__asof_t"))
+    }
   }
 
   test("bucketed range join matches the brute-force inequality join") {
