@@ -149,6 +149,27 @@ object Advanced {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
 
+  /** Spark's NATIVE session_window operator (the streaming sessionization
+    * primitive; q16 pins the equivalent gaps-and-islands construction).
+    * Window end = last event + gap, half-open: an event at exactly
+    * start+gap begins a new session — the oracle's `>=` mirrors that. */
+  def q42SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** CUBE over status × priority (all four grouping levels in one pass). */
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsOf,
     "j2_range_join" -> j2Range,
@@ -159,7 +180,9 @@ object Advanced {
     "q38_sketch_union" -> q38SketchUnion,
     "q39_resample" -> q39Resample,
     "q40_window_nav" -> q40WindowNav,
-    "q41_json_extract" -> q41JsonExtract)
+    "q41_json_extract" -> q41JsonExtract,
+    "q42_session_window" -> q42SessionWindow,
+    "q43_cube" -> q43Cube)
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" ->
@@ -241,5 +264,30 @@ object Advanced {
     "q41_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q42_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
 }
