@@ -50,6 +50,24 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** Cap each group at `k` rows, chosen deterministically by key hash order
+    * — "at most K documents per domain", the standard anti-domination step
+    * of crawl curation (one over-represented site must not dominate the
+    * mix). Hash order, not arrival order: the kept set is reproducible
+    * across runs and partitionings, and re-derivable in any md5-capable
+    * engine in portable mode. One shuffle (the per-group window); ties are
+    * impossible for distinct keys and broken by the key otherwise. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+      salt: Int = 0, portable: Boolean = false): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val (bucket, _) = bucketAndScale(keyCol, salt, portable)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(bucket, col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Mix N sources at given sampling rates into one corpus, tagging each row
     * with its source — the standard weighted-mixture step of a training-data
     * pipeline. Inputs must be union-compatible on `columns`. */

@@ -34,6 +34,14 @@ object Extras {
       .select("doc_id", "lang")
   }
 
+  /** Anti-domination cap: at most 10 docs per source, chosen by portable
+    * md5 hash order — deterministic, partitioning-independent, and
+    * re-derivable by the oracle. */
+  def m4DomainCap(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(Tables.load(s, dir, "documents"),
+      "doc_id", "source", k = 10, portable = true)
+      .select("doc_id", "source", "lang")
+
   /** Schema evolution through the store: a table written narrow
     * (c_custkey, c_name) then appended WIDE (+c_acctbal) reads back with the
     * widened schema, old rows null — the TableStore schema-sidecar semantics
@@ -87,6 +95,7 @@ object Extras {
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
+    "m4_domain_cap" -> m4DomainCap,
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed)
 
@@ -113,6 +122,14 @@ object Extras {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
         |      < CASE WHEN lang = 'en' THEN 4294967296 ELSE 858993459 END""".stripMargin,
+    "m4_domain_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
     "q32_schema_evolution" ->
       """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
         |FROM customer WHERE c_custkey % 2 = 0

@@ -50,4 +50,21 @@ class SamplingSpec extends SparkSuite {
     assert(m.count() == 3)
     assert(m.filter($"_source" === "src_b").count() == 1)
   }
+
+  test("capPerGroup keeps at most k per group, deterministically, nested in k") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val capped = Sampling.capPerGroup(docs, "doc_id", "source", k = 3)
+    val counts = capped.groupBy("source").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ <= 3))
+    // deterministic across runs and partitionings
+    val again = Sampling.capPerGroup(docs.repartition(7), "doc_id", "source", k = 3)
+    assert(capped.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    // nested: the k=2 set is a subset of the k=3 set (hash order is stable)
+    val two = Sampling.capPerGroup(docs, "doc_id", "source", k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(two.subsetOf(capped.select("doc_id").as[Long].collect().toSet))
+    // a group smaller than k keeps all its rows
+    assert(Sampling.capPerGroup(docs, "doc_id", "source", k = 1000).count() == docs.count())
+  }
 }
