@@ -270,6 +270,11 @@ object YamlConfig {
 
   private def clusterStrategyOf(wt: Map[String, Any], name: String): String =
     str(wt, "cluster_strategy").getOrElse("range") match {
+      case "zorder" if strSeq(wt, "cluster_columns").isEmpty =>
+        // without columns the strategy silently no-ops — the user believes
+        // the table is z-ordered; reject like the Maintain CLI does
+        throw ConfigError(
+          s"write '$name': cluster_strategy: zorder needs cluster_columns to interleave")
       case s @ ("range" | "zorder") => s
       case other => throw ConfigError(
         s"write '$name': unknown cluster_strategy '$other' (range | zorder)")

@@ -60,6 +60,8 @@ object Sampling {
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
       salt: Int = 0, portable: Boolean = false): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
+    require(!df.columns.exists(_.equalsIgnoreCase("__rank")),
+      "input already has a __rank column; rename it first")
     val (bucket, _) = bucketAndScale(keyCol, salt, portable)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(bucket, col(keyCol))

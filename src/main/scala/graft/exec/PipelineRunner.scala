@@ -136,14 +136,23 @@ final class PipelineRunner(
     currentOpMeta = fg.operationalMetadata
     try {
       // dependency edges include views referenced inside SQL (Catalyst
-      // parse), so SQL-only consumers order and validate correctly
-      val inputs = (a: Action) => graft.plan.DependencyAnalyzer.actionInputs(spark, a)
+      // parse), so SQL-only consumers order and validate correctly. The
+      // parse is memoized per action: validate/order/refresh-target passes
+      // each consult it, and re-parsing the same SQL 3-5x per action is
+      // pure waste on metadata-plane latency.
+      val parsed = mutable.Map[String, Seq[String]]()
+      val inputs = (a: Action) => parsed.getOrElseUpdate(a.name,
+        graft.plan.DependencyAnalyzer.actionInputs(spark, a))
       refreshTargetedLoads = computeRefreshTargetedLoads(fg, inputs)
       Planner.plan(fg, inputs).foreach(execute)
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, None)
     } catch { case e: Throwable =>
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, Some(e))
       throw e
+    } finally {
+      // release frames cached for write-path reuse (zorder quantile pass)
+      pendingUnpersist.foreach(df => { df.unpersist(): Unit })
+      pendingUnpersist.clear()
     }
   }
 
@@ -210,10 +219,12 @@ final class PipelineRunner(
         }
         // a full refresh — global, or TARGETED at a write this load feeds —
         // resets the pin (Auto Loader's schema-location reset): re-infer
-        // from what is in the source now
+        // from what is in the source now. The INTENT is recorded once per
+        // runner even when no sidecar exists yet — guarding on existence
+        // alone would let a second run wipe the pin the first run created
         if ((fullRefresh.contains("*") || refreshTargetedLoads(a.name)) &&
-            java.nio.file.Files.exists(sidecar) &&
-            refreshedSchemaPins.add(sidecar.toString))
+            refreshedSchemaPins.add(sidecar.toString) &&
+            java.nio.file.Files.exists(sidecar))
           java.nio.file.Files.delete(sidecar)
         def persisted: Option[StructType] =
           if (java.nio.file.Files.exists(sidecar))
@@ -761,16 +772,26 @@ final class PipelineRunner(
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
   }
 
+  /** Frames persisted for a write's double read (quantile pass + write);
+    * released at the end of run(). */
+  private val pendingUnpersist = mutable.ArrayBuffer[DataFrame]()
+
   /** Cluster a frame on the write's cluster columns: repartition +
     * in-partition sort makes each file's parquet min/max stats tight and
     * disjoint, so later scans skip files (the parquet stand-in for liquid
     * clustering). "range" is lexicographic (first column dominates);
     * "zorder" interleaves quantile-bucket bits so EVERY cluster column
-    * gets skipping locality ([[graft.operators.ZOrder]]). */
+    * gets skipping locality ([[graft.operators.ZOrder]]). The zorder input
+    * is persisted first: the quantile pass is an extra action, and without
+    * the cache it would recompute the write's whole upstream plan twice. */
   private def clustered(df: DataFrame, cols: Seq[String],
       strategy: String = "range"): DataFrame =
     if (cols.isEmpty) df
-    else if (strategy == "zorder") graft.operators.ZOrder.cluster(df, cols)
+    else if (strategy == "zorder") {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pendingUnpersist += cached
+      graft.operators.ZOrder.cluster(cached, cols)
+    }
     else df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*)
 
   /** Apply a CDC change batch to the target. When the write's partition
@@ -935,9 +956,11 @@ final class PipelineRunner(
     // full refresh (global or targeting a write this load feeds) restarts
     // the stream from scratch: "stream start" is NOW, so the listing
     // snapshot re-takes — everything currently in the directory is the new
-    // preexisting set. Once per runner, like the schema pin.
+    // preexisting set. The intent is recorded once per runner BEFORE the
+    // existence check (like the schema pin), so a second run never wipes
+    // the snapshot the first refreshed run took.
     if ((fullRefresh.contains("*") || refreshTargetedLoads(a.name)) &&
-        sidecar.exists() && refreshedSchemaPins.add(sidecar.toString))
+        refreshedSchemaPins.add(sidecar.toString) && sidecar.exists())
       sidecar.delete(): Unit
     if (!sidecar.exists()) {
       val conf = spark.sparkContext.hadoopConfiguration

@@ -71,10 +71,12 @@ object AsOfJoin {
       lit(null).cast(leftType).as("__l"), payStruct.as("__p")): _*)
 
     // backward: ascending time, right-before-left at equal times (inclusive)
-    // forward: descending time, same tie-break
+    // forward: descending time, same tie-break. Among right rows sharing the
+    // exact same (key, time), the payload hash breaks the tie — an arbitrary
+    // but STABLE pick, so the result does not drift with partition layout
     val ord: Seq[Column] =
-      if (forward) Seq(col("__t").desc, col("__isL").asc)
-      else Seq(col("__t").asc, col("__isL").asc)
+      if (forward) Seq(col("__t").desc, col("__isL").asc, xxhash64(col("__p")).asc)
+      else Seq(col("__t").asc, col("__isL").asc, xxhash64(col("__p")).asc)
     val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -53,10 +53,14 @@ object Quarantine {
     * `from_json` can never re-parse it, so repaired csv rows would silently
     * stay quarantined forever. For `"csv"` the typed columns re-project via
     * `from_csv` (positional: `cleanColumns` order must match the source's
-    * csv column order, which it does when taken from the load's schema). */
+    * csv column order, which it does when taken from the load's schema).
+    * `rescueOptions` must carry the LOAD's parse options (sep, quote,
+    * nullValue, dateFormat, …) — a non-default csv dialect re-parsed with
+    * defaults would silently never recycle. */
   def recycle(store: TableStore, dlqTable: String, cleanColumns: Seq[String],
       rules: Seq[Expectations.Rule], rescueCol: Option[String] = None,
-      rescueFormat: String = "json"): DataFrame = {
+      rescueFormat: String = "json",
+      rescueOptions: Map[String, String] = Map.empty): DataFrame = {
     require(rescueFormat == "json" || rescueFormat == "csv",
       s"rescueFormat must be json or csv, got '$rescueFormat'")
     store.readIfExists(dlqTable) match {
@@ -71,8 +75,8 @@ object Quarantine {
             val typed = org.apache.spark.sql.types.StructType(
               candidates0.schema.fields.filter(f => f.name != rc && f.name != SkCol))
             val parse = if (rescueFormat == "csv")
-              from_csv(col(rc), typed, Map.empty[String, String])
-            else from_json(col(rc), typed)
+              from_csv(col(rc), typed, rescueOptions)
+            else from_json(col(rc), typed, rescueOptions)
             val reparsed = candidates0.withColumn("__fix", parse)
             // from_json yields an ALL-NULL struct (not null) for garbage
             // input, so "parse succeeded" = at least one field recovered

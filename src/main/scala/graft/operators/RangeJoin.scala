@@ -44,6 +44,8 @@ object RangeJoin {
       .filter(c => points.columns.exists(_.equalsIgnoreCase(c)))
     require(overlap.isEmpty,
       s"interval column(s) ${overlap.mkString(", ")} collide with point columns; rename first")
+    require(!(points.columns ++ intervals.columns).exists(_.equalsIgnoreCase("__bucket")),
+      "column name '__bucket' is reserved by the range join; rename it first")
 
     def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth)
     val p = points.withColumn("__bucket", bucketOf(col(pointTime)))

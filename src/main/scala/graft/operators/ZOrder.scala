@@ -85,7 +85,7 @@ object ZOrder {
   def cluster(df: DataFrame, cols: Seq[String], bits: Int = 6,
       sampleFraction: Option[Double] = None,
       numPartitions: Option[Int] = None): DataFrame = {
-    require(!df.columns.contains("__zorder"),
+    require(!df.columns.exists(_.equalsIgnoreCase("__zorder")),
       "input already has a __zorder column; rename it first")
     val z = df.withColumn("__zorder", zvalue(df, cols, bits, sampleFraction))
     numPartitions.map(n => z.repartitionByRange(n, col("__zorder")))

@@ -50,13 +50,14 @@ object Planner {
       case (b, Seq(qual)) if !byQualified.contains(b) => b -> byQualified(qual)
     }
     actions.map { a =>
-      val ambiguous = inputs(a).filter(n =>
+      val ins = inputs(a) // one resolution per action (may parse SQL)
+      val ambiguous = ins.filter(n =>
         ambiguousBare.contains(n) && !byTarget.contains(n) && !byQualified.contains(n))
       if (ambiguous.nonEmpty) throw PlanError(
         s"action '${a.name}' reads short table name(s) ${ambiguous.mkString(", ")} " +
         s"that match multiple write targets (${ambiguous.flatMap(byBare(_)).mkString(", ")}); " +
         "use the qualified name")
-      a.name -> inputs(a)
+      a.name -> ins
         .flatMap(n => byTarget.get(n).map(Seq(_)).orElse(byTable.get(n)).getOrElse(Nil))
         .map(_.name).filterNot(_ == a.name).toSet
     }.toMap

@@ -79,11 +79,13 @@ object Advanced {
   /** HLL sketch self-check: per event type, approx_count_distinct(user_id)
     * must land within 5% of the exact distinct count — violations surface
     * as rows (empty = pass), the s3/s4 oracle pattern for engine-specific
-    * estimators. */
+    * estimators. rsd is pinned at 0.01, so the 5% gate sits at 5 standard
+    * deviations — meaningful at any cardinality, not a coin flip at one
+    * sigma (the default rsd IS 0.05). */
   def q36ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id").as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         countDistinct("user_id").as("exact_users"))
       .filter(abs(col("approx_users") - col("exact_users")) >
         col("exact_users") * 0.05)

@@ -66,5 +66,10 @@ class SamplingSpec extends SparkSuite {
     assert(two.subsetOf(capped.select("doc_id").as[Long].collect().toSet))
     // a group smaller than k keeps all its rows
     assert(Sampling.capPerGroup(docs, "doc_id", "source", k = 1000).count() == docs.count())
+    // reserved working column is a loud error, not silent data loss
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(docs.withColumn("__RANK", org.apache.spark.sql.functions.lit(1)),
+        "doc_id", "source", k = 3)
+    }
   }
 }

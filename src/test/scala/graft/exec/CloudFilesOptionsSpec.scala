@@ -533,6 +533,28 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(store.read("raw_events").select("v").as[String].collect().toSeq == Seq("after"))
   }
 
+  test("a refresh runner's SECOND run keeps the sidecars its first run created") {
+    // the reset intent must be recorded once per runner even when no
+    // sidecar existed on run 1 — otherwise run 2 wipes the fresh snapshot
+    // and files that arrived between the runs are excluded forever
+    val dir = Files.createTempDirectory("graft-cfr2").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    def addFile(name: String, json: String): Unit =
+      Files.write(java.nio.file.Paths.get(landing, name), json.getBytes)
+    addFile("pre.json", """{"id": 1, "v": "pre"}""")
+    val yaml = ingestYaml(landing, "        cloudFiles.includeExistingFiles: false",
+      schema = "      table_schema: \"id BIGINT, v STRING\"")
+    val refreshRunner = new PipelineRunner(spark, store, s"$dir/checkpoints",
+      fullRefresh = Set("raw_events"))
+    refreshRunner.run(YamlConfig.parseFlowGroup(yaml)) // run 1: snapshots listing
+    addFile("between.json", """{"id": 2, "v": "between"}""")
+    refreshRunner.run(YamlConfig.parseFlowGroup(yaml)) // run 2: must NOT re-snapshot
+    assert(store.readIfExists("raw_events").map(
+      _.select("v").as[String].collect().toSeq).getOrElse(Nil) == Seq("between"))
+  }
+
   test("rescuedDataColumn rejects self-describing formats") {
     val (runner, _, dir) = freshRunner()
     val e = intercept[YamlConfig.ConfigError] {

@@ -112,6 +112,22 @@ class JoinOpsSpec extends SparkSuite {
       RangeJoin(leftDf, iv, "t", "start", "end", 5.0)
     }
     assert(e.getMessage.contains("t"))
+    intercept[IllegalArgumentException] { // reserved working column
+      RangeJoin(leftDf.withColumnRenamed("l_id", "__bucket"),
+        Seq((1L, 1L, 2L)).toDF("i_id", "start", "end"), "t", "start", "end", 5.0)
+    }
+  }
+
+  test("right-side ties at the exact same (key, time) resolve stably") {
+    val l = Seq((1L, 1L, 100L)).toDF("l_id", "k", "t")
+    val r = Seq((10L, 1L, 50L, "a"), (11L, 1L, 50L, "b")).toDF("r_id", "k", "rt", "pay")
+    def pick(right: org.apache.spark.sql.DataFrame): Long =
+      AsOfJoin(l, right, Seq("k"), "t", "rt", Seq("r_id"))
+        .select("r_id").as[Long].head()
+    // same answer regardless of input partition layout or row order
+    val first = pick(r)
+    assert(pick(r.repartition(7)) == first)
+    assert(pick(r.orderBy(col("r_id").desc).repartition(3)) == first)
   }
 
   test("null times: right nulls are never phantom matches; left nulls get null payloads") {

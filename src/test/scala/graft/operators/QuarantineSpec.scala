@@ -123,4 +123,23 @@ class QuarantineSpec extends SparkSuite {
         rescueRules, Some("_rescued_data"), rescueFormat = "xml")
     }
   }
+
+  test("csv recycle honors the load's parse options (non-default delimiter)") {
+    val store = new TableStore(spark, Files.createTempDirectory("q-wh4").toString + "/wh")
+    val rescueRules = Seq(
+      Expectations.Rule("parsed", "_rescued_data IS NULL", Expectations.Fail))
+    val src = Seq((None: Option[Long], None: Option[String], Some("oops|bad")))
+      .toDF("id", "v", "_rescued_data")
+    Quarantine.routeViolations(store, "dlq", src, rescueRules, "src").count()
+    store.replace("dlq", store.read("dlq")
+      .withColumn("_rescued_data", lit("2|bad"))
+      .withColumn(Quarantine.StatusCol, lit("fixed")))
+    // default-dialect parse can never repair a pipe-delimited payload
+    assert(Quarantine.recycle(store, "dlq", Seq("id", "v", "_rescued_data"),
+      rescueRules, Some("_rescued_data"), rescueFormat = "csv").isEmpty)
+    val recycled = Quarantine.recycle(store, "dlq", Seq("id", "v", "_rescued_data"),
+      rescueRules, Some("_rescued_data"), rescueFormat = "csv",
+      rescueOptions = Map("sep" -> "|"))
+    assert(recycled.select("id", "v").as[(Long, String)].collect().toSeq == Seq((2L, "bad")))
+  }
 }

@@ -68,6 +68,9 @@ class ZOrderSpec extends SparkSuite {
     intercept[IllegalArgumentException] { // reserved working column
       ZOrder.cluster(df.withColumn("__zorder", col("a")), Seq("a"))
     }
+    intercept[IllegalArgumentException] { // …and case-insensitively so
+      ZOrder.cluster(df.withColumn("__ZORDER", col("a")), Seq("a"))
+    }
   }
 
   test("cluster_strategy: zorder through the YAML write surface") {
@@ -107,5 +110,19 @@ class ZOrderSpec extends SparkSuite {
            |""".stripMargin)
     }
     assert(e.getMessage.contains("hilbert"))
+    // zorder without columns would silently no-op — reject at parse
+    val e2 = intercept[graft.config.YamlConfig.ConfigError] {
+      graft.config.YamlConfig.parseFlowGroup(
+        s"""pipeline: p
+           |flowgroup: f
+           |actions:
+           |  - name: w
+           |    type: write
+           |    sql: SELECT 1 AS a
+           |    write_target: {type: materialized_view, table: t,
+           |                   cluster_strategy: zorder}
+           |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("cluster_columns"))
   }
 }
