@@ -76,6 +76,12 @@ class PlanShapeSpec extends SparkSuite {
       s"expected one keyed exchange:\n$plan")
   }
 
+  test("resample plans grid + fill without any join operator") {
+    val plan = physical(queries.Advanced.queries("q39_resample")(spark, sf0001))
+    assert(!plan.contains("Join"), "resample must stay join-free:\n" + plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("range join is an equi-join on (key, bucket) — no nested loop, no cartesian") {
     val plan = physical(queries.Advanced.queries("j2_range_join")(spark, sf0001))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
