@@ -172,6 +172,11 @@ object Advanced {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
 
+  /** One-pass column profile of documents (the pre-curation QC report). */
+  def q44Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.describe(Tables.load(s, dir, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsOf,
     "j2_range_join" -> j2Range,
@@ -184,7 +189,8 @@ object Advanced {
     "q40_window_nav" -> q40WindowNav,
     "q41_json_extract" -> q41JsonExtract,
     "q42_session_window" -> q42SessionWindow,
-    "q43_cube" -> q43Cube)
+    "q43_cube" -> q43Cube,
+    "q44_profile" -> q44Profile)
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" ->
@@ -291,5 +297,13 @@ object Advanced {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q44_profile" -> Seq("doc_id", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))
 }
