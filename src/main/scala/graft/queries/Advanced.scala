@@ -177,6 +177,17 @@ object Advanced {
     graft.operators.Profile.describe(Tables.load(s, dir, "documents"),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  /** Correlated scalar subquery (richest customer per nation) — max, not
+    * an arithmetic aggregate, so both engines compare exact values. */
+  def q45Correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("q45_customer")
+    s.sql(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM q45_customer c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM q45_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsOf,
     "j2_range_join" -> j2Range,
@@ -190,7 +201,8 @@ object Advanced {
     "q41_json_extract" -> q41JsonExtract,
     "q42_session_window" -> q42SessionWindow,
     "q43_cube" -> q43Cube,
-    "q44_profile" -> q44Profile)
+    "q44_profile" -> q44Profile,
+    "q45_correlated" -> q45Correlated)
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" ->
@@ -305,5 +317,10 @@ object Advanced {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
          |  CAST(min($c) AS VARCHAR) AS min_value,
          |  CAST(max($c) AS VARCHAR) AS max_value
-         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"))
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
+    "q45_correlated" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
 }
