@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched decode / feature-extraction plumbing.
   *
-  * The decode kernels themselves are STUBBED (no image/audio libraries in
-  * this container — see the builder prompt): [[StubDecoder]] produces
-  * deterministic fake features from the bytes. Everything around the stub is
-  * real and tested: the schema contract, the `mapPartitions` batching shape
-  * (the Scala analogue of `mapInPandas` — per-partition iterator, amortized
-  * per-batch setup, no driver collect), partition sizing for blob columns,
-  * and metadata projection.
+  * Image decode is REAL: [[ImageIoDecoder]] (the default) reads PNG/JPEG/GIF/
+  * BMP headers with the JDK's `javax.imageio` — width/height/channels without
+  * materializing the pixel raster, so a 100 TB media scan pays header-parse
+  * cost only. Audio/video kernels remain stubbed (no codec libraries in this
+  * container): [[StubDecoder]] produces deterministic fake features from the
+  * bytes, and [[ImageIoDecoder]] falls back to it for any payload ImageIO
+  * cannot claim. Everything around the kernels is real and tested: the schema
+  * contract, the `mapPartitions` batching shape (the Scala analogue of
+  * `mapInPandas` — per-partition iterator, amortized per-batch setup, no
+  * driver collect), partition sizing for blob columns, and metadata
+  * projection.
   *
   * Scale notes: blob rows are large — callers should size partitions by bytes
   * (`repartitionForBlobs`), not rows, so a 100 TB media table yields
@@ -33,7 +37,8 @@ object Multimodal {
       media_id: Long, mime: String, n_bytes: Long,
       width: Int, height: Int, channels: Int, sha_prefix: String)
 
-  /** The decode seam: a real deployment plugs libjpeg/ffmpeg here. The stub
+  /** The decode seam: image formats are handled natively ([[ImageIoDecoder]]);
+    * a real deployment plugs ffmpeg/libsndfile here for audio/video. The stub
     * derives deterministic pseudo-dimensions from a content hash so tests
     * can assert exact values. */
   trait Decoder extends Serializable {
@@ -42,10 +47,10 @@ object Multimodal {
 
   object StubDecoder extends Decoder {
     def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      // ??? <- real decode goes here; deterministic fake in its place.
-      // Pseudo-dimensions derive from the big-endian first 4 md5 bytes
-      // (= first 8 hex chars), so any md5-capable engine — including the
-      // DuckDB correctness oracle — replays them exactly.
+      // Deterministic fake for formats with no decoder in this environment
+      // (audio/video). Pseudo-dimensions derive from the big-endian first
+      // 4 md5 bytes (= first 8 hex chars), so any md5-capable engine —
+      // including the DuckDB correctness oracle — replays them exactly.
       val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
@@ -56,10 +61,45 @@ object Multimodal {
     }
   }
 
+  /** Real image kernel: header-only decode via the JDK's `javax.imageio`.
+    * `getWidth(0)`/`getHeight(0)` parse only the format header (PNG IHDR,
+    * JPEG SOF, …) — no pixel raster is allocated, which is what makes this
+    * viable inside a full-corpus scan. Channels come from the reader's
+    * declared image type (RGB→3, RGBA→4, gray→1). Any payload no installed
+    * reader claims — wrong magic bytes, truncated header, or a non-image
+    * MIME — falls back to [[StubDecoder]], so mixed/dirty corpora degrade
+    * deterministically instead of throwing mid-scan. */
+  object ImageIoDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      if (bytes.isEmpty) return StubDecoder.decode(mime, bytes)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) StubDecoder.decode(mime, bytes)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true) // seekForwardOnly + ignoreMetadata
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              val types = r.getImageTypes(0)
+              val ch = if (types.hasNext) types.next().getNumComponents else 3
+              (w, h, ch)
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => StubDecoder.decode(mime, bytes)
+      }
+    }
+  }
+
   /** Batched feature extraction over a media table — the `mapInPandas`
     * plumbing shape: one pass per partition, per-row decode, typed output
     * via an implicit Encoder. */
-  def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+  def extractFeatures(media: DataFrame, decoder: Decoder = ImageIoDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "bytes", "mime")

@@ -32,6 +32,49 @@ class MultimodalSpec extends SparkSuite {
     assert(row.height == 64 + ((h / 1024) % 1024).toInt)
   }
 
+  // Real image bytes, produced by the JDK encoder itself — a genuine PNG/JPEG
+  // byte stream, not a fixture approximation.
+  private def encodeImage(format: String, w: Int, h: Int, imgType: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder reads true dimensions from real PNG and JPEG bytes") {
+    val png = encodeImage("png", 17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.ImageIoDecoder.decode("image/png", png) == ((17, 9, 3)))
+    val rgba = encodeImage("png", 5, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    assert(Multimodal.ImageIoDecoder.decode("image/png", rgba) == ((5, 8, 4)))
+    val jpg = encodeImage("jpg", 33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.ImageIoDecoder.decode("image/jpeg", jpg) == ((33, 21, 3)))
+    val gray = encodeImage("png", 7, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    assert(Multimodal.ImageIoDecoder.decode("image/png", gray) == ((7, 7, 1)))
+  }
+
+  test("ImageIoDecoder falls back to the stub for non-image payloads") {
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.ImageIoDecoder.decode("image/fake", garbage)
+      == Multimodal.StubDecoder.decode("image/fake", garbage))
+    assert(Multimodal.ImageIoDecoder.decode("audio/wav", garbage)
+      == Multimodal.StubDecoder.decode("audio/wav", garbage))
+    assert(Multimodal.ImageIoDecoder.decode("image/png", Array.emptyByteArray)
+      == Multimodal.StubDecoder.decode("image/png", Array.emptyByteArray))
+  }
+
+  test("extractFeatures with the default decoder reads real image dimensions end-to-end") {
+    val png = encodeImage("png", 40, 25, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jpg = encodeImage("jpg", 12, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val mediaDf = Seq((1L, png, "image/png"), (2L, jpg, "image/jpeg"))
+      .toDF("media_id", "bytes", "mime")
+    val feats = Multimodal.extractFeatures(mediaDf)
+      .as[Multimodal.MediaFeatures].collect().sortBy(_.media_id)
+    assert((feats(0).width, feats(0).height, feats(0).channels) == ((40, 25, 3)))
+    assert((feats(1).width, feats(1).height, feats(1).channels) == ((12, 30, 3)))
+    assert(feats.forall(f => f.n_bytes > 0 && f.sha_prefix.length == 8))
+  }
+
   test("sampleFrames fans out frames per media item") {
     val frames = Multimodal.sampleFrames(media, framesPerItem = 4)
     assert(frames.count() == 80) // 20 items × 4 frames
