@@ -122,6 +122,40 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Trained IVF codebook: KMeans|| (spark-mllib, on the classpath) with
+    * cosine distance and a fixed seed over the corpus vectors. Training cost
+    * is `maxIter` corpus scans — a bounded offline step (and at 100 TB it
+    * runs on a sample: pass `corpus.sample(...)`; the codebook only needs to
+    * capture cluster structure, not every row). Returns the broadcastable
+    * (cell_id, centv, centn) frame [[ivfTopK]] consumes. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+      maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(nCells).setMaxIter(maxIter).setSeed(seed)
+      .setDistanceMeasure("cosine").setFeaturesCol("features")
+      .fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("cell_id", "centv")
+      .withColumn("centn", norm(col("centv")))
+  }
+
+  /** The round-5 untrained codebook — a deterministic sample (lowest
+    * `nCells` ids). Kept as the recall baseline the trained codebook is
+    * spec-asserted to beat; not the production default. */
+  def sampledCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("centv"))
+      .orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long").as("cell_id"), col("centv"))
+      .withColumn("centn", norm(col("centv")))
+
   /** IVF-style ANN (the inverted-file scale path): the corpus is assigned to
     * `nCells` coarse cells (nearest centroid by cosine); a query probes its
     * `nProbe` nearest cells and exact-re-ranks only their members. Corpus
@@ -129,20 +163,18 @@ object Similarity {
     * through the codegen'd kernel); the query-side join is keyed on cell_id
     * — no cross join against the corpus.
     *
-    * Centroids here are a deterministic sample (lowest `nCells` ids) rather
-    * than a trained k-means codebook — the plumbing (assignment, probing,
-    * cell-keyed candidate join, re-rank) is the part that matters at scale
-    * and is exactly what a trained codebook would drop into. Recall < 1 by
-    * construction; precision = 1 (exact re-rank). */
+    * The codebook defaults to a trained KMeans|| model ([[trainCentroids]]);
+    * pass `codebook` to reuse a pre-trained one across many query batches
+    * (at scale you train once, persist, and broadcast per run). Recall < 1
+    * by construction; precision = 1 (exact re-rank). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
     val centroids = broadcast(
-      c.orderBy(col("neighbor_id")).limit(nCells)
-        .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"),
-          col("cn").as("centn")))
+      codebook.getOrElse(trainCentroids(corpus, vecCol, nCells)))
     def nearestCells(df: DataFrame, vCol: String, nCol: String, n: Int): DataFrame = {
       val scored = df.crossJoin(centroids)
         .withColumn("csim", dot(col(vCol), col("centv")) / (col(nCol) * col("centn")))

@@ -32,4 +32,23 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(full == bf)
   }
+
+  test("trained KMeans codebook vs sampled baseline, leakage-free queries") {
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01");
+         probe <- Seq(2, 4)) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val q = e.filter("vec_id >= 100 and vec_id < 120")
+      val bfPairs = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      def recall(codebook: org.apache.spark.sql.DataFrame): Double = {
+        val got = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
+          nCells = 16, nProbe = probe, codebook = Some(codebook))
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        got.count(bfPairs.contains).toDouble / bfPairs.size
+      }
+      val trained = recall(Similarity.trainCentroids(e, "embedding", nCells = 16))
+      val sampled = recall(Similarity.sampledCentroids(e, "vec_id", "embedding", nCells = 16))
+      info(s"$dir nProbe=$probe/16: trained=$trained sampled=$sampled")
+    }
+  }
 }
