@@ -104,7 +104,10 @@ object LlmData {
   /** Self-checking verification of the IVF ANN path (same pattern as s3):
     * every IVF result present in brute-force must carry the identical exact
     * cosine, and IVF ranks must be consistent with cosine order. Correct
-    * output is EMPTY. */
+    * output is EMPTY. The codebook is pinned ([[Similarity.sampledCentroids]],
+    * deterministic, zero training) so this gate measures IVF LOOKUP cost —
+    * the per-call KMeans retrain of the convenience path regressed the r6
+    * bench 2.7× and belongs in s5, which gates the trained path's recall. */
   def s4IvfCheck(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embs(s, dir)
@@ -112,7 +115,8 @@ object LlmData {
     val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("bf_cosine"))
     val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
-      nCells = 16, nProbe = 4)
+      nCells = 16, nProbe = 4,
+      codebook = Some(Similarity.sampledCentroids(e, "vec_id", "embedding", nCells = 16)))
     val mismatch = ivf.join(bf, Seq("query_id", "neighbor_id"))
       .filter(abs(col("cosine") - col("bf_cosine")) > 1e-9)
       .select(col("query_id"), col("neighbor_id"), lit("cosine_mismatch").as("reason"))
@@ -121,6 +125,28 @@ object LlmData {
       .filter(col("rk") =!= col("rank"))
       .select(col("query_id"), col("neighbor_id"), lit("rank_order").as("reason"))
     mismatch.unionByName(rankBroken)
+  }
+
+  /** Recall gate for the TRAINED IVF path: a KMeans codebook (bounded-sample
+    * training, 5 iterations) probed at nProbe=4 of 16 cells must recover at
+    * least 40% of the exact top-3 neighbors. Output is violation rows —
+    * correct output is EMPTY, pinned by the trivial oracle. The floor leaves
+    * margin under KMeans' partition-order float nondeterminism (observed
+    * recall 0.47–0.68); a broken trainCentroids (garbage centroids → recall
+    * near nProbe/nCells ≈ 0.25 or below) fails loudly. */
+  def s5IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id")
+    val codebook = Similarity.trainCentroids(e, "embedding", nCells = 16)
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
+      nCells = 16, nProbe = 4, codebook = Some(codebook))
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("recall"))
+      .filter(col("recall") < 0.4)
+      .select(lit("ivf_recall_at_3").as("metric"), round(col("recall"), 6).as("recall"))
   }
 
   // ------------------------------------------------------------------- text
@@ -168,6 +194,7 @@ object LlmData {
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
     "s4_ivf_check" -> s4IvfCheck,
+    "s5_ivf_recall" -> s5IvfRecall,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
@@ -270,6 +297,10 @@ object LlmData {
     // s4 mirrors s3 for the IVF path: correct output is EMPTY.
     "s4_ivf_check" ->
       """SELECT vec_id AS query_id, vec_id AS neighbor_id, 'x' AS reason
+        |FROM embeddings WHERE 1 = 0""".stripMargin,
+    // s5 is a recall floor on the trained-codebook path: EMPTY when met.
+    "s5_ivf_recall" ->
+      """SELECT 'x' AS metric, 0.0 AS recall
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

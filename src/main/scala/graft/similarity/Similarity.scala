@@ -123,17 +123,29 @@ object Similarity {
   }
 
   /** Trained IVF codebook: KMeans|| (spark-mllib, on the classpath) with
-    * cosine distance and a fixed seed over the corpus vectors. Training cost
-    * is `maxIter` corpus scans — a bounded offline step (and at 100 TB it
-    * runs on a sample: pass `corpus.sample(...)`; the codebook only needs to
-    * capture cluster structure, not every row). Returns the broadcastable
-    * (cell_id, centv, centn) frame [[ivfTopK]] consumes. */
+    * cosine distance and a fixed seed, over a BOUNDED slice of the corpus —
+    * `limit(maxTrainRows)`, so training cost never scales with corpus size
+    * (a codebook only needs cluster structure, not every row; 100k × dim
+    * doubles ≈ 50 MB at dim 64 — one task holds it comfortably). Zero-norm
+    * and null vectors are filtered before the fit: cosine KMeans throws on
+    * them, and they carry no direction to cluster by anyway.
+    *
+    * Determinism: the seed pins the KMeans|| init, but float aggregation
+    * order still depends on partition layout, so trained centroids are
+    * reproducible only run-to-run on the same layout — NOT bit-replayable
+    * across engines. Correctness-gate queries therefore check IVF results
+    * against brute force (score identity / recall floor), never the raw
+    * centroids. Returns the broadcastable (cell_id, centv, centn) frame
+    * [[ivfTopK]] consumes — train once, persist, reuse across query batches. */
   def trainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
-      maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+      maxIter: Int = 5, seed: Long = 42L,
+      maxTrainRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus
-      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val arr = corpus.select(col(vecCol).cast("array<double>").as("__arr"))
+      .filter(col("__arr").isNotNull && norm(col("__arr")) > 0)
+      .limit(maxTrainRows)
+    val feats = arr.select(array_to_vector(col("__arr")).as("features"))
     val model = new KMeans()
       .setK(nCells).setMaxIter(maxIter).setSeed(seed)
       .setDistanceMeasure("cosine").setFeaturesCol("features")
@@ -163,10 +175,13 @@ object Similarity {
     * through the codegen'd kernel); the query-side join is keyed on cell_id
     * — no cross join against the corpus.
     *
-    * The codebook defaults to a trained KMeans|| model ([[trainCentroids]]);
-    * pass `codebook` to reuse a pre-trained one across many query batches
-    * (at scale you train once, persist, and broadcast per run). Recall < 1
-    * by construction; precision = 1 (exact re-rank). */
+    * The codebook: pass a pre-trained one ([[trainCentroids]], run once and
+    * persisted) to amortize training across query batches — this is the
+    * production path, and the only engine-replayable one. With
+    * `codebook = None` the call RETRAINS per invocation (bounded: KMeans||
+    * over a `maxTrainRows`-capped sample, 5 iterations) — convenient for
+    * one-shot lookups, wasteful inside a loop. Recall < 1 by construction;
+    * precision = 1 (exact re-rank). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       codebook: Option[DataFrame] = None): DataFrame = {

@@ -49,6 +49,27 @@ class SimilaritySpec extends SparkSuite {
       val trained = recall(Similarity.trainCentroids(e, "embedding", nCells = 16))
       val sampled = recall(Similarity.sampledCentroids(e, "vec_id", "embedding", nCells = 16))
       info(s"$dir nProbe=$probe/16: trained=$trained sampled=$sampled")
+      // the trained codebook must actually be worth its training cost:
+      // no worse than the zero-training baseline, and above an absolute
+      // floor — garbage centroids (a broken trainCentroids) recall at or
+      // below the random-cell rate nProbe/nCells and fail both asserts
+      assert(trained >= sampled,
+        s"$dir nProbe=$probe: trained codebook recall $trained below sampled baseline $sampled")
+      assert(trained >= 0.4,
+        s"$dir nProbe=$probe: trained codebook recall $trained below absolute floor 0.4")
     }
+  }
+
+  test("trainCentroids: null and zero-norm vectors are filtered, not fatal") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dim = e.select(org.apache.spark.sql.functions.size($"embedding"))
+      .first().getInt(0)
+    val dirty = e.unionByName(Seq(
+      (-1L, Array.fill(dim)(0.0)), // zero-norm: cosine KMeans would throw
+      (-2L, null.asInstanceOf[Array[Double]])
+    ).toDF("vec_id", "embedding"))
+    val cb = Similarity.trainCentroids(dirty, "embedding", nCells = 8)
+    assert(cb.count() == 8)
   }
 }
