@@ -10,13 +10,30 @@ import graft.config.Project
   * {{{
   * sbt "runMain graft.ShowProject <dir> templates|presets|blueprints|flowgroups [env]"
   * sbt "runMain graft.ShowProject <dir> substitutions <env>"
+  * sbt "runMain graft.ShowProject <warehouse> tables [table]"
   * }}}
   */
 object ShowProject {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ShowProject <dir> templates|presets|blueprints|flowgroups|substitutions [env]")
+      "usage: ShowProject <dir> templates|presets|blueprints|flowgroups|substitutions|tables [env|table]")
+    // `tables` inspects a WAREHOUSE directory (sidecar reads, no session,
+    // no project config) — the surface for write_target comment/tags/
+    // table_properties, which otherwise live only in sidecar files.
+    if (args(1) == "tables") {
+      val wh = args(0)
+      val names = args.lift(2).map(Seq(_))
+        .getOrElse(graft.exec.TableStore.listTables(wh))
+      names.foreach { t =>
+        val (comment, props, tags) = graft.exec.TableStore.describeTable(wh, t)
+        println(t)
+        comment.foreach(c => println(s"  comment: $c"))
+        props.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"  property: $k = $v") }
+        tags.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"  tag: $k = $v") }
+      }
+      return
+    }
     val project = Project.load(args(0))
     args(1) match {
       case "templates" =>

@@ -69,6 +69,49 @@ object SchemaParser {
       pk)
   }
 
+  /** A unified schema/tags file's tag content (reference:
+    * parsers/tags_file_parser.py): the top-level `tags:` block plus
+    * per-column `tags:` under `columns:`. Schema-only fields (type/
+    * nullable/comment) are ignored, so one file serves as both
+    * `table_schema` and `tags_file`. Null tag values (value-less UC tags)
+    * read as empty strings. */
+  final case class TagsDoc(
+      table: Option[String],
+      tags: Map[String, String],
+      columnTags: Map[String, Map[String, String]]) {
+    /** Table tags + column tags flattened as `column.<col>.<key>` — the
+      * form the tags sidecar and the onTableTagged hook carry. */
+    def flattened: Map[String, String] =
+      tags ++ columnTags.flatMap { case (c, ts) =>
+        ts.map { case (k, v) => s"column.$c.$k" -> v }
+      }
+  }
+
+  def parseTagsFile(yamlText: String): TagsDoc = {
+    val root = Option(new Yaml().load[Any](yamlText))
+      .map(_.asInstanceOf[java.util.Map[String, Any]].asScala
+        .map { case (k, v) => k.toString -> v }.toMap)
+      .getOrElse(Map.empty[String, Any])
+    def tagMap(o: Any): Map[String, String] = o match {
+      case m: java.util.Map[_, _] => m.asScala.map { case (k, v) =>
+        k.toString -> Option(v).map(_.toString).getOrElse("") }.toMap
+      case _ => Map.empty
+    }
+    val colTags = root.get("columns") match {
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.flatMap { c =>
+        val m = c.asInstanceOf[java.util.Map[String, Any]].asScala
+        val ts = m.get("tags").map(tagMap).getOrElse(Map.empty)
+        if (ts.isEmpty) None else Some(m("name").toString -> ts)
+      }.toMap
+      case _ => Map.empty[String, Map[String, String]]
+    }
+    TagsDoc(
+      // canonical `table` wins over its alias `name` (tags_file_parser.py)
+      root.get("table").orElse(root.get("name")).map(_.toString),
+      root.get("tags").map(tagMap).getOrElse(Map.empty),
+      colTags)
+  }
+
   private val Identifier = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
   /** Render a schema as `cloudFiles.schemaHints`-style `"col TYPE [NOT

@@ -104,25 +104,71 @@ object YamlConfig {
         readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"),
         operationalMetadata = opMeta(m))
       case "delta" | "table" =>
-        // Documented gap (SURVEY §7.3): time travel / CDF need Delta commit
-        // history, which a plain-parquet warehouse does not have. The
-        // engine-managed `<table>__changes` companion covers CDF for
-        // engine-written tables. Reject loudly rather than silently ignore.
+        // Documented gap (SURVEY §7.3): time travel needs Delta commit
+        // history, which a plain-parquet warehouse does not have. Reject
+        // loudly rather than silently ignore — as field or reader option.
         Seq("timestamp_as_of", "version_as_of").foreach { k =>
           if (src.contains(k)) throw ConfigError(
             s"load '$name': '$k' (time travel) is not supported on the " +
             "parquet-backed warehouse — it needs Delta commit history (SURVEY §7.3)")
         }
-        if (src.get("read_change_feed").exists(_.toString.toBoolean))
-          throw ConfigError(
-            s"load '$name': 'read_change_feed' on external tables is not " +
-            s"supported — read the engine-managed '${str(src, "table").getOrElse("?")}__changes' " +
-            "companion table instead (SURVEY §7.3b)")
+        // deprecated spelling, same posture as the reference
+        // (generators/load/delta.py:26-46: removed field, hard error)
+        if (src.contains("read_change_feed")) throw ConfigError(
+          s"load '$name': 'read_change_feed' is removed — use " +
+            """options: {readChangeFeed: "true", startingVersion: "N"}""")
+        val opts = anyMap(src, "options").map { case (k, v) => k -> v.toString }
+        Seq("versionAsOf", "timestampAsOf").foreach { k =>
+          if (opts.contains(k)) throw ConfigError(
+            s"load '$name': option '$k' (time travel) is not supported on " +
+            "the parquet-backed warehouse — it needs Delta commit history (SURVEY §7.3)")
+        }
+        val table = qualified(src,
+          str(src, "table").orElse(str(src, "path"))
+            .getOrElse(throw ConfigError(s"table load '$name' missing table")))
+        val cdf = opts.get("readChangeFeed").exists(_.toBoolean)
+        // CDF reads route to the engine-managed append-only `__changes`
+        // companion (SURVEY §7.3b); version bounds become partition-prunable
+        // `_commit_version` predicates (reference contract:
+        // generators/load/delta.py:99-195). Commit TIMESTAMPS do not exist
+        // in the parquet emulation — reject their spellings loudly.
+        val cdfWhere: Seq[String] = if (!cdf) {
+          Seq("startingVersion", "startingTimestamp", "endingVersion",
+            "endingTimestamp", "skipChangeCommits").foreach { k =>
+            if (opts.contains(k)) throw ConfigError(
+              s"load '$name': option '$k' requires readChangeFeed " +
+                "(skipChangeCommits cannot be honored: a parquet file " +
+                "stream re-reads rewritten files — stream the __changes " +
+                "companion instead)")
+          }
+          Nil
+        } else {
+          if (opts.contains("skipChangeCommits")) throw ConfigError(
+            s"load '$name': readChangeFeed and skipChangeCommits are incompatible")
+          Seq("startingTimestamp", "endingTimestamp").foreach { k =>
+            if (opts.contains(k)) throw ConfigError(
+              s"load '$name': option '$k' is not supported — the __changes " +
+                "companion records _commit_version, not commit timestamps; " +
+                "use startingVersion/endingVersion")
+          }
+          if (readMode == "stream" && opts.contains("endingVersion"))
+            throw ConfigError(
+              s"load '$name': endingVersion is only supported in batch mode")
+          if (readMode != "stream" && !opts.contains("startingVersion"))
+            throw ConfigError(
+              s"load '$name': readChangeFeed in batch mode requires " +
+                "'startingVersion' to bound the range of changes " +
+                "(or readMode: stream for continuous consumption)")
+          def ver(k: String): Option[Long] = opts.get(k).map { v =>
+            scala.util.Try(v.toLong).getOrElse(throw ConfigError(
+              s"load '$name': option '$k' must be an integer version, got '$v'"))
+          }
+          ver("startingVersion").map(v => s"_commit_version >= $v").toSeq ++
+            ver("endingVersion").map(v => s"_commit_version <= $v").toSeq
+        }
         TableLoad(name, target,
-          table = qualified(src,
-            str(src, "table").orElse(str(src, "path"))
-              .getOrElse(throw ConfigError(s"table load '$name' missing table"))),
-          whereClause = strSeq(src, "where_clause"),
+          table = if (cdf) s"${table}__changes" else table,
+          whereClause = cdfWhere ++ strSeq(src, "where_clause"),
           selectColumns = strSeq(src, "select_columns"),
           readMode = readMode)
       case "sql" =>
@@ -195,18 +241,39 @@ object YamlConfig {
     // loud by default so a user never ships a config believing they took
     // effect; `lenient` downgrades to a warning (they are safe no-ops, and
     // real reference example projects do use them). cluster_columns is NOT
-    // here: it maps to range-clustered writes (see ClusterColumns below).
+    // here: it maps to range-clustered writes (see ClusterColumns below);
+    // comment / tags / tags_file / table_schema are honored (sidecar +
+    // hooks + write-time enforcement), not advisory.
     Map(
       "refresh_schedule" -> "scheduled refresh needs an external scheduler; run the flowgroup from one",
-      "temporary" -> "temporary tables need a session catalog"
+      "refresh_policy" -> "refresh policy is a DLT-scheduler concept; the interpreter refreshes on every run",
+      "temporary" -> "temporary tables need a session catalog",
+      "path" -> "external storage paths are not supported; tables live under the TableStore warehouse root",
+      "spark_conf" -> "per-flow Spark conf belongs to the session running the flowgroup; set it there",
+      "cluster_by_auto" -> "automatic clustering needs Delta predictive optimization; declare cluster_columns (+ cluster_strategy) instead"
     ).foreach { case (k, why) =>
       if (wt.contains(k)) {
         val msg = s"write '$name': '$k' is not supported on the parquet-backed warehouse — $why"
         if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
       }
     }
+    // create_table: true is the default (and our store always materializes);
+    // FALSE promises "the table is managed elsewhere", which the store
+    // cannot honor — same advisory loud/lenient split.
+    if (str(wt, "create_table").exists(!_.toBoolean)) {
+      val msg = s"write '$name': 'create_table: false' is not supported — " +
+        "the TableStore always materializes the write target"
+      if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
+    }
     val table = str(wt, "table").orElse(str(m, "table"))
       .map(qualified(wt, _)).getOrElse(name)
+    // governance metadata shared by both table-producing write types
+    val comment = str(wt, "comment")
+    val tags = anyMap(wt, "tags").map { case (k, v) =>
+      k -> Option(v).map(_.toString).getOrElse("") // UC allows value-less tags
+    }
+    val tagsFile = str(wt, "tags_file")
+    val tableSchemaDdl = str(wt, "table_schema")
     str(wt, "type").orElse(str(m, "write_type")).getOrElse("streaming_table") match {
       case "streaming_table" =>
         // snapshot mode carries its config under snapshot_cdc_config
@@ -246,24 +313,43 @@ object YamlConfig {
           changeLog = wt.get("change_log").exists(_.toString.toBoolean),
           rowFilter = str(wt, "row_filter"),
           tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
+          comment = comment, tags = tags, tagsFile = tagsFile,
+          tableSchemaDdl = tableSchemaDdl,
           expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
       case "materialized_view" => MaterializedViewWrite(name,
         source = sourceSeq(m).headOption,
         table = table,
         sql = str(m, "sql").orElse(str(wt, "sql")),
+        sqlPath = str(m, "sql_path").orElse(str(wt, "sql_path")),
         partitionColumns = strSeq(wt, "partition_columns"),
         clusterColumns = strSeq(wt, "cluster_columns"),
         clusterStrategy = clusterStrategyOf(wt, name),
         rowFilter = str(wt, "row_filter"),
         tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
+        comment = comment, tags = tags, tagsFile = tagsFile,
+        tableSchemaDdl = tableSchemaDdl,
         expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
         incremental = str(wt, "mode").contains("incremental") ||
           wt.get("incremental").exists(_.toString.toBoolean))
-      case "sink" => SinkWrite(name,
-        source = sourceSeq(m).headOption.getOrElse(""),
-        sinkType = str(wt, "sink_type").orElse(str(wt, "format")).getOrElse("files"),
-        options = anyMap(wt, "options").map { case (k, v) => k -> v.toString },
-        handlerClass = str(wt, "handler").orElse(str(wt, "custom_sink_class")))
+      case "sink" =>
+        // module_path is a Python import-path concept; JVM plugins resolve
+        // from the classpath by class name — advisory, same split as above
+        if (wt.contains("module_path")) {
+          val msg = s"write '$name': 'module_path' is not supported — JVM " +
+            "handler classes resolve from the classpath (custom_sink_class/batch_handler)"
+          if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
+        }
+        // kafka's dedicated fields fold into the connector options map
+        val kafkaOpts =
+          str(wt, "bootstrap_servers").map("kafka.bootstrap.servers" -> _).toMap ++
+            str(wt, "topic").map("topic" -> _).toMap
+        SinkWrite(name,
+          source = sourceSeq(m).headOption.getOrElse(""),
+          sinkType = str(wt, "sink_type").orElse(str(wt, "format")).getOrElse("files"),
+          options = kafkaOpts ++ anyMap(wt, "options").map { case (k, v) => k -> v.toString },
+          handlerClass = str(wt, "handler").orElse(str(wt, "custom_sink_class"))
+            .orElse(str(wt, "batch_handler")),
+          sinkName = str(wt, "sink_name"))
       case other => throw ConfigError(s"unknown write type '$other' on '$name'")
     }
   }

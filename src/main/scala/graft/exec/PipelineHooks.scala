@@ -9,6 +9,12 @@ package graft.exec
 trait PipelineHooks {
   /** A write action finished materializing `table`. */
   def onTableWritten(pipeline: String, flowgroup: String, table: String): Unit = ()
+  /** A write target declared governance tags (write_target.tags/tags_file —
+    * the uc_tagging hook seam): fired after the write with the merged tag
+    * set; a deployment hooks ALTER TABLE ... SET TAGS here. Column-level
+    * tags from a tags_file arrive flattened as `column.<col>.<key>`. */
+  def onTableTagged(pipeline: String, flowgroup: String, table: String,
+      tags: Map[String, String]): Unit = ()
   /** A data test completed with `violations` violating rows. */
   def onTestResult(pipeline: String, flowgroup: String, testName: String,
       testType: String, violations: Long): Unit = ()
@@ -23,10 +29,14 @@ object PipelineHooks {
   /** Collecting implementation for tests/reporting. */
   final class Recording extends PipelineHooks {
     val tables = scala.collection.mutable.ListBuffer[String]()
+    val tagged = scala.collection.mutable.ListBuffer[(String, Map[String, String])]()
     val tests = scala.collection.mutable.ListBuffer[(String, String, Long)]()
     val flowgroups = scala.collection.mutable.ListBuffer[(String, Boolean)]()
     override def onTableWritten(p: String, f: String, table: String): Unit =
       tables += table
+    override def onTableTagged(p: String, f: String, table: String,
+        tags: Map[String, String]): Unit =
+      tagged += ((table, tags))
     override def onTestResult(p: String, f: String, name: String, tt: String, v: Long): Unit =
       tests += ((name, tt, v))
     override def onFlowgroupComplete(p: String, f: String, e: Option[Throwable]): Unit =

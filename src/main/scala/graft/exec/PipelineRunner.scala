@@ -514,9 +514,11 @@ final class PipelineRunner(
 
     case a: MaterializedViewWrite =>
       applyFullRefresh(a.table, a.name)
-      val df0 = a.sql.map(spark.sql).getOrElse(resolveSource(a.source.get))
+      val df0 = a.sql.orElse(a.sqlPath.map(readFile)).map(spark.sql)
+        .getOrElse(resolveSource(a.source.get))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
-      val df = Expectations(df1, a.expectations)
+      val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
+        a.tableSchemaDdl, a.name)
       if (a.incremental) {
         // incremental maintenance: the aggregation runs as a streaming
         // query in COMPLETE mode — each run reads only new source data,
@@ -537,6 +539,7 @@ final class PipelineRunner(
         store.overwrite(a.table, clustered(df, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
       }
       store.setProperties(a.table, a.tableProperties)
+      applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
       store.readIfExists(a.table)
         .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
@@ -545,10 +548,10 @@ final class PipelineRunner(
       val src = resolveSource(a.source)
       a.sinkType match {
         case "files" =>
-          val p = a.options.getOrElse("path", s"${store.warehouse}/_sinks/${a.name}")
+          val p = a.options.getOrElse("path", s"${store.warehouse}/_sinks/${a.sinkId}")
           if (src.isStreaming)
             src.writeStream.format(a.options.getOrElse("format", "parquet"))
-              .option("checkpointLocation", checkpointFor(a.name))
+              .option("checkpointLocation", checkpointFor(a.sinkId))
               .option("path", p).trigger(Trigger.AvailableNow())
               .start().awaitTermination()
           else src.write.mode("append")
@@ -559,7 +562,7 @@ final class PipelineRunner(
           val conformed = graft.sources.KafkaSupport.conformColumns(src)
           if (src.isStreaming)
             conformed.writeStream.format("kafka").options(opts)
-              .option("checkpointLocation", checkpointFor(a.name))
+              .option("checkpointLocation", checkpointFor(a.sinkId))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else conformed.write.format("kafka").options(opts).save()
         case "foreachbatch" =>
@@ -567,7 +570,7 @@ final class PipelineRunner(
             throw Planner.PlanError(s"foreachbatch sink '${a.name}' missing handler")))
           if (src.isStreaming)
             src.writeStream.foreachBatch((df: DataFrame, id: Long) => handler(df, id))
-              .option("checkpointLocation", checkpointFor(a.name))
+              .option("checkpointLocation", checkpointFor(a.sinkId))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else handler(src, 0L)
         case "custom" =>
@@ -578,7 +581,7 @@ final class PipelineRunner(
             s"custom sink '${a.name}' missing custom_sink_class"))
           if (src.isStreaming)
             src.writeStream.format(provider).options(a.options)
-              .option("checkpointLocation", checkpointFor(a.name))
+              .option("checkpointLocation", checkpointFor(a.sinkId))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else src.write.format(provider).options(a.options).mode("append").save()
         case other => throw Planner.PlanError(s"unknown sink type '$other'")
@@ -689,7 +692,8 @@ final class PipelineRunner(
     lazy val src = {
       val src0raw = resolveSource(a.source)
       val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
-      Expectations(src0, a.expectations)
+      enforceDeclaredSchema(Expectations(src0, a.expectations),
+        a.tableSchemaDdl, a.name)
     }
     store.setProperties(a.table, a.tableProperties)
     def mkScdOpts(defaultSequenceBy: Seq[String]) = a.cdc.map(c => ScdMerge.Options(
@@ -766,10 +770,48 @@ final class PipelineRunner(
         store.append(a.table, clustered(src, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
     }
     if (a.once) store.setMeta(a.table, onceKey, "done")
+    applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
     // a snapshot-polling write may legitimately find no snapshots on a run
     store.readIfExists(a.table)
       .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
+  }
+
+  /** Persist a write target's governance metadata (write_target.comment /
+    * tags / tags_file) in TableStore sidecars and fire the tagging hook —
+    * the runtime counterpart of the reference's uc_tagging hook template.
+    * tags_file contributes first; explicit `tags` win on key conflict. */
+  private def applyGovernanceMetadata(table: String, comment: Option[String],
+      tags: Map[String, String], tagsFile: Option[String]): Unit = {
+    comment.foreach(c => store.setMeta(table, "comment", c))
+    val fromFile = tagsFile.map(f =>
+      graft.config.SchemaParser.parseTagsFile(readFile(f)).flattened)
+      .getOrElse(Map.empty)
+    val merged = fromFile ++ tags
+    if (merged.nonEmpty) {
+      store.setTags(table, merged)
+      hooks.onTableTagged(currentPipeline, currentFlowgroup, table, merged)
+    }
+  }
+
+  /** Enforce a write target's declared DDL schema (write_target.table_schema):
+    * outgoing rows are projected to exactly the declared columns, cast to the
+    * declared types — missing columns are a loud error, extra columns are
+    * dropped (the reference creates the table from this DDL; writing a
+    * different shape would fail there too). A pure projection — streaming
+    * frames pass through unchanged in streaming-ness. */
+  private def enforceDeclaredSchema(df: DataFrame, ddl: Option[String],
+      name: String): DataFrame = ddl match {
+    case None => df
+    case Some(d) =>
+      val declared = scala.util.Try(StructType.fromDDL(d)).getOrElse(
+        graft.config.SchemaParser.parse(readFile(d)).schema)
+      val missing = declared.fields.map(_.name)
+        .filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+      if (missing.nonEmpty) throw Planner.PlanError(
+        s"write '$name': table_schema declares column(s) " +
+          s"${missing.mkString(", ")} absent from the source")
+      df.select(declared.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
   }
 
   /** Frames persisted for a write's double read (quantile pass + write);

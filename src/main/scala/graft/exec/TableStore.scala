@@ -327,17 +327,23 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     Files.writeString(p, json): Unit
   }
 
-  def properties(table: String): Map[String, String] = {
-    val p = Paths.get(path(table) + "._properties.json")
-    if (!Files.exists(p)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      new org.yaml.snakeyaml.Yaml().load[Any](Files.readString(p)) match {
-        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
-        case _ => Map.empty
-      }
-    }
+  def properties(table: String): Map[String, String] =
+    TableStore.readJsonSidecar(Paths.get(path(table) + "._properties.json"))
+
+  /** Governance tags sidecar (reference WriteTarget.tags / tags_file — UC
+    * tagging): same JSON-map format as table properties, separate file so
+    * tags and properties stay independently writable. */
+  def setTags(table: String, tags: Map[String, String]): Unit = if (tags.nonEmpty) {
+    val json = tags.map { case (k, v) =>
+      "\"" + k.replace("\"", "\\\"") + "\": \"" + v.replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val p = Paths.get(path(table) + "._tags.json")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, json): Unit
   }
+
+  def tags(table: String): Map[String, String] =
+    TableStore.readJsonSidecar(Paths.get(path(table) + "._tags.json"))
 
   def registerAll(): Unit = {
     val root = new java.io.File(warehouse)
@@ -360,6 +366,53 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 }
 
 object TableStore {
+
+  private[exec] def readJsonSidecar(p: Path): Map[String, String] =
+    if (!Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      new org.yaml.snakeyaml.Yaml().load[Any](Files.readString(p)) match {
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+        case _ => Map.empty
+      }
+    }
+
+  /** Warehouse inspection WITHOUT a SparkSession — pure sidecar/directory
+    * reads, for the `ShowProject <warehouse> tables` CLI. A table is any
+    * directory containing at least one regular data file; nested dirs
+    * (catalog/schema qualifiers, partition dirs) walk through. Partition
+    * directories (`col=value`) are excluded — their parent is the table. */
+  def listTables(warehouse: String): Seq[String] = {
+    def walk(dir: java.io.File, prefix: Seq[String]): Seq[String] = {
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      val hasData = entries.exists(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      // a partitioned table holds only col=value subdirectories at its root
+      val hasPartitions = entries.exists(d => d.isDirectory && d.getName.contains("="))
+      if (hasData || hasPartitions) Seq(prefix.mkString("."))
+      else entries.filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+          !d.getName.contains("=")).toSeq
+        .flatMap(d => walk(d, prefix :+ d.getName))
+    }
+    val root = new java.io.File(warehouse)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !d.getName.startsWith("."))
+      .flatMap(d => walk(d, Seq(d.getName))).toSeq.sorted
+  }
+
+  /** Sidecar metadata of a table by warehouse path (no session): comment,
+    * properties, tags. */
+  def describeTable(warehouse: String, table: String): (Option[String], Map[String, String], Map[String, String]) = {
+    val base = s"$warehouse/${table.replace('.', '/')}"
+    val comment = {
+      val p = Paths.get(base + "._comment")
+      if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    }
+    (comment,
+      readJsonSidecar(Paths.get(base + "._properties.json")),
+      readJsonSidecar(Paths.get(base + "._tags.json")))
+  }
+
   /** Filter matching exactly the partitions whose values appear in
     * `affected` (literal OR-of-ANDs — prunes statically at the parquet
     * scan, unlike a semi-join which needs runtime DPP). */

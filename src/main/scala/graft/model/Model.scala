@@ -219,6 +219,19 @@ final case class StreamingTableWrite(
     /** SQL predicate applied to rows before write (DLT row_filter). */
     rowFilter: Option[String] = None,
     tableProperties: Map[String, String] = Map.empty,
+    /** Table comment — persisted in the TableStore sidecar, surfaced by
+      * `ShowProject <warehouse> tables` (reference WriteTarget.comment). */
+    comment: Option[String] = None,
+    /** Governance tags (reference WriteTarget.tags — UC tagging); persisted
+      * in a sidecar and emitted through [[graft.exec.PipelineHooks]]
+      * `onTableTagged` (the uc_tagging hook seam). */
+    tags: Map[String, String] = Map.empty,
+    /** Unified schema/tags file reference (reference tags_file) — parsed at
+      * run time, merged under explicit `tags` (explicit wins). */
+    tagsFile: Option[String] = None,
+    /** Declared DDL schema enforced at write time (reference table_schema):
+      * outgoing rows are projected/cast to exactly these columns. */
+    tableSchemaDdl: Option[String] = None,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)
 }
@@ -230,9 +243,17 @@ final case class MaterializedViewWrite(
     source: Option[String],
     table: String,
     sql: Option[String] = None,
+    /** Load the SQL text from a project-relative file instead (sql_path). */
+    sqlPath: Option[String] = None,
     partitionColumns: Seq[String] = Nil,
     rowFilter: Option[String] = None,
     tableProperties: Map[String, String] = Map.empty,
+    /** See [[StreamingTableWrite.comment]] / `tags` / `tagsFile` /
+      * `tableSchemaDdl` — same semantics for materialized views. */
+    comment: Option[String] = None,
+    tags: Map[String, String] = Map.empty,
+    tagsFile: Option[String] = None,
+    tableSchemaDdl: Option[String] = None,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil,
     /** Range-cluster data files on these columns at write time. */
     clusterColumns: Seq[String] = Nil,
@@ -251,8 +272,14 @@ final case class SinkWrite(
     source: String,
     sinkType: String, // "files" | "kafka" | "foreachbatch"
     options: Map[String, String] = Map.empty,
-    handlerClass: Option[String] = None) extends WriteAction {
+    handlerClass: Option[String] = None,
+    /** Sink identity override (reference WriteTarget.sink_name — the
+      * dp.create_sink name): used for the checkpoint path and the files
+      * sink's default output directory; defaults to the action name. */
+    sinkName: Option[String] = None) extends WriteAction {
   def table: String = name
+  /** The effective sink identity. */
+  def sinkId: String = sinkName.getOrElse(name)
   def sources: Seq[String] = Seq(source)
 }
 

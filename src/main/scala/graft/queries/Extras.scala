@@ -91,13 +91,57 @@ object Extras {
     store.read("q33_dim__changes")
   }
 
+  /** Bounded CDF window (q33's sibling): the same two CDC batches, read back
+    * through the YAML surface — `options: {readChangeFeed, startingVersion,
+    * endingVersion}` routing to the `__changes` companion with
+    * `_commit_version` range predicates. Window [1,1] = exactly batch 2. */
+  def q46CdfWindow(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q46").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def yamlFor(view: String) =
+      s"""pipeline: q46
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: q46_dim, change_log: true}
+         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
+         |                 apply_as_deletes: "event_type = 'error'"}
+         |""".stripMargin
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q46_b1")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q46_b2")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q46_b1")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q46_b2")))
+    runner.execute(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: q46r
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: delta, table: q46_dim,
+         |             options: {readChangeFeed: "true",
+         |                       startingVersion: "1", endingVersion: "1"}}
+         |    target: q46_win
+         |""".stripMargin).actions.head)
+    runner.view("q46_win")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
     "m4_domain_cap" -> m4DomainCap,
     "q32_schema_evolution" -> q32SchemaEvolution,
-    "q33_change_feed" -> q33ChangeFeed)
+    "q33_change_feed" -> q33ChangeFeed,
+    "q46_cdf_window" -> q46CdfWindow)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -141,5 +185,12 @@ object Extras {
         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
         |    AS _change_type,
         |  CAST(event_id % 2 AS BIGINT) AS _commit_version
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // the [1,1] version window is exactly the odd-event_id batch
+    "q46_cdf_window" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+        |    AS _change_type,
+        |  CAST(1 AS BIGINT) AS _commit_version
+        |FROM events WHERE event_id % 2 = 1""".stripMargin)
 }

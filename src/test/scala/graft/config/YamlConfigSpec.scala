@@ -96,7 +96,9 @@ class YamlConfigSpec extends SparkSuite {
       .msg.contains("time travel"))
     assert(intercept[YamlConfig.ConfigError](load("version_as_of: 3")).msg.contains("time travel"))
     assert(intercept[YamlConfig.ConfigError](load("read_change_feed: true"))
-      .msg.contains("__changes"))
+      .msg.contains("readChangeFeed")) // removed spelling, reference posture
+    assert(intercept[YamlConfig.ConfigError](load("options: {versionAsOf: \"3\"}"))
+      .msg.contains("time travel"))
 
     def write(extra: String) = YamlConfig.parseFlowGroup(
       s"""pipeline: p
@@ -114,6 +116,49 @@ class YamlConfigSpec extends SparkSuite {
     assert(intercept[YamlConfig.ConfigError](write("refresh_schedule: \"0 * * * *\""))
       .msg.contains("refresh_schedule"))
     assert(intercept[YamlConfig.ConfigError](write("temporary: true")).msg.contains("temporary"))
+  }
+
+  test("readChangeFeed routes to the __changes companion with version bounds") {
+    def load(extra: String, readMode: String = "batch") = YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    readMode: $readMode
+         |    source: {type: delta, table: dim, $extra}
+         |    target: v
+         |""".stripMargin).actions.head.asInstanceOf[graft.model.TableLoad]
+
+    val bounded = load("""options: {readChangeFeed: "true", startingVersion: "2", endingVersion: "5"}""")
+    assert(bounded.table == "dim__changes")
+    assert(bounded.whereClause == Seq("_commit_version >= 2", "_commit_version <= 5"))
+
+    // stream: startingVersion ok, endingVersion is batch-only (delta.py:160)
+    val s = load("""options: {readChangeFeed: "true", startingVersion: "2"}""", "stream")
+    assert(s.table == "dim__changes" && s.whereClause == Seq("_commit_version >= 2"))
+    assert(intercept[YamlConfig.ConfigError](
+      load("""options: {readChangeFeed: "true", startingVersion: "0", endingVersion: "5"}""", "stream"))
+      .msg.contains("endingVersion"))
+
+    // batch CDF requires a starting bound (delta.py VAL_013)
+    assert(intercept[YamlConfig.ConfigError](load("""options: {readChangeFeed: "true"}"""))
+      .msg.contains("startingVersion"))
+    // commit timestamps don't exist in the parquet emulation
+    assert(intercept[YamlConfig.ConfigError](
+      load("""options: {readChangeFeed: "true", startingTimestamp: "2026-01-01"}"""))
+      .msg.contains("startingTimestamp"))
+    // incompatible pair (delta.py:110)
+    assert(intercept[YamlConfig.ConfigError](
+      load("""options: {readChangeFeed: "true", startingVersion: "0", skipChangeCommits: "true"}"""))
+      .msg.contains("incompatible"))
+    // CDF bounds without readChangeFeed are a loud error, not absorbed
+    assert(intercept[YamlConfig.ConfigError](load("""options: {startingVersion: "2"}"""))
+      .msg.contains("readChangeFeed"))
+    // non-integer version
+    assert(intercept[YamlConfig.ConfigError](
+      load("""options: {readChangeFeed: "true", startingVersion: "abc"}"""))
+      .msg.contains("integer"))
   }
 
   test("unknown action type and failureAction are errors") {

@@ -43,5 +43,24 @@ class ChangeLogSpec extends SparkSuite {
     assert(changes.select("_commit_version").distinct().as[Long].collect().toSet == Set(0L, 1L))
     assert(changes.filter("_change_type = 'delete'")
       .select("id").as[Int].collect().toSeq == Seq(2))
+
+    // bounded CDF read back through the YAML surface: a delta load with
+    // readChangeFeed + version window reads exactly commit 1's rows
+    val reader = new PipelineRunner(spark, store, s"$dir/cp2")
+    reader.execute(YamlConfig.parseFlowGroup(
+      s"""pipeline: p2
+         |flowgroup: f2
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: delta, table: cdf_dim,
+         |             options: {readChangeFeed: "true",
+         |                       startingVersion: "1", endingVersion: "1"}}
+         |    target: window
+         |""".stripMargin).actions.head)
+    val window = reader.view("window")
+    assert(window.select("_commit_version").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(window.select("id", "_change_type").as[(Int, String)].collect().toSet
+      == Set((1, "upsert"), (2, "delete")))
   }
 }

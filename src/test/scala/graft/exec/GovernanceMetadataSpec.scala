@@ -1,0 +1,98 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+import graft.config.YamlConfig
+
+/** Write-target governance metadata end-to-end: comment / tags / tags_file
+  * persist in TableStore sidecars, fire the onTableTagged hook, and read
+  * back through the session-free `ShowProject <warehouse> tables` surface;
+  * table_schema is enforced at write time. */
+class GovernanceMetadataSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("comment, tags and tags_file land in sidecars, the hook, and the CLI view") {
+    val dir = Files.createTempDirectory("graft-gov").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val hooks = new PipelineHooks.Recording
+    val runner = new PipelineRunner(spark, store, s"$dir/cp",
+      hooks = hooks, projectRoot = dir)
+    // unified schema/tags file: table tags + per-column tags
+    Files.createDirectories(Paths.get(dir, "schemas"))
+    Files.writeString(Paths.get(dir, "schemas/gov_t.yaml"),
+      """table: gov_t
+        |tags: {domain: sales, team: old_team}
+        |columns:
+        |  - {name: k, type: BIGINT, tags: {pii: "false"}}
+        |  - {name: v, type: STRING}
+        |""".stripMargin)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("gov_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: gov_src}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target:
+         |      type: streaming_table
+         |      table: gov_t
+         |      comment: "governed table"
+         |      table_properties: {quality: gold}
+         |      tags: {team: data}
+         |      tags_file: schemas/gov_t.yaml
+         |""".stripMargin))
+
+    // sidecars: explicit tags override the file's, column tags flattened
+    assert(store.getMeta("gov_t", "comment").contains("governed table"))
+    assert(store.tags("gov_t") == Map(
+      "domain" -> "sales", "team" -> "data", "column.k.pii" -> "false"))
+    assert(store.properties("gov_t") == Map("quality" -> "gold"))
+    // hook fired with the merged set
+    assert(hooks.tagged.toList == List(("gov_t", Map(
+      "domain" -> "sales", "team" -> "data", "column.k.pii" -> "false"))))
+    // session-free CLI view reads the same sidecars
+    val (comment, props, tags) = TableStore.describeTable(s"$dir/wh", "gov_t")
+    assert(comment.contains("governed table"))
+    assert(props == Map("quality" -> "gold"))
+    assert(tags("domain") == "sales")
+    assert(TableStore.listTables(s"$dir/wh").contains("gov_t"))
+  }
+
+  test("table_schema is enforced at write: projection, cast, loud on missing") {
+    val dir = Files.createTempDirectory("graft-ddl").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    Seq(("1", "a", true), ("2", "b", false)).toDF("k", "v", "extra")
+      .createOrReplaceTempView("ddl_src")
+    def yamlFor(ddl: String) =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: ddl_src}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: ddl_t,
+         |                   table_schema: "$ddl"}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yamlFor("k BIGINT, v STRING")))
+    val out = store.read("ddl_t")
+    // declared order + types; undeclared column dropped
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.schema("k").dataType.typeName == "long")
+    assert(out.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // a declared column the source lacks is a loud plan error
+    val e = intercept[graft.plan.Planner.PlanError](
+      runner.run(YamlConfig.parseFlowGroup(yamlFor("k BIGINT, nope STRING"))))
+    assert(e.getMessage.contains("nope"))
+  }
+}
