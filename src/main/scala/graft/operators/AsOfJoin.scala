@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   *   - exactly ONE shuffle (the window partition on the key),
   *   - no row explosion — the frame is |left| + |right| rows throughout,
   *   - whole-stage-codegen'd window; scales to 100 TB sides as long as a
-  *     single key's rows fit a partition (same bound as any keyed window;
-  *     salt upstream for pathological keys).
+  *     single key's rows fit a partition (same bound as any keyed window).
+  *
+  * Skew: for pathological keys (a power-law key whose rows exceed one
+  * task), pass `salt = Some(s)` — left rows scatter across `s` buckets by
+  * row hash, right rows REPLICATE to every bucket, and the window
+  * partitions on (key, bucket). Per-partition rows drop from
+  * |left_k| + |right_k| to |left_k|/s + |right_k| — bounding the side that
+  * explodes under skew (the fact side) while each bucket keeps the full
+  * right history it needs for correctness. Result is row-identical to the
+  * unsalted join; cost is right-side duplication, so reserve it for skewed
+  * workloads.
   *
   * Ties: a right row AT the left row's exact time matches (inclusive), both
   * directions — the side flag breaks the sort so right rows order first.
@@ -44,16 +53,23 @@ object AsOfJoin {
     *                     true = earliest right at-or-after
     * @param tolerance    max |left time − matched right time| in the time
     *                     column's double-cast units (seconds for timestamps);
-    *                     matches farther away return null payloads */
+    *                     matches farther away return null payloads
+    * @param salt         scatter left rows across this many buckets per key
+    *                     (right rows replicate to all buckets) to bound
+    *                     partition sizes under key skew; None = unsalted */
   def apply(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      forward: Boolean = false, tolerance: Option[Double] = None): DataFrame = {
+      forward: Boolean = false, tolerance: Option[Double] = None,
+      salt: Option[Int] = None): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one key column")
+    require(salt.forall(_ >= 1), "salt bucket count must be >= 1")
     val collisions = payload.filter(p => left.columns.exists(_.equalsIgnoreCase(p)))
     require(collisions.isEmpty,
       s"payload column(s) ${collisions.mkString(", ")} collide with left columns; rename first")
     require(!payload.exists(_.equalsIgnoreCase("__asof_t")),
       "payload name '__asof_t' is reserved by the as-of join; rename first")
+    require(salt.isEmpty || !(left.columns ++ payload).exists(_.equalsIgnoreCase("__salt")),
+      "column name '__salt' is reserved by the salted as-of join; rename first")
 
     // matched right time rides inside the payload struct for the tolerance
     // check; left rows are reconstructed from their own struct after the
@@ -63,12 +79,23 @@ object AsOfJoin {
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
     val leftType = left.select(leftStruct.as("__l")).schema("__l").dataType
 
-    val lRows = left.select(on.map(col) ++ Seq(
+    val lRows0 = left.select(on.map(col) ++ Seq(
       col(leftTime).as("__t"), lit(1).as("__isL"),
       leftStruct.as("__l"), lit(null).cast(payType).as("__p")): _*)
-    val rRows = right.filter(col(rightTime).isNotNull).select(on.map(col) ++ Seq(
+    val rRows0 = right.filter(col(rightTime).isNotNull).select(on.map(col) ++ Seq(
       col(rightTime).as("__t"), lit(0).as("__isL"),
       lit(null).cast(leftType).as("__l"), payStruct.as("__p")): _*)
+    // skew salting: left rows scatter by row hash, right rows replicate to
+    // every bucket — each (key, bucket) window still sees the full right
+    // history, so the fill is identical to the unsalted join's
+    val (lRows, rRows, saltCols) = salt match {
+      case None => (lRows0, rRows0, Nil)
+      case Some(s) =>
+        (lRows0.withColumn("__salt", pmod(xxhash64(col("__l")), lit(s.toLong)).cast("int")),
+          rRows0.withColumn("__salt",
+            explode(sequence(lit(0), lit(s - 1)))),
+          Seq(col("__salt")))
+    }
 
     // backward: ascending time, right-before-left at equal times (inclusive)
     // forward: descending time, same tie-break. Among right rows sharing the
@@ -77,7 +104,7 @@ object AsOfJoin {
     val ord: Seq[Column] =
       if (forward) Seq(col("__t").desc, col("__isL").asc, xxhash64(col("__p")).asc)
       else Seq(col("__t").asc, col("__isL").asc, xxhash64(col("__p")).asc)
-    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(on.map(col) ++ saltCols: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lRows.unionByName(rRows)

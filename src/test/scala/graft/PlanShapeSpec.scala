@@ -105,6 +105,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("ReadSchema: struct<k:bigint>"), plan)
   }
 
+  test("profile approx mode is Expand-free; exact mode pays Expand knowingly") {
+    // exact multi-column countDistinct plans via Expand — rows multiply by
+    // the column count, which is the documented cost of `exact = true` and
+    // a 100 TB non-starter for wide profiles. The approx path (HLL) must
+    // stay a single-pass aggregate with NO Expand; this pins it.
+    val docs = Tables.load(spark, sf0001, "documents")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val approx = physical(graft.operators.Profile.describe(docs, cols, exact = false))
+    assert(!approx.contains("Expand"), "approx profile grew an Expand:\n" + approx)
+    val exact = physical(graft.operators.Profile.describe(docs, cols, exact = true))
+    assert(exact.contains("Expand"),
+      "exact profile no longer plans via Expand — update Profile's docs:\n" + exact)
+  }
+
   test("incremental dedup anti-joins the index — hash join, no cartesian") {
     val d = Tables.load(spark, sf0001, "documents")
     val index = d.filter(col("doc_id") < 250).select(md5(col("text")).as("fp")).distinct()

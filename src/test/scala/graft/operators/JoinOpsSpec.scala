@@ -81,6 +81,34 @@ class JoinOpsSpec extends SparkSuite {
     }
   }
 
+  test("salted as-of equals unsalted on skewed keys, with bounded buckets") {
+    // one pathological key: 10^6 left rows, 500 right rows, all on k=7 —
+    // the shape where an unsalted keyed window lands one partition on one
+    // task at 100 TB. The test pins (a) result identity with the unsalted
+    // join and (b) that the left side actually scatters across buckets.
+    val n = 1000000
+    val hotLeft = spark.range(n).selectExpr(
+      "id AS l_id", "CAST(7 AS BIGINT) AS k", "id % 100000 AS t")
+    val hotRight = spark.range(500).selectExpr(
+      "1000000 + id AS r_id", "CAST(7 AS BIGINT) AS k", "id * 200 AS rt",
+      "concat('p', id) AS pay")
+    val salted = AsOfJoin(hotLeft, hotRight, Seq("k"), "t", "rt",
+      Seq("r_id", "pay"), salt = Some(32))
+    val unsalted = AsOfJoin(hotLeft, hotRight, Seq("k"), "t", "rt",
+      Seq("r_id", "pay"))
+    // every left time t matches right row floor(t/200): closed-form check
+    // on the salted result plus full frame-equality with the unsalted one
+    assert(salted.filter(expr("r_id != 1000000 + CAST(t / 200 AS BIGINT)")).count() == 0)
+    assert(salted.count() == n.toLong)
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty)
+    // bucket occupancy: the same hash the operator uses must spread rows so
+    // no bucket exceeds ~2x the even share (xxhash64 over distinct rows)
+    val occupancy = hotLeft
+      .select(pmod(xxhash64(struct(hotLeft.columns.map(col).toSeq: _*)), lit(32L)).as("b"))
+      .groupBy("b").count().select(max("count")).first().getLong(0)
+    assert(occupancy < 2L * n / 32, s"max bucket $occupancy")
+  }
+
   test("bucketed range join matches the brute-force inequality join") {
     val intervals = rightRows.map { case (rid, k, t, _) => (rid, k, t, t + 73) }
       .toDF("r_id", "k", "start", "end")
