@@ -7,17 +7,21 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched decode / feature-extraction plumbing.
   *
-  * Image decode is REAL: [[ImageIoDecoder]] (the default) reads PNG/JPEG/GIF/
-  * BMP headers with the JDK's `javax.imageio` — width/height/channels without
-  * materializing the pixel raster, so a 100 TB media scan pays header-parse
-  * cost only. Audio/video kernels remain stubbed (no codec libraries in this
-  * container): [[StubDecoder]] produces deterministic fake features from the
-  * bytes, and [[ImageIoDecoder]] falls back to it for any payload ImageIO
-  * cannot claim. Everything around the kernels is real and tested: the schema
-  * contract, the `mapPartitions` batching shape (the Scala analogue of
-  * `mapInPandas` — per-partition iterator, amortized per-batch setup, no
-  * driver collect), partition sizing for blob columns, and metadata
-  * projection.
+  * Image and WAV audio decode are REAL: [[ImageIoDecoder]] reads PNG/JPEG/
+  * GIF/BMP headers with the JDK's `javax.imageio` — width/height/channels
+  * without materializing the pixel raster — and [[WavDecoder]] parses
+  * RIFF/WAVE chunk headers (channels, sample rate, duration) without
+  * touching the sample data, so a 100 TB media scan pays header-parse cost
+  * only. Compressed audio and video kernels remain stubbed (no codec
+  * libraries in this container): [[StubDecoder]] produces deterministic fake
+  * features from the bytes, and every real kernel falls back to it for any
+  * payload it cannot claim. Each row records WHICH kernel produced its
+  * features (`decoder` column), so dirty-corpus rows that degraded to the
+  * stub are identifiable without re-decoding. Everything around the kernels
+  * is real and tested: the schema contract, the `mapPartitions` batching
+  * shape (the Scala analogue of `mapInPandas` — per-partition iterator,
+  * amortized per-batch setup, no driver collect), partition sizing for blob
+  * columns, and metadata projection.
   *
   * Scale notes: blob rows are large — callers should size partitions by bytes
   * (`repartitionForBlobs`), not rows, so a 100 TB media table yields
@@ -35,45 +39,58 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, mime: String, n_bytes: Long,
-      width: Int, height: Int, channels: Int, sha_prefix: String)
+      width: Int, height: Int, channels: Int,
+      sample_rate: Int, duration_ms: Long,
+      decoder: String, sha_prefix: String)
 
-  /** The decode seam: image formats are handled natively ([[ImageIoDecoder]]);
-    * a real deployment plugs ffmpeg/libsndfile here for audio/video. The stub
+  /** One kernel's output: spatial dims for images, sample rate/duration for
+    * audio (zero where inapplicable), plus the kernel name — consumers can
+    * filter stub-degraded rows by `decoder == "stub"`. */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+      sampleRate: Int = 0, durationMs: Long = 0L, decoder: String)
+
+  /** The decode seam: images and WAV are handled natively; a real deployment
+    * plugs ffmpeg/libsndfile here for compressed audio/video. The stub
     * derives deterministic pseudo-dimensions from a content hash so tests
-    * can assert exact values. */
+    * (and the DuckDB oracle) can assert exact values. */
   trait Decoder extends Serializable {
-    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) // (w, h, channels)
+    def decode(mime: String, bytes: Array[Byte]): Decoded
   }
 
   object StubDecoder extends Decoder {
-    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
       // Deterministic fake for formats with no decoder in this environment
-      // (audio/video). Pseudo-dimensions derive from the big-endian first
-      // 4 md5 bytes (= first 8 hex chars), so any md5-capable engine —
-      // including the DuckDB correctness oracle — replays them exactly.
+      // (compressed audio/video). Pseudo-dimensions derive from the
+      // big-endian first 4 md5 bytes (= first 8 hex chars), so any
+      // md5-capable engine — including the DuckDB correctness oracle —
+      // replays them exactly.
       val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       val w = 64 + (h % 1024).toInt
       val ht = 64 + ((h / 1024) % 1024).toInt
       val ch = if (mime.startsWith("audio")) 1 else 3
-      (w, ht, ch)
+      Decoded(w, ht, ch, decoder = "stub")
     }
   }
 
   /** Real image kernel: header-only decode via the JDK's `javax.imageio`.
     * `getWidth(0)`/`getHeight(0)` parse only the format header (PNG IHDR,
     * JPEG SOF, …) — no pixel raster is allocated, which is what makes this
-    * viable inside a full-corpus scan. Channels come from the reader's
+    * viable inside a full-corpus scan. The input stream is an explicit
+    * `MemoryCacheImageInputStream` (the bytes are already in memory);
+    * `ImageIO.createImageInputStream` would default to a FILE-cache stream —
+    * a temp file created and deleted per row, per-blob disk I/O that
+    * undercuts the header-parse-only claim. Channels come from the reader's
     * declared image type (RGB→3, RGBA→4, gray→1). Any payload no installed
     * reader claims — wrong magic bytes, truncated header, or a non-image
     * MIME — falls back to [[StubDecoder]], so mixed/dirty corpora degrade
     * deterministically instead of throwing mid-scan. */
   object ImageIoDecoder extends Decoder {
-    def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) = {
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
       if (bytes.isEmpty) return StubDecoder.decode(mime, bytes)
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -86,20 +103,73 @@ object Multimodal {
               val h = r.getHeight(0)
               val types = r.getImageTypes(0)
               val ch = if (types.hasNext) types.next().getNumComponents else 3
-              (w, h, ch)
+              Decoded(w, h, ch, decoder = "imageio")
             } finally r.dispose()
           }
-        } finally if (iis != null) iis.close()
+        } finally iis.close()
       } catch {
         case scala.util.control.NonFatal(_) => StubDecoder.decode(mime, bytes)
       }
     }
   }
 
+  /** Real audio kernel: RIFF/WAVE header parse — pure-JVM byte arithmetic,
+    * no sample data touched. Walks the chunk list (id + little-endian size,
+    * even-padded) for `fmt ` (channels, sample rate, byte rate) and `data`
+    * (payload size → duration). Any structural violation — short header,
+    * wrong magic, missing chunks, zero byte rate — falls back to
+    * [[StubDecoder]], same dirty-corpus posture as the image kernel. */
+  object WavDecoder extends Decoder {
+    def claims(bytes: Array[Byte]): Boolean =
+      bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
+      if (!claims(bytes)) return StubDecoder.decode(mime, bytes)
+      var channels = 0; var sampleRate = 0; var byteRate = 0L
+      var dataSize = -1L
+      var i = 12L // Long cursor: a hostile 32-bit chunk size must not wrap
+      while (i + 8 <= bytes.length && (channels == 0 || dataSize < 0)) {
+        val p = i.toInt
+        val id = new String(bytes, p, 4, "US-ASCII")
+        val size = le32(bytes, p + 4)
+        if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+          channels = le16(bytes, p + 10)
+          sampleRate = le32(bytes, p + 12).toInt
+          byteRate = le32(bytes, p + 16)
+        } else if (id == "data") {
+          // a streamed/truncated file may declare more than it carries
+          dataSize = math.min(size, (bytes.length - i - 8))
+        }
+        i += 8 + size + (size & 1) // chunks pad to even offsets
+      }
+      if (channels <= 0 || sampleRate <= 0 || byteRate <= 0 || dataSize < 0)
+        StubDecoder.decode(mime, bytes)
+      else Decoded(0, 0, channels, sampleRate,
+        dataSize * 1000L / byteRate, decoder = "wav")
+    }
+  }
+
+  /** Default kernel dispatch: WAV magic → [[WavDecoder]], anything else →
+    * [[ImageIoDecoder]] (which itself degrades to the stub). Dispatch is by
+    * CONTENT magic, not MIME — corpus MIME labels lie. */
+  object AutoDecoder extends Decoder {
+    def decode(mime: String, bytes: Array[Byte]): Decoded =
+      if (WavDecoder.claims(bytes)) WavDecoder.decode(mime, bytes)
+      else ImageIoDecoder.decode(mime, bytes)
+  }
+
   /** Batched feature extraction over a media table — the `mapInPandas`
     * plumbing shape: one pass per partition, per-row decode, typed output
     * via an implicit Encoder. */
-  def extractFeatures(media: DataFrame, decoder: Decoder = ImageIoDecoder): DataFrame = {
+  def extractFeatures(media: DataFrame, decoder: Decoder = AutoDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "bytes", "mime")
@@ -108,10 +178,11 @@ object Multimodal {
         // per-partition setup happens once (codec tables, model weights, …)
         rows.map { case (id, bytes, mime) =>
           val b = if (bytes == null) Array.emptyByteArray else bytes
-          val (w, h, c) = decoder.decode(mime, b)
+          val d = decoder.decode(mime, b)
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(b).take(4).map("%02x".format(_)).mkString
-          MediaFeatures(id, mime, b.length.toLong, w, h, c, sha)
+          MediaFeatures(id, mime, b.length.toLong, d.width, d.height,
+            d.channels, d.sampleRate, d.durationMs, d.decoder, sha)
         }
       }
       .toDF()

@@ -22,6 +22,7 @@ class MultimodalSpec extends SparkSuite {
     val row = Multimodal.extractFeatures(media)
       .filter($"media_id" === 0).as[Multimodal.MediaFeatures].head()
     assert(row.n_bytes > 0 && row.channels == 3 && row.width >= 64 && row.sha_prefix.length == 8)
+    assert(row.decoder == "stub") // text bytes claim no real kernel
     // the stub's dimensions are the documented md5 construction
     val text = Tables.load(spark, sf0001, "documents")
       .filter($"doc_id" === 0).select("text").as[String].head()
@@ -42,36 +43,78 @@ class MultimodalSpec extends SparkSuite {
     bos.toByteArray
   }
 
-  test("ImageIoDecoder reads true dimensions from real PNG and JPEG bytes") {
-    val png = encodeImage("png", 17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    assert(Multimodal.ImageIoDecoder.decode("image/png", png) == ((17, 9, 3)))
-    val rgba = encodeImage("png", 5, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-    assert(Multimodal.ImageIoDecoder.decode("image/png", rgba) == ((5, 8, 4)))
-    val jpg = encodeImage("jpg", 33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    assert(Multimodal.ImageIoDecoder.decode("image/jpeg", jpg) == ((33, 21, 3)))
-    val gray = encodeImage("png", 7, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    assert(Multimodal.ImageIoDecoder.decode("image/png", gray) == ((7, 7, 1)))
+  // Real WAV bytes via the JDK's javax.sound encoder — genuine RIFF/WAVE
+  // structure (fmt + data chunks), not a hand-rolled approximation.
+  private def encodeWav(sampleRate: Int, channels: Int, seconds: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val nFrames = (sampleRate * seconds).toLong
+    val pcm = Array.tabulate((nFrames * fmt.getFrameSize).toInt)(i => (i * 7).toByte)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
-  test("ImageIoDecoder falls back to the stub for non-image payloads") {
+  private def dims(d: Multimodal.Decoded) = (d.width, d.height, d.channels)
+
+  test("ImageIoDecoder reads true dimensions from real PNG and JPEG bytes") {
+    val png = encodeImage("png", 17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(dims(Multimodal.ImageIoDecoder.decode("image/png", png)) == ((17, 9, 3)))
+    val rgba = encodeImage("png", 5, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    assert(dims(Multimodal.ImageIoDecoder.decode("image/png", rgba)) == ((5, 8, 4)))
+    val jpg = encodeImage("jpg", 33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(dims(Multimodal.ImageIoDecoder.decode("image/jpeg", jpg)) == ((33, 21, 3)))
+    val gray = encodeImage("png", 7, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    assert(dims(Multimodal.ImageIoDecoder.decode("image/png", gray)) == ((7, 7, 1)))
+    assert(Multimodal.ImageIoDecoder.decode("image/png", png).decoder == "imageio")
+  }
+
+  test("WavDecoder reads channels, sample rate and duration from real WAV bytes") {
+    val mono = Multimodal.WavDecoder.decode("audio/wav", encodeWav(8000, 1, 2.0))
+    assert((mono.channels, mono.sampleRate, mono.durationMs, mono.decoder)
+      == ((1, 8000, 2000L, "wav")))
+    val stereo = Multimodal.WavDecoder.decode("audio/wav", encodeWav(44100, 2, 0.5))
+    assert((stereo.channels, stereo.sampleRate, stereo.decoder) == ((2, 44100, "wav")))
+    assert(math.abs(stereo.durationMs - 500L) <= 1)
+    assert((stereo.width, stereo.height) == ((0, 0))) // spatial dims n/a
+
+    // a TRUNCATED wav keeps its header features; duration reflects the
+    // bytes actually present, not the declared chunk size
+    val cut = encodeWav(8000, 1, 2.0).take(8000 * 2 + 100)
+    val t = Multimodal.WavDecoder.decode("audio/wav", cut)
+    assert(t.decoder == "wav" && t.sampleRate == 8000 && t.durationMs < 2000L)
+  }
+
+  test("real kernels fall back to the stub for unclaimed payloads") {
     val garbage = "definitely not an image".getBytes("UTF-8")
     assert(Multimodal.ImageIoDecoder.decode("image/fake", garbage)
       == Multimodal.StubDecoder.decode("image/fake", garbage))
-    assert(Multimodal.ImageIoDecoder.decode("audio/wav", garbage)
+    assert(Multimodal.WavDecoder.decode("audio/wav", garbage)
       == Multimodal.StubDecoder.decode("audio/wav", garbage))
     assert(Multimodal.ImageIoDecoder.decode("image/png", Array.emptyByteArray)
       == Multimodal.StubDecoder.decode("image/png", Array.emptyByteArray))
+    // stub rows are identifiable without re-decoding (the ADVICE gap)
+    assert(Multimodal.StubDecoder.decode("audio/wav", garbage).decoder == "stub")
   }
 
-  test("extractFeatures with the default decoder reads real image dimensions end-to-end") {
+  test("extractFeatures auto-dispatches image and wav kernels end-to-end") {
     val png = encodeImage("png", 40, 25, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val jpg = encodeImage("jpg", 12, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val mediaDf = Seq((1L, png, "image/png"), (2L, jpg, "image/jpeg"))
+    val wav = encodeWav(16000, 1, 1.0)
+    val mediaDf = Seq(
+      (1L, png, "image/png"), (2L, jpg, "image/jpeg"),
+      (3L, wav, "audio/wav"),
+      (4L, wav, "image/png")) // lying MIME: content magic wins
       .toDF("media_id", "bytes", "mime")
     val feats = Multimodal.extractFeatures(mediaDf)
       .as[Multimodal.MediaFeatures].collect().sortBy(_.media_id)
-    assert((feats(0).width, feats(0).height, feats(0).channels) == ((40, 25, 3)))
+    assert((feats(0).width, feats(0).height, feats(0).channels, feats(0).decoder)
+      == ((40, 25, 3, "imageio")))
     assert((feats(1).width, feats(1).height, feats(1).channels) == ((12, 30, 3)))
+    assert((feats(2).sample_rate, feats(2).duration_ms, feats(2).decoder)
+      == ((16000, 1000L, "wav")))
+    assert(feats(3).decoder == "wav") // dispatched by RIFF magic, not MIME
     assert(feats.forall(f => f.n_bytes > 0 && f.sha_prefix.length == 8))
   }
 
