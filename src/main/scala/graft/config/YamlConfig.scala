@@ -126,7 +126,7 @@ object YamlConfig {
         val table = qualified(src,
           str(src, "table").orElse(str(src, "path"))
             .getOrElse(throw ConfigError(s"table load '$name' missing table")))
-        val cdf = opts.get("readChangeFeed").exists(_.toBoolean)
+        val cdf = opts.get("readChangeFeed").exists(boolOf(name, "readChangeFeed", _))
         // CDF reads route to the engine-managed append-only `__changes`
         // companion (SURVEY §7.3b); version bounds become partition-prunable
         // `_commit_version` predicates (reference contract:
@@ -260,7 +260,7 @@ object YamlConfig {
     // create_table: true is the default (and our store always materializes);
     // FALSE promises "the table is managed elsewhere", which the store
     // cannot honor — same advisory loud/lenient split.
-    if (str(wt, "create_table").exists(!_.toBoolean)) {
+    if (str(wt, "create_table").exists(v => !boolOf(name, "create_table", v))) {
       val msg = s"write '$name': 'create_table: false' is not supported — " +
         "the TableStore always materializes the write target"
       if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
@@ -339,6 +339,16 @@ object YamlConfig {
             "handler classes resolve from the classpath (custom_sink_class/batch_handler)"
           if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
         }
+        // table-governance fields have nowhere to land on a sink (no table,
+        // no sidecars) — refusing beats absorbing (the contract this file
+        // establishes for every other write field)
+        Seq("comment", "tags", "tags_file", "table_schema").foreach { k =>
+          if (wt.contains(k)) {
+            val msg = s"write '$name': '$k' has no effect on a sink — sinks " +
+              "produce no managed table; move it to the table-producing write"
+            if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
+          }
+        }
         // kafka's dedicated fields fold into the connector options map
         val kafkaOpts =
           str(wt, "bootstrap_servers").map("kafka.bootstrap.servers" -> _).toMap ++
@@ -408,6 +418,17 @@ object YamlConfig {
   }
 
   // ---------------------------------------------------------------- helpers
+
+  /** Strict boolean parse with the ConfigError contract — a bare
+    * `"1".toBoolean` would surface as a raw IllegalArgumentException with no
+    * action name. YAML booleans arrive as "true"/"false" strings here. */
+  private def boolOf(action: String, key: String, v: String): Boolean =
+    v.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw ConfigError(
+        s"'$action': '$key' must be true or false, got '$other'")
+    }
 
   /** `operational_metadata: true | [col, ...]` on a flowgroup or action
     * (reference models/_flowgroup.py / _action.py): true → Some(Nil) = all

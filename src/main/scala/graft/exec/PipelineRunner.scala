@@ -686,7 +686,12 @@ final class PipelineRunner(
     // already no-op via checkpoints; this marker covers batch flows, whose
     // re-runs would otherwise duplicate appends.
     val onceKey = s"once_${currentPipeline}_${currentFlowgroup}_${a.name}"
-    if (a.once && store.getMeta(a.table, onceKey).isDefined) return
+    if (a.once && store.getMeta(a.table, onceKey).isDefined) {
+      // the data flow is complete, but governance metadata edits (comment/
+      // tags added after the backfill) must still land on the table
+      applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
+      return
+    }
     // lazy: a snapshot-polling write pulls data from its function, not the
     // source view (which need not exist in that mode)
     lazy val src = {
@@ -804,8 +809,14 @@ final class PipelineRunner(
       name: String): DataFrame = ddl match {
     case None => df
     case Some(d) =>
-      val declared = scala.util.Try(StructType.fromDDL(d)).getOrElse(
-        graft.config.SchemaParser.parse(readFile(d)).schema)
+      // file reference only when the resolved file actually EXISTS — a
+      // Try(fromDDL).getOrElse(file) dispatch would mask a DDL typo as a
+      // nonsense file-not-found error
+      val ref = resolveFile(d)
+      val declared =
+        if (java.nio.file.Files.isRegularFile(ref))
+          graft.config.SchemaParser.parse(readFile(d)).schema
+        else StructType.fromDDL(d)
       val missing = declared.fields.map(_.name)
         .filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
       if (missing.nonEmpty) throw Planner.PlanError(

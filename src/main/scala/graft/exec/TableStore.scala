@@ -318,14 +318,8 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 
   /** Persist table properties as a JSON sidecar (the TBLPROPERTIES stand-in
     * for a catalog-less parquet warehouse). */
-  def setProperties(table: String, props: Map[String, String]): Unit = if (props.nonEmpty) {
-    val json = props.map { case (k, v) =>
-      "\"" + k.replace("\"", "\\\"") + "\": \"" + v.replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val p = Paths.get(path(table) + "._properties.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, json): Unit
-  }
+  def setProperties(table: String, props: Map[String, String]): Unit =
+    TableStore.writeJsonSidecar(Paths.get(path(table) + "._properties.json"), props)
 
   def properties(table: String): Map[String, String] =
     TableStore.readJsonSidecar(Paths.get(path(table) + "._properties.json"))
@@ -333,14 +327,8 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   /** Governance tags sidecar (reference WriteTarget.tags / tags_file — UC
     * tagging): same JSON-map format as table properties, separate file so
     * tags and properties stay independently writable. */
-  def setTags(table: String, tags: Map[String, String]): Unit = if (tags.nonEmpty) {
-    val json = tags.map { case (k, v) =>
-      "\"" + k.replace("\"", "\\\"") + "\": \"" + v.replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val p = Paths.get(path(table) + "._tags.json")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, json): Unit
-  }
+  def setTags(table: String, tags: Map[String, String]): Unit =
+    TableStore.writeJsonSidecar(Paths.get(path(table) + "._tags.json"), tags)
 
   def tags(table: String): Map[String, String] =
     TableStore.readJsonSidecar(Paths.get(path(table) + "._tags.json"))
@@ -377,26 +365,52 @@ object TableStore {
       }
     }
 
+  /** Single JSON-map sidecar writer (properties + tags share it). Values
+    * come verbatim from user YAML — escape backslash, quote, and control
+    * characters, or a tag like `C:\data` corrupts the sidecar. */
+  private[exec] def writeJsonSidecar(p: Path, kv: Map[String, String]): Unit =
+    if (kv.nonEmpty) {
+      def esc(s: String): String = s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val json = kv.map { case (k, v) => "\"" + esc(k) + "\": \"" + esc(v) + "\"" }
+        .mkString("{", ",", "}")
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, json): Unit
+    }
+
   /** Warehouse inspection WITHOUT a SparkSession — pure sidecar/directory
     * reads, for the `ShowProject <warehouse> tables` CLI. A table is any
     * directory containing at least one regular data file; nested dirs
     * (catalog/schema qualifiers, partition dirs) walk through. Partition
     * directories (`col=value`) are excluded — their parent is the table. */
   def listTables(warehouse: String): Seq[String] = {
+    // sidecar files are SIBLINGS of their table directory, named
+    // `<table>._<key>` — inside a schema directory they must not read as
+    // data, or every qualified table's parent masquerades as a table
+    def isDataFile(f: java.io.File): Boolean =
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+        !f.getName.contains("._")
     def walk(dir: java.io.File, prefix: Seq[String]): Seq[String] = {
       val entries = Option(dir.listFiles()).getOrElse(Array.empty)
-      val hasData = entries.exists(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))
+      val hasData = entries.exists(isDataFile)
       // a partitioned table holds only col=value subdirectories at its root
       val hasPartitions = entries.exists(d => d.isDirectory && d.getName.contains("="))
       if (hasData || hasPartitions) Seq(prefix.mkString("."))
       else entries.filter(d => d.isDirectory && !d.getName.startsWith(".") &&
-          !d.getName.contains("=")).toSeq
+          !d.getName.startsWith("_") && !d.getName.contains("=")).toSeq
         .flatMap(d => walk(d, prefix :+ d.getName))
     }
     val root = new java.io.File(warehouse)
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && !d.getName.startsWith("."))
+      // `_sinks` (and any other engine-managed `_` dir) is not a table
+      .filter(d => d.isDirectory && !d.getName.startsWith(".") && !d.getName.startsWith("_"))
       .flatMap(d => walk(d, Seq(d.getName))).toSeq.sorted
   }
 

@@ -140,7 +140,10 @@ object Multimodal {
         val p = i.toInt
         val id = new String(bytes, p, 4, "US-ASCII")
         val size = le32(bytes, p + 4)
-        if (id == "fmt " && i + 8 + 16 <= bytes.length) {
+        // a fmt chunk declaring < 16 bytes cannot hold the PCM header —
+        // reading past it would interpret the NEXT chunk's bytes as
+        // channels/rates; treat as structural violation (stub fallback)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
           channels = le16(bytes, p + 10)
           sampleRate = le32(bytes, p + 12).toInt
           byteRate = le32(bytes, p + 16)

@@ -105,6 +105,14 @@ object Planner {
     }
     if (orphans.nonEmpty)
       throw PlanError(s"orphan actions (target never consumed): ${orphans.mkString(", ")}")
+    // sink identity collisions: two sinks sharing a sinkId share ONE
+    // streaming checkpoint (the second silently resumes from the first's
+    // offsets and skips its data) and one default files path — reject
+    val dupSinks = actions.collect { case s: SinkWrite => s }
+      .groupBy(_.sinkId).collect { case (id, ss) if ss.size > 1 => id }
+    if (dupSinks.nonEmpty)
+      throw PlanError(s"flowgroup '${fg.flowgroup}': multiple sinks share " +
+        s"sink identity ${dupSinks.mkString(", ")} — set distinct sink_name/action names")
   }
 
   /** Write fan-in grouping: N writes to one table → one create + N flows

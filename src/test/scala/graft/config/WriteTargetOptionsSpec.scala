@@ -133,6 +133,22 @@ class WriteTargetOptionsSpec extends AnyFunSuite {
     assert(e.msg.contains("module_path"))
   }
 
+  test("table-governance fields on a SINK are refused, not absorbed") {
+    for (field <- Seq("comment: c", "tags: {a: b}", "tags_file: f.yaml",
+        "table_schema: \"k BIGINT\"")) {
+      val e = intercept[YamlConfig.ConfigError](parse(
+        s"type: sink\n      sink_type: files\n      $field"))
+      assert(e.msg.contains("sink"), e.msg)
+      parse(s"type: sink\n      sink_type: files\n      $field", lenient = true)
+    }
+  }
+
+  test("malformed booleans are ConfigErrors, not raw parse exceptions") {
+    val e = intercept[YamlConfig.ConfigError](
+      parse("type: streaming_table\n      table: t\n      create_table: \"enabled\""))
+    assert(e.msg.contains("create_table") && e.msg.contains("enabled"))
+  }
+
   /** The reference WriteTarget field inventory (models/_action.py:11-62),
     * each mapped to its contract category. Documentation-as-test: a field
     * listed `absorbed` fails the build. */

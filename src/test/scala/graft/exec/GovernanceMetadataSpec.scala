@@ -64,6 +64,28 @@ class GovernanceMetadataSpec extends SparkSuite {
     assert(TableStore.listTables(s"$dir/wh").contains("gov_t"))
   }
 
+  test("tag values with backslashes, quotes and control chars roundtrip the sidecar") {
+    val dir = Files.createTempDirectory("graft-esc").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    Seq((1L, "x")).toDF("k", "v").write.parquet(store.path("esc_t"))
+    val nasty = Map("loc" -> """C:\data""", "q" -> "say \"hi\"", "nl" -> "a\nb\tc")
+    store.setTags("esc_t", nasty)
+    assert(store.tags("esc_t") == nasty)
+    store.setProperties("esc_t", nasty)
+    assert(store.properties("esc_t") == nasty)
+  }
+
+  test("listTables: qualified tables visible, schema dirs and _sinks are not tables") {
+    val dir = Files.createTempDirectory("graft-ls").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val df = Seq((1L, "x")).toDF("k", "v")
+    store.overwrite("cat.sch.qual_t", df)  // writes wh/cat/sch/qual_t + sidecars
+    store.overwrite("plain_t", df)
+    df.write.parquet(s"$dir/wh/_sinks/my_sink") // engine-managed, not a table
+    assert(TableStore.listTables(s"$dir/wh") == Seq("cat.sch.qual_t", "plain_t"))
+    val (_, _, _) = TableStore.describeTable(s"$dir/wh", "cat.sch.qual_t")
+  }
+
   test("table_schema is enforced at write: projection, cast, loud on missing") {
     val dir = Files.createTempDirectory("graft-ddl").toString
     val store = new TableStore(spark, s"$dir/wh")

@@ -84,6 +84,13 @@ class MultimodalSpec extends SparkSuite {
     val cut = encodeWav(8000, 1, 2.0).take(8000 * 2 + 100)
     val t = Multimodal.WavDecoder.decode("audio/wav", cut)
     assert(t.decoder == "wav" && t.sampleRate == 8000 && t.durationMs < 2000L)
+
+    // an undersized fmt chunk must NOT read the next chunk's bytes as a
+    // PCM header — structural violation → stub
+    val bad = encodeWav(8000, 1, 0.1)
+    // RIFF(12) + 'fmt '(4): zero out the fmt chunk's declared size
+    bad(16) = 0; bad(17) = 0; bad(18) = 0; bad(19) = 0
+    assert(Multimodal.WavDecoder.decode("audio/wav", bad).decoder == "stub")
   }
 
   test("real kernels fall back to the stub for unclaimed payloads") {

@@ -49,4 +49,18 @@ class PlannerSpec extends AnyFunSuite {
     val deps = Planner.dependencies(Seq(write("w", "events"), reader("t", "events")))
     assert(deps("t") == Set("w"))
   }
+
+  test("two sinks sharing a sink identity are a loud PlanError") {
+    // shared identity = shared streaming checkpoint: the second sink would
+    // silently resume from the first's offsets and drop its own data
+    val load = SqlLoad("l", Some("v_src"), "SELECT 1 AS k")
+    def sink(name: String, sinkName: Option[String]) =
+      SinkWrite(name, "v_src", "files", sinkName = sinkName)
+    val e = intercept[Planner.PlanError](Planner.validate(FlowGroup(
+      "p", "f", actions = Seq(load, sink("s1", Some("out")), sink("s2", Some("out"))))))
+    assert(e.getMessage.contains("out"))
+    // distinct identities (explicit or defaulted to action name) are fine
+    Planner.validate(FlowGroup("p", "f",
+      actions = Seq(load, sink("s1", Some("out")), sink("s2", None))))
+  }
 }
