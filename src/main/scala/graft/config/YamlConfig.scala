@@ -104,29 +104,38 @@ object YamlConfig {
         readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"),
         operationalMetadata = opMeta(m))
       case "delta" | "table" =>
-        // Documented gap (SURVEY §7.3): time travel needs Delta commit
-        // history, which a plain-parquet warehouse does not have. Reject
-        // loudly rather than silently ignore — as field or reader option.
-        Seq("timestamp_as_of", "version_as_of").foreach { k =>
-          if (src.contains(k)) throw ConfigError(
-            s"load '$name': '$k' (time travel) is not supported on the " +
-            "parquet-backed warehouse — it needs Delta commit history (SURVEY §7.3)")
-        }
+        // Documented gap (SURVEY §7.3): TIMESTAMP time travel needs Delta
+        // commit history, which a plain-parquet warehouse does not have.
+        // VERSION time travel is emulated by change-log replay (engine-
+        // managed change_log tables only — validated at run time).
+        Seq("timestamp_as_of" -> src.get("timestamp_as_of"),
+            "timestampAsOf" -> anyMap(src, "options").get("timestampAsOf"))
+          .foreach { case (k, v) =>
+            if (v.isDefined) throw ConfigError(
+              s"load '$name': '$k' (timestamp time travel) is not supported — " +
+              "the change-log emulation records _commit_version, not commit " +
+              "timestamps; use version_as_of (SURVEY §7.3)")
+          }
         // deprecated spelling, same posture as the reference
         // (generators/load/delta.py:26-46: removed field, hard error)
         if (src.contains("read_change_feed")) throw ConfigError(
           s"load '$name': 'read_change_feed' is removed — use " +
             """options: {readChangeFeed: "true", startingVersion: "N"}""")
         val opts = anyMap(src, "options").map { case (k, v) => k -> v.toString }
-        Seq("versionAsOf", "timestampAsOf").foreach { k =>
-          if (opts.contains(k)) throw ConfigError(
-            s"load '$name': option '$k' (time travel) is not supported on " +
-            "the parquet-backed warehouse — it needs Delta commit history (SURVEY §7.3)")
-        }
         val table = qualified(src,
           str(src, "table").orElse(str(src, "path"))
             .getOrElse(throw ConfigError(s"table load '$name' missing table")))
         val cdf = opts.get("readChangeFeed").exists(boolOf(name, "readChangeFeed", _))
+        val versionAsOf = str(src, "version_as_of").orElse(opts.get("versionAsOf"))
+          .map { v =>
+            scala.util.Try(v.toLong).getOrElse(throw ConfigError(
+              s"load '$name': version_as_of must be an integer version, got '$v'"))
+          }
+        if (versionAsOf.isDefined && cdf) throw ConfigError(
+          s"load '$name': readChangeFeed and versionAsOf are incompatible — " +
+            "a change stream and a point-in-time snapshot are different reads")
+        if (versionAsOf.isDefined && readMode == "stream") throw ConfigError(
+          s"load '$name': version_as_of is a point-in-time read — batch only")
         // CDF reads route to the engine-managed append-only `__changes`
         // companion (SURVEY §7.3b); version bounds become partition-prunable
         // `_commit_version` predicates (reference contract:
@@ -170,7 +179,8 @@ object YamlConfig {
           table = if (cdf) s"${table}__changes" else table,
           whereClause = cdfWhere ++ strSeq(src, "where_clause"),
           selectColumns = strSeq(src, "select_columns"),
-          readMode = readMode)
+          readMode = readMode,
+          versionAsOf = versionAsOf)
       case "sql" =>
         val sqlPath = str(src, "sql_path").orElse(str(m, "sql_path"))
         SqlLoad(name, target,

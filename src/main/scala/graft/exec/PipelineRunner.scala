@@ -405,7 +405,9 @@ final class PipelineRunner(
       register(a.target, withMeta, a.readMode == "stream")
 
     case a: TableLoad =>
-      val base0 = if (a.readMode == "stream") {
+      val base0 = if (a.versionAsOf.isDefined) {
+        timeTravel(a.table, a.versionAsOf.get, a.name) // batch-only (parse-enforced)
+      } else if (a.readMode == "stream") {
         // stream a parquet-backed table directory. Streaming is only sound
         // over APPEND-ONLY tables: a rewrite (CDC merge / replace) swaps in
         // new files that the file stream re-reads wholesale.
@@ -640,7 +642,9 @@ final class PipelineRunner(
 
   /** CDF emulation (SURVEY §7.3b): append the applied batch to an
     * append-only `<table>__changes` companion with `_change_type` +
-    * `_commit_version` — the parquet stand-in for Delta's readChangeFeed. */
+    * `_commit_version` — the parquet stand-in for Delta's readChangeFeed.
+    * A `replay` sidecar records whether (and how) point-in-time states can
+    * be reconstructed from the log — the basis of version_as_of. */
   private def logChanges(a: StreamingTableWrite, batch: DataFrame,
       deleteExpr: Option[String]): Unit = if (a.changeLog) {
     val chTable = s"${a.table}__changes"
@@ -649,6 +653,57 @@ final class PipelineRunner(
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version)))
+    store.setMeta(chTable, "replay", replaySpec(a))
+  }
+
+  /** How `<table>__changes` replays into a point-in-time state:
+    *   - `append`: plain append flows — state at v = all rows with
+    *     `_commit_version <= v`.
+    *   - `scd1;keys=…;seq=…`: plain SCD1 — state at v = the latest change
+    *     per key by (version, sequence), dropped if it is a delete.
+    *     Snapshot-CDC diffs qualify (≤ 1 row per key per version, so the
+    *     version alone orders them).
+    *   - `none`: options replay cannot reconstruct (SCD2 history,
+    *     ignore_null_updates' column-wise coalesce, column_list subsets,
+    *     truncates) — version_as_of fails loudly naming the reason. */
+  private def replaySpec(a: StreamingTableWrite): String = a.cdc match {
+    case None => "append"
+    case Some(c) if c.scdType == 1 && !c.ignoreNullUpdates &&
+        c.columnList.isEmpty && c.exceptColumnList.isEmpty &&
+        c.applyAsTruncates.isEmpty && c.keys.nonEmpty &&
+        (c.sequenceBy.nonEmpty || a.snapshotCdc) =>
+      s"scd1;keys=${c.keys.mkString(",")};seq=${c.sequenceBy.mkString(",")}"
+    case _ => "none"
+  }
+
+  /** version_as_of by change-log replay — Delta time travel emulated for
+    * engine-managed tables (SURVEY §7.3, narrowed round 7). One windowed
+    * pass over the bounded log; scale class = the CDC rebuild itself. */
+  private def timeTravel(table: String, v: Long, name: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chTable = s"${table}__changes"
+    val changes = store.readIfExists(chTable).getOrElse(throw Planner.PlanError(
+      s"load '$name': version_as_of needs the engine-managed change log — " +
+        s"write '$table' with change_log: true"))
+    val bounded = changes.filter(col("_commit_version") <= v)
+    store.getMeta(chTable, "replay").getOrElse("none") match {
+      case "append" => bounded.drop("_change_type", "_commit_version")
+      case s if s.startsWith("scd1;") =>
+        val kv = s.drop(5).split(";").map { p =>
+          val (k, vv) = p.span(_ != '='); k -> vv.drop(1)
+        }.toMap
+        val keys = kv("keys").split(",").toSeq.filter(_.nonEmpty)
+        val seq = kv.getOrElse("seq", "").split(",").toSeq.filter(_.nonEmpty)
+        val ord = col("_commit_version").desc +: seq.map(col(_).desc)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        bounded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
+          .drop("__rn", "_change_type", "_commit_version")
+      case _ => throw Planner.PlanError(
+        s"load '$name': '$table' was change-logged with CDC options replay " +
+          "cannot reconstruct (SCD2 / ignore_null_updates / column_list / " +
+          "truncates) — version_as_of unavailable")
+    }
   }
 
   /** schemaLocation dir → owning load (pipeline/flowgroup/action): two loads

@@ -58,7 +58,13 @@ final case class TableLoad(
     table: String,
     whereClause: Seq[String] = Nil,
     selectColumns: Seq[String] = Nil,
-    readMode: String = "batch") extends LoadAction {
+    readMode: String = "batch",
+    /** Point-in-time read (version_as_of / versionAsOf): the table state as
+      * of this `__changes` commit version, reconstructed by CHANGE-LOG
+      * REPLAY — Delta time travel emulated for engine-managed tables
+      * written with `change_log: true` (plain appends and plain SCD1).
+      * Batch-only. */
+    versionAsOf: Option[Long] = None) extends LoadAction {
   def sources: Seq[String] = Seq(table)
 }
 

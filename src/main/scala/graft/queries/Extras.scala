@@ -134,6 +134,47 @@ object Extras {
     runner.view("q46_win")
   }
 
+  /** Time travel by change-log replay (q46's sibling): the same two CDC
+    * batches, then `version_as_of: 0` — the table state AFTER batch 1 but
+    * BEFORE batch 2, reconstructed from the `__changes` companion (latest
+    * change per key at v ≤ 0, deletes dropped). */
+  def q47TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q47").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def yamlFor(view: String) =
+      s"""pipeline: q47
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: q47_dim, change_log: true}
+         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
+         |                 apply_as_deletes: "event_type = 'error'"}
+         |""".stripMargin
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q47_b1")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q47_b2")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q47_b1")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q47_b2")))
+    runner.execute(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: q47r
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: delta, table: q47_dim, version_as_of: 0}
+         |    target: q47_tt
+         |""".stripMargin).actions.head)
+    runner.view("q47_tt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -141,7 +182,8 @@ object Extras {
     "m4_domain_cap" -> m4DomainCap,
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
-    "q46_cdf_window" -> q46CdfWindow)
+    "q46_cdf_window" -> q46CdfWindow,
+    "q47_time_travel" -> q47TimeTravel)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -192,5 +234,14 @@ object Extras {
         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
         |    AS _change_type,
         |  CAST(1 AS BIGINT) AS _commit_version
-        |FROM events WHERE event_id % 2 = 1""".stripMargin)
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+    // state as of v0 = SCD1 merge of the even-event_id batch alone:
+    // latest event per user among evens, dropped when that event is the
+    // delete predicate ('error')
+    "q47_time_travel" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id % 2 = 0)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
 }

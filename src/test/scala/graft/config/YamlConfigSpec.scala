@@ -94,11 +94,20 @@ class YamlConfigSpec extends SparkSuite {
          |""".stripMargin)
     assert(intercept[YamlConfig.ConfigError](load("timestamp_as_of: \"2026-01-01\""))
       .msg.contains("time travel"))
-    assert(intercept[YamlConfig.ConfigError](load("version_as_of: 3")).msg.contains("time travel"))
+    // VERSION time travel is a feature since round 7 (change-log replay)
+    assert(load("version_as_of: 3").actions.head
+      .asInstanceOf[graft.model.TableLoad].versionAsOf.contains(3L))
+    assert(load("options: {versionAsOf: \"3\"}").actions.head
+      .asInstanceOf[graft.model.TableLoad].versionAsOf.contains(3L))
     assert(intercept[YamlConfig.ConfigError](load("read_change_feed: true"))
       .msg.contains("readChangeFeed")) // removed spelling, reference posture
-    assert(intercept[YamlConfig.ConfigError](load("options: {versionAsOf: \"3\"}"))
+    assert(intercept[YamlConfig.ConfigError](load("options: {timestampAsOf: \"2026-01-01\"}"))
       .msg.contains("time travel"))
+    assert(intercept[YamlConfig.ConfigError](
+      load("""version_as_of: 3, options: {readChangeFeed: "true", startingVersion: "0"}"""))
+      .msg.contains("incompatible"))
+    assert(intercept[YamlConfig.ConfigError](
+      load("version_as_of: 3, readMode: stream")).msg.contains("batch only"))
 
     def write(extra: String) = YamlConfig.parseFlowGroup(
       s"""pipeline: p

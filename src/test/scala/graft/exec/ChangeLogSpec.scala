@@ -62,5 +62,84 @@ class ChangeLogSpec extends SparkSuite {
     assert(window.select("_commit_version").distinct().as[Long].collect().toSeq == Seq(1L))
     assert(window.select("id", "_change_type").as[(Int, String)].collect().toSet
       == Set((1, "upsert"), (2, "delete")))
+
+    // version_as_of by change-log replay: state at v0 = batch 1's merge
+    // (both keys present), state at v1 = current (id=2 deleted)
+    def asOf(v: Long) = {
+      reader.execute(YamlConfig.parseFlowGroup(
+        s"""pipeline: p3
+           |flowgroup: f3
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: delta, table: cdf_dim, version_as_of: $v}
+           |    target: tt_$v
+           |""".stripMargin).actions.head)
+      reader.view(s"tt_$v").select("id", "v").as[(Int, String)].collect().toSet
+    }
+    assert(asOf(0) == Set((1, "a"), (2, "b")))
+    assert(asOf(1) == Set((1, "a2")))
+    assert(asOf(1) == store.read("cdf_dim").select("id", "v")
+      .as[(Int, String)].collect().toSet) // latest version == current table
+  }
+
+  test("version_as_of: append tables replay by version filter; non-replayable CDC is loud") {
+    val dir = Files.createTempDirectory("graft-tt").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    def appendYaml(view: String) =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: app_t, change_log: true}
+         |""".stripMargin
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("app_b1")
+    Seq((2, "b")).toDF("id", "v").createOrReplaceTempView("app_b2")
+    runner.run(YamlConfig.parseFlowGroup(appendYaml("app_b1")))
+    runner.run(YamlConfig.parseFlowGroup(appendYaml("app_b2")))
+    def asOf(table: String, v: Long) = {
+      runner.execute(YamlConfig.parseFlowGroup(
+        s"""pipeline: p2
+           |flowgroup: f2
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: delta, table: $table, version_as_of: $v}
+           |    target: tt_${table}_$v
+           |""".stripMargin).actions.head)
+      runner.view(s"tt_${table}_$v")
+    }
+    assert(asOf("app_t", 0).select("id").as[Int].collect().toSeq == Seq(1))
+    assert(asOf("app_t", 1).select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+
+    // SCD2 change logs are marked non-replayable → loud, named reason
+    Seq((1, 1L, "a")).toDF("id", "seq", "v").createOrReplaceTempView("scd2_b1")
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: scd2_b1}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: scd2_t, change_log: true}
+         |    cdc_config: {keys: [id], sequence_by: seq, scd_type: 2}
+         |""".stripMargin))
+    val e = intercept[graft.plan.Planner.PlanError](asOf("scd2_t", 0))
+    assert(e.getMessage.contains("cannot reconstruct"))
+    // and a table with NO change log at all is equally loud
+    store.overwrite("bare_t", Seq((1, "x")).toDF("id", "v"))
+    val e2 = intercept[graft.plan.Planner.PlanError](asOf("bare_t", 0))
+    assert(e2.getMessage.contains("change_log"))
   }
 }
