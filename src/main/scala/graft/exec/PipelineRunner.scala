@@ -646,41 +646,44 @@ final class PipelineRunner(
     * A `replay` sidecar records whether (and how) point-in-time states can
     * be reconstructed from the log — the basis of version_as_of. */
   private def logChanges(a: StreamingTableWrite, batch: DataFrame,
-      deleteExpr: Option[String]): Unit = if (a.changeLog) {
+      mergeOpts: Option[ScdMerge.Options]): Unit = if (a.changeLog) {
     val chTable = s"${a.table}__changes"
     val version = store.nextCommitVersion(chTable, "_commit_version")
+    val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
     store.append(chTable, batch
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version)))
-    store.setMeta(chTable, "replay", replaySpec(a))
+    store.setMeta(chTable, "replay", replaySpec(mergeOpts))
   }
 
   /** How `<table>__changes` replays into a point-in-time state:
     *   - `append`: plain append flows — state at v = all rows with
     *     `_commit_version <= v`.
-    *   - `scd1;keys=…;seq=…`: plain SCD1 — state at v = the latest change
-    *     per key by (version, sequence), dropped if it is a delete.
-    *     Snapshot-CDC diffs qualify (≤ 1 row per key per version, so the
-    *     version alone orders them).
-    *   - `none`: options replay cannot reconstruct (SCD2 history,
-    *     ignore_null_updates' column-wise coalesce, column_list subsets,
-    *     truncates) — version_as_of fails loudly naming the reason. */
-  private def replaySpec(a: StreamingTableWrite): String = a.cdc match {
+    *   - `scd;…`: the serialized MERGE-TIME options — state at v =
+    *     [[ScdMerge.applyChanges]] over the bounded log as one batch
+    *     (sound because the merge is a rebuild-from-versions: sequential
+    *     batches and their union rebuild the same chains). Covers SCD1,
+    *     SCD2 (history-at-v), ignore_null_updates, column lists, and
+    *     snapshot-CDC diffs.
+    *   - `none`: truncates — a truncate's effect depends on batch
+    *     boundaries the log does not preserve; version_as_of fails loudly. */
+  private def replaySpec(mergeOpts: Option[ScdMerge.Options]): String = mergeOpts match {
     case None => "append"
-    case Some(c) if c.scdType == 1 && !c.ignoreNullUpdates &&
-        c.columnList.isEmpty && c.exceptColumnList.isEmpty &&
-        c.applyAsTruncates.isEmpty && c.keys.nonEmpty &&
-        (c.sequenceBy.nonEmpty || a.snapshotCdc) =>
-      s"scd1;keys=${c.keys.mkString(",")};seq=${c.sequenceBy.mkString(",")}"
+    case Some(o) if o.applyAsTruncates.isEmpty =>
+      def l(s: Seq[String]) = s.mkString(",")
+      val track = o.trackHistoryColumns.map(t => s";track=${l(t)}").getOrElse("")
+      val cols = o.columnList.map(c => s";cols=${l(c)}").getOrElse("")
+      s"scd;type=${o.scdType};keys=${l(o.keys)};seq=${l(o.sequenceBy)}" +
+        s";inu=${o.ignoreNullUpdates}$track;trackx=${l(o.trackHistoryExcept)}" +
+        s"$cols;colsx=${l(o.exceptColumnList)}"
     case _ => "none"
   }
 
   /** version_as_of by change-log replay — Delta time travel emulated for
-    * engine-managed tables (SURVEY §7.3, narrowed round 7). One windowed
+    * engine-managed tables (SURVEY §7.3, narrowed round 7). One merge-engine
     * pass over the bounded log; scale class = the CDC rebuild itself. */
   private def timeTravel(table: String, v: Long, name: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val chTable = s"${table}__changes"
     val changes = store.readIfExists(chTable).getOrElse(throw Planner.PlanError(
       s"load '$name': version_as_of needs the engine-managed change log — " +
@@ -688,21 +691,26 @@ final class PipelineRunner(
     val bounded = changes.filter(col("_commit_version") <= v)
     store.getMeta(chTable, "replay").getOrElse("none") match {
       case "append" => bounded.drop("_change_type", "_commit_version")
-      case s if s.startsWith("scd1;") =>
-        val kv = s.drop(5).split(";").map { p =>
+      case s if s.startsWith("scd;") =>
+        val kv = s.drop(4).split(";").map { p =>
           val (k, vv) = p.span(_ != '='); k -> vv.drop(1)
         }.toMap
-        val keys = kv("keys").split(",").toSeq.filter(_.nonEmpty)
-        val seq = kv.getOrElse("seq", "").split(",").toSeq.filter(_.nonEmpty)
-        val ord = col("_commit_version").desc +: seq.map(col(_).desc)
-        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-        bounded.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1 && col("_change_type") =!= "delete")
-          .drop("__rn", "_change_type", "_commit_version")
+        def l(k: String) = kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+        val opts = ScdMerge.Options(
+          keys = l("keys"), sequenceBy = l("seq"),
+          scdType = kv("type").toInt,
+          trackHistoryColumns = kv.get("track").map(_ => l("track")),
+          trackHistoryExcept = l("trackx"),
+          ignoreNullUpdates = kv("inu").toBoolean,
+          // the log already evaluated the delete predicate into _change_type
+          applyAsDeletes = Some("_change_type = 'delete'"),
+          columnList = kv.get("cols").map(_ => l("cols")),
+          exceptColumnList = l("colsx") ++ Seq("_change_type", "_commit_version"))
+        ScdMerge.applyChanges(None, bounded, opts)
       case _ => throw Planner.PlanError(
-        s"load '$name': '$table' was change-logged with CDC options replay " +
-          "cannot reconstruct (SCD2 / ignore_null_updates / column_list / " +
-          "truncates) — version_as_of unavailable")
+        s"load '$name': '$table' was change-logged with apply_as_truncates — " +
+          "a truncate's effect depends on batch boundaries the log does not " +
+          "preserve; version_as_of unavailable")
     }
   }
 
@@ -775,14 +783,14 @@ final class PipelineRunner(
         val opts = scdOpts.get
         src.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            logChanges(a, batch, opts.applyAsDeletes)
+            logChanges(a, batch, Some(opts))
             mergeInto(a, batch, opts)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
       case (Some(_), false) =>
-        logChanges(a, src, scdOpts.get.applyAsDeletes)
+        logChanges(a, src, scdOpts)
         mergeInto(a, src, scdOpts.get)
       case (Some(_), true) if a.snapshotFunction.isDefined =>
         // snapshot-polling CDC: drain the source function until caught up,
@@ -802,7 +810,7 @@ final class PipelineRunner(
           val opts = mkScdOpts(Seq(verCol)).get
           val changes = SnapshotCdc.diff(store.readIfExists(a.table), snap, opts)
           val mergeOpts = SnapshotCdc.mergeOptions(opts)
-          logChanges(a, changes, mergeOpts.applyAsDeletes)
+          logChanges(a, changes, Some(mergeOpts))
           mergeInto(a, changes, mergeOpts)
           store.setMeta(a.table, "snapshot_version", version.toString)
           last = Some(version)
@@ -814,7 +822,7 @@ final class PipelineRunner(
         // from the snapshot); the merge itself is partition-scoped
         val changes = SnapshotCdc.diff(store.readIfExists(a.table), src, scdOpts.get)
         val mergeOpts = SnapshotCdc.mergeOptions(scdOpts.get)
-        logChanges(a, changes, mergeOpts.applyAsDeletes)
+        logChanges(a, changes, Some(mergeOpts))
         mergeInto(a, changes, mergeOpts)
       case (None, _) if src.isStreaming =>
         src.writeStream

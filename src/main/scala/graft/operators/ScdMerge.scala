@@ -102,12 +102,46 @@ object ScdMerge {
         tAligned.withColumn(OpCol, lit(false)).unionByName(ch)
     }
 
+    // ignore_null_updates (DLT semantics, SCD1 too — a null column in an
+    // update keeps the standing value): forward-fill each data column from
+    // earlier versions of the SAME live span. The ordering struct is
+    // captured from the RAW values so the winner pick below is independent
+    // of the fill; deletes reset the fill (a re-insert after a delete must
+    // NOT inherit pre-delete values — sequentially the state was gone).
+    val base = unioned.withColumn("__ord", struct(attrCols.toSeq.map(col): _*))
+    val filled =
+      if (!opts.ignoreNullUpdates) base
+      else {
+        val dataCols = attrCols.filterNot(c =>
+          opts.keys.contains(c) || opts.sequenceBy.contains(c))
+        fillNullsWithinSpan(base, opts.keys, Seq(sq.asc, col("__ord").asc), dataCols.toSeq)
+      }
     val w = Window.partitionBy(opts.keys.map(col): _*)
-      .orderBy(sq.desc, struct(attrCols.toSeq.map(col): _*).desc)
-    unioned
+      .orderBy(sq.desc, col("__ord").desc)
+    filled
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(OpCol))
-      .drop("__rn", OpCol)
+      .drop("__rn", "__ord", OpCol)
+  }
+
+  /** Forward-fill nulls in `dataCols` from earlier non-delete versions,
+    * resetting at delete tombstones: versions are epoch-tagged by a running
+    * delete count, and a fill only applies when its source epoch matches the
+    * row's — all inside the ONE keys-partitioned sort (the epoch rides in
+    * the filled struct; no second exchange). */
+  private def fillNullsWithinSpan(df: DataFrame, keys: Seq[String],
+      ord: Seq[Column], dataCols: Seq[String]): DataFrame = {
+    val wRows = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = df.withColumn("__epoch",
+      sum(when(col(OpCol), 1L).otherwise(0L)).over(wRows))
+    dataCols.foldLeft(tagged) { (d, c) =>
+      val src = last(when(!col(OpCol) && col(c).isNotNull,
+        struct(col("__epoch").as("e"), col(c).as("v"))), ignoreNulls = true).over(wRows)
+      d.withColumn(c,
+        when(col(OpCol), col(c)).otherwise(
+          when(src("e") === col("__epoch"), src("v"))))
+    }.drop("__epoch")
   }
 
   /** SCD2: full history with `__start_at` / `__end_at` (null = current).
@@ -169,14 +203,12 @@ object ScdMerge {
       .withColumn("__dup", lag(col(StartCol), 1).over(wDedup) <=> col(StartCol))
       .filter(!col("__dup")).drop("__dup")
 
-    // 2. forward-fill nulls from earlier versions (ignore_null_updates)
+    // 2. forward-fill nulls from earlier versions (ignore_null_updates),
+    //    resetting at delete tombstones — a re-insert after a delete starts
+    //    from scratch, matching the sequential-merge semantics
     val filled =
       if (!opts.ignoreNullUpdates) squashed
-      else dataCols.foldLeft(squashed) { (d, c) =>
-        d.withColumn(c, when(col(OpCol), col(c)).otherwise(
-          last(when(!col(OpCol), col(c)), ignoreNulls = true)
-            .over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-      }
+      else fillNullsWithinSpan(squashed, keys, Seq(col(StartCol).asc), dataCols.toSeq)
 
     // 3. change detection on tracked columns (delete boundaries always kept)
     val trackedStruct =

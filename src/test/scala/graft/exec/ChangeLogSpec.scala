@@ -119,24 +119,53 @@ class ChangeLogSpec extends SparkSuite {
     assert(asOf("app_t", 0).select("id").as[Int].collect().toSeq == Seq(1))
     assert(asOf("app_t", 1).select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
 
-    // SCD2 change logs are marked non-replayable → loud, named reason
-    Seq((1, 1L, "a")).toDF("id", "seq", "v").createOrReplaceTempView("scd2_b1")
-    runner.run(YamlConfig.parseFlowGroup(
+    // SCD2 replays too (the merge is rebuild-from-versions, so the bounded
+    // log rebuilds the same history): state at v0 = history after batch 1,
+    // state at v1 = the current table, start/end columns included
+    def scd2Yaml(view: String) =
       s"""pipeline: p
          |flowgroup: f
          |actions:
          |  - name: l
          |    type: load
-         |    source: {type: table, table: scd2_b1}
+         |    source: {type: table, table: $view}
          |    target: v
          |  - name: w
          |    type: write
          |    source: v
          |    write_target: {type: streaming_table, table: scd2_t, change_log: true}
          |    cdc_config: {keys: [id], sequence_by: seq, scd_type: 2}
+         |""".stripMargin
+    Seq((1, 1L, "a")).toDF("id", "seq", "v").createOrReplaceTempView("scd2_b1")
+    runner.run(YamlConfig.parseFlowGroup(scd2Yaml("scd2_b1")))
+    val histAtV0 = store.read("scd2_t").collect().toSet
+    Seq((1, 2L, "a2")).toDF("id", "seq", "v").createOrReplaceTempView("scd2_b2")
+    runner.run(YamlConfig.parseFlowGroup(scd2Yaml("scd2_b2")))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select(store.read("scd2_t").columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .collect().toSet
+    assert(sorted(asOf("scd2_t", 0)) == histAtV0)
+    assert(sorted(asOf("scd2_t", 1)) == store.read("scd2_t").collect().toSet)
+
+    // truncates depend on batch boundaries the log does not keep → loud
+    Seq((1, 1L, "a", "T")).toDF("id", "seq", "v", "op").createOrReplaceTempView("tr_b1")
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: tr_b1}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: tr_t, change_log: true}
+         |    cdc_config: {keys: [id], sequence_by: seq, scd_type: 1,
+         |                 apply_as_truncates: "op = 'T'"}
          |""".stripMargin))
-    val e = intercept[graft.plan.Planner.PlanError](asOf("scd2_t", 0))
-    assert(e.getMessage.contains("cannot reconstruct"))
+    val e = intercept[graft.plan.Planner.PlanError](asOf("tr_t", 0))
+    assert(e.getMessage.contains("truncate"))
     // and a table with NO change log at all is equally loud
     store.overwrite("bare_t", Seq((1, "x")).toDF("id", "v"))
     val e2 = intercept[graft.plan.Planner.PlanError](asOf("bare_t", 0))

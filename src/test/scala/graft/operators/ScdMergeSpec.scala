@@ -64,6 +64,44 @@ class ScdMergeSpec extends SparkSuite {
     assert(t1 == Set((1, "a", 1L, Some(4L)), (1, "re", 6L, None)))
   }
 
+  test("scd1: ignore_null_updates keeps standing values on null columns") {
+    // was a silent no-op before round 7: the flag parsed but scd1 ignored it
+    val o = opts1.copy(ignoreNullUpdates = true)
+    val out = ScdMerge.scd1(None,
+      Seq[(Int, Long, Option[String], Option[Int])](
+        (1, 1L, Some("a"), Some(10)), (1, 2L, None, Some(20)),
+        (1, 3L, Some("c"), None), (2, 1L, None, None))
+        .toDF("k", "seq", "v", "n"), o)
+      .select("k", "v", "n").as[(Int, Option[String], Option[Int])].collect().toSet
+    // k=1: v fills from seq1 'a' through the null at seq2, then 'c' wins;
+    //      n fills from seq2's 20 through seq3's null. k=2: nothing to fill.
+    assert(out == Set((1, Some("c"), Some(20)), (2, None, None)))
+    // merging against an existing target keeps standing values too
+    val t0 = ScdMerge.scd1(None, Seq[(Int, Long, Option[String], Option[Int])](
+      (1, 1L, Some("a"), Some(10))).toDF("k", "seq", "v", "n"), o)
+    val t1 = ScdMerge.scd1(Some(t0), Seq[(Int, Long, Option[String], Option[Int])](
+      (1, 2L, None, Some(30))).toDF("k", "seq", "v", "n"), o)
+      .select("k", "v", "n").as[(Int, Option[String], Option[Int])].collect().toSet
+    assert(t1 == Set((1, Some("a"), Some(30))))
+  }
+
+  test("scd1/scd2: ignore_null_updates does NOT leak values across a delete") {
+    // sequentially the state is GONE after a delete — a later re-insert
+    // with null columns starts from scratch, not from pre-delete values
+    val o1 = opts1.copy(ignoreNullUpdates = true, applyAsDeletes = Some("op = 'D'"))
+    val rows = Seq[(Int, Long, Option[String], String)](
+      (1, 1L, Some("a"), "U"), (1, 2L, Some("x"), "D"),
+      (1, 3L, None, "U")).toDF("k", "seq", "v", "op")
+    val out1 = ScdMerge.scd1(None, rows, o1)
+      .select("k", "v").as[(Int, Option[String])].collect().toSet
+    assert(out1 == Set((1, None)))
+    val o2 = opts2.copy(ignoreNullUpdates = true, applyAsDeletes = Some("op = 'D'"))
+    val out2 = ScdMerge.scd2(None, rows, o2)
+      .filter("__end_at IS NULL")
+      .select("k", "v").as[(Int, Option[String])].collect().toSet
+    assert(out2 == Set((1, None)))
+  }
+
   test("scd2: ignore_null_updates forward-fills") {
     val o = opts2.copy(ignoreNullUpdates = true)
     val out = ScdMerge.scd2(None,
