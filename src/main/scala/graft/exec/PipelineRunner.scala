@@ -654,20 +654,34 @@ final class PipelineRunner(
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version)))
-    store.setMeta(chTable, "replay", replaySpec(mergeOpts))
+    // the sidecar is per-TABLE: if another flow (fan-in) or an earlier
+    // config already logged under DIFFERENT merge options, replaying the
+    // mixed log under either set would be silently wrong — degrade to
+    // "mixed" (sticky: "none" from a truncate config also never upgrades)
+    val spec = replaySpec(mergeOpts)
+    val prior = store.getMeta(chTable, "replay")
+    store.setMeta(chTable, "replay", if (prior.exists(_ != spec)) "mixed" else spec)
   }
 
   /** How `<table>__changes` replays into a point-in-time state:
     *   - `append`: plain append flows — state at v = all rows with
     *     `_commit_version <= v`.
     *   - `scd;…`: the serialized MERGE-TIME options — state at v =
-    *     [[ScdMerge.applyChanges]] over the bounded log as one batch
-    *     (sound because the merge is a rebuild-from-versions: sequential
-    *     batches and their union rebuild the same chains). Covers SCD1,
-    *     SCD2 (history-at-v), ignore_null_updates, column lists, and
-    *     snapshot-CDC diffs.
+    *     [[ScdMerge.applyChanges]] over the bounded log as one batch (the
+    *     merge is a rebuild-from-versions, so sequential batches and their
+    *     union rebuild the same chains whenever the log retains the full
+    *     ordering information). Covers SCD1, SCD2 (history-at-v),
+    *     ignore_null_updates, column lists, and snapshot-CDC diffs.
+    *     KNOWN DIVERGENCE: SCD1 drops tombstones from the table, so a
+    *     LOWER-sequence event logged in a commit AFTER a delete re-inserts
+    *     the key sequentially but loses to the delete in replay — replay
+    *     reconstructs the logical (sequence-ordered) timeline, which equals
+    *     the arrival-order state whenever sequences are monotone with
+    *     commits (the normal case).
     *   - `none`: truncates — a truncate's effect depends on batch
-    *     boundaries the log does not preserve; version_as_of fails loudly. */
+    *     boundaries the log does not preserve; version_as_of fails loudly.
+    *   - `mixed`: flows with differing merge options share the log —
+    *     neither option set can replay it; fails loudly. */
   private def replaySpec(mergeOpts: Option[ScdMerge.Options]): String = mergeOpts match {
     case None => "append"
     case Some(o) if o.applyAsTruncates.isEmpty =>
@@ -688,29 +702,47 @@ final class PipelineRunner(
     val changes = store.readIfExists(chTable).getOrElse(throw Planner.PlanError(
       s"load '$name': version_as_of needs the engine-managed change log — " +
         s"write '$table' with change_log: true"))
+    // version bounds are a loud error, not a silent clamp: v beyond the
+    // latest commit would present the CURRENT table as a past snapshot
+    val latest = store.currentCommitVersion(chTable).getOrElse(-1L)
+    if (v < 0 || v > latest) throw Planner.PlanError(
+      s"load '$name': version_as_of $v out of range — '$table' has " +
+        s"commit versions 0..$latest")
     val bounded = changes.filter(col("_commit_version") <= v)
-    store.getMeta(chTable, "replay").getOrElse("none") match {
-      case "append" => bounded.drop("_change_type", "_commit_version")
-      case s if s.startsWith("scd;") =>
-        val kv = s.drop(4).split(";").map { p =>
-          val (k, vv) = p.span(_ != '='); k -> vv.drop(1)
-        }.toMap
-        def l(k: String) = kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
-        val opts = ScdMerge.Options(
-          keys = l("keys"), sequenceBy = l("seq"),
-          scdType = kv("type").toInt,
-          trackHistoryColumns = kv.get("track").map(_ => l("track")),
-          trackHistoryExcept = l("trackx"),
-          ignoreNullUpdates = kv("inu").toBoolean,
-          // the log already evaluated the delete predicate into _change_type
-          applyAsDeletes = Some("_change_type = 'delete'"),
-          columnList = kv.get("cols").map(_ => l("cols")),
-          exceptColumnList = l("colsx") ++ Seq("_change_type", "_commit_version"))
+    store.getMeta(chTable, "replay") match {
+      case Some("append") => bounded.drop("_change_type", "_commit_version")
+      case Some(s) if s.startsWith("scd;") =>
+        val opts = scala.util.Try {
+          val kv = s.drop(4).split(";").map { p =>
+            val (k, vv) = p.span(_ != '='); k -> vv.drop(1)
+          }.toMap
+          def l(k: String) = kv.getOrElse(k, "").split(",").toSeq.filter(_.nonEmpty)
+          ScdMerge.Options(
+            keys = l("keys"), sequenceBy = l("seq"),
+            scdType = kv("type").toInt,
+            trackHistoryColumns = kv.get("track").map(_ => l("track")),
+            trackHistoryExcept = l("trackx"),
+            ignoreNullUpdates = kv("inu").toBoolean,
+            // the log already evaluated the delete predicate into _change_type
+            applyAsDeletes = Some("_change_type = 'delete'"),
+            columnList = kv.get("cols").map(_ => l("cols")),
+            exceptColumnList = l("colsx") ++ Seq("_change_type", "_commit_version"))
+        }.getOrElse(throw Planner.PlanError(
+          s"load '$name': '$table' has an unparseable replay sidecar '$s' — " +
+            "re-run the write to refresh it"))
         ScdMerge.applyChanges(None, bounded, opts)
-      case _ => throw Planner.PlanError(
+      case Some("mixed") => throw Planner.PlanError(
+        s"load '$name': '$table' is change-logged by flows with DIFFERENT " +
+          "merge options (fan-in or a config change) — no single option set " +
+          "replays the mixed log; version_as_of unavailable")
+      case Some(_) => throw Planner.PlanError(
         s"load '$name': '$table' was change-logged with apply_as_truncates — " +
           "a truncate's effect depends on batch boundaries the log does not " +
           "preserve; version_as_of unavailable")
+      case None => throw Planner.PlanError(
+        s"load '$name': '$table' has no replay sidecar (its change log was " +
+          "written before replay metadata existed) — re-run the write once " +
+          "to record it, then version_as_of works")
     }
   }
 

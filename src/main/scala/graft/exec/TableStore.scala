@@ -246,6 +246,16 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     Files.writeString(p, value): Unit
   }
 
+  /** The last committed version of a changes table (None = no sidecar and
+    * no rows) — read-only peek at [[nextCommitVersion]]'s counter. */
+  def currentCommitVersion(table: String): Option[Long] = {
+    val p = Paths.get(path(table) + "._version")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong)
+    else readIfExists(table)
+      .map(_.agg(org.apache.spark.sql.functions.max("_commit_version")).first())
+      .filter(!_.isNullAt(0)).map(_.getLong(0))
+  }
+
   /** Monotonic commit counter for an append-only changes table, kept in a
     * sidecar file — O(1) per commit instead of a `max(version)` scan over
     * the whole history every microbatch. Tables created before the sidecar

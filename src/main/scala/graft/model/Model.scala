@@ -62,7 +62,9 @@ final case class TableLoad(
     /** Point-in-time read (version_as_of / versionAsOf): the table state as
       * of this `__changes` commit version, reconstructed by CHANGE-LOG
       * REPLAY — Delta time travel emulated for engine-managed tables
-      * written with `change_log: true` (plain appends and plain SCD1).
+      * written with `change_log: true`. Covers appends, SCD1, SCD2
+      * (history-at-v), ignore_null_updates, column lists and snapshot-CDC;
+      * apply_as_truncates and mixed-option fan-in logs fail loudly.
       * Batch-only. */
     versionAsOf: Option[Long] = None) extends LoadAction {
   def sources: Seq[String] = Seq(table)

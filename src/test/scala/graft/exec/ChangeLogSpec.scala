@@ -170,5 +170,38 @@ class ChangeLogSpec extends SparkSuite {
     store.overwrite("bare_t", Seq((1, "x")).toDF("id", "v"))
     val e2 = intercept[graft.plan.Planner.PlanError](asOf("bare_t", 0))
     assert(e2.getMessage.contains("change_log"))
+
+    // version out of range: a typo'd future version must not present the
+    // current table as a past snapshot (Delta throws here too)
+    val e3 = intercept[graft.plan.Planner.PlanError](asOf("app_t", 99))
+    assert(e3.getMessage.contains("out of range") && e3.getMessage.contains("0..1"))
+    val e4 = intercept[graft.plan.Planner.PlanError](asOf("app_t", -1))
+    assert(e4.getMessage.contains("out of range"))
+
+    // a FAN-IN log written under different merge options degrades to
+    // 'mixed' and refuses replay (neither option set reconstructs it)
+    Seq((9, 9L, "z")).toDF("id", "seq", "v").createOrReplaceTempView("mix_b")
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: mix_b}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: app_t, change_log: true}
+         |    cdc_config: {keys: [id], sequence_by: seq, scd_type: 1}
+         |""".stripMargin))
+    val e5 = intercept[graft.plan.Planner.PlanError](asOf("app_t", 0))
+    assert(e5.getMessage.contains("DIFFERENT merge options"))
+
+    // a pre-replay-sidecar log (older engine) gets the actionable message
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      store.path("scd2_t__changes") + "._replay"))
+    val e6 = intercept[graft.plan.Planner.PlanError](asOf("scd2_t", 0))
+    assert(e6.getMessage.contains("no replay sidecar"))
   }
 }
