@@ -149,6 +149,28 @@ object LlmData {
       .select(lit("ivf_recall_at_3").as("metric"), round(col("recall"), 6).as("recall"))
   }
 
+  /** Gate for the int8-quantized path (s1's memory-scale sibling): on
+    * matched (query, neighbor) pairs the quantized cosine must sit within
+    * 0.05 of the exact score, and quantized top-3 must recover ≥ 70% of the
+    * exact top-3. Violations returned — correct output is EMPTY. */
+  def s6QuantCheck(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("exact_cosine"))
+    val quant = Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 3)
+    val drift = quant.join(exact, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("cosine") - col("exact_cosine")) > 0.05)
+      .select(lit("cosine_drift").as("reason"),
+        round(col("cosine"), 6).as("value"))
+    val recall = exact
+      .join(quant.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("r"))
+      .filter(col("r") < 0.7)
+      .select(lit("recall_floor").as("reason"), round(col("r"), 6).as("value"))
+    drift.unionByName(recall)
+  }
+
   // ------------------------------------------------------------------- text
 
   def t1LangId(s: SparkSession, dir: String): DataFrame =
@@ -195,6 +217,7 @@ object LlmData {
     "s3_lsh_check" -> s3LshCheck,
     "s4_ivf_check" -> s4IvfCheck,
     "s5_ivf_recall" -> s5IvfRecall,
+    "s6_quant_check" -> s6QuantCheck,
     "t1_langid" -> t1LangId,
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
@@ -301,6 +324,10 @@ object LlmData {
     // s5 is a recall floor on the trained-codebook path: EMPTY when met.
     "s5_ivf_recall" ->
       """SELECT 'x' AS metric, 0.0 AS recall
+        |FROM embeddings WHERE 1 = 0""".stripMargin,
+    // s6 gates the int8-quantized path (score drift + recall floor): EMPTY.
+    "s6_quant_check" ->
+      """SELECT 'x' AS reason, 0.0 AS value
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

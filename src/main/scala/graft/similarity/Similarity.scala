@@ -168,6 +168,63 @@ object Similarity {
       .select(col(idCol).cast("long").as("cell_id"), col("centv"))
       .withColumn("centn", norm(col("centv")))
 
+  /** Int8 scalar quantization of an embedding column — the MEMORY-scale
+    * path for 100 TB embedding corpora: a 64-dim float64 vector (512 B)
+    * becomes 64 tinyint codes (64 B) + three doubles. Per-vector
+    * (asymmetric) min/max scaling: `code = round((x - offset)/scale) - 128`;
+    * the ORIGINAL L2 norm rides along so cosine uses true magnitudes, not
+    * quantized approximations of them. Pure built-in expressions
+    * (array_min/max + transform) — codegen'd, no UDF. */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("__v"))
+      .withColumn("__mn", array_min(col("__v")))
+      .withColumn("__mx", array_max(col("__v")))
+      .withColumn("scale",
+        when(col("__mx") > col("__mn"), (col("__mx") - col("__mn")) / 255.0)
+          .otherwise(lit(1.0))) // constant vector: any scale, codes all -128
+      .withColumn("offset", col("__mn"))
+      .withColumn("codes", transform(col("__v"), x =>
+        (round((x - col("offset")) / col("scale")) - 128).cast("tinyint")))
+      .withColumn("norm", norm(col("__v")))
+      .select("id", "codes", "scale", "offset", "norm")
+  }
+
+  /** Cosine between two quantized vectors: each code dequantizes in-flight
+    * (`(code + 128) * scale + offset`) inside one `aggregate(zip_with(…))`
+    * fold — sequential, so scores are bit-deterministic across engines —
+    * and the stored TRUE norms divide the dot. Error is bounded by the
+    * quantization step (≤ scale/2 per component). */
+  def quantizedCosine(codesA: Column, scaleA: Column, offA: Column, normA: Column,
+      codesB: Column, scaleB: Column, offB: Column, normB: Column): Column = {
+    val prods = zip_with(codesA, codesB, (a, b) =>
+      ((a.cast("double") + 128.0) * scaleA + offA) *
+        ((b.cast("double") + 128.0) * scaleB + offB))
+    aggregate(prods, lit(0.0), (acc, x) => acc + x) / (normA * normB)
+  }
+
+  /** Brute-force cosine top-k over QUANTIZED vectors — s1's shape (broadcast
+    * queries, windowed per-query top-k) at a quarter of the corpus bytes.
+    * Precision is bounded, not exact: pair with [[bruteForceTopK]] on a
+    * sample to gate recall/score drift (the s6 pattern). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = quantize(corpus, idCol, vecCol)
+      .toDF("neighbor_id", "c_codes", "c_scale", "c_off", "c_norm")
+    val q = quantize(queries, idCol, vecCol)
+      .toDF("query_id", "q_codes", "q_scale", "q_off", "q_norm")
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", quantizedCosine(
+        col("q_codes"), col("q_scale"), col("q_off"), col("q_norm"),
+        col("c_codes"), col("c_scale"), col("c_off"), col("c_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF-style ANN (the inverted-file scale path): the corpus is assigned to
     * `nCells` coarse cells (nearest centroid by cosine); a query probes its
     * `nProbe` nearest cells and exact-re-ranks only their members. Corpus

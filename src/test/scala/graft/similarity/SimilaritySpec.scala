@@ -60,6 +60,33 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("int8 quantization: bounded reconstruction error, close cosines, high recall") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter("vec_id < 10")
+    // per-component reconstruction error is bounded by scale/2
+    val qz = Similarity.quantize(e, "vec_id", "embedding")
+    assert(qz.columns.toSeq == Seq("id", "codes", "scale", "offset", "norm"))
+    assert(qz.schema("codes").dataType.simpleString == "array<tinyint>")
+    val maxErr = qz.join(
+        e.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("orig")), Seq("id"))
+      .select(org.apache.spark.sql.functions.expr(
+        """aggregate(
+          |  zip_with(codes, orig, (c, x) ->
+          |    abs(((cast(c AS DOUBLE) + 128.0D) * scale + offset) - x) / scale),
+          |  0.0D, (acc, v) -> greatest(acc, v))""".stripMargin).as("err"))
+      .agg(org.apache.spark.sql.functions.max($"err")).first().getDouble(0)
+    assert(maxErr <= 0.5 + 1e-9, s"per-component error $maxErr quantization steps")
+    // end to end: quantized top-3 vs exact top-3
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = quant.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"quantized recall $recall")
+    // and the gate query is empty at this SF
+    assert(graft.queries.LlmData.s6QuantCheck(spark, sf0001).count() == 0)
+  }
+
   test("trainCentroids: null and zero-norm vectors are filtered, not fatal") {
     val e = Tables.load(spark, sf0001, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
