@@ -127,6 +127,18 @@ object LlmData {
     mismatch.unionByName(rankBroken)
   }
 
+  /** Shared recall-floor gate: the fraction of `exact` (query, neighbor)
+    * pairs recovered by `approx`, returned as a violation row when below
+    * `floor` — EMPTY output = gate met. */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+      floor: Double, metric: String): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("recall"))
+      .filter(col("recall") < floor)
+      .select(lit(metric).as("metric"), round(col("recall"), 6).as("recall"))
+
   /** Recall gate for the TRAINED IVF path: a KMeans codebook (bounded-sample
     * training, 5 iterations) probed at nProbe=4 of 16 cells must recover at
     * least 40% of the exact top-3 neighbors. Output is violation rows —
@@ -138,21 +150,21 @@ object LlmData {
     val e = embs(s, dir)
     val q = e.filter(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
-      .select("query_id", "neighbor_id")
     val codebook = Similarity.trainCentroids(e, "embedding", nCells = 16)
     val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 3,
       nCells = 16, nProbe = 4, codebook = Some(codebook))
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-    bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
-      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("recall"))
-      .filter(col("recall") < 0.4)
-      .select(lit("ivf_recall_at_3").as("metric"), round(col("recall"), 6).as("recall"))
+    recallGate(bf, ivf, floor = 0.4, metric = "ivf_recall_at_3")
   }
 
   /** Gate for the int8-quantized path (s1's memory-scale sibling): on
     * matched (query, neighbor) pairs the quantized cosine must sit within
     * 0.05 of the exact score, and quantized top-3 must recover ≥ 70% of the
-    * exact top-3. Violations returned — correct output is EMPTY. */
+    * exact top-3. Violations returned — correct output is EMPTY; violation
+    * rows name the offending pair and the drift MAGNITUDE (the s3/s4
+    * debuggability contract). Zero-norm vectors cosine to NaN in both
+    * paths identically — NaN==NaN pairs are not drift (Spark orders NaN
+    * above every double, so a bare `abs(...) > 0.05` would flag them);
+    * a NaN on one side only IS a violation. */
   def s6QuantCheck(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val q = e.filter(col("vec_id") < 10)
@@ -160,14 +172,15 @@ object LlmData {
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("exact_cosine"))
     val quant = Similarity.quantizedTopK(e, q, "vec_id", "embedding", k = 3)
     val drift = quant.join(exact, Seq("query_id", "neighbor_id"))
-      .filter(abs(col("cosine") - col("exact_cosine")) > 0.05)
-      .select(lit("cosine_drift").as("reason"),
-        round(col("cosine"), 6).as("value"))
-    val recall = exact
-      .join(quant.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("r"))
-      .filter(col("r") < 0.7)
-      .select(lit("recall_floor").as("reason"), round(col("r"), 6).as("value"))
+      .filter((isnan(col("cosine")) =!= isnan(col("exact_cosine"))) ||
+        (!isnan(col("cosine")) && !isnan(col("exact_cosine")) &&
+          abs(col("cosine") - col("exact_cosine")) > 0.05))
+      .select(col("query_id"), col("neighbor_id"), lit("cosine_drift").as("reason"),
+        round(abs(col("cosine") - col("exact_cosine")), 6).as("value"))
+    val recall = recallGate(exact, quant, floor = 0.7, metric = "recall_floor")
+      .select(lit(null).cast("bigint").as("query_id"),
+        lit(null).cast("bigint").as("neighbor_id"),
+        col("metric").as("reason"), col("recall").as("value"))
     drift.unionByName(recall)
   }
 
@@ -327,7 +340,8 @@ object LlmData {
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     // s6 gates the int8-quantized path (score drift + recall floor): EMPTY.
     "s6_quant_check" ->
-      """SELECT 'x' AS reason, 0.0 AS value
+      """SELECT vec_id AS query_id, vec_id AS neighbor_id,
+        |  'x' AS reason, 0.0 AS value
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

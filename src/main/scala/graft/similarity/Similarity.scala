@@ -26,6 +26,18 @@ object Similarity {
 
   private def norm(a: Column): Column = graft.functions.ArrayMath.l2Norm(a)
 
+  /** Shared epilogue of every ANN path: per-query rank by cosine (neighbor
+    * id breaks ties for determinism), keep the top k, round the score.
+    * One definition so the tie-break/rounding contract cannot drift between
+    * the brute-force, LSH, IVF and quantized variants. */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus vectors
     * (excluding itself). Ties broken by neighbor id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
@@ -38,11 +50,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+    topKByCosine(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
@@ -115,11 +123,7 @@ object Similarity {
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
     val scored = candidates
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+    topKByCosine(scored, k)
   }
 
   /** Trained IVF codebook: KMeans|| (spark-mllib, on the classpath) with
@@ -169,12 +173,13 @@ object Similarity {
       .withColumn("centn", norm(col("centv")))
 
   /** Int8 scalar quantization of an embedding column — the MEMORY-scale
-    * path for 100 TB embedding corpora: a 64-dim float64 vector (512 B)
-    * becomes 64 tinyint codes (64 B) + three doubles. Per-vector
-    * (asymmetric) min/max scaling: `code = round((x - offset)/scale) - 128`;
-    * the ORIGINAL L2 norm rides along so cosine uses true magnitudes, not
+    * path for 100 TB embedding corpora: a 64-dim float32 vector (256 B)
+    * becomes 64 tinyint codes (64 B) + three doubles — 1/4 of the stored
+    * bytes (1/8 of the float64 compute form). Per-vector (asymmetric)
+    * min/max scaling: `code = round((x - offset)/scale) - 128`; the
+    * ORIGINAL L2 norm rides along so cosine uses true magnitudes, not
     * quantized approximations of them. Pure built-in expressions
-    * (array_min/max + transform) — codegen'd, no UDF. */
+    * (array_min/max + transform), no UDF. */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.select(col(idCol).as("id"), v.as("__v"))
@@ -190,39 +195,32 @@ object Similarity {
       .select("id", "codes", "scale", "offset", "norm")
   }
 
-  /** Cosine between two quantized vectors: each code dequantizes in-flight
-    * (`(code + 128) * scale + offset`) inside one `aggregate(zip_with(…))`
-    * fold — sequential, so scores are bit-deterministic across engines —
-    * and the stored TRUE norms divide the dot. Error is bounded by the
-    * quantization step (≤ scale/2 per component). */
-  def quantizedCosine(codesA: Column, scaleA: Column, offA: Column, normA: Column,
-      codesB: Column, scaleB: Column, offB: Column, normB: Column): Column = {
-    val prods = zip_with(codesA, codesB, (a, b) =>
-      ((a.cast("double") + 128.0) * scaleA + offA) *
-        ((b.cast("double") + 128.0) * scaleB + offB))
-    aggregate(prods, lit(0.0), (acc, x) => acc + x) / (normA * normB)
-  }
+  /** Dequantize a codes column back to doubles:
+    * `(code + 128) * scale + offset`. Error vs the original is bounded by
+    * the quantization step (≤ scale/2 per component). */
+  def dequantize(codes: Column, scale: Column, offset: Column): Column =
+    transform(codes, c => (c.cast("double") + 128.0) * scale + offset)
 
   /** Brute-force cosine top-k over QUANTIZED vectors — s1's shape (broadcast
-    * queries, windowed per-query top-k) at a quarter of the corpus bytes.
-    * Precision is bounded, not exact: pair with [[bruteForceTopK]] on a
-    * sample to gate recall/score drift (the s6 pattern). */
+    * queries, windowed per-query top-k) over 1/4 of the corpus bytes. Each
+    * row dequantizes ONCE (O((n+m)·dim)), then pairs score through the same
+    * codegen'd native dot kernel as every other path here — per-pair
+    * dequantization inside the cross join would cost O(n·m·dim) interpreted
+    * lambda work. The stored TRUE norms divide the dot. Precision is
+    * bounded, not exact: pair with [[bruteForceTopK]] on a sample to gate
+    * recall/score drift (the s6 pattern). */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = quantize(corpus, idCol, vecCol)
-      .toDF("neighbor_id", "c_codes", "c_scale", "c_off", "c_norm")
-    val q = quantize(queries, idCol, vecCol)
-      .toDF("query_id", "q_codes", "q_scale", "q_off", "q_norm")
+    def deq(df: DataFrame, id: String, v: String, n: String) =
+      quantize(df, idCol, vecCol).select(col("id").as(id),
+        dequantize(col("codes"), col("scale"), col("offset")).as(v),
+        col("norm").as(n))
+    val q = deq(queries, "query_id", "qv", "qn")
+    val c = deq(corpus, "neighbor_id", "cv", "cn")
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", quantizedCosine(
-        col("q_codes"), col("q_scale"), col("q_off"), col("q_norm"),
-        col("c_codes"), col("c_scale"), col("c_off"), col("c_norm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topKByCosine(scored, k)
   }
 
   /** IVF-style ANN (the inverted-file scale path): the corpus is assigned to
@@ -264,10 +262,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+    topKByCosine(scored, k)
   }
 }
