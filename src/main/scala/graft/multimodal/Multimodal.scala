@@ -191,6 +191,65 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResizedMedia(media_id: Long, bytes: Array[Byte],
+      mime: String, width: Int, height: Int, resized: Boolean)
+
+  /** REAL image resize — the one multimodal kernel that by definition must
+    * materialize the pixel raster: JDK-decodable payloads (PNG/JPEG/GIF/
+    * BMP) larger than the (maxW, maxH) box are bilinear-downscaled
+    * aspect-preserving and re-encoded as PNG; already-fitting images and
+    * payloads no reader claims pass through byte-identical with
+    * `resized = false` (the provenance contract of the decode kernels).
+    * No upscaling — training pipelines cap resolution, they don't invent
+    * pixels. Alpha survives (ARGB output when the source carries it).
+    *
+    * Scale note: rasters make rows transiently LARGE — size partitions by
+    * bytes ([[repartitionForBlobs]]) before calling this, and expect the
+    * output to be smaller than the input (that is the point). In-memory
+    * streams only (`ImageIO.setUseCache(false)` per partition) — no
+    * per-row temp files on executors. */
+  def resizeToFit(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "bytes", "mime")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition pass
+        rows.map { case (id, bytes, mime) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+            if (img == null) ResizedMedia(id, b, mime, 0, 0, resized = false)
+            else if (img.getWidth <= maxW && img.getHeight <= maxH)
+              ResizedMedia(id, b, mime, img.getWidth, img.getHeight, resized = false)
+            else {
+              val s = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+              val nw = math.max(1, math.round(img.getWidth * s).toInt)
+              val nh = math.max(1, math.round(img.getHeight * s).toInt)
+              val outType =
+                if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_INT_RGB
+              val out = new java.awt.image.BufferedImage(nw, nh, outType)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedMedia(id, bos.toByteArray, "image/png", nw, nh, resized = true)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedMedia(id, b, mime, 0, 0, resized = false)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Deterministic frame sampling plumbing for video-ish blobs: emits
     * `framesPerItem` (media_id, frame_idx, frame_bytes) rows per input via
     * posexplode — the fan-out shape of real frame extraction, with byte

@@ -125,6 +125,35 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.forall(f => f.n_bytes > 0 && f.sha_prefix.length == 8))
   }
 
+  test("resizeToFit: real downscale, aspect preserved, pass-through for fits and non-images") {
+    val big = encodeImage("png", 100, 60, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tall = encodeImage("jpg", 40, 200, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val small = encodeImage("png", 30, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val alpha = encodeImage("png", 80, 80, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val junk = "not an image".getBytes("UTF-8")
+    val mediaDf = Seq(
+      (1L, big, "image/png"), (2L, tall, "image/jpeg"), (3L, small, "image/png"),
+      (4L, alpha, "image/png"), (5L, junk, "text/plain"))
+      .toDF("media_id", "bytes", "mime")
+    val out = Multimodal.resizeToFit(mediaDf, 50, 50)
+      .as[Multimodal.ResizedMedia].collect().sortBy(_.media_id)
+    // 100x60 fit 50x50 → scale 0.5 → 50x30; 40x200 → scale 0.25 → 10x50
+    assert((out(0).width, out(0).height, out(0).resized) == ((50, 30, true)))
+    assert((out(1).width, out(1).height, out(1).resized) == ((10, 50, true)))
+    // the re-encoded bytes are a REAL image of the claimed size
+    val round = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).bytes))
+    assert(round.getWidth == 50 && round.getHeight == 30)
+    assert(out(0).mime == "image/png")
+    // already fits: byte-identical pass-through
+    assert((out(2).resized, out(2).width, out(2).height) == ((false, 30, 20)))
+    assert(out(2).bytes.sameElements(small))
+    // alpha survives the downscale
+    val roundA = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(3).bytes))
+    assert(out(3).resized && roundA.getColorModel.hasAlpha)
+    // non-image: untouched, flagged
+    assert(!out(4).resized && out(4).bytes.sameElements(junk) && out(4).mime == "text/plain")
+  }
+
   test("sampleFrames fans out frames per media item") {
     val frames = Multimodal.sampleFrames(media, framesPerItem = 4)
     assert(frames.count() == 80) // 20 items × 4 frames
