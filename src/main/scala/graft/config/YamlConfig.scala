@@ -104,18 +104,6 @@ object YamlConfig {
         readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"),
         operationalMetadata = opMeta(m))
       case "delta" | "table" =>
-        // Documented gap (SURVEY §7.3): TIMESTAMP time travel needs Delta
-        // commit history, which a plain-parquet warehouse does not have.
-        // VERSION time travel is emulated by change-log replay (engine-
-        // managed change_log tables only — validated at run time).
-        Seq("timestamp_as_of" -> src.get("timestamp_as_of"),
-            "timestampAsOf" -> anyMap(src, "options").get("timestampAsOf"))
-          .foreach { case (k, v) =>
-            if (v.isDefined) throw ConfigError(
-              s"load '$name': '$k' (timestamp time travel) is not supported — " +
-              "the change-log emulation records _commit_version, not commit " +
-              "timestamps; use version_as_of (SURVEY §7.3)")
-          }
         // deprecated spelling, same posture as the reference
         // (generators/load/delta.py:26-46: removed field, hard error)
         if (src.contains("read_change_feed")) throw ConfigError(
@@ -131,11 +119,19 @@ object YamlConfig {
             scala.util.Try(v.toLong).getOrElse(throw ConfigError(
               s"load '$name': version_as_of must be an integer version, got '$v'"))
           }
-        if (versionAsOf.isDefined && cdf) throw ConfigError(
-          s"load '$name': readChangeFeed and versionAsOf are incompatible — " +
+        val timestampAsOf = str(src, "timestamp_as_of").orElse(opts.get("timestampAsOf"))
+        // time travel: both spellings are point-in-time snapshots — resolved
+        // at run time against the change-log commit sidecars (SURVEY §7.3,
+        // narrowed round 7). Reference incompatibility matrix applies
+        // (generators/load/delta.py:108-155).
+        if (versionAsOf.isDefined && timestampAsOf.isDefined) throw ConfigError(
+          s"load '$name': versionAsOf and timestampAsOf are ambiguous together — use one")
+        if ((versionAsOf.isDefined || timestampAsOf.isDefined) && cdf) throw ConfigError(
+          s"load '$name': readChangeFeed and versionAsOf/timestampAsOf are incompatible — " +
             "a change stream and a point-in-time snapshot are different reads")
-        if (versionAsOf.isDefined && readMode == "stream") throw ConfigError(
-          s"load '$name': version_as_of is a point-in-time read — batch only")
+        if ((versionAsOf.isDefined || timestampAsOf.isDefined) && readMode == "stream")
+          throw ConfigError(
+            s"load '$name': version_as_of/timestamp_as_of is a point-in-time read — batch only")
         // CDF reads route to the engine-managed append-only `__changes`
         // companion (SURVEY §7.3b); version bounds become partition-prunable
         // `_commit_version` predicates (reference contract:
@@ -154,20 +150,20 @@ object YamlConfig {
         } else {
           if (opts.contains("skipChangeCommits")) throw ConfigError(
             s"load '$name': readChangeFeed and skipChangeCommits are incompatible")
-          Seq("startingTimestamp", "endingTimestamp").foreach { k =>
-            if (opts.contains(k)) throw ConfigError(
-              s"load '$name': option '$k' is not supported — the __changes " +
-                "companion records _commit_version, not commit timestamps; " +
-                "use startingVersion/endingVersion")
-          }
-          if (readMode == "stream" && opts.contains("endingVersion"))
+          if (opts.contains("startingVersion") && opts.contains("startingTimestamp"))
             throw ConfigError(
-              s"load '$name': endingVersion is only supported in batch mode")
-          if (readMode != "stream" && !opts.contains("startingVersion"))
+              s"load '$name': startingVersion and startingTimestamp are " +
+                "ambiguous together — use one")
+          if (readMode == "stream" &&
+              (opts.contains("endingVersion") || opts.contains("endingTimestamp")))
+            throw ConfigError(
+              s"load '$name': endingVersion/endingTimestamp is only supported in batch mode")
+          if (readMode != "stream" &&
+              !opts.contains("startingVersion") && !opts.contains("startingTimestamp"))
             throw ConfigError(
               s"load '$name': readChangeFeed in batch mode requires " +
-                "'startingVersion' to bound the range of changes " +
-                "(or readMode: stream for continuous consumption)")
+                "'startingVersion' or 'startingTimestamp' to bound the range " +
+                "of changes (or readMode: stream for continuous consumption)")
           def ver(k: String): Option[Long] = opts.get(k).map { v =>
             scala.util.Try(v.toLong).getOrElse(throw ConfigError(
               s"load '$name': option '$k' must be an integer version, got '$v'"))
@@ -180,7 +176,10 @@ object YamlConfig {
           whereClause = cdfWhere ++ strSeq(src, "where_clause"),
           selectColumns = strSeq(src, "select_columns"),
           readMode = readMode,
-          versionAsOf = versionAsOf)
+          versionAsOf = versionAsOf,
+          timestampAsOf = timestampAsOf,
+          cdfStartingTimestamp = if (cdf) opts.get("startingTimestamp") else None,
+          cdfEndingTimestamp = if (cdf) opts.get("endingTimestamp") else None)
       case "sql" =>
         val sqlPath = str(src, "sql_path").orElse(str(m, "sql_path"))
         SqlLoad(name, target,

@@ -405,8 +405,18 @@ final class PipelineRunner(
       register(a.target, withMeta, a.readMode == "stream")
 
     case a: TableLoad =>
-      val base0 = if (a.versionAsOf.isDefined) {
-        timeTravel(a.table, a.versionAsOf.get, a.name) // batch-only (parse-enforced)
+      val base0 = if (a.versionAsOf.isDefined || a.timestampAsOf.isDefined) {
+        // batch-only (parse-enforced); timestamps resolve to the LATEST
+        // commit at-or-before the bound (Delta timestampAsOf semantics)
+        val v = a.versionAsOf.getOrElse {
+          val bound = parseTs(a.timestampAsOf.get, a.name)
+          val commits = commitTsOf(a.table, a.name)
+          commits.filter(_._2 <= bound).lastOption.map(_._1).getOrElse(
+            throw Planner.PlanError(
+              s"load '${a.name}': timestamp_as_of '${a.timestampAsOf.get}' is " +
+                s"before '${a.table}''s first commit"))
+        }
+        timeTravel(a.table, v, a.name)
       } else if (a.readMode == "stream") {
         // stream a parquet-backed table directory. Streaming is only sound
         // over APPEND-ONLY tables: a rewrite (CDC merge / replace) swaps in
@@ -419,7 +429,27 @@ final class PipelineRunner(
         val batch = resolveSource(a.table)
         spark.readStream.schema(batch.schema).parquet(store.path(a.table))
       } else resolveSource(a.table)
-      val filtered = a.whereClause.foldLeft(base0)((d, w) => d.where(w))
+      // timestamp CDF bounds resolve to version predicates at run time:
+      // startingTimestamp = earliest commit at-or-after, endingTimestamp =
+      // latest at-or-before (Delta semantics); out-of-range bounds are loud
+      val tsBounded = if (a.cdfStartingTimestamp.isEmpty && a.cdfEndingTimestamp.isEmpty) base0
+      else {
+        val commits = commitTsOf(a.table, a.name)
+        val start = a.cdfStartingTimestamp.map { s =>
+          val bound = parseTs(s, a.name)
+          commits.find(_._2 >= bound).map(_._1).getOrElse(throw Planner.PlanError(
+            s"load '${a.name}': startingTimestamp '$s' is after '${a.table}''s last commit"))
+        }
+        val end = a.cdfEndingTimestamp.map { s =>
+          val bound = parseTs(s, a.name)
+          commits.filter(_._2 <= bound).lastOption.map(_._1).getOrElse(
+            throw Planner.PlanError(
+              s"load '${a.name}': endingTimestamp '$s' is before '${a.table}''s first commit"))
+        }
+        val d1 = start.map(v => base0.filter(col("_commit_version") >= v)).getOrElse(base0)
+        end.map(v => d1.filter(col("_commit_version") <= v)).getOrElse(d1)
+      }
+      val filtered = a.whereClause.foldLeft(tsBounded)((d, w) => d.where(w))
       val projected = if (a.selectColumns.nonEmpty)
         filtered.select(a.selectColumns.map(col): _*) else filtered
       register(a.target, projected, a.readMode == "stream")
@@ -654,6 +684,9 @@ final class PipelineRunner(
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version)))
+    // commit wall-clock → `._commit_ts` sidecar: what Delta keeps in its
+    // log, and what timestamp_as_of / startingTimestamp resolve against
+    store.recordCommitTimestamp(chTable, version)
     // the sidecar is per-TABLE: if another flow (fan-in) or an earlier
     // config already logged under DIFFERENT merge options, replaying the
     // mixed log under either set would be silently wrong — degrade to
@@ -692,6 +725,35 @@ final class PipelineRunner(
         s";inu=${o.ignoreNullUpdates}$track;trackx=${l(o.trackHistoryExcept)}" +
         s"$cols;colsx=${l(o.exceptColumnList)}"
     case _ => "none"
+  }
+
+  /** Parse a user timestamp bound: `yyyy-MM-dd`, `yyyy-MM-dd HH:mm:ss[.SSS]`
+    * (UTC, matching the session timezone contract), ISO-T, or raw epoch
+    * millis. Loud on anything else. */
+  private def parseTs(s: String, name: String): Long =
+    scala.util.Try {
+      if (s.trim.forall(_.isDigit)) s.trim.toLong
+      else {
+        val t = s.trim.replace(' ', 'T')
+        scala.util.Try(java.time.LocalDateTime.parse(t))
+          .getOrElse(java.time.LocalDate.parse(t).atStartOfDay())
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }.getOrElse(throw Planner.PlanError(
+      s"load '$name': unparseable timestamp '$s' — use yyyy-MM-dd[ HH:mm:ss] " +
+        "(UTC) or epoch milliseconds"))
+
+  /** The change log's recorded (version, epochMillis) commits, loud when
+    * absent — timestamp bounds cannot resolve without them. */
+  private def commitTsOf(table: String, name: String): Seq[(Long, Long)] = {
+    val chTable = if (table.endsWith("__changes")) table else s"${table}__changes"
+    val ts = store.commitTimestamps(chTable)
+    if (ts.isEmpty) throw Planner.PlanError(
+      s"load '$name': no commit timestamps recorded for '$chTable' — the " +
+        "change log predates timestamp recording (re-run the write once) or " +
+        "does not exist; version bounds (version_as_of/startingVersion) " +
+        "work without timestamps")
+    ts
   }
 
   /** version_as_of by change-log replay — Delta time travel emulated for

@@ -246,6 +246,30 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     Files.writeString(p, value): Unit
   }
 
+  /** Commit-timestamp sidecar (`._commit_ts`, one `version=epochMillis`
+    * line per commit): the basis of TIMESTAMP time travel and timestamp
+    * CDF bounds — Delta records these in its log; the parquet emulation
+    * records them here. O(1) append per commit. */
+  def recordCommitTimestamp(table: String, version: Long,
+      epochMillis: Long = System.currentTimeMillis()): Unit = {
+    val p = Paths.get(path(table) + "._commit_ts")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"$version=$epochMillis\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+  }
+
+  /** (version, epochMillis) pairs in commit order; empty when the sidecar
+    * does not exist (tables written before timestamps were recorded). */
+  def commitTimestamps(table: String): Seq[(Long, Long)] = {
+    val p = Paths.get(path(table) + "._commit_ts")
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).linesIterator.filter(_.contains("=")).map { l =>
+      val Array(v, ts) = l.split("=", 2)
+      (v.trim.toLong, ts.trim.toLong)
+    }.toSeq.sortBy(_._1)
+  }
+
   /** The last committed version of a changes table (None = no sidecar and
     * no rows) — read-only peek at [[nextCommitVersion]]'s counter. */
   def currentCommitVersion(table: String): Option[Long] = {

@@ -66,7 +66,16 @@ final case class TableLoad(
       * (history-at-v), ignore_null_updates, column lists and snapshot-CDC;
       * apply_as_truncates and mixed-option fan-in logs fail loudly.
       * Batch-only. */
-    versionAsOf: Option[Long] = None) extends LoadAction {
+    versionAsOf: Option[Long] = None,
+    /** Timestamp time travel (timestamp_as_of / timestampAsOf): resolved at
+      * run time to the latest commit at-or-before this timestamp via the
+      * `._commit_ts` sidecar, then replayed like [[versionAsOf]]. */
+    timestampAsOf: Option[String] = None,
+    /** Timestamp CDF bounds (startingTimestamp / endingTimestamp on a
+      * readChangeFeed load): resolved at run time to `_commit_version`
+      * range filters — earliest commit at-or-after / latest at-or-before. */
+    cdfStartingTimestamp: Option[String] = None,
+    cdfEndingTimestamp: Option[String] = None) extends LoadAction {
   def sources: Seq[String] = Seq(table)
 }
 

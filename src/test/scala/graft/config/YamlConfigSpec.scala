@@ -92,8 +92,9 @@ class YamlConfigSpec extends SparkSuite {
          |    source: {type: delta, table: t, $extra}
          |    target: v
          |""".stripMargin)
-    assert(intercept[YamlConfig.ConfigError](load("timestamp_as_of: \"2026-01-01\""))
-      .msg.contains("time travel"))
+    // TIMESTAMP time travel is a feature since round 7 too (commit-ts sidecar)
+    assert(load("timestamp_as_of: \"2026-01-01\"").actions.head
+      .asInstanceOf[graft.model.TableLoad].timestampAsOf.contains("2026-01-01"))
     // VERSION time travel is a feature since round 7 (change-log replay)
     assert(load("version_as_of: 3").actions.head
       .asInstanceOf[graft.model.TableLoad].versionAsOf.contains(3L))
@@ -101,8 +102,11 @@ class YamlConfigSpec extends SparkSuite {
       .asInstanceOf[graft.model.TableLoad].versionAsOf.contains(3L))
     assert(intercept[YamlConfig.ConfigError](load("read_change_feed: true"))
       .msg.contains("readChangeFeed")) // removed spelling, reference posture
-    assert(intercept[YamlConfig.ConfigError](load("options: {timestampAsOf: \"2026-01-01\"}"))
-      .msg.contains("time travel"))
+    assert(load("options: {timestampAsOf: \"2026-01-01\"}").actions.head
+      .asInstanceOf[graft.model.TableLoad].timestampAsOf.contains("2026-01-01"))
+    assert(intercept[YamlConfig.ConfigError](
+      load("version_as_of: 3, timestamp_as_of: \"2026-01-01\""))
+      .msg.contains("ambiguous"))
     assert(intercept[YamlConfig.ConfigError](
       load("""version_as_of: 3, options: {readChangeFeed: "true", startingVersion: "0"}"""))
       .msg.contains("incompatible"))
@@ -153,10 +157,17 @@ class YamlConfigSpec extends SparkSuite {
     // batch CDF requires a starting bound (delta.py VAL_013)
     assert(intercept[YamlConfig.ConfigError](load("""options: {readChangeFeed: "true"}"""))
       .msg.contains("startingVersion"))
-    // commit timestamps don't exist in the parquet emulation
+    // timestamp CDF bounds parse into the model (resolved at run time)
+    val tsb = load("""options: {readChangeFeed: "true", startingTimestamp: "2026-01-01",
+                     endingTimestamp: "2026-02-01"}""")
+    assert(tsb.cdfStartingTimestamp.contains("2026-01-01")
+      && tsb.cdfEndingTimestamp.contains("2026-02-01"))
     assert(intercept[YamlConfig.ConfigError](
-      load("""options: {readChangeFeed: "true", startingTimestamp: "2026-01-01"}"""))
-      .msg.contains("startingTimestamp"))
+      load("""options: {readChangeFeed: "true", startingVersion: "0", startingTimestamp: "2026-01-01"}"""))
+      .msg.contains("ambiguous"))
+    assert(intercept[YamlConfig.ConfigError](
+      load("""options: {readChangeFeed: "true", startingTimestamp: "2026-01-01", endingTimestamp: "2026-02-01"}""", "stream"))
+      .msg.contains("endingVersion/endingTimestamp"))
     // incompatible pair (delta.py:110)
     assert(intercept[YamlConfig.ConfigError](
       load("""options: {readChangeFeed: "true", startingVersion: "0", skipChangeCommits: "true"}"""))

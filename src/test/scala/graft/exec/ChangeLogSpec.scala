@@ -204,4 +204,62 @@ class ChangeLogSpec extends SparkSuite {
     val e6 = intercept[graft.plan.Planner.PlanError](asOf("scd2_t", 0))
     assert(e6.getMessage.contains("no replay sidecar"))
   }
+
+  test("timestamp time travel and timestamp CDF bounds resolve via the commit-ts sidecar") {
+    val dir = Files.createTempDirectory("graft-tts").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    def yaml(view: String) =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: ts_t, change_log: true}
+         |""".stripMargin
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("ts_b1")
+    Seq((2, "b")).toDF("id", "v").createOrReplaceTempView("ts_b2")
+    runner.run(YamlConfig.parseFlowGroup(yaml("ts_b1")))
+    runner.run(YamlConfig.parseFlowGroup(yaml("ts_b2")))
+    val commits = store.commitTimestamps("ts_t__changes")
+    assert(commits.map(_._1) == Seq(0L, 1L) && commits.forall(_._2 > 0))
+
+    def loadWith(srcExtra: String, tgt: String) = {
+      runner.execute(YamlConfig.parseFlowGroup(
+        s"""pipeline: p2
+           |flowgroup: f2
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: delta, table: ts_t, $srcExtra}
+           |    target: $tgt
+           |""".stripMargin).actions.head)
+      runner.view(tgt)
+    }
+    // timestamp_as_of at exactly commit 0's recorded wall-clock = state at v0
+    val t0 = commits.head._2
+    assert(loadWith(s"timestamp_as_of: $t0", "tt_ts0")
+      .select("id").as[Int].collect().toSeq == Seq(1))
+    // ... and at commit 1's = the full state
+    assert(loadWith(s"timestamp_as_of: ${commits(1)._2}", "tt_ts1")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // before the first commit: loud
+    val e = intercept[graft.plan.Planner.PlanError](
+      loadWith(s"timestamp_as_of: ${t0 - 1}", "tt_tsx"))
+    assert(e.getMessage.contains("before"))
+    // timestamp CDF window covering only commit 1
+    val win = loadWith(
+      s"""options: {readChangeFeed: "true", startingTimestamp: "${commits(1)._2}"}""",
+      "tt_win")
+    assert(win.select("id").as[Int].collect().toSeq == Seq(2))
+    // human-readable timestamps parse too: a far-future UTC date resolves
+    // to the latest commit (Delta timestampAsOf = latest at-or-before)
+    assert(loadWith("timestamp_as_of: \"2099-01-01\"", "tt_far")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
 }
