@@ -109,7 +109,14 @@ object YamlConfig {
         if (src.contains("read_change_feed")) throw ConfigError(
           s"load '$name': 'read_change_feed' is removed — use " +
             """options: {readChangeFeed: "true", startingVersion: "N"}""")
-        val opts = anyMap(src, "options").map { case (k, v) => k -> v.toString }
+        // scalar-aware stringify: YAML resolves unquoted dates to
+        // java.util.Date, whose toString ("Thu Jan 01 ...") would defeat
+        // timestamp parsing downstream — render ISO-8601 instead
+        def scalarStr(v: Any): String = v match {
+          case d: java.util.Date => java.time.Instant.ofEpochMilli(d.getTime).toString
+          case other => other.toString
+        }
+        val opts = anyMap(src, "options").map { case (k, v) => k -> scalarStr(v) }
         val table = qualified(src,
           str(src, "table").orElse(str(src, "path"))
             .getOrElse(throw ConfigError(s"table load '$name' missing table")))
@@ -119,7 +126,8 @@ object YamlConfig {
             scala.util.Try(v.toLong).getOrElse(throw ConfigError(
               s"load '$name': version_as_of must be an integer version, got '$v'"))
           }
-        val timestampAsOf = str(src, "timestamp_as_of").orElse(opts.get("timestampAsOf"))
+        val timestampAsOf = src.get("timestamp_as_of").flatMap(Option(_)).map(scalarStr)
+          .orElse(opts.get("timestampAsOf"))
         // time travel: both spellings are point-in-time snapshots — resolved
         // at run time against the change-log commit sidecars (SURVEY §7.3,
         // narrowed round 7). Reference incompatibility matrix applies
@@ -137,7 +145,7 @@ object YamlConfig {
         // `_commit_version` predicates (reference contract:
         // generators/load/delta.py:99-195). Commit TIMESTAMPS do not exist
         // in the parquet emulation — reject their spellings loudly.
-        val cdfWhere: Seq[String] = if (!cdf) {
+        if (!cdf) {
           Seq("startingVersion", "startingTimestamp", "endingVersion",
             "endingTimestamp", "skipChangeCommits").foreach { k =>
             if (opts.contains(k)) throw ConfigError(
@@ -146,14 +154,18 @@ object YamlConfig {
                 "stream re-reads rewritten files — stream the __changes " +
                 "companion instead)")
           }
-          Nil
         } else {
           if (opts.contains("skipChangeCommits")) throw ConfigError(
             s"load '$name': readChangeFeed and skipChangeCommits are incompatible")
-          if (opts.contains("startingVersion") && opts.contains("startingTimestamp"))
-            throw ConfigError(
-              s"load '$name': startingVersion and startingTimestamp are " +
-                "ambiguous together — use one")
+          // version and timestamp spellings of the SAME bound are ambiguous
+          // — both directions (the reference rejects the starting pair;
+          // accepting the ending pair would silently intersect them)
+          Seq("starting", "ending").foreach { b =>
+            if (opts.contains(s"${b}Version") && opts.contains(s"${b}Timestamp"))
+              throw ConfigError(
+                s"load '$name': ${b}Version and ${b}Timestamp are " +
+                  "ambiguous together — use one")
+          }
           if (readMode == "stream" &&
               (opts.contains("endingVersion") || opts.contains("endingTimestamp")))
             throw ConfigError(
@@ -164,20 +176,20 @@ object YamlConfig {
               s"load '$name': readChangeFeed in batch mode requires " +
                 "'startingVersion' or 'startingTimestamp' to bound the range " +
                 "of changes (or readMode: stream for continuous consumption)")
-          def ver(k: String): Option[Long] = opts.get(k).map { v =>
-            scala.util.Try(v.toLong).getOrElse(throw ConfigError(
-              s"load '$name': option '$k' must be an integer version, got '$v'"))
-          }
-          ver("startingVersion").map(v => s"_commit_version >= $v").toSeq ++
-            ver("endingVersion").map(v => s"_commit_version <= $v").toSeq
+        }
+        def ver(k: String): Option[Long] = opts.get(k).map { v =>
+          scala.util.Try(v.toLong).getOrElse(throw ConfigError(
+            s"load '$name': option '$k' must be an integer version, got '$v'"))
         }
         TableLoad(name, target,
           table = if (cdf) s"${table}__changes" else table,
-          whereClause = cdfWhere ++ strSeq(src, "where_clause"),
+          whereClause = strSeq(src, "where_clause"),
           selectColumns = strSeq(src, "select_columns"),
           readMode = readMode,
           versionAsOf = versionAsOf,
           timestampAsOf = timestampAsOf,
+          cdfStartingVersion = if (cdf) ver("startingVersion") else None,
+          cdfEndingVersion = if (cdf) ver("endingVersion") else None,
           cdfStartingTimestamp = if (cdf) opts.get("startingTimestamp") else None,
           cdfEndingTimestamp = if (cdf) opts.get("endingTimestamp") else None)
       case "sql" =>

@@ -429,23 +429,36 @@ final class PipelineRunner(
         val batch = resolveSource(a.table)
         spark.readStream.schema(batch.schema).parquet(store.path(a.table))
       } else resolveSource(a.table)
-      // timestamp CDF bounds resolve to version predicates at run time:
-      // startingTimestamp = earliest commit at-or-after, endingTimestamp =
-      // latest at-or-before (Delta semantics); out-of-range bounds are loud
-      val tsBounded = if (a.cdfStartingTimestamp.isEmpty && a.cdfEndingTimestamp.isEmpty) base0
+      // CDF bounds resolve TOGETHER at run time: timestamps map to versions
+      // via the commit-ts sidecar (startingTimestamp = earliest commit
+      // at-or-after, endingTimestamp = latest at-or-before — Delta
+      // semantics); a resolved start above the resolved end is a loud
+      // error, not a silent empty frame. Version-only bounds never touch
+      // the sidecar (lazy), so pre-timestamp logs keep working with them.
+      val tsBounded = if (!a.hasCdfBounds) base0
       else {
-        val commits = commitTsOf(a.table, a.name)
-        val start = a.cdfStartingTimestamp.map { s =>
+        lazy val commits = commitTsOf(a.table, a.name)
+        val start = a.cdfStartingVersion.orElse(a.cdfStartingTimestamp.map { s =>
           val bound = parseTs(s, a.name)
-          commits.find(_._2 >= bound).map(_._1).getOrElse(throw Planner.PlanError(
-            s"load '${a.name}': startingTimestamp '$s' is after '${a.table}''s last commit"))
-        }
-        val end = a.cdfEndingTimestamp.map { s =>
+          commits.find(_._2 >= bound).map(_._1).getOrElse {
+            // a stream may start "from now" (beyond the last commit) and
+            // pick up future versions — Delta's streaming source allows it;
+            // a BATCH read of a window after the last commit is a user error
+            if (a.readMode == "stream") commits.last._1 + 1
+            else throw Planner.PlanError(
+              s"load '${a.name}': startingTimestamp '$s' is after " +
+                s"'${a.table}''s last commit")
+          }
+        })
+        val end = a.cdfEndingVersion.orElse(a.cdfEndingTimestamp.map { s =>
           val bound = parseTs(s, a.name)
           commits.filter(_._2 <= bound).lastOption.map(_._1).getOrElse(
             throw Planner.PlanError(
               s"load '${a.name}': endingTimestamp '$s' is before '${a.table}''s first commit"))
-        }
+        })
+        for (s <- start; e <- end) if (s > e) throw Planner.PlanError(
+          s"load '${a.name}': CDF range is empty — resolved start version $s " +
+            s"is after resolved end version $e")
         val d1 = start.map(v => base0.filter(col("_commit_version") >= v)).getOrElse(base0)
         end.map(v => d1.filter(col("_commit_version") <= v)).getOrElse(d1)
       }
@@ -728,31 +741,46 @@ final class PipelineRunner(
   }
 
   /** Parse a user timestamp bound: `yyyy-MM-dd`, `yyyy-MM-dd HH:mm:ss[.SSS]`
-    * (UTC, matching the session timezone contract), ISO-T, or raw epoch
-    * millis. Loud on anything else. */
-  private def parseTs(s: String, name: String): Long =
-    scala.util.Try {
-      if (s.trim.forall(_.isDigit)) s.trim.toLong
-      else {
-        val t = s.trim.replace(' ', 'T')
-        scala.util.Try(java.time.LocalDateTime.parse(t))
-          .getOrElse(java.time.LocalDate.parse(t).atStartOfDay())
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      }
+    * (UTC, matching the session timezone contract), ISO-8601 (with T and
+    * optional zone — the form unquoted YAML dates canonicalize to), or raw
+    * epoch milliseconds (11+ digits — an 8-digit `20260101` would silently
+    * read as 1970, so compact dates are rejected with guidance instead).
+    * Loud on anything else. */
+  private def parseTs(s: String, name: String): Long = {
+    val t = s.trim
+    if (t.forall(_.isDigit)) {
+      if (t.length >= 11) t.toLong
+      else throw Planner.PlanError(
+        s"load '$name': ambiguous numeric timestamp '$s' — epoch milliseconds " +
+          "have 11+ digits; for dates use yyyy-MM-dd (compact yyyyMMdd is not accepted)")
+    } else scala.util.Try {
+      val iso = t.replace(' ', 'T')
+      scala.util.Try(java.time.Instant.parse(iso).toEpochMilli).getOrElse(
+        scala.util.Try(java.time.LocalDateTime.parse(iso))
+          .getOrElse(java.time.LocalDate.parse(iso).atStartOfDay())
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
     }.getOrElse(throw Planner.PlanError(
       s"load '$name': unparseable timestamp '$s' — use yyyy-MM-dd[ HH:mm:ss] " +
         "(UTC) or epoch milliseconds"))
+  }
 
   /** The change log's recorded (version, epochMillis) commits, loud when
-    * absent — timestamp bounds cannot resolve without them. */
+    * absent or PARTIAL — a sidecar that covers only post-upgrade commits
+    * would silently misresolve timestamp bounds (e.g. a startingTimestamp
+    * before every commit would skip the unrecorded early versions). */
   private def commitTsOf(table: String, name: String): Seq[(Long, Long)] = {
     val chTable = if (table.endsWith("__changes")) table else s"${table}__changes"
     val ts = store.commitTimestamps(chTable)
     if (ts.isEmpty) throw Planner.PlanError(
       s"load '$name': no commit timestamps recorded for '$chTable' — the " +
-        "change log predates timestamp recording (re-run the write once) or " +
-        "does not exist; version bounds (version_as_of/startingVersion) " +
-        "work without timestamps")
+        "change log predates timestamp recording or does not exist; " +
+        "version bounds (version_as_of/startingVersion) work without timestamps")
+    val latest = store.currentCommitVersion(chTable).getOrElse(ts.last._1)
+    if (ts.head._1 != 0 || ts.size.toLong != ts.last._1 + 1 || ts.last._1 != latest)
+      throw Planner.PlanError(
+        s"load '$name': '$chTable' has PARTIAL commit-timestamp coverage " +
+          s"(recorded versions ${ts.head._1}..${ts.last._1} of 0..$latest) — " +
+          "timestamp bounds would silently misresolve; use version bounds")
     ts
   }
 

@@ -71,12 +71,18 @@ final case class TableLoad(
       * run time to the latest commit at-or-before this timestamp via the
       * `._commit_ts` sidecar, then replayed like [[versionAsOf]]. */
     timestampAsOf: Option[String] = None,
-    /** Timestamp CDF bounds (startingTimestamp / endingTimestamp on a
-      * readChangeFeed load): resolved at run time to `_commit_version`
-      * range filters — earliest commit at-or-after / latest at-or-before. */
+    /** CDF bounds on a readChangeFeed load, version or timestamp spelling
+      * (mutually exclusive per bound, parse-enforced). All four resolve and
+      * validate TOGETHER at run time — timestamps via the `._commit_ts`
+      * sidecar (earliest at-or-after / latest at-or-before), then
+      * start ≤ end is checked loudly before any filter applies. */
+    cdfStartingVersion: Option[Long] = None,
+    cdfEndingVersion: Option[Long] = None,
     cdfStartingTimestamp: Option[String] = None,
     cdfEndingTimestamp: Option[String] = None) extends LoadAction {
   def sources: Seq[String] = Seq(table)
+  def hasCdfBounds: Boolean = cdfStartingVersion.isDefined || cdfEndingVersion.isDefined ||
+    cdfStartingTimestamp.isDefined || cdfEndingTimestamp.isDefined
 }
 
 /** Named view defined by a SQL query. */

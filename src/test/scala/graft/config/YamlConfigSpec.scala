@@ -145,11 +145,11 @@ class YamlConfigSpec extends SparkSuite {
 
     val bounded = load("""options: {readChangeFeed: "true", startingVersion: "2", endingVersion: "5"}""")
     assert(bounded.table == "dim__changes")
-    assert(bounded.whereClause == Seq("_commit_version >= 2", "_commit_version <= 5"))
+    assert(bounded.cdfStartingVersion.contains(2L) && bounded.cdfEndingVersion.contains(5L))
 
     // stream: startingVersion ok, endingVersion is batch-only (delta.py:160)
     val s = load("""options: {readChangeFeed: "true", startingVersion: "2"}""", "stream")
-    assert(s.table == "dim__changes" && s.whereClause == Seq("_commit_version >= 2"))
+    assert(s.table == "dim__changes" && s.cdfStartingVersion.contains(2L))
     assert(intercept[YamlConfig.ConfigError](
       load("""options: {readChangeFeed: "true", startingVersion: "0", endingVersion: "5"}""", "stream"))
       .msg.contains("endingVersion"))
@@ -164,6 +164,10 @@ class YamlConfigSpec extends SparkSuite {
       && tsb.cdfEndingTimestamp.contains("2026-02-01"))
     assert(intercept[YamlConfig.ConfigError](
       load("""options: {readChangeFeed: "true", startingVersion: "0", startingTimestamp: "2026-01-01"}"""))
+      .msg.contains("ambiguous"))
+    // ... and the ENDING pair equally (accepting it would silently intersect)
+    assert(intercept[YamlConfig.ConfigError](
+      load("""options: {readChangeFeed: "true", startingVersion: "0", endingVersion: "5", endingTimestamp: "2026-01-01"}"""))
       .msg.contains("ambiguous"))
     assert(intercept[YamlConfig.ConfigError](
       load("""options: {readChangeFeed: "true", startingTimestamp: "2026-01-01", endingTimestamp: "2026-02-01"}""", "stream"))

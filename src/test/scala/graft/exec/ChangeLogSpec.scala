@@ -261,5 +261,31 @@ class ChangeLogSpec extends SparkSuite {
     // to the latest commit (Delta timestampAsOf = latest at-or-before)
     assert(loadWith("timestamp_as_of: \"2099-01-01\"", "tt_far")
       .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // UNQUOTED YAML date (arrives as java.util.Date): canonicalized, works
+    assert(loadWith("timestamp_as_of: 2099-01-01", "tt_unq")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+
+    // resolved start above resolved end: loud, not a silent empty frame
+    val eRange = intercept[graft.plan.Planner.PlanError](loadWith(
+      s"""options: {readChangeFeed: "true", startingVersion: "1",
+         |             endingTimestamp: "${commits.head._2}"}""".stripMargin, "tt_rng"))
+    assert(eRange.getMessage.contains("range is empty"))
+
+    // compact yyyyMMdd would silently read as 1970-era epoch millis: loud
+    val eCompact = intercept[graft.plan.Planner.PlanError](
+      loadWith("timestamp_as_of: \"20990101\"", "tt_cmp"))
+    assert(eCompact.getMessage.contains("ambiguous numeric"))
+
+    // PARTIAL timestamp coverage (pre-upgrade commits unrecorded): loud —
+    // simulate by dropping version 0's line from the sidecar
+    val tsPath = java.nio.file.Paths.get(store.path("ts_t__changes") + "._commit_ts")
+    val lines = java.nio.file.Files.readString(tsPath).linesIterator.toSeq
+    java.nio.file.Files.writeString(tsPath, lines.drop(1).mkString("", "\n", "\n"))
+    val ePartial = intercept[graft.plan.Planner.PlanError](
+      loadWith(s"timestamp_as_of: ${commits(1)._2}", "tt_par"))
+    assert(ePartial.getMessage.contains("PARTIAL"))
+    // version bounds still work on the same log (they never touch the sidecar)
+    assert(loadWith("version_as_of: 1", "tt_ver")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 }
