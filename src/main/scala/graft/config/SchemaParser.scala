@@ -101,7 +101,10 @@ object SchemaParser {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.flatMap { c =>
         val m = c.asInstanceOf[java.util.Map[String, Any]].asScala
         val ts = m.get("tags").map(tagMap).getOrElse(Map.empty)
-        if (ts.isEmpty) None else Some(m("name").toString -> ts)
+        if (ts.isEmpty) None
+        else Some(m.getOrElse("name", throw YamlConfig.ConfigError(
+          s"tags file: a 'columns' entry carries tags but no 'name' — " +
+            s"tags cannot be attached to an unnamed column: ${m.toMap}")).toString -> ts)
       }.toMap
       case _ => Map.empty[String, Map[String, String]]
     }

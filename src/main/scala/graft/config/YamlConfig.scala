@@ -74,7 +74,7 @@ object YamlConfig {
     val actionType = str(m, "type").getOrElse(throw ConfigError(s"action '$name' missing 'type'"))
     val target = str(m, "target")
     actionType match {
-      case "load" => parseLoad(name, target, m)
+      case "load" => parseLoad(name, target, m, lenient)
       case "transform" => parseTransform(name, target, m)
       case "write" => parseWrite(name, m, lenient)
       case "test" => TestAction(name, str(m, "test_type").getOrElse("custom_sql"),
@@ -83,7 +83,8 @@ object YamlConfig {
     }
   }
 
-  private def parseLoad(name: String, target: Option[String], m: Map[String, Any]): Action = {
+  private def parseLoad(name: String, target: Option[String], m: Map[String, Any],
+      lenient: Boolean = false): Action = {
     val src = m.get("source") match {
       case Some(s: java.util.Map[_, _]) => asMap(s)
       case Some(s: String) => Map[String, Any]("type" -> "sql", "sql" -> s)
@@ -117,6 +118,19 @@ object YamlConfig {
           case other => other.toString
         }
         val opts = anyMap(src, "options").map { case (k, v) => k -> scalarStr(v) }
+        // Never-silently-absorbed contract (mirrors the write_target
+        // advisory pattern above): every options key must be one the
+        // engine honors. A typo'd bound ('startingVerison') would
+        // otherwise silently widen a change window; real Delta reader
+        // options (maxFilesPerTrigger, ignoreDeletes) would vanish.
+        val recognizedOpts = Set("readChangeFeed", "versionAsOf", "timestampAsOf",
+          "startingVersion", "startingTimestamp", "endingVersion",
+          "endingTimestamp", "skipChangeCommits")
+        (opts.keySet -- recognizedOpts).toSeq.sorted.foreach { k =>
+          val msg = s"load '$name': unrecognized option '$k' — the parquet-backed " +
+            s"table reader honors only ${recognizedOpts.toSeq.sorted.mkString(", ")}"
+          if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
+        }
         val table = qualified(src,
           str(src, "table").orElse(str(src, "path"))
             .getOrElse(throw ConfigError(s"table load '$name' missing table")))

@@ -691,12 +691,22 @@ final class PipelineRunner(
   private def logChanges(a: StreamingTableWrite, batch: DataFrame,
       mergeOpts: Option[ScdMerge.Options]): Unit = if (a.changeLog) {
     val chTable = s"${a.table}__changes"
+    // serialize the replay spec FIRST: its separator-name guard must fire
+    // before any rows land in the log
+    val spec = replaySpec(mergeOpts)
     val version = store.nextCommitVersion(chTable, "_commit_version")
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
     store.append(chTable, batch
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version)))
+    // sidecars advance only AFTER the rows are durably appended — the old
+    // counter-first ordering let a crashed append leave a phantom empty
+    // latest version, and version_as_of at it silently returned the
+    // PREVIOUS state. The remaining (inverse) crash window — rows at v but
+    // counter still v-1 — is caught loudly by timeTravel's counter-vs-log
+    // cross-check instead of resolving wrong.
+    store.advanceCommitVersion(chTable, version)
     // commit wall-clock → `._commit_ts` sidecar: what Delta keeps in its
     // log, and what timestamp_as_of / startingTimestamp resolve against
     store.recordCommitTimestamp(chTable, version)
@@ -704,7 +714,6 @@ final class PipelineRunner(
     // config already logged under DIFFERENT merge options, replaying the
     // mixed log under either set would be silently wrong — degrade to
     // "mixed" (sticky: "none" from a truncate config also never upgrades)
-    val spec = replaySpec(mergeOpts)
     val prior = store.getMeta(chTable, "replay")
     store.setMeta(chTable, "replay", if (prior.exists(_ != spec)) "mixed" else spec)
   }
@@ -731,7 +740,19 @@ final class PipelineRunner(
   private def replaySpec(mergeOpts: Option[ScdMerge.Options]): String = mergeOpts match {
     case None => "append"
     case Some(o) if o.applyAsTruncates.isEmpty =>
-      def l(s: Seq[String]) = s.mkString(",")
+      // the sidecar's ';'/','/'=' separators are load-bearing: a column
+      // name containing one would round-trip into DIFFERENT Options (extra
+      // phantom columns) and replay a wrong point-in-time state without
+      // ever hitting the unparseable-sidecar guard — reject loudly at
+      // write time instead
+      def l(s: Seq[String]) = {
+        s.find(c => c.exists(";,=".contains(_))).foreach(c =>
+          throw Planner.PlanError(
+            s"change_log: CDC column name '$c' contains a replay-sidecar " +
+              "separator (';', ',' or '=') — rename the column or disable " +
+              "change_log on this write"))
+        s.mkString(",")
+      }
       val track = o.trackHistoryColumns.map(t => s";track=${l(t)}").getOrElse("")
       val cols = o.columnList.map(c => s";cols=${l(c)}").getOrElse("")
       s"scd;type=${o.scdType};keys=${l(o.keys)};seq=${l(o.sequenceBy)}" +
@@ -798,6 +819,15 @@ final class PipelineRunner(
     if (v < 0 || v > latest) throw Planner.PlanError(
       s"load '$name': version_as_of $v out of range — '$table' has " +
         s"commit versions 0..$latest")
+    // counter-vs-log integrity: rows beyond the counter mean a write
+    // crashed between its append and its counter advance — the half-commit
+    // cannot be distinguished from a complete one, so fail loudly rather
+    // than replay a state that may double-apply the interrupted batch
+    val logMax = changes.agg(max("_commit_version")).first()
+    if (!logMax.isNullAt(0) && logMax.getLong(0) > latest) throw Planner.PlanError(
+      s"load '$name': '$chTable' holds rows at version ${logMax.getLong(0)} " +
+        s"beyond the recorded counter $latest — a change-log commit was " +
+        "interrupted; full-refresh the producing write to rebuild the log")
     val bounded = changes.filter(col("_commit_version") <= v)
     store.getMeta(chTable, "replay") match {
       case Some("append") => bounded.drop("_change_type", "_commit_version")
@@ -974,9 +1004,19 @@ final class PipelineRunner(
   private def applyGovernanceMetadata(table: String, comment: Option[String],
       tags: Map[String, String], tagsFile: Option[String]): Unit = {
     comment.foreach(c => store.setMeta(table, "comment", c))
-    val fromFile = tagsFile.map(f =>
-      graft.config.SchemaParser.parseTagsFile(readFile(f)).flattened)
-      .getOrElse(Map.empty)
+    // run-time resolution must stay inside the loud-error contract: a
+    // missing file or malformed YAML surfaces as a PlanError naming the
+    // write target and file, not a raw NIO/NoSuchElement stack
+    val fromFile = tagsFile.map { f =>
+      try graft.config.SchemaParser.parseTagsFile(readFile(f)).flattened
+      catch {
+        case e: graft.config.YamlConfig.ConfigError => throw Planner.PlanError(
+          s"write '$table': tags_file '$f' — ${e.getMessage}")
+        case e: java.io.IOException => throw Planner.PlanError(
+          s"write '$table': tags_file '$f' could not be read " +
+            s"(resolved to '${resolveFile(f)}'): ${e.getMessage}")
+      }
+    }.getOrElse(Map.empty)
     val merged = fromFile ++ tags
     if (merged.nonEmpty) {
       store.setTags(table, merged)

@@ -280,22 +280,32 @@ final class TableStore(spark: SparkSession, val warehouse: String,
       .filter(!_.isNullAt(0)).map(_.getLong(0))
   }
 
-  /** Monotonic commit counter for an append-only changes table, kept in a
-    * sidecar file — O(1) per commit instead of a `max(version)` scan over
-    * the whole history every microbatch. Tables created before the sidecar
-    * existed are migrated with one final scan. */
+  /** Next value of the monotonic commit counter for an append-only changes
+    * table — read from the `._version` sidecar (O(1) per commit instead of
+    * a `max(version)` scan over the whole history every microbatch); tables
+    * created before the sidecar existed are migrated with one final scan.
+    * Does NOT persist the counter: call [[advanceCommitVersion]] after the
+    * commit's rows are durably appended — persisting first would let a
+    * crashed append leave a phantom latest version with no rows, and
+    * version_as_of at that version would silently return the PREVIOUS
+    * state. */
   def nextCommitVersion(table: String, versionCol: String): Long = {
     val p = Paths.get(path(table) + "._version")
-    val next =
-      if (Files.exists(p)) Files.readString(p).trim.toLong + 1
-      else readIfExists(table)
-        .map(_.agg(org.apache.spark.sql.functions.max(versionCol)).first())
-        .filter(!_.isNullAt(0)) // table exists but holds no rows
-        .map(_.getLong(0))
-        .getOrElse(-1L) + 1
+    if (Files.exists(p)) Files.readString(p).trim.toLong + 1
+    else readIfExists(table)
+      .map(_.agg(org.apache.spark.sql.functions.max(versionCol)).first())
+      .filter(!_.isNullAt(0)) // table exists but holds no rows
+      .map(_.getLong(0))
+      .getOrElse(-1L) + 1
+  }
+
+  /** Persist the commit counter — the commit's durability point for
+    * [[currentCommitVersion]] readers. Call only after the append
+    * succeeded (see [[nextCommitVersion]]). */
+  def advanceCommitVersion(table: String, version: Long): Unit = {
+    val p = Paths.get(path(table) + "._version")
     Files.createDirectories(p.getParent)
-    Files.writeString(p, next.toString)
-    next
+    Files.writeString(p, version.toString): Unit
   }
 
   // ------------------------------------------------------------ internals

@@ -185,6 +185,29 @@ class YamlConfigSpec extends SparkSuite {
       .msg.contains("integer"))
   }
 
+  test("unrecognized table-load options are loud: typo'd bounds cannot widen a window") {
+    def yaml(extra: String) =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: delta, table: t, $extra}
+         |    target: v
+         |""".stripMargin
+    // a typo'd bound would otherwise silently read an UNBOUNDED window
+    assert(intercept[YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
+      yaml("""options: {readChangeFeed: "true", startingVersion: "0", endingVerison: "5"}""")))
+      .msg.contains("endingVerison"))
+    // a real Delta reader option the parquet emulation cannot honor
+    assert(intercept[YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
+      yaml("""options: {maxFilesPerTrigger: "4"}"""))).msg.contains("maxFilesPerTrigger"))
+    // lenient mode (validate/show CLI paths) degrades to a warning
+    val fg = YamlConfig.parseFlowGroup(
+      yaml("""options: {ignoreDeletes: "true"}"""), lenient = true)
+    assert(fg.actions.head.isInstanceOf[graft.model.TableLoad])
+  }
+
   test("unknown action type and failureAction are errors") {
     intercept[YamlConfig.ConfigError] {
       YamlConfig.parseAction(Map("name" -> "a", "type" -> "nonsense"))

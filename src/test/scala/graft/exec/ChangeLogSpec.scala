@@ -205,6 +205,59 @@ class ChangeLogSpec extends SparkSuite {
     assert(e6.getMessage.contains("no replay sidecar"))
   }
 
+  test("commit integrity: counter advances only after append; half-commits are loud; separator column names rejected") {
+    val dir = Files.createTempDirectory("graft-ci").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    def appendYaml(view: String, table: String, cdc: String = "") =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: $table, change_log: true}
+         |$cdc""".stripMargin
+
+    // nextCommitVersion is a pure peek — repeated calls do not advance
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("ci_b1")
+    runner.run(YamlConfig.parseFlowGroup(appendYaml("ci_b1", "ci_t")))
+    assert(store.nextCommitVersion("ci_t__changes", "_commit_version") == 1L)
+    assert(store.nextCommitVersion("ci_t__changes", "_commit_version") == 1L)
+    assert(store.currentCommitVersion("ci_t__changes").contains(0L))
+
+    // a commit interrupted between append and counter-advance (simulated by
+    // rolling the counter back) is detected loudly, not replayed wrong
+    Seq((2, "b")).toDF("id", "v").createOrReplaceTempView("ci_b2")
+    runner.run(YamlConfig.parseFlowGroup(appendYaml("ci_b2", "ci_t")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store.path("ci_t__changes") + "._version"), "0")
+    val e = intercept[graft.plan.Planner.PlanError](runner.execute(
+      YamlConfig.parseFlowGroup(
+        s"""pipeline: p2
+           |flowgroup: f2
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: delta, table: ci_t, version_as_of: 0}
+           |    target: tt
+           |""".stripMargin).actions.head))
+    assert(e.getMessage.contains("interrupted"))
+
+    // CDC column names carrying replay-sidecar separators are rejected at
+    // write time — they would round-trip into different merge options
+    Seq((1, 1L, "a")).toDF("k,x", "seq", "v").createOrReplaceTempView("ci_sep")
+    val eSep = intercept[graft.plan.Planner.PlanError](runner.run(
+      YamlConfig.parseFlowGroup(appendYaml("ci_sep", "sep_t",
+        """    cdc_config: {keys: ["k,x"], sequence_by: seq, scd_type: 1}
+          |""".stripMargin))))
+    assert(eSep.getMessage.contains("separator"))
+  }
+
   test("timestamp time travel and timestamp CDF bounds resolve via the commit-ts sidecar") {
     val dir = Files.createTempDirectory("graft-tts").toString
     val store = new TableStore(spark, s"$dir/wh")

@@ -64,6 +64,38 @@ class GovernanceMetadataSpec extends SparkSuite {
     assert(TableStore.listTables(s"$dir/wh").contains("gov_t"))
   }
 
+  test("tags_file failures are loud PlanErrors naming the write and file") {
+    val dir = Files.createTempDirectory("graft-govx").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp", projectRoot = dir)
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("govx_src")
+    def run(tagsFile: String) = runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: govx_src}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: govx_t, tags_file: $tagsFile}
+         |""".stripMargin))
+    // missing file: PlanError naming table + file, not a raw NoSuchFileException
+    val e1 = intercept[graft.plan.Planner.PlanError](run("schemas/absent.yaml"))
+    assert(e1.getMessage.contains("govx_t") && e1.getMessage.contains("absent.yaml"))
+    // a columns entry with tags but no name: PlanError, not NoSuchElementException
+    Files.createDirectories(Paths.get(dir, "schemas"))
+    Files.writeString(Paths.get(dir, "schemas/noname.yaml"),
+      """table: govx_t
+        |columns:
+        |  - {type: BIGINT, tags: {pii: "true"}}
+        |""".stripMargin)
+    val e2 = intercept[graft.plan.Planner.PlanError](run("schemas/noname.yaml"))
+    assert(e2.getMessage.contains("no 'name'"))
+  }
+
   test("tag values with backslashes, quotes and control chars roundtrip the sidecar") {
     val dir = Files.createTempDirectory("graft-esc").toString
     val store = new TableStore(spark, s"$dir/wh")
