@@ -27,6 +27,39 @@ sealed trait Action {
   def target: Option[String]
   /** Input view/table names. */
   def sources: Seq[String]
+  /** Explicit upstream table references (reference _action.py:101-105):
+    * dependency-graph edges that cannot be parsed from SQL/Python sources —
+    * e.g. a python-function transform reading a table another flowgroup
+    * produces. Fed into [[graft.plan.Planner]] ordering and
+    * [[graft.plan.DependencyAnalyzer]] cross-flowgroup graphs exactly like
+    * Catalyst-extracted SQL refs. */
+  def dependsOn: Seq[String]
+  /** All dependency inputs: declared sources plus explicit depends_on. */
+  final def inputNames: Seq[String] = (sources ++ dependsOn).distinct
+}
+
+object Action {
+  /** Attach explicit depends_on edges to any action — the one place the
+    * sealed hierarchy is enumerated for the shared field. */
+  def withDependsOn(a: Action, deps: Seq[String]): Action =
+    if (deps.isEmpty) a else a match {
+      case x: CloudFilesLoad => x.copy(dependsOn = deps)
+      case x: TableLoad => x.copy(dependsOn = deps)
+      case x: SqlLoad => x.copy(dependsOn = deps)
+      case x: JdbcLoad => x.copy(dependsOn = deps)
+      case x: KafkaLoad => x.copy(dependsOn = deps)
+      case x: CustomSourceLoad => x.copy(dependsOn = deps)
+      case x: FunctionLoad => x.copy(dependsOn = deps)
+      case x: SqlTransform => x.copy(dependsOn = deps)
+      case x: SchemaTransformAction => x.copy(dependsOn = deps)
+      case x: DataQualityTransform => x.copy(dependsOn = deps)
+      case x: TempTableTransform => x.copy(dependsOn = deps)
+      case x: FunctionTransform => x.copy(dependsOn = deps)
+      case x: StreamingTableWrite => x.copy(dependsOn = deps)
+      case x: MaterializedViewWrite => x.copy(dependsOn = deps)
+      case x: SinkWrite => x.copy(dependsOn = deps)
+      case x: TestAction => x.copy(dependsOn = deps)
+    }
 }
 
 // ------------------------------------------------------------------- loads
@@ -47,7 +80,8 @@ final case class CloudFilesLoad(
     schemaDdl: Option[String] = None,
     readMode: String = "stream",
     /** Action-level operational-metadata column selection. */
-    operationalMetadata: Option[Seq[String]] = None) extends LoadAction {
+    operationalMetadata: Option[Seq[String]] = None,
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
 
@@ -79,7 +113,8 @@ final case class TableLoad(
     cdfStartingVersion: Option[Long] = None,
     cdfEndingVersion: Option[Long] = None,
     cdfStartingTimestamp: Option[String] = None,
-    cdfEndingTimestamp: Option[String] = None) extends LoadAction {
+    cdfEndingTimestamp: Option[String] = None,
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Seq(table)
   def hasCdfBounds: Boolean = cdfStartingVersion.isDefined || cdfEndingVersion.isDefined ||
     cdfStartingTimestamp.isDefined || cdfEndingTimestamp.isDefined
@@ -92,7 +127,8 @@ final case class SqlLoad(
     sql: String,
     readMode: String = "batch",
     /** Load the SQL text from a project-relative file instead (sql_path). */
-    sqlPath: Option[String] = None) extends LoadAction {
+    sqlPath: Option[String] = None,
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil // dependencies resolved from SQL at plan time
 }
 
@@ -104,7 +140,8 @@ final case class JdbcLoad(
     query: Option[String],
     dbtable: Option[String],
     options: Map[String, String] = Map.empty,
-    readMode: String = "batch") extends LoadAction {
+    readMode: String = "batch",
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
 
@@ -116,7 +153,8 @@ final case class KafkaLoad(
     subscribe: Option[String] = None,
     subscribePattern: Option[String] = None,
     assign: Option[String] = None,
-    options: Map[String, String] = Map.empty) extends LoadAction {
+    options: Map[String, String] = Map.empty,
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def readMode: String = "stream"
   def sources: Seq[String] = Nil
 }
@@ -129,7 +167,8 @@ final case class CustomSourceLoad(
     target: Option[String],
     providerClass: String,
     options: Map[String, String] = Map.empty,
-    readMode: String = "batch") extends LoadAction {
+    readMode: String = "batch",
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
 
@@ -140,7 +179,8 @@ final case class FunctionLoad(
     target: Option[String],
     functionClass: String,
     parameters: Map[String, Any] = Map.empty,
-    readMode: String = "batch") extends LoadAction {
+    readMode: String = "batch",
+    dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
 
@@ -152,7 +192,8 @@ final case class SqlTransform(
     source: Seq[String],
     sql: String,
     /** Load the SQL text from a project-relative file instead (sql_path). */
-    sqlPath: Option[String] = None) extends Action {
+    sqlPath: Option[String] = None,
+    dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = source
 }
 
@@ -163,7 +204,8 @@ final case class SchemaTransformAction(
     renames: Map[String, String] = Map.empty,
     casts: Map[String, String] = Map.empty,
     declared: Seq[String] = Nil,
-    strict: Boolean = false) extends Action {
+    strict: Boolean = false,
+    dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
 
@@ -174,7 +216,8 @@ final case class DataQualityTransform(
     rules: Seq[graft.operators.Expectations.Rule],
     quarantineTable: Option[String] = None,
     /** Load rules from a project-relative JSON/YAML file (expectations_file). */
-    expectationsFile: Option[String] = None) extends Action {
+    expectationsFile: Option[String] = None,
+    dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
 
@@ -182,7 +225,8 @@ final case class DataQualityTransform(
 final case class TempTableTransform(
     name: String,
     target: Option[String],
-    source: String) extends Action {
+    source: String,
+    dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
 
@@ -192,7 +236,8 @@ final case class FunctionTransform(
     target: Option[String],
     source: Seq[String],
     functionClass: String,
-    parameters: Map[String, Any] = Map.empty) extends Action {
+    parameters: Map[String, Any] = Map.empty,
+    dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = source
 }
 
@@ -255,7 +300,8 @@ final case class StreamingTableWrite(
     /** Declared DDL schema enforced at write time (reference table_schema):
       * outgoing rows are projected/cast to exactly these columns. */
     tableSchemaDdl: Option[String] = None,
-    expectations: Seq[graft.operators.Expectations.Rule] = Nil) extends WriteAction {
+    expectations: Seq[graft.operators.Expectations.Rule] = Nil,
+    dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)
 }
 
@@ -285,7 +331,8 @@ final case class MaterializedViewWrite(
     /** Incremental maintenance: the view is a streaming aggregation whose
       * state lives in the checkpoint — each run reads only NEW source data
       * and merges partial aggregates, instead of a full recompute. */
-    incremental: Boolean = false) extends WriteAction {
+    incremental: Boolean = false,
+    dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq
 }
 
@@ -299,7 +346,8 @@ final case class SinkWrite(
     /** Sink identity override (reference WriteTarget.sink_name — the
       * dp.create_sink name): used for the checkpoint path and the files
       * sink's default output directory; defaults to the action name. */
-    sinkName: Option[String] = None) extends WriteAction {
+    sinkName: Option[String] = None,
+    dependsOn: Seq[String] = Nil) extends WriteAction {
   def table: String = name
   /** The effective sink identity. */
   def sinkId: String = sinkName.getOrElse(name)
@@ -312,7 +360,8 @@ final case class TestAction(
     name: String,
     testType: String,
     source: Seq[String],
-    config: Map[String, Any] = Map.empty) extends Action {
+    config: Map[String, Any] = Map.empty,
+    dependsOn: Seq[String] = Nil) extends Action {
   def target: Option[String] = None
   def sources: Seq[String] = source
 }

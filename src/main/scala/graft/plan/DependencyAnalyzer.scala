@@ -42,14 +42,17 @@ object DependencyAnalyzer {
       .getOrElse(Nil)
   }
 
-  /** Sources an action consumes, including those referenced inside SQL. */
-  def actionInputs(spark: SparkSession, a: Action): Seq[String] = a match {
-    case s: SqlLoad => tablesInSql(spark, s.sql)
-    case s: SqlTransform => (s.sources ++ tablesInSql(spark, s.sql)).distinct
+  /** Sources an action consumes: declared sources, tables referenced inside
+    * SQL (Catalyst parse), and explicit `depends_on` edges — the last being
+    * the only ordering signal for sources the analyzer CANNOT parse (a
+    * plugin/python transform reading a table directly). */
+  def actionInputs(spark: SparkSession, a: Action): Seq[String] = (a match {
+    case s: SqlLoad => tablesInSql(spark, s.sql) ++ s.dependsOn
+    case s: SqlTransform => s.sources ++ tablesInSql(spark, s.sql) ++ s.dependsOn
     case m: MaterializedViewWrite =>
-      (m.sources ++ m.sql.toSeq.flatMap(tablesInSql(spark, _))).distinct
-    case other => other.sources
-  }
+      m.sources ++ m.sql.toSeq.flatMap(tablesInSql(spark, _)) ++ m.dependsOn
+    case other => other.inputNames
+  }).distinct
 
   /** Tables a flowgroup produces (its write targets). SinkWrites are
     * excluded — their `table` is just the action name (files/kafka/handler;

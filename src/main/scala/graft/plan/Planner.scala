@@ -27,7 +27,7 @@ object Planner {
     * would fabricate edges for any consumer of either). A consumer that DOES
     * reference an ambiguous short name is a loud PlanError, not a guess. */
   def dependencies(actions: Seq[Action],
-      inputs: Action => Seq[String] = _.sources): Map[String, Set[String]] = {
+      inputs: Action => Seq[String] = _.inputNames): Map[String, Set[String]] = {
     val byTarget: Map[String, Action] =
       actions.flatMap(a => a.target.map(_ -> a)).toMap
     // only TABLE-MATERIALIZING writes produce a readable name; a SinkWrite's
@@ -70,7 +70,7 @@ object Planner {
     * the write. View bindings take precedence — a view and a table sharing a
     * name resolve to the view producer, the pre-existing behavior. */
   def order(actions: Seq[Action],
-      inputs: Action => Seq[String] = _.sources): Seq[Action] = {
+      inputs: Action => Seq[String] = _.inputNames): Seq[Action] = {
     val deps = dependencies(actions, inputs)
     val byName = actions.map(a => a.name -> a).toMap
 
@@ -88,7 +88,7 @@ object Planner {
     out.result()
   }
 
-  def validate(fg: FlowGroup, inputs: Action => Seq[String] = _.sources): Unit = {
+  def validate(fg: FlowGroup, inputs: Action => Seq[String] = _.inputNames): Unit = {
     val actions = fg.actions
     if (actions.isEmpty) throw PlanError(s"flowgroup '${fg.flowgroup}' has no actions")
     val writes = actions.collect { case w: WriteAction => w }
@@ -121,7 +121,7 @@ object Planner {
     actions.collect { case w: WriteAction => w }.groupBy(_.table)
 
   def plan(fg: FlowGroup,
-      inputs: Action => Seq[String] = _.sources): Seq[Action] = {
+      inputs: Action => Seq[String] = _.inputNames): Seq[Action] = {
     validate(fg, inputs)
     order(fg.actions, inputs)
   }
