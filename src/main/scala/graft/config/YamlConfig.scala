@@ -73,7 +73,7 @@ object YamlConfig {
     val name = str(m, "name").getOrElse(throw ConfigError(s"action missing 'name': $m"))
     val actionType = str(m, "type").getOrElse(throw ConfigError(s"action '$name' missing 'type'"))
     val target = str(m, "target")
-    actionType match {
+    val parsed = actionType match {
       case "load" => parseLoad(name, target, m, lenient)
       case "transform" => parseTransform(name, target, m)
       case "write" => parseWrite(name, m, lenient)
@@ -81,6 +81,12 @@ object YamlConfig {
         sourceSeq(m), anyMap(m, "config") ++ (m - "name" - "type" - "source"))
       case other => throw ConfigError(s"unknown action type '$other' on '$name'")
     }
+    // depends_on (reference _action.py:101-105): explicit upstream table
+    // references for dependency edges that cannot be parsed from SQL/Python
+    // sources — valid on EVERY action type, string or list. Fed into
+    // Planner ordering and DependencyAnalyzer cross-flowgroup graphs via
+    // Action.inputNames.
+    Action.withDependsOn(parsed, strSeq(m, "depends_on"))
   }
 
   private def parseLoad(name: String, target: Option[String], m: Map[String, Any],
@@ -248,17 +254,70 @@ object YamlConfig {
           else throw ConfigError(s"sql transform '$name' missing sql")),
         sqlPath = str(m, "sql_path"))
       case "schema" =>
-        val sm = asMap(m.getOrElse("schema", new java.util.HashMap[String, Any]()))
-        SchemaTransformAction(name, target, sourceSeq(m).headOption.getOrElse(""),
-          renames = anyMap(sm, "renames").map { case (k, v) => k -> v.toString },
-          casts = anyMap(sm, "casts").map { case (k, v) => k -> v.toString },
-          declared = strSeq(sm, "columns"),
-          strict = str(sm, "enforcement").contains("strict"))
-      case "data_quality" => DataQualityTransform(name, target,
-        sourceSeq(m).headOption.getOrElse(""),
-        rules = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
-        quarantineTable = str(asMap(m.getOrElse("quarantine", new java.util.HashMap[String, Any]())), "table"),
-        expectationsFile = str(m, "expectations_file"))
+        // Three definition shapes, exactly one required:
+        //  - schema_inline (reference, flat on the action): arrow lines or
+        //    a columns:/legacy-keys YAML document, parsed here;
+        //  - schema_file (reference): external file, resolved at RUN time
+        //    project-relative (like expectations_file);
+        //  - schema: {renames, casts, columns, enforcement} — this engine's
+        //    pre-existing nested map.
+        // A schema transform with NO definition is a silent no-op — loud.
+        val inline = str(m, "schema_inline")
+        val file = str(m, "schema_file")
+        val nested = m.get("schema").map(asMap)
+        if (Seq(inline, file, nested).count(_.isDefined) > 1) throw ConfigError(
+          s"schema transform '$name': schema_inline, schema_file and schema: " +
+            "are mutually exclusive — use one")
+        // enforcement lives FLAT on the action in the reference; the nested
+        // map's spelling is honored for this engine's own configs
+        val strict = str(m, "enforcement")
+          .orElse(nested.flatMap(str(_, "enforcement")))
+          .map {
+            case e @ ("strict" | "permissive") => e
+            case other => throw ConfigError(
+              s"schema transform '$name': unknown enforcement '$other' (strict | permissive)")
+          }.contains("strict")
+        (inline, file, nested) match {
+          case (Some(text), _, _) =>
+            val p = SchemaTransformParser.parseInline(text)
+            SchemaTransformAction(name, target, sourceSeq(m).headOption.getOrElse(""),
+              renames = p.renames, casts = p.casts, declared = p.declared,
+              strict = strict)
+          case (_, Some(f), _) =>
+            SchemaTransformAction(name, target, sourceSeq(m).headOption.getOrElse(""),
+              strict = strict, schemaFile = Some(f))
+          case (_, _, Some(sm)) =>
+            SchemaTransformAction(name, target, sourceSeq(m).headOption.getOrElse(""),
+              renames = anyMap(sm, "renames").map { case (k, v) => k -> v.toString },
+              casts = anyMap(sm, "casts").map { case (k, v) => k -> v.toString },
+              declared = strSeq(sm, "columns"),
+              strict = strict)
+          case _ => throw ConfigError(
+            s"schema transform '$name' has no schema definition — use " +
+              "schema_inline (arrow lines), schema_file, or a schema: map")
+        }
+      case "data_quality" =>
+        // `mode: quarantine` without a quarantine config would silently run
+        // as plain dqe — the reference requires the config when the mode
+        // asks for it (models/_action.py:86-90). The reference spelling is
+        // `dlq_table` + `source_table` (models/_quarantine.py); `table` is
+        // this engine's pre-existing alias.
+        val qm = asMap(m.getOrElse("quarantine", new java.util.HashMap[String, Any]()))
+        val quarantineTable = str(qm, "dlq_table").orElse(str(qm, "table"))
+        str(m, "mode").foreach {
+          case "quarantine" => if (quarantineTable.isEmpty) throw ConfigError(
+            s"data_quality '$name': mode: quarantine requires a " +
+              "quarantine: {dlq_table: ...} configuration")
+          case "dqe" => ()
+          case other => throw ConfigError(
+            s"data_quality '$name': unknown mode '$other' (dqe | quarantine)")
+        }
+        DataQualityTransform(name, target,
+          sourceSeq(m).headOption.getOrElse(""),
+          rules = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
+          quarantineTable = quarantineTable,
+          quarantineSourceTable = str(qm, "source_table"),
+          expectationsFile = str(m, "expectations_file"))
       case "temp_table" => TempTableTransform(name, target, sourceSeq(m).headOption.getOrElse(""))
       case "python" | "function" => FunctionTransform(name, target, sourceSeq(m),
         functionClass = str(m, "function").orElse(str(m, "class"))

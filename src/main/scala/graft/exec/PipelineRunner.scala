@@ -507,7 +507,24 @@ final class PipelineRunner(
         streaming || a.source.exists(streamingViews.contains))
 
     case a: SchemaTransformAction =>
-      val spec = SchemaTransform.Spec(a.renames, a.casts, a.declared,
+      // schema_file resolves at run time, project-relative (reference
+      // generators/transform/schema.py:95-100) — a missing/malformed file
+      // is a contextual PlanError, not a raw NIO stack
+      val (renames, casts, declared) = a.schemaFile match {
+        case None => (a.renames, a.casts, a.declared)
+        case Some(f) =>
+          val p =
+            try graft.config.SchemaTransformParser.parseFileText(readFile(f))
+            catch {
+              case e: graft.config.YamlConfig.ConfigError => throw Planner.PlanError(
+                s"schema transform '${a.name}': schema_file '$f' — ${e.getMessage}")
+              case e: java.io.IOException => throw Planner.PlanError(
+                s"schema transform '${a.name}': schema_file '$f' could not be " +
+                  s"read (resolved to '${resolveFile(f)}'): ${e.getMessage}")
+            }
+          (p.renames, p.casts, p.declared)
+      }
+      val spec = SchemaTransform.Spec(renames, casts, declared,
         if (a.strict) SchemaTransform.Strict else SchemaTransform.Permissive)
       register(a.target, SchemaTransform(resolveSource(a.source), spec),
         streamingViews.contains(a.source))
@@ -528,9 +545,10 @@ final class PipelineRunner(
           // violations drain through their own checkpointed foreachBatch
           // query (AvailableNow — only new files route per run), while the
           // clean view stays a pure streaming filter for downstream writes
+          val tag = a.quarantineSourceTable.getOrElse(a.source)
           src.writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
-              Quarantine.routeViolations(store, dlq, batch, a.rules, a.source): Unit
+              Quarantine.routeViolations(store, dlq, batch, a.rules, tag): Unit
             }
             .option("checkpointLocation", checkpointFor(a.name + "__quarantine"))
             .trigger(Trigger.AvailableNow())
@@ -540,7 +558,8 @@ final class PipelineRunner(
           // batch quarantine: clean rows pass through; violating rows are
           // annotated and inserted into the DLQ keyed by content hash
           // (see Quarantine for the full recycle cycle)
-          val clean = Quarantine.routeViolations(store, dlq, src, a.rules, a.source)
+          val clean = Quarantine.routeViolations(store, dlq, src, a.rules,
+            a.quarantineSourceTable.getOrElse(a.source))
           register(a.target, clean, streaming = false)
       }
 

@@ -205,6 +205,10 @@ final case class SchemaTransformAction(
     casts: Map[String, String] = Map.empty,
     declared: Seq[String] = Nil,
     strict: Boolean = false,
+    /** External schema-transform file (reference schema_file — arrow or
+      * legacy format), resolved project-relative at RUN time like
+      * expectations_file; exclusive with inline definitions. */
+    schemaFile: Option[String] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -215,6 +219,10 @@ final case class DataQualityTransform(
     source: String,
     rules: Seq[graft.operators.Expectations.Rule],
     quarantineTable: Option[String] = None,
+    /** DLQ tagging identity (reference QuarantineConfig.source_table): the
+      * fully qualified source-table name stamped into quarantined rows'
+      * content-hash key; defaults to the source view name. */
+    quarantineSourceTable: Option[String] = None,
     /** Load rules from a project-relative JSON/YAML file (expectations_file). */
     expectationsFile: Option[String] = None,
     dependsOn: Seq[String] = Nil) extends Action {
