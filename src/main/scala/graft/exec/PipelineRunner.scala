@@ -417,6 +417,39 @@ final class PipelineRunner(
                 s"before '${a.table}''s first commit"))
         }
         timeTravel(a.table, v, a.name)
+      } else if (a.readMode == "stream" && a.skipChangeCommits) {
+        // skipChangeCommits (Delta delta.py:99-195 contract): stream only
+        // blind-append commits, dropping merge-rewrite commits (CDC
+        // corrections, GDPR deletes). The table directory itself cannot be
+        // skip-filtered — a rewrite swaps in files indistinguishable from
+        // appends — so the stream rides the append-only `__changes`
+        // companion, filtered on the per-version `._commit_kinds` sidecar
+        // and projected back to table rows. Rewrite versions fold into a
+        // literal NOT-IN (rewrites are rare by the option's own use case;
+        // the common append version needs no predicate at all).
+        val chTable = s"${a.table}__changes"
+        if (!store.exists(chTable)) throw Planner.PlanError(
+          s"load '${a.name}': skipChangeCommits needs the engine-managed " +
+            s"change log — write '${a.table}' with change_log: true " +
+            "(an external table's rewrite commits are indistinguishable)")
+        assertLogIntegrity(chTable, s"load '${a.name}'")
+        val kinds = store.commitKinds(chTable)
+        val latest = store.currentCommitVersion(chTable).getOrElse(-1L)
+        // partial coverage = silently wrong skipping (an unrecorded rewrite
+        // commit would stream through) — same loudness as commitTsOf
+        if (kinds.isEmpty || kinds.head._1 != 0 ||
+            kinds.size.toLong != kinds.last._1 + 1 || kinds.last._1 != latest)
+          throw Planner.PlanError(
+            s"load '${a.name}': '$chTable' has PARTIAL commit-kind coverage " +
+              s"(recorded ${kinds.size} of 0..$latest) — the log predates " +
+              "kind recording, so append and rewrite commits cannot be told " +
+              "apart; full-refresh the producing write to rebuild the log")
+        val rewrites = kinds.filter(_._2 != "append").map(_._1)
+        val schema = store.read(chTable).schema
+        val stream = spark.readStream.schema(schema).parquet(store.path(chTable))
+        val kept = if (rewrites.isEmpty) stream
+          else stream.filter(!col("_commit_version").isInCollection(rewrites))
+        kept.drop("_change_type", "_commit_version")
       } else if (a.readMode == "stream") {
         // stream a parquet-backed table directory. Streaming is only sound
         // over APPEND-ONLY tables: a rewrite (CDC merge / replace) swaps in
@@ -429,6 +462,12 @@ final class PipelineRunner(
         val batch = resolveSource(a.table)
         spark.readStream.schema(batch.schema).parquet(store.path(a.table))
       } else resolveSource(a.table)
+      // every read of a `__changes` companion — bounded CDF windows, plain
+      // batch/stream consumption — shares the half-commit integrity contract
+      // of version_as_of (checked at plan time; the write path re-checks
+      // per commit, so a mid-run crash cannot corrupt silently either)
+      if (a.table.endsWith("__changes") && store.exists(a.table))
+        assertLogIntegrity(a.table, s"load '${a.name}'")
       // CDF bounds resolve TOGETHER at run time: timestamps map to versions
       // via the commit-ts sidecar (startingTimestamp = earliest commit
       // at-or-after, endingTimestamp = latest at-or-before — Delta
@@ -589,9 +628,13 @@ final class PipelineRunner(
         // merges partial aggregates in checkpointed state, and emits the
         // full (aggregate-sized) result, which replaces the table. A 100 TB
         // source is scanned once across all runs, not once per refresh.
-        require(df.isStreaming,
-          s"incremental MV '${a.name}' needs a streaming source/SQL " +
-            "(reference a stream-loaded view)")
+        // a batch source cannot maintain checkpointed aggregate state — a
+        // contextual PlanError naming the action, not a bare require (the
+        // raw IllegalArgumentException carried no action name)
+        if (!df.isStreaming) throw Planner.PlanError(
+          s"materialized_view '${a.name}' (mode: incremental) needs a " +
+            "streaming source/SQL — reference a stream-loaded view " +
+            "(readMode: stream / stream(...)) or drop mode: incremental")
         df.writeStream.outputMode("complete")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             store.replace(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
@@ -714,6 +757,12 @@ final class PipelineRunner(
     // before any rows land in the log
     val spec = replaySpec(mergeOpts)
     val version = store.nextCommitVersion(chTable, "_commit_version")
+    // write-path integrity: if a previous commit crashed between append and
+    // counter advance, nextCommitVersion (a pure peek) returns the SAME
+    // version — re-appending would land the interrupted batch's rows twice
+    // at one version, which then passes every read-side check. Probe before
+    // touching the log; the read-side checks catch logs already corrupted.
+    assertLogIntegrity(chTable, s"write '${a.name}'")
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
     store.append(chTable, batch
       .withColumn("_change_type",
@@ -729,6 +778,11 @@ final class PipelineRunner(
     // commit wall-clock → `._commit_ts` sidecar: what Delta keeps in its
     // log, and what timestamp_as_of / startingTimestamp resolve against
     store.recordCommitTimestamp(chTable, version)
+    // commit kind → `._commit_kinds`: a plain append flow appends blindly;
+    // any merge-engine batch (CDC, snapshot-CDC) rewrites the target —
+    // the per-version signal skipChangeCommits streams filter on
+    store.recordCommitKind(chTable, version,
+      if (mergeOpts.isEmpty) "append" else "rewrite")
     // the sidecar is per-TABLE: if another flow (fan-in) or an earlier
     // config already logged under DIFFERENT merge options, replaying the
     // mixed log under either set would be silently wrong — degrade to
@@ -824,6 +878,25 @@ final class PipelineRunner(
     ts
   }
 
+  /** Counter-vs-log integrity: rows beyond the recorded counter mean a
+    * change-log commit crashed between its append and its counter advance —
+    * the half-commit cannot be distinguished from a complete one, so every
+    * consumer (time travel, CDF windows, `__changes` loads, and the NEXT
+    * write, which would otherwise re-append the batch at the same version
+    * and silently duplicate it) fails loudly instead. The check is a
+    * pushdown EXISTENCE probe, not a full-log aggregate: parquet row-group
+    * min/max stats prune `_commit_version > latest` to ~zero I/O on a
+    * healthy log. */
+  private def assertLogIntegrity(chTable: String, who: String): Unit =
+    store.readIfExists(chTable).foreach { changes =>
+      val latest = store.currentCommitVersion(chTable).getOrElse(-1L)
+      val orphaned = !changes.filter(col("_commit_version") > latest).isEmpty
+      if (orphaned) throw Planner.PlanError(
+        s"$who: '$chTable' holds rows beyond the recorded counter $latest — " +
+          "a change-log commit was interrupted; full-refresh the producing " +
+          "write to rebuild the log")
+    }
+
   /** version_as_of by change-log replay — Delta time travel emulated for
     * engine-managed tables (SURVEY §7.3, narrowed round 7). One merge-engine
     * pass over the bounded log; scale class = the CDC rebuild itself. */
@@ -838,15 +911,7 @@ final class PipelineRunner(
     if (v < 0 || v > latest) throw Planner.PlanError(
       s"load '$name': version_as_of $v out of range — '$table' has " +
         s"commit versions 0..$latest")
-    // counter-vs-log integrity: rows beyond the counter mean a write
-    // crashed between its append and its counter advance — the half-commit
-    // cannot be distinguished from a complete one, so fail loudly rather
-    // than replay a state that may double-apply the interrupted batch
-    val logMax = changes.agg(max("_commit_version")).first()
-    if (!logMax.isNullAt(0) && logMax.getLong(0) > latest) throw Planner.PlanError(
-      s"load '$name': '$chTable' holds rows at version ${logMax.getLong(0)} " +
-        s"beyond the recorded counter $latest — a change-log commit was " +
-        "interrupted; full-refresh the producing write to rebuild the log")
+    assertLogIntegrity(chTable, s"load '$name'")
     val bounded = changes.filter(col("_commit_version") <= v)
     store.getMeta(chTable, "replay") match {
       case Some("append") => bounded.drop("_change_type", "_commit_version")

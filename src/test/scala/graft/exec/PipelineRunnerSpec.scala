@@ -551,6 +551,27 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(totals() == Set(("a", 16L, 3L), ("b", 1L, 1L), ("c", 7L, 1L)))
   }
 
+  test("incremental MV over a batch source is a PlanError naming the action") {
+    val (runner, _, _) = freshRunner()
+    Seq(("a", 1L)).toDF("k", "v").createOrReplaceTempView("imv_batch_src")
+    val e = intercept[graft.plan.Planner.PlanError](runner.run(
+      YamlConfig.parseFlowGroup(
+        """pipeline: p
+          |flowgroup: imvb
+          |actions:
+          |  - name: l
+          |    type: load
+          |    source: {type: table, table: imv_batch_src}
+          |    target: v_ev
+          |  - name: mv_bad
+          |    type: write
+          |    sql: "SELECT k, sum(v) AS total FROM v_ev GROUP BY k"
+          |    write_target: {type: materialized_view, table: totals_bad, mode: incremental}
+          |""".stripMargin)))
+    assert(e.getMessage.contains("mv_bad") && e.getMessage.contains("incremental"),
+      e.getMessage)
+  }
+
   test("stream-static join: SQL transform enriches a stream with a dimension") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/ssj_landing"
