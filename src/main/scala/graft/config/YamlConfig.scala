@@ -165,15 +165,21 @@ object YamlConfig {
         // `_commit_version` predicates (reference contract:
         // generators/load/delta.py:99-195). Commit TIMESTAMPS do not exist
         // in the parquet emulation — reject their spellings loudly.
+        val skipChanges = opts.get("skipChangeCommits")
+          .exists(boolOf(name, "skipChangeCommits", _))
         if (!cdf) {
           Seq("startingVersion", "startingTimestamp", "endingVersion",
-            "endingTimestamp", "skipChangeCommits").foreach { k =>
+            "endingTimestamp").foreach { k =>
             if (opts.contains(k)) throw ConfigError(
-              s"load '$name': option '$k' requires readChangeFeed " +
-                "(skipChangeCommits cannot be honored: a parquet file " +
-                "stream re-reads rewritten files — stream the __changes " +
-                "companion instead)")
+              s"load '$name': option '$k' requires readChangeFeed")
           }
+          // skipChangeCommits only affects STREAMING reads (Delta contract:
+          // a batch read serves the current state — there are no commits to
+          // skip); accepting it on batch would silently change nothing
+          if (skipChanges && readMode != "stream") throw ConfigError(
+            s"load '$name': skipChangeCommits requires readMode: stream — " +
+              "a batch read serves the current table state and has no " +
+              "change commits to skip")
         } else {
           if (opts.contains("skipChangeCommits")) throw ConfigError(
             s"load '$name': readChangeFeed and skipChangeCommits are incompatible")
@@ -211,7 +217,8 @@ object YamlConfig {
           cdfStartingVersion = if (cdf) ver("startingVersion") else None,
           cdfEndingVersion = if (cdf) ver("endingVersion") else None,
           cdfStartingTimestamp = if (cdf) opts.get("startingTimestamp") else None,
-          cdfEndingTimestamp = if (cdf) opts.get("endingTimestamp") else None)
+          cdfEndingTimestamp = if (cdf) opts.get("endingTimestamp") else None,
+          skipChangeCommits = skipChanges)
       case "sql" =>
         val sqlPath = str(src, "sql_path").orElse(str(m, "sql_path"))
         SqlLoad(name, target,

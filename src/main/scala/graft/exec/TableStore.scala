@@ -270,6 +270,30 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     }.toSeq.sortBy(_._1)
   }
 
+  /** Commit-kind sidecar (`._commit_kinds`, one `version=append|rewrite`
+    * line per commit): whether the commit was a blind append or a
+    * merge-rewrite of the target — what Delta exposes per-commit in its
+    * log, and what `skipChangeCommits` filters on. O(1) append per commit,
+    * metadata-scale like the commit-timestamp sidecar. */
+  def recordCommitKind(table: String, version: Long, kind: String): Unit = {
+    val p = Paths.get(path(table) + "._commit_kinds")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"$version=$kind\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+  }
+
+  /** (version, kind) pairs in commit order; empty when the sidecar does not
+    * exist (logs written before kinds were recorded). */
+  def commitKinds(table: String): Seq[(Long, String)] = {
+    val p = Paths.get(path(table) + "._commit_kinds")
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).linesIterator.filter(_.contains("=")).map { l =>
+      val Array(v, k) = l.split("=", 2)
+      (v.trim.toLong, k.trim)
+    }.toSeq.sortBy(_._1)
+  }
+
   /** The last committed version of a changes table (None = no sidecar and
     * no rows) — read-only peek at [[nextCommitVersion]]'s counter. */
   def currentCommitVersion(table: String): Option[Long] = {

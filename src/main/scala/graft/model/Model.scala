@@ -114,6 +114,12 @@ final case class TableLoad(
     cdfEndingVersion: Option[Long] = None,
     cdfStartingTimestamp: Option[String] = None,
     cdfEndingTimestamp: Option[String] = None,
+    /** Delta's skipChangeCommits on a STREAM read: consume only blind-append
+      * commits, dropping rows from merge-rewrite commits (GDPR updates,
+      * CDC corrections). Emulated by streaming the `__changes` companion
+      * filtered on the `._commit_kinds` sidecar — a file stream over the
+      * table directory itself would re-read rewritten files wholesale. */
+    skipChangeCommits: Boolean = false,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Seq(table)
   def hasCdfBounds: Boolean = cdfStartingVersion.isDefined || cdfEndingVersion.isDefined ||

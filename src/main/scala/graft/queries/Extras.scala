@@ -175,6 +175,97 @@ object Extras {
     runner.view("q47_tt")
   }
 
+  /** skipChangeCommits through the gate: two blind-append commits, then a
+    * CDC merge commit (a rewrite), into one change-logged table; a
+    * skipChangeCommits STREAM of the table must serve exactly the append
+    * commits' rows — not the merged state (which a naive file stream over
+    * the rewritten directory would re-read), not the merge's change rows. */
+  def q48SkipChangeCommits(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q48").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def yamlFor(view: String, cdc: String) =
+      s"""pipeline: q48
+         |flowgroup: f_$view
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: q48_t, change_log: true}
+         |$cdc""".stripMargin
+    ev.filter(col("event_id") % 3 === 0).createOrReplaceTempView("q48_b1")
+    ev.filter(col("event_id") % 3 === 1).createOrReplaceTempView("q48_b2")
+    ev.filter(col("event_id") % 3 === 2).createOrReplaceTempView("q48_b3")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q48_b1", "")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q48_b2", "")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q48_b3",
+      """    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1}
+        |""".stripMargin)))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: q48r
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    readMode: stream
+         |    source: {type: delta, table: q48_t,
+         |             options: {skipChangeCommits: "true"}}
+         |    target: v_appends
+         |  - name: w
+         |    type: write
+         |    source: v_appends
+         |    write_target: {type: streaming_table, table: q48_out}
+         |""".stripMargin))
+    store.read("q48_out")
+  }
+
+  /** SCD2 time travel through the gate (q47's type-2 sibling): two SCD2
+    * batches (split by event_id parity) merge into a change-logged table,
+    * then `version_as_of: 0` replays the HISTORY as of batch 1 — per-user
+    * version chains from even events only, consecutive duplicate tracked
+    * values collapsed, `__end_at` = next surviving version's start. */
+  def q49Scd2TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q49").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def yamlFor(view: String) =
+      s"""pipeline: q49
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: q49_dim, change_log: true}
+         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 2}
+         |""".stripMargin
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q49_b1")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q49_b2")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q49_b1")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q49_b2")))
+    runner.execute(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: q49r
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: delta, table: q49_dim, version_as_of: 0}
+         |    target: q49_tt
+         |""".stripMargin).actions.head)
+    runner.view("q49_tt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -183,7 +274,9 @@ object Extras {
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
     "q46_cdf_window" -> q46CdfWindow,
-    "q47_time_travel" -> q47TimeTravel)
+    "q47_time_travel" -> q47TimeTravel,
+    "q48_skip_change_commits" -> q48SkipChangeCommits,
+    "q49_scd2_time_travel" -> q49Scd2TimeTravel)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -243,5 +336,31 @@ object Extras {
         |  SELECT event_id, user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_id % 2 = 0)
-        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // the two append commits' rows exactly — the merge commit is skipped
+    "q48_skip_change_commits" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 3 < 2""".stripMargin,
+    // SCD2 history as of v0 = chains rebuilt from the even-event batch:
+    // per user, versions ordered by event_id; consecutive versions with
+    // identical tracked columns (event_type, value) collapse; each version
+    // closes at the next surviving version's start (null = still open)
+    "q49_scd2_time_travel" ->
+      """WITH evens AS (
+        |  SELECT event_id, user_id, event_type, value
+        |  FROM events WHERE event_id % 2 = 0),
+        |tagged AS (
+        |  SELECT *,
+        |    LAG(event_id) OVER w AS p_id,
+        |    LAG(event_type) OVER w AS p_et,
+        |    LAG(value) OVER w AS p_v
+        |  FROM evens WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |kept AS (
+        |  SELECT event_id, user_id, event_type, value FROM tagged
+        |  WHERE p_id IS NULL OR event_type IS DISTINCT FROM p_et
+        |     OR value IS DISTINCT FROM p_v)
+        |SELECT event_id, user_id, event_type, value,
+        |  event_id AS __start_at,
+        |  LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS __end_at
+        |FROM kept""".stripMargin)
 }

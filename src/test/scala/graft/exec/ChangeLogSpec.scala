@@ -248,6 +248,37 @@ class ChangeLogSpec extends SparkSuite {
            |""".stripMargin).actions.head))
     assert(e.getMessage.contains("interrupted"))
 
+    // the NEXT write to the table must also refuse: nextCommitVersion is a
+    // pure peek, so a retry after the crash would re-append the batch at
+    // the SAME version — duplicate rows that then pass every read-side
+    // check (the inverse crash window of the counter-first ordering)
+    Seq((3, "c")).toDF("id", "v").createOrReplaceTempView("ci_b3")
+    val eW = intercept[graft.plan.Planner.PlanError](runner.run(
+      YamlConfig.parseFlowGroup(appendYaml("ci_b3", "ci_t"))))
+    assert(eW.getMessage.contains("interrupted") &&
+      eW.getMessage.contains("write 'w'"), eW.getMessage)
+
+    // CDF window reads share the contract — a bounded readChangeFeed over
+    // the corrupted log is loud, not silently serving half-commit rows
+    val eCdf = intercept[graft.plan.Planner.PlanError](runner.execute(
+      YamlConfig.parseFlowGroup(
+        s"""pipeline: p3
+           |flowgroup: f3
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: delta, table: ci_t,
+           |             options: {readChangeFeed: "true", startingVersion: "0"}}
+           |    target: cdf_v
+           |""".stripMargin).actions.head))
+    assert(eCdf.getMessage.contains("interrupted"), eCdf.getMessage)
+
+    // restoring the counter heals every path: reads and the next write work
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store.path("ci_t__changes") + "._version"), "1")
+    runner.run(YamlConfig.parseFlowGroup(appendYaml("ci_b3", "ci_t")))
+    assert(store.currentCommitVersion("ci_t__changes").contains(2L))
+
     // CDC column names carrying replay-sidecar separators are rejected at
     // write time — they would round-trip into different merge options
     Seq((1, 1L, "a")).toDF("k,x", "seq", "v").createOrReplaceTempView("ci_sep")
@@ -340,5 +371,107 @@ class ChangeLogSpec extends SparkSuite {
     // version bounds still work on the same log (they never touch the sidecar)
     assert(loadWith("version_as_of: 1", "tt_ver")
       .select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("skipChangeCommits streams only blind-append commits; guards are loud") {
+    val dir = Files.createTempDirectory("graft-skip").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    def writeYaml(view: String, table: String, cdc: String = "") =
+      s"""pipeline: p
+         |flowgroup: f_$view
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: $table, change_log: true}
+         |$cdc""".stripMargin
+    // commits: v0 append, v1 append, v2 CDC merge (rewrite)
+    Seq((1, 10L, "a")).toDF("k", "seq", "v").createOrReplaceTempView("sk_b1")
+    Seq((2, 20L, "b")).toDF("k", "seq", "v").createOrReplaceTempView("sk_b2")
+    Seq((1, 30L, "A")).toDF("k", "seq", "v").createOrReplaceTempView("sk_b3")
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("sk_b1", "sk_t")))
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("sk_b2", "sk_t")))
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("sk_b3", "sk_t",
+      """    cdc_config: {keys: [k], sequence_by: seq, scd_type: 1}
+        |""".stripMargin)))
+    assert(store.commitKinds("sk_t__changes") ==
+      Seq((0L, "append"), (1L, "append"), (2L, "rewrite")))
+    // the skip stream serves the two append batches — NOT the merged table
+    // state (k=1 now carries "A" there) and NOT the merge's change rows
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p2
+         |flowgroup: f2
+         |actions:
+         |  - name: l
+         |    type: load
+         |    readMode: stream
+         |    source: {type: delta, table: sk_t,
+         |             options: {skipChangeCommits: "true"}}
+         |    target: v_app
+         |  - name: w
+         |    type: write
+         |    source: v_app
+         |    write_target: {type: streaming_table, table: sk_out}
+         |""".stripMargin))
+    assert(store.read("sk_out").select("k", "seq", "v").as[(Int, Long, String)]
+      .collect().toSet == Set((1, 10L, "a"), (2, 20L, "b")))
+
+    // guards: batch mode is a parse error; a table without a change log is
+    // a PlanError; readChangeFeed + skipChangeCommits stays incompatible
+    val eBatch = intercept[YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: delta, table: sk_t, options: {skipChangeCommits: "true"}}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, table: out}
+        |""".stripMargin))
+    assert(eBatch.msg.contains("readMode: stream"), eBatch.msg)
+    store.overwrite("sk_plain", Seq((1, "x")).toDF("id", "v"))
+    val eNoLog = intercept[graft.plan.Planner.PlanError](runner.execute(
+      YamlConfig.parseFlowGroup(
+        """pipeline: p
+          |flowgroup: f3
+          |actions:
+          |  - name: l
+          |    type: load
+          |    readMode: stream
+          |    source: {type: delta, table: sk_plain, options: {skipChangeCommits: "true"}}
+          |    target: v
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target: {type: streaming_table, table: out}
+          |""".stripMargin).actions.head))
+    assert(eNoLog.getMessage.contains("change_log"), eNoLog.getMessage)
+    // a log predating kind recording cannot be skip-filtered — loud
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      store.path("sk_t__changes") + "._commit_kinds"))
+    val ePartial = intercept[graft.plan.Planner.PlanError](runner.execute(
+      YamlConfig.parseFlowGroup(
+        """pipeline: p
+          |flowgroup: f4
+          |actions:
+          |  - name: l
+          |    type: load
+          |    readMode: stream
+          |    source: {type: delta, table: sk_t, options: {skipChangeCommits: "true"}}
+          |    target: v
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target: {type: streaming_table, table: out}
+          |""".stripMargin).actions.head))
+    assert(ePartial.getMessage.contains("commit-kind"), ePartial.getMessage)
   }
 }
