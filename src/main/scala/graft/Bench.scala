@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cannot lie about a broken query (BenchSpec pins this). */
 object Bench {
 
-  final case class Result(json: String, errors: Map[String, String])
+  final case class Result(json: String, compact: String, errors: Map[String, String])
 
   def run(spark: SparkSession, sfDir: String, iters: Int,
       queries: Map[String, (SparkSession, String) => DataFrame],
@@ -66,8 +66,22 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // Compact line: the driver's artifact keeps only the LAST ~2 KB of
+    // output (BENCH_r07/r08 each lost the alphabetically-first 40 queries
+    // of the full line, making them invisible cross-round), so a second,
+    // self-contained line small enough to survive whole is printed LAST.
+    // Centisecond medians (bench drift is ±5 s — 10 ms is noise floor),
+    // basename sf, no per-iteration arrays. ~25 bytes/query: the full
+    // 76-query suite fits with headroom.
+    def r2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsCompact = medians.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val errCompact = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     Result(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact$errCompact,"sf":"$sfName"}""",
       errors.toMap)
   }
 
@@ -92,6 +106,9 @@ object Bench {
       sys.env.get("SPARK_GRAFT_FILTER"))
     println(result.json)
     spark.stop()
+    // LAST line out (after Spark's shutdown noise): the compact medians
+    // map — the only line guaranteed to survive the driver's tail capture
+    println(result.compact)
     if (result.errors.nonEmpty) {
       System.err.println(
         s"bench FAILED: ${result.errors.size} queries errored: ${result.errors.keys.mkString(", ")}")

@@ -23,4 +23,28 @@ class BenchSpec extends SparkSuite {
     assert(r.errors.isEmpty)
     assert(r.json.contains(""""errors":{}"""))
   }
+
+  test("compact line: centisecond medians, short sf, errors only when present") {
+    val r = Bench.run(spark, sf0001, iters = 1,
+      queries = Map("ok" -> ((s, _) => s.range(3).toDF())))
+    assert(r.compact.matches(
+      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
+      r.compact)
+    val broken = Bench.run(spark, sf0001, iters = 1, queries = Map(
+      "ok" -> ((s, _) => s.range(3).toDF()),
+      "broken" -> ((s, _) => s.range(3).select(col("no_such_column")))))
+    assert(broken.compact.contains(""""errors":{"broken":"""), broken.compact)
+  }
+
+  test("compact line for the FULL suite fits the driver's ~2 KB tail capture") {
+    // the whole point of the compact line is surviving truncation whole;
+    // ~25 bytes/query ("name":12.34,) + ~100 frame must stay under the
+    // 2048-byte window minus sbt's "[info] " prefix and trailing success
+    // line (~90 bytes). Adding queries with long names trips this EARLY,
+    // at spec time, not two rounds later in a silently-truncated artifact.
+    val perQuery = SparkEntry.queries.keys.map(_.length + 10).sum
+    assert(perQuery + 100 < 1950,
+      s"compact bench line projected at ${perQuery + 100} bytes — over the " +
+        "tail-capture budget; shorten new query names")
+  }
 }
