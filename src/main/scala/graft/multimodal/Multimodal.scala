@@ -160,12 +160,109 @@ object Multimodal {
     }
   }
 
-  /** Default kernel dispatch: WAV magic → [[WavDecoder]], anything else →
-    * [[ImageIoDecoder]] (which itself degrades to the stub). Dispatch is by
-    * CONTENT magic, not MIME — corpus MIME labels lie. */
+  /** ID3v2 tag length (0 when absent): "ID3" + version(2) + flags(1) +
+    * 4-byte SYNCSAFE size (7 bits per byte — a raw 32-bit read would
+    * overshoot into audio data). MP3 files almost always carry one; FLAC
+    * files occasionally do. */
+  private def id3Skip(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+        (b(6) & 0x80) == 0 && (b(7) & 0x80) == 0 &&
+        (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0)
+      10 + ((b(6) & 0x7F) << 21 | (b(7) & 0x7F) << 14 |
+        (b(8) & 0x7F) << 7 | (b(9) & 0x7F))
+    else 0
+
+  /** Real FLAC kernel: the mandatory first metadata block is STREAMINFO
+    * (34 bytes), whose bytes 10..17 are one big-endian 64-bit group —
+    * 20-bit sample rate, 3-bit channels-1, 5-bit bits-per-sample-1, 36-bit
+    * total samples — so duration is exact, not estimated. Header-only, no
+    * frame data touched; structural violations fall back to the stub like
+    * every kernel. */
+  object FlacDecoder extends Decoder {
+    def claims(bytes: Array[Byte]): Boolean = {
+      val o = id3Skip(bytes)
+      bytes.length >= o + 4 && bytes(o) == 'f' && bytes(o + 1) == 'L' &&
+        bytes(o + 2) == 'a' && bytes(o + 3) == 'C'
+    }
+
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
+      val o = id3Skip(bytes)
+      // magic(4) + block header(4) + STREAMINFO(34)
+      if (!claims(bytes) || bytes.length < o + 4 + 4 + 34)
+        return StubDecoder.decode(mime, bytes)
+      val blockType = bytes(o + 4) & 0x7F // bit 7 = last-block flag
+      val blockLen = ((bytes(o + 5) & 0xFF) << 16) |
+        ((bytes(o + 6) & 0xFF) << 8) | (bytes(o + 7) & 0xFF)
+      if (blockType != 0 || blockLen < 34) return StubDecoder.decode(mime, bytes)
+      val si = o + 8 // STREAMINFO start
+      var g = 0L // the 64-bit sr/ch/bps/samples group at STREAMINFO+10
+      var i = 0
+      while (i < 8) { g = (g << 8) | (bytes(si + 10 + i) & 0xFFL); i += 1 }
+      val sampleRate = (g >>> 44).toInt
+      val channels = ((g >>> 41) & 0x7).toInt + 1
+      val totalSamples = g & 0xFFFFFFFFFL // 36 bits
+      if (sampleRate <= 0) return StubDecoder.decode(mime, bytes)
+      Decoded(0, 0, channels, sampleRate,
+        totalSamples * 1000L / sampleRate, decoder = "flac")
+    }
+  }
+
+  /** Real MP3 kernel: skip any ID3v2 tag, then parse the first MPEG audio
+    * frame header (4 bytes big-endian): version, layer, bitrate index,
+    * sample-rate index, channel mode. Duration is the CBR estimate
+    * `audio_bytes * 8 / bitrate` — exact for constant-bitrate files, an
+    * approximation for VBR (parsing every frame would defeat the
+    * header-only contract). Claims only a VALID Layer III header — the
+    * 11-bit sync alone would false-positive on arbitrary binary. */
+  object Mp3Decoder extends Decoder {
+    private val BitrateV1L3 = // kbps, index 1..14 (0 = free, 15 = bad)
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val BitrateV2L3 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val SampleRates = Map( // version bits -> rates by index
+      3 -> Array(44100, 48000, 32000), // MPEG1
+      2 -> Array(22050, 24000, 16000), // MPEG2
+      0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+    private def header(b: Array[Byte], o: Int): Option[(Int, Int, Int)] = {
+      // returns (sampleRate, channels, bitrateBps) for a valid L3 header
+      if (b.length < o + 4) return None
+      if ((b(o) & 0xFF) != 0xFF || (b(o + 1) & 0xE0) != 0xE0) return None
+      val version = (b(o + 1) >> 3) & 0x3
+      val layer = (b(o + 1) >> 1) & 0x3
+      if (version == 1 || layer != 1) return None // reserved version / not Layer III
+      val brIdx = (b(o + 2) >> 4) & 0xF
+      val srIdx = (b(o + 2) >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val sr = SampleRates(version)(srIdx)
+      val kbps = (if (version == 3) BitrateV1L3 else BitrateV2L3)(brIdx)
+      val channels = if (((b(o + 3) >> 6) & 0x3) == 3) 1 else 2
+      Some((sr, channels, kbps * 1000))
+    }
+
+    def claims(bytes: Array[Byte]): Boolean =
+      header(bytes, id3Skip(bytes)).isDefined
+
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
+      val o = id3Skip(bytes)
+      header(bytes, o) match {
+        case None => StubDecoder.decode(mime, bytes)
+        case Some((sr, ch, bps)) =>
+          Decoded(0, 0, ch, sr,
+            (bytes.length - o).toLong * 8000L / bps, decoder = "mp3")
+      }
+    }
+  }
+
+  /** Default kernel dispatch: audio magics (WAV, FLAC, valid MP3 frame) →
+    * their header kernels, anything else → [[ImageIoDecoder]] (which itself
+    * degrades to the stub). Dispatch is by CONTENT magic, not MIME —
+    * corpus MIME labels lie. */
   object AutoDecoder extends Decoder {
     def decode(mime: String, bytes: Array[Byte]): Decoded =
       if (WavDecoder.claims(bytes)) WavDecoder.decode(mime, bytes)
+      else if (FlacDecoder.claims(bytes)) FlacDecoder.decode(mime, bytes)
+      else if (Mp3Decoder.claims(bytes)) Mp3Decoder.decode(mime, bytes)
       else ImageIoDecoder.decode(mime, bytes)
   }
 

@@ -93,6 +93,91 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.WavDecoder.decode("audio/wav", bad).decoder == "stub")
   }
 
+  // Real FLAC container bytes built to spec: "fLaC" magic + a STREAMINFO
+  // metadata block (type 0, 34 bytes) whose bytes 10..17 pack the
+  // big-endian 20-bit sample rate / 3-bit channels-1 / 5-bit bps-1 /
+  // 36-bit total-samples group. No JDK FLAC encoder exists; the layout is
+  // the published STREAMINFO spec.
+  private def encodeFlacHeader(sampleRate: Int, channels: Int,
+      totalSamples: Long, id3: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3) bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 2, 0, 0)) // 2-byte tag body
+    bos.write(Array[Byte]('f', 'L', 'a', 'C'))
+    bos.write(Array[Byte](0x80.toByte, 0, 0, 34)) // last-block | STREAMINFO, len 34
+    val si = new Array[Byte](34)
+    val g = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) | totalSamples // bps 16
+    (0 until 8).foreach(i => si(10 + i) = ((g >>> (8 * (7 - i))) & 0xFF).toByte)
+    bos.write(si)
+    bos.toByteArray
+  }
+
+  // Real MPEG-1 Layer III frame header bytes: sync + version/layer, then
+  // bitrate index / sample-rate index / channel mode, followed by payload.
+  private def encodeMp3(kbps: Int, sampleRate: Int, stereo: Boolean,
+      payloadBytes: Int, id3Body: Int = 0): Array[Byte] = {
+    val brIdx = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      .indexOf(kbps)
+    val srIdx = Seq(44100, 48000, 32000).indexOf(sampleRate)
+    require(brIdx > 0 && srIdx >= 0, "test fixture: unsupported rate")
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Body > 0) {
+      bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      bos.write(Array[Byte](((id3Body >> 21) & 0x7F).toByte, ((id3Body >> 14) & 0x7F).toByte,
+        ((id3Body >> 7) & 0x7F).toByte, (id3Body & 0x7F).toByte))
+      bos.write(new Array[Byte](id3Body))
+    }
+    bos.write(Array[Byte](0xFF.toByte, 0xFB.toByte, // MPEG1 Layer III, no CRC
+      ((brIdx << 4) | (srIdx << 2)).toByte,
+      (if (stereo) 0x00 else 0xC0).toByte))
+    bos.write(new Array[Byte](payloadBytes))
+    bos.toByteArray
+  }
+
+  test("FlacDecoder reads exact rate/channels/duration from STREAMINFO") {
+    val flac = encodeFlacHeader(44100, 2, 88200L) // exactly 2 s
+    val d = Multimodal.FlacDecoder.decode("audio/flac", flac)
+    assert((d.channels, d.sampleRate, d.durationMs, d.decoder)
+      == ((2, 44100, 2000L, "flac")))
+    // an ID3v2-prefixed flac still claims and decodes
+    val tagged = encodeFlacHeader(96000, 1, 48000L, id3 = true)
+    val t = Multimodal.FlacDecoder.decode("audio/flac", tagged)
+    assert((t.channels, t.sampleRate, t.durationMs, t.decoder)
+      == ((1, 96000, 500L, "flac")))
+    // a non-STREAMINFO first block is a structural violation → stub
+    val bad = flac.clone(); bad(4) = 0x84.toByte // type 4 (VORBIS_COMMENT)
+    assert(Multimodal.FlacDecoder.decode("audio/flac", bad).decoder == "stub")
+  }
+
+  test("Mp3Decoder parses the frame header; duration is the CBR estimate") {
+    // 128 kbps = 16000 bytes/s; 32000 payload bytes + 4 header ≈ 2002 ms
+    val mp3 = encodeMp3(128, 44100, stereo = true, payloadBytes = 32000 - 4)
+    val d = Multimodal.Mp3Decoder.decode("audio/mpeg", mp3)
+    assert((d.channels, d.sampleRate, d.durationMs, d.decoder)
+      == ((2, 44100, 2000L, "mp3")))
+    // ID3 tag bytes are excluded from the estimate; mono detected
+    val tagged = encodeMp3(64, 32000, stereo = false, payloadBytes = 8000 - 4,
+      id3Body = 500)
+    val t = Multimodal.Mp3Decoder.decode("audio/mpeg", tagged)
+    assert((t.channels, t.sampleRate, t.durationMs, t.decoder)
+      == ((1, 32000, 1000L, "mp3")))
+    // a reserved bitrate index (1111) or bare sync on garbage do not claim
+    val badBr = mp3.clone(); badBr(2) = 0xF0.toByte
+    assert(!Multimodal.Mp3Decoder.claims(badBr))
+    assert(Multimodal.Mp3Decoder.decode("audio/mpeg", badBr).decoder == "stub")
+  }
+
+  test("AutoDecoder dispatches flac and mp3 by content magic") {
+    val flac = encodeFlacHeader(22050, 1, 22050L)
+    assert(Multimodal.AutoDecoder.decode("application/octet-stream", flac).decoder == "flac")
+    val mp3 = encodeMp3(128, 44100, stereo = true, payloadBytes = 100)
+    assert(Multimodal.AutoDecoder.decode("application/octet-stream", mp3).decoder == "mp3")
+    // WAV still wins for RIFF bytes; garbage still degrades to the stub
+    assert(Multimodal.AutoDecoder.decode("x", encodeWav(8000, 1, 0.1)).decoder == "wav")
+    assert(Multimodal.AutoDecoder.decode("x",
+      "not audio at all".getBytes("UTF-8")).decoder == "stub")
+  }
+
   test("real kernels fall back to the stub for unclaimed payloads") {
     val garbage = "definitely not an image".getBytes("UTF-8")
     assert(Multimodal.ImageIoDecoder.decode("image/fake", garbage)
