@@ -77,7 +77,11 @@ object Bench {
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qsCompact = medians.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val errCompact = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    // error NAMES only — full messages (300 chars each) could blow the very
+    // tail budget this line exists to fit; detail lives in the full line
+    // and the non-zero exit
+    val errCompact = if (errors.isEmpty) ""
+      else errors.keys.map(jstr).mkString(""","errors":[""", ",", "]")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     Result(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"sf":"$sfDir"}""",

@@ -123,6 +123,13 @@ object SchemaTransformParser {
         declared += name
         casts(name) = tpe
       case PassPat(name) =>
+        // pass-throughs share the duplicate/contradiction contract of the
+        // arrow lines: a column consumed by a rename no longer exists to
+        // pass through, and re-declaring an output is ambiguous
+        if (sourcesSeen.contains(name)) throw ConfigError(
+          s"schema transform: '$name' was renamed above — it cannot also pass through")
+        if (declared.contains(name)) throw ConfigError(
+          s"schema transform: column '$name' is declared more than once")
         declared += name
       case bad => throw ConfigError(
         s"schema transform: unparseable column definition '$bad' — expected " +

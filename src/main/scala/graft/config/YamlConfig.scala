@@ -271,7 +271,10 @@ object YamlConfig {
         // A schema transform with NO definition is a silent no-op — loud.
         val inline = str(m, "schema_inline")
         val file = str(m, "schema_file")
-        val nested = m.get("schema").map(asMap)
+        // a bare `schema:` key (null value — e.g. an indentation error
+        // swallowed its children) or an empty map is NOT a definition; it
+        // must fall through to the loud no-definition error below
+        val nested = m.get("schema").map(asMap).filter(_.nonEmpty)
         if (Seq(inline, file, nested).count(_.isDefined) > 1) throw ConfigError(
           s"schema transform '$name': schema_inline, schema_file and schema: " +
             "are mutually exclusive — use one")
@@ -311,11 +314,21 @@ object YamlConfig {
         // this engine's pre-existing alias.
         val qm = asMap(m.getOrElse("quarantine", new java.util.HashMap[String, Any]()))
         val quarantineTable = str(qm, "dlq_table").orElse(str(qm, "table"))
+        // a quarantine block without its DLQ table would silently downgrade
+        // to plain dqe (source_table alone names no destination)
+        if (qm.nonEmpty && quarantineTable.isEmpty) throw ConfigError(
+          s"data_quality '$name': quarantine config is missing 'dlq_table'")
         str(m, "mode").foreach {
           case "quarantine" => if (quarantineTable.isEmpty) throw ConfigError(
             s"data_quality '$name': mode: quarantine requires a " +
               "quarantine: {dlq_table: ...} configuration")
-          case "dqe" => ()
+          case "dqe" =>
+            // the runner routes on the quarantine config's presence — an
+            // explicit dqe mode alongside one is a contradiction, not a
+            // silent DLQ write the user opted out of
+            if (quarantineTable.isDefined) throw ConfigError(
+              s"data_quality '$name': mode: dqe contradicts the quarantine: " +
+                "config — drop one")
           case other => throw ConfigError(
             s"data_quality '$name': unknown mode '$other' (dqe | quarantine)")
         }

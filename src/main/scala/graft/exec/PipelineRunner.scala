@@ -757,12 +757,19 @@ final class PipelineRunner(
     // before any rows land in the log
     val spec = replaySpec(mergeOpts)
     val version = store.nextCommitVersion(chTable, "_commit_version")
-    // write-path integrity: if a previous commit crashed between append and
+    // Write-path integrity: if a previous commit crashed between append and
     // counter advance, nextCommitVersion (a pure peek) returns the SAME
     // version — re-appending would land the interrupted batch's rows twice
-    // at one version, which then passes every read-side check. Probe before
-    // touching the log; the read-side checks catch logs already corrupted.
-    assertLogIntegrity(chTable, s"write '${a.name}'")
+    // at one version, which then passes every read-side check. A full-log
+    // probe per microbatch would be O(log size) on the hot append path, so
+    // the trigger is an O(1) intent marker instead: set before the append,
+    // cleared after the commit completes — it survives IFF a commit was
+    // interrupted, and only then does the (expensive, pushdown-pruned)
+    // orphan probe run. A crash BEFORE the append leaves the marker but no
+    // rows; the probe finds the log clean and the write proceeds.
+    if (store.getMeta(chTable, "commit_intent").isDefined)
+      assertLogIntegrity(chTable, s"write '${a.name}'")
+    store.setMeta(chTable, "commit_intent", version.toString)
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
     store.append(chTable, batch
       .withColumn("_change_type",
@@ -789,6 +796,11 @@ final class PipelineRunner(
     // "mixed" (sticky: "none" from a truncate config also never upgrades)
     val prior = store.getMeta(chTable, "replay")
     store.setMeta(chTable, "replay", if (prior.exists(_ != spec)) "mixed" else spec)
+    // commit complete — clear the intent marker LAST (a crash among the
+    // sidecar writes above leaves the marker; the next write's probe then
+    // finds the log clean, and partial ts/kind sidecar coverage is caught
+    // loudly by their own readers)
+    store.deleteMeta(chTable, "commit_intent")
   }
 
   /** How `<table>__changes` replays into a point-in-time state:
@@ -889,6 +901,10 @@ final class PipelineRunner(
     * healthy log. */
   private def assertLogIntegrity(chTable: String, who: String): Unit =
     store.readIfExists(chTable).foreach { changes =>
+      // a table that merely has a `__changes`-suffixed NAME (no guard
+      // forbids one) is not a change log — probing it would crash on the
+      // missing column with a raw AnalysisException
+      if (!changes.columns.contains("_commit_version")) return
       val latest = store.currentCommitVersion(chTable).getOrElse(-1L)
       val orphaned = !changes.filter(col("_commit_version") > latest).isEmpty
       if (orphaned) throw Planner.PlanError(

@@ -246,53 +246,53 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     Files.writeString(p, value): Unit
   }
 
-  /** Commit-timestamp sidecar (`._commit_ts`, one `version=epochMillis`
-    * line per commit): the basis of TIMESTAMP time travel and timestamp
-    * CDF bounds — Delta records these in its log; the parquet emulation
-    * records them here. O(1) append per commit. */
-  def recordCommitTimestamp(table: String, version: Long,
-      epochMillis: Long = System.currentTimeMillis()): Unit = {
-    val p = Paths.get(path(table) + "._commit_ts")
+  def deleteMeta(table: String, key: String): Unit =
+    Files.deleteIfExists(Paths.get(path(table) + s"._$key")): Unit
+
+  /** Per-commit `version=value` line sidecars share one append/parse pair —
+    * a torn-line or encoding fix must land on every commit sidecar at once,
+    * not drift between copies. O(1) append per commit, metadata-scale. */
+  private def appendCommitLine(table: String, suffix: String,
+      version: Long, value: String): Unit = {
+    val p = Paths.get(path(table) + suffix)
     Files.createDirectories(p.getParent)
-    Files.writeString(p, s"$version=$epochMillis\n",
+    Files.writeString(p, s"$version=$value\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND): Unit
   }
+
+  private def commitLines(table: String, suffix: String): Seq[(Long, String)] = {
+    val p = Paths.get(path(table) + suffix)
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).linesIterator.filter(_.contains("=")).map { l =>
+      val Array(v, value) = l.split("=", 2)
+      (v.trim.toLong, value.trim)
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Commit-timestamp sidecar (`._commit_ts`): the basis of TIMESTAMP time
+    * travel and timestamp CDF bounds — Delta records these in its log; the
+    * parquet emulation records them here. */
+  def recordCommitTimestamp(table: String, version: Long,
+      epochMillis: Long = System.currentTimeMillis()): Unit =
+    appendCommitLine(table, "._commit_ts", version, epochMillis.toString)
 
   /** (version, epochMillis) pairs in commit order; empty when the sidecar
     * does not exist (tables written before timestamps were recorded). */
-  def commitTimestamps(table: String): Seq[(Long, Long)] = {
-    val p = Paths.get(path(table) + "._commit_ts")
-    if (!Files.exists(p)) Nil
-    else Files.readString(p).linesIterator.filter(_.contains("=")).map { l =>
-      val Array(v, ts) = l.split("=", 2)
-      (v.trim.toLong, ts.trim.toLong)
-    }.toSeq.sortBy(_._1)
-  }
+  def commitTimestamps(table: String): Seq[(Long, Long)] =
+    commitLines(table, "._commit_ts").map { case (v, ts) => (v, ts.toLong) }
 
-  /** Commit-kind sidecar (`._commit_kinds`, one `version=append|rewrite`
-    * line per commit): whether the commit was a blind append or a
-    * merge-rewrite of the target — what Delta exposes per-commit in its
-    * log, and what `skipChangeCommits` filters on. O(1) append per commit,
-    * metadata-scale like the commit-timestamp sidecar. */
-  def recordCommitKind(table: String, version: Long, kind: String): Unit = {
-    val p = Paths.get(path(table) + "._commit_kinds")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, s"$version=$kind\n",
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND): Unit
-  }
+  /** Commit-kind sidecar (`._commit_kinds`, `append` or `rewrite` per
+    * version): whether the commit was a blind append or a merge-rewrite of
+    * the target — what Delta exposes per-commit in its log, and what
+    * `skipChangeCommits` filters on. */
+  def recordCommitKind(table: String, version: Long, kind: String): Unit =
+    appendCommitLine(table, "._commit_kinds", version, kind)
 
   /** (version, kind) pairs in commit order; empty when the sidecar does not
     * exist (logs written before kinds were recorded). */
-  def commitKinds(table: String): Seq[(Long, String)] = {
-    val p = Paths.get(path(table) + "._commit_kinds")
-    if (!Files.exists(p)) Nil
-    else Files.readString(p).linesIterator.filter(_.contains("=")).map { l =>
-      val Array(v, k) = l.split("=", 2)
-      (v.trim.toLong, k.trim)
-    }.toSeq.sortBy(_._1)
-  }
+  def commitKinds(table: String): Seq[(Long, String)] =
+    commitLines(table, "._commit_kinds")
 
   /** The last committed version of a changes table (None = no sidecar and
     * no rows) — read-only peek at [[nextCommitVersion]]'s counter. */

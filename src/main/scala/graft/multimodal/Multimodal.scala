@@ -162,14 +162,16 @@ object Multimodal {
 
   /** ID3v2 tag length (0 when absent): "ID3" + version(2) + flags(1) +
     * 4-byte SYNCSAFE size (7 bits per byte — a raw 32-bit read would
-    * overshoot into audio data). MP3 files almost always carry one; FLAC
-    * files occasionally do. */
+    * overshoot into audio data), plus 10 more when the v2.4 footer flag
+    * (0x10) is set — the declared size excludes both header and footer.
+    * MP3 files almost always carry one; FLAC files occasionally do. */
   private def id3Skip(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
         (b(6) & 0x80) == 0 && (b(7) & 0x80) == 0 &&
         (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0)
       10 + ((b(6) & 0x7F) << 21 | (b(7) & 0x7F) << 14 |
-        (b(8) & 0x7F) << 7 | (b(9) & 0x7F))
+        (b(8) & 0x7F) << 7 | (b(9) & 0x7F)) +
+        (if ((b(5) & 0x10) != 0) 10 else 0)
     else 0
 
   /** Real FLAC kernel: the mandatory first metadata block is STREAMINFO

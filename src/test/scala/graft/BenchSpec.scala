@@ -30,10 +30,12 @@ class BenchSpec extends SparkSuite {
     assert(r.compact.matches(
       """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
       r.compact)
+    // error NAMES only in the compact line — a 300-char message per failed
+    // query would blow the tail budget the line exists to fit
     val broken = Bench.run(spark, sf0001, iters = 1, queries = Map(
       "ok" -> ((s, _) => s.range(3).toDF()),
       "broken" -> ((s, _) => s.range(3).select(col("no_such_column")))))
-    assert(broken.compact.contains(""""errors":{"broken":"""), broken.compact)
+    assert(broken.compact.contains(""""errors":["broken"]"""), broken.compact)
   }
 
   test("compact line for the FULL suite fits the driver's ~2 KB tail capture") {

@@ -200,6 +200,18 @@ class ActionFieldsSpec extends SparkSuite {
     // no definition at all — a silent no-op transform is the bug class
     val none = intercept[YamlConfig.ConfigError](schemaFg("    enforcement: strict"))
     assert(none.msg.contains("no schema definition"), none.msg)
+    // a bare `schema:` key (indentation error swallowed its children) is
+    // NOT a definition — it must not slip past as an empty no-op spec
+    val bare = intercept[YamlConfig.ConfigError](schemaFg("    schema:"))
+    assert(bare.msg.contains("no schema definition"), bare.msg)
+    // a renamed column cannot also pass through (it no longer exists)
+    val passDup = intercept[YamlConfig.ConfigError](schemaFg(
+      """    schema_inline: |
+        |      columns:
+        |        - "a -> b"
+        |        - "a"
+        |""".stripMargin))
+    assert(passDup.msg.contains("pass through"), passDup.msg)
     // inline + file together
     val both = intercept[YamlConfig.ConfigError](schemaFg(
       """    schema_inline: "a: INT"
@@ -300,6 +312,16 @@ class ActionFieldsSpec extends SparkSuite {
     assert(e.msg.contains("quarantine"), e.msg)
     val bad = intercept[YamlConfig.ConfigError](dq("    mode: dlq"))
     assert(bad.msg.contains("dlq"), bad.msg)
+    // an explicit dqe mode CONTRADICTING a quarantine config is loud — the
+    // runner routes on the config's presence, so accepting both would DLQ
+    // rows the user explicitly opted out of
+    val contra = intercept[YamlConfig.ConfigError](dq(
+      "    mode: dqe\n    quarantine: {dlq_table: d}"))
+    assert(contra.msg.contains("contradicts"), contra.msg)
+    // a quarantine block with no DLQ table is loud, not a silent downgrade
+    val noDlq = intercept[YamlConfig.ConfigError](dq(
+      "    quarantine: {source_table: s}"))
+    assert(noDlq.msg.contains("dlq_table"), noDlq.msg)
     // mode: quarantine with the REFERENCE spelling (dlq_table + source_table,
     // models/_quarantine.py) parses into a quarantine transform with the
     // tagging identity — not a silent dqe downgrade

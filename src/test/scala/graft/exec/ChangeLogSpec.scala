@@ -251,7 +251,10 @@ class ChangeLogSpec extends SparkSuite {
     // the NEXT write to the table must also refuse: nextCommitVersion is a
     // pure peek, so a retry after the crash would re-append the batch at
     // the SAME version — duplicate rows that then pass every read-side
-    // check (the inverse crash window of the counter-first ordering)
+    // check (the inverse crash window of the counter-first ordering). The
+    // real crash leaves the commit-intent marker set (it clears only after
+    // a completed commit), which is what arms the write-path probe.
+    store.setMeta("ci_t__changes", "commit_intent", "1")
     Seq((3, "c")).toDF("id", "v").createOrReplaceTempView("ci_b3")
     val eW = intercept[graft.plan.Planner.PlanError](runner.run(
       YamlConfig.parseFlowGroup(appendYaml("ci_b3", "ci_t"))))
@@ -273,11 +276,14 @@ class ChangeLogSpec extends SparkSuite {
            |""".stripMargin).actions.head))
     assert(eCdf.getMessage.contains("interrupted"), eCdf.getMessage)
 
-    // restoring the counter heals every path: reads and the next write work
+    // restoring the counter heals every path: the armed probe finds the
+    // log clean, the write proceeds, and the completed commit clears the
+    // intent marker
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(store.path("ci_t__changes") + "._version"), "1")
     runner.run(YamlConfig.parseFlowGroup(appendYaml("ci_b3", "ci_t")))
     assert(store.currentCommitVersion("ci_t__changes").contains(2L))
+    assert(store.getMeta("ci_t__changes", "commit_intent").isEmpty)
 
     // CDC column names carrying replay-sidecar separators are rejected at
     // write time — they would round-trip into different merge options
@@ -454,6 +460,24 @@ class ChangeLogSpec extends SparkSuite {
           |    write_target: {type: streaming_table, table: out}
           |""".stripMargin).actions.head))
     assert(eNoLog.getMessage.contains("change_log"), eNoLog.getMessage)
+    // a table that merely has a `__changes`-suffixed NAME is not a change
+    // log: loading it back must serve rows, not crash probing a
+    // _commit_version column it does not have
+    store.overwrite("named__changes", Seq((1, "x")).toDF("id", "v"))
+    runner.execute(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f5
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: named__changes}
+        |    target: v_named
+        |  - name: w
+        |    type: write
+        |    source: v_named
+        |    write_target: {type: streaming_table, table: out}
+        |""".stripMargin).actions.head)
+    assert(runner.view("v_named").count() == 1)
     // a log predating kind recording cannot be skip-filtered — loud
     java.nio.file.Files.delete(java.nio.file.Paths.get(
       store.path("sk_t__changes") + "._commit_kinds"))

@@ -165,6 +165,14 @@ class MultimodalSpec extends SparkSuite {
     val badBr = mp3.clone(); badBr(2) = 0xF0.toByte
     assert(!Multimodal.Mp3Decoder.claims(badBr))
     assert(Multimodal.Mp3Decoder.decode("audio/mpeg", badBr).decoder == "stub")
+    // an ID3v2.4 tag with the FOOTER flag set (0x10): audio starts 10 bytes
+    // later than the declared size — the offset must account for it
+    val footered = encodeMp3(128, 44100, stereo = true, payloadBytes = 16000 - 4,
+      id3Body = 100)
+    footered(5) = 0x10.toByte // set footer flag on the crafted tag
+    val withFooter = footered.patch(110, new Array[Byte](10), 0) // insert footer
+    val f = Multimodal.Mp3Decoder.decode("audio/mpeg", withFooter)
+    assert((f.sampleRate, f.durationMs, f.decoder) == ((44100, 1000L, "mp3")), f)
   }
 
   test("AutoDecoder dispatches flac and mp3 by content magic") {
