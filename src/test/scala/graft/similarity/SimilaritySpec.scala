@@ -34,6 +34,7 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("trained KMeans codebook vs sampled baseline, leakage-free queries") {
+    val pairs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     for (dir <- Seq(sf0001, "/root/testdata/sf0.01");
          probe <- Seq(2, 4)) {
       val e = Tables.load(spark, dir, "embeddings")
@@ -49,18 +50,24 @@ class SimilaritySpec extends SparkSuite {
       val trained = recall(Similarity.trainCentroids(e, "embedding", nCells = 16))
       val sampled = recall(Similarity.sampledCentroids(e, "vec_id", "embedding", nCells = 16))
       info(s"$dir nProbe=$probe/16: trained=$trained sampled=$sampled")
-      // the trained codebook must actually be worth its training cost:
-      // not meaningfully worse than the zero-training baseline, and above
-      // an absolute floor — garbage centroids (a broken trainCentroids)
-      // recall at or below the random-cell rate nProbe/nCells and fail
-      // both asserts. KMeans is partition-order nondeterministic (observed
-      // trained recall 0.47-0.68), so allow a small tolerance rather than
-      // flaking on a run that dips just below the baseline.
-      assert(trained >= sampled - 0.05,
-        s"$dir nProbe=$probe: trained codebook recall $trained below sampled baseline $sampled - 0.05")
+      pairs += ((trained, sampled))
+      // per-combo absolute floor: garbage centroids (a broken
+      // trainCentroids) recall at or below the random-cell rate
+      // nProbe/nCells and fail regardless of the baseline
       assert(trained >= 0.4,
         s"$dir nProbe=$probe: trained codebook recall $trained below absolute floor 0.4")
     }
+    // the trained codebook must actually be worth its training cost. KMeans
+    // is partition-order nondeterministic (observed trained recall
+    // 0.47-0.68 for one combo), so the worth-it assertion runs on the MEAN
+    // over the four scale×probe combos — run-to-run noise averages out
+    // while a systematic regression in trainCentroids still fails (the
+    // round-8 per-combo `- 0.05` tolerance would have let one through).
+    val meanTrained = pairs.map(_._1).sum / pairs.size
+    val meanSampled = pairs.map(_._2).sum / pairs.size
+    assert(meanTrained >= meanSampled,
+      s"mean trained recall $meanTrained below mean sampled baseline " +
+        s"$meanSampled over ${pairs.size} combos: $pairs")
   }
 
   test("int8 quantization: bounded reconstruction error, close cosines, high recall") {
