@@ -85,8 +85,12 @@ object YamlConfig {
     // references for dependency edges that cannot be parsed from SQL/Python
     // sources — valid on EVERY action type, string or list. Fed into
     // Planner ordering and DependencyAnalyzer cross-flowgroup graphs via
-    // Action.inputNames.
-    Action.withDependsOn(parsed, strSeq(m, "depends_on"))
+    // Action.inputNames. operational_metadata is likewise an every-action
+    // field (true | [col, ...]) — action-level selection wins over the
+    // flowgroup toggle at run time.
+    Action.withOperationalMetadata(
+      Action.withDependsOn(parsed, strSeq(m, "depends_on")),
+      opMeta(m))
   }
 
   private def parseLoad(name: String, target: Option[String], m: Map[String, Any],
@@ -108,8 +112,7 @@ object YamlConfig {
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),
         schemaDdl = str(src, "table_schema"),
-        readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"),
-        operationalMetadata = opMeta(m))
+        readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"))
       case "delta" | "table" =>
         // deprecated spelling, same posture as the reference
         // (generators/load/delta.py:26-46: removed field, hard error)

@@ -108,6 +108,29 @@ final class PipelineRunner(
       df.createOrReplaceTempView(t)
     }
 
+  /** Operational-metadata injection for an action's output (reference:
+    * every load/transform/write generator consults
+    * OperationalMetadataService with action > flowgroup precedence).
+    * `_source_file` only materializes on file loads — other actions have
+    * no `_metadata` struct to project it from. Re-injection along a view
+    * chain overwrites the same columns, matching the reference's
+    * per-generator application. `inheritFlowgroup = false` on writes:
+    * their SOURCE views already carry the flowgroup-level columns, only an
+    * explicit action-level selection adds anything new there. */
+  private def withOpMeta(a: Action, df: DataFrame,
+      inheritFlowgroup: Boolean = true): DataFrame = {
+    val sel = if (inheritFlowgroup) a.operationalMetadata.orElse(currentOpMeta)
+      else a.operationalMetadata
+    sel match {
+      case None => df
+      case Some(select) => graft.operators.OperationalMetadata.inject(df,
+        graft.operators.OperationalMetadata.Context(
+          currentPipeline, currentFlowgroup, runId,
+          isFileLoad = a.isInstanceOf[CloudFilesLoad]),
+        custom = opMetaColumns, select = select)
+    }
+  }
+
   /** Load actions transitively upstream of a write target named in this
     * run's full refresh: their schema-pin / preexisting-listing sidecars
     * reset along with the table (Auto Loader's schema-location reset applies
@@ -393,16 +416,7 @@ final class PipelineRunner(
                  else lit(null)).cast(f.dataType).as(f.name)): _*)
             } else df0
         }
-      // operational metadata: action-level selection wins over the
-      // flowgroup-level toggle (reference metadata.py selection order)
-      val withMeta = a.operationalMetadata.orElse(currentOpMeta) match {
-        case None => base
-        case Some(select) => graft.operators.OperationalMetadata.inject(base,
-          graft.operators.OperationalMetadata.Context(
-            currentPipeline, currentFlowgroup, runId, isFileLoad = true),
-          custom = opMetaColumns, select = select)
-      }
-      register(a.target, withMeta, a.readMode == "stream")
+      register(a.target, withOpMeta(a, base), a.readMode == "stream")
 
     case a: TableLoad =>
       val base0 = if (a.versionAsOf.isDefined || a.timestampAsOf.isDefined) {
@@ -504,30 +518,30 @@ final class PipelineRunner(
       val filtered = a.whereClause.foldLeft(tsBounded)((d, w) => d.where(w))
       val projected = if (a.selectColumns.nonEmpty)
         filtered.select(a.selectColumns.map(col): _*) else filtered
-      register(a.target, projected, a.readMode == "stream")
+      register(a.target, withOpMeta(a, projected), a.readMode == "stream")
 
     case a: SqlLoad =>
       val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
       val (df, streaming) = sqlWithStreamRefs(sql)
-      register(a.target, df, streaming)
+      register(a.target, withOpMeta(a, df), streaming)
 
     case a: JdbcLoad =>
       var r = spark.read.format("jdbc").option("url", a.url).options(a.options)
       a.query.foreach(q => r = r.option("query", q))
       a.dbtable.foreach(t => r = r.option("dbtable", t))
-      register(a.target, r.load(), streaming = false)
+      register(a.target, withOpMeta(a, r.load()), streaming = false)
 
     case a: KafkaLoad =>
       // option assembly + exclusivity validation live in KafkaSupport so
       // the contract is spec-pinned without a broker (KafkaSupportSpec)
       register(a.target,
-        spark.readStream.format("kafka")
-          .options(graft.sources.KafkaSupport.readerOptions(a)).load(),
+        withOpMeta(a, spark.readStream.format("kafka")
+          .options(graft.sources.KafkaSupport.readerOptions(a)).load()),
         streaming = true)
 
     case a: FunctionLoad =>
       val fn = plugin[SourceFunction](a.functionClass)
-      register(a.target, fn(spark, a.parameters), streaming = false)
+      register(a.target, withOpMeta(a, fn(spark, a.parameters)), streaming = false)
 
     case a: CustomSourceLoad =>
       // DataSource V2 provider by class name — the custom_datasource load
@@ -535,14 +549,14 @@ final class PipelineRunner(
         if (a.readMode == "stream")
           spark.readStream.format(a.providerClass).options(a.options).load()
         else spark.read.format(a.providerClass).options(a.options).load()
-      register(a.target, df, a.readMode == "stream")
+      register(a.target, withOpMeta(a, df), a.readMode == "stream")
 
     // -------------------------------------------------------- transforms
     case a: SqlTransform =>
       // upstream views are already temp views
       val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
       val (df, streaming) = sqlWithStreamRefs(sql)
-      register(a.target, df,
+      register(a.target, withOpMeta(a, df),
         streaming || a.source.exists(streamingViews.contains))
 
     case a: SchemaTransformAction =>
@@ -565,7 +579,7 @@ final class PipelineRunner(
       }
       val spec = SchemaTransform.Spec(renames, casts, declared,
         if (a.strict) SchemaTransform.Strict else SchemaTransform.Permissive)
-      register(a.target, SchemaTransform(resolveSource(a.source), spec),
+      register(a.target, withOpMeta(a, SchemaTransform(resolveSource(a.source), spec)),
         streamingViews.contains(a.source))
 
     case a0: DataQualityTransform =>
@@ -578,7 +592,7 @@ final class PipelineRunner(
         case None =>
           val out = Expectations(
             Expectations.observeWarnings(src, a.rules, a.name), a.rules)
-          register(a.target, out, streamingViews.contains(a.source))
+          register(a.target, withOpMeta(a0, out), streamingViews.contains(a.source))
         case Some(dlq) if streamingViews.contains(a.source) || src.isStreaming =>
           // streaming quarantine: DLQ routing needs batch writes, so the
           // violations drain through their own checkpointed foreachBatch
@@ -592,24 +606,24 @@ final class PipelineRunner(
             .option("checkpointLocation", checkpointFor(a.name + "__quarantine"))
             .trigger(Trigger.AvailableNow())
             .start().awaitTermination()
-          register(a.target, Expectations.dropQuarantined(src, a.rules), streaming = true)
+          register(a.target, withOpMeta(a0, Expectations.dropQuarantined(src, a.rules)), streaming = true)
         case Some(dlq) =>
           // batch quarantine: clean rows pass through; violating rows are
           // annotated and inserted into the DLQ keyed by content hash
           // (see Quarantine for the full recycle cycle)
           val clean = Quarantine.routeViolations(store, dlq, src, a.rules,
             a.quarantineSourceTable.getOrElse(a.source))
-          register(a.target, clean, streaming = false)
+          register(a.target, withOpMeta(a0, clean), streaming = false)
       }
 
     case a: TempTableTransform =>
       val tmp = s"__tmp_${a.name}"
       store.overwrite(tmp, resolveSource(a.source))
-      register(a.target, store.read(tmp), streaming = false)
+      register(a.target, withOpMeta(a, store.read(tmp)), streaming = false)
 
     case a: FunctionTransform =>
       val fn = plugin[TransformFunction](a.functionClass)
-      register(a.target, fn(a.source.map(resolveSource), spark, a.parameters),
+      register(a.target, withOpMeta(a, fn(a.source.map(resolveSource), spark, a.parameters)),
         a.source.exists(streamingViews.contains))
 
     // ------------------------------------------------------------ writes
@@ -617,8 +631,10 @@ final class PipelineRunner(
 
     case a: MaterializedViewWrite =>
       applyFullRefresh(a.table, a.name)
-      val df0 = a.sql.orElse(a.sqlPath.map(readFile)).map(spark.sql)
-        .getOrElse(resolveSource(a.source.get))
+      val df0 = withOpMeta(a,
+        a.sql.orElse(a.sqlPath.map(readFile)).map(spark.sql)
+          .getOrElse(resolveSource(a.source.get)),
+        inheritFlowgroup = false)
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
       val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
         a.tableSchemaDdl, a.name)
@@ -652,7 +668,7 @@ final class PipelineRunner(
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: SinkWrite =>
-      val src = resolveSource(a.source)
+      val src = withOpMeta(a, resolveSource(a.source), inheritFlowgroup = false)
       a.sinkType match {
         case "files" =>
           val p = a.options.getOrElse("path", s"${store.warehouse}/_sinks/${a.sinkId}")
@@ -1010,7 +1026,7 @@ final class PipelineRunner(
     // lazy: a snapshot-polling write pulls data from its function, not the
     // source view (which need not exist in that mode)
     lazy val src = {
-      val src0raw = resolveSource(a.source)
+      val src0raw = withOpMeta(a, resolveSource(a.source), inheritFlowgroup = false)
       val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
       enforceDeclaredSchema(Expectations(src0, a.expectations),
         a.tableSchemaDdl, a.name)

@@ -27,6 +27,12 @@ sealed trait Action {
   def target: Option[String]
   /** Input view/table names. */
   def sources: Seq[String]
+  /** Action-level operational-metadata selection (reference _action.py
+    * `operational_metadata: bool | [col, ...]`, honored by EVERY load/
+    * transform/write generator via OperationalMetadataService): None =
+    * inherit the flowgroup-level toggle, Some(Nil) = all default columns,
+    * Some(names) = that subset. */
+  def operationalMetadata: Option[Seq[String]]
   /** Explicit upstream table references (reference _action.py:101-105):
     * dependency-graph edges that cannot be parsed from SQL/Python sources —
     * e.g. a python-function transform reading a table another flowgroup
@@ -39,6 +45,28 @@ sealed trait Action {
 }
 
 object Action {
+  /** Attach an operational-metadata selection to any action (the shared
+    * field's counterpart to [[withDependsOn]]). */
+  def withOperationalMetadata(a: Action, sel: Option[Seq[String]]): Action =
+    if (sel.isEmpty) a else a match {
+      case x: CloudFilesLoad => x.copy(operationalMetadata = sel)
+      case x: TableLoad => x.copy(operationalMetadata = sel)
+      case x: SqlLoad => x.copy(operationalMetadata = sel)
+      case x: JdbcLoad => x.copy(operationalMetadata = sel)
+      case x: KafkaLoad => x.copy(operationalMetadata = sel)
+      case x: CustomSourceLoad => x.copy(operationalMetadata = sel)
+      case x: FunctionLoad => x.copy(operationalMetadata = sel)
+      case x: SqlTransform => x.copy(operationalMetadata = sel)
+      case x: SchemaTransformAction => x.copy(operationalMetadata = sel)
+      case x: DataQualityTransform => x.copy(operationalMetadata = sel)
+      case x: TempTableTransform => x.copy(operationalMetadata = sel)
+      case x: FunctionTransform => x.copy(operationalMetadata = sel)
+      case x: StreamingTableWrite => x.copy(operationalMetadata = sel)
+      case x: MaterializedViewWrite => x.copy(operationalMetadata = sel)
+      case x: SinkWrite => x.copy(operationalMetadata = sel)
+      case x: TestAction => x.copy(operationalMetadata = sel)
+    }
+
   /** Attach explicit depends_on edges to any action — the one place the
     * sealed hierarchy is enumerated for the shared field. */
   def withDependsOn(a: Action, deps: Seq[String]): Action =
@@ -79,11 +107,11 @@ final case class CloudFilesLoad(
     schemaPath: Option[String] = None,
     schemaDdl: Option[String] = None,
     readMode: String = "stream",
-    /** Action-level operational-metadata column selection. */
     operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
+
 
 /** Catalog-table read, batch or stream (the delta load operator). */
 final case class TableLoad(
@@ -120,6 +148,7 @@ final case class TableLoad(
       * filtered on the `._commit_kinds` sidecar — a file stream over the
       * table directory itself would re-read rewritten files wholesale. */
     skipChangeCommits: Boolean = false,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Seq(table)
   def hasCdfBounds: Boolean = cdfStartingVersion.isDefined || cdfEndingVersion.isDefined ||
@@ -134,6 +163,7 @@ final case class SqlLoad(
     readMode: String = "batch",
     /** Load the SQL text from a project-relative file instead (sql_path). */
     sqlPath: Option[String] = None,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil // dependencies resolved from SQL at plan time
 }
@@ -147,6 +177,7 @@ final case class JdbcLoad(
     dbtable: Option[String],
     options: Map[String, String] = Map.empty,
     readMode: String = "batch",
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -160,6 +191,7 @@ final case class KafkaLoad(
     subscribePattern: Option[String] = None,
     assign: Option[String] = None,
     options: Map[String, String] = Map.empty,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def readMode: String = "stream"
   def sources: Seq[String] = Nil
@@ -174,6 +206,7 @@ final case class CustomSourceLoad(
     providerClass: String,
     options: Map[String, String] = Map.empty,
     readMode: String = "batch",
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -186,6 +219,7 @@ final case class FunctionLoad(
     functionClass: String,
     parameters: Map[String, Any] = Map.empty,
     readMode: String = "batch",
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -199,6 +233,7 @@ final case class SqlTransform(
     sql: String,
     /** Load the SQL text from a project-relative file instead (sql_path). */
     sqlPath: Option[String] = None,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = source
 }
@@ -215,6 +250,7 @@ final case class SchemaTransformAction(
       * legacy format), resolved project-relative at RUN time like
       * expectations_file; exclusive with inline definitions. */
     schemaFile: Option[String] = None,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -231,6 +267,7 @@ final case class DataQualityTransform(
     quarantineSourceTable: Option[String] = None,
     /** Load rules from a project-relative JSON/YAML file (expectations_file). */
     expectationsFile: Option[String] = None,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -240,6 +277,7 @@ final case class TempTableTransform(
     name: String,
     target: Option[String],
     source: String,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -251,6 +289,7 @@ final case class FunctionTransform(
     source: Seq[String],
     functionClass: String,
     parameters: Map[String, Any] = Map.empty,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = source
 }
@@ -315,6 +354,7 @@ final case class StreamingTableWrite(
       * outgoing rows are projected/cast to exactly these columns. */
     tableSchemaDdl: Option[String] = None,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)
 }
@@ -346,6 +386,7 @@ final case class MaterializedViewWrite(
       * state lives in the checkpoint — each run reads only NEW source data
       * and merges partial aggregates, instead of a full recompute. */
     incremental: Boolean = false,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq
 }
@@ -361,6 +402,7 @@ final case class SinkWrite(
       * dp.create_sink name): used for the checkpoint path and the files
       * sink's default output directory; defaults to the action name. */
     sinkName: Option[String] = None,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def table: String = name
   /** The effective sink identity. */
@@ -375,6 +417,7 @@ final case class TestAction(
     testType: String,
     source: Seq[String],
     config: Map[String, Any] = Map.empty,
+    operationalMetadata: Option[Seq[String]] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def target: Option[String] = None
   def sources: Seq[String] = source

@@ -336,6 +336,54 @@ class ActionFieldsSpec extends SparkSuite {
       .quarantineTable.contains("dlq_t"))
   }
 
+  // ------------------------------------------- operational_metadata surface
+
+  test("operational_metadata is honored on every action type, not only cloudfiles") {
+    val dir = Files.createTempDirectory("graft-opmeta").toString
+    val store = new graft.exec.TableStore(spark, s"$dir/wh")
+    val runner = new graft.exec.PipelineRunner(spark, store, s"$dir/cp",
+      opMetaColumns = Map("_source_system" -> "'fixture'"))
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("om_src")
+    // delta load with an action-level SELECTION (the reference
+    // product_quarantine_bronze.yaml shape — previously silently ignored);
+    // a sql transform inheriting the flowgroup-level toggle; a write with
+    // its own action-level selection
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |operational_metadata: ["_pipeline_name"]
+        |actions:
+        |  - name: l
+        |    type: load
+        |    operational_metadata: ["_source_system"]
+        |    source: {type: table, table: om_src}
+        |    target: v
+        |  - name: t
+        |    type: transform
+        |    transform_type: sql
+        |    source: v
+        |    sql: "SELECT * FROM v"
+        |    target: v2
+        |  - name: w
+        |    type: write
+        |    source: v2
+        |    operational_metadata: ["_flowgroup_name"]
+        |    write_target: {type: materialized_view, table: om_out}
+        |""".stripMargin))
+    val out = store.read("om_out")
+    // load-level selection (custom project column), transform's inherited
+    // flowgroup toggle, and write-level selection all landed
+    assert(out.columns.contains("_source_system"))
+    assert(out.columns.contains("_pipeline_name"))
+    assert(out.columns.contains("_flowgroup_name"))
+    // selections are subsets — unselected defaults stay absent
+    assert(!out.columns.contains("_ingestion_timestamp"))
+    // _source_file never materializes off file loads (no _metadata struct)
+    assert(!out.columns.contains("_source_file"))
+    assert(out.select("_source_system").distinct().as[String].collect().toSeq
+      == Seq("fixture"))
+  }
+
   // ------------------------------------------------------- field inventory
 
   /** The reference Action field inventory (models/_action.py:65-128), each
