@@ -7,8 +7,14 @@ import graft.exec.{PipelineOrchestrator, TableStore, TestReporters}
   * engine's counterpart of the reference CLI's generate-then-run cycle.
   *
   * {{{
-  * sbt "runMain graft.RunProject <projectDir> <env> <warehouse> [pipelineFilter] [--full-refresh]"
+  * sbt "runMain graft.RunProject <projectDir> <env> <warehouse> [pipelineFilter] [--full-refresh] [--sandbox]"
   * }}}
+  *
+  * `--sandbox` (the reference's dev-sandbox mode): the run is restricted to
+  * the pipelines in the developer's `.lhp/profile.yaml` scope, and every
+  * table name is rewritten through the team's `sandbox.table_pattern` at
+  * the storage boundary (TableStore nameMap) — private tables in a shared
+  * warehouse, no config edits.
   *
   * Loads lhp.yaml + templates/presets/blueprints/substitutions, resolves the
   * included flowgroups for `env`, binds the env's `{catalog}` token to a
@@ -32,10 +38,26 @@ object RunProject {
     project.registerCatalog(spark, env, warehouse)
 
     val fgs0 = project.flowgroups(env, lenient = true)
-    val fgs = pipelineFilter.map(p => fgs0.filter(_.pipeline == p)).getOrElse(fgs0)
+    val fgs1 = pipelineFilter.map(p => fgs0.filter(_.pipeline == p)).getOrElse(fgs0)
+
+    // --sandbox: profile-scoped pipelines + table renames at the storage
+    // boundary (the reference's dev-sandbox mode; see graft.config.Sandbox)
+    val sandboxRun = if (flags("--sandbox"))
+      Some(project.sandboxRun(env, fgs1.map(_.pipeline).distinct))
+    else None
+    val fgs = sandboxRun match {
+      case Some(run) =>
+        println(s"[graft] sandbox: namespace '${run.namespace}', " +
+          s"pattern '${run.tablePattern}', pipelines ${run.pipelines.mkString(", ")}")
+        fgs1.filter(fg => run.pipelines.contains(fg.pipeline))
+      case None => fgs1
+    }
     println(s"[graft] project '${project.name}': ${fgs.size} flowgroup(s) for env '$env'")
 
-    val store = new TableStore(spark, warehouse)
+    val store = sandboxRun match {
+      case Some(run) => new TableStore(spark, warehouse, run.nameMap)
+      case None => new TableStore(spark, warehouse)
+    }
     val orchestrator = new PipelineOrchestrator(spark, store, s"$warehouse/_checkpoints",
       hooks = new TestReporters.JUnitXmlReporter(s"$warehouse/_reports"),
       projectRoot = projectDir, opMetaColumns = project.opMetaColumns,

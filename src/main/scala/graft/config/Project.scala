@@ -28,7 +28,16 @@ final case class Project(
     presets: Map[String, String],
     blueprints: Map[String, String],
     /** env → token map. */
-    substitutions: Map[String, Map[String, String]]) {
+    substitutions: Map[String, Map[String, String]],
+    /** Team sandbox policy (`sandbox:` block) — see [[Sandbox]]. */
+    sandbox: Option[Sandbox.Config] = None) {
+
+  /** Resolve a `--sandbox` run for this project: personal profile from
+    * `.lhp/profile.yaml`, scope/env validation, table-rename map. */
+  def sandboxRun(env: String, discoveredPipelines: Iterable[String],
+      monitoringPipeline: Option[String] = None): Sandbox.Run =
+    Sandbox.resolveRun(sandbox, Sandbox.loadProfile(root), env,
+      discoveredPipelines, monitoringPipeline)
 
   /** Pipeline YAML files selected by the manifest's include globs
     * (relative to `pipelines/`; empty include = everything). */
@@ -143,7 +152,8 @@ object Project {
       templates = yamlDocs(root.resolve("templates")),
       presets = yamlDocs(root.resolve("presets")),
       blueprints = yamlDocs(root.resolve("blueprints")),
-      substitutions = loadSubstitutions(root.resolve("substitutions")))
+      substitutions = loadSubstitutions(root.resolve("substitutions")),
+      sandbox = Sandbox.parseConfig(manifest))
   }
 
   /** `operational_metadata.columns.<name>.expression` — expressions are
