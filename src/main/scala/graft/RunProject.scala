@@ -61,7 +61,9 @@ object RunProject {
     val orchestrator = new PipelineOrchestrator(spark, store, s"$warehouse/_checkpoints",
       hooks = new TestReporters.JUnitXmlReporter(s"$warehouse/_reports"),
       projectRoot = projectDir, opMetaColumns = project.opMetaColumns,
-      fullRefresh = fullRefresh)
+      fullRefresh = fullRefresh,
+      tagsEnabled = project.tagsEnabled,
+      removeUndeclaredTags = project.removeUndeclaredTags)
     val outcomes = orchestrator.run(fgs)
 
     outcomes.foreach { o =>

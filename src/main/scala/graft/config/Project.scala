@@ -30,7 +30,11 @@ final case class Project(
     /** env → token map. */
     substitutions: Map[String, Map[String, String]],
     /** Team sandbox policy (`sandbox:` block) — see [[Sandbox]]. */
-    sandbox: Option[Sandbox.Config] = None) {
+    sandbox: Option[Sandbox.Config] = None,
+    /** uc_tagging policy (reference models/_uc_tagging.py): on by default;
+      * `remove_undeclared_tags` opts into reconcile-to-declared. */
+    tagsEnabled: Boolean = true,
+    removeUndeclaredTags: Boolean = false) {
 
   /** Resolve a `--sandbox` run for this project: personal profile from
     * `.lhp/profile.yaml`, scope/env validation, table-rename map. */
@@ -153,8 +157,20 @@ object Project {
       presets = yamlDocs(root.resolve("presets")),
       blueprints = yamlDocs(root.resolve("blueprints")),
       substitutions = loadSubstitutions(root.resolve("substitutions")),
-      sandbox = Sandbox.parseConfig(manifest))
+      sandbox = Sandbox.parseConfig(manifest),
+      tagsEnabled = ucTagging(manifest, "enabled", default = true),
+      removeUndeclaredTags = ucTagging(manifest, "remove_undeclared_tags", default = false))
   }
+
+  /** `uc_tagging.<key>` boolean with the reference's on-by-default posture
+    * (an absent block behaves as the defaults). */
+  private def ucTagging(manifest: Map[String, Any], key: String, default: Boolean): Boolean =
+    manifest.get("uc_tagging") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.collectFirst { case (k, v) if k.toString == key =>
+          v.toString.toBoolean }.getOrElse(default)
+      case _ => default
+    }
 
   /** `operational_metadata.columns.<name>.expression` — expressions are
     * written as PySpark in the reference manifest; the common `F.*` forms

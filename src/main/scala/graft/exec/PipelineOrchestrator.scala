@@ -31,7 +31,10 @@ final class PipelineOrchestrator(
     hooks: PipelineHooks = PipelineHooks.noop,
     projectRoot: String = ".",
     opMetaColumns: Map[String, String] = Map.empty,
-    fullRefresh: Set[String] = Set.empty) {
+    fullRefresh: Set[String] = Set.empty,
+    /** uc_tagging policy — see [[PipelineRunner]]. */
+    tagsEnabled: Boolean = true,
+    removeUndeclaredTags: Boolean = false) {
   import PipelineOrchestrator.Outcome
 
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
@@ -74,7 +77,8 @@ final class PipelineOrchestrator(
             // refresh drops already happened up front — runners must not
             // re-drop, or a cross-flowgroup fan-in loses earlier flows
             val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
-              projectRoot, opMetaColumns)
+              projectRoot, opMetaColumns,
+              tagsEnabled = tagsEnabled, removeUndeclaredTags = removeUndeclaredTags)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
             val t0 = System.nanoTime()
             def ms = (System.nanoTime() - t0) / 1000000

@@ -60,7 +60,16 @@ final class PipelineRunner(
     /** Tables to rebuild from scratch this run (drop table + stream
       * checkpoints before writing); "*" = every write target — the
       * reference CLI's --full-refresh. */
-    fullRefresh: Set[String] = Set.empty) {
+    fullRefresh: Set[String] = Set.empty,
+    /** Project uc_tagging policy (reference models/_uc_tagging.py — on by
+      * default; `enabled: false` disables the tag sidecar + hook while
+      * comments still apply). */
+    tagsEnabled: Boolean = true,
+    /** Reconcile mode (uc_tagging.remove_undeclared_tags): true = existing
+      * tags absent from the declared set are REMOVED; false (reference
+      * default) = tagging is purely additive — a tag declared last month
+      * survives a config that no longer mentions it. */
+    removeUndeclaredTags: Boolean = false) {
 
   /** Resolve a YAML file reference: absolute/existing as-is, else relative
     * to the project root; bare schema names resolve to
@@ -1133,10 +1142,16 @@ final class PipelineRunner(
             s"(resolved to '${resolveFile(f)}'): ${e.getMessage}")
       }
     }.getOrElse(Map.empty)
-    val merged = fromFile ++ tags
-    if (merged.nonEmpty) {
-      store.setTags(table, merged)
-      hooks.onTableTagged(currentPipeline, currentFlowgroup, table, merged)
+    val declared = fromFile ++ tags
+    if (declared.nonEmpty && tagsEnabled) {
+      // reference default is ADDITIVE (create/update only): tags set by an
+      // earlier run survive a config that no longer declares them; the
+      // remove_undeclared_tags reconcile mode writes exactly the declared
+      // set (uc_tagging contract, models/_uc_tagging.py:15-18)
+      val effective =
+        if (removeUndeclaredTags) declared else store.tags(table) ++ declared
+      store.setTags(table, effective)
+      hooks.onTableTagged(currentPipeline, currentFlowgroup, table, declared)
     }
   }
 

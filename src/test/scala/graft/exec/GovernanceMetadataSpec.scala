@@ -64,6 +64,53 @@ class GovernanceMetadataSpec extends SparkSuite {
     assert(TableStore.listTables(s"$dir/wh").contains("gov_t"))
   }
 
+  test("uc_tagging policy: additive default, reconcile mode, enabled: false") {
+    val dir = Files.createTempDirectory("graft-uctag").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("uct_src")
+    def writeWith(runner: PipelineRunner, tags: String) =
+      runner.run(YamlConfig.parseFlowGroup(
+        s"""pipeline: p
+           |flowgroup: f
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: table, table: uct_src}
+           |    target: v
+           |  - name: w
+           |    type: write
+           |    source: v
+           |    write_target: {type: streaming_table, table: uct_t, $tags}
+           |""".stripMargin))
+    // DEFAULT is additive (reference uc_tagging contract): a tag set by an
+    // earlier run survives a config that no longer declares it
+    val additive = new PipelineRunner(spark, store, s"$dir/cp1")
+    writeWith(additive, """tags: {owner: alice}""")
+    writeWith(additive, """tags: {tier: gold}""")
+    assert(store.tags("uct_t") == Map("owner" -> "alice", "tier" -> "gold"))
+    // remove_undeclared_tags reconciles to exactly the declared set
+    val reconcile = new PipelineRunner(spark, store, s"$dir/cp2",
+      removeUndeclaredTags = true)
+    writeWith(reconcile, """tags: {tier: silver}""")
+    assert(store.tags("uct_t") == Map("tier" -> "silver"))
+    // enabled: false disables the sidecar AND the hook; comments still apply
+    val hooks = new PipelineHooks.Recording
+    val disabled = new PipelineRunner(spark, store, s"$dir/cp3",
+      hooks = hooks, tagsEnabled = false)
+    writeWith(disabled, """tags: {ghost: "1"}, comment: "still commented"""")
+    assert(store.tags("uct_t") == Map("tier" -> "silver"))
+    assert(hooks.tagged.isEmpty)
+    assert(store.getMeta("uct_t", "comment").contains("still commented"))
+    // and Project.load wires the block (on-by-default posture)
+    val proot = Files.createTempDirectory("graft-uctag-proj")
+    Files.writeString(proot.resolve("lhp.yaml"),
+      "name: p\nuc_tagging:\n  remove_undeclared_tags: true\n")
+    val project = graft.config.Project.load(proot.toString)
+    assert(project.tagsEnabled && project.removeUndeclaredTags)
+    assert(graft.config.Project.load(
+      Files.createTempDirectory("graft-uctag-empty").toString).tagsEnabled)
+  }
+
   test("tags_file failures are loud PlanErrors naming the write and file") {
     val dir = Files.createTempDirectory("graft-govx").toString
     val store = new TableStore(spark, s"$dir/wh")
