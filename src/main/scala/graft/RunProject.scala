@@ -41,9 +41,11 @@ object RunProject {
     val fgs1 = pipelineFilter.map(p => fgs0.filter(_.pipeline == p)).getOrElse(fgs0)
 
     // --sandbox: profile-scoped pipelines + table renames at the storage
-    // boundary (the reference's dev-sandbox mode; see graft.config.Sandbox)
+    // boundary (the reference's dev-sandbox mode; see graft.config.Sandbox);
+    // the monitoring pipeline is never sandboxable
     val sandboxRun = if (flags("--sandbox"))
-      Some(project.sandboxRun(env, fgs1.map(_.pipeline).distinct))
+      Some(project.sandboxRun(env, fgs1.map(_.pipeline).distinct,
+        project.monitoringPipelineName))
     else None
     val fgs = sandboxRun match {
       case Some(run) =>
@@ -58,13 +60,41 @@ object RunProject {
       case Some(run) => new TableStore(spark, warehouse, run.nameMap)
       case None => new TableStore(spark, warehouse)
     }
+    // event_log block present + enabled → the engine writes per-pipeline
+    // event-log tables alongside the JUnit reports (exec.EventLog)
+    val junit = new TestReporters.JUnitXmlReporter(s"$warehouse/_reports")
+    val eventLogOn = project.eventLog.exists(_.enabled)
+    val hooks: graft.exec.PipelineHooks =
+      if (eventLogOn) {
+        val cfg = project.eventLog.get
+        new graft.exec.EventLog.Composite(junit,
+          new graft.exec.EventLog.Writer(spark, store, cfg.qualifier,
+            cfg.namePrefix, cfg.nameSuffix))
+      } else junit
     val orchestrator = new PipelineOrchestrator(spark, store, s"$warehouse/_checkpoints",
-      hooks = new TestReporters.JUnitXmlReporter(s"$warehouse/_reports"),
+      hooks = hooks,
       projectRoot = projectDir, opMetaColumns = project.opMetaColumns,
       fullRefresh = fullRefresh,
       tagsEnabled = project.tagsEnabled,
       removeUndeclaredTags = project.removeUndeclaredTags)
     val outcomes = orchestrator.run(fgs)
+
+    // monitoring pipeline (union + MVs) — after the data pipelines, never
+    // under --sandbox (the reference excludes it from sandbox scope)
+    for (mon <- project.monitoring if mon.enabled && eventLogOn && sandboxRun.isEmpty) {
+      val qual = (mon.catalog.orElse(project.eventLog.flatMap(_.catalog)).toSeq ++
+        mon.schema.orElse(project.eventLog.flatMap(_.schema)).toSeq)
+      def q(t: String) = if (t.contains(".") || qual.isEmpty) t
+        else (qual :+ t).mkString(".")
+      graft.streaming.Monitoring.runPipeline(spark, store,
+        fgs.map(_.pipeline).distinct.map(p => p -> project.eventLogTable(p)).toMap,
+        q(mon.streamingTable), mon.materializedViews,
+        s"$warehouse/_checkpoints/${project.monitoringPipelineName.get}",
+        readFile = p => java.nio.file.Files.readString(
+          java.nio.file.Paths.get(projectDir).resolve(p)))
+      println(s"[graft] monitoring: ${project.monitoringPipelineName.get} refreshed " +
+        s"${mon.materializedViews.size} view(s) over ${q(mon.streamingTable)}")
+    }
 
     outcomes.foreach { o =>
       val status =

@@ -34,7 +34,26 @@ final case class Project(
     /** uc_tagging policy (reference models/_uc_tagging.py): on by default;
       * `remove_undeclared_tags` opts into reconcile-to-declared. */
     tagsEnabled: Boolean = true,
-    removeUndeclaredTags: Boolean = false) {
+    removeUndeclaredTags: Boolean = false,
+    /** event_log block (reference models/_monitoring.py:8-17) — where DLT
+      * configures its own log, this engine WRITES one (exec.EventLog). */
+    eventLog: Option[Project.EventLogCfg] = None,
+    /** monitoring block: union pipeline + monitoring MVs. */
+    monitoring: Option[Project.MonitoringCfg] = None) {
+
+  /** The monitoring pipeline's name (reference default
+    * `{project_name}_event_log_monitoring`) — what the sandbox resolver
+    * must exclude from sandbox scope. */
+  def monitoringPipelineName: Option[String] =
+    monitoring.filter(_.enabled)
+      .map(_.pipelineName.getOrElse(s"${name}_event_log_monitoring"))
+
+  /** The per-pipeline event-log table name the Writer hook produces. */
+  def eventLogTable(pipeline: String): String = {
+    val cfg = eventLog.getOrElse(Project.EventLogCfg())
+    (cfg.qualifier.toSeq :+
+      s"${cfg.namePrefix}${pipeline}_event_log${cfg.nameSuffix}").mkString(".")
+  }
 
   /** Resolve a `--sandbox` run for this project: personal profile from
     * `.lhp/profile.yaml`, scope/env validation, table-rename map. */
@@ -134,6 +153,31 @@ final case class Project(
 
 object Project {
 
+  /** `event_log:` block (reference EventLogConfig): enabled + where the
+    * per-pipeline event-log tables live. */
+  final case class EventLogCfg(
+      enabled: Boolean = true,
+      catalog: Option[String] = None,
+      schema: Option[String] = None,
+      namePrefix: String = "",
+      nameSuffix: String = "") {
+    def qualifier: Option[String] = {
+      val q = catalog.toSeq ++ schema.toSeq
+      if (q.isEmpty) None else Some(q.mkString("."))
+    }
+  }
+
+  /** `monitoring:` block (reference MonitoringConfig): the union target and
+    * the monitoring materialized views; catalog/schema default to the
+    * event_log block's at use time. */
+  final case class MonitoringCfg(
+      enabled: Boolean = true,
+      pipelineName: Option[String] = None,
+      catalog: Option[String] = None,
+      schema: Option[String] = None,
+      streamingTable: String = "all_pipelines_event_log",
+      materializedViews: Seq[graft.streaming.Monitoring.MvDef] = Nil)
+
   def load(dir: String): Project = {
     val root = Paths.get(dir)
     val manifestPath = root.resolve("lhp.yaml")
@@ -159,8 +203,43 @@ object Project {
       substitutions = loadSubstitutions(root.resolve("substitutions")),
       sandbox = Sandbox.parseConfig(manifest),
       tagsEnabled = ucTagging(manifest, "enabled", default = true),
-      removeUndeclaredTags = ucTagging(manifest, "remove_undeclared_tags", default = false))
+      removeUndeclaredTags = ucTagging(manifest, "remove_undeclared_tags", default = false),
+      eventLog = subMap(manifest, "event_log").map { m =>
+        EventLogCfg(
+          enabled = m.get("enabled").forall(_.toString.toBoolean),
+          catalog = m.get("catalog").map(_.toString),
+          schema = m.get("schema").map(_.toString),
+          namePrefix = m.get("name_prefix").map(_.toString).getOrElse(""),
+          nameSuffix = m.get("name_suffix").map(_.toString).getOrElse(""))
+      },
+      monitoring = subMap(manifest, "monitoring").map { m =>
+        MonitoringCfg(
+          enabled = m.get("enabled").forall(_.toString.toBoolean),
+          pipelineName = m.get("pipeline_name").map(_.toString),
+          catalog = m.get("catalog").map(_.toString),
+          schema = m.get("schema").map(_.toString),
+          streamingTable = m.get("streaming_table").map(_.toString)
+            .getOrElse("all_pipelines_event_log"),
+          materializedViews = m.get("materialized_views") match {
+            case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
+              val mm = e.asInstanceOf[java.util.Map[_, _]].asScala
+                .map { case (k, v) => k.toString -> v }.toMap
+              graft.streaming.Monitoring.MvDef(
+                mm.get("name").map(_.toString).getOrElse(throw YamlConfig.ConfigError(
+                  "monitoring materialized_views entry missing 'name'")),
+                mm.get("sql").map(_.toString),
+                mm.get("sql_path").map(_.toString))
+            }
+            case _ => Nil
+          })
+      })
   }
+
+  private def subMap(manifest: Map[String, Any], key: String): Option[Map[String, Any]] =
+    manifest.get(key).collect {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+    }
 
   /** `uc_tagging.<key>` boolean with the reference's on-by-default posture
     * (an absent block behaves as the defaults). */

@@ -20,7 +20,16 @@ object Monitoring {
 
   /** Streaming variant: one AvailableNow flow per source into `targetPath`,
     * each with its own checkpoint (per-stream checkpoints, as the reference
-    * generates). Serialized per-table to respect the one-writer discipline. */
+    * generates). Serialized per-table to respect the one-writer discipline.
+    *
+    * The append goes through foreachBatch, NOT the parquet streaming sink:
+    * the file sink maintains a `_spark_metadata` transaction log that is
+    * single-QUERY — with N queries sharing one target directory, readers
+    * resolve the listing through whichever query's log owns the directory
+    * and silently drop every other query's files (observed: only the first
+    * pipeline's events visible in the union). A plain batch append inside
+    * foreachBatch has no sink log; exactly-once across restarts still holds
+    * per-source via each stream's own checkpoint. */
   def streamEventLogs(spark: SparkSession, logs: Map[String, String],
       targetPath: String, checkpointRoot: String): Unit =
     logs.foreach { case (pipeline, path) =>
@@ -28,10 +37,43 @@ object Monitoring {
       spark.readStream.schema(schema).parquet(path)
         .withColumn("_pipeline", lit(pipeline))
         .writeStream
-        .format("parquet")
-        .option("path", targetPath)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(targetPath)
+        }
         .option("checkpointLocation", s"$checkpointRoot/monitor_$pipeline")
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
     }
+
+  /** One monitoring materialized view (reference
+    * MonitoringMaterializedViewConfig): name + inline SQL or a
+    * project-relative sql_path. */
+  final case class MvDef(name: String, sql: Option[String], sqlPath: Option[String])
+
+  /** The whole monitoring pipeline as the reference's generated workflow
+    * runs it (monitoring_pipeline_builder.py): step 1 unions every
+    * per-pipeline event log INCREMENTALLY into `streamingTable` (one
+    * checkpointed AvailableNow stream per source); step 2 refreshes the
+    * monitoring materialized views over that union (registered as a temp
+    * view under the table's leaf name, so the MV SQL reads it by name).
+    * Event-log tables that do not exist yet (a pipeline that has never
+    * run) are skipped — the next run picks them up. */
+  def runPipeline(spark: SparkSession, store: graft.exec.TableStore,
+      eventLogTables: Map[String, String], streamingTable: String,
+      mvs: Seq[MvDef], checkpointRoot: String,
+      readFile: String => String = p =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))): Unit = {
+    val present = eventLogTables.filter { case (_, t) => store.exists(t) }
+    streamEventLogs(spark, present.map { case (p, t) => p -> store.path(t) },
+      store.path(streamingTable), checkpointRoot)
+    store.readIfExists(streamingTable).foreach { union =>
+      union.createOrReplaceTempView(streamingTable.split('.').last)
+      mvs.foreach { mv =>
+        val sql = mv.sql.orElse(mv.sqlPath.map(readFile)).getOrElse(
+          throw graft.config.YamlConfig.ConfigError(
+            s"monitoring materialized view '${mv.name}' needs sql or sql_path"))
+        store.overwrite(mv.name, spark.sql(sql))
+      }
+    }
+  }
 }
