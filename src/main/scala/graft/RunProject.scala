@@ -42,9 +42,13 @@ object RunProject {
 
     // --sandbox: profile-scoped pipelines + table renames at the storage
     // boundary (the reference's dev-sandbox mode; see graft.config.Sandbox);
-    // the monitoring pipeline is never sandboxable
+    // the monitoring pipeline is never sandboxable. Profile entries resolve
+    // against the FULL discovered pipeline set, then intersect with any
+    // [pipelineFilter] — resolving against the filtered subset would turn a
+    // legitimate subset run into a fatal zero-match for every out-of-filter
+    // profile entry.
     val sandboxRun = if (flags("--sandbox"))
-      Some(project.sandboxRun(env, fgs1.map(_.pipeline).distinct,
+      Some(project.sandboxRun(env, fgs0.map(_.pipeline).distinct,
         project.monitoringPipelineName))
     else None
     val fgs = sandboxRun match {
@@ -60,9 +64,20 @@ object RunProject {
       case Some(run) => new TableStore(spark, warehouse, run.nameMap)
       case None => new TableStore(spark, warehouse)
     }
+    // Sandbox isolation covers RUNTIME STATE, not just table names: a
+    // sandbox run sharing `_checkpoints` with real runs is data loss both
+    // ways (the sandbox stream resumes past files the sandbox table never
+    // saw, then commits offsets the next real run skips). Checkpoints,
+    // JUnit reports, and default sink paths all namespace under
+    // `_sandbox/<namespace>/`; the sandboxed TABLES stay in the shared
+    // warehouse by design (that is the reference's sandbox contract).
+    val stateRoot = sandboxRun match {
+      case Some(run) => s"$warehouse/_sandbox/${run.namespace}"
+      case None => warehouse
+    }
     // event_log block present + enabled → the engine writes per-pipeline
     // event-log tables alongside the JUnit reports (exec.EventLog)
-    val junit = new TestReporters.JUnitXmlReporter(s"$warehouse/_reports")
+    val junit = new TestReporters.JUnitXmlReporter(s"$stateRoot/_reports")
     val eventLogOn = project.eventLog.exists(_.enabled)
     val hooks: graft.exec.PipelineHooks =
       if (eventLogOn) {
@@ -71,12 +86,13 @@ object RunProject {
           new graft.exec.EventLog.Writer(spark, store, cfg.qualifier,
             cfg.namePrefix, cfg.nameSuffix))
       } else junit
-    val orchestrator = new PipelineOrchestrator(spark, store, s"$warehouse/_checkpoints",
+    val orchestrator = new PipelineOrchestrator(spark, store, s"$stateRoot/_checkpoints",
       hooks = hooks,
       projectRoot = projectDir, opMetaColumns = project.opMetaColumns,
       fullRefresh = fullRefresh,
       tagsEnabled = project.tagsEnabled,
-      removeUndeclaredTags = project.removeUndeclaredTags)
+      removeUndeclaredTags = project.removeUndeclaredTags,
+      sinkRoot = Some(s"$stateRoot/_sinks"))
     val outcomes = orchestrator.run(fgs)
 
     // monitoring pipeline (union + MVs) — after the data pipelines, never
@@ -91,7 +107,8 @@ object RunProject {
         q(mon.streamingTable), mon.materializedViews,
         s"$warehouse/_checkpoints/${project.monitoringPipelineName.get}",
         readFile = p => java.nio.file.Files.readString(
-          java.nio.file.Paths.get(projectDir).resolve(p)))
+          java.nio.file.Paths.get(projectDir).resolve(p)),
+        qualify = q)
       println(s"[graft] monitoring: ${project.monitoringPipelineName.get} refreshed " +
         s"${mon.materializedViews.size} view(s) over ${q(mon.streamingTable)}")
     }

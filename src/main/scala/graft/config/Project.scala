@@ -206,7 +206,7 @@ object Project {
       removeUndeclaredTags = ucTagging(manifest, "remove_undeclared_tags", default = false),
       eventLog = subMap(manifest, "event_log").map { m =>
         EventLogCfg(
-          enabled = m.get("enabled").forall(_.toString.toBoolean),
+          enabled = m.get("enabled").forall(boolIn("event_log", "enabled", _)),
           catalog = m.get("catalog").map(_.toString),
           schema = m.get("schema").map(_.toString),
           namePrefix = m.get("name_prefix").map(_.toString).getOrElse(""),
@@ -214,7 +214,7 @@ object Project {
       },
       monitoring = subMap(manifest, "monitoring").map { m =>
         MonitoringCfg(
-          enabled = m.get("enabled").forall(_.toString.toBoolean),
+          enabled = m.get("enabled").forall(boolIn("monitoring", "enabled", _)),
           pipelineName = m.get("pipeline_name").map(_.toString),
           catalog = m.get("catalog").map(_.toString),
           schema = m.get("schema").map(_.toString),
@@ -241,13 +241,24 @@ object Project {
         m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
     }
 
+  /** Loud manifest boolean: a typo'd `enabled: maybe` names its block and
+    * key instead of surfacing as a bare IllegalArgumentException (the same
+    * contract YamlConfig.boolOf gives action fields). */
+  private def boolIn(block: String, key: String, v: Any): Boolean =
+    v.toString.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw YamlConfig.ConfigError(
+        s"lhp.yaml '$block.$key' must be true or false, got '$other'")
+    }
+
   /** `uc_tagging.<key>` boolean with the reference's on-by-default posture
     * (an absent block behaves as the defaults). */
   private def ucTagging(manifest: Map[String, Any], key: String, default: Boolean): Boolean =
     manifest.get("uc_tagging") match {
       case Some(m: java.util.Map[_, _]) =>
         m.asScala.collectFirst { case (k, v) if k.toString == key =>
-          v.toString.toBoolean }.getOrElse(default)
+          boolIn("uc_tagging", key, v) }.getOrElse(default)
       case _ => default
     }
 

@@ -163,8 +163,9 @@ object Sandbox {
     Run(profile.namespace, cfg.tablePattern, cfg.strategy, matched.toSeq.sorted)
   }
 
-  /** Case-sensitive fnmatch: `*` any run, `?` one char, `[...]` char class;
-    * everything else literal. */
+  /** Case-sensitive fnmatch: `*` any run, `?` one char, `[...]` char class
+    * (`[!...]` negates, per fnmatch — NOT regex `[^...]`); everything else
+    * literal. */
   private[config] def globMatches(pattern: String, name: String): Boolean =
     if (!pattern.exists(GlobChars)) pattern == name
     else {
@@ -177,7 +178,15 @@ object Sandbox {
           case '[' =>
             val close = pattern.indexOf(']', i + 1)
             if (close < 0) { rx ++= java.util.regex.Pattern.quote("[") }
-            else { rx ++= pattern.substring(i, close + 1); i = close }
+            else {
+              // fnmatch spells negation `[!...]`; copied raw into regex it
+              // would match literal '!' plus the chars it should EXCLUDE
+              val body = pattern.substring(i + 1, close)
+              val translated =
+                if (body.startsWith("!")) "[^" + body.drop(1) + "]"
+                else "[" + body + "]"
+              rx ++= translated; i = close
+            }
           case c => rx ++= java.util.regex.Pattern.quote(c.toString)
         }
         i += 1

@@ -43,7 +43,7 @@ object YamlConfig {
       variables = (anyMap(root, "variables") ++ anyMap(m, "variables"))
         .map { case (k, v) => k -> v.toString },
       actions = seq(m, "actions").map(a => parseAction(asMap(a), lenient)),
-      operationalMetadata = opMeta(m).orElse(opMeta(root)))
+      operationalMetadata = opMetaResolved(opMeta(m).orElse(opMeta(root))))
     root.get("flowgroups") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
         val m = asMap(e)
@@ -547,14 +547,27 @@ object YamlConfig {
         s"'$action': '$key' must be true or false, got '$other'")
     }
 
-  /** `operational_metadata: true | [col, ...]` on a flowgroup or action
-    * (reference models/_flowgroup.py / _action.py): true → Some(Nil) = all
-    * default columns; a list → that subset; absent/false → None. */
-  private def opMeta(m: Map[String, Any]): Option[Seq[String]] = m.get("operational_metadata") match {
-    case Some(b: java.lang.Boolean) => if (b) Some(Nil) else None
-    case Some(l: java.util.List[_]) => Some(l.asScala.toSeq.map(_.toString))
+  /** `operational_metadata: true | false | [col, ...]` on a flowgroup or
+    * action (reference models/_flowgroup.py / _action.py). TRI-state:
+    * absent → None (inherit the enclosing level), explicit false →
+    * OpMeta.Disabled (opt OUT of an enclosing toggle — collapsing false to
+    * None made per-action opt-out unreachable), true → all default
+    * columns, list → that subset. */
+  private def opMeta(m: Map[String, Any]): Option[OpMeta] = m.get("operational_metadata") match {
+    case Some(b: java.lang.Boolean) =>
+      Some(if (b) OpMeta.Enabled(Nil) else OpMeta.Disabled)
+    case Some(l: java.util.List[_]) =>
+      Some(OpMeta.Enabled(l.asScala.toSeq.map(_.toString)))
     case _ => None
   }
+
+  /** Collapse the tri-state at the flowgroup level (nothing above the
+    * document root to inherit from): Disabled and absent both mean off. */
+  private def opMetaResolved(sel: Option[OpMeta]): Option[Seq[String]] =
+    sel match {
+      case Some(OpMeta.Enabled(cols)) => Some(cols)
+      case _ => None
+    }
 
   /** Compose `catalog`/`schema` qualifiers around a table name (the
     * reference's three-part naming — generators/load/delta.py:54). An

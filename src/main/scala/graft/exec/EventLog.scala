@@ -51,18 +51,19 @@ object EventLog {
 
     private val buf = mutable.ListBuffer[Event]()
 
-    private def esc(s: String): String = s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    private def json(kv: (String, String)*): String =
-      kv.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString("{", ",", "}")
+    // Per-table append serialization: the orchestrator runs same-generation
+    // flowgroups in PARALLEL, and two flowgroups of one pipeline completing
+    // together would append to the same event-log directory concurrently —
+    // Spark's file committer shares a _temporary staging dir per output
+    // path, so the first job's commit wipes the second's in-flight files.
+    // The engine-wide single-writer-per-table discipline applies to hooks
+    // too; events are tiny, so the lock costs nothing.
+    private val tableLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    private def lockFor(table: String): Object =
+      tableLocks.computeIfAbsent(table, _ => new Object)
+
+    private def json(kv: (String, String)*): String = TableStore.jsonObject(kv)
 
     private def add(p: String, f: String, level: String, tpe: String,
         msg: String, details: String): Unit = synchronized {
@@ -94,7 +95,10 @@ object EventLog {
         m
       }
       import spark.implicits._
-      store.append(tableFor(p), mine.toDF())
+      val table = tableFor(p)
+      lockFor(table).synchronized {
+        store.append(table, mine.toDF())
+      }
     }
   }
 }

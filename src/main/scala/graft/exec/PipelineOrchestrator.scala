@@ -34,7 +34,9 @@ final class PipelineOrchestrator(
     fullRefresh: Set[String] = Set.empty,
     /** uc_tagging policy — see [[PipelineRunner]]. */
     tagsEnabled: Boolean = true,
-    removeUndeclaredTags: Boolean = false) {
+    removeUndeclaredTags: Boolean = false,
+    /** Default root for path-less file sinks — see [[PipelineRunner]]. */
+    sinkRoot: Option[String] = None) {
   import PipelineOrchestrator.Outcome
 
   /** Run all flowgroups respecting cross-flowgroup table dependencies.
@@ -78,7 +80,8 @@ final class PipelineOrchestrator(
             // re-drop, or a cross-flowgroup fan-in loses earlier flows
             val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
               projectRoot, opMetaColumns,
-              tagsEnabled = tagsEnabled, removeUndeclaredTags = removeUndeclaredTags)
+              tagsEnabled = tagsEnabled, removeUndeclaredTags = removeUndeclaredTags,
+              sinkRoot = sinkRoot)
             val name = s"${fg.pipeline}.${fg.flowgroup}"
             val t0 = System.nanoTime()
             def ms = (System.nanoTime() - t0) / 1000000

@@ -69,7 +69,14 @@ final class PipelineRunner(
       * tags absent from the declared set are REMOVED; false (reference
       * default) = tagging is purely additive — a tag declared last month
       * survives a config that no longer mentions it. */
-    removeUndeclaredTags: Boolean = false) {
+    removeUndeclaredTags: Boolean = false,
+    /** Default root for file sinks that declare no `path` option. None =
+      * `<warehouse>/_sinks`; sandbox runs pass a namespaced root so a dev
+      * run's sink output never appends into the shared default location. */
+    sinkRoot: Option[String] = None) {
+
+  private val defaultSinkRoot: String =
+    sinkRoot.getOrElse(s"${store.warehouse}/_sinks")
 
   /** Resolve a YAML file reference: absolute/existing as-is, else relative
     * to the project root; bare schema names resolve to
@@ -118,18 +125,21 @@ final class PipelineRunner(
     }
 
   /** Operational-metadata injection for an action's output (reference:
-    * every load/transform/write generator consults
-    * OperationalMetadataService with action > flowgroup precedence).
-    * `_source_file` only materializes on file loads — other actions have
-    * no `_metadata` struct to project it from. Re-injection along a view
-    * chain overwrites the same columns, matching the reference's
-    * per-generator application. `inheritFlowgroup = false` on writes:
-    * their SOURCE views already carry the flowgroup-level columns, only an
-    * explicit action-level selection adds anything new there. */
-  private def withOpMeta(a: Action, df: DataFrame,
-      inheritFlowgroup: Boolean = true): DataFrame = {
-    val sel = if (inheritFlowgroup) a.operationalMetadata.orElse(currentOpMeta)
-      else a.operationalMetadata
+    * EVERY load/transform/write generator consults
+    * OperationalMetadataService with action > flowgroup precedence — an
+    * explicit action-level `false` opts out of the flowgroup toggle,
+    * absent inherits it). Writes inherit too: their source views usually
+    * already carry the columns (re-injection overwrites with the same
+    * values), but an aggregating or catalog-reading SQL write drops them,
+    * and the reference re-applies at the write generator. `_source_file`
+    * only materializes on file loads — other actions have no `_metadata`
+    * struct to project it from. */
+  private def withOpMeta(a: Action, df: DataFrame): DataFrame = {
+    val sel: Option[Seq[String]] = a.operationalMetadata match {
+      case Some(graft.model.OpMeta.Disabled) => None
+      case Some(graft.model.OpMeta.Enabled(cols)) => Some(cols)
+      case None => currentOpMeta
+    }
     sel match {
       case None => df
       case Some(select) => graft.operators.OperationalMetadata.inject(df,
@@ -642,8 +652,7 @@ final class PipelineRunner(
       applyFullRefresh(a.table, a.name)
       val df0 = withOpMeta(a,
         a.sql.orElse(a.sqlPath.map(readFile)).map(spark.sql)
-          .getOrElse(resolveSource(a.source.get)),
-        inheritFlowgroup = false)
+          .getOrElse(resolveSource(a.source.get)))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
       val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
         a.tableSchemaDdl, a.name)
@@ -677,10 +686,10 @@ final class PipelineRunner(
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: SinkWrite =>
-      val src = withOpMeta(a, resolveSource(a.source), inheritFlowgroup = false)
+      val src = withOpMeta(a, resolveSource(a.source))
       a.sinkType match {
         case "files" =>
-          val p = a.options.getOrElse("path", s"${store.warehouse}/_sinks/${a.sinkId}")
+          val p = a.options.getOrElse("path", s"$defaultSinkRoot/${a.sinkId}")
           if (src.isStreaming)
             src.writeStream.format(a.options.getOrElse("format", "parquet"))
               .option("checkpointLocation", checkpointFor(a.sinkId))
@@ -1035,7 +1044,7 @@ final class PipelineRunner(
     // lazy: a snapshot-polling write pulls data from its function, not the
     // source view (which need not exist in that mode)
     lazy val src = {
-      val src0raw = withOpMeta(a, resolveSource(a.source), inheritFlowgroup = false)
+      val src0raw = withOpMeta(a, resolveSource(a.source))
       val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
       enforceDeclaredSchema(Expectations(src0, a.expectations),
         a.tableSchemaDdl, a.name)

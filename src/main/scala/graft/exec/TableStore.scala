@@ -433,24 +433,31 @@ object TableStore {
       }
     }
 
+  /** One escaper for every hand-rolled flat JSON map in the engine
+    * (sidecars here, event-log `details` in [[EventLog]]) — two drifting
+    * copies means the next missed-character fix reaches only one. */
+  private[exec] def jsonEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Flat string-map → JSON object text (ordered as given). */
+  private[exec] def jsonObject(kv: Seq[(String, String)]): String =
+    kv.map { case (k, v) => "\"" + jsonEscape(k) + "\": \"" + jsonEscape(v) + "\"" }
+      .mkString("{", ",", "}")
+
   /** Single JSON-map sidecar writer (properties + tags share it). Values
     * come verbatim from user YAML — escape backslash, quote, and control
     * characters, or a tag like `C:\data` corrupts the sidecar. */
   private[exec] def writeJsonSidecar(p: Path, kv: Map[String, String]): Unit =
     if (kv.nonEmpty) {
-      def esc(s: String): String = s.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      val json = kv.map { case (k, v) => "\"" + esc(k) + "\": \"" + esc(v) + "\"" }
-        .mkString("{", ",", "}")
       Files.createDirectories(p.getParent)
-      Files.writeString(p, json): Unit
+      Files.writeString(p, jsonObject(kv.toSeq)): Unit
     }
 
   /** Warehouse inspection WITHOUT a SparkSession — pure sidecar/directory

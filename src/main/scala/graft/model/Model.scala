@@ -9,6 +9,20 @@ package graft.model
   * unrepresentable.
   */
 
+/** Action-level operational-metadata selection (reference _action.py
+  * `operational_metadata: bool | [col, ...]`). The field is TRI-state —
+  * an explicit `false` is not the same as absent: `false` opts the action
+  * OUT of a flowgroup-level toggle, absent inherits it. Collapsing both to
+  * "no selection" made per-action opt-out unreachable from YAML. */
+sealed trait OpMeta
+object OpMeta {
+  /** Explicit `operational_metadata: false` — suppress injection even when
+    * the flowgroup toggle is on. */
+  case object Disabled extends OpMeta
+  /** `true` (cols = Nil → all default columns) or a column-name subset. */
+  final case class Enabled(cols: Seq[String]) extends OpMeta
+}
+
 final case class FlowGroup(
     pipeline: String,
     flowgroup: String,
@@ -17,8 +31,10 @@ final case class FlowGroup(
     templateParameters: Map[String, Any] = Map.empty,
     variables: Map[String, String] = Map.empty,
     actions: Seq[Action] = Nil,
-    /** Operational-metadata toggle: None = off, Some(Nil) = all default
-      * columns, Some(names) = that subset (reference FlowGroup model). */
+    /** Flowgroup-level operational-metadata toggle, already RESOLVED at
+      * parse time against the document root (an explicit flowgroup-level
+      * `false` beats a root-level `true`, so no tri-state survives here):
+      * None = off, Some(Nil) = all default columns, Some(names) = subset. */
     operationalMetadata: Option[Seq[String]] = None)
 
 sealed trait Action {
@@ -30,9 +46,9 @@ sealed trait Action {
   /** Action-level operational-metadata selection (reference _action.py
     * `operational_metadata: bool | [col, ...]`, honored by EVERY load/
     * transform/write generator via OperationalMetadataService): None =
-    * inherit the flowgroup-level toggle, Some(Nil) = all default columns,
-    * Some(names) = that subset. */
-  def operationalMetadata: Option[Seq[String]]
+    * inherit the flowgroup-level toggle, [[OpMeta.Disabled]] = explicit
+    * opt-out, [[OpMeta.Enabled]] = all default columns (Nil) or a subset. */
+  def operationalMetadata: Option[OpMeta]
   /** Explicit upstream table references (reference _action.py:101-105):
     * dependency-graph edges that cannot be parsed from SQL/Python sources —
     * e.g. a python-function transform reading a table another flowgroup
@@ -47,7 +63,7 @@ sealed trait Action {
 object Action {
   /** Attach an operational-metadata selection to any action (the shared
     * field's counterpart to [[withDependsOn]]). */
-  def withOperationalMetadata(a: Action, sel: Option[Seq[String]]): Action =
+  def withOperationalMetadata(a: Action, sel: Option[OpMeta]): Action =
     if (sel.isEmpty) a else a match {
       case x: CloudFilesLoad => x.copy(operationalMetadata = sel)
       case x: TableLoad => x.copy(operationalMetadata = sel)
@@ -107,7 +123,7 @@ final case class CloudFilesLoad(
     schemaPath: Option[String] = None,
     schemaDdl: Option[String] = None,
     readMode: String = "stream",
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -148,7 +164,7 @@ final case class TableLoad(
       * filtered on the `._commit_kinds` sidecar — a file stream over the
       * table directory itself would re-read rewritten files wholesale. */
     skipChangeCommits: Boolean = false,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Seq(table)
   def hasCdfBounds: Boolean = cdfStartingVersion.isDefined || cdfEndingVersion.isDefined ||
@@ -163,7 +179,7 @@ final case class SqlLoad(
     readMode: String = "batch",
     /** Load the SQL text from a project-relative file instead (sql_path). */
     sqlPath: Option[String] = None,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil // dependencies resolved from SQL at plan time
 }
@@ -177,7 +193,7 @@ final case class JdbcLoad(
     dbtable: Option[String],
     options: Map[String, String] = Map.empty,
     readMode: String = "batch",
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -191,7 +207,7 @@ final case class KafkaLoad(
     subscribePattern: Option[String] = None,
     assign: Option[String] = None,
     options: Map[String, String] = Map.empty,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def readMode: String = "stream"
   def sources: Seq[String] = Nil
@@ -206,7 +222,7 @@ final case class CustomSourceLoad(
     providerClass: String,
     options: Map[String, String] = Map.empty,
     readMode: String = "batch",
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -219,7 +235,7 @@ final case class FunctionLoad(
     functionClass: String,
     parameters: Map[String, Any] = Map.empty,
     readMode: String = "batch",
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Nil
 }
@@ -233,7 +249,7 @@ final case class SqlTransform(
     sql: String,
     /** Load the SQL text from a project-relative file instead (sql_path). */
     sqlPath: Option[String] = None,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = source
 }
@@ -250,7 +266,7 @@ final case class SchemaTransformAction(
       * legacy format), resolved project-relative at RUN time like
       * expectations_file; exclusive with inline definitions. */
     schemaFile: Option[String] = None,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -267,7 +283,7 @@ final case class DataQualityTransform(
     quarantineSourceTable: Option[String] = None,
     /** Load rules from a project-relative JSON/YAML file (expectations_file). */
     expectationsFile: Option[String] = None,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -277,7 +293,7 @@ final case class TempTableTransform(
     name: String,
     target: Option[String],
     source: String,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = Seq(source)
 }
@@ -289,7 +305,7 @@ final case class FunctionTransform(
     source: Seq[String],
     functionClass: String,
     parameters: Map[String, Any] = Map.empty,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def sources: Seq[String] = source
 }
@@ -354,7 +370,7 @@ final case class StreamingTableWrite(
       * outgoing rows are projected/cast to exactly these columns. */
     tableSchemaDdl: Option[String] = None,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)
 }
@@ -386,7 +402,7 @@ final case class MaterializedViewWrite(
       * state lives in the checkpoint — each run reads only NEW source data
       * and merges partial aggregates, instead of a full recompute. */
     incremental: Boolean = false,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq
 }
@@ -402,7 +418,7 @@ final case class SinkWrite(
       * dp.create_sink name): used for the checkpoint path and the files
       * sink's default output directory; defaults to the action name. */
     sinkName: Option[String] = None,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def table: String = name
   /** The effective sink identity. */
@@ -417,7 +433,7 @@ final case class TestAction(
     testType: String,
     source: Seq[String],
     config: Map[String, Any] = Map.empty,
-    operationalMetadata: Option[Seq[String]] = None,
+    operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends Action {
   def target: Option[String] = None
   def sources: Seq[String] = source

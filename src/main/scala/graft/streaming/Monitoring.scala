@@ -27,18 +27,25 @@ object Monitoring {
     * single-QUERY — with N queries sharing one target directory, readers
     * resolve the listing through whichever query's log owns the directory
     * and silently drop every other query's files (observed: only the first
-    * pipeline's events visible in the union). A plain batch append inside
-    * foreachBatch has no sink log; exactly-once across restarts still holds
-    * per-source via each stream's own checkpoint. */
+    * pipeline's events visible in the union).
+    *
+    * Exactly-once: foreachBatch replays the last uncommitted batch after a
+    * crash, and a blind `mode("append")` would double those rows forever
+    * (every monitoring MV over the union reports inflated counts). Each
+    * batch instead OVERWRITES its own deterministic partition directory
+    * `_pipeline=<src>/_batch=<id>` — a replay rewrites the same directory,
+    * so at-least-once delivery plus idempotent placement = exactly-once.
+    * Partition discovery surfaces `_pipeline` (and `_batch`) as columns on
+    * read, so the union's shape is unchanged for MV SQL. */
   def streamEventLogs(spark: SparkSession, logs: Map[String, String],
       targetPath: String, checkpointRoot: String): Unit =
     logs.foreach { case (pipeline, path) =>
       val schema = spark.read.parquet(path).schema
       spark.readStream.schema(schema).parquet(path)
-        .withColumn("_pipeline", lit(pipeline))
         .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(targetPath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite")
+            .parquet(s"$targetPath/_pipeline=$pipeline/_batch=$id")
         }
         .option("checkpointLocation", s"$checkpointRoot/monitor_$pipeline")
         .trigger(Trigger.AvailableNow())
@@ -62,7 +69,12 @@ object Monitoring {
       eventLogTables: Map[String, String], streamingTable: String,
       mvs: Seq[MvDef], checkpointRoot: String,
       readFile: String => String = p =>
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))): Unit = {
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))),
+      /** Catalog/schema qualifier for MONITORING-OWNED tables (the MVs) —
+        * they live in the monitoring block's catalog.schema alongside the
+        * union table, not unqualified at the warehouse root where they
+        * would collide with data tables. */
+      qualify: String => String = identity): Unit = {
     val present = eventLogTables.filter { case (_, t) => store.exists(t) }
     streamEventLogs(spark, present.map { case (p, t) => p -> store.path(t) },
       store.path(streamingTable), checkpointRoot)
@@ -72,7 +84,7 @@ object Monitoring {
         val sql = mv.sql.orElse(mv.sqlPath.map(readFile)).getOrElse(
           throw graft.config.YamlConfig.ConfigError(
             s"monitoring materialized view '${mv.name}' needs sql or sql_path"))
-        store.overwrite(mv.name, spark.sql(sql))
+        store.overwrite(qualify(mv.name), spark.sql(sql))
       }
     }
   }

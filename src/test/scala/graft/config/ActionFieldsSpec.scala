@@ -384,6 +384,67 @@ class ActionFieldsSpec extends SparkSuite {
       == Seq("fixture"))
   }
 
+  test("operational_metadata tri-state: explicit false opts out, writes inherit the toggle") {
+    val dir = Files.createTempDirectory("graft-opmeta3").toString
+    val store = new graft.exec.TableStore(spark, s"$dir/wh")
+    val runner = new graft.exec.PipelineRunner(spark, store, s"$dir/cp")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("om3_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |operational_metadata: ["_pipeline_name"]
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: om3_src}
+        |    target: v
+        |  - name: opt_out
+        |    type: transform
+        |    transform_type: sql
+        |    source: v
+        |    sql: "SELECT id, v FROM v"
+        |    operational_metadata: false
+        |    target: v2
+        |  - name: w_off
+        |    type: write
+        |    operational_metadata: false
+        |    source: v2
+        |    write_target: {type: materialized_view, table: om3_plain}
+        |  - name: w_agg
+        |    type: write
+        |    sql: "SELECT count(*) AS n FROM v2"
+        |    write_target: {type: materialized_view, table: om3_agg}
+        |""".stripMargin))
+    // explicit false at transform AND write level: nothing injected anywhere
+    // along that chain (pre-fix, false parsed to None = inherit, so the
+    // flowgroup toggle re-injected _pipeline_name despite the opt-out)
+    assert(store.read("om3_plain").columns.toSet == Set("id", "v"))
+    // an AGGREGATING SQL write drops any source-carried meta columns — only
+    // write-level inheritance of the flowgroup toggle can restore them
+    // (pre-fix, writes never inherited and om3_agg lost _pipeline_name)
+    val agg = store.read("om3_agg")
+    assert(agg.columns.toSet == Set("n", "_pipeline_name"))
+    assert(agg.select("_pipeline_name").distinct().as[String].collect().toSeq
+      == Seq("p"))
+  }
+
+  test("flowgroup-level operational_metadata: false beats a root-level true") {
+    val fgs = YamlConfig.parseDocuments(
+      """pipeline: p
+        |operational_metadata: true
+        |flowgroups:
+        |  - flowgroup: on_by_root
+        |    actions: []
+        |  - flowgroup: off_explicitly
+        |    operational_metadata: false
+        |    actions: []
+        |""".stripMargin)
+    assert(fgs.find(_.flowgroup == "on_by_root").get
+      .operationalMetadata.contains(Nil))
+    assert(fgs.find(_.flowgroup == "off_explicitly").get
+      .operationalMetadata.isEmpty)
+  }
+
   // ------------------------------------------------------- field inventory
 
   /** The reference Action field inventory (models/_action.py:65-128), each

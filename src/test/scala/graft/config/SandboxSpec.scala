@@ -87,6 +87,13 @@ class SandboxSpec extends SparkSuite {
     // glob matching is case-sensitive (fnmatchcase semantics)
     assert(!Sandbox.globMatches("Gold_*", "gold_eu"))
     assert(Sandbox.globMatches("gold_[eu]?", "gold_eu"))
+    // fnmatch negation is `[!...]` — translated to regex `[^...]`, not
+    // copied raw (raw, the class would match literal '!' plus the very
+    // chars it should exclude, inverting the selection)
+    assert(Sandbox.globMatches("gold_[!e]*", "gold_us"))
+    assert(!Sandbox.globMatches("gold_[!e]*", "gold_eu"))
+    assert(Sandbox.globMatches("q[!0-8]", "q9"))
+    assert(!Sandbox.globMatches("q[!0-8]", "q5"))
   }
 
   test("nameMap rewrites the table LEAF only; sandbox run E2E isolates tables") {
