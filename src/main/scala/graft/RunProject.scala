@@ -35,6 +35,9 @@ object RunProject {
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
     val project = Project.load(projectDir)
+    // required_lhp_version gate (reference version_enforcement.py) — before
+    // any flowgroup resolution so an incompatible project never half-runs
+    graft.config.VersionCheck.enforce(project.requiredLhpVersion, project.name)
     project.registerCatalog(spark, env, warehouse)
 
     val fgs0 = project.flowgroups(env, lenient = true)
@@ -79,13 +82,32 @@ object RunProject {
     // event-log tables alongside the JUnit reports (exec.EventLog)
     val junit = new TestReporters.JUnitXmlReporter(s"$stateRoot/_reports")
     val eventLogOn = project.eventLog.exists(_.enabled)
-    val hooks: graft.exec.PipelineHooks =
-      if (eventLogOn) {
-        val cfg = project.eventLog.get
-        new graft.exec.EventLog.Composite(junit,
-          new graft.exec.EventLog.Writer(spark, store, cfg.qualifier,
+    // test_reporting provider: accumulates every data-test result and
+    // publishes ONCE at run terminal state (after the outcomes loop)
+    val providerReporter = project.testReporting.map { tr =>
+      val cfg = tr.configFile.map { f =>
+        new org.yaml.snakeyaml.Yaml().load[Any](java.nio.file.Files.readString(
+          java.nio.file.Paths.get(projectDir).resolve(f))) match {
+          case m: java.util.Map[_, _] =>
+            import scala.jdk.CollectionConverters._
+            m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+          case _ => Map.empty[String, String]
+        }
+      }.getOrElse(Map.empty[String, String])
+      new TestReporters.ProviderReporter(
+        TestReporters.loadProvider(tr.modulePath, tr.functionName), cfg)
+    }
+    val hookList: Seq[graft.exec.PipelineHooks] =
+      Seq(junit) ++
+        (if (eventLogOn) {
+          val cfg = project.eventLog.get
+          Seq(new graft.exec.EventLog.Writer(spark, store, cfg.qualifier,
             cfg.namePrefix, cfg.nameSuffix))
-      } else junit
+        } else Nil) ++
+        providerReporter.toSeq
+    val hooks: graft.exec.PipelineHooks =
+      if (hookList.size == 1) hookList.head
+      else new graft.exec.EventLog.Composite(hookList: _*)
     val orchestrator = new PipelineOrchestrator(spark, store, s"$stateRoot/_checkpoints",
       hooks = hooks,
       projectRoot = projectDir, opMetaColumns = project.opMetaColumns,
@@ -102,13 +124,20 @@ object RunProject {
         mon.schema.orElse(project.eventLog.flatMap(_.schema)).toSeq)
       def q(t: String) = if (t.contains(".") || qual.isEmpty) t
         else (qual :+ t).mkString(".")
+      // checkpoint_path (reference MonitoringConfig): explicit base wins;
+      // relative paths live under the warehouse
+      val monCp = mon.checkpointPath
+        .map(p => if (java.nio.file.Paths.get(p).isAbsolute) p
+          else s"$warehouse/$p")
+        .getOrElse(s"$warehouse/_checkpoints/${project.monitoringPipelineName.get}")
       graft.streaming.Monitoring.runPipeline(spark, store,
         fgs.map(_.pipeline).distinct.map(p => p -> project.eventLogTable(p)).toMap,
         q(mon.streamingTable), mon.materializedViews,
-        s"$warehouse/_checkpoints/${project.monitoringPipelineName.get}",
+        monCp,
         readFile = p => java.nio.file.Files.readString(
           java.nio.file.Paths.get(projectDir).resolve(p)),
-        qualify = q)
+        qualify = q,
+        maxConcurrentStreams = mon.maxConcurrentStreams)
       println(s"[graft] monitoring: ${project.monitoringPipelineName.get} refreshed " +
         s"${mon.materializedViews.size} view(s) over ${q(mon.streamingTable)}")
     }
@@ -120,6 +149,8 @@ object RunProject {
           .getOrElse(s"ok (${o.durationMs} ms)")
       println(s"[graft] ${o.flowgroup}: $status")
     }
+    // terminal state: hand every accumulated test result to the provider
+    providerReporter.foreach(_.publishAll())
     spark.stop()
     if (outcomes.exists(o => o.error.isDefined || o.skipped)) sys.exit(1)
   }

@@ -28,6 +28,13 @@ object ValidateProject {
     val project = Project.load(projectDir)
     val issues = Seq.newBuilder[Issue]
     var ok = 0
+    // required_lhp_version: validate reports the mismatch as an issue
+    // instead of aborting, so the rest of the report still lands
+    Try(graft.config.VersionCheck.enforce(
+      project.requiredLhpVersion, project.name)) match {
+      case Failure(e) => issues += Issue("lhp.yaml", e.getMessage)
+      case Success(_) => ()
+    }
     // validation must not require live secrets: fall back to a deterministic
     // placeholder when the env-var provider has nothing (reference validate
     // behaves the same — structure is checked, secret VALUES are not)

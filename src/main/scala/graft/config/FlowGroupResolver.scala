@@ -193,11 +193,36 @@ object FlowGroupResolver {
       else fg + ("actions" -> new java.util.ArrayList[Any](actions.asJava))
     val flowLevel = config -- Seq("load_actions", "transform_actions", "write_actions")
     flowLevel.foldLeft(withActions) { case (acc, (k, v)) =>
-      if (acc.contains(k)) acc else acc + (k -> v)
+      if (!acc.contains(k)) acc + (k -> v)
+      // operational_metadata UNIONS across preset and flowgroup levels
+      // (reference metadata.py:225-228 folds every level's names into one
+      // selection) — plain fill-in would silently drop the preset's columns
+      // whenever the flowgroup names its own
+      else if (k == "operational_metadata") acc + (k -> unionOpMeta(acc(k), v))
+      else acc
     }
   }
 
   // ------------------------------------------------------------------ java
+
+  /** Union two operational_metadata selections (flowgroup value first):
+    * `true` at either level selects everything; `false` contributes no
+    * names (it does NOT veto the other level — only an ACTION-level false
+    * disables injection, per reference resolve_metadata_selection); lists
+    * union. */
+  private def unionOpMeta(fgVal: Any, presetVal: Any): Any = {
+    // None = "all columns" (true); Some(names) = that set (false = none)
+    def names(v: Any): Option[Seq[String]] = v match {
+      case b: java.lang.Boolean => if (b) None else Some(Nil)
+      case l: java.util.List[_] => Some(l.asScala.toSeq.map(_.toString))
+      case _ => Some(Nil)
+    }
+    (names(fgVal), names(presetVal)) match {
+      case (None, _) | (_, None) => java.lang.Boolean.TRUE
+      case (Some(a), Some(b)) =>
+        new java.util.ArrayList[String]((a ++ b).distinct.asJava)
+    }
+  }
 
   private def javaToMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap

@@ -22,8 +22,16 @@ final case class Project(
     version: Option[String],
     root: Path,
     include: Seq[String],
-    /** Operational-metadata catalog: column name → Spark SQL expression. */
-    opMetaColumns: Map[String, String],
+    /** `blueprint_include` / `instance_include` (reference
+      * core/loaders/_include_patterns_parser.py + blueprint_discoverer.py):
+      * project-root-relative globs selecting blueprint DEFINITION files and
+      * blueprint INSTANCE files. Empty = the reference defaults (the
+      * recursive `blueprints/` and `pipelines/` trees). */
+    blueprintInclude: Seq[String] = Nil,
+    instanceInclude: Seq[String] = Nil,
+    /** Operational-metadata catalog: column name → expression +
+      * applies_to/enabled (reference MetadataColumnConfig). */
+    opMetaColumns: Map[String, graft.operators.OperationalMetadata.ColumnDef],
     templates: Map[String, String],
     presets: Map[String, String],
     blueprints: Map[String, String],
@@ -39,7 +47,16 @@ final case class Project(
       * configures its own log, this engine WRITES one (exec.EventLog). */
     eventLog: Option[Project.EventLogCfg] = None,
     /** monitoring block: union pipeline + monitoring MVs. */
-    monitoring: Option[Project.MonitoringCfg] = None) {
+    monitoring: Option[Project.MonitoringCfg] = None,
+    /** `required_lhp_version` (reference version_enforcement.py): a PEP
+      * 440-subset specifier the run/validate CLIs enforce against
+      * [[VersionCheck.CompatVersion]]. */
+    requiredLhpVersion: Option[String] = None,
+    /** `test_reporting:` block (reference TestReportingConfig): a
+      * user-supplied provider that receives every accumulated data-test
+      * result at run terminal state — see
+      * [[graft.exec.TestReporters.loadProvider]]. */
+    testReporting: Option[Project.TestReportingCfg] = None) {
 
   /** The monitoring pipeline's name (reference default
     * `{project_name}_event_log_monitoring`) — what the sandbox resolver
@@ -90,12 +107,37 @@ final case class Project(
       cat
     }
 
+  /** Blueprint INSTANCE files selected by `instance_include` (reference
+    * blueprint_discoverer.discover_instances): routed by CONTENT SHAPE —
+    * only files whose first document carries `use_blueprint`/`blueprint`
+    * count, everything else belongs to the flowgroup pass. Instance
+    * discovery is independent of the flowgroup `include` globs, so an
+    * instance excluded by `include` (or living outside `pipelines/` under
+    * a widened pattern) is still found. */
+  def instanceFiles: Seq[Path] = {
+    val patterns =
+      if (instanceInclude.isEmpty) Project.DefaultInstancePatterns
+      else instanceInclude
+    Project.globFiles(root, patterns).filter { p =>
+      new Yaml().loadAll(Files.readString(p)).asScala.find(_ != null).exists {
+        case m: java.util.Map[_, _] =>
+          m.asScala.keys.exists(k =>
+            k.toString == "use_blueprint" || k.toString == "blueprint")
+        case _ => false
+      }
+    }
+  }
+
   /** Resolve every included flowgroup for an environment: templates,
     * presets, token substitution, parse. Multi-flowgroup files
-    * (`flowgroups:` lists / `---` documents) resolve entry-wise. */
+    * (`flowgroups:` lists / `---` documents) resolve entry-wise; blueprint
+    * instances beyond the flowgroup include set resolve too. */
   def flowgroups(env: String, lenient: Boolean = false,
-      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] =
-    pipelineFiles.flatMap(p => resolvePipelineFile(p, env, lenient, secrets))
+      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] = {
+    val base = pipelineFiles
+    val extras = instanceFiles.filterNot(base.toSet)
+    (base ++ extras).flatMap(p => resolvePipelineFile(p, env, lenient, secrets))
+  }
 
   def envTokens(env: String): Map[String, String] =
     substitutions.getOrElse(env,
@@ -176,7 +218,31 @@ object Project {
       catalog: Option[String] = None,
       schema: Option[String] = None,
       streamingTable: String = "all_pipelines_event_log",
-      materializedViews: Seq[graft.streaming.Monitoring.MvDef] = Nil)
+      materializedViews: Seq[graft.streaming.Monitoring.MvDef] = Nil,
+      /** Streaming checkpoint base for the union streams (reference
+        * MonitoringConfig.checkpoint_path). Relative paths resolve under
+        * the warehouse; empty/absent = `_checkpoints/<monitoring name>`. */
+      checkpointPath: Option[String] = None,
+      /** Union-stream pool width (reference ThreadPoolExecutor
+        * max_workers, 1..20) — per-source streams have independent
+        * checkpoints and disjoint batch directories, so they run
+        * concurrently. */
+      maxConcurrentStreams: Int = 10,
+      /** Databricks job artifacts (job_config_path /
+        * enable_job_monitoring): doc-only here — this engine runs the
+        * monitoring pipeline in-process, there is no Workflow job to
+        * configure. Parsed so the inventory audit can pin them. */
+      jobConfigPath: Option[String] = None,
+      enableJobMonitoring: Boolean = false)
+
+  /** `test_reporting:` block (reference models/_test_reporting.py):
+    * module_path + function_name resolve via
+    * [[graft.exec.TestReporters.loadProvider]]; config_file is a
+    * project-relative YAML map handed to the provider verbatim. */
+  final case class TestReportingCfg(
+      modulePath: String,
+      functionName: String,
+      configFile: Option[String] = None)
 
   def load(dir: String): Project = {
     val root = Paths.get(dir)
@@ -192,14 +258,17 @@ object Project {
         .getOrElse(root.getFileName.toString),
       version = manifest.get("version").map(_.toString),
       root = root,
-      include = manifest.get("include") match {
-        case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
-        case _ => Nil
-      },
+      include = strListIn(manifest, "include"),
+      blueprintInclude = strListIn(manifest, "blueprint_include"),
+      instanceInclude = strListIn(manifest, "instance_include"),
       opMetaColumns = parseOpMeta(manifest),
       templates = yamlDocs(root.resolve("templates")),
       presets = yamlDocs(root.resolve("presets")),
-      blueprints = yamlDocs(root.resolve("blueprints")),
+      blueprints = namedDocs("blueprint", globFiles(root,
+        strListIn(manifest, "blueprint_include") match {
+          case Nil => DefaultBlueprintPatterns
+          case ps => ps
+        })),
       substitutions = loadSubstitutions(root.resolve("substitutions")),
       sandbox = Sandbox.parseConfig(manifest),
       tagsEnabled = ucTagging(manifest, "enabled", default = true),
@@ -231,9 +300,56 @@ object Project {
                 mm.get("sql_path").map(_.toString))
             }
             case _ => Nil
-          })
+          },
+          checkpointPath = m.get("checkpoint_path").map(_.toString).filter(_.nonEmpty),
+          maxConcurrentStreams = m.get("max_concurrent_streams") match {
+            case Some(v) =>
+              val n = try v.toString.toInt catch {
+                case _: NumberFormatException => throw YamlConfig.ConfigError(
+                  s"lhp.yaml 'monitoring.max_concurrent_streams' must be an " +
+                    s"integer, got '$v'")
+              }
+              // the reference pydantic bound (ge=1, le=20), kept loud
+              if (n < 1 || n > 20) throw YamlConfig.ConfigError(
+                s"lhp.yaml 'monitoring.max_concurrent_streams' must be in " +
+                  s"1..20, got $n")
+              n
+            case None => 10
+          },
+          jobConfigPath = m.get("job_config_path").map(_.toString),
+          enableJobMonitoring = m.get("enable_job_monitoring")
+            .exists(boolIn("monitoring", "enable_job_monitoring", _)))
+      },
+      requiredLhpVersion = manifest.get("required_lhp_version").map(_.toString),
+      testReporting = subMap(manifest, "test_reporting").map { m =>
+        def req(k: String) = m.get(k).map(_.toString).getOrElse(
+          throw YamlConfig.ConfigError(s"lhp.yaml 'test_reporting.$k' is required"))
+        TestReportingCfg(req("module_path"), req("function_name"),
+          m.get("config_file").map(_.toString))
       })
   }
+
+  /** Reference defaults (core/discovery/blueprint_discoverer.py:26-27). */
+  private[config] val DefaultBlueprintPatterns =
+    Seq("blueprints/**/*.yaml", "blueprints/**/*.yml")
+  private[config] val DefaultInstancePatterns =
+    Seq("pipelines/**/*.yaml", "pipelines/**/*.yml")
+
+  /** Include-pattern list with the reference's loud type validation
+    * (_include_patterns_parser.py CFG_003/004): must be a YAML list of
+    * strings — a bare string or a list with non-string entries names the
+    * key instead of half-working. */
+  private def strListIn(manifest: Map[String, Any], key: String): Seq[String] =
+    manifest.get(key) match {
+      case None => Nil
+      case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
+        case s: String => s
+        case other => throw YamlConfig.ConfigError(
+          s"lhp.yaml '$key' entries must be strings, got: $other")
+      }
+      case Some(other) => throw YamlConfig.ConfigError(
+        s"lhp.yaml '$key' must be a list of glob patterns, got: $other")
+    }
 
   private def subMap(manifest: Map[String, Any], key: String): Option[Map[String, Any]] =
     manifest.get(key).collect {
@@ -262,11 +378,17 @@ object Project {
       case _ => default
     }
 
-  /** `operational_metadata.columns.<name>.expression` — expressions are
-    * written as PySpark in the reference manifest; the common `F.*` forms
-    * translate mechanically to Spark SQL, and anything else must already be
-    * a Spark SQL expression string. */
-  private[config] def parseOpMeta(manifest: Map[String, Any]): Map[String, String] = {
+  /** `operational_metadata.columns.<name>` (reference MetadataColumnConfig):
+    * `expression` is written as PySpark in the reference manifest — the
+    * common `F.*` forms translate mechanically to Spark SQL, anything else
+    * must already be a Spark SQL expression string. `applies_to` scopes the
+    * column to target types (reference default: the two write kinds only —
+    * a column must opt into `view` to land on loads/transforms) and a bad
+    * entry is loud; `enabled: false` removes the column from the catalog.
+    * `description` / `additional_imports` are doc/codegen-only. */
+  private[config] def parseOpMeta(manifest: Map[String, Any])
+      : Map[String, graft.operators.OperationalMetadata.ColumnDef] = {
+    import graft.operators.OperationalMetadata.{ColumnDef, TargetTypes}
     val om = manifest.get("operational_metadata") match {
       case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) => k.toString -> v }.toMap
       case _ => Map.empty[String, Any]
@@ -274,8 +396,21 @@ object Project {
     om.get("columns") match {
       case Some(cols: java.util.Map[_, _]) => cols.asScala.flatMap {
         case (name, cfg: java.util.Map[_, _]) =>
-          cfg.asScala.collectFirst { case (k, v) if k.toString == "expression" =>
-            name.toString -> pysparkToSql(v.toString)
+          val m = cfg.asScala.map { case (k, v) => k.toString -> v }.toMap
+          m.get("expression").map { e =>
+            val appliesTo = m.get("applies_to") match {
+              case Some(l: java.util.List[_]) =>
+                val ts = l.asScala.toSeq.map(_.toString).toSet
+                val bad = ts -- TargetTypes
+                if (bad.nonEmpty) throw YamlConfig.ConfigError(
+                  s"operational_metadata column '$name': applies_to " +
+                    s"${bad.mkString(", ")} not in ${TargetTypes.toSeq.sorted.mkString(", ")}")
+                ts
+              case _ => ColumnDef(expression = "").appliesTo // reference default
+            }
+            name.toString -> ColumnDef(pysparkToSql(e.toString), appliesTo,
+              enabled = m.get("enabled").forall(
+                boolIn(s"operational_metadata.columns.$name", "enabled", _)))
           }
         case _ => None
       }.toMap
@@ -291,20 +426,56 @@ object Project {
     FCall.replaceAllIn(colsDone, m => s"${m.group(1)}()")
   }
 
+  /** Files under `root` matched by project-root-relative glob patterns
+    * (the reference's `discover_files_with_patterns`). Recursive — the
+    * default blueprint/instance patterns are `**` globs, and a flat
+    * listing silently ignored nested definition files. */
+  private[config] def globFiles(root: Path, patterns: Seq[String]): Seq[Path] = {
+    val fs = root.getFileSystem
+    // pathlib-style `**` matches ZERO or more directories; Java's glob
+    // needs the zero-dir variant spelled out or `blueprints/**/*.yaml`
+    // silently skips top-level blueprint files
+    val expanded = patterns.flatMap(p =>
+      if (p.contains("/**/")) Seq(p, p.replace("/**/", "/")) else Seq(p)).distinct
+    val matchers = expanded.map(g => fs.getPathMatcher(s"glob:$g"))
+    if (!Files.exists(root)) Nil
+    else Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(p => matchers.exists(_.matches(root.relativize(p))))
+      .toSeq.sortBy(_.toString)
+  }
+
+  /** Name-keyed YAML registry over a file set. Two files declaring the
+    * same `name:` is a LOUD error with both paths (reference VAL_046 for
+    * blueprints) — a last-wins map silently drops whichever file sorts
+    * first, the exact silent-absorption class this engine bans. */
+  private def namedDocs(kind: String, files: Seq[Path]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, (Path, String)]()
+    files.foreach { p =>
+      val text = Files.readString(p)
+      val name = new Yaml().load[Any](text) match {
+        case m: java.util.Map[_, _] =>
+          m.asScala.collectFirst { case (k, v) if k.toString == "name" => v.toString }
+            .getOrElse(stripExt(p))
+        case _ => stripExt(p)
+      }
+      out.get(name).foreach { case (first, _) =>
+        throw YamlConfig.ConfigError(
+          s"duplicate $kind name '$name':\n  - $first\n  - $p\n" +
+            s"each $kind must have a unique name")
+      }
+      out(name) = (p, text)
+    }
+    out.map { case (n, (_, t)) => n -> t }.toMap
+  }
+
   private def yamlDocs(dir: Path): Map[String, String] =
-    if (!Files.exists(dir)) Map.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
-      .map { p =>
-        val text = Files.readString(p)
-        val name = new Yaml().load[Any](text) match {
-          case m: java.util.Map[_, _] =>
-            m.asScala.collectFirst { case (k, v) if k.toString == "name" => v.toString }
-              .getOrElse(stripExt(p))
-          case _ => stripExt(p)
-        }
-        name -> text
-      }.toMap
+    namedDocs(dir.getFileName.toString.stripSuffix("s"),
+      if (!Files.exists(dir)) Nil
+      else Files.walk(dir).iterator().asScala
+        .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
+          Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString))
 
   /** `substitutions/<env>.yaml`: the env's token map lives under a single
     * top-level key matching the env (secrets config is separate). */

@@ -30,7 +30,7 @@ final class PipelineOrchestrator(
     plugins: Map[String, AnyRef] = Map.empty,
     hooks: PipelineHooks = PipelineHooks.noop,
     projectRoot: String = ".",
-    opMetaColumns: Map[String, String] = Map.empty,
+    opMetaColumns: Map[String, graft.operators.OperationalMetadata.ColumnDef] = Map.empty,
     fullRefresh: Set[String] = Set.empty,
     /** uc_tagging policy — see [[PipelineRunner]]. */
     tagsEnabled: Boolean = true,

@@ -53,9 +53,10 @@ final class PipelineRunner(
     /** Base for project-relative file references in YAML (sql_path,
       * expectations_file, schema_path/schema_file). */
     projectRoot: String = ".",
-    /** Project-defined operational-metadata columns: name → Spark SQL
-      * expression (the lhp.yaml operational_metadata catalog). */
-    opMetaColumns: Map[String, String] = Map.empty,
+    /** Project-defined operational-metadata columns (the lhp.yaml
+      * operational_metadata catalog): name → expression + applies_to scope
+      * + enabled flag. */
+    opMetaColumns: Map[String, graft.operators.OperationalMetadata.ColumnDef] = Map.empty,
     runId: String = java.util.UUID.randomUUID().toString,
     /** Tables to rebuild from scratch this run (drop table + stream
       * checkpoints before writing); "*" = every write target — the
@@ -126,26 +127,43 @@ final class PipelineRunner(
 
   /** Operational-metadata injection for an action's output (reference:
     * EVERY load/transform/write generator consults
-    * OperationalMetadataService with action > flowgroup precedence — an
-    * explicit action-level `false` opts out of the flowgroup toggle,
-    * absent inherits it). Writes inherit too: their source views usually
-    * already carry the columns (re-injection overwrites with the same
-    * values), but an aggregating or catalog-reading SQL write drops them,
-    * and the reference re-applies at the write generator. `_source_file`
-    * only materializes on file loads — other actions have no `_metadata`
+    * OperationalMetadataService). Selection semantics mirror
+    * metadata.py:170-253 exactly:
+    *  - an explicit action-level `false` disables injection outright;
+    *  - otherwise the selected names are the UNION of the flowgroup-level
+    *    and action-level selections (not an override) — `true` at either
+    *    level selects every available column;
+    *  - the selected set then filters per-column by `applies_to` against
+    *    this action's target type (loads/transforms = `view`, writes their
+    *    table kind), so a view-scoped column never lands on a table and a
+    *    default-scoped custom column never lands on a load.
+    * Writes inherit too: their source views usually already carry the
+    * columns (re-injection overwrites with the same values), but an
+    * aggregating or catalog-reading SQL write drops them, and the
+    * reference re-applies at the write generator. `_source_file` only
+    * materializes on file loads — other actions have no `_metadata`
     * struct to project it from. */
   private def withOpMeta(a: Action, df: DataFrame): DataFrame = {
-    val sel: Option[Seq[String]] = a.operationalMetadata match {
-      case Some(graft.model.OpMeta.Disabled) => None
-      case Some(graft.model.OpMeta.Enabled(cols)) => Some(cols)
-      case None => currentOpMeta
+    import graft.model.OpMeta
+    val sel: Option[Seq[String]] = (a.operationalMetadata, currentOpMeta) match {
+      case (Some(OpMeta.Disabled), _) => None
+      case (Some(OpMeta.Enabled(cols)), fg) =>
+        if (cols.isEmpty || fg.exists(_.isEmpty)) Some(Nil) // either level = all
+        else Some((cols ++ fg.getOrElse(Nil)).distinct)
+      case (None, fg) => fg
+    }
+    val targetType = a match {
+      case _: MaterializedViewWrite => "materialized_view"
+      case _: WriteAction => "streaming_table"
+      case _ => "view"
     }
     sel match {
       case None => df
       case Some(select) => graft.operators.OperationalMetadata.inject(df,
         graft.operators.OperationalMetadata.Context(
           currentPipeline, currentFlowgroup, runId,
-          isFileLoad = a.isInstanceOf[CloudFilesLoad]),
+          isFileLoad = a.isInstanceOf[CloudFilesLoad],
+          targetType = targetType),
         custom = opMetaColumns, select = select)
     }
   }

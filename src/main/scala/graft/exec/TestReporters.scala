@@ -18,6 +18,76 @@ object TestReporters {
   private final case class Result(pipeline: String, flowgroup: String,
       name: String, testType: String, violations: Long, at: Long)
 
+  /** One accumulated data-test outcome handed to a [[Provider]]. */
+  final case class TestResult(pipeline: String, flowgroup: String,
+      testName: String, testType: String, violations: Long, status: String,
+      collectedAt: Long)
+
+  /** User-provider contract for the project's `test_reporting:` block —
+    * the JVM counterpart of the reference's provider function
+    * (tst_reporting_hook_generator.py: accumulate DQ expectation results,
+    * publish ONCE at pipeline terminal state). `config` carries the
+    * flattened `config_file` map. */
+  trait Provider {
+    def publish(results: Seq[TestResult], config: Map[String, String]): Unit
+  }
+
+  /** Accumulates every data-test result across the whole run and publishes
+    * them in one call when the orchestrator reaches terminal state (the
+    * run CLI invokes [[publishAll]] after the last flowgroup settles). */
+  final class ProviderReporter(provider: Provider,
+      config: Map[String, String] = Map.empty) extends PipelineHooks {
+    private val buf = mutable.ListBuffer[TestResult]()
+    override def onTestResult(pipeline: String, flowgroup: String,
+        testName: String, testType: String, violations: Long): Unit =
+      synchronized {
+        buf += TestResult(pipeline, flowgroup, testName, testType, violations,
+          if (violations == 0) "passed" else "failed",
+          System.currentTimeMillis()): Unit
+      }
+    def publishAll(): Unit = provider.publish(synchronized(buf.toList), config)
+  }
+
+  /** Resolve the `test_reporting` provider: `module_path` must name a
+    * loadable JVM class; `function_name` either the [[Provider]] `publish`
+    * (when the class implements the trait) or a reflective
+    * `(Seq[TestResult], Map[String, String]) => Unit` method of that name.
+    * A Python module path — valid in the reference, inert on a JVM — fails
+    * LOUDLY with the porting contract spelled out, never silently skipped. */
+  def loadProvider(modulePath: String, functionName: String): Provider = {
+    if (modulePath.endsWith(".py"))
+      throw graft.config.YamlConfig.ConfigError(
+        s"test_reporting.module_path '$modulePath' is a Python module — " +
+          "this engine runs providers on the JVM. Point module_path at a " +
+          "class implementing graft.exec.TestReporters.Provider (or " +
+          "exposing a `function_name(Seq[TestResult], Map[String,String])` " +
+          "method).")
+    val cls = try Class.forName(modulePath) catch {
+      case _: ClassNotFoundException =>
+        throw graft.config.YamlConfig.ConfigError(
+          s"test_reporting.module_path: class not found: $modulePath")
+    }
+    val inst = cls.getDeclaredConstructor().newInstance()
+    inst match {
+      case p: Provider if functionName == "publish" || functionName.isEmpty => p
+      case _ =>
+        val m = try cls.getMethod(functionName, classOf[Seq[_]], classOf[Map[_, _]])
+        catch {
+          case _: NoSuchMethodException =>
+            throw graft.config.YamlConfig.ConfigError(
+              s"test_reporting: $modulePath has no method " +
+                s"'$functionName(Seq[TestResult], Map[String, String])' and " +
+                "does not implement graft.exec.TestReporters.Provider")
+        }
+        new Provider {
+          def publish(results: Seq[TestResult],
+              config: Map[String, String]): Unit = {
+            m.invoke(inst, results, config); ()
+          }
+        }
+    }
+  }
+
   /** Appends one row per data-test result to a warehouse audit table
     * (columns: pipeline, flowgroup, test_name, test_type, violations,
     * status, collected_at) — the delta_test_reporter analogue. */

@@ -36,20 +36,46 @@ object Monitoring {
     * `_pipeline=<src>/_batch=<id>` — a replay rewrites the same directory,
     * so at-least-once delivery plus idempotent placement = exactly-once.
     * Partition discovery surfaces `_pipeline` (and `_batch`) as columns on
-    * read, so the union's shape is unchanged for MV SQL. */
+    * read, so the union's shape is unchanged for MV SQL.
+    *
+    * Sources run CONCURRENTLY through a bounded pool (`maxConcurrent`, the
+    * reference's ThreadPoolExecutor max_workers, default 10): each stream
+    * owns its checkpoint and its batch directories are disjoint by
+    * construction, so there is no shared mutable state between them — on a
+    * project with dozens of pipelines the serial version's wall-clock is
+    * the sum of every stream's startup latency. */
   def streamEventLogs(spark: SparkSession, logs: Map[String, String],
-      targetPath: String, checkpointRoot: String): Unit =
-    logs.foreach { case (pipeline, path) =>
-      val schema = spark.read.parquet(path).schema
-      spark.readStream.schema(schema).parquet(path)
-        .writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite")
-            .parquet(s"$targetPath/_pipeline=$pipeline/_batch=$id")
+      targetPath: String, checkpointRoot: String,
+      maxConcurrent: Int = 10): Unit =
+    if (logs.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(maxConcurrent, logs.size)))
+      try {
+        val tasks = logs.toSeq.map { case (pipeline, path) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val schema = spark.read.parquet(path).schema
+              spark.readStream.schema(schema).parquet(path)
+                .writeStream
+                .foreachBatch { (b: DataFrame, id: Long) =>
+                  b.write.mode("overwrite")
+                    .parquet(s"$targetPath/_pipeline=$pipeline/_batch=$id")
+                }
+                .option("checkpointLocation", s"$checkpointRoot/monitor_$pipeline")
+                .trigger(Trigger.AvailableNow())
+                .start().awaitTermination()
+            }
+          })
         }
-        .option("checkpointLocation", s"$checkpointRoot/monitor_$pipeline")
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+        // propagate the FIRST stream failure (after all settle) — a silent
+        // partial union would under-report in every monitoring MV
+        val failures = tasks.flatMap { t =>
+          try { t.get(); None } catch {
+            case e: java.util.concurrent.ExecutionException => Some(e.getCause)
+          }
+        }
+        failures.headOption.foreach(throw _)
+      } finally pool.shutdown()
     }
 
   /** One monitoring materialized view (reference
@@ -74,10 +100,11 @@ object Monitoring {
         * they live in the monitoring block's catalog.schema alongside the
         * union table, not unqualified at the warehouse root where they
         * would collide with data tables. */
-      qualify: String => String = identity): Unit = {
+      qualify: String => String = identity,
+      maxConcurrentStreams: Int = 10): Unit = {
     val present = eventLogTables.filter { case (_, t) => store.exists(t) }
     streamEventLogs(spark, present.map { case (p, t) => p -> store.path(t) },
-      store.path(streamingTable), checkpointRoot)
+      store.path(streamingTable), checkpointRoot, maxConcurrentStreams)
     store.readIfExists(streamingTable).foreach { union =>
       union.createOrReplaceTempView(streamingTable.split('.').last)
       mvs.foreach { mv =>

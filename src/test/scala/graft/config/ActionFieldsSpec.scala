@@ -342,7 +342,9 @@ class ActionFieldsSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft-opmeta").toString
     val store = new graft.exec.TableStore(spark, s"$dir/wh")
     val runner = new graft.exec.PipelineRunner(spark, store, s"$dir/cp",
-      opMetaColumns = Map("_source_system" -> "'fixture'"))
+      opMetaColumns = Map("_source_system" ->
+        graft.operators.OperationalMetadata.ColumnDef("'fixture'",
+          graft.operators.OperationalMetadata.TargetTypes)))
     Seq((1, "a"), (2, "b")).toDF("id", "v").createOrReplaceTempView("om_src")
     // delta load with an action-level SELECTION (the reference
     // product_quarantine_bronze.yaml shape — previously silently ignored);
@@ -426,6 +428,47 @@ class ActionFieldsSpec extends SparkSuite {
     assert(agg.columns.toSet == Set("n", "_pipeline_name"))
     assert(agg.select("_pipeline_name").distinct().as[String].collect().toSeq
       == Seq("p"))
+  }
+
+  test("applies_to scopes metadata columns by target type; selections union across levels") {
+    import graft.operators.OperationalMetadata.ColumnDef
+    val dir = Files.createTempDirectory("graft-opmeta4").toString
+    val store = new graft.exec.TableStore(spark, s"$dir/wh")
+    val runner = new graft.exec.PipelineRunner(spark, store, s"$dir/cp",
+      opMetaColumns = Map(
+        // reference DEFAULT scope: the two write kinds only
+        "_write_only" -> ColumnDef("'w'"),
+        "_view_only" -> ColumnDef("'v'", Set("view")),
+        "_killed" -> ColumnDef("'x'", Set("view"), enabled = false)))
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("om4_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |operational_metadata: ["_view_only", "_killed"]
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: om4_src}
+        |    target: v
+        |  - name: w_plain
+        |    type: write
+        |    source: v
+        |    operational_metadata: ["_write_only"]
+        |    write_target: {type: materialized_view, table: om4_plain}
+        |  - name: w_agg
+        |    type: write
+        |    operational_metadata: ["_write_only"]
+        |    sql: "SELECT count(*) AS n FROM v"
+        |    write_target: {type: materialized_view, table: om4_agg}
+        |""".stripMargin))
+    // the load (target type `view`) injected the view-scoped column only;
+    // `enabled: false` removes _killed from the catalog entirely
+    val plain = store.read("om4_plain")
+    assert(plain.columns.toSet == Set("id", "v", "_view_only", "_write_only"))
+    // the aggregating write starts from scratch: selection is the UNION of
+    // action ["_write_only"] and flowgroup ["_view_only", "_killed"], then
+    // applies_to filters _view_only out of a materialized_view target
+    assert(store.read("om4_agg").columns.toSet == Set("n", "_write_only"))
   }
 
   test("flowgroup-level operational_metadata: false beats a root-level true") {

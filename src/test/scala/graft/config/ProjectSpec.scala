@@ -30,6 +30,7 @@ class ProjectSpec extends SparkSuite {
         |      expression: "F.current_timestamp()"
         |    _source_system:
         |      expression: "'fixture'"
+        |      applies_to: ["view", "streaming_table", "materialized_view"]
         |""".stripMargin)
     write("substitutions/dev.yaml",
       """dev:
@@ -111,9 +112,15 @@ class ProjectSpec extends SparkSuite {
 
     val project = Project.load(root.toString)
     assert(project.name == "fixture_project")
+    // the PySpark spellings translated; _processing_timestamp keeps the
+    // reference DEFAULT applies_to (write kinds only), _source_system
+    // opted into views explicitly (as the reference examples do for their
+    // view-scoped columns)
+    import graft.operators.OperationalMetadata.ColumnDef
     assert(project.opMetaColumns == Map(
-      "_processing_timestamp" -> "current_timestamp()",
-      "_source_system" -> "'fixture'"))
+      "_processing_timestamp" -> ColumnDef("current_timestamp()"),
+      "_source_system" -> ColumnDef("'fixture'",
+        Set("view", "streaming_table", "materialized_view"))))
 
     val fgs = project.flowgroups("dev")
     assert(fgs.map(_.flowgroup).toSet == Set("events_ingest", "revenue"))
