@@ -183,7 +183,7 @@ object FlowGroupResolver {
             wt <- sub(am, "write_target")
             t <- wt.get("type").map(_.toString)
             d <- sub(section("write_actions"), t)
-          } yield am + ("write_target" -> mapToJava(deepMerge(wt, d)))).getOrElse(am)
+          } yield am + ("write_target" -> mapToJava(applySuffix(deepMerge(wt, d))))).getOrElse(am)
         case _ => am
       }
       mapToJava(merged): Any
@@ -204,6 +204,32 @@ object FlowGroupResolver {
   }
 
   // ------------------------------------------------------------------ java
+
+  /** Preset `schema_suffix` on a write target (reference
+    * flowgroup_resolver.py:315-351 `_apply_suffix`): append the suffix to
+    * the target's `schema` (or legacy `database`) qualifier — how the
+    * reference presets derive env-specific schemas. `database_suffix` is
+    * the reference's soft-deprecated spelling (LHP-DEPR-004): honored with
+    * a warning, `schema_suffix` winning when both appear. The suffix keys
+    * are consumed here — they are resolver directives, not write-target
+    * options. */
+  private def applySuffix(merged: Map[String, Any]): Map[String, Any] = {
+    val schemaSuffix = merged.get("schema_suffix").map(_.toString).filter(_.nonEmpty)
+    val dbSuffix = merged.get("database_suffix").map(_.toString).filter(_.nonEmpty)
+    val cleaned = merged -- Seq("schema_suffix", "database_suffix")
+    schemaSuffix.orElse(dbSuffix) match {
+      case None => cleaned
+      case Some(suffix) =>
+        if (schemaSuffix.isEmpty && dbSuffix.isDefined)
+          System.err.println("[graft] preset 'database_suffix' is deprecated " +
+            s"(reference LHP-DEPR-004) — use schema_suffix; '$suffix' applied")
+        if (cleaned.contains("schema"))
+          cleaned + ("schema" -> (cleaned("schema").toString + suffix))
+        else if (cleaned.contains("database"))
+          cleaned + ("database" -> (cleaned("database").toString + suffix))
+        else cleaned
+    }
+  }
 
   /** Union two operational_metadata selections (flowgroup value first):
     * `true` at either level selects everything; `false` contributes no

@@ -87,6 +87,27 @@ object SchemaParser {
       }
   }
 
+  /** Structural tag-presence probe (reference
+    * unified_schema_format.schema_has_tags — the LHP-CFG-069 footgun
+    * detector): a `table_schema` file is read for column TYPES only, so a
+    * top-level `tags:` key or any per-column `tags:` key it carries is
+    * silently dropped unless the same file is also wired as `tags_file`.
+    * Presence of the key, not non-emptiness. */
+  def hasTags(yamlText: String): Boolean =
+    Option(new Yaml().load[Any](yamlText)).exists {
+      case m: java.util.Map[_, _] =>
+        val root = m.asScala.map { case (k, v) => k.toString -> v }
+        root.contains("tags") || (root.get("columns") match {
+          case Some(l: java.util.List[_]) => l.asScala.exists {
+            case c: java.util.Map[_, _] =>
+              c.asScala.keys.exists(_.toString == "tags")
+            case _ => false
+          }
+          case _ => false
+        })
+      case _ => false
+    }
+
   def parseTagsFile(yamlText: String): TagsDoc = {
     val root = Option(new Yaml().load[Any](yamlText))
       .map(_.asInstanceOf[java.util.Map[String, Any]].asScala

@@ -673,7 +673,7 @@ final class PipelineRunner(
           .getOrElse(resolveSource(a.source.get)))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
       val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
-        a.tableSchemaDdl, a.name)
+        a.tableSchemaDdl, a.name, a.tagsFile)
       if (a.incremental) {
         // incremental maintenance: the aggregation runs as a streaming
         // query in COMPLETE mode — each run reads only new source data,
@@ -724,6 +724,35 @@ final class PipelineRunner(
               .option("checkpointLocation", checkpointFor(a.sinkId))
               .trigger(Trigger.AvailableNow()).start().awaitTermination()
           else conformed.write.format("kafka").options(opts).save()
+        case "delta" =>
+          // reference delta_sink.py: `format: delta` + options.tableName
+          // (catalog table) or options.path (external location). Engine
+          // mapping: the warehouse IS this engine's table layer (parquet
+          // dirs + sidecars), so tableName appends to a store-managed
+          // table — streaming via the file sink's own metadata log
+          // (exactly-once), batch via store.append. An explicit path
+          // behaves like the files sink at that location.
+          a.options.get("tableName").orElse(a.options.get("table")) match {
+            case Some(t) =>
+              if (src.isStreaming)
+                src.writeStream.format("parquet")
+                  .option("checkpointLocation", checkpointFor(a.sinkId))
+                  .option("path", store.path(t))
+                  .trigger(Trigger.AvailableNow()).start().awaitTermination()
+              else store.append(t, src)
+              store.readIfExists(t)
+                .foreach(_.createOrReplaceTempView(tableViewName(t)))
+              hooks.onTableWritten(currentPipeline, currentFlowgroup, t)
+            case None =>
+              val p = a.options.getOrElse("path", throw Planner.PlanError(
+                s"delta sink '${a.name}' needs options.tableName or options.path"))
+              if (src.isStreaming)
+                src.writeStream.format("parquet")
+                  .option("checkpointLocation", checkpointFor(a.sinkId))
+                  .option("path", p).trigger(Trigger.AvailableNow())
+                  .start().awaitTermination()
+              else src.write.mode("append").parquet(p)
+          }
         case "foreachbatch" =>
           val handler = plugin[BatchHandler](a.handlerClass.getOrElse(
             throw Planner.PlanError(s"foreachbatch sink '${a.name}' missing handler")))
@@ -1065,7 +1094,7 @@ final class PipelineRunner(
       val src0raw = withOpMeta(a, resolveSource(a.source))
       val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
       enforceDeclaredSchema(Expectations(src0, a.expectations),
-        a.tableSchemaDdl, a.name)
+        a.tableSchemaDdl, a.name, a.tagsFile)
     }
     store.setProperties(a.table, a.tableProperties)
     def mkScdOpts(defaultSequenceBy: Seq[String]) = a.cdc.map(c => ScdMerge.Options(
@@ -1189,7 +1218,7 @@ final class PipelineRunner(
     * different shape would fail there too). A pure projection — streaming
     * frames pass through unchanged in streaming-ness. */
   private def enforceDeclaredSchema(df: DataFrame, ddl: Option[String],
-      name: String): DataFrame = ddl match {
+      name: String, tagsFile: Option[String] = None): DataFrame = ddl match {
     case None => df
     case Some(d) =>
       // file reference only when the resolved file actually EXISTS — a
@@ -1197,8 +1226,19 @@ final class PipelineRunner(
       // nonsense file-not-found error
       val ref = resolveFile(d)
       val declared =
-        if (java.nio.file.Files.isRegularFile(ref))
-          graft.config.SchemaParser.parse(readFile(d)).schema
+        if (java.nio.file.Files.isRegularFile(ref)) {
+          val text = readFile(d)
+          // LHP-CFG-069 footgun: a table_schema file is read for column
+          // TYPES only — UC tags it carries apply only when the SAME file
+          // is also the action's tags_file. Warn, never raise.
+          if (graft.config.SchemaParser.hasTags(text) &&
+              !tagsFile.exists(t => resolveFile(t).toAbsolutePath.normalize ==
+                ref.toAbsolutePath.normalize))
+            System.err.println(s"[graft] WARN write '$name': table_schema " +
+              s"file '$d' carries UC tags that will NOT be applied — wire " +
+              "the same file as tags_file too (reference LHP-CFG-069)")
+          graft.config.SchemaParser.parse(text).schema
+        }
         else StructType.fromDDL(d)
       val missing = declared.fields.map(_.name)
         .filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))

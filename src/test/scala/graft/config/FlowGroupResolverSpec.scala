@@ -94,6 +94,45 @@ class FlowGroupResolverSpec extends SparkSuite {
     assert(w.tableProperties == Map("quality" -> "bronze", "owner" -> "child-team"))
   }
 
+  test("preset schema_suffix appends to the write schema; database_suffix deprecated alias") {
+    val preset =
+      """name: envsuffix
+        |defaults:
+        |  write_actions:
+        |    streaming_table:
+        |      schema_suffix: "_dev"
+        |    materialized_view:
+        |      database_suffix: "_legacy"
+        |""".stripMargin
+    val fg = FlowGroupResolver.resolve(
+      """pipeline: p
+        |flowgroup: f
+        |presets: [envsuffix]
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: sql, sql: "SELECT 1 AS x"}
+        |    target: v
+        |  - name: w1
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, schema: bronze, table: out}
+        |  - name: w2
+        |    type: write
+        |    source: v
+        |    write_target: {type: materialized_view, database: gold, table: agg}
+        |""".stripMargin,
+      presets = Map("envsuffix" -> preset))
+    // schema_suffix appended to the schema qualifier (the reference's
+    // env-specific schema mechanism, _apply_suffix); the suffix keys are
+    // consumed by the resolver, never leaking into write-target options
+    val w1 = fg.actions.collectFirst { case x: StreamingTableWrite => x }.get
+    assert(w1.table == "bronze_dev.out")
+    // legacy database_suffix (LHP-DEPR-004) still applies, to `database`
+    val w2 = fg.actions.collectFirst { case x: graft.model.MaterializedViewWrite => x }.get
+    assert(w2.table == "gold_legacy.agg")
+  }
+
   test("preset inheritance cycle is an error") {
     val a = "name: a\nextends: b\ndefaults: {}\n"
     val b = "name: b\nextends: a\ndefaults: {}\n"

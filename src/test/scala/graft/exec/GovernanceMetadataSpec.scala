@@ -196,4 +196,49 @@ class GovernanceMetadataSpec extends SparkSuite {
       runner.run(YamlConfig.parseFlowGroup(yamlFor("k BIGINT, nope STRING"))))
     assert(e.getMessage.contains("nope"))
   }
+
+  test("schema-file tag detection (LHP-CFG-069) and same-file table_schema+tags_file") {
+    import graft.config.SchemaParser
+    // the structural probe behind the silent-drop warning
+    assert(SchemaParser.hasTags("tags: {pii: 'true'}\ncolumns: []\n"))
+    assert(SchemaParser.hasTags(
+      "columns:\n  - {name: a, type: STRING, tags: {pii: 'yes'}}\n"))
+    assert(!SchemaParser.hasTags(
+      "name: s\ncolumns:\n  - {name: a, type: STRING}\n"))
+    assert(!SchemaParser.hasTags("just a string"))
+
+    // one unified file wired as BOTH table_schema and tags_file: types
+    // enforce AND tags land — the sanctioned spelling the warning points to
+    val dir = Files.createTempDirectory("graft-cfg069")
+    Files.createDirectories(dir.resolve("schemas"))
+    Files.writeString(dir.resolve("schemas/uni.yaml"),
+      """name: uni
+        |tags: {domain: sales}
+        |columns:
+        |  - {name: k, type: BIGINT, tags: {pii: "false"}}
+        |  - {name: v, type: STRING}
+        |""".stripMargin)
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp",
+      projectRoot = dir.toString)
+    Seq(("1", "a")).toDF("k", "v").createOrReplaceTempView("uni_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: uni_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, table: uni_t,
+        |                   table_schema: schemas/uni.yaml,
+        |                   tags_file: schemas/uni.yaml}
+        |""".stripMargin))
+    assert(store.read("uni_t").schema("k").dataType.typeName == "long")
+    val (_, _, tags) = TableStore.describeTable(s"$dir/wh", "uni_t")
+    assert(tags("domain") == "sales" && tags("column.k.pii") == "false", tags.toString)
+  }
 }

@@ -61,6 +61,67 @@ class SourcesSpec extends SparkSuite {
       Set((10L, "x"), (11L, "y")))
   }
 
+  test("delta sink appends to a managed table, batch and streaming") {
+    val dir = Files.createTempDirectory("delta-sink").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.json(s"$dir/landing")
+    val store = new graft.exec.TableStore(spark, s"$dir/wh")
+    val runner = new graft.exec.PipelineRunner(spark, store, s"$dir/ckpt")
+    def fg(src: String) = graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: ds
+         |actions:
+         |$src
+         |  - name: w
+         |    type: write
+         |    source: v_rows
+         |    write_target:
+         |      type: sink
+         |      sink_type: delta
+         |      sink_name: ext_delta
+         |      options: {tableName: ext_target}
+         |""".stripMargin)
+    // streaming source → file-sink append with its own metadata log
+    runner.run(fg(
+      s"""  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $dir/landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, v STRING"
+         |    target: v_rows""".stripMargin))
+    assert(store.read("ext_target").count() == 2L)
+    // a SECOND run with no new files appends nothing (exactly-once)
+    runner.run(fg(
+      s"""  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $dir/landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, v STRING"
+         |    target: v_rows""".stripMargin))
+    assert(store.read("ext_target").count() == 2L)
+    // neither tableName nor path is loud
+    val e = intercept[graft.plan.Planner.PlanError](runner.run(
+      graft.config.YamlConfig.parseFlowGroup(
+        """pipeline: p
+          |flowgroup: ds2
+          |actions:
+          |  - name: l
+          |    type: load
+          |    source: {type: sql, sql: "SELECT 1 AS id"}
+          |    target: v
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target: {type: sink, sink_type: delta, sink_name: s}
+          |""".stripMargin)))
+    assert(e.getMessage.contains("tableName"), e.getMessage)
+  }
+
   test("schema parser maps the reference type vocabulary") {
     val doc = SchemaParser.parse(
       """name: customer
