@@ -38,13 +38,22 @@ object FlowGroupResolver {
 
   private val ParamPat = "\\{\\{\\s*([A-Za-z0-9_.-]+)\\s*\\}\\}".r
 
-  /** Render `{{ param }}` placeholders with provided params over defaults. */
+  /** Render `{{ param }}` placeholders with provided params over defaults.
+    * COMMENT lines pass through unrendered: the reference renders with
+    * Jinja over the raw text where an undefined name in a comment resolves
+    * to empty and the YAML parse then discards the line — its doc fixtures
+    * literally write "Jinja2 {{ param }} expressions" in template header
+    * comments. Keeping the strict unresolved-parameter error for CONTENT
+    * lines, where a typo'd name must not silently become empty. */
   def renderTemplate(t: Template, params: Map[String, String]): String = {
     val all = t.defaults ++ params
-    ParamPat.replaceAllIn(t.body, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        all.getOrElse(m.group(1),
-          throw Substitution.UnresolvedToken(m.group(1), s"template ${t.name}"))))
+    t.body.linesIterator.map { line =>
+      if (line.dropWhile(_.isWhitespace).startsWith("#")) line
+      else ParamPat.replaceAllIn(line, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          all.getOrElse(m.group(1),
+            throw Substitution.UnresolvedToken(m.group(1), s"template ${t.name}"))))
+    }.mkString("\n")
   }
 
   /** Recursive deep merge: `overlay` wins on scalars; maps merge; action

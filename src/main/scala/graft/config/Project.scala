@@ -477,19 +477,30 @@ object Project {
           Files.isRegularFile(p))
         .toSeq.sortBy(_.toString))
 
-  /** `substitutions/<env>.yaml`: the env's token map lives under a single
-    * top-level key matching the env (secrets config is separate). */
+  /** `substitutions/<env>.yaml`: the env's token map lives under a
+    * top-level key matching the env, plus an optional `global:` block of
+    * tokens shared by every environment — env-specific values override
+    * global ones (reference core/processing/substitution.py:116-137;
+    * secrets config is separate). Booleans lowercase like the reference
+    * (`True` → "true"). */
   private def loadSubstitutions(dir: Path): Map[String, Map[String, String]] =
     if (!Files.exists(dir)) Map.empty
     else Files.list(dir).iterator().asScala
       .filter(_.toString.endsWith(".yaml"))
       .map { p =>
         val env = stripExt(p)
+        def tokenMap(v: Any): Map[String, String] = v match {
+          case m: java.util.Map[_, _] => m.asScala.map {
+            case (tk, tv: java.lang.Boolean) => tk.toString -> tv.toString.toLowerCase
+            case (tk, tv) => tk.toString -> String.valueOf(tv)
+          }.toMap
+          case _ => Map.empty
+        }
         val tokens = new Yaml().load[Any](Files.readString(p)) match {
-          case m: java.util.Map[_, _] => m.asScala.collectFirst {
-            case (k, v: java.util.Map[_, _]) if k.toString == env =>
-              v.asScala.map { case (tk, tv) => tk.toString -> String.valueOf(tv) }.toMap
-          }.getOrElse(Map.empty[String, String])
+          case m: java.util.Map[_, _] =>
+            val root = m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+            tokenMap(root.getOrElse("global", null)) ++
+              tokenMap(root.getOrElse(env, null))
           case _ => Map.empty[String, String]
         }
         env -> tokens

@@ -11,11 +11,11 @@ object Planner {
 
   final case class PlanError(msg: String) extends RuntimeException(msg)
 
-  /** A materialized-view write with its own SQL (or a snapshot-CDC write) is
-    * self-contained: it needs no load in the flowgroup
-    * (dependency_resolver.py:134-153). */
+  /** A materialized-view write with its own SQL — inline or sql_path — or
+    * a snapshot-CDC write is self-contained: it needs no load in the
+    * flowgroup (dependency_resolver.py:134-153). */
   private def selfContained(a: Action): Boolean = a match {
-    case m: MaterializedViewWrite => m.sql.isDefined
+    case m: MaterializedViewWrite => m.sql.isDefined || m.sqlPath.isDefined
     case s: StreamingTableWrite => s.snapshotCdc
     case _ => false
   }
@@ -92,11 +92,18 @@ object Planner {
     val actions = fg.actions
     if (actions.isEmpty) throw PlanError(s"flowgroup '${fg.flowgroup}' has no actions")
     val writes = actions.collect { case w: WriteAction => w }
-    if (writes.isEmpty)
-      throw PlanError(s"flowgroup '${fg.flowgroup}' has no write action")
     val hasLoad = actions.exists(_.isInstanceOf[LoadAction])
-    if (!hasLoad && !writes.exists(selfContained))
-      throw PlanError(s"flowgroup '${fg.flowgroup}' has no load action and no self-contained write")
+    // test-only flowgroups — data tests and nothing else — are valid
+    // pipelines in the reference (dependency_resolver.py:78-89: "Test-only
+    // flowgroups are allowed (for data quality testing)")
+    val testOnly = actions.exists(_.isInstanceOf[TestAction]) &&
+      !hasLoad && writes.isEmpty
+    if (!testOnly) {
+      if (writes.isEmpty)
+        throw PlanError(s"flowgroup '${fg.flowgroup}' has no write action")
+      if (!hasLoad && !writes.exists(selfContained))
+        throw PlanError(s"flowgroup '${fg.flowgroup}' has no load action and no self-contained write")
+    }
     // orphan transforms: a non-write action whose target no other action
     // consumes (SQL-referenced views count — `inputs` may parse SQL)
     val consumed = actions.flatMap(inputs).toSet

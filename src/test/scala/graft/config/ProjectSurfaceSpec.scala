@@ -2,7 +2,6 @@ package graft.config
 
 import java.nio.file.Files
 
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.exec.TestReporters
 
@@ -29,7 +28,7 @@ object FixtureFnProvider { @volatile var count: Int = -1 }
   * patterns, duplicate-name detection, required_lhp_version enforcement,
   * and the test_reporting provider contract — each mirrors a reference
   * behavior that was previously silently absorbed. */
-class ProjectSurfaceSpec extends AnyFunSuite {
+class ProjectSurfaceSpec extends graft.SparkSuite {
 
   // ------------------------------------------------------------- discovery
 
@@ -112,6 +111,47 @@ class ProjectSurfaceSpec extends AnyFunSuite {
     val names = fgs.map(_.flowgroup).toSet
     assert(names.contains("t_a_fg") && names.contains("t_b_fg"), names.toString)
     assert(!names.contains("gx")) // include still filters plain flowgroups
+  }
+
+  test("substitutions: global tokens shared across envs, env-specific wins") {
+    val root = Files.createTempDirectory("graft-glob")
+    write(root, "lhp.yaml", "name: p\n")
+    write(root, "substitutions/dev.yaml",
+      """global:
+        |  db_name: sales
+        |  region: us-east
+        |dev:
+        |  catalog: dev_cat
+        |  region: eu-west
+        |""".stripMargin)
+    val p = Project.load(root.toString)
+    val tokens = p.envTokens("dev")
+    assert(tokens("db_name") == "sales")   // from global
+    assert(tokens("catalog") == "dev_cat") // env-specific
+    assert(tokens("region") == "eu-west")  // env overrides global
+  }
+
+  test("a test-only flowgroup runs end-to-end (no load, no write)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-testonly").toString
+    val store = new graft.exec.TableStore(spark, s"$dir/wh")
+    val hooks = new graft.exec.PipelineHooks.Recording
+    val runner = new graft.exec.PipelineRunner(spark, store, s"$dir/cp",
+      hooks = hooks)
+    Seq((1, "a"), (1, "b")).toDF("id", "v").createOrReplaceTempView("dq_src")
+    runner.run(YamlConfig.parseFlowGroup(
+      """pipeline: bronze_dq
+        |flowgroup: orders_dq
+        |actions:
+        |  - name: orders_id_unique
+        |    type: test
+        |    test_type: uniqueness
+        |    source: dq_src
+        |    columns: [id]
+        |    on_violation: warn
+        |""".stripMargin))
+    assert(hooks.tests.exists { case (n, _, v) =>
+      n == "orders_id_unique" && v > 0 })
   }
 
   // -------------------------------------------------- required_lhp_version

@@ -50,6 +50,24 @@ class PlannerSpec extends AnyFunSuite {
     assert(deps("t") == Set("w"))
   }
 
+  test("test-only flowgroups validate; sql_path MVs are self-contained") {
+    // tests and nothing else — a valid DQ pipeline in the reference
+    // (dependency_resolver.py: "Test-only flowgroups are allowed")
+    Planner.validate(FlowGroup("p", "dq_only", actions = Seq(
+      TestAction("t_unique", "uniqueness", Seq("cat.bronze.orders"),
+        Map("columns" -> java.util.List.of("order_id"))))))
+    // an empty flowgroup is still invalid
+    intercept[Planner.PlanError](Planner.validate(FlowGroup("p", "empty")))
+    // a transform without tests still needs a write
+    intercept[Planner.PlanError](Planner.validate(FlowGroup("p", "tf", actions = Seq(
+      SqlTransform("t", Some("v_t"), Seq("x"), "SELECT 1")))))
+    // a sql_path-only materialized view needs no load (the reference's
+    // _is_self_contained_materialized_view accepts sql OR sql_path)
+    Planner.validate(FlowGroup("p", "gold", actions = Seq(
+      MaterializedViewWrite("mv", source = None, table = "gold.sales",
+        sql = None, sqlPath = Some("sql/sales.sql")))))
+  }
+
   test("two sinks sharing a sink identity are a loud PlanError") {
     // shared identity = shared streaming checkpoint: the second sink would
     // silently resume from the first's offsets and drop its own data
