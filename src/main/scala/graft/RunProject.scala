@@ -34,10 +34,11 @@ object RunProject {
 
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
+    // required_lhp_version gate (reference version_enforcement.py) — BEFORE
+    // the full loader, so an incompatible project reports the version
+    // mismatch rather than whichever strict parse error it hits first
+    graft.config.VersionCheck.enforceForProjectDir(projectDir)
     val project = Project.load(projectDir)
-    // required_lhp_version gate (reference version_enforcement.py) — before
-    // any flowgroup resolution so an incompatible project never half-runs
-    graft.config.VersionCheck.enforce(project.requiredLhpVersion, project.name)
     project.registerCatalog(spark, env, warehouse)
 
     val fgs0 = project.flowgroups(env, lenient = true)
@@ -86,13 +87,8 @@ object RunProject {
     // publishes ONCE at run terminal state (after the outcomes loop)
     val providerReporter = project.testReporting.map { tr =>
       val cfg = tr.configFile.map { f =>
-        new org.yaml.snakeyaml.Yaml().load[Any](java.nio.file.Files.readString(
-          java.nio.file.Paths.get(projectDir).resolve(f))) match {
-          case m: java.util.Map[_, _] =>
-            import scala.jdk.CollectionConverters._
-            m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
-          case _ => Map.empty[String, String]
-        }
+        TestReporters.flatConfig(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(projectDir).resolve(f)), f)
       }.getOrElse(Map.empty[String, String])
       new TestReporters.ProviderReporter(
         TestReporters.loadProvider(tr.modulePath, tr.functionName), cfg)

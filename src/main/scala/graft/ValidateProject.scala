@@ -41,7 +41,10 @@ object ValidateProject {
     val secrets: graft.config.Substitution.SecretProvider = (scope, key) =>
       graft.config.Substitution.envSecrets(scope, key)
         .orElse(Some(s"__${scope}_${key}__"))
-    val resolved = project.pipelineFiles.flatMap { p =>
+    // the same file set the RUN resolves (pipeline files + instance files
+    // reachable only via instance_include) — validating a narrower set
+    // would pass an invalid instance that then fails the run
+    val resolved = project.resolutionFiles.flatMap { p =>
       Try(project.resolvePipelineFile(p, env, lenient = true, secrets)) match {
         case Success(fgs) => fgs.map(p -> _)
         case Failure(e) =>

@@ -44,7 +44,10 @@ object FlowGroupResolver {
     * to empty and the YAML parse then discards the line — its doc fixtures
     * literally write "Jinja2 {{ param }} expressions" in template header
     * comments. Keeping the strict unresolved-parameter error for CONTENT
-    * lines, where a typo'd name must not silently become empty. */
+    * lines, where a typo'd name must not silently become empty. Known
+    * limit: the check is line-based, so a '#'-leading line INSIDE a YAML
+    * block scalar (content, not comment) is skipped too — params there
+    * stay literal rather than erroring, the safer failure direction. */
   def renderTemplate(t: Template, params: Map[String, String]): String = {
     val all = t.defaults ++ params
     t.body.linesIterator.map { line =>
@@ -221,7 +224,10 @@ object FlowGroupResolver {
     * the reference's soft-deprecated spelling (LHP-DEPR-004): honored with
     * a warning, `schema_suffix` winning when both appear. The suffix keys
     * are consumed here — they are resolver directives, not write-target
-    * options. */
+    * options. Note: a suffix preset listed at BOTH the template and the
+    * flowgroup level appends twice — matching the reference, whose two
+    * apply_preset_config passes (flowgroup_resolver.py:134-155) each run
+    * _apply_suffix. */
   private def applySuffix(merged: Map[String, Any]): Map[String, Any] = {
     val schemaSuffix = merged.get("schema_suffix").map(_.toString).filter(_.nonEmpty)
     val dbSuffix = merged.get("database_suffix").map(_.toString).filter(_.nonEmpty)
@@ -255,7 +261,13 @@ object FlowGroupResolver {
     (names(fgVal), names(presetVal)) match {
       case (None, _) | (_, None) => java.lang.Boolean.TRUE
       case (Some(a), Some(b)) =>
-        new java.util.ArrayList[String]((a ++ b).distinct.asJava)
+        val u = (a ++ b).distinct
+        // both levels opted out (or contributed nothing): the union must
+        // re-serialize as FALSE — an empty YAML list would re-parse as
+        // Enabled(Nil) = ALL columns, inverting a double opt-out into full
+        // injection
+        if (u.isEmpty) java.lang.Boolean.FALSE
+        else new java.util.ArrayList[String](u.asJava)
     }
   }
 

@@ -87,10 +87,12 @@ final case class Project(
     else {
       val fs = dir.getFileSystem
       val matchers = include.map(g => fs.getPathMatcher(s"glob:$g"))
-      Files.walk(dir).iterator().asScala
-        .filter(p => p.toString.endsWith(".yaml") && Files.isRegularFile(p))
-        .filter(p => matchers.isEmpty || matchers.exists(_.matches(dir.relativize(p))))
-        .toSeq.sortBy(_.toString)
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".yaml") && Files.isRegularFile(p))
+          .filter(p => matchers.isEmpty || matchers.exists(_.matches(dir.relativize(p))))
+          .toList.sortBy(_.toString)
+      }
     }
   }
 
@@ -113,19 +115,36 @@ final case class Project(
     * count, everything else belongs to the flowgroup pass. Instance
     * discovery is independent of the flowgroup `include` globs, so an
     * instance excluded by `include` (or living outside `pipelines/` under
-    * a widened pattern) is still found. */
-  def instanceFiles: Seq[Path] = {
+    * a widened pattern) is still found. A file that fails to PARSE during
+    * the shape sniff is simply not an instance — erroring here would make
+    * a malformed scratch file the include globs deliberately exclude fatal
+    * to the whole run. */
+  def instanceFiles: Seq[Path] = instanceFilesExcluding(Set.empty)
+
+  private def instanceFilesExcluding(exclude: Set[Path]): Seq[Path] = {
     val patterns =
       if (instanceInclude.isEmpty) Project.DefaultInstancePatterns
       else instanceInclude
-    Project.globFiles(root, patterns).filter { p =>
-      new Yaml().loadAll(Files.readString(p)).asScala.find(_ != null).exists {
-        case m: java.util.Map[_, _] =>
-          m.asScala.keys.exists(k =>
-            k.toString == "use_blueprint" || k.toString == "blueprint")
-        case _ => false
-      }
+    Project.globFiles(root, patterns).filterNot(exclude).filter { p =>
+      scala.util.Try {
+        new Yaml().loadAll(Files.readString(p)).asScala.find(_ != null).exists {
+          case m: java.util.Map[_, _] =>
+            m.asScala.keys.exists(k =>
+              k.toString == "use_blueprint" || k.toString == "blueprint")
+          case _ => false
+        }
+      }.getOrElse(false)
     }
+  }
+
+  /** Every file the resolution pass covers: the include-selected pipeline
+    * files plus instance files reachable only through `instance_include`.
+    * Shared by [[flowgroups]] and the validate CLI — validate walking a
+    * NARROWER set than run would let an invalid instance pass validation
+    * and fail the run. */
+  def resolutionFiles: Seq[Path] = {
+    val base = pipelineFiles
+    base ++ instanceFilesExcluding(base.toSet)
   }
 
   /** Resolve every included flowgroup for an environment: templates,
@@ -133,11 +152,8 @@ final case class Project(
     * (`flowgroups:` lists / `---` documents) resolve entry-wise; blueprint
     * instances beyond the flowgroup include set resolve too. */
   def flowgroups(env: String, lenient: Boolean = false,
-      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] = {
-    val base = pipelineFiles
-    val extras = instanceFiles.filterNot(base.toSet)
-    (base ++ extras).flatMap(p => resolvePipelineFile(p, env, lenient, secrets))
-  }
+      secrets: Substitution.SecretProvider = Substitution.envSecrets): Seq[FlowGroup] =
+    resolutionFiles.flatMap(p => resolvePipelineFile(p, env, lenient, secrets))
 
   def envTokens(env: String): Map[String, String] =
     substitutions.getOrElse(env,
@@ -438,11 +454,26 @@ object Project {
     val expanded = patterns.flatMap(p =>
       if (p.contains("/**/")) Seq(p, p.replace("/**/", "/")) else Seq(p)).distinct
     val matchers = expanded.map(g => fs.getPathMatcher(s"glob:$g"))
-    if (!Files.exists(root)) Nil
-    else Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filter(p => matchers.exists(_.matches(root.relativize(p))))
-      .toSeq.sortBy(_.toString)
+    // walk only each pattern's static prefix directory (e.g. `blueprints/`
+    // for `blueprints/**/*.yaml`) — walking the whole project root touches
+    // .git and any nested warehouse for nothing. Streams closed eagerly;
+    // Files.walk otherwise holds directory fds until GC.
+    val roots = expanded.map { p =>
+      val static = p.takeWhile(c => c != '*' && c != '?' && c != '[')
+      val dir = static.lastIndexOf('/') match {
+        case -1 => ""
+        case i => static.take(i)
+      }
+      root.resolve(dir)
+    }.distinct.filter(Files.exists(_))
+    roots.flatMap { r =>
+      scala.util.Using.resource(Files.walk(r)) { s =>
+        s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .filter(p => matchers.exists(_.matches(root.relativize(p))))
+          .toList
+      }
+    }.distinct.sortBy(_.toString)
   }
 
   /** Name-keyed YAML registry over a file set. Two files declaring the
@@ -472,10 +503,12 @@ object Project {
   private def yamlDocs(dir: Path): Map[String, String] =
     namedDocs(dir.getFileName.toString.stripSuffix("s"),
       if (!Files.exists(dir)) Nil
-      else Files.walk(dir).iterator().asScala
-        .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
-          Files.isRegularFile(p))
-        .toSeq.sortBy(_.toString))
+      else scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.iterator().asScala
+          .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
+            Files.isRegularFile(p))
+          .toList.sortBy(_.toString)
+      })
 
   /** `substitutions/<env>.yaml`: the env's token map lives under a
     * top-level key matching the env, plus an optional `global:` block of

@@ -25,6 +25,26 @@ object VersionCheck {
     * (reference pyproject.toml `version = "0.9.1"` at survey time). */
   val CompatVersion = "0.9.1"
 
+  /** Enforce straight from a project directory's manifest, BEFORE the full
+    * loader runs: a project written for a different config surface should
+    * see the version-mismatch message, not whatever shape error the strict
+    * loaders hit first. Reads only `name` + `required_lhp_version`. */
+  def enforceForProjectDir(dir: String): Unit = {
+    val manifest = java.nio.file.Paths.get(dir, "lhp.yaml")
+    if (java.nio.file.Files.exists(manifest)) {
+      val root = Option(new org.yaml.snakeyaml.Yaml()
+        .load[Any](java.nio.file.Files.readString(manifest)))
+      root match {
+        case Some(m: java.util.Map[_, _]) =>
+          import scala.jdk.CollectionConverters._
+          val mm = m.asScala.map { case (k, v) => k.toString -> v }
+          enforce(mm.get("required_lhp_version").map(_.toString),
+            mm.get("name").map(_.toString).getOrElse(dir))
+        case _ => ()
+      }
+    }
+  }
+
   /** Enforce a project's requirement; no-op when unset or bypassed via
     * GRAFT_IGNORE_VERSION / LHP_IGNORE_VERSION in ("1", "true", "yes"). */
   def enforce(required: Option[String], projectName: String,

@@ -732,14 +732,38 @@ final class PipelineRunner(
           // table — streaming via the file sink's own metadata log
           // (exactly-once), batch via store.append. An explicit path
           // behaves like the files sink at that location.
+          //
+          // The two write modes must NEVER mix on one table: once a
+          // `_spark_metadata` sink log exists, spark.read resolves the
+          // listing through it and every non-logged batch file silently
+          // VANISHES from reads (and batch files would break the log's
+          // exactly-once accounting). Refusing the mix loudly beats rows
+          // that exist on disk but not in any query.
           a.options.get("tableName").orElse(a.options.get("table")) match {
             case Some(t) =>
-              if (src.isStreaming)
+              val sinkLog = new java.io.File(store.path(t), "_spark_metadata")
+              val tableDir = new java.io.File(store.path(t))
+              if (src.isStreaming) {
+                val plainFiles = !sinkLog.exists() && tableDir.isDirectory &&
+                  Option(tableDir.listFiles()).exists(_.exists(f =>
+                    f.getName.endsWith(".parquet")))
+                if (plainFiles) throw Planner.PlanError(
+                  s"delta sink '${a.name}': table '$t' already holds " +
+                    "batch-appended files — a streaming sink's metadata log " +
+                    "would hide them from every read. Use a fresh table or " +
+                    "keep this sink batch.")
                 src.writeStream.format("parquet")
                   .option("checkpointLocation", checkpointFor(a.sinkId))
                   .option("path", store.path(t))
                   .trigger(Trigger.AvailableNow()).start().awaitTermination()
-              else store.append(t, src)
+              } else {
+                if (sinkLog.exists()) throw Planner.PlanError(
+                  s"delta sink '${a.name}': table '$t' is owned by a " +
+                    "streaming sink (_spark_metadata present) — batch rows " +
+                    "appended beside the log are invisible to reads. Use a " +
+                    "fresh table or stream into this one.")
+                store.append(t, src)
+              }
               store.readIfExists(t)
                 .foreach(_.createOrReplaceTempView(tableViewName(t)))
               hooks.onTableWritten(currentPipeline, currentFlowgroup, t)

@@ -48,6 +48,27 @@ object TestReporters {
     def publishAll(): Unit = provider.publish(synchronized(buf.toList), config)
   }
 
+  /** Parse a provider `config_file` into the FLAT string map the
+    * [[Provider]] contract hands over. Nested maps/lists are LOUD — a
+    * silent `String.valueOf` would deliver '{k=v}' Java toString blobs. */
+  def flatConfig(yamlText: String, fileName: String): Map[String, String] =
+    Option(new org.yaml.snakeyaml.Yaml().load[Any](yamlText)) match {
+      case Some(m: java.util.Map[_, _]) =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.map {
+          case (k, _: java.util.Map[_, _]) =>
+            throw graft.config.YamlConfig.ConfigError(
+              s"test_reporting config_file '$fileName': key '$k' holds a " +
+                "nested map — provider config must be flat key: value")
+          case (k, _: java.util.List[_]) =>
+            throw graft.config.YamlConfig.ConfigError(
+              s"test_reporting config_file '$fileName': key '$k' holds a " +
+                "list — provider config must be flat key: value")
+          case (k, v) => k.toString -> String.valueOf(v)
+        }.toMap
+      case _ => Map.empty
+    }
+
   /** Resolve the `test_reporting` provider: `module_path` must name a
     * loadable JVM class; `function_name` either the [[Provider]] `publish`
     * (when the class implements the trait) or a reflective

@@ -93,9 +93,10 @@ object Planner {
     if (actions.isEmpty) throw PlanError(s"flowgroup '${fg.flowgroup}' has no actions")
     val writes = actions.collect { case w: WriteAction => w }
     val hasLoad = actions.exists(_.isInstanceOf[LoadAction])
-    // test-only flowgroups — data tests and nothing else — are valid
-    // pipelines in the reference (dependency_resolver.py:78-89: "Test-only
-    // flowgroups are allowed (for data quality testing)")
+    // test-only flowgroups are valid pipelines in the reference
+    // (dependency_resolver.py:78-89: `test_actions and not (load_actions
+    // or write_actions)` — transforms feeding the tests are permitted,
+    // only loads/writes disqualify)
     val testOnly = actions.exists(_.isInstanceOf[TestAction]) &&
       !hasLoad && writes.isEmpty
     if (!testOnly) {

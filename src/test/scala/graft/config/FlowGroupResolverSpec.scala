@@ -133,6 +133,41 @@ class FlowGroupResolverSpec extends SparkSuite {
     assert(w2.table == "gold_legacy.agg")
   }
 
+  test("operational_metadata unions with presets; a double opt-out stays off") {
+    def resolveWith(fgOpMeta: String, presetOpMeta: String) =
+      FlowGroupResolver.resolve(
+        s"""pipeline: p
+           |flowgroup: f
+           |presets: [om]
+           |operational_metadata: $fgOpMeta
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: sql, sql: "SELECT 1 AS x"}
+           |    target: v
+           |  - name: w
+           |    type: write
+           |    source: v
+           |    write_target: {type: materialized_view, table: t}
+           |""".stripMargin,
+        presets = Map("om" ->
+          s"name: om\ndefaults:\n  operational_metadata: $presetOpMeta\n"))
+    // union of two lists
+    assert(resolveWith("[\"_pipeline_name\"]", "[\"_flowgroup_name\"]")
+      .operationalMetadata.contains(Seq("_pipeline_name", "_flowgroup_name")))
+    // true at either level selects everything
+    assert(resolveWith("true", "[\"_flowgroup_name\"]")
+      .operationalMetadata.contains(Nil))
+    // BOTH levels false: the union must re-serialize as false, NOT as an
+    // empty list (which would re-parse as "all columns" — a double opt-out
+    // silently inverting into full injection)
+    assert(resolveWith("false", "false").operationalMetadata.isEmpty)
+    // flowgroup false contributes nothing but does not veto the preset
+    // (reference: only ACTION-level false disables)
+    assert(resolveWith("false", "[\"_flowgroup_name\"]")
+      .operationalMetadata.contains(Seq("_flowgroup_name")))
+  }
+
   test("preset inheritance cycle is an error") {
     val a = "name: a\nextends: b\ndefaults: {}\n"
     val b = "name: b\nextends: a\ndefaults: {}\n"

@@ -113,6 +113,73 @@ class ProjectSurfaceSpec extends graft.SparkSuite {
     assert(!names.contains("gx")) // include still filters plain flowgroups
   }
 
+  test("a malformed file excluded by include never breaks resolution") {
+    val root = Files.createTempDirectory("graft-malformed")
+    write(root, "lhp.yaml",
+      "name: p\ninclude: [\"bronze_*.yaml\"]\n")
+    write(root, "pipelines/bronze_ok.yaml",
+      """pipeline: b
+        |flowgroup: ok
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: sql, sql: "SELECT 1 AS id"}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: materialized_view, table: t_ok}
+        |""".stripMargin)
+    // a scratch file the include globs deliberately exclude — broken YAML;
+    // the instance-shape sniff must treat it as "not an instance", not die
+    write(root, "pipelines/wip.yaml", "pipeline: [unterminated\n  bad: {{{{\n")
+    write(root, "substitutions/dev.yaml", "dev: {}\n")
+    val fgs = Project.load(root.toString).flowgroups("dev", lenient = true)
+    assert(fgs.map(_.flowgroup) == Seq("ok"))
+  }
+
+  test("validate walks the same file set as run (instances included)") {
+    val root = Files.createTempDirectory("graft-valinst")
+    write(root, "lhp.yaml",
+      """name: p
+        |instance_include: ["instances/**/*.yaml"]
+        |""".stripMargin)
+    // instance referencing a blueprint that does not exist — run would
+    // fail; validate must report it instead of passing a narrower file set
+    write(root, "instances/bad.yaml",
+      "pipeline: q\nuse_blueprint: no_such_bp\nparameters: {x: y}\n")
+    write(root, "substitutions/dev.yaml", "dev: {}\n")
+    val (ok, issues) = graft.ValidateProject.validate(spark, root.toString, "dev")
+    assert(ok == 0)
+    assert(issues.exists(_.message.contains("no_such_bp")),
+      issues.map(_.message).mkString("; "))
+  }
+
+  test("version gate reads the manifest before the strict loaders") {
+    val root = Files.createTempDirectory("graft-pregate")
+    // the manifest carries BOTH an incompatible version pin and a shape
+    // error the loud loader would throw on (duplicate blueprint names) —
+    // the user must see the version message, not the shape error
+    write(root, "lhp.yaml",
+      "name: future_proj\nrequired_lhp_version: \">=2.0\"\n")
+    write(root, "blueprints/a.yaml", "name: dup\nflowgroups: []\n")
+    write(root, "blueprints/b.yaml", "name: dup\nflowgroups: []\n")
+    val e = intercept[YamlConfig.ConfigError](
+      VersionCheck.enforceForProjectDir(root.toString))
+    assert(e.msg.contains("future_proj") && e.msg.contains("0.9.1"), e.msg)
+  }
+
+  test("provider config_file must be flat — nested values are loud") {
+    assert(TestReporters.flatConfig("a: 1\nb: text\nc: true\n", "r.yaml") ==
+      Map("a" -> "1", "b" -> "text", "c" -> "true"))
+    val e = intercept[YamlConfig.ConfigError](
+      TestReporters.flatConfig("endpoint: {url: x, retries: 3}\n", "r.yaml"))
+    assert(e.msg.contains("endpoint") && e.msg.contains("nested"), e.msg)
+    val e2 = intercept[YamlConfig.ConfigError](
+      TestReporters.flatConfig("hosts: [a, b]\n", "r.yaml"))
+    assert(e2.msg.contains("hosts"), e2.msg)
+  }
+
   test("substitutions: global tokens shared across envs, env-specific wins") {
     val root = Files.createTempDirectory("graft-glob")
     write(root, "lhp.yaml", "name: p\n")

@@ -104,6 +104,28 @@ class SourcesSpec extends SparkSuite {
          |      table_schema: "id BIGINT, v STRING"
          |    target: v_rows""".stripMargin))
     assert(store.read("ext_target").count() == 2L)
+    // the table is owned by the streaming sink's metadata log now — a
+    // BATCH append beside it would be invisible to reads (the log filters
+    // the listing), so mixing is refused loudly
+    val eMix = intercept[graft.plan.Planner.PlanError](runner.run(
+      graft.config.YamlConfig.parseFlowGroup(
+        """pipeline: p
+          |flowgroup: ds_mix
+          |actions:
+          |  - name: l
+          |    type: load
+          |    source: {type: sql, sql: "SELECT 9 AS id, 'z' AS v"}
+          |    target: v
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target:
+          |      type: sink
+          |      sink_type: delta
+          |      sink_name: s_mix
+          |      options: {tableName: ext_target}
+          |""".stripMargin)))
+    assert(eMix.getMessage.contains("_spark_metadata"), eMix.getMessage)
     // neither tableName nor path is loud
     val e = intercept[graft.plan.Planner.PlanError](runner.run(
       graft.config.YamlConfig.parseFlowGroup(
