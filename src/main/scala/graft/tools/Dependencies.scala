@@ -30,17 +30,67 @@ object Dependencies {
       s"generation $i: ${gen.mkString(", ")}"
     }.mkString("\n")
 
+  /** Structured JSON export mirroring the reference's `dag --format json`
+    * shape (core/dependencies/output.py:67-105 export_to_json): metadata
+    * block, per-pipeline dependencies with stage / external sources /
+    * parallelism, execution stages, externals. Keys kept identical so a
+    * consumer of the reference's output can point at this engine's. */
+  def toJson(spark: org.apache.spark.sql.SparkSession,
+      fgs: Seq[graft.model.FlowGroup]): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def jstr(s: String) = "\"" + esc(s) + "\""
+    def jarr(xs: Seq[String]) = xs.map(jstr).mkString("[", ", ", "]")
+
+    val pg = DependencyAnalyzer.pipelineGraph(spark, fgs)
+    val byPipeline = fgs.groupBy(_.pipeline)
+    val producedAnywhere = fgs.flatMap(DependencyAnalyzer.produces).toSet
+    val externalByPipeline: Map[String, Seq[String]] = byPipeline.map {
+      case (p, pfgs) =>
+        p -> pfgs.flatMap(DependencyAnalyzer.consumes(spark, _))
+          .filterNot(producedAnywhere).distinct.sorted
+    }
+    val (stages, circular) =
+      try (pg.generations.map(_.sorted), false)
+      catch { case _: Throwable => (Nil, true) }
+    val stageOf = stages.zipWithIndex.flatMap { case (gen, i) =>
+      gen.map(_ -> i)
+    }.toMap
+    val pipelines = byPipeline.toSeq.sortBy(_._1).map { case (p, pfgs) =>
+      val deps = pg.edges.getOrElse(p, Set.empty).toSeq.sorted
+      val stage = stageOf.getOrElse(p, -1)
+      val parallel = stages.lift(stage).exists(_.size > 1)
+      jstr(p) + ": {" + Seq(
+        s""""depends_on": ${jarr(deps)}""",
+        s""""flowgroup_count": ${pfgs.size}""",
+        s""""action_count": ${pfgs.map(_.actions.size).sum}""",
+        s""""external_sources": ${jarr(externalByPipeline(p))}""",
+        s""""can_run_parallel": $parallel""",
+        s""""stage": $stage""").mkString(", ") + "}"
+    }
+    val allExternal = externalByPipeline.values.flatten.toSeq.distinct.sorted
+    Seq(
+      "\"metadata\": {" + Seq(
+        s""""total_pipelines": ${byPipeline.size}""",
+        s""""total_external_sources": ${allExternal.size}""",
+        s""""total_stages": ${stages.size}""",
+        s""""has_circular_dependencies": $circular""").mkString(", ") + "}",
+      "\"pipelines\": {" + pipelines.mkString(", ") + "}",
+      "\"execution_stages\": " + stages.map(jarr).mkString("[", ", ", "]"),
+      "\"external_sources\": " + jarr(allExternal)
+    ).mkString("{", ", ", "}")
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Dependencies <projectDir> <env> [dot|text]")
+    require(args.length >= 2, "usage: Dependencies <projectDir> <env> [dot|json|text]")
     val (projectDir, env) = (args(0), args(1))
     val format = args.lift(2).getOrElse("text")
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("ERROR")
     val fgs = Project.load(projectDir).flowgroups(env, lenient = true)
-    val graph = DependencyAnalyzer.flowgroupGraph(spark, fgs)
     println(format match {
-      case "dot" => toDot("flowgroups", graph)
-      case _ => toText(graph)
+      case "dot" => toDot("flowgroups", DependencyAnalyzer.flowgroupGraph(spark, fgs))
+      case "json" => toJson(spark, fgs)
+      case _ => toText(DependencyAnalyzer.flowgroupGraph(spark, fgs))
     })
     spark.stop()
   }

@@ -402,6 +402,40 @@ class ProjectSurfaceSpec extends graft.SparkSuite {
     }
   }
 
+  test("full reference FlowGroup/Template/Preset field inventories are categorized") {
+    // models/_flowgroup.py:13-21, _template.py, Preset — same
+    // documentation-as-test audit as the Action and ProjectConfig levels
+    val honored = Map(
+      "FlowGroup" -> Set("pipeline", "flowgroup", "variables", "presets",
+        "use_template", "template_parameters", "actions",
+        "operational_metadata"),
+      "Template" -> Set("name", "presets", "parameters", "actions"),
+      "Preset" -> Set("name", "extends", "defaults"))
+    val docOnly = Map(
+      "Template" -> Set("version", "description"),
+      "Preset" -> Set("version", "description"))
+    // job_name names the generated Databricks Workflow job — there is no
+    // job artifact in an in-process interpreter
+    val codegenOnly = Map("FlowGroup" -> Set("job_name"))
+    val reference = Map(
+      "FlowGroup" -> Set("pipeline", "flowgroup", "job_name", "variables",
+        "presets", "use_template", "template_parameters", "actions",
+        "operational_metadata"),
+      "Template" -> Set("name", "version", "description", "presets",
+        "parameters", "actions"),
+      "Preset" -> Set("name", "version", "extends", "description",
+        "defaults"))
+    reference.foreach { case (model, fields) =>
+      val categorized = honored.getOrElse(model, Set.empty) ++
+        docOnly.getOrElse(model, Set.empty) ++
+        codegenOnly.getOrElse(model, Set.empty)
+      assert((fields -- categorized).isEmpty,
+        s"$model fields not categorized: ${fields -- categorized}")
+      assert((categorized -- fields).isEmpty,
+        s"$model phantom fields: ${categorized -- fields}")
+    }
+  }
+
   // ------------------------------------------------------ monitoring knobs
 
   test("monitoring checkpoint_path and max_concurrent_streams parse with loud bounds") {

@@ -55,4 +55,29 @@ class DependencyAnalyzerSpec extends SparkSuite {
     assert(graft.tools.Dependencies.toText(g) ==
       "generation 0: p.a\ngeneration 1: p.b")
   }
+
+  test("JSON export mirrors the reference dag shape (pipelines, stages, externals)") {
+    val fgs = Seq(
+      fg("bronze", "a", Seq("landing_ext"), "t_a"),
+      fg("bronze", "b", Seq("other_ext"), "t_b"),
+      fg("gold", "c", Seq("t_a", "t_b"), "t_c"))
+    val json = graft.tools.Dependencies.toJson(spark, fgs)
+    // structurally valid + reference keys present (parsed, not substring-d)
+    val parsed = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](json)
+    val meta = parsed.get("metadata").asInstanceOf[java.util.Map[String, Any]]
+    assert(meta.get("total_pipelines") == 2)
+    assert(meta.get("total_stages") == 2)
+    assert(meta.get("has_circular_dependencies") == false)
+    assert(meta.get("total_external_sources") == 2)
+    val pipelines = parsed.get("pipelines").asInstanceOf[java.util.Map[String, Any]]
+    val goldDep = pipelines.get("gold").asInstanceOf[java.util.Map[String, Any]]
+    assert(goldDep.get("depends_on").asInstanceOf[java.util.List[_]]
+      .contains("bronze"))
+    assert(goldDep.get("stage") == 1)
+    assert(goldDep.get("flowgroup_count") == 1)
+    val bronzeDep = pipelines.get("bronze").asInstanceOf[java.util.Map[String, Any]]
+    assert(bronzeDep.get("external_sources").asInstanceOf[java.util.List[_]]
+      .containsAll(java.util.List.of("landing_ext", "other_ext")))
+    assert(parsed.get("execution_stages").asInstanceOf[java.util.List[_]].size == 2)
+  }
 }
