@@ -30,10 +30,23 @@ object RunProject {
     val Array(projectDir, env, warehouse) = args.take(3)
     val flags = args.drop(3).filter(_.startsWith("--")).toSet
     val pipelineFilter = args.drop(3).find(!_.startsWith("--"))
-    val fullRefresh: Set[String] = if (flags("--full-refresh")) Set("*") else Set.empty
 
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
+    val outcomes = execute(spark, projectDir, env, warehouse, pipelineFilter, flags)
+    spark.stop()
+    if (outcomes.exists(o => o.error.isDefined || o.skipped)) sys.exit(1)
+  }
+
+  /** The whole run, minus session lifecycle and exit codes — extracted so
+    * the CLI WIRING (version gate, sandbox state roots, hook composition,
+    * monitoring hand-off, provider terminal publish) is itself
+    * integration-testable; two review rounds found wiring-only bugs here
+    * that no component spec could catch. */
+  def execute(spark: org.apache.spark.sql.SparkSession, projectDir: String,
+      env: String, warehouse: String, pipelineFilter: Option[String] = None,
+      flags: Set[String] = Set.empty): Seq[PipelineOrchestrator.Outcome] = {
+    val fullRefresh: Set[String] = if (flags("--full-refresh")) Set("*") else Set.empty
     // required_lhp_version gate (reference version_enforcement.py) — BEFORE
     // the full loader, so an incompatible project reports the version
     // mismatch rather than whichever strict parse error it hits first
@@ -147,7 +160,6 @@ object RunProject {
     }
     // terminal state: hand every accumulated test result to the provider
     providerReporter.foreach(_.publishAll())
-    spark.stop()
-    if (outcomes.exists(o => o.error.isDefined || o.skipped)) sys.exit(1)
+    outcomes
   }
 }

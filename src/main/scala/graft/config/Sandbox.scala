@@ -107,9 +107,17 @@ object Sandbox {
     if (!Files.exists(p)) throw ConfigError(
       s"--sandbox needs a personal profile at ${p} with 'namespace' and " +
         "'pipelines' — sandbox scope is explicit, never auto-detected")
-    val m = new Yaml().load[Any](Files.readString(p)) match {
+    val m0 = new Yaml().load[Any](Files.readString(p)) match {
       case mm: java.util.Map[_, _] => mm.asScala.map { case (k, v) => k.toString -> v }.toMap
       case other => throw ConfigError(s"profile.yaml must be a map, got: $other")
+    }
+    // the reference nests the payload under a `sandbox:` key
+    // (models/_sandbox.py: "nested under its ``sandbox:`` key"); the flat
+    // spelling is accepted too
+    val m = m0.get("sandbox") match {
+      case Some(inner: java.util.Map[_, _]) =>
+        inner.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+      case _ => m0
     }
     val ns = m.get("namespace").map(_.toString).getOrElse(
       throw ConfigError("profile.yaml missing 'namespace'"))
