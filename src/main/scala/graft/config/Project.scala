@@ -500,15 +500,27 @@ object Project {
     out.map { case (n, (_, t)) => n -> t }.toMap
   }
 
-  private def yamlDocs(dir: Path): Map[String, String] =
-    namedDocs(dir.getFileName.toString.stripSuffix("s"),
-      if (!Files.exists(dir)) Nil
-      else scala.util.Using.resource(Files.walk(dir)) { s =>
-        s.iterator().asScala
-          .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
-            Files.isRegularFile(p))
-          .toList.sortBy(_.toString)
-      })
+  private def yamlFilesUnder(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Nil
+    else scala.util.Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
+          Files.isRegularFile(p))
+        .toList.sortBy(_.toString)
+    }
+
+  private def yamlDocs(dir: Path): Map[String, String] = {
+    val files = yamlFilesUnder(dir)
+    val byName = namedDocs(dir.getFileName.toString.stripSuffix("s"), files)
+    // nested documents are ALSO addressable by their dir-relative path
+    // (reference e2e fixtures write `use_template:
+    // ingestion/csv_ingestion_template` for a template whose `name:` is
+    // just the leaf) — aliases never shadow a declared name
+    val byPath = files.map { p =>
+      dir.relativize(p).toString.replaceAll("\\.ya?ml$", "") -> Files.readString(p)
+    }.toMap
+    byPath ++ byName
+  }
 
   /** `substitutions/<env>.yaml`: the env's token map lives under a
     * top-level key matching the env, plus an optional `global:` block of

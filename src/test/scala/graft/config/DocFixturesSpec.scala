@@ -17,9 +17,13 @@ class DocFixturesSpec extends SparkSuite {
 
   private val root = Paths.get("/root/reference/docs/_fixtures")
 
+  private val e2eRoot = Paths.get("/root/reference/tests/e2e/fixtures")
+
   test("every reference doc-fixture project loads and validates") {
     assume(Files.exists(root), "reference docs fixtures not present")
-    val projects: List[Path] = Files.list(root).iterator().asScala
+    val projects: List[Path] = (Files.list(root).iterator().asScala ++
+      (if (Files.exists(e2eRoot)) Files.list(e2eRoot).iterator().asScala
+       else Iterator.empty))
       .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("lhp.yaml")))
       .toList.sortBy(_.getFileName.toString)
     assert(projects.size >= 30, s"expected the fixture corpus, got ${projects.size}")
