@@ -134,7 +134,8 @@ object YamlConfig {
         // options (maxFilesPerTrigger, ignoreDeletes) would vanish.
         val recognizedOpts = Set("readChangeFeed", "versionAsOf", "timestampAsOf",
           "startingVersion", "startingTimestamp", "endingVersion",
-          "endingTimestamp", "skipChangeCommits")
+          "endingTimestamp", "skipChangeCommits", "ignoreDeletes",
+          "maxFilesPerTrigger")
         (opts.keySet -- recognizedOpts).toSeq.sorted.foreach { k =>
           val msg = s"load '$name': unrecognized option '$k' — the parquet-backed " +
             s"table reader honors only ${recognizedOpts.toSeq.sorted.mkString(", ")}"
@@ -170,6 +171,17 @@ object YamlConfig {
         // in the parquet emulation — reject their spellings loudly.
         val skipChanges = opts.get("skipChangeCommits")
           .exists(boolOf(name, "skipChangeCommits", _))
+        val ignoreDel = opts.get("ignoreDeletes")
+          .exists(boolOf(name, "ignoreDeletes", _))
+        // rate limiting is a trigger concept — a batch read has no triggers,
+        // so accepting it there would silently change nothing
+        val maxFiles = opts.get("maxFilesPerTrigger").map { v =>
+          scala.util.Try(v.toInt).toOption.filter(_ > 0).getOrElse(throw ConfigError(
+            s"load '$name': maxFilesPerTrigger must be a positive integer, got '$v'"))
+        }
+        if (maxFiles.isDefined && readMode != "stream") throw ConfigError(
+          s"load '$name': maxFilesPerTrigger rate-limits a STREAM's " +
+            "microbatches — batch reads have no triggers; use readMode: stream")
         if (!cdf) {
           Seq("startingVersion", "startingTimestamp", "endingVersion",
             "endingTimestamp").foreach { k =>
@@ -183,9 +195,28 @@ object YamlConfig {
             s"load '$name': skipChangeCommits requires readMode: stream — " +
               "a batch read serves the current table state and has no " +
               "change commits to skip")
+          // same stream-only contract as skipChangeCommits, of which it is
+          // the narrower sibling (deletes excused, rewrites still loud)
+          if (ignoreDel && readMode != "stream") throw ConfigError(
+            s"load '$name': ignoreDeletes requires readMode: stream — " +
+              "a batch read serves the current table state and has no " +
+              "delete commits to skip")
+          if (ignoreDel && skipChanges)
+            System.err.println(s"[graft] WARN load '$name': ignoreDeletes is " +
+              "redundant with skipChangeCommits — skipChangeCommits already " +
+              "drops every non-append commit, deletes included")
         } else {
           if (opts.contains("skipChangeCommits")) throw ConfigError(
             s"load '$name': readChangeFeed and skipChangeCommits are incompatible")
+          // Delta parity (and reference e2e fixture 17_delta_cdc): the option
+          // is ACCEPTED alongside readChangeFeed but has no effect there — a
+          // change feed carries delete rows as data (_change_type='delete'),
+          // so there is no stream-breaking delete to excuse. Advisory, like
+          // sink-side 'comment'.
+          if (ignoreDel)
+            System.err.println(s"[graft] WARN load '$name': ignoreDeletes has " +
+              "no effect on a readChangeFeed stream — delete commits arrive " +
+              "as _change_type='delete' rows, not stream failures")
           // version and timestamp spellings of the SAME bound are ambiguous
           // — both directions (the reference rejects the starting pair;
           // accepting the ending pair would silently intersect them)
@@ -221,7 +252,9 @@ object YamlConfig {
           cdfEndingVersion = if (cdf) ver("endingVersion") else None,
           cdfStartingTimestamp = if (cdf) opts.get("startingTimestamp") else None,
           cdfEndingTimestamp = if (cdf) opts.get("endingTimestamp") else None,
-          skipChangeCommits = skipChanges)
+          skipChangeCommits = skipChanges,
+          ignoreDeletes = ignoreDel && !cdf && !skipChanges,
+          maxFilesPerTrigger = maxFiles)
       case "sql" =>
         val sqlPath = str(src, "sql_path").orElse(str(m, "sql_path"))
         SqlLoad(name, target,

@@ -468,7 +468,7 @@ final class PipelineRunner(
                 s"before '${a.table}''s first commit"))
         }
         timeTravel(a.table, v, a.name)
-      } else if (a.readMode == "stream" && a.skipChangeCommits) {
+      } else if (a.readMode == "stream" && (a.skipChangeCommits || a.ignoreDeletes)) {
         // skipChangeCommits (Delta delta.py:99-195 contract): stream only
         // blind-append commits, dropping merge-rewrite commits (CDC
         // corrections, GDPR deletes). The table directory itself cannot be
@@ -478,9 +478,13 @@ final class PipelineRunner(
         // and projected back to table rows. Rewrite versions fold into a
         // literal NOT-IN (rewrites are rare by the option's own use case;
         // the common append version needs no predicate at all).
+        // ignoreDeletes is the narrower sibling: only delete-kind commits
+        // are excused — an update/rewrite commit still breaks the stream,
+        // loudly, as it would in Delta.
+        val optName = if (a.skipChangeCommits) "skipChangeCommits" else "ignoreDeletes"
         val chTable = s"${a.table}__changes"
         if (!store.exists(chTable)) throw Planner.PlanError(
-          s"load '${a.name}': skipChangeCommits needs the engine-managed " +
+          s"load '${a.name}': $optName needs the engine-managed " +
             s"change log — write '${a.table}' with change_log: true " +
             "(an external table's rewrite commits are indistinguishable)")
         assertLogIntegrity(chTable, s"load '${a.name}'")
@@ -495,11 +499,22 @@ final class PipelineRunner(
               s"(recorded ${kinds.size} of 0..$latest) — the log predates " +
               "kind recording, so append and rewrite commits cannot be told " +
               "apart; full-refresh the producing write to rebuild the log")
-        val rewrites = kinds.filter(_._2 != "append").map(_._1)
+        if (!a.skipChangeCommits) {
+          val rewrites = kinds.filter(k => k._2 != "append" && k._2 != "delete")
+          if (rewrites.nonEmpty) throw Planner.PlanError(
+            s"load '${a.name}': table '${a.table}' has update/rewrite " +
+              s"commits (versions ${rewrites.map(_._1).mkString(", ")}) — " +
+              "ignoreDeletes only excuses delete-only commits; use " +
+              "skipChangeCommits to drop rewrite commits as well")
+        }
+        val dropped = kinds.filter(k =>
+          if (a.skipChangeCommits) k._2 != "append" else k._2 == "delete")
+          .map(_._1)
         val schema = store.read(chTable).schema
-        val stream = spark.readStream.schema(schema).parquet(store.path(chTable))
-        val kept = if (rewrites.isEmpty) stream
-          else stream.filter(!col("_commit_version").isInCollection(rewrites))
+        val stream = rateLimited(spark.readStream.schema(schema), a)
+          .parquet(store.path(chTable))
+        val kept = if (dropped.isEmpty) stream
+          else stream.filter(!col("_commit_version").isInCollection(dropped))
         kept.drop("_change_type", "_commit_version")
       } else if (a.readMode == "stream") {
         // stream a parquet-backed table directory. Streaming is only sound
@@ -511,7 +526,8 @@ final class PipelineRunner(
             "rewritten files (duplicates); stream its __changes companion " +
             "(change_log: true) instead")
         val batch = resolveSource(a.table)
-        spark.readStream.schema(batch.schema).parquet(store.path(a.table))
+        rateLimited(spark.readStream.schema(batch.schema), a)
+          .parquet(store.path(a.table))
       } else resolveSource(a.table)
       // every read of a `__changes` companion — bounded CDF windows, plain
       // batch/stream consumption — shares the half-commit integrity contract
@@ -892,9 +908,19 @@ final class PipelineRunner(
     store.recordCommitTimestamp(chTable, version)
     // commit kind → `._commit_kinds`: a plain append flow appends blindly;
     // any merge-engine batch (CDC, snapshot-CDC) rewrites the target —
-    // the per-version signal skipChangeCommits streams filter on
+    // the per-version signal skipChangeCommits streams filter on. A merge
+    // whose batch carried ONLY apply_as_deletes rows is the narrower
+    // `delete` kind (retention / GDPR erasure) that ignoreDeletes excuses;
+    // the probe reads back just-appended rows, pruned to this one version's
+    // files by parquet _commit_version stats, and runs only on merge
+    // commits that have a delete predicate at all.
     store.recordCommitKind(chTable, version,
-      if (mergeOpts.isEmpty) "append" else "rewrite")
+      if (mergeOpts.isEmpty) "append"
+      else if (deleteExpr.isDefined && store.read(chTable)
+        .filter(col("_commit_version") === version &&
+          col("_change_type") =!= "delete")
+        .limit(1).isEmpty) "delete"
+      else "rewrite")
     // the sidecar is per-TABLE: if another flow (fan-in) or an earlier
     // config already logged under DIFFERENT merge options, replaying the
     // mixed log under either set would be silently wrong — degrade to
@@ -1017,6 +1043,13 @@ final class PipelineRunner(
           "a change-log commit was interrupted; full-refresh the producing " +
           "write to rebuild the log")
     }
+
+  /** maxFilesPerTrigger: Delta's stream rate limit, passed verbatim to
+    * Spark's file-stream source (same option name, same semantics —
+    * microbatch size capped at N files). */
+  private def rateLimited(r: org.apache.spark.sql.streaming.DataStreamReader,
+      a: graft.model.TableLoad): org.apache.spark.sql.streaming.DataStreamReader =
+    a.maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toLong))
 
   /** version_as_of by change-log replay — Delta time travel emulated for
     * engine-managed tables (SURVEY §7.3, narrowed round 7). One merge-engine

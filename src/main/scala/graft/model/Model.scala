@@ -164,6 +164,16 @@ final case class TableLoad(
       * filtered on the `._commit_kinds` sidecar — a file stream over the
       * table directory itself would re-read rewritten files wholesale. */
     skipChangeCommits: Boolean = false,
+    /** Delta's ignoreDeletes on a STREAM read: skipChangeCommits' narrower
+      * sibling — tolerate commits that ONLY delete rows (retention, GDPR
+      * erasure) by dropping them, but still fail loudly on update/rewrite
+      * commits (which would need skipChangeCommits). Emulated on the same
+      * `._commit_kinds` sidecar: a merge commit whose batch carried nothing
+      * but apply_as_deletes rows is recorded as kind `delete`. */
+    ignoreDeletes: Boolean = false,
+    /** Delta's maxFilesPerTrigger rate limit on a STREAM read — passed to
+      * Spark's file-stream source verbatim (same option, same semantics). */
+    maxFilesPerTrigger: Option[Int] = None,
     operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends LoadAction {
   def sources: Seq[String] = Seq(table)

@@ -266,6 +266,56 @@ object Extras {
     runner.view("q49_tt")
   }
 
+  /** ignoreDeletes through the gate (q48's narrower sibling): an append
+    * commit, then a delete-ONLY merge commit (every batch row matches the
+    * apply_as_deletes predicate — recorded as commit kind `delete`); an
+    * ignoreDeletes STREAM of the table must serve exactly the append
+    * commit's rows, excusing the delete commit rather than failing on it. */
+  def q50IgnoreDeletes(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q50").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def yamlFor(view: String, cdc: String) =
+      s"""pipeline: q50
+         |flowgroup: f_$view
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: q50_t, change_log: true}
+         |$cdc""".stripMargin
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q50_b1")
+    ev.filter(col("event_id") % 2 === 1 && col("event_type") === "error")
+      .createOrReplaceTempView("q50_b2")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q50_b1", "")))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q50_b2",
+      """    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
+        |                 apply_as_deletes: "event_type = 'error'"}
+        |""".stripMargin)))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: q50r
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    readMode: stream
+         |    source: {type: delta, table: q50_t,
+         |             options: {ignoreDeletes: "true"}}
+         |    target: v_live
+         |  - name: w
+         |    type: write
+         |    source: v_live
+         |    write_target: {type: streaming_table, table: q50_out}
+         |""".stripMargin))
+    store.read("q50_out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -276,7 +326,8 @@ object Extras {
     "q46_cdf_window" -> q46CdfWindow,
     "q47_time_travel" -> q47TimeTravel,
     "q48_skip_change_commits" -> q48SkipChangeCommits,
-    "q49_scd2_time_travel" -> q49Scd2TimeTravel)
+    "q49_scd2_time_travel" -> q49Scd2TimeTravel,
+    "q50_ignore_deletes" -> q50IgnoreDeletes)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -362,5 +413,10 @@ object Extras {
         |SELECT event_id, user_id, event_type, value,
         |  event_id AS __start_at,
         |  LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS __end_at
-        |FROM kept""".stripMargin)
+        |FROM kept""".stripMargin,
+    // the append commit's rows exactly — the delete-only merge commit is
+    // excused (dropped), not streamed and not a failure
+    "q50_ignore_deletes" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 2 = 0""".stripMargin)
 }

@@ -199,12 +199,13 @@ class YamlConfigSpec extends SparkSuite {
     assert(intercept[YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
       yaml("""options: {readChangeFeed: "true", startingVersion: "0", endingVerison: "5"}""")))
       .msg.contains("endingVerison"))
-    // a real Delta reader option the parquet emulation cannot honor
+    // a recognized stream-only option on a batch read is a CONTRACT error,
+    // not an unknown-option warning — loud even where unknowns are lenient
     assert(intercept[YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
       yaml("""options: {maxFilesPerTrigger: "4"}"""))).msg.contains("maxFilesPerTrigger"))
-    // lenient mode (validate/show CLI paths) degrades to a warning
+    // lenient mode (validate/show CLI paths) degrades UNKNOWNS to a warning
     val fg = YamlConfig.parseFlowGroup(
-      yaml("""options: {ignoreDeletes: "true"}"""), lenient = true)
+      yaml("""options: {withEventTimeOrder: "true"}"""), lenient = true)
     assert(fg.actions.head.isInstanceOf[graft.model.TableLoad])
   }
 

@@ -498,4 +498,134 @@ class ChangeLogSpec extends SparkSuite {
           |""".stripMargin).actions.head))
     assert(ePartial.getMessage.contains("commit-kind"), ePartial.getMessage)
   }
+
+  test("ignoreDeletes excuses delete-only commits; rewrites stay loud") {
+    val dir = Files.createTempDirectory("graft-igdel").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    def writeYaml(view: String, cdc: String = "") =
+      s"""pipeline: p
+         |flowgroup: f_$view
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: ig_t, change_log: true}
+         |$cdc""".stripMargin
+    val delCdc =
+      """    cdc_config: {keys: [k], sequence_by: seq, scd_type: 1,
+        |                 apply_as_deletes: "op = 'D'"}
+        |""".stripMargin
+    // commits: v0 append, v1 delete-ONLY merge (every batch row matches the
+    // delete predicate), v2 append
+    Seq((1, 10L, "a", "U"), (2, 11L, "b", "U")).toDF("k", "seq", "v", "op")
+      .createOrReplaceTempView("ig_b1")
+    Seq((1, 20L, "a", "D")).toDF("k", "seq", "v", "op")
+      .createOrReplaceTempView("ig_b2")
+    Seq((3, 30L, "c", "U")).toDF("k", "seq", "v", "op")
+      .createOrReplaceTempView("ig_b3")
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("ig_b1")))
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("ig_b2", delCdc)))
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("ig_b3")))
+    // the delete-only merge is its own commit kind — the signal that
+    // separates ignoreDeletes (excused) from skipChangeCommits (any rewrite)
+    assert(store.commitKinds("ig_t__changes") ==
+      Seq((0L, "append"), (1L, "delete"), (2L, "append")))
+    // the ignoreDeletes stream serves the append commits' rows and drops the
+    // delete commit — with maxFilesPerTrigger rate-limiting along the way
+    // (multiple microbatches must still drain everything under availableNow)
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p2
+         |flowgroup: f2
+         |actions:
+         |  - name: l
+         |    type: load
+         |    readMode: stream
+         |    source: {type: delta, table: ig_t,
+         |             options: {ignoreDeletes: "true", maxFilesPerTrigger: "1"}}
+         |    target: v_live
+         |  - name: w
+         |    type: write
+         |    source: v_live
+         |    write_target: {type: streaming_table, table: ig_out}
+         |""".stripMargin))
+    assert(store.read("ig_out").select("k", "seq", "v", "op")
+      .as[(Int, Long, String, String)].collect().toSet ==
+      Set((1, 10L, "a", "U"), (2, 11L, "b", "U"), (3, 30L, "c", "U")))
+    // an UPDATE merge (not delete-only) is a rewrite commit — ignoreDeletes
+    // must now fail loudly, naming the wider option; skipChangeCommits
+    // still drains, dropping both non-append commits
+    Seq((2, 40L, "B", "U")).toDF("k", "seq", "v", "op")
+      .createOrReplaceTempView("ig_b4")
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("ig_b4", delCdc)))
+    assert(store.commitKinds("ig_t__changes").last == (3L, "rewrite"))
+    val eRewrite = intercept[graft.plan.Planner.PlanError](runner.execute(
+      YamlConfig.parseFlowGroup(
+        """pipeline: p3
+          |flowgroup: f3
+          |actions:
+          |  - name: l
+          |    type: load
+          |    readMode: stream
+          |    source: {type: delta, table: ig_t, options: {ignoreDeletes: "true"}}
+          |    target: v
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target: {type: streaming_table, table: ig_out2}
+          |""".stripMargin).actions.head))
+    assert(eRewrite.getMessage.contains("skipChangeCommits"), eRewrite.getMessage)
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p4
+         |flowgroup: f4
+         |actions:
+         |  - name: l
+         |    type: load
+         |    readMode: stream
+         |    source: {type: delta, table: ig_t,
+         |             options: {skipChangeCommits: "true"}}
+         |    target: v_app
+         |  - name: w
+         |    type: write
+         |    source: v_app
+         |    write_target: {type: streaming_table, table: ig_out3}
+         |""".stripMargin))
+    assert(store.read("ig_out3").select("k").as[Int].collect().toSet ==
+      Set(1, 2, 3))
+
+    // parse guards: both options are stream-only; maxFilesPerTrigger must
+    // be a positive integer; ignoreDeletes alongside readChangeFeed is an
+    // accepted no-op (Delta parity — the reference e2e fixture uses the
+    // combo), not an error
+    def loadYaml(opts: String, mode: String = "") =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |$mode    source: {type: delta, table: ig_t, options: {$opts}}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: out}
+         |""".stripMargin
+    val eBatch = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(loadYaml("""ignoreDeletes: "true"""")))
+    assert(eBatch.msg.contains("readMode: stream"), eBatch.msg)
+    val eMftBatch = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(loadYaml("""maxFilesPerTrigger: "4"""")))
+    assert(eMftBatch.msg.contains("readMode: stream"), eMftBatch.msg)
+    val eMftBad = intercept[YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
+      loadYaml("""maxFilesPerTrigger: "lots"""", "    readMode: stream\n")))
+    assert(eMftBad.msg.contains("positive integer"), eMftBad.msg)
+    val cdfCombo = YamlConfig.parseFlowGroup(loadYaml(
+      """readChangeFeed: "true", startingVersion: "0", ignoreDeletes: "true"""",
+      "    readMode: stream\n")).actions.head.asInstanceOf[graft.model.TableLoad]
+    assert(!cdfCombo.ignoreDeletes && cdfCombo.table == "ig_t__changes")
+  }
 }
