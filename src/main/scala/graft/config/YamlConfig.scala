@@ -173,33 +173,31 @@ object YamlConfig {
           .exists(boolOf(name, "skipChangeCommits", _))
         val ignoreDel = opts.get("ignoreDeletes")
           .exists(boolOf(name, "ignoreDeletes", _))
-        // rate limiting is a trigger concept — a batch read has no triggers,
-        // so accepting it there would silently change nothing
         val maxFiles = opts.get("maxFilesPerTrigger").map { v =>
           scala.util.Try(v.toInt).toOption.filter(_ > 0).getOrElse(throw ConfigError(
             s"load '$name': maxFilesPerTrigger must be a positive integer, got '$v'"))
         }
-        if (maxFiles.isDefined && readMode != "stream") throw ConfigError(
-          s"load '$name': maxFilesPerTrigger rate-limits a STREAM's " +
-            "microbatches — batch reads have no triggers; use readMode: stream")
+        // stream-only options on a batch read are CONTRACT errors, not
+        // unknown-option warnings — accepting one would silently change
+        // nothing (Delta contract: a batch read serves current state)
+        def requireStream(set: Boolean, opt: String, why: String): Unit =
+          if (set && readMode != "stream") throw ConfigError(
+            s"load '$name': $opt requires readMode: stream — $why")
+        requireStream(maxFiles.isDefined, "maxFilesPerTrigger",
+          "it rate-limits a STREAM's microbatches; batch reads have no triggers")
         if (!cdf) {
           Seq("startingVersion", "startingTimestamp", "endingVersion",
             "endingTimestamp").foreach { k =>
             if (opts.contains(k)) throw ConfigError(
               s"load '$name': option '$k' requires readChangeFeed")
           }
-          // skipChangeCommits only affects STREAMING reads (Delta contract:
-          // a batch read serves the current state — there are no commits to
-          // skip); accepting it on batch would silently change nothing
-          if (skipChanges && readMode != "stream") throw ConfigError(
-            s"load '$name': skipChangeCommits requires readMode: stream — " +
-              "a batch read serves the current table state and has no " +
+          requireStream(skipChanges, "skipChangeCommits",
+            "a batch read serves the current table state and has no " +
               "change commits to skip")
-          // same stream-only contract as skipChangeCommits, of which it is
-          // the narrower sibling (deletes excused, rewrites still loud)
-          if (ignoreDel && readMode != "stream") throw ConfigError(
-            s"load '$name': ignoreDeletes requires readMode: stream — " +
-              "a batch read serves the current table state and has no " +
+          // skipChangeCommits' narrower sibling: deletes excused,
+          // rewrites still loud
+          requireStream(ignoreDel, "ignoreDeletes",
+            "a batch read serves the current table state and has no " +
               "delete commits to skip")
           if (ignoreDel && skipChanges)
             System.err.println(s"[graft] WARN load '$name': ignoreDeletes is " +

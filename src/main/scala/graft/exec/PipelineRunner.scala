@@ -908,18 +908,22 @@ final class PipelineRunner(
     store.recordCommitTimestamp(chTable, version)
     // commit kind → `._commit_kinds`: a plain append flow appends blindly;
     // any merge-engine batch (CDC, snapshot-CDC) rewrites the target —
-    // the per-version signal skipChangeCommits streams filter on. A merge
-    // whose batch carried ONLY apply_as_deletes rows is the narrower
-    // `delete` kind (retention / GDPR erasure) that ignoreDeletes excuses;
-    // the probe reads back just-appended rows, pruned to this one version's
-    // files by parquet _commit_version stats, and runs only on merge
-    // commits that have a delete predicate at all.
+    // the per-version signal skipChangeCommits streams filter on. An SCD1
+    // merge whose batch carried ONLY apply_as_deletes rows is the narrower
+    // `delete` kind (retention / GDPR erasure) that ignoreDeletes excuses.
+    // SCD2 is EXCLUDED on purpose: its "delete" is a close-out UPDATE
+    // (existing rows rewritten with __end_at), exactly the commit class
+    // ignoreDeletes must stay loud on. Decided from the in-memory batch —
+    // not a read-back of the just-written log, which would put an
+    // O(log-size) listing on every delete-predicate microbatch (the cost
+    // class the intent-marker design above exists to avoid). A row whose
+    // predicate is not TRUE (false or null → logged "upsert") makes the
+    // commit a rewrite.
+    val deleteOnly = mergeOpts.exists(_.scdType == 1) && deleteExpr.exists(
+      de => batch.filter(!(expr(de) <=> lit(true))).limit(1).isEmpty)
     store.recordCommitKind(chTable, version,
       if (mergeOpts.isEmpty) "append"
-      else if (deleteExpr.isDefined && store.read(chTable)
-        .filter(col("_commit_version") === version &&
-          col("_change_type") =!= "delete")
-        .limit(1).isEmpty) "delete"
+      else if (deleteOnly) "delete"
       else "rewrite")
     // the sidecar is per-TABLE: if another flow (fan-in) or an earlier
     // config already logged under DIFFERENT merge options, replaying the

@@ -628,4 +628,55 @@ class ChangeLogSpec extends SparkSuite {
       "    readMode: stream\n")).actions.head.asInstanceOf[graft.model.TableLoad]
     assert(!cdfCombo.ignoreDeletes && cdfCombo.table == "ig_t__changes")
   }
+
+  test("an SCD2 delete-only batch is a rewrite commit — ignoreDeletes stays loud") {
+    // SCD2 "deletes" are close-out UPDATES: the existing open rows are
+    // rewritten with __end_at, nothing leaves the target. Recording them as
+    // kind `delete` would let an ignoreDeletes stream silently excuse an
+    // update commit — Delta fails that stream and points at the wider option.
+    val dir = Files.createTempDirectory("graft-scd2del").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val runner = new PipelineRunner(spark, store, s"$dir/cp")
+    def writeYaml(view: String, cdc: String = "") =
+      s"""pipeline: p
+         |flowgroup: f_$view
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: $view}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: s2d_t, change_log: true}
+         |$cdc""".stripMargin
+    val scd2Cdc =
+      """    cdc_config: {keys: [k], sequence_by: seq, scd_type: 2,
+        |                 apply_as_deletes: "op = 'D'"}
+        |""".stripMargin
+    Seq((1, 10L, "a", "U")).toDF("k", "seq", "v", "op")
+      .createOrReplaceTempView("s2d_b1")
+    Seq((1, 20L, "a", "D")).toDF("k", "seq", "v", "op")
+      .createOrReplaceTempView("s2d_b2")
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("s2d_b1", scd2Cdc)))
+    runner.run(YamlConfig.parseFlowGroup(writeYaml("s2d_b2", scd2Cdc)))
+    assert(store.commitKinds("s2d_t__changes") ==
+      Seq((0L, "rewrite"), (1L, "rewrite")))
+    val e = intercept[graft.plan.Planner.PlanError](runner.execute(
+      YamlConfig.parseFlowGroup(
+        """pipeline: p2
+          |flowgroup: f2
+          |actions:
+          |  - name: l
+          |    type: load
+          |    readMode: stream
+          |    source: {type: delta, table: s2d_t, options: {ignoreDeletes: "true"}}
+          |    target: v
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target: {type: streaming_table, table: s2d_out}
+          |""".stripMargin).actions.head))
+    assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+  }
 }
