@@ -7,8 +7,13 @@ import graft.exec.{PipelineOrchestrator, TableStore, TestReporters}
   * engine's counterpart of the reference CLI's generate-then-run cycle.
   *
   * {{{
-  * sbt "runMain graft.RunProject <projectDir> <env> <warehouse> [pipelineFilter] [--full-refresh] [--sandbox]"
+  * sbt "runMain graft.RunProject <projectDir> <env> <warehouse> [pipelineFilter] [--full-refresh] [--sandbox] [--pipeline-config=<path>]"
   * }}}
+  *
+  * `--pipeline-config=<path>` (the reference CLI's `-pc`): per-pipeline
+  * deployment settings — see [[graft.config.PipelineConfigs]] for the
+  * honored subset (configuration confs, catalog/schema namespace,
+  * continuous refusal) and the validated advisory remainder.
   *
   * `--sandbox` (the reference's dev-sandbox mode): the run is restricted to
   * the pipelines in the developer's `.lhp/profile.yaml` scope, and every
@@ -77,6 +82,42 @@ object RunProject {
     }
     println(s"[graft] project '${project.name}': ${fgs.size} flowgroup(s) for env '$env'")
 
+    // --pipeline-config=<path> (reference `-pc` flag): per-pipeline
+    // deployment settings. Runtime honoring: continuous refused loudly,
+    // catalog/schema become the default namespace for unqualified table
+    // names of that pipeline, `configuration` confs apply to the session
+    // (unioned; cross-pipeline conflicts loud). See config.PipelineConfigs.
+    val pipelineConfig = flags.collectFirst {
+      case f if f.startsWith("--pipeline-config=") =>
+        val raw = java.nio.file.Paths.get(f.stripPrefix("--pipeline-config="))
+        val path = if (raw.isAbsolute) raw
+          else java.nio.file.Paths.get(projectDir).resolve(raw)
+        graft.config.PipelineConfigs.load(path, project.monitoringPipelineName)
+    }
+    val fgsNs = pipelineConfig match {
+      case Some(pc) =>
+        graft.config.PipelineConfigs.refuseContinuous(pc, fgs.map(_.pipeline).distinct)
+        fgs.map(fg => graft.config.PipelineConfigs.applyNamespace(
+          fg, pc.settingsFor(fg.pipeline)))
+      case None => fgs
+    }
+    val runConfs = pipelineConfig.map(
+      _.unionConfiguration(fgsNs.map(_.pipeline).distinct)).getOrElse(Map.empty)
+    // remember priors so execute() leaves the session as it found it
+    // (spec harnesses share one session across runs)
+    val priorConfs = runConfs.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    runConfs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw graft.config.YamlConfig.ConfigError(
+          s"pipeline config: cannot apply configuration '$k' at runtime " +
+            s"(${e.getMessage.linesIterator.next()}) — static confs must be " +
+            "set on session construction")
+      }
+    }
+    try {
+
     val store = sandboxRun match {
       case Some(run) => new TableStore(spark, warehouse, run.nameMap)
       case None => new TableStore(spark, warehouse)
@@ -124,7 +165,7 @@ object RunProject {
       tagsEnabled = project.tagsEnabled,
       removeUndeclaredTags = project.removeUndeclaredTags,
       sinkRoot = Some(s"$stateRoot/_sinks"))
-    val outcomes = orchestrator.run(fgs)
+    val outcomes = orchestrator.run(fgsNs)
 
     // monitoring pipeline (union + MVs) — after the data pipelines, never
     // under --sandbox (the reference excludes it from sandbox scope)
@@ -140,7 +181,7 @@ object RunProject {
           else s"$warehouse/$p")
         .getOrElse(s"$warehouse/_checkpoints/${project.monitoringPipelineName.get}")
       graft.streaming.Monitoring.runPipeline(spark, store,
-        fgs.map(_.pipeline).distinct.map(p => p -> project.eventLogTable(p)).toMap,
+        fgsNs.map(_.pipeline).distinct.map(p => p -> project.eventLogTable(p)).toMap,
         q(mon.streamingTable), mon.materializedViews,
         monCp,
         readFile = p => java.nio.file.Files.readString(
@@ -161,5 +202,12 @@ object RunProject {
     // terminal state: hand every accumulated test result to the provider
     providerReporter.foreach(_.publishAll())
     outcomes
+    } finally {
+      // leave the session as found — spec harnesses share one session
+      priorConfs.foreach {
+        case (k, Some(prior)) => spark.conf.set(k, prior)
+        case (k, None) => scala.util.Try(spark.conf.unset(k)): Unit
+      }
+    }
   }
 }

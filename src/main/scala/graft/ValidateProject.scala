@@ -24,10 +24,24 @@ object ValidateProject {
   /** Pure validation pass, separated from `main` for spec coverage.
     * Returns (flowgroups validated OK, issues). */
   def validate(spark: org.apache.spark.sql.SparkSession, projectDir: String,
-      env: String): (Int, Seq[Issue]) = {
+      env: String, pipelineConfig: Option[String] = None): (Int, Seq[Issue]) = {
     val project = Project.load(projectDir)
     val issues = Seq.newBuilder[Issue]
     var ok = 0
+    // --pipeline-config: the file's whole validation contract fires HERE —
+    // the reference's stated point of these checks is specific messages at
+    // validate time instead of opaque deploy-time failures
+    pipelineConfig.foreach { p =>
+      val raw = java.nio.file.Paths.get(p)
+      val path = if (raw.isAbsolute) raw
+        else java.nio.file.Paths.get(projectDir).resolve(raw)
+      Try(graft.config.PipelineConfigs.load(path,
+          project.monitoringPipelineName)) match {
+        case Success(pc) => println(s"[graft] pipeline config: " +
+          s"${pc.pipelineConfigs.size} pipeline entr(y/ies) ok")
+        case Failure(e) => issues += Issue(p, e.getMessage)
+      }
+    }
     // required_lhp_version: validate reports the mismatch as an issue
     // instead of aborting, so the rest of the report still lands
     Try(graft.config.VersionCheck.enforce(
@@ -68,11 +82,16 @@ object ValidateProject {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ValidateProject <projectDir> <env>")
+    require(args.length >= 2,
+      "usage: ValidateProject <projectDir> <env> [--pipeline-config=<path>]")
     val Array(projectDir, env) = args.take(2)
+    val pipelineConfig = args.drop(2).collectFirst {
+      case f if f.startsWith("--pipeline-config=") =>
+        f.stripPrefix("--pipeline-config=")
+    }
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("ERROR")
-    val (ok, issues) = validate(spark, projectDir, env)
+    val (ok, issues) = validate(spark, projectDir, env, pipelineConfig)
     issues.foreach(i => System.err.println(s"[graft] INVALID ${i.context}: ${i.message}"))
     println(s"[graft] validate: $ok flowgroup(s) ok, ${issues.size} issue(s)")
     spark.stop()

@@ -145,4 +145,61 @@ class RunProjectE2ESpec extends SparkSuite {
         Files.createTempDirectory("graft-verwh").toString))
     assert(e.msg.contains("0.9.1"), e.msg)
   }
+
+  test("--pipeline-config: namespace, session confs with restore, continuous refusal") {
+    val root = Files.createTempDirectory("graft-runpc")
+    mkProject(root)
+    // alpha publishes under main.bronze (DLT publish-target semantics);
+    // beta stays unqualified; both set a shared conf to the SAME value
+    write(root, "pipeline_config.yaml",
+      """project_defaults:
+        |  configuration: {graft.test.shared: "on"}
+        |---
+        |pipeline: alpha
+        |catalog: main
+        |schema: bronze
+        |configuration: {graft.test.alpha: "1"}
+        |""".stripMargin)
+    spark.conf.set("graft.test.shared", "prior")
+    val wh = Files.createTempDirectory("graft-runpcwh").toString
+    val outcomes = RunProject.execute(spark, root.toString, "dev", wh,
+      flags = Set("--pipeline-config=pipeline_config.yaml"))
+    assert(outcomes.forall(_.error.isEmpty),
+      outcomes.map(o => s"${o.flowgroup}: ${o.error}").mkString("; "))
+    val store = new graft.exec.TableStore(spark, wh)
+    // alpha's table landed under the pipeline's catalog.schema; beta's flat
+    assert(store.exists("main.bronze.alpha_out") && !store.exists("alpha_out"))
+    assert(store.exists("beta_out"))
+    // confs were restored to their pre-run state after execute returned
+    assert(spark.conf.get("graft.test.shared") == "prior")
+    assert(spark.conf.getOption("graft.test.alpha").isEmpty)
+    spark.conf.unset("graft.test.shared")
+
+    // conflicting conf values across the run's pipelines are loud
+    write(root, "pipeline_config.yaml",
+      """pipeline: alpha
+        |configuration: {graft.test.shared: "a"}
+        |---
+        |pipeline: beta
+        |configuration: {graft.test.shared: "b"}
+        |""".stripMargin)
+    val eConf = intercept[YamlConfig.ConfigError](
+      RunProject.execute(spark, root.toString, "dev", wh,
+        flags = Set("--pipeline-config=pipeline_config.yaml")))
+    assert(eConf.msg.contains("graft.test.shared"), eConf.msg)
+
+    // continuous: true is refused, naming the pipeline
+    write(root, "pipeline_config.yaml", "pipeline: beta\ncontinuous: true\n")
+    val eCont = intercept[YamlConfig.ConfigError](
+      RunProject.execute(spark, root.toString, "dev", wh,
+        flags = Set("--pipeline-config=pipeline_config.yaml")))
+    assert(eCont.msg.contains("beta"), eCont.msg)
+
+    // ValidateProject surfaces the file's validation contract as issues
+    write(root, "pipeline_config.yaml", "pipeline: alpha\nedition: DELUXE\n")
+    val (_, issues) = ValidateProject.validate(spark, root.toString, "dev",
+      pipelineConfig = Some("pipeline_config.yaml"))
+    assert(issues.exists(_.message.contains("edition")),
+      issues.map(_.message).mkString("; "))
+  }
 }
