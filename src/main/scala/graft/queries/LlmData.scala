@@ -214,6 +214,12 @@ object LlmData {
     TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
       chunkChars = 200, overlapChars = 40)
 
+  /** Sequence packing: per-source contiguous fill of 2048-token shards. */
+  def t8Packing(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packing(docs(s, dir), "doc_id", "text",
+      groupCol = "source", budgetTokens = 2048L)
+      .select("doc_id", "source", "n_tok", "shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t6_repetition" -> t6Repetition,
     "t7_chunks" -> t7Chunks,
@@ -235,7 +241,8 @@ object LlmData {
     "t2_quality" -> t2Quality,
     "t3_tokens" -> t3Tokens,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_redact" -> t5Redact)
+    "t5_redact" -> t5Redact,
+    "t8_packing" -> t8Packing)
 
   private val exactJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -431,5 +438,16 @@ object LlmData {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\d{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+    // contiguous-fill packing: shard = floor(tokens_before / 2048); the
+    // window SUM is cast before the division (DuckDB integer SUM widens to
+    // HUGEINT) and tokens_before = running sum minus the row's own count
+    "t8_packing" ->
+      """SELECT doc_id, source,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok,
+        |  CAST(floor(
+        |    (CAST(SUM(ceil(length(text) / 4.0))
+        |            OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+        |     - ceil(length(text) / 4.0)) / 2048.0) AS BIGINT) AS shard
         |FROM documents""".stripMargin)
 }

@@ -139,4 +139,29 @@ object TextAnalysis {
       "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\d{7,}", "<NUM>")
   }
+
+  /** Token-budget sequence packing (training-shard assignment): within each
+    * `groupCol` group, documents in `idCol` order fill fixed token-budget
+    * shards CONTIGUOUSLY — a document is assigned the shard its first token
+    * lands in (`floor(tokens_before / budget)`). Documents are never split,
+    * so a shard's total may overhang the budget by at most its last
+    * document's tail; that is the streaming-friendly packing a sequential
+    * shard writer produces, and it keeps the assignment a pure prefix-sum.
+    *
+    * 100 TB shape: ONE window partitioned by the grouping column (domain /
+    * source) — a hash shuffle, then per-group running sums in parallel.
+    * Deliberately NOT a global `orderBy` window, which would funnel the
+    * corpus through a single task; global packing at scale is group-packing
+    * over a bucketed key. Token counts use the BPE-ish chars/4 estimate
+    * (see [[tokenCounts]]). */
+  def packing(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+    df.withColumn("n_tok", ceil(length(col(textCol)) / lit(4.0)).cast("long"))
+      .withColumn("shard",
+        floor((sum(col("n_tok")).over(w) - col("n_tok"))
+          / lit(budgetTokens.toDouble)).cast("long"))
+  }
 }

@@ -54,6 +54,65 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"t6_repetition":$t6%.2f,"d2_ngram_jaccard":$d2%.2f}""")
       c.unpersist(): Unit
     }
+
+    // ---- relational tier: replicate the fact/dim tables with CONSISTENT
+    // key offsets — referential integrity must HOLD at K× (orders' custkeys
+    // land on replicated customers, lineitems on replicated orders), or the
+    // probe times broken joins, not scale. Key spaces grow linearly with
+    // the data, the realistic shape (more customers, not denser orders).
+    val OFF = 1000000000L
+    def rep(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame =
+      (0 until k).map { i =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
+      }.reduce(_ unionByName _)
+
+    println(f"""{"probe":"relational_linearity","sf":"$sfDir","reps":$reps}""")
+    for (k <- Seq(1, reps)) {
+      val li = rep(graft.sources.Tables.load(spark, sfDir, "lineitem"),
+        Seq("l_orderkey"), k).persist()
+      val ord = rep(graft.sources.Tables.load(spark, sfDir, "orders"),
+        Seq("o_orderkey", "o_custkey"), k).persist()
+      val cust = rep(graft.sources.Tables.load(spark, sfDir, "customer"),
+        Seq("c_custkey"), k).persist()
+      val ev = rep(graft.sources.Tables.load(spark, sfDir, "events"),
+        Seq("event_id", "user_id"), k).persist()
+      Seq(li, ord, cust, ev).foreach(_.count()) // materialize untimed
+
+      // q1 family: scan + hash agg (map-side partials, one exchange)
+      val agg = med(time(li
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))))
+      // q2/q3 family: fact⋈fact⋈dim joins + group agg (two key shuffles;
+      // customer outgrows the broadcast threshold as K rises — exactly the
+      // transition a 100 TB plan must survive)
+      val join = med(time(li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+          count(lit(1)).as("n"))))
+      // q16 family: per-user window (lag + running sum) + session agg —
+      // user count grows with K, so partitions stay bounded
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+      val sess = med(time(ev
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag("us", 1).over(byUser))
+        .withColumn("ns", when(col("gap").isNull ||
+          col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("ns").over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))))
+      // q23 family: top-k per group (rank window over a mid-cardinality key)
+      val bySupp = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc)
+      val topk = med(time(li
+        .withColumn("rk", row_number().over(bySupp)).filter(col("rk") <= 3)))
+
+      println(f"""{"k":$k,"lineitem_rows":${li.count()},"q1_agg":$agg%.2f,"join_agg":$join%.2f,"sessionize":$sess%.2f,"topk":$topk%.2f}""")
+      Seq(li, ord, cust, ev).foreach(_.unpersist())
+    }
     spark.stop()
   }
 }

@@ -63,4 +63,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(0) == ((1L, "spam ham", 3L, 0.6)))
     assert(out(1)._3 == 1L && out(1)._4 == 0.333333) // all-unique bigrams, 1 of 3
   }
+
+  test("packing: contiguous per-group fill, docs never split, one shuffle") {
+    // budget 10 tokens; texts sized so chars/4 gives exact counts.
+    // group a: 6+6 tokens → doc 2 STARTS at token 6 (still shard 0, the
+    // overhang case), doc 3 starts at 12 → shard 1. group b independent.
+    def txt(tokens: Int) = "x" * (tokens * 4)
+    val d = Seq(
+      (1L, "a", txt(6)), (2L, "a", txt(6)), (3L, "a", txt(2)),
+      (4L, "b", txt(9)), (5L, "b", txt(3))).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packing(d, "doc_id", "text", "source", 10L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    // shard ids are dense and non-decreasing in doc order within a group;
+    // each shard's sum minus its LAST doc stays under budget (the only
+    // overhang a no-split contiguous fill can produce)
+    val rows = TextAnalysis.packing(d, "doc_id", "text", "source", 10L)
+      .select("source", "shard", "doc_id", "n_tok")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._3)
+      assert(sorted.init.map(_._4).sum < 10L, sorted.toString)
+    }
+    // scale shape: ONE exchange (hash on the group column), no global sort
+    val plan = TextAnalysis.packing(d, "doc_id", "text", "source", 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length == 2, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
 }
