@@ -89,34 +89,52 @@ object RunProject {
     // (unioned; cross-pipeline conflicts loud). See config.PipelineConfigs.
     val pipelineConfig = flags.collectFirst {
       case f if f.startsWith("--pipeline-config=") =>
-        val raw = java.nio.file.Paths.get(f.stripPrefix("--pipeline-config="))
-        val path = if (raw.isAbsolute) raw
-          else java.nio.file.Paths.get(projectDir).resolve(raw)
-        graft.config.PipelineConfigs.load(path, project.monitoringPipelineName)
+        graft.config.PipelineConfigs.load(f.stripPrefix("--pipeline-config="),
+          projectDir, project.monitoringPipelineName)
     }
+    // the monitoring pipeline runs in this same session (when it runs at
+    // all), so its pipeline-config entry joins the continuous refusal and
+    // the conf union — its catalog/schema, though, are governed by the
+    // lhp.yaml monitoring block, and an explicit entry saying otherwise
+    // must not be silently absorbed
+    val monPipelines: Seq[String] =
+      if (flags("--sandbox") || !project.eventLog.exists(_.enabled)) Nil
+      else project.monitoringPipelineName.toSeq
+    val runPipelines = fgs.map(_.pipeline).distinct ++ monPipelines
     val fgsNs = pipelineConfig match {
       case Some(pc) =>
-        graft.config.PipelineConfigs.refuseContinuous(pc, fgs.map(_.pipeline).distinct)
+        graft.config.PipelineConfigs.refuseContinuous(pc, runPipelines)
+        monPipelines.filter(mp => pc.pipelineConfigs.get(mp).exists(c =>
+          c.contains("catalog") || c.contains("schema"))).foreach(mp =>
+          System.err.println(s"[graft] WARN pipeline config: catalog/schema " +
+            s"for monitoring pipeline '$mp' come from the lhp.yaml " +
+            "monitoring block; the pipeline-config values are ignored"))
         fgs.map(fg => graft.config.PipelineConfigs.applyNamespace(
           fg, pc.settingsFor(fg.pipeline)))
       case None => fgs
     }
     val runConfs = pipelineConfig.map(
-      _.unionConfiguration(fgsNs.map(_.pipeline).distinct)).getOrElse(Map.empty)
+      _.unionConfiguration(runPipelines)).getOrElse(Map.empty)
     // remember priors so execute() leaves the session as it found it
-    // (spec harnesses share one session across runs)
+    // (spec harnesses share one session across runs); the SETTING happens
+    // inside the try — a failure on the Nth key must still restore keys 1..N-1
     val priorConfs = runConfs.keys.map(k =>
       k -> spark.conf.getOption(k)).toMap
+    try {
     runConfs.foreach { case (k, v) =>
       try spark.conf.set(k, v)
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw graft.config.YamlConfig.ConfigError(
-          s"pipeline config: cannot apply configuration '$k' at runtime " +
-            s"(${e.getMessage.linesIterator.next()}) — static confs must be " +
-            "set on session construction")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw graft.config.YamlConfig.ConfigError(
+            s"pipeline config: cannot apply configuration '$k' at runtime " +
+              s"(${e.getMessage.linesIterator.next()}) — static confs must be " +
+              "set on session construction")
+        case e: IllegalArgumentException =>
+          throw graft.config.YamlConfig.ConfigError(
+            s"pipeline config: invalid value for configuration '$k': " +
+              e.getMessage)
       }
     }
-    try {
 
     val store = sandboxRun match {
       case Some(run) => new TableStore(spark, warehouse, run.nameMap)

@@ -31,15 +31,16 @@ object ValidateProject {
     // --pipeline-config: the file's whole validation contract fires HERE —
     // the reference's stated point of these checks is specific messages at
     // validate time instead of opaque deploy-time failures
-    pipelineConfig.foreach { p =>
-      val raw = java.nio.file.Paths.get(p)
-      val path = if (raw.isAbsolute) raw
-        else java.nio.file.Paths.get(projectDir).resolve(raw)
-      Try(graft.config.PipelineConfigs.load(path,
+    val loadedPipelineConfig = pipelineConfig.flatMap { p =>
+      Try(graft.config.PipelineConfigs.load(p, projectDir,
           project.monitoringPipelineName)) match {
-        case Success(pc) => println(s"[graft] pipeline config: " +
-          s"${pc.pipelineConfigs.size} pipeline entr(y/ies) ok")
-        case Failure(e) => issues += Issue(p, e.getMessage)
+        case Success(pc) =>
+          println(s"[graft] pipeline config: " +
+            s"${pc.pipelineConfigs.size} pipeline entr(y/ies) ok")
+          Some(pc)
+        case Failure(e) =>
+          issues += Issue(p, e.getMessage)
+          None
       }
     }
     // required_lhp_version: validate reports the mismatch as an issue
@@ -77,6 +78,22 @@ object ValidateProject {
     Try(DependencyAnalyzer.flowgroupGraph(spark, resolved.map(_._2)).generations) match {
       case Success(_) => ()
       case Failure(e) => issues += Issue(projectDir, e.getMessage)
+    }
+    // the RUN-blocking pipeline-config checks (continuous refusal,
+    // cross-pipeline conf conflicts) fire over every pipeline the project
+    // resolves PLUS every declared entry — a validate that passes must not
+    // be followed by a run that aborts on the same file
+    loadedPipelineConfig.foreach { pc =>
+      val pipelines = (resolved.map(_._2.pipeline) ++
+        pc.pipelineConfigs.keys ++ project.monitoringPipelineName.toSeq).distinct
+      Try(graft.config.PipelineConfigs.refuseContinuous(pc, pipelines)) match {
+        case Failure(e) => issues += Issue(pipelineConfig.get, e.getMessage)
+        case Success(_) => ()
+      }
+      Try(pc.unionConfiguration(pipelines)) match {
+        case Failure(e) => issues += Issue(pipelineConfig.get, e.getMessage)
+        case Success(_) => ()
+      }
     }
     (ok, issues.result())
   }

@@ -106,6 +106,16 @@ object PipelineConfigs {
     }
   }
 
+  /** CLI-path form: relative paths resolve against the project root
+    * (reference loader contract) — the ONE place that rule lives, shared
+    * by RunProject and ValidateProject. */
+  def load(pathStr: String, projectDir: String,
+      monitoringPipeline: Option[String]): Loaded = {
+    val raw = java.nio.file.Paths.get(pathStr)
+    load(if (raw.isAbsolute) raw
+      else java.nio.file.Paths.get(projectDir).resolve(raw), monitoringPipeline)
+  }
+
   /** Load + validate. `monitoringPipeline` resolves the
     * `__eventlog_monitoring` alias (None = monitoring not configured:
     * alias entries warn and drop, reference parity). */
@@ -116,19 +126,36 @@ object PipelineConfigs {
     val docs = new org.yaml.snakeyaml.Yaml()
       .loadAll(java.nio.file.Files.readString(path)).asScala.toSeq
     var projectDefaults = Map.empty[String, Any]
+    var seenDefaults = false
     val configs = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     val firstSeen = scala.collection.mutable.Map.empty[String, Int]
     docs.zipWithIndex.foreach {
       case (null, _) => ()
       case (doc: java.util.Map[_, _], idx) =>
         val m = doc.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+        // the reference's if/elif here silently DROPS the pipeline half of a
+        // both-keys document and last-wins a repeated project_defaults —
+        // both are data loss; this engine's posture is loud (same deviation
+        // as the delta-load unknown-option guard)
+        if (m.contains("project_defaults") && m.contains("pipeline"))
+          throw ConfigError(s"pipeline config document ${idx + 1}: carries " +
+            "BOTH 'project_defaults' and 'pipeline' — split them into " +
+            "separate YAML documents (--- delimited)")
         if (m.contains("project_defaults")) {
+          if (seenDefaults) throw ConfigError(
+            s"pipeline config document ${idx + 1}: a second " +
+              "'project_defaults' document would silently replace the " +
+              "first — merge them into one")
+          seenDefaults = true
           projectDefaults = asMap(m("project_defaults"), "project_defaults")
           validateConfig(projectDefaults, s"project_defaults (document ${idx + 1})")
         } else if (m.contains("pipeline")) {
           val names = m("pipeline") match {
             case s: String => Seq(s)
             case l: java.util.List[_] => l.asScala.toSeq.map(_.toString)
+            case null => throw ConfigError(s"pipeline config document " +
+              s"${idx + 1}: 'pipeline' has no value — name one pipeline " +
+              "(string) or several (list)")
             case other =>
               System.err.println(s"[graft] WARN pipeline config document " +
                 s"${idx + 1}: invalid pipeline type ${other.getClass.getSimpleName}" +
@@ -177,6 +204,14 @@ object PipelineConfigs {
     * keys pass (forward compatibility). */
   private def validateConfig(cfg: Map[String, Any], where: String): Unit = {
     def bad(msg: String) = throw ConfigError(s"pipeline config $where: $msg")
+    // a key written with no value ('edition:') parses as YAML null — catch
+    // it by name BEFORE any .toString/.getClass would NPE; a null here is
+    // always a mistake, never a meaningful setting
+    Seq("edition", "channel", "packaging", "environment", "continuous",
+        "configuration", "permissions").foreach { k =>
+      if (cfg.contains(k) && cfg(k) == null) bad(
+        s"'$k' has no value — set one or drop the key")
+    }
     cfg.get("edition").foreach { e =>
       if (!AllowedEditions(e.toString)) bad(
         s"invalid edition '$e' — allowed: ${AllowedEditions.toSeq.sorted.mkString(", ")}")
@@ -202,9 +237,11 @@ object PipelineConfigs {
       case m: java.util.Map[_, _] =>
         m.asScala.foreach { case (k, v) =>
           // Databricks requires conf VALUES as strings; an unquoted YAML
-          // true/5 parses as Boolean/Integer and the reference rejects it
-          if (!v.isInstanceOf[String]) bad(s"configuration value for '$k' " +
-            s"must be a quoted string, got ${v.getClass.getSimpleName} ($v)")
+          // true/5 parses as Boolean/Integer (and 'k:' as null) and the
+          // reference rejects them
+          if (v == null || !v.isInstanceOf[String]) bad(
+            s"configuration value for '$k' must be a quoted string, got " +
+              (if (v == null) "no value" else s"${v.getClass.getSimpleName} ($v)"))
         }
       case other => bad("'configuration' must be a mapping, got " +
         other.getClass.getSimpleName)
@@ -221,6 +258,7 @@ object PipelineConfigs {
             if (present.size != 1) bad(s"permissions entry $i must have " +
               s"exactly one of ${identityKeys.toSeq.sorted.mkString(", ")}; " +
               s"found ${present.toSeq.sorted.mkString("[", ", ", "]")}")
+          case (null, i) => bad(s"permissions entry $i is empty")
           case (other, i) => bad(s"permissions entry $i must be a mapping, " +
             s"got ${other.getClass.getSimpleName}")
         }
@@ -243,6 +281,10 @@ object PipelineConfigs {
         case a: TableLoad => a.copy(table = q(a.table))
         case a: StreamingTableWrite => a.copy(table = q(a.table))
         case a: MaterializedViewWrite => a.copy(table = q(a.table))
+        // the DLQ is an engine table too — an unqualified dlq name left in
+        // the flat namespace would collide across namespaced pipelines
+        case a: graft.model.DataQualityTransform if a.quarantineTable.isDefined =>
+          a.copy(quarantineTable = a.quarantineTable.map(q))
         case other => other
       })
     }

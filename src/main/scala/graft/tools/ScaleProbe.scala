@@ -68,8 +68,11 @@ object ScaleProbe {
 
     println(f"""{"probe":"relational_linearity","sf":"$sfDir","reps":$reps}""")
     for (k <- Seq(1, reps)) {
+      // l_suppkey offsets too: the topk window partitions on it, and an
+      // un-offset key would densify partitions K-fold instead of growing
+      // the key space (no probed join uses suppkey, so RI is unaffected)
       val li = rep(graft.sources.Tables.load(spark, sfDir, "lineitem"),
-        Seq("l_orderkey"), k).persist()
+        Seq("l_orderkey", "l_suppkey"), k).persist()
       val ord = rep(graft.sources.Tables.load(spark, sfDir, "orders"),
         Seq("o_orderkey", "o_custkey"), k).persist()
       val cust = rep(graft.sources.Tables.load(spark, sfDir, "customer"),

@@ -195,11 +195,35 @@ class RunProjectE2ESpec extends SparkSuite {
         flags = Set("--pipeline-config=pipeline_config.yaml")))
     assert(eCont.msg.contains("beta"), eCont.msg)
 
-    // ValidateProject surfaces the file's validation contract as issues
+    // the monitoring pipeline's entry (via the alias) joins the continuous
+    // refusal — it runs in this same session; mkProject enables monitoring
+    write(root, "pipeline_config.yaml",
+      "pipeline: __eventlog_monitoring\ncontinuous: true\n")
+    val eMonCont = intercept[YamlConfig.ConfigError](
+      RunProject.execute(spark, root.toString, "dev", wh,
+        flags = Set("--pipeline-config=pipeline_config.yaml")))
+    assert(eMonCont.msg.contains("event_log_monitoring"), eMonCont.msg)
+
+    // ValidateProject surfaces the file's validation contract as issues —
+    // including the RUN-blocking checks (continuous, conf conflicts), so a
+    // green validate is never followed by a run abort on the same file
     write(root, "pipeline_config.yaml", "pipeline: alpha\nedition: DELUXE\n")
     val (_, issues) = ValidateProject.validate(spark, root.toString, "dev",
       pipelineConfig = Some("pipeline_config.yaml"))
     assert(issues.exists(_.message.contains("edition")),
       issues.map(_.message).mkString("; "))
+    write(root, "pipeline_config.yaml",
+      """pipeline: alpha
+        |continuous: true
+        |configuration: {k.a: "1"}
+        |---
+        |pipeline: beta
+        |configuration: {k.a: "2"}
+        |""".stripMargin)
+    val (_, issues2) = ValidateProject.validate(spark, root.toString, "dev",
+      pipelineConfig = Some("pipeline_config.yaml"))
+    assert(issues2.exists(_.message.contains("continuous")) &&
+      issues2.exists(_.message.contains("k.a")),
+      issues2.map(_.message).mkString("; "))
   }
 }

@@ -123,6 +123,27 @@ class PipelineConfigsSpec extends AnyFunSuite {
     load("pipeline: p\npermissions: [{level: CAN_MANAGE, group_name: eng}]\n")
   }
 
+  test("documents that would silently lose data are loud; null values named") {
+    // the reference's if/elif silently drops the pipeline half of a
+    // both-keys doc and last-wins a repeated project_defaults — here loud
+    val eBoth = intercept[ConfigError](load(
+      "project_defaults: {edition: PRO}\npipeline: p\n"))
+    assert(eBoth.msg.contains("BOTH"), eBoth.msg)
+    val eTwice = intercept[ConfigError](load(
+      "project_defaults: {edition: PRO}\n---\nproject_defaults: {channel: CURRENT}\n"))
+    assert(eTwice.msg.contains("second"), eTwice.msg)
+    // value-less keys parse as YAML null — named errors, not NPEs
+    assert(intercept[ConfigError](load("pipeline: p\nedition:\n"))
+      .msg.contains("no value"))
+    assert(intercept[ConfigError](load("pipeline:\nedition: PRO\n"))
+      .msg.contains("no value"))
+    val eNullConf = intercept[ConfigError](load(
+      "pipeline: p\nconfiguration: {k: }\n"))
+    assert(eNullConf.msg.contains("'k'"), eNullConf.msg)
+    assert(intercept[ConfigError](load("pipeline: p\npermissions: [~]\n"))
+      .msg.contains("empty"))
+  }
+
   test("unknown keys are allowed — forward compatibility, unlike flowgroup YAML") {
     val pc = load("pipeline: p\nsome_future_key: {nested: true}\nphoton: true\n")
     assert(pc.settingsFor("p").raw.contains("some_future_key"))
@@ -166,7 +187,9 @@ class PipelineConfigsSpec extends AnyFunSuite {
       TableLoad("l2", Some("v2"), "other.cat.t"),         // qualified → untouched
       SqlLoad("l3", Some("v3"), "SELECT 1 AS a"),         // sql text untouched
       StreamingTableWrite("w1", "v1", "out_st"),
-      MaterializedViewWrite("w2", Some("v3"), "out_mv")))
+      MaterializedViewWrite("w2", Some("v3"), "out_mv"),
+      graft.model.DataQualityTransform("dq", Some("v4"), "v1", rules = Nil,
+        quarantineTable = Some("dlq"))))                  // DLQ is an engine table too
     val out = PipelineConfigs.applyNamespace(fg, pc.settingsFor("sales"))
     assert(out.actions.collect { case a: TableLoad => a.table } ==
       Seq("main.bronze.src", "other.cat.t"))
@@ -174,6 +197,9 @@ class PipelineConfigsSpec extends AnyFunSuite {
       Seq("main.bronze.out_st"))
     assert(out.actions.collect { case a: MaterializedViewWrite => a.table } ==
       Seq("main.bronze.out_mv"))
+    assert(out.actions.collect {
+      case a: graft.model.DataQualityTransform => a.quarantineTable.get } ==
+      Seq("main.bronze.dlq"))
     // a pipeline without catalog/schema is untouched (identity)
     assert(PipelineConfigs.applyNamespace(fg, pc.settingsFor("nohome")) eq fg)
     val e = intercept[ConfigError](PipelineConfigs.refuseContinuous(
