@@ -329,6 +329,15 @@ final class PipelineRunner(
       // field the schema doesn't declare — json/csv only (parquet/orc are
       // self-describing; there is nothing to rescue).
       // schemaEvolutionMode=rescue engages it with the default column name.
+      // xml without an explicit rowTag is SILENTLY empty: Spark's default
+      // tag is 'ROW', which matches nothing in a real document — the one
+      // format where a missing option reads zero rows instead of erroring
+      if (a.format == "xml" && !a.options.contains("cloudFiles.rowTag") &&
+          !a.options.contains("rowTag"))
+        throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': xml needs an explicit rowTag " +
+            "(cloudFiles.rowTag) — Spark's default 'ROW' would silently " +
+            "match nothing in most documents")
       val rescueCol = a.options.get("cloudFiles.rescuedDataColumn")
         .orElse(a.options.get("cloudFiles.rescueDataColumn")) // reference examples carry both spellings
         .orElse(if (evolutionMode.contains("rescue")) Some("_rescued_data") else None)
@@ -1456,6 +1465,9 @@ final class PipelineRunner(
         case "cleansource" => Some("cleanSource" -> v)
         case "sourcearchivedir" => Some("sourceArchiveDir" -> v)
         case "ignorefilesolderthan" => Some("maxFileAge" -> v)
+        // XML element naming (reference autoloader_xml template spelling);
+        // Spark 4's built-in xml source takes the same option
+        case "rowtag" => Some("rowTag" -> v)
         case o if handledInLoad(o) => None
         case o if infraNoop(o) =>
           System.err.println(s"[graft] WARN load '${a.name}': '$k' is a " +

@@ -579,4 +579,75 @@ class CloudFilesOptionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("rescuedDataColumn"))
   }
+
+  test("orc, xml, and binaryFile formats stream end to end; avro is loud") {
+    def fmtYaml(landing: String, fmt: String, table: String,
+        opts: String = "      options: {}") =
+      s"""pipeline: p
+         |flowgroup: f_$table
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: $fmt
+         |      readMode: stream
+         |$opts
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: $table}
+         |""".stripMargin
+
+    // orc: built-in self-describing columnar source
+    val (r1, s1, d1) = freshRunner()
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.orc(s"$d1/orc")
+    r1.run(YamlConfig.parseFlowGroup(fmtYaml(s"$d1/orc", "orc", "orc_t")))
+    assert(s1.read("orc_t").select("id", "v").as[(Int, String)]
+      .collect().toSet == Set((1, "a"), (2, "b")))
+
+    // xml: Spark 4 built-in source; rowTag via the reference's
+    // cloudFiles.rowTag spelling (autoloader_xml template)
+    val (r2, s2, d2) = freshRunner()
+    Files.createDirectories(java.nio.file.Paths.get(s"$d2/xml"))
+    Files.writeString(java.nio.file.Paths.get(s"$d2/xml/part1.xml"),
+      "<root><rec><id>1</id><v>a</v></rec><rec><id>2</id><v>b</v></rec></root>")
+    r2.run(YamlConfig.parseFlowGroup(fmtYaml(s"$d2/xml", "xml", "xml_t",
+      """      options: {cloudFiles.rowTag: "rec"}""")))
+    assert(s2.read("xml_t").select("id", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // xml without an explicit rowTag would read zero rows silently — loud
+    val eTag = intercept[YamlConfig.ConfigError] {
+      r2.run(YamlConfig.parseFlowGroup(fmtYaml(s"$d2/xml", "xml", "xml_t2")))
+    }
+    assert(eTag.msg.contains("rowTag"), eTag.msg)
+
+    // binaryFile: opaque content + file metadata — the multimodal
+    // ingestion path (images/audio land as bytes, decode comes later)
+    val (r3, s3, d3) = freshRunner()
+    Files.createDirectories(java.nio.file.Paths.get(s"$d3/bin"))
+    Files.write(java.nio.file.Paths.get(s"$d3/bin/img1.bin"),
+      Array[Byte](1, 2, 3))
+    r3.run(YamlConfig.parseFlowGroup(
+      fmtYaml(s"$d3/bin", "binaryFile", "bin_t")))
+    val row = s3.read("bin_t").select("length", "content")
+      .as[(Long, Array[Byte])].head()
+    assert(row._1 == 3L && row._2.toSeq == Seq[Byte](1, 2, 3))
+    // the all-lowercase reference spelling normalizes
+    assert(YamlConfig.parseFlowGroup(fmtYaml("/x", "binaryfile", "t"))
+      .actions.head.asInstanceOf[graft.model.CloudFilesLoad].format == "binaryFile")
+
+    // avro: connector absent from this deployment — named parse-time error,
+    // not a stream-start "Failed to find data source"
+    val eAvro = intercept[YamlConfig.ConfigError] {
+      YamlConfig.parseFlowGroup(fmtYaml("/x", "avro", "t"))
+    }
+    assert(eAvro.msg.contains("spark-avro"), eAvro.msg)
+    val eUnknown = intercept[YamlConfig.ConfigError] {
+      YamlConfig.parseFlowGroup(fmtYaml("/x", "feather", "t"))
+    }
+    assert(eUnknown.msg.contains("feather"), eUnknown.msg)
+  }
 }
