@@ -156,8 +156,9 @@ object YamlConfig {
             s"table reader honors only ${recognizedOpts.toSeq.sorted.mkString(", ")}"
           if (lenient) System.err.println(s"[graft] WARN $msg") else throw ConfigError(msg)
         }
-        val table = qualified(src,
-          str(src, "table").orElse(str(src, "path"))
+        val srcNs = normalizeDeltaNamespace(name, src)
+        val table = qualified(srcNs,
+          str(srcNs, "table").orElse(str(srcNs, "path"))
             .getOrElse(throw ConfigError(s"table load '$name' missing table")))
         val cdf = opts.get("readChangeFeed").exists(boolOf(name, "readChangeFeed", _))
         val versionAsOf = str(src, "version_as_of").orElse(opts.get("versionAsOf"))
@@ -398,7 +399,15 @@ object YamlConfig {
   }
 
   private def parseWrite(name: String, m: Map[String, Any], lenient: Boolean = false): Action = {
-    val wt = asMap(m.getOrElse("write_target", new java.util.HashMap[String, Any]()))
+    val wtRaw = asMap(m.getOrElse("write_target", new java.util.HashMap[String, Any]()))
+    val writeType = str(wtRaw, "type").orElse(str(m, "write_type")).getOrElse("streaming_table")
+    // legacy `database` normalization applies only to the table-producing
+    // write types (reference namespace_normalizer.py:57-62); sinks have no
+    // namespace
+    val wt =
+      if (writeType == "streaming_table" || writeType == "materialized_view")
+        normalizeWriteNamespace(name, wtRaw)
+      else wtRaw
     // Advisory options that are catalog/Databricks features with no
     // parquet-warehouse equivalent (reference: models/_action.py:11-62) —
     // loud by default so a user never ships a config believing they took
@@ -437,7 +446,7 @@ object YamlConfig {
     }
     val tagsFile = str(wt, "tags_file")
     val tableSchemaDdl = str(wt, "table_schema")
-    str(wt, "type").orElse(str(m, "write_type")).getOrElse("streaming_table") match {
+    writeType match {
       case "streaming_table" =>
         // snapshot mode carries its config under snapshot_cdc_config
         // (reference streaming_table.py:115-121); same CDC vocabulary plus
@@ -617,15 +626,94 @@ object YamlConfig {
 
   /** Compose `catalog`/`schema` qualifiers around a table name (the
     * reference's three-part naming — generators/load/delta.py:54). An
-    * already-qualified name is left as-is. */
+    * already-qualified name is left as-is. Legacy `database` is gone by the
+    * time this runs — the normalize*Namespace pass splits it. */
   private def qualified(m: Map[String, Any], table: String): String =
     if (table.contains(".")) table
     else {
-      // `database` may itself be "catalog.schema"; else catalog + schema
-      val quals = str(m, "database").map(Seq(_))
-        .getOrElse(str(m, "catalog").toSeq ++ str(m, "schema").toSeq)
+      val quals = str(m, "catalog").toSeq ++ str(m, "schema").toSeq
       (quals :+ table).mkString(".")
     }
+
+  /** SQL type keywords that mark a namespace `schema` value as actually
+    * being column DDL (reference namespace_normalizer.py:33-38). */
+  private val DdlTypeWord = ("(?i)\\b(BIGINT|STRING|INT|INTEGER|SMALLINT|" +
+    "TINYINT|FLOAT|DOUBLE|DECIMAL|BOOLEAN|DATE|TIMESTAMP|BINARY|ARRAY|MAP|" +
+    "STRUCT|LONG|SHORT|BYTE|VOID)\\b").r
+  private def looksLikeDdl(s: String): Boolean =
+    s.contains(" ") && DdlTypeWord.findFirstIn(s).isDefined
+
+  /** Legacy `database` normalization for table-producing write targets
+    * (reference core/processing/namespace_normalizer.py:73-131). Soft
+    * deprecation: `database: "cat.sch"` auto-converts to catalog/schema
+    * with a warning (both strict and lenient — the reference never fails
+    * the conversion itself). Hard errors stay hard: a dot-less `database`
+    * (CFG_011) and a namespace `schema` that is really column DDL
+    * (CFG_013) are config mistakes the reference rejects in every mode. A
+    * `schema` sitting next to `database` is the pre-0.7.8 DDL alias and
+    * moves to `table_schema`. */
+  private def normalizeWriteNamespace(name: String, wt: Map[String, Any]): Map[String, Any] = {
+    val catalog = str(wt, "catalog").filter(_.nonEmpty)
+    val schema = str(wt, "schema").filter(_.nonEmpty)
+    if (catalog.isDefined && schema.isDefined) {
+      schema.filter(looksLikeDdl).foreach { s =>
+        throw ConfigError(s"write '$name': 'schema' value '${s.take(60)}' " +
+          "looks like a DDL column list — 'schema' is the namespace name; " +
+          "put column DDL in 'table_schema'")
+      }
+      wt
+    } else str(wt, "database").filter(_.nonEmpty) match {
+      case None => wt
+      case Some(db) =>
+        val redirected = schema match {
+          case Some(ddl) =>
+            System.err.println(s"[graft] WARN write '$name': write_target " +
+              "has both 'database' and 'schema' — interpreting 'schema' as " +
+              "DDL table_schema (use the 'table_schema' field)")
+            wt - "schema" + ("table_schema" -> ddl)
+          case None => wt
+        }
+        if (db.contains(".")) {
+          val Array(cat, sch) = db.split("\\.", 2)
+          System.err.println(s"[graft] WARN write '$name': 'database' is " +
+            s"""deprecated — auto-converted (database: "$db" -> catalog: """ +
+            s""""$cat", schema: "$sch"); use explicit catalog/schema""")
+          redirected - "database" + ("catalog" -> cat) + ("schema" -> sch)
+        } else throw ConfigError(
+          s"write '$name': write_target 'database' value '$db' has no dot " +
+            "separator — it must be 'catalog.schema', or use the explicit " +
+            "catalog and schema fields")
+    }
+  }
+
+  /** Legacy `database` normalization for delta/table load sources
+    * (reference namespace_normalizer.py:133-180). Format A: an explicit
+    * `catalog` plus a dot-less `database` means the database IS the schema
+    * name. Otherwise `database` must be dotted `catalog.schema`; a dot-less
+    * value with no catalog is a hard error (CFG_012). */
+  private def normalizeDeltaNamespace(name: String, src: Map[String, Any]): Map[String, Any] = {
+    val catalog = str(src, "catalog").filter(_.nonEmpty)
+    val schema = str(src, "schema").filter(_.nonEmpty)
+    if (catalog.isDefined && schema.isDefined) src
+    else str(src, "database").filter(_.nonEmpty) match {
+      case None => src
+      case Some(db) if catalog.isDefined && !db.contains(".") =>
+        System.err.println(s"[graft] WARN load '$name': delta source " +
+          "'database' is deprecated — treated as the schema name next to " +
+          "the explicit catalog; use the 'schema' field")
+        src - "database" + ("schema" -> db)
+      case Some(db) if db.contains(".") =>
+        val Array(cat, sch) = db.split("\\.", 2)
+        System.err.println(s"[graft] WARN load '$name': 'database' is " +
+          s"""deprecated — auto-converted (database: "$db" -> catalog: """ +
+          s""""$cat", schema: "$sch"); use explicit catalog/schema""")
+        src - "database" + ("catalog" -> cat) + ("schema" -> sch)
+      case Some(db) => throw ConfigError(
+        s"load '$name': delta source 'database' value '$db' has no dot " +
+          "separator and no 'catalog' field — it must be 'catalog.schema', " +
+          "or use the explicit catalog and schema fields")
+    }
+  }
 
   private def asMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] => m.asScala.map { case (k, v) => k.toString -> v }.toMap

@@ -42,17 +42,71 @@ object DependencyAnalyzer {
       .getOrElse(Nil)
   }
 
+  /** One advisory from dependency extraction — the reference's
+    * LHP-DEP-003 (core/dependencies/sql_extraction.py:260-290): SQL that
+    * the parser rejects contributes ZERO edges, so the ordering is
+    * silently incomplete unless the user declares `depends_on`. Warning-
+    * only — analysis proceeds; the graph JSON and the deps CLI surface it. */
+  final case class ExtractionWarning(
+      code: String,
+      message: String,
+      flowgroup: String,
+      action: String,
+      suggestion: String)
+
+  /** Re-parse every SQL-bearing action and report the failures that
+    * [[tablesInSql]] absorbed as empty edge sets. An action that declares
+    * `depends_on` is exempt — the user already covered its edges, so its
+    * parse failures are suppressed (reference source_parsing.py:128-131). */
+  def extractionWarnings(spark: SparkSession, fgs: Seq[FlowGroup]): Seq[ExtractionWarning] = {
+    def sqls(a: Action): Seq[String] = a match {
+      case s: SqlLoad => Seq(s.sql)
+      case s: SqlTransform => Seq(s.sql)
+      case m: MaterializedViewWrite => m.sql.toSeq
+      case _ => Nil
+    }
+    for {
+      fg <- fgs
+      a <- fg.actions
+      if a.dependsOn.isEmpty
+      sql <- sqls(a)
+      err <- Try(spark.sessionState.sqlParser.parsePlan(StreamRef.strip(sql)))
+        .failed.toOption
+    } yield ExtractionWarning(
+      code = "LHP-DEP-003",
+      message = "Could not parse SQL for table extraction: " +
+        Option(err.getMessage).getOrElse("invalid SQL").linesIterator
+          .take(1).mkString.take(200),
+      flowgroup = s"${fg.pipeline}.${fg.flowgroup}",
+      action = a.name,
+      suggestion = "Declare the upstream table(s) explicitly via " +
+        "`depends_on` on the action.")
+  }
+
   /** Sources an action consumes: declared sources, tables referenced inside
     * SQL (Catalyst parse), and explicit `depends_on` edges — the last being
     * the only ordering signal for sources the analyzer CANNOT parse (a
-    * plugin/python transform reading a table directly). */
-  def actionInputs(spark: SparkSession, a: Action): Seq[String] = (a match {
-    case s: SqlLoad => tablesInSql(spark, s.sql) ++ s.dependsOn
-    case s: SqlTransform => s.sources ++ tablesInSql(spark, s.sql) ++ s.dependsOn
-    case m: MaterializedViewWrite =>
-      m.sources ++ m.sql.toSeq.flatMap(tablesInSql(spark, _)) ++ m.dependsOn
-    case other => other.inputNames
-  }).distinct
+    * plugin/python transform reading a table directly).
+    *
+    * `trustDependsOn` (the reference dag CLI's `--trust-depends-on`,
+    * source_parsing.py:110-121): a non-empty `depends_on` becomes
+    * AUTHORITATIVE instead of additive — SQL extraction is skipped for
+    * that action and its inputs are exactly the declared `source:` refs
+    * unioned with `depends_on`. Actions without `depends_on` extract
+    * exactly as in the default mode. */
+  def actionInputs(spark: SparkSession, a: Action,
+      trustDependsOn: Boolean = false): Seq[String] = {
+    val inputs =
+      if (trustDependsOn && a.dependsOn.nonEmpty) a.inputNames
+      else a match {
+        case s: SqlLoad => tablesInSql(spark, s.sql) ++ s.dependsOn
+        case s: SqlTransform => s.sources ++ tablesInSql(spark, s.sql) ++ s.dependsOn
+        case m: MaterializedViewWrite =>
+          m.sources ++ m.sql.toSeq.flatMap(tablesInSql(spark, _)) ++ m.dependsOn
+        case other => other.inputNames
+      }
+    inputs.distinct
+  }
 
   /** Tables a flowgroup produces (its write targets). SinkWrites are
     * excluded — their `table` is just the action name (files/kafka/handler;
@@ -67,9 +121,10 @@ object DependencyAnalyzer {
 
   /** External tables a flowgroup consumes: inputs not defined by any action
     * in the same flowgroup. */
-  def consumes(spark: SparkSession, fg: FlowGroup): Set[String] = {
+  def consumes(spark: SparkSession, fg: FlowGroup,
+      trustDependsOn: Boolean = false): Set[String] = {
     val internal = fg.actions.flatMap(_.target).toSet
-    fg.actions.flatMap(a => actionInputs(spark, a)).toSet -- internal
+    fg.actions.flatMap(a => actionInputs(spark, a, trustDependsOn)).toSet -- internal
   }
 
   final case class Graph(edges: Map[String, Set[String]]) { // node -> deps
@@ -95,19 +150,21 @@ object DependencyAnalyzer {
   }
 
   /** Flowgroup-level graph: fg depends on fgs producing tables it consumes. */
-  def flowgroupGraph(spark: SparkSession, fgs: Seq[FlowGroup]): Graph = {
+  def flowgroupGraph(spark: SparkSession, fgs: Seq[FlowGroup],
+      trustDependsOn: Boolean = false): Graph = {
     val producers: Map[String, String] = fgs.flatMap { fg =>
       produces(fg).map(_ -> s"${fg.pipeline}.${fg.flowgroup}")
     }.toMap
     Graph(fgs.map { fg =>
       val me = s"${fg.pipeline}.${fg.flowgroup}"
-      me -> consumes(spark, fg).flatMap(producers.get).filterNot(_ == me)
+      me -> consumes(spark, fg, trustDependsOn).flatMap(producers.get).filterNot(_ == me)
     }.toMap)
   }
 
   /** Pipeline-level graph, folded up from the flowgroup graph. */
-  def pipelineGraph(spark: SparkSession, fgs: Seq[FlowGroup]): Graph = {
-    val fgGraph = flowgroupGraph(spark, fgs)
+  def pipelineGraph(spark: SparkSession, fgs: Seq[FlowGroup],
+      trustDependsOn: Boolean = false): Graph = {
+    val fgGraph = flowgroupGraph(spark, fgs, trustDependsOn)
     val pipelineOf = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg.pipeline).toMap
     Graph(fgGraph.edges.groupBy { case (n, _) => pipelineOf(n) }
       .map { case (p, es) =>

@@ -36,17 +36,18 @@ object Dependencies {
     * parallelism, execution stages, externals. Keys kept identical so a
     * consumer of the reference's output can point at this engine's. */
   def toJson(spark: org.apache.spark.sql.SparkSession,
-      fgs: Seq[graft.model.FlowGroup]): String = {
+      fgs: Seq[graft.model.FlowGroup],
+      trustDependsOn: Boolean = false): String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def jstr(s: String) = "\"" + esc(s) + "\""
     def jarr(xs: Seq[String]) = xs.map(jstr).mkString("[", ", ", "]")
 
-    val pg = DependencyAnalyzer.pipelineGraph(spark, fgs)
+    val pg = DependencyAnalyzer.pipelineGraph(spark, fgs, trustDependsOn)
     val byPipeline = fgs.groupBy(_.pipeline)
     val producedAnywhere = fgs.flatMap(DependencyAnalyzer.produces).toSet
     val externalByPipeline: Map[String, Seq[String]] = byPipeline.map {
       case (p, pfgs) =>
-        p -> pfgs.flatMap(DependencyAnalyzer.consumes(spark, _))
+        p -> pfgs.flatMap(DependencyAnalyzer.consumes(spark, _, trustDependsOn))
           .filterNot(producedAnywhere).distinct.sorted
     }
     val (stages, circular) =
@@ -68,29 +69,68 @@ object Dependencies {
         s""""stage": $stage""").mkString(", ") + "}"
     }
     val allExternal = externalByPipeline.values.flatten.toSeq.distinct.sorted
+    // stable `warnings` key (always present, empty when extraction was
+    // clean) — the reference export's schema contract
+    // (core/dependencies/output.py:75-90); DEP-003 advisories mean the
+    // graph above is missing edges the user must cover with depends_on
+    val warnings = DependencyAnalyzer.extractionWarnings(spark, fgs)
+    val warningsJson = warnings.map { w =>
+      "{" + Seq(
+        s""""code": ${jstr(w.code)}""",
+        s""""message": ${jstr(w.message)}""",
+        s""""flowgroup": ${jstr(w.flowgroup)}""",
+        s""""action": ${jstr(w.action)}""",
+        s""""suggestion": ${jstr(w.suggestion)}""").mkString(", ") + "}"
+    }
     Seq(
       "\"metadata\": {" + Seq(
         s""""total_pipelines": ${byPipeline.size}""",
         s""""total_external_sources": ${allExternal.size}""",
         s""""total_stages": ${stages.size}""",
-        s""""has_circular_dependencies": $circular""").mkString(", ") + "}",
+        s""""has_circular_dependencies": $circular""",
+        s""""total_warnings": ${warnings.size}""").mkString(", ") + "}",
       "\"pipelines\": {" + pipelines.mkString(", ") + "}",
       "\"execution_stages\": " + stages.map(jarr).mkString("[", ", ", "]"),
-      "\"external_sources\": " + jarr(allExternal)
+      "\"external_sources\": " + jarr(allExternal),
+      "\"warnings\": " + warningsJson.mkString("[", ", ", "]")
     ).mkString("{", ", ", "}")
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Dependencies <projectDir> <env> [dot|json|text]")
+    require(args.length >= 2, "usage: Dependencies <projectDir> <env> " +
+      "[dot|json|text] [--trust-depends-on] [--pipeline <name>]")
     val (projectDir, env) = (args(0), args(1))
-    val format = args.lift(2).getOrElse("text")
+    val rest = args.drop(2)
+    val format = rest.find(!_.startsWith("-")).getOrElse("text")
+    val trust = rest.contains("--trust-depends-on")
+    val pipelineFilter = rest.indexOf("--pipeline") match {
+      case -1 => None
+      case i => Some(rest.lift(i + 1).getOrElse(
+        throw new IllegalArgumentException("--pipeline needs a name")))
+    }
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("ERROR")
-    val fgs = Project.load(projectDir).flowgroups(env, lenient = true)
+    val all = Project.load(projectDir).flowgroups(env, lenient = true)
+    val fgs = pipelineFilter match {
+      case Some(p) =>
+        val sel = all.filter(_.pipeline == p)
+        if (sel.isEmpty) throw new IllegalArgumentException(
+          s"no flowgroups in pipeline '$p'; have: " +
+            all.map(_.pipeline).distinct.sorted.mkString(", "))
+        sel
+      case None => all
+    }
+    // advisories to stderr for the human formats (JSON embeds them)
+    if (format != "json")
+      DependencyAnalyzer.extractionWarnings(spark, fgs).foreach { w =>
+        System.err.println(
+          s"[graft] WARN ${w.code} ${w.flowgroup}/${w.action}: ${w.message} ${w.suggestion}")
+      }
     println(format match {
-      case "dot" => toDot("flowgroups", DependencyAnalyzer.flowgroupGraph(spark, fgs))
-      case "json" => toJson(spark, fgs)
-      case _ => toText(DependencyAnalyzer.flowgroupGraph(spark, fgs))
+      case "dot" =>
+        toDot("flowgroups", DependencyAnalyzer.flowgroupGraph(spark, fgs, trust))
+      case "json" => toJson(spark, fgs, trust)
+      case _ => toText(DependencyAnalyzer.flowgroupGraph(spark, fgs, trust))
     })
     spark.stop()
   }

@@ -120,7 +120,7 @@ class FlowGroupResolverSpec extends SparkSuite {
         |  - name: w2
         |    type: write
         |    source: v
-        |    write_target: {type: materialized_view, database: gold, table: agg}
+        |    write_target: {type: materialized_view, database: main.gold, table: agg}
         |""".stripMargin,
       presets = Map("envsuffix" -> preset))
     // schema_suffix appended to the schema qualifier (the reference's
@@ -128,9 +128,12 @@ class FlowGroupResolverSpec extends SparkSuite {
     // consumed by the resolver, never leaking into write-target options
     val w1 = fg.actions.collectFirst { case x: StreamingTableWrite => x }.get
     assert(w1.table == "bronze_dev.out")
-    // legacy database_suffix (LHP-DEPR-004) still applies, to `database`
+    // legacy database_suffix (LHP-DEPR-004) appends to the PACKED string
+    // (reference _apply_suffix: `target["database"] += suffix`), and the
+    // namespace normalizer then splits it — so the suffix lands on the
+    // schema half. A dot-less database would be CFG_011 downstream.
     val w2 = fg.actions.collectFirst { case x: graft.model.MaterializedViewWrite => x }.get
-    assert(w2.table == "gold_legacy.agg")
+    assert(w2.table == "main.gold_legacy.agg")
   }
 
   test("operational_metadata unions with presets; a double opt-out stays off") {

@@ -79,5 +79,58 @@ class DependencyAnalyzerSpec extends SparkSuite {
     assert(bronzeDep.get("external_sources").asInstanceOf[java.util.List[_]]
       .containsAll(java.util.List.of("landing_ext", "other_ext")))
     assert(parsed.get("execution_stages").asInstanceOf[java.util.List[_]].size == 2)
+    // stable warnings contract: key always present, empty when clean
+    assert(parsed.get("warnings").asInstanceOf[java.util.List[_]].isEmpty)
+    assert(meta.get("total_warnings") == 0)
+  }
+
+  test("unparseable SQL yields a DEP-003 advisory instead of silent edge loss") {
+    val broken = FlowGroup("p", "bad", actions = Seq(
+      SqlTransform("t1", target = Some("v_out"), source = Seq("v_in"),
+        sql = "SELEKT * FORM upstream_tbl"),
+      MaterializedViewWrite("w", Some("v_out"), "out_t")))
+    val ok = fg("p", "good", Seq("ext"), "t_ok")
+    val warnings = DependencyAnalyzer.extractionWarnings(spark, Seq(broken, ok))
+    assert(warnings.size == 1)
+    val w = warnings.head
+    assert(w.code == "LHP-DEP-003")
+    assert(w.flowgroup == "p.bad" && w.action == "t1")
+    assert(w.message.contains("Could not parse SQL"))
+    assert(w.suggestion.contains("depends_on"))
+    // extraction itself still contributes zero edges for the broken SQL
+    // (warning-only — analysis proceeds, matching the reference)
+    assert(DependencyAnalyzer.tablesInSql(spark, "SELEKT * FORM upstream_tbl").isEmpty)
+    // and the JSON export carries the advisory
+    val json = graft.tools.Dependencies.toJson(spark, Seq(broken, ok))
+    val parsed = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](json)
+    val ws = parsed.get("warnings").asInstanceOf[java.util.List[java.util.Map[String, Any]]]
+    assert(ws.size == 1 && ws.get(0).get("action") == "t1")
+    assert(parsed.get("metadata").asInstanceOf[java.util.Map[String, Any]]
+      .get("total_warnings") == 1)
+  }
+
+  test("depends_on suppresses the action's parse advisories") {
+    val covered = FlowGroup("p", "covered", actions = Seq(
+      SqlTransform("t1", target = Some("v_out"), source = Seq("v_in"),
+        sql = "SELEKT * FORM upstream_tbl", dependsOn = Seq("upstream_tbl")),
+      MaterializedViewWrite("w", Some("v_out"), "out_t")))
+    assert(DependencyAnalyzer.extractionWarnings(spark, Seq(covered)).isEmpty)
+  }
+
+  test("trust-depends-on makes depends_on authoritative, not additive") {
+    // SQL references parsed_tbl; depends_on declares declared_tbl
+    val a = SqlTransform("t", target = Some("v"), source = Seq("v_in"),
+      sql = "SELECT * FROM parsed_tbl", dependsOn = Seq("declared_tbl"))
+    // default mode: union of parsed + declared
+    assert(DependencyAnalyzer.actionInputs(spark, a).toSet ==
+      Set("v_in", "parsed_tbl", "declared_tbl"))
+    // trust mode: body extraction skipped — declared source + depends_on only
+    assert(DependencyAnalyzer.actionInputs(spark, a, trustDependsOn = true).toSet ==
+      Set("v_in", "declared_tbl"))
+    // an action WITHOUT depends_on still extracts in trust mode
+    val plain = SqlTransform("t2", target = Some("v2"), source = Nil,
+      sql = "SELECT * FROM parsed_tbl")
+    assert(DependencyAnalyzer.actionInputs(spark, plain, trustDependsOn = true) ==
+      Seq("parsed_tbl"))
   }
 }
