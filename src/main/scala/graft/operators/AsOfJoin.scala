@@ -74,16 +74,21 @@ object AsOfJoin {
     // matched right time rides inside the payload struct for the tolerance
     // check; left rows are reconstructed from their own struct after the
     // window, so left/right schemas never mix
-    val payStruct = struct((col(rightTime).as("__asof_t") +: payload.map(col)): _*)
+    val payStruct = struct(
+      (TimeCols.tzNorm(right, rightTime).as("__asof_t") +: payload.map(col)): _*)
     val payType = right.select(payStruct.as("__p")).schema("__p").dataType
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
     val leftType = left.select(leftStruct.as("__l")).schema("__l").dataType
 
+    // TimeCols.tzNorm on __t: (a) an NTZ side unions cleanly with a
+    // TimestampType side (resample's generated grid is TimestampType even
+    // when the observations are NTZ), (b) the tolerance double-cast below
+    // is legal — NTZ rejects numeric casts
     val lRows0 = left.select(on.map(col) ++ Seq(
-      col(leftTime).as("__t"), lit(1).as("__isL"),
+      TimeCols.tzNorm(left, leftTime).as("__t"), lit(1).as("__isL"),
       leftStruct.as("__l"), lit(null).cast(payType).as("__p")): _*)
     val rRows0 = right.filter(col(rightTime).isNotNull).select(on.map(col) ++ Seq(
-      col(rightTime).as("__t"), lit(0).as("__isL"),
+      TimeCols.tzNorm(right, rightTime).as("__t"), lit(0).as("__isL"),
       lit(null).cast(leftType).as("__l"), payStruct.as("__p")): _*)
     // skew salting: left rows scatter by row hash, right rows replicate to
     // every bucket — each (key, bucket) window still sees the full right

@@ -47,15 +47,19 @@ object RangeJoin {
     require(!(points.columns ++ intervals.columns).exists(_.equalsIgnoreCase("__bucket")),
       "column name '__bucket' is reserved by the range join; rename it first")
 
-    def bucketOf(c: Column): Column = floor(c.cast("double") / bucketWidth)
-    val p = points.withColumn("__bucket", bucketOf(col(pointTime)))
+    // TimeCols.tzNorm: NTZ time columns can't cast to double directly; the
+    // bucket math runs on the TimestampType view while the BETWEEN below
+    // still compares the user's columns natively
+    def bucketOf(df: DataFrame, name: String): Column =
+      floor(TimeCols.tzNorm(df, name).cast("double") / bucketWidth)
+    val p = points.withColumn("__bucket", bucketOf(points, pointTime))
     // sequence() is bounded by ceil(len/width)+1 elements per interval; a
     // degenerate reversed interval (end < start) yields no buckets, matching
     // BETWEEN's empty semantics
     val i = intervals
       .filter(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end))
       .withColumn("__bucket",
-        explode(sequence(bucketOf(col(start)), bucketOf(col(end)))))
+        explode(sequence(bucketOf(intervals, start), bucketOf(intervals, end))))
     p.join(i, on :+ "__bucket")
       .filter(col(pointTime).between(col(start), col(end)))
       .drop("__bucket")

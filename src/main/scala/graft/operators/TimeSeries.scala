@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Time-series regularization: forward-fill and fixed-step resampling —
   * the gap-filling operators behind "last known value per key per period"
@@ -43,14 +42,16 @@ object TimeSeries {
     require(!df.columns.exists(_.equalsIgnoreCase(gridCol)),
       s"grid column '$gridCol' collides with an input column; rename one")
     val step = lit(stepSeconds)
-    val isTimestamp = df.schema(time).dataType match {
-      case _: TimestampType | _: TimestampNTZType => true
-      case _ => false
-    }
+    val isTimestamp = TimeCols.isTimestamp(df.schema(time).dataType)
     def gridValue(bucket: org.apache.spark.sql.Column) =
       if (isTimestamp) timestamp_seconds(bucket * step) else bucket * step
+    // tzNorm: an NTZ time column can't cast to double for the bucket math;
+    // min/max run on the TimestampType view (grid points come out
+    // TimestampType either way — timestamp_seconds — so NTZ input yields
+    // the same session-zone grid a TimestampType input would)
     val grid = df.groupBy(keys.map(col): _*)
-      .agg(min(col(time)).as("__mn"), max(col(time)).as("__mx"))
+      .agg(min(TimeCols.tzNorm(df, time)).as("__mn"),
+        max(TimeCols.tzNorm(df, time)).as("__mx"))
       .withColumn("__bucket", explode(sequence(
         floor(col("__mn").cast("double") / step),
         floor(col("__mx").cast("double") / step))))

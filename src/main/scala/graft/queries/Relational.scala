@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{DataTests, Expectations, ScdMerge, SchemaTransform}
+import graft.operators.{DataTests, Expectations, ScdMerge, SchemaTransform, TimeCols}
 
 /** Core relational query surface: the runtime shapes the reference's emitted
   * pipelines execute (SURVEY §2.2-2.5) — gold-layer aggregations and joins,
@@ -157,7 +157,7 @@ object Relational {
     * tracked column, µs-epoch validity interval. */
   def q14Scd2(s: SparkSession, dir: String): DataFrame = {
     val changes = t(s, dir, "events")
-      .select(col("user_id"), unix_micros(col("ts")).as("seq"), col("event_type"))
+      .select(col("user_id"), TimeCols.epochMicros(col("ts")).as("seq"), col("event_type"))
     ScdMerge.scd2(None, changes,
       ScdMerge.Options(keys = Seq("user_id"), sequenceBy = Seq("seq"), scdType = 2,
         trackHistoryColumns = Some(Seq("event_type"))))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Expectations, ScdMerge, SnapshotCdc}
+import graft.operators.{Expectations, ScdMerge, SnapshotCdc, TimeCols}
 
 /** Event-stream shapes run in batch mode: tumbling-window aggregation (the
   * Structured Streaming `window()` operator), gap-based sessionization
@@ -33,7 +33,7 @@ object Streaming {
   def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("us")
     events(s, dir)
-      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("us", TimeCols.epochMicros(col("ts")))
       .withColumn("gap", col("us") - lag("us", 1).over(byUser))
       .withColumn("new_session",
         when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
@@ -59,7 +59,7 @@ object Streaming {
   /** SCD1 with apply_as_deletes: 'error' events delete the key. */
   def q18Scd1Deletes(s: SparkSession, dir: String): DataFrame = {
     val changes = events(s, dir).select(
-      col("user_id"), unix_micros(col("ts")).as("seq"), col("event_id"),
+      col("user_id"), TimeCols.epochMicros(col("ts")).as("seq"), col("event_id"),
       col("event_type"), col("value"))
     ScdMerge.scd1(None, changes,
       ScdMerge.Options(keys = Seq("user_id"), sequenceBy = Seq("seq"), scdType = 1,
@@ -93,7 +93,7 @@ object Streaming {
   def q20TemporalJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = q14Scd2Hist(s, dir) // SCD2 versions of event_type per user
     val facts = events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), TimeCols.epochMicros(col("ts")).as("us"))
     facts.join(dim,
       facts("user_id") === dim("user_id") &&
         facts("us") >= dim(ScdMerge.StartCol) &&
@@ -104,7 +104,7 @@ object Streaming {
 
   private def q14Scd2Hist(s: SparkSession, dir: String): DataFrame = {
     val changes = events(s, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("seq"), col("event_type"))
+      .select(col("user_id"), TimeCols.epochMicros(col("ts")).as("seq"), col("event_type"))
     ScdMerge.scd2(None, changes,
       ScdMerge.Options(keys = Seq("user_id"), sequenceBy = Seq("seq"), scdType = 2,
         trackHistoryColumns = Some(Seq("event_type"))))

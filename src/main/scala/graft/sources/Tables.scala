@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-data catalog: one parquet file per TPC-H-ish table (see TESTDATA.md).
   *
@@ -29,12 +29,39 @@ object Tables {
     * identical values. */
   val nanosAsLongConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
+      nanosLongCols = if (name == "events") Set("ts") else Set.empty)
+
+  /** Absorb the three timestamp encodings parquet files carry in the wild so
+    * every downstream operator sees one canonical type, `TimestampType`:
+    *
+    *   1. TIMESTAMP(NANOS) — unreadable by the vectorized reader; with
+    *      [[nanosAsLongConf]] it surfaces as LongType nanoseconds, which we
+    *      truncate to µs (the same truncation DuckDB applies, so both engines
+    *      see identical values).
+    *   2. TIMESTAMP(MICROS, isAdjustedToUTC=false) — what pandas/pyarrow
+    *      write by default; Spark 4 reads it as TIMESTAMP_NTZ, which rejects
+    *      `unix_micros`/numeric casts. Cast to TimestampType — value-
+    *      preserving under the UTC session every graft entrypoint pins.
+    *   3. TIMESTAMP(MICROS, isAdjustedToUTC=true) — already TimestampType;
+    *      pass through.
+    *
+    * The loader owns this so fixture-encoding drift never reaches operators.
+    *
+    * @param nanosLongCols columns KNOWN to be nanos-as-long timestamps (a
+    *   bare LongType carries no unit, so encoding 1 is opt-in per column;
+    *   encodings 2 and 3 are self-describing and always normalized) */
+  private[graft] def normalizeTimestamps(df: DataFrame,
+      nanosLongCols: Set[String] = Set.empty): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType => d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if nanosLongCols.contains(f.name) =>
+          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case _ => d
+      }
+    }
 
   /** Register every table as a temp view so `spark.sql` queries and the YAML
     * interpreter can reference them by name. */

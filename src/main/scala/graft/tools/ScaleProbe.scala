@@ -100,7 +100,7 @@ object ScaleProbe {
       val byUser = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("us")
       val sess = med(time(ev
-        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("us", graft.operators.TimeCols.epochMicros(col("ts")))
         .withColumn("gap", col("us") - lag("us", 1).over(byUser))
         .withColumn("ns", when(col("gap").isNull ||
           col("gap") > 1800L * 1000000L, 1L).otherwise(0L))

@@ -184,4 +184,31 @@ class JoinOpsSpec extends SparkSuite {
       tolerance = Some(60.0))
     assert(strict.select("r_id").as[Option[Long]].head() == None)
   }
+
+  test("NTZ time columns: range join and as-of normalize instead of failing") {
+    // NTZ rejects numeric casts, so the bucket math and the tolerance check
+    // must run on an internally-normalized view; results match TimestampType
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val pts = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 12:00:00")))
+      .toDF("p_id", "t")
+    val iv = Seq((100L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("i_id", "start", "end")
+    val asNtz = (df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =>
+      cols.foldLeft(df)((d, c) => d.withColumn(c, d(c).cast("timestamp_ntz")))
+
+    val rj = (p: org.apache.spark.sql.DataFrame, i: org.apache.spark.sql.DataFrame) =>
+      RangeJoin(p, i, "t", "start", "end", 3600.0)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(rj(asNtz(pts, Seq("t")), asNtz(iv, Seq("start", "end"))) == rj(pts, iv))
+
+    // mixed flavors: NTZ left vs TimestampType right unions cleanly, and the
+    // tolerance double-cast is legal
+    val l2 = asNtz(pts, Seq("t")).withColumn("k", org.apache.spark.sql.functions.lit(1L))
+    val r2 = iv.select($"i_id", $"start".as("rt")).withColumn("k",
+      org.apache.spark.sql.functions.lit(1L))
+    val out = AsOfJoin(l2, r2, Seq("k"), "t", "rt", Seq("i_id"),
+      tolerance = Some(7200.0))
+      .select("p_id", "i_id").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None)) // 12:00 is 3 h after 09:00
+  }
 }

@@ -44,6 +44,20 @@ class TimeSeriesSpec extends SparkSuite {
       ts("2024-01-03 00:00:00") -> Some(1.0)))
   }
 
+  test("resample on TIMESTAMP_NTZ input matches the TimestampType result") {
+    // pandas/pyarrow parquet surfaces as NTZ, which rejects numeric casts —
+    // the operator must normalize internally instead of dying at analysis
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val tz = Seq((1L, ts("2024-01-01 06:00:00"), 1.0),
+      (1L, ts("2024-01-03 01:00:00"), 2.0)).toDF("k", "ts", "v")
+    val ntz = tz.withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      TimeSeries.resample(df, Seq("k"), "ts", 86400L, Seq("v"))
+        .select("grid_ts", "v").as[(java.sql.Timestamp, Option[Double])]
+        .collect().toMap
+    assert(run(ntz) == run(tz))
+  }
+
   test("resample guards: bad step, grid-name collision") {
     val df = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
     intercept[IllegalArgumentException] {

@@ -196,6 +196,35 @@ class SourcesSpec extends SparkSuite {
       .as[(Int, String)].collect().toSet == Set((1, "ada"), (2, "bob")))
   }
 
+  test("Tables.load absorbs all three parquet timestamp encodings identically") {
+    // the three encodings fixtures have actually carried across driver
+    // regenerations: TIMESTAMP(NANOS) (surfaces as LongType ns under the
+    // pinned nanosAsLong conf), TIMESTAMP(MICROS, non-UTC) (surfaces as
+    // TIMESTAMP_NTZ), and TIMESTAMP(MICROS, UTC) (TimestampType). The
+    // loader must yield byte-identical TimestampType output for each so
+    // the next fixture drift fails HERE, not in the gate.
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.TimestampType
+    val micros = Seq(0L, 1704067200000000L, 1704067201500000L, 1704153599999999L)
+    val base = micros.toDF("us").select(
+      timestamp_micros($"us").as("ts"), ($"us" % 7).as("k"))
+    val root = Files.createTempDirectory("ts-encodings").toString
+    base.select(col("ts"), col("k"))
+      .write.parquet(s"$root/tz/events.parquet")
+    base.select(col("ts").cast("timestamp_ntz").as("ts"), col("k"))
+      .write.parquet(s"$root/ntz/events.parquet")
+    base.select((expr("unix_micros(ts)") * 1000L).as("ts"), col("k"))
+      .write.parquet(s"$root/nanos/events.parquet")
+    val loaded = Seq("tz", "ntz", "nanos").map { enc =>
+      val df = Tables.load(spark, s"$root/$enc", "events")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$enc encoding must normalize to TimestampType")
+      df.orderBy("ts").collect().toSeq
+    }
+    assert(loaded(0) == loaded(1), "NTZ encoding drifted from UTC encoding")
+    assert(loaded(0) == loaded(2), "nanos-long encoding drifted from UTC encoding")
+  }
+
   test("monitoring unions event logs with pipeline tags") {
     val d1 = Files.createTempDirectory("log1").toString
     val d2 = Files.createTempDirectory("log2").toString
