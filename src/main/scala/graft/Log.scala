@@ -1,0 +1,34 @@
+package graft
+
+/** The engine's warning/advisory channel — the single seam through which
+  * graft emits non-fatal diagnostics: lenient-mode config advisories,
+  * deprecations, data-test violation notices, version-gate bypasses.
+  *
+  * Default routing is BOTH slf4j (Spark's bundled log4j2 backend, logger
+  * name "graft" — so embedders silence or redirect it with one standard
+  * log4j rule) and a `[graft] `-prefixed stderr line (the CLI's historical
+  * behavior, visible without any logging config). Embedders replace the
+  * whole route with [[Log.route]] — e.g. to collect advisories into a
+  * validation report, or to fail CI on any warning.
+  *
+  * Thread-safety: the sink is a volatile ref; `route` is a rare
+  * configuration call, `warn` is read-only on the hot path.
+  */
+object Log {
+  type Sink = String => Unit
+
+  /** stderr + slf4j — the default CLI behavior. */
+  val stderrAndSlf4j: Sink = { msg =>
+    org.slf4j.LoggerFactory.getLogger("graft").warn(msg)
+    System.err.println(s"[graft] $msg")
+  }
+
+  @volatile private var sink: Sink = stderrAndSlf4j
+
+  /** Replace the warning route (pass [[stderrAndSlf4j]] to restore). */
+  def route(s: Sink): Unit = { sink = s }
+
+  /** Emit one engine warning through the current route. Messages arrive
+    * WITHOUT the `[graft] ` prefix — the sink owns presentation. */
+  def warn(msg: String): Unit = sink(msg)
+}

@@ -236,7 +236,7 @@ object FlowGroupResolver {
       case None => cleaned
       case Some(suffix) =>
         if (schemaSuffix.isEmpty && dbSuffix.isDefined)
-          System.err.println("[graft] preset 'database_suffix' is deprecated " +
+          graft.Log.warn("preset 'database_suffix' is deprecated " +
             s"(reference LHP-DEPR-004) — use schema_suffix; '$suffix' applied")
         if (cleaned.contains("schema"))
           cleaned + ("schema" -> (cleaned("schema").toString + suffix))

@@ -55,7 +55,7 @@ object VersionCheck {
         .flatMap(env(_)).exists(v =>
           Set("1", "true", "yes").contains(v.toLowerCase))
       if (bypass)
-        System.err.println(s"[graft] version requirement bypass enabled " +
+        graft.Log.warn(s"version requirement bypass enabled " +
           s"(required: $spec, engine compat: $actual)")
       else if (!satisfies(spec, actual))
         throw ConfigError(
