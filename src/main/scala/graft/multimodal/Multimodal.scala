@@ -256,14 +256,200 @@ object Multimodal {
     }
   }
 
-  /** Default kernel dispatch: audio magics (WAV, FLAC, valid MP3 frame) →
-    * their header kernels, anything else → [[ImageIoDecoder]] (which itself
-    * degrades to the stub). Dispatch is by CONTENT magic, not MIME —
-    * corpus MIME labels lie. */
+  /** Real MP4/MOV kernel: ISO-BMFF box walk — pure-JVM byte arithmetic over
+    * the container structure (big-endian size + fourcc type, 64-bit
+    * `largesize` when size==1, to-EOF when size==0). Dimensions come from
+    * the first `trak` whose `tkhd` declares a nonzero 16.16 fixed-point
+    * width/height (video tracks; audio tracks declare 0×0), duration from
+    * `mvhd`'s timescale+duration — exact, not estimated. Header-only: no
+    * sample data (`mdat`) is touched; a faststart file carries `moov`
+    * before `mdat`, so the features need only leading bytes. Structural
+    * violations (truncated boxes, sizes smaller than their own header)
+    * fall back to [[StubDecoder]] like every kernel. */
+  object Mp4Decoder extends Decoder {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def be64(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }; v
+    }
+
+    def claims(bytes: Array[Byte]): Boolean =
+      bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p'
+
+    /** All child boxes of `[start, end)` as (type, payloadStart, payloadEnd);
+      * a box whose declared size is structurally impossible truncates the
+      * walk (returning what parsed so far) rather than looping. */
+    private def children(b: Array[Byte], start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val p = i.toInt
+        val size0 = be32(b, p)
+        val typ = new String(b, p + 4, 4, "US-ASCII")
+        val (size, hdr) =
+          if (size0 == 1 && i + 16 <= end) (be64(b, p + 8), 16L)
+          else if (size0 == 0) (end - i, 8L) // box extends to EOF
+          else (size0, 8L)
+        if (size < hdr) ok = false // impossible size: stop the walk
+        else {
+          out += ((typ, i + hdr, math.min(i + size, end)))
+          i += size
+        }
+      }
+      out.toSeq
+    }
+    private def find(b: Array[Byte], start: Long, end: Long, typ: String) =
+      children(b, start, end).find(_._1 == typ)
+
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
+      if (!claims(bytes)) return StubDecoder.decode(mime, bytes)
+      val r = for {
+        (_, ms, me) <- find(bytes, 0L, bytes.length.toLong, "moov")
+        (_, hs, he) <- find(bytes, ms, me, "mvhd")
+        if he - hs >= 24
+      } yield {
+        val p = hs.toInt
+        val v1 = bytes(p) == 1 // version byte; v1 = 64-bit times
+        val (timescale, duration) =
+          if (v1 && he - hs >= 32) (be32(bytes, p + 20), be64(bytes, p + 24))
+          else (be32(bytes, p + 12), be32(bytes, p + 16))
+        val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+        // first trak with a nonzero tkhd width/height = the video track
+        val dims = children(bytes, ms, me).collect {
+          case ("trak", ts, te) => find(bytes, ts, te, "tkhd")
+        }.flatten.flatMap { case (_, ks, ke) =>
+          val q = ks.toInt
+          val wOff = if (bytes(q) == 1) 88 else 76 // after v1's 64-bit times
+          if (ke - ks >= wOff + 8)
+            Some(((be32(bytes, q + wOff) >> 16).toInt, // 16.16 fixed-point
+              (be32(bytes, q + wOff + 4) >> 16).toInt))
+          else None
+        }.find { case (w, h) => w > 0 && h > 0 }
+        val (w, h) = dims.getOrElse((0, 0))
+        Decoded(w, h, 0, 0, durMs, decoder = "mp4")
+      }
+      r.getOrElse(StubDecoder.decode(mime, bytes))
+    }
+  }
+
+  /** Real MKV/WebM kernel: EBML walk — variable-length-integer element IDs
+    * (marker bits kept, per spec) and sizes (marker stripped; all-ones =
+    * unknown size, treated as extends-to-parent-end, the streamed-Segment
+    * case). Reads Segment→Info for TimestampScale (ns per tick, default
+    * 1 000 000) and Duration (float ticks) — so duration is exact — and
+    * Segment→Tracks→TrackEntry→Video for PixelWidth/PixelHeight (Audio's
+    * Channels/SamplingFrequency when no video track). Header-only: Cluster
+    * payloads are never entered. */
+  object MkvDecoder extends Decoder {
+    def claims(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && (bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3
+
+    /** (value, encodedLength); `strip` removes the length-marker bit (sizes)
+      * or keeps it (IDs, which the spec compares in full form). */
+    private def vint(b: Array[Byte], i: Long, strip: Boolean): Option[(Long, Int)] = {
+      if (i >= b.length) return None
+      val first = b(i.toInt) & 0xFF
+      if (first == 0) return None // > 8-byte vint: not a valid element here
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (i + len > b.length) return None
+      var v = (if (strip) first & ((1 << (8 - len)) - 1) else first).toLong
+      var k = 1
+      while (k < len) { v = (v << 8) | (b((i + k).toInt) & 0xFF); k += 1 }
+      Some((v, len))
+    }
+
+    /** Child elements of `[start, end)` as (id, payloadStart, payloadEnd). */
+    private def children(b: Array[Byte], start: Long, end: Long): Seq[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = start
+      var ok = true
+      while (ok && i < end) {
+        (for {
+          (id, idLen) <- vint(b, i, strip = false)
+          (sz, szLen) <- vint(b, i + idLen, strip = true)
+        } yield {
+          val ps = i + idLen + szLen
+          // all-value-bits-ones = "unknown size" (streamed Segment):
+          // the element runs to the parent's end
+          val unknown = sz == (1L << (7 * szLen)) - 1
+          val pe = if (unknown) end else math.min(ps + sz, end)
+          out += ((id, ps, pe))
+          i = if (unknown) end else pe
+        }).getOrElse { ok = false }
+      }
+      out.toSeq
+    }
+    private def find(b: Array[Byte], s: Long, e: Long, id: Long) =
+      children(b, s, e).find(_._1 == id)
+
+    private def uintAt(b: Array[Byte], s: Long, e: Long): Long = {
+      var v = 0L; var i = s
+      while (i < e) { v = (v << 8) | (b(i.toInt) & 0xFF); i += 1 }; v
+    }
+    private def floatAt(b: Array[Byte], s: Long, e: Long): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(b, s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(b, s, e))
+      case _ => 0.0
+    }
+
+    def decode(mime: String, bytes: Array[Byte]): Decoded = {
+      if (!claims(bytes)) return StubDecoder.decode(mime, bytes)
+      val n = bytes.length.toLong
+      val r = find(bytes, 0L, n, 0x18538067L /* Segment */).map { case (_, ss, se) =>
+        val info = find(bytes, ss, se, 0x1549A966L /* Info */)
+        val scaleNs = info.flatMap { case (_, is, ie) =>
+          find(bytes, is, ie, 0x2AD7B1L /* TimestampScale */)
+            .map { case (_, vs, ve) => uintAt(bytes, vs, ve) }
+        }.filter(_ > 0).getOrElse(1000000L)
+        val durTicks = info.flatMap { case (_, is, ie) =>
+          find(bytes, is, ie, 0x4489L /* Duration, float ticks */)
+            .map { case (_, vs, ve) => floatAt(bytes, vs, ve) }
+        }.getOrElse(0.0)
+        val durMs = (durTicks * scaleNs / 1e6).toLong
+        val entries = find(bytes, ss, se, 0x1654AE6BL /* Tracks */).toSeq
+          .flatMap { case (_, ts, te) => children(bytes, ts, te) }
+          .collect { case (0xAEL /* TrackEntry */, es, ee) => (es, ee) }
+        val video = entries.flatMap { case (es, ee) =>
+          find(bytes, es, ee, 0xE0L /* Video */).flatMap { case (_, vs, ve) =>
+            for {
+              (_, ws, we) <- find(bytes, vs, ve, 0xB0L /* PixelWidth */)
+              (_, hs, he) <- find(bytes, vs, ve, 0xBAL /* PixelHeight */)
+            } yield (uintAt(bytes, ws, we).toInt, uintAt(bytes, hs, he).toInt)
+          }
+        }.headOption
+        val audio = entries.flatMap { case (es, ee) =>
+          find(bytes, es, ee, 0xE1L /* Audio */).map { case (_, as, ae) =>
+            val ch = find(bytes, as, ae, 0x9FL /* Channels */)
+              .map { case (_, cs, ce) => uintAt(bytes, cs, ce).toInt }.getOrElse(1)
+            val sr = find(bytes, as, ae, 0xB5L /* SamplingFrequency */)
+              .map { case (_, fs, fe) => floatAt(bytes, fs, fe).toInt }.getOrElse(0)
+            (ch, sr)
+          }
+        }.headOption
+        val (w, h) = video.getOrElse((0, 0))
+        val (ch, sr) = audio.getOrElse((0, 0))
+        Decoded(w, h, ch, sr, durMs, decoder = "mkv")
+      }
+      r.getOrElse(StubDecoder.decode(mime, bytes))
+    }
+  }
+
+  /** Default kernel dispatch: audio magics (WAV, FLAC, valid MP3 frame) and
+    * container magics (ISO-BMFF ftyp, EBML) → their header kernels,
+    * anything else → [[ImageIoDecoder]] (which itself degrades to the
+    * stub). Dispatch is by CONTENT magic, not MIME — corpus MIME labels
+    * lie. */
   object AutoDecoder extends Decoder {
     def decode(mime: String, bytes: Array[Byte]): Decoded =
       if (WavDecoder.claims(bytes)) WavDecoder.decode(mime, bytes)
       else if (FlacDecoder.claims(bytes)) FlacDecoder.decode(mime, bytes)
+      else if (Mp4Decoder.claims(bytes)) Mp4Decoder.decode(mime, bytes)
+      else if (MkvDecoder.claims(bytes)) MkvDecoder.decode(mime, bytes)
       else if (Mp3Decoder.claims(bytes)) Mp3Decoder.decode(mime, bytes)
       else ImageIoDecoder.decode(mime, bytes)
   }

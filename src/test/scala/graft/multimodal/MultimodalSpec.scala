@@ -258,4 +258,86 @@ class MultimodalSpec extends SparkSuite {
       .rdd.getNumPartitions
     assert(parts >= 2) // 20 docs ≫ 1 KiB total
   }
+
+  // ---- crafted container bytes for the video header kernels ----
+
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  private def craftedMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
+    val mvhd = { // v0: vf(4) c(4) m(4) timescale(4) duration(4) + 80 spec bytes
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      bb.array()
+    }
+    val tkhd = { // v0: width/height are 16.16 fixed at payload offsets 76/80
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    ftyp ++ mp4Box("moov", mp4Box("mvhd", mvhd),
+      mp4Box("trak", mp4Box("tkhd", tkhd)))
+  }
+
+  private def be(v: Long, n: Int): Array[Byte] =
+    ((n - 1) to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+  private def ebml(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    assert(body.length < 127)
+    id ++ Array((0x80 | body.length).toByte) ++ body
+  }
+
+  test("Mp4Decoder reads dimensions and exact duration from crafted boxes") {
+    val bytes = craftedMp4(timescale = 1000, duration = 90000, w = 640, h = 360)
+    val d = Multimodal.Mp4Decoder.decode("video/mp4", bytes)
+    assert((d.width, d.height, d.durationMs, d.decoder) == ((640, 360, 90000L, "mp4")))
+    // v1 mvhd (64-bit times): same answer through the version-aware offsets
+    val mvhdV1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+      bb.putLong(0L).putLong(0L).putInt(500).putLong(30000L)
+      bb.array()
+    }
+    val v1 = craftedMp4(1000, 90000, 640, 360).take(16) ++ // just the ftyp
+      mp4Box("moov", mp4Box("mvhd", mvhdV1))
+    val d1 = Multimodal.Mp4Decoder.decode("video/mp4", v1)
+    assert(d1.durationMs == 60000L && d1.decoder == "mp4") // 30000 ticks @ 500/s
+    // ftyp with no moov = structural violation → deterministic stub
+    val broken = craftedMp4(1000, 1, 1, 1).take(16)
+    assert(Multimodal.Mp4Decoder.decode("video/mp4", broken).decoder == "stub")
+  }
+
+  test("MkvDecoder reads EBML video dims, audio params, and scaled duration") {
+    val header = ebml(be(0x1A45DFA3L, 4)) // empty EBML header
+    val info = ebml(be(0x1549A966L, 4),
+      ebml(be(0x2AD7B1L, 3), be(1000000L, 3)),      // TimestampScale 1 ms
+      ebml(be(0x4489L, 2), be(java.lang.Float.floatToIntBits(90000f).toLong, 4)))
+    val videoTrack = ebml(be(0xAEL, 1), ebml(be(0xE0L, 1),
+      ebml(be(0xB0L, 1), be(1280L, 2)), ebml(be(0xBAL, 1), be(720L, 2))))
+    val audioTrack = ebml(be(0xAEL, 1), ebml(be(0xE1L, 1),
+      ebml(be(0x9FL, 1), be(2L, 1)),
+      ebml(be(0xB5L, 1), be(java.lang.Float.floatToIntBits(48000f).toLong, 4))))
+    val mkv = header ++ ebml(be(0x18538067L, 4), info,
+      ebml(be(0x1654AE6BL, 4), videoTrack, audioTrack))
+    val d = Multimodal.MkvDecoder.decode("video/x-matroska", mkv)
+    assert((d.width, d.height, d.durationMs, d.decoder) == ((1280, 720, 90000L, "mkv")))
+    assert((d.channels, d.sampleRate) == ((2, 48000))) // audio track params ride along
+    // magic with an unparseable segment → deterministic stub
+    val broken = be(0x1A45DFA3L, 4) ++ Array[Byte](0) // invalid vint after magic
+    assert(Multimodal.MkvDecoder.decode("video/webm", broken).decoder == "stub")
+  }
+
+  test("AutoDecoder dispatches mp4 and mkv by content magic") {
+    val mp4 = craftedMp4(1000, 5000, 320, 240)
+    assert(Multimodal.AutoDecoder.decode("application/octet-stream", mp4).decoder == "mp4")
+    val mkvMin = ebml(be(0x1A45DFA3L, 4)) ++ ebml(be(0x18538067L, 4))
+    assert(Multimodal.AutoDecoder.decode("application/octet-stream", mkvMin).decoder == "mkv")
+  }
 }
