@@ -175,6 +175,57 @@ object Extras {
     runner.view("q47_tt")
   }
 
+  /** The observability plane through the gate: two pipelines run with the
+    * engine's event-log hooks, the monitoring pipeline unions their logs
+    * (one checkpointed AvailableNow stream per source, exactly-once
+    * batch-directory placement) and refreshes a rollup MV over the union.
+    * The oracle recomputes the same (pipeline, event_type, count) rollup
+    * in DuckDB from the RAW per-pipeline logs (dumped to a fixed path) —
+    * so a monitoring-union replay/duplication bug inflates the Spark side
+    * only and hash-mismatches. */
+  def e1MonitoringRollup(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-e1").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val hooks = new graft.exec.EventLog.Writer(s, store)
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp", hooks = hooks)
+    Tables.load(s, dir, "nation").createOrReplaceTempView("e1_nation")
+    Tables.load(s, dir, "region").createOrReplaceTempView("e1_region")
+    def fg(pipeline: String, flowgroup: String, writes: Seq[(String, String)]) =
+      graft.config.YamlConfig.parseFlowGroup(
+        s"""pipeline: $pipeline
+           |flowgroup: $flowgroup
+           |actions:
+           |${writes.zipWithIndex.map { case ((view, out), i) =>
+              s"""  - name: l$i
+                 |    type: load
+                 |    source: {type: table, table: $view}
+                 |    target: v$i
+                 |  - name: w$i
+                 |    type: write
+                 |    source: v$i
+                 |    write_target: {type: streaming_table, table: $out}""".stripMargin
+            }.mkString("\n")}
+           |""".stripMargin)
+    // p1: one flowgroup writing two tables; p2: two flowgroups, one table
+    // each — so the logs differ in both event counts and append batches
+    runner.run(fg("e1p1", "g1", Seq("e1_nation" -> "e1_out_a", "e1_region" -> "e1_out_b")))
+    runner.run(fg("e1p2", "g1", Seq("e1_nation" -> "e1_out_c")))
+    runner.run(fg("e1p2", "g2", Seq("e1_region" -> "e1_out_d")))
+    graft.streaming.Monitoring.runPipeline(s, store,
+      Map("e1p1" -> hooks.tableFor("e1p1"), "e1p2" -> hooks.tableFor("e1p2")),
+      streamingTable = "e1_union",
+      mvs = Seq(graft.streaming.Monitoring.MvDef("e1_rollup", Some(
+        """SELECT _pipeline AS pipeline, event_type, count(*) AS n
+          |FROM e1_union GROUP BY _pipeline, event_type""".stripMargin), None)),
+      checkpointRoot = s"$wh/moncp")
+    // dump the RAW logs at the fixed path the DuckDB oracle reads
+    val fixed = "/tmp/graft_e1_logs"
+    Seq("e1p1", "e1p2").foreach { p =>
+      store.read(hooks.tableFor(p)).write.mode("overwrite").parquet(s"$fixed/$p")
+    }
+    store.read("e1_rollup")
+  }
+
   /** skipChangeCommits through the gate: two blind-append commits, then a
     * CDC merge commit (a rewrite), into one change-logged table; a
     * skipChangeCommits STREAM of the table must serve exactly the append
@@ -327,7 +378,8 @@ object Extras {
     "q47_time_travel" -> q47TimeTravel,
     "q48_skip_change_commits" -> q48SkipChangeCommits,
     "q49_scd2_time_travel" -> q49Scd2TimeTravel,
-    "q50_ignore_deletes" -> q50IgnoreDeletes)
+    "q50_ignore_deletes" -> q50IgnoreDeletes,
+    "e1_monitoring_rollup" -> e1MonitoringRollup)
 
   /** All three are oracle-checked. The stub decoder's pseudo-dimensions and
     * the sample buckets are md5-derived (big-endian first-8-hex =
@@ -418,5 +470,13 @@ object Extras {
     // excused (dropped), not streamed and not a failure
     "q50_ignore_deletes" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events WHERE event_id % 2 = 0""".stripMargin)
+        |FROM events WHERE event_id % 2 = 0""".stripMargin,
+    // e1 recomputes the monitoring rollup from the RAW per-pipeline event
+    // logs the query dumps at this fixed path — independent of the
+    // monitoring union stream, so union replay/duplication bugs
+    // hash-mismatch instead of cancelling out
+    "e1_monitoring_rollup" ->
+      """SELECT pipeline, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('/tmp/graft_e1_logs/*/*.parquet')
+        |GROUP BY pipeline, event_type""".stripMargin)
 }
