@@ -898,8 +898,18 @@ final class PipelineRunner(
     // orphan probe run. A crash BEFORE the append leaves the marker but no
     // rows; the probe finds the log clean and the write proceeds.
     if (store.getMeta(chTable, "commit_intent").isDefined)
-      assertLogIntegrity(chTable, s"write '${a.name}'")
+      assertLogIntegrity(chTable, s"write '${a.name}'", force = true)
     store.setMeta(chTable, "commit_intent", version.toString)
+    try commitChangeRows(a, chTable, version, batch, mergeOpts, spec)
+    catch { case e: Throwable => uncacheIntegrity(chTable); throw e }
+  }
+
+  /** The append + sidecar sequence of one change-log commit; any throw
+    * inside leaves the intent marker set (cleared last) and the caller
+    * drops the integrity-probe cache for the log. */
+  private def commitChangeRows(a: StreamingTableWrite, chTable: String,
+      version: Long, batch: DataFrame,
+      mergeOpts: Option[ScdMerge.Options], spec: String): Unit = {
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
     store.append(chTable, batch
       .withColumn("_change_type",
@@ -1043,18 +1053,42 @@ final class PipelineRunner(
     * pushdown EXISTENCE probe, not a full-log aggregate: parquet row-group
     * min/max stats prune `_commit_version > latest` to ~zero I/O on a
     * healthy log. */
-  private def assertLogIntegrity(chTable: String, who: String): Unit =
+  // One integrity probe per (log, version) per runner: the probe is a small
+  // Spark job, and a pipeline with many consumers of one log (time-travel
+  // replays, bounded CDF windows) would otherwise re-run it per consumer.
+  // Sound within a runner's lifetime because of the single-writer
+  // discipline: the only mutation path is this runner's own write path,
+  // which bumps the commit counter (new cache key → fresh probe). The two
+  // ways a log can rot mid-run bypass the cache explicitly: a process
+  // crash kills the runner (next run probes fresh), and an in-process
+  // commit failure caught by the orchestrator's fault policy calls
+  // [[uncacheIntegrity]] — plus the write path's intent-marker probe
+  // always runs `force`d, since a surviving marker IS evidence of an
+  // interrupted commit.
+  private val integrityProbed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
+  /** Forget cached probes for one log — called when a commit to it throws
+    * partway, the one in-process path that can orphan rows at a cached
+    * (table, version) key. */
+  private def uncacheIntegrity(chTable: String): Unit =
+    integrityProbed.removeIf(_._1 == chTable): Unit
+
+  private def assertLogIntegrity(chTable: String, who: String,
+      force: Boolean = false): Unit =
     store.readIfExists(chTable).foreach { changes =>
       // a table that merely has a `__changes`-suffixed NAME (no guard
       // forbids one) is not a change log — probing it would crash on the
       // missing column with a raw AnalysisException
       if (!changes.columns.contains("_commit_version")) return
       val latest = store.currentCommitVersion(chTable).getOrElse(-1L)
+      if (!force && integrityProbed.contains((chTable, latest))) return
       val orphaned = !changes.filter(col("_commit_version") > latest).isEmpty
       if (orphaned) throw Planner.PlanError(
         s"$who: '$chTable' holds rows beyond the recorded counter $latest — " +
           "a change-log commit was interrupted; full-refresh the producing " +
           "write to rebuild the log")
+      integrityProbed.add((chTable, latest)): Unit
     }
 
   /** maxFilesPerTrigger: Delta's stream rate limit, passed verbatim to
