@@ -17,10 +17,13 @@ package graft
 object Log {
   type Sink = String => Unit
 
-  /** stderr + slf4j — the default CLI behavior. */
+  /** stderr + slf4j — the default CLI behavior. Presentation (the
+    * `[graft] WARN` prefix) lives HERE, not in individual messages, so a
+    * replacement sink receives clean text and the slf4j line carries the
+    * level structurally rather than in-band. */
   val stderrAndSlf4j: Sink = { msg =>
     org.slf4j.LoggerFactory.getLogger("graft").warn(msg)
-    System.err.println(s"[graft] $msg")
+    System.err.println(s"[graft] WARN $msg")
   }
 
   @volatile private var sink: Sink = stderrAndSlf4j

@@ -39,7 +39,7 @@ object Maintain {
       // append-only table converts it to that regime — warn loudly so an
       // operator doesn't silently break incremental consumers.
       if (store.getMeta(t, "rewritten").isEmpty)
-        graft.Log.warn(s"WARN compacting append-only table '$t': " +
+        graft.Log.warn(s"compacting append-only table '$t': " +
           "any checkpointed file-stream consumer of it must be full-refreshed " +
           "(stream its __changes companion to stay incremental)")
       val before = dataFileCount(store, t)

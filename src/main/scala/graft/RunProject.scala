@@ -106,7 +106,7 @@ object RunProject {
         graft.config.PipelineConfigs.refuseContinuous(pc, runPipelines)
         monPipelines.filter(mp => pc.pipelineConfigs.get(mp).exists(c =>
           c.contains("catalog") || c.contains("schema"))).foreach(mp =>
-          graft.Log.warn(s"WARN pipeline config: catalog/schema " +
+          graft.Log.warn(s"pipeline config: catalog/schema " +
             s"for monitoring pipeline '$mp' come from the lhp.yaml " +
             "monitoring block; the pipeline-config values are ignored"))
         fgs.map(fg => graft.config.PipelineConfigs.applyNamespace(

@@ -157,7 +157,7 @@ object PipelineConfigs {
               s"${idx + 1}: 'pipeline' has no value — name one pipeline " +
               "(string) or several (list)")
             case other =>
-              graft.Log.warn(s"WARN pipeline config document " +
+              graft.Log.warn(s"pipeline config document " +
                 s"${idx + 1}: invalid pipeline type ${other.getClass.getSimpleName}" +
                 " (expected string or list); skipping")
               Nil
@@ -180,15 +180,15 @@ object PipelineConfigs {
             firstSeen(n) = idx + 1
             configs(n) = cfg
           }
-        } else graft.Log.warn(s"WARN pipeline config document " +
+        } else graft.Log.warn(s"pipeline config document " +
           s"${idx + 1} has neither 'project_defaults' nor 'pipeline'; ignoring")
-      case (other, idx) => graft.Log.warn(s"WARN pipeline config " +
+      case (other, idx) => graft.Log.warn(s"pipeline config " +
         s"document ${idx + 1} is not a mapping; ignoring: $other")
     }
     // __eventlog_monitoring → the configured monitoring pipeline name
     configs.remove(MonitoringAlias).foreach { aliasCfg =>
       monitoringPipeline match {
-        case None => graft.Log.warn(s"WARN pipeline config: " +
+        case None => graft.Log.warn(s"pipeline config: " +
           s"'$MonitoringAlias' present but monitoring is not enabled in " +
           "lhp.yaml; ignoring the entry")
         case Some(actual) if configs.contains(actual) => throw ConfigError(

@@ -154,7 +154,7 @@ object YamlConfig {
         (opts.keySet -- recognizedOpts).toSeq.sorted.foreach { k =>
           val msg = s"load '$name': unrecognized option '$k' — the parquet-backed " +
             s"table reader honors only ${recognizedOpts.toSeq.sorted.mkString(", ")}"
-          if (lenient) graft.Log.warn(s"WARN $msg") else throw ConfigError(msg)
+          if (lenient) graft.Log.warn(msg) else throw ConfigError(msg)
         }
         val srcNs = normalizeDeltaNamespace(name, src)
         val table = qualified(srcNs,
@@ -216,7 +216,7 @@ object YamlConfig {
             "a batch read serves the current table state and has no " +
               "delete commits to skip")
           if (ignoreDel && skipChanges)
-            graft.Log.warn(s"WARN load '$name': ignoreDeletes is " +
+            graft.Log.warn(s"load '$name': ignoreDeletes is " +
               "redundant with skipChangeCommits — skipChangeCommits already " +
               "drops every non-append commit, deletes included")
         } else {
@@ -228,7 +228,7 @@ object YamlConfig {
           // so there is no stream-breaking delete to excuse. Advisory, like
           // sink-side 'comment'.
           if (ignoreDel)
-            graft.Log.warn(s"WARN load '$name': ignoreDeletes has " +
+            graft.Log.warn(s"load '$name': ignoreDeletes has " +
               "no effect on a readChangeFeed stream — delete commits arrive " +
               "as _change_type='delete' rows, not stream failures")
           // version and timestamp spellings of the SAME bound are ambiguous
@@ -426,7 +426,7 @@ object YamlConfig {
     ).foreach { case (k, why) =>
       if (wt.contains(k)) {
         val msg = s"write '$name': '$k' is not supported on the parquet-backed warehouse — $why"
-        if (lenient) graft.Log.warn(s"WARN $msg") else throw ConfigError(msg)
+        if (lenient) graft.Log.warn(msg) else throw ConfigError(msg)
       }
     }
     // create_table: true is the default (and our store always materializes);
@@ -435,7 +435,7 @@ object YamlConfig {
     if (str(wt, "create_table").exists(v => !boolOf(name, "create_table", v))) {
       val msg = s"write '$name': 'create_table: false' is not supported — " +
         "the TableStore always materializes the write target"
-      if (lenient) graft.Log.warn(s"WARN $msg") else throw ConfigError(msg)
+      if (lenient) graft.Log.warn(msg) else throw ConfigError(msg)
     }
     val table = str(wt, "table").orElse(str(m, "table"))
       .map(qualified(wt, _)).getOrElse(name)
@@ -509,7 +509,7 @@ object YamlConfig {
         if (wt.contains("module_path")) {
           val msg = s"write '$name': 'module_path' is not supported — JVM " +
             "handler classes resolve from the classpath (custom_sink_class/batch_handler)"
-          if (lenient) graft.Log.warn(s"WARN $msg") else throw ConfigError(msg)
+          if (lenient) graft.Log.warn(msg) else throw ConfigError(msg)
         }
         // table-governance fields have nowhere to land on a sink (no table,
         // no sidecars) — refusing beats absorbing (the contract this file
@@ -518,7 +518,7 @@ object YamlConfig {
           if (wt.contains(k)) {
             val msg = s"write '$name': '$k' has no effect on a sink — sinks " +
               "produce no managed table; move it to the table-producing write"
-            if (lenient) graft.Log.warn(s"WARN $msg") else throw ConfigError(msg)
+            if (lenient) graft.Log.warn(msg) else throw ConfigError(msg)
           }
         }
         // kafka's dedicated fields fold into the connector options map
@@ -667,7 +667,7 @@ object YamlConfig {
       case Some(db) =>
         val redirected = schema match {
           case Some(ddl) =>
-            graft.Log.warn(s"WARN write '$name': write_target " +
+            graft.Log.warn(s"write '$name': write_target " +
               "has both 'database' and 'schema' — interpreting 'schema' as " +
               "DDL table_schema (use the 'table_schema' field)")
             wt - "schema" + ("table_schema" -> ddl)
@@ -675,7 +675,7 @@ object YamlConfig {
         }
         if (db.contains(".")) {
           val Array(cat, sch) = db.split("\\.", 2)
-          graft.Log.warn(s"WARN write '$name': 'database' is " +
+          graft.Log.warn(s"write '$name': 'database' is " +
             s"""deprecated — auto-converted (database: "$db" -> catalog: """ +
             s""""$cat", schema: "$sch"); use explicit catalog/schema""")
           redirected - "database" + ("catalog" -> cat) + ("schema" -> sch)
@@ -698,13 +698,13 @@ object YamlConfig {
     else str(src, "database").filter(_.nonEmpty) match {
       case None => src
       case Some(db) if catalog.isDefined && !db.contains(".") =>
-        graft.Log.warn(s"WARN load '$name': delta source " +
+        graft.Log.warn(s"load '$name': delta source " +
           "'database' is deprecated — treated as the schema name next to " +
           "the explicit catalog; use the 'schema' field")
         src - "database" + ("schema" -> db)
       case Some(db) if db.contains(".") =>
         val Array(cat, sch) = db.split("\\.", 2)
-        graft.Log.warn(s"WARN load '$name': 'database' is " +
+        graft.Log.warn(s"load '$name': 'database' is " +
           s"""deprecated — auto-converted (database: "$db" -> catalog: """ +
           s""""$cat", schema: "$sch"); use explicit catalog/schema""")
         src - "database" + ("catalog" -> cat) + ("schema" -> sch)

@@ -530,7 +530,7 @@ final class PipelineRunner(
         // over APPEND-ONLY tables: a rewrite (CDC merge / replace) swaps in
         // new files that the file stream re-reads wholesale.
         if (store.getMeta(a.table, "rewritten").isDefined)
-          graft.Log.warn(s"WARN load '${a.name}': table " +
+          graft.Log.warn(s"load '${a.name}': table " +
             s"'${a.table}' is rewritten by merges — a file stream re-reads " +
             "rewritten files (duplicates); stream its __changes companion " +
             "(change_log: true) instead")
@@ -851,7 +851,7 @@ final class PipelineRunner(
         store.exists(t)
     }.flatMap { t =>
       if (store.getMeta(t, "rewritten").isDefined) {
-        graft.Log.warn(s"WARN stream($t): table is rewritten by " +
+        graft.Log.warn(s"stream($t): table is rewritten by " +
           "merges — falling back to a batch read (stream its __changes " +
           "companion for incremental consumption)")
         None
@@ -1338,7 +1338,7 @@ final class PipelineRunner(
           if (graft.config.SchemaParser.hasTags(text) &&
               !tagsFile.exists(t => resolveFile(t).toAbsolutePath.normalize ==
                 ref.toAbsolutePath.normalize))
-            graft.Log.warn(s"WARN write '$name': table_schema " +
+            graft.Log.warn(s"write '$name': table_schema " +
               s"file '$d' carries UC tags that will NOT be applied — wire " +
               "the same file as tags_file too (reference LHP-CFG-069)")
           graft.config.SchemaParser.parse(text).schema
@@ -1504,7 +1504,7 @@ final class PipelineRunner(
         case "rowtag" => Some("rowTag" -> v)
         case o if handledInLoad(o) => None
         case o if infraNoop(o) =>
-          graft.Log.warn(s"WARN load '${a.name}': '$k' is a " +
+          graft.Log.warn(s"load '${a.name}': '$k' is a " +
             "cloud-infra option with no local-filesystem effect; ignored")
           None
         case _ => throw graft.config.YamlConfig.ConfigError(

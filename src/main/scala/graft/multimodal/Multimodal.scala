@@ -310,12 +310,16 @@ object Multimodal {
       val r = for {
         (_, ms, me) <- find(bytes, 0L, bytes.length.toLong, "moov")
         (_, hs, he) <- find(bytes, ms, me, "mvhd")
-        if he - hs >= 24
+        if he - hs >= 20 // v0 needs 20 payload bytes through duration
+        v1 = bytes(hs.toInt) == 1 // version byte; v1 = 64-bit times
+        // a v1 box too short for its own 64-bit fields is a structural
+        // violation (stub), NOT a fall-through to v0 offsets — those would
+        // read creation-time bytes as timescale/duration, silently wrong
+        if !v1 || he - hs >= 32
       } yield {
         val p = hs.toInt
-        val v1 = bytes(p) == 1 // version byte; v1 = 64-bit times
         val (timescale, duration) =
-          if (v1 && he - hs >= 32) (be32(bytes, p + 20), be64(bytes, p + 24))
+          if (v1) (be32(bytes, p + 20), be64(bytes, p + 24))
           else (be32(bytes, p + 12), be32(bytes, p + 16))
         val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
         // first trak with a nonzero tkhd width/height = the video track
@@ -323,11 +327,17 @@ object Multimodal {
           case ("trak", ts, te) => find(bytes, ts, te, "tkhd")
         }.flatten.flatMap { case (_, ks, ke) =>
           val q = ks.toInt
-          val wOff = if (bytes(q) == 1) 88 else 76 // after v1's 64-bit times
-          if (ke - ks >= wOff + 8)
-            Some(((be32(bytes, q + wOff) >> 16).toInt, // 16.16 fixed-point
-              (be32(bytes, q + wOff + 4) >> 16).toInt))
-          else None
+          // guard BEFORE the version-byte read: a tkhd truncated to an
+          // empty payload (box header ends exactly at EOF) must stub, not
+          // throw out of the whole partition scan
+          if (ke - ks < 1) None
+          else {
+            val wOff = if (bytes(q) == 1) 88 else 76 // after v1's 64-bit times
+            if (ke - ks >= wOff + 8)
+              Some(((be32(bytes, q + wOff) >> 16).toInt, // 16.16 fixed-point
+                (be32(bytes, q + wOff + 4) >> 16).toInt))
+            else None
+          }
         }.find { case (w, h) => w > 0 && h > 0 }
         val (w, h) = dims.getOrElse((0, 0))
         Decoded(w, h, 0, 0, durMs, decoder = "mp4")

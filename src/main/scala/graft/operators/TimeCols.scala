@@ -27,9 +27,14 @@ object TimeCols {
 
   /** `df(name)` with NTZ normalized to TimestampType; other types pass
     * through untouched (numerics keep numeric semantics — no blind
-    * timestamp cast that would clip large values to the timestamp range). */
+    * timestamp cast that would clip large values to the timestamp range).
+    *
+    * The type probe resolves through a projection, not `df.schema(name)` —
+    * the StructType lookup is exact-match only, which would silently
+    * narrow callers (RangeJoin/AsOfJoin resolved time columns through
+    * Spark's case-insensitivity before this helper existed). */
   def tzNorm(df: DataFrame, name: String): Column =
-    if (df.schema(name).dataType == TimestampNTZType)
+    if (df.select(col(name)).schema.head.dataType == TimestampNTZType)
       col(name).cast(TimestampType)
     else col(name)
 

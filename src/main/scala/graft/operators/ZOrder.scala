@@ -32,7 +32,10 @@ object ZOrder {
   private def numericize(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case _: NumericType => col(c).cast("double")
-      case _: TimestampType | _: TimestampNTZType => col(c).cast("double")
+      // NTZ rejects numeric casts — normalize to TimestampType first
+      // (TimeCols), same hardening as RangeJoin/TimeSeries
+      case _: TimestampType | _: TimestampNTZType =>
+        TimeCols.tzNorm(df, c).cast("double")
       case _: DateType => col(c).cast("timestamp").cast("double")
       case _ => xxhash64(col(c)).cast("double")
     }

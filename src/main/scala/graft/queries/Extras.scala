@@ -218,11 +218,25 @@ object Extras {
         """SELECT _pipeline AS pipeline, event_type, count(*) AS n
           |FROM e1_union GROUP BY _pipeline, event_type""".stripMargin), None)),
       checkpointRoot = s"$wh/moncp")
-    // dump the RAW logs at the fixed path the DuckDB oracle reads
-    val fixed = "/tmp/graft_e1_logs"
+    // dump the RAW logs at the fixed path the DuckDB oracle reads. Built in
+    // a fresh staging sibling and swapped in via delete+rename: the
+    // published glob never sees a half-written directory, and stale
+    // subdirectories from older runs (which would silently inflate the
+    // oracle's counts) cannot survive the swap
+    val fixed = new java.io.File("/tmp/graft_e1_logs")
+    val staging = new java.io.File(
+      s"/tmp/graft_e1_logs.staging.${java.util.UUID.randomUUID()}")
     Seq("e1p1", "e1p2").foreach { p =>
-      store.read(hooks.tableFor(p)).write.mode("overwrite").parquet(s"$fixed/$p")
+      store.read(hooks.tableFor(p)).write.mode("overwrite")
+        .parquet(s"${staging.getPath}/$p")
     }
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(fixed)
+    if (!staging.renameTo(fixed))
+      throw new IllegalStateException(
+        s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
     store.read("e1_rollup")
   }
 

@@ -312,6 +312,27 @@ class MultimodalSpec extends SparkSuite {
     // ftyp with no moov = structural violation → deterministic stub
     val broken = craftedMp4(1000, 1, 1, 1).take(16)
     assert(Multimodal.Mp4Decoder.decode("video/mp4", broken).decoder == "stub")
+    // v1 mvhd too short for its own 64-bit fields must STUB, not fall
+    // through to v0 offsets (which would read creation-time bytes as
+    // timescale/duration — silently wrong features)
+    val shortV1 = {
+      val bb = java.nio.ByteBuffer.allocate(28)
+      bb.put(1.toByte)
+      bb.array()
+    }
+    val sv = craftedMp4(1000, 1, 1, 1).take(16) ++ mp4Box("moov", mp4Box("mvhd", shortV1))
+    assert(Multimodal.Mp4Decoder.decode("video/mp4", sv).decoder == "stub")
+    // a tkhd truncated to an EMPTY payload (box header is the last 8 bytes)
+    // must not throw out of the scan — dims degrade to 0×0
+    val emptyTkhd = craftedMp4(1000, 1, 1, 1).take(16) ++ mp4Box("moov",
+      mp4Box("mvhd", {
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(2000)
+        bb.array()
+      }),
+      mp4Box("trak", mp4Box("tkhd")))
+    val et = Multimodal.Mp4Decoder.decode("video/mp4", emptyTkhd)
+    assert((et.width, et.height, et.durationMs, et.decoder) == ((0, 0, 2000L, "mp4")))
   }
 
   test("MkvDecoder reads EBML video dims, audio params, and scaled duration") {

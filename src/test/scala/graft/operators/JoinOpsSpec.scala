@@ -200,6 +200,10 @@ class JoinOpsSpec extends SparkSuite {
       RangeJoin(p, i, "t", "start", "end", 3600.0)
         .select("p_id", "i_id").as[(Long, Long)].collect().toSet
     assert(rj(asNtz(pts, Seq("t")), asNtz(iv, Seq("start", "end"))) == rj(pts, iv))
+    // the NTZ type probe must not narrow column resolution: time names
+    // keep resolving case-insensitively, as plain col() did before it
+    assert(RangeJoin(asNtz(pts, Seq("t")), iv, "T", "START", "end", 3600.0)
+      .count() == 1)
 
     // mixed flavors: NTZ left vs TimestampType right unions cleanly, and the
     // tolerance double-cast is legal

@@ -56,6 +56,18 @@ class ZOrderSpec extends SparkSuite {
     assert(out.collect().toSet == df.collect().toSet)
   }
 
+  test("z-value on timestamp columns, both flavors (NTZ rejects raw numeric casts)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq((ts("2024-01-01 00:00:00"), 1), (ts("2024-06-01 00:00:00"), 2),
+      (ts("2024-12-01 00:00:00"), 3)).toDF("t", "k")
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("z", ZOrder.zvalue(d, Seq("t", "k"), bits = 2))
+        .select("k", "z").as[(Int, Long)].collect().toMap
+    val tz = run(df)
+    val ntz = run(df.withColumn("t", $"t".cast("timestamp_ntz")))
+    assert(tz == ntz) // same buckets, same interleave — and no analysis error
+  }
+
   test("sampleFraction path and guards") {
     val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("a", "b")
     val out = ZOrder.cluster(df, Seq("a", "b"), bits = 4, sampleFraction = Some(0.5))
