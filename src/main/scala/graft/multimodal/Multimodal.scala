@@ -344,6 +344,114 @@ object Multimodal {
       }
       r.getOrElse(StubDecoder.decode(mime, bytes))
     }
+
+    /** Absolute (offset, size) of every sample in the first trak carrying a
+      * complete sample table — the ISO-BMFF chunk/sample bookkeeping that
+      * locates each frame's payload WITHOUT any codec: `stsz` (per-sample
+      * sizes), `stsc` (sample→chunk runs), `stco`/`co64` (chunk file
+      * offsets). Offsets are file-absolute, so a frame is a byte slice of
+      * the original blob. None when the magic or any table is missing /
+      * malformed — callers fall back to the stub slice. */
+    def sampleTable(bytes: Array[Byte]): Option[Vector[(Long, Long)]] =
+      if (!claims(bytes)) None
+      else find(bytes, 0L, bytes.length.toLong, "moov").flatMap { case (_, ms, me) =>
+        children(bytes, ms, me).iterator
+          .collect { case ("trak", ts, te) => trakSamples(bytes, ts, te) }
+          .collectFirst { case Some(v) if v.nonEmpty => v }
+      }
+
+    private def trakSamples(b: Array[Byte], ts: Long, te: Long): Option[Vector[(Long, Long)]] = for {
+      (_, ds, de) <- find(b, ts, te, "mdia")
+      (_, fs, fe) <- find(b, ds, de, "minf")
+      (_, bs, be) <- find(b, fs, fe, "stbl")
+      sizes <- sampleSizes(b, bs, be)
+      chunks <- chunkOffsets(b, bs, be)
+      runs <- sampleToChunk(b, bs, be)
+    } yield assemble(sizes, chunks, runs)
+
+    /** Hostile-header allocation cap: a forged count field must not drive a
+      * multi-GB Vector.fill before the truncation checks can bite. 4M
+      * samples ≈ 37 h of 30 fps video — far beyond any single blob. */
+    private val MaxTableEntries = 4 << 20
+
+    /** stsz: vf(4) + uniform-size(4) + count(4) [+ count × size(4) when the
+      * uniform size is 0]. */
+    private def sampleSizes(b: Array[Byte], s: Long, e: Long): Option[Vector[Long]] =
+      find(b, s, e, "stsz").flatMap { case (_, ps, pe) =>
+        if (pe - ps < 12) None
+        else {
+          val p = ps.toInt
+          val uniform = be32(b, p + 4)
+          val count = be32(b, p + 8)
+          if (count > MaxTableEntries) None
+          else if (uniform != 0) Some(Vector.fill(count.toInt)(uniform))
+          else if (pe - ps - 12 < count * 4) None // table truncated
+          else Some(Vector.tabulate(count.toInt)(i => be32(b, p + 12 + i * 4)))
+        }
+      }
+
+    /** stco (32-bit) or co64 (64-bit): vf(4) + count(4) + offsets. */
+    private def chunkOffsets(b: Array[Byte], s: Long, e: Long): Option[Vector[Long]] =
+      find(b, s, e, "stco").flatMap { case (_, ps, pe) =>
+        val p = ps.toInt
+        if (pe - ps < 8) None
+        else {
+          val count = be32(b, p + 4)
+          if (count > MaxTableEntries || pe - ps - 8 < count * 4) None
+          else Some(Vector.tabulate(count.toInt)(i => be32(b, p + 8 + i * 4)))
+        }
+      }.orElse(find(b, s, e, "co64").flatMap { case (_, ps, pe) =>
+        val p = ps.toInt
+        if (pe - ps < 8) None
+        else {
+          val count = be32(b, p + 4)
+          if (count > MaxTableEntries || pe - ps - 8 < count * 8) None
+          else Some(Vector.tabulate(count.toInt)(i => be64(b, p + 8 + i * 8)))
+        }
+      })
+
+    /** stsc: vf(4) + count(4) + count × (first_chunk, samples_per_chunk,
+      * sample_description_index) — first_chunk is 1-based, runs extend to
+      * the next entry's first_chunk. */
+    private def sampleToChunk(b: Array[Byte], s: Long, e: Long): Option[Vector[(Long, Long)]] =
+      find(b, s, e, "stsc").flatMap { case (_, ps, pe) =>
+        val p = ps.toInt
+        if (pe - ps < 8) None
+        else {
+          val count = be32(b, p + 4)
+          if (count > MaxTableEntries || pe - ps - 8 < count * 12) None
+          else Some(Vector.tabulate(count.toInt)(i =>
+            (be32(b, p + 8 + i * 12), be32(b, p + 12 + i * 12))))
+        }
+      }
+
+    /** Walk chunks in order, expanding stsc runs, summing sizes within each
+      * chunk — yields each sample's absolute (offset, size). Malformed
+      * bookkeeping (run starts out of order, more samples than sizes) just
+      * truncates the walk: header-only best effort, never a throw. */
+    private def assemble(sizes: Vector[Long], chunks: Vector[Long],
+        runs: Vector[(Long, Long)]): Vector[(Long, Long)] = {
+      val out = Vector.newBuilder[(Long, Long)]
+      var sample = 0
+      var run = 0
+      var chunk = 0 // 0-based
+      while (chunk < chunks.size && sample < sizes.size) {
+        // advance to the stsc run governing this (1-based) chunk
+        while (run + 1 < runs.size && runs(run + 1)._1 <= chunk + 1) run += 1
+        val perChunk =
+          if (run < runs.size && runs(run)._1 <= chunk + 1) runs(run)._2 else 0L
+        var i = 0L
+        var off = chunks(chunk)
+        while (i < perChunk && sample < sizes.size) {
+          out += ((off, sizes(sample)))
+          off += sizes(sample)
+          sample += 1
+          i += 1
+        }
+        chunk += 1
+      }
+      out.result()
+    }
   }
 
   /** Real MKV/WebM kernel: EBML walk — variable-length-integer element IDs
@@ -549,13 +657,44 @@ object Multimodal {
     * `framesPerItem` (media_id, frame_idx, frame_bytes) rows per input via
     * posexplode — the fan-out shape of real frame extraction, with byte
     * slicing standing in for actual decoding. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
   def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {
-    val slices = transform(sequence(lit(0), lit(framesPerItem - 1)), i =>
-      struct(i.as("frame_idx"),
-        // stub: slice of the blob stands in for a decoded frame
-        substring(col("bytes"), lit(1) * (i + 1), lit(16)).as("frame_bytes")))
-    media.select(col("media_id"), explode(slices).as("f"))
-      .select(col("media_id"), col("f.frame_idx"), col("f.frame_bytes"))
+    require(framesPerItem >= 1, s"framesPerItem must be >= 1, got $framesPerItem")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+          // ISO-BMFF blobs with a full sample table yield REAL frame
+          // payloads: N evenly-spaced samples, each a byte slice at its
+          // stco/stsz-located range — no codec involved, so this works on
+          // any MP4 regardless of what encoded the samples
+          Mp4Decoder.sampleTable(bytes) match {
+            case Some(samples) =>
+              (0 until framesPerItem).map { i =>
+                val idx =
+                  if (framesPerItem == 1 || samples.size == 1) 0
+                  else ((i.toLong * (samples.size - 1)) / (framesPerItem - 1)).toInt
+                val (off, len) = samples(idx)
+                val end = math.min(off + len, bytes.length.toLong)
+                val fb = if (off >= 0 && off < bytes.length && end > off)
+                  java.util.Arrays.copyOfRange(bytes, off.toInt, end.toInt)
+                else Array.emptyByteArray // range beyond a truncated blob
+                Frame(id, i, fb)
+              }
+            case None =>
+              // stub: a 16-byte slice of the blob stands in for a decoded
+              // frame (deterministic; same shape as the pre-kernel path)
+              (0 until framesPerItem).map { i =>
+                Frame(id, i, bytes.slice(i, math.min(i + 16, bytes.length)))
+              }
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Partition a blob table by cumulative byte size (approximate, via a

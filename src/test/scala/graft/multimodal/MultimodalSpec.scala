@@ -355,6 +355,47 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.MkvDecoder.decode("video/webm", broken).decoder == "stub")
   }
 
+  test("sampleFrames slices REAL sample payloads from MP4 sample tables") {
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    // three samples (sizes 4,5,6) in two chunks: chunk1 = samples 0,1;
+    // chunk2 = sample 2 (stsc run: first_chunk=1, samples_per_chunk=2)
+    val payloads = Seq("AAAA", "BBBBB", "CCCCCC").map(_.getBytes("US-ASCII"))
+    def stbl(off1: Long, off2: Long) = mp4Box("stbl",
+      mp4Box("stsz", be32(0), be32(0), be32(3), be32(4), be32(5), be32(6)),
+      mp4Box("stsc", be32(0), be32(1), be32(1), be32(2), be32(1)),
+      mp4Box("stco", be32(0), be32(2), be32(off1), be32(off2)))
+    def container(off1: Long, off2: Long): Array[Byte] = {
+      val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
+      val moov = mp4Box("moov", mp4Box("trak", mp4Box("mdia", mp4Box("minf",
+        stbl(off1, off2)))))
+      ftyp ++ moov ++ mp4Box("mdat", payloads.flatten.toArray)
+    }
+    // two-pass build: sizes are offset-independent, so measure then rebuild
+    val dataStart = container(0, 0).length - payloads.flatten.size
+    val mp4 = container(dataStart, dataStart + 9)
+    assert(Multimodal.Mp4Decoder.sampleTable(mp4).contains(Vector(
+      (dataStart.toLong, 4L), (dataStart + 4L, 5L), (dataStart + 9L, 6L))))
+
+    val media = Seq((7L, mp4, "video/mp4", Map.empty[String, String]))
+      .toDF("media_id", "bytes", "mime", "meta")
+    val frames = Multimodal.sampleFrames(media, framesPerItem = 3)
+      .as[Multimodal.Frame].collect().sortBy(_.frame_idx)
+    assert(frames.map(f => new String(f.frame_bytes, "US-ASCII")).toSeq ==
+      Seq("AAAA", "BBBBB", "CCCCCC")) // evenly spaced = all three here
+    val two = Multimodal.sampleFrames(media, framesPerItem = 2)
+      .as[Multimodal.Frame].collect().sortBy(_.frame_idx)
+    assert(two.map(f => new String(f.frame_bytes, "US-ASCII")).toSeq ==
+      Seq("AAAA", "CCCCCC")) // first and last sample
+    // non-BMFF blobs keep the deterministic stub slice
+    val stub = Multimodal.sampleFrames(
+      Seq((8L, "0123456789abcdefXYZ".getBytes("US-ASCII"), "text/plain",
+        Map.empty[String, String])).toDF("media_id", "bytes", "mime", "meta"), 2)
+      .as[Multimodal.Frame].collect().sortBy(_.frame_idx)
+    assert(new String(stub(0).frame_bytes, "US-ASCII") == "0123456789abcdef")
+    assert(new String(stub(1).frame_bytes, "US-ASCII") == "123456789abcdefX")
+  }
+
   test("AutoDecoder dispatches mp4 and mkv by content magic") {
     val mp4 = craftedMp4(1000, 5000, 320, 240)
     assert(Multimodal.AutoDecoder.decode("application/octet-stream", mp4).decoder == "mp4")
