@@ -555,6 +555,46 @@ object Multimodal {
       }
       r.getOrElse(StubDecoder.decode(mime, bytes))
     }
+
+    /** Absolute (offset, size) of every un-laced (Simple)Block frame across
+      * the Segment's Clusters — the MKV counterpart of
+      * [[Mp4Decoder.sampleTable]]. A block payload is `track-vint +
+      * 2-byte relative timestamp + flags + frame data`; only lacing-free
+      * blocks (flags & 0x06 == 0, the common video case) yield a single
+      * contiguous frame range. None when the magic is absent or no block
+      * parses. */
+    def sampleTable(bytes: Array[Byte]): Option[Vector[(Long, Long)]] = {
+      if (!claims(bytes)) return None
+      val out = Vector.newBuilder[(Long, Long)]
+      var found = false
+      find(bytes, 0L, bytes.length.toLong, 0x18538067L /* Segment */).foreach {
+        case (_, ss, se) =>
+          children(bytes, ss, se).foreach {
+            case (0x1F43B675L /* Cluster */, cs, ce) =>
+              children(bytes, cs, ce).foreach { case (id, ps, pe) =>
+                val blocks = id match {
+                  case 0xA3L /* SimpleBlock */ => Seq((ps, pe))
+                  case 0xA0L /* BlockGroup */ =>
+                    children(bytes, ps, pe).collect { case (0xA1L /* Block */, bs2, be2) => (bs2, be2) }
+                  case _ => Nil
+                }
+                blocks.foreach { case (bs2, be2) =>
+                  for ((_, tLen) <- vint(bytes, bs2, strip = true)) {
+                    val dataStart = bs2 + tLen + 3 // rel-timestamp(2) + flags(1)
+                    val flagsAt = bs2 + tLen + 2
+                    if (dataStart < be2 && flagsAt < bytes.length &&
+                        (bytes(flagsAt.toInt) & 0x06) == 0) {
+                      out += ((dataStart, be2 - dataStart))
+                      found = true
+                    }
+                  }
+                }
+              }
+            case _ => ()
+          }
+      }
+      if (found) Some(out.result()) else None
+    }
   }
 
   /** Default kernel dispatch: audio magics (WAV, FLAC, valid MP3 frame) and
@@ -668,11 +708,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes0) =>
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
-          // ISO-BMFF blobs with a full sample table yield REAL frame
-          // payloads: N evenly-spaced samples, each a byte slice at its
-          // stco/stsz-located range — no codec involved, so this works on
-          // any MP4 regardless of what encoded the samples
-          Mp4Decoder.sampleTable(bytes) match {
+          // ISO-BMFF blobs with a full sample table, and MKV blobs with
+          // parseable Cluster blocks, yield REAL frame payloads: N
+          // evenly-spaced samples, each a byte slice at its
+          // container-located range — no codec involved, so this works
+          // regardless of what encoded the samples
+          Mp4Decoder.sampleTable(bytes).orElse(MkvDecoder.sampleTable(bytes)) match {
             case Some(samples) =>
               (0 until framesPerItem).map { i =>
                 val idx =

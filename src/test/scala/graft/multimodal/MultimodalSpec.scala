@@ -396,6 +396,24 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(stub(1).frame_bytes, "US-ASCII") == "123456789abcdefX")
   }
 
+  test("sampleFrames slices MKV SimpleBlock payloads; laced blocks are skipped") {
+    // block payload = track-vint(0x81) + rel-timestamp(2) + flags(1) + data
+    def block(flags: Int, data: String): Array[Byte] =
+      Array[Byte](0x81.toByte, 0, 0, flags.toByte) ++ data.getBytes("US-ASCII")
+    val cluster = ebml(be(0x1F43B675L, 4),
+      ebml(be(0xE7L, 1), be(0L, 1)), // cluster timestamp, ignored
+      ebml(be(0xA3L, 1), block(0x00, "FRAME_ONE")),
+      ebml(be(0xA3L, 1), block(0x06, "LACED_SKIPPED")), // EBML lacing
+      ebml(be(0xA0L, 1), ebml(be(0xA1L, 1), block(0x00, "FRAME_TWO"))))
+    val mkv = ebml(be(0x1A45DFA3L, 4)) ++ ebml(be(0x18538067L, 4), cluster)
+    val media = Seq((9L, mkv, "video/webm", Map.empty[String, String]))
+      .toDF("media_id", "bytes", "mime", "meta")
+    val frames = Multimodal.sampleFrames(media, framesPerItem = 2)
+      .as[Multimodal.Frame].collect().sortBy(_.frame_idx)
+    assert(frames.map(f => new String(f.frame_bytes, "US-ASCII")).toSeq ==
+      Seq("FRAME_ONE", "FRAME_TWO"))
+  }
+
   test("AutoDecoder dispatches mp4 and mkv by content magic") {
     val mp4 = craftedMp4(1000, 5000, 320, 240)
     assert(Multimodal.AutoDecoder.decode("application/octet-stream", mp4).decoder == "mp4")
