@@ -53,11 +53,7 @@ final class PipelineOrchestrator(
       } {
         store.drop(w.table)
         store.drop(s"${w.table}__changes")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(s"$checkpointRoot/${fg.pipeline}/${fg.flowgroup}/${w.name}"))
+        Fs.deleteRecursively(s"$checkpointRoot/${fg.pipeline}/${fg.flowgroup}/${w.name}")
       }
     }
     val byName = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg).toMap

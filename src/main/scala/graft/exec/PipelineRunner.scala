@@ -1172,11 +1172,7 @@ final class PipelineRunner(
         store.drop(table)
         store.drop(s"${table}__changes")
       }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(checkpointFor(actionName)))
+      Fs.deleteRecursively(checkpointFor(actionName))
     }
 
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {

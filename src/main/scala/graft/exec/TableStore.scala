@@ -334,10 +334,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 
   // ------------------------------------------------------------ internals
 
-  private def rm(p: java.io.File): Unit = {
-    if (p.isDirectory) p.listFiles().foreach(rm)
-    p.delete(): Unit
-  }
+  private def rm(p: java.io.File): Unit = Fs.deleteRecursively(p)
 
   private def freshStaging(table: String): String = {
     val dir = s"$warehouse/.staging/${nameMap(table).replace('.', '/')}-${System.nanoTime()}"

@@ -355,9 +355,24 @@ object Multimodal {
     def sampleTable(bytes: Array[Byte]): Option[Vector[(Long, Long)]] =
       if (!claims(bytes)) None
       else find(bytes, 0L, bytes.length.toLong, "moov").flatMap { case (_, ms, me) =>
-        children(bytes, ms, me).iterator
-          .collect { case ("trak", ts, te) => trakSamples(bytes, ts, te) }
-          .collectFirst { case Some(v) if v.nonEmpty => v }
+        // prefer the VIDEO trak (nonzero tkhd dims): an audio-first mux
+        // would otherwise serve compressed audio packets as "frames"
+        val traks = children(bytes, ms, me).collect { case ("trak", ts, te) =>
+          (hasVideoDims(bytes, ts, te), trakSamples(bytes, ts, te))
+        }
+        traks.collectFirst { case (true, Some(v)) if v.nonEmpty => v }
+          .orElse(traks.collectFirst { case (_, Some(v)) if v.nonEmpty => v })
+      }
+
+    private def hasVideoDims(b: Array[Byte], ts: Long, te: Long): Boolean =
+      find(b, ts, te, "tkhd").exists { case (_, ks, ke) =>
+        if (ke - ks < 1) false
+        else {
+          val q = ks.toInt
+          val wOff = if (b(q) == 1) 88 else 76
+          ke - ks >= wOff + 8 &&
+            (be32(b, q + wOff) >> 16) > 0 && (be32(b, q + wOff + 4) >> 16) > 0
+        }
       }
 
     private def trakSamples(b: Array[Byte], ts: Long, te: Long): Option[Vector[(Long, Long)]] = for {
@@ -383,7 +398,10 @@ object Multimodal {
           val p = ps.toInt
           val uniform = be32(b, p + 4)
           val count = be32(b, p + 8)
-          if (count > MaxTableEntries) None
+          // uniform path: the count has no box-size cross-check (no table
+          // follows), so bound it by the blob itself — a sample is at
+          // least one byte, so more samples than blob bytes is a forgery
+          if (count > MaxTableEntries || count > b.length) None
           else if (uniform != 0) Some(Vector.fill(count.toInt)(uniform))
           else if (pe - ps - 12 < count * 4) None // table truncated
           else Some(Vector.tabulate(count.toInt)(i => be32(b, p + 12 + i * 4)))
@@ -565,35 +583,53 @@ object Multimodal {
       * parses. */
     def sampleTable(bytes: Array[Byte]): Option[Vector[(Long, Long)]] = {
       if (!claims(bytes)) return None
-      val out = Vector.newBuilder[(Long, Long)]
-      var found = false
-      find(bytes, 0L, bytes.length.toLong, 0x18538067L /* Segment */).foreach {
+      find(bytes, 0L, bytes.length.toLong, 0x18538067L /* Segment */).flatMap {
         case (_, ss, se) =>
-          children(bytes, ss, se).foreach {
-            case (0x1F43B675L /* Cluster */, cs, ce) =>
-              children(bytes, cs, ce).foreach { case (id, ps, pe) =>
-                val blocks = id match {
-                  case 0xA3L /* SimpleBlock */ => Seq((ps, pe))
-                  case 0xA0L /* BlockGroup */ =>
-                    children(bytes, ps, pe).collect { case (0xA1L /* Block */, bs2, be2) => (bs2, be2) }
-                  case _ => Nil
-                }
-                blocks.foreach { case (bs2, be2) =>
-                  for ((_, tLen) <- vint(bytes, bs2, strip = true)) {
-                    val dataStart = bs2 + tLen + 3 // rel-timestamp(2) + flags(1)
-                    val flagsAt = bs2 + tLen + 2
-                    if (dataStart < be2 && flagsAt < bytes.length &&
-                        (bytes(flagsAt.toInt) & 0x06) == 0) {
-                      out += ((dataStart, be2 - dataStart))
-                      found = true
-                    }
+          // the video TrackEntry's TrackNumber, when Tracks declares one —
+          // a muxed file interleaves audio blocks in the same Clusters, and
+          // serving Opus packets as "frames" would be silently wrong data
+          val videoTrack = find(bytes, ss, se, 0x1654AE6BL /* Tracks */)
+            .toSeq.flatMap { case (_, ts, te) => children(bytes, ts, te) }
+            .collectFirst {
+              case (0xAEL /* TrackEntry */, es, ee)
+                  if find(bytes, es, ee, 0xE0L /* Video */).isDefined =>
+                find(bytes, es, ee, 0xD7L /* TrackNumber */)
+                  .map { case (_, ns, ne) => uintAt(bytes, ns, ne) }
+            }.flatten
+          val out = Vector.newBuilder[(Long, Long)]
+          var found = false
+          def scanCluster(cs: Long, ce: Long): Unit =
+            children(bytes, cs, ce).foreach { case (id, ps, pe) =>
+              id match {
+                // a STREAMED (unknown-size) Cluster swallows its successors
+                // as children — recurse so later clusters' frames count too
+                case 0x1F43B675L => scanCluster(ps, pe)
+                case 0xA3L /* SimpleBlock */ => addBlock(ps, pe)
+                case 0xA0L /* BlockGroup */ =>
+                  children(bytes, ps, pe).foreach {
+                    case (0xA1L /* Block */, bs2, be2) => addBlock(bs2, be2)
+                    case _ => ()
                   }
-                }
+                case _ => ()
               }
+            }
+          def addBlock(bs2: Long, be2: Long): Unit =
+            for ((track, tLen) <- vint(bytes, bs2, strip = true)) {
+              val dataStart = bs2 + tLen + 3 // rel-timestamp(2) + flags(1)
+              val flagsAt = bs2 + tLen + 2
+              if (dataStart < be2 && flagsAt < bytes.length &&
+                  (bytes(flagsAt.toInt) & 0x06) == 0 &&
+                  videoTrack.forall(_ == track)) {
+                out += ((dataStart, be2 - dataStart))
+                found = true
+              }
+            }
+          children(bytes, ss, se).foreach {
+            case (0x1F43B675L /* Cluster */, cs, ce) => scanCluster(cs, ce)
             case _ => ()
           }
+          if (found) Some(out.result()) else None
       }
-      if (found) Some(out.result()) else None
     }
   }
 
@@ -697,14 +733,18 @@ object Multimodal {
     * `framesPerItem` (media_id, frame_idx, frame_bytes) rows per input via
     * posexplode — the fan-out shape of real frame extraction, with byte
     * slicing standing in for actual decoding. */
-  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  /** `media_id` is boxed: a null id row passes through (as the original
+    * column-expression implementation did) instead of crashing the
+    * deserializer mid-job. */
+  final case class Frame(media_id: java.lang.Long, frame_idx: Int,
+      frame_bytes: Array[Byte])
 
   def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {
     require(framesPerItem >= 1, s"framesPerItem must be >= 1, got $framesPerItem")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("bytes"))
-      .as[(Long, Array[Byte])]
+      .as[(java.lang.Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes0) =>
           val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0

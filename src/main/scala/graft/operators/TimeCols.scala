@@ -25,16 +25,30 @@ object TimeCols {
     * `unix_micros` so they stop assuming loader normalization. */
   def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
+  /** Column type under the session's name-resolution rules. A bare
+    * `df.schema(name)` lookup is exact-match only — it would silently
+    * narrow callers that resolved names through Spark's (default)
+    * case-insensitivity before these helpers existed. Top-level names
+    * resolve via a field scan honoring `spark.sql.caseSensitive` (O(width),
+    * no analyzer pass); dotted/nested references fall back to analyzing a
+    * one-column projection. */
+  def dataTypeOf(df: DataFrame, name: String): DataType = {
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    df.schema.fields
+      .filter(f =>
+        if (caseSensitive) f.name == name else f.name.equalsIgnoreCase(name))
+      match {
+        case Array(one) => one.dataType
+        case _ => df.select(col(name)).schema.head.dataType // nested / ambiguous
+      }
+  }
+
   /** `df(name)` with NTZ normalized to TimestampType; other types pass
     * through untouched (numerics keep numeric semantics — no blind
-    * timestamp cast that would clip large values to the timestamp range).
-    *
-    * The type probe resolves through a projection, not `df.schema(name)` —
-    * the StructType lookup is exact-match only, which would silently
-    * narrow callers (RangeJoin/AsOfJoin resolved time columns through
-    * Spark's case-insensitivity before this helper existed). */
+    * timestamp cast that would clip large values to the timestamp range). */
   def tzNorm(df: DataFrame, name: String): Column =
-    if (df.select(col(name)).schema.head.dataType == TimestampNTZType)
+    if (dataTypeOf(df, name) == TimestampNTZType)
       col(name).cast(TimestampType)
     else col(name)
 

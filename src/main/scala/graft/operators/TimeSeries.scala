@@ -42,7 +42,7 @@ object TimeSeries {
     require(!df.columns.exists(_.equalsIgnoreCase(gridCol)),
       s"grid column '$gridCol' collides with an input column; rename one")
     val step = lit(stepSeconds)
-    val isTimestamp = TimeCols.isTimestamp(df.schema(time).dataType)
+    val isTimestamp = TimeCols.isTimestamp(TimeCols.dataTypeOf(df, time))
     def gridValue(bucket: org.apache.spark.sql.Column) =
       if (isTimestamp) timestamp_seconds(bucket * step) else bucket * step
     // tzNorm: an NTZ time column can't cast to double for the bucket math;

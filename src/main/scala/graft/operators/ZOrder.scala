@@ -30,7 +30,7 @@ object ZOrder {
   val MaxBits = 16
 
   private def numericize(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
+    TimeCols.dataTypeOf(df, c) match {
       case _: NumericType => col(c).cast("double")
       // NTZ rejects numeric casts — normalize to TimestampType first
       // (TimeCols), same hardening as RangeJoin/TimeSeries

@@ -226,17 +226,18 @@ object Extras {
     val fixed = new java.io.File("/tmp/graft_e1_logs")
     val staging = new java.io.File(
       s"/tmp/graft_e1_logs.staging.${java.util.UUID.randomUUID()}")
-    Seq("e1p1", "e1p2").foreach { p =>
-      store.read(hooks.tableFor(p)).write.mode("overwrite")
-        .parquet(s"${staging.getPath}/$p")
-    }
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
-    }
-    rmrf(fixed)
-    if (!staging.renameTo(fixed))
-      throw new IllegalStateException(
-        s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
+    try {
+      Seq("e1p1", "e1p2").foreach { p =>
+        store.read(hooks.tableFor(p)).write.mode("overwrite")
+          .parquet(s"${staging.getPath}/$p")
+      }
+      graft.exec.Fs.deleteRecursively(fixed)
+      if (!staging.renameTo(fixed))
+        throw new IllegalStateException(
+          s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
+    } finally
+      // a failed dump or publish must not leak the staging dir in /tmp
+      if (staging.exists()) graft.exec.Fs.deleteRecursively(staging)
     store.read("e1_rollup")
   }
 

@@ -414,6 +414,58 @@ class MultimodalSpec extends SparkSuite {
       Seq("FRAME_ONE", "FRAME_TWO"))
   }
 
+  test("muxed containers: frames come from the VIDEO track only") {
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    // MKV: Tracks declares video=track1, audio=track2; the cluster
+    // interleaves both — audio packets must not surface as frames
+    def block(track: Int, data: String): Array[Byte] =
+      Array[Byte]((0x80 | track).toByte, 0, 0, 0x00) ++ data.getBytes("US-ASCII")
+    val tracks = ebml(be(0x1654AE6BL, 4),
+      ebml(be(0xAEL, 1), ebml(be(0xD7L, 1), be(1L, 1)), ebml(be(0xE0L, 1),
+        ebml(be(0xB0L, 1), be(64L, 2)), ebml(be(0xBAL, 1), be(48L, 2)))),
+      ebml(be(0xAEL, 1), ebml(be(0xD7L, 1), be(2L, 1)), ebml(be(0xE1L, 1),
+        ebml(be(0x9FL, 1), be(2L, 1)))))
+    val cluster = ebml(be(0x1F43B675L, 4),
+      ebml(be(0xA3L, 1), block(1, "VID_A")),
+      ebml(be(0xA3L, 1), block(2, "AUDIO_PKT")),
+      ebml(be(0xA3L, 1), block(1, "VID_B")))
+    val mkv = ebml(be(0x1A45DFA3L, 4)) ++ ebml(be(0x18538067L, 4), tracks, cluster)
+    val got = Multimodal.sampleFrames(
+      Seq((1L, mkv, "video/webm", Map.empty[String, String]))
+        .toDF("media_id", "bytes", "mime", "meta"), 2)
+      .as[Multimodal.Frame].collect().sortBy(_.frame_idx)
+    assert(got.map(f => new String(f.frame_bytes, "US-ASCII")).toSeq ==
+      Seq("VID_A", "VID_B"))
+
+    // MP4: audio-first trak has a complete sample table but no tkhd dims;
+    // the video trak (nonzero dims) must win
+    def trakWith(dims: Option[(Int, Int)], sampleOff: Long, size: Int) = {
+      val tkhd = dims.map { case (w, h) =>
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.position(76); bb.putInt(w << 16).putInt(h << 16)
+        mp4Box("tkhd", bb.array())
+      }.getOrElse(Array.empty[Byte])
+      mp4Box("trak", tkhd, mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
+        mp4Box("stsz", be32(0), be32(0), be32(1), be32(size)),
+        mp4Box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1)),
+        mp4Box("stco", be32(0), be32(1), be32(sampleOff))))))
+    }
+    def mp4(aOff: Long, vOff: Long): Array[Byte] = {
+      val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
+      val moov = mp4Box("moov",
+        trakWith(None, aOff, 5),                 // audio-ish: no dims
+        trakWith(Some((32, 24)), vOff, 6))       // video: dims
+      ftyp ++ moov ++ mp4Box("mdat", "AAAAABBBBBB".getBytes("US-ASCII"))
+    }
+    val dataStart = mp4(0, 0).length - 11 // audio "AAAAA" @+0, video "BBBBBB" @+5
+    val vGot = Multimodal.sampleFrames(
+      Seq((2L, mp4(dataStart, dataStart + 5), "video/mp4", Map.empty[String, String]))
+        .toDF("media_id", "bytes", "mime", "meta"), 1)
+      .as[Multimodal.Frame].collect()
+    assert(new String(vGot.head.frame_bytes, "US-ASCII") == "BBBBBB")
+  }
+
   test("AutoDecoder dispatches mp4 and mkv by content magic") {
     val mp4 = craftedMp4(1000, 5000, 320, 240)
     assert(Multimodal.AutoDecoder.decode("application/octet-stream", mp4).decoder == "mp4")
