@@ -29,9 +29,21 @@ object Tables {
     * identical values. */
   val nanosAsLongConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** The fixture columns that are timestamps by TESTDATA contract. A bare
+    * LongType carries no unit, so nanos-as-long recovery (encoding 1 below)
+    * must be declared per column — and declared for EVERY known timestamp
+    * column, not just the one that has drifted so far: if a future driver
+    * regeneration writes TIMESTAMP(NANOS) for all tables, the date columns
+    * would otherwise surface as raw longs and every date filter would
+    * break the same way events.ts did in round 9. */
+  private val knownTimestampCols: Map[String, Set[String]] = Map(
+    "events" -> Set("ts"),
+    "lineitem" -> Set("l_shipdate"),
+    "orders" -> Set("o_orderdate"))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
-      nanosLongCols = if (name == "events") Set("ts") else Set.empty)
+      nanosLongCols = knownTimestampCols.getOrElse(name, Set.empty))
 
   /** Absorb the three timestamp encodings parquet files carry in the wild so
     * every downstream operator sees one canonical type, `TimestampType`:

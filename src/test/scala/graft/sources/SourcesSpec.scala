@@ -223,6 +223,16 @@ class SourcesSpec extends SparkSuite {
     }
     assert(loaded(0) == loaded(1), "NTZ encoding drifted from UTC encoding")
     assert(loaded(0) == loaded(2), "nanos-long encoding drifted from UTC encoding")
+
+    // the nanos-long recovery covers every KNOWN timestamp column, not just
+    // events.ts — a full-fixture TIMESTAMP(NANOS) regeneration would land
+    // date columns as raw longs too
+    base.select((expr("unix_micros(ts)") * 1000L).as("l_shipdate"), col("k"))
+      .write.parquet(s"$root/nanos/lineitem.parquet")
+    val li = Tables.load(spark, s"$root/nanos", "lineitem")
+    assert(li.schema("l_shipdate").dataType == TimestampType)
+    assert(li.orderBy("l_shipdate").select(col("l_shipdate").as("ts"), col("k"))
+      .collect().toSeq == loaded(0))
   }
 
   test("monitoring unions event logs with pipeline tags") {
