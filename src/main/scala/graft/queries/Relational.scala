@@ -145,6 +145,51 @@ object Relational {
       t(s, dir, "lineitem").select("l_orderkey").distinct(),
       tolerance = -1)
 
+  /** Test op: all_lookups_found — fact rows whose lookup key misses the
+    * (filtered) dimension. Same anti-join plan class as q9; the filter
+    * manufactures real violations so the gate row is non-trivial. */
+  def q51TestLookups(s: SparkSession, dir: String): DataFrame =
+    DataTests.allLookupsFound(
+      t(s, dir, "lineitem"), t(s, dir, "part").filter(col("p_size") > 25),
+      Seq("l_partkey"), Seq("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+
+  /** Test op: custom_sql — arbitrary SQL producing violation rows (orders
+    * with no lineitems). */
+  def q52TestCustomSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("q52_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("q52_lineitem")
+    DataTests.customSql(s,
+      """SELECT o_orderkey FROM q52_orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM q52_lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey)""".stripMargin)
+  }
+
+  /** Test op: custom_expectations — rule-based violating rows with the
+    * failed-rule names attached. */
+  def q53TestCustomExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val rules = Seq(
+      Expectations.Rule("value_le_50", "value <= 50", Expectations.Drop),
+      Expectations.Rule("not_error", "event_type <> 'error'", Expectations.Drop))
+    DataTests.customExpectations(t(s, dir, "events"), rules)
+      .select(col("event_id"),
+        array_join(col("_failed_rules"), ",").as("failed"))
+  }
+
+  /** Test op: schema_match — column-level diff of a drifted source view
+    * against the reference table (type change, dropped column, extra
+    * column). Deterministic output, so the oracle pins the exact rows. */
+  def q54TestSchemaMatch(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q54_reference")
+    t(s, dir, "customer")
+      .withColumn("c_acctbal", col("c_acctbal").cast("string")) // type drift
+      .drop("c_mktsegment")                                     // dropped
+      .withColumn("c_flags", lit(1))                            // added
+      .createOrReplaceTempView("q54_source")
+    DataTests.schemaMatch(s, "q54_source", "q54_reference")
+  }
+
   /** SCD1 current-state table from the events change feed. */
   def q13Scd1(s: SparkSession, dir: String): DataFrame = {
     val changes = t(s, dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
@@ -178,6 +223,10 @@ object Relational {
     "q10_test_completeness" -> q10TestCompleteness,
     "q11_test_range" -> q11TestRange,
     "q12_test_row_count" -> q12TestRowCount,
+    "q51_test_lookups" -> q51TestLookups,
+    "q52_test_custom_sql" -> q52TestCustomSql,
+    "q53_test_custom_expectations" -> q53TestCustomExpectations,
+    "q54_test_schema_match" -> q54TestSchemaMatch,
     "q13_scd1_current" -> q13Scd1,
     "q14_scd2_history" -> q14Scd2)
 
@@ -242,6 +291,29 @@ object Relational {
       """SELECT source_count, target_count, abs(source_count - target_count) AS diff FROM
         |  (SELECT COUNT(*) AS source_count FROM orders),
         |  (SELECT COUNT(DISTINCT l_orderkey) AS target_count FROM lineitem)""".stripMargin,
+    "q51_test_lookups" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                  WHERE p.p_partkey = l.l_partkey AND p.p_size > 25)""".stripMargin,
+    "q52_test_custom_sql" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+    "q53_test_custom_expectations" ->
+      """SELECT event_id,
+        |  array_to_string(list_filter(
+        |    [CASE WHEN NOT coalesce(value <= 50, FALSE) THEN 'value_le_50' END,
+        |     CASE WHEN NOT coalesce(event_type <> 'error', FALSE) THEN 'not_error' END],
+        |    x -> x IS NOT NULL), ',') AS failed
+        |FROM events
+        |WHERE NOT coalesce(value <= 50, FALSE)
+        |   OR NOT coalesce(event_type <> 'error', FALSE)""".stripMargin,
+    "q54_test_schema_match" ->
+      """SELECT * FROM (VALUES
+        |  ('c_acctbal', 'string', 'double', 'type_mismatch'),
+        |  ('c_mktsegment', CAST(NULL AS VARCHAR), 'string', 'missing_in_source'),
+        |  ('c_flags', 'int', CAST(NULL AS VARCHAR), 'extra_in_source'))
+        |  AS t(column_name, source_type, reference_type, status)""".stripMargin,
     "q13_scd1_current" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,
