@@ -324,21 +324,8 @@ object Multimodal {
         val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
         // first trak with a nonzero tkhd width/height = the video track
         val dims = children(bytes, ms, me).collect {
-          case ("trak", ts, te) => find(bytes, ts, te, "tkhd")
-        }.flatten.flatMap { case (_, ks, ke) =>
-          val q = ks.toInt
-          // guard BEFORE the version-byte read: a tkhd truncated to an
-          // empty payload (box header ends exactly at EOF) must stub, not
-          // throw out of the whole partition scan
-          if (ke - ks < 1) None
-          else {
-            val wOff = if (bytes(q) == 1) 88 else 76 // after v1's 64-bit times
-            if (ke - ks >= wOff + 8)
-              Some(((be32(bytes, q + wOff) >> 16).toInt, // 16.16 fixed-point
-                (be32(bytes, q + wOff + 4) >> 16).toInt))
-            else None
-          }
-        }.find { case (w, h) => w > 0 && h > 0 }
+          case ("trak", ts, te) => tkhdDims(bytes, ts, te)
+        }.flatten.find { case (w, h) => w > 0 && h > 0 }
         val (w, h) = dims.getOrElse((0, 0))
         Decoded(w, h, 0, 0, durMs, decoder = "mp4")
       }
@@ -356,22 +343,33 @@ object Multimodal {
       if (!claims(bytes)) None
       else find(bytes, 0L, bytes.length.toLong, "moov").flatMap { case (_, ms, me) =>
         // prefer the VIDEO trak (nonzero tkhd dims): an audio-first mux
-        // would otherwise serve compressed audio packets as "frames"
-        val traks = children(bytes, ms, me).collect { case ("trak", ts, te) =>
-          (hasVideoDims(bytes, ts, te), trakSamples(bytes, ts, te))
-        }
-        traks.collectFirst { case (true, Some(v)) if v.nonEmpty => v }
-          .orElse(traks.collectFirst { case (_, Some(v)) if v.nonEmpty => v })
+        // would otherwise serve compressed audio packets as "frames".
+        // Lazy two-pass scan — table parsing (up to MaxTableEntries of
+        // allocation per trak) runs only until the first usable trak, not
+        // eagerly for every trak of every blob in the partition scan
+        val traks = children(bytes, ms, me).collect { case ("trak", ts, te) => (ts, te) }
+        def firstTable(sel: ((Long, Long)) => Boolean) = traks.iterator
+          .filter(sel).map { case (ts, te) => trakSamples(bytes, ts, te) }
+          .collectFirst { case Some(v) if v.nonEmpty => v }
+        val isVideo = (t: (Long, Long)) =>
+          tkhdDims(bytes, t._1, t._2).exists { case (w, h) => w > 0 && h > 0 }
+        firstTable(isVideo).orElse(firstTable(_ => true))
       }
 
-    private def hasVideoDims(b: Array[Byte], ts: Long, te: Long): Boolean =
-      find(b, ts, te, "tkhd").exists { case (_, ks, ke) =>
-        if (ke - ks < 1) false
+    /** The tkhd 16.16 fixed-point dimensions of one trak — the single
+      * version-aware layout parse shared by [[decode]] (dims reporting)
+      * and [[sampleTable]] (video-trak selection), so the two can never
+      * diverge. Guarded for empty/truncated payloads (stub, not throw). */
+    private def tkhdDims(b: Array[Byte], ts: Long, te: Long): Option[(Int, Int)] =
+      find(b, ts, te, "tkhd").flatMap { case (_, ks, ke) =>
+        if (ke - ks < 1) None
         else {
           val q = ks.toInt
-          val wOff = if (b(q) == 1) 88 else 76
-          ke - ks >= wOff + 8 &&
-            (be32(b, q + wOff) >> 16) > 0 && (be32(b, q + wOff + 4) >> 16) > 0
+          val wOff = if (b(q) == 1) 88 else 76 // after v1's 64-bit times
+          if (ke - ks >= wOff + 8)
+            Some(((be32(b, q + wOff) >> 16).toInt,
+              (be32(b, q + wOff + 4) >> 16).toInt))
+          else None
         }
       }
 
@@ -547,9 +545,7 @@ object Multimodal {
             .map { case (_, vs, ve) => floatAt(bytes, vs, ve) }
         }.getOrElse(0.0)
         val durMs = (durTicks * scaleNs / 1e6).toLong
-        val entries = find(bytes, ss, se, 0x1654AE6BL /* Tracks */).toSeq
-          .flatMap { case (_, ts, te) => children(bytes, ts, te) }
-          .collect { case (0xAEL /* TrackEntry */, es, ee) => (es, ee) }
+        val entries = trackEntries(bytes, ss, se)
         val video = entries.flatMap { case (es, ee) =>
           find(bytes, es, ee, 0xE0L /* Video */).flatMap { case (_, vs, ve) =>
             for {
@@ -581,29 +577,62 @@ object Multimodal {
       * blocks (flags & 0x06 == 0, the common video case) yield a single
       * contiguous frame range. None when the magic is absent or no block
       * parses. */
+    /** All TrackEntry spans under the Segment's Tracks element — the one
+      * Tracks walk, shared by [[decode]] and [[sampleTable]]. */
+    private def trackEntries(b: Array[Byte], ss: Long, se: Long): Seq[(Long, Long)] =
+      find(b, ss, se, 0x1654AE6BL /* Tracks */).toSeq
+        .flatMap { case (_, ts, te) => children(b, ts, te) }
+        .collect { case (0xAEL /* TrackEntry */, es, ee) => (es, ee) }
+
     def sampleTable(bytes: Array[Byte]): Option[Vector[(Long, Long)]] = {
       if (!claims(bytes)) return None
       find(bytes, 0L, bytes.length.toLong, 0x18538067L /* Segment */).flatMap {
         case (_, ss, se) =>
-          // the video TrackEntry's TrackNumber, when Tracks declares one —
-          // a muxed file interleaves audio blocks in the same Clusters, and
-          // serving Opus packets as "frames" would be silently wrong data
-          val videoTrack = find(bytes, ss, se, 0x1654AE6BL /* Tracks */)
-            .toSeq.flatMap { case (_, ts, te) => children(bytes, ts, te) }
-            .collectFirst {
-              case (0xAEL /* TrackEntry */, es, ee)
-                  if find(bytes, es, ee, 0xE0L /* Video */).isDefined =>
-                find(bytes, es, ee, 0xD7L /* TrackNumber */)
-                  .map { case (_, ns, ne) => uintAt(bytes, ns, ne) }
-            }.flatten
+          // the video TrackEntry's TrackNumber — a muxed file interleaves
+          // audio blocks in the same Clusters, and serving Opus packets as
+          // "frames" would be silently wrong data. A Video entry whose
+          // TrackNumber is missing/unparseable ABORTS to the stub: an
+          // unfiltered scan of a known-video file is the exact silent
+          // wrongness the filter exists to prevent.
+          val videoEntry = trackEntries(bytes, ss, se)
+            .find { case (es, ee) => find(bytes, es, ee, 0xE0L /* Video */).isDefined }
+          val videoTrack = videoEntry.map { case (es, ee) =>
+            find(bytes, es, ee, 0xD7L /* TrackNumber */)
+              .map { case (_, ns, ne) => uintAt(bytes, ns, ne) }
+          }
+          if (videoTrack.exists(_.isEmpty)) return None // video entry, no number
+          val wanted: Option[Long] = videoTrack.flatten
+
           val out = Vector.newBuilder[(Long, Long)]
           var found = false
-          def scanCluster(cs: Long, ce: Long): Unit =
+          def addBlock(bs2: Long, be2: Long): Unit =
+            for ((track, tLen) <- vint(bytes, bs2, strip = true)) {
+              val dataStart = bs2 + tLen + 3 // rel-timestamp(2) + flags(1)
+              val flagsAt = bs2 + tLen + 2
+              if (dataStart < be2 && flagsAt < bytes.length &&
+                  (bytes(flagsAt.toInt) & 0x06) == 0 &&
+                  wanted.forall(_ == track)) {
+                out += ((dataStart, be2 - dataStart))
+                found = true
+              }
+            }
+          // iterative worklist, NOT recursion: a streamed (unknown-size)
+          // Cluster swallows its successors as children, and a blob of N
+          // nested unknown-size Clusters must cost O(N) loop iterations —
+          // recursion would overflow the stack inside the partition scan.
+          // Nested clusters prepend (they sit inside the current span);
+          // everything stays in document order, which the evenly-spaced
+          // frame sampling depends on.
+          var work: List[(Long, Long)] = children(bytes, ss, se).collect {
+            case (0x1F43B675L /* Cluster */, cs, ce) => (cs, ce)
+          }.toList
+          while (work.nonEmpty) {
+            val (cs, ce) = work.head
+            work = work.tail
+            val nested = List.newBuilder[(Long, Long)]
             children(bytes, cs, ce).foreach { case (id, ps, pe) =>
               id match {
-                // a STREAMED (unknown-size) Cluster swallows its successors
-                // as children — recurse so later clusters' frames count too
-                case 0x1F43B675L => scanCluster(ps, pe)
+                case 0x1F43B675L => nested += ((ps, pe))
                 case 0xA3L /* SimpleBlock */ => addBlock(ps, pe)
                 case 0xA0L /* BlockGroup */ =>
                   children(bytes, ps, pe).foreach {
@@ -613,20 +642,7 @@ object Multimodal {
                 case _ => ()
               }
             }
-          def addBlock(bs2: Long, be2: Long): Unit =
-            for ((track, tLen) <- vint(bytes, bs2, strip = true)) {
-              val dataStart = bs2 + tLen + 3 // rel-timestamp(2) + flags(1)
-              val flagsAt = bs2 + tLen + 2
-              if (dataStart < be2 && flagsAt < bytes.length &&
-                  (bytes(flagsAt.toInt) & 0x06) == 0 &&
-                  videoTrack.forall(_ == track)) {
-                out += ((dataStart, be2 - dataStart))
-                found = true
-              }
-            }
-          children(bytes, ss, se).foreach {
-            case (0x1F43B675L /* Cluster */, cs, ce) => scanCluster(cs, ce)
-            case _ => ()
+            work = nested.result() ++ work
           }
           if (found) Some(out.result()) else None
       }

@@ -226,18 +226,25 @@ object Extras {
     val fixed = new java.io.File("/tmp/graft_e1_logs")
     val staging = new java.io.File(
       s"/tmp/graft_e1_logs.staging.${java.util.UUID.randomUUID()}")
+    var keepStaging = false
     try {
       Seq("e1p1", "e1p2").foreach { p =>
         store.read(hooks.tableFor(p)).write.mode("overwrite")
           .parquet(s"${staging.getPath}/$p")
       }
       graft.exec.Fs.deleteRecursively(fixed)
-      if (!staging.renameTo(fixed))
+      if (!staging.renameTo(fixed)) {
+        // the fixed dir is already gone — staging is the ONLY copy of the
+        // dump now; keep it (the exception names the path) instead of
+        // destroying both sides
+        keepStaging = true
         throw new IllegalStateException(
           s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
+      }
     } finally
-      // a failed dump or publish must not leak the staging dir in /tmp
-      if (staging.exists()) graft.exec.Fs.deleteRecursively(staging)
+      // a failed dump must not leak the staging dir in /tmp
+      if (!keepStaging && staging.exists())
+        graft.exec.Fs.deleteRecursively(staging)
     store.read("e1_rollup")
   }
 

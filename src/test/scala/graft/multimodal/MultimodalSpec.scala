@@ -466,6 +466,32 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(vGot.head.frame_bytes, "US-ASCII") == "BBBBBB")
   }
 
+  test("MKV edge cases: streamed clusters walk iteratively in order; numberless video track aborts to stub") {
+    def block(track: Int, data: String): Array[Byte] =
+      Array[Byte]((0x80 | track).toByte, 0, 0, 0x00) ++ data.getBytes("US-ASCII")
+    // an unknown-size (streamed) cluster swallows its successor: frames
+    // from BOTH must surface, in document order
+    val clusterB = ebml(be(0x1F43B675L, 4), ebml(be(0xA3L, 1), block(1, "LATER")))
+    val blockA = ebml(be(0xA3L, 1), block(1, "EARLY"))
+    val streamedA = be(0x1F43B675L, 4) ++ Array(0xFF.toByte) ++ blockA ++ clusterB
+    val mkv = ebml(be(0x1A45DFA3L, 4)) ++ ebml(be(0x18538067L, 4), streamedA)
+    val frames = Multimodal.sampleFrames(
+      Seq((3L, mkv, "video/webm", Map.empty[String, String]))
+        .toDF("media_id", "bytes", "mime", "meta"), 2)
+      .as[Multimodal.Frame].collect().sortBy(_.frame_idx)
+    assert(frames.map(f => new String(f.frame_bytes, "US-ASCII")).toSeq ==
+      Seq("EARLY", "LATER"))
+
+    // a Video TrackEntry with NO TrackNumber cannot be filtered — serving
+    // an unfiltered mux would be silently wrong, so the table aborts and
+    // sampleFrames falls back to the deterministic stub slice
+    val numberless = ebml(be(0x1A45DFA3L, 4)) ++ ebml(be(0x18538067L, 4),
+      ebml(be(0x1654AE6BL, 4), ebml(be(0xAEL, 1), ebml(be(0xE0L, 1),
+        ebml(be(0xB0L, 1), be(64L, 2))))),
+      ebml(be(0x1F43B675L, 4), ebml(be(0xA3L, 1), block(1, "VID"))))
+    assert(Multimodal.MkvDecoder.sampleTable(numberless).isEmpty)
+  }
+
   test("AutoDecoder dispatches mp4 and mkv by content magic") {
     val mp4 = craftedMp4(1000, 5000, 320, 240)
     assert(Multimodal.AutoDecoder.decode("application/octet-stream", mp4).decoder == "mp4")
