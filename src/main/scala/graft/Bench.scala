@@ -71,17 +71,27 @@ object Bench {
     // of the full line, making them invisible cross-round), so a second,
     // self-contained line small enough to survive whole is printed LAST.
     // Centisecond medians (bench drift is ±5 s — 10 ms is noise floor),
-    // basename sf, no per-iteration arrays. ~25 bytes/query: the full
-    // 76-query suite fits with headroom.
+    // basename sf, no per-iteration arrays. At 83 queries even that
+    // overflowed (BENCH_r10 parsed:null, the line clipped mid-key), so the
+    // compact line now uses each query's SHORT key — the unique prefix
+    // before the first underscore ("q53_test_custom_expectations" → "q53",
+    // "d1_exact_dedup" → "d1"). ~13 bytes/query: 83 queries ≈ 1.2 KB, with
+    // headroom for ~40 more. Full names stay in the full JSON line above.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val shortKeys = medians.map { case (k, _) => shortKey(k) }
+    require(shortKeys.distinct.size == shortKeys.size,
+      "compact bench keys (prefix before first '_') collide: " +
+        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+          .mkString(", ") + " — rename the new query with a unique prefix")
     def r2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsCompact = medians.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+    val qsCompact = medians.map { case (k, v) => s"\"" + shortKey(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    // error NAMES only — full messages (300 chars each) could blow the very
-    // tail budget this line exists to fit; detail lives in the full line
-    // and the non-zero exit
+    // error NAMES only (short keys) — full messages (300 chars each) could
+    // blow the very tail budget this line exists to fit; detail lives in the
+    // full line and the non-zero exit
     val errCompact = if (errors.isEmpty) ""
-      else errors.keys.map(jstr).mkString(""","errors":[""", ",", "]")
+      else errors.keys.map(k => jstr(shortKey(k))).mkString(""","errors":[""", ",", "]")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     Result(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"sf":"$sfDir"}""",

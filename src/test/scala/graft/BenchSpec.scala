@@ -39,14 +39,36 @@ class BenchSpec extends SparkSuite {
   }
 
   test("compact line for the FULL suite fits the driver's ~2 KB tail capture") {
-    // the whole point of the compact line is surviving truncation whole;
-    // ~25 bytes/query ("name":12.34,) + ~100 frame must stay under the
-    // 2048-byte window minus sbt's "[info] " prefix and trailing success
-    // line (~90 bytes). Adding queries with long names trips this EARLY,
-    // at spec time, not two rounds later in a silently-truncated artifact.
-    val perQuery = SparkEntry.queries.keys.map(_.length + 10).sum
-    assert(perQuery + 100 < 1950,
-      s"compact bench line projected at ${perQuery + 100} bytes — over the " +
-        "tail-capture budget; shorten new query names")
+    // The whole point of the compact line is surviving truncation whole.
+    // r10 proved the window in practice: the tail capture is 2048 bytes and
+    // sbt's trailing "[success] Total time: …" line eats ~80 of them, so the
+    // usable budget is ~1950 — and the r10 line (full names, 83 queries,
+    // ~2.1 KB) was clipped mid-key while the old projection here still
+    // passed (it budgeted 1950 but under-counted the frame + per-query
+    // bytes). The line now uses short prefix keys; project its size from
+    // the SAME construction run() uses — short key + ":" + up-to-5-char
+    // value + comma — and demand ≤1600 so ~40 more queries fit before this
+    // trips again.
+    val perQuery = SparkEntry.queries.keys
+      .map(_.takeWhile(_ != '_').length + 10).sum
+    val projected = perQuery + 100 // frame: metric/value/unit/queries/sf
+    assert(projected < 1600,
+      s"compact bench line projected at $projected bytes — over the " +
+        "tail-capture budget; shorten new query prefixes")
+  }
+
+  test("short prefix keys are unique across the full suite") {
+    // the compact line keys each query by its prefix before the first '_';
+    // a collision would silently merge two queries' timings
+    val keys = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"colliding bench prefixes: ${dups.mkString(", ")}")
+    // and run() itself refuses to emit a colliding line
+    val ex = intercept[IllegalArgumentException] {
+      Bench.run(spark, sf0001, iters = 1, queries = Map(
+        "x1_a" -> ((s, _) => s.range(1).toDF()),
+        "x1_b" -> ((s, _) => s.range(1).toDF())))
+    }
+    assert(ex.getMessage.contains("x1"), ex.getMessage)
   }
 }
