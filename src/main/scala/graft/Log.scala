@@ -28,10 +28,26 @@ object Log {
 
   @volatile private var sink: Sink = stderrAndSlf4j
 
-  /** Replace the warning route (pass [[stderrAndSlf4j]] to restore). */
+  /** Thread-scoped overlay for [[withSink]]. DynamicVariable is backed by
+    * an InheritableThreadLocal, so threads SPAWNED inside the scope inherit
+    * the capture; pre-existing pool threads (Spark executors) do not — all
+    * engine advisories are driver-side, so that is the right boundary. */
+  private val scoped = new scala.util.DynamicVariable[Option[Sink]](None)
+
+  /** Replace the PROCESS-GLOBAL warning route (pass [[stderrAndSlf4j]] to
+    * restore). Two embedders calling this concurrently capture each other's
+    * advisories — concurrent scopes (parallel test suites, two pipelines in
+    * one JVM) should use [[withSink]] instead. */
   def route(s: Sink): Unit = { sink = s }
 
-  /** Emit one engine warning through the current route. Messages arrive
-    * WITHOUT the `[graft] ` prefix — the sink owns presentation. */
-  def warn(msg: String): Unit = sink(msg)
+  /** Run `body` with `s` as this thread's warning route, restoring on exit.
+    * Safe under concurrency: each thread sees its own capture; threads
+    * outside the scope keep the global route. */
+  def withSink[A](s: Sink)(body: => A): A = scoped.withValue(Some(s))(body)
+
+  /** Emit one engine warning through the current route — the innermost
+    * [[withSink]] scope if one is active on this thread, else the global
+    * [[route]]. Messages arrive WITHOUT the `[graft] ` prefix — the sink
+    * owns presentation. */
+  def warn(msg: String): Unit = scoped.value.getOrElse(sink)(msg)
 }

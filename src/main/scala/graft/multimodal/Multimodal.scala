@@ -353,7 +353,12 @@ object Multimodal {
           .collectFirst { case Some(v) if v.nonEmpty => v }
         val isVideo = (t: (Long, Long)) =>
           tkhdDims(bytes, t._1, t._2).exists { case (w, h) => w > 0 && h > 0 }
-        firstTable(isVideo).orElse(firstTable(_ => true))
+        // same strictness as the MKV path: a file WITH a video trak whose
+        // sample table is unusable yields None (callers get the stub slice),
+        // never another trak's audio packets dressed up as frames; the
+        // any-trak fallback exists only for files with no video trak at all
+        if (traks.exists(isVideo)) firstTable(isVideo)
+        else firstTable(_ => true)
       }
 
     /** The tkhd 16.16 fixed-point dimensions of one trak — the single

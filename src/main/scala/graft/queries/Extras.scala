@@ -12,6 +12,16 @@ import graft.sources.Tables
   * checks, deterministic across runs. */
 object Extras {
 
+  /** Where e1 publishes its raw event-log dump for the DuckDB oracle.
+    * User-qualified: the oracle SQL is a static string, so the path cannot
+    * be run-derived, but qualifying by user keeps one user's stale or
+    * permission-locked /tmp directory from poisoning another's compare.
+    * The query and the oracle SQL both interpolate THIS constant, so they
+    * can never drift apart. */
+  private[queries] val e1LogDumpPath: String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_e1_logs_${
+      sys.props.getOrElse("user.name", "anon")}"
+
   /** Multimodal pipeline: text bytes → media table → batched stub decode →
     * per-mime feature summary. Deterministic (content-hash stub decoder). */
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -218,29 +228,42 @@ object Extras {
         """SELECT _pipeline AS pipeline, event_type, count(*) AS n
           |FROM e1_union GROUP BY _pipeline, event_type""".stripMargin), None)),
       checkpointRoot = s"$wh/moncp")
-    // dump the RAW logs at the fixed path the DuckDB oracle reads. Built in
-    // a fresh staging sibling and swapped in via delete+rename: the
-    // published glob never sees a half-written directory, and stale
-    // subdirectories from older runs (which would silently inflate the
-    // oracle's counts) cannot survive the swap
-    val fixed = new java.io.File("/tmp/graft_e1_logs")
+    // dump the RAW logs at the fixed path the DuckDB oracle reads (the SQL
+    // is a static string dumped before the compare, so the path must be
+    // knowable without the run — user-qualified so another user's stale
+    // /tmp dir can never be read or block the rename). Built in a fresh
+    // staging sibling and swapped in via delete+rename: the published glob
+    // never sees a half-written directory, and stale subdirectories from
+    // older runs (which would silently inflate the oracle's counts) cannot
+    // survive the swap. The delete+rename pair is serialized under an
+    // exclusive file lock so two concurrent gate runs cannot interleave it;
+    // the oracle compare itself still assumes the driver's serial
+    // run-then-compare flow (concurrent runs publish last-writer-wins).
+    val fixed = new java.io.File(Extras.e1LogDumpPath)
     val staging = new java.io.File(
-      s"/tmp/graft_e1_logs.staging.${java.util.UUID.randomUUID()}")
+      s"${Extras.e1LogDumpPath}.staging.${java.util.UUID.randomUUID()}")
     var keepStaging = false
     try {
       Seq("e1p1", "e1p2").foreach { p =>
         store.read(hooks.tableFor(p)).write.mode("overwrite")
           .parquet(s"${staging.getPath}/$p")
       }
-      graft.exec.Fs.deleteRecursively(fixed)
-      if (!staging.renameTo(fixed)) {
-        // the fixed dir is already gone — staging is the ONLY copy of the
-        // dump now; keep it (the exception names the path) instead of
-        // destroying both sides
-        keepStaging = true
-        throw new IllegalStateException(
-          s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
-      }
+      val lockCh = java.nio.channels.FileChannel.open(
+        new java.io.File(s"${Extras.e1LogDumpPath}.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        graft.exec.Fs.deleteRecursively(fixed)
+        if (!staging.renameTo(fixed)) {
+          // the fixed dir is already gone — staging is the ONLY copy of the
+          // dump now; keep it (the exception names the path) instead of
+          // destroying both sides
+          keepStaging = true
+          throw new IllegalStateException(
+            s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
+        }
+      } finally { lock.release(); lockCh.close() }
     } finally
       // a failed dump must not leak the staging dir in /tmp
       if (!keepStaging && staging.exists())
@@ -494,11 +517,11 @@ object Extras {
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 2 = 0""".stripMargin,
     // e1 recomputes the monitoring rollup from the RAW per-pipeline event
-    // logs the query dumps at this fixed path — independent of the
+    // logs the query dumps at [[e1LogDumpPath]] — independent of the
     // monitoring union stream, so union replay/duplication bugs
     // hash-mismatch instead of cancelling out
     "e1_monitoring_rollup" ->
-      """SELECT pipeline, event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM read_parquet('/tmp/graft_e1_logs/*/*.parquet')
-        |GROUP BY pipeline, event_type""".stripMargin)
+      s"""SELECT pipeline, event_type, CAST(count(*) AS BIGINT) AS n
+         |FROM read_parquet('$e1LogDumpPath/*/*.parquet')
+         |GROUP BY pipeline, event_type""".stripMargin)
 }

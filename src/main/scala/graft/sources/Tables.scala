@@ -65,15 +65,21 @@ object Tables {
     *   bare LongType carries no unit, so encoding 1 is opt-in per column;
     *   encodings 2 and 3 are self-describing and always normalized) */
   private[graft] def normalizeTimestamps(df: DataFrame,
-      nanosLongCols: Set[String] = Set.empty): DataFrame =
+      nanosLongCols: Set[String] = Set.empty): DataFrame = {
+    // both branches reference the column by PARSED name, so quote it the
+    // same way in both — a field named "a.b" or carrying a backtick must
+    // resolve as the top-level field, not fail analysis or hit a struct
+    def quoted(n: String): String = "`" + n.replace("`", "``") + "`"
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
-        case TimestampNTZType => d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(quoted(f.name)).cast(TimestampType))
         case LongType if nanosLongCols.contains(f.name) =>
-          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+          d.withColumn(f.name, timestamp_micros(expr(s"${quoted(f.name)} div 1000")))
         case _ => d
       }
     }
+  }
 
   /** Register every table as a temp view so `spark.sql` queries and the YAML
     * interpreter can reference them by name. */

@@ -39,4 +39,25 @@ class LogSpec extends AnyFunSuite {
     val (_, warnings) = capturing { Log.warn("advisory one"); Log.warn("two") }
     assert(warnings == Seq("advisory one", "two"))
   }
+
+  test("withSink scopes per thread: concurrent captures never cross") {
+    // Log.route is process-global (two concurrent embedders would capture
+    // each other's advisories); withSink is the concurrency-safe form —
+    // two threads capturing simultaneously must each see exactly their own
+    val a = scala.collection.mutable.ArrayBuffer.empty[String]
+    val b = scala.collection.mutable.ArrayBuffer.empty[String]
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def worker(buf: scala.collection.mutable.ArrayBuffer[String], tag: String) =
+      new Thread(() => Log.withSink(buf.synchronized { m => buf += m }) {
+        gate.await() // both threads inside their scopes before either emits
+        (1 to 50).foreach(i => Log.warn(s"$tag-$i"))
+      })
+    val (t1, t2) = (worker(a, "A"), worker(b, "B"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(a.size == 50 && a.forall(_.startsWith("A-")), a.take(5))
+    assert(b.size == 50 && b.forall(_.startsWith("B-")), b.take(5))
+    // and the scope restores: a warn after both joins uses the global route
+    val (_, global) = capturing(Log.warn("back to global"))
+    assert(global == Seq("back to global"))
+  }
 }

@@ -464,6 +464,21 @@ class MultimodalSpec extends SparkSuite {
         .toDF("media_id", "bytes", "mime", "meta"), 1)
       .as[Multimodal.Frame].collect()
     assert(new String(vGot.head.frame_bytes, "US-ASCII") == "BBBBBB")
+
+    // a video trak with a BROKEN sample table must abort to None (stub
+    // slice), never fall through to the audio trak's complete table — the
+    // MP4 mirror of the MKV numberless-track strictness below
+    def brokenVideoMp4(aOff: Long): Array[Byte] = {
+      val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0))
+      val videoNoStbl = {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.position(76); bb.putInt(32 << 16).putInt(24 << 16)
+        mp4Box("trak", mp4Box("tkhd", bb.array())) // dims, but no mdia/stbl
+      }
+      val moov = mp4Box("moov", videoNoStbl, trakWith(None, aOff, 5))
+      ftyp ++ moov ++ mp4Box("mdat", "AAAAA".getBytes("US-ASCII"))
+    }
+    assert(Multimodal.Mp4Decoder.sampleTable(brokenVideoMp4(0)).isEmpty)
   }
 
   test("MKV edge cases: streamed clusters walk iteratively in order; numberless video track aborts to stub") {
