@@ -412,7 +412,51 @@ object Extras {
     store.read("q50_out")
   }
 
+  /** The cloudfiles streaming ingest path itself through the gate — the
+    * reference's single most-used load operator
+    * (generators/load/cloudfiles.py:20). Three checkpointed AvailableNow
+    * runs of one cloudfiles→streaming_table flow over a growing landing
+    * directory: batch 1 (even keys), batch 2 (odd keys), then a run with NO
+    * new files. The oracle is the whole customer table, so the hash pins
+    * exactly-once incremental ingest three ways: a re-read of batch 1 on
+    * run 2, a re-read of anything on run 3, or a missed file all
+    * hash-mismatch. */
+  def c1CloudfilesIngest(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c1").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: c1
+         |flowgroup: ingest
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE"
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: c1_t}
+         |""".stripMargin
+    cust.filter(col("c_custkey") % 2 === 0).write.parquet(landing)
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    cust.filter(col("c_custkey") % 2 === 1).write.mode("append").parquet(landing)
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    // no new files: a correct checkpoint makes this run a no-op
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("c1_t").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -516,6 +560,12 @@ object Extras {
     "q50_ignore_deletes" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 2 = 0""".stripMargin,
+    // c1's oracle is the plain source table: any duplicate (checkpoint
+    // replay) or missing (skipped file) row in the three-run ingest
+    // hash-mismatches against it
+    "c1_cloudfiles_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer""".stripMargin,
     // e1 recomputes the monitoring rollup from the RAW per-pipeline event
     // logs the query dumps at [[e1LogDumpPath]] — independent of the
     // monitoring union stream, so union replay/duplication bugs
