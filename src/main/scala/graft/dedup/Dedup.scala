@@ -264,14 +264,17 @@ object Dedup {
     * canonicalization step after any near-dup detector: every doc in a dup
     * cluster maps to the cluster's minimum id (the keeper).
     *
-    * Min-label propagation: each iteration is one shuffle
-    * (edge ⋈ labels → per-node neighbor min), labels converge in ≤ graph
-    * diameter iterations. Dup clusters are shallow (near-clique), so this
-    * terminates in a handful of rounds even on 100 TB pair lists; the label
-    * table is one row per node appearing in a pair (the duplicated subset,
-    * far smaller than the corpus) and is lineage-truncated per round, which
-    * is the standard pattern for iterative DataFrame algorithms. Returns
-    * `(id, component)`. */
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node toward its neighborhood minimum, collapsing paths
+    * geometrically — O(log²) rounds on chains where plain label
+    * propagation needs one round per hop of graph diameter. Each half-step
+    * is one shuffle (a groupBy-min over the edge list plus a key join —
+    * the same per-round shape as propagation), so fewer rounds is a pure
+    * win: iterative DataFrame jobs are round-latency-bound long before
+    * they are data-bound. The edge list is one row per duplicate pair (the
+    * duplicated subset, far smaller than the corpus) and is
+    * lineage-truncated per round. Returns `(id, component)`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame =
     connectedComponents(pairs, aCol, bCol, maxIter, LocalCheckpoint)
@@ -298,6 +301,83 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int, checkpoint: IterCheckpoint): DataFrame = {
+    // one materialized pass over `pairs` — the pair list is typically the
+    // output of an expensive detector pipeline (LSH, n-gram Jaccard) and
+    // must not be recomputed for each derivation below
+    val raw = truncate(pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo")).distinct(), checkpoint)
+    val ids = raw.select(col("hi").as("id"))
+      .unionByName(raw.select(col("lo").as("id"))).distinct()
+    // self-loops carry no connectivity (their endpoints still label
+    // themselves via `ids`)
+    var e = truncate(raw.filter(col("hi") =!= col("lo")), checkpoint)
+    var eCount = e.count()
+    var i = 0
+    var converged = eCount == 0
+    while (!converged && i < maxIter) {
+      // large-star: every neighbor LARGER than u re-points at
+      // m = min(N(u) ∪ {u}); smaller neighbors are left for small-star.
+      // v > u ≥ m keeps the (hi, lo) canonical orientation for free.
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val minByU = nbrs.groupBy("u")
+        .agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // materialized: the small-star half reads it twice (min + join-back)
+      val large = truncate(nbrs.join(minByU, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct(), checkpoint)
+      // small-star: each node's smaller neighbors (and the node itself)
+      // re-point at the minimum of that set — on the canonical orientation
+      // that is a single groupBy(hi).min(lo) join-back
+      val minLo = large.groupBy("hi").agg(min("lo").as("m"))
+      val withM = large.join(minLo, Seq("hi"))
+      val small = withM.select(col("hi"), col("m").as("lo"))
+        .unionByName(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
+      val next = truncate(small, checkpoint)
+      val nextCount = next.count()
+      // fixed point of the alternation = both half-steps are no-ops; the
+      // star-forest guarantee is re-checked below, not assumed
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    // At convergence `e` is a star forest: (member, root) with every root
+    // pointing nowhere. Pointer-jump any residual depth (maxIter cutoffs,
+    // adversarial fixed points) instead of assuming it — each jump halves
+    // path depth, and on an already-flat forest the guard join finds
+    // nothing and exits immediately.
+    var parents = e.groupBy("hi").agg(min("lo").as("lo"))
+    var depth = 0
+    var flat = false
+    while (!flat && depth < maxIter) {
+      val up = parents.select(col("hi").as("lo"), col("lo").as("lo2"))
+      val jumped = parents.join(up, Seq("lo"), "left")
+      flat = jumped.filter(col("lo2").isNotNull).isEmpty
+      if (!flat)
+        parents = truncate(jumped
+          .select(col("hi"), coalesce(col("lo2"), col("lo")).as("lo"))
+          .groupBy("hi").agg(min("lo").as("lo")), checkpoint)
+      depth += 1
+    }
+    ids.join(parents.select(col("hi").as("id"), col("lo").as("component")),
+      Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Min-label propagation — the pre-r11 production path, kept as the
+    * equivalence baseline for [[connectedComponents]] (DedupSpec pins the
+    * two against each other on chain, clique, and random graphs). One
+    * shuffle per round, but converges in graph-DIAMETER rounds where the
+    * star alternation needs O(log²): on chainy clusters the difference is
+    * the whole runtime. */
+  def connectedComponentsPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25, checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct().cache()

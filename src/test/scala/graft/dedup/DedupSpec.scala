@@ -107,6 +107,33 @@ class DedupSpec extends SparkSuite {
     assert(comps == Seq(0L))
   }
 
+  test("star-alternation components match propagation on chain, clique, and random graphs") {
+    // the production path is large-star/small-star; propagation is the
+    // round-per-diameter-hop baseline it must agree with exactly
+    def check(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      val stars = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponentsPropagation(pairs, "id_a", "id_b", maxIter = 300)
+        .as[(Long, Long)].collect().toMap
+      assert(stars == prop)
+    }
+    // a 60-hop chain: propagation needs 60 rounds, stars O(log²)
+    check((0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    // a clique with shuffled ids
+    check(Seq((9L, 3L), (3L, 7L), (7L, 9L), (9L, 7L)).toDF("id_a", "id_b"))
+    // seeded random graph: many components, mixed shapes, self-loops
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    check(edges.toDF("id_a", "id_b"))
+    // star rounds stay logarithmic where propagation is linear: the 60-hop
+    // chain converges inside a budget propagation provably cannot meet
+    val tight = Dedup.connectedComponents(
+      (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b"),
+      "id_a", "id_b", maxIter = 12, Dedup.LocalCheckpoint)
+      .select("component").distinct().count()
+    assert(tight == 1L, "star alternation should collapse a 60-chain in ≤12 rounds")
+  }
+
   test("hot-shingle cap: stop-shingles stop producing candidate pairs") {
     // three docs share ONLY a boilerplate prefix; two are real near-dups
     val docs = Seq(
