@@ -881,8 +881,17 @@ final class PipelineRunner(
     * A `replay` sidecar records whether (and how) point-in-time states can
     * be reconstructed from the log — the basis of version_as_of. */
   private def logChanges(a: StreamingTableWrite, batch: DataFrame,
-      mergeOpts: Option[ScdMerge.Options]): Unit = if (a.changeLog) {
+      mergeOpts: Option[ScdMerge.Options],
+      txn: Option[(String, Long)] = None): Unit = if (a.changeLog) {
     val chTable = s"${a.table}__changes"
+    // foreachBatch replay of a FULLY-committed batch (crash after commit,
+    // before the checkpoint marker): the txn sidecar says this (flow,
+    // batch) already produced its commit — logging it again would double
+    // the change rows at a fresh version. Partial commits never reach here
+    // via this skip: their txn line was not written, and the intent-marker
+    // probe below stays loud for them.
+    val txnId = txn.map { case (flow, id) => s"$flow#$id" }
+    if (txnId.exists(store.committedTxns(chTable).contains)) return
     // serialize the replay spec FIRST: its separator-name guard must fire
     // before any rows land in the log
     val spec = replaySpec(mergeOpts)
@@ -900,7 +909,7 @@ final class PipelineRunner(
     if (store.getMeta(chTable, "commit_intent").isDefined)
       assertLogIntegrity(chTable, s"write '${a.name}'", force = true)
     store.setMeta(chTable, "commit_intent", version.toString)
-    try commitChangeRows(a, chTable, version, batch, mergeOpts, spec)
+    try commitChangeRows(a, chTable, version, batch, mergeOpts, spec, txnId)
     catch { case e: Throwable => uncacheIntegrity(chTable); throw e }
   }
 
@@ -909,7 +918,8 @@ final class PipelineRunner(
     * drops the integrity-probe cache for the log. */
   private def commitChangeRows(a: StreamingTableWrite, chTable: String,
       version: Long, batch: DataFrame,
-      mergeOpts: Option[ScdMerge.Options], spec: String): Unit = {
+      mergeOpts: Option[ScdMerge.Options], spec: String,
+      txnId: Option[String] = None): Unit = {
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
     store.append(chTable, batch
       .withColumn("_change_type",
@@ -950,6 +960,10 @@ final class PipelineRunner(
     // "mixed" (sticky: "none" from a truncate config also never upgrades)
     val prior = store.getMeta(chTable, "replay")
     store.setMeta(chTable, "replay", if (prior.exists(_ != spec)) "mixed" else spec)
+    // txn identity lands with the other post-append sidecars: a crash
+    // before this line leaves no txn record, so a replay re-commits through
+    // the intent-marker path instead of silently skipping a lost commit
+    txnId.foreach(store.recordCommitTxn(chTable, version, _))
     // commit complete — clear the intent marker LAST (a crash among the
     // sidecar writes above leaves the marker; the next write's probe then
     // finds the log clean, and partial ts/kind sidecar coverage is caught
@@ -1212,11 +1226,15 @@ final class PipelineRunner(
 
     (a.cdc, a.snapshotCdc) match {
       case (Some(_), false) if src.isStreaming =>
-        // CDC apply-changes: foreachBatch merge engine
+        // CDC apply-changes: foreachBatch merge engine. The MERGE itself is
+        // replay-idempotent (ScdMerge's window rebuild drops exact
+        // duplicate (key, sequence) rows), so only the change log carries
+        // the (flow, batch) txn identity.
         val opts = scdOpts.get
+        val flowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
         src.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            logChanges(a, batch, Some(opts))
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            logChanges(a, batch, Some(opts), Some((flowKey, id)))
             mergeInto(a, batch, opts)
           }
           .option("checkpointLocation", checkpointFor(a.name))
@@ -1258,10 +1276,17 @@ final class PipelineRunner(
         logChanges(a, changes, Some(mergeOpts))
         mergeInto(a, changes, mergeOpts)
       case (None, _) if src.isStreaming =>
+        // exactly-once under crash: foreachBatch replay lands the batch at
+        // the SAME deterministic (flow, batch) file names (appendBatch) and
+        // the change log dedups on the same identity — the plain-append
+        // counterpart of the CDC path's idempotent merge
+        val flowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
         src.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            logChanges(a, batch, None)
-            store.append(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            logChanges(a, batch, None, Some((flowKey, id)))
+            store.appendBatch(a.table,
+              clustered(batch, a.clusterColumns, a.clusterStrategy),
+              flowKey, id, a.partitionColumns)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())

@@ -62,12 +62,19 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   }
 
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    // Plain parquet has no schema-evolution protocol of its own. WIDENING
-    // appends (incoming ⊇ existing columns) are supported via the schema
-    // sidecar: old files read back with nulls for the added columns (the
-    // add-column semantics of Delta's mergeSchema). A NARROWING or renamed
-    // append still fails loudly — silently dropping a column is the bug
-    // class this guard exists for.
+    appendGuards(table, df)
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+    recordSchema(table, df)
+  }
+
+  /** Plain parquet has no schema-evolution protocol of its own. WIDENING
+    * appends (incoming ⊇ existing columns) are supported via the schema
+    * sidecar: old files read back with nulls for the added columns (the
+    * add-column semantics of Delta's mergeSchema). A NARROWING or renamed
+    * append still fails loudly — silently dropping a column is the bug
+    * class this guard exists for. */
+  private def appendGuards(table: String, df: DataFrame): Unit =
     readIfExists(table).foreach { existing =>
       val (have, incoming) = (existing.columns.toSet, df.columns.toSet)
       require(have.subsetOf(incoming),
@@ -88,9 +95,60 @@ final class TableStore(spark: SparkSession, val warehouse: String,
         }
       }
     }
-    val w = df.write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
-    recordSchema(table, df)
+
+  /** Idempotent streaming append: exactly-once on top of foreachBatch's
+    * at-least-once replay. The batch is staged, then its data files are
+    * moved into the table under DETERMINISTIC names
+    * `graft-<flowHash>-b<batchId>-<i>.parquet`; before the move, any files
+    * of the SAME (flow, batch) from an earlier interrupted attempt are
+    * removed from the affected partition directories. A replay therefore
+    * REPLACES its own earlier attempt instead of appending beside it —
+    * Delta's txnAppId/txnVersion idempotence, expressed in file placement.
+    *
+    * Cleanup is scoped to the partition directories of the staged batch:
+    * a replayed batch carries the same source slice, so its partition
+    * VALUES are identical across attempts even when the physical split
+    * differs (AQE); only the engine's deterministic transforms feed this
+    * path. Distinct flows (fan-in) and distinct batches never collide —
+    * the name carries both. */
+  def appendBatch(table: String, df: DataFrame, flowId: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): Unit = {
+    appendGuards(table, df)
+    val staging = freshStaging(table)
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
+      val flowHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(flowId.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val prefix = s"graft-$flowHash-b$batchId-"
+      val stRoot = Paths.get(staging)
+      val staged = {
+        val s = Files.walk(stRoot)
+        try s.toArray.map(_.asInstanceOf[Path])
+          .filter(p => Files.isRegularFile(p) && {
+            val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".")
+          }).sortBy(_.toString).toSeq
+        finally s.close()
+      }
+      val tRoot = Paths.get(path(table))
+      // clean earlier attempts of THIS (flow, batch) in every partition
+      // directory this attempt touches, then land the new files
+      staged.map(p => stRoot.relativize(p.getParent)).distinct.foreach { rel =>
+        val tDir = tRoot.resolve(rel)
+        Files.createDirectories(tDir)
+        val listing = Files.list(tDir)
+        try listing.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .foreach(Files.delete)
+        finally listing.close()
+      }
+      staged.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, tRoot.resolve(stRoot.relativize(p.getParent))
+          .resolve(s"$prefix$i.parquet"))
+      }
+      recordSchema(table, df)
+    } finally rm(new java.io.File(staging))
   }
 
   /** Replace table contents with `df`, where `df` may derive from the current
@@ -293,6 +351,19 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * exist (logs written before kinds were recorded). */
   def commitKinds(table: String): Seq[(Long, String)] =
     commitLines(table, "._commit_kinds")
+
+  /** Transaction-identity sidecar (`._commit_txn`, `flowId#batchId` per
+    * version) — Delta's txnAppId/txnVersion idempotence for the change log:
+    * a streaming flow records which (flow, batch) produced each commit, and
+    * a foreachBatch REPLAY of an already-committed batch is skipped instead
+    * of logged twice. Only fully-committed commits carry a line (it is
+    * written with the other post-append sidecars), so an interrupted commit
+    * still trips the intent-marker probe, never a silent skip. */
+  def recordCommitTxn(table: String, version: Long, txn: String): Unit =
+    appendCommitLine(table, "._commit_txn", version, txn)
+
+  def committedTxns(table: String): Set[String] =
+    commitLines(table, "._commit_txn").map(_._2).toSet
 
   /** The last committed version of a changes table (None = no sidecar and
     * no rows) — read-only peek at [[nextCommitVersion]]'s counter. */
