@@ -488,7 +488,28 @@ object YamlConfig {
           comment = comment, tags = tags, tagsFile = tagsFile,
           tableSchemaDdl = tableSchemaDdl,
           expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
-      case "materialized_view" => MaterializedViewWrite(name,
+      case "materialized_view" =>
+        // declared-incremental join MVs are a two-stage contract: both
+        // stages present, the join stage actually streaming. Absorbing a
+        // joined_sql outside the mode (or a mode without its stages) would
+        // be the silent-config class this parser refuses everywhere else.
+        val mode = str(wt, "mode")
+        val joinedSql0 = str(m, "joined_sql").orElse(str(wt, "joined_sql"))
+        if (mode.contains("incremental_join")) {
+          if (joinedSql0.isEmpty) throw ConfigError(
+            s"write '$name': mode incremental_join needs joined_sql (the " +
+              "stream-static join stage, with the fact side under stream(...))")
+          if (graft.plan.StreamRef.streamedViews(joinedSql0.get).isEmpty) throw ConfigError(
+            s"write '$name': incremental_join's joined_sql must stream its " +
+              "fact side — wrap it as stream(<table>)")
+          if (str(m, "sql").orElse(str(wt, "sql"))
+              .orElse(str(m, "sql_path")).orElse(str(wt, "sql_path")).isEmpty)
+            throw ConfigError(
+              s"write '$name': mode incremental_join needs sql (the aggregation " +
+                s"stage over the ${table}__joined companion)")
+        } else if (joinedSql0.isDefined) throw ConfigError(
+          s"write '$name': joined_sql only applies with mode: incremental_join")
+        MaterializedViewWrite(name,
         source = sourceSeq(m).headOption,
         table = table,
         sql = str(m, "sql").orElse(str(wt, "sql")),
@@ -502,7 +523,9 @@ object YamlConfig {
         tableSchemaDdl = tableSchemaDdl,
         expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
         incremental = str(wt, "mode").contains("incremental") ||
-          wt.get("incremental").exists(_.toString.toBoolean))
+          wt.get("incremental").exists(_.toString.toBoolean),
+        incrementalJoin = str(wt, "mode").contains("incremental_join"),
+        joinedSql = str(m, "joined_sql").orElse(str(wt, "joined_sql")))
       case "sink" =>
         // module_path is a Python import-path concept; JVM plugins resolve
         // from the classpath by class name — advisory, same split as above

@@ -691,6 +691,52 @@ final class PipelineRunner(
     // ------------------------------------------------------------ writes
     case a: StreamingTableWrite => executeStreamingWrite(a)
 
+    case a: MaterializedViewWrite if a.incrementalJoin =>
+      // Declared-incremental join MV (mode: incremental_join — see the
+      // model's scaladoc). Stage 1 streams ONLY new fact rows through the
+      // stream-static join (dims resolve as current batch frames; small
+      // dims auto-broadcast, or carry explicit /*+ BROADCAST */ hints in
+      // joined_sql) and lands them exactly-once in the __joined companion.
+      // Stage 2 recomputes the aggregation over the companion — pre-joined
+      // rows, so exact DISTINCT aggregates work, which is precisely the
+      // shape streaming complete-mode aggregation (mode: incremental)
+      // rejects.
+      applyFullRefresh(a.table, a.name)
+      val companion = s"${a.table}__joined"
+      // the companion lives and dies with the MV: a refresh that drops the
+      // MV (and this action's checkpoint) must drop the accumulated join
+      // too, or the restarted stream re-lands history beside stale rows
+      if ((fullRefresh.contains("*") || fullRefresh.contains(a.table)) &&
+          refreshed.add(companion))
+        store.drop(companion)
+      val (joined, isStreaming) = sqlWithStreamRefs(a.joinedSql.get)
+      if (!isStreaming) throw Planner.PlanError(
+        s"materialized_view '${a.name}' (mode: incremental_join): joined_sql's " +
+          "stream(...) reference did not resolve to a streamable source")
+      val mvFlowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
+      joined.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          store.appendBatch(companion, batch, mvFlowKey, id)
+        }
+        .option("checkpointLocation", checkpointFor(a.name))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      store.readIfExists(companion).foreach { j =>
+        // registered by basename (the temp-view catalog rejects dots) —
+        // the same convention every written table follows below
+        j.createOrReplaceTempView(tableViewName(companion))
+        val agg0 = withOpMeta(a, spark.sql(a.sql.orElse(a.sqlPath.map(readFile)).get))
+        val agg1 = a.rowFilter.map(agg0.filter).getOrElse(agg0)
+        val agg = enforceDeclaredSchema(Expectations(agg1, a.expectations),
+          a.tableSchemaDdl, a.name, a.tagsFile)
+        store.overwrite(a.table, clustered(agg, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
+      }
+      store.setProperties(a.table, a.tableProperties)
+      applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
+      store.readIfExists(a.table)
+        .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
+      hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
+
     case a: MaterializedViewWrite =>
       applyFullRefresh(a.table, a.name)
       val df0 = withOpMeta(a,

@@ -412,6 +412,22 @@ final case class MaterializedViewWrite(
       * state lives in the checkpoint — each run reads only NEW source data
       * and merges partial aggregates, instead of a full recompute. */
     incremental: Boolean = false,
+    /** Declared-incremental JOIN maintenance (`mode: incremental_join`) —
+      * the engine's stand-in for the dominant case of DLT Enzyme
+      * (proprietary; reference generators/write/materialized_view.py:21
+      * always full-refreshes through DLT). The user declares the split the
+      * optimizer cannot be trusted to infer:
+      *   - [[joinedSql]]: the stream-static join stage, with exactly the
+      *     fact side under `stream(...)`. Each refresh joins only NEW fact
+      *     rows against current dims and accumulates them exactly-once
+      *     into the `<table>__joined` companion — the 100 TB join never
+      *     re-runs over history.
+      *   - [[sql]]: the aggregation stage, reading the companion by its
+      *     `<table>__joined` name. Recomputed per refresh over pre-joined
+      *     rows, which keeps EXACT distinct aggregates (the shape that
+      *     rules out streaming complete-mode aggregation). */
+    incrementalJoin: Boolean = false,
+    joinedSql: Option[String] = None,
     operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq

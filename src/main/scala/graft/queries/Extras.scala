@@ -455,8 +455,72 @@ object Extras {
     store.read("c1_t").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
   }
 
+  /** Declared-incremental join MV through the gate — the acmi gold-layer
+    * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
+    * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
+    * with SUM + exact COUNT(DISTINCT) aggregates. Two fact batches refresh
+    * the MV through `mode: incremental_join`; the oracle recomputes the
+    * whole thing from the raw tables in DuckDB, so a re-joined, skipped,
+    * or double-counted fact row hash-mismatches. */
+  def q55IncrementalJoinMv(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-q55").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val ord = Tables.load(s, dir, "orders")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("q55_customer")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("q55_nation")
+    Tables.load(s, dir, "region").createOrReplaceTempView("q55_region")
+    val factYaml =
+      """pipeline: q55
+        |flowgroup: fact
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: q55_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, table: q55_fact}
+        |""".stripMargin
+    val mvYaml =
+      """pipeline: q55
+        |flowgroup: gold
+        |actions:
+        |  - name: mv
+        |    type: write
+        |    write_target:
+        |      type: materialized_view
+        |      table: q55_mv
+        |      mode: incremental_join
+        |      joined_sql: >
+        |        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate,
+        |               r.r_name
+        |        FROM stream(q55_fact) o
+        |        JOIN q55_customer c ON o.o_custkey = c.c_custkey
+        |        JOIN q55_nation n ON c.c_nationkey = n.n_nationkey
+        |        JOIN q55_region r ON n.n_regionkey = r.r_regionkey
+        |      sql: >
+        |        SELECT r_name,
+        |               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |        FROM q55_mv__joined
+        |        GROUP BY r_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+        |""".stripMargin
+    ord.filter(col("o_orderkey") % 2 === 0).createOrReplaceTempView("q55_src")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(factYaml))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(mvYaml))
+    ord.filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView("q55_src")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(factYaml))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(mvYaml))
+    store.read("q55_mv")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
+    "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -560,6 +624,20 @@ object Extras {
     "q50_ignore_deletes" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id % 2 = 0""".stripMargin,
+    // q55's oracle recomputes the incremental-join MV from the raw tables
+    // in one shot: a fact row joined twice (replay), skipped (lost batch)
+    // or double-counted in the distinct aggregates hash-mismatches
+    "q55_incremental_join_mv" ->
+      """SELECT r_name,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
     // c1's oracle is the plain source table: any duplicate (checkpoint
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it

@@ -104,6 +104,92 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(store.read("raw_events").count() == 3)
   }
 
+  test("incremental_join MV: per-batch stream-static join, exact distinct aggregate") {
+    val (runner, store, _) = freshRunner()
+    Seq((1L, "us"), (2L, "eu")).toDF("rid", "rname")
+      .createOrReplaceTempView("mvj_dim")
+    def factYaml =
+      """pipeline: mvj
+        |flowgroup: fact
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: mvj_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, table: mvj_fact}
+        |""".stripMargin
+    def mvYaml =
+      """pipeline: mvj
+        |flowgroup: gold
+        |actions:
+        |  - name: mv
+        |    type: write
+        |    write_target:
+        |      type: materialized_view
+        |      table: mvj_mv
+        |      mode: incremental_join
+        |      joined_sql: >
+        |        SELECT f.cid, f.amount, d.rname
+        |        FROM stream(mvj_fact) f JOIN mvj_dim d ON f.rid = d.rid
+        |      sql: >
+        |        SELECT rname, CAST(sum(amount) AS BIGINT) AS total,
+        |               count(DISTINCT cid) AS users
+        |        FROM mvj_mv__joined GROUP BY rname
+        |""".stripMargin
+    Seq((10L, 1L, 5L), (11L, 1L, 7L), (12L, 2L, 3L))
+      .toDF("cid", "rid", "amount").createOrReplaceTempView("mvj_src")
+    runner.run(YamlConfig.parseFlowGroup(factYaml))
+    runner.run(YamlConfig.parseFlowGroup(mvYaml))
+    assert(store.read("mvj_mv").as[(String, Long, Long)].collect().toSet ==
+      Set(("us", 12L, 2L), ("eu", 3L, 1L)))
+    // batch 2: cid 10 buys again in eu region — exact COUNT(DISTINCT) must
+    // not double-count across batches (the shape streaming agg cannot do)
+    Seq((10L, 2L, 4L)).toDF("cid", "rid", "amount")
+      .createOrReplaceTempView("mvj_src")
+    runner.run(YamlConfig.parseFlowGroup(factYaml))
+    runner.run(YamlConfig.parseFlowGroup(mvYaml))
+    assert(store.read("mvj_mv").as[(String, Long, Long)].collect().toSet ==
+      Set(("us", 12L, 2L), ("eu", 7L, 2L)))
+    // the companion accumulated each fact row exactly once — and a refresh
+    // with NO new fact rows is a no-op, not a re-join of history
+    assert(store.read("mvj_mv__joined").count() == 4)
+    runner.run(YamlConfig.parseFlowGroup(mvYaml))
+    assert(store.read("mvj_mv__joined").count() == 4)
+  }
+
+  test("incremental_join MV config contract is loud") {
+    def mv(extra: String) = YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: g
+         |actions:
+         |  - name: mv
+         |    type: write
+         |    write_target:
+         |      type: materialized_view
+         |      table: t
+         |$extra
+         |""".stripMargin)
+    // joined_sql outside the mode: silently ignoring it would be the
+    // absorbed-config bug class
+    val e1 = intercept[YamlConfig.ConfigError](mv(
+      "      sql: SELECT 1 AS x\n      joined_sql: SELECT * FROM stream(f)"))
+    assert(e1.getMessage.contains("incremental_join"))
+    val e2 = intercept[YamlConfig.ConfigError](mv(
+      "      mode: incremental_join\n      sql: SELECT 1 AS x"))
+    assert(e2.getMessage.contains("joined_sql"))
+    // a joined_sql with no stream() ref would silently full-re-join
+    val e3 = intercept[YamlConfig.ConfigError](mv(
+      "      mode: incremental_join\n      sql: SELECT 1 AS x\n" +
+        "      joined_sql: SELECT * FROM f"))
+    assert(e3.getMessage.contains("stream"))
+    val e4 = intercept[YamlConfig.ConfigError](mv(
+      "      mode: incremental_join\n      joined_sql: SELECT * FROM stream(f)"))
+    assert(e4.getMessage.contains("sql"))
+  }
+
   test("streaming CDC flow: SCD2 merge via foreachBatch") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/cdc_landing"
