@@ -19,7 +19,18 @@ import graft.plan.{DependencyAnalyzer, Planner}
   */
 object ValidateProject {
 
-  final case class Issue(context: String, message: String)
+  /** One validation failure. `code` is the stable GRF error code
+    * ([[ErrorCodes]]; GRF-GEN-000 for refusals the registry has not tagged
+    * yet), recovered from the tagged message so the rendered report is
+    * diffable across engine versions. `message` is the bare prose. */
+  final case class Issue(context: String, message: String, code: String)
+
+  object Issue {
+    def apply(context: String, raw: String): Issue = {
+      val (code, msg) = ErrorCodes.split(raw)
+      Issue(context, msg, code)
+    }
+  }
 
   /** Pure validation pass, separated from `main` for spec coverage.
     * Returns (flowgroups validated OK, issues). */
@@ -109,7 +120,8 @@ object ValidateProject {
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("ERROR")
     val (ok, issues) = validate(spark, projectDir, env, pipelineConfig)
-    issues.foreach(i => System.err.println(s"[graft] INVALID ${i.context}: ${i.message}"))
+    issues.foreach(i => System.err.println(
+      s"[graft] INVALID [${i.code}] ${i.context}: ${i.message}"))
     println(s"[graft] validate: $ok flowgroup(s) ok, ${issues.size} issue(s)")
     spark.stop()
     if (issues.nonEmpty) sys.exit(1)

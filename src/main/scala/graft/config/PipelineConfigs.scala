@@ -98,9 +98,9 @@ object PipelineConfigs {
         val detail = conflicts.toSeq.sortBy(_._1).map { case (k, vs) =>
           s"'$k': " + vs.map(t => s"${t._3}=${t._2}").distinct.mkString(", ")
         }.mkString("; ")
-        throw ConfigError("pipeline config: conflicting `configuration` " +
+        throw ConfigError(graft.ErrorCodes.CFG_051("pipeline config: conflicting `configuration` " +
           s"values across pipelines in one run — $detail. One session holds " +
-          "one value per conf key; align the pipelines or run them separately")
+          "one value per conf key; align the pipelines or run them separately"))
       }
       perPipe.flatMap(_._2).toMap
     }
@@ -122,7 +122,7 @@ object PipelineConfigs {
   def load(path: java.nio.file.Path,
       monitoringPipeline: Option[String]): Loaded = {
     if (!java.nio.file.Files.exists(path)) throw ConfigError(
-      s"pipeline config file not found: $path")
+      graft.ErrorCodes.IO_001(s"pipeline config file not found: $path"))
     val docs = new org.yaml.snakeyaml.Yaml()
       .loadAll(java.nio.file.Files.readString(path)).asScala.toSeq
     var projectDefaults = Map.empty[String, Any]
@@ -203,7 +203,7 @@ object PipelineConfigs {
   /** The reference's `_validate_config`: allowlists + shape checks; unknown
     * keys pass (forward compatibility). */
   private def validateConfig(cfg: Map[String, Any], where: String): Unit = {
-    def bad(msg: String) = throw ConfigError(s"pipeline config $where: $msg")
+    def bad(msg: String) = throw ConfigError(graft.ErrorCodes.CFG_052(s"pipeline config $where: $msg"))
     // a key written with no value ('edition:') parses as YAML null — catch
     // it by name BEFORE any .toString/.getClass would NPE; a null here is
     // always a mistake, never a meaningful setting
@@ -296,10 +296,10 @@ object PipelineConfigs {
     * of accepted-and-ignored. */
   def refuseContinuous(loaded: Loaded, pipelines: Seq[String]): Unit = {
     val cont = pipelines.filter(p => loaded.settingsFor(p).continuous)
-    if (cont.nonEmpty) throw ConfigError(
+    if (cont.nonEmpty) throw ConfigError(graft.ErrorCodes.CFG_050(
       s"pipeline config: continuous mode is not runnable on this engine " +
         s"(triggered AvailableNow microbatches only) — pipelines " +
-        s"${cont.mkString(", ")}; set continuous: false or drop the key")
+        s"${cont.mkString(", ")}; set continuous: false or drop the key"))
   }
 
   private def deepMerge(base: Map[String, Any], over: Map[String, Any]): Map[String, Any] =

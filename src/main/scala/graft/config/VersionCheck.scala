@@ -58,11 +58,11 @@ object VersionCheck {
         graft.Log.warn(s"version requirement bypass enabled " +
           s"(required: $spec, engine compat: $actual)")
       else if (!satisfies(spec, actual))
-        throw ConfigError(
+        throw ConfigError(graft.ErrorCodes.CFG_040(
           s"project '$projectName' requires config-surface version " +
             s"'$spec', but this engine is compatible with '$actual'. " +
             "Update required_lhp_version if the project config is known to " +
-            "work here, or set GRAFT_IGNORE_VERSION=1 to bypass.")
+            "work here, or set GRAFT_IGNORE_VERSION=1 to bypass."))
     }
 
   /** True when `version` satisfies every comma-joined clause of `spec`. */

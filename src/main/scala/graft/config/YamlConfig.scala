@@ -21,7 +21,7 @@ object YamlConfig {
     parseRoot(asMap(new Yaml().load[Any](yaml)), lenient) match {
       case Seq(fg) => fg
       case many => throw ConfigError(
-        s"expected one flowgroup, found ${many.size} — use parseDocuments for flowgroups-list files")
+        graft.ErrorCodes.CFG_003(s"expected one flowgroup, found ${many.size} — use parseDocuments for flowgroups-list files"))
     }
 
   /** Parse a full YAML file: multiple `---` documents and the `flowgroups:`
@@ -33,7 +33,7 @@ object YamlConfig {
       .flatMap(doc => parseRoot(asMap(doc), lenient))
 
   private def parseRoot(root: Map[String, Any], lenient: Boolean): Seq[FlowGroup] = {
-    val pipeline = str(root, "pipeline").getOrElse(throw ConfigError("missing 'pipeline'"))
+    val pipeline = str(root, "pipeline").getOrElse(throw ConfigError(graft.ErrorCodes.CFG_001("missing 'pipeline'")))
     def build(m: Map[String, Any], flowgroup: String) = FlowGroup(
       pipeline = pipeline,
       flowgroup = flowgroup,
@@ -47,10 +47,10 @@ object YamlConfig {
     root.get("flowgroups") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map { e =>
         val m = asMap(e)
-        build(m, str(m, "flowgroup").getOrElse(throw ConfigError("flowgroups entry missing 'flowgroup'")))
+        build(m, str(m, "flowgroup").getOrElse(throw ConfigError(graft.ErrorCodes.CFG_002("flowgroups entry missing 'flowgroup'"))))
       }
       case _ => Seq(build(root,
-        str(root, "flowgroup").getOrElse(throw ConfigError("missing 'flowgroup'"))))
+        str(root, "flowgroup").getOrElse(throw ConfigError(graft.ErrorCodes.CFG_002("missing 'flowgroup'")))))
     }
   }
 
@@ -79,7 +79,7 @@ object YamlConfig {
       case "write" => parseWrite(name, m, lenient)
       case "test" => TestAction(name, str(m, "test_type").getOrElse("custom_sql"),
         sourceSeq(m), anyMap(m, "config") ++ (m - "name" - "type" - "source"))
-      case other => throw ConfigError(s"unknown action type '$other' on '$name'")
+      case other => throw ConfigError(graft.ErrorCodes.ACT_001(s"unknown action type '$other' on '$name'"))
     }
     // depends_on (reference _action.py:101-105): explicit upstream table
     // references for dependency edges that cannot be parsed from SQL/Python
@@ -299,7 +299,7 @@ object YamlConfig {
           .getOrElse(throw ConfigError(s"custom_datasource '$name' missing custom_datasource_class")),
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         readMode = readMode)
-      case other => throw ConfigError(s"unknown load source type '$other' on '$name'")
+      case other => throw ConfigError(graft.ErrorCodes.ACT_003(s"unknown load source type '$other' on '$name'"))
     }
   }
 
@@ -496,19 +496,19 @@ object YamlConfig {
         val mode = str(wt, "mode")
         val joinedSql0 = str(m, "joined_sql").orElse(str(wt, "joined_sql"))
         if (mode.contains("incremental_join")) {
-          if (joinedSql0.isEmpty) throw ConfigError(
+          if (joinedSql0.isEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
             s"write '$name': mode incremental_join needs joined_sql (the " +
-              "stream-static join stage, with the fact side under stream(...))")
+              "stream-static join stage, with the fact side under stream(...))"))
           if (graft.plan.StreamRef.streamedViews(joinedSql0.get).isEmpty) throw ConfigError(
-            s"write '$name': incremental_join's joined_sql must stream its " +
-              "fact side — wrap it as stream(<table>)")
+            graft.ErrorCodes.ACT_010(s"write '$name': incremental_join's joined_sql must stream its " +
+              "fact side — wrap it as stream(<table>)"))
           if (str(m, "sql").orElse(str(wt, "sql"))
               .orElse(str(m, "sql_path")).orElse(str(wt, "sql_path")).isEmpty)
-            throw ConfigError(
+            throw ConfigError(graft.ErrorCodes.ACT_010(
               s"write '$name': mode incremental_join needs sql (the aggregation " +
-                s"stage over the ${table}__joined companion)")
-        } else if (joinedSql0.isDefined) throw ConfigError(
-          s"write '$name': joined_sql only applies with mode: incremental_join")
+                s"stage over the ${table}__joined companion)"))
+        } else if (joinedSql0.isDefined) throw ConfigError(graft.ErrorCodes.ACT_010(
+          s"write '$name': joined_sql only applies with mode: incremental_join"))
         MaterializedViewWrite(name,
         source = sourceSeq(m).headOption,
         table = table,
@@ -555,7 +555,7 @@ object YamlConfig {
           handlerClass = str(wt, "handler").orElse(str(wt, "custom_sink_class"))
             .orElse(str(wt, "batch_handler")),
           sinkName = str(wt, "sink_name"))
-      case other => throw ConfigError(s"unknown write type '$other' on '$name'")
+      case other => throw ConfigError(graft.ErrorCodes.ACT_002(s"unknown write type '$other' on '$name'"))
     }
   }
 

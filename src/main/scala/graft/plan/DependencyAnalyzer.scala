@@ -140,8 +140,8 @@ object DependencyAnalyzer {
           case (n, ds) if ds.forall(d => !remaining.contains(d)) => n
         }.toSeq.sorted
         if (ready.isEmpty)
-          throw Planner.PlanError(
-            s"flowgroup dependency cycle: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+          throw Planner.PlanError(graft.ErrorCodes.DEP_002(
+            s"flowgroup dependency cycle: ${remaining.keys.toSeq.sorted.mkString(", ")}"))
         out += ready
         remaining = remaining -- ready
       }

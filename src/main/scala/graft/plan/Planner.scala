@@ -53,10 +53,10 @@ object Planner {
       val ins = inputs(a) // one resolution per action (may parse SQL)
       val ambiguous = ins.filter(n =>
         ambiguousBare.contains(n) && !byTarget.contains(n) && !byQualified.contains(n))
-      if (ambiguous.nonEmpty) throw PlanError(
+      if (ambiguous.nonEmpty) throw PlanError(graft.ErrorCodes.VAL_001(
         s"action '${a.name}' reads short table name(s) ${ambiguous.mkString(", ")} " +
         s"that match multiple write targets (${ambiguous.flatMap(byBare(_)).mkString(", ")}); " +
-        "use the qualified name")
+        "use the qualified name"))
       a.name -> ins
         .flatMap(n => byTarget.get(n).map(Seq(_)).orElse(byTable.get(n)).getOrElse(Nil))
         .map(_.name).filterNot(_ == a.name).toSet
@@ -81,7 +81,7 @@ object Planner {
         case (n, ds) if ds.forall(d => !remaining.contains(d)) => n
       }.toSeq.sorted // deterministic order among ready actions
       if (ready.isEmpty)
-        throw PlanError(s"dependency cycle among actions: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+        throw PlanError(graft.ErrorCodes.DEP_001(s"dependency cycle among actions: ${remaining.keys.toSeq.sorted.mkString(", ")}"))
       ready.foreach(n => out += byName(n))
       remaining = remaining -- ready
     }
@@ -90,7 +90,7 @@ object Planner {
 
   def validate(fg: FlowGroup, inputs: Action => Seq[String] = _.inputNames): Unit = {
     val actions = fg.actions
-    if (actions.isEmpty) throw PlanError(s"flowgroup '${fg.flowgroup}' has no actions")
+    if (actions.isEmpty) throw PlanError(graft.ErrorCodes.VAL_002(s"flowgroup '${fg.flowgroup}' has no actions"))
     val writes = actions.collect { case w: WriteAction => w }
     val hasLoad = actions.exists(_.isInstanceOf[LoadAction])
     // test-only flowgroups are valid pipelines in the reference
@@ -101,9 +101,9 @@ object Planner {
       !hasLoad && writes.isEmpty
     if (!testOnly) {
       if (writes.isEmpty)
-        throw PlanError(s"flowgroup '${fg.flowgroup}' has no write action")
+        throw PlanError(graft.ErrorCodes.VAL_003(s"flowgroup '${fg.flowgroup}' has no write action"))
       if (!hasLoad && !writes.exists(selfContained))
-        throw PlanError(s"flowgroup '${fg.flowgroup}' has no load action and no self-contained write")
+        throw PlanError(graft.ErrorCodes.VAL_004(s"flowgroup '${fg.flowgroup}' has no load action and no self-contained write"))
     }
     // orphan transforms: a non-write action whose target no other action
     // consumes (SQL-referenced views count — `inputs` may parse SQL)
@@ -112,15 +112,15 @@ object Planner {
       case a if !a.isInstanceOf[WriteAction] && a.target.exists(t => !consumed.contains(t)) => a.name
     }
     if (orphans.nonEmpty)
-      throw PlanError(s"orphan actions (target never consumed): ${orphans.mkString(", ")}")
+      throw PlanError(graft.ErrorCodes.VAL_005(s"orphan actions (target never consumed): ${orphans.mkString(", ")}"))
     // sink identity collisions: two sinks sharing a sinkId share ONE
     // streaming checkpoint (the second silently resumes from the first's
     // offsets and skips its data) and one default files path — reject
     val dupSinks = actions.collect { case s: SinkWrite => s }
       .groupBy(_.sinkId).collect { case (id, ss) if ss.size > 1 => id }
     if (dupSinks.nonEmpty)
-      throw PlanError(s"flowgroup '${fg.flowgroup}': multiple sinks share " +
-        s"sink identity ${dupSinks.mkString(", ")} — set distinct sink_name/action names")
+      throw PlanError(graft.ErrorCodes.VAL_006(s"flowgroup '${fg.flowgroup}': multiple sinks share " +
+        s"sink identity ${dupSinks.mkString(", ")} — set distinct sink_name/action names"))
   }
 
   /** Write fan-in grouping: N writes to one table → one create + N flows
