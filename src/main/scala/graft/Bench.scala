@@ -29,6 +29,13 @@ object Bench {
     require(names.nonEmpty,
       s"SPARK_GRAFT_FILTER '${filter.getOrElse("")}' matched no queries " +
         s"(have: ${queries.keys.toSeq.sorted.mkString(", ")})")
+    // short-key collisions must abort BEFORE the timing loop — failing
+    // after hours of iterations would discard every result with them
+    val shortKeys = names.map { case (n, _) => n.takeWhile(_ != '_') }
+    require(shortKeys.distinct.size == shortKeys.size,
+      "compact bench keys (prefix before first '_') collide: " +
+        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+          .mkString(", ") + " — rename the new query with a unique prefix")
     // iterate OUTER over passes, INNER over queries: consecutive runs of the
     // same query would share page cache/JIT state unrealistically; interleaving
     // spaces them out the way the driver's one-pass run sees them
@@ -78,11 +85,6 @@ object Bench {
     // "d1_exact_dedup" → "d1"). ~13 bytes/query: 83 queries ≈ 1.2 KB, with
     // headroom for ~40 more. Full names stay in the full JSON line above.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val shortKeys = medians.map { case (k, _) => shortKey(k) }
-    require(shortKeys.distinct.size == shortKeys.size,
-      "compact bench keys (prefix before first '_') collide: " +
-        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
-          .mkString(", ") + " — rename the new query with a unique prefix")
     def r2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qsCompact = medians.map { case (k, v) => s"\"" + shortKey(k) + "\":" + r2(v) }

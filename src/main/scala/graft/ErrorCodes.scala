@@ -70,8 +70,12 @@ object ErrorCodes {
 
   private val Tagged = "(?s)^\\[(GRF-[A-Z]+-[0-9A-Z]+)\\]\\s(.*)$".r
 
-  /** (code, bare message) — [[Uncoded]] when the message carries no tag. */
+  /** (code, bare message) — [[Uncoded]] when the message carries no tag.
+    * Null-safe: validation feeds arbitrary caught Throwables through here,
+    * and an exception constructed without a message must degrade to an
+    * Uncoded issue, not NPE the whole validate run. */
   def split(msg: String): (String, String) = msg match {
+    case null => (Uncoded, "(no message)")
     case Tagged(c, rest) => (c, rest)
     case m => (Uncoded, m)
   }

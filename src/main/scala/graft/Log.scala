@@ -28,11 +28,17 @@ object Log {
 
   @volatile private var sink: Sink = stderrAndSlf4j
 
-  /** Thread-scoped overlay for [[withSink]]. DynamicVariable is backed by
-    * an InheritableThreadLocal, so threads SPAWNED inside the scope inherit
-    * the capture; pre-existing pool threads (Spark executors) do not — all
-    * engine advisories are driver-side, so that is the right boundary. */
-  private val scoped = new scala.util.DynamicVariable[Option[Sink]](None)
+  /** Thread-scoped overlay for [[withSink]] — a PLAIN ThreadLocal, not a
+    * DynamicVariable: the latter's InheritableThreadLocal would be copied
+    * into any long-lived thread Spark spawns inside the scope (listener /
+    * streaming daemons) and outlive the scope there, silently swallowing
+    * that thread's advisories for the rest of the JVM. With no
+    * inheritance, only the calling thread is scoped; threads it spawns use
+    * the global route — the conservative boundary for a diagnostics
+    * channel. */
+  private val scoped = new ThreadLocal[Option[Sink]] {
+    override def initialValue(): Option[Sink] = None
+  }
 
   /** Replace the PROCESS-GLOBAL warning route (pass [[stderrAndSlf4j]] to
     * restore). Two embedders calling this concurrently capture each other's
@@ -42,12 +48,17 @@ object Log {
 
   /** Run `body` with `s` as this thread's warning route, restoring on exit.
     * Safe under concurrency: each thread sees its own capture; threads
-    * outside the scope keep the global route. */
-  def withSink[A](s: Sink)(body: => A): A = scoped.withValue(Some(s))(body)
+    * outside the scope (including threads spawned inside it) keep the
+    * global route. */
+  def withSink[A](s: Sink)(body: => A): A = {
+    val prev = scoped.get()
+    scoped.set(Some(s))
+    try body finally scoped.set(prev)
+  }
 
   /** Emit one engine warning through the current route — the innermost
     * [[withSink]] scope if one is active on this thread, else the global
     * [[route]]. Messages arrive WITHOUT the `[graft] ` prefix — the sink
     * owns presentation. */
-  def warn(msg: String): Unit = scoped.value.getOrElse(sink)(msg)
+  def warn(msg: String): Unit = scoped.get().getOrElse(sink)(msg)
 }

@@ -347,10 +347,17 @@ object Dedup {
       eCount = nextCount
       i += 1
     }
+    // A maxIter cutoff before the fixed point can leave a node with TWO
+    // parent edges; the groupBy-min below would silently drop one and
+    // split the component across two keepers — loud beats under-merged
+    // (the same posture as every config refusal in this engine)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(the star alternation needs O(log^2 n) — raise maxIter)")
     // At convergence `e` is a star forest: (member, root) with every root
-    // pointing nowhere. Pointer-jump any residual depth (maxIter cutoffs,
-    // adversarial fixed points) instead of assuming it — each jump halves
-    // path depth, and on an already-flat forest the guard join finds
+    // pointing nowhere (a node with two parents cannot be a small-star
+    // fixed point). Pointer-jump any residual depth anyway instead of
+    // assuming it — on an already-flat forest the guard join finds
     // nothing and exits immediately.
     var parents = e.groupBy("hi").agg(min("lo").as("lo"))
     var depth = 0

@@ -937,7 +937,7 @@ final class PipelineRunner(
     // via this skip: their txn line was not written, and the intent-marker
     // probe below stays loud for them.
     val txnId = txn.map { case (flow, id) => s"$flow#$id" }
-    if (txnId.exists(store.committedTxns(chTable).contains)) return
+    if (txnId.exists(committedTxnsCached(chTable).contains)) return
     // serialize the replay spec FIRST: its separator-name guard must fire
     // before any rows land in the log
     val spec = replaySpec(mergeOpts)
@@ -1009,7 +1009,10 @@ final class PipelineRunner(
     // txn identity lands with the other post-append sidecars: a crash
     // before this line leaves no txn record, so a replay re-commits through
     // the intent-marker path instead of silently skipping a lost commit
-    txnId.foreach(store.recordCommitTxn(chTable, version, _))
+    txnId.foreach { t =>
+      store.recordCommitTxn(chTable, version, t)
+      committedTxnsCached(chTable) += t
+    }
     // commit complete — clear the intent marker LAST (a crash among the
     // sidecar writes above leaves the marker; the next write's probe then
     // finds the log clean, and partial ts/kind sidecar coverage is caught
@@ -1231,9 +1234,22 @@ final class PipelineRunner(
       if (refreshed.add(table)) {
         store.drop(table)
         store.drop(s"${table}__changes")
+        txnCache.remove(s"${table}__changes"): Unit
       }
       Fs.deleteRecursively(checkpointFor(actionName))
     }
+
+  /** Committed (flow#batch) identities per change log, parsed from the
+    * `._commit_txn` sidecar ONCE per runner and appended in memory after —
+    * a per-microbatch file re-parse would put an O(total commits) cost on
+    * the hot append path, the exact class the intent-marker design avoids.
+    * Safe under the single-writer-per-table discipline the store documents
+    * (no other process appends while this runner owns the table); a full
+    * refresh drops the entry with the log. */
+  private val txnCache = mutable.Map[String, mutable.Set[String]]()
+  private def committedTxnsCached(chTable: String): mutable.Set[String] =
+    txnCache.getOrElseUpdate(chTable,
+      mutable.Set.from(store.committedTxns(chTable)))
 
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
     applyFullRefresh(a.table, a.name)

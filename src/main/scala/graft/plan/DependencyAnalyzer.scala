@@ -102,7 +102,16 @@ object DependencyAnalyzer {
         case s: SqlLoad => tablesInSql(spark, s.sql) ++ s.dependsOn
         case s: SqlTransform => s.sources ++ tablesInSql(spark, s.sql) ++ s.dependsOn
         case m: MaterializedViewWrite =>
-          m.sources ++ m.sql.toSeq.flatMap(tablesInSql(spark, _)) ++ m.dependsOn
+          // incremental_join MVs carry their REAL upstream (the streamed
+          // fact + dims) in joined_sql; the aggregation sql references only
+          // the engine-managed __joined companion, which is this MV's own
+          // artifact, not a dependency — include the former, drop the latter
+          // or the planner would order this MV against a phantom producer
+          m.sources ++
+            (m.sql.toSeq ++ m.joinedSql.toSeq).flatMap(tablesInSql(spark, _))
+              .filterNot(n => n == s"${m.table}__joined" ||
+                n == s"${m.table.split('.').last}__joined") ++
+            m.dependsOn
         case other => other.inputNames
       }
     inputs.distinct

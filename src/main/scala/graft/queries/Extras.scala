@@ -22,6 +22,10 @@ object Extras {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_e1_logs_${
       sys.props.getOrElse("user.name", "anon")}"
 
+  /** Intra-JVM half of the e1 publish serialization (see the publish
+    * block); the `.lock` file is the cross-process half. */
+  private[queries] val e1PublishMonitor = new Object
+
   /** Multimodal pipeline: text bytes → media table → batched stub decode →
     * per-mime feature summary. Deterministic (content-hash stub decoder). */
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -248,22 +252,29 @@ object Extras {
         store.read(hooks.tableFor(p)).write.mode("overwrite")
           .parquet(s"${staging.getPath}/$p")
       }
-      val lockCh = java.nio.channels.FileChannel.open(
-        new java.io.File(s"${Extras.e1LogDumpPath}.lock").toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      val lock = lockCh.lock()
-      try {
-        graft.exec.Fs.deleteRecursively(fixed)
-        if (!staging.renameTo(fixed)) {
-          // the fixed dir is already gone — staging is the ONLY copy of the
-          // dump now; keep it (the exception names the path) instead of
-          // destroying both sides
-          keepStaging = true
-          throw new IllegalStateException(
-            s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
-        }
-      } finally { lock.release(); lockCh.close() }
+      // cross-PROCESS serialization via the file lock, cross-THREAD via the
+      // JVM monitor around it — FileChannel.lock throws
+      // OverlappingFileLockException for a second lock attempt in the same
+      // JVM, so the monitor must come first (parallel suites, two gate
+      // queries in one driver)
+      Extras.e1PublishMonitor.synchronized {
+        val lockCh = java.nio.channels.FileChannel.open(
+          new java.io.File(s"${Extras.e1LogDumpPath}.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+          graft.exec.Fs.deleteRecursively(fixed)
+          if (!staging.renameTo(fixed)) {
+            // the fixed dir is already gone — staging is the ONLY copy of
+            // the dump now; keep it (the exception names the path) instead
+            // of destroying both sides
+            keepStaging = true
+            throw new IllegalStateException(
+              s"e1: could not publish ${staging.getPath} at ${fixed.getPath}")
+          }
+        } finally { lock.release(); lockCh.close() }
+      }
     } finally
       // a failed dump must not leak the staging dir in /tmp
       if (!keepStaging && staging.exists())

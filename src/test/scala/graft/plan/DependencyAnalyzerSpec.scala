@@ -133,4 +133,18 @@ class DependencyAnalyzerSpec extends SparkSuite {
     assert(DependencyAnalyzer.actionInputs(spark, plain, trustDependsOn = true) ==
       Seq("parsed_tbl"))
   }
+
+  test("incremental_join MV: joined_sql's fact and dims are dependency edges; the companion is not") {
+    // the REAL upstream (streamed fact + dims) lives in joined_sql; the
+    // aggregation sql sees only the engine-managed __joined companion,
+    // which is this MV's own artifact — without joined_sql extraction the
+    // gold flowgroup could be generation-ordered before the fact write
+    val mv = MaterializedViewWrite("mv", None, "rev_mv",
+      sql = Some("SELECT r, sum(x) AS t FROM rev_mv__joined GROUP BY r"),
+      incrementalJoin = true,
+      joinedSql = Some(
+        "SELECT f.x, d.r FROM stream(fact_t) f JOIN dim_t d ON f.k = d.k"))
+    assert(DependencyAnalyzer.actionInputs(spark, mv).toSet ==
+      Set("fact_t", "dim_t"))
+  }
 }
