@@ -312,9 +312,25 @@ object Dedup {
     // self-loops carry no connectivity (their endpoints still label
     // themselves via `ids`)
     var e = truncate(raw.filter(col("hi") =!= col("lo")), checkpoint)
-    var eCount = e.count()
+    // Fixed point of the alternation ⟺ `e` is FUNCTIONAL (one parent per
+    // hi — a node with two parents cannot survive small-star unchanged)
+    // and FLAT (no parent itself appears as a child — a two-deep path
+    // changes under large-star). Both steps preserve connectivity, so a
+    // functional+flat state is exactly one star per component. Checking
+    // this is ONE action over `e` (violations unioned, emptiness probed) —
+    // the first implementation instead ran a full speculative round plus a
+    // count+except pair to detect no-change: ~4 extra jobs per query, pure
+    // driver-side round-trip latency at gate scale and a wasted full pass
+    // over the edge list at 100 TB scale.
+    def isStarForest(frame: DataFrame): Boolean = {
+      val dupParents = frame.groupBy("hi").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(lit(1).as("one"))
+      val deepPaths = frame.join(frame.select(col("hi").as("lo")), Seq("lo"), "leftsemi")
+        .select(lit(1).as("one"))
+      dupParents.unionByName(deepPaths).isEmpty
+    }
     var i = 0
-    var converged = eCount == 0
+    var converged = isStarForest(e)
     while (!converged && i < maxIter) {
       // large-star: every neighbor LARGER than u re-points at
       // m = min(N(u) ∪ {u}); smaller neighbors are left for small-star.
@@ -338,41 +354,19 @@ object Dedup {
         .unionByName(withM.filter(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct()
-      val next = truncate(small, checkpoint)
-      val nextCount = next.count()
-      // fixed point of the alternation = both half-steps are no-ops; the
-      // star-forest guarantee is re-checked below, not assumed
-      converged = nextCount == eCount && next.except(e).isEmpty
-      e = next
-      eCount = nextCount
+      e = truncate(small, checkpoint)
       i += 1
+      converged = isStarForest(e)
     }
     // A maxIter cutoff before the fixed point can leave a node with TWO
-    // parent edges; the groupBy-min below would silently drop one and
-    // split the component across two keepers — loud beats under-merged
-    // (the same posture as every config refusal in this engine)
+    // parent edges; labeling from that state would silently split the
+    // component across two keepers — loud beats under-merged (the same
+    // posture as every config refusal in this engine)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds " +
         "(the star alternation needs O(log^2 n) — raise maxIter)")
-    // At convergence `e` is a star forest: (member, root) with every root
-    // pointing nowhere (a node with two parents cannot be a small-star
-    // fixed point). Pointer-jump any residual depth anyway instead of
-    // assuming it — on an already-flat forest the guard join finds
-    // nothing and exits immediately.
-    var parents = e.groupBy("hi").agg(min("lo").as("lo"))
-    var depth = 0
-    var flat = false
-    while (!flat && depth < maxIter) {
-      val up = parents.select(col("hi").as("lo"), col("lo").as("lo2"))
-      val jumped = parents.join(up, Seq("lo"), "left")
-      flat = jumped.filter(col("lo2").isNotNull).isEmpty
-      if (!flat)
-        parents = truncate(jumped
-          .select(col("hi"), coalesce(col("lo2"), col("lo")).as("lo"))
-          .groupBy("hi").agg(min("lo").as("lo")), checkpoint)
-      depth += 1
-    }
-    ids.join(parents.select(col("hi").as("id"), col("lo").as("component")),
+    // e is a proven star forest: it IS the (member → root) mapping
+    ids.join(e.select(col("hi").as("id"), col("lo").as("component")),
       Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
