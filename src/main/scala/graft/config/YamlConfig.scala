@@ -108,21 +108,18 @@ object YamlConfig {
         // option (cloudFiles.format) rather than the `format` field.
         // The reference autoloader templates cover json/csv/parquet/text/
         // orc/xml/binaryFile/avro; all but avro map to built-in Spark 4
-        // file sources. avro needs the spark-avro connector, absent from
-        // this deployment's jars — loud, named (the kafka-broker posture),
-        // never a raw "Failed to find data source" at stream start.
+        // file sources. avro has no spark-avro connector in this
+        // deployment's jars — it reads through the engine's own bridge
+        // (sources/AvroBridge.scala: binaryFile stream + DataFileStream
+        // decode on the serde jar that DOES ship).
         format = str(src, "format")
           .orElse(str(anyMap(src, "options"), "cloudFiles.format"))
           .getOrElse("json") match {
-            case f @ ("json" | "csv" | "parquet" | "text" | "orc" | "xml") => f
+            case f @ ("json" | "csv" | "parquet" | "text" | "orc" | "xml" | "avro") => f
             case "binaryFile" | "binaryfile" => "binaryFile"
-            case "avro" => throw ConfigError(s"load '$name': format 'avro' " +
-              "needs the spark-avro connector, which this deployment's " +
-              "Spark jars do not include — re-land the data as parquet/orc " +
-              "or add spark-avro to the cluster")
             case other => throw ConfigError(s"load '$name': unknown " +
               s"cloudfiles format '$other' — supported: json, csv, parquet, " +
-              "text, orc, xml, binaryFile")
+              "text, orc, xml, binaryFile, avro")
           },
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),

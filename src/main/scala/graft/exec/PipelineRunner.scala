@@ -374,6 +374,14 @@ final class PipelineRunner(
           "readMode: stream (a batch read has no stream start to exclude " +
           "files before); use readMode: stream or drop the option")
       val passThrough = translateCloudFilesOptions(a)
+      // avro reads through the engine's bridge (no spark-avro connector in
+      // this deployment's jars): binaryFile lists/streams the files with the
+      // same checkpoint/backfill machinery as every other format, and the
+      // bridge decodes container blocks with the Avro serde jar that DOES
+      // ship. Inference reads file headers only (bytes per file, not rows).
+      def inferredSchema(): StructType =
+        if (a.format == "avro") graft.sources.AvroBridge.inferSchema(spark, a.path)
+        else spark.read.format(a.format).options(passThrough).load(a.path).schema
       // Rescue mode reads RAW TEXT and parses each line with from_json /
       // from_csv, so the rescue column is an ordinary materialized column.
       // Reading with the scan-level corrupt-record option instead is subtly
@@ -388,9 +396,7 @@ final class PipelineRunner(
       val RawLineCol = "__graft_raw"
       def rescueParse(raw0: DataFrame, rc: String): DataFrame = {
         val raw = raw0.select(col("value").as(RawLineCol))
-        val dataSchema = evolve(declared.getOrElse(merge(
-          spark.read.format(a.format)
-            .options(passThrough).load(a.path).schema)))
+        val dataSchema = evolve(declared.getOrElse(merge(inferredSchema())))
         if (dataSchema.fieldNames.exists(_.equalsIgnoreCase(RawLineCol)))
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': column name '$RawLineCol' is reserved by the " +
@@ -435,23 +441,38 @@ final class PipelineRunner(
               // file streams need a schema: declared, or inferred from
               // existing files (dev convenience) merged with hints; the
               // evolution sidecar merges/pins/rejects across runs
-              val schema = evolve(declared.getOrElse(merge(
-                spark.read.format(a.format).options(passThrough).load(a.path).schema)))
-              val stream0 = spark.readStream.format(a.format).schema(schema)
-                .options(passThrough).load(a.path)
-              excludePreexisting(a, stream0)
+              val schema = evolve(declared.getOrElse(merge(inferredSchema())))
+              if (a.format == "avro") {
+                // the includeExistingFiles anti-join must run on the
+                // binaryFile frame — the decoded rows no longer carry
+                // `_metadata.file_path`
+                val bin = spark.readStream.format("binaryFile")
+                  .schema(graft.sources.AvroBridge.binaryFileSchema)
+                  .options(passThrough).load(a.path)
+                graft.sources.AvroBridge.decode(excludePreexisting(a, bin), schema)
+              } else {
+                val stream0 = spark.readStream.format(a.format).schema(schema)
+                  .options(passThrough).load(a.path)
+                excludePreexisting(a, stream0)
+              }
           }
         } else rescueCol match {
           case Some(rc) =>
             rescueParse(spark.read.format("text").load(a.path), rc)
+          case None if a.format == "avro" =>
+            val schema = evolutionMode match {
+              case Some(_) => evolve(declared.getOrElse(merge(inferredSchema())))
+              case None => declared.getOrElse(merge(inferredSchema()))
+            }
+            graft.sources.AvroBridge.decode(
+              spark.read.format("binaryFile").options(passThrough).load(a.path), schema)
           case None =>
             val r = spark.read.format(a.format).options(passThrough)
             // EVERY evolution mode routes through evolve on batch reads too
             // — the none/rescue pin must hold across batch runs as well
             val evolved = evolutionMode match {
               case Some(_) =>
-                Some(evolve(declared.getOrElse(merge(
-                  spark.read.format(a.format).options(passThrough).load(a.path).schema))))
+                Some(evolve(declared.getOrElse(merge(inferredSchema()))))
               case None => declared
             }
             val df0 = evolved.map(r.schema).getOrElse(r).load(a.path)

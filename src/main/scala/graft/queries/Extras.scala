@@ -466,6 +466,47 @@ object Extras {
     store.read("c1_t").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
   }
 
+  /** The cloudfiles AVRO ingest path through the gate — the last reference
+    * autoloader format that was a named error (no spark-avro connector in
+    * the deployment jars; sources/AvroBridge.scala reads container files
+    * through binaryFile + the serde jar). Same three-run growing-landing
+    * shape as c1, but the landing files are Avro containers written by the
+    * bridge's own writer, so the hash also pins the encode side: a value
+    * mangled on either leg of the avro round trip, a re-read batch, or a
+    * skipped file all mismatch the raw customer oracle. */
+  def c2AvroIngest(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c2").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: c2
+         |flowgroup: ingest
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: c2_t}
+         |""".stripMargin
+    graft.sources.AvroBridge.write(cust.filter(col("c_custkey") % 2 === 0), landing)
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    graft.sources.AvroBridge.write(cust.filter(col("c_custkey") % 2 === 1), landing)
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    // no new files: a correct checkpoint makes this run a no-op
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("c2_t").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+  }
+
   /** Declared-incremental join MV through the gate — the acmi gold-layer
     * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
     * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
@@ -531,6 +572,7 @@ object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
+    "c2_avro_ingest" -> c2AvroIngest,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -653,6 +695,12 @@ object Extras {
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it
     "c1_cloudfiles_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer""".stripMargin,
+    // c2's oracle is the same raw table: the Spark side round-trips every
+    // row through Avro containers and the streaming ingest, so any encode/
+    // decode mangling or replay/skip hash-mismatches
+    "c2_avro_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer""".stripMargin,
     // e1 recomputes the monitoring rollup from the RAW per-pipeline event

@@ -1,0 +1,431 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => ASchema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.config.YamlConfig.ConfigError
+
+/** Avro container-file support WITHOUT the spark-avro connector (absent from
+  * this deployment's jars — only the serde `avro-1.12.1.jar` ships). The
+  * reference's autoloader template set includes avro
+  * (lakehouse_plumber templates: cloudfiles format list), which was this
+  * engine's last named format gap.
+  *
+  * Design: files are listed/streamed by Spark's built-in `binaryFile` file
+  * source — so checkpointing, incremental listing, maxFilesPerTrigger and
+  * the includeExistingFiles anti-join all come from the same machinery every
+  * other cloudfiles format uses — and each file's bytes are decoded into
+  * rows with the Apache Avro `DataFileStream` inside `mapPartitions`.
+  * mapPartitions is justified the same way the multimodal kernels are: no
+  * Catalyst expression decodes an Avro container block. Scale shape: one
+  * task per file group, no shuffle, no driver-side data movement; the only
+  * driver work is header-reads for schema inference (bytes per file, not
+  * rows).
+  *
+  * Limits (all loud): whole-file decode means a single .avro file must fit
+  * in one task's memory (the binaryFile source's own 2 GB cap applies
+  * first); complex unions (beyond [null, T]) have no Spark type and are
+  * refused at schema-conversion time.
+  */
+object AvroBridge {
+
+  /** Fixed schema of Spark's binaryFile source (public contract of the
+    * format since 3.0): streaming reads must declare it up front. */
+  val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = true),
+    StructField("modificationTime", TimestampType, nullable = true),
+    StructField("length", LongType, nullable = true),
+    StructField("content", BinaryType, nullable = true)))
+
+  // ------------------------------------------------------------------ schema
+
+  /** Avro → Spark type. Logical types map the way spark-avro documents them
+    * publicly: date→DateType, timestamp-millis/micros→TimestampType,
+    * local-timestamp-*→TimestampNTZType, decimal→DecimalType, uuid→string.
+    * Unions: [null, T] (either order) → nullable T; anything wider has no
+    * Spark counterpart — refuse loudly rather than guess a struct encoding. */
+  def toSparkType(s: ASchema): (DataType, Boolean) = s.getType match {
+    case ASchema.Type.UNION =>
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != ASchema.Type.NULL)
+      if (nonNull.size != 1)
+        throw ConfigError(s"avro: union ${s} has ${nonNull.size} non-null " +
+          "branches — only [null, T] unions map to a Spark type")
+      (toSparkType(nonNull.head)._1, true)
+    case ASchema.Type.NULL => (NullType, true)
+    case ASchema.Type.BOOLEAN => (BooleanType, false)
+    case ASchema.Type.INT =>
+      s.getLogicalType match {
+        case _: LogicalTypes.Date => (DateType, false)
+        case _ => (IntegerType, false)
+      }
+    case ASchema.Type.LONG =>
+      s.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros =>
+          (TimestampType, false)
+        case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros =>
+          (TimestampNTZType, false)
+        case _ => (LongType, false)
+      }
+    case ASchema.Type.FLOAT => (FloatType, false)
+    case ASchema.Type.DOUBLE => (DoubleType, false)
+    case ASchema.Type.STRING => (StringType, false)
+    case ASchema.Type.ENUM => (StringType, false)
+    case ASchema.Type.BYTES | ASchema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
+    case ASchema.Type.ARRAY =>
+      val (et, en) = toSparkType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case ASchema.Type.MAP =>
+      val (vt, vn) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
+    case ASchema.Type.RECORD =>
+      (StructType(s.getFields.asScala.toSeq.map { f =>
+        val (dt, nullable) = toSparkType(f.schema())
+        StructField(f.name(), dt, nullable)
+      }), false)
+  }
+
+  def toStruct(s: ASchema): StructType = toSparkType(s)._1 match {
+    case st: StructType => st
+    case other => throw ConfigError(
+      s"avro: top-level schema must be a record, got $other")
+  }
+
+  /** Spark → Avro schema for the writer. Every field is union(null, T):
+    * Spark nullability is advisory on write paths and a non-null promise the
+    * writer can't keep would corrupt the container. */
+  def toAvroSchema(st: StructType, recordName: String): ASchema = {
+    def conv(dt: DataType, path: String): ASchema = dt match {
+      case BooleanType => ASchema.create(ASchema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => ASchema.create(ASchema.Type.INT)
+      case LongType => ASchema.create(ASchema.Type.LONG)
+      case FloatType => ASchema.create(ASchema.Type.FLOAT)
+      case DoubleType => ASchema.create(ASchema.Type.DOUBLE)
+      case StringType => ASchema.create(ASchema.Type.STRING)
+      case BinaryType => ASchema.create(ASchema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(ASchema.create(ASchema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(ASchema.create(ASchema.Type.BYTES))
+      case ArrayType(et, _) => ASchema.createArray(nullable(conv(et, path + ".item")))
+      case MapType(StringType, vt, _) => ASchema.createMap(nullable(conv(vt, path + ".value")))
+      case s: StructType => record(s, sanitize(path))
+      case other => throw ConfigError(
+        s"avro writer: no Avro mapping for Spark type $other at $path")
+    }
+    def nullable(s: ASchema): ASchema =
+      ASchema.createUnion(java.util.List.of(ASchema.create(ASchema.Type.NULL), s))
+    def record(s: StructType, name: String): ASchema = {
+      val fields = s.fields.map { f =>
+        new ASchema.Field(f.name, nullable(conv(f.dataType, name + "_" + f.name)),
+          null, ASchema.Field.NULL_DEFAULT_VALUE)
+      }
+      ASchema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+    }
+    record(st, sanitize(recordName))
+  }
+
+  private def sanitize(n: String): String = {
+    val cleaned = n.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (cleaned.isEmpty || cleaned.head.isDigit) "r_" + cleaned else cleaned
+  }
+
+  // --------------------------------------------------------------- inference
+
+  /** Infer a StructType by reading the HEADER of every data file under
+    * `path` (recursive; hidden `_`/`.` names skipped, matching Spark's file
+    * index). Cost is bytes-per-header on the driver, not rows. Schemas merge
+    * across files the way Auto Loader evolution expects: first-seen field
+    * order; a field absent from some file becomes nullable; a same-name
+    * type conflict is a loud error (a silent pick would misread one file or
+    * the other). A non-Avro file in the directory is a loud error too — the
+    * decode path would hit it anyway, and erroring here names the file. */
+  def inferSchema(spark: SparkSession, path: String): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root))
+      throw ConfigError(s"avro: path '$path' does not exist")
+    val files = mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith("."))
+        files += st.getPath
+    }
+    if (files.isEmpty)
+      throw ConfigError(s"avro: no data files under '$path' to infer a " +
+        "schema from — declare table_schema or land a file first")
+    val structs = files.sortBy(_.toString).map { p =>
+      val in = fs.open(p)
+      try {
+        val dfs = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        try toStruct(dfs.getSchema)
+        finally dfs.close()
+      } catch {
+        case e: java.io.IOException => throw ConfigError(
+          s"avro: '$p' is not an Avro container file (${e.getMessage})")
+      } finally in.close()
+    }
+    structs.reduceLeft(mergeStructs(path))
+  }
+
+  private def mergeStructs(path: String)(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name.toLowerCase -> f).toMap
+    val merged = a.fields.map { f =>
+      bByName.get(f.name.toLowerCase) match {
+        case Some(bf) =>
+          if (bf.dataType != f.dataType)
+            throw ConfigError(s"avro: field '${f.name}' under '$path' has " +
+              s"conflicting types across files (${f.dataType.simpleString} vs " +
+              s"${bf.dataType.simpleString}) — re-land with one schema or declare table_schema")
+          f.copy(nullable = f.nullable || bf.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val extras = b.fields.filterNot(f => a.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .map(_.copy(nullable = true))
+    StructType(merged ++ extras)
+  }
+
+  // ------------------------------------------------------------------ decode
+
+  /** Decode a binaryFile frame (batch or streaming — the caller picks the
+    * source) into `target`-schema rows. Field resolution is BY NAME against
+    * each file's own writer schema, so schema evolution (a new column in
+    * newer files) reads older files as null without a reader-schema dance.
+    * Numeric widenings the merge/hints can produce (int→long, float→double,
+    * and their date/timestamp-precision analogues fall out of the logical
+    * types) are coerced; anything else mismatching is a loud per-file error
+    * naming field, file type and target type. */
+  def decode(bin: DataFrame, target: StructType): DataFrame = {
+    val fieldNames = target.fields.map(_.name)
+    val fieldTypes = target.fields.map(_.dataType)
+    bin.select("path", "content").mapPartitions { it =>
+      it.flatMap { fileRow =>
+        val path = fileRow.getString(0)
+        val bytes = fileRow.getAs[Array[Byte]](1)
+        val dfs =
+          try new DataFileStream(new ByteArrayInputStream(bytes),
+            new GenericDatumReader[GenericRecord]())
+          catch {
+            case e: java.io.IOException => throw ConfigError(
+              s"avro: '$path' is not an Avro container file (${e.getMessage})")
+          }
+        val writerFields = dfs.getSchema.getFields.asScala
+          .map(f => f.name().toLowerCase -> f).toMap
+        // per-field converter resolved ONCE per file, not per row
+        val convs: Array[GenericRecord => Any] = fieldNames.indices.map { i =>
+          writerFields.get(fieldNames(i).toLowerCase) match {
+            case None => (_: GenericRecord) => null
+            case Some(wf) =>
+              val pos = wf.pos()
+              val conv = valueConverter(wf.schema(), fieldTypes(i),
+                s"field '${fieldNames(i)}' of '$path'")
+              (r: GenericRecord) => conv(r.get(pos))
+          }
+        }.toArray
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = dfs.hasNext; if (!h) dfs.close(); h }
+          def next(): Row = {
+            val rec = dfs.next()
+            Row.fromSeq(convs.toIndexedSeq.map(c => c(rec)))
+          }
+        }
+      }
+    }(Encoders.row(target))
+  }
+
+  /** Converter from an Avro-decoded JVM value (writer schema `ws`) to the
+    * external Spark value for `target`. Resolution happens once per file. */
+  private def valueConverter(ws0: ASchema, target: DataType, where: => String): Any => Any = {
+    // strip [null, T]
+    val ws = if (ws0.getType == ASchema.Type.UNION)
+      ws0.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(ws0)
+    else ws0
+    def fail(): Nothing = throw ConfigError(
+      s"avro: cannot read $where as ${target.simpleString} (file type: $ws)")
+    def bytesOf(v: Any): Array[Byte] = v match {
+      case bb: ByteBuffer =>
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      case gf: org.apache.avro.generic.GenericFixed => gf.bytes()
+      case b: Array[Byte] => b
+      case _ => fail()
+    }
+    val conv: Any => Any = (ws.getType, target) match {
+      case (ASchema.Type.BOOLEAN, BooleanType) => identity
+      case (ASchema.Type.INT, IntegerType) => identity
+      case (ASchema.Type.INT, LongType) => v => v.asInstanceOf[Int].toLong
+      case (ASchema.Type.INT, DoubleType) => v => v.asInstanceOf[Int].toDouble
+      case (ASchema.Type.INT, DateType) =>
+        v => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (ASchema.Type.LONG, LongType) => identity
+      case (ASchema.Type.LONG, DoubleType) => v => v.asInstanceOf[Long].toDouble
+      case (ASchema.Type.LONG, TimestampType) =>
+        val micros = ws.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]
+        v => {
+          val l = v.asInstanceOf[Long]
+          val us = if (micros) l else Math.multiplyExact(l, 1000L)
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        }
+      case (ASchema.Type.LONG, TimestampNTZType) =>
+        val micros = ws.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros]
+        v => {
+          val l = v.asInstanceOf[Long]
+          val us = if (micros) l else Math.multiplyExact(l, 1000L)
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        }
+      case (ASchema.Type.FLOAT, FloatType) => identity
+      case (ASchema.Type.FLOAT, DoubleType) => v => v.asInstanceOf[Float].toDouble
+      case (ASchema.Type.DOUBLE, DoubleType) => identity
+      case (ASchema.Type.STRING, StringType) => v => v.toString
+      case (ASchema.Type.ENUM, StringType) => v => v.toString
+      case (ASchema.Type.BYTES | ASchema.Type.FIXED, d: DecimalType) =>
+        ws.getLogicalType match {
+          case lt: LogicalTypes.Decimal if lt.getScale == d.scale =>
+            v => new java.math.BigDecimal(new java.math.BigInteger(bytesOf(v)), d.scale)
+          case _ => fail()
+        }
+      case (ASchema.Type.BYTES | ASchema.Type.FIXED, BinaryType) => bytesOf
+      case (ASchema.Type.ARRAY, ArrayType(et, _)) =>
+        val ec = valueConverter(ws.getElementType, et, where + "[]")
+        v => v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(e => if (e == null) null else ec(e))
+      case (ASchema.Type.MAP, MapType(StringType, vt, _)) =>
+        val vc = valueConverter(ws.getValueType, vt, where + "{}")
+        v => v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          .map { case (k, mv) => k.toString -> (if (mv == null) null else vc(mv)) }.toMap
+      case (ASchema.Type.RECORD, st: StructType) =>
+        val subs: Array[GenericRecord => Any] = st.fields.map { f =>
+          Option(ws.getField(f.name))
+            .orElse(ws.getFields.asScala.find(_.name().equalsIgnoreCase(f.name))) match {
+            case None => (_: GenericRecord) => null
+            case Some(wf) =>
+              val pos = wf.pos()
+              val c = valueConverter(wf.schema(), f.dataType, where + "." + f.name)
+              (r: GenericRecord) => { val v = r.get(pos); if (v == null) null else c(v) }
+          }
+        }
+        v => { val r = v.asInstanceOf[GenericRecord]; Row.fromSeq(subs.toIndexedSeq.map(_(r))) }
+      case _ => fail()
+    }
+    v => if (v == null) null else conv(v)
+  }
+
+  // ------------------------------------------------------------------- write
+
+  /** Write `df` as Avro container files under `dir` (one file per non-empty
+    * partition, snappy-less null codec — the serde jar ships no codec deps).
+    * This is the engine's test/fixture writer and the landing-side of the
+    * avro gate; it is NOT a committed sink (no atomic rename protocol) —
+    * production writes stay on the TableStore paths. */
+  def write(df: DataFrame, dir: String): Unit = {
+    val schemaJson = toAvroSchema(df.schema, "row").toString
+    val sparkSchema = df.schema
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val schema = new ASchema.Parser().parse(schemaJson)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$attempt.avro")
+        val fs = out.getFileSystem(conf.value)
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        val os = fs.create(out, true)
+        try {
+          w.create(schema, os)
+          val encs = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+            val e = avroValue(f.dataType, schema.getFields.get(i).schema())
+            (r: Row) => if (r.isNullAt(i)) null else e(r.get(i))
+          }
+          it.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            var i = 0
+            while (i < encs.length) { rec.put(i, encs(i)(r)); i += 1 }
+            w.append(rec)
+          }
+        } finally w.close() // closes os
+      }
+    }
+  }
+
+  /** Row value → Avro value, matching the union(null, T) schemas
+    * [[toAvroSchema]] emits. */
+  private def avroValue(dt: DataType, as0: ASchema): Any => Any = {
+    val as = if (as0.getType == ASchema.Type.UNION)
+      as0.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(as0)
+    else as0
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType | StringType =>
+        identity
+      case ByteType => v => v.asInstanceOf[Byte].toInt
+      case ShortType => v => v.asInstanceOf[Short].toInt
+      case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case DateType => {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+      }
+      case TimestampType => {
+        case t: java.sql.Timestamp =>
+          Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+            t.getNanos / 1000L)
+        case t: java.time.Instant =>
+          Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L), t.getNano / 1000L)
+      }
+      case TimestampNTZType => v => {
+        val t = v.asInstanceOf[java.time.LocalDateTime]
+        Math.addExact(Math.multiplyExact(t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          t.getNano / 1000L)
+      }
+      case d: DecimalType => v =>
+        ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue().toByteArray)
+      case ArrayType(et, _) =>
+        val ec = avroValue(et, as.getElementType)
+        v => v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(e => if (e == null) null else ec(e)).asJava
+      case MapType(StringType, vt, _) =>
+        val vc = avroValue(vt, as.getValueType)
+        v => v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, mv) => k -> (if (mv == null) null else vc(mv)) }.asJava
+      case st: StructType =>
+        val encs = st.fields.zipWithIndex.map { case (f, i) =>
+          val e = avroValue(f.dataType, as.getFields.get(i).schema())
+          (r: Row) => if (r.isNullAt(i)) null else e(r.get(i))
+        }
+        v => {
+          val r = v.asInstanceOf[Row]
+          val rec = new GenericData.Record(as)
+          var i = 0
+          while (i < encs.length) { rec.put(i, encs(i)(r)); i += 1 }
+          rec
+        }
+      case other => throw ConfigError(s"avro writer: unsupported type $other")
+    }
+  }
+}

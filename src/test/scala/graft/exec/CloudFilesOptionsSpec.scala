@@ -580,7 +580,7 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(e.getMessage.contains("rescuedDataColumn"))
   }
 
-  test("orc, xml, and binaryFile formats stream end to end; avro is loud") {
+  test("orc, xml, and binaryFile formats stream end to end; avro parses") {
     def fmtYaml(landing: String, fmt: String, table: String,
         opts: String = "      options: {}") =
       s"""pipeline: p
@@ -639,12 +639,11 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(YamlConfig.parseFlowGroup(fmtYaml("/x", "binaryfile", "t"))
       .actions.head.asInstanceOf[graft.model.CloudFilesLoad].format == "binaryFile")
 
-    // avro: connector absent from this deployment — named parse-time error,
-    // not a stream-start "Failed to find data source"
-    val eAvro = intercept[YamlConfig.ConfigError] {
-      YamlConfig.parseFlowGroup(fmtYaml("/x", "avro", "t"))
-    }
-    assert(eAvro.msg.contains("spark-avro"), eAvro.msg)
+    // avro: no spark-avro connector in this deployment, but the format
+    // parses and reads through the engine's own bridge (AvroBridgeSpec
+    // covers the E2E; stream/batch wiring lives in the CloudFilesLoad case)
+    assert(YamlConfig.parseFlowGroup(fmtYaml("/x", "avro", "t"))
+      .actions.head.asInstanceOf[graft.model.CloudFilesLoad].format == "avro")
     val eUnknown = intercept[YamlConfig.ConfigError] {
       YamlConfig.parseFlowGroup(fmtYaml("/x", "feather", "t"))
     }
