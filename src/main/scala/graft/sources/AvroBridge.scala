@@ -54,14 +54,16 @@ object AvroBridge {
     * local-timestamp-*→TimestampNTZType, decimal→DecimalType, uuid→string.
     * Unions: [null, T] (either order) → nullable T; anything wider has no
     * Spark counterpart — refuse loudly rather than guess a struct encoding. */
-  def toSparkType(s: ASchema): (DataType, Boolean) = s.getType match {
+  def toSparkType(s: ASchema): (DataType, Boolean) = toSparkType(s, Set.empty)
+
+  private def toSparkType(s: ASchema, seen: Set[String]): (DataType, Boolean) = s.getType match {
     case ASchema.Type.UNION =>
       val branches = s.getTypes.asScala.toSeq
       val nonNull = branches.filter(_.getType != ASchema.Type.NULL)
       if (nonNull.size != 1)
         throw ConfigError(s"avro: union ${s} has ${nonNull.size} non-null " +
           "branches — only [null, T] unions map to a Spark type")
-      (toSparkType(nonNull.head)._1, true)
+      (toSparkType(nonNull.head, seen)._1, true)
     case ASchema.Type.NULL => (NullType, true)
     case ASchema.Type.BOOLEAN => (BooleanType, false)
     case ASchema.Type.INT =>
@@ -87,14 +89,21 @@ object AvroBridge {
         case _ => (BinaryType, false)
       }
     case ASchema.Type.ARRAY =>
-      val (et, en) = toSparkType(s.getElementType)
+      val (et, en) = toSparkType(s.getElementType, seen)
       (ArrayType(et, containsNull = en), false)
     case ASchema.Type.MAP =>
-      val (vt, vn) = toSparkType(s.getValueType)
+      val (vt, vn) = toSparkType(s.getValueType, seen)
       (MapType(StringType, vt, valueContainsNull = vn), false)
     case ASchema.Type.RECORD =>
+      // Avro permits self-referential records (linked-list shapes); Spark's
+      // type system cannot express them — refuse loudly instead of
+      // recursing to a StackOverflowError on the driver
+      if (seen.contains(s.getFullName))
+        throw ConfigError(s"avro: record '${s.getFullName}' is recursive " +
+          "(refers to itself) — recursive schemas have no Spark type")
+      val nested = seen + s.getFullName
       (StructType(s.getFields.asScala.toSeq.map { f =>
-        val (dt, nullable) = toSparkType(f.schema())
+        val (dt, nullable) = toSparkType(f.schema(), nested)
         StructField(f.name(), dt, nullable)
       }), false)
   }
@@ -165,14 +174,19 @@ object AvroBridge {
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root))
       throw ConfigError(s"avro: path '$path' does not exist")
+    // recurse manually so hidden DIRECTORIES (`_spark_metadata`, `.staging`)
+    // are pruned like Spark's own file index does — a flat listFiles(root,
+    // true) would descend into them and trip over their non-avro leaves
     val files = mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith("."))
-        files += st.getPath
-    }
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getLen > 0) files += st.getPath
+        }
+      }
+    walk(root)
     if (files.isEmpty)
       throw ConfigError(s"avro: no data files under '$path' to infer a " +
         "schema from — declare table_schema or land a file first")
@@ -190,22 +204,60 @@ object AvroBridge {
     structs.reduceLeft(mergeStructs(path))
   }
 
+  /** Case-insensitive single-match lookup: exact name wins; a
+    * case-insensitive hit is accepted only when UNIQUE — Avro permits
+    * case-distinct sibling fields, and silently collapsing `ID`/`id` into
+    * one map slot would resolve a column to the wrong field's data. */
+  private def resolveField[A](fields: Seq[A], nameOf: A => String, name: String,
+      where: => String): Option[A] = {
+    fields.find(f => nameOf(f) == name).orElse {
+      fields.filter(f => nameOf(f).equalsIgnoreCase(name)) match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => throw ConfigError(s"avro: $where has case-distinct " +
+          s"fields ${many.map(f => s"'${nameOf(f)}'").mkString(", ")} matching " +
+          s"'$name' — rename or declare an exactly-cased table_schema")
+      }
+    }
+  }
+
+  /** Nullability-insensitive type equality + lenient merge: two files that
+    * differ only in nested containsNull/valueContainsNull/field nullability
+    * (externally-written `array<string not null>` vs the bridge writer's
+    * union'd `array<[null,string]>`) are the same data — merge to the more
+    * permissive shape instead of a spurious "conflicting types" refusal. */
+  private def mergeTypes(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (x, y) if x == y => Some(x)
+    case (ArrayType(ae, an), ArrayType(be, bn)) =>
+      mergeTypes(ae, be).map(ArrayType(_, an || bn))
+    case (MapType(StringType, av, an), MapType(StringType, bv, bn)) =>
+      mergeTypes(av, bv).map(MapType(StringType, _, an || bn))
+    case (as: StructType, bs: StructType)
+        if as.fields.map(_.name).toSeq == bs.fields.map(_.name).toSeq =>
+      val merged = as.fields.zip(bs.fields).map { case (af, bf) =>
+        mergeTypes(af.dataType, bf.dataType)
+          .map(t => StructField(af.name, t, af.nullable || bf.nullable))
+      }
+      if (merged.forall(_.isDefined)) Some(StructType(merged.flatten.toIndexedSeq)) else None
+    case _ => None
+  }
+
   private def mergeStructs(path: String)(a: StructType, b: StructType): StructType = {
-    val bByName = b.fields.map(f => f.name.toLowerCase -> f).toMap
     val merged = a.fields.map { f =>
-      bByName.get(f.name.toLowerCase) match {
+      resolveField[StructField](b.fields.toIndexedSeq, _.name, f.name,
+        s"schema under '$path'") match {
         case Some(bf) =>
-          if (bf.dataType != f.dataType)
+          val t = mergeTypes(f.dataType, bf.dataType).getOrElse(
             throw ConfigError(s"avro: field '${f.name}' under '$path' has " +
               s"conflicting types across files (${f.dataType.simpleString} vs " +
-              s"${bf.dataType.simpleString}) — re-land with one schema or declare table_schema")
-          f.copy(nullable = f.nullable || bf.nullable)
+              s"${bf.dataType.simpleString}) — re-land with one schema or declare table_schema"))
+          StructField(f.name, t, f.nullable || bf.nullable)
         case None => f.copy(nullable = true)
       }
     }
     val extras = b.fields.filterNot(f => a.fieldNames.exists(_.equalsIgnoreCase(f.name)))
       .map(_.copy(nullable = true))
-    StructType(merged ++ extras)
+    StructType(merged.toIndexedSeq ++ extras)
   }
 
   // ------------------------------------------------------------------ decode
@@ -225,31 +277,39 @@ object AvroBridge {
       it.flatMap { fileRow =>
         val path = fileRow.getString(0)
         val bytes = fileRow.getAs[Array[Byte]](1)
-        val dfs =
-          try new DataFileStream(new ByteArrayInputStream(bytes),
-            new GenericDatumReader[GenericRecord]())
-          catch {
-            case e: java.io.IOException => throw ConfigError(
-              s"avro: '$path' is not an Avro container file (${e.getMessage})")
-          }
-        val writerFields = dfs.getSchema.getFields.asScala
-          .map(f => f.name().toLowerCase -> f).toMap
-        // per-field converter resolved ONCE per file, not per row
-        val convs: Array[GenericRecord => Any] = fieldNames.indices.map { i =>
-          writerFields.get(fieldNames(i).toLowerCase) match {
-            case None => (_: GenericRecord) => null
-            case Some(wf) =>
-              val pos = wf.pos()
-              val conv = valueConverter(wf.schema(), fieldTypes(i),
-                s"field '${fieldNames(i)}' of '$path'")
-              (r: GenericRecord) => conv(r.get(pos))
-          }
-        }.toArray
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = dfs.hasNext; if (!h) dfs.close(); h }
-          def next(): Row = {
-            val rec = dfs.next()
-            Row.fromSeq(convs.toIndexedSeq.map(c => c(rec)))
+        // an empty landing file (touch-then-write producers) is "no rows",
+        // matching inference's getLen > 0 skip — not a failing microbatch
+        if (bytes == null || bytes.isEmpty) Iterator.empty[Row]
+        else {
+          val dfs =
+            try new DataFileStream(new ByteArrayInputStream(bytes),
+              new GenericDatumReader[GenericRecord]())
+            catch {
+              case e: java.io.IOException => throw ConfigError(
+                s"avro: '$path' is not an Avro container file (${e.getMessage})")
+            }
+          val writerFields = dfs.getSchema.getFields.asScala.toIndexedSeq
+          // per-field converter resolved ONCE per file, not per row
+          val convs: Array[GenericRecord => Any] = fieldNames.indices.map { i =>
+            resolveField[ASchema.Field](writerFields, _.name(), fieldNames(i),
+              s"'$path'") match {
+              case None => (_: GenericRecord) => null
+              case Some(wf) =>
+                val pos = wf.pos()
+                val conv = valueConverter(wf.schema(), fieldTypes(i),
+                  s"field '${fieldNames(i)}' of '$path'")
+                (r: GenericRecord) => conv(r.get(pos))
+            }
+          }.toArray
+          new Iterator[Row] {
+            def hasNext: Boolean = { val h = dfs.hasNext; if (!h) dfs.close(); h }
+            def next(): Row = {
+              val rec = dfs.next()
+              val out = new Array[Any](convs.length)
+              var i = 0
+              while (i < convs.length) { out(i) = convs(i)(rec); i += 1 }
+              Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+            }
           }
         }
       }
@@ -259,10 +319,17 @@ object AvroBridge {
   /** Converter from an Avro-decoded JVM value (writer schema `ws`) to the
     * external Spark value for `target`. Resolution happens once per file. */
   private def valueConverter(ws0: ASchema, target: DataType, where: => String): Any => Any = {
-    // strip [null, T]
-    val ws = if (ws0.getType == ASchema.Type.UNION)
-      ws0.getTypes.asScala.find(_.getType != ASchema.Type.NULL).getOrElse(ws0)
-    else ws0
+    // strip [null, T]; a WIDER union must refuse here too — with a declared
+    // table_schema decode never routes through toSparkType, and silently
+    // picking the first non-null branch would surface as a per-record
+    // ClassCastException naming nothing
+    val ws = if (ws0.getType == ASchema.Type.UNION) {
+      val nonNull = ws0.getTypes.asScala.filter(_.getType != ASchema.Type.NULL)
+      if (nonNull.size > 1)
+        throw ConfigError(s"avro: $where is a union with ${nonNull.size} " +
+          s"non-null branches ($ws0) — only [null, T] unions are readable")
+      nonNull.headOption.getOrElse(ws0)
+    } else ws0
     def fail(): Nothing = throw ConfigError(
       s"avro: cannot read $where as ${target.simpleString} (file type: $ws)")
     def bytesOf(v: Any): Array[Byte] = v match {
@@ -281,8 +348,16 @@ object AvroBridge {
         v => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
       case (ASchema.Type.LONG, LongType) => identity
       case (ASchema.Type.LONG, DoubleType) => v => v.asInstanceOf[Long].toDouble
+      // unit detection is STRICT on the logical type: a local-timestamp
+      // (NTZ) file read as TIMESTAMP, a timestamp file read as NTZ, or a
+      // plain long with no timestamp logical type at all must fail loudly —
+      // guessing millis would silently land values 1000× off
       case (ASchema.Type.LONG, TimestampType) =>
-        val micros = ws.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]
+        val micros = ws.getLogicalType match {
+          case _: LogicalTypes.TimestampMicros => true
+          case _: LogicalTypes.TimestampMillis => false
+          case _ => fail()
+        }
         v => {
           val l = v.asInstanceOf[Long]
           val us = if (micros) l else Math.multiplyExact(l, 1000L)
@@ -291,7 +366,11 @@ object AvroBridge {
           ts
         }
       case (ASchema.Type.LONG, TimestampNTZType) =>
-        val micros = ws.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros]
+        val micros = ws.getLogicalType match {
+          case _: LogicalTypes.LocalTimestampMicros => true
+          case _: LogicalTypes.LocalTimestampMillis => false
+          case _ => fail()
+        }
         v => {
           val l = v.asInstanceOf[Long]
           val us = if (micros) l else Math.multiplyExact(l, 1000L)
@@ -320,9 +399,9 @@ object AvroBridge {
         v => v.asInstanceOf[java.util.Map[Any, Any]].asScala
           .map { case (k, mv) => k.toString -> (if (mv == null) null else vc(mv)) }.toMap
       case (ASchema.Type.RECORD, st: StructType) =>
+        val wsFields = ws.getFields.asScala.toIndexedSeq
         val subs: Array[GenericRecord => Any] = st.fields.map { f =>
-          Option(ws.getField(f.name))
-            .orElse(ws.getFields.asScala.find(_.name().equalsIgnoreCase(f.name))) match {
+          resolveField[ASchema.Field](wsFields, _.name(), f.name, where) match {
             case None => (_: GenericRecord) => null
             case Some(wf) =>
               val pos = wf.pos()
@@ -330,7 +409,13 @@ object AvroBridge {
               (r: GenericRecord) => { val v = r.get(pos); if (v == null) null else c(v) }
           }
         }
-        v => { val r = v.asInstanceOf[GenericRecord]; Row.fromSeq(subs.toIndexedSeq.map(_(r))) }
+        v => {
+          val r = v.asInstanceOf[GenericRecord]
+          val out = new Array[Any](subs.length)
+          var i = 0
+          while (i < subs.length) { out(i) = subs(i)(r); i += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
       case _ => fail()
     }
     v => if (v == null) null else conv(v)

@@ -241,6 +241,118 @@ class AvroBridgeSpec extends SparkSuite {
       .noDefault().endRecord()
     val e = intercept[ConfigError](AvroBridge.toStruct(u))
     assert(e.getMessage.contains("union"))
+    // ...and on the DECODE path too: a declared table_schema bypasses
+    // toStruct, so the per-file converter must refuse rather than pick a
+    // branch and die in a nameless ClassCastException per record
+    val dir = tmp("avro-union-decode")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](u))
+    w.create(u, new java.io.File(s"$dir/u.avro"))
+    val rec = new GenericData.Record(u); rec.put("v", "str")
+    w.append(rec); w.close()
+    val target = StructType(Seq(StructField("v", IntegerType)))
+    val e2 = intercept[Exception] {
+      AvroBridge.decode(spark.read.format("binaryFile").load(dir), target).collect()
+    }
+    assert(e2.getMessage.contains("non-null branches"), e2.getMessage)
+  }
+
+  test("recursive record schemas are refused loudly, not StackOverflow") {
+    val json =
+      """{"type":"record","name":"node","fields":[
+        |{"name":"v","type":"int"},
+        |{"name":"next","type":["null","node"],"default":null}]}""".stripMargin
+    val rec = new ASchema.Parser().parse(json)
+    val e = intercept[ConfigError](AvroBridge.toStruct(rec))
+    assert(e.getMessage.contains("recursive"), e.getMessage)
+  }
+
+  test("inference prunes hidden directories like Spark's file index") {
+    val dir = tmp("avro-hidden")
+    AvroBridge.write(Seq((1, "a")).toDF("id", "v"), dir)
+    // a file-sink metadata dir whose LEAF names are not underscore-prefixed
+    Files.createDirectories(java.nio.file.Paths.get(dir, "_spark_metadata"))
+    Files.write(java.nio.file.Paths.get(dir, "_spark_metadata", "0"),
+      "{\"not\":\"avro\"}".getBytes)
+    val st = AvroBridge.inferSchema(spark, dir)
+    assert(st.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("an empty landing file decodes as zero rows, not a failed batch") {
+    val dir = tmp("avro-empty")
+    AvroBridge.write(Seq((1, "a")).toDF("id", "v"), dir)
+    Files.write(java.nio.file.Paths.get(dir, "touched.avro"), Array[Byte]())
+    // binaryFile lists the 0-byte file; decode must skip it
+    val out = AvroBridge.decode(spark.read.format("binaryFile").load(dir),
+      AvroBridge.inferSchema(spark, dir))
+    assert(out.count() == 1)
+  }
+
+  test("case-distinct writer fields matching one target are a loud error") {
+    val schema = new ASchema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"ID","type":"int"},{"name":"id","type":"string"}]}""".stripMargin)
+    val dir = tmp("avro-case")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/c.avro"))
+    val rec = new GenericData.Record(schema)
+    rec.put("ID", 1); rec.put("id", "x")
+    w.append(rec); w.close()
+    // exact-name resolution still works for both spellings
+    val exact = AvroBridge.decode(spark.read.format("binaryFile").load(dir),
+      StructType(Seq(StructField("ID", IntegerType), StructField("id", StringType))))
+      .head()
+    assert(exact.getInt(0) == 1 && exact.getString(1) == "x")
+    // a third spelling matching both case-insensitively must refuse
+    val e = intercept[Exception] {
+      AvroBridge.decode(spark.read.format("binaryFile").load(dir),
+        StructType(Seq(StructField("Id", LongType)))).collect()
+    }
+    assert(e.getMessage.contains("case-distinct"), e.getMessage)
+  }
+
+  test("timestamp unit detection is strict: NTZ-vs-TZ and bare-long mismatches are loud") {
+    val dir = tmp("avro-tsstrict")
+    // bridge writer emits local-timestamp-micros for NTZ columns
+    val df = Seq(Tuple1(java.time.LocalDateTime.of(2024, 1, 1, 12, 0))).toDF("ts")
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    AvroBridge.write(df, dir)
+    // reading it back AS TIMESTAMP (tz) must fail, not be guessed as millis
+    val e1 = intercept[Exception] {
+      AvroBridge.decode(spark.read.format("binaryFile").load(dir),
+        StructType(Seq(StructField("ts", TimestampType)))).collect()
+    }
+    assert(e1.getMessage.contains("cannot read"), e1.getMessage)
+    // a bare long declared as timestamp must also fail
+    val dir2 = tmp("avro-barelong")
+    AvroBridge.write(Seq(Tuple1(1700000000L)).toDF("ts"), dir2)
+    val e2 = intercept[Exception] {
+      AvroBridge.decode(spark.read.format("binaryFile").load(dir2),
+        StructType(Seq(StructField("ts", TimestampNTZType)))).collect()
+    }
+    assert(e2.getMessage.contains("cannot read"), e2.getMessage)
+  }
+
+  test("merge tolerates nested-nullability-only differences across files") {
+    val dir = tmp("avro-nestnull")
+    // file A: array items NON-null (external writers commonly do this)
+    val sa = new ASchema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"int"},
+        |{"name":"tags","type":{"type":"array","items":"string"}}]}""".stripMargin)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sa))
+    w.create(sa, new java.io.File(s"$dir/a.avro"))
+    val ra = new GenericData.Record(sa)
+    ra.put("id", 1); ra.put("tags", java.util.List.of("x"))
+    w.append(ra); w.close()
+    // file B: bridge-written (items are [null,string] -> containsNull=true)
+    AvroBridge.write(Seq((2, Seq("y"))).toDF("id", "tags"), s"$dir/b")
+    new java.io.File(s"$dir/b").listFiles().filter(_.getName.endsWith(".avro"))
+      .foreach(f => f.renameTo(new java.io.File(dir, "b_" + f.getName)))
+    val st = AvroBridge.inferSchema(spark, dir)
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = true))
+    val rows = AvroBridge.decode(spark.read.format("binaryFile").load(dir), st)
+      .orderBy("id").collect()
+    assert(rows.map(r => r.getSeq[String](1).head).toSeq == Seq("x", "y"))
   }
 
   test("decode coerces int->long / float->double (merge-widened targets)") {
