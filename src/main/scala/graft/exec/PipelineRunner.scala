@@ -224,6 +224,22 @@ final class PipelineRunner(
       // (reference: schema_parser.py:19-92, cloudfiles.py:30-55)
       val declared = a.schemaDdl.map(StructType.fromDDL).orElse(
         a.schemaPath.map(p => graft.config.SchemaParser.parse(readFile(p)).schema))
+        .orElse(a.options.get("cloudFiles.avroSchema").map { js =>
+          // Auto Loader's user-provided Avro reader schema (the avro
+          // comprehensive template's cloudFiles.avroSchema): an evolved-
+          // compatible schema in Avro JSON; acts as the declared schema
+          if (a.format != "avro") throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': cloudFiles.avroSchema only applies to " +
+              s"format 'avro' (got '${a.format}')")
+          try graft.sources.AvroBridge.toStruct(
+            new org.apache.avro.Schema.Parser().parse(js))
+          catch {
+            case e: org.apache.avro.SchemaParseException =>
+              throw graft.config.YamlConfig.ConfigError(
+                s"load '${a.name}': cloudFiles.avroSchema is not a valid " +
+                  s"Avro schema (${e.getMessage})")
+          }
+        })
       // schema hints override/extend the INFERRED schema (Auto Loader
       // semantics — unused when a full schema is declared); the value may be
       // inline DDL or a schema-file reference (cloudfiles.py:30-55)
@@ -342,10 +358,15 @@ final class PipelineRunner(
         .orElse(a.options.get("cloudFiles.rescueDataColumn")) // reference examples carry both spellings
         .orElse(if (evolutionMode.contains("rescue")) Some("_rescued_data") else None)
       rescueCol.foreach { rc =>
-        if (a.format != "json" && a.format != "csv")
+        // json/csv rescue parses raw text; avro rescue routes type-mismatch
+        // and undeclared writer fields into the column at decode (the
+        // bridge's rescueCol path). parquet/orc remain refused: their scans
+        // are schema-projected, nothing reaches a rescue column.
+        if (a.format != "json" && a.format != "csv" && a.format != "avro")
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': cloudFiles.rescuedDataColumn only applies to " +
-            s"json/csv (got format '${a.format}' — self-describing formats have nothing to rescue)")
+            s"json/csv/avro (got format '${a.format}' — parquet/orc scans are " +
+            "schema-projected, nothing reaches a rescue column)")
         if (declared.exists(_.fieldNames.contains(rc)))
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': declared schema already contains rescue column '$rc'")
@@ -380,7 +401,12 @@ final class PipelineRunner(
       // bridge decodes container blocks with the Avro serde jar that DOES
       // ship. Inference reads file headers only (bytes per file, not rows).
       def inferredSchema(): StructType =
-        if (a.format == "avro") graft.sources.AvroBridge.inferSchema(spark, a.path)
+        if (a.format == "avro") graft.sources.AvroBridge.inferSchema(
+          spark, a.path, passThrough,
+          // cloudFiles.mergeSchema=false = Auto Loader's single-file
+          // inference; the engine default stays cross-file merge (loud on
+          // conflicts, so the wider default is safe)
+          merge = a.options.get("cloudFiles.mergeSchema").forall(_.toBoolean))
         else spark.read.format(a.format).options(passThrough).load(a.path).schema
       // Rescue mode reads RAW TEXT and parses each line with from_json /
       // from_csv, so the rescue column is an ordinary materialized column.
@@ -431,6 +457,19 @@ final class PipelineRunner(
       val base =
         if (a.readMode == "stream") {
           rescueCol match {
+            case Some(rc) if a.format == "avro" =>
+              // pinned schema + bridge-side rescue: mismatched/undeclared
+              // writer fields land in rc instead of failing the batch
+              val schema = evolve(declared.getOrElse(merge(inferredSchema())))
+              if (schema.fieldNames.exists(_.equalsIgnoreCase(rc)))
+                throw graft.config.YamlConfig.ConfigError(
+                  s"load '${a.name}': inferred schema already contains " +
+                    s"rescue column '$rc'")
+              val bin = spark.readStream.format("binaryFile")
+                .schema(graft.sources.AvroBridge.binaryFileSchema)
+                .options(passThrough).load(a.path)
+              graft.sources.AvroBridge.decode(
+                excludePreexisting(a, bin), schema, Some(rc))
             case Some(rc) =>
               val raw = spark.readStream.format("text")
                 .options(passThrough.view.filterKeys(
@@ -457,6 +496,15 @@ final class PipelineRunner(
               }
           }
         } else rescueCol match {
+          case Some(rc) if a.format == "avro" =>
+            val schema = evolve(declared.getOrElse(merge(inferredSchema())))
+            if (schema.fieldNames.exists(_.equalsIgnoreCase(rc)))
+              throw graft.config.YamlConfig.ConfigError(
+                s"load '${a.name}': inferred schema already contains " +
+                  s"rescue column '$rc'")
+            graft.sources.AvroBridge.decode(
+              spark.read.format("binaryFile").options(passThrough).load(a.path),
+              schema, Some(rc))
           case Some(rc) =>
             rescueParse(spark.read.format("text").load(a.path), rc)
           case None if a.format == "avro" =>
@@ -1587,27 +1635,71 @@ final class PipelineRunner(
     // options the CloudFilesLoad branch itself implements
     val handledInLoad = Set("format", "schemahints", "includeexistingfiles",
       "rescueddatacolumn", "rescuedatacolumn", "schemaevolutionmode",
-      "schemalocation", "infercolumntypes")
+      "schemalocation", "infercolumntypes", "avroschema")
     // cloud-infra/perf hints with no local-filesystem counterpart: safe
-    // no-ops locally (credentials, SQS/EventGrid queues, listing cadence)
+    // no-ops locally (credentials, SQS/EventGrid/PubSub queues, monitoring
+    // sinks, HTTP client tuning, listing cadence) — the four comprehensive
+    // autoloader reference templates (aws/azure/gcp/avro) enumerate these
     val infraNoop = Set("usenotifications", "usemanagedfileevents",
       "backfillinterval", "awsaccesskey", "awssecretkey", "rolearn",
       "rolesessionname", "roleexternalid", "stsendpoint", "region",
       "queueurl", "connectionstring", "clientid", "clientsecret", "tenantid",
       "subscriptionid", "resourcegroup", "allowoverwrites",
-      "maxbytespertrigger", "maxfileage", "validateoptions")
+      "maxbytespertrigger", "maxfileage", "validateoptions",
+      "bucketname", "client", "clientemail", "connectiontimeout",
+      "containername", "endpoint", "maxconcurrentrequests",
+      "maxretryattempts", "privatekey", "privatekeyid", "projectid",
+      "queuename", "readtimeout", "requesttimeout", "retrypolicy",
+      "sastokenexpirationbuffer", "storageaccount", "subscription",
+      "writetimeout")
+    // notification-service / monitoring option FAMILIES (dotted subkeys)
+    val infraNoopPrefixes = Seq("cloudwatch.", "sns.", "sqs.",
+      "azuremonitor.", "eventgrid.", "queuestorage.", "cloudmonitoring.",
+      "gcs.", "pubsub.")
     a.options.flatMap { case (k, v) =>
       if (!k.startsWith("cloudFiles.")) Some(k -> v)
       else k.stripPrefix("cloudFiles.").toLowerCase match {
         case "maxfilespertrigger" => Some("maxFilesPerTrigger" -> v)
-        case "cleansource" => Some("cleanSource" -> v)
+        case "cleansource" =>
+          // Databricks spellings (OFF/DELETE/MOVE) onto the OSS file-stream
+          // cleaner vocabulary (off/delete/archive); OSS spellings intact
+          Some("cleanSource" -> (v.toUpperCase match {
+            case "MOVE" => "archive"
+            case "DELETE" => "delete"
+            case "OFF" => "off"
+            case _ => v
+          }))
+        case "cleansource.movedestination" =>
+          // same semantics as the OSS archive dir (files moved out of the
+          // landing path after processing)
+          Some("sourceArchiveDir" -> v)
+        case "cleansource.retentionduration" =>
+          graft.Log.warn(s"load '${a.name}': '$k' has no OSS equivalent — " +
+            "the OSS file-source cleaner acts on processed files without a " +
+            "retention delay; ignored")
+          None
         case "sourcearchivedir" => Some("sourceArchiveDir" -> v)
         case "ignorefilesolderthan" => Some("maxFileAge" -> v)
         // XML element naming (reference autoloader_xml template spelling);
         // Spark 4's built-in xml source takes the same option
         case "rowtag" => Some("rowTag" -> v)
+        case "mergeschema" =>
+          // avro: the bridge's cross-file inference merge is the same knob
+          // (handled in inferredSchema); parquet/orc: pass to the source
+          if (a.format == "avro") None else Some("mergeSchema" -> v)
+        case "datetimerebasemode" =>
+          // the bridge reads proleptic Gregorian (Spark's CORRECTED);
+          // LEGACY/EXCEPTION only differ for Julian-calendar epochs
+          // (pre-1582 dates written by ancient engines) — advisory
+          if (a.format == "avro") {
+            if (!v.equalsIgnoreCase("CORRECTED"))
+              graft.Log.warn(s"load '${a.name}': '$k=$v' — the avro bridge " +
+                "always reads proleptic Gregorian (CORRECTED semantics); " +
+                "pre-1582 dates written by Julian-calendar engines would differ")
+            None
+          } else Some("datetimeRebaseMode" -> v)
         case o if handledInLoad(o) => None
-        case o if infraNoop(o) =>
+        case o if infraNoop(o) || infraNoopPrefixes.exists(o.startsWith) =>
           graft.Log.warn(s"load '${a.name}': '$k' is a " +
             "cloud-infra option with no local-filesystem effect; ignored")
           None

@@ -167,13 +167,24 @@ object AvroBridge {
     * order; a field absent from some file becomes nullable; a same-name
     * type conflict is a loud error (a silent pick would misread one file or
     * the other). A non-Avro file in the directory is a loud error too — the
-    * decode path would hit it anyway, and erroring here names the file. */
-  def inferSchema(spark: SparkSession, path: String): StructType = {
+    * decode path would hit it anyway, and erroring here names the file.
+    *
+    * `options` mirrors the directory-listing options the binaryFile source
+    * itself honors on the decode side, so inference and decode see the same
+    * file set: `pathGlobFilter` (leaf-name glob) and `recursiveFileLookup`
+    * (default true). `merge=false` (cloudFiles.mergeSchema) reads the first
+    * file's schema only — Auto Loader's single-file inference mode. */
+  def inferSchema(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty, merge: Boolean = true): StructType = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root))
       throw ConfigError(s"avro: path '$path' does not exist")
+    val glob = options.find(_._1.equalsIgnoreCase("pathGlobFilter")).map(_._2)
+      .map(g => java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + g))
+    val recursive = options.find(_._1.equalsIgnoreCase("recursiveFileLookup"))
+      .forall(_._2.toBoolean)
     // recurse manually so hidden DIRECTORIES (`_spark_metadata`, `.staging`)
     // are pruned like Spark's own file index does — a flat listFiles(root,
     // true) would descend into them and trip over their non-avro leaves
@@ -182,15 +193,18 @@ object AvroBridge {
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
         if (!n.startsWith("_") && !n.startsWith(".")) {
-          if (st.isDirectory) walk(st.getPath)
-          else if (st.getLen > 0) files += st.getPath
+          if (st.isDirectory) { if (recursive) walk(st.getPath) }
+          else if (st.getLen > 0 &&
+              glob.forall(_.matches(java.nio.file.Paths.get(n))))
+            files += st.getPath
         }
       }
     walk(root)
     if (files.isEmpty)
       throw ConfigError(s"avro: no data files under '$path' to infer a " +
         "schema from — declare table_schema or land a file first")
-    val structs = files.sortBy(_.toString).map { p =>
+    val chosen = if (merge) files.sortBy(_.toString) else files.sortBy(_.toString).take(1)
+    val structs = chosen.map { p =>
       val in = fs.open(p)
       try {
         val dfs = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
@@ -269,10 +283,21 @@ object AvroBridge {
     * Numeric widenings the merge/hints can produce (int→long, float→double,
     * and their date/timestamp-precision analogues fall out of the logical
     * types) are coerced; anything else mismatching is a loud per-file error
-    * naming field, file type and target type. */
-  def decode(bin: DataFrame, target: StructType): DataFrame = {
+    * naming field, file type and target type.
+    *
+    * With `rescueCol` set (Auto Loader's rescuedDataColumn for avro), the
+    * output schema gains a trailing string column and two classes of data
+    * land there as a JSON object instead of failing the batch: writer
+    * fields whose type cannot convert to the pinned target type, and
+    * writer fields the target schema does not declare at all (rescue mode
+    * pins the schema, so those are exactly "new columns"). Values render
+    * in Avro's JSON encoding, source-faithful (logical types stay raw). */
+  def decode(bin: DataFrame, target: StructType,
+      rescueCol: Option[String] = None): DataFrame = {
     val fieldNames = target.fields.map(_.name)
     val fieldTypes = target.fields.map(_.dataType)
+    val outSchema = rescueCol.map(rc => target.add(rc, StringType, nullable = true))
+      .getOrElse(target)
     bin.select("path", "content").mapPartitions { it =>
       it.flatMap { fileRow =>
         val path = fileRow.getString(0)
@@ -289,31 +314,57 @@ object AvroBridge {
                 s"avro: '$path' is not an Avro container file (${e.getMessage})")
             }
           val writerFields = dfs.getSchema.getFields.asScala.toIndexedSeq
-          // per-field converter resolved ONCE per file, not per row
+          // per-field converter resolved ONCE per file, not per row; in
+          // rescue mode a type-mismatched field becomes a rescued field
+          // instead of a file-level error
+          val rescuedMismatch = mutable.ArrayBuffer[ASchema.Field]()
+          val matchedPos = mutable.Set[Int]()
           val convs: Array[GenericRecord => Any] = fieldNames.indices.map { i =>
             resolveField[ASchema.Field](writerFields, _.name(), fieldNames(i),
               s"'$path'") match {
               case None => (_: GenericRecord) => null
               case Some(wf) =>
-                val pos = wf.pos()
-                val conv = valueConverter(wf.schema(), fieldTypes(i),
-                  s"field '${fieldNames(i)}' of '$path'")
-                (r: GenericRecord) => conv(r.get(pos))
+                matchedPos += wf.pos()
+                try {
+                  val conv = valueConverter(wf.schema(), fieldTypes(i),
+                    s"field '${fieldNames(i)}' of '$path'")
+                  val pos = wf.pos()
+                  (r: GenericRecord) => conv(r.get(pos))
+                } catch {
+                  case _: ConfigError if rescueCol.isDefined =>
+                    rescuedMismatch += wf
+                    (_: GenericRecord) => null
+                }
             }
           }.toArray
+          // rescue mode pins the schema: writer fields the target does not
+          // declare are "new columns" and belong in the rescue column
+          val rescuedFields: IndexedSeq[ASchema.Field] =
+            if (rescueCol.isEmpty) IndexedSeq.empty
+            else rescuedMismatch.toIndexedSeq ++
+              writerFields.filterNot(f => matchedPos.contains(f.pos()))
+          val width = convs.length + (if (rescueCol.isDefined) 1 else 0)
           new Iterator[Row] {
             def hasNext: Boolean = { val h = dfs.hasNext; if (!h) dfs.close(); h }
             def next(): Row = {
               val rec = dfs.next()
-              val out = new Array[Any](convs.length)
+              val out = new Array[Any](width)
               var i = 0
               while (i < convs.length) { out(i) = convs(i)(rec); i += 1 }
+              if (rescueCol.isDefined) {
+                val present = rescuedFields.filter(f => rec.get(f.pos()) != null)
+                if (present.nonEmpty)
+                  out(width - 1) = present.map { f =>
+                    "\"" + f.name() + "\":" +
+                      GenericData.get().toString(rec.get(f.pos()))
+                  }.mkString("{", ",", "}")
+              }
               Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
             }
           }
         }
       }
-    }(Encoders.row(target))
+    }(Encoders.row(outSchema))
   }
 
   /** Converter from an Avro-decoded JVM value (writer schema `ws`) to the

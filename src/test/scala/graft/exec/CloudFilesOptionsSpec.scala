@@ -297,6 +297,216 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(store.read("raw_events").count() == 1)
   }
 
+  test("comprehensive avro template option set runs end to end") {
+    // the semantic surface of Reference_Templates/autoloader_avro_
+    // comprehensive.yaml: every option lands in a tier (translated,
+    // emulated, advisory-noop) — none silently dropped, none spuriously
+    // refused. Monitoring/notification families (cloudwatch/sqs/pubsub/
+    // eventGrid/queueStorage) are advisory no-ops locally.
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    graft.sources.AvroBridge.write(
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |      options:
+         |        cloudFiles.format: "avro"
+         |        cloudFiles.allowOverwrites: false
+         |        cloudFiles.cleanSource: "OFF"
+         |        cloudFiles.cleanSource.retentionDuration: "30 days"
+         |        cloudFiles.includeExistingFiles: true
+         |        cloudFiles.inferColumnTypes: false
+         |        cloudFiles.maxFilesPerTrigger: 50
+         |        cloudFiles.schemaEvolutionMode: "addNewColumns"
+         |        cloudFiles.useNotifications: false
+         |        cloudFiles.datetimeRebaseMode: "LEGACY"
+         |        cloudFiles.mergeSchema: false
+         |        cloudFiles.cloudwatch.enabled: false
+         |        cloudFiles.sqs.queueName: "q"
+         |        cloudFiles.pubsub.topicName: "t"
+         |        cloudFiles.eventGrid.topicName: "t"
+         |        cloudFiles.queueStorage.queueName: "q"
+         |        recursiveFileLookup: true
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: avro_full}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("avro_full").count() == 2)
+  }
+
+  test("avro rescue: undeclared and type-mismatched writer fields land in the rescue column") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    // file carries (id int, v string, extra double); declared schema pins
+    // (id BIGINT, v INT) -> v is a type mismatch, extra is undeclared
+    graft.sources.AvroBridge.write(
+      Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "v", "extra"), landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |      table_schema: "id BIGINT, v INT"
+         |      options:
+         |        cloudFiles.rescuedDataColumn: "_rescued_data"
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: avro_rescued}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val out = store.read("avro_rescued").orderBy("id").collect()
+    assert(out.length == 2)
+    val r0 = out(0)
+    assert(r0.getLong(r0.fieldIndex("id")) == 1L)
+    assert(r0.isNullAt(r0.fieldIndex("v"))) // mismatch -> null + rescued
+    val rescued = r0.getString(r0.fieldIndex("_rescued_data"))
+    assert(rescued.contains("\"v\":\"a\"") && rescued.contains("\"extra\":1.5"),
+      rescued)
+  }
+
+  test("avro cleanSource MOVE archives processed files to moveDestination") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    val archive = s"$dir/archive"
+    graft.sources.AvroBridge.write(Seq((1, "a")).toDF("id", "v"), landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |      table_schema: "id INT, v STRING"
+         |      options:
+         |        cloudFiles.cleanSource: "MOVE"
+         |        cloudFiles.cleanSource.moveDestination: $archive
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: avro_mv_t}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("avro_mv_t").count() == 1)
+    // Spark's file-stream cleaner archives processed files under
+    // <archive>/<original absolute path>
+    def archived: Int = {
+      val root = new java.io.File(archive)
+      if (!root.exists()) 0
+      else {
+        def walk(f: java.io.File): Int =
+          if (f.isFile && f.getName.endsWith(".avro")) 1
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        walk(root)
+      }
+    }
+    // the OSS cleaner archives batch-N files when a LATER batch commits
+    // (probed empirically): land a second file so run 2 has a batch to
+    // commit, which archives run 1's file
+    graft.sources.AvroBridge.write(Seq((2, "b")).toDF("id", "v"), s"$dir/b2")
+    new java.io.File(s"$dir/b2").listFiles().filter(_.getName.endsWith(".avro"))
+      .foreach(f => f.renameTo(new java.io.File(landing, "n_" + f.getName)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("avro_mv_t").count() == 2)
+    val deadline = System.currentTimeMillis() + 15000
+    while (archived == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    assert(archived >= 1, s"no archived .avro under $archive")
+  }
+
+  test("avro pathGlobFilter excludes junk from inference and decode") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    graft.sources.AvroBridge.write(Seq((1, "a")).toDF("id", "v"), landing)
+    Files.write(java.nio.file.Paths.get(landing, "junk.txt"), "nope".getBytes)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |      options:
+         |        pathGlobFilter: "*.avro"
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: avro_glob_t}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("avro_glob_t").count() == 1)
+  }
+
+  test("cloudFiles.avroSchema acts as an evolved reader schema") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    graft.sources.AvroBridge.write(Seq((1, "a")).toDF("id", "v"), landing)
+    // evolved schema declares an extra nullable column the files lack
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"int"},{"name":"v","type":["null","string"],"default":null},
+        |{"name":"added","type":["null","long"],"default":null}]}"""
+        .stripMargin.replace("\n", "")
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |      options:
+         |        cloudFiles.avroSchema: '$avroSchema'
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: avro_rs_t}
+         |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val row = store.read("avro_rs_t").head()
+    assert(row.getInt(row.fieldIndex("id")) == 1)
+    assert(row.isNullAt(row.fieldIndex("added")))
+    // ...and on a non-avro format the option is a loud error
+    val e = intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(
+        ingestYaml(landing, s"        cloudFiles.avroSchema: '$avroSchema'")))
+    }
+    assert(e.getMessage.contains("avroSchema"), e.getMessage)
+  }
+
   test("csv rescue: malformed rows captured, clean rows typed") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/landing"
