@@ -222,28 +222,35 @@ final class PipelineRunner(
     case a: CloudFilesLoad =>
       // declared schema: inline DDL wins, else a schema FILE via SchemaParser
       // (reference: schema_parser.py:19-92, cloudfiles.py:30-55)
-      val declared = a.schemaDdl.map(StructType.fromDDL).orElse(
+      // Auto Loader's user-provided Avro reader schema (the avro
+      // comprehensive template's cloudFiles.avroSchema): an evolved-
+      // compatible schema in Avro JSON; acts as the declared schema.
+      // Validated UNCONDITIONALLY (not inside an orElse chain) so a
+      // misplaced option is loud even when table_schema is also set.
+      val avroReaderSchema = cfOpt(a, "avroSchema").map { js =>
+        if (a.format != "avro") throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': cloudFiles.avroSchema only applies to " +
+            s"format 'avro' (got '${a.format}')")
+        try graft.sources.AvroBridge.toStruct(
+          new org.apache.avro.Schema.Parser().parse(js))
+        catch {
+          case e: org.apache.avro.SchemaParseException =>
+            throw graft.config.YamlConfig.ConfigError(
+              s"load '${a.name}': cloudFiles.avroSchema is not a valid " +
+                s"Avro schema (${e.getMessage})")
+        }
+      }
+      val declaredBase = a.schemaDdl.map(StructType.fromDDL).orElse(
         a.schemaPath.map(p => graft.config.SchemaParser.parse(readFile(p)).schema))
-        .orElse(a.options.get("cloudFiles.avroSchema").map { js =>
-          // Auto Loader's user-provided Avro reader schema (the avro
-          // comprehensive template's cloudFiles.avroSchema): an evolved-
-          // compatible schema in Avro JSON; acts as the declared schema
-          if (a.format != "avro") throw graft.config.YamlConfig.ConfigError(
-            s"load '${a.name}': cloudFiles.avroSchema only applies to " +
-              s"format 'avro' (got '${a.format}')")
-          try graft.sources.AvroBridge.toStruct(
-            new org.apache.avro.Schema.Parser().parse(js))
-          catch {
-            case e: org.apache.avro.SchemaParseException =>
-              throw graft.config.YamlConfig.ConfigError(
-                s"load '${a.name}': cloudFiles.avroSchema is not a valid " +
-                  s"Avro schema (${e.getMessage})")
-          }
-        })
+      if (declaredBase.isDefined && avroReaderSchema.isDefined)
+        throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': both table_schema/schema file and " +
+            "cloudFiles.avroSchema declare a schema — remove one")
+      val declared = declaredBase.orElse(avroReaderSchema)
       // schema hints override/extend the INFERRED schema (Auto Loader
       // semantics — unused when a full schema is declared); the value may be
       // inline DDL or a schema-file reference (cloudfiles.py:30-55)
-      val hintSchema = a.options.get("cloudFiles.schemaHints")
+      val hintSchema = cfOpt(a, "schemaHints")
         .orElse(a.options.get("schemaHints")).map { h =>
           if (h.endsWith(".yaml") || h.endsWith(".yml") || h.endsWith(".json"))
             graft.config.SchemaParser.parse(readFile(h)).schema
@@ -268,7 +275,7 @@ final class PipelineRunner(
       //  - rescue: schema stays pinned; unexpected columns land in the
       //    rescued-data column (see rescueParse).
       //  - none/absent: fixed declared/inferred schema (OSS default).
-      val evolutionMode = a.options.get("cloudFiles.schemaEvolutionMode")
+      val evolutionMode = cfOpt(a, "schemaEvolutionMode")
       evolutionMode.foreach {
         case "none" | "addNewColumns" | "failOnNewColumns" | "rescue" => ()
         case other => throw graft.config.YamlConfig.ConfigError(
@@ -282,7 +289,7 @@ final class PipelineRunner(
         // HONORED as the sidecar directory; the default sits next to the
         // action's checkpoint. Sharing one location between two loads would
         // silently share a pin (Auto Loader errors on this too) — reject.
-        val sidecar = a.options.get("cloudFiles.schemaLocation") match {
+        val sidecar = cfOpt(a, "schemaLocation") match {
           case Some(dir) =>
             val owner = schemaLocationOwners.getOrElseUpdate(dir,
               s"$currentPipeline/$currentFlowgroup/${a.name}")
@@ -354,8 +361,8 @@ final class PipelineRunner(
           s"load '${a.name}': xml needs an explicit rowTag " +
             "(cloudFiles.rowTag) — Spark's default 'ROW' would silently " +
             "match nothing in most documents")
-      val rescueCol = a.options.get("cloudFiles.rescuedDataColumn")
-        .orElse(a.options.get("cloudFiles.rescueDataColumn")) // reference examples carry both spellings
+      val rescueCol = cfOpt(a, "rescuedDataColumn")
+        .orElse(cfOpt(a, "rescueDataColumn")) // reference examples carry both spellings
         .orElse(if (evolutionMode.contains("rescue")) Some("_rescued_data") else None)
       rescueCol.foreach { rc =>
         // json/csv rescue parses raw text; avro rescue routes type-mismatch
@@ -367,7 +374,7 @@ final class PipelineRunner(
             s"load '${a.name}': cloudFiles.rescuedDataColumn only applies to " +
             s"json/csv/avro (got format '${a.format}' — parquet/orc scans are " +
             "schema-projected, nothing reaches a rescue column)")
-        if (declared.exists(_.fieldNames.contains(rc)))
+        if (declared.exists(_.fieldNames.exists(_.equalsIgnoreCase(rc))))
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': declared schema already contains rescue column '$rc'")
         // the rescue path reads raw lines: a csv header line would parse as
@@ -389,7 +396,7 @@ final class PipelineRunner(
       // effect; silently accepting it would re-read the full backfill every
       // run while the user believes it excluded
       if (a.readMode != "stream" &&
-          a.options.get("cloudFiles.includeExistingFiles").exists(!_.toBoolean))
+          cfOpt(a, "includeExistingFiles").exists(!_.toBoolean))
         throw graft.config.YamlConfig.ConfigError(
           s"load '${a.name}': cloudFiles.includeExistingFiles=false requires " +
           "readMode: stream (a batch read has no stream start to exclude " +
@@ -406,8 +413,28 @@ final class PipelineRunner(
           // cloudFiles.mergeSchema=false = Auto Loader's single-file
           // inference; the engine default stays cross-file merge (loud on
           // conflicts, so the wider default is safe)
-          merge = a.options.get("cloudFiles.mergeSchema").forall(_.toBoolean))
+          merge = cfOpt(a, "mergeSchema").forall(_.toBoolean))
         else spark.read.format(a.format).options(passThrough).load(a.path).schema
+      // the ONE avro read path (stream/batch × rescue/plain): binaryFile
+      // lists the files, the bridge decodes; evolve() is identity when no
+      // evolution mode is set, so the schema formula is shared too
+      def avroRead(streamMode: Boolean, rescue: Option[String]): DataFrame = {
+        val schema = evolve(declared.getOrElse(merge(inferredSchema())))
+        rescue.foreach { rc =>
+          if (schema.fieldNames.exists(_.equalsIgnoreCase(rc)))
+            throw graft.config.YamlConfig.ConfigError(
+              s"load '${a.name}': schema already contains rescue column '$rc'")
+        }
+        val bin =
+          if (streamMode)
+            // the includeExistingFiles anti-join must run on the binaryFile
+            // frame — the decoded rows no longer carry `_metadata.file_path`
+            excludePreexisting(a, spark.readStream.format("binaryFile")
+              .schema(graft.sources.AvroBridge.binaryFileSchema)
+              .options(passThrough).load(a.path))
+          else spark.read.format("binaryFile").options(passThrough).load(a.path)
+        graft.sources.AvroBridge.decode(bin, schema, rescue)
+      }
       // Rescue mode reads RAW TEXT and parses each line with from_json /
       // from_csv, so the rescue column is an ordinary materialized column.
       // Reading with the scan-level corrupt-record option instead is subtly
@@ -460,16 +487,7 @@ final class PipelineRunner(
             case Some(rc) if a.format == "avro" =>
               // pinned schema + bridge-side rescue: mismatched/undeclared
               // writer fields land in rc instead of failing the batch
-              val schema = evolve(declared.getOrElse(merge(inferredSchema())))
-              if (schema.fieldNames.exists(_.equalsIgnoreCase(rc)))
-                throw graft.config.YamlConfig.ConfigError(
-                  s"load '${a.name}': inferred schema already contains " +
-                    s"rescue column '$rc'")
-              val bin = spark.readStream.format("binaryFile")
-                .schema(graft.sources.AvroBridge.binaryFileSchema)
-                .options(passThrough).load(a.path)
-              graft.sources.AvroBridge.decode(
-                excludePreexisting(a, bin), schema, Some(rc))
+              avroRead(streamMode = true, rescue = Some(rc))
             case Some(rc) =>
               val raw = spark.readStream.format("text")
                 .options(passThrough.view.filterKeys(
@@ -480,16 +498,9 @@ final class PipelineRunner(
               // file streams need a schema: declared, or inferred from
               // existing files (dev convenience) merged with hints; the
               // evolution sidecar merges/pins/rejects across runs
-              val schema = evolve(declared.getOrElse(merge(inferredSchema())))
-              if (a.format == "avro") {
-                // the includeExistingFiles anti-join must run on the
-                // binaryFile frame — the decoded rows no longer carry
-                // `_metadata.file_path`
-                val bin = spark.readStream.format("binaryFile")
-                  .schema(graft.sources.AvroBridge.binaryFileSchema)
-                  .options(passThrough).load(a.path)
-                graft.sources.AvroBridge.decode(excludePreexisting(a, bin), schema)
-              } else {
+              if (a.format == "avro") avroRead(streamMode = true, rescue = None)
+              else {
+                val schema = evolve(declared.getOrElse(merge(inferredSchema())))
                 val stream0 = spark.readStream.format(a.format).schema(schema)
                   .options(passThrough).load(a.path)
                 excludePreexisting(a, stream0)
@@ -497,23 +508,11 @@ final class PipelineRunner(
           }
         } else rescueCol match {
           case Some(rc) if a.format == "avro" =>
-            val schema = evolve(declared.getOrElse(merge(inferredSchema())))
-            if (schema.fieldNames.exists(_.equalsIgnoreCase(rc)))
-              throw graft.config.YamlConfig.ConfigError(
-                s"load '${a.name}': inferred schema already contains " +
-                  s"rescue column '$rc'")
-            graft.sources.AvroBridge.decode(
-              spark.read.format("binaryFile").options(passThrough).load(a.path),
-              schema, Some(rc))
+            avroRead(streamMode = false, rescue = Some(rc))
           case Some(rc) =>
             rescueParse(spark.read.format("text").load(a.path), rc)
           case None if a.format == "avro" =>
-            val schema = evolutionMode match {
-              case Some(_) => evolve(declared.getOrElse(merge(inferredSchema())))
-              case None => declared.getOrElse(merge(inferredSchema()))
-            }
-            graft.sources.AvroBridge.decode(
-              spark.read.format("binaryFile").options(passThrough).load(a.path), schema)
+            avroRead(streamMode = false, rescue = None)
           case None =>
             val r = spark.read.format(a.format).options(passThrough)
             // EVERY evolution mode routes through evolve on batch reads too
@@ -1631,6 +1630,15 @@ final class PipelineRunner(
     *  - infra knobs (cloud credentials, notification queues, scheduling
     *    hints): no local effect by construction — warn once, drop;
     *  - anything else: loud ConfigError. */
+  /** Case-insensitive `cloudFiles.<name>` lookup: the option TRANSLATOR
+    * classifies keys case-insensitively (lowercased suffix match), so the
+    * CONSUMERS must resolve them the same way — an exact-case get would let
+    * `cloudFiles.mergeschema` be swallowed as handled yet never honored. */
+  private def cfOpt(a: CloudFilesLoad, name: String): Option[String] =
+    a.options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("cloudFiles." + name) => v
+    }
+
   private def translateCloudFilesOptions(a: CloudFilesLoad): Map[String, String] = {
     // options the CloudFilesLoad branch itself implements
     val handledInLoad = Set("format", "schemahints", "includeexistingfiles",
@@ -1685,19 +1693,33 @@ final class PipelineRunner(
         case "rowtag" => Some("rowTag" -> v)
         case "mergeschema" =>
           // avro: the bridge's cross-file inference merge is the same knob
-          // (handled in inferredSchema); parquet/orc: pass to the source
-          if (a.format == "avro") None else Some("mergeSchema" -> v)
+          // (handled in inferredSchema); parquet/orc: pass to the source.
+          // json/csv/text have no such option — forwarding it there would
+          // be silently dropped by Spark, exactly the believed-but-ignored
+          // state this translator exists to prevent
+          a.format match {
+            case "avro" => None
+            case "parquet" | "orc" => Some("mergeSchema" -> v)
+            case other => throw graft.config.YamlConfig.ConfigError(
+              s"load '${a.name}': cloudFiles.mergeSchema applies to " +
+                s"avro/parquet/orc only (got format '$other')")
+          }
         case "datetimerebasemode" =>
           // the bridge reads proleptic Gregorian (Spark's CORRECTED);
           // LEGACY/EXCEPTION only differ for Julian-calendar epochs
           // (pre-1582 dates written by ancient engines) — advisory
-          if (a.format == "avro") {
-            if (!v.equalsIgnoreCase("CORRECTED"))
-              graft.Log.warn(s"load '${a.name}': '$k=$v' — the avro bridge " +
-                "always reads proleptic Gregorian (CORRECTED semantics); " +
-                "pre-1582 dates written by Julian-calendar engines would differ")
-            None
-          } else Some("datetimeRebaseMode" -> v)
+          a.format match {
+            case "avro" =>
+              if (!v.equalsIgnoreCase("CORRECTED"))
+                graft.Log.warn(s"load '${a.name}': '$k=$v' — the avro bridge " +
+                  "always reads proleptic Gregorian (CORRECTED semantics); " +
+                  "pre-1582 dates written by Julian-calendar engines would differ")
+              None
+            case "parquet" => Some("datetimeRebaseMode" -> v)
+            case other => throw graft.config.YamlConfig.ConfigError(
+              s"load '${a.name}': cloudFiles.datetimeRebaseMode applies to " +
+                s"avro/parquet only (got format '$other')")
+          }
         case o if handledInLoad(o) => None
         case o if infraNoop(o) || infraNoopPrefixes.exists(o.startsWith) =>
           graft.Log.warn(s"load '${a.name}': '$k' is a " +
@@ -1714,7 +1736,7 @@ final class PipelineRunner(
     * inference; true infers types): csv has the same knob (`inferSchema`);
     * json infers types by default, so false maps to `primitivesAsString`. */
   private def inferColumnTypesOptions(a: CloudFilesLoad): Map[String, String] =
-    a.options.get("cloudFiles.inferColumnTypes").map(_.toBoolean) match {
+    cfOpt(a, "inferColumnTypes").map(_.toBoolean) match {
       case Some(b) if a.format == "csv" => Map("inferSchema" -> b.toString)
       case Some(b) if a.format == "json" => Map("primitivesAsString" -> (!b).toString)
       case _ => Map.empty
@@ -1729,7 +1751,7 @@ final class PipelineRunner(
     * The listing snapshot is exactly Auto Loader's semantics; the anti-join
     * is stream-static (stateless) and the snapshot side is scan-once. */
   private def excludePreexisting(a: CloudFilesLoad, stream: DataFrame): DataFrame = {
-    val include = a.options.get("cloudFiles.includeExistingFiles").forall(_.toBoolean)
+    val include = cfOpt(a, "includeExistingFiles").forall(_.toBoolean)
     if (include) return stream
     val sidecar = new java.io.File(checkpointFor(a.name) + "__preexisting")
     // full refresh (global or targeting a write this load feeds) restarts

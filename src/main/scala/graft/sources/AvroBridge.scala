@@ -171,9 +171,12 @@ object AvroBridge {
     *
     * `options` mirrors the directory-listing options the binaryFile source
     * itself honors on the decode side, so inference and decode see the same
-    * file set: `pathGlobFilter` (leaf-name glob) and `recursiveFileLookup`
-    * (default true). `merge=false` (cloudFiles.mergeSchema) reads the first
-    * file's schema only — Auto Loader's single-file inference mode. */
+    * file set: `pathGlobFilter` (leaf-name glob, Hadoop dialect — the same
+    * GlobFilter the file index applies) and `recursiveFileLookup` (default
+    * FALSE, matching binaryFile's default — probed empirically: a nested
+    * non-partition subdir's files are not listed unless the option is set).
+    * `merge=false` (cloudFiles.mergeSchema) reads the first file's schema
+    * only — Auto Loader's single-file inference mode. */
   def inferSchema(spark: SparkSession, path: String,
       options: Map[String, String] = Map.empty, merge: Boolean = true): StructType = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -182,9 +185,13 @@ object AvroBridge {
     if (!fs.exists(root))
       throw ConfigError(s"avro: path '$path' does not exist")
     val glob = options.find(_._1.equalsIgnoreCase("pathGlobFilter")).map(_._2)
-      .map(g => java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + g))
+      .map { g =>
+        try new org.apache.hadoop.fs.GlobFilter(g)
+        catch { case e: Exception => throw ConfigError(
+          s"avro: invalid pathGlobFilter '$g' (${e.getMessage})") }
+      }
     val recursive = options.find(_._1.equalsIgnoreCase("recursiveFileLookup"))
-      .forall(_._2.toBoolean)
+      .exists(_._2.toBoolean)
     // recurse manually so hidden DIRECTORIES (`_spark_metadata`, `.staging`)
     // are pruned like Spark's own file index does — a flat listFiles(root,
     // true) would descend into them and trip over their non-avro leaves
@@ -194,8 +201,7 @@ object AvroBridge {
         val n = st.getPath.getName
         if (!n.startsWith("_") && !n.startsWith(".")) {
           if (st.isDirectory) { if (recursive) walk(st.getPath) }
-          else if (st.getLen > 0 &&
-              glob.forall(_.matches(java.nio.file.Paths.get(n))))
+          else if (st.getLen > 0 && glob.forall(_.accept(st.getPath)))
             files += st.getPath
         }
       }
@@ -203,7 +209,9 @@ object AvroBridge {
     if (files.isEmpty)
       throw ConfigError(s"avro: no data files under '$path' to infer a " +
         "schema from — declare table_schema or land a file first")
-    val chosen = if (merge) files.sortBy(_.toString) else files.sortBy(_.toString).take(1)
+    val chosen =
+      if (merge) files.sortBy(_.toString)
+      else mutable.ArrayBuffer(files.minBy(_.toString))
     val structs = chosen.map { p =>
       val in = fs.open(p)
       try {
@@ -344,6 +352,9 @@ object AvroBridge {
             else rescuedMismatch.toIndexedSeq ++
               writerFields.filterNot(f => matchedPos.contains(f.pos()))
           val width = convs.length + (if (rescueCol.isDefined) 1 else 0)
+          // common case: nothing to rescue in this file — keep the per-row
+          // path allocation-free rather than filtering an empty seq per row
+          val doRescue = rescueCol.isDefined && rescuedFields.nonEmpty
           new Iterator[Row] {
             def hasNext: Boolean = { val h = dfs.hasNext; if (!h) dfs.close(); h }
             def next(): Row = {
@@ -351,7 +362,7 @@ object AvroBridge {
               val out = new Array[Any](width)
               var i = 0
               while (i < convs.length) { out(i) = convs(i)(rec); i += 1 }
-              if (rescueCol.isDefined) {
+              if (doRescue) {
                 val present = rescuedFields.filter(f => rec.get(f.pos()) != null)
                 if (present.nonEmpty)
                   out(width - 1) = present.map { f =>

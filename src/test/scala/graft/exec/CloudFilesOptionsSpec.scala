@@ -505,6 +505,60 @@ class CloudFilesOptionsSpec extends SparkSuite {
         ingestYaml(landing, s"        cloudFiles.avroSchema: '$avroSchema'")))
     }
     assert(e.getMessage.contains("avroSchema"), e.getMessage)
+    // ...even when a declared schema would otherwise win the orElse chain
+    val e2 = intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(ingestYaml(landing,
+        s"        cloudFiles.avroSchema: '$avroSchema'",
+        """      table_schema: "id INT, v STRING"""")))
+    }
+    assert(e2.getMessage.contains("avroSchema"), e2.getMessage)
+  }
+
+  test("option tiers stay loud per format; spellings are case-insensitive") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    Seq((1, "a")).toDF("id", "v").write.json(landing)
+    // mergeSchema has no json equivalent — believed-but-dropped is refused
+    val e = intercept[YamlConfig.ConfigError] {
+      runner.run(YamlConfig.parseFlowGroup(
+        ingestYaml(landing, "        cloudFiles.mergeSchema: false")))
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    // a differently-cased spelling must be HONORED, not swallowed: with
+    // mergeschema=false (single-file inference) a second conflicting file
+    // cannot trip a cross-file merge conflict
+    val (runner2, store2, dir2) = freshRunner()
+    val avroLanding = s"$dir2/landing"
+    graft.sources.AvroBridge.write(Seq((1, "a")).toDF("id", "v"), avroLanding)
+    graft.sources.AvroBridge.write(Seq((2, 9.9)).toDF("id", "v"), s"$dir2/b")
+    new java.io.File(s"$dir2/b").listFiles().filter(_.getName.endsWith(".avro"))
+      .foreach(f => f.renameTo(new java.io.File(avroLanding, "z_" + f.getName)))
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $avroLanding
+         |      format: avro
+         |      readMode: batch
+         |      options:
+         |        cloudFiles.mergeschema: "false"
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: materialized_view, table: ci_t}
+         |""".stripMargin
+    // single-file inference pins file A's schema; file B's conflicting 'v'
+    // is a decode-level coercion error, NOT an inference-merge conflict —
+    // proving the lowercased spelling reached the inference path
+    val e2 = intercept[Exception] {
+      runner2.run(YamlConfig.parseFlowGroup(yaml))
+    }
+    assert(!e2.getMessage.contains("conflicting types across files"), e2.getMessage)
   }
 
   test("csv rescue: malformed rows captured, clean rows typed") {

@@ -266,6 +266,19 @@ class AvroBridgeSpec extends SparkSuite {
     assert(e.getMessage.contains("recursive"), e.getMessage)
   }
 
+  test("inference matches binaryFile's non-recursive default; recursiveFileLookup opts in") {
+    val dir = tmp("avro-recurse")
+    AvroBridge.write(Seq((1, "a")).toDF("id", "v"), dir)
+    AvroBridge.write(Seq((2, 9.9)).toDF("id", "score"), s"$dir/nested")
+    // default: nested subdir invisible (matches binaryFile decode listing)
+    assert(AvroBridge.inferSchema(spark, dir).fieldNames.toSeq == Seq("id", "v"))
+    // opt-in recursion sees the nested file's columns too
+    val rec = AvroBridge.inferSchema(spark, dir,
+      Map("recursiveFileLookup" -> "true"))
+    // merge order follows path sort; the field SET is the contract here
+    assert(rec.fieldNames.toSet == Set("id", "v", "score"))
+  }
+
   test("inference prunes hidden directories like Spark's file index") {
     val dir = tmp("avro-hidden")
     AvroBridge.write(Seq((1, "a")).toDF("id", "v"), dir)
