@@ -16,7 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional full-string regex filter for fast single-query iteration
+    // (same contract as Bench's SPARK_GRAFT_FILTER); the driver sets none
+    val filter = sys.env.get("SPARK_GRAFT_FILTER")
+    SparkEntry.queries
+      .filter { case (name, _) => filter.forall(name.matches) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -507,6 +507,84 @@ object Extras {
     store.read("c2_t").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
   }
 
+  /** The jdbc load operator through the gate — previously spec-only
+    * (embedded-Derby E2E in SourcesSpec; reference: generators/load/
+    * jdbc.py:13). The supplier table round-trips through a real JDBC
+    * database (Derby, which ships in the Spark jars): Spark's jdbc writer
+    * lands it, the runner's `type: jdbc` load reads it back with a
+    * pushdown-shaped `query`, and the hash is checked against the raw
+    * parquet — any type mangling across the JDBC boundary (DOUBLE/CLOB/
+    * BIGINT round trips) or a dropped row mismatches. */
+  def c3JdbcIngest(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c3").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val url = s"jdbc:derby:$wh/db;create=true"
+    Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "SUPP").mode("overwrite").save()
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: c3
+         |flowgroup: ingest
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: jdbc
+         |      url: "$url"
+         |      query: 'SELECT * FROM SUPP'
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: materialized_view, table: c3_t}
+         |""".stripMargin))
+    val out = store.read("c3_t")
+    // Derby folds unquoted identifiers to upper case on the plain-SQL read
+    // path; normalize to the parquet spelling for the column-name compare
+    out.select(out.columns.toSeq.map(c => col(s"`$c`").as(c.toLowerCase)): _*)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
+  /** The function-plugin load AND transform operators through the gate —
+    * previously spec-only (reference: generators/load/python.py:12,
+    * generators/transform/python.py:14). A `type: python` load resolves
+    * `graft.plugins.ParquetTableSource` reflectively, a `type: python`
+    * transform applies `NetRevenueTransform` (net_price = o_totalprice ×
+    * (1 − rate)), and the result is hash-checked against a DuckDB
+    * recompute — a plugin dispatched to the wrong class, a dropped
+    * parameter, or a skipped transform all mismatch. */
+  def c4FunctionPipeline(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c4").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: c4
+         |flowgroup: fn
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: python
+         |      function: graft.plugins.ParquetTableSource
+         |      parameters: {path: "$dir/orders.parquet"}
+         |    target: v_orders
+         |  - name: t
+         |    type: transform
+         |    transform_type: python
+         |    source: v_orders
+         |    function: graft.plugins.NetRevenueTransform
+         |    parameters: {rate: 0.05}
+         |    target: v_net
+         |  - name: w
+         |    type: write
+         |    source: v_net
+         |    write_target: {type: materialized_view, table: c4_t}
+         |""".stripMargin))
+    store.read("c4_t").select("o_orderkey", "o_totalprice", "net_price")
+  }
+
   /** Declared-incremental join MV through the gate — the acmi gold-layer
     * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
     * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
@@ -573,6 +651,8 @@ object Extras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
+    "c3_jdbc_ingest" -> c3JdbcIngest,
+    "c4_function_pipeline" -> c4FunctionPipeline,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -703,6 +783,18 @@ object Extras {
     "c2_avro_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer""".stripMargin,
+    // c3's oracle is the raw supplier table: the Spark side round-trips it
+    // through a real JDBC database, so type mangling or dropped rows at the
+    // JDBC boundary hash-mismatch
+    "c3_jdbc_ingest" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier""".stripMargin,
+    // c4 recomputes the plugin pipeline's one-multiply transform exactly
+    // (binary64 × binary64 is bit-identical across engines)
+    "c4_function_pipeline" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       o_totalprice * 0.95 AS net_price
+        |FROM orders""".stripMargin,
     // e1 recomputes the monitoring rollup from the RAW per-pipeline event
     // logs the query dumps at [[e1LogDumpPath]] — independent of the
     // monitoring union stream, so union replay/duplication bugs
