@@ -79,4 +79,31 @@ object Sampling {
       byHash(df.select(columns.map(col): _*), keyCol, fraction, salt)
         .withColumn("_source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Deterministic global shuffle into `shards` training shards: each row
+    * gets `_shard = hash % shards` and `_pos` = its rank within the shard
+    * by (hash, key). The canonical pre-training sharder — the assignment
+    * depends only on (key, salt), so a re-run over a grown corpus keeps
+    * every old row's shard (only `_pos` shifts where new rows interleave),
+    * and a different salt is a fresh epoch-level reshuffle.
+    *
+    * Scale shape: ONE hash exchange (the per-shard window) + per-shard
+    * sort — deliberately no global ORDER BY (no range exchange), because a
+    * total order across 100 TB buys nothing once shard files are read
+    * independently. Reduce-side parallelism equals `shards`, so size it
+    * like an output-file count (thousands at corpus scale), not a handful.
+    * Plan-guarded in SamplingSpec. */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: Int = 0,
+      portable: Boolean = false): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    Seq("_shard", "_pos").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a $c column; rename it first"))
+    val (bucket, _) = bucketAndScale(keyCol, salt, portable)
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(bucket, lit(shards.toLong)).cast("int")
+    val w = Window.partitionBy(shard).orderBy(bucket, col(keyCol))
+    df.withColumn("_shard", shard)
+      .withColumn("_pos", row_number().over(w))
+  }
 }

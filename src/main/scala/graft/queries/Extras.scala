@@ -658,6 +658,10 @@ object Extras {
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
     "m4_domain_cap" -> m4DomainCap,
+    "m5_shuffle_shards" -> ((s, dir) =>
+      graft.dedup.Sampling.shuffleShards(
+        Tables.load(s, dir, "documents"), "doc_id", shards = 16, portable = true)
+        .select("doc_id", "_shard", "_pos")),
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
     "q46_cdf_window" -> q46CdfWindow,
@@ -690,6 +694,14 @@ object Extras {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
         |      < CASE WHEN lang = 'en' THEN 4294967296 ELSE 858993459 END""".stripMargin,
+    // m5 recomputes the portable shard assignment + in-shard rank exactly:
+    // a row in the wrong shard or position hash-mismatches
+    "m5_shuffle_shards" ->
+      """SELECT doc_id, CAST(b % 16 AS INT) AS _shard,
+        |  CAST(row_number() OVER (PARTITION BY b % 16 ORDER BY b, doc_id) AS INT) AS _pos
+        |FROM (SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
+        |  FROM documents)""".stripMargin,
     "m4_domain_cap" ->
       """SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang,

@@ -116,6 +116,24 @@ object ScaleProbe {
       println(f"""{"k":$k,"lineitem_rows":${li.count()},"q1_agg":$agg%.2f,"join_agg":$join%.2f,"sessionize":$sess%.2f,"topk":$topk%.2f}""")
       Seq(li, ord, cust, ev).foreach(_.unpersist())
     }
+
+    // ---- ingest tier: avro decode (one task per file group, zero
+    // shuffle — the ratio should track file count) and shuffle-sharding
+    // (one hash exchange; shards sized to parallelism)
+    println(f"""{"probe":"avro_shard_linearity","sf":"$sfDir","reps":$reps}""")
+    for (k <- Seq(1, reps)) {
+      val c = corpus(k).persist(); c.count()
+      val avroDir = java.nio.file.Files.createTempDirectory(s"probe-avro-$k").toString
+      graft.sources.AvroBridge.write(c.repartition(k * 8), avroDir)
+      val avro = med(time(graft.sources.AvroBridge.decode(
+        spark.read.format("binaryFile").load(avroDir),
+        graft.sources.AvroBridge.inferSchema(spark, avroDir))))
+      val shard = med(time(graft.dedup.Sampling.shuffleShards(
+        c, "doc_id", shards = 64)))
+      println(f"""{"k":$k,"rows":${c.count()},"avro_decode":$avro%.2f,"shuffle_shards":$shard%.2f}""")
+      c.unpersist(): Unit
+      graft.exec.Fs.deleteRecursively(new java.io.File(avroDir))
+    }
     spark.stop()
   }
 }

@@ -51,6 +51,40 @@ class SamplingSpec extends SparkSuite {
     assert(m.filter($"_source" === "src_b").count() == 1)
   }
 
+  test("shuffleShards: stable shard assignment, contiguous positions, no range exchange") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Sampling.shuffleShards(docs, "doc_id", shards = 8).persist()
+    // every row lands exactly once, shards within range
+    assert(out.count() == docs.count())
+    val shards = out.select("_shard").distinct().as[Int].collect().toSet
+    assert(shards.forall(s => s >= 0 && s < 8))
+    // positions are 1..n_s contiguous per shard
+    val bad = out.groupBy("_shard")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.max("_pos").as("mx"),
+        org.apache.spark.sql.functions.min("_pos").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.count() == 0)
+    // assignment depends only on (key, salt): input partitioning is irrelevant
+    val again = Sampling.shuffleShards(docs.repartition(7), "doc_id", shards = 8)
+    assert(out.select("doc_id", "_shard", "_pos").as[(Long, Int, Int)].collect().toSet ==
+      again.select("doc_id", "_shard", "_pos").as[(Long, Int, Int)].collect().toSet)
+    // a different salt reshuffles (epoch semantics)
+    val epoch2 = Sampling.shuffleShards(docs, "doc_id", shards = 8, salt = 1)
+    assert(out.select("doc_id", "_shard").as[(Long, Int)].collect().toSet !=
+      epoch2.select("doc_id", "_shard").as[(Long, Int)].collect().toSet)
+    // plan shape: hash exchange only — a global sort (range exchange) would
+    // be the scale-killer this operator exists to avoid
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+    out.unpersist()
+    // reserved output columns are a loud error
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(docs.withColumn("_shard",
+        org.apache.spark.sql.functions.lit(1)), "doc_id", 4)
+    }
+  }
+
   test("capPerGroup keeps at most k per group, deterministically, nested in k") {
     val docs = Tables.load(spark, sf0001, "documents")
     val capped = Sampling.capPerGroup(docs, "doc_id", "source", k = 3)
