@@ -17,11 +17,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional full-string regex filter for fast single-query iteration
-    // (same contract as Bench's SPARK_GRAFT_FILTER); the driver sets none
+    // (same contract as Bench's SPARK_GRAFT_FILTER); the driver sets none.
+    // A typo'd filter matching nothing must fail loudly — a silent no-op
+    // over a reused outDir would let check.py PASS stale parquet.
     val filter = sys.env.get("SPARK_GRAFT_FILTER")
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => filter.forall(name.matches) }
-      .foreach { case (name, fn) =>
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_FILTER '${filter.getOrElse("")}' matched no queries " +
+        s"(have: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,7 +45,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map honors the filter too: otherwise a filtered run's
+    // check.py would FAIL 'no spark output' for every unselected query and
+    // exit 1, burying the one result the filter was for
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

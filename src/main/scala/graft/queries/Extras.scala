@@ -575,7 +575,7 @@ object Extras {
          |    transform_type: python
          |    source: v_orders
          |    function: graft.plugins.NetRevenueTransform
-         |    parameters: {rate: 0.05}
+         |    parameters: {rate: 0.1}
          |    target: v_net
          |  - name: w
          |    type: write
@@ -802,10 +802,13 @@ object Extras {
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier""".stripMargin,
     // c4 recomputes the plugin pipeline's one-multiply transform exactly
-    // (binary64 × binary64 is bit-identical across engines)
+    // (binary64 × binary64 is bit-identical across engines; 1.0-0.1 is
+    // exactly the double 0.9). rate=0.1 differs from the plugin's 0.05
+    // DEFAULT on purpose: a dropped parameters map would fall back to the
+    // default and hash-mismatch, pinning the parameter plumbing itself
     "c4_function_pipeline" ->
       """SELECT o_orderkey, o_totalprice,
-        |       o_totalprice * 0.95 AS net_price
+        |       o_totalprice * 0.9 AS net_price
         |FROM orders""".stripMargin,
     // e1 recomputes the monitoring rollup from the RAW per-pipeline event
     // logs the query dumps at [[e1LogDumpPath]] — independent of the

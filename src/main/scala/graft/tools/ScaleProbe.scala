@@ -125,11 +125,18 @@ object ScaleProbe {
       val c = corpus(k).persist(); c.count()
       val avroDir = java.nio.file.Files.createTempDirectory(s"probe-avro-$k").toString
       graft.sources.AvroBridge.write(c.repartition(k * 8), avroDir)
-      val avro = med(time(graft.sources.AvroBridge.decode(
-        spark.read.format("binaryFile").load(avroDir),
-        graft.sources.AvroBridge.inferSchema(spark, avroDir))))
+      // listing + header inference are driver-side setup, hoisted OUT of
+      // the timed region (they'd otherwise contaminate the decode ratio —
+      // k×8 serial header reads per rep); the timed region is the
+      // distributed container decode alone
+      val binFrame = spark.read.format("binaryFile").load(avroDir)
+      val target = graft.sources.AvroBridge.inferSchema(spark, avroDir)
+      val avro = med(time(graft.sources.AvroBridge.decode(binFrame, target)))
+      // count() on unused _shard/_pos would let ColumnPruning DELETE the
+      // window and its exchange (verified: the count plan has no Window) —
+      // aggregate over the window outputs so the shuffle actually runs
       val shard = med(time(graft.dedup.Sampling.shuffleShards(
-        c, "doc_id", shards = 64)))
+        c, "doc_id", shards = 64).agg(max("_pos"), max("_shard"))))
       println(f"""{"k":$k,"rows":${c.count()},"avro_decode":$avro%.2f,"shuffle_shards":$shard%.2f}""")
       c.unpersist(): Unit
       graft.exec.Fs.deleteRecursively(new java.io.File(avroDir))
