@@ -585,6 +585,107 @@ object Extras {
     store.read("c4_t").select("o_orderkey", "o_totalprice", "net_price")
   }
 
+  /** The custom_datasource (DataSource V2) load through the gate —
+    * previously spec-only (reference: generators/load/custom_datasource.py:
+    * register class, then `spark.read.format(name)`). The engine's demo
+    * DSv2 provider generates deterministic rows partition-locally, so the
+    * DuckDB oracle recomputes the exact output from `range()` — a wrong
+    * partition split, a dropped option, or a mangled row mismatches. */
+  def c5CustomSource(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c5").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: c5
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: custom_datasource
+         |      custom_datasource_class: graft.sources.v2.SyntheticSource
+         |      options: {rows: 5000, partitions: 8}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: materialized_view, table: c5_t}
+         |""".stripMargin))
+    store.read("c5_t").select("id", "bucket", "payload")
+  }
+
+  /** The temp_table transform through the gate — previously spec-only.
+    * temp_table MATERIALIZES its input into the store mid-pipeline (the
+    * reference's spark.write staging step); a downstream SQL transform
+    * aggregates over the materialized view. The oracle recomputes the
+    * aggregate from raw orders, so a row lost or duplicated by the
+    * materialize-and-reread hop mismatches. */
+  def c6TempTable(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c6").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("c6_src")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: c6
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: c6_src}
+         |    target: v_raw
+         |  - name: t_mat
+         |    type: transform
+         |    transform_type: temp_table
+         |    source: v_raw
+         |    target: v_tmp
+         |  - name: t_agg
+         |    type: transform
+         |    transform_type: sql
+         |    sql: >
+         |      SELECT o_orderstatus,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |      FROM v_tmp GROUP BY o_orderstatus
+         |    target: v_agg
+         |  - name: w
+         |    type: write
+         |    source: v_agg
+         |    write_target: {type: materialized_view, table: c6_t}
+         |""".stripMargin))
+    store.read("c6_t")
+  }
+
+  /** The files sink through the gate — previously spec-only. The pipeline
+    * lands a projection of orders as parquet under the sink path; the gate
+    * reads the landed files back, so a sink that drops rows, writes a
+    * wrong schema, or mangles values mismatches the raw-table oracle. */
+  def c7FilesSink(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-c7").toString
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("c7_src")
+    val out = s"$wh/landed"
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      s"""pipeline: c7
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: c7_src}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target:
+         |      type: sink
+         |      sink_type: files
+         |      options: {path: "$out", format: parquet}
+         |""".stripMargin))
+    s.read.parquet(out)
+  }
+
   /** Declared-incremental join MV through the gate — the acmi gold-layer
     * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
     * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
@@ -653,6 +754,9 @@ object Extras {
     "c2_avro_ingest" -> c2AvroIngest,
     "c3_jdbc_ingest" -> c3JdbcIngest,
     "c4_function_pipeline" -> c4FunctionPipeline,
+    "c5_custom_source" -> c5CustomSource,
+    "c6_temp_table" -> c6TempTable,
+    "c7_files_sink" -> c7FilesSink,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -809,6 +913,21 @@ object Extras {
     "c4_function_pipeline" ->
       """SELECT o_orderkey, o_totalprice,
         |       o_totalprice * 0.9 AS net_price
+        |FROM orders""".stripMargin,
+    // c5 recomputes the DSv2 demo source's deterministic generator
+    "c5_custom_source" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       CAST(range % 10 AS INT) AS bucket,
+        |       'row-' || CAST(range AS VARCHAR) AS payload
+        |FROM range(5000)""".stripMargin,
+    // c6 recomputes the post-temp-table aggregate from raw orders
+    "c6_temp_table" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // c7's oracle is the raw projection the sink landed
+    "c7_files_sink" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders""".stripMargin,
     // e1 recomputes the monitoring rollup from the RAW per-pipeline event
     // logs the query dumps at [[e1LogDumpPath]] — independent of the
