@@ -260,6 +260,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("__probe_id")).as("n_probes"))
   }
 
+  /** Fuzzy decontamination: corpus docs whose n-gram Jaccard against ANY
+    * benchmark probe doc meets `threshold` — catches paraphrased or
+    * partially-copied benchmark leakage that [[contamination]]'s
+    * shared-shingle counts only hint at. Returns one row per contaminated
+    * (corpus doc, probe) pair with the exact Jaccard.
+    *
+    * Scale shape mirrors [[contamination]]: the probe side (benchmark sets
+    * are small by nature) broadcasts — both its shingles and its per-probe
+    * set sizes — so the 100 TB corpus is scanned once, map-side joined,
+    * and only docs sharing ≥1 shingle with a probe (the candidate hit set)
+    * enter the (doc, probe) aggregation shuffle. No corpus self-join, no
+    * LSH needed: exactness against a broadcast side is cheaper than
+    * banding. Shingles compare by 64-bit hash (d2's documented 2^-64
+    * collision tolerance). */
+  def fuzzyContamination(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String,
+      probeIdCol: String, probeTextCol: String,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val corpusSh = shingles(corpus, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val probeSh = shingles(probes, probeIdCol, probeTextCol, n)
+      .select(col(probeIdCol).as("__probe_id"), xxhash64(col("shingle")).as("h"))
+    val probeSizes = probeSh.groupBy("__probe_id").agg(count(lit(1)).as("n_p"))
+    val corpusSizes = corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_c"))
+    corpusSh.join(broadcast(probeSh), Seq("h"))
+      .groupBy(col(idCol), col("__probe_id")).agg(count(lit(1)).as("inter"))
+      .join(corpusSizes, idCol)
+      .join(broadcast(probeSizes), "__probe_id")
+      .withColumn("jaccard", col("inter") / (col("n_c") + col("n_p") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("__probe_id").as("probe_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Connected components over an undirected duplicate-pair list — the
     * canonicalization step after any near-dup detector: every doc in a dup
     * cluster maps to the cluster's minimum id (the keeper).

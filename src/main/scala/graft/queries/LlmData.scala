@@ -56,6 +56,15 @@ object LlmData {
       "doc_id", "text", "doc_id", "text", n = 5)
   }
 
+  /** Fuzzy decontamination: corpus docs (≥ 20) whose 5-gram Jaccard
+    * against any probe doc (< 20) reaches 0.2 — near-dup benchmark
+    * leakage, not just shared shingles. */
+  def d9FuzzyContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.fuzzyContamination(d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+      "doc_id", "text", "doc_id", "text", n = 5, threshold = 0.2)
+  }
+
   /** Incremental dedup: docs < 250 are the "historical corpus" reduced to a
     * content-hash index; docs ≥ 250 arrive as the new batch and dedup
     * against the index + themselves without touching historical bytes. */
@@ -231,6 +240,7 @@ object LlmData {
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_contamination" -> d7Contamination,
     "d8_incremental_dedup" -> d8IncrementalDedup,
+    "d9_fuzzy_contamination" -> d9FuzzyContamination,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -332,6 +342,26 @@ object LlmData {
         |  count(DISTINCT p.probe_id) AS n_probes
         |FROM corpus c JOIN probes p USING (s)
         |GROUP BY c.doc_id""".stripMargin,
+    // d9 recomputes the exact per-(doc, probe) Jaccard over 5-gram shingle
+    // sets; a pair kept/dropped across the threshold, or a wrong set size,
+    // hash-mismatches
+    "d9_fuzzy_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         list_aggregate(w[i:i+4], 'string_agg', ' ') AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(w) - 3, 2))) AS t(i)),
+        |probes AS (SELECT DISTINCT doc_id AS probe_id, s FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |psz AS (SELECT probe_id, count(*) AS n_p FROM probes GROUP BY 1),
+        |csz AS (SELECT doc_id, count(*) AS n_c FROM corpus GROUP BY 1),
+        |inter AS (SELECT c.doc_id, p.probe_id, count(*) AS inter
+        |          FROM corpus c JOIN probes p USING (s) GROUP BY 1, 2)
+        |SELECT i.doc_id, i.probe_id,
+        |  round(i.inter * 1.0 / (csz.n_c + psz.n_p - i.inter), 6) AS jaccard
+        |FROM inter i
+        |JOIN csz ON i.doc_id = csz.doc_id
+        |JOIN psz ON i.probe_id = psz.probe_id
+        |WHERE i.inter * 1.0 / (csz.n_c + psz.n_p - i.inter) >= 0.2""".stripMargin,
     // s3 is a self-check: its correct output is EMPTY, pinned by a
     // schema-matching empty oracle (like the q9/q10 zero-violation tests).
     "s3_lsh_check" ->
