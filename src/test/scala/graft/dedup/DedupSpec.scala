@@ -93,6 +93,28 @@ class DedupSpec extends SparkSuite {
     assert(out == Set((100L, 1L, 1L))) // one 5-gram of doc 100 hits the probe
   }
 
+  test("fuzzyContamination: exact per-pair Jaccard, broadcast probes, no corpus self-join") {
+    val corpus = Seq(
+      // near-dup of probe 1: 6 words -> shingle sets overlap heavily
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      // shares ONE 5-gram window but diverges after -> low jaccard
+      (101L, "alpha beta gamma delta epsilon completely different tail words here now"),
+      (102L, "totally unrelated content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(corpus, probes,
+      "doc_id", "text", "doc_id", "text", n = 5, threshold = 0.3)
+    val rows = out.as[(Long, Long, Double)].collect().toSet
+    // doc 100: shingles {a b g d e, b g d e z}; probe: {a b g d e, b g d e z, g d e z h}
+    // inter 2, union 3 -> 0.666667. doc 101: inter 1, sets 6 & 3 -> 1/8 < 0.3.
+    assert(rows == Set((100L, 1L, 0.666667)))
+    // plan: probe side broadcast (no shuffle of the corpus for the probe
+    // join), and no cartesian anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("connected components canonicalize dup clusters to min id") {
     // chain 1-2-3 (one component), pair 10-11, isolated edge 20-21
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
