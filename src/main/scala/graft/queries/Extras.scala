@@ -26,6 +26,30 @@ object Extras {
     * block); the `.lock` file is the cross-process half. */
   private[queries] val e1PublishMonitor = new Object
 
+  /** One temp workspace per gate invocation, deleted at JVM exit — gate
+    * queries run many times per session (Verify, Bench passes, the eager
+    * SparkEntrySpec sweep) and several materialize orders-sized tables, so
+    * never-cleaned /tmp dirs add up on a long-lived host. */
+  private val gateDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = gateDirs.iterator()
+      while (it.hasNext) graft.exec.Fs.deleteRecursively(new java.io.File(it.next()))
+    }))
+  }
+  private def gateDir(prefix: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(prefix).toString
+    gateDirs.add(wh)
+    wh
+  }
+  /** The standard gate preamble: temp warehouse + checkpointed runner. */
+  private def gateRunner(s: SparkSession, prefix: String)
+      : (graft.exec.TableStore, graft.exec.PipelineRunner, String) = {
+    val wh = gateDir(prefix)
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    (store, new graft.exec.PipelineRunner(s, store, s"$wh/cp"), wh)
+  }
+
   /** Multimodal pipeline: text bytes → media table → batched stub decode →
     * per-mime feature summary. Deterministic (content-hash stub decoder). */
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -62,7 +86,7 @@ object Extras {
     * (Delta mergeSchema add-column analogue), pinned by the DuckDB oracle's
     * union_by_name-equivalent reconstruction. */
   def q32SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q32").toString
+    val wh = gateDir("graft-q32")
     val store = new graft.exec.TableStore(s, s"$wh/wh")
     val customer = Tables.load(s, dir, "customer")
     store.overwrite("cust_evo",
@@ -78,9 +102,7 @@ object Extras {
     * equal the DuckDB reconstruction — every change row with its
     * _change_type (delete predicate) and _commit_version (batch index). */
   def q33ChangeFeed(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q33").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q33")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     def yamlFor(view: String) =
@@ -110,9 +132,7 @@ object Extras {
     * endingVersion}` routing to the `__changes` companion with
     * `_commit_version` range predicates. Window [1,1] = exactly batch 2. */
   def q46CdfWindow(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q46").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q46")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     def yamlFor(view: String) =
@@ -153,9 +173,7 @@ object Extras {
     * BEFORE batch 2, reconstructed from the `__changes` companion (latest
     * change per key at v ≤ 0, deletes dropped). */
   def q47TimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q47").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q47")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     def yamlFor(view: String) =
@@ -198,7 +216,7 @@ object Extras {
     * so a monitoring-union replay/duplication bug inflates the Spark side
     * only and hash-mismatches. */
   def e1MonitoringRollup(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-e1").toString
+    val wh = gateDir("graft-e1")
     val store = new graft.exec.TableStore(s, s"$wh/wh")
     val hooks = new graft.exec.EventLog.Writer(s, store)
     val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp", hooks = hooks)
@@ -288,9 +306,7 @@ object Extras {
     * commits' rows — not the merged state (which a naive file stream over
     * the rewritten directory would re-read), not the merge's change rows. */
   def q48SkipChangeCommits(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q48").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q48")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     def yamlFor(view: String, cdc: String) =
@@ -338,9 +354,7 @@ object Extras {
     * version chains from even events only, consecutive duplicate tracked
     * values collapsed, `__end_at` = next surviving version's start. */
   def q49Scd2TimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q49").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q49")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     def yamlFor(view: String) =
@@ -379,9 +393,7 @@ object Extras {
     * ignoreDeletes STREAM of the table must serve exactly the append
     * commit's rows, excusing the delete commit rather than failing on it. */
   def q50IgnoreDeletes(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q50").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q50")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     def yamlFor(view: String, cdc: String) =
@@ -433,9 +445,7 @@ object Extras {
     * run 2, a re-read of anything on run 3, or a missed file all
     * hash-mismatch. */
   def c1CloudfilesIngest(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c1").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c1")
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
     val landing = s"$wh/landing"
@@ -475,9 +485,7 @@ object Extras {
     * mangled on either leg of the avro round trip, a re-read batch, or a
     * skipped file all mismatch the raw customer oracle. */
   def c2AvroIngest(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c2").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c2")
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
     val landing = s"$wh/landing"
@@ -516,9 +524,7 @@ object Extras {
     * parquet — any type mangling across the JDBC boundary (DOUBLE/CLOB/
     * BIGINT round trips) or a dropped row mismatches. */
   def c3JdbcIngest(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c3").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c3")
     val url = s"jdbc:derby:$wh/db;create=true"
     Tables.load(s, dir, "supplier")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
@@ -556,9 +562,7 @@ object Extras {
     * recompute — a plugin dispatched to the wrong class, a dropped
     * parameter, or a skipped transform all mismatch. */
   def c4FunctionPipeline(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c4").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c4")
     runner.run(graft.config.YamlConfig.parseFlowGroup(
       s"""pipeline: c4
          |flowgroup: fn
@@ -589,12 +593,13 @@ object Extras {
     * previously spec-only (reference: generators/load/custom_datasource.py:
     * register class, then `spark.read.format(name)`). The engine's demo
     * DSv2 provider generates deterministic rows partition-locally, so the
-    * DuckDB oracle recomputes the exact output from `range()` — a wrong
-    * partition split, a dropped option, or a mangled row mismatches. */
+    * DuckDB oracle recomputes the exact output from `range()` — a dropped
+    * `rows` option (the provider would default to 1000), a boundary
+    * row lost between partition splits, or a mangled row mismatches.
+    * (The `partitions` option is content-invariant by design — the sorted
+    * compare cannot pin it; SourcesSpec covers the split plumbing.) */
   def c5CustomSource(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c5").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c5")
     runner.run(graft.config.YamlConfig.parseFlowGroup(
       s"""pipeline: c5
          |flowgroup: f
@@ -621,9 +626,7 @@ object Extras {
     * aggregate from raw orders, so a row lost or duplicated by the
     * materialize-and-reread hop mismatches. */
   def c6TempTable(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c6").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c6")
     Tables.load(s, dir, "orders").createOrReplaceTempView("c6_src")
     runner.run(graft.config.YamlConfig.parseFlowGroup(
       s"""pipeline: c6
@@ -660,9 +663,7 @@ object Extras {
     * reads the landed files back, so a sink that drops rows, writes a
     * wrong schema, or mangles values mismatches the raw-table oracle. */
   def c7FilesSink(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-c7").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-c7")
     Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .createOrReplaceTempView("c7_src")
@@ -694,9 +695,7 @@ object Extras {
     * whole thing from the raw tables in DuckDB, so a re-joined, skipped,
     * or double-counted fact row hash-mismatches. */
   def q55IncrementalJoinMv(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-q55").toString
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    val (store, runner, wh) = gateRunner(s, "graft-q55")
     val ord = Tables.load(s, dir, "orders")
     Tables.load(s, dir, "customer").createOrReplaceTempView("q55_customer")
     Tables.load(s, dir, "nation").createOrReplaceTempView("q55_nation")
