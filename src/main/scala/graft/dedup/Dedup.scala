@@ -356,13 +356,20 @@ object Dedup {
     // count+except pair to detect no-change: ~4 extra jobs per query, pure
     // driver-side round-trip latency at gate scale and a wasted full pass
     // over the edge list at 100 TB scale.
-    def isStarForest(frame: DataFrame): Boolean = {
-      val dupParents = frame.groupBy("hi").agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(lit(1).as("one"))
-      val deepPaths = frame.join(frame.select(col("hi").as("lo")), Seq("lo"), "leftsemi")
-        .select(lit(1).as("one"))
-      dupParents.unionByName(deepPaths).isEmpty
-    }
+    // ONE exchange, not three: tag each edge endpoint with its role and
+    // aggregate per node — "two parents" (child-count > 1) and "parent is
+    // itself a child" (both roles present) fall out of the same aggregate.
+    // The first formulation (groupBy + a leftsemi self-join) shuffled the
+    // edge list three times PER PROBE, and the probe runs every round —
+    // exactly the per-round latency the star alternation exists to cut.
+    def isStarForest(frame: DataFrame): Boolean =
+      frame.select(col("hi").as("n"), lit(1L).as("child"), lit(0L).as("parent"))
+        .unionByName(frame.select(col("lo").as("n"), lit(0L).as("child"),
+          lit(1L).as("parent")))
+        .groupBy("n")
+        .agg(sum("child").as("c"), sum("parent").as("p"))
+        .filter(col("c") > 1 || (col("c") >= 1 && col("p") >= 1))
+        .isEmpty
     var i = 0
     var converged = isStarForest(e)
     while (!converged && i < maxIter) {
