@@ -363,6 +363,13 @@ final class PipelineRunner(
             "match nothing in most documents")
       val rescueCol = cfOpt(a, "rescuedDataColumn")
         .orElse(cfOpt(a, "rescueDataColumn")) // reference examples carry both spellings
+        // the comprehensive templates ALSO carry the bare (un-prefixed)
+        // reader-option spelling; OSS sources would silently ignore it —
+        // exactly the believed-but-dropped state the option contract bans
+        .orElse(a.options.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("rescuedDataColumn") ||
+            k.equalsIgnoreCase("rescueDataColumn") => v
+        })
         .orElse(if (evolutionMode.contains("rescue")) Some("_rescued_data") else None)
       rescueCol.foreach { rc =>
         // json/csv rescue parses raw text; avro rescue routes type-mismatch

@@ -561,6 +561,81 @@ class CloudFilesOptionsSpec extends SparkSuite {
     assert(!e2.getMessage.contains("conflicting types across files"), e2.getMessage)
   }
 
+  test("bare (un-prefixed) rescuedDataColumn spelling is honored, not dropped") {
+    // the comprehensive reference templates carry the reader-option
+    // spelling without the cloudFiles. prefix; an OSS source would ignore
+    // it silently — the engine must engage the same rescue emulation
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.writeString(java.nio.file.Paths.get(landing, "a.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": "notanint", "v": "bad"}
+        |""".stripMargin)
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id INT, v STRING"
+         |      options:
+         |        rescuedDataColumn: "_rescued_data"
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: bare_rescue_t}
+         |""".stripMargin))
+    val out = store.read("bare_rescue_t")
+    assert(out.columns.contains("_rescued_data"))
+    assert(out.filter(out("_rescued_data").isNotNull).count() == 1)
+  }
+
+  test("avro stream honors maxFilesPerTrigger across microbatches, exactly-once") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/landing"
+    // three single-file writes -> three landing files
+    for (i <- 1 to 3) {
+      graft.sources.AvroBridge.write(
+        Seq((i, s"v$i")).toDF("id", "v").coalesce(1), s"$dir/stage$i")
+      new java.io.File(s"$dir/stage$i").listFiles()
+        .filter(_.getName.endsWith(".avro"))
+        .foreach(f => f.renameTo(new java.io.File(
+          { new java.io.File(landing).mkdirs(); new java.io.File(landing) },
+          s"f$i.avro")))
+    }
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: avro
+         |      readMode: stream
+         |      options:
+         |        cloudFiles.maxFilesPerTrigger: 1
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: avro_mbt}
+         |""".stripMargin))
+    // AvailableNow drains ALL files in one run, one file per microbatch;
+    // exactly-once means each row lands once despite the three batches
+    val out = store.read("avro_mbt").orderBy("id")
+    assert(out.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "v1"), (2, "v2"), (3, "v3")))
+  }
+
   test("csv rescue: malformed rows captured, clean rows typed") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/landing"
