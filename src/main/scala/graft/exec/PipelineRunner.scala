@@ -1672,8 +1672,24 @@ final class PipelineRunner(
       "azuremonitor.", "eventgrid.", "queuestorage.", "cloudmonitoring.",
       "gcs.", "pubsub.")
     a.options.flatMap { case (k, v) =>
-      if (!k.startsWith("cloudFiles.")) Some(k -> v)
-      else k.stripPrefix("cloudFiles.").toLowerCase match {
+      if (!k.startsWith("cloudFiles.")) {
+        // bare reader-option spellings the comprehensive templates carry:
+        // readerCaseSensitive tunes Auto Loader's rescue case-sensitivity;
+        // this engine's field resolution is a fixed policy (exact match
+        // first, unique case-insensitive fallback, ambiguity loud) — warn
+        // rather than let an OSS source swallow the option silently
+        if (k.equalsIgnoreCase("readerCaseSensitive")) {
+          graft.Log.warn(s"load '${a.name}': '$k' is advisory — field " +
+            "resolution is exact-first with unique case-insensitive " +
+            "fallback; ambiguous case-distinct matches fail loudly")
+          None
+        } else Some(k -> v)
+      } else k.stripPrefix("cloudFiles.").toLowerCase match {
+        case "readercasesensitive" =>
+          graft.Log.warn(s"load '${a.name}': '$k' is advisory — field " +
+            "resolution is exact-first with unique case-insensitive " +
+            "fallback; ambiguous case-distinct matches fail loudly")
+          None
         case "maxfilespertrigger" => Some("maxFilesPerTrigger" -> v)
         case "cleansource" =>
           // Databricks spellings (OFF/DELETE/MOVE) onto the OSS file-stream

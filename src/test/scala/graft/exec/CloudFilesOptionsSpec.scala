@@ -336,6 +336,7 @@ class CloudFilesOptionsSpec extends SparkSuite {
          |        cloudFiles.eventGrid.topicName: "t"
          |        cloudFiles.queueStorage.queueName: "q"
          |        recursiveFileLookup: true
+         |        readerCaseSensitive: true
          |    target: v
          |  - name: w
          |    type: write
