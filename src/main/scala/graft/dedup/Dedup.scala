@@ -412,6 +412,120 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Span-level (substring) duplicate detection — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better") exact-
+    * substring regime, at word-window granularity: every length-`n` word
+    * window occurring in ≥ `minDocs` DISTINCT documents marks its covered
+    * positions duplicated; overlapping/adjacent duplicated windows merge
+    * into maximal spans. Doc-level dedup (d1–d5) misses boilerplate shared
+    * across otherwise-distinct pages — this finds the shared spans
+    * themselves, the input to a span-cut pass.
+    *
+    * Returns one row per maximal duplicated span:
+    * `(idCol, span_start, span_end, n_windows)` — 0-based inclusive word
+    * indices (`span_end` covers the last word of the last window).
+    *
+    * Scale shape (100 TB): windows carry a 64-bit hash, not the string
+    * (d2's documented 2^-64 collision tolerance). One aggregation shuffle
+    * counts distinct docs per window hash (map-side partial aggs); the
+    * duplicated-hash set joins back keyed on the hash. Unlike the pair
+    * detectors there is NO quadratic regime to guard: a window shared by k
+    * docs contributes k rows, never k² — candidate volume is linear in
+    * corpus size by construction. The island merge is one per-doc window
+    * (a hash exchange on the doc id over the *duplicated* subset only).
+    * Within-doc repetition is deliberately out of scope ([[graft.text.TextAnalysis.repetition]]
+    * covers it); `minDocs` counts distinct documents. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ws = split(col(textCol), " ")
+    // only FULL windows participate (a doc shorter than n words has none) —
+    // a truncated tail window would alias with genuinely-short spans
+    val starts = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+      .otherwise(array().cast("array<int>"))
+    val windows = df
+      .select(col(idCol), ws.as("__ws"), explode(starts).as("span_start"))
+      .select(col(idCol), col("span_start"),
+        xxhash64(concat_ws(" ", slice(col("__ws"), col("span_start") + 1, lit(n)))).as("__h"))
+    val dup = windows.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val dupWindows = windows.join(dup, Seq("__h")).select(col(idCol), col("span_start"))
+    // island merge: windows at starts s1 < s2 overlap or touch iff
+    // s2 - s1 <= n; a larger gap starts a new maximal span
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+    dupWindows
+      .withColumn("__new",
+        when(col("span_start") - lag(col("span_start"), 1).over(byDoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("span_start")).as("span_start"),
+        (max(col("span_start")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__isl")
+  }
+
+  /** The APPLY side of [[duplicatedSpans]]: remove the flagged word ranges
+    * from each document, returning `(idCol, text_cut, n_words_removed)` for
+    * EVERY input doc (unflagged docs pass through with 0 removed). The
+    * standard pipeline is detect → policy-filter the spans → cut.
+    *
+    * Scale shape: the span list aggregates per doc (spans are rare and
+    * short — the collected array is tiny), joins the corpus LEFT on the doc
+    * id, and the cut itself is a pure in-row higher-order filter over the
+    * word array — no further shuffle, no UDF. */
+  def cutSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spanList = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    val ws = split(col(textCol), " ")
+    df.select(col(idCol), col(textCol))
+      .join(spanList, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"), emptySpans))
+      .withColumn("__kept", filter(ws, (w, i) =>
+        !exists(col("__spans"), s =>
+          i >= s.getField("span_start") && i <= s.getField("span_end"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_cut"),
+        (size(ws) - size(col("__kept"))).as("n_words_removed"))
+  }
+
+  /** Quality-aware canonical selection over a duplicate-pair graph: cluster
+    * via [[connectedComponents]], then keep the HIGHEST-QUALITY member of
+    * each cluster (ties → smallest id) instead of d6's min-id convention —
+    * the curation policy that retains the best copy (longest, cleanest,
+    * highest LM score) rather than an arbitrary one. Returns one row per
+    * clustered doc: `(idCol, component, keeper)`; docs outside any pair are
+    * unaffected (no row — they keep themselves by definition).
+    *
+    * `scores` carries `(idCol, scoreCol)`; only clustered ids are joined,
+    * so at 100 TB the score side is probed with the (small) duplicated
+    * subset, not scanned per pair. One extra window over the clustered
+    * subset after CC — the CC rounds dominate. */
+  def qualityKeepers(pairs: DataFrame, aCol: String, bCol: String,
+      scores: DataFrame, idCol: String, scoreCol: String,
+      maxIter: Int = 25, checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter, checkpoint)
+      .withColumnRenamed("id", "__cc_id")
+    import org.apache.spark.sql.expressions.Window
+    // left join: a clustered doc missing from `scores` stays in its cluster
+    // and ranks last (desc = NULLS LAST) — membership must not depend on
+    // score coverage
+    val joined = comps.join(
+      scores.select(col(idCol).as("__cc_id"), col(scoreCol).as("__score")),
+      Seq("__cc_id"), "left")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__score").desc, col("__cc_id").asc)
+    joined
+      .withColumn("keeper", first(col("__cc_id")).over(w))
+      .select(col("__cc_id").as(idCol), col("component"), col("keeper"))
+  }
+
   /** Min-label propagation — the pre-r11 production path, kept as the
     * equivalence baseline for [[connectedComponents]] (DedupSpec pins the
     * two against each other on chain, clique, and random graphs). One

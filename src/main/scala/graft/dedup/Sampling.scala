@@ -70,6 +70,42 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Temperature-based domain rebalancing (the mT5/Pile `α`-temperature
+    * mixture, realized as deterministic downsampling): each domain keeps
+    * rate `min(1, baseRate · (c_max / c_d)^(1-α))`, so after sampling the
+    * domain sizes are proportional to `c_d^α` (capped at keeping every row)
+    * — α = 1 keeps natural proportions, α → 0 flattens toward uniform.
+    * Row inclusion is the same hash filter as [[byHash]] (reproducible,
+    * nested across baseRates, incremental-friendly).
+    *
+    * Scale shape: one map-side-combined count per domain (the per-domain
+    * table is tiny by nature), rates broadcast back, then a pure filter —
+    * the corpus is never shuffled.
+    *
+    * Determinism note (oracle-grade): at the default α = 0.5 the rate uses
+    * `sqrt`, which IEEE 754 requires to be correctly rounded — the
+    * threshold reproduces bit-for-bit in any engine. Other α go through
+    * `pow`, which carries a ≤1-ulp platform tolerance. */
+  def temperatureSample(df: DataFrame, keyCol: String, domainCol: String,
+      alpha: Double = 0.5, baseRate: Double = 1.0, salt: Int = 0,
+      portable: Boolean = false): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    require(baseRate >= 0 && baseRate <= 1, s"baseRate in [0,1], got $baseRate")
+    val (bucket, scale) = bucketAndScale(keyCol, salt, portable)
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
+    val cmax = counts.agg(max(col("__c")).as("__cmax"))
+    val ratio = col("__cmax").cast("double") / col("__c").cast("double")
+    val boost = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = counts.crossJoin(broadcast(cmax))
+      .withColumn("__thr",
+        floor(least(lit(1.0), lit(baseRate) * boost) * scale).cast("long"))
+      .select(col(domainCol), col("__thr"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(bucket < col("__thr"))
+      .drop("__thr")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Mix N sources at given sampling rates into one corpus, tagging each row
     * with its source — the standard weighted-mixture step of a training-data
     * pipeline. Inputs must be union-compatible on `columns`. */

@@ -765,6 +765,11 @@ object Extras {
       graft.dedup.Sampling.shuffleShards(
         Tables.load(s, dir, "documents"), "doc_id", shards = 16, portable = true)
         .select("doc_id", "_shard", "_pos")),
+    "m6_temperature_mix" -> ((s, dir) =>
+      graft.dedup.Sampling.temperatureSample(
+        Tables.load(s, dir, "documents"), "doc_id", "source",
+        alpha = 0.5, baseRate = 0.5, portable = true)
+        .select("doc_id", "source", "lang")),
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
     "q46_cdf_window" -> q46CdfWindow,
@@ -805,6 +810,20 @@ object Extras {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
         |  FROM documents)""".stripMargin,
+    // m6: α = 0.5 temperature rates rebuilt exactly — sqrt is IEEE
+    // correctly-rounded in both engines, so the per-domain threshold (and
+    // therefore every kept row) reproduces bit-for-bit
+    "m6_temperature_mix" ->
+      """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |mx AS (SELECT max(c) AS cmax FROM counts),
+        |rates AS (SELECT source,
+        |    CAST(floor(least(1.0, 0.5 * sqrt(CAST(cmax AS DOUBLE) / c))
+        |               * 4294967296) AS BIGINT) AS thr
+        |  FROM counts, mx)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
+        |      < r.thr""".stripMargin,
     "m4_domain_cap" ->
       """SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang,

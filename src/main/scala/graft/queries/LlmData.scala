@@ -75,6 +75,29 @@ object LlmData {
       .select("doc_id", "text")
   }
 
+  /** Span-level duplication: maximal runs of 8-word windows shared by ≥ 2
+    * distinct docs — the substring-dedup regime doc-level d1–d5 can't see. */
+  def d10SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+
+  /** Quality-aware keeper per dup cluster: same exact-Jaccard pair graph as
+    * d6, but the keeper is the cluster's LONGEST doc (tie → min id) — the
+    * keep-the-best-copy curation policy. */
+  def d11QualityKeeper(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.qualityKeepers(
+      Dedup.ngramJaccard(d, "doc_id", "text", n = 3, threshold = 0.6),
+      "id_a", "id_b", d, "doc_id", "n_chars")
+  }
+
+  /** Span-cut application (the d10 → cut pipeline): duplicated spans removed
+    * from every doc; unflagged docs pass through intact. */
+  def d12SpanCut(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.cutSpans(d, Dedup.duplicatedSpans(d, "doc_id", "text", n = 8, minDocs = 2),
+      "doc_id", "text")
+  }
+
   // ------------------------------------------------------------- similarity
 
   def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -193,6 +216,18 @@ object LlmData {
     drift.unionByName(recall)
   }
 
+  /** Metadata-filtered ANN: exact top-3 among ENGLISH docs only (pre-filter
+    * semantics — every query gets 3 qualifying neighbors; post-filtering a
+    * plain top-3 would under-fill). Metadata joins by id; the lang predicate
+    * restricts the corpus before any scoring. */
+  def s7FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val meta = docs(s, dir).select(col("doc_id").as("vec_id"), col("lang"))
+    val corpus = e.join(broadcast(meta), Seq("vec_id"))
+    Similarity.filteredTopK(corpus, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 3, predicate = col("lang") === "en")
+  }
+
   // ------------------------------------------------------------------- text
 
   def t1LangId(s: SparkSession, dir: String): DataFrame =
@@ -223,6 +258,13 @@ object LlmData {
     TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
       chunkChars = 200, overlapChars = 40)
 
+  /** Corpus word-rarity scoring: the corpus's own unigram counts score each
+    * doc (exact-integer arithmetic — engine-portable, unlike a float
+    * mean-of-logs). */
+  def t9WordRarity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordRarity(docs(s, dir), "doc_id", "text", rareThreshold = 2)
+      .select("doc_id", "n_words", "sum_freq", "n_rare", "mean_freq", "rare_ratio")
+
   /** Sequence packing: per-source contiguous fill of 2048-token shards. */
   def t8Packing(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packing(docs(s, dir), "doc_id", "text",
@@ -241,6 +283,11 @@ object LlmData {
     "d7_contamination" -> d7Contamination,
     "d8_incremental_dedup" -> d8IncrementalDedup,
     "d9_fuzzy_contamination" -> d9FuzzyContamination,
+    "d10_span_dedup" -> d10SpanDedup,
+    "d11_quality_keeper" -> d11QualityKeeper,
+    "d12_span_cut" -> d12SpanCut,
+    "s7_filtered_topk" -> s7FilteredTopK,
+    "t9_word_rarity" -> t9WordRarity,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -362,6 +409,111 @@ object LlmData {
         |JOIN csz ON i.doc_id = csz.doc_id
         |JOIN psz ON i.probe_id = psz.probe_id
         |WHERE i.inter * 1.0 / (csz.n_c + psz.n_p - i.inter) >= 0.2""".stripMargin,
+    // d10 replays the whole span pipeline on window STRINGS (Spark joins on
+    // xxhash64 of the window — d2's documented 2^-64 collision tolerance):
+    // full 8-word windows, ≥2-distinct-doc filter, island merge with gap > 8
+    // starting a new span. A wrong window set, off-by-one merge, or missed
+    // duplicate hash-mismatches.
+    "d10_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
+        |           list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
+        |         FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+        |         WHERE len(w) >= 8),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, s FROM wins JOIN dup USING (win)),
+        |isl AS (SELECT doc_id, s,
+        |          CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+        |               THEN 0 ELSE 1 END AS nw
+        |        FROM dw),
+        |grp AS (SELECT doc_id, s,
+        |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
+        |        FROM isl)
+        |SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+        |  CAST(max(s) + 7 AS INT) AS span_end, count(*) AS n_windows
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
+    // d11 = d6's recursive-CTE closure + keeper re-picked by quality
+    // (n_chars DESC, id ASC) per component
+    "d11_quality_keeper" ->
+      s"""WITH RECURSIVE pairs AS ($exactJaccardSql),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |closure(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS component
+        |         FROM closure GROUP BY a),
+        |scored AS (SELECT c.id, c.component, d.n_chars
+        |           FROM comp c JOIN documents d ON c.id = d.doc_id)
+        |SELECT id AS doc_id, component,
+        |  first_value(id) OVER (PARTITION BY component
+        |    ORDER BY n_chars DESC, id ASC) AS keeper
+        |FROM scored""".stripMargin,
+    // d12 extends the d10 replay with the cut itself: word positions inside
+    // any span are dropped, the rest re-join in order; docs with no spans
+    // pass through via the LEFT JOIN (and an all-removed doc degrades to ''
+    // exactly as array_join of an empty array does)
+    "d12_span_cut" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
+        |           list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
+        |         FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+        |         WHERE len(w) >= 8),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, s FROM wins JOIN dup USING (win)),
+        |isl AS (SELECT doc_id, s,
+        |          CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+        |               THEN 0 ELSE 1 END AS nw
+        |        FROM dw),
+        |grp AS (SELECT doc_id, s,
+        |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
+        |        FROM isl),
+        |spans AS (SELECT doc_id, min(s) AS s0, max(s) + 7 AS s1
+        |          FROM grp GROUP BY doc_id, g),
+        |words AS (SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS wd
+        |          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        |kept AS (SELECT wr.doc_id, wr.p, wr.wd FROM words wr
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |           WHERE sp.doc_id = wr.doc_id AND wr.p BETWEEN sp.s0 AND sp.s1))
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(k.wd, ' ' ORDER BY k.p), '') AS text_cut,
+        |  CAST(min(len(t.w)) - count(k.p) AS INT) AS n_words_removed
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |GROUP BY t.doc_id""".stripMargin,
+    // s7 = s1's exact top-k with the corpus pre-filtered to English docs by
+    // the metadata join — a neighbor list containing any non-en id, or
+    // under-filled because the filter ran after ranking, hash-mismatches
+    "s7_filtered_topk" ->
+      """SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+        |  FROM embeddings q
+        |  JOIN (SELECT e.vec_id, e.embedding FROM embeddings e
+        |        JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en') c
+        |    ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 3""".stripMargin,
+    // t9: exact-integer rarity arithmetic — SUMs cast from DuckDB's HUGEINT
+    // widening back to BIGINT; ratios divide two exact integers (one
+    // correctly-rounded double op, engine-portable)
+    "t9_word_rarity" ->
+      """WITH tk AS (SELECT doc_id, w FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |      WHERE length(w) > 0),
+        |vocab AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+        |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(CAST(SUM(cnt) AS DOUBLE) / count(*), 6) AS mean_freq,
+        |  round(CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS rare_ratio
+        |FROM tk JOIN vocab USING (w)
+        |GROUP BY doc_id""".stripMargin,
     // s3 is a self-check: its correct output is EMPTY, pinned by a
     // schema-matching empty oracle (like the q9/q10 zero-violation tests).
     "s3_lsh_check" ->

@@ -53,6 +53,24 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Metadata-filtered ANN ("filtered vector search"): exact top-k among the
+    * corpus vectors satisfying `predicate` — PRE-filter semantics: the
+    * predicate restricts the corpus BEFORE ranking, so every query still
+    * gets k qualifying neighbors (post-filtering a plain top-k instead
+    * under-fills whenever ≥1 of the k nearest fails the predicate — the
+    * classic filtered-search bug). Attach metadata by joining it onto
+    * `corpus` first (broadcast the metadata side when it is dimension-sized).
+    *
+    * Scale: the filter composes with Catalyst pushdown — a column predicate
+    * reaches the parquet scan, so the corpus read itself shrinks; the scored
+    * set is the filtered corpus only. For selective predicates this makes
+    * brute force viable far beyond its unfiltered envelope; for broad
+    * predicates compose with [[lshTopK]] on the pre-filtered corpus instead
+    * (bucketing AFTER the filter keeps recall independent of selectivity). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, predicate: Column): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, idCol, vecCol, k)
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
     * (bit, dim) via SplitMix64 — no stored model, reproducible across runs. */
   private def hyperplane(bit: Int, dim: Int): Array[Double] =

@@ -126,6 +126,38 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk_text")))
   }
 
+  /** Corpus-statistics word-rarity scoring — the cheap, self-contained
+    * stand-in for the CCNet-style LM perplexity filter (the external KenLM
+    * model is environment-bound): the corpus's own unigram counts score
+    * each document. Returns per doc: `n_words`, `sum_freq` (sum of each
+    * word occurrence's global corpus count — an exact integer, so the score
+    * reproduces bit-for-bit in any engine; a float mean-of-logs would be
+    * summation-order-dependent), `mean_freq = sum_freq / n_words`, and
+    * `rare_ratio` = fraction of word occurrences whose corpus count ≤
+    * `rareThreshold` (hapax/near-hapax density — high values flag OCR
+    * noise, codes, gibberish; very low values flag boilerplate).
+    *
+    * Scale shape: one exploded-word aggregation builds the vocabulary
+    * (map-side combines collapse each partition to its local vocab first),
+    * one join of occurrences against the vocabulary keyed on the word
+    * (AQE's skew split handles the hot-stopword keys), one per-doc
+    * aggregation. The vocabulary is Zipf-bounded — far smaller than the
+    * corpus — and never collected to the driver. */
+  def wordRarity(df: DataFrame, idCol: String, textCol: String,
+      rareThreshold: Long = 2): DataFrame = {
+    require(rareThreshold >= 1, s"rareThreshold must be >= 1, got $rareThreshold")
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    toks.join(vocab, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__cnt")).as("sum_freq"),
+        sum(when(col("__cnt") <= rareThreshold, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("mean_freq", round(col("sum_freq").cast("double") / col("n_words"), 6))
+      .withColumn("rare_ratio", round(col("n_rare").cast("double") / col("n_words"), 6))
+  }
+
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
 

@@ -94,6 +94,29 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("temperature sampling broadcasts the rate table — corpus is filtered, never shuffled") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val plan = physical(graft.dedup.Sampling.temperatureSample(d, "doc_id", "source"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchanges belong to the tiny per-domain aggregation feeding
+    // the broadcast — the corpus side must reach its join as a plain scan
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("span dedup joins windows on the hash — no cartesian, no nested loop") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val plan = physical(graft.dedup.Dedup.duplicatedSpans(d, "doc_id", "text", n = 8))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("word rarity: vocabulary join is keyed on the word — no cartesian") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val plan = physical(graft.text.TextAnalysis.wordRarity(d, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
   test("sidecar-schema reads keep filter pushdown and pruning") {
     import spark.implicits._
     val store = new graft.exec.TableStore(spark,

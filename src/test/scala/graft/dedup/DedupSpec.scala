@@ -156,6 +156,87 @@ class DedupSpec extends SparkSuite {
     assert(tight == 1L, "star alternation should collapse a 60-chain in ≤12 rounds")
   }
 
+  test("duplicatedSpans: cross-doc shared windows merge into maximal spans") {
+    // docs 1 and 2 share the 4-word run "alpha beta gamma delta" twice,
+    // separated far enough apart to form TWO spans in doc 1 but merged by
+    // proximity in doc 2; doc 3 shares nothing 4 words long
+    val shared = "alpha beta gamma delta"
+    val d = Seq(
+      (1L, s"$shared x1 x2 x3 x4 x5 x6 x7 x8 x9 $shared"),
+      (2L, s"p q $shared r $shared s"),
+      (3L, "alpha beta nope delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", n = 4, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // doc 1: duplicated window starts 0 and 13 (gap 13 > n=4 → two spans)
+    // doc 2: starts 2 and 7 (gap 5 > 4 → also two spans)
+    assert(out == Set((1L, 0, 3, 1L), (1L, 13, 16, 1L),
+      (2L, 2, 5, 1L), (2L, 7, 10, 1L)))
+    // windows overlapping/adjacent DO merge: two docs share a 5-word run →
+    // two 4-word windows at starts 0,1 merge into one span covering 0..4
+    val run = Seq(
+      (1L, "a b c d e tailone x y z"),
+      (2L, "a b c d e tailtwo q r s")).toDF("doc_id", "text")
+    val merged = Dedup.duplicatedSpans(run, "doc_id", "text", n = 4, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(merged == Set((1L, 0, 4, 2L), (2L, 0, 4, 2L)))
+    // within-doc repetition alone is NOT span duplication (minDocs counts docs)
+    val selfrep = Seq(
+      (1L, s"$shared $shared"),
+      (2L, "totally different words here man")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(selfrep, "doc_id", "text", n = 4, minDocs = 2).isEmpty)
+    // docs shorter than n contribute no windows (no truncated-tail aliasing)
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(short, "doc_id", "text", n = 4, minDocs = 2).isEmpty)
+  }
+
+  test("cutSpans removes exactly the flagged word ranges; unflagged docs pass through") {
+    val d = Seq(
+      (1L, "keep1 a b c d keep2"),
+      (2L, "x a b c d y z"),
+      (3L, "untouched words entirely")).toDF("doc_id", "text")
+    // doc 1: cut words 1..4; doc 2: cut 1..4; doc 3: no spans
+    val spans = Seq((1L, 1, 4), (2L, 1, 4)).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.cutSpans(d, spans, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map { case (id, t, n) => id -> (t, n) }.toMap
+    assert(out(1L) == ("keep1 keep2", 4))
+    assert(out(2L) == ("x y z", 4))
+    assert(out(3L) == ("untouched words entirely", 0))
+    // multiple spans per doc compose; an all-covered doc degrades to ""
+    val spans2 = Seq((1L, 0, 0), (1L, 5, 5), (3L, 0, 2)).toDF("doc_id", "span_start", "span_end")
+    val out2 = Dedup.cutSpans(d, spans2, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map { case (id, t, n) => id -> (t, n) }.toMap
+    assert(out2(1L) == ("a b c d", 2))
+    assert(out2(3L) == ("", 3))
+    // round-trip with the detector: cutting detected spans leaves no
+    // duplicated full window behind (re-detection over the cut corpus with
+    // the same n finds nothing new among previously-flagged docs)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"pre $shared post1 q r s t u v"),
+      (2L, s"$shared mid2 w x y z zz yy"),
+      (3L, "wholly unrelated text with plenty of distinct words here")).toDF("doc_id", "text")
+    val detected = Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 8, minDocs = 2)
+    assert(detected.count() > 0)
+    val cut = Dedup.cutSpans(corpus, detected, "doc_id", "text")
+      .select(col("doc_id"), col("text_cut").as("text"))
+    assert(Dedup.duplicatedSpans(cut, "doc_id", "text", n = 8, minDocs = 2).isEmpty)
+  }
+
+  test("qualityKeepers: highest score wins the cluster, ties and misses degrade sanely") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scores = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // tie 2 vs 3 → min id 2
+      (10L, 1.0)                        // 11 has NO score → ranks last
+    ).toDF("doc_id", "score")
+    val out = Dedup.qualityKeepers(pairs, "id_a", "id_b", scores, "doc_id", "score")
+      .select("doc_id", "component", "keeper").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (10L, 10L, 10L), (11L, 10L, 10L)))
+  }
+
   test("hot-shingle cap: stop-shingles stop producing candidate pairs") {
     // three docs share ONLY a boilerplate prefix; two are real near-dups
     val docs = Seq(

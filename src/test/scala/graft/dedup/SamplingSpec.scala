@@ -43,6 +43,48 @@ class SamplingSpec extends SparkSuite {
     assert(out.count() == docs.filter($"lang" === "en").count()) // rate 1.0 keeps all
   }
 
+  test("temperatureSample: α-rates cap at 1, flatten toward uniform, stay deterministic") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    // α = 1 keeps natural proportions: rate = baseRate for every domain
+    val nat = Sampling.temperatureSample(docs, "doc_id", "source",
+      alpha = 1.0, baseRate = 1.0)
+    assert(nat.count() == docs.count())
+    // α = 0.5 at baseRate 1: the LARGEST domain keeps exactly rate 1 (all
+    // rows); smaller domains keep sqrt-boosted rates capped at 1 → also all
+    val flat = Sampling.temperatureSample(docs, "doc_id", "source",
+      alpha = 0.5, baseRate = 1.0)
+    assert(flat.count() == docs.count())
+    // baseRate 0.5, α = 0.5: per-domain keep-rate grows as the domain
+    // shrinks — the retained FRACTION of a small domain ≥ that of the max
+    // domain; assignment is deterministic and column order is preserved
+    val t1 = Sampling.temperatureSample(docs, "doc_id", "source",
+      alpha = 0.5, baseRate = 0.5, portable = true)
+    val t2 = Sampling.temperatureSample(docs, "doc_id", "source",
+      alpha = 0.5, baseRate = 0.5, portable = true)
+    assert(t1.columns.toSeq == docs.columns.toSeq)
+    assert(t1.select("doc_id").as[Long].collect().toSet ==
+      t2.select("doc_id").as[Long].collect().toSet)
+    val before = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val after = t1.groupBy("source").count().as[(String, Long)].collect().toMap
+    val maxDomain = before.maxBy(_._2)._1
+    val minDomain = before.minBy(_._2)._1
+    val fracMax = after.getOrElse(maxDomain, 0L).toDouble / before(maxDomain)
+    val fracMin = after.getOrElse(minDomain, 0L).toDouble / before(minDomain)
+    assert(fracMin >= fracMax - 0.1,
+      s"small domain should be kept at >= the max domain's rate ($fracMin vs $fracMax)")
+    // the threshold math is the documented construction, re-derivable
+    // off-engine: every kept row's md5 bucket < floor(min(1, .5*sqrt(cmax/c))*2^32)
+    val cmax = before.values.max.toDouble
+    val kept = t1.select("doc_id", "source").as[(Long, String)].collect()
+    kept.foreach { case (id, src) =>
+      val thr = math.floor(math.min(1.0, 0.5 * math.sqrt(cmax / before(src))) *
+        4294967296L.toDouble).toLong
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:0".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      assert(java.lang.Long.parseLong(hex, 16) < thr)
+    }
+  }
+
   test("mix unions sources with tags at given rates") {
     val a = Seq((1L, "xa"), (2L, "ya")).toDF("id", "text")
     val b = Seq((10L, "xb")).toDF("id", "text")

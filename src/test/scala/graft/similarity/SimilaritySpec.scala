@@ -8,6 +8,32 @@ import graft.sources.Tables
 class SimilaritySpec extends SparkSuite {
   import spark.implicits._
 
+  test("filteredTopK: pre-filter semantics — k qualifying neighbors, never under-filled") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val meta = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val corpus = e.join(broadcast(meta), Seq("vec_id"))
+    val q = e.filter(col("vec_id") < 5)
+    val out = Similarity.filteredTopK(corpus, q, "vec_id", "embedding",
+      k = 3, predicate = col("lang") === "en").persist()
+    // every neighbor is an en doc
+    val enIds = meta.filter(col("lang") === "en").select("vec_id").as[Long].collect().toSet
+    val neighbors = out.select("neighbor_id").as[Long].collect()
+    assert(neighbors.nonEmpty && neighbors.forall(enIds.contains))
+    // PRE-filter: every query gets a full k (there are plenty of en docs) —
+    // the failure mode of post-filtering is an under-filled neighbor list
+    val perQuery = out.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQuery.length == 5 && perQuery.forall(_ == 3L))
+    // agreement: filteredTopK == brute force over the manually-filtered corpus
+    val manual = Similarity.bruteForceTopK(
+      corpus.filter(col("lang") === "en"), q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(out.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet == manual)
+    out.unpersist()
+  }
+
   test("ivfTopK: exact cosines, consistent ranks, recall over half at nProbe=4") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val q = e.filter("vec_id < 10")

@@ -32,6 +32,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r == ((2L, 3L))) // 9 chars / 4 → ceil = 3
   }
 
+  test("wordRarity: corpus unigram counts score docs with exact integers") {
+    import spark.implicits._
+    // corpus counts: the=3, cat=2, sat=1, dog=1, ran=1
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat"),
+      (3L, "the dog ran")).toDF("doc_id", "text")
+    val byId = TextAnalysis.wordRarity(d, "doc_id", "text", rareThreshold = 1)
+      .select("doc_id", "n_words", "sum_freq", "n_rare", "mean_freq", "rare_ratio")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 3+2+1=6, one rare (sat); doc 2: 3+2=5, none rare
+    assert(byId(1L) == (1L, 3L, 6L, 1L, 2.0, 0.333333))
+    assert(byId(2L) == (2L, 2L, 5L, 0L, 2.5, 0.0))
+    assert(byId(3L) == (3L, 3L, 5L, 2L, 1.666667, 0.666667))
+    // empty/whitespace-only docs contribute no tokens and no output row
+    val e = Seq((1L, "x y"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.wordRarity(e, "doc_id", "text").count() == 1)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val d = Seq((1, "Hello   World"), (2, "hello world"), (3, "different")).toDF("id", "text")
     val fps = d.select(TextAnalysis.fingerprint(col("text")).as("fp")).as[String].collect()
