@@ -278,8 +278,12 @@ object Dedup {
       idCol: String, textCol: String,
       probeIdCol: String, probeTextCol: String,
       n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    // cached: corpusSh feeds both the probe join and the size aggregation —
+    // uncached, the heaviest stage (full-corpus shingle explode + hash)
+    // would run twice, contradicting the scanned-once contract below
     val corpusSh = shingles(corpus, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("h"))
+      .cache()
     val probeSh = shingles(probes, probeIdCol, probeTextCol, n)
       .select(col(probeIdCol).as("__probe_id"), xxhash64(col("shingle")).as("h"))
     val probeSizes = probeSh.groupBy("__probe_id").agg(count(lit(1)).as("n_p"))
@@ -444,10 +448,15 @@ object Dedup {
     // a truncated tail window would alias with genuinely-short spans
     val starts = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
       .otherwise(array().cast("array<int>"))
+    // cached: the window frame feeds BOTH the dup-count aggregation and the
+    // join-back, whose partitionings differ (ReuseExchange cannot merge
+    // them) — without the cache the full-corpus explode+hash scan runs
+    // twice (the ngramJaccard precedent)
     val windows = df
       .select(col(idCol), ws.as("__ws"), explode(starts).as("span_start"))
       .select(col(idCol), col("span_start"),
         xxhash64(concat_ws(" ", slice(col("__ws"), col("span_start") + 1, lit(n)))).as("__h"))
+      .cache()
     val dup = windows.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

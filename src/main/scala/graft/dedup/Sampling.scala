@@ -99,11 +99,14 @@ object Sampling {
     val rates = counts.crossJoin(broadcast(cmax))
       .withColumn("__thr",
         floor(least(lit(1.0), lit(baseRate) * boost) * scale).cast("long"))
-      .select(col(domainCol), col("__thr"))
-    df.join(broadcast(rates), Seq(domainCol))
+      .select(col(domainCol).as("__dom"), col("__thr"))
+    // null-safe join: a NULL domain is a legitimate domain of its own (the
+    // groupBy above counted it) — a plain equality join would silently drop
+    // every null-domain row regardless of rate, where stratified() keeps
+    // null strata at the default rate
+    df.join(broadcast(rates), df(domainCol) <=> rates("__dom"))
       .filter(bucket < col("__thr"))
-      .drop("__thr")
-      .select(df.columns.toIndexedSeq.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(df(_)): _*)
   }
 
   /** Mix N sources at given sampling rates into one corpus, tagging each row

@@ -355,8 +355,11 @@ final class PipelineRunner(
       // xml without an explicit rowTag is SILENTLY empty: Spark's default
       // tag is 'ROW', which matches nothing in a real document — the one
       // format where a missing option reads zero rows instead of erroring
-      if (a.format == "xml" && !a.options.contains("cloudFiles.rowTag") &&
-          !a.options.contains("rowTag"))
+      // case-insensitive like every other option consumer (cfOpt contract):
+      // `cloudFiles.rowtag` / `rowtag` are honored by the translator, so the
+      // guard must see them too
+      if (a.format == "xml" && !a.options.keys.exists(k =>
+          k.equalsIgnoreCase("cloudFiles.rowTag") || k.equalsIgnoreCase("rowTag")))
         throw graft.config.YamlConfig.ConfigError(
           s"load '${a.name}': xml needs an explicit rowTag " +
             "(cloudFiles.rowTag) — Spark's default 'ROW' would silently " +
@@ -1682,6 +1685,12 @@ final class PipelineRunner(
           graft.Log.warn(s"load '${a.name}': '$k' is advisory — field " +
             "resolution is exact-first with unique case-insensitive " +
             "fallback; ambiguous case-distinct matches fail loudly")
+          None
+        } else if (k.equalsIgnoreCase("rescuedDataColumn") ||
+            k.equalsIgnoreCase("rescueDataColumn")) {
+          // consumed by the rescue path above — forwarding it would hand an
+          // unknown option to the OSS reader, which ignores it silently
+          // (the believed-but-dropped state this translator exists to ban)
           None
         } else Some(k -> v)
       } else k.stripPrefix("cloudFiles.").toLowerCase match {

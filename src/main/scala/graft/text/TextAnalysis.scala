@@ -146,8 +146,11 @@ object TextAnalysis {
   def wordRarity(df: DataFrame, idCol: String, textCol: String,
       rareThreshold: Long = 2): DataFrame = {
     require(rareThreshold >= 1, s"rareThreshold must be >= 1, got $rareThreshold")
+    // cached: toks feeds both the vocabulary aggregation and the occurrence
+    // join — uncached, the corpus-wide word explode would execute twice
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
       .filter(length(col("__w")) > 0)
+      .cache()
     val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
     toks.join(vocab, Seq("__w"))
       .groupBy(col(idCol))

@@ -17,6 +17,17 @@ class BenchSpec extends SparkSuite {
     assert(r.json.contains(""""ok":"""))
   }
 
+  test("timing action materializes every output column — no count-pruning") {
+    // raise_error only fires if the column is EVALUATED; under the old
+    // count() action Catalyst pruned unused columns, so a query's real work
+    // (or here, its bomb) never ran and the timing measured a bare scan
+    val r = Bench.run(spark, sf0001, iters = 1, queries = Map(
+      "bomb" -> ((s, _) => s.range(3).toDF()
+        .select(raise_error(lit("must be evaluated")).as("x")))))
+    assert(r.errors.keySet == Set("bomb"),
+      "output columns were pruned away instead of materialized")
+  }
+
   test("an all-green run has no errors") {
     val r = Bench.run(spark, sf0001, iters = 1,
       queries = Map("ok" -> ((s, _) => s.range(3).toDF())))

@@ -72,6 +72,14 @@ class SamplingSpec extends SparkSuite {
     val fracMin = after.getOrElse(minDomain, 0L).toDouble / before(minDomain)
     assert(fracMin >= fracMax - 0.1,
       s"small domain should be kept at >= the max domain's rate ($fracMin vs $fracMax)")
+    // a NULL domain is a domain: its rows sample at the null-group's rate
+    // instead of silently vanishing through a non-null-safe join
+    val withNull = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "dom")
+    val keptNull = Sampling.temperatureSample(withNull, "id", "dom",
+      alpha = 1.0, baseRate = 1.0)
+    assert(keptNull.count() == 3, "null-domain rows must survive at rate 1")
+    assert(keptNull.columns.toSeq == Seq("id", "dom"))
     // the threshold math is the documented construction, re-derivable
     // off-engine: every kept row's md5 bucket < floor(min(1, .5*sqrt(cmax/c))*2^32)
     val cmax = before.values.max.toDouble

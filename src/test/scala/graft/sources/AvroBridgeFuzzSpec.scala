@@ -64,10 +64,15 @@ class AvroBridgeFuzzSpec extends SparkSuite {
         s <- Gen.chooseNum(-30610224000L, 32503680000L)
         us <- Gen.chooseNum(0, 999999)
       } yield java.time.LocalDateTime.ofEpochSecond(s, us * 1000, java.time.ZoneOffset.UTC)
-      case d: DecimalType => Gen.chooseNum(
-        -BigInt(10).pow(d.precision).toLong + 1, BigInt(10).pow(d.precision).toLong - 1)
-        .map(unscaled => new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(unscaled), d.scale))
+      case d: DecimalType =>
+        // 10^p - 1 overflows Long for p >= 19 (10^20.toLong truncates to
+        // ~7.77e18, silently narrowing the generated range and — had the
+        // truncation gone negative — inverting the bounds); cap explicitly
+        val bound = BigInt(10).pow(d.precision) - 1
+        val hi = if (bound > Long.MaxValue) Long.MaxValue else bound.toLong
+        Gen.chooseNum(-hi, hi)
+          .map(unscaled => new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(unscaled), d.scale))
       case ArrayType(et, _) => Gen.choose(0, 4).flatMap(n =>
         Gen.listOfN(n, valueGen(et)).map(_.toSeq))
       case MapType(StringType, vt, _) => Gen.choose(0, 3).flatMap(n =>
