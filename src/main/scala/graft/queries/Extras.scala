@@ -687,6 +687,72 @@ object Extras {
     s.read.parquet(out)
   }
 
+  /** The flagship LLM-curation pipeline through the gate — the full
+    * quality → exact-dedup → near-dup-cluster → decontaminate → sample
+    * chain as ONE YAML flowgroup over the function-plugin seam
+    * (CurationE2ESpec's shape, portable sampling so DuckDB can replay the
+    * kept set). The oracle re-derives every stage: the t2 quality
+    * predicate, md5 keeper selection, the exact-Jaccard pair graph +
+    * recursive-CTE components (minHashLsh's verified pairs equal the
+    * exact result at this threshold/banding — the d3 oracle argument),
+    * 5-gram probe decontamination, and the md5-bucket sample. A doc
+    * wrongly kept or dropped at ANY stage hash-mismatches. */
+  def c8CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-c8")
+    Tables.load(s, dir, "documents").createOrReplaceTempView("c8_documents_raw")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      """pipeline: c8
+        |flowgroup: corpus_v1
+        |actions:
+        |  - name: load_corpus
+        |    type: load
+        |    source: {type: sql, sql: "SELECT doc_id, text FROM c8_documents_raw WHERE doc_id >= 20"}
+        |    target: v_corpus
+        |  - name: load_benchmark
+        |    type: load
+        |    source: {type: sql, sql: "SELECT doc_id, text FROM c8_documents_raw WHERE doc_id < 20"}
+        |    target: v_benchmark
+        |  - name: quality
+        |    type: transform
+        |    transform_type: python
+        |    function: graft.plugins.CurationTransforms$QualityFilter
+        |    source: v_corpus
+        |    target: v_quality
+        |  - name: exact_dedup
+        |    type: transform
+        |    transform_type: python
+        |    function: graft.plugins.CurationTransforms$ExactDedupFilter
+        |    source: v_quality
+        |    target: v_exact
+        |  - name: near_dedup
+        |    type: transform
+        |    transform_type: python
+        |    function: graft.plugins.CurationTransforms$NearDupFilter
+        |    source: v_exact
+        |    target: v_neardup
+        |    parameters: {threshold: "0.6"}
+        |  - name: decontaminate
+        |    type: transform
+        |    transform_type: python
+        |    function: graft.plugins.CurationTransforms$Decontaminate
+        |    source: [v_neardup, v_benchmark]
+        |    target: v_clean
+        |    parameters: {ngram: "5"}
+        |  - name: sample
+        |    type: transform
+        |    transform_type: python
+        |    function: graft.plugins.CurationTransforms$HashSample
+        |    source: v_clean
+        |    target: v_sampled
+        |    parameters: {fraction: "0.5", portable: "true"}
+        |  - name: write
+        |    type: write
+        |    source: v_sampled
+        |    write_target: {type: materialized_view, table: c8_t}
+        |""".stripMargin))
+    store.read("c8_t").select("doc_id", "text")
+  }
+
   /** Declared-incremental join MV through the gate — the acmi gold-layer
     * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
     * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
@@ -756,6 +822,7 @@ object Extras {
     "c5_custom_source" -> c5CustomSource,
     "c6_temp_table" -> c6TempTable,
     "c7_files_sink" -> c7FilesSink,
+    "c8_curation_pipeline" -> c8CurationPipeline,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -810,6 +877,61 @@ object Extras {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
         |  FROM documents)""".stripMargin,
+    // c8 re-derives the whole five-stage curation funnel: the t2 quality
+    // predicate (same 6-digit rounding before comparison), md5 keeper
+    // windows, exact-Jaccard pairs + recursive closure (= the LSH-verified
+    // pair set, d3's argument), 5-gram decontamination against the probe
+    // docs, and the portable md5 sample threshold (0.5 * 2^32)
+    "c8_curation_pipeline" ->
+      """WITH RECURSIVE
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+        |probes AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |q AS (SELECT doc_id, text FROM corpus
+        |      WHERE len(string_split(text, ' ')) >= 5
+        |        AND len(string_split(text, ' ')) <= 100000
+        |        AND round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |              / len(string_split(text, ' ')), 6) >= 2
+        |        AND round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |              / len(string_split(text, ' ')), 6) <= 15
+        |        AND round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |              / len(string_split(text, ' ')), 6) > 0.1),
+        |ex AS (SELECT doc_id, text FROM (
+        |         SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |         FROM q) WHERE rn = 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |jp AS (SELECT id_a, id_b FROM pairs
+        |       JOIN sizes sa ON id_a = sa.doc_id
+        |       JOIN sizes sb ON id_b = sb.doc_id
+        |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.6),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp
+        |          UNION SELECT id_b, id_a FROM jp),
+        |closure(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS component
+        |         FROM closure GROUP BY a),
+        |nd AS (SELECT doc_id, text FROM ex WHERE doc_id NOT IN
+        |        (SELECT id FROM comp WHERE id <> component)),
+        |ptoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM probes),
+        |psh AS (SELECT DISTINCT list_aggregate(w[i:i+4], 'string_agg', ' ') AS s
+        |        FROM ptoks, UNNEST(range(1, greatest(len(w) - 3, 2))) AS t(i)),
+        |ntoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM nd),
+        |nsh AS (SELECT DISTINCT doc_id,
+        |          list_aggregate(w[i:i+4], 'string_agg', ' ') AS s
+        |        FROM ntoks, UNNEST(range(1, greatest(len(w) - 3, 2))) AS t(i)),
+        |clean AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN
+        |           (SELECT DISTINCT doc_id FROM nsh JOIN psh USING (s)))
+        |SELECT doc_id, text FROM clean
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
+        |      < 2147483648""".stripMargin,
     // m6: α = 0.5 temperature rates rebuilt exactly — sqrt is IEEE
     // correctly-rounded in both engines, so the per-domain threshold (and
     // therefore every kept row) reproduces bit-for-bit

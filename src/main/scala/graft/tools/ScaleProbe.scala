@@ -39,8 +39,14 @@ object ScaleProbe {
         concat(col("text"), lit(s" replica$i")).as("text")))
         .reduce(_ unionByName _)
 
+    // noop-sink write, not count(): count lets Catalyst prune any work
+    // that doesn't affect the row count (the Bench r11 honesty fix — the
+    // shuffle-shard probe below documents the concrete instance this
+    // probe hit first)
     def time(df: => DataFrame): Double = {
-      val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
     def med(f: => Double): Double = Seq(f, f, f).sorted.apply(1)
 
@@ -140,6 +146,32 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"avro_decode":$avro%.2f,"shuffle_shards":$shard%.2f}""")
       c.unpersist(): Unit
       graft.exec.Fs.deleteRecursively(new java.io.File(avroDir))
+    }
+
+    // ---- curation tier (r11 second session): span dedup, word rarity,
+    // temperature mix. d10 compares k=2 vs k=reps — replicas share their
+    // body windows, so EVERY window is cross-replica-duplicated at k>=2;
+    // holding that regime constant makes the ratio measure data growth,
+    // not a regime flip from sparse to dense duplication (k=1 vs k=10
+    // would conflate both). t9/m6 run k=1 vs k=reps as usual.
+    println(f"""{"probe":"curation_linearity","sf":"$sfDir","reps":$reps}""")
+    for (k <- Seq(2, reps)) {
+      val c = corpus(k).persist(); c.count()
+      val spans = med(time(graft.dedup.Dedup.duplicatedSpans(
+        c, "doc_id", "text", n = 8, minDocs = 2)))
+      println(f"""{"k":$k,"rows":${c.count()},"d10_spans":$spans%.2f}""")
+      c.unpersist(): Unit
+    }
+    for (k <- Seq(1, reps)) {
+      val c = corpus(k)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(7))))
+        .persist()
+      c.count()
+      val rarity = med(time(graft.text.TextAnalysis.wordRarity(c, "doc_id", "text")))
+      val mix = med(time(graft.dedup.Sampling.temperatureSample(
+        c, "doc_id", "source", alpha = 0.5, baseRate = 0.5)))
+      println(f"""{"k":$k,"rows":${c.count()},"t9_rarity":$rarity%.2f,"m6_mix":$mix%.2f}""")
+      c.unpersist(): Unit
     }
     spark.stop()
   }
