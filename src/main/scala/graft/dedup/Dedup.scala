@@ -108,19 +108,22 @@ object Dedup {
     * Scale: the per-doc signature is one aggregation over the shingle index;
     * the candidate join is keyed on (band, signature) — the classic
     * shingle→minhash→band→bucket-join pipeline. */
-  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.6,
-      maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val bands = numHashes / rowsPerBand
-    // k min-hashes in one pass: the shingle string is hashed ONCE to 64 bits,
-    // then the k-member hash family re-hashes the 8-byte value — ~10× less
-    // bytes through xxhash64 than hashing the string k times, same MinHash
-    // collision properties.
-    val hashed = capDocFreq(
+  /** Per-doc distinct shingle 64-bit hashes `(idCol, h0)` — the shared
+    * substrate of the MinHash family (the shingle string is hashed ONCE to
+    * 64 bits; the k-member hash family re-hashes the 8-byte value — ~10×
+    * less bytes through xxhash64 than hashing the string k times, same
+    * MinHash collision properties). */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleDocFreq: Option[Int]): DataFrame =
+    capDocFreq(
       shingles(df, idCol, textCol, n)
         .select(col(idCol), xxhash64(col("shingle")).as("h0")),
-      "h0", maxShingleDocFreq).cache()
+      "h0", maxShingleDocFreq)
+
+  /** Band buckets `(idCol, band, sig)` from a shingle-hash frame. */
+  private def bucketsFromHashes(hashed: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
     val minhashes = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // band signature = xxhash64 over the band's row hashes
@@ -128,9 +131,28 @@ object Dedup {
       val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("sig")).as(s"b$b")
     }
-    val buckets = minhashes
+    minhashes
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.sig"))
+  }
+
+  /** The persistable MinHash band-signature INDEX of a corpus: one
+    * `(idCol, band, sig)` row per doc × band (~`numHashes/rowsPerBand`
+    * small rows per doc — a fraction of a percent of the corpus bytes).
+    * Compute once over history, persist, and hand it to
+    * [[incrementalNearDup]] so history is never re-tokenized. */
+  def minHashBuckets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxShingleDocFreq: Option[Int] = None): DataFrame =
+    bucketsFromHashes(shingleHashes(df, idCol, textCol, n, maxShingleDocFreq),
+      idCol, numHashes, rowsPerBand)
+
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.6,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val hashed = shingleHashes(df, idCol, textCol, n, maxShingleDocFreq).cache()
+    val buckets = bucketsFromHashes(hashed, idCol, numHashes, rowsPerBand)
     val l = buckets.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val r = buckets.select(col(idCol).as("id_b"), col("band"), col("sig"))
     val candidates = l.join(r, Seq("band", "sig"))
@@ -149,6 +171,60 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental NEAR-dup dedup — [[incrementalExact]]'s sibling for the
+    * fuzzy regime, the shape that runs at 100 TB: the historical corpus is
+    * reduced once to its [[minHashBuckets]] band index (persisted, never
+    * re-tokenized); each incoming batch computes its own signatures, probes
+    * the index with a band-keyed join, and only the CANDIDATE history docs
+    * — the few that collide on a band — have their text re-read (one
+    * semi-join fetch) for exact-Jaccard verification. Returns the new docs
+    * that near-dup NOTHING in history (within-batch dedup is a separate
+    * concern — compose with [[minHashLsh]] + [[connectedComponents]]).
+    * Append the batch survivors' buckets to the index afterwards.
+    *
+    * Precision = 1 (exact verify); recall is the LSH band recall (≥
+    * 1 - 1e-3 per pair at j = 0.6 under the 16×2 default, → 1 rapidly
+    * above it). `historyBuckets`: pass the persisted index; `None`
+    * recomputes it from `history` (convenient for one-shots, wasteful in a
+    * loop — the whole point is to amortize it). */
+  def incrementalNearDup(newDocs: DataFrame, history: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.6, maxShingleDocFreq: Option[Int] = None,
+      historyBuckets: Option[DataFrame] = None): DataFrame = {
+    // cached: feeds the batch's buckets AND its verification shingle sets
+    val newSh = shingleHashes(newDocs, idCol, textCol, n, maxShingleDocFreq).cache()
+    val newBuckets = bucketsFromHashes(newSh, idCol, numHashes, rowsPerBand)
+      .select(col(idCol).as("__new_id"), col("band"), col("sig"))
+    val hbFrame = historyBuckets.getOrElse(
+      minHashBuckets(history, idCol, textCol, n, numHashes, rowsPerBand,
+        maxShingleDocFreq))
+    // the index's id column is its first column (minHashBuckets emits
+    // (idCol, band, sig); a persisted index keeps that layout)
+    val hb = hbFrame.select(
+      col(hbFrame.columns.head).as("__old_id"), col("band"), col("sig"))
+    val candidates = newBuckets.join(hb, Seq("band", "sig"))
+      .select("__new_id", "__old_id").distinct()
+    // history bytes touched HERE only, and only for colliding docs: the
+    // candidate old-id set semi-joins the history table before tokenizing
+    val candOldDocs = history.join(
+      candidates.select(col("__old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val oldSets = shingleHashes(candOldDocs, idCol, textCol, n, maxShingleDocFreq)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("h0")).as("hs_o"), count(lit(1)).as("n_o"))
+      .select(col(idCol).as("__old_id"), col("hs_o"), col("n_o"))
+    val newSets = newSh.groupBy(col(idCol))
+      .agg(collect_set(col("h0")).as("hs_n"), count(lit(1)).as("n_n"))
+      .select(col(idCol).as("__new_id"), col("hs_n"), col("n_n"))
+    val dropped = candidates
+      .join(newSets, Seq("__new_id")).join(oldSets, Seq("__old_id"))
+      .withColumn("inter", size(array_intersect(col("hs_n"), col("hs_o"))))
+      .withColumn("jaccard", col("inter") / (col("n_n") + col("n_o") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__new_id").as(idCol)).distinct()
+    newDocs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over word unigrams: each word's 64-bit hash votes ±1 on

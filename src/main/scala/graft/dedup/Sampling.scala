@@ -119,6 +119,37 @@ object Sampling {
         .withColumn("_source", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Deterministic train/val/test split assignment: each row gets a
+    * `_split` label from its key hash against cumulative fraction
+    * thresholds — the standard leakage-safe corpus split (a key always
+    * lands in the same split across runs, cluster layouts, and engines in
+    * portable mode; a grown corpus never migrates old keys between
+    * splits). Splits are checked IN ORDER against cumulative bounds; the
+    * last split absorbs the hash-scale remainder, so fractions that sum
+    * to 1 partition the corpus exactly. Zero-shuffle: a pure per-row
+    * expression over the key.
+    *
+    * Threshold arithmetic is `(cumulative · scale).toLong` with the
+    * cumulative sum folded in the GIVEN split order — document the order
+    * with the split spec and any engine reproduces the assignment. */
+  def splitAssign(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      salt: Int = 0, portable: Boolean = false): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.exists(_.equalsIgnoreCase("_split")),
+      "input already has a _split column; rename it first")
+    val (bucket, scale) = bucketAndScale(keyCol, salt, portable)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.init
+      .map(c => (c * scale).toLong)
+    val assigned = splits.init.zip(bounds)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), b), acc) => when(bucket < b, lit(name)).otherwise(acc)
+      }
+    df.withColumn("_split", assigned)
+  }
+
   /** Deterministic global shuffle into `shards` training shards: each row
     * gets `_shard = hash % shards` and `_pos` = its rank within the shard
     * by (hash, key). The canonical pre-training sharder — the assignment

@@ -837,6 +837,11 @@ object Extras {
         Tables.load(s, dir, "documents"), "doc_id", "source",
         alpha = 0.5, baseRate = 0.5, portable = true)
         .select("doc_id", "source", "lang")),
+    "m7_split_assign" -> ((s, dir) =>
+      graft.dedup.Sampling.splitAssign(
+        Tables.load(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01), portable = true)
+        .select("doc_id", "_split")),
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
     "q46_cdf_window" -> q46CdfWindow,
@@ -932,6 +937,17 @@ object Extras {
         |SELECT doc_id, text FROM clean
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT
         |      < 2147483648""".stripMargin,
+    // m7: the cumulative thresholds are (0.98·2^32).toLong = 4209067950 and
+    // (0.99·2^32).toLong = 4252017623 — hardcoded here exactly as the
+    // operator's fold computes them
+    "m7_split_assign" ->
+      """SELECT doc_id, CASE
+        |  WHEN b < 4209067950 THEN 'train'
+        |  WHEN b < 4252017623 THEN 'val'
+        |  ELSE 'test' END AS _split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
+        |  FROM documents)""".stripMargin,
     // m6: α = 0.5 temperature rates rebuilt exactly — sqrt is IEEE
     // correctly-rounded in both engines, so the per-domain threshold (and
     // therefore every kept row) reproduces bit-for-bit

@@ -75,6 +75,18 @@ object LlmData {
       .select("doc_id", "text")
   }
 
+  /** Incremental near-dup: docs ≥ 250 arrive as the new batch and probe the
+    * < 250 "historical corpus" through its MinHash band index; survivors
+    * near-dup nothing in history. Only colliding history docs are
+    * re-tokenized. */
+  def d13IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.incrementalNearDup(
+      d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+      "doc_id", "text", n = 3, threshold = 0.6)
+      .select("doc_id", "text")
+  }
+
   /** Span-level duplication: maximal runs of 8-word windows shared by ≥ 2
     * distinct docs — the substring-dedup regime doc-level d1–d5 can't see. */
   def d10SpanDedup(s: SparkSession, dir: String): DataFrame =
@@ -228,6 +240,35 @@ object LlmData {
       "vec_id", "embedding", k = 3, predicate = col("lang") === "en")
   }
 
+  /** Gate for the product-quantized path (s6's coarser sibling — ~1/8 the
+    * float32 corpus bytes at 16 codes + a norm): matched (query, neighbor)
+    * cosines within 0.2 of exact (observed drift 0.08), and PQ top-3
+    * recovers >= 20% of exact top-3 (observed 0.33, chance 0.006). Wide
+    * floors: PQ error is structurally larger than int8 scalar
+    * quantization, and the per-subspace KMeans carries s5's
+    * partition-order float nondeterminism. Violations returned — correct
+    * output is EMPTY, pinned by the trivial oracle. */
+  def s8PqCheck(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("exact_cosine"))
+    val model = Similarity.trainPq(e, "embedding", dim = 64,
+      numSubspaces = 16, numCentroids = 32)
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3, model)
+    val drift = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .filter((isnan(col("cosine")) =!= isnan(col("exact_cosine"))) ||
+        (!isnan(col("cosine")) && !isnan(col("exact_cosine")) &&
+          abs(col("cosine") - col("exact_cosine")) > 0.2))
+      .select(col("query_id"), col("neighbor_id"), lit("cosine_drift").as("reason"),
+        round(abs(col("cosine") - col("exact_cosine")), 6).as("value"))
+    val recall = recallGate(exact, pq, floor = 0.2, metric = "recall_floor")
+      .select(lit(null).cast("bigint").as("query_id"),
+        lit(null).cast("bigint").as("neighbor_id"),
+        col("metric").as("reason"), col("recall").as("value"))
+    drift.unionByName(recall)
+  }
+
   // ------------------------------------------------------------------- text
 
   def t1LangId(s: SparkSession, dir: String): DataFrame =
@@ -286,7 +327,9 @@ object LlmData {
     "d10_span_dedup" -> d10SpanDedup,
     "d11_quality_keeper" -> d11QualityKeeper,
     "d12_span_cut" -> d12SpanCut,
+    "d13_incremental_neardup" -> d13IncrementalNearDup,
     "s7_filtered_topk" -> s7FilteredTopK,
+    "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
@@ -409,6 +452,25 @@ object LlmData {
         |JOIN csz ON i.doc_id = csz.doc_id
         |JOIN psz ON i.probe_id = psz.probe_id
         |WHERE i.inter * 1.0 / (csz.n_c + psz.n_p - i.inter) >= 0.2""".stripMargin,
+    // d13: a batch doc survives iff its exact 3-gram Jaccard vs EVERY
+    // history doc is < 0.6 (the LSH band probe's miss probability at the
+    // observed pair similarities is < 1e-12 — the d3 argument — so the
+    // banded result equals this exact recompute)
+    "d13_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |xp AS (SELECT b.doc_id AS bid, h.doc_id AS hid, count(*) AS inter
+        |       FROM sh b JOIN sh h ON b.shingle = h.shingle
+        |       WHERE b.doc_id >= 250 AND h.doc_id < 250
+        |       GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT bid FROM xp
+        |            JOIN sizes sb ON bid = sb.doc_id
+        |            JOIN sizes sh2 ON hid = sh2.doc_id
+        |            WHERE inter * 1.0 / (sb.n_sh + sh2.n_sh - inter) >= 0.6)
+        |SELECT doc_id, text FROM documents
+        |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT bid FROM dropped)""".stripMargin,
     // d10 replays the whole span pipeline on window STRINGS (Spark joins on
     // xxhash64 of the window — d2's documented 2^-64 collision tolerance):
     // full 8-word windows, ≥2-distinct-doc filter, island merge with gap > 8
@@ -529,6 +591,11 @@ object LlmData {
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     // s6 gates the int8-quantized path (score drift + recall floor): EMPTY.
     "s6_quant_check" ->
+      """SELECT vec_id AS query_id, vec_id AS neighbor_id,
+        |  'x' AS reason, 0.0 AS value
+        |FROM embeddings WHERE 1 = 0""".stripMargin,
+    // s8 gates the product-quantized path the same way: EMPTY when met.
+    "s8_pq_check" ->
       """SELECT vec_id AS query_id, vec_id AS neighbor_id,
         |  'x' AS reason, 0.0 AS value
         |FROM embeddings WHERE 1 = 0""".stripMargin,

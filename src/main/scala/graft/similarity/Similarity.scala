@@ -241,6 +241,109 @@ object Similarity {
     topKByCosine(scored, k)
   }
 
+  /** Product-quantization model: `codebooks(m)(j)` is subspace `m`'s
+    * centroid `j` (length `dim / numSubspaces`). MODEL PARAMETERS, not data
+    * — for the defaults (8 subspaces × 16 centroids × 8 dims) this is 1 KB
+    * of doubles, embedded into the scoring expressions as constants the
+    * same way the LSH hyperplanes are. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def numSubspaces: Int = codebooks.length
+    def numCentroids: Int = codebooks.head.length
+    def subDim: Int = codebooks.head.head.length
+  }
+
+  /** Train a PQ codebook: an independent bounded-sample KMeans per
+    * subspace (squared-Euclidean — PQ quantizes raw coordinates; the
+    * cosine geometry returns at scoring time via the stored true norms).
+    * Same bounded-training posture as [[trainCentroids]]: cost never
+    * scales with corpus size. Same determinism caveat too: seeded, but
+    * float aggregation order makes centroids reproducible only
+    * run-to-run on one layout — gates therefore check drift/recall
+    * against brute force, never raw codebooks. */
+  def trainPq(corpus: DataFrame, vecCol: String, dim: Int,
+      numSubspaces: Int = 8, numCentroids: Int = 16,
+      maxIter: Int = 5, seed: Long = 42L,
+      maxTrainRows: Int = 100000): PqModel = {
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / numSubspaces
+    val arr = corpus.select(col(vecCol).cast("array<double>").as("__arr"))
+      .filter(col("__arr").isNotNull && size(col("__arr")) === dim)
+      .limit(maxTrainRows)
+      .cache() // M fits read the same bounded sample
+    val books = (0 until numSubspaces).toArray.map { m =>
+      val sub = arr.select(array_to_vector(
+        slice(col("__arr"), m * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(numCentroids).setMaxIter(maxIter).setSeed(seed + m)
+        .setFeaturesCol("features")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    arr.unpersist()
+    PqModel(books)
+  }
+
+  /** PQ-encode: each vector becomes `numSubspaces` small integer codes
+    * (nearest centroid per subspace, squared-L2, ties → lowest code) plus
+    * its TRUE L2 norm — at the 8×16 defaults, 8 codes + a double instead
+    * of 64 doubles: ~1/12 of the float64 bytes (vs 1/4 for int8 scalar
+    * quantization — PQ is the next press of the same memory lever). The
+    * argmin is a constant-folded expression per subspace (distances to
+    * all centroids as literals-in-expressions, `array_min` over
+    * (dist, code) structs — deterministic tie-break, no UDF). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val codeCols = (0 until model.numSubspaces).map { m =>
+      val sub = slice(v, m * model.subDim + 1, model.subDim)
+      val cands = (0 until model.numCentroids).map { j =>
+        val c = model.codebooks(m)(j)
+        val diff = (0 until model.subDim).map { d =>
+          val e = element_at(sub, d + 1) - lit(c(d))
+          e * e
+        }.reduce(_ + _)
+        struct(diff.as("d"), lit(j).as("j"))
+      }
+      array_min(array(cands: _*)).getField("j")
+    }
+    df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"),
+      norm(v).as("norm"))
+  }
+
+  /** Reconstruct the quantized vector from PQ codes: per subspace, the
+    * code indexes a constant array of centroid arrays; subspace picks
+    * concatenate. Used once per corpus row before scoring — the
+    * [[quantizedTopK]] dequantize-once pattern, so pairs score through
+    * the same codegen'd dot kernel as every exact path. */
+  def pqReconstruct(codes: Column, model: PqModel): Column = {
+    val parts = (0 until model.numSubspaces).map { m =>
+      val table = array(model.codebooks(m).map(c =>
+        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      element_at(table, element_at(codes, m + 1) + 1)
+    }
+    flatten(array(parts: _*))
+  }
+
+  /** Brute-force cosine top-k over PQ-RECONSTRUCTED vectors (queries stay
+    * full-precision — asymmetric scoring): s1's shape at ~1/12 of the
+    * corpus bytes. Scores divide by the stored TRUE norms, so magnitude
+    * error comes only from the quantized directions. Precision is coarser
+    * than int8 — gate with drift/recall floors (the s6 pattern, wider
+    * bounds). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel): DataFrame = {
+    val enc = pqEncode(corpus, idCol, vecCol, model)
+    val c = enc.select(col("id").as("neighbor_id"),
+      pqReconstruct(col("codes"), model).as("cv"), col("norm").as("cn"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topKByCosine(scored, k)
+  }
+
   /** IVF-style ANN (the inverted-file scale path): the corpus is assigned to
     * `nCells` coarse cells (nearest centroid by cosine); a query probes its
     * `nProbe` nearest cells and exact-re-ranks only their members. Corpus

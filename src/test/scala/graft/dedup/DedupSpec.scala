@@ -156,6 +156,31 @@ class DedupSpec extends SparkSuite {
     assert(tight == 1L, "star alternation should collapse a 60-chain in ≤12 rounds")
   }
 
+  test("incremental near-dup: batch probes the history band index, survivors verified") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different historical content about databases and indexes")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // near-dups 1
+      (101L, "entirely novel text with no historical counterpart at all"),
+      (102L, "the quick brown fox jumps over the lazy dog today") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, history, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(101L))
+    // the precomputed-index path (the production shape) is equivalent
+    val index = Dedup.minHashBuckets(history, "doc_id", "text", n = 3)
+    val viaIndex = Dedup.incrementalNearDup(batch, history, "doc_id", "text",
+      n = 3, threshold = 0.5, historyBuckets = Some(index))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == out)
+    // a batch against empty history keeps everything
+    val empty = history.filter($"doc_id" < 0)
+    assert(Dedup.incrementalNearDup(batch, empty, "doc_id", "text").count() == 3)
+  }
+
   test("duplicatedSpans: cross-doc shared windows merge into maximal spans") {
     // docs 1 and 2 share the 4-word run "alpha beta gamma delta" twice,
     // separated far enough apart to form TWO spans in doc 1 but merged by

@@ -93,6 +93,35 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("splitAssign: exact partition, stable across growth, ordered thresholds") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Sampling.splitAssign(docs, "doc_id", splits, portable = true).persist()
+    // exact partition: every row labeled, labels only from the spec
+    assert(out.count() == docs.count())
+    val byLabel = out.groupBy("_split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // growth stability: the split of a subset equals the subset of the split
+    val subset = Sampling.splitAssign(docs.filter($"doc_id" < 100), "doc_id",
+      splits, portable = true).select("doc_id", "_split").as[(Long, String)].collect().toSet
+    val fromFull = out.filter($"doc_id" < 100)
+      .select("doc_id", "_split").as[(Long, String)].collect().toSet
+    assert(subset == fromFull)
+    // zero-shuffle: pure per-row expression
+    val plan = Sampling.splitAssign(docs, "doc_id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // fractions must sum to 1 and _split must be free
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(out, "doc_id", splits)
+    }
+    out.unpersist()
+  }
+
   test("mix unions sources with tags at given rates") {
     val a = Seq((1L, "xa"), (2L, "ya")).toDF("id", "text")
     val b = Seq((10L, "xb")).toDF("id", "text")
