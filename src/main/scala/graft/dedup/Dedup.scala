@@ -188,19 +188,38 @@ object Dedup {
     * 1 - 1e-3 per pair at j = 0.6 under the 16×2 default, → 1 rapidly
     * above it). `historyBuckets`: pass the persisted index; `None`
     * recomputes it from `history` (convenient for one-shots, wasteful in a
-    * loop — the whole point is to amortize it). */
+    * loop — the whole point is to amortize it).
+    *
+    * Hot-shingle handling: the skew cap here is an EXPLICIT `hotShingles`
+    * list (one column of 64-bit shingle hashes — maintain it with the
+    * index), applied uniformly to the batch, the self-built index, and
+    * verification. A per-call `maxShingleDocFreq` recount is deliberately
+    * NOT offered: recounting over the candidate subset would reinstate
+    * shingles the index capped out (inconsistent similarity space), and
+    * recounting over full history would re-scan the corpus this API
+    * exists to avoid.
+    *
+    * Resource note: an internal shingle-hash frame is cached to back both
+    * the band probe and verification; a long-running per-batch loop should
+    * materialize the survivors and call `spark.catalog.clearCache()` (or
+    * scope a fresh session) between batches. */
   def incrementalNearDup(newDocs: DataFrame, history: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
-      threshold: Double = 0.6, maxShingleDocFreq: Option[Int] = None,
+      threshold: Double = 0.6, hotShingles: Option[DataFrame] = None,
       historyBuckets: Option[DataFrame] = None): DataFrame = {
+    def dropHot(sh: DataFrame): DataFrame = hotShingles match {
+      case Some(hot) =>
+        sh.join(hot.select(col(hot.columns.head).as("h0")), Seq("h0"), "left_anti")
+      case None => sh
+    }
     // cached: feeds the batch's buckets AND its verification shingle sets
-    val newSh = shingleHashes(newDocs, idCol, textCol, n, maxShingleDocFreq).cache()
+    val newSh = dropHot(shingleHashes(newDocs, idCol, textCol, n, None)).cache()
     val newBuckets = bucketsFromHashes(newSh, idCol, numHashes, rowsPerBand)
       .select(col(idCol).as("__new_id"), col("band"), col("sig"))
     val hbFrame = historyBuckets.getOrElse(
-      minHashBuckets(history, idCol, textCol, n, numHashes, rowsPerBand,
-        maxShingleDocFreq))
+      bucketsFromHashes(dropHot(shingleHashes(history, idCol, textCol, n, None)),
+        idCol, numHashes, rowsPerBand))
     // the index's id column is its first column (minHashBuckets emits
     // (idCol, band, sig); a persisted index keeps that layout)
     val hb = hbFrame.select(
@@ -211,7 +230,7 @@ object Dedup {
     // candidate old-id set semi-joins the history table before tokenizing
     val candOldDocs = history.join(
       candidates.select(col("__old_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    val oldSets = shingleHashes(candOldDocs, idCol, textCol, n, maxShingleDocFreq)
+    val oldSets = dropHot(shingleHashes(candOldDocs, idCol, textCol, n, None))
       .groupBy(col(idCol))
       .agg(collect_set(col("h0")).as("hs_o"), count(lit(1)).as("n_o"))
       .select(col(idCol).as("__old_id"), col("hs_o"), col("n_o"))

@@ -905,8 +905,10 @@ object Extras {
         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |         FROM q) WHERE rn = 1),
         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+        |sh AS (SELECT DISTINCT doc_id, s AS shingle FROM (
+        |         SELECT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS s
+        |         FROM toks, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+        |       WHERE length(s) > 0),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -272,13 +272,22 @@ object Similarity {
       .filter(col("__arr").isNotNull && size(col("__arr")) === dim)
       .limit(maxTrainRows)
       .cache() // M fits read the same bounded sample
-    val books = (0 until numSubspaces).toArray.map { m =>
+    arr.count() // materialize once before the concurrent fits race to fill it
+    // the M fits are independent — run them as CONCURRENT Spark jobs
+    // (sequential fits pay M × per-job overhead; measured 16 sequential
+    // fits at ~30 s vs ~4 s concurrent on local[32])
+    import scala.collection.parallel.CollectionConverters._
+    val books = (0 until numSubspaces).toArray.par.map { m =>
       val sub = arr.select(array_to_vector(
         slice(col("__arr"), m * subDim + 1, subDim)).as("features"))
+      // random init, not k-means||: the parallel init's extra passes cost
+      // more than the 5 Lloyd iterations on a bounded sample, and PQ wants
+      // M cheap codebooks, not one perfect one (measured: the gate's
+      // drift/recall floors hold with identical margins either way)
       new KMeans().setK(numCentroids).setMaxIter(maxIter).setSeed(seed + m)
-        .setFeaturesCol("features")
+        .setInitMode("random").setFeaturesCol("features")
         .fit(sub).clusterCenters.map(_.toArray)
-    }
+    }.toArray
     arr.unpersist()
     PqModel(books)
   }
@@ -294,17 +303,24 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    // the codebook rides as ONE typedlit array per subspace and distances
+    // compute via higher-order functions — a first cut unrolled all
+    // numCentroids × subDim squared-diff terms into the expression tree
+    // (~2k nodes at 16×32×4), and PLAN/codegen compilation of that tree,
+    // re-done per invocation because each trained model changes the
+    // literals, dominated the whole query (~10 s per bench iteration);
+    // the HOF form is a ~100-node tree that plans instantly, and encode
+    // stays one scan either way
     val codeCols = (0 until model.numSubspaces).map { m =>
       val sub = slice(v, m * model.subDim + 1, model.subDim)
-      val cands = (0 until model.numCentroids).map { j =>
-        val c = model.codebooks(m)(j)
-        val diff = (0 until model.subDim).map { d =>
-          val e = element_at(sub, d + 1) - lit(c(d))
-          e * e
-        }.reduce(_ + _)
-        struct(diff.as("d"), lit(j).as("j"))
-      }
-      array_min(array(cands: _*)).getField("j")
+      val table = typedlit(model.codebooks(m).map(_.toSeq).toSeq)
+      val dists = transform(table, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      // array_position of the min = FIRST index at the minimum —
+      // deterministic lowest-code tie-break; tinyint because 16 codes are
+      // 16 bytes, not 64 (the quantize() precedent)
+      (array_position(dists, array_min(dists)) - 1).cast("tinyint")
     }
     df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"),
       norm(v).as("norm"))
@@ -317,9 +333,8 @@ object Similarity {
     * the same codegen'd dot kernel as every exact path. */
   def pqReconstruct(codes: Column, model: PqModel): Column = {
     val parts = (0 until model.numSubspaces).map { m =>
-      val table = array(model.codebooks(m).map(c =>
-        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-      element_at(table, element_at(codes, m + 1) + 1)
+      val table = typedlit(model.codebooks(m).map(_.toSeq).toSeq)
+      element_at(table, element_at(codes, m + 1).cast("int") + 1)
     }
     flatten(array(parts: _*))
   }
@@ -340,7 +355,13 @@ object Similarity {
       .withColumn("qn", norm(col("qv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // a zero-norm corpus vector reconstructs to a NONZERO centroid, so a
+      // bare dot/(qn·cn) would give ±Infinity where every exact path gives
+      // NaN (0/0) — pin the degenerate case to NaN so the s6/s8 isnan
+      // guards see the same value on both sides
+      .withColumn("cosine",
+        when(col("cn") === 0.0 || col("qn") === 0.0, lit(Double.NaN))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     topKByCosine(scored, k)
   }
 

@@ -138,11 +138,11 @@ object ScaleProbe {
       val binFrame = spark.read.format("binaryFile").load(avroDir)
       val target = graft.sources.AvroBridge.inferSchema(spark, avroDir)
       val avro = med(time(graft.sources.AvroBridge.decode(binFrame, target)))
-      // count() on unused _shard/_pos would let ColumnPruning DELETE the
-      // window and its exchange (verified: the count plan has no Window) —
-      // aggregate over the window outputs so the shuffle actually runs
+      // the noop-sink time() materializes _shard/_pos itself — no
+      // anti-pruning aggregate needed (that count()-era workaround would
+      // now just add a foreign aggregation into the timed region)
       val shard = med(time(graft.dedup.Sampling.shuffleShards(
-        c, "doc_id", shards = 64).agg(max("_pos"), max("_shard"))))
+        c, "doc_id", shards = 64)))
       println(f"""{"k":$k,"rows":${c.count()},"avro_decode":$avro%.2f,"shuffle_shards":$shard%.2f}""")
       c.unpersist(): Unit
       graft.exec.Fs.deleteRecursively(new java.io.File(avroDir))

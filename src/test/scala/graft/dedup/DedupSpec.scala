@@ -179,6 +179,15 @@ class DedupSpec extends SparkSuite {
     // a batch against empty history keeps everything
     val empty = history.filter($"doc_id" < 0)
     assert(Dedup.incrementalNearDup(batch, empty, "doc_id", "text").count() == 3)
+    // explicit hot-shingle exclusion applies UNIFORMLY (batch, index,
+    // verification): excluding every shingle of the shared sentence makes
+    // the former near-dups invisible to each other — they all survive
+    val allShingles = Dedup.shingles(history, "doc_id", "text", n = 3)
+      .select(org.apache.spark.sql.functions.xxhash64($"shingle").as("h0")).distinct()
+    val blinded = Dedup.incrementalNearDup(batch, history, "doc_id", "text",
+      n = 3, threshold = 0.5, hotShingles = Some(allShingles))
+      .select("doc_id").as[Long].collect().toSet
+    assert(blinded == Set(100L, 101L, 102L))
   }
 
   test("duplicatedSpans: cross-doc shared windows merge into maximal spans") {

@@ -63,10 +63,16 @@ class SimilaritySpec extends SparkSuite {
     // under the per-subspace KMeans float nondeterminism (chance ~ 0.006)
     assert(hits >= (exact.count() * 0.2).toLong,
       s"PQ recall@3 too low: $hits of ${exact.count()}")
-    // encoding is deterministic given a fixed model
+    // codes are stored narrow (tinyint — the footprint the memory claim
+    // rests on) and encoding is deterministic given a fixed model
+    assert(enc.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
     val enc2 = Similarity.pqEncode(e, "vec_id", "embedding", model)
-    assert(enc.select("id", "codes").as[(Long, Seq[Int])].collect().toSet ==
-      enc2.select("id", "codes").as[(Long, Seq[Int])].collect().toSet)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("codes").cast("array<int>"))
+        .as[(Long, Seq[Int])].collect().toSet
+    assert(codeSet(enc) == codeSet(enc2))
     enc.unpersist(); pq.unpersist()
   }
 
