@@ -119,6 +119,49 @@ object Sampling {
         .withColumn("_source", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Epoch-weighted UPSAMPLING — the other half of mixture control
+    * ([[temperatureSample]] can only shrink): a domain with weight `w`
+    * contributes each of its rows `floor(w)` times (epochs `0..floor(w)-1`)
+    * plus a fractional epoch kept at rate `w - floor(w)` — e.g. weight 2.5
+    * replays the domain twice and half again, the standard
+    * quality-source-times-N recipe of pre-training mixtures. Output rows
+    * carry `_epoch`; the fractional epoch's membership is the same
+    * portable hash filter as the rest of this file, with the epoch folded
+    * into the salt (`salt + epoch + 1`) so each epoch's kept set is an
+    * independent, reproducible draw.
+    *
+    * Scale shape: a per-row `sequence` explode (fan-out ≤ ⌈w⌉, driven by
+    * config literals) + a filter — zero shuffle, and the explode factor is
+    * the mixture weight itself, so output volume is exactly the mixture's
+    * token budget. */
+  def upsampleEpochs(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Map[String, Double], default: Double = 1.0, salt: Int = 0,
+      portable: Boolean = false): DataFrame = {
+    (weights.values ++ Seq(default)).foreach(w =>
+      require(w >= 0, s"weights must be >= 0, got $w"))
+    require(!df.columns.exists(_.equalsIgnoreCase("_epoch")),
+      "input already has an _epoch column; rename it first")
+    val scale = if (portable) PortableBuckets else HashBuckets
+    val w = weights.foldLeft(lit(default): Column) { case (acc, (value, wt)) =>
+      when(col(domainCol) === value, lit(wt)).otherwise(acc)
+    }
+    val n = ceil(w).cast("int")
+    val epochs = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val withEpoch = df.withColumn("__w", w)
+      .withColumn("_epoch", explode(epochs))
+    val epochSaltStr = (lit(salt) + col("_epoch") + 1).cast("string")
+    val bucket =
+      if (portable)
+        conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"),
+          epochSaltStr).cast("binary")), 1, 8), 16, 10).cast("long")
+      else pmod(xxhash64(col(keyCol), lit(salt) + col("_epoch") + 1), lit(HashBuckets))
+    withEpoch
+      .filter(col("_epoch") < floor(col("__w")) ||
+        bucket < floor((col("__w") - floor(col("__w"))) * scale).cast("long"))
+      .drop("__w")
+  }
+
   /** Deterministic train/val/test split assignment: each row gets a
     * `_split` label from its key hash against cumulative fraction
     * thresholds — the standard leakage-safe corpus split (a key always

@@ -842,6 +842,12 @@ object Extras {
         Tables.load(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01), portable = true)
         .select("doc_id", "_split")),
+    "m8_upsample_epochs" -> ((s, dir) =>
+      graft.dedup.Sampling.upsampleEpochs(
+        Tables.load(s, dir, "documents"), "doc_id", "source",
+        weights = Map("src1" -> 2.5, "src2" -> 0.5), default = 1.0,
+        portable = true)
+        .select("doc_id", "source", "_epoch")),
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
     "q46_cdf_window" -> q46CdfWindow,
@@ -950,6 +956,22 @@ object Extras {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
         |  FROM documents)""".stripMargin,
+    // m8: epoch fan-out = ceil(weight); full epochs always kept, the
+    // fractional epoch by the per-epoch md5 draw (salt 0 + epoch + 1
+    // folded into the hashed string) — a wrong epoch count, wrong
+    // fractional rate, or non-independent draw hash-mismatches
+    "m8_upsample_epochs" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src1' THEN 2.5
+        |         WHEN source = 'src2' THEN 0.5 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, wt, CAST(i AS INT) AS _epoch
+        |      FROM base, UNNEST(range(0, CAST(ceil(wt) AS BIGINT))) AS t(i))
+        |SELECT doc_id, source, _epoch FROM e
+        |WHERE _epoch < floor(wt)
+        |   OR ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(_epoch + 1 AS VARCHAR)), 1, 8))::BIGINT
+        |      < CAST(floor((wt - floor(wt)) * 4294967296) AS BIGINT)""".stripMargin,
     // m6: α = 0.5 temperature rates rebuilt exactly — sqrt is IEEE
     // correctly-rounded in both engines, so the per-domain threshold (and
     // therefore every kept row) reproduces bit-for-bit

@@ -93,6 +93,46 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("upsampleEpochs: floor(w) full copies + fractional epoch, independent draws") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Sampling.upsampleEpochs(docs, "doc_id", "source",
+      weights = Map("src1" -> 3.0, "src2" -> 0.5), default = 1.0,
+      portable = true).persist()
+    val n = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // integer weight = exact replication; every epoch value present
+    assert(got("src1") == 3 * n("src1"))
+    assert(out.filter($"source" === "src1").select("_epoch").distinct()
+      .as[Int].collect().toSet == Set(0, 1, 2))
+    // default weight 1.0 = identity for the other sources
+    assert(got("src0") == n("src0"))
+    // fractional weight: between 0 and the full domain, epoch always 0
+    assert(got.getOrElse("src2", 0L) > 0 && got("src2") < n("src2"))
+    assert(out.filter($"source" === "src2").select("_epoch").distinct()
+      .as[Int].collect().toSet == Set(0))
+    // deterministic
+    val again = Sampling.upsampleEpochs(docs, "doc_id", "source",
+      weights = Map("src1" -> 3.0, "src2" -> 0.5), portable = true)
+      .select("doc_id", "_epoch").as[(Long, Int)].collect().toSet
+    assert(again == out.select("doc_id", "_epoch").as[(Long, Int)].collect().toSet)
+    // fractional epochs draw INDEPENDENTLY per epoch: weight 1.5's extra
+    // epoch is not the same doc subset as a plain 0.5-weight epoch-0 draw
+    // with a different epoch index — check via 2.5 (extra epoch index 2)
+    val frac25 = Sampling.upsampleEpochs(docs, "doc_id", "source",
+      weights = Map("src2" -> 2.5), portable = true)
+      .filter($"source" === "src2" && $"_epoch" === 2)
+      .select("doc_id").as[Long].collect().toSet
+    val frac05 = out.filter($"source" === "src2").select("doc_id")
+      .as[Long].collect().toSet
+    assert(frac25 != frac05, "per-epoch draws should differ (independent salts)")
+    // zero weight drops the domain outright
+    val none = Sampling.upsampleEpochs(docs, "doc_id", "source",
+      weights = Map("src3" -> 0.0), portable = true)
+    assert(none.filter($"source" === "src3").count() == 0)
+    out.unpersist()
+  }
+
   test("splitAssign: exact partition, stable across growth, ordered thresholds") {
     val docs = Tables.load(spark, sf0001, "documents")
     val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
