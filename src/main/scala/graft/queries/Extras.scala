@@ -753,6 +753,23 @@ object Extras {
     store.read("c8_t").select("doc_id", "text")
   }
 
+  /** Compaction/clustering through the gate: a 64-way-fragmented table is
+    * OPTIMIZE'd (z-order on two columns) and must read back with EXACTLY
+    * the raw table's content — the invariant that makes maintenance safe
+    * to run is that it moves bytes, never changes them. File-count
+    * reduction and clustering quality are MaintainSpec's job; this gate
+    * pins content invariance under the DuckDB hash. */
+  def c9Compaction(s: SparkSession, dir: String): DataFrame = {
+    val wh = gateDir("graft-c9")
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    store.overwrite("c9_t", Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartition(64))
+    store.compact("c9_t", targetBytesPerFile = 128L * 1024 * 1024,
+      sortBy = Seq("o_custkey", "o_orderkey"), strategy = "zorder")
+    store.read("c9_t")
+  }
+
   /** Declared-incremental join MV through the gate — the acmi gold-layer
     * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
     * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
@@ -823,6 +840,7 @@ object Extras {
     "c6_temp_table" -> c6TempTable,
     "c7_files_sink" -> c7FilesSink,
     "c8_curation_pipeline" -> c8CurationPipeline,
+    "c9_compaction" -> c9Compaction,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -956,6 +974,12 @@ object Extras {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
         |  FROM documents)""".stripMargin,
+    // c9: content invariance under compaction — the oracle is simply the
+    // raw projection; any row lost, duplicated, or mutated by the rewrite
+    // hash-mismatches
+    "c9_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders""".stripMargin,
     // m8: epoch fan-out = ceil(weight); full epochs always kept, the
     // fractional epoch by the per-epoch md5 draw (salt 0 + epoch + 1
     // folded into the hashed string) — a wrong epoch count, wrong

@@ -312,6 +312,14 @@ object LlmData {
       groupCol = "source", budgetTokens = 2048L)
       .select("doc_id", "source", "n_tok", "shard")
 
+  /** Packed-sequence materialization: t8's shard assignments turned into
+    * actual training sequences (id-ordered member docs joined with an
+    * <eos> separator). */
+  def t10PackConcat(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packConcat(docs(s, dir), "doc_id", "text",
+      groupCol = "source", budgetTokens = 2048L)
+      .select("source", "shard", "packed_text", "n_docs", "sum_tok")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t6_repetition" -> t6Repetition,
     "t7_chunks" -> t7Chunks,
@@ -331,6 +339,7 @@ object LlmData {
     "s7_filtered_topk" -> s7FilteredTopK,
     "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
+    "t10_pack_concat" -> t10PackConcat,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -692,6 +701,22 @@ object LlmData {
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\d{7,}', '<NUM>', 'g') AS redacted
         |FROM documents""".stripMargin,
+    // t10 re-derives t8's shard formula, then rebuilds each packed
+    // sequence with an ORDER BY doc_id string_agg — a member out of
+    // order, in the wrong shard, or a malformed separator hash-mismatches
+    "t10_pack_concat" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok,
+        |    CAST(floor(
+        |      (CAST(SUM(ceil(length(text) / 4.0))
+        |              OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+        |       - ceil(length(text) / 4.0)) / 2048.0) AS BIGINT) AS shard
+        |  FROM documents)
+        |SELECT source, shard,
+        |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text,
+        |  count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM p GROUP BY source, shard""".stripMargin,
     // contiguous-fill packing: shard = floor(tokens_before / 2048); the
     // window SUM is cast before the division (DuckDB integer SUM widens to
     // HUGEINT) and tokens_before = running sum minus the row's own count

@@ -199,4 +199,27 @@ object TextAnalysis {
         floor((sum(col("n_tok")).over(w) - col("n_tok"))
           / lit(budgetTokens.toDouble)).cast("long"))
   }
+
+  /** The MATERIALIZATION half of [[packing]]: each (group, shard) becomes
+    * one training sequence — member docs concatenated in id order with a
+    * separator token between them (the writer-side step that turns shard
+    * assignments into actual model inputs). Returns one row per shard:
+    * `(groupCol, shard, packed_text, n_docs, sum_tok)`.
+    *
+    * Determinism without a sort exchange: members collect per shard
+    * (hash-partitioned groupBy — shards are budget-bounded, so a
+    * collected shard is small by construction) and order INSIDE the row
+    * via `array_sort` on (id, text) structs before joining — the same
+    * one-exchange shape as packing itself, no global orderBy. */
+  def packConcat(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Long,
+      separator: String = " <eos> "): DataFrame =
+    packing(df, idCol, textCol, groupCol, budgetTokens)
+      .groupBy(col(groupCol), col("shard"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+          s => s.getField("t")), separator).as("packed_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"))
 }

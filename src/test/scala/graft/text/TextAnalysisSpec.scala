@@ -32,6 +32,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r == ((2L, 3L))) // 9 chars / 4 → ceil = 3
   }
 
+  test("packConcat materializes shards in id order with separators") {
+    import spark.implicits._
+    // budget 10 tokens; texts of 16 chars = 4 tokens each → docs 1-2 in
+    // shard 0 (0 and 4 tokens before), doc 3 starts at 8 < 10 → shard 0,
+    // doc 4 at 12 → shard 1
+    val t = "x" * 16
+    val d = Seq((1L, t, "g"), (2L, t, "g"), (3L, t, "g"), (4L, t, "g"),
+      (10L, t, "h")).toDF("doc_id", "text", "grp")
+    val out = TextAnalysis.packConcat(d, "doc_id", "text", "grp", budgetTokens = 10L)
+      .as[(String, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out(("g", 0L)) == (s"$t <eos> $t <eos> $t", 3L, 12L))
+    assert(out(("g", 1L)) == (t, 1L, 4L))
+    assert(out(("h", 0L)) == (t, 1L, 4L))
+    // member order inside a pack is id order even when input order isn't
+    val shuffled = Seq((2L, "bb", "g"), (1L, "aa", "g")).toDF("doc_id", "text", "grp")
+    val packed = TextAnalysis.packConcat(shuffled, "doc_id", "text", "grp", 100L)
+      .select("packed_text").as[String].collect().head
+    assert(packed == "aa <eos> bb")
+  }
+
   test("wordRarity: corpus unigram counts score docs with exact integers") {
     import spark.implicits._
     // corpus counts: the=3, cat=2, sat=1, dog=1, ran=1
