@@ -19,8 +19,14 @@ object Sampling {
     * sample must be re-derivable outside this engine (audits, oracles,
     * cross-system curation). xxhash64 stays the cheap default. */
   def md5Bucket(keyCol: String, salt: Int): Column =
-    conv(substring(md5(concat(col(keyCol).cast("string"), lit(s":$salt"))
-      .cast("binary")), 1, 8), 16, 10).cast("long")
+    md5Bucket(keyCol, lit(salt.toString))
+
+  /** Column-salt overload (epoch-dependent draws etc.) — the ONE copy of
+    * the documented portable recipe; both arities must stay in sync with
+    * the DuckDB spelling above by construction. */
+  def md5Bucket(keyCol: String, salt: Column): Column =
+    conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"),
+      salt.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
 
   private val PortableBuckets = 4294967296L // 2^32
   private val HashBuckets = 1000000L
@@ -139,8 +145,9 @@ object Sampling {
       portable: Boolean = false): DataFrame = {
     (weights.values ++ Seq(default)).foreach(w =>
       require(w >= 0, s"weights must be >= 0, got $w"))
-    require(!df.columns.exists(_.equalsIgnoreCase("_epoch")),
-      "input already has an _epoch column; rename it first")
+    Seq("_epoch", "__w").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a $c column; rename it first"))
     val scale = if (portable) PortableBuckets else HashBuckets
     val w = weights.foldLeft(lit(default): Column) { case (acc, (value, wt)) =>
       when(col(domainCol) === value, lit(wt)).otherwise(acc)
@@ -150,12 +157,10 @@ object Sampling {
       .otherwise(array().cast("array<int>"))
     val withEpoch = df.withColumn("__w", w)
       .withColumn("_epoch", explode(epochs))
-    val epochSaltStr = (lit(salt) + col("_epoch") + 1).cast("string")
+    val epochSalt = lit(salt) + col("_epoch") + 1
     val bucket =
-      if (portable)
-        conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"),
-          epochSaltStr).cast("binary")), 1, 8), 16, 10).cast("long")
-      else pmod(xxhash64(col(keyCol), lit(salt) + col("_epoch") + 1), lit(HashBuckets))
+      if (portable) md5Bucket(keyCol, epochSalt)
+      else pmod(xxhash64(col(keyCol), epochSalt), lit(HashBuckets))
     withEpoch
       .filter(col("_epoch") < floor(col("__w")) ||
         bucket < floor((col("__w") - floor(col("__w"))) * scale).cast("long"))

@@ -130,6 +130,22 @@ class SamplingSpec extends SparkSuite {
     val none = Sampling.upsampleEpochs(docs, "doc_id", "source",
       weights = Map("src3" -> 0.0), portable = true)
     assert(none.filter($"source" === "src3").count() == 0)
+    // the non-portable (xxhash64) arm: same structural properties —
+    // exact replication at integer weights, partial fractional epoch,
+    // deterministic across calls
+    val fast = Sampling.upsampleEpochs(docs, "doc_id", "source",
+      weights = Map("src1" -> 2.0, "src2" -> 0.5))
+    assert(fast.filter($"source" === "src1").count() == 2 * n("src1"))
+    val fastFrac = fast.filter($"source" === "src2").count()
+    assert(fastFrac > 0 && fastFrac < n("src2"))
+    assert(fast.select("doc_id", "_epoch").as[(Long, Int)].collect().toSet ==
+      Sampling.upsampleEpochs(docs, "doc_id", "source",
+        weights = Map("src1" -> 2.0, "src2" -> 0.5))
+        .select("doc_id", "_epoch").as[(Long, Int)].collect().toSet)
+    // injected-column guards
+    intercept[IllegalArgumentException] {
+      Sampling.upsampleEpochs(fast, "doc_id", "source", weights = Map())
+    }
     out.unpersist()
   }
 
