@@ -64,4 +64,45 @@ object RangeJoin {
       .filter(col(pointTime).between(col(start), col(end)))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join — pair every left interval with every
+    * right interval it overlaps (`lStart <= rEnd AND rStart <= lEnd`,
+    * closed bounds), plus optional equi-keys. Same bucketed shape as the
+    * point join, with one extra idea: both sides explode over their covered
+    * buckets, so an overlapping pair would meet once per SHARED bucket —
+    * instead of a distinct pass (a second shuffle over the join output),
+    * each pair is kept only at its CANONICAL bucket, the bucket of
+    * `max(lStart, rStart)`. That bucket is covered by both sides whenever
+    * the intervals overlap (max start ≤ min end), so every qualifying pair
+    * meets exactly once and no dedup runs. Cost: one shuffle on
+    * (keys, bucket); each interval duplicated ceil(len/width)+1 times.
+    * Degenerate (reversed/null) intervals yield nothing, like BETWEEN. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Double, on: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val overlap = right.columns.filterNot(on.contains)
+      .filter(c => left.columns.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"right column(s) ${overlap.mkString(", ")} collide with left columns; rename first")
+    Seq("__bucket", "__sb_l", "__sb_r").foreach(rc =>
+      require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase(rc)),
+        s"column name '$rc' is reserved by the interval join; rename it first"))
+    def bucketOf(df: DataFrame, name: String): Column =
+      floor(TimeCols.tzNorm(df, name).cast("double") / bucketWidth)
+    val l = left
+      .filter(col(lStart).isNotNull && col(lEnd).isNotNull && col(lStart) <= col(lEnd))
+      .withColumn("__sb_l", bucketOf(left, lStart))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(left, lStart), bucketOf(left, lEnd))))
+    val r = right
+      .filter(col(rStart).isNotNull && col(rEnd).isNotNull && col(rStart) <= col(rEnd))
+      .withColumn("__sb_r", bucketOf(right, rStart))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(right, rStart), bucketOf(right, rEnd))))
+    l.join(r, on :+ "__bucket")
+      .filter(col("__bucket") === greatest(col("__sb_l"), col("__sb_r")))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__bucket", "__sb_l", "__sb_r")
+  }
 }

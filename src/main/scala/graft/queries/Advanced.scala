@@ -48,6 +48,25 @@ object Advanced {
       .select("event_id", "user_id", "ts", "err_event_id")
   }
 
+  /** Interval-overlap join: click activity windows [ts, ts+1h] against
+    * error windows [ts, ts+6h] per user — pairs whose windows intersect.
+    * One bucketed shuffle, canonical-bucket dedup-free matching; no
+    * nested-loop join (plan-guarded). */
+  def j3IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts").as("c_start"),
+        (col("ts") + expr("INTERVAL 1 HOURS")).as("c_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_event_id"),
+        col("ts").as("err_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("err_end"))
+    RangeJoin.intervalOverlap(clicks, errors,
+      lStart = "c_start", lEnd = "c_end", rStart = "err_start", rEnd = "err_end",
+      bucketWidth = 21600.0, on = Seq("user_id"))
+      .select("event_id", "user_id", "err_event_id")
+  }
+
   private val priorities = Seq(
     "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
     "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
@@ -188,8 +207,43 @@ object Advanced {
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): every supplier walks the
+    * implicit binary tree `parent(n) = n div 2` up to the root — depth =
+    * ⌊log₂ n⌋, but computed by actual recursive iteration, so a broken
+    * recursion (no fixpoint, lost rows, wrong anchor) mismatches. The
+    * oracle runs the same recursion in DuckDB dialect (`//` vs `DIV`). */
+  def q56RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "supplier").createOrReplaceTempView("q56_supplier")
+    s.sql(
+      """WITH RECURSIVE up(start, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM q56_supplier
+        |  UNION ALL
+        |  SELECT start, cur DIV 2, depth + 1 FROM up WHERE cur > 1
+        |)
+        |SELECT start AS s_suppkey, CAST(max(depth) AS INT) AS depth
+        |FROM up GROUP BY start""".stripMargin)
+  }
+
+  /** Correlated LATERAL join with per-row ORDER BY + LIMIT — the top-N-per-
+    * group shape expressed through the LATERAL surface rather than a window
+    * (q23 covers the window form). Ties broken by custkey for determinism;
+    * DuckDB runs the identical SQL. */
+  def q57LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "nation").createOrReplaceTempView("q57_nation")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("q57_customer")
+    s.sql(
+      """SELECT n.n_nationkey, n.n_name, l.c_custkey, l.c_acctbal
+        |FROM q57_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM q57_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) l""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_recursive_cte" -> q56RecursiveCte,
+    "q57_lateral_topn" -> q57LateralTopN,
     "j1_asof_join" -> j1AsOf,
+    "j3_interval_overlap" -> j3IntervalOverlap,
     "j2_range_join" -> j2Range,
     "q34_pivot" -> q34Pivot,
     "q35_unpivot" -> q35Unpivot,
@@ -205,6 +259,20 @@ object Advanced {
     "q45_correlated" -> q45Correlated)
 
   val oracle: Map[String, String] = Map(
+    "q56_recursive_cte" ->
+      """WITH RECURSIVE up(start, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT start, cur // 2, depth + 1 FROM up WHERE cur > 1
+        |)
+        |SELECT start AS s_suppkey, CAST(max(depth) AS INT) AS depth
+        |FROM up GROUP BY start""".stripMargin,
+    "q57_lateral_topn" ->
+      """SELECT n.n_nationkey, n.n_name, l.c_custkey, l.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) l""".stripMargin,
     "j1_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |       e.event_id AS err_event_id, e.ts AS err_ts
@@ -217,6 +285,14 @@ object Advanced {
         |  ON c.user_id = e.user_id
         | AND c.event_type = 'click' AND e.event_type = 'error'
         | AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 6 HOUR""".stripMargin,
+    // j3: windows [c, c+1h] × [e, e+6h] intersect iff c <= e+6h and e <= c+1h
+    "j3_interval_overlap" ->
+      """SELECT c.event_id, c.user_id, e.event_id AS err_event_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND c.ts <= e.ts + INTERVAL 6 HOUR
+        | AND e.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     "q34_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

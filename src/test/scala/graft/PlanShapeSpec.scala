@@ -88,6 +88,12 @@ class PlanShapeSpec extends SparkSuite {
       "range join degenerated to a nested loop:\n" + plan)
   }
 
+  test("interval overlap join is an equi-join on (key, bucket) — no nested loop") {
+    val plan = physical(queries.Advanced.queries("j3_interval_overlap")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval join degenerated to a nested loop:\n" + plan)
+  }
+
   test("hash sampling is a pure scan filter — no exchange at all") {
     val d = Tables.load(spark, sf0001, "documents")
     val plan = physical(graft.dedup.Sampling.byHash(d, "doc_id", 0.1))
