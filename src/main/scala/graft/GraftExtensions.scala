@@ -7,7 +7,9 @@ import org.apache.spark.sql.graftnative.DotProduct
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into the SQL function registry, so YAML SQL transforms can call
-  * them directly (`SELECT graft_dot(a, b)`). Activate with
+  * them directly (`SELECT graft_dot(a, b)`), and the range-join optimizer
+  * rewrite ([[graft.plan.RangeJoinRewrite]] — opt-in via
+  * `spark.graft.rangeJoin.bucketWidth`). Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   */
@@ -20,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectOptimizerRule(session =>
+      graft.plan.RangeJoinRewrite(session.sessionState.conf))
   }
 }

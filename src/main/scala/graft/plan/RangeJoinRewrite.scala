@@ -1,0 +1,110 @@
+package graft.plan
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** Catalyst optimizer rule: rewrite an inequality-only INNER join that
+  * bounds one side's column between two columns of the other side — the
+  * shape Spark can only plan as a BroadcastNestedLoopJoin / cartesian
+  * product — into the bucketed equi-join [[graft.operators.RangeJoin]]
+  * builds by hand (the logical rewrite behind Databricks' range-join
+  * optimization, here as an open `Rule[LogicalPlan]`):
+  *
+  * {{{ point JOIN interval ON p >= s AND p <= e }}}
+  * becomes
+  * {{{
+  *   Project(original output)
+  *     Filter(p >= s AND p <= e)                      // exact residual
+  *       Join(..., __graft_bucket = __graft_bucket)   // hash-partitionable
+  *         Project(point.*,  floor(p/w) AS __graft_bucket)
+  *         Generate(explode(sequence(floor(s/w), floor(e/w))), interval.*)
+  * }}}
+  *
+  * The point row lives in exactly ONE bucket, so each qualifying pair meets
+  * exactly once — no dedup. A reversed interval (s > e) yields a descending
+  * candidate sequence whose extra rows the residual filter removes, and
+  * null bounds yield a null sequence (no rows) — both matching the original
+  * join's semantics exactly.
+  *
+  * OPT-IN: active only when `spark.graft.rangeJoin.bucketWidth` is set to a
+  * positive double (units of the point column's double cast — epoch seconds
+  * for timestamps). Scoped deliberately narrowly: INNER joins whose
+  * condition contains NO equi-predicate (with one, Spark already plans a
+  * hash join and this rewrite would only add work) and whose range columns
+  * are numeric or UTC-epoch-castable timestamps.
+  */
+case class RangeJoinRewrite(sqlConf: org.apache.spark.sql.internal.SQLConf)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BucketCol = "__graft_bucket"
+  val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+
+  private def width: Option[Double] =
+    sqlConf.getConfString(WidthKey, "").toDoubleOption.filter(_ > 0)
+
+  private def rangeCastable(e: Expression): Boolean = e.dataType match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case TimestampType => true
+    case _ => false
+  }
+
+  /** `a <= b` as the canonical orientation of either comparison. */
+  private def asLe(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(a, b) => Some((a, b))
+    case GreaterThanOrEqual(a, b) => Some((b, a))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = width match {
+    case None => plan
+    case Some(w) => plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && cond.collectFirst {
+            case a: Attribute if a.name == BucketCol => a }.isEmpty =>
+        val parts = splitConjunctivePredicates(cond)
+        val hasEqui = parts.exists {
+          case EqualTo(a, b) =>
+            (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          case _ => false
+        }
+        // candidate range pair: lower `s <= p` and upper `p <= e` on the
+        // same single-side expression p, with s and e both from the other
+        val les = parts.flatMap(asLe)
+        def sideOf(e: Expression): Option[Boolean] = // true = left
+          if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some(true)
+          else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some(false)
+          else None
+        val rewrite = if (hasEqui) None else (for {
+          (s, p1) <- les
+          (p2, e) <- les
+          if p1.semanticEquals(p2)
+          pSide <- sideOf(p1); sSide <- sideOf(s); eSide <- sideOf(e)
+          if sSide == eSide && sSide != pSide
+          if rangeCastable(p1) && rangeCastable(s) && rangeCastable(e)
+        } yield (p1, s, e, pSide)).headOption
+        rewrite match {
+          case None => j
+          case Some((p, s, e, pointIsLeft)) =>
+            val tz = Some(sqlConf.sessionLocalTimeZone)
+            def bucketOf(x: Expression): Expression =
+              Floor(Divide(Cast(x, DoubleType, tz), Literal(w)))
+            val (pointPlan, intervalPlan) = if (pointIsLeft) (left, right) else (right, left)
+            val pBucket = Alias(bucketOf(p), BucketCol)()
+            val pointProj = Project(pointPlan.output :+ pBucket, pointPlan)
+            val seq = new Sequence(bucketOf(s), bucketOf(e), None, tz)
+            val genOut = AttributeReference(BucketCol, LongType, nullable = true)()
+            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(genOut), child = intervalPlan)
+            val joined = Join(pointProj, gen, Inner,
+              Some(EqualTo(pBucket.toAttribute, genOut)), hint)
+            // residual: the ORIGINAL condition, exact to the type's precision
+            Project(j.output, Filter(cond, joined))
+        }
+    }
+  }
+}

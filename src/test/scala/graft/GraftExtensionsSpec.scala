@@ -25,6 +25,22 @@ class GraftExtensionsSpec extends SparkSuite {
       .as[Double].head() == 15.0)
   }
 
+  test("extension injects the range-join optimizer rule") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the builder buffer is private — reflect the field and run the
+    // builders against the shared session
+    val f = classOf[SparkSessionExtensions].getDeclaredFields
+      .find(_.getName.contains("optimizerRules")).get
+    f.setAccessible(true)
+    val builders = f.get(ext)
+      .asInstanceOf[scala.collection.mutable.Buffer[
+        org.apache.spark.sql.SparkSession => AnyRef]]
+    val rules = builders.map(_.apply(spark))
+    assert(rules.exists(_.isInstanceOf[graft.plan.RangeJoinRewrite]),
+      s"RangeJoinRewrite not injected; got: ${rules.map(_.getClass.getSimpleName)}")
+  }
+
   test("TableStore sandbox name mapping prefixes physical paths") {
     val wh = Files.createTempDirectory("sandbox-wh").toString
     val store = new TableStore(spark, wh, nameMap = t => s"dev_$t")

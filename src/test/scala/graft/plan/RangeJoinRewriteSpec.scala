@@ -1,0 +1,70 @@
+package graft.plan
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The opt-in range-join optimizer rewrite: an inequality-only join that
+  * Spark plans as BroadcastNestedLoopJoin becomes a bucketed equi-join with
+  * an exact residual filter — identical results, hash-partitionable plan.
+  * Injected here through `spark.experimental.extraOptimizations` (the same
+  * Rule[LogicalPlan] GraftExtensions wires via injectOptimizerRule). */
+class RangeJoinRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("inequality join rewrites to a bucketed equi-join with identical results") {
+    val r = RangeJoinRewrite(spark.sessionState.conf)
+    val points = (0 until 300).map(i => (i.toLong, (i * 7 % 997).toDouble))
+      .toDF("pid", "t")
+    val intervals = (0 until 100).map { i =>
+      val s = (i * 13 % 900).toDouble
+      (i.toLong, s, s + (i % 50))
+    }.toDF("iid", "s", "e")
+    val joined = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+    val expected = joined.select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(expected.nonEmpty)
+    // without the conf the rule is dormant — nested loop stays
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ r
+    try {
+      spark.conf.unset(r.WidthKey)
+      val dormant = joined.queryExecution.executedPlan.toString
+      assert(dormant.contains("BroadcastNestedLoopJoin") ||
+        dormant.contains("CartesianProduct"), dormant)
+      // with the conf: no nested loop, and a duplicate-sensitive result match
+      spark.conf.set(r.WidthKey, "25.0")
+      val joined2 = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+      val plan = joined2.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "rewrite did not engage:\n" + plan)
+      assert(plan.contains("Generate"), plan)
+      val got = joined2.select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == expected)
+      // reversed intervals and null bounds behave exactly like the original
+      val weird = Seq((1L, Some(10.0), Some(5.0)), (2L, None, Some(50.0)))
+        .toDF("iid", "s", "e")
+      val wGot = points.join(weird, $"t" >= $"s" && $"t" <= $"e").count()
+      assert(wGot == 0)
+      // a join that ALREADY has an equi key is left alone (hash join today)
+      val keyedL = Seq((1L, 1L, 5.0)).toDF("pid", "k", "t")
+      val keyedR = Seq((1L, 1L, 0.0, 10.0)).toDF("iid", "k2", "s", "e")
+      val keyed = keyedL.join(keyedR,
+        $"k" === $"k2" && $"t" >= $"s" && $"t" <= $"e")
+      assert(keyed.count() == 1)
+      assert(!keyed.queryExecution.executedPlan.toString.contains("Generate"))
+      // timestamps bucket via their epoch-second double cast
+      val tp = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("pid", "ts")
+      val ti = Seq((9L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))).toDF("iid", "ts_s", "ts_e")
+      val tj = tp.join(ti, $"ts" >= $"ts_s" && $"ts" <= $"ts_e")
+      assert(tj.count() == 1)
+      assert(!tj.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.conf.unset(r.WidthKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq r)
+    }
+  }
+}
