@@ -22,7 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProduct(children.head, children(1))
       }))
-    ext.injectOptimizerRule(session =>
-      graft.plan.RangeJoinRewrite(session.sessionState.conf))
+    ext.injectOptimizerRule(_ => graft.plan.RangeJoinRewrite())
   }
 }

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * identity for numerics) — `bucketWidth` is in those units — but the
   * BETWEEN itself compares the columns NATIVELY, so timestamp boundaries
   * stay exact to the microsecond. Bounds are inclusive on both ends (SQL
-  * BETWEEN). Null times/keys never match.
+  * BETWEEN). Null times/keys never match, and for float/double columns
+  * NaN times/bounds never match either (defined semantics here — a bare
+  * BETWEEN would treat NaN as greater than everything via Spark's total
+  * order, which is an ordering artifact, not a meaningful time).
   */
 object RangeJoin {
 
@@ -47,23 +50,38 @@ object RangeJoin {
     require(!(points.columns ++ intervals.columns).exists(_.equalsIgnoreCase("__bucket")),
       "column name '__bucket' is reserved by the range join; rename it first")
 
-    // TimeCols.tzNorm: NTZ time columns can't cast to double directly; the
-    // bucket math runs on the TimestampType view while the BETWEEN below
-    // still compares the user's columns natively
-    def bucketOf(df: DataFrame, name: String): Column =
-      floor(TimeCols.tzNorm(df, name).cast("double") / bucketWidth)
-    val p = points.withColumn("__bucket", bucketOf(points, pointTime))
+    val p = points.filter(notNan(points, pointTime))
+      .withColumn("__bucket", bucketOf(points, pointTime, bucketWidth))
     // sequence() is bounded by ceil(len/width)+1 elements per interval; a
     // degenerate reversed interval (end < start) yields no buckets, matching
     // BETWEEN's empty semantics
     val i = intervals
-      .filter(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end))
+      .filter(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end)
+        && notNan(intervals, start) && notNan(intervals, end))
       .withColumn("__bucket",
-        explode(sequence(bucketOf(intervals, start), bucketOf(intervals, end))))
+        explode(sequence(bucketOf(intervals, start, bucketWidth),
+          bucketOf(intervals, end, bucketWidth))))
     p.join(i, on :+ "__bucket")
       .filter(col(pointTime).between(col(start), col(end)))
       .drop("__bucket")
   }
+
+  // TimeCols.tzNorm: NTZ time columns can't cast to double directly; the
+  // bucket math runs on the TimestampType view while the exact compares
+  // below still use the user's columns natively
+  private def bucketOf(df: DataFrame, name: String, width: Double): Column =
+    floor(TimeCols.tzNorm(df, name).cast("double") / width)
+
+  /** NaN-as-no-match guard (float/double columns only — isnan is undefined
+    * elsewhere): a NaN time/bound has no enumerable bucket, and matching it
+    * "as +infinity" would be Spark's total-order artifact, not semantics. */
+  private def notNan(df: DataFrame, name: String): Column =
+    // case-insensitive field lookup, like every other consumer here
+    df.schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DoubleType |
+                org.apache.spark.sql.types.FloatType) => !isnan(col(name))
+      case _ => lit(true)
+    }
 
   /** Interval × interval OVERLAP join — pair every left interval with every
     * right interval it overlaps (`lStart <= rEnd AND rStart <= lEnd`,
@@ -88,18 +106,20 @@ object RangeJoin {
     Seq("__bucket", "__sb_l", "__sb_r").foreach(rc =>
       require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase(rc)),
         s"column name '$rc' is reserved by the interval join; rename it first"))
-    def bucketOf(df: DataFrame, name: String): Column =
-      floor(TimeCols.tzNorm(df, name).cast("double") / bucketWidth)
     val l = left
-      .filter(col(lStart).isNotNull && col(lEnd).isNotNull && col(lStart) <= col(lEnd))
-      .withColumn("__sb_l", bucketOf(left, lStart))
+      .filter(col(lStart).isNotNull && col(lEnd).isNotNull && col(lStart) <= col(lEnd)
+        && notNan(left, lStart) && notNan(left, lEnd))
+      .withColumn("__sb_l", bucketOf(left, lStart, bucketWidth))
       .withColumn("__bucket",
-        explode(sequence(bucketOf(left, lStart), bucketOf(left, lEnd))))
+        explode(sequence(bucketOf(left, lStart, bucketWidth),
+          bucketOf(left, lEnd, bucketWidth))))
     val r = right
-      .filter(col(rStart).isNotNull && col(rEnd).isNotNull && col(rStart) <= col(rEnd))
-      .withColumn("__sb_r", bucketOf(right, rStart))
+      .filter(col(rStart).isNotNull && col(rEnd).isNotNull && col(rStart) <= col(rEnd)
+        && notNan(right, rStart) && notNan(right, rEnd))
+      .withColumn("__sb_r", bucketOf(right, rStart, bucketWidth))
       .withColumn("__bucket",
-        explode(sequence(bucketOf(right, rStart), bucketOf(right, rEnd))))
+        explode(sequence(bucketOf(right, rStart, bucketWidth),
+          bucketOf(right, rEnd, bucketWidth))))
     l.join(r, on :+ "__bucket")
       .filter(col("__bucket") === greatest(col("__sb_l"), col("__sb_r")))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))

@@ -34,18 +34,33 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * for timestamps). Scoped deliberately narrowly: INNER joins whose
   * condition contains NO equi-predicate (with one, Spark already plans a
   * hash join and this rewrite would only add work) and whose range columns
-  * are numeric or UTC-epoch-castable timestamps.
+  * are integral/decimal numerics or timestamps. Float/double range columns
+  * are deliberately EXCLUDED: Spark orders NaN above every value, so
+  * `p <= NaN` is true in the original join, and a NaN bound's bucket
+  * range cannot be enumerated — rewriting would silently drop those
+  * pairs. Cast to a non-NaN domain (decimal, long, timestamp) to opt in.
+  *
+  * The conf is session-scoped, so it applies to EVERY qualifying join
+  * while set — set it around the intended query (`spark.conf.set` /
+  * `unset`). An interval spanning more than Spark's max array length in
+  * buckets fails LOUDLY at runtime (Sequence's length check) rather than
+  * silently truncating; size the width to the data it is enabled for.
   */
-case class RangeJoinRewrite(sqlConf: org.apache.spark.sql.internal.SQLConf)
-    extends Rule[LogicalPlan] with PredicateHelper {
+case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketCol = "__graft_bucket"
   val WidthKey = "spark.graft.rangeJoin.bucketWidth"
 
+  // `conf` (SQLConfHelper) resolves the ACTIVE thread-local SQLConf per
+  // query — a constructor-captured session conf would miss thread-local
+  // overrides and leave the rule dormant despite the key being set
   private def width: Option[Double] =
-    sqlConf.getConfString(WidthKey, "").toDoubleOption.filter(_ > 0)
+    conf.getConfString(WidthKey, "").toDoubleOption.filter(_ > 0)
 
   private def rangeCastable(e: Expression): Boolean = e.dataType match {
+    // NO float/double: NaN sorts above everything in the original join's
+    // comparison but has no enumerable bucket — see the class doc
+    case org.apache.spark.sql.types.FloatType | DoubleType => false
     case _: org.apache.spark.sql.types.NumericType => true
     case TimestampType => true
     case _ => false
@@ -89,7 +104,7 @@ case class RangeJoinRewrite(sqlConf: org.apache.spark.sql.internal.SQLConf)
         rewrite match {
           case None => j
           case Some((p, s, e, pointIsLeft)) =>
-            val tz = Some(sqlConf.sessionLocalTimeZone)
+            val tz = Some(conf.sessionLocalTimeZone)
             def bucketOf(x: Expression): Expression =
               Floor(Divide(Cast(x, DoubleType, tz), Literal(w)))
             val (pointPlan, intervalPlan) = if (pointIsLeft) (left, right) else (right, left)
@@ -100,8 +115,12 @@ case class RangeJoinRewrite(sqlConf: org.apache.spark.sql.internal.SQLConf)
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
               generatorOutput = Seq(genOut), child = intervalPlan)
+            // a side-specific hint must follow its relation across the swap
+            val hint2 = if (pointIsLeft) hint
+              else org.apache.spark.sql.catalyst.plans.logical.JoinHint(
+                hint.rightHint, hint.leftHint)
             val joined = Join(pointProj, gen, Inner,
-              Some(EqualTo(pBucket.toAttribute, genOut)), hint)
+              Some(EqualTo(pBucket.toAttribute, genOut)), hint2)
             // residual: the ORIGINAL condition, exact to the type's precision
             Project(j.output, Filter(cond, joined))
         }

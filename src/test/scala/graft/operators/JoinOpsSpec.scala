@@ -167,6 +167,24 @@ class JoinOpsSpec extends SparkSuite {
       .count() == 1)
   }
 
+  test("NaN times and bounds never match (defined no-match semantics, both join forms)") {
+    val nan = Double.NaN
+    val pts = Seq((1L, 5.0), (2L, nan)).toDF("pid", "t")
+    val ivs = Seq((10L, 0.0, 10.0), (11L, 3.0, nan)).toDF("iid", "s", "e")
+    // point join: only the clean (point, interval) pair survives — a bare
+    // BETWEEN would ALSO match (5.0, [3, NaN]) and (NaN, [3, NaN]) through
+    // Spark's NaN-sorts-greatest total order
+    val got = RangeJoin(pts, ivs, "t", "s", "e", bucketWidth = 5.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+    // interval join: NaN-bounded intervals contribute nothing either
+    val l = Seq((1L, 0.0, 10.0), (2L, 5.0, nan)).toDF("lid", "ls", "le")
+    val r = Seq((20L, 8.0, 12.0)).toDF("rid", "rs", "re")
+    val ov = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 5.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(ov == Set((1L, 20L)))
+  }
+
   test("range join rejects colliding non-key columns") {
     val iv = Seq((1L, 1L, 2L)).toDF("t", "start", "end") // `t` collides
     val e = intercept[IllegalArgumentException] {

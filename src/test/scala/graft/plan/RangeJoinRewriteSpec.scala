@@ -13,11 +13,14 @@ class RangeJoinRewriteSpec extends SparkSuite {
   import spark.implicits._
 
   test("inequality join rewrites to a bucketed equi-join with identical results") {
-    val r = RangeJoinRewrite(spark.sessionState.conf)
-    val points = (0 until 300).map(i => (i.toLong, (i * 7 % 997).toDouble))
+    val r = RangeJoinRewrite()
+    // long-typed ranges: the rule's supported domain (float/double are
+    // deliberately excluded — NaN sorts above everything in the original
+    // join but has no enumerable bucket)
+    val points = (0 until 300).map(i => (i.toLong, (i * 7 % 997).toLong))
       .toDF("pid", "t")
     val intervals = (0 until 100).map { i =>
-      val s = (i * 13 % 900).toDouble
+      val s = (i * 13 % 900).toLong
       (i.toLong, s, s + (i % 50))
     }.toDF("iid", "s", "e")
     val joined = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
@@ -42,13 +45,19 @@ class RangeJoinRewriteSpec extends SparkSuite {
       val got = joined2.select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
       assert(got == expected)
       // reversed intervals and null bounds behave exactly like the original
-      val weird = Seq((1L, Some(10.0), Some(5.0)), (2L, None, Some(50.0)))
+      val weird = Seq((1L, Some(10L), Some(5L)), (2L, None, Some(50L)))
         .toDF("iid", "s", "e")
       val wGot = points.join(weird, $"t" >= $"s" && $"t" <= $"e").count()
       assert(wGot == 0)
+      // double-typed ranges stay on the nested-loop plan (NaN exclusion)
+      val dp = Seq((1L, 5.0)).toDF("pid", "t")
+      val di = Seq((9L, 0.0, 10.0)).toDF("iid", "s", "e")
+      val dj = dp.join(di, $"t" >= $"s" && $"t" <= $"e")
+      assert(!dj.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(dj.count() == 1)
       // a join that ALREADY has an equi key is left alone (hash join today)
-      val keyedL = Seq((1L, 1L, 5.0)).toDF("pid", "k", "t")
-      val keyedR = Seq((1L, 1L, 0.0, 10.0)).toDF("iid", "k2", "s", "e")
+      val keyedL = Seq((1L, 1L, 5L)).toDF("pid", "k", "t")
+      val keyedR = Seq((1L, 1L, 0L, 10L)).toDF("iid", "k2", "s", "e")
       val keyed = keyedL.join(keyedR,
         $"k" === $"k2" && $"t" >= $"s" && $"t" <= $"e")
       assert(keyed.count() == 1)
