@@ -770,6 +770,58 @@ object Extras {
     store.read("c9_t")
   }
 
+  /** Orchestration through the gate: a three-flowgroup bronze → silver →
+    * gold medallion passed to the orchestrator DELIBERATELY SHUFFLED — the
+    * cross-flowgroup dependency graph (table refs extracted from the SQL)
+    * must generation-order them, or silver/gold read missing tables and
+    * the run errors; a survived-but-misordered run would aggregate stale
+    * emptiness and hash-mismatch the oracle's direct recompute. */
+  def c10OrchestratedMedallion(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-c10")
+    val orch = new graft.exec.PipelineOrchestrator(s, store, s"$wh/ocp")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("c10_orders_raw")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("c10_customer_raw")
+    def fg(yaml: String) = graft.config.YamlConfig.parseFlowGroup(yaml)
+    val bronze = fg(
+      """pipeline: c10
+        |flowgroup: bronze
+        |actions:
+        |  - name: mv
+        |    type: write
+        |    write_target: {type: materialized_view, table: c10_bronze}
+        |    sql: |
+        |      SELECT o_orderkey, o_custkey, o_totalprice FROM c10_orders_raw
+        |""".stripMargin)
+    val silver = fg(
+      """pipeline: c10
+        |flowgroup: silver
+        |actions:
+        |  - name: mv
+        |    type: write
+        |    write_target: {type: materialized_view, table: c10_silver}
+        |    sql: |
+        |      SELECT b.o_orderkey, b.o_totalprice, c.c_nationkey
+        |      FROM c10_bronze b JOIN c10_customer_raw c
+        |        ON b.o_custkey = c.c_custkey
+        |""".stripMargin)
+    val gold = fg(
+      """pipeline: c10
+        |flowgroup: gold
+        |actions:
+        |  - name: mv
+        |    type: write
+        |    write_target: {type: materialized_view, table: c10_gold}
+        |    sql: |
+        |      SELECT c_nationkey,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |             count(*) AS n_orders
+        |      FROM c10_silver GROUP BY c_nationkey
+        |""".stripMargin)
+    val outcomes = orch.run(Seq(gold, bronze, silver)) // shuffled on purpose
+    outcomes.find(_.error.isDefined).foreach(o => throw o.error.get)
+    store.read("c10_gold")
+  }
+
   /** Declared-incremental join MV through the gate — the acmi gold-layer
     * revenue_by_region shape (Example_Projects/acmi/SQL/gld/
     * revenue_by_region_mv.sql:8-27): a fact stream joined to three dims
@@ -841,6 +893,7 @@ object Extras {
     "c7_files_sink" -> c7FilesSink,
     "c8_curation_pipeline" -> c8CurationPipeline,
     "c9_compaction" -> c9Compaction,
+    "c10_orchestrated_medallion" -> c10OrchestratedMedallion,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -974,6 +1027,14 @@ object Extras {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
         |  FROM documents)""".stripMargin,
+    // c10: the oracle recomputes the gold layer directly from the raw
+    // tables — a misordered or partial orchestration cannot reproduce it
+    "c10_orchestrated_medallion" ->
+      """SELECT c_nationkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
     // c9: content invariance under compaction — the oracle is simply the
     // raw projection; any row lost, duplicated, or mutated by the rewrite
     // hash-mismatches
