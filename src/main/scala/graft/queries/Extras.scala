@@ -770,6 +770,41 @@ object Extras {
     store.read("c9_t")
   }
 
+  /** Sandboxed run through the gate: the same pipeline executed under a
+    * [[graft.config.Sandbox.Run]] nameMap must land its table under the
+    * namespaced PHYSICAL name (asserted loudly in-gate — a missing
+    * prefixed directory errors the query) while logical reads and content
+    * stay identical — the oracle pins the content against the raw
+    * projection, so a nameMap that corrupts, doubles, or drops rows
+    * mismatches. */
+  def c11SandboxedRun(s: SparkSession, dir: String): DataFrame = {
+    val wh = gateDir("graft-c11")
+    val run = graft.config.Sandbox.Run(
+      namespace = "dev_alice", tablePattern = "{namespace}_{table}",
+      strategy = "table", pipelines = Seq("c11"))
+    val store = new graft.exec.TableStore(s, s"$wh/wh", nameMap = run.nameMap)
+    val runner = new graft.exec.PipelineRunner(s, store, s"$wh/cp")
+    Tables.load(s, dir, "nation").createOrReplaceTempView("c11_src")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(
+      """pipeline: c11
+        |flowgroup: f
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: c11_src}
+        |    target: v
+        |  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: materialized_view, table: c11_t}
+        |""".stripMargin))
+    val physical = new java.io.File(s"$wh/wh/dev_alice_c11_t")
+    if (!physical.isDirectory)
+      throw new IllegalStateException(
+        s"sandbox nameMap did not namespace the physical table: $physical missing")
+    store.read("c11_t") // logical name resolves through the same map
+  }
+
   /** Orchestration through the gate: a three-flowgroup bronze → silver →
     * gold medallion passed to the orchestrator DELIBERATELY SHUFFLED — the
     * cross-flowgroup dependency graph (table refs extracted from the SQL)
@@ -894,6 +929,7 @@ object Extras {
     "c8_curation_pipeline" -> c8CurationPipeline,
     "c9_compaction" -> c9Compaction,
     "c10_orchestrated_medallion" -> c10OrchestratedMedallion,
+    "c11_sandboxed_run" -> c11SandboxedRun,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -1027,6 +1063,10 @@ object Extras {
         |FROM (SELECT doc_id,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))::BIGINT AS b
         |  FROM documents)""".stripMargin,
+    // c11: content through the sandboxed store equals the raw table; the
+    // physical-namespace invariant is asserted loudly inside the gate
+    "c11_sandboxed_run" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
     // c10: the oracle recomputes the gold layer directly from the raw
     // tables — a misordered or partial orchestration cannot reproduce it
     "c10_orchestrated_medallion" ->
