@@ -802,6 +802,13 @@ object Extras {
     if (!physical.isDirectory)
       throw new IllegalStateException(
         s"sandbox nameMap did not namespace the physical table: $physical missing")
+    // and the UN-namespaced location must stay empty — a double-write (or
+    // a map applied on reads only) would leak into the shared name, the
+    // exact pollution sandboxing exists to prevent
+    val leaked = new java.io.File(s"$wh/wh/c11_t")
+    if (leaked.exists)
+      throw new IllegalStateException(
+        s"sandboxed run leaked the un-namespaced table: $leaked exists")
     store.read("c11_t") // logical name resolves through the same map
   }
 
@@ -812,8 +819,16 @@ object Extras {
     * the run errors; a survived-but-misordered run would aggregate stale
     * emptiness and hash-mismatch the oracle's direct recompute. */
   def c10OrchestratedMedallion(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-c10")
+    val wh = gateDir("graft-c10")
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
     val orch = new graft.exec.PipelineOrchestrator(s, store, s"$wh/ocp")
+    // the runner registers written tables as SESSION temp views; a stale
+    // c10_bronze/c10_silver from a previous invocation would let a
+    // MIS-ORDERED orchestration resolve its upstream tables anyway and
+    // hash-match on identical fixture content — exactly the regression
+    // this gate exists to catch. Drop them so misordering fails loudly.
+    Seq("c10_bronze", "c10_silver", "c10_gold")
+      .foreach(v => s.catalog.dropTempView(v))
     Tables.load(s, dir, "orders").createOrReplaceTempView("c10_orders_raw")
     Tables.load(s, dir, "customer").createOrReplaceTempView("c10_customer_raw")
     def fg(yaml: String) = graft.config.YamlConfig.parseFlowGroup(yaml)
@@ -1066,7 +1081,7 @@ object Extras {
     // c11: content through the sandboxed store equals the raw table; the
     // physical-namespace invariant is asserted loudly inside the gate
     "c11_sandboxed_run" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     // c10: the oracle recomputes the gold layer directly from the raw
     // tables — a misordered or partial orchestration cannot reproduce it
     "c10_orchestrated_medallion" ->
