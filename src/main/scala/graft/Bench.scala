@@ -110,6 +110,21 @@ object Bench {
       errors.toMap)
   }
 
+  /** Persist the full per-iteration JSON to a repo file. The driver's
+    * artifact keeps only the last ~2 KB of stdout, and 11 rounds of
+    * `parsed: null` (including rounds whose tail line provably parses)
+    * showed the tail window cannot be the contract for the full data. The
+    * file is the durable artifact; stdout carries EXACTLY ONE JSON line —
+    * the compact medians map — so any first-brace tail parser sees a
+    * single complete candidate instead of the clipped remainder of a huge
+    * full-JSON line followed by the real one (r11 tail line 0 was exactly
+    * that fragment). */
+  def writeFull(path: java.nio.file.Path, json: String): Unit = {
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(path,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -129,10 +144,16 @@ object Bench {
     }
     val result = run(spark, sfDir, iters, SparkEntry.queries,
       sys.env.get("SPARK_GRAFT_FILTER"))
-    println(result.json)
+    // full per-iteration JSON → repo file (durable, committed); NOT stdout —
+    // a clipped fragment of it in the tail window would precede and break a
+    // naive first-brace parse of the compact line below
+    writeFull(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")),
+      result.json)
     spark.stop()
-    // LAST line out (after Spark's shutdown noise): the compact medians
-    // map — the only line guaranteed to survive the driver's tail capture
+    // LAST line out (after Spark's shutdown noise), and the ONLY JSON line
+    // on stdout: the compact medians map — small enough to survive the
+    // driver's ~2 KB tail capture whole
     println(result.compact)
     if (result.errors.nonEmpty) {
       System.err.println(

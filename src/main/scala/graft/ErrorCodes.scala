@@ -42,6 +42,7 @@ object ErrorCodes {
   val ACT_002 = Code("ACT", "002", "unknown write_target type")
   val ACT_003 = Code("ACT", "003", "unknown load source type")
   val ACT_010 = Code("ACT", "010", "incremental_join materialized_view contract violated")
+  val ACT_011 = Code("ACT", "011", "materialized_view shape not incrementally maintainable")
 
   // ---- VAL: flowgroup-level validation ---------------------------------
   val VAL_001 = Code("VAL", "001", "ambiguous action targets")
@@ -61,7 +62,7 @@ object ErrorCodes {
   /** Every registered code — the spec asserts uniqueness and shape. */
   val all: Seq[Code] = Seq(
     CFG_001, CFG_002, CFG_003, CFG_040, CFG_050, CFG_051, CFG_052,
-    ACT_001, ACT_002, ACT_003, ACT_010,
+    ACT_001, ACT_002, ACT_003, ACT_010, ACT_011,
     VAL_001, VAL_002, VAL_003, VAL_004, VAL_005, VAL_006,
     DEP_001, DEP_002, IO_001)
 

@@ -76,7 +76,13 @@ object Dedup {
     * docs sharing a shingle produce a candidate pair; intersection = count of
     * shared shingles; union from per-doc sizes. The self-join is keyed on the
     * shingle (co-partitioned), not all-pairs. `maxShingleDocFreq` engages the
-    * hot-shingle skew guard (results are then exact over the capped space). */
+    * hot-shingle skew guard (results are then exact over the capped space).
+    *
+    * Resource note: the shingle-hash frame is cached (it feeds both the
+    * pair join and the size aggregation) and stays resident after the
+    * result materializes — in a long-running session, materialize the
+    * result and `spark.catalog.clearCache()` (the [[incrementalNearDup]]
+    * lifecycle) between corpus-scale invocations. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
@@ -147,6 +153,10 @@ object Dedup {
     bucketsFromHashes(shingleHashes(df, idCol, textCol, n, maxShingleDocFreq),
       idCol, numHashes, rowsPerBand)
 
+  /** Resource note: the shingle-hash frame is cached (banding + exact
+    * verify both read it) and stays resident after the result
+    * materializes — same `clearCache()` lifecycle as
+    * [[incrementalNearDup]] for long-running sessions. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.6,
@@ -368,7 +378,11 @@ object Dedup {
     * enter the (doc, probe) aggregation shuffle. No corpus self-join, no
     * LSH needed: exactness against a broadcast side is cheaper than
     * banding. Shingles compare by 64-bit hash (d2's documented 2^-64
-    * collision tolerance). */
+    * collision tolerance).
+    *
+    * Resource note: the corpus shingle frame is cached (probe join + size
+    * aggregation) and stays resident after the result materializes — same
+    * `clearCache()` lifecycle as [[incrementalNearDup]]. */
   def fuzzyContamination(corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String,
       probeIdCol: String, probeTextCol: String,
@@ -533,7 +547,12 @@ object Dedup {
     * corpus size by construction. The island merge is one per-doc window
     * (a hash exchange on the doc id over the *duplicated* subset only).
     * Within-doc repetition is deliberately out of scope ([[graft.text.TextAnalysis.repetition]]
-    * covers it); `minDocs` counts distinct documents. */
+    * covers it); `minDocs` counts distinct documents.
+    *
+    * Resource note: the per-word window frame is cached (dup-count agg +
+    * join-back) and stays resident after the result materializes — same
+    * `clearCache()` lifecycle as [[incrementalNearDup]] for per-batch
+    * loops. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"window length must be >= 1, got $n")
@@ -619,9 +638,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // left join: a clustered doc missing from `scores` stays in its cluster
     // and ranks last (desc = NULLS LAST) — membership must not depend on
-    // score coverage
+    // score coverage. Scores aggregate to ONE row per id first (max) — a
+    // duplicate-id score table would otherwise fan out the join and emit
+    // duplicate (doc, component, keeper) rows
     val joined = comps.join(
-      scores.select(col(idCol).as("__cc_id"), col(scoreCol).as("__score")),
+      scores.select(col(idCol).as("__cc_id"), col(scoreCol).as("__score"))
+        .groupBy(col("__cc_id")).agg(max(col("__score")).as("__score")),
       Seq("__cc_id"), "left")
     val w = Window.partitionBy(col("component"))
       .orderBy(col("__score").desc, col("__cc_id").asc)

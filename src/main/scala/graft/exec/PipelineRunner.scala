@@ -829,6 +829,16 @@ final class PipelineRunner(
         // merges partial aggregates in checkpointed state, and emits the
         // full (aggregate-sized) result, which replaces the table. A 100 TB
         // source is scanned once across all runs, not once per refresh.
+        //
+        // MV maintenance decision table (shape → mode):
+        //   plain aggregation over a stream          → incremental
+        //   dim-join + aggregation (exact DISTINCT)  → incremental_join
+        //   windowed / dedup-bearing / stream-stream → full refresh only
+        //     (omit mode) — complete-mode state cannot maintain them, and
+        //     a silent fallback would hide a 100 TB rescan; the audit
+        //     below REFUSES with an ACT-011 naming the offending shape
+        //     instead of letting Spark's UnsupportedOperationChecker
+        //     surface an anonymous stream-start failure.
         // a batch source cannot maintain checkpointed aggregate state — a
         // contextual PlanError naming the action, not a bare require (the
         // raw IllegalArgumentException carried no action name)
@@ -836,6 +846,7 @@ final class PipelineRunner(
           s"materialized_view '${a.name}' (mode: incremental) needs a " +
             "streaming source/SQL — reference a stream-loaded view " +
             "(readMode: stream / stream(...)) or drop mode: incremental")
+        auditIncrementalShape(a.name, df)
         df.writeStream.outputMode("complete")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             store.replace(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
@@ -1301,6 +1312,44 @@ final class PipelineRunner(
     * delete must fire once per runner, not once per run (a re-run would
     * wipe the freshly re-pinned schema). */
   private val refreshedSchemaPins = mutable.Set[String]()
+
+  /** Refuse `mode: incremental` MV shapes that complete-mode streaming
+    * state cannot maintain, each with an ACT-011 naming the shape and the
+    * supported alternative — the loud end of the decision table documented
+    * at the call site. Without this, a windowed or dedup-bearing SQL would
+    * surface as Spark's anonymous UnsupportedOperationChecker failure at
+    * stream start (or worse, a future Spark version could accept it with
+    * full-rescan cost), hiding WHICH construct disqualified the shape. */
+  private def auditIncrementalShape(actionName: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct, Join => LJoin, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val plan = df.queryExecution.analyzed
+    def refuse(shape: String, fix: String): Nothing = throw Planner.PlanError(
+      graft.ErrorCodes.ACT_011(s"materialized_view '$actionName' " +
+        s"(mode: incremental): $shape is not incrementally maintainable — $fix"))
+    plan.foreach {
+      case _: LWindow => refuse("a window function (OVER clause)",
+        "omit mode (full refresh) or restructure as a plain aggregation")
+      case _: Deduplicate => refuse("row deduplication (dropDuplicates)",
+        "omit mode (full refresh), or dedup upstream in the streaming_table")
+      // SELECT DISTINCT: complete mode would technically run it, but its
+      // state is every distinct ROW — data-sized, not aggregate-sized,
+      // breaking this branch's state contract at 100 TB
+      case _: Distinct => refuse("row deduplication (SELECT DISTINCT)",
+        "omit mode (full refresh), or dedup upstream in the streaming_table")
+      case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
+        refuse("a stream-stream join",
+          "land each side as a streaming_table first, or use mode: " +
+            "incremental_join with the fact side under stream(...)")
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if agg.aggregateExpressions.exists(_.collectFirst {
+            case ae: AggregateExpression if ae.isDistinct => ae }.nonEmpty) =>
+        refuse("an exact DISTINCT aggregate",
+          "use mode: incremental_join (DISTINCT recomputes exactly over " +
+            "the pre-joined companion) or approx_count_distinct")
+      case _ =>
+    }
+  }
 
   /** Drop a write target's table and this action's stream state when it is
     * marked for full refresh, so the write rebuilds from scratch. The table

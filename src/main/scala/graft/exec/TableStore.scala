@@ -34,6 +34,24 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * this by hand or they bypass sandbox isolation). */
   def path(table: String): String = s"$warehouse/${nameMap(table).replace('.', '/')}"
 
+  /** Per-table mutation serialization (the EventLog.Writer precedent,
+    * store-wide): the orchestrator runs same-generation flowgroups in
+    * PARALLEL, and two flows landing in ONE table concurrently hit two
+    * races — Spark's file committer shares a `_temporary` staging dir per
+    * output path (the first job's commit wipes the second's in-flight
+    * files on the direct-write paths), and the schema-guard → land →
+    * record-schema sequence is check-then-act on the sidecar. Mutations
+    * therefore serialize per RESOLVED table name within the JVM; distinct
+    * tables stay fully parallel, and appendBatch stages its (expensive)
+    * batch write OUTSIDE the lock so concurrent fan-in flows only
+    * serialize the cheap file moves. Cross-PROCESS writers remain out of
+    * scope, as the class doc says: that is the Delta/Iceberg commit
+    * protocol seam. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(nameMap(table), _ => new Object)
+
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 
   /** Reads apply the table's recorded schema (sidecar) when present: plain
@@ -55,18 +73,20 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def readIfExists(table: String): Option[DataFrame] =
     if (exists(table)) Some(read(table)) else None
 
-  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
-    recordSchema(table, df)
-  }
+  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    lockFor(table).synchronized {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+      recordSchema(table, df)
+    }
 
-  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    appendGuards(table, df)
-    val w = df.write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
-    recordSchema(table, df)
-  }
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    lockFor(table).synchronized {
+      appendGuards(table, df)
+      val w = df.write.mode(SaveMode.Append)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+      recordSchema(table, df)
+    }
 
   /** Plain parquet has no schema-evolution protocol of its own. WIDENING
     * appends (incoming ⊇ existing columns) are supported via the schema
@@ -113,9 +133,13 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * the name carries both. */
   def appendBatch(table: String, df: DataFrame, flowId: String, batchId: Long,
       partitionBy: Seq[String] = Nil): Unit = {
-    appendGuards(table, df)
+    appendGuards(table, df) // fail fast before paying the staging write
     val staging = freshStaging(table)
     try {
+      // the expensive part — the batch's Spark write — runs OUTSIDE the
+      // table lock (its target is a private staging dir), so concurrent
+      // fan-in flows overlap their real work and serialize only the file
+      // moves below
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
       val flowHash = java.security.MessageDigest.getInstance("MD5")
@@ -131,23 +155,28 @@ final class TableStore(spark: SparkSession, val warehouse: String,
           }).sortBy(_.toString).toSeq
         finally s.close()
       }
-      val tRoot = Paths.get(path(table))
-      // clean earlier attempts of THIS (flow, batch) in every partition
-      // directory this attempt touches, then land the new files
-      staged.map(p => stRoot.relativize(p.getParent)).distinct.foreach { rel =>
-        val tDir = tRoot.resolve(rel)
-        Files.createDirectories(tDir)
-        val listing = Files.list(tDir)
-        try listing.toArray.map(_.asInstanceOf[Path])
-          .filter(_.getFileName.toString.startsWith(prefix))
-          .foreach(Files.delete)
-        finally listing.close()
+      lockFor(table).synchronized {
+        // re-check under the lock: guard → land → record-schema must be
+        // atomic against a concurrent flow's widening append
+        appendGuards(table, df)
+        val tRoot = Paths.get(path(table))
+        // clean earlier attempts of THIS (flow, batch) in every partition
+        // directory this attempt touches, then land the new files
+        staged.map(p => stRoot.relativize(p.getParent)).distinct.foreach { rel =>
+          val tDir = tRoot.resolve(rel)
+          Files.createDirectories(tDir)
+          val listing = Files.list(tDir)
+          try listing.toArray.map(_.asInstanceOf[Path])
+            .filter(_.getFileName.toString.startsWith(prefix))
+            .foreach(Files.delete)
+          finally listing.close()
+        }
+        staged.zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, tRoot.resolve(stRoot.relativize(p.getParent))
+            .resolve(s"$prefix$i.parquet"))
+        }
+        recordSchema(table, df)
       }
-      staged.zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, tRoot.resolve(stRoot.relativize(p.getParent))
-          .resolve(s"$prefix$i.parquet"))
-      }
-      recordSchema(table, df)
     } finally rm(new java.io.File(staging))
   }
 

@@ -83,6 +83,40 @@ object RangeJoin {
       case _ => lit(true)
     }
 
+  /** Infer a bucket width from the interval data instead of hand-tuning:
+    * the `quantile` (default p90) of the interval LENGTHS, in the same
+    * double-cast units the join buckets in (epoch seconds for timestamps).
+    * With width ≈ a high length quantile, ~`quantile` of intervals explode
+    * to at most 2 buckets (duplication factor ~2, the sweet spot the class
+    * doc describes) while the tail pays proportionally more — the right
+    * trade when lengths are skewed, since a width sized to the MAX would
+    * fan points into buckets so wide the residual filter does all the work.
+    *
+    * Cost: one approx-quantile aggregation over a `maxSampleRows`-capped
+    * sample — bounded regardless of corpus size, run once and reused (set
+    * the result as `spark.graft.rangeJoin.bucketWidth` for the optimizer
+    * rule, or pass it to [[apply]]). Degenerate inputs fail loudly: no
+    * valid intervals, or an all-zero-length sample (width must be > 0). */
+  def inferBucketWidth(intervals: DataFrame, start: String, end: String,
+      quantile: Double = 0.9, maxSampleRows: Int = 100000): Double = {
+    require(quantile > 0 && quantile <= 1, s"quantile must be in (0, 1], got $quantile")
+    val lens = intervals
+      .filter(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end)
+        && notNan(intervals, start) && notNan(intervals, end))
+      .select((TimeCols.tzNorm(intervals, end).cast("double")
+        - TimeCols.tzNorm(intervals, start).cast("double")).as("__len"))
+      .limit(maxSampleRows)
+    val q = lens.stat.approxQuantile("__len", Array(quantile), 0.01)
+    require(q.nonEmpty, "no valid intervals to infer a bucket width from")
+    val w = q.head
+    // an all-point sample (every start == end) has no length scale to
+    // infer; 0 would divide-by-zero the bucket math — refuse loudly
+    require(w > 0,
+      s"inferred width $w at p$quantile — interval lengths are all zero at " +
+        "this quantile; raise the quantile or pass an explicit bucketWidth")
+    w
+  }
+
   /** Interval × interval OVERLAP join — pair every left interval with every
     * right interval it overlaps (`lStart <= rEnd AND rStart <= lEnd`,
     * closed bounds), plus optional equi-keys. Same bucketed shape as the

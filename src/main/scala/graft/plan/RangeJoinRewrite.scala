@@ -1,7 +1,7 @@
 package graft.plan
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
@@ -31,10 +31,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   *
   * OPT-IN: active only when `spark.graft.rangeJoin.bucketWidth` is set to a
   * positive double (units of the point column's double cast — epoch seconds
-  * for timestamps). Scoped deliberately narrowly: INNER joins whose
-  * condition contains NO equi-predicate (with one, Spark already plans a
-  * hash join and this rewrite would only add work) and whose range columns
-  * are integral/decimal numerics or timestamps. Float/double range columns
+  * for timestamps; [[graft.operators.RangeJoin.inferBucketWidth]] samples
+  * interval lengths to pick one). Scoped deliberately narrowly: INNER
+  * joins — plus LEFT/RIGHT OUTER joins whose point side is the preserved
+  * side (the SCD2 temporal-join shape `fact LEFT JOIN dim ON ts BETWEEN
+  * start AND end`); for those the exact residual moves INSIDE the join
+  * condition so null-extension survives, and a point row's single bucket
+  * keeps the null-extension exactly-once — whose condition contains NO
+  * equi-predicate (`=` or `<=>`; with one, Spark already plans a hash join
+  * and this rewrite would only add work) and whose range columns are
+  * integral/decimal numerics or timestamps. Float/double range columns
   * are deliberately EXCLUDED: Spark orders NaN above every value, so
   * `p <= NaN` is true in the original join, and a NaN bound's bucket
   * range cannot be enumerated — rewriting would silently drop those
@@ -76,12 +82,17 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
     case Some(w) => plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter), Some(cond), hint)
           if j.resolved && cond.collectFirst {
             case a: Attribute if a.name == BucketCol => a }.isEmpty =>
         val parts = splitConjunctivePredicates(cond)
+        // EqualNullSafe counts too: Spark's ExtractEquiJoinKeys plans `<=>`
+        // as a hash join already, so rewriting would only add explode cost
         val hasEqui = parts.exists {
           case EqualTo(a, b) =>
+            (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          case EqualNullSafe(a, b) =>
             (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
               (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
           case _ => false
@@ -100,6 +111,16 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
           pSide <- sideOf(p1); sSide <- sideOf(s); eSide <- sideOf(e)
           if sSide == eSide && sSide != pSide
           if rangeCastable(p1) && rangeCastable(s) && rangeCastable(e)
+          // OUTER joins rewrite only when the POINT side is the PRESERVED
+          // side: the interval side explodes over its buckets, and an
+          // exploded copy of a preserved row would null-extend once per
+          // copy. A point row lives in exactly one bucket, so preserving
+          // the point side null-extends exactly once — the original outer
+          // semantics. (The SCD2 temporal-join shape — fact LEFT JOIN dim
+          // ON ts BETWEEN start AND end — is exactly LeftOuter + point
+          // left, the BNLJ the reference's gld revenue_by_region_mv.sql
+          // hits.)
+          if (jt == Inner) || (jt == LeftOuter && pSide) || (jt == RightOuter && !pSide)
         } yield (p1, s, e, pSide)).headOption
         rewrite match {
           case None => j
@@ -115,14 +136,28 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
               generatorOutput = Seq(genOut), child = intervalPlan)
-            // a side-specific hint must follow its relation across the swap
-            val hint2 = if (pointIsLeft) hint
-              else org.apache.spark.sql.catalyst.plans.logical.JoinHint(
-                hint.rightHint, hint.leftHint)
-            val joined = Join(pointProj, gen, Inner,
-              Some(EqualTo(pBucket.toAttribute, genOut)), hint2)
-            // residual: the ORIGINAL condition, exact to the type's precision
-            Project(j.output, Filter(cond, joined))
+            val bucketEq = EqualTo(pBucket.toAttribute, genOut)
+            jt match {
+              case Inner =>
+                // a side-specific hint must follow its relation across the swap
+                val hint2 = if (pointIsLeft) hint
+                  else org.apache.spark.sql.catalyst.plans.logical.JoinHint(
+                    hint.rightHint, hint.leftHint)
+                val joined = Join(pointProj, gen, Inner, Some(bucketEq), hint2)
+                // residual: the ORIGINAL condition, exact to the type's precision
+                Project(j.output, Filter(cond, joined))
+              case _ =>
+                // outer: the exact residual must live INSIDE the join
+                // condition — a post-filter would drop the null-extended
+                // rows the outer join exists to keep. Spark's
+                // ExtractEquiJoinKeys peels the bucket equality as the hash
+                // key and carries the original condition as the non-equi
+                // residual, so this still plans as a hash/sort-merge join.
+                // No side swap happens here (the point side is already the
+                // preserved side), so the hint rides along unchanged.
+                val (l2, r2) = if (pointIsLeft) (pointProj, gen) else (gen, pointProj)
+                Project(j.output, Join(l2, r2, jt, Some(And(bucketEq, cond)), hint))
+            }
         }
     }
   }

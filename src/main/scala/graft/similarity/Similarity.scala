@@ -265,6 +265,12 @@ object Similarity {
       maxIter: Int = 5, seed: Long = 42L,
       maxTrainRows: Int = 100000): PqModel = {
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces subspaces")
+    // codes are stored as tinyint: a centroid index > 127 would silently
+    // wrap negative, and pqReconstruct's element_at(code+1) would then
+    // index from the array END (Spark negative indexing) — reconstructing
+    // from the wrong centroid with no error. Refuse at train time.
+    require(numCentroids <= 127,
+      s"numCentroids $numCentroids exceeds the tinyint code range (max 127)")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val subDim = dim / numSubspaces
@@ -302,6 +308,10 @@ object Similarity {
     * (dist, code) structs — deterministic tie-break, no UDF). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
+    // same tinyint-wrap guard as trainPq: a hand-built model with >127
+    // centroids must fail loudly here, not mis-reconstruct downstream
+    require(model.numCentroids <= 127,
+      s"model has ${model.numCentroids} centroids — exceeds tinyint code range (max 127)")
     val v = col(vecCol).cast("array<double>")
     // the codebook rides as ONE typedlit array per subspace and distances
     // compute via higher-order functions — a first cut unrolled all

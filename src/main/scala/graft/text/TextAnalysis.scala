@@ -142,7 +142,12 @@ object TextAnalysis {
     * one join of occurrences against the vocabulary keyed on the word
     * (AQE's skew split handles the hot-stopword keys), one per-doc
     * aggregation. The vocabulary is Zipf-bounded — far smaller than the
-    * corpus — and never collected to the driver. */
+    * corpus — and never collected to the driver.
+    *
+    * Resource note: the exploded-token frame is cached (vocab agg +
+    * occurrence join) and stays resident after the result materializes —
+    * same `clearCache()` lifecycle as
+    * [[graft.dedup.Dedup.incrementalNearDup]] for per-batch loops. */
   def wordRarity(df: DataFrame, idCol: String, textCol: String,
       rareThreshold: Long = 2): DataFrame = {
     require(rareThreshold >= 1, s"rareThreshold must be >= 1, got $rareThreshold")

@@ -68,6 +68,24 @@ class BenchSpec extends SparkSuite {
         "tail-capture budget; shorten new query prefixes")
   }
 
+  test("writeFull persists the full JSON line to a file, creating parents") {
+    // the full per-iteration JSON lives in a committed repo file, not
+    // stdout: 11 rounds of driver-side `parsed: null` showed the ~2 KB
+    // stdout tail can't be the contract, and the clipped remainder of a
+    // stdout full-line would precede (and break a first-brace parse of)
+    // the compact line
+    val dir = java.nio.file.Files.createTempDirectory("bench-full")
+    val path = dir.resolve("nested").resolve("bench_full.json")
+    val r = Bench.run(spark, sf0001, iters = 1,
+      queries = Map("ok" -> ((s, _) => s.range(3).toDF())))
+    Bench.writeFull(path, r.json)
+    val back = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(back.trim == r.json)
+    // the file content parses standalone (same shape the driver reads)
+    assert(back.contains(""""queries_all":"""))
+  }
+
   test("short prefix keys are unique across the full suite") {
     // the compact line keys each query by its prefix before the first '_';
     // a collision would silently merge two queries' timings

@@ -271,6 +271,17 @@ class DedupSpec extends SparkSuite {
       (10L, 10L, 10L), (11L, 10L, 10L)))
   }
 
+  test("qualityKeepers: duplicate score rows do not fan out the output") {
+    // a doc scored twice (e.g. re-scored batches unioned) must still yield
+    // ONE row per clustered doc; the max of its scores ranks it
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 3.0), (1L, 9.0), (2L, 5.0)).toDF("doc_id", "score")
+    val out = Dedup.qualityKeepers(pairs, "id_a", "id_b", scores, "doc_id", "score")
+      .select("doc_id", "component", "keeper").as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 2, s"fan-out: $out")
+    assert(out.toSet == Set((1L, 1L, 1L), (2L, 1L, 1L))) // max(3,9)=9 beats 5
+  }
+
   test("hot-shingle cap: stop-shingles stop producing candidate pairs") {
     // three docs share ONLY a boilerplate prefix; two are real near-dups
     val docs = Seq(

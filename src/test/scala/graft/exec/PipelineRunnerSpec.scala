@@ -658,6 +658,52 @@ class PipelineRunnerSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("incremental MV shape audit: unmaintainable shapes refuse with ACT-011 naming the shape") {
+    // the decision table's loud end: windowed / dedup-bearing / exact-
+    // DISTINCT shapes under mode: incremental must NOT reach stream start
+    // (Spark's anonymous UnsupportedOperationChecker failure) — each
+    // refusal names the offending construct and the supported alternative
+    val (runner, _, dir) = freshRunner()
+    val landing = s"$dir/audit_landing"
+    Seq(("a", 10L), ("b", 1L)).toDF("k", "v").write.json(landing)
+    def mv(sql: String, table: String) =
+      s"""pipeline: p
+         |flowgroup: aud_$table
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "k STRING, v BIGINT"
+         |    target: v_ev
+         |  - name: mv_$table
+         |    type: write
+         |    sql: "$sql"
+         |    write_target: {type: materialized_view, table: $table, mode: incremental}
+         |""".stripMargin
+    def refusal(sql: String, table: String): String = {
+      val e = intercept[graft.plan.Planner.PlanError](
+        runner.run(YamlConfig.parseFlowGroup(mv(sql, table))))
+      assert(e.getMessage.contains("GRF-ACT-011") &&
+        e.getMessage.contains(s"mv_$table"), e.getMessage)
+      e.getMessage
+    }
+    assert(refusal("SELECT k, row_number() OVER (PARTITION BY k ORDER BY v) AS r FROM v_ev",
+      "winmv").contains("window function"))
+    assert(refusal("SELECT DISTINCT k, v FROM v_ev", "dedupmv")
+      .contains("DISTINCT"))
+    assert(refusal("SELECT k, count(DISTINCT v) AS nv FROM v_ev GROUP BY k",
+      "distmv").contains("incremental_join"))
+    // the supported shape still runs: plain aggregation over the stream
+    val (runner2, store2, _) = freshRunner()
+    runner2.run(YamlConfig.parseFlowGroup(mv(
+      "SELECT k, sum(v) AS total FROM v_ev GROUP BY k", "okmv")))
+    assert(store2.read("okmv").count() == 2)
+  }
+
   test("stream-static join: SQL transform enriches a stream with a dimension") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/ssj_landing"

@@ -171,6 +171,69 @@ class TableStoreSpec extends SparkSuite {
     assert(store.read("frag").as[(Int, String)].collect().toSet == before)
   }
 
+  test("concurrent fan-in: N flows append batches to ONE table in parallel, exactly once") {
+    // same-generation flowgroups run in PARALLEL (the orchestrator's
+    // contract), so N flows landing in one table share partition
+    // directories concurrently. The store serializes per-table mutations
+    // (staging writes stay parallel); this drives the race hard and pins
+    // exact content: any lost file, double-land, or committer clash
+    // under-/over-counts.
+    val store = freshStore()
+    val flows = 4
+    val batches = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(flows)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val tasks = (0 until flows).map { f =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            (0 until batches).foreach { b =>
+              // every flow writes rows into the SAME partition values (p 0/1)
+              val rows = (0 until 10).map(i => (i % 2, f.toLong, b.toLong, i.toLong))
+              store.appendBatch("fan", rows.toDF("p", "flow", "batch", "i"),
+                flowId = s"pipe/fg$f/w", batchId = b, partitionBy = Seq("p"))
+              // replay of an already-landed batch must replace, not duplicate
+              if (b == 1) store.appendBatch("fan",
+                rows.toDF("p", "flow", "batch", "i"),
+                flowId = s"pipe/fg$f/w", batchId = b, partitionBy = Seq("p"))
+            }
+          } catch { case t: Throwable => failures.add(t): Unit }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, s"concurrent appendBatch threw: ${failures.asScala.map(_.toString)}")
+    val got = store.read("fan").select("p", "flow", "batch", "i")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length == flows * batches * 10, s"expected exactly-once rows, got ${got.length}")
+    assert(got.toSet.size == got.length, "duplicate rows landed")
+    // every (flow, batch) slice is complete
+    val perFlowBatch = got.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    assert(perFlowBatch.values.forall(_ == 10), perFlowBatch.toString)
+  }
+
+  test("concurrent plain appends to one table do not clash on the committer dir") {
+    // direct appends share Spark's _temporary staging per output path —
+    // unserialized, the first job's commit wipes the second's in-flight
+    // files (the EventLog r9 incident, now pinned store-wide)
+    val store = freshStore()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      (0 until 4).map { f =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            (0 until 3).foreach { b =>
+              store.append("plainfan", Seq((f.toLong, b.toLong)).toDF("flow", "batch"))
+            }
+          } catch { case t: Throwable => failures.add(t): Unit }
+        })
+      }.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, s"concurrent append threw: ${failures.asScala.map(_.toString)}")
+    assert(store.read("plainfan").count() == 12)
+  }
+
   test("registerAll skips staging and dot directories") {
     val store = freshStore()
     store.overwrite("vis", Seq(1).toDF("x"))

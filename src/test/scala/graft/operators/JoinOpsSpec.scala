@@ -266,4 +266,28 @@ class JoinOpsSpec extends SparkSuite {
       .select("p_id", "i_id").as[(Long, Option[Long])].collect().toMap
     assert(out == Map(1L -> Some(100L), 2L -> None)) // 12:00 is 3 h after 09:00
   }
+
+  test("inferBucketWidth: length quantile in bucket units, loud on degenerate input") {
+    // 100 intervals of length 10 and 10 of length 1000: p90 lands on the
+    // common length, not the skewed tail a max() would pick
+    val iv = ((0 until 100).map(i => (i.toLong, i * 5L, i * 5L + 10L)) ++
+      (0 until 10).map(i => (100L + i, i * 7L, i * 7L + 1000L)))
+      .toDF("i_id", "start", "end")
+    val w = RangeJoin.inferBucketWidth(iv, "start", "end")
+    assert(w >= 10.0 && w < 1000.0, s"p90 width $w")
+    // timestamps infer in epoch-SECOND units (the same double cast the
+    // join buckets in): a 2-hour interval → 7200
+    val tiv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))).toDF("i_id", "start", "end")
+    assert(RangeJoin.inferBucketWidth(tiv, "start", "end", quantile = 1.0) == 7200.0)
+    // degenerate: no valid intervals, or all-zero lengths → loud
+    val rev = Seq((1L, 10L, 5L)).toDF("i_id", "start", "end")
+    intercept[IllegalArgumentException] {
+      RangeJoin.inferBucketWidth(rev, "start", "end")
+    }
+    val pts = Seq((1L, 5L, 5L)).toDF("i_id", "start", "end")
+    intercept[IllegalArgumentException] {
+      RangeJoin.inferBucketWidth(pts, "start", "end")
+    }
+  }
 }

@@ -76,4 +76,72 @@ class RangeJoinRewriteSpec extends SparkSuite {
         spark.experimental.extraOptimizations.filterNot(_ eq r)
     }
   }
+
+  test("null-safe equi key (<=>) counts as an equi-predicate — no rewrite") {
+    val r = RangeJoinRewrite()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ r
+    try {
+      spark.conf.set(r.WidthKey, "25.0")
+      // Spark plans <=> as a hash join already; the rewrite would only add
+      // the explode fan-out on top
+      val keyedL = Seq((1L, Option(1L), 5L)).toDF("pid", "k", "t")
+      val keyedR = Seq((9L, Option(1L), 0L, 10L)).toDF("iid", "k2", "s", "e")
+      val keyed = keyedL.join(keyedR,
+        $"k" <=> $"k2" && $"t" >= $"s" && $"t" <= $"e")
+      assert(!keyed.queryExecution.executedPlan.toString.contains("Generate"),
+        keyed.queryExecution.executedPlan.toString)
+      assert(keyed.count() == 1)
+    } finally {
+      spark.conf.unset(r.WidthKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq r)
+    }
+  }
+
+  test("outer joins rewrite when the point side is preserved — SCD2 temporal shape") {
+    val r = RangeJoinRewrite()
+    val points = (0 until 200).map(i => (i.toLong, (i * 7 % 997).toLong))
+      .toDF("pid", "t")
+    // sparse intervals: many points match nothing → null-extension matters
+    val intervals = (0 until 20).map { i =>
+      val s = (i * 83 % 900).toLong
+      (i.toLong, s, s + 10)
+    }.toDF("iid", "s", "e")
+    val leftJoined = points.join(intervals, $"t" >= $"s" && $"t" <= $"e", "left")
+    val expected = leftJoined.select($"pid", $"iid")
+      .as[(Long, Option[Long])].collect().toSeq.sorted
+    assert(expected.exists(_._2.isEmpty), "fixture must have unmatched points")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ r
+    try {
+      spark.conf.set(r.WidthKey, "25.0")
+      // LEFT OUTER, point preserved (left): rewrites, identical results
+      // including exactly-once null-extension
+      val lj = points.join(intervals, $"t" >= $"s" && $"t" <= $"e", "left")
+      val lPlan = lj.queryExecution.executedPlan.toString
+      assert(!lPlan.contains("BroadcastNestedLoopJoin") && lPlan.contains("Generate"),
+        lPlan)
+      val got = lj.select($"pid", $"iid").as[(Long, Option[Long])].collect().toSeq.sorted
+      assert(got == expected)
+      // RIGHT OUTER, point preserved (right): same rewrite, mirrored
+      val rj = intervals.join(points, $"t" >= $"s" && $"t" <= $"e", "right")
+      val rPlan = rj.queryExecution.executedPlan.toString
+      assert(!rPlan.contains("BroadcastNestedLoopJoin") && rPlan.contains("Generate"),
+        rPlan)
+      val rGot = rj.select($"pid", $"iid").as[(Long, Option[Long])].collect().toSeq.sorted
+      assert(rGot == expected)
+      // LEFT OUTER with the INTERVAL side preserved: NOT rewritten (the
+      // exploded preserved row would null-extend once per bucket copy) —
+      // stays on the nested-loop plan, results untouched
+      val ij = intervals.join(points, $"t" >= $"s" && $"t" <= $"e", "left")
+      assert(!ij.queryExecution.executedPlan.toString.contains("Generate"),
+        ij.queryExecution.executedPlan.toString)
+      assert(ij.count() >= intervals.count())
+    } finally {
+      spark.conf.unset(r.WidthKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq r)
+    }
+  }
 }

@@ -34,6 +34,21 @@ class SimilaritySpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("PQ refuses >127 centroids — tinyint codes would wrap negative") {
+    // a wrapped code would make pqReconstruct's element_at(code+1) index
+    // from the array END (Spark negative indexing): wrong centroid, no error
+    val e = Tables.load(spark, sf0001, "embeddings")
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(e, "embedding", dim = 64,
+        numSubspaces = 16, numCentroids = 128)
+    }
+    val fake = Similarity.PqModel(
+      Array.fill(16)(Array.fill(200)(Array.fill(4)(0.0))))
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(e, "vec_id", "embedding", fake)
+    }
+  }
+
   test("product quantization: valid codes, bounded reconstruction, useful recall") {
     import org.apache.spark.sql.functions._
     val e = Tables.load(spark, sf0001, "embeddings")
