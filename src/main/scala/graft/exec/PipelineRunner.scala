@@ -204,7 +204,17 @@ final class PipelineRunner(
       val inputs = (a: Action) => parsed.getOrElseUpdate(a.name,
         graft.plan.DependencyAnalyzer.actionInputs(spark, a))
       refreshTargetedLoads = computeRefreshTargetedLoads(fg, inputs)
-      Planner.plan(fg, inputs).foreach(execute)
+      // opt-in per-action wall-clock lines (`spark.graft.timing=true`):
+      // the profiling seam for locating which ACTION dominates a pipeline
+      // run — stderr, not the event log, because timing noise is a
+      // diagnosis artifact, not operational history
+      val timing = spark.conf.getOption("spark.graft.timing").contains("true")
+      Planner.plan(fg, inputs).foreach { a =>
+        val t0 = System.nanoTime()
+        execute(a)
+        if (timing) System.err.println(
+          f"[graft] TIMING ${fg.pipeline}/${fg.flowgroup}/${a.name} ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, None)
     } catch { case e: Throwable =>
       hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup, Some(e))

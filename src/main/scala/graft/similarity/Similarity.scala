@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,6 +250,54 @@ object Similarity {
     def numSubspaces: Int = codebooks.length
     def numCentroids: Int = codebooks.head.length
     def subDim: Int = codebooks.head.head.length
+  }
+
+  /** Persist a trained PQ codebook to a text sidecar — the
+    * train-once/serve-many seam ([[ivfTopK]]'s documented production
+    * posture, unified here for PQ): a production deployment trains on a
+    * bounded sample ONCE, persists, and every encode/query batch loads
+    * the sidecar instead of re-fitting M KMeans models per invocation.
+    * Format is `java.lang.Double.toString` per value — the one decimal
+    * rendering guaranteed to round-trip the exact bits through
+    * `parseDouble`, so a saved model reconstructs code-for-code. */
+  def savePqModel(model: PqModel, path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"pq ${model.numSubspaces} ${model.numCentroids} ${model.subDim}\n")
+    for (m <- model.codebooks; c <- m)
+      sb.append(c.map(java.lang.Double.toString).mkString(" ")).append('\n')
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, sb.toString): Unit
+  }
+
+  def loadPqModel(path: String): PqModel = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    require(!lines.isEmpty && lines.get(0).startsWith("pq "),
+      s"$path is not a PQ codebook sidecar")
+    val Array(_, ms, ks, ds) = lines.get(0).split(" ")
+    val (m, k, d) = (ms.toInt, ks.toInt, ds.toInt)
+    require(lines.size == 1 + m * k,
+      s"$path: expected ${m * k} centroid rows, found ${lines.size - 1}")
+    val rows = (1 to m * k).map { i =>
+      val r = lines.get(i).split(" ").map(java.lang.Double.parseDouble)
+      require(r.length == d, s"$path row $i: ${r.length} values, expected $d")
+      r
+    }
+    PqModel(rows.grouped(k).map(_.toArray).toArray)
+  }
+
+  /** The same persistence seam for the IVF coarse codebook
+    * ([[trainCentroids]]' output frame): parquet round-trip with the
+    * schema checked on load, so a stale or foreign file fails loudly
+    * instead of mis-probing cells. */
+  def saveCodebook(codebook: DataFrame, path: String): Unit =
+    codebook.write.mode("overwrite").parquet(path)
+
+  def loadCodebook(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Set("cell_id", "centv", "centn").subsetOf(df.columns.toSet),
+      s"$path is not an IVF codebook (have: ${df.columns.mkString(",")})")
+    df
   }
 
   /** Train a PQ codebook: an independent bounded-sample KMeans per

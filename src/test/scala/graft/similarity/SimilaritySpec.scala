@@ -34,6 +34,34 @@ class SimilaritySpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("codebook sidecars round-trip bit-for-bit; foreign files fail loudly") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("codebooks").toString
+    // PQ: Double.toString/parseDouble is an exact round trip, so the
+    // loaded model must equal the trained one code-for-code
+    val pq = Similarity.trainPq(e, "embedding", dim = 64,
+      numSubspaces = 4, numCentroids = 8)
+    Similarity.savePqModel(pq, s"$dir/pq.codebook")
+    val back = Similarity.loadPqModel(s"$dir/pq.codebook")
+    assert(back.numSubspaces == 4 && back.numCentroids == 8 && back.subDim == 16)
+    assert(back.codebooks.flatten.flatten.toSeq == pq.codebooks.flatten.flatten.toSeq)
+    // IVF: parquet round trip, schema-checked on load
+    val cb = Similarity.trainCentroids(e, "embedding", nCells = 4)
+    Similarity.saveCodebook(cb, s"$dir/ivf")
+    val cbBack = Similarity.loadCodebook(spark, s"$dir/ivf")
+    assert(cbBack.count() == cb.count())
+    // loud on foreign content
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bogus.codebook"), "not a codebook\n")
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqModel(s"$dir/bogus.codebook")
+    }
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/bogus_ivf")
+    intercept[IllegalArgumentException] {
+      Similarity.loadCodebook(spark, s"$dir/bogus_ivf")
+    }
+  }
+
   test("PQ refuses >127 centroids — tinyint codes would wrap negative") {
     // a wrapped code would make pqReconstruct's element_at(code+1) index
     // from the array END (Spark negative indexing): wrong centroid, no error
