@@ -40,7 +40,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * keeps the null-extension exactly-once — whose condition contains NO
   * equi-predicate (`=` or `<=>`; with one, Spark already plans a hash join
   * and this rewrite would only add work) and whose range columns are
-  * integral/decimal numerics or timestamps. Float/double range columns
+  * integral/decimal numerics or timestamps. Bounds may be strict or
+  * inclusive (`<`/`<=` in any mix — the residual keeps the original
+  * strictness). A NULL-OPEN upper bound (`p < e OR e IS NULL`, SCD2's
+  * current-version rows) is NOT rewritten — an unbounded interval has no
+  * enumerable bucket range; close it with a sentinel JUST PAST the point
+  * domain's maximum (`coalesce(end, <max point time + 1>)`) to opt such a
+  * join in. Keep the sentinel tight: every current-version row explodes
+  * over `(sentinel - start) / width` buckets, and a far-future sentinel
+  * (year 9999) would trip Sequence's max-length guard — or worse, pay it. Float/double range columns
   * are deliberately EXCLUDED: Spark orders NaN above every value, so
   * `p <= NaN` is true in the original join, and a NaN bound's bucket
   * range cannot be enumerated — rewriting would silently drop those
@@ -72,10 +80,16 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** `a <= b` as the canonical orientation of either comparison. */
+  /** `a ≤ b` (or strictly `a < b`) as the canonical orientation of any of
+    * the four comparisons. Strict bounds bucket identically — `s < p`
+    * still implies `bucket(s) <= bucket(p)` since floor is monotone — and
+    * the residual keeps the ORIGINAL strictness, so `<` vs `<=` exactness
+    * is untouched (the acmi SCD2 shape uses `>= start AND < end`). */
   private def asLe(e: Expression): Option[(Expression, Expression)] = e match {
     case LessThanOrEqual(a, b) => Some((a, b))
     case GreaterThanOrEqual(a, b) => Some((b, a))
+    case LessThan(a, b) => Some((a, b))
+    case GreaterThan(a, b) => Some((b, a))
     case _ => None
   }
 

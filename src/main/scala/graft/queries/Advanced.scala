@@ -48,6 +48,39 @@ object Advanced {
       .select("event_id", "user_id", "ts", "err_event_id")
   }
 
+  /** The range-join OPTIMIZER RULE end-to-end (j2 gates the hand-built
+    * operator; this gates [[graft.plan.RangeJoinRewrite]] itself): a
+    * KEYLESS left range join — clicks against sampled 2-hour maintenance
+    * windows, the SCD2/acmi strict-bound shape with no equi key, which
+    * Spark can only plan as BroadcastNestedLoopJoin — rewritten by the
+    * rule into the bucketed equi-join. Runs in an ISOLATED `newSession`
+    * (the bucketWidth conf is session-scoped by design; the shared verify/
+    * bench session must not have every qualifying join rewritten behind
+    * its back). The plan is asserted in-gate: a dormant rule (conf lost,
+    * rule not injected, shape regression) throws rather than silently
+    * hash-matching through the nested-loop plan. */
+  def j4RangeRewriteLeft(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    val rule = graft.plan.RangeJoinRewrite()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ rule
+    s2.conf.set(rule.WidthKey, "7200.0") // = the window length, epoch seconds
+    val ev = Tables.load(s2, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "ts")
+    val windows = ev.filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    val joined = clicks.join(windows,
+      clicks("ts") >= windows("w_start") && clicks("ts") < windows("w_end"), "left")
+      .select(col("event_id"), col("win_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    if (plan.contains("BroadcastNestedLoopJoin") || !plan.contains("Generate"))
+      throw new IllegalStateException(
+        "range-join rewrite did not engage on the j4 shape:\n" + plan)
+    joined
+  }
+
   /** Interval-overlap join: click activity windows [ts, ts+1h] against
     * error windows [ts, ts+6h] per user — pairs whose windows intersect.
     * One bucketed shuffle, canonical-bucket dedup-free matching; no
@@ -245,6 +278,7 @@ object Advanced {
     "j1_asof_join" -> j1AsOf,
     "j3_interval_overlap" -> j3IntervalOverlap,
     "j2_range_join" -> j2Range,
+    "j4_range_rewrite_left" -> j4RangeRewriteLeft,
     "q34_pivot" -> q34Pivot,
     "q35_unpivot" -> q35Unpivot,
     "q36_approx_distinct" -> q36ApproxDistinct,
@@ -285,6 +319,14 @@ object Advanced {
         |  ON c.user_id = e.user_id
         | AND c.event_type = 'click' AND e.event_type = 'error'
         | AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 6 HOUR""".stripMargin,
+    // j4: the rewrite must reproduce LEFT-join semantics exactly — matched
+    // pairs once each, unmatched clicks null-extended exactly once
+    "j4_range_rewrite_left" ->
+      """SELECT c.event_id, e.event_id AS win_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events
+        |           WHERE event_type = 'error' AND event_id % 97 = 0) e
+        |  ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 2 HOUR""".stripMargin,
     // j3: windows [c, c+1h] × [e, e+6h] intersect iff c <= e+6h and e <= c+1h
     "j3_interval_overlap" ->
       """SELECT c.event_id, c.user_id, e.event_id AS err_event_id

@@ -138,6 +138,33 @@ class RangeJoinRewriteSpec extends SparkSuite {
       assert(!ij.queryExecution.executedPlan.toString.contains("Generate"),
         ij.queryExecution.executedPlan.toString)
       assert(ij.count() >= intervals.count())
+      // STRICT bounds (the acmi `>= start AND < end` shape) rewrite too,
+      // with the residual keeping the original strictness: a point exactly
+      // at an interval's end must NOT match
+      val strictExp = points.join(intervals, $"t" >= $"s" && $"t" < $"e", "left")
+        .select($"pid", $"iid")
+      spark.conf.unset(r.WidthKey)
+      val strictWant = strictExp.as[(Long, Option[Long])].collect().toSeq.sorted
+      spark.conf.set(r.WidthKey, "25.0")
+      val sj = points.join(intervals, $"t" >= $"s" && $"t" < $"e", "left")
+      assert(sj.queryExecution.executedPlan.toString.contains("Generate"),
+        sj.queryExecution.executedPlan.toString)
+      val sGot = sj.select($"pid", $"iid").as[(Long, Option[Long])].collect().toSeq.sorted
+      assert(sGot == strictWant)
+      // the NULL-OPEN upper bound (SCD2 current rows) is out of scope —
+      // the Or disjunct is not a range bound, so the join is left alone;
+      // the documented sentinel workaround (coalesce) opts it in
+      val openIv = Seq((1L, 5L, Option.empty[Long]), (2L, 0L, Some(3L)))
+        .toDF("iid", "s", "e")
+      val oj = points.join(openIv, $"t" >= $"s" && ($"t" < $"e" || $"e".isNull))
+      assert(!oj.queryExecution.executedPlan.toString.contains("Generate"))
+      // sentinel = just past the point domain's max (997), NOT Long.Max —
+      // the interval explodes over (sentinel - s) / width buckets
+      val cj = points.join(openIv,
+        $"t" >= $"s" && $"t" < coalesce($"e", lit(1000L)))
+      assert(cj.queryExecution.executedPlan.toString.contains("Generate"),
+        cj.queryExecution.executedPlan.toString)
+      assert(cj.count() == oj.count())
     } finally {
       spark.conf.unset(r.WidthKey)
       spark.experimental.extraOptimizations =
