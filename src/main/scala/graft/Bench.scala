@@ -147,8 +147,12 @@ object Bench {
     // full per-iteration JSON → repo file (durable, committed); NOT stdout —
     // a clipped fragment of it in the tail window would precede and break a
     // naive first-brace parse of the compact line below
+    // default resolves against the WORKING DIRECTORY (the checkout the
+    // bench runs from), not a hardcoded absolute path — run from any clone
+    // the artifact lands beside that clone's sources
     writeFull(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"${sys.props("user.dir")}/bench_full.json")),
       result.json)
     spark.stop()
     // LAST line out (after Spark's shutdown noise), and the ONLY JSON line

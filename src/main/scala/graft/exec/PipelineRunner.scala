@@ -1337,22 +1337,28 @@ final class PipelineRunner(
     def refuse(shape: String, fix: String): Nothing = throw Planner.PlanError(
       graft.ErrorCodes.ACT_011(s"materialized_view '$actionName' " +
         s"(mode: incremental): $shape is not incrementally maintainable — $fix"))
+    // every case guards on the NODE's isStreaming: the same construct in a
+    // purely static subtree (a windowed/DISTINCT dim subquery on the batch
+    // side of a stream-static join) is maintainable — Spark evaluates it
+    // per microbatch with no streaming state — and must not be refused
     plan.foreach {
-      case _: LWindow => refuse("a window function (OVER clause)",
+      case w: LWindow if w.isStreaming => refuse("a window function (OVER clause)",
         "omit mode (full refresh) or restructure as a plain aggregation")
-      case _: Deduplicate => refuse("row deduplication (dropDuplicates)",
-        "omit mode (full refresh), or dedup upstream in the streaming_table")
-      // SELECT DISTINCT: complete mode would technically run it, but its
-      // state is every distinct ROW — data-sized, not aggregate-sized,
-      // breaking this branch's state contract at 100 TB
-      case _: Distinct => refuse("row deduplication (SELECT DISTINCT)",
-        "omit mode (full refresh), or dedup upstream in the streaming_table")
+      case d: Deduplicate if d.isStreaming =>
+        refuse("row deduplication (dropDuplicates)",
+          "omit mode (full refresh), or dedup upstream in the streaming_table")
+      // SELECT DISTINCT over the stream: complete mode would technically
+      // run it, but its state is every distinct ROW — data-sized, not
+      // aggregate-sized, breaking this branch's state contract at 100 TB
+      case d: Distinct if d.isStreaming =>
+        refuse("row deduplication (SELECT DISTINCT)",
+          "omit mode (full refresh), or dedup upstream in the streaming_table")
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
         refuse("a stream-stream join",
           "land each side as a streaming_table first, or use mode: " +
             "incremental_join with the fact side under stream(...)")
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-          if agg.aggregateExpressions.exists(_.collectFirst {
+          if agg.isStreaming && agg.aggregateExpressions.exists(_.collectFirst {
             case ae: AggregateExpression if ae.isDistinct => ae }.nonEmpty) =>
         refuse("an exact DISTINCT aggregate",
           "use mode: incremental_join (DISTINCT recomputes exactly over " +

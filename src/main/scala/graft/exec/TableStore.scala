@@ -184,14 +184,20 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * table contents: the new contents are staged to a side directory first
     * (reading the old files), then swapped in with two renames. */
   def replace(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    if (!exists(table)) overwrite(table, df, partitionBy)
-    else {
-      val staging = freshStaging(table)
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
-      swapDir(staging, path(table))
-      setMeta(table, "rewritten", "true") // file streams over this dir re-read
-      recordSchema(table, df)
+    // the WHOLE read-stage-swap holds the lock (unlike appendBatch's
+    // stage-outside split): `df` may read the table being replaced, so a
+    // concurrent append landing mid-staging would be silently discarded by
+    // the swap — replace is a read-modify-write and must be atomic
+    lockFor(table).synchronized {
+      if (!exists(table)) overwrite(table, df, partitionBy)
+      else {
+        val staging = freshStaging(table)
+        val w = df.write.mode(SaveMode.Overwrite)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(staging)
+        swapDir(staging, path(table))
+        setMeta(table, "rewritten", "true") // file streams over this dir re-read
+        recordSchema(table, df)
+      }
     }
 
   /** Upsert = anti-join rewrite (the parquet stand-in for Delta MERGE
@@ -199,8 +205,11 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * When the table's on-disk partition columns are all merge keys, only the
     * partitions containing updated keys are rewritten — untouched partition
     * files are left byte-identical (the Delta MERGE file-skipping analogue). */
-  def upsert(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
-    readIfExists(table) match {
+  def upsert(table: String, updates: DataFrame, keys: Seq[String]): Unit =
+    // read-modify-write: the existence check, the kept-rows read, and the
+    // rewrite must see one consistent table state (locks are reentrant —
+    // the nested overwrite/replace/replacePartitions re-acquire safely)
+    lockFor(table).synchronized { readIfExists(table) match {
       case None => overwrite(table, updates)
       case Some(existing) =>
         val partCols = partitionColumnsOf(table)
@@ -217,20 +226,22 @@ final class TableStore(spark: SparkSession, val warehouse: String,
             keys, "left_anti")
           replace(table, kept.unionByName(updates, allowMissingColumns = true))
         }
-    }
-  }
+    } }
 
   /** Insert rows whose keys are absent (Delta `whenNotMatchedInsertAll`).
     * Append-only: the job reads the old file listing while new part-files
     * land beside it — no staging or lineage break needed. */
-  def insertIfAbsent(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
-    readIfExists(table) match {
-      case None => overwrite(table, updates)
-      case Some(existing) =>
-        val fresh = updates.join(existing.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
-        append(table, fresh)
+  def insertIfAbsent(table: String, updates: DataFrame, keys: Seq[String]): Unit =
+    // read-modify-write: the absent-key anti-join must see the same state
+    // the append lands into
+    lockFor(table).synchronized {
+      readIfExists(table) match {
+        case None => overwrite(table, updates)
+        case Some(existing) =>
+          val fresh = updates.join(existing.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
+          append(table, fresh)
+      }
     }
-  }
 
   /** Overwrite ONLY the partitions whose values appear in `affected`.
     * `rows` must be the complete new contents of those partitions (it may
@@ -239,7 +250,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * rewritten, or moved: at 100 TB a CDC batch touching 50 of 50k partitions
     * moves 50 directories. */
   def replacePartitions(table: String, rows: DataFrame, partitionBy: Seq[String],
-      affected: Seq[Row]): Unit = {
+      affected: Seq[Row]): Unit = lockFor(table).synchronized {
     val staging = freshStaging(table)
     rows.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
 
@@ -283,7 +294,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def affectedValues(df: DataFrame, partitionBy: Seq[String]): Seq[Row] =
     df.select(partitionBy.map(col): _*).distinct().collect().toSeq
 
-  def drop(table: String): Unit = {
+  def drop(table: String): Unit = lockFor(table).synchronized {
     val f = new java.io.File(path(table))
     if (f.exists()) rm(f)
     // every sidecar is a sibling file named "<dir>._<key>" — remove them all
@@ -300,7 +311,8 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * few large ones via the staging/swap path. Run as maintenance, like
     * Delta OPTIMIZE; optional `sortBy` re-clusters while compacting. */
   def compact(table: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil, strategy: String = "range"): Unit = {
+      sortBy: Seq[String] = Nil, strategy: String = "range"): Unit =
+      lockFor(table).synchronized {
     val dir = new java.io.File(path(table))
     if (!dir.exists()) return
     def walk(f: java.io.File): Long =

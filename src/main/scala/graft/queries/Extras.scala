@@ -37,7 +37,7 @@ object Extras {
       while (it.hasNext) graft.exec.Fs.deleteRecursively(new java.io.File(it.next()))
     }))
   }
-  private def gateDir(prefix: String): String = {
+  private[queries] def gateDir(prefix: String): String = {
     val wh = java.nio.file.Files.createTempDirectory(prefix).toString
     gateDirs.add(wh)
     wh

@@ -34,7 +34,10 @@ object LlmData {
   private val codebookDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def codebookDir(key: String)(train: String => Unit): String =
     codebookDirs.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-codebook").toString
+      // Extras.gateDir registers the dir for JVM-exit cleanup — the same
+      // lifecycle every gate workspace has (a bare createTempDirectory
+      // here leaked a sidecar dir per JVM)
+      val d = Extras.gateDir("graft-codebook")
       train(d)
       d
     })

@@ -274,8 +274,15 @@ object Similarity {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
     require(!lines.isEmpty && lines.get(0).startsWith("pq "),
       s"$path is not a PQ codebook sidecar")
-    val Array(_, ms, ks, ds) = lines.get(0).split(" ")
-    val (m, k, d) = (ms.toInt, ks.toInt, ds.toInt)
+    // header corruption (wrong token count, non-numeric dims) must refuse
+    // with the path, not escape as a bare MatchError/NumberFormatException
+    val header = lines.get(0).split(" ")
+    require(header.length == 4,
+      s"$path: malformed PQ header '${lines.get(0)}' (expected 'pq M K D')")
+    val (m, k, d) = try (header(1).toInt, header(2).toInt, header(3).toInt)
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$path: non-numeric PQ header dims '${lines.get(0)}'") }
+    require(m > 0 && k > 0 && d > 0, s"$path: non-positive PQ header dims")
     require(lines.size == 1 + m * k,
       s"$path: expected ${m * k} centroid rows, found ${lines.size - 1}")
     val rows = (1 to m * k).map { i =>
@@ -313,12 +320,13 @@ object Similarity {
       maxIter: Int = 5, seed: Long = 42L,
       maxTrainRows: Int = 100000): PqModel = {
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces subspaces")
-    // codes are stored as tinyint: a centroid index > 127 would silently
-    // wrap negative, and pqReconstruct's element_at(code+1) would then
-    // index from the array END (Spark negative indexing) — reconstructing
-    // from the wrong centroid with no error. Refuse at train time.
-    require(numCentroids <= 127,
-      s"numCentroids $numCentroids exceeds the tinyint code range (max 127)")
+    // codes are stored as tinyint 0-BASED indices (array_position - 1), so
+    // up to 128 centroids fit (max index 127); one more would wrap the
+    // cast negative and pqReconstruct's element_at(code+1) would index
+    // from the array END (Spark negative indexing) — reconstructing from
+    // the wrong centroid with no error. Refuse at train time.
+    require(numCentroids <= 128,
+      s"numCentroids $numCentroids exceeds the tinyint code range (max 128, 0-based codes)")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val subDim = dim / numSubspaces
@@ -356,10 +364,10 @@ object Similarity {
     * (dist, code) structs — deterministic tie-break, no UDF). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
-    // same tinyint-wrap guard as trainPq: a hand-built model with >127
+    // same tinyint-wrap guard as trainPq: a hand-built model with >128
     // centroids must fail loudly here, not mis-reconstruct downstream
-    require(model.numCentroids <= 127,
-      s"model has ${model.numCentroids} centroids — exceeds tinyint code range (max 127)")
+    require(model.numCentroids <= 128,
+      s"model has ${model.numCentroids} centroids — exceeds tinyint code range (max 128, 0-based codes)")
     val v = col(vecCol).cast("array<double>")
     // the codebook rides as ONE typedlit array per subspace and distances
     // compute via higher-order functions — a first cut unrolled all

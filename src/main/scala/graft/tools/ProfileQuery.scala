@@ -22,8 +22,11 @@ object ProfileQuery {
       sys.error("usage: ProfileQuery <query_name> [iters]"))
     val iters = args.lift(1).map(_.toInt).getOrElse(2)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // same parallelism contract as Bench.main — profiling at a different
+    // core/partition count than the bench would diagnose the wrong action
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -702,6 +702,18 @@ class PipelineRunnerSpec extends SparkSuite {
     runner2.run(YamlConfig.parseFlowGroup(mv(
       "SELECT k, sum(v) AS total FROM v_ev GROUP BY k", "okmv")))
     assert(store2.read("okmv").count() == 2)
+    // and the guard is subtree-scoped: DISTINCT inside a purely STATIC dim
+    // side of a stream-static join is maintainable (no streaming dedup
+    // state) and must NOT be refused
+    Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("k", "region")
+      .createOrReplaceTempView("aud_dim")
+    val (runner3, store3, _) = freshRunner()
+    runner3.run(YamlConfig.parseFlowGroup(mv(
+      "SELECT d.region, sum(v) AS total FROM v_ev e JOIN " +
+        "(SELECT DISTINCT k, region FROM aud_dim) d ON e.k = d.k GROUP BY d.region",
+      "dimmv")))
+    assert(store3.read("dimmv").select("region", "total")
+      .as[(String, Long)].collect().toSet == Set(("x", 10L), ("y", 1L)))
   }
 
   test("stream-static join: SQL transform enriches a stream with a dimension") {

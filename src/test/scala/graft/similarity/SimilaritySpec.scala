@@ -62,19 +62,40 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
-  test("PQ refuses >127 centroids — tinyint codes would wrap negative") {
-    // a wrapped code would make pqReconstruct's element_at(code+1) index
-    // from the array END (Spark negative indexing): wrong centroid, no error
+  test("PQ refuses >128 centroids — tinyint codes would wrap negative") {
+    // codes are 0-based (array_position - 1), so 128 centroids (indices
+    // 0..127) fit tinyint exactly; 129 would wrap and pqReconstruct's
+    // element_at(code+1) would index from the array END (Spark negative
+    // indexing): wrong centroid, no error
     val e = Tables.load(spark, sf0001, "embeddings")
     intercept[IllegalArgumentException] {
       Similarity.trainPq(e, "embedding", dim = 64,
-        numSubspaces = 16, numCentroids = 128)
+        numSubspaces = 16, numCentroids = 129)
     }
     val fake = Similarity.PqModel(
       Array.fill(16)(Array.fill(200)(Array.fill(4)(0.0))))
     intercept[IllegalArgumentException] {
       Similarity.pqEncode(e, "vec_id", "embedding", fake)
     }
+    // the boundary value itself is accepted (guard must not be off by one)
+    val ok = Similarity.PqModel(
+      Array.fill(2)(Array.fill(128)(Array.fill(32)(0.0))))
+    Similarity.pqEncode(e, "vec_id", "embedding", ok) // no throw
+  }
+
+  test("loadPqModel refuses corrupt headers loudly, naming the path") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-corrupt").toString
+    def put(name: String, content: String): String = {
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      java.nio.file.Files.writeString(p, content)
+      p.toString
+    }
+    val truncated = put("trunc.codebook", "pq 16 32\n")
+    val ex1 = intercept[IllegalArgumentException](Similarity.loadPqModel(truncated))
+    assert(ex1.getMessage.contains("trunc.codebook"), ex1.getMessage)
+    val nonNum = put("nn.codebook", "pq a b c\n")
+    val ex2 = intercept[IllegalArgumentException](Similarity.loadPqModel(nonNum))
+    assert(ex2.getMessage.contains("non-numeric"), ex2.getMessage)
   }
 
   test("product quantization: valid codes, bounded reconstruction, useful recall") {
