@@ -685,6 +685,44 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** SemDeDup-style semantic near-dup (Abbas et al. 2023,
+    * arXiv:2303.09540 "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): block by SEMANTIC cluster instead
+    * of hash — the corpus is assigned to coarse k-means cells (one scan
+    * against the broadcast codebook, [[graft.similarity.Similarity.assignCells]]),
+    * candidate pairs form only WITHIN a cell (a cell_id-keyed self-join,
+    * co-partitioned — never all-pairs), and exact cosine verifies each.
+    * Precision = 1 (exact verify, identical scores to
+    * [[embeddingNearDup]]); recall < 1 where a near-dup pair straddles a
+    * cell boundary — SemDeDup's documented trade, aimed at the dense
+    * duplicate clusters that dominate web corpora. Complements
+    * [[embeddingNearDupLsh]]: LSH bands bound recall per-PAIR by the
+    * band/bit budget regardless of geometry; semantic cells concentrate
+    * the comparison budget where embeddings cluster, and at 100 TB the
+    * cell count (≈ corpus/cell-size target) keeps the per-cell quadratic
+    * bounded the same way bands do.
+    *
+    * Pass a persisted codebook ([[graft.similarity.Similarity.trainCentroids]]
+    * → [[graft.similarity.Similarity.saveCodebook]]) — the train-once
+    * seam every codebook consumer shares. Returns
+    * `(id_a, id_b, cosine, cell_id)`; compose with
+    * [[connectedComponents]] / [[qualityKeepers]] for keeper selection. */
+  def semanticNearDup(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, threshold: Double): DataFrame = {
+    val assigned = graft.similarity.Similarity.assignCells(df, idCol, vecCol, codebook)
+    val a = assigned.select(col(idCol).as("id_a"), col("cell_id"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cell_id"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.functions.ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"),
+        col("cell_id"))
+  }
+
   /** The production near-dup path at scale: random-hyperplane LSH buckets
     * produce candidate pairs (a band-keyed self-join — no cross join), which
     * are then verified with the same exact cosine as [[embeddingNearDup]].

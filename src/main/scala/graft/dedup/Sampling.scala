@@ -211,6 +211,84 @@ object Sampling {
     * independently. Reduce-side parallelism equals `shards`, so size it
     * like an output-file count (thousands at corpus scale), not a handful.
     * Plan-guarded in SamplingSpec. */
+  /** Token-budget WATER-FILLING mixture solver — the planning step the
+    * sampling family executes: given per-source available token counts,
+    * mixture weights, and a total token budget, compute each source's
+    * sampling rate such that target allocations follow the weights until
+    * a source RUNS OUT, whose shortfall redistributes to the others
+    * (`target_i = min(n_i, λ·w_i)` with λ the water level solving
+    * `Σ target_i = budget`). The naive per-source `rate = budget·w_i/n_i`
+    * silently under-fills the budget whenever any source is scarce — the
+    * exact failure this solver exists to avoid.
+    *
+    * Closed form, no iteration: sort sources by exhaustion point
+    * `r_i = n_i/w_i`; the capped set is a PREFIX of that order, found by
+    * prefix sums (one row per SOURCE — bounded by construction, so the
+    * single-partition window is metadata-scale; document-scale data never
+    * enters). Entirely window/aggregate SQL: deterministic, and an
+    * external engine reproduces it bit-for-bit (the m9 DuckDB oracle
+    * does — double prefix sums in an identical order are identical IEEE
+    * arithmetic).
+    *
+    * Zero-weight sources get `target = 0`; `budget ≥ Σn` caps everyone at
+    * rate 1. Returns `(sourceCol, n_tokens, weight, target_tokens, rate)`
+    * — feed `rate` to [[byHash]]/[[stratified]] per source to execute the
+    * plan. */
+  def mixtureRates(counts: DataFrame, sourceCol: String, tokensCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = counts.select(col(sourceCol),
+      col(tokensCol).cast("long").as("__n"),
+      col(weightCol).cast("double").as("__w"))
+    // exhaustion point; null (sorted last, never capped) for weight <= 0
+    val withR = base.withColumn("__r",
+      when(col("__w") > 0, col("__n").cast("double") / col("__w")))
+    val ord = Window.orderBy(col("__r").asc_nulls_last, col(sourceCol).asc)
+    val ranked = withR
+      .withColumn("__cumN", sum(when(col("__w") > 0, col("__n")).otherwise(0L)).over(ord))
+      .withColumn("__cumW", sum(when(col("__w") > 0, col("__w")).otherwise(0.0)).over(ord))
+    val totals = base.agg(
+      sum(when(col("__w") > 0, col("__w")).otherwise(0.0)).as("__totW"))
+    // row k is capped iff taking rows 1..k whole leaves a water level λ(k)
+    // at or above its own exhaustion point: n_k·(totW−cumW_k) ≤ (B−cumN_k)·w_k
+    val flagged = ranked.crossJoin(broadcast(totals))
+      .withColumn("__capped", col("__r").isNotNull &&
+        col("__n").cast("double") * (col("__totW") - col("__cumW")) <=
+          (lit(budget).cast("double") - col("__cumN").cast("double")) * col("__w"))
+    // λ from the LAST capped row's prefix sums (max cumN of a prefix is its
+    // end; arg-max via struct max keeps cumW from the same row)
+    val kAgg = flagged.filter(col("__capped"))
+      .agg(max(struct(col("__cumN").as("cn"), col("__cumW").as("cw"))).as("__k"))
+      .select(coalesce(col("__k.cn"), lit(0L)).as("__kN"),
+        coalesce(col("__k.cw"), lit(0.0)).as("__kW"))
+    flagged.crossJoin(broadcast(kAgg))
+      .withColumn("__lambda",
+        when(col("__totW") > col("__kW"),
+          (lit(budget).cast("double") - col("__kN").cast("double")) /
+            (col("__totW") - col("__kW"))))
+      .withColumn("target_tokens",
+        when(col("__capped"), col("__n"))
+          .when(col("__r").isNull, lit(0L))
+          .otherwise(least(col("__n"),
+            floor(col("__lambda") * col("__w")).cast("long"))))
+      .withColumn("rate", when(col("__n") === 0, lit(0.0))
+        .otherwise(round(col("target_tokens").cast("double") / col("__n").cast("double"), 9)))
+      .select(col(sourceCol), col("__n").as("n_tokens"), col("__w").as("weight"),
+        col("target_tokens"), col("rate"))
+  }
+
+  /** Map-keyed convenience overload: weights by source value, `default`
+    * for sources the map omits. */
+  def mixtureRates(counts: DataFrame, sourceCol: String, tokensCol: String,
+      weights: Map[String, Double], default: Double, budget: Long): DataFrame = {
+    val weightCol = weights.foldLeft(lit(default): Column) {
+      case (acc, (value, w)) => when(col(sourceCol) === value, lit(w)).otherwise(acc)
+    }
+    mixtureRates(counts.withColumn("__weight", weightCol),
+      sourceCol, tokensCol, "__weight", budget)
+  }
+
   def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: Int = 0,
       portable: Boolean = false): DataFrame = {
     require(shards > 0, s"shards must be > 0, got $shards")

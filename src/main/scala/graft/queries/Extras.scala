@@ -128,6 +128,28 @@ object Extras {
       .select("doc_id", "lang")
   }
 
+  /** Water-filling mixture plan over the documents corpus: per-source
+    * token counts, rule-derived weights (1 + source# % 3 — columnar, no
+    * driver-side source list), budget = 80% of the corpus (computed as
+    * exact integer arithmetic so the oracle rebuilds it bit-for-bit).
+    * Scarce high-weight sources cap at rate 1 and their shortfall
+    * redistributes — the oracle recomputes the whole closed form
+    * (prefix-sum water level) in DuckDB; every arithmetic input is an
+    * exact integer-valued double, so λ and the targets match exactly. */
+  def m9MixtureRates(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(expr("CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)")
+        .as("n_tokens"))
+      .withColumn("weight", expr("1.0 + CAST(substring(source, 4) AS INT) % 3"))
+    // one-row aggregate collect: budget is a CONFIG-scale scalar (the same
+    // class as the partition-value metadata collects the anti-pattern
+    // sweep allows); integer ×4/5 floor-division reproduces exactly in SQL
+    val totN = counts.agg(sum(col("n_tokens"))).head.getLong(0)
+    graft.dedup.Sampling.mixtureRates(counts, "source", "n_tokens", "weight",
+      totN * 4 / 5)
+  }
+
   /** Anti-domination cap: at most 10 docs per source, chosen by portable
     * md5 hash order — deterministic, partitioning-independent, and
     * re-derivable by the oracle. */
@@ -1054,6 +1076,7 @@ object Extras {
         weights = Map("src1" -> 2.5, "src2" -> 0.5), default = 1.0,
         portable = true)
         .select("doc_id", "source", "_epoch")),
+    "m9_mixture_rates" -> m9MixtureRates,
     "q32_schema_evolution" -> q32SchemaEvolution,
     "q33_change_feed" -> q33ChangeFeed,
     "q46_cdf_window" -> q46CdfWindow,
@@ -1196,6 +1219,53 @@ object Extras {
         |   OR ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
         |        CAST(_epoch + 1 AS VARCHAR)), 1, 8))::BIGINT
         |      < CAST(floor((wt - floor(wt)) * 4294967296) AS BIGINT)""".stripMargin,
+    // m9: the water-filling closed form rebuilt end-to-end. Exactness
+    // argument: weights are integer-valued doubles and token counts are
+    // BIGINTs, so every prefix sum is exact in ANY summation order; λ and
+    // the per-source targets are then single IEEE operations on identical
+    // operands in both engines. arg_max(cumW, cumN) = the Spark struct-max
+    // (prefix sums are monotone, so max cumN IS the last capped row).
+    "m9_mixture_rates" ->
+      """WITH counts AS (
+        |  SELECT source,
+        |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n,
+        |    1.0 + CAST(substr(source, 4) AS INT) % 3 AS w
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT CAST(SUM(n) * 4 / 5 AS BIGINT) AS budget FROM counts),
+        |withr AS (
+        |  SELECT c.*, budget,
+        |    CASE WHEN w > 0 THEN CAST(n AS DOUBLE) / w END AS r
+        |  FROM counts c, b),
+        |ranked AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN w > 0 THEN n ELSE 0 END)
+        |      OVER (ORDER BY r ASC NULLS LAST, source ASC) AS cumN,
+        |    SUM(CASE WHEN w > 0 THEN w ELSE 0 END)
+        |      OVER (ORDER BY r ASC NULLS LAST, source ASC) AS cumW,
+        |    SUM(CASE WHEN w > 0 THEN w ELSE 0 END) OVER () AS totW
+        |  FROM withr),
+        |flagged AS (
+        |  SELECT *, (r IS NOT NULL AND
+        |    CAST(n AS DOUBLE) * (totW - cumW) <= (CAST(budget AS DOUBLE) - CAST(cumN AS DOUBLE)) * w) AS capped
+        |  FROM ranked),
+        |k AS (SELECT COALESCE(MAX(cumN), 0) AS kN,
+        |             COALESCE(arg_max(cumW, cumN), 0.0) AS kW
+        |      FROM flagged WHERE capped),
+        |lam AS (
+        |  SELECT f.*, kN, kW,
+        |    CASE WHEN totW > kW
+        |         THEN (CAST(budget AS DOUBLE) - CAST(kN AS DOUBLE)) / (totW - kW) END AS lv
+        |  FROM flagged f, k),
+        |tgt AS (
+        |  SELECT source, n, w,
+        |    CAST(CASE WHEN capped THEN CAST(n AS DOUBLE)
+        |              WHEN r IS NULL THEN 0.0
+        |              ELSE least(CAST(n AS DOUBLE), floor(lv * w)) END AS BIGINT) AS target_tokens
+        |  FROM lam)
+        |SELECT source, n AS n_tokens, w AS weight, target_tokens,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE round(CAST(target_tokens AS DOUBLE) / CAST(n AS DOUBLE), 9) END AS rate
+        |FROM tgt""".stripMargin,
     // m6: α = 0.5 temperature rates rebuilt exactly — sqrt is IEEE
     // correctly-rounded in both engines, so the per-domain threshold (and
     // therefore every kept row) reproduces bit-for-bit

@@ -78,6 +78,35 @@ object LlmData {
   def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(embs(s, dir), "vec_id", "embedding", threshold = 0.45)
 
+  /** SemDeDup check (cluster-blocked semantic near-dup vs the exact pair
+    * graph): every semantic pair must exist in the brute-force set with
+    * the IDENTICAL rounded cosine (precision = 1 — exact verify), and
+    * cell blocking at 16 cells must recover a meaningful fraction of the
+    * exact pairs (floor 0.3; near-dup pairs concentrate inside cells by
+    * construction, and a broken assignCells — every vector in one cell
+    * works too, but garbage per-vector cells — collapses recall toward
+    * the 1/16 chance line). Violations returned; correct output EMPTY,
+    * pinned by the trivial oracle. */
+  def d14SemanticCheck(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val sem = Dedup.semanticNearDup(e, "vec_id", "embedding",
+      ivfCodebookFor(s, dir), threshold = 0.45)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val brute = Dedup.embeddingNearDup(e, "vec_id", "embedding", threshold = 0.45)
+    val precision = sem
+      .join(brute.select(col("id_a"), col("id_b"), col("cosine").as("__bc")),
+        Seq("id_a", "id_b"), "left")
+      .filter(col("__bc").isNull || col("__bc") =!= col("cosine"))
+      .select(col("id_a"), col("id_b"), lit("precision").as("reason"),
+        coalesce(col("cosine"), lit(-1.0)).as("value"))
+    val recall = brute.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    val semAs = sem.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    val recallViol = recallGate(recall, semAs, floor = 0.3, metric = "pair_recall")
+      .select(lit(null).cast("bigint").as("id_a"), lit(null).cast("bigint").as("id_b"),
+        col("metric").as("reason"), col("recall").as("value"))
+    precision.unionByName(recallViol)
+  }
+
   /** Dup-cluster canonicalization: connected components over the exact
     * n-gram Jaccard pair graph — every clustered doc with its keeper. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -372,6 +401,7 @@ object LlmData {
     "d11_quality_keeper" -> d11QualityKeeper,
     "d12_span_cut" -> d12SpanCut,
     "d13_incremental_neardup" -> d13IncrementalNearDup,
+    "d14_semantic_check" -> d14SemanticCheck,
     "s7_filtered_topk" -> s7FilteredTopK,
     "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
@@ -647,6 +677,11 @@ object LlmData {
     "s8_pq_check" ->
       """SELECT vec_id AS query_id, vec_id AS neighbor_id,
         |  'x' AS reason, 0.0 AS value
+        |FROM embeddings WHERE 1 = 0""".stripMargin,
+    // d14: SemDeDup check — EMPTY when precision is exact and cell-blocked
+    // recall clears the floor (the s3-s8 pattern for engine-side invariants)
+    "d14_semantic_check" ->
+      """SELECT vec_id AS id_a, vec_id AS id_b, 'x' AS reason, 0.0 AS value
         |FROM embeddings WHERE 1 = 0""".stripMargin,
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

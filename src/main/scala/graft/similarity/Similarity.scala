@@ -445,6 +445,25 @@ object Similarity {
     * over a `maxTrainRows`-capped sample, 5 iterations) — convenient for
     * one-shot lookups, wasteful inside a loop. Recall < 1 by construction;
     * precision = 1 (exact re-rank). */
+  /** Assign each corpus vector to its nearest coarse cell by cosine —
+    * ivfTopK's corpus-side assignment exposed as the shared blocking
+    * primitive ([[graft.dedup.Dedup.semanticNearDup]] keys its candidate
+    * pairs on it). ONE scan against the broadcast codebook; ties break to
+    * the lowest cell_id. Returns `(idCol, cell_id, __v, __n)` — the cast
+    * vector and its norm ride along so downstream scoring reuses them
+    * without a second corpus scan. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val scored = c.crossJoin(broadcast(codebook))
+      .withColumn("__csim", dot(col("__v"), col("centv")) / (col("__n") * col("centn")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cell_id").asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col("cell_id"), col("__v"), col("__n"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       codebook: Option[DataFrame] = None): DataFrame = {

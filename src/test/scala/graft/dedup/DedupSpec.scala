@@ -271,6 +271,26 @@ class DedupSpec extends SparkSuite {
       (10L, 10L, 10L), (11L, 10L, 10L)))
   }
 
+  test("semanticNearDup: subset of brute force with identical scores, useful recall") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val cb = graft.similarity.Similarity.trainCentroids(e, "embedding", nCells = 8)
+    val sem = Dedup.semanticNearDup(e, "vec_id", "embedding", cb, threshold = 0.45)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val brute = Dedup.embeddingNearDup(e, "vec_id", "embedding", threshold = 0.45)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    // precision 1: every cell-blocked pair IS a brute pair, scores identical
+    assert(sem.subsetOf(brute), (sem -- brute).take(3).toString)
+    // recall: cell blocking must find a meaningful share of the exact pairs
+    val recall = sem.size.toDouble / brute.size
+    info(s"semantic recall = ${sem.size}/${brute.size} = $recall")
+    assert(recall >= 0.3, s"recall $recall below floor")
+    // pairs are canonical (a < b) and tagged with their cell
+    val cells = Dedup.semanticNearDup(e, "vec_id", "embedding", cb, 0.45)
+    assert(cells.columns.toSeq == Seq("id_a", "id_b", "cosine", "cell_id"))
+    assert(cells.filter(col("id_a") >= col("id_b")).isEmpty)
+  }
+
   test("qualityKeepers: duplicate score rows do not fan out the output") {
     // a doc scored twice (e.g. re-scored batches unioned) must still yield
     // ONE row per clustered doc; the max of its scores ranks it

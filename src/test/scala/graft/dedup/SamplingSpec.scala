@@ -241,4 +241,37 @@ class SamplingSpec extends SparkSuite {
         "doc_id", "source", k = 3)
     }
   }
+
+  test("mixtureRates: water-filling — scarce sources cap, shortfall redistributes, budget met") {
+    // three sources: A scarce/high-weight (caps at 1.0), B and C fill the rest
+    val counts = Seq(("A", 100L, 10.0), ("B", 10000L, 1.0), ("C", 20000L, 1.0))
+      .toDF("source", "n_tokens", "weight")
+    val out = Sampling.mixtureRates(counts, "source", "n_tokens", "weight", budget = 8100L)
+      .select("source", "n_tokens", "target_tokens", "rate")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // naive per-source allocation gives A 10/12 of the budget (6750) — but A
+    // only HAS 100; water-filling caps it and splits the remaining 8000
+    // between B and C by weight
+    assert(out("A")._3 == 100L && out("A")._4 == 1.0)
+    assert(out("B")._3 == 4000L && out("C")._3 == 4000L)
+    assert(out.values.map(_._3).sum == 8100L)
+    // budget >= total available: everyone caps at rate 1
+    val all = Sampling.mixtureRates(counts, "source", "n_tokens", "weight", budget = 50000L)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(all.values.forall(_ == 1.0), all.toString)
+    // zero-weight source contributes nothing; zero-count source rates 0
+    val edge = Seq(("Z", 500L, 0.0), ("E", 0L, 2.0), ("B", 1000L, 1.0))
+      .toDF("source", "n_tokens", "weight")
+    val eo = Sampling.mixtureRates(edge, "source", "n_tokens", "weight", budget = 600L)
+      .select("source", "target_tokens", "rate")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(eo("Z")._2 == 0L && eo("Z")._3 == 0.0)
+    assert(eo("E")._2 == 0L && eo("E")._3 == 0.0)
+    assert(eo("B")._2 == 600L)
+    // map overload: missing sources take the default weight
+    val mo = Sampling.mixtureRates(counts, "source", "n_tokens",
+      weights = Map("A" -> 10.0), default = 1.0, budget = 8100L)
+      .select("source", "target_tokens").as[(String, Long)].collect().toMap
+    assert(mo == Map("A" -> 100L, "B" -> 4000L, "C" -> 4000L))
+  }
 }
