@@ -173,6 +173,39 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"t9_rarity":$rarity%.2f,"m6_mix":$mix%.2f}""")
       c.unpersist(): Unit
     }
+    // ---- semantic tier (r12): cell-blocked near-dup (d14) + PQ encode.
+    // Replicated embeddings are PERTURBED per replica (first component
+    // shifted) so replicas are not mutual near-dups — identical copies
+    // would measure pathological pair density, the same trap the docs
+    // tier dodges. Cell count scales with the corpus (bounded cell SIZE —
+    // the 100 TB posture, so the within-cell quadratic stays bounded);
+    // codebook/PQ training is the train-once sidecar seam and is hoisted
+    // out of the timed region like the avro listing.
+    println(f"""{"probe":"semantic_linearity","sf":"$sfDir","reps":$reps}""")
+    def embCorpus(k: Int): DataFrame = {
+      val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      (0 until k).map { i =>
+        e.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(i * 5.0)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      }.reduce(_ unionByName _)
+    }
+    for (k <- Seq(1, reps)) {
+      val c = embCorpus(k).persist()
+      c.count()
+      val cb = graft.similarity.Similarity
+        .trainCentroids(c, "embedding", nCells = 16 * k).persist()
+      cb.count()
+      val sem = med(time(graft.dedup.Dedup.semanticNearDup(
+        c, "vec_id", "embedding", cb, threshold = 0.45)))
+      val model = graft.similarity.Similarity.trainPq(c, "embedding", dim = 64,
+        numSubspaces = 16, numCentroids = 32)
+      val enc = med(time(graft.similarity.Similarity.pqEncode(
+        c, "vec_id", "embedding", model)))
+      println(f"""{"k":$k,"rows":${c.count()},"d14_semantic":$sem%.2f,"s8_pq_encode":$enc%.2f}""")
+      cb.unpersist(); c.unpersist(): Unit
+    }
     spark.stop()
   }
 }
