@@ -211,6 +211,20 @@ object Sampling {
     * independently. Reduce-side parallelism equals `shards`, so size it
     * like an output-file count (thousands at corpus scale), not a handful.
     * Plan-guarded in SamplingSpec. */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: Int = 0,
+      portable: Boolean = false): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    Seq("_shard", "_pos").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a $c column; rename it first"))
+    val (bucket, _) = bucketAndScale(keyCol, salt, portable)
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(bucket, lit(shards.toLong)).cast("int")
+    val w = Window.partitionBy(shard).orderBy(bucket, col(keyCol))
+    df.withColumn("_shard", shard)
+      .withColumn("_pos", row_number().over(w))
+  }
+
   /** Token-budget WATER-FILLING mixture solver — the planning step the
     * sampling family executes: given per-source available token counts,
     * mixture weights, and a total token budget, compute each source's
@@ -245,24 +259,31 @@ object Sampling {
     val withR = base.withColumn("__r",
       when(col("__w") > 0, col("__n").cast("double") / col("__w")))
     val ord = Window.orderBy(col("__r").asc_nulls_last, col(sourceCol).asc)
-    val ranked = withR
+    // EVERYTHING rides the same single-partition window pass — a first cut
+    // computed totW and the last-capped-row aggregate as separate
+    // agg+crossJoin branches, which re-executed the caller's `counts`
+    // subtree (a data-scale corpus aggregation in the m9 gate) ~5× for one
+    // metadata-scale result
+    val glob = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flagged = withR
       .withColumn("__cumN", sum(when(col("__w") > 0, col("__n")).otherwise(0L)).over(ord))
       .withColumn("__cumW", sum(when(col("__w") > 0, col("__w")).otherwise(0.0)).over(ord))
-    val totals = base.agg(
-      sum(when(col("__w") > 0, col("__w")).otherwise(0.0)).as("__totW"))
-    // row k is capped iff taking rows 1..k whole leaves a water level λ(k)
-    // at or above its own exhaustion point: n_k·(totW−cumW_k) ≤ (B−cumN_k)·w_k
-    val flagged = ranked.crossJoin(broadcast(totals))
+      .withColumn("__totW",
+        sum(when(col("__w") > 0, col("__w")).otherwise(0.0)).over(glob))
+      // row k is capped iff taking rows 1..k whole leaves a water level
+      // λ(k) at or above its own exhaustion point:
+      // n_k·(totW−cumW_k) ≤ (B−cumN_k)·w_k
       .withColumn("__capped", col("__r").isNotNull &&
         col("__n").cast("double") * (col("__totW") - col("__cumW")) <=
           (lit(budget).cast("double") - col("__cumN").cast("double")) * col("__w"))
     // λ from the LAST capped row's prefix sums (max cumN of a prefix is its
     // end; arg-max via struct max keeps cumW from the same row)
-    val kAgg = flagged.filter(col("__capped"))
-      .agg(max(struct(col("__cumN").as("cn"), col("__cumW").as("cw"))).as("__k"))
-      .select(coalesce(col("__k.cn"), lit(0L)).as("__kN"),
-        coalesce(col("__k.cw"), lit(0.0)).as("__kW"))
-    flagged.crossJoin(broadcast(kAgg))
+    flagged
+      .withColumn("__k",
+        max(when(col("__capped"), struct(col("__cumN").as("cn"), col("__cumW").as("cw"))))
+          .over(glob))
+      .withColumn("__kN", coalesce(col("__k.cn"), lit(0L)))
+      .withColumn("__kW", coalesce(col("__k.cw"), lit(0.0)))
       .withColumn("__lambda",
         when(col("__totW") > col("__kW"),
           (lit(budget).cast("double") - col("__kN").cast("double")) /
@@ -287,19 +308,5 @@ object Sampling {
     }
     mixtureRates(counts.withColumn("__weight", weightCol),
       sourceCol, tokensCol, "__weight", budget)
-  }
-
-  def shuffleShards(df: DataFrame, keyCol: String, shards: Int, salt: Int = 0,
-      portable: Boolean = false): DataFrame = {
-    require(shards > 0, s"shards must be > 0, got $shards")
-    Seq("_shard", "_pos").foreach(c =>
-      require(!df.columns.exists(_.equalsIgnoreCase(c)),
-        s"input already has a $c column; rename it first"))
-    val (bucket, _) = bucketAndScale(keyCol, salt, portable)
-    import org.apache.spark.sql.expressions.Window
-    val shard = pmod(bucket, lit(shards.toLong)).cast("int")
-    val w = Window.partitionBy(shard).orderBy(bucket, col(keyCol))
-    df.withColumn("_shard", shard)
-      .withColumn("_pos", row_number().over(w))
   }
 }

@@ -1225,13 +1225,16 @@ object Extras {
     // the per-source targets are then single IEEE operations on identical
     // operands in both engines. arg_max(cumW, cumN) = the Spark struct-max
     // (prefix sums are monotone, so max cumN IS the last capped row).
+    // Budget uses DuckDB's INTEGER division `//` — plain `/` is float
+    // division whose BIGINT cast rounds-to-nearest, diverging from Scala's
+    // Long floor division by 1 whenever SUM(n)*4 ≢ 0,±1 (mod 5) rounds up.
     "m9_mixture_rates" ->
       """WITH counts AS (
         |  SELECT source,
         |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n,
         |    1.0 + CAST(substr(source, 4) AS INT) % 3 AS w
         |  FROM documents GROUP BY source),
-        |b AS (SELECT CAST(SUM(n) * 4 / 5 AS BIGINT) AS budget FROM counts),
+        |b AS (SELECT (SUM(n) * 4) // 5 AS budget FROM counts),
         |withr AS (
         |  SELECT c.*, budget,
         |    CASE WHEN w > 0 THEN CAST(n AS DOUBLE) / w END AS r

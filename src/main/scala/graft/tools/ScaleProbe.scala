@@ -174,21 +174,33 @@ object ScaleProbe {
       c.unpersist(): Unit
     }
     // ---- semantic tier (r12): cell-blocked near-dup (d14) + PQ encode.
-    // Replicated embeddings are PERTURBED per replica (first component
-    // shifted) so replicas are not mutual near-dups — identical copies
-    // would measure pathological pair density, the same trap the docs
-    // tier dodges. Cell count scales with the corpus (bounded cell SIZE —
-    // the 100 TB posture, so the within-cell quadratic stays bounded);
-    // codebook/PQ training is the train-once sidecar seam and is hoisted
-    // out of the timed region like the avro listing.
+    // Replicated embeddings are PERTURBED per replica with a deterministic
+    // per-replica SIGN PATTERN (norm-preserving, direction-changing) so
+    // replicas are not mutual near-dups — identical copies would measure
+    // pathological pair density, the same trap the docs tier dodges. An
+    // additive shift was the first cut and is exactly wrong: shifting the
+    // first component by +5i points EVERY perturbed vector almost exactly
+    // along e1 (cosines 0.98+ between different base vectors), turning
+    // replicas 1..k into ONE dense near-dup cluster and measuring the
+    // quadratic pair blowup the probe exists to rule out. Random sign
+    // flips instead make cross-replica cosines sum ±-signed terms that
+    // concentrate near 0, while within-replica geometry (the real pair
+    // structure, repeated per replica) is preserved exactly. Cell count
+    // scales with the corpus (bounded cell SIZE — the 100 TB posture);
+    // codebook/PQ training is the train-once sidecar seam, hoisted out of
+    // the timed region like the avro listing.
     println(f"""{"probe":"semantic_linearity","sf":"$sfDir","reps":$reps}""")
     def embCorpus(k: Int): DataFrame = {
       val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       (0 until k).map { i =>
+        // splitmix-ish per-(replica, dim) sign; replica 0 is the identity
+        val signs = typedlit(Array.tabulate(64) { j =>
+          val h = (i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L)
+          if (i > 0 && ((h >>> 17) & 1L) == 1L) -1.0 else 1.0
+        }.toSeq)
         e.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-          concat(array(element_at(col("embedding"), 1) + lit(i * 5.0)),
-            slice(col("embedding"), 2, 63)).as("embedding"))
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"))
       }.reduce(_ unionByName _)
     }
     for (k <- Seq(1, reps)) {
