@@ -309,4 +309,22 @@ object Sampling {
     mixtureRates(counts.withColumn("__weight", weightCol),
       sourceCol, tokensCol, "__weight", budget)
   }
+
+  /** Execute a [[mixtureRates]] plan: per-source hash sampling at each
+    * source's solved rate — the same deterministic bucket filter as
+    * [[byHash]], with the rate joined per row (broadcast — the plan is one
+    * row per source by construction; null-safe on the source key, the
+    * [[temperatureSample]] convention, so a NULL source samples at ITS
+    * plan row instead of silently dropping). A source absent from the
+    * plan keeps nothing — an unplanned source leaking through at rate 1
+    * would silently blow the token budget the plan exists to enforce. */
+  def applyMixture(df: DataFrame, rates: DataFrame, sourceCol: String,
+      keyCol: String, salt: Int = 0, portable: Boolean = false): DataFrame = {
+    val (bucket, scale) = bucketAndScale(keyCol, salt, portable)
+    val r = rates.select(col(sourceCol).as("__src"),
+      floor(col("rate") * scale).cast("long").as("__thr"))
+    df.join(broadcast(r), df(sourceCol) <=> r("__src"), "left")
+      .filter(bucket < coalesce(col("__thr"), lit(0L)))
+      .select(df.columns.toIndexedSeq.map(df(_)): _*)
+  }
 }

@@ -274,4 +274,27 @@ class SamplingSpec extends SparkSuite {
       .select("source", "target_tokens").as[(String, Long)].collect().toMap
     assert(mo == Map("A" -> 100L, "B" -> 4000L, "C" -> 4000L))
   }
+
+  test("applyMixture executes the plan: per-source rates honored, unplanned sources drop") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf0001, "documents")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+      .withColumn("weight", lit(1.0))
+    val total = counts.agg(sum("n_tokens")).as[Long].head()
+    val plan = Sampling.mixtureRates(counts, "source", "n_tokens", "weight", total / 2)
+    val kept = Sampling.applyMixture(docs, plan, "source", "doc_id", portable = true)
+    // overall keep ratio tracks the budget fraction (hash sampling is
+    // approximate per source; wide tolerance)
+    val ratio = kept.count().toDouble / docs.count()
+    assert(ratio > 0.3 && ratio < 0.7, s"keep ratio $ratio far from planned 0.5")
+    // a source missing from the plan keeps NOTHING (budget enforcement)
+    val partial = plan.filter(col("source") =!= "src0")
+    assert(Sampling.applyMixture(docs, partial, "source", "doc_id", portable = true)
+      .filter(col("source") === "src0").isEmpty)
+    // determinism: same plan, same kept set
+    val again = Sampling.applyMixture(docs, plan, "source", "doc_id", portable = true)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
