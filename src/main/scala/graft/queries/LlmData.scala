@@ -43,11 +43,21 @@ object LlmData {
     })
   private def pqModelFor(s: SparkSession, dir: String): Similarity.PqModel = {
     val root = codebookDir(s"pq|$dir") { d =>
-      Similarity.savePqModel(
-        Similarity.trainPq(embs(s, dir), "embedding", dim = 64,
-          numSubspaces = 16, numCentroids = 32), s"$d/pq.codebook")
+      val model = Similarity.trainPq(embs(s, dir), "embedding", dim = 64,
+        numSubspaces = 16, numCentroids = 32)
+      Similarity.savePqModel(model, s"$d/pq.codebook")
+      // the PQ INDEX persists beside its codebook (codes are meaningless
+      // under another model): encode the corpus once, serve every query
+      // batch from the stored codes — the production posture, and what
+      // makes s8's measured region the QUERY path, not corpus re-encoding
+      Similarity.pqEncode(embs(s, dir), "vec_id", "embedding", model)
+        .write.mode("overwrite").parquet(s"$d/pq_index")
     }
     Similarity.loadPqModel(s"$root/pq.codebook")
+  }
+  private def pqIndexFor(s: SparkSession, dir: String): DataFrame = {
+    pqModelFor(s, dir) // ensures the sidecar pair exists
+    s.read.parquet(s"${codebookDirs.get(s"pq|$dir")}/pq_index")
   }
   private def ivfCodebookFor(s: SparkSession, dir: String): DataFrame = {
     val root = codebookDir(s"ivf|$dir") { d =>
@@ -320,7 +330,8 @@ object LlmData {
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("exact_cosine"))
     val model = pqModelFor(s, dir) // trained once, served from the sidecar
-    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3, model)
+    val pq = Similarity.pqTopKFromCodes(pqIndexFor(s, dir), q,
+      "vec_id", "embedding", k = 3, model)
     val drift = pq.join(exact, Seq("query_id", "neighbor_id"))
       .filter((isnan(col("cosine")) =!= isnan(col("exact_cosine"))) ||
         (!isnan(col("cosine")) && !isnan(col("exact_cosine")) &&

@@ -412,9 +412,22 @@ object Similarity {
     * than int8 — gate with drift/recall floors (the s6 pattern, wider
     * bounds). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: PqModel): DataFrame =
+    pqTopKFromCodes(pqEncode(corpus, idCol, vecCol, model), queries,
+      idCol, vecCol, k, model)
+
+  /** [[pqTopK]] over an ALREADY-ENCODED corpus — the production path: the
+    * PQ index (the [[pqEncode]] output: id, codes, norm — ~1/12 of the
+    * float64 corpus bytes) is computed ONCE when the corpus lands and
+    * persisted as a table; every query batch then reads codes, never the
+    * raw vectors. Completes the train-once seam: codebook sidecar
+    * ([[savePqModel]]) + encoded-index table, with only the query batch
+    * encoded fresh. The model must be the SAME one that produced the
+    * codes — codes are meaningless under another codebook, which is why
+    * the index and sidecar persist side by side. */
+  def pqTopKFromCodes(encoded: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, model: PqModel): DataFrame = {
-    val enc = pqEncode(corpus, idCol, vecCol, model)
-    val c = enc.select(col("id").as("neighbor_id"),
+    val c = encoded.select(col("id").as("neighbor_id"),
       pqReconstruct(col("codes"), model).as("cv"), col("norm").as("cn"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))

@@ -83,6 +83,23 @@ class SimilaritySpec extends SparkSuite {
     Similarity.pqEncode(e, "vec_id", "embedding", ok) // no throw
   }
 
+  test("pqTopKFromCodes over a persisted index equals pqTopK end-to-end") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.trainPq(e, "embedding", dim = 64,
+      numSubspaces = 4, numCentroids = 16)
+    val q = e.filter(col("vec_id") < 5)
+    val direct = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 3, model)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // the index round-trips through parquet (the production persistence)
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString
+    Similarity.pqEncode(e, "vec_id", "embedding", model).write.parquet(s"$dir/idx")
+    val fromCodes = Similarity.pqTopKFromCodes(
+      spark.read.parquet(s"$dir/idx"), q, "vec_id", "embedding", k = 3, model)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromCodes == direct)
+  }
+
   test("loadPqModel refuses corrupt headers loudly, naming the path") {
     val dir = java.nio.file.Files.createTempDirectory("pq-corrupt").toString
     def put(name: String, content: String): String = {
