@@ -486,28 +486,40 @@ object Dedup {
     var i = 0
     var converged = isStarForest(e)
     while (!converged && i < maxIter) {
+      import org.apache.spark.sql.expressions.Window
+      // Both stars as WINDOW min + in-row emission — one round is now two
+      // window exchanges + one distinct + ONE checkpoint. The first
+      // formulation ran each star as groupBy-min + join-back and
+      // checkpointed the large-star half separately (its output fed two
+      // union branches); the window form computes the per-group min beside
+      // the rows, and the explode emits both small-star branches in one
+      // pass, so the intermediate checkpoint (and its two jobs per round)
+      // disappears. Intermediate distincts are also dropped: duplicate
+      // candidate rows cannot change any min and the final distinct
+      // collapses them — at scale the window shuffle moves the duplicates
+      // once, cheaper than a dedicated dedup exchange per half-round.
+      //
       // large-star: every neighbor LARGER than u re-points at
       // m = min(N(u) ∪ {u}); smaller neighbors are left for small-star.
       // v > u ≥ m keeps the (hi, lo) canonical orientation for free.
       val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
-      val minByU = nbrs.groupBy("u")
-        .agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // materialized: the small-star half reads it twice (min + join-back)
-      val large = truncate(nbrs.join(minByU, Seq("u"))
+      val large = nbrs
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .filter(col("hi") =!= col("lo")).distinct(), checkpoint)
+        .filter(col("hi") =!= col("lo"))
       // small-star: each node's smaller neighbors (and the node itself)
-      // re-point at the minimum of that set — on the canonical orientation
-      // that is a single groupBy(hi).min(lo) join-back
-      val minLo = large.groupBy("hi").agg(min("lo").as("m"))
-      val withM = large.join(minLo, Seq("hi"))
-      val small = withM.select(col("hi"), col("m").as("lo"))
-        .unionByName(withM.filter(col("lo") =!= col("m"))
-          .select(col("lo").as("hi"), col("m").as("lo")))
-        .distinct()
+      // re-point at the minimum of that set — per input row (hi, lo, m):
+      // emit (hi → m) [dup-collapsed by the distinct] and (lo → m) [unless
+      // lo IS m]; hi ≠ m always holds since m ≤ lo < hi
+      val small = large
+        .withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+        .select(explode(array(
+          struct(col("hi").as("h"), col("m").as("l")),
+          struct(col("lo").as("h"), col("m").as("l")))).as("p"))
+        .select(col("p.h").as("hi"), col("p.l").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
       e = truncate(small, checkpoint)
       i += 1
       converged = isStarForest(e)
