@@ -486,7 +486,6 @@ object Dedup {
     var i = 0
     var converged = isStarForest(e)
     while (!converged && i < maxIter) {
-      import org.apache.spark.sql.expressions.Window
       // Both stars as WINDOW min + in-row emission — one round is now two
       // window exchanges + one distinct + ONE checkpoint. The first
       // formulation ran each star as groupBy-min + join-back and
@@ -508,7 +507,7 @@ object Dedup {
         .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .filter(col("hi") =!= col("lo"))
+        // hi = v > u >= m = lo on every row, so no hi === lo filter needed
       // small-star: each node's smaller neighbors (and the node itself)
       // re-point at the minimum of that set — per input row (hi, lo, m):
       // emit (hi → m) [dup-collapsed by the distinct] and (lo → m) [unless

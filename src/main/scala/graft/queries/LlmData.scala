@@ -41,24 +41,26 @@ object LlmData {
       train(d)
       d
     })
-  private def pqModelFor(s: SparkSession, dir: String): Similarity.PqModel = {
-    val root = codebookDir(s"pq|$dir") { d =>
+  // one root holds BOTH sidecars (codes are meaningless under another
+  // model, so the pair lives and dies together); returning the root from
+  // a single seam keeps the memo key in one place and loads the codebook
+  // once per call site instead of once per helper
+  private def pqRootFor(s: SparkSession, dir: String): String =
+    codebookDir(s"pq|$dir") { d =>
       val model = Similarity.trainPq(embs(s, dir), "embedding", dim = 64,
         numSubspaces = 16, numCentroids = 32)
       Similarity.savePqModel(model, s"$d/pq.codebook")
-      // the PQ INDEX persists beside its codebook (codes are meaningless
-      // under another model): encode the corpus once, serve every query
-      // batch from the stored codes — the production posture, and what
-      // makes s8's measured region the QUERY path, not corpus re-encoding
+      // the PQ INDEX persists beside its codebook: encode the corpus once,
+      // serve every query batch from the stored codes — the production
+      // posture, and what makes s8's measured region the QUERY path, not
+      // corpus re-encoding
       Similarity.pqEncode(embs(s, dir), "vec_id", "embedding", model)
         .write.mode("overwrite").parquet(s"$d/pq_index")
     }
-    Similarity.loadPqModel(s"$root/pq.codebook")
-  }
-  private def pqIndexFor(s: SparkSession, dir: String): DataFrame = {
-    pqModelFor(s, dir) // ensures the sidecar pair exists
-    s.read.parquet(s"${codebookDirs.get(s"pq|$dir")}/pq_index")
-  }
+  private def pqModelFor(s: SparkSession, dir: String): Similarity.PqModel =
+    Similarity.loadPqModel(s"${pqRootFor(s, dir)}/pq.codebook")
+  private def pqIndexFor(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${pqRootFor(s, dir)}/pq_index")
   private def ivfCodebookFor(s: SparkSession, dir: String): DataFrame = {
     val root = codebookDir(s"ivf|$dir") { d =>
       Similarity.saveCodebook(

@@ -215,7 +215,7 @@ object ScaleProbe {
         numSubspaces = 16, numCentroids = 32)
       val enc = med(time(graft.similarity.Similarity.pqEncode(
         c, "vec_id", "embedding", model)))
-      println(f"""{"k":$k,"rows":${c.count()},"d14_semantic":$sem%.2f,"s8_pq_encode":$enc%.2f}""")
+      println(f"""{"k":$k,"rows":${c.count()},"d14_semantic":$sem%.2f,"pq_index_build":$enc%.2f}""")
       cb.unpersist(); c.unpersist(): Unit
     }
     spark.stop()
