@@ -506,6 +506,25 @@ object YamlConfig {
                 s"stage over the ${table}__joined companion)"))
         } else if (joinedSql0.isDefined) throw ConfigError(graft.ErrorCodes.ACT_010(
           s"write '$name': joined_sql only applies with mode: incremental_join"))
+        // declared watermark: a windowed-aggregation contract — both bound
+        // fields present, mode incremental, and the aggregation in THIS
+        // MV's sql (a watermark cannot be injected below an aggregation
+        // already built by an upstream transform)
+        val wm = wt.get("watermark").map(asMap)
+        val wmCol = wm.flatMap(str(_, "column"))
+        val wmDelay = wm.flatMap(str(_, "delay"))
+        wm.foreach { _ =>
+          if (wmCol.isEmpty || wmDelay.isEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': watermark needs both column and delay"))
+          if (!mode.contains("incremental")) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': watermark only applies with mode: incremental " +
+              "(append-mode windowed maintenance)"))
+          if (str(m, "sql").orElse(str(wt, "sql"))
+              .orElse(str(m, "sql_path")).orElse(str(wt, "sql_path")).isEmpty)
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': watermark needs the windowed aggregation in " +
+                "this MV's sql — a source-only MV has no aggregation to bound"))
+        }
         MaterializedViewWrite(name,
         source = sourceSeq(m).headOption,
         table = table,
@@ -522,7 +541,10 @@ object YamlConfig {
         incremental = str(wt, "mode").contains("incremental") ||
           wt.get("incremental").exists(_.toString.toBoolean),
         incrementalJoin = str(wt, "mode").contains("incremental_join"),
-        joinedSql = str(m, "joined_sql").orElse(str(wt, "joined_sql")))
+        joinedSql = str(m, "joined_sql").orElse(str(wt, "joined_sql")),
+        watermarkColumn = wmCol,
+        watermarkDelay = wmDelay,
+        watermarkView = wm.flatMap(str(_, "view")))
       case "sink" =>
         // module_path is a Python import-path concept; JVM plugins resolve
         // from the classpath by class name — advisory, same split as above

@@ -827,28 +827,40 @@ final class PipelineRunner(
 
     case a: MaterializedViewWrite =>
       applyFullRefresh(a.table, a.name)
-      val df0 = withOpMeta(a,
+      val raw = withWatermarkOverlay(a) {
         a.sql.orElse(a.sqlPath.map(readFile)).map(spark.sql)
-          .getOrElse(resolveSource(a.source.get)))
+          .getOrElse(resolveSource(a.source.get))
+      }
+      // top-level dedup detection runs on the RAW plan, before the
+      // row-wise wrappers (row_filter / expectations / declared schema)
+      // stack Filters and Projects above the Distinct. The wrappers then
+      // re-apply to the under-dedup child: they commute with full-row
+      // distinct, and for keyed dropDuplicates the kept row is arbitrary
+      // by definition, so pre-dedup filtering is within its contract.
+      val dedup: Option[(DataFrame, Seq[String])] =
+        if (a.incremental && !a.incrementalJoin) dedupTop(raw) else None
+      val df0 = withOpMeta(a, dedup.map(_._1).getOrElse(raw))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
       val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
         a.tableSchemaDdl, a.name, a.tagsFile)
       if (a.incremental) {
-        // incremental maintenance: the aggregation runs as a streaming
-        // query in COMPLETE mode — each run reads only new source data,
-        // merges partial aggregates in checkpointed state, and emits the
-        // full (aggregate-sized) result, which replaces the table. A 100 TB
-        // source is scanned once across all runs, not once per refresh.
-        //
-        // MV maintenance decision table (shape → mode):
+        // incremental maintenance. MV decision table (shape → mode):
         //   plain aggregation over a stream          → incremental
+        //     (complete-mode streaming agg: checkpointed partial state,
+        //     each run reads only NEW data and REPLACES the table — a
+        //     100 TB source is scanned once across all runs)
+        //   windowed agg + declared watermark        → incremental
+        //     (APPEND-mode: only finalized windows emit and append;
+        //     state is bounded by the open-window count)
+        //   top-level SELECT DISTINCT / dropDuplicates → incremental
+        //     (per-batch anti-join against the MV table — the table IS
+        //     the dedup state, so no data-sized streaming state exists)
         //   dim-join + aggregation (exact DISTINCT)  → incremental_join
-        //   windowed / dedup-bearing / stream-stream → full refresh only
-        //     (omit mode) — complete-mode state cannot maintain them, and
-        //     a silent fallback would hide a 100 TB rescan; the audit
-        //     below REFUSES with an ACT-011 naming the offending shape
-        //     instead of letting Spark's UnsupportedOperationChecker
-        //     surface an anonymous stream-start failure.
+        //   OVER windows / nested dedup / stream-stream → full refresh
+        //     only (omit mode) — the audit below REFUSES with an ACT-011
+        //     naming the offending shape instead of letting Spark's
+        //     UnsupportedOperationChecker surface an anonymous
+        //     stream-start failure.
         // a batch source cannot maintain checkpointed aggregate state — a
         // contextual PlanError naming the action, not a bare require (the
         // raw IllegalArgumentException carried no action name)
@@ -856,14 +868,55 @@ final class PipelineRunner(
           s"materialized_view '${a.name}' (mode: incremental) needs a " +
             "streaming source/SQL — reference a stream-loaded view " +
             "(readMode: stream / stream(...)) or drop mode: incremental")
-        auditIncrementalShape(a.name, df)
-        df.writeStream.outputMode("complete")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            store.replace(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
-          }
-          .option("checkpointLocation", checkpointFor(a.name))
-          .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+        val mvFlowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
+        dedup match {
+          case Some((_, keys)) =>
+            // dedup-bearing MV: batch-internal dedup, then a null-safe
+            // anti-join against current MV content keeps only first-seen
+            // rows/keys. Per-batch cost is one scan of the MV (output-
+            // sized, the merge-whenNotMatched posture) — not of history.
+            // appendBatch's (flow, batch) txn identity makes crash
+            // replays no-ops even before the anti-join would.
+            df.writeStream
+              .foreachBatch { (batch: DataFrame, id: Long) =>
+                val d0 = if (keys.isEmpty) batch.distinct()
+                         else batch.dropDuplicates(keys)
+                val fresh = store.readIfExists(a.table) match {
+                  case Some(t) =>
+                    val jk = if (keys.isEmpty) d0.columns.toSeq else keys
+                    d0.join(t, jk.map(c => d0(c) <=> t(c)).reduce(_ && _),
+                      "left_anti")
+                  case None => d0
+                }
+                store.appendBatch(a.table,
+                  clustered(fresh, a.clusterColumns, a.clusterStrategy),
+                  mvFlowKey, id)
+              }
+              .option("checkpointLocation", checkpointFor(a.name))
+              .trigger(Trigger.AvailableNow())
+              .start().awaitTermination()
+          case None =>
+            auditIncrementalShape(a.name, df,
+              watermarked = a.watermarkColumn.isDefined)
+            if (a.watermarkColumn.isDefined)
+              df.writeStream.outputMode("append")
+                .foreachBatch { (batch: DataFrame, id: Long) =>
+                  store.appendBatch(a.table,
+                    clustered(batch, a.clusterColumns, a.clusterStrategy),
+                    mvFlowKey, id)
+                }
+                .option("checkpointLocation", checkpointFor(a.name))
+                .trigger(Trigger.AvailableNow())
+                .start().awaitTermination()
+            else
+              df.writeStream.outputMode("complete")
+                .foreachBatch { (batch: DataFrame, _: Long) =>
+                  store.replace(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
+                }
+                .option("checkpointLocation", checkpointFor(a.name))
+                .trigger(Trigger.AvailableNow())
+                .start().awaitTermination()
+        }
       } else {
         store.overwrite(a.table, clustered(df, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
       }
@@ -1323,14 +1376,77 @@ final class PipelineRunner(
     * wipe the freshly re-pinned schema). */
   private val refreshedSchemaPins = mutable.Set[String]()
 
-  /** Refuse `mode: incremental` MV shapes that complete-mode streaming
-    * state cannot maintain, each with an ACT-011 naming the shape and the
+  /** Build the MV's DataFrame with its declared watermark (if any) applied
+    * to the source view for the duration of the build: the watermark must
+    * sit BELOW the aggregation the sql constructs, so the streaming temp
+    * view is overlaid with its `withWatermark` twin, the sql runs, and the
+    * original registration is restored. The target view is `watermark.view`
+    * when declared, else inferred — exactly one registered streaming view
+    * named in the sql; zero or several is a loud error, not a guess. */
+  private def withWatermarkOverlay(a: MaterializedViewWrite)(build: => DataFrame): DataFrame =
+    a.watermarkColumn match {
+      case None => build
+      case Some(wc) =>
+        // the parser guarantees delay+sql exist whenever column does
+        val delay = a.watermarkDelay.get
+        val sqlText = a.sql.orElse(a.sqlPath.map(readFile)).getOrElse("")
+        val target = a.watermarkView.getOrElse {
+          val refs = streamingViews.toSeq.sorted.filter(v =>
+            ("""\b""" + java.util.regex.Pattern.quote(v) + """\b""").r
+              .findFirstIn(sqlText).isDefined)
+          refs match {
+            case Seq(one) => one
+            case Seq() => throw Planner.PlanError(
+              s"materialized_view '${a.name}': watermark declared but the " +
+                "sql references no registered streaming view — name it via " +
+                "watermark.view")
+            case many => throw Planner.PlanError(
+              s"materialized_view '${a.name}': watermark is ambiguous " +
+                s"across streaming views ${many.mkString(", ")} — name one " +
+                "via watermark.view")
+          }
+        }
+        val orig = views.getOrElse(target, throw Planner.PlanError(
+          s"materialized_view '${a.name}': watermark.view '$target' is not " +
+            "a registered streaming view"))
+        if (!orig.columns.contains(wc)) throw Planner.PlanError(
+          s"materialized_view '${a.name}': watermark column '$wc' is not in " +
+            s"view '$target' (columns: ${orig.columns.mkString(", ")})")
+        orig.withWatermark(wc, delay).createOrReplaceTempView(target)
+        try build finally orig.createOrReplaceTempView(target)
+    }
+
+  /** Detect a TOP-LEVEL dedup on the MV's raw analyzed plan — `Distinct`
+    * (SELECT DISTINCT) or `Deduplicate` (dropDuplicates) as the outermost
+    * operator over a streaming child. Returns the under-dedup child
+    * (rebuilt as a DataFrame via the [[org.apache.spark.sql.graftnative
+    * .PlanBridge]]) and the dedup keys (empty = full row). Dedup BELOW
+    * other operators stays with the audit's refusal: pulling it out from
+    * under an aggregation would change results. */
+  private def dedupTop(df: DataFrame): Option[(DataFrame, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct}
+    if (!df.isStreaming) None
+    else df.queryExecution.analyzed match {
+      case Distinct(child) =>
+        Some((org.apache.spark.sql.graftnative.PlanBridge.ofRows(spark, child), Nil))
+      case Deduplicate(keys, child) =>
+        Some((org.apache.spark.sql.graftnative.PlanBridge.ofRows(spark, child),
+          keys.map(_.name)))
+      case _ => None
+    }
+  }
+
+  /** Refuse `mode: incremental` MV shapes that streaming maintenance
+    * cannot express, each with an ACT-011 naming the shape and the
     * supported alternative — the loud end of the decision table documented
     * at the call site. Without this, a windowed or dedup-bearing SQL would
     * surface as Spark's anonymous UnsupportedOperationChecker failure at
     * stream start (or worse, a future Spark version could accept it with
-    * full-rescan cost), hiding WHICH construct disqualified the shape. */
-  private def auditIncrementalShape(actionName: String, df: DataFrame): Unit = {
+    * full-rescan cost), hiding WHICH construct disqualified the shape.
+    * `watermarked` = the MV declared a watermark, so maintenance runs in
+    * APPEND mode and the aggregation must be windowed on event time. */
+  private def auditIncrementalShape(actionName: String, df: DataFrame,
+      watermarked: Boolean = false): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct, Join => LJoin, Window => LWindow}
     import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
     val plan = df.queryExecution.analyzed
@@ -1344,15 +1460,18 @@ final class PipelineRunner(
     plan.foreach {
       case w: LWindow if w.isStreaming => refuse("a window function (OVER clause)",
         "omit mode (full refresh) or restructure as a plain aggregation")
+      // dedup at the MV's TOP level never reaches this audit — dedupTop
+      // strips it for anti-join maintenance. A dedup reaching here is
+      // NESTED (e.g. an aggregation over distinct rows): pulling it out
+      // would change results, and streaming it needs data-sized state
       case d: Deduplicate if d.isStreaming =>
-        refuse("row deduplication (dropDuplicates)",
-          "omit mode (full refresh), or dedup upstream in the streaming_table")
-      // SELECT DISTINCT over the stream: complete mode would technically
-      // run it, but its state is every distinct ROW — data-sized, not
-      // aggregate-sized, breaking this branch's state contract at 100 TB
+        refuse("nested row deduplication (dropDuplicates below other operators)",
+          "hoist the dedup to the MV's top level (maintained via anti-join " +
+            "append), dedup upstream in the streaming_table, or omit mode")
       case d: Distinct if d.isStreaming =>
-        refuse("row deduplication (SELECT DISTINCT)",
-          "omit mode (full refresh), or dedup upstream in the streaming_table")
+        refuse("nested row deduplication (DISTINCT below other operators)",
+          "hoist the dedup to the MV's top level (maintained via anti-join " +
+            "append), dedup upstream in the streaming_table, or omit mode")
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
         refuse("a stream-stream join",
           "land each side as a streaming_table first, or use mode: " +
@@ -1364,6 +1483,30 @@ final class PipelineRunner(
           "use mode: incremental_join (DISTINCT recomputes exactly over " +
             "the pre-joined companion) or approx_count_distinct")
       case _ =>
+    }
+    if (watermarked) {
+      // append-mode emission is keyed to window finalization: an
+      // aggregation with no event-time window group key would never emit
+      // (Spark refuses it anonymously at stream start). The analyzer has
+      // already rewritten window()/session_window() calls, but it marks
+      // the produced group attribute's metadata — the same marker Spark's
+      // own checker keys on.
+      import org.apache.spark.sql.catalyst.expressions.{Attribute, SessionWindow, TimeWindow}
+      val windowedAgg = plan.exists {
+        case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if agg.isStreaming =>
+          agg.groupingExpressions.exists(_.exists {
+            case att: Attribute => att.metadata.contains(TimeWindow.marker) ||
+              att.metadata.contains(SessionWindow.marker)
+            case _ => false
+          })
+        case _ => false
+      }
+      if (!windowedAgg) refuse(
+        "a watermark without a window(...) group key",
+        "group by window(<watermark column>, ...) / session_window(...) so " +
+          "finalized windows can emit, or drop the watermark for " +
+          "complete-mode maintenance")
     }
   }
 

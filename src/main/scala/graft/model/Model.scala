@@ -428,6 +428,21 @@ final case class MaterializedViewWrite(
       *     rules out streaming complete-mode aggregation). */
     incrementalJoin: Boolean = false,
     joinedSql: Option[String] = None,
+    /** Declared event-time watermark (`watermark: {column, delay[, view]}`,
+      * only with `mode: incremental`): the referenced streaming view gets
+      * `withWatermark(column, delay)` BEFORE this MV's sql builds its
+      * aggregation, and maintenance switches from complete-mode replace to
+      * APPEND-mode — each run appends only windows the watermark has
+      * finalized, so state is bounded by the open-window count instead of
+      * every window ever (the 100 TB posture for time-windowed MVs). The
+      * table then holds finalized windows only; late rows beyond the delay
+      * are dropped by construction. The sql must group by `window(...)` /
+      * `session_window(...)` on the watermarked column. */
+    watermarkColumn: Option[String] = None,
+    watermarkDelay: Option[String] = None,
+    /** Which streaming view carries the watermark. Optional when the sql
+      * references exactly one registered streaming view. */
+    watermarkView: Option[String] = None,
     operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq

@@ -1039,6 +1039,106 @@ object Extras {
     store.read("q55_mv")
   }
 
+  /** Watermarked windowed MV through the gate (`mode: incremental` +
+    * `watermark`) — the third declared-incremental MV shape: daily
+    * aggregates over the events stream maintained in APPEND mode, state
+    * bounded by the open-window count. Two event batches drive two runs;
+    * each run's trailing no-data microbatch applies the advanced
+    * watermark, so the final table holds exactly the windows with
+    * end <= max(ts) - delay over ALL events — batching-independent, which
+    * is what the DuckDB oracle recomputes (a re-emitted, skipped, or
+    * late-dropped window hash-mismatches). Batches are staged as single
+    * files so no window can finalize while later rows of it are still
+    * unread within a run. */
+  def q58WindowedMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q58")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q58
+         |flowgroup: wmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "ts TIMESTAMP, event_type STRING, value DOUBLE"
+         |    target: q58_v
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT window.start AS day,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         |             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+         |      FROM q58_v GROUP BY window(ts, '1 day')
+         |    write_target:
+         |      type: materialized_view
+         |      table: q58_mv
+         |      mode: incremental
+         |      watermark: {column: ts, delay: "1 hour"}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q58|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+        .repartition(1).write.parquet(s"$root/a")
+      ev.filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+        .repartition(1).write.parquet(s"$root/b")
+    }
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q58_mv")
+  }
+
+  /** Dedup-bearing MV through the gate — the fourth declared-incremental
+    * MV shape: a top-level SELECT DISTINCT maintained by per-batch
+    * anti-join append (the MV table IS the dedup state). The projection
+    * includes a CASE-produced NULL column, so a non-null-safe anti-join
+    * would re-append every null-keyed row on the second run and
+    * hash-mismatch the DISTINCT oracle. */
+  def q59DedupMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q59")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q59
+         |flowgroup: dmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, user_id BIGINT, event_type STRING"
+         |    target: q59_v
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT DISTINCT event_type,
+         |             CASE WHEN user_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+         |                  ELSE user_id % 50 END AS ub
+         |      FROM q59_v
+         |    write_target: {type: materialized_view, table: q59_mv, mode: incremental}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q59|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.filter(col("event_id") % 2 === 0).write.parquet(s"$root/even")
+      ev.filter(col("event_id") % 2 === 1).write.parquet(s"$root/odd")
+    }
+    copyFixture(s"$fixture/even", landing, "even-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/odd", landing, "odd-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q59_mv")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1052,6 +1152,8 @@ object Extras {
     "c10_orchestrated_medallion" -> c10OrchestratedMedallion,
     "c11_sandboxed_run" -> c11SandboxedRun,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
+    "q58_windowed_mv" -> q58WindowedMv,
+    "q59_dedup_mv" -> q59DedupMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -1364,6 +1466,27 @@ object Extras {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+    // q58's oracle recomputes the finalized-window set from the raw events
+    // in one shot: the MV holds exactly the daily windows with
+    // end <= max(ts) - delay (run-count- and batching-independent), so a
+    // re-emitted, skipped, or late-dropped window hash-mismatches
+    "q58_windowed_mv" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+        |FROM events, wm
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+        |GROUP BY 1""".stripMargin,
+    // q59's oracle is the one-shot DISTINCT over all events: a duplicate
+    // (replayed batch, non-null-safe anti-join) or dropped key
+    // hash-mismatches
+    "q59_dedup_mv" ->
+      """SELECT DISTINCT event_type,
+        |       CASE WHEN user_id % 7 = 0 THEN CAST(NULL AS BIGINT)
+        |            ELSE user_id % 50 END AS ub
+        |FROM events""".stripMargin,
     // c1's oracle is the plain source table: any duplicate (checkpoint
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it

@@ -693,8 +693,10 @@ class PipelineRunnerSpec extends SparkSuite {
     }
     assert(refusal("SELECT k, row_number() OVER (PARTITION BY k ORDER BY v) AS r FROM v_ev",
       "winmv").contains("window function"))
-    assert(refusal("SELECT DISTINCT k, v FROM v_ev", "dedupmv")
-      .contains("DISTINCT"))
+    // NESTED dedup (below an aggregation) still refuses — only the MV's
+    // top-level dedup is maintainable by anti-join append
+    assert(refusal("SELECT k, count(*) AS n FROM (SELECT DISTINCT k, v FROM v_ev) GROUP BY k",
+      "dedupmv").contains("DISTINCT"))
     assert(refusal("SELECT k, count(DISTINCT v) AS nv FROM v_ev GROUP BY k",
       "distmv").contains("incremental_join"))
     // the supported shape still runs: plain aggregation over the stream
@@ -714,6 +716,158 @@ class PipelineRunnerSpec extends SparkSuite {
       "dimmv")))
     assert(store3.read("dimmv").select("region", "total")
       .as[(String, Long)].collect().toSet == Set(("x", 10L), ("y", 1L)))
+  }
+
+  test("watermarked windowed MV: append mode emits only finalized windows, exactly once") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/wmv_landing"
+    def land(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("ts", "v").repartition(1).write.mode("append").json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: wmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "ts TIMESTAMP, v BIGINT"
+         |    target: v_ev
+         |  - name: mv
+         |    type: write
+         |    sql: "SELECT window.start AS ws, sum(v) AS total, count(*) AS n FROM v_ev GROUP BY window(ts, '1 hour')"
+         |    write_target:
+         |      type: materialized_view
+         |      table: wmv
+         |      mode: incremental
+         |      watermark: {column: ts, delay: "30 minutes"}
+         |""".stripMargin
+    // batch A: three 1-hour windows, max event 12:30. Each run's trailing
+    // no-data microbatch applies the advanced watermark before the run
+    // ends, so after EVERY run the table holds exactly the windows with
+    // end <= max(ts so far) - delay — batching-independent.
+    land(Seq(("2024-03-01 10:10:00", 1L), ("2024-03-01 10:40:00", 2L),
+      ("2024-03-01 11:05:00", 10L), ("2024-03-01 12:30:00", 100L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    def content() = store.read("wmv")
+      .select(date_format(col("ws"), "HH:mm"), col("total"), col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    // watermark 12:30 - 30m = 12:00 -> 10:00 and 11:00 finalized; the
+    // 12:00 window (still open) is NOT in the table
+    assert(content() == Set(("10:00", 3L, 2L), ("11:00", 10L, 1L)))
+    // batch B advances the watermark to 13:30 -> 12:00 finalizes; earlier
+    // windows are NOT re-emitted (append, not replace)
+    land(Seq(("2024-03-01 14:00:00", 7L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(content() == Set(("10:00", 3L, 2L), ("11:00", 10L, 1L), ("12:00", 100L, 1L)))
+    // batch C advances it to 19:30 -> batch B's own 14:00 window finalizes
+    land(Seq(("2024-03-01 20:00:00", 9L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(content() == Set(("10:00", 3L, 2L), ("11:00", 10L, 1L),
+      ("12:00", 100L, 1L), ("14:00", 7L, 1L)))
+    assert(store.read("wmv").count() == 4)
+  }
+
+  test("watermark contract: refusals name the gap (no window key, bad column, batch source)") {
+    val (runner, _, dir) = freshRunner()
+    val landing = s"$dir/wmc_landing"
+    Seq(("2024-03-01 10:10:00", 1L)).toDF("ts", "v")
+      .repartition(1).write.json(landing)
+    def yaml(sql: String, wm: String) =
+      s"""pipeline: p
+         |flowgroup: wmc
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "ts TIMESTAMP, v BIGINT"
+         |    target: v_ev
+         |  - name: mv_wmc
+         |    type: write
+         |    sql: "$sql"
+         |    write_target:
+         |      type: materialized_view
+         |      table: wmc
+         |      mode: incremental
+         |      watermark: $wm
+         |""".stripMargin
+    // aggregation without a window group key cannot emit in append mode
+    val e1 = intercept[graft.plan.Planner.PlanError](runner.run(YamlConfig.parseFlowGroup(
+      yaml("SELECT sum(v) AS total FROM v_ev", """{column: ts, delay: "10 minutes"}"""))))
+    assert(e1.getMessage.contains("GRF-ACT-011") && e1.getMessage.contains("window("),
+      e1.getMessage)
+    // watermark column must exist on the source view
+    val e2 = intercept[graft.plan.Planner.PlanError](runner.run(YamlConfig.parseFlowGroup(
+      yaml("SELECT window.start AS ws, sum(v) AS t FROM v_ev GROUP BY window(ts, '1 hour')",
+        """{column: nope, delay: "10 minutes"}"""))))
+    assert(e2.getMessage.contains("nope") && e2.getMessage.contains("v_ev"), e2.getMessage)
+    // parse-level: watermark needs mode incremental + sql + both fields
+    def parseErr(y: String): String =
+      intercept[graft.config.YamlConfig.ConfigError](YamlConfig.parseFlowGroup(y)).getMessage
+    val base =
+      """pipeline: p
+        |flowgroup: wmp
+        |actions:
+        |  - name: mv_p
+        |    type: write
+        |    %s
+        |    write_target:
+        |      type: materialized_view
+        |      table: t
+        |      %s
+        |      watermark: %s
+        |""".stripMargin
+    assert(parseErr(base.format("sql: \"SELECT 1\"", "mode: incremental",
+      "{column: ts}")).contains("delay"))
+    assert(parseErr(base.format("sql: \"SELECT 1\"", "",
+      """{column: ts, delay: "1 hour"}""")).contains("mode: incremental"))
+    assert(parseErr(base.format("source: v", "mode: incremental",
+      """{column: ts, delay: "1 hour"}""")).contains("sql"))
+  }
+
+  test("dedup MV: top-level DISTINCT maintained by anti-join append, null-safe, exactly once") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/dmv_landing"
+    def land(rows: Seq[(String, java.lang.Long)]): Unit =
+      rows.toDF("k", "v").repartition(1).write.mode("append").json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: dmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "k STRING, v BIGINT"
+         |    target: v_ev
+         |  - name: mv
+         |    type: write
+         |    sql: "SELECT DISTINCT k, v FROM v_ev"
+         |    write_target: {type: materialized_view, table: dmv, mode: incremental}
+         |""".stripMargin
+    // batch A holds in-batch duplicates and a null-valued row
+    land(Seq(("a", 1L), ("a", 1L), ("b", 2L), ("n", null)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    def content() = store.read("dmv").select("k", "v")
+      .as[(String, Option[Long])].collect().toSet
+    assert(content() == Set(("a", Some(1L)), ("b", Some(2L)), ("n", None)))
+    // batch B re-sends every batch-A row (including the null, which a
+    // non-null-safe anti-join would duplicate forever) plus one new row —
+    // only the new row lands
+    land(Seq(("a", 1L), ("b", 2L), ("n", null), ("c", 3L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(content() == Set(("a", Some(1L)), ("b", Some(2L)), ("n", None), ("c", Some(3L))))
+    assert(store.read("dmv").count() == 4)
   }
 
   test("stream-static join: SQL transform enriches a stream with a dimension") {
