@@ -437,7 +437,8 @@ object Dedup {
   case object LocalCheckpoint extends IterCheckpoint
   case object ReliableCheckpoint extends IterCheckpoint
 
-  private def truncate(df: DataFrame, strategy: IterCheckpoint): DataFrame =
+  /** Shared by iterative operators outside this file too (BPE training). */
+  private[graft] def truncate(df: DataFrame, strategy: IterCheckpoint): DataFrame =
     strategy match {
       case LocalCheckpoint => df.localCheckpoint(eager = true)
       case ReliableCheckpoint =>

@@ -384,6 +384,14 @@ object LlmData {
     TextAnalysis.wordRarity(docs(s, dir), "doc_id", "text", rareThreshold = 2)
       .select("doc_id", "n_words", "sum_freq", "n_rare", "mean_freq", "rare_ratio")
 
+  /** BPE tokenizer training over the corpus — rows-only gate (an iterative
+    * merge ladder is not one-shot-SQL-expressible); pinned EXACT by
+    * BpeSpec's independent single-node reference trainer, the s2/s3
+    * precedent. Deterministic by the (count DESC, pair ASC) tie-break. */
+  def t11BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainDf(docs(s, dir), "text",
+      graft.text.Bpe.Options(numMerges = 32))
+
   /** Sequence packing: per-source contiguous fill of 2048-token shards. */
   def t8Packing(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packing(docs(s, dir), "doc_id", "text",
@@ -419,6 +427,7 @@ object LlmData {
     "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
     "t10_pack_concat" -> t10PackConcat,
+    "t11_bpe_train" -> t11BpeTrain,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,

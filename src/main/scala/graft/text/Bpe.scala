@@ -1,0 +1,174 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and encoding over a corpus — the
+  * tokenizer-construction step of an LLM data pipeline, distributed the way
+  * SentencePiece/GPT-2 BPE trainers actually work: merges are learned from
+  * the UNIQUE-WORD frequency table, not the raw corpus. The corpus (100 TB)
+  * is scanned exactly once to build `(word, freq)`; every training
+  * iteration then runs over the vocabulary table (unique words — orders of
+  * magnitude smaller, but still a DataFrame: distributed, spillable, never
+  * collected), so iteration cost is independent of corpus size.
+  *
+  * Per iteration:
+  *   1. adjacent symbol pairs explode per word, weighted by word freq, and
+  *      a map-side-combinable SUM picks the global top pair (one shuffle of
+  *      pair partials — pair-cardinality-sized, not corpus-sized). The only
+  *      `collect()` is the single winning row: metadata-scale by
+  *      construction.
+  *   2. the merge applies to every word's symbol array as an in-row
+  *      aggregate() fold (greedy left-to-right, the BPE contract:
+  *      "aaa" + (a,a) -> ["aa","a"]) — zero exchanges.
+  * Ties break (count DESC, left ASC, right ASC) so training is
+  * deterministic across cluster sizes and engines. Lineage is truncated
+  * every [[Bpe.Options.checkpointEvery]] rounds via the same
+  * local/reliable-checkpoint seam connected components uses
+  * ([[graft.dedup.Dedup.IterCheckpoint]]).
+  *
+  * Reference scope: the reference pipelines stop at token COUNTING
+  * (functions used by its quality metrics); training the tokenizer itself
+  * is part of this engine's beyond-reference curation surface (SURVEY LLM
+  * addendum), alongside dedup/sampling/packing.
+  */
+object Bpe {
+
+  final case class Options(
+      numMerges: Int = 64,
+      /** Stop early when the best pair's weighted count falls below this. */
+      minFreq: Long = 2L,
+      /** Truncate the vocab frame's lineage every N merges. */
+      checkpointEvery: Int = 8,
+      checkpoint: graft.dedup.Dedup.IterCheckpoint = graft.dedup.Dedup.LocalCheckpoint)
+
+  /** One learned merge: `rank` is the application order. */
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** The greedy left-to-right single-merge fold shared by training and the
+    * spec's oracle reasoning: carry the previous symbol; when (carry,s) is
+    * the merge pair, emit the merged token and clear the carry (a token
+    * merged THIS round never re-merges this round — the BPE contract). */
+  private def applyMergeColumn(sym: Column, l: String, r: String): Column = {
+    val init = struct(
+      expr("cast(array() as array<string>)").as("arr"),
+      lit(null).cast("string").as("carry"))
+    def flush(acc: Column): Column =
+      when(acc("carry").isNull, acc("arr"))
+        .otherwise(concat(acc("arr"), array(acc("carry"))))
+    aggregate(sym, init,
+      (acc, s) => when(acc("carry") <=> lit(l) && s <=> lit(r),
+          struct(concat(acc("arr"), array(lit(l + r))).as("arr"),
+            lit(null).cast("string").as("carry")))
+        .otherwise(struct(flush(acc).as("arr"), s.as("carry"))),
+      acc => flush(acc))
+  }
+
+  /** Build the `(sym: array<string>, freq: bigint)` vocabulary table —
+    * the ONE corpus scan. Whitespace tokenization, character-level start
+    * symbols (split-by-empty-pattern yields one element per character). */
+  def vocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("sym"), col("freq"))
+
+  /** Train merges; returns them in rank order. */
+  def train(df: DataFrame, textCol: String, opts: Options = Options()): Seq[Merge] = {
+    var cur = vocab(df, textCol).persist()
+    cur.count(): Unit
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var i = 0
+    while (!done && i < opts.numMerges) {
+      val top = cur.filter(size(col("sym")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(slice(sym, 1, size(sym)-1), (s, i) -> struct(s AS l, sym[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < opts.minFreq) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(i, l, r, c)
+        val mergedRaw = cur.select(
+          applyMergeColumn(col("sym"), l, r).as("sym"), col("freq"))
+        val merged =
+          (if ((i + 1) % opts.checkpointEvery == 0)
+             graft.dedup.Dedup.truncate(mergedRaw, opts.checkpoint)
+           else mergedRaw).persist()
+        merged.count(): Unit
+        cur.unpersist()
+        cur = merged
+        i += 1
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
+
+  /** [[train]] as a DataFrame, for registry/gate use. */
+  def trainDf(df: DataFrame, textCol: String, opts: Options = Options()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, opts).toDF("rank", "left", "right", "freq")
+  }
+
+  /** Encode texts with a trained merge list: per doc, whitespace words are
+    * split to characters and the merges apply in rank order (within each
+    * word, repeatedly merge the LOWEST-rank adjacent pair — the standard
+    * rank-priority BPE encoder, which reproduces training's greedy result).
+    * Per-row iterate-to-fixpoint logic has no Catalyst expression (the
+    * merge count is data-dependent), so this is a UDF over a broadcast
+    * rank map — the [[graft.multimodal.Multimodal]] precedent. Emits
+    * `(… , tokens array<string>, n_tokens int)`. */
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val spark = df.sparkSession
+    val ranksB = spark.sparkContext.broadcast(ranks)
+    val enc: UserDefinedFunction = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty).flatMap(encodeWord(_, ranksB.value))
+    }
+    df.withColumn("tokens", enc(col(textCol)))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
+  /** Rank-priority encoding of one word (exposed for the spec's
+    * cross-check against training's per-round greedy fold). */
+  private[text] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var sym = word.map(_.toString).toArray
+    var continue = sym.length >= 2
+    while (continue) {
+      // lowest-rank adjacent pair present in the word
+      var best = Int.MaxValue
+      var at = -1
+      var j = 0
+      while (j < sym.length - 1) {
+        val rk = ranks.getOrElse((sym(j), sym(j + 1)), Int.MaxValue)
+        if (rk < best) { best = rk; at = j }
+        j += 1
+      }
+      if (at < 0) continue = false
+      else {
+        // merge EVERY occurrence of that pair, greedy left-to-right —
+        // exactly one training round's fold restricted to this word
+        val out = mutable.ArrayBuffer.empty[String]
+        var k = 0
+        while (k < sym.length) {
+          if (k < sym.length - 1 && sym(k) == sym(at) && sym(k + 1) == sym(at + 1)) {
+            out += sym(k) + sym(k + 1); k += 2
+          } else { out += sym(k); k += 1 }
+        }
+        sym = out.toArray
+        continue = sym.length >= 2
+      }
+    }
+    sym
+  }
+}
