@@ -76,10 +76,18 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("sym"), col("freq"))
 
-  /** Train merges; returns them in rank order. */
+  /** Train merges; returns them in rank order.
+    *
+    * One Spark JOB per round: the pair-count collect. It materializes the
+    * current vocab generation into its cache as a side effect (the scan
+    * fills the lazy persist), so no dedicated count() job is needed — the
+    * PARENT generation stays cached until its child has materialized this
+    * way (a two-generation window), then unpersists. Dropping the parent
+    * eagerly would force the child's first scan to recompute the whole
+    * uncached chain from the corpus. */
   def train(df: DataFrame, textCol: String, opts: Options = Options()): Seq[Merge] = {
     var cur = vocab(df, textCol).persist()
-    cur.count(): Unit
+    var prev: Option[DataFrame] = None
     val merges = mutable.ArrayBuffer.empty[Merge]
     var done = false
     var i = 0
@@ -91,22 +99,25 @@ object Bpe {
         .agg(sum(col("freq")).as("c"))
         .orderBy(desc("c"), asc("l"), asc("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // cur just materialized; its parent can go
+      prev = Some(cur)
       if (top.isEmpty || top(0).getLong(2) < opts.minFreq) done = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(i, l, r, c)
         val mergedRaw = cur.select(
           applyMergeColumn(col("sym"), l, r).as("sym"), col("freq"))
+        // truncation rounds materialize eagerly (the checkpoint contract)
+        // and cap the lineage the lazy-persist window lets accumulate
         val merged =
           (if ((i + 1) % opts.checkpointEvery == 0)
              graft.dedup.Dedup.truncate(mergedRaw, opts.checkpoint)
            else mergedRaw).persist()
-        merged.count(): Unit
-        cur.unpersist()
         cur = merged
         i += 1
       }
     }
+    prev.foreach(_.unpersist())
     cur.unpersist()
     merges.toSeq
   }
