@@ -1095,6 +1095,63 @@ object Extras {
     store.read("q58_mv")
   }
 
+  /** Session-window MV through the watermarked incremental path —
+    * streaming sessionization made declarative: per-user sessions merge
+    * across runs in checkpointed state and emit exactly once when the
+    * watermark passes their end. The fixture splits events by TIME (not
+    * id), so run 2's rows are never late and the one cross-boundary case
+    * that matters — a session straddling the split, whose state must merge
+    * batch-B events into batch-A state before emission — is exercised by
+    * construction. The oracle recomputes sessions from all events
+    * (gaps-and-islands, the q42 formulation) and keeps those with
+    * end <= max(ts) - delay: a split, double-emitted, or
+    * dropped-at-the-boundary session hash-mismatches. */
+  def q60SessionMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q60")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q60
+         |flowgroup: smv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+         |    target: q60_v
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT user_id,
+         |             session_window.start AS session_start,
+         |             session_window.end AS session_end,
+         |             CAST(count(*) AS BIGINT) AS n_events,
+         |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         |      FROM q60_v GROUP BY user_id, session_window(ts, '30 minutes')
+         |    write_target:
+         |      type: materialized_view
+         |      table: q60_mv
+         |      mode: incremental
+         |      watermark: {column: ts, delay: "1 hour"}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q60|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+        .repartition(1).write.parquet(s"$root/a")
+      ev.filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+        .repartition(1).write.parquet(s"$root/b")
+    }
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q60_mv")
+  }
+
   /** Dedup-bearing MV through the gate — the fourth declared-incremental
     * MV shape: a top-level SELECT DISTINCT maintained by per-batch
     * anti-join append (the MV table IS the dedup state). The projection
@@ -1154,6 +1211,7 @@ object Extras {
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "q58_windowed_mv" -> q58WindowedMv,
     "q59_dedup_mv" -> q59DedupMv,
+    "q60_session_mv" -> q60SessionMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -1479,6 +1537,33 @@ object Extras {
         |FROM events, wm
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
         |GROUP BY 1""".stripMargin,
+    // q60's oracle recomputes full-data sessionization (the q42
+    // gaps-and-islands formulation) and keeps the watermark-finalized
+    // sessions — state-merge, emission, and exactly-once bugs all
+    // hash-mismatch
+    "q60_session_mv" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER win IS NULL
+        |           OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id,
+        |    min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.session_value
+        |FROM agg a, wm WHERE a.session_end <= wm.w""".stripMargin,
     // q59's oracle is the one-shot DISTINCT over all events: a duplicate
     // (replayed batch, non-null-safe anti-join) or dropped key
     // hash-mismatches
