@@ -870,21 +870,37 @@ final class PipelineRunner(
             "(readMode: stream / stream(...)) or drop mode: incremental")
         val mvFlowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
         dedup match {
-          case Some((_, keys)) =>
+          case Some((child, keys)) =>
             // dedup-bearing MV: batch-internal dedup, then a null-safe
             // anti-join against current MV content keeps only first-seen
             // rows/keys. Per-batch cost is one scan of the MV (output-
             // sized, the merge-whenNotMatched posture) — not of history.
             // appendBatch's (flow, batch) txn identity makes crash
             // replays no-ops even before the anti-join would.
+            //
+            // A full-row DISTINCT spans the columns the USER's dedup saw —
+            // the under-dedup child's output — NOT columns the wrappers
+            // injected above it (operational metadata's
+            // `_ingestion_timestamp`/`_pipeline_run_id` differ per run by
+            // construction; keying on them would re-append every row every
+            // run, silently unbounding the "dedup state = the MV" contract).
+            // The kept row carries its first-seen run's metadata, matching
+            // the full-refresh path where metadata attaches above Distinct.
+            val dedupCols =
+              if (keys.nonEmpty) keys
+              else child.columns.toSeq
             df.writeStream
               .foreachBatch { (batch: DataFrame, id: Long) =>
-                val d0 = if (keys.isEmpty) batch.distinct()
-                         else batch.dropDuplicates(keys)
+                val missing = dedupCols.filterNot(batch.columns.contains)
+                if (missing.nonEmpty) throw Planner.PlanError(
+                  s"materialized_view '${a.name}': dedup columns " +
+                    s"${missing.mkString(", ")} were removed by the declared " +
+                    "schema/row wrappers — keep the DISTINCT columns in the " +
+                    "target schema or omit mode: incremental")
+                val d0 = batch.dropDuplicates(dedupCols)
                 val fresh = store.readIfExists(a.table) match {
                   case Some(t) =>
-                    val jk = if (keys.isEmpty) d0.columns.toSeq else keys
-                    d0.join(t, jk.map(c => d0(c) <=> t(c)).reduce(_ && _),
+                    d0.join(t, dedupCols.map(c => d0(c) <=> t(c)).reduce(_ && _),
                       "left_anti")
                   case None => d0
                 }

@@ -218,6 +218,27 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"d14_semantic":$sem%.2f,"pq_index_build":$enc%.2f}""")
       cb.unpersist(); c.unpersist(): Unit
     }
+    // ---- tokenizer tier (r12): BPE training. The ONE corpus scan is the
+    // vocab build (expected ~linear in k); every merge round then runs over
+    // the UNIQUE-WORD frequency table, which replication barely grows (the
+    // same words at k× frequency, plus one `replicaN` marker word per
+    // replica) — so train time MINUS the embedded vocab scan should stay
+    // near-FLAT at 10× data. That flatness is the posture that makes
+    // tokenizer training feasible at 100 TB: iteration cost is proportional
+    // to the vocabulary, never the corpus.
+    println(f"""{"probe":"bpe_linearity","sf":"$sfDir","reps":$reps}""")
+    for (k <- Seq(1, reps)) {
+      val c = corpus(k).persist(); c.count()
+      val vocabT = med(time(graft.text.Bpe.vocab(c, "text")))
+      def trainOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.text.Bpe.train(c, "text", graft.text.Bpe.Options(numMerges = 16))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val trainT = med(trainOnce())
+      println(f"""{"k":$k,"rows":${c.count()},"bpe_vocab":$vocabT%.2f,"bpe_train16":$trainT%.2f,"bpe_rounds_net":${trainT - vocabT}%.2f}""")
+      c.unpersist(): Unit
+    }
     spark.stop()
   }
 }

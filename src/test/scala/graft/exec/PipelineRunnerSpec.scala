@@ -870,6 +870,52 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(store.read("dmv").count() == 4)
   }
 
+  test("dedup MV: operational metadata attaches without defeating the dedup") {
+    // _ingestion_timestamp/_pipeline_run_id differ per run BY CONSTRUCTION;
+    // a full-row DISTINCT that keyed on them would re-append every row every
+    // run. The dedup must span the USER's DISTINCT columns only, with the
+    // kept row carrying its first-seen run's metadata.
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/dmvm_landing"
+    def land(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("k", "v").repartition(1).write.mode("append").json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: dmvm
+         |operational_metadata: true
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "k STRING, v BIGINT"
+         |    target: v_ev
+         |  - name: mv
+         |    type: write
+         |    sql: "SELECT DISTINCT k, v FROM v_ev"
+         |    write_target: {type: materialized_view, table: dmvm, mode: incremental}
+         |""".stripMargin
+    land(Seq(("a", 1L), ("a", 1L), ("b", 2L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    // second run re-sends both rows and adds one: only the new row appends,
+    // and the kept rows RETAIN run 1's metadata (run id is per-RUNNER, so
+    // the per-run discriminator is the batch-time ingestion timestamp)
+    land(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val t = store.read("dmvm")
+    assert(t.count() == 3, "re-sent rows must not re-append under per-run metadata")
+    assert(t.select("k", "v").as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(t.columns.contains("_pipeline_run_id"))
+    val byTs = t.select("k", "_ingestion_timestamp")
+      .as[(String, java.sql.Timestamp)].collect().toMap
+    assert(byTs("a") == byTs("b") && byTs("c").after(byTs("a")),
+      "first-seen rows keep run 1's ingestion time; the new row carries run 2's")
+  }
+
   test("stream-static join: SQL transform enriches a stream with a dimension") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/ssj_landing"
