@@ -467,6 +467,25 @@ object YamlConfig {
                 Some(strSeq(c, "track_history_column_list")) else None,
             trackHistoryExceptColumnList = strSeq(c, "track_history_except_column_list"))
         }
+        // ingest-time bounded-state dedup: all three fields or none, and
+        // only on standard append flows (CDC merges already dedup by
+        // (key, sequence); a silent interaction would be the config class
+        // this parser refuses everywhere else)
+        val ddm = wt.get("dedup").map(asMap)
+        val ddKeys = ddm.map(strSeq(_, "keys")).getOrElse(Nil)
+        val ddCol = ddm.flatMap(str(_, "column"))
+        val ddWithin = ddm.flatMap(str(_, "within"))
+        ddm.foreach { _ =>
+          if (ddKeys.isEmpty || ddCol.isEmpty || ddWithin.isEmpty)
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': dedup needs keys, column, and within " +
+                "(bounded-state dedup has no full-row or unbounded form — " +
+                "use a dedup-bearing incremental materialized_view for that)"))
+          if (cdc.isDefined || snapMap.isDefined)
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': dedup only applies to standard append flows " +
+                "— CDC flows dedup by (key, sequence) inside the merge"))
+        }
         StreamingTableWrite(name,
           source = sourceSeq(m).headOption.getOrElse(""),
           table = table,
@@ -484,7 +503,8 @@ object YamlConfig {
           tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
           comment = comment, tags = tags, tagsFile = tagsFile,
           tableSchemaDdl = tableSchemaDdl,
-          expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())))
+          expectations = parseRules(m.getOrElse("expectations", new java.util.ArrayList[Any]())),
+          dedupKeys = ddKeys, dedupColumn = ddCol, dedupWithin = ddWithin)
       case "materialized_view" =>
         // declared-incremental join MVs are a two-stage contract: both
         // stages present, the join stage actually streaming. Absorbing a

@@ -1571,8 +1571,29 @@ final class PipelineRunner(
     lazy val src = {
       val src0raw = withOpMeta(a, resolveSource(a.source))
       val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
-      enforceDeclaredSchema(Expectations(src0, a.expectations),
+      val src1 = enforceDeclaredSchema(Expectations(src0, a.expectations),
         a.tableSchemaDdl, a.name, a.tagsFile)
+      // ingest-time bounded-state dedup (see the model's dedupKeys doc):
+      // state is checkpointed, so cross-RUN redeliveries within the
+      // horizon dedup too, and crash replays resume the same key state
+      a.dedupWithin match {
+        case None => src1
+        case Some(within) =>
+          val col = a.dedupColumn.get // parser guarantees the triple
+          if (!src1.isStreaming) throw Planner.PlanError(
+            s"streaming_table '${a.name}': dedup needs a streaming source " +
+              "(watermark-bounded state has no batch counterpart — batch " +
+              "flows can dropDuplicates in a transform)")
+          if (!src1.columns.contains(col)) throw Planner.PlanError(
+            s"streaming_table '${a.name}': dedup column '$col' is not in " +
+              s"the source (columns: ${src1.columns.mkString(", ")})")
+          val missing = a.dedupKeys.filterNot(src1.columns.contains)
+          if (missing.nonEmpty) throw Planner.PlanError(
+            s"streaming_table '${a.name}': dedup keys ${missing.mkString(", ")} " +
+              s"are not in the source (columns: ${src1.columns.mkString(", ")})")
+          src1.withWatermark(col, within)
+            .dropDuplicatesWithinWatermark(a.dedupKeys)
+      }
     }
     store.setProperties(a.table, a.tableProperties)
     def mkScdOpts(defaultSequenceBy: Seq[String]) = a.cdc.map(c => ScdMerge.Options(

@@ -380,6 +380,19 @@ final case class StreamingTableWrite(
       * outgoing rows are projected/cast to exactly these columns. */
     tableSchemaDdl: Option[String] = None,
     expectations: Seq[graft.operators.Expectations.Rule] = Nil,
+    /** Ingest-time dedup with BOUNDED state (`dedup: {keys, column,
+      * within}`): at-least-once sources (redeliveries, overlapping
+      * backfills) dedup by key against streaming state that Spark evicts
+      * once event time passes `column`'s watermark + `within` — state
+      * holds only the horizon's keys, never history (the 100 TB posture;
+      * duplicates separated by MORE than the horizon both survive, the
+      * documented trade). Standard append flows only: CDC flows already
+      * dedup by (key, sequence) inside the merge, and the unbounded-state
+      * alternative is the dedup-bearing incremental MV, whose state is the
+      * table itself. */
+    dedupKeys: Seq[String] = Nil,
+    dedupColumn: Option[String] = None,
+    dedupWithin: Option[String] = None,
     operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = Seq(source)

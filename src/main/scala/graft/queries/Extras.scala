@@ -1196,6 +1196,53 @@ object Extras {
     store.read("q59_mv")
   }
 
+  /** Ingest-time bounded-state dedup through the gate (`dedup: {keys,
+    * column, within}` on a streaming_table): the fixture duplicates every
+    * fifth event (exact copies) and splits the corpus by id parity into
+    * two runs, so the table is exactly-one-row-per-event only if BOTH
+    * in-batch dedup and checkpointed cross-run state work. The horizon is
+    * wider than the fixture's time span, so the DuckDB oracle is the plain
+    * source table: a surviving duplicate OR a row dropped as late
+    * hash-mismatches. Bounded-state eviction itself (duplicates beyond
+    * the horizon both surviving) is the documented trade, spec-pinned. */
+  def q61StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q61")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q61
+         |flowgroup: sdd
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+         |    target: q61_v
+         |  - name: w
+         |    type: write
+         |    source: q61_v
+         |    write_target:
+         |      type: streaming_table
+         |      table: q61_t
+         |      dedup: {keys: [event_id], column: ts, within: "3650 days"}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q61|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val dup = ev.unionByName(ev.filter(col("event_id") % 5 === 0))
+      dup.filter(col("event_id") % 2 === 0).write.parquet(s"$root/even")
+      dup.filter(col("event_id") % 2 === 1).write.parquet(s"$root/odd")
+    }
+    copyFixture(s"$fixture/even", landing, "even-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/odd", landing, "odd-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q61_t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1212,6 +1259,7 @@ object Extras {
     "q58_windowed_mv" -> q58WindowedMv,
     "q59_dedup_mv" -> q59DedupMv,
     "q60_session_mv" -> q60SessionMv,
+    "q61_stream_dedup" -> q61StreamDedup,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -1572,6 +1620,12 @@ object Extras {
         |       CASE WHEN user_id % 7 = 0 THEN CAST(NULL AS BIGINT)
         |            ELSE user_id % 50 END AS ub
         |FROM events""".stripMargin,
+    // q61's oracle is the plain source slice: the fixture's injected
+    // duplicates must all be dropped (in-batch and cross-run) and no row
+    // may be dropped as late, so any dedup or watermark bug changes the
+    // row set and hash-mismatches
+    "q61_stream_dedup" ->
+      "SELECT event_id, ts, event_type, value FROM events",
     // c1's oracle is the plain source table: any duplicate (checkpoint
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it

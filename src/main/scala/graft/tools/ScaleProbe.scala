@@ -50,6 +50,20 @@ object ScaleProbe {
     }
     def med(f: => Double): Double = Seq(f, f, f).sorted.apply(1)
 
+    // SPARK_GRAFT_PROBE=tier[,tier...] restricts to named tiers (same
+    // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
+    val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
+    val knownTiers = Set("docs", "relational", "ingest", "curation",
+      "semantic", "bpe")
+    tierFilter.foreach { t =>
+      val unknown = t -- knownTiers
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBE names unknown tiers: ${unknown.mkString(", ")} " +
+          s"(have: ${knownTiers.toSeq.sorted.mkString(", ")})")
+    }
+    def tierOn(name: String): Boolean = tierFilter.forall(_.contains(name))
+
+    if (tierOn("docs")) {
     println(f"""{"probe":"t6_d2_linearity","sf":"$sfDir","reps":$reps}""")
     for (k <- Seq(1, reps)) {
       val c = corpus(k).persist()
@@ -59,6 +73,7 @@ object ScaleProbe {
         n = 3, threshold = 0.6)))
       println(f"""{"k":$k,"rows":${c.count()},"t6_repetition":$t6%.2f,"d2_ngram_jaccard":$d2%.2f}""")
       c.unpersist(): Unit
+    }
     }
 
     // ---- relational tier: replicate the fact/dim tables with CONSISTENT
@@ -72,6 +87,7 @@ object ScaleProbe {
         keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * OFF)))
       }.reduce(_ unionByName _)
 
+    if (tierOn("relational")) {
     println(f"""{"probe":"relational_linearity","sf":"$sfDir","reps":$reps}""")
     for (k <- Seq(1, reps)) {
       // l_suppkey offsets too: the topk window partitions on it, and an
@@ -122,10 +138,12 @@ object ScaleProbe {
       println(f"""{"k":$k,"lineitem_rows":${li.count()},"q1_agg":$agg%.2f,"join_agg":$join%.2f,"sessionize":$sess%.2f,"topk":$topk%.2f}""")
       Seq(li, ord, cust, ev).foreach(_.unpersist())
     }
+    }
 
     // ---- ingest tier: avro decode (one task per file group, zero
     // shuffle — the ratio should track file count) and shuffle-sharding
     // (one hash exchange; shards sized to parallelism)
+    if (tierOn("ingest")) {
     println(f"""{"probe":"avro_shard_linearity","sf":"$sfDir","reps":$reps}""")
     for (k <- Seq(1, reps)) {
       val c = corpus(k).persist(); c.count()
@@ -147,6 +165,7 @@ object ScaleProbe {
       c.unpersist(): Unit
       graft.exec.Fs.deleteRecursively(new java.io.File(avroDir))
     }
+    }
 
     // ---- curation tier (r11 second session): span dedup, word rarity,
     // temperature mix. d10 compares k=2 vs k=reps — replicas share their
@@ -154,6 +173,7 @@ object ScaleProbe {
     // holding that regime constant makes the ratio measure data growth,
     // not a regime flip from sparse to dense duplication (k=1 vs k=10
     // would conflate both). t9/m6 run k=1 vs k=reps as usual.
+    if (tierOn("curation")) {
     println(f"""{"probe":"curation_linearity","sf":"$sfDir","reps":$reps}""")
     for (k <- Seq(2, reps)) {
       val c = corpus(k).persist(); c.count()
@@ -173,6 +193,7 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"t9_rarity":$rarity%.2f,"m6_mix":$mix%.2f}""")
       c.unpersist(): Unit
     }
+    }
     // ---- semantic tier (r12): cell-blocked near-dup (d14) + PQ encode.
     // Replicated embeddings are PERTURBED per replica with a deterministic
     // per-replica SIGN PATTERN (norm-preserving, direction-changing) so
@@ -189,6 +210,7 @@ object ScaleProbe {
     // scales with the corpus (bounded cell SIZE — the 100 TB posture);
     // codebook/PQ training is the train-once sidecar seam, hoisted out of
     // the timed region like the avro listing.
+    if (tierOn("semantic")) {
     println(f"""{"probe":"semantic_linearity","sf":"$sfDir","reps":$reps}""")
     def embCorpus(k: Int): DataFrame = {
       val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
@@ -218,6 +240,7 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"d14_semantic":$sem%.2f,"pq_index_build":$enc%.2f}""")
       cb.unpersist(); c.unpersist(): Unit
     }
+    }
     // ---- tokenizer tier (r12): BPE training. The ONE corpus scan is the
     // vocab build (expected ~linear in k); every merge round then runs over
     // the UNIQUE-WORD frequency table, which replication barely grows (the
@@ -226,6 +249,7 @@ object ScaleProbe {
     // near-FLAT at 10× data. That flatness is the posture that makes
     // tokenizer training feasible at 100 TB: iteration cost is proportional
     // to the vocabulary, never the corpus.
+    if (tierOn("bpe")) {
     println(f"""{"probe":"bpe_linearity","sf":"$sfDir","reps":$reps}""")
     for (k <- Seq(1, reps)) {
       val c = corpus(k).persist(); c.count()
@@ -238,6 +262,7 @@ object ScaleProbe {
       val trainT = med(trainOnce())
       println(f"""{"k":$k,"rows":${c.count()},"bpe_vocab":$vocabT%.2f,"bpe_train16":$trainT%.2f,"bpe_rounds_net":${trainT - vocabT}%.2f}""")
       c.unpersist(): Unit
+    }
     }
     spark.stop()
   }

@@ -916,6 +916,89 @@ class PipelineRunnerSpec extends SparkSuite {
       "first-seen rows keep run 1's ingestion time; the new row carries run 2's")
   }
 
+  test("streaming_table dedup: bounded-state ingest dedup, in-batch and cross-run") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/sdd_landing"
+    def land(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "ts", "v").repartition(1).write.mode("append").json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: sdd
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, ts TIMESTAMP, v BIGINT"
+         |    target: v_ev
+         |  - name: w
+         |    type: write
+         |    source: v_ev
+         |    write_target:
+         |      type: streaming_table
+         |      table: sdd
+         |      dedup: {keys: [id], column: ts, within: "1 hour"}
+         |""".stripMargin
+    // run 1: an in-batch redelivery of id 1 (same payload) dedups
+    land(Seq((1L, "2024-03-01 10:00:00", 10L), (1L, "2024-03-01 10:05:00", 10L),
+      (2L, "2024-03-01 10:10:00", 20L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    def ids() = store.read("sdd").select("id").as[Long].collect().sorted.toSeq
+    assert(ids() == Seq(1L, 2L))
+    // run 2: re-sends id 2 within the horizon (checkpointed state dedups
+    // across runs) plus a new id 3 — only 3 lands
+    land(Seq((2L, "2024-03-01 10:20:00", 20L), (3L, "2024-03-01 10:30:00", 30L)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(ids() == Seq(1L, 2L, 3L))
+    assert(store.read("sdd").count() == 3)
+  }
+
+  test("streaming_table dedup contract: refusals name the gap") {
+    val (runner, _, dir) = freshRunner()
+    // batch source: bounded-state dedup has no batch counterpart
+    Seq((1L, "2024-03-01 10:00:00")).toDF("id", "ts")
+      .createOrReplaceTempView("sddc_src")
+    val e1 = intercept[graft.plan.Planner.PlanError](runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: sddc
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: sddc_src}
+         |    target: v
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    write_target:
+         |      type: streaming_table
+         |      table: sddc
+         |      dedup: {keys: [id], column: ts, within: "1 hour"}
+         |""".stripMargin)))
+    assert(e1.getMessage.contains("streaming source"), e1.getMessage)
+    // parse-level: incomplete triple, and CDC interaction
+    def parseErr(wt: String): String =
+      intercept[graft.config.YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
+        s"""pipeline: p
+           |flowgroup: sddp
+           |actions:
+           |  - name: w
+           |    type: write
+           |    source: v
+           |    write_target:
+           |      type: streaming_table
+           |      table: t
+           |      $wt
+           |""".stripMargin)).getMessage
+    assert(parseErr("dedup: {keys: [id]}").contains("within"))
+    assert(parseErr(
+      """dedup: {keys: [id], column: ts, within: "1 hour"}
+        |      cdc_config: {keys: [id], sequence_by: [ts]}""".stripMargin)
+      .contains("append flows"))
+  }
+
   test("stream-static join: SQL transform enriches a stream with a dimension") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/ssj_landing"
