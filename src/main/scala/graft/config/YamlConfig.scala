@@ -386,6 +386,13 @@ object YamlConfig {
           quarantineSourceTable = str(qm, "source_table"),
           expectationsFile = str(m, "expectations_file"))
       case "temp_table" => TempTableTransform(name, target, sourceSeq(m).headOption.getOrElse(""))
+      case "watermark" => WatermarkTransform(name, target,
+        sourceSeq(m).headOption.getOrElse(throw ConfigError(
+          s"watermark transform '$name' missing source")),
+        column = str(m, "column").getOrElse(throw ConfigError(
+          s"watermark transform '$name' missing column")),
+        delay = str(m, "delay").getOrElse(throw ConfigError(
+          s"watermark transform '$name' missing delay")))
       case "python" | "function" => FunctionTransform(name, target, sourceSeq(m),
         functionClass = str(m, "function").orElse(str(m, "class"))
           .orElse(str(m, "function_name"))

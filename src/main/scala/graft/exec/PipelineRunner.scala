@@ -771,6 +771,19 @@ final class PipelineRunner(
       store.overwrite(tmp, resolveSource(a.source))
       register(a.target, withOpMeta(a, store.read(tmp)), streaming = false)
 
+    case a: WatermarkTransform =>
+      // a pure plan annotation: downstream SQL over the target view sees
+      // the watermark below its aggregation/join/dedup. Op-meta is NOT
+      // re-injected — the view is the source's rows, just annotated.
+      val src = resolveSource(a.source)
+      if (!src.isStreaming) throw Planner.PlanError(
+        s"watermark transform '${a.name}': source '${a.source}' is not a " +
+          "streaming view — a watermark on a batch frame is a silent no-op")
+      if (!src.columns.contains(a.column)) throw Planner.PlanError(
+        s"watermark transform '${a.name}': column '${a.column}' is not in " +
+          s"'${a.source}' (columns: ${src.columns.mkString(", ")})")
+      register(a.target, src.withWatermark(a.column, a.delay), streaming = true)
+
     case a: FunctionTransform =>
       val fn = plugin[TransformFunction](a.functionClass)
       register(a.target, withOpMeta(a, fn(a.source.map(resolveSource), spark, a.parameters)),
@@ -1490,7 +1503,8 @@ final class PipelineRunner(
             "append), dedup upstream in the streaming_table, or omit mode")
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
         refuse("a stream-stream join",
-          "land each side as a streaming_table first, or use mode: " +
+          "join the watermarked streams (transform_type: watermark) into a " +
+            "streaming_table first and aggregate THAT table, or use mode: " +
             "incremental_join with the fact side under stream(...)")
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.isStreaming && agg.aggregateExpressions.exists(_.collectFirst {

@@ -308,6 +308,25 @@ final case class TempTableTransform(
   def sources: Seq[String] = Seq(source)
 }
 
+/** Declare an event-time watermark on a streaming view
+  * (`transform_type: watermark` + `column`/`delay`): downstream consumers
+  * see `withWatermark(column, delay)` — the declaration that unlocks
+  * append-mode windowed aggregation, bounded-state dedup, and
+  * STREAM-STREAM JOINS (each side watermarked, a time-range join
+  * condition bounding the state horizon). A pure plan annotation — zero
+  * data movement; the DLT-Python counterpart is calling `withWatermark`
+  * inside a @dlt view function. */
+final case class WatermarkTransform(
+    name: String,
+    target: Option[String],
+    source: String,
+    column: String,
+    delay: String,
+    operationalMetadata: Option[OpMeta] = None,
+    dependsOn: Seq[String] = Nil) extends Action {
+  def sources: Seq[String] = Seq(source)
+}
+
 /** Plugin transform over 1..N source views. */
 final case class FunctionTransform(
     name: String,

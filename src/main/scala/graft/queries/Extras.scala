@@ -1243,6 +1243,70 @@ object Extras {
     store.read("q61_t")
   }
 
+  /** Stream-stream join through the gate: a watermark transform annotates
+    * the event stream, a SQL transform self-joins clicks to purchases per
+    * user within 30 minutes (the time-range condition that bounds join
+    * state), and the match stream appends to a streaming table. The
+    * fixture splits events by id parity into two runs, so pairs whose
+    * sides arrive in DIFFERENT runs only emit if the checkpointed join
+    * state holds across runs; the horizon exceeds the fixture span, so
+    * the DuckDB oracle is the plain batch join — a dropped cross-run
+    * match, a duplicate emission, or a late-dropped row hash-mismatches.
+    * Bounded-state eviction is the spec-pinned trade, as with q61. */
+  def q62StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q62")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q62
+         |flowgroup: ssj
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING"
+         |    target: q62_v
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: q62_v
+         |    target: q62_w
+         |    column: ts
+         |    delay: "3650 days"
+         |  - name: j
+         |    type: transform
+         |    transform_type: sql
+         |    source: q62_w
+         |    target: q62_j
+         |    sql: >
+         |      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+         |             a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+         |      FROM q62_w a JOIN q62_w b
+         |        ON a.user_id = b.user_id
+         |       AND a.event_type = 'click' AND b.event_type = 'purchase'
+         |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE
+         |  - name: w
+         |    type: write
+         |    source: q62_j
+         |    write_target: {type: streaming_table, table: q62_t}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q62|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .filter(col("event_type").isin("click", "purchase"))
+      ev.filter(col("event_id") % 2 === 0).write.parquet(s"$root/even")
+      ev.filter(col("event_id") % 2 === 1).write.parquet(s"$root/odd")
+    }
+    copyFixture(s"$fixture/even", landing, "even-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/odd", landing, "odd-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q62_t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1260,6 +1324,7 @@ object Extras {
     "q59_dedup_mv" -> q59DedupMv,
     "q60_session_mv" -> q60SessionMv,
     "q61_stream_dedup" -> q61StreamDedup,
+    "q62_stream_stream_join" -> q62StreamStreamJoin,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -1626,6 +1691,17 @@ object Extras {
     // row set and hash-mismatches
     "q61_stream_dedup" ->
       "SELECT event_id, ts, event_type, value FROM events",
+    // q62's oracle is the equivalent batch join: every (click, purchase)
+    // pair per user within 30 minutes, exactly once — a cross-run match
+    // dropped by lost join state, or a replayed batch's duplicate,
+    // hash-mismatches
+    "q62_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin,
     // c1's oracle is the plain source table: any duplicate (checkpoint
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it

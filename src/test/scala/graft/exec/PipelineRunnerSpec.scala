@@ -999,6 +999,99 @@ class PipelineRunnerSpec extends SparkSuite {
       .contains("append flows"))
   }
 
+  test("stream-stream join: watermark transforms unlock a time-bounded self-join across runs") {
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/ssw_landing"
+    def land(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("user_id", "ts", "kind").repartition(1).write.mode("append").json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: ssw
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "user_id BIGINT, ts TIMESTAMP, kind STRING"
+         |    target: v_raw
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: v_raw
+         |    target: v_wm
+         |    column: ts
+         |    delay: "2 hours"
+         |  - name: j
+         |    type: transform
+         |    transform_type: sql
+         |    source: v_wm
+         |    target: v_j
+         |    sql: >
+         |      SELECT a.user_id, a.ts AS click_ts, b.ts AS buy_ts
+         |      FROM v_wm a JOIN v_wm b
+         |        ON a.user_id = b.user_id AND a.kind = 'click' AND b.kind = 'buy'
+         |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES
+         |  - name: w
+         |    type: write
+         |    source: v_j
+         |    write_target: {type: streaming_table, table: ssw}
+         |""".stripMargin
+    // run 1: user 1 clicks; the matching buy has NOT arrived yet
+    land(Seq((1L, "2024-03-01 10:00:00", "click"), (2L, "2024-03-01 10:00:00", "click")))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.readIfExists("ssw").forall(_.count() == 0))
+    // run 2: user 1's buy arrives within the window — the checkpointed
+    // JOIN STATE must still hold run 1's click for the match to emit.
+    // User 2's buy is outside the 30-minute window: no match.
+    land(Seq((1L, "2024-03-01 10:20:00", "buy"), (2L, "2024-03-01 11:00:00", "buy")))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("ssw").select("user_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("watermark transform contract: batch source and unknown column refuse loudly") {
+    val (runner, _, _) = freshRunner()
+    Seq((1L, "2024-03-01 10:00:00")).toDF("id", "ts").createOrReplaceTempView("wmt_src")
+    def yaml(src: String, col: String) =
+      s"""pipeline: p
+         |flowgroup: wmt
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: wmt_src}
+         |    target: v_b
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: $src
+         |    target: v_o
+         |    column: $col
+         |    delay: "1 hour"
+         |  - name: w
+         |    type: write
+         |    source: v_o
+         |    write_target: {type: streaming_table, table: wmt_t}
+         |""".stripMargin
+    val e1 = intercept[graft.plan.Planner.PlanError](
+      runner.run(YamlConfig.parseFlowGroup(yaml("v_b", "ts"))))
+    assert(e1.getMessage.contains("not a streaming view"), e1.getMessage)
+    // parse-level: column/delay required
+    val e2 = intercept[graft.config.YamlConfig.ConfigError](YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: wmp
+        |actions:
+        |  - name: wm
+        |    type: transform
+        |    transform_type: watermark
+        |    source: v
+        |    target: o
+        |    delay: "1 hour"
+        |""".stripMargin))
+    assert(e2.getMessage.contains("column"))
+  }
+
   test("stream-static join: SQL transform enriches a stream with a dimension") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/ssj_landing"
