@@ -392,6 +392,21 @@ object LlmData {
     graft.text.Bpe.trainDf(docs(s, dir), "text",
       graft.text.Bpe.Options(numMerges = 32))
 
+  /** BPE ENCODING over the corpus with corpus-trained merges — the serving
+    * half of t11. The oracle pins losslessness per doc: md5 of the token
+    * concatenation must equal md5 of the whitespace-stripped source text
+    * (DuckDB recomputes the right side), so a dropped doc, a dropped or
+    * duplicated token, or a corrupted merge application hash-mismatches.
+    * WHICH merges apply where is pinned by BpeSpec (independent reference
+    * trainer + the rank-priority/training-replay equivalence). */
+  def t12BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = graft.text.Bpe.train(d, "text",
+      graft.text.Bpe.Options(numMerges = 16))
+    graft.text.Bpe.encode(d, "text", merges)
+      .select(col("doc_id"), md5(concat_ws("", col("tokens"))).as("detok_md5"))
+  }
+
   /** Sequence packing: per-source contiguous fill of 2048-token shards. */
   def t8Packing(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packing(docs(s, dir), "doc_id", "text",
@@ -428,6 +443,7 @@ object LlmData {
     "t9_word_rarity" -> t9WordRarity,
     "t10_pack_concat" -> t10PackConcat,
     "t11_bpe_train" -> t11BpeTrain,
+    "t12_bpe_encode" -> t12BpeEncode,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -677,6 +693,13 @@ object LlmData {
         |        / count(*), 6) AS rare_ratio
         |FROM tk JOIN vocab USING (w)
         |GROUP BY doc_id""".stripMargin,
+    // t12's oracle pins BPE-encode LOSSLESSNESS per doc: the token
+    // concatenation must md5-match the whitespace-stripped source text
+    // (segmentation itself is BpeSpec-pinned — no SQL engine can replay a
+    // merge ladder in one shot)
+    "t12_bpe_encode" ->
+      """SELECT doc_id, md5(regexp_replace(text, '\s+', '', 'g')) AS detok_md5
+        |FROM documents""".stripMargin,
     // s3 is a self-check: its correct output is EMPTY, pinned by a
     // schema-matching empty oracle (like the q9/q10 zero-violation tests).
     "s3_lsh_check" ->
