@@ -537,6 +537,35 @@ object YamlConfig {
         // fields present, mode incremental, and the aggregation in THIS
         // MV's sql (a watermark cannot be injected below an aggregation
         // already built by an upstream transform)
+        // declared partition-scoped recompute: both bound fields present,
+        // the mode named, and the batch sql to recompute — plus the
+        // physical-layout constraint (the table's partitioning IS the
+        // maintenance granularity, so a contradicting partition_columns
+        // would silently change which rows a refresh replaces)
+        val rc = wt.get("recompute").map(asMap)
+        val rcKeys = rc.map(strSeq(_, "keys")).getOrElse(Nil)
+        val rcView = rc.flatMap(str(_, "view"))
+        if (mode.contains("incremental_recompute")) {
+          if (rcKeys.isEmpty || rcView.isEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': mode incremental_recompute needs recompute: " +
+              "{keys: [...], view: <streaming view>} — the isolation keys " +
+              "and the delta stream that decides which keys changed"))
+          if (str(m, "sql").orElse(str(wt, "sql"))
+              .orElse(str(m, "sql_path")).orElse(str(wt, "sql_path")).isEmpty)
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': mode incremental_recompute needs sql (the " +
+                "batch query over the accumulated base table)"))
+          val pc = strSeq(wt, "partition_columns")
+          if (pc.nonEmpty && pc != rcKeys) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': partition_columns (${pc.mkString(", ")}) must be " +
+              s"empty or equal to recompute.keys (${rcKeys.mkString(", ")}) — " +
+              "the recompute keys are the physical replace granularity"))
+          if (wt.contains("watermark")) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': watermark does not apply with mode: " +
+              "incremental_recompute (the sql is batch; there is no " +
+              "event-time state to bound)"))
+        } else if (rc.isDefined) throw ConfigError(graft.ErrorCodes.ACT_010(
+          s"write '$name': recompute only applies with mode: incremental_recompute"))
         val wm = wt.get("watermark").map(asMap)
         val wmCol = wm.flatMap(str(_, "column"))
         val wmDelay = wm.flatMap(str(_, "delay"))
@@ -571,7 +600,10 @@ object YamlConfig {
         joinedSql = str(m, "joined_sql").orElse(str(wt, "joined_sql")),
         watermarkColumn = wmCol,
         watermarkDelay = wmDelay,
-        watermarkView = wm.flatMap(str(_, "view")))
+        watermarkView = wm.flatMap(str(_, "view")),
+        incrementalRecompute = str(wt, "mode").contains("incremental_recompute"),
+        recomputeKeys = rcKeys,
+        recomputeView = rcView)
       case "sink" =>
         // module_path is a Python import-path concept; JVM plugins resolve
         // from the classpath by class name — advisory, same split as above

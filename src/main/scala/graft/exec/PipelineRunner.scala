@@ -792,6 +792,87 @@ final class PipelineRunner(
     // ------------------------------------------------------------ writes
     case a: StreamingTableWrite => executeStreamingWrite(a)
 
+    case a: MaterializedViewWrite if a.incrementalRecompute =>
+      // Declared partition-scoped recompute (mode: incremental_recompute —
+      // see the model's scaladoc): the OVER-window MV shape that complete/
+      // append streaming maintenance cannot express. The sql is BATCH over
+      // the accumulated base table; recompute.view is the delta stream
+      // deciding WHICH keys changed. Each refresh recomputes only the
+      // affected keys' partitions from the current base — the key filter
+      // is a broadcast semi-join Catalyst pushes below the Window to the
+      // scan (PushDownLeftSemiAntiJoin; RecomputeMvSpec pins the plan) —
+      // and swaps them in via replacePartitions. Untouched partitions are
+      // never read or rewritten. Crash replays are self-healing: the base
+      // is fully written before this action runs (topo order), so
+      // recomputing a replayed batch's keys from the current base yields
+      // the final answer for those keys regardless of replay count.
+      applyFullRefresh(a.table, a.name)
+      val keys = a.recomputeKeys
+      val deltaView = a.recomputeView.get
+      val delta = resolveSource(deltaView)
+      if (!delta.isStreaming) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+        s"materialized_view '${a.name}' (mode: incremental_recompute): " +
+          s"recompute.view '$deltaView' is not a streaming view — the delta " +
+          "stream decides which keys changed; point it at the stream that " +
+          "feeds the base table"))
+      val missingDelta = keys.filterNot(k => delta.columns.exists(_.equalsIgnoreCase(k)))
+      if (missingDelta.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+        s"materialized_view '${a.name}' (mode: incremental_recompute): " +
+          s"recompute key(s) ${missingDelta.mkString(", ")} not in " +
+          s"recompute.view '$deltaView' (columns: ${delta.columns.mkString(", ")})"))
+      val sqlText = a.sql.orElse(a.sqlPath.map(readFile)).get
+      if (graft.plan.StreamRef.streamedViews(sqlText).nonEmpty)
+        throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+          s"materialized_view '${a.name}' (mode: incremental_recompute): the " +
+            "sql must be a BATCH query over the accumulated base table — the " +
+            "delta comes from recompute.view, not from stream(...) in the sql"))
+      val probe = spark.sql(sqlText)
+      if (probe.isStreaming) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+        s"materialized_view '${a.name}' (mode: incremental_recompute): the " +
+          "sql must be a BATCH query over the accumulated base table — the " +
+          "delta comes from recompute.view, not a streaming source in the sql"))
+      auditRecomputeShape(a.name, probe, keys)
+      // the wrapper stack is column-static: probe it ONCE here so a
+      // declared schema that drops a key is a plan-time PlanError, not a
+      // mid-stream failure wrapped in StreamingQueryException
+      locally {
+        val p0 = withOpMeta(a, probe)
+        val p1 = a.rowFilter.map(p0.filter).getOrElse(p0)
+        val p = enforceDeclaredSchema(Expectations(p1, a.expectations),
+          a.tableSchemaDdl, a.name, a.tagsFile)
+        val lost = keys.filterNot(k => p.columns.exists(_.equalsIgnoreCase(k)))
+        if (lost.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+          s"materialized_view '${a.name}': recompute key(s) " +
+            s"${lost.mkString(", ")} were removed by the declared schema/" +
+            "row wrappers — the keys are the replace granularity and " +
+            "must reach the table"))
+      }
+      delta.select(keys.map(col): _*).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val affected = batch.distinct()
+          val affectedRows = store.affectedValues(affected, keys)
+          if (affectedRows.nonEmpty) {
+            val recomputed = spark.sql(sqlText)
+              .join(broadcast(affected), keys, "left_semi")
+            // recomputed partitions carry THIS run's operational metadata —
+            // a partition rewrite is a fresh materialization of those rows
+            val df0 = withOpMeta(a, recomputed)
+            val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
+            val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
+              a.tableSchemaDdl, a.name, a.tagsFile)
+            store.replacePartitions(a.table,
+              clustered(df, a.clusterColumns, a.clusterStrategy), keys, affectedRows)
+          }
+        }
+        .option("checkpointLocation", checkpointFor(a.name))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      store.setProperties(a.table, a.tableProperties)
+      applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
+      store.readIfExists(a.table)
+        .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
+      hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
+
     case a: MaterializedViewWrite if a.incrementalJoin =>
       // Declared-incremental join MV (mode: incremental_join — see the
       // model's scaladoc). Stage 1 streams ONLY new fact rows through the
@@ -869,7 +950,10 @@ final class PipelineRunner(
         //     (per-batch anti-join against the MV table — the table IS
         //     the dedup state, so no data-sized streaming state exists)
         //   dim-join + aggregation (exact DISTINCT)  → incremental_join
-        //   OVER windows / nested dedup / stream-stream → full refresh
+        //   OVER windows, key-local                  → incremental_recompute
+        //     (partition-scoped recompute of affected keys over the
+        //     accumulated base; handled by the branch above)
+        //   nested dedup / stream-stream in the MV sql → full refresh
         //     only (omit mode) — the audit below REFUSES with an ACT-011
         //     naming the offending shape instead of letting Spark's
         //     UnsupportedOperationChecker surface an anonymous
@@ -1488,7 +1572,9 @@ final class PipelineRunner(
     // per microbatch with no streaming state — and must not be refused
     plan.foreach {
       case w: LWindow if w.isStreaming => refuse("a window function (OVER clause)",
-        "omit mode (full refresh) or restructure as a plain aggregation")
+        "use mode: incremental_recompute with recompute keys included in " +
+          "every PARTITION BY (partition-scoped recompute over the base " +
+          "table), or omit mode (full refresh)")
       // dedup at the MV's TOP level never reaches this audit — dedupTop
       // strips it for anti-join maintenance. A dedup reaching here is
       // NESTED (e.g. an aggregation over distinct rows): pulling it out
@@ -1538,6 +1624,84 @@ final class PipelineRunner(
           "finalized windows can emit, or drop the watermark for " +
           "complete-mode maintenance")
     }
+  }
+
+  /** Refuse `mode: incremental_recompute` MV sql that is not KEY-LOCAL —
+    * the soundness condition for partition-scoped recompute is that the MV
+    * rows for key value k are a pure function of base rows with key value
+    * k, so that recomputing only the affected keys' partitions reproduces
+    * the full-refresh answer. Audited on the analyzed plan:
+    *   - every Window's PARTITION BY and every Aggregate's GROUP BY must
+    *     include all keys as top-level attributes (an expression OF a key,
+    *     like `ub % 2`, groups across key values and is refused);
+    *   - keyed dropDuplicates must dedup on a superset of the keys; full-
+    *     row DISTINCT is key-local iff its input carries the keys;
+    *   - cross-key mixers — joins, set operations, LIMIT/OFFSET/TABLESAMPLE,
+    *     subquery expressions (a scalar subquery can read other
+    *     partitions' rows) — refuse with the supported alternative named.
+    * Row-local operators (Project/Filter/Generate/Sort) pass freely. */
+  private def auditRecomputeShape(actionName: String, df: DataFrame,
+      keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
+      Distinct, Except, GlobalLimit, Intersect, Join => LJoin, LocalLimit,
+      Offset, Sample, Tail, Union, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
+    val plan = df.queryExecution.analyzed
+    def refuse(shape: String, fix: String): Nothing = throw Planner.PlanError(
+      graft.ErrorCodes.ACT_011(s"materialized_view '$actionName' " +
+        s"(mode: incremental_recompute): $shape breaks key-locality — $fix"))
+    def topLevelAttrs(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] =
+      exprs.collect { case att: Attribute => att.name }
+    def missingFrom(names: Seq[String]): Seq[String] =
+      keys.filterNot(k => names.exists(_.equalsIgnoreCase(k)))
+    plan.foreach { node =>
+      node match {
+        case w: LWindow =>
+          val miss = missingFrom(topLevelAttrs(w.partitionSpec))
+          if (miss.nonEmpty) refuse(
+            s"a window function whose PARTITION BY omits recompute key(s) ${miss.mkString(", ")}",
+            "include every recompute key as a bare column in each OVER " +
+              "clause's PARTITION BY, or omit mode (full refresh)")
+        case agg: Aggregate =>
+          val miss = missingFrom(topLevelAttrs(agg.groupingExpressions))
+          if (miss.nonEmpty) refuse(
+            s"an aggregation whose GROUP BY omits recompute key(s) ${miss.mkString(", ")}",
+            "group by every recompute key as a bare column, or use mode: " +
+              "incremental (streaming aggregation) instead")
+        case d: Deduplicate =>
+          val miss = missingFrom(topLevelAttrs(d.keys))
+          if (miss.nonEmpty) refuse(
+            s"dropDuplicates on key(s) omitting recompute key(s) ${miss.mkString(", ")}",
+            "dedup on a superset of the recompute keys (the kept row is " +
+              "otherwise chosen across partitions)")
+        case d: Distinct =>
+          val miss = missingFrom(d.child.output.map(_.name))
+          if (miss.nonEmpty) refuse(
+            s"DISTINCT over rows that do not carry recompute key(s) ${miss.mkString(", ")}",
+            "keep the recompute keys in the DISTINCT projection")
+        case _: LJoin => refuse("a join",
+          "recompute maintenance tracks ONE base table's delta; use mode: " +
+            "incremental_join for dim-join aggregations, or omit mode")
+        case _: Union | _: Except | _: Intersect => refuse("a set operation",
+          "the delta stream cannot attribute changes across multiple " +
+            "inputs; materialize the combined base as its own table first")
+        case _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail =>
+          refuse("a LIMIT/OFFSET",
+            "a row cap selects across partitions; apply it in a downstream " +
+              "full-refresh view")
+        case _: Sample => refuse("TABLESAMPLE",
+          "sampling selects across partitions; sample downstream instead")
+        case _ =>
+      }
+      if (node.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+        refuse("a subquery expression",
+          "a subquery's result can depend on other partitions' rows; " +
+            "restructure as a key-local window or aggregate")
+    }
+    val missOut = keys.filterNot(k => df.columns.exists(_.equalsIgnoreCase(k)))
+    if (missOut.nonEmpty) refuse(
+      s"an output schema without recompute key(s) ${missOut.mkString(", ")}",
+      "the keys are the replace granularity and must be MV columns")
   }
 
   /** Drop a write target's table and this action's stream state when it is

@@ -475,6 +475,35 @@ final case class MaterializedViewWrite(
     /** Which streaming view carries the watermark. Optional when the sql
       * references exactly one registered streaming view. */
     watermarkView: Option[String] = None,
+    /** Partition-scoped recompute (`mode: incremental_recompute` +
+      * `recompute: {keys: [...], view: <streaming view>}`) — the fifth
+      * declared-incremental MV shape, covering OVER-clause window
+      * functions that complete/append streaming maintenance cannot
+      * express. The user declares:
+      *   - [[recomputeKeys]]: the isolation keys. The MV's (BATCH) sql
+      *     must be key-local: every OVER clause PARTITION BY and every
+      *     GROUP BY must include all keys, so rows of different key
+      *     values never interact and the MV rows for key k are a pure
+      *     function of the base rows with key k (audited on the analyzed
+      *     plan; violations refuse with ACT-011).
+      *   - [[recomputeView]]: the streaming view whose NEW rows define
+      *     which keys changed — by contract the same stream that feeds
+      *     the base table(s) the sql reads (the engine orders this MV
+      *     after those writes but cannot verify the correspondence; it
+      *     is the same declared-trust seam as incremental_join's
+      *     fact/dim split).
+      * Each refresh recomputes ONLY the affected keys' partitions from
+      * the current base (the key filter is a broadcast semi-join that
+      * Catalyst pushes below the window to the scan) and swaps them in
+      * atomically; untouched partitions are never read or rewritten.
+      * Crash replays are self-healing: recompute from the current base is
+      * idempotent. At 100 TB the keys must be of bounded cardinality
+      * (tenant, region, date bucket — e.g. a derived `user_id % 1024`
+      * column), because each distinct value is one physical partition;
+      * per-run cost is O(data under affected keys), not O(base). */
+    incrementalRecompute: Boolean = false,
+    recomputeKeys: Seq[String] = Nil,
+    recomputeView: Option[String] = None,
     operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq

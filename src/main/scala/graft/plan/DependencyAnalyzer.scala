@@ -107,7 +107,7 @@ object DependencyAnalyzer {
           // the engine-managed __joined companion, which is this MV's own
           // artifact, not a dependency — include the former, drop the latter
           // or the planner would order this MV against a phantom producer
-          m.sources ++
+          m.sources ++ m.recomputeView ++
             (m.sql.toSeq ++ m.joinedSql.toSeq).flatMap(tablesInSql(spark, _))
               .filterNot(n => n == s"${m.table}__joined" ||
                 n == s"${m.table.split('.').last}__joined") ++

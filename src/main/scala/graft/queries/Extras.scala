@@ -1307,6 +1307,83 @@ object Extras {
     store.read("q62_t")
   }
 
+  /** OVER-window MV through the gate (`mode: incremental_recompute`) — the
+    * fifth declared-incremental MV shape: per-user ranked/running window
+    * functions maintained by partition-scoped recompute. A bronze
+    * streaming_table accumulates the events; the MV's batch sql ranks them
+    * with OVER (PARTITION BY ub, user_id ...) where `ub = user_id % 50` is
+    * the bounded-cardinality recompute key. Run 2's delta touches ONLY
+    * ub < 10 (by construction), so the final table is correct only if
+    * (a) the touched buckets were recomputed over run-1 AND run-2 base
+    * rows together (a delta-only recompute would restart ranks), and
+    * (b) the 40 untouched buckets' partitions survived run 2 untouched
+    * (RecomputeMvSpec pins physically-untouched via file mtimes; here a
+    * clobbered or dropped partition hash-mismatches). The DuckDB oracle
+    * recomputes the windows over all events in one shot. */
+  def q63RecomputeMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q63")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q63
+         |flowgroup: rmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+         |    target: q63_v
+         |  - name: t
+         |    type: transform
+         |    transform_type: sql
+         |    source: q63_v
+         |    target: q63_e
+         |    sql: >
+         |      SELECT event_id, ts, user_id, value,
+         |             CAST(user_id % 50 AS BIGINT) AS ub
+         |      FROM q63_v
+         |  - name: w_base
+         |    type: write
+         |    source: q63_e
+         |    write_target: {type: streaming_table, table: q63_base}
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT ub, user_id, event_id, ts,
+         |             CAST(row_number() OVER
+         |               (PARTITION BY ub, user_id ORDER BY ts, event_id)
+         |               AS BIGINT) AS rn,
+         |             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+         |               (PARTITION BY ub, user_id ORDER BY ts, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS DOUBLE) AS running_value
+         |      FROM q63_base
+         |    write_target:
+         |      type: materialized_view
+         |      table: q63_mv
+         |      mode: incremental_recompute
+         |      recompute: {keys: [ub], view: q63_e}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q63|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      // run 2 = a delta touching only buckets 0..9, and only PART of those
+      // users' events — their earlier rows land in run 1, so the recompute
+      // must rank run-1 + run-2 base rows together
+      val late = col("user_id") % 50 < 10 && col("event_id") % 3 === 0
+      ev.filter(!late).repartition(1).write.parquet(s"$root/a")
+      ev.filter(late).repartition(1).write.parquet(s"$root/b")
+    }
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q63_mv")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1325,6 +1402,7 @@ object Extras {
     "q60_session_mv" -> q60SessionMv,
     "q61_stream_dedup" -> q61StreamDedup,
     "q62_stream_stream_join" -> q62StreamStreamJoin,
+    "q63_recompute_mv" -> q63RecomputeMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -1702,6 +1780,20 @@ object Extras {
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // q63's oracle recomputes the per-user windows over ALL events in one
+    // shot: a recompute that restarts ranks at the run boundary (delta-only
+    // instead of base-wide), clobbers an untouched bucket's partition, or
+    // re-appends instead of replacing, hash-mismatches
+    "q63_recompute_mv" ->
+      """SELECT CAST(user_id % 50 AS BIGINT) AS ub, user_id, event_id, ts,
+        |       CAST(row_number() OVER
+        |         (PARTITION BY user_id % 50, user_id ORDER BY ts, event_id)
+        |         AS BIGINT) AS rn,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+        |         (PARTITION BY user_id % 50, user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
     // c1's oracle is the plain source table: any duplicate (checkpoint
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it
