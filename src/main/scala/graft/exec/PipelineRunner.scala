@@ -1582,11 +1582,13 @@ final class PipelineRunner(
       case d: Deduplicate if d.isStreaming =>
         refuse("nested row deduplication (dropDuplicates below other operators)",
           "hoist the dedup to the MV's top level (maintained via anti-join " +
-            "append), dedup upstream in the streaming_table, or omit mode")
+            "append), dedup upstream in the streaming_table, use mode: " +
+            "incremental_recompute if the whole sql is key-local, or omit mode")
       case d: Distinct if d.isStreaming =>
         refuse("nested row deduplication (DISTINCT below other operators)",
           "hoist the dedup to the MV's top level (maintained via anti-join " +
-            "append), dedup upstream in the streaming_table, or omit mode")
+            "append), dedup upstream in the streaming_table, use mode: " +
+            "incremental_recompute if the whole sql is key-local, or omit mode")
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
         refuse("a stream-stream join",
           "join the watermarked streams (transform_type: watermark) into a " +

@@ -119,6 +119,33 @@ object LlmData {
     precision.unionByName(recallViol)
   }
 
+  /** The gate link graph: the documents table carries no URLs, so a
+    * deterministic pseudo-link derivation stands in — every doc links to
+    * `(doc_id*31 + k) mod N` for k∈{1,2,3} (N = doc count; ids are
+    * contiguous 0..N-1 in the fixtures, so every target exists and every
+    * node has out-degree 3). The DuckDB oracle derives the SAME edges, so
+    * the gate pins the centrality ALGORITHM; production edges would come
+    * from link extraction upstream. */
+  private def linkGraph(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    d.select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+      .select(col("src"), ((col("src") * 31 + col("k")) % n).as("dst"))
+  }
+
+  /** PageRank corpus-quality ranking (g1): 5 exact-integer iterations over
+    * the pseudo-link graph — bit-identical to the DuckDB oracle's unrolled
+    * recomputation because every operation is BIGINT (see
+    * [[graft.graph.Centrality.pageRank]]). */
+  def g1PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Centrality.pageRank(linkGraph(s, dir), "src", "dst",
+      iterations = 5)
+
+  /** Degree centrality baseline (g2) over the same graph. */
+  def g2Degrees(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Centrality.degrees(linkGraph(s, dir), "src", "dst")
+
   /** Dup-cluster canonicalization: connected components over the exact
     * n-gram Jaccard pair graph — every clustered doc with its keeper. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -438,6 +465,8 @@ object LlmData {
     "d12_span_cut" -> d12SpanCut,
     "d13_incremental_neardup" -> d13IncrementalNearDup,
     "d14_semantic_check" -> d14SemanticCheck,
+    "g1_pagerank" -> g1PageRank,
+    "g2_degrees" -> g2Degrees,
     "s7_filtered_topk" -> s7FilteredTopK,
     "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
@@ -456,6 +485,38 @@ object LlmData {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_redact" -> t5Redact,
     "t8_packing" -> t8Packing)
+
+  /** Shared CTEs deriving the g1/g2 pseudo-link graph in DuckDB — the
+    * SQL twin of [[linkGraph]]. */
+  private val linkGraphCtes: String =
+    """e AS (SELECT DISTINCT doc_id AS src,
+      |        (doc_id * 31 + k.k) % (SELECT count(*) FROM documents) AS dst
+      |      FROM documents, (VALUES (1), (2), (3)) k(k)),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""".stripMargin
+
+  /** The g1 oracle: `iters` PageRank rounds unrolled as chained CTEs
+    * (standard SQL forbids aggregation in a recursive term, so a recursive
+    * CTE cannot express the per-round regroup — unrolling can). Constants
+    * mirror Centrality.pageRank's defaults: scale 1e12, damping 85/100,
+    * teleport base = 1e12*15/100. Every level CASTs back to BIGINT because
+    * DuckDB widens SUM/products to HUGEINT. */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |      SELECT e.dst AS node, SUM(r.rank // dg.d) AS m
+         |      FROM r${i - 1} r JOIN dg ON r.node = dg.src
+         |      JOIN e ON e.src = r.node
+         |      GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, rank AS rank_scaled FROM r$iters""".stripMargin
+  }
 
   private val exactJaccardSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -728,6 +789,21 @@ object LlmData {
     "d14_semantic_check" ->
       """SELECT vec_id AS id_a, vec_id AS id_b, 'x' AS reason, 0.0 AS value
         |FROM embeddings WHERE 1 = 0""".stripMargin,
+    // g1: DuckDB unrolls the 5 exact-integer PageRank iterations over the
+    // same derived edges — every op is BIGINT (// = integer division), so
+    // the engines agree bit-for-bit; any float sneaking into the Spark
+    // path, a wrong damping floor, or a missed contribution hash-mismatches
+    "g1_pagerank" -> pageRankOracle(5),
+    "g2_degrees" ->
+      s"""WITH $linkGraphCtes,
+         |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+         |      FROM e GROUP BY src),
+         |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS c
+         |      FROM e GROUP BY dst)
+         |SELECT n.node, CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+         |       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+         |FROM nodes n LEFT JOIN o ON n.node = o.node
+         |LEFT JOIN i ON n.node = i.node""".stripMargin,
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

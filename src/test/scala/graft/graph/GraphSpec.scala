@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Centrality operators: exact-integer PageRank equivalence against an
+  * independent driver-side reference, partitioning-independence (the
+  * property the integer arithmetic buys), dangling redistribution, the
+  * overflow guard, and degrees. The cross-engine leg is the g1/g2 DuckDB
+  * gates. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Independent quadratic reference with the same integer formula. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = nodes.map(_ -> Scale).toMap
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filterNot(deg.contains).map(rank).sum
+      val share = 85L * (dangling / n) / 100L
+      val in = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum }
+      rank = nodes.map(v =>
+        v -> (Scale * 15 / 100 + share + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      parts: Int = 3): Map[Long, Long] =
+    Centrality.pageRank(
+      edges.toDF("src", "dst").repartition(parts), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-node cycle is a fixed point at exactly Scale") {
+    val got = run(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(got == Map(1L -> Scale, 2L -> Scale))
+  }
+
+  test("matches the independent reference on a graph with a dangling node") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (0L, 3L),
+      (4L, 2L), (4L, 5L)) // 5 has no out-edges → dangling mass
+    for (iters <- Seq(0, 1, 4))
+      assert(run(edges, iters) == refPageRank(edges, iters),
+        s"diverged from reference at $iters iterations")
+  }
+
+  test("bit-identical across partitionings (the exact-integer property)") {
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 60), (i, (i * 13 + 5) % 60)))
+    assert(run(edges, 4, parts = 1) == run(edges, 4, parts = 11))
+    assert(run(edges, 4, parts = 1) == refPageRank(edges, 4))
+  }
+
+  test("duplicate edges collapse; self-loops feed their own node") {
+    // dedup: a duplicated edge must not double its contribution
+    assert(run(Seq((1L, 2L), (1L, 2L), (2L, 1L)), 3) ==
+      refPageRank(Seq((1L, 2L), (2L, 1L)), 3))
+    // self-loop: 1→1 keeps its mass; 2→1 drains into it
+    val self = run(Seq((1L, 1L), (2L, 1L)), 2)
+    assert(self == refPageRank(Seq((1L, 1L), (2L, 1L)), 2))
+    assert(self(1L) > self(2L))
+  }
+
+  test("overflow guard refuses loudly instead of wrapping") {
+    val e = intercept[IllegalArgumentException](
+      Centrality.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        iterations = 1, scale = Long.MaxValue / 2))
+    assert(e.getMessage.contains("overflow") && e.getMessage.contains("scale"))
+  }
+
+  test("degrees counts raw edge rows per side, zero-filled") {
+    val got = Centrality.degrees(
+      Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((1L, 2L)), 3L -> ((0L, 1L))))
+  }
+
+  test("g1 gate query agrees with the reference on the derived link graph") {
+    val n = graft.sources.Tables.load(spark, sf0001, "documents").count()
+    val edges = (0L until n).flatMap(i =>
+      (1L to 3L).map(k => (i, (i * 31 + k) % n)))
+    val got = graft.queries.LlmData.g1PageRank(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 5))
+  }
+}
