@@ -54,7 +54,7 @@ object ScaleProbe {
     // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
-      "semantic", "bpe")
+      "semantic", "bpe", "graph")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -262,6 +262,34 @@ object ScaleProbe {
       val trainT = med(trainOnce())
       println(f"""{"k":$k,"rows":${c.count()},"bpe_vocab":$vocabT%.2f,"bpe_train16":$trainT%.2f,"bpe_rounds_net":${trainT - vocabT}%.2f}""")
       c.unpersist(): Unit
+    }
+    }
+
+    // ---- graph tier (r12 continuation): exact-integer PageRank. Replicas
+    // are DISJOINT subgraphs (both endpoints offset per replica), so 10×
+    // data is 10× nodes and 10× edges with the same round count — per-round
+    // cost is one ranks⋈edges shuffle pair, expected ~linear in k and
+    // nothing superlinear (a superlinear mover here would mean a plan
+    // regression in the iteration body, e.g. lineage re-execution past the
+    // checkpoint seam).
+    if (tierOn("graph")) {
+    println(f"""{"probe":"graph_linearity","sf":"$sfDir","reps":$reps}""")
+    val ids = docs.select(col("doc_id"))
+    val nBase = ids.count()
+    val baseEdges = ids.select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("kk"))
+      .select(col("src"), ((col("src") * 31 + col("kk")) % nBase).as("dst"))
+    def edgeGraph(k: Int): DataFrame =
+      (0 until k).map(i => baseEdges.select(
+        (col("src") + lit(i.toLong * 100000000L)).as("src"),
+        (col("dst") + lit(i.toLong * 100000000L)).as("dst")))
+        .reduce(_ unionByName _)
+    for (k <- Seq(1, reps)) {
+      val e = edgeGraph(k).persist(); e.count()
+      val prT = med(time(
+        graft.graph.Centrality.pageRank(e, "src", "dst", iterations = 5)))
+      println(f"""{"k":$k,"edges":${e.count()},"pagerank5":$prT%.2f}""")
+      e.unpersist(): Unit
     }
     }
     spark.stop()
