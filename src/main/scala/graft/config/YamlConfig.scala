@@ -548,8 +548,8 @@ object YamlConfig {
         if (mode.contains("incremental_recompute")) {
           if (rcKeys.isEmpty || rcView.isEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
             s"write '$name': mode incremental_recompute needs recompute: " +
-              "{keys: [...], view: <streaming view>} — the isolation keys " +
-              "and the delta stream that decides which keys changed"))
+              "{keys: [...], view: <base table or streaming view>} — the " +
+              "isolation keys and the delta deciding which keys changed"))
           if (str(m, "sql").orElse(str(wt, "sql"))
               .orElse(str(m, "sql_path")).orElse(str(wt, "sql_path")).isEmpty)
             throw ConfigError(graft.ErrorCodes.ACT_010(

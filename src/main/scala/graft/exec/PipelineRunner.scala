@@ -809,12 +809,37 @@ final class PipelineRunner(
       applyFullRefresh(a.table, a.name)
       val keys = a.recomputeKeys
       val deltaView = a.recomputeView.get
-      val delta = resolveSource(deltaView)
+      // Delta resolution. recompute.view naming a WRITTEN TABLE (the base
+      // itself) is the recommended form: the delta stream then reads the
+      // base's own files, so a key is flagged iff its rows are already IN
+      // the base. A view-based delta shares the SOURCE with the base write
+      // through two independent checkpoints — a file landing between the
+      // base stream finishing and the delta stream starting is consumed
+      // against a base that lacks its rows, and those keys go permanently
+      // stale. View-based stays supported for bases the engine does not
+      // manage, with that caveat on the model scaladoc.
+      val delta: DataFrame =
+        if (!views.contains(deltaView) && !streamingViews.contains(deltaView) &&
+            store.exists(deltaView)) {
+          if (store.getMeta(deltaView, "rewritten").isDefined)
+            throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+              s"materialized_view '${a.name}' (mode: incremental_recompute): " +
+                s"base table '$deltaView' is rewritten by merges — a file " +
+                "stream re-reads rewritten files; stream its __changes " +
+                "companion (change_log: true) as the delta instead"))
+          spark.readStream.schema(store.read(deltaView).schema)
+            .parquet(store.path(deltaView))
+        } else if (views.contains(deltaView)) resolveSource(deltaView)
+        else throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+          s"materialized_view '${a.name}' (mode: incremental_recompute): " +
+            s"recompute.view '$deltaView' names neither a registered view " +
+            "nor a written table — point it at the base table (recommended) " +
+            "or the stream that feeds it"))
       if (!delta.isStreaming) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
         s"materialized_view '${a.name}' (mode: incremental_recompute): " +
           s"recompute.view '$deltaView' is not a streaming view — the delta " +
-          "stream decides which keys changed; point it at the stream that " +
-          "feeds the base table"))
+          "stream decides which keys changed; point it at the base table " +
+          "or the stream that feeds it"))
       val missingDelta = keys.filterNot(k => delta.columns.exists(_.equalsIgnoreCase(k)))
       if (missingDelta.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
         s"materialized_view '${a.name}' (mode: incremental_recompute): " +
@@ -832,15 +857,21 @@ final class PipelineRunner(
           "sql must be a BATCH query over the accumulated base table — the " +
           "delta comes from recompute.view, not a streaming source in the sql"))
       auditRecomputeShape(a.name, probe, keys)
+      // ONE wrapper stack shared by the plan-time probe and the per-batch
+      // path — drift between the two would make the probe validate a
+      // different pipeline than the one that writes
+      def wrapMv(df0: DataFrame): DataFrame = {
+        val d1 = withOpMeta(a, df0)
+        val d2 = a.rowFilter.map(d1.filter).getOrElse(d1)
+        enforceDeclaredSchema(Expectations(d2, a.expectations),
+          a.tableSchemaDdl, a.name, a.tagsFile)
+      }
       // the wrapper stack is column-static: probe it ONCE here so a
       // declared schema that drops a key is a plan-time PlanError, not a
       // mid-stream failure wrapped in StreamingQueryException
       locally {
-        val p0 = withOpMeta(a, probe)
-        val p1 = a.rowFilter.map(p0.filter).getOrElse(p0)
-        val p = enforceDeclaredSchema(Expectations(p1, a.expectations),
-          a.tableSchemaDdl, a.name, a.tagsFile)
-        val lost = keys.filterNot(k => p.columns.exists(_.equalsIgnoreCase(k)))
+        val lost = keys.filterNot(k =>
+          wrapMv(probe).columns.exists(_.equalsIgnoreCase(k)))
         if (lost.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
           s"materialized_view '${a.name}': recompute key(s) " +
             s"${lost.mkString(", ")} were removed by the declared schema/" +
@@ -852,16 +883,22 @@ final class PipelineRunner(
           val affected = batch.distinct()
           val affectedRows = store.affectedValues(affected, keys)
           if (affectedRows.nonEmpty) {
+            // NULL-SAFE key match: a NULL key value is a real partition
+            // (Hive's __HIVE_DEFAULT_PARTITION__) and replacePartitions
+            // WILL drop its directory when it is in the affected set — an
+            // EqualTo semi-join would never re-emit those rows, silently
+            // deleting the null partition instead of recomputing it
+            val aff = affected.select(
+              keys.map(k => col(k).as(s"__aff_$k")): _*)
+            val cond = keys.map(k => col(k) <=> col(s"__aff_$k"))
+              .reduce(_ && _)
             val recomputed = spark.sql(sqlText)
-              .join(broadcast(affected), keys, "left_semi")
+              .join(broadcast(aff), cond, "left_semi")
             // recomputed partitions carry THIS run's operational metadata —
             // a partition rewrite is a fresh materialization of those rows
-            val df0 = withOpMeta(a, recomputed)
-            val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
-            val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
-              a.tableSchemaDdl, a.name, a.tagsFile)
             store.replacePartitions(a.table,
-              clustered(df, a.clusterColumns, a.clusterStrategy), keys, affectedRows)
+              clustered(wrapMv(recomputed), a.clusterColumns, a.clusterStrategy),
+              keys, affectedRows)
           }
         }
         .option("checkpointLocation", checkpointFor(a.name))
@@ -1647,7 +1684,7 @@ final class PipelineRunner(
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
       Distinct, Except, GlobalLimit, Intersect, Join => LJoin, LocalLimit,
       Offset, Sample, Tail, Union, Window => LWindow}
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, SubqueryExpression}
     val plan = df.queryExecution.analyzed
     def refuse(shape: String, fix: String): Nothing = throw Planner.PlanError(
       graft.ErrorCodes.ACT_011(s"materialized_view '$actionName' " +
@@ -1699,6 +1736,26 @@ final class PipelineRunner(
         refuse("a subquery expression",
           "a subquery's result can depend on other partitions' rows; " +
             "restructure as a key-local window or aggregate")
+      // NAME-CAPTURE guard: the checks above match keys by NAME, so an
+      // Alias (re)defining a key's name anywhere in the plan — `SELECT
+      // CAST(ub % 2 AS BIGINT) AS ub FROM base` in a subquery, or `SELECT
+      // other AS ub` — would let a window partition by something that is
+      // NOT the delta's key column, silently breaking the affected-keys ↔
+      // partitions correspondence. Only a pure pass-through rename to the
+      // same name is exempt; derived keys must be materialized onto the
+      // base table upstream (where the delta stream carries them too).
+      node.expressions.foreach(_.foreach {
+        case al: Alias if keys.exists(_.equalsIgnoreCase(al.name)) &&
+            !(al.child match {
+              case att: Attribute => att.name.equalsIgnoreCase(al.name)
+              case _ => false
+            }) =>
+          refuse(s"an alias redefining recompute key '${al.name}'",
+            "the key must reach the windows unchanged from the base " +
+              "table; compute derived keys upstream so the base table and " +
+              "the delta stream both carry them")
+        case _ =>
+      })
     }
     val missOut = keys.filterNot(k => df.columns.exists(_.equalsIgnoreCase(k)))
     if (missOut.nonEmpty) refuse(

@@ -486,12 +486,16 @@ final case class MaterializedViewWrite(
       *     values never interact and the MV rows for key k are a pure
       *     function of the base rows with key k (audited on the analyzed
       *     plan; violations refuse with ACT-011).
-      *   - [[recomputeView]]: the streaming view whose NEW rows define
-      *     which keys changed — by contract the same stream that feeds
-      *     the base table(s) the sql reads (the engine orders this MV
-      *     after those writes but cannot verify the correspondence; it
-      *     is the same declared-trust seam as incremental_join's
-      *     fact/dim split).
+      *   - [[recomputeView]]: where the NEW rows that define which keys
+      *     changed come from. Name the BASE TABLE itself (recommended):
+      *     the delta then streams the base's own files, so a key is
+      *     flagged iff its rows are already IN the base. Naming a
+      *     streaming VIEW is supported for bases the engine does not
+      *     manage, with a caveat: the view shares the source with the
+      *     base write through two independent checkpoints, so a file
+      *     landing between the base stream finishing and the delta
+      *     stream starting is consumed against a base that lacks its
+      *     rows, and those keys stay stale until re-touched.
       * Each refresh recomputes ONLY the affected keys' partitions from
       * the current base (the key filter is a broadcast semi-join that
       * Catalyst pushes below the window to the scan) and swaps them in

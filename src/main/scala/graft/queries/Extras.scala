@@ -1365,7 +1365,7 @@ object Extras {
          |      type: materialized_view
          |      table: q63_mv
          |      mode: incremental_recompute
-         |      recompute: {keys: [ub], view: q63_e}
+         |      recompute: {keys: [ub], view: q63_base}
          |""".stripMargin
     val fixture = fixtureOnce(s"q63|$dir") { root =>
       val ev = Tables.load(s, dir, "events")

@@ -128,11 +128,30 @@ object LlmData {
     * from link extraction upstream. */
   private def linkGraph(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"))
-    val n = d.count()
-    d.select(col("doc_id").as("src"),
+    val (n, lo, hi) = {
+      val r = d.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // the DuckDB oracle omits the dangling-mass term, which is sound ONLY
+    // while every derived dst is an existing node — guaranteed by
+    // contiguous 0..N-1 ids. Pin that assumption loudly so a fixture
+    // regeneration with filtered/1-based ids fails HERE, naming the
+    // oracle-side assumption, instead of hash-mismatching mysteriously.
+    require(lo == 0 && hi == n - 1,
+      s"g1/g2 link-graph derivation needs contiguous 0..N-1 doc_ids " +
+        s"(got min=$lo max=$hi n=$n) — non-contiguous ids create dangling " +
+        "nodes the DuckDB oracle does not model")
+    deriveLinkEdges(d, "doc_id", n)
+  }
+
+  /** The raw `(id*31+k) mod n, k∈{1,2,3}` edge derivation — ONE definition
+    * shared by [[linkGraph]] (gates) and the ScaleProbe graph tier, twinned
+    * by [[linkGraphCtes]] in SQL; changing it means changing all three. */
+  private[graft] def deriveLinkEdges(ids: DataFrame, idCol: String,
+      n: Long): DataFrame =
+    ids.select(col(idCol).as("src"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
       .select(col("src"), ((col("src") * 31 + col("k")) % n).as("dst"))
-  }
 
   /** PageRank corpus-quality ranking (g1): 5 exact-integer iterations over
     * the pseudo-link graph — bit-identical to the DuckDB oracle's unrolled

@@ -276,9 +276,9 @@ object ScaleProbe {
     println(f"""{"probe":"graph_linearity","sf":"$sfDir","reps":$reps}""")
     val ids = docs.select(col("doc_id"))
     val nBase = ids.count()
-    val baseEdges = ids.select(col("doc_id").as("src"),
-        explode(array(lit(1L), lit(2L), lit(3L))).as("kk"))
-      .select(col("src"), ((col("src") * 31 + col("kk")) % nBase).as("dst"))
+    // the gate graph's one shared derivation (LlmData.deriveLinkEdges) —
+    // the probe must benchmark the same graph family the gates pin
+    val baseEdges = graft.queries.LlmData.deriveLinkEdges(ids, "doc_id", nBase)
     def edgeGraph(k: Int): DataFrame =
       (0 until k).map(i => baseEdges.select(
         (col("src") + lit(i.toLong * 100000000L)).as("src"),

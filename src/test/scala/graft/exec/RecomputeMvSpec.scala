@@ -113,10 +113,11 @@ class RecomputeMvSpec extends SparkSuite {
 
   test("the affected-key filter pushes below the Window to the scan (semi-join pushdown)") {
     Seq((1L, 0L), (2L, 1L)).toDF("id", "ub").createOrReplaceTempView("rmv_base_pd")
-    val keys = Seq(0L).toDF("ub")
+    // the production shape: null-safe condition join on aliased key columns
+    val keys = Seq(0L).toDF("ub").select(col("ub").as("__aff_ub"))
     val filtered = spark.sql(
       "SELECT ub, id, row_number() OVER (PARTITION BY ub ORDER BY id) AS rn FROM rmv_base_pd")
-      .join(broadcast(keys), Seq("ub"), "left_semi")
+      .join(broadcast(keys), col("ub") <=> col("__aff_ub"), "left_semi")
     val windows = filtered.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
@@ -194,6 +195,75 @@ class RecomputeMvSpec extends SparkSuite {
     assert(e.getMessage.contains("not a streaming view"))
     val mKeys = refusal(goodSql, recompute = "{keys: [nope], view: e}")
     assert(mKeys.contains("nope") && mKeys.contains("not in"))
+  }
+
+  test("a NULL delta key recomputes the null partition instead of deleting it") {
+    // ub NULL is a real Hive partition (__HIVE_DEFAULT_PARTITION__): the
+    // affected set includes it (replacePartitions WILL drop its dir), so
+    // the key semi-join must be null-safe or the rows vanish silently
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    val yaml =
+      s"""pipeline: rmvn
+         |flowgroup: fg
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "id BIGINT, ts TIMESTAMP, v DOUBLE"
+         |    target: raw
+         |  - name: t
+         |    type: transform
+         |    transform_type: sql
+         |    source: raw
+         |    target: e
+         |    sql: "SELECT id, ts, v, CASE WHEN id % 3 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(id % 4 AS BIGINT) END AS ub FROM raw"
+         |  - name: w_base
+         |    type: write
+         |    source: e
+         |    write_target: {type: streaming_table, table: base}
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      $goodSql
+         |    write_target:
+         |      type: materialized_view
+         |      table: mv
+         |      mode: incremental_recompute
+         |      recompute: {keys: [ub], view: base}
+         |""".stripMargin
+    writeRows(landing, Seq((0L, "2024-01-01 00:00:00", 1.0), // ub NULL
+      (1L, "2024-01-01 00:01:00", 2.0)))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("mv").filter(col("ub").isNull).count() == 1)
+    // run 2's delta has another NULL-ub row: the null partition must be
+    // RECOMPUTED over both rows, not dropped
+    writeRows(landing, Seq((3L, "2024-01-01 00:02:00", 3.0))) // ub NULL
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    val nulls = store.read("mv").filter(col("ub").isNull)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nulls == Map(0L -> 1L, 3L -> 2L),
+      s"null partition must hold both rows ranked together, got $nulls")
+  }
+
+  test("an alias redefining the key inside a subquery is refused (name capture)") {
+    val m = refusal(
+      "SELECT ub, id, row_number() OVER (PARTITION BY ub ORDER BY id) AS rn " +
+        "FROM (SELECT CAST(ub % 2 AS BIGINT) AS ub, id FROM base)")
+    assert(m.contains("alias redefining recompute key"), m)
+    val m2 = refusal(
+      "SELECT ub, id, row_number() OVER (PARTITION BY ub ORDER BY id) AS rn " +
+        "FROM (SELECT id AS ub, id FROM base)")
+    assert(m2.contains("alias redefining recompute key"), m2)
+  }
+
+  test("recompute.view naming nothing refuses with the route named") {
+    val m = refusal(goodSql, recompute = "{keys: [ub], view: nope}")
+    assert(m.contains("names neither") && m.contains("nope"), m)
   }
 
   test("declared schema that drops the key refuses before the partition swap") {
