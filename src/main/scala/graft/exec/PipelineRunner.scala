@@ -881,6 +881,20 @@ final class PipelineRunner(
       delta.select(keys.map(col): _*).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val affected = batch.distinct()
+          // the affected set is collected (replacePartitions needs the
+          // value tuples to match directories) — metadata-scale ONLY if
+          // the keys are bounded-cardinality as the mode's contract says.
+          // A high-cardinality key would silently turn this into a
+          // driver-side copy of the delta; refuse loudly at the same
+          // order of magnitude where a partition-per-value layout itself
+          // stops making sense, naming the fix (bucket the key).
+          val affectedCount = affected.count()
+          if (affectedCount > 100000) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+            s"materialized_view '${a.name}' (mode: incremental_recompute): " +
+              s"one delta batch touches $affectedCount distinct key values " +
+              "— recompute keys must be bounded-cardinality (each value is " +
+              "one physical partition); derive a coarser bucket column " +
+              "(e.g. key % 1024) and recompute on that"))
           val affectedRows = store.affectedValues(affected, keys)
           if (affectedRows.nonEmpty) {
             // NULL-SAFE key match: a NULL key value is a real partition

@@ -106,6 +106,96 @@ object Centrality {
     ranks.select(col("__id").as("node"), col("__rank").as("rank_scaled"))
   }
 
+  /** HyperBall harmonic centrality (Boldi & Vigna 2013) — the algorithm
+    * behind the published Common Crawl host rankings. Harmonic centrality
+    * of v is Σ_{u≠v, d(u,v)<∞} 1/d(u,v) over nodes u that can REACH v;
+    * exact computation is all-pairs BFS (quadratic — [[exactHarmonic]]
+    * below is that, kept as the gate/spec baseline only). HyperBall
+    * replaces each node's reachability ball with a mergeable HLL sketch:
+    * ball_t(v) = {v} ∪ ⋃_{u→v} ball_{t-1}(u), so one round is ONE
+    * edges⋈sketches shuffle plus an `hll_union_agg` keyed by dst — O(E)
+    * sketch merges per round, `maxDist` rounds, never materializing a
+    * ball. The centrality accumulates (|ball_t| − |ball_{t−1}|)/t from
+    * the sketch estimates; counts are approximate (DataSketches HLL,
+    * ~1.6% at lgK 12 — raise `lgConfigK` for tighter balls), which is the
+    * documented trade that makes the 100 TB graph feasible. Runs a FIXED
+    * `maxDist` rounds (the diameter bound you care about; distances
+    * beyond it contribute ≤ 1/maxDist each) — no data-dependent driver
+    * loop. Lineage is truncated per round via the shared checkpoint seam.
+    * Output: `(node, harmonic DOUBLE, ball_size BIGINT)`. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDist: Int = 6, lgConfigK: Int = 12,
+      checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val e = truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct(),
+      checkpoint)
+    val nodes = e.select(col("__src").as("__id"))
+      .unionByName(e.select(col("__dst").as("__id"))).distinct()
+    // ball_0 = {self}: one sketch per node over its own id
+    var balls = truncate(
+      nodes.groupBy("__id")
+        .agg(hll_sketch_agg(col("__id"), lgConfigK).as("__sk"),
+          hll_sketch_estimate(hll_sketch_agg(col("__id"), lgConfigK)).as("__est")),
+      checkpoint)
+    var scores = truncate(
+      nodes.select(col("__id"), lit(0.0).as("__h")), checkpoint)
+    var t = 1
+    while (t <= maxDist) {
+      val contrib = e
+        .join(balls.select(col("__id").as("__src"), col("__sk")), Seq("__src"))
+        .select(col("__dst").as("__id"), col("__sk"))
+      val merged = contrib.unionByName(balls.select(col("__id"), col("__sk")))
+        .groupBy("__id").agg(hll_union_agg(col("__sk")).as("__sk"))
+      val next = truncate(
+        merged.select(col("__id"), col("__sk"),
+          hll_sketch_estimate(col("__sk")).as("__est")), checkpoint)
+      scores = truncate(
+        scores.join(balls.select(col("__id"), col("__est").as("__prev")), Seq("__id"))
+          .join(next.select(col("__id"), col("__est").as("__cur")), Seq("__id"))
+          .select(col("__id"),
+            (col("__h") + greatest(col("__cur") - col("__prev"), lit(0L))
+              .cast("double") / lit(t.toDouble)).as("__h")),
+        checkpoint)
+      balls = next
+      t += 1
+    }
+    scores.join(balls.select(col("__id"), col("__est")), Seq("__id"))
+      .select(col("__id").as("node"), col("__h").as("harmonic"),
+        col("__est").as("ball_size"))
+  }
+
+  /** Exact harmonic centrality by iterated shortest-distance joins —
+    * ALL-PAIRS state (quadratic): the oracle/spec baseline for
+    * [[harmonicCentrality]], never a production path at scale. */
+  def exactHarmonic(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDist: Int = 6,
+      checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
+    val e = truncate(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct(),
+      checkpoint)
+    val nodes = e.select(col("__src").as("__id"))
+      .unionByName(e.select(col("__dst").as("__id"))).distinct()
+    // dist holds the FRONTIER-complete map (u, v, d(u,v)) for d <= t
+    var dist = truncate(nodes.select(col("__id").as("__u"),
+      col("__id").as("__v"), lit(0).as("__d")), checkpoint)
+    var t = 1
+    while (t <= maxDist) {
+      val grown = dist.filter(col("__d") === t - 1)
+        .join(e.select(col("__src").as("__v"), col("__dst")), Seq("__v"))
+        .select(col("__u"), col("__dst").as("__v"), lit(t).as("__d"))
+        .join(dist.select(col("__u"), col("__v"), lit(1).as("__seen")),
+          Seq("__u", "__v"), "left_anti")
+        .distinct()
+      dist = truncate(dist.unionByName(grown), checkpoint)
+      t += 1
+    }
+    dist.filter(col("__d") > 0)
+      .groupBy(col("__v").as("node"))
+      .agg(sum(lit(1.0) / col("__d")).as("harmonic"),
+        (count(lit(1)) + 1).as("ball_size"))
+  }
+
   /** In/out-degree per node — the zero-iteration centrality baseline (and
     * raw in-degree is itself a spam/quality signal in crawl curation).
     * One aggregation per side, full-outer-joined; no iteration. */

@@ -1384,6 +1384,78 @@ object Extras {
     store.read("q63_mv")
   }
 
+  /** Nested-dedup MV through the recompute path (q64): an aggregation OVER
+    * deduplicated rows — the shape the streaming decision table must
+    * refuse (pulling the dedup out changes results; streaming it needs
+    * data-sized state) but partition-scoped recompute legally maintains,
+    * because under the key-locality audit the dedup+agg for bucket ub is a
+    * pure function of base rows with that ub. The fixture injects exact
+    * duplicates and splits them so a duplicate's two copies can land in
+    * DIFFERENT runs: only a recompute that re-reads the bucket's FULL base
+    * (not the delta) dedups them, and the one-shot DuckDB oracle
+    * hash-mismatches any survivor. */
+  def q64NestedDedupMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q64")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q64
+         |flowgroup: nmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, user_id BIGINT, event_type STRING"
+         |    target: q64_v
+         |  - name: t
+         |    type: transform
+         |    transform_type: sql
+         |    source: q64_v
+         |    target: q64_e
+         |    sql: >
+         |      SELECT event_id, user_id, event_type,
+         |             CAST(user_id % 20 AS BIGINT) AS ub
+         |      FROM q64_v
+         |  - name: w_base
+         |    type: write
+         |    source: q64_e
+         |    write_target: {type: streaming_table, table: q64_base}
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT ub, user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         |      FROM (SELECT DISTINCT ub, user_id, event_id, event_type
+         |            FROM q64_base)
+         |      GROUP BY ub, user_id
+         |    write_target:
+         |      type: materialized_view
+         |      table: q64_mv
+         |      mode: incremental_recompute
+         |      recompute: {keys: [ub], view: q64_base}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q64|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      // duplicates must STRADDLE the runs to prove base-wide dedup: run 1
+      // = even ids PLUS a copy of the id%10==1 odds, run 2 = all odds —
+      // every id%10==1 event arrives twice, once per run, and survives
+      // exactly once only if the recompute dedups over the full base
+      val crossDup = ev.filter(col("event_id") % 10 === 1)
+      ev.filter(col("event_id") % 2 === 0).unionByName(crossDup)
+        .repartition(1).write.parquet(s"$root/a")
+      ev.filter(col("event_id") % 2 === 1).repartition(1).write.parquet(s"$root/b")
+    }
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q64_mv")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1403,6 +1475,7 @@ object Extras {
     "q61_stream_dedup" -> q61StreamDedup,
     "q62_stream_stream_join" -> q62StreamStreamJoin,
     "q63_recompute_mv" -> q63RecomputeMv,
+    "q64_nested_dedup_mv" -> q64NestedDedupMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
     "m3_stratified_mix" -> m3StratifiedMix,
@@ -1794,6 +1867,17 @@ object Extras {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
+    // q64's oracle dedups and aggregates ALL events in one shot — a
+    // cross-run duplicate surviving (delta-only recompute), a dropped
+    // event, or a wrong exact-DISTINCT count hash-mismatches
+    "q64_nested_dedup_mv" ->
+      """SELECT ub, user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM (SELECT DISTINCT CAST(user_id % 20 AS BIGINT) AS ub, user_id,
+        |             event_id, event_type
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     // c1's oracle is the plain source table: any duplicate (checkpoint
     // replay) or missing (skipped file) row in the three-run ingest
     // hash-mismatches against it

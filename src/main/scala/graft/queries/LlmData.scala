@@ -165,6 +165,29 @@ object LlmData {
   def g2Degrees(s: SparkSession, dir: String): DataFrame =
     graft.graph.Centrality.degrees(linkGraph(s, dir), "src", "dst")
 
+  /** HyperBall harmonic-centrality check (g3, the s4/s6 check pattern):
+    * on a BOUNDED deterministic subgraph (nodes < 512 — the exact side is
+    * all-pairs quadratic, so the gate pins accuracy at fixed cost instead
+    * of exploding with sf), HyperBall's sketch-based harmonic must stay
+    * within 15% relative error of the exact BFS answer for every node
+    * (HLL at lgK 12 is ~1.6% per ball; 15% is the loose ceiling that
+    * still catches a wrong merge direction, a dropped round, or a
+    * mis-accumulated 1/t term). Violations returned; correct output
+    * EMPTY, pinned by the trivial oracle. */
+  def g3HarmonicCheck(s: SparkSession, dir: String): DataFrame = {
+    val sub = linkGraph(s, dir)
+      .filter(col("src") < 512 && col("dst") < 512)
+    val hyper = graft.graph.Centrality.harmonicCentrality(
+      sub, "src", "dst", maxDist = 6)
+    val exact = graft.graph.Centrality.exactHarmonic(
+      sub, "src", "dst", maxDist = 6)
+    hyper.join(exact.select(col("node"),
+        col("harmonic").as("__exact")), Seq("node"))
+      .filter(abs(col("harmonic") - col("__exact")) >
+        col("__exact") * 0.15 + lit(1e-9))
+      .select(col("node"), col("harmonic"), col("__exact").as("exact"))
+  }
+
   /** Dup-cluster canonicalization: connected components over the exact
     * n-gram Jaccard pair graph — every clustered doc with its keeper. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -486,6 +509,7 @@ object LlmData {
     "d14_semantic_check" -> d14SemanticCheck,
     "g1_pagerank" -> g1PageRank,
     "g2_degrees" -> g2Degrees,
+    "g3_harmonic_check" -> g3HarmonicCheck,
     "s7_filtered_topk" -> s7FilteredTopK,
     "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
@@ -813,6 +837,12 @@ object LlmData {
     // the engines agree bit-for-bit; any float sneaking into the Spark
     // path, a wrong damping floor, or a missed contribution hash-mismatches
     "g1_pagerank" -> pageRankOracle(5),
+    // g3: HyperBall accuracy check — EMPTY when every node's sketch-based
+    // harmonic is within tolerance of the exact BFS answer (engine-side
+    // invariant, the s4/s6 pattern; GraphSpec pins the positive behavior)
+    "g3_harmonic_check" ->
+      """SELECT doc_id AS node, 0.0 AS harmonic, 0.0 AS exact
+        |FROM documents WHERE 1 = 0""".stripMargin,
     "g2_degrees" ->
       s"""WITH $linkGraphCtes,
          |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c

@@ -82,6 +82,47 @@ class GraphSpec extends SparkSuite {
     assert(got == Map(1L -> ((2L, 0L)), 2L -> ((1L, 2L)), 3L -> ((0L, 1L))))
   }
 
+  test("exact harmonic matches hand-computed values on a chain") {
+    // 1→2→3→4: harmonic(v) = Σ 1/d over nodes reaching v
+    val got = Centrality.exactHarmonic(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(2L, 3L, 4L)) // nothing reaches 1
+    assert(math.abs(got(2L) - 1.0) < 1e-12)
+    assert(math.abs(got(3L) - (1.0 + 0.5)) < 1e-12)
+    assert(math.abs(got(4L) - (1.0 + 0.5 + 1.0 / 3)) < 1e-12)
+  }
+
+  test("maxDist truncates distance contributions in both implementations") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val ex = Centrality.exactHarmonic(chain, "src", "dst", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ex == Map(2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    val hb = Centrality.harmonicCentrality(chain, "src", "dst", maxDist = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hb(4L) == 1.0 && hb(1L) == 0.0)
+  }
+
+  test("HyperBall agrees with exact harmonic on a small dense graph (sparse-mode HLL is exact)") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 13 + 5) % 40)))
+    val exact = Centrality.exactHarmonic(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val hyper = Centrality.harmonicCentrality(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(hyper.keySet == (0L until 40L).toSet)
+    for ((n, (h, ball)) <- hyper; (eh, eball) = exact(n)) {
+      assert(math.abs(h - eh) <= eh * 0.02 + 1e-9,
+        s"node $n: hyperball $h vs exact $eh")
+      assert(math.abs(ball - eball) <= eball * 0.02,
+        s"node $n: ball $ball vs exact $eball")
+    }
+  }
+
+  test("g3 gate check returns no violations at sf0.001") {
+    assert(graft.queries.LlmData.g3HarmonicCheck(spark, sf0001).isEmpty)
+  }
+
   test("g1 gate query agrees with the reference on the derived link graph") {
     val n = graft.sources.Tables.load(spark, sf0001, "documents").count()
     val edges = (0L until n).flatMap(i =>
