@@ -431,6 +431,20 @@ object LlmData {
     TextAnalysis.tokenCounts(docs(s, dir), "text")
       .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
 
+  /** Trained classifier gate (t13): multinomial Naive Bayes fit on the
+    * first half of the corpus (doc_id < 250, labels = `lang`) classifies
+    * EVERY doc; emitted only above the decision margin, so the (id,
+    * label) rows are engine-reproducible despite double log-sums (the
+    * filtering analogue of d5's round-then-compare). The DuckDB oracle
+    * recomputes training counts AND scoring end-to-end — a smoothing,
+    * prior, unknown-word, or tie-break divergence hash-mismatches. */
+  def t13NbClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.NaiveBayes.classify(d, "doc_id", "text",
+      d.filter(col("doc_id") < 250).select(col("lang"), col("text")),
+      "text", "lang")
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -516,6 +530,7 @@ object LlmData {
     "t10_pack_concat" -> t10PackConcat,
     "t11_bpe_train" -> t11BpeTrain,
     "t12_bpe_encode" -> t12BpeEncode,
+    "t13_nb_classify" -> t13NbClassify,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -843,6 +858,39 @@ object LlmData {
     "g3_harmonic_check" ->
       """SELECT doc_id AS node, 0.0 AS harmonic, 0.0 AS exact
         |FROM documents WHERE 1 = 0""".stripMargin,
+    // t13: DuckDB refits the same Naive Bayes (integer counts, Laplace +1,
+    // the same score decomposition) and applies the same margin filter —
+    // the margin (1e-6) dwarfs cross-engine ln()/summation-order drift
+    // (~1e-12), so the emitted (doc, label) set is deterministic
+    "t13_nb_classify" ->
+      """WITH seed AS (SELECT lang, text FROM documents WHERE doc_id < 250),
+        |sw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM seed),
+        |wc AS (SELECT lang, w, count(*) AS cnt FROM sw GROUP BY 1, 2),
+        |ct AS (SELECT lang, count(*) AS tot FROM sw GROUP BY 1),
+        |cd AS (SELECT lang, count(*) AS nd FROM seed GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM wc),
+        |ns AS (SELECT count(*) AS n FROM seed),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
+        |sl AS (SELECT dw.doc_id, wc.lang, SUM(ln(wc.cnt + 1)) AS s
+        |       FROM dw JOIN wc ON dw.w = wc.w GROUP BY 1, 2),
+        |sc AS (SELECT dl.doc_id, cd.lang,
+        |              ln(CAST(cd.nd AS DOUBLE)) - ln(CAST(ns.n AS DOUBLE))
+        |              - dl.n * ln(CAST(ct.tot + v.v AS DOUBLE))
+        |              + COALESCE(sl.s, 0) AS score
+        |       FROM dl CROSS JOIN cd
+        |       JOIN ct ON ct.lang = cd.lang
+        |       CROSS JOIN v CROSS JOIN ns
+        |       LEFT JOIN sl ON sl.doc_id = dl.doc_id AND sl.lang = cd.lang),
+        |rk AS (SELECT doc_id, lang, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, lang ASC) AS rn,
+        |         lead(score) OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, lang ASC) AS nxt
+        |       FROM sc)
+        |SELECT doc_id, lang AS predicted FROM rk
+        |WHERE rn = 1 AND (nxt IS NULL OR score - nxt > 1e-6)""".stripMargin,
     "g2_degrees" ->
       s"""WITH $linkGraphCtes,
          |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
