@@ -878,32 +878,35 @@ final class PipelineRunner(
             "row wrappers — the keys are the replace granularity and " +
             "must reach the table"))
       }
-      delta.select(keys.map(col): _*).writeStream
+      val recomputeStream = delta.select(keys.map(col): _*).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val affected = batch.distinct()
-          // the affected set is collected (replacePartitions needs the
-          // value tuples to match directories) — metadata-scale ONLY if
-          // the keys are bounded-cardinality as the mode's contract says.
-          // A high-cardinality key would silently turn this into a
-          // driver-side copy of the delta; refuse loudly at the same
-          // order of magnitude where a partition-per-value layout itself
-          // stops making sense, naming the fix (bucket the key).
-          val affectedCount = affected.count()
-          if (affectedCount > 100000) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+          // ONE distinct job: the collected rows serve the cardinality
+          // guard, the broadcast probe (as a local relation — the big
+          // recompute job does not re-derive the distinct), and
+          // replacePartitions' affected set. Metadata-scale ONLY if the
+          // keys are bounded-cardinality as the mode's contract says; a
+          // high-cardinality key would silently make this a driver-side
+          // copy of the delta, so refuse loudly at the same order of
+          // magnitude where partition-per-value layout itself stops
+          // making sense, naming the fix (bucket the key).
+          val affectedRows =
+            batch.distinct().limit(100001).collect().toSeq
+          if (affectedRows.size > 100000) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
             s"materialized_view '${a.name}' (mode: incremental_recompute): " +
-              s"one delta batch touches $affectedCount distinct key values " +
+              "one delta batch touches over 100000 distinct key values " +
               "— recompute keys must be bounded-cardinality (each value is " +
               "one physical partition); derive a coarser bucket column " +
               "(e.g. key % 1024) and recompute on that"))
-          val affectedRows = store.affectedValues(affected, keys)
           if (affectedRows.nonEmpty) {
             // NULL-SAFE key match: a NULL key value is a real partition
             // (Hive's __HIVE_DEFAULT_PARTITION__) and replacePartitions
             // WILL drop its directory when it is in the affected set — an
             // EqualTo semi-join would never re-emit those rows, silently
             // deleting the null partition instead of recomputing it
-            val aff = affected.select(
-              keys.map(k => col(k).as(s"__aff_$k")): _*)
+            import scala.jdk.CollectionConverters._
+            val aff = spark.createDataFrame(
+                affectedRows.asJava, affectedRows.head.schema)
+              .select(keys.map(k => col(k).as(s"__aff_$k")): _*)
             val cond = keys.map(k => col(k) <=> col(s"__aff_$k"))
               .reduce(_ && _)
             val recomputed = spark.sql(sqlText)
@@ -917,7 +920,16 @@ final class PipelineRunner(
         }
         .option("checkpointLocation", checkpointFor(a.name))
         .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+        .start()
+      // refusals raised inside foreachBatch (the cardinality guard) must
+      // surface as the same PlanError every other ACT refusal in this
+      // branch throws, not buried in Spark's StreamingQueryException wrap
+      try recomputeStream.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+          .collectFirst { case pe: Planner.PlanError => pe }
+          .map(throw _).getOrElse(throw e)
+      }
       store.setProperties(a.table, a.tableProperties)
       applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
       store.readIfExists(a.table)

@@ -181,8 +181,12 @@ object LlmData {
       sub, "src", "dst", maxDist = 6)
     val exact = graft.graph.Centrality.exactHarmonic(
       sub, "src", "dst", maxDist = 6)
+    // LEFT join: exactHarmonic emits no row for a node nothing reaches —
+    // such a node's exact value is 0.0, and HyperBall wrongly assigning
+    // it mass must still be a violation, not a silently dropped row
     hyper.join(exact.select(col("node"),
-        col("harmonic").as("__exact")), Seq("node"))
+        col("harmonic").as("__exact")), Seq("node"), "left")
+      .withColumn("__exact", coalesce(col("__exact"), lit(0.0)))
       .filter(abs(col("harmonic") - col("__exact")) >
         col("__exact") * 0.15 + lit(1e-9))
       .select(col("node"), col("harmonic"), col("__exact").as("exact"))

@@ -40,12 +40,18 @@ object NaiveBayes {
       seed: DataFrame, seedTextCol: String, labelCol: String,
       minMargin: Double = 1e-6): DataFrame = {
     require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
-    val seedWords = seed.select(col(labelCol).as("__label"),
-      explode(split(col(seedTextCol), " ")).as("__w"))
-    val wordCounts = seedWords.groupBy("__label", "__w")
-      .agg(count(lit(1)).as("__cnt"))
-    val classTotals = seedWords.groupBy("__label")
-      .agg(count(lit(1)).as("__tot"))
+    // ONE pass over the exploded seed: wordCounts is cached (the vocab
+    // count materializes it; class totals derive from it by summation;
+    // the scoring join reads it) — without the cache each consumer would
+    // re-explode the seed. Resource note: the cached frame stays resident
+    // after the result materializes — same `clearCache()` lifecycle as
+    // Dedup.incrementalNearDup for long-running sessions.
+    val wordCounts = seed.select(col(labelCol).as("__label"),
+        explode(split(col(seedTextCol), " ")).as("__w"))
+      .groupBy("__label", "__w")
+      .agg(count(lit(1)).as("__cnt")).cache()
+    val classTotals = wordCounts.groupBy("__label")
+      .agg(sum(col("__cnt")).as("__tot"))
     val classDocs = seed.groupBy(col(labelCol).as("__label"))
       .agg(count(lit(1)).as("__nd"))
     val vocab = wordCounts.select("__w").distinct().count()

@@ -307,6 +307,24 @@ class RecomputeMvSpec extends SparkSuite {
     assert(e4.getMessage.contains("watermark does not apply"))
   }
 
+  test("q64 gate: cross-run duplicates collapse through the nested-dedup recompute") {
+    val got = graft.queries.Extras.q64NestedDedupMv(spark, sf0001)
+      .select("ub", "user_id", "n_events", "n_types")
+    // the fixture feeds every id%10==1 event TWICE (once per run); the MV's
+    // nested DISTINCT must collapse them, so the expected frame is the
+    // dedup+agg over the PLAIN events table
+    val ev = Tables.load(spark, sf0001, "events")
+    val expected = ev.select(
+        (col("user_id") % 20).cast("bigint").as("ub"),
+        col("user_id"), col("event_id"), col("event_type"))
+      .distinct()
+      .groupBy("ub", "user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        countDistinct(col("event_type")).cast("bigint").as("n_types"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("gate query q63 matches the equivalent Spark one-shot window at sf0.001") {
     val got = graft.queries.Extras.q63RecomputeMv(spark, sf0001)
       .select("ub", "user_id", "event_id", "ts", "rn", "running_value")
