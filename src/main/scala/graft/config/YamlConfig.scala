@@ -115,11 +115,11 @@ object YamlConfig {
         format = str(src, "format")
           .orElse(str(anyMap(src, "options"), "cloudFiles.format"))
           .getOrElse("json") match {
-            case f @ ("json" | "csv" | "parquet" | "text" | "orc" | "xml" | "avro") => f
+            case f @ ("json" | "csv" | "parquet" | "text" | "orc" | "xml" | "avro" | "warc") => f
             case "binaryFile" | "binaryfile" => "binaryFile"
             case other => throw ConfigError(s"load '$name': unknown " +
               s"cloudfiles format '$other' — supported: json, csv, parquet, " +
-              "text, orc, xml, binaryFile, avro")
+              "text, orc, xml, binaryFile, avro, warc")
           },
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),

@@ -455,6 +455,25 @@ final class PipelineRunner(
           else spark.read.format("binaryFile").options(passThrough).load(a.path)
         graft.sources.AvroBridge.decode(bin, schema, rescue)
       }
+      // WARC/WET (Common Crawl archives) — fixed record schema, same
+      // binaryFile-listing shape as avro; see sources/WarcBridge
+      def warcRead(streamMode: Boolean): DataFrame = {
+        if (declared.isDefined || hintSchema.isDefined)
+          throw graft.config.YamlConfig.ConfigError(
+            s"load '${a.name}': WARC records have a FIXED schema " +
+              "(warc_type, record_id, warc_date, target_uri, content_type, " +
+              "content_length, headers, payload) — remove the declared " +
+              "schema/hints; parse the payload downstream instead")
+        if (evolutionMode.isDefined) throw graft.config.YamlConfig.ConfigError(
+          s"load '${a.name}': cloudFiles.schemaEvolutionMode does not apply " +
+            "to format 'warc' (the record schema is fixed)")
+        val bin =
+          if (streamMode) excludePreexisting(a, spark.readStream.format("binaryFile")
+            .schema(graft.sources.AvroBridge.binaryFileSchema)
+            .options(passThrough).load(a.path))
+          else spark.read.format("binaryFile").options(passThrough).load(a.path)
+        graft.sources.WarcBridge.decode(bin)
+      }
       // Rescue mode reads RAW TEXT and parses each line with from_json /
       // from_csv, so the rescue column is an ordinary materialized column.
       // Reading with the scan-level corrupt-record option instead is subtly
@@ -508,12 +527,14 @@ final class PipelineRunner(
               // pinned schema + bridge-side rescue: mismatched/undeclared
               // writer fields land in rc instead of failing the batch
               avroRead(streamMode = true, rescue = Some(rc))
+
             case Some(rc) =>
               val raw = spark.readStream.format("text")
                 .options(passThrough.view.filterKeys(
                   Set("maxFilesPerTrigger", "maxFileAge", "cleanSource", "sourceArchiveDir")).toMap)
                 .load(a.path)
               rescueParse(excludePreexisting(a, raw), rc)
+            case None if a.format == "warc" => warcRead(streamMode = true)
             case None =>
               // file streams need a schema: declared, or inferred from
               // existing files (dev convenience) merged with hints; the
@@ -533,6 +554,7 @@ final class PipelineRunner(
             rescueParse(spark.read.format("text").load(a.path), rc)
           case None if a.format == "avro" =>
             avroRead(streamMode = false, rescue = None)
+          case None if a.format == "warc" => warcRead(streamMode = false)
           case None =>
             val r = spark.read.format(a.format).options(passThrough)
             // EVERY evolution mode routes through evolve on batch reads too

@@ -1456,6 +1456,69 @@ object Extras {
     store.read("q64_mv")
   }
 
+  /** WARC ingestion gate (c12, the c2-avro pattern for Common Crawl's
+    * format): customer rows round-trip through real `.warc.gz` archives —
+    * WET-style "conversion" records, one gzip member per record — and a
+    * two-run checkpointed cloudfiles stream (`format: warc`), then the
+    * payload parses back to columns and must hash-match the plain table.
+    * Serialization mangling (header/payload framing, gzip member
+    * boundaries, CRLF discipline), replay, or a skipped file all
+    * hash-mismatch. WarcSpec additionally pins the parser against
+    * hand-authored golden bytes, independent of our writer. */
+  def c12WarcIngest(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-c12")
+    val landing = s"$wh/landing"
+    val fixture = fixtureOnce(s"c12|$dir") { root =>
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      def recs(df: DataFrame): DataFrame = df.select(
+        lit("conversion").as("warc_type"),
+        concat(lit("<urn:uuid:cust-"), col("c_custkey"), lit(">")).as("record_id"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("warc_date"),
+        concat(lit("http://example.com/cust/"), col("c_custkey")).as("target_uri"),
+        lit("text/plain").as("content_type"),
+        encode(concat_ws("|", col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal")), "UTF-8").as("payload"))
+      graft.sources.WarcBridge.write(
+        recs(c.filter(col("c_custkey") % 2 === 0)).repartition(2), s"$root/a")
+      graft.sources.WarcBridge.write(
+        recs(c.filter(col("c_custkey") % 2 === 1)).repartition(2), s"$root/b")
+    }
+    val yaml =
+      s"""pipeline: c12
+         |flowgroup: warc
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: warc
+         |      readMode: stream
+         |    target: c12_v
+         |  - name: t
+         |    type: transform
+         |    transform_type: sql
+         |    source: c12_v
+         |    target: c12_parsed
+         |    sql: >
+         |      SELECT CAST(f[0] AS BIGINT) AS c_custkey, f[1] AS c_name,
+         |             CAST(f[2] AS INT) AS c_nationkey,
+         |             CAST(f[3] AS DOUBLE) AS c_acctbal
+         |      FROM (SELECT split(decode(payload, 'UTF-8'), '\\\\|') AS f
+         |            FROM c12_v)
+         |  - name: w
+         |    type: write
+         |    source: c12_parsed
+         |    write_target: {type: streaming_table, table: c12_t}
+         |""".stripMargin
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("c12_t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1468,6 +1531,7 @@ object Extras {
     "c9_compaction" -> c9Compaction,
     "c10_orchestrated_medallion" -> c10OrchestratedMedallion,
     "c11_sandboxed_run" -> c11SandboxedRun,
+    "c12_warc_ingest" -> c12WarcIngest,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "q58_windowed_mv" -> q58WindowedMv,
     "q59_dedup_mv" -> q59DedupMv,
@@ -1888,6 +1952,12 @@ object Extras {
     // row through Avro containers and the streaming ingest, so any encode/
     // decode mangling or replay/skip hash-mismatches
     "c2_avro_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer""".stripMargin,
+    // c12: same raw-table oracle as c2 — the Spark side round-trips every
+    // row through real WARC archives and the streaming ingest, so framing/
+    // gzip/CRLF mangling or replay/skip hash-mismatches
+    "c12_warc_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer""".stripMargin,
     // c3's oracle is the raw supplier table: the Spark side round-trips it
