@@ -161,9 +161,24 @@ object ScaleProbe {
       // now just add a foreign aggregation into the timed region)
       val shard = med(time(graft.dedup.Sampling.shuffleShards(
         c, "doc_id", shards = 64)))
-      println(f"""{"k":$k,"rows":${c.count()},"avro_decode":$avro%.2f,"shuffle_shards":$shard%.2f}""")
+      // warc decode, same zero-shuffle shape as avro: k×8 gzip archives
+      // (member-per-record), text payloads — the ratio should track file
+      // count like the container decode above
+      val warcDir = java.nio.file.Files.createTempDirectory(s"probe-warc-$k").toString
+      graft.sources.WarcBridge.write(
+        c.select(lit("conversion").as("warc_type"),
+          concat(lit("<urn:doc-"), col("doc_id"), lit(">")).as("record_id"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("warc_date"),
+          concat(lit("http://x/"), col("doc_id")).as("target_uri"),
+          lit("text/plain").as("content_type"),
+          encode(col("text"), "UTF-8").as("payload")).repartition(k * 8),
+        warcDir)
+      val warcBin = spark.read.format("binaryFile").load(warcDir)
+      val warc = med(time(graft.sources.WarcBridge.decode(warcBin)))
+      println(f"""{"k":$k,"rows":${c.count()},"avro_decode":$avro%.2f,"shuffle_shards":$shard%.2f,"warc_decode":$warc%.2f}""")
       c.unpersist(): Unit
       graft.exec.Fs.deleteRecursively(new java.io.File(avroDir))
+      graft.exec.Fs.deleteRecursively(new java.io.File(warcDir))
     }
     }
 
