@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, InputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
-import java.util.zip.GZIPInputStream
+import java.util.zip.{CRC32, Inflater}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
@@ -16,7 +16,7 @@ import graft.config.YamlConfig.ConfigError
   * [[AvroBridge]]: `binaryFile` lists the files (batch or stream — WARC
   * gzip members are not split-points, so the FILE is the parallelism unit,
   * exactly how Common Crawl shards its corpus into ~1 GB files), and the
-  * bridge decodes records with a per-file streaming parser.
+  * bridge decodes records per file.
   *
   * Unlike avro, a WARC record's shape is FIXED — [[recordSchema]] — so
   * schema declaration/inference/evolution/rescue do not apply (the
@@ -24,13 +24,20 @@ import graft.config.YamlConfig.ConfigError
   * with its declared Content-Type beside it, the multimodal convention
   * (`graft.multimodal`) for opaque media.
   *
-  * Parser posture: strict per the spec (version line `WARC/1.0`/`1.1`,
-  * CRLF line endings, mandatory WARC-Type/WARC-Record-ID/WARC-Date/
-  * Content-Length, two CRLFs after each payload) with LOUD errors naming
-  * file and record offset — a truncated or corrupt archive fails the
-  * batch, it does not silently drop tail records. Multi-member gzip
-  * (member-per-record, how Common Crawl writes) and single-member both
-  * decode through the same JDK stream. */
+  * Strictness posture: NO silent tail-drop, enforced at both layers.
+  * Gzip members are inflated by hand (header parse incl. FEXTRA/FNAME/
+  * FCOMMENT/FHCRC, raw-deflate Inflater, CRC32 + ISIZE trailer check) —
+  * the JDK's multi-member GZIPInputStream silently treats a CORRUPT
+  * subsequent member as clean EOF, which would drop tail records; here a
+  * corrupt boundary, bad CRC, or trailing garbage fails loudly with the
+  * file named. Record framing per ISO 28500: version line, CRLF
+  * discipline, mandatory WARC-Type/WARC-Record-ID/WARC-Date/
+  * Content-Length (names case-insensitive per the spec), folded
+  * continuation lines honored, legally-repeated fields joined with ", "
+  * in the headers map, header text decoded UTF-8. Violations fail with
+  * file + record index. Decompression is whole-file eager — the
+  * binaryFile listing already holds the compressed bytes in memory, and
+  * the file is the work unit by construction. */
 object WarcBridge {
 
   val recordSchema: StructType = StructType(Seq(
@@ -53,111 +60,163 @@ object WarcBridge {
         val bytes = fileRow.getAs[Array[Byte]](1)
         if (bytes == null || bytes.isEmpty) Iterator.empty[Row]
         else {
-          val in: InputStream =
-            if (path.endsWith(".gz"))
-              // JDK GZIPInputStream reads CONCATENATED members — the
-              // member-per-record layout decodes as one stream
-              new GZIPInputStream(new ByteArrayInputStream(bytes))
-            else new ByteArrayInputStream(bytes)
-          recordIterator(new java.io.BufferedInputStream(in, 64 * 1024), path)
+          val raw = if (path.endsWith(".gz")) gunzipStrict(bytes, path) else bytes
+          parseRecords(raw, path)
         }
       }
     }(Encoders.row(recordSchema))
 
-  /** Sequential record parser over one (decompressed) WARC stream. */
-  private def recordIterator(in: InputStream, path: String): Iterator[Row] =
+  // ------------------------------------------------------------- gunzip
+
+  /** Inflate EVERY gzip member of `bytes`, loudly: corrupt member headers,
+    * CRC/ISIZE mismatches, truncated deflate streams, and trailing
+    * non-gzip garbage all throw with `path` named — never a silent EOF. */
+  private[sources] def gunzipStrict(bytes: Array[Byte], path: String): Array[Byte] = {
+    def fail(msg: String): Nothing = throw ConfigError(s"warc: '$path': $msg")
+    val out = new ByteArrayOutputStream(math.min(bytes.length.toLong * 4, Int.MaxValue / 2).toInt)
+    val buf = new Array[Byte](64 * 1024)
+    var pos = 0
+    var member = 0
+    while (pos < bytes.length) {
+      def u8(i: Int): Int = {
+        if (i >= bytes.length) fail(s"gzip member $member: truncated at byte $i")
+        bytes(i) & 0xff
+      }
+      if (u8(pos) != 0x1f || u8(pos + 1) != 0x8b)
+        fail(s"gzip member $member at offset $pos: bad magic " +
+          f"0x${u8(pos)}%02x${u8(pos + 1)}%02x (corrupt member boundary or trailing garbage)")
+      if (u8(pos + 2) != 8) fail(s"gzip member $member: unsupported compression method ${u8(pos + 2)}")
+      val flg = u8(pos + 3)
+      var p = pos + 10 // fixed header
+      if ((flg & 4) != 0) { val xlen = u8(p) | (u8(p + 1) << 8); p += 2 + xlen } // FEXTRA
+      if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p > bytes.length) fail(s"gzip member $member: truncated header")
+      val inf = new Inflater(true)
+      val crc = new CRC32
+      var isize = 0L
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        while (!inf.finished()) {
+          val n = try inf.inflate(buf)
+            catch { case e: java.util.zip.DataFormatException =>
+              fail(s"gzip member $member: corrupt deflate data (${e.getMessage})") }
+          if (n == 0 && inf.needsInput())
+            fail(s"gzip member $member: truncated deflate stream")
+          crc.update(buf, 0, n)
+          isize += n
+          out.write(buf, 0, n)
+        }
+        val consumed = (bytes.length - p) - inf.getRemaining
+        val trailer = p + consumed
+        if (trailer + 8 > bytes.length)
+          fail(s"gzip member $member: truncated trailer")
+        def le32(i: Int): Long =
+          (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+        if (le32(trailer) != crc.getValue)
+          fail(s"gzip member $member: CRC mismatch (stored ${le32(trailer)}, computed ${crc.getValue})")
+        if (le32(trailer + 4) != (isize & 0xffffffffL))
+          fail(s"gzip member $member: ISIZE mismatch")
+        pos = trailer + 8
+        member += 1
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- parser
+
+  /** Sequential record parse over the (decompressed) archive bytes. */
+  private def parseRecords(bytes: Array[Byte], path: String): Iterator[Row] =
     new Iterator[Row] {
+      private var pos = 0
       private var recordIdx = 0
-      private var nextRow: Row = _
-      private var done = false
-
-      private def fail(msg: String): Nothing =
-        throw ConfigError(s"warc: '$path' record $recordIdx: $msg")
-
-      /** One CRLF-terminated header line; None on clean EOF at a record
-        * boundary. */
-      private def readLine(atBoundary: Boolean): Option[String] = {
-        val sb = new java.lang.StringBuilder(96)
-        var c = in.read()
-        if (c == -1) {
-          if (atBoundary) { in.close(); return None }
-          fail("unexpected end of stream inside a record header")
-        }
-        while (c != '\r') {
-          if (c == -1) fail("unexpected end of stream inside a header line")
-          if (c == '\n') fail("bare LF in header (WARC requires CRLF)")
-          sb.append(c.toChar)
-          c = in.read()
-        }
-        if (in.read() != '\n') fail("CR not followed by LF in header")
-        Some(sb.toString)
-      }
-
-      private def readFully(n: Int): Array[Byte] = {
-        val buf = new Array[Byte](n)
-        var off = 0
-        while (off < n) {
-          val r = in.read(buf, off, n - off)
-          if (r < 0) fail(s"payload truncated at $off of $n bytes")
-          off += r
-        }
-        buf
-      }
-
-      private def expectCrlf(what: String): Unit =
-        if (in.read() != '\r' || in.read() != '\n')
-          fail(s"missing CRLF $what")
-
-      private def advance(): Unit = {
-        readLine(atBoundary = true) match {
-          case None => done = true
-          case Some(version) =>
-            if (version != "WARC/1.0" && version != "WARC/1.1")
-              fail(s"bad version line '$version'")
-            val headers = Iterator.continually(readLine(atBoundary = false).get)
-              .takeWhile(_.nonEmpty)
-              .map { line =>
-                val i = line.indexOf(':')
-                if (i < 1) fail(s"malformed header line '$line'")
-                line.substring(0, i).trim -> line.substring(i + 1).trim
-              }.toIndexedSeq
-            val h = headers.toMap
-            def mandatory(k: String): String =
-              h.getOrElse(k, fail(s"missing mandatory header $k"))
-            val len = try mandatory("Content-Length").toLong
-              catch { case _: NumberFormatException =>
-                fail(s"non-numeric Content-Length '${h("Content-Length")}'") }
-            if (len < 0 || len > Int.MaxValue - 8)
-              fail(s"unsupported Content-Length $len")
-            val date = try java.sql.Timestamp.from(
-                java.time.Instant.parse(mandatory("WARC-Date")))
-              catch { case _: java.time.format.DateTimeParseException =>
-                fail(s"bad WARC-Date '${h("WARC-Date")}'") }
-            val payload = readFully(len.toInt)
-            expectCrlf("after payload")
-            expectCrlf("closing the record (WARC requires two)")
-            nextRow = Row(mandatory("WARC-Type"), mandatory("WARC-Record-ID"),
-              date, h.get("WARC-Target-URI").orNull,
-              h.get("Content-Type").orNull, len, h, payload)
-            recordIdx += 1
-        }
-      }
-
-      def hasNext: Boolean = {
-        if (!done && nextRow == null) advance()
-        !done
-      }
+      def hasNext: Boolean = pos < bytes.length
       def next(): Row = {
         if (!hasNext) throw new NoSuchElementException
-        val r = nextRow; nextRow = null; r
+        val (row, nextPos) = parseOne(bytes, pos, path, recordIdx)
+        pos = nextPos
+        recordIdx += 1
+        row
       }
     }
 
-  /** Write rows of [[recordSchema]]-compatible columns `(warc_type,
-    * record_id, warc_date, target_uri, content_type, payload)` as WARC
-    * files, one per partition, gzipped member-per-record when `gzip` —
-    * the fixture/egress twin of [[decode]], byte-compatible with any
-    * spec-conforming reader. */
+  private def parseOne(bytes: Array[Byte], start: Int, path: String,
+      recordIdx: Int): (Row, Int) = {
+    def fail(msg: String): Nothing =
+      throw ConfigError(s"warc: '$path' record $recordIdx: $msg")
+    // header block ends at the first CRLFCRLF
+    var hEnd = start
+    while (hEnd + 3 < bytes.length &&
+      !(bytes(hEnd) == '\r' && bytes(hEnd + 1) == '\n' &&
+        bytes(hEnd + 2) == '\r' && bytes(hEnd + 3) == '\n')) hEnd += 1
+    if (hEnd + 3 >= bytes.length) fail("unterminated header block (no CRLFCRLF)")
+    val headerText = new String(bytes, start, hEnd - start, StandardCharsets.UTF_8)
+    if (headerText.contains("\n") && !headerText.contains("\r\n"))
+      fail("bare LF in header (WARC requires CRLF)")
+    val rawLines = headerText.split("\r\n", -1)
+    if (rawLines.exists(_.contains("\n"))) fail("bare LF in header (WARC requires CRLF)")
+    val version = rawLines.head
+    if (version != "WARC/1.0" && version != "WARC/1.1")
+      fail(s"bad version line '$version'")
+    // fold continuations (ISO 28500: a line starting with SP/HT continues
+    // the previous field's value)
+    val folded = rawLines.tail.foldLeft(Vector.empty[String]) { (acc, line) =>
+      if (line.nonEmpty && (line.head == ' ' || line.head == '\t')) {
+        if (acc.isEmpty) fail("continuation line before any header field")
+        acc.init :+ (acc.last + " " + line.trim)
+      } else acc :+ line
+    }
+    val headerPairs = folded.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf(':')
+      if (i < 1) fail(s"malformed header line '$line'")
+      line.substring(0, i).trim -> line.substring(i + 1).trim
+    }
+    // exposed map keeps original names; legally-repeated fields (e.g.
+    // WARC-Concurrent-To) join with ", " instead of silently last-wins
+    val headers: Map[String, String] = headerPairs.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).mkString(", ") }
+    // field-name lookup is case-insensitive per the spec; FIRST occurrence
+    val byLower: Map[String, String] =
+      headerPairs.reverse.map { case (k, v) => k.toLowerCase -> v }.toMap
+    def mandatory(k: String): String =
+      byLower.getOrElse(k.toLowerCase, fail(s"missing mandatory header $k"))
+    val len = try mandatory("Content-Length").toLong
+      catch { case _: NumberFormatException =>
+        fail(s"non-numeric Content-Length '${mandatory("Content-Length")}'") }
+    if (len < 0 || len > Int.MaxValue - 8) fail(s"unsupported Content-Length $len")
+    val date = try java.sql.Timestamp.from(
+        java.time.Instant.parse(mandatory("WARC-Date")))
+      catch { case _: java.time.format.DateTimeParseException =>
+        fail(s"bad WARC-Date '${mandatory("WARC-Date")}'") }
+    val payloadStart = hEnd + 4
+    val payloadEnd = payloadStart + len.toInt
+    if (payloadEnd > bytes.length)
+      fail(s"payload truncated (${bytes.length - payloadStart} of $len bytes)")
+    val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)
+    if (payloadEnd + 4 > bytes.length ||
+        bytes(payloadEnd) != '\r' || bytes(payloadEnd + 1) != '\n' ||
+        bytes(payloadEnd + 2) != '\r' || bytes(payloadEnd + 3) != '\n')
+      fail("missing double CRLF closing the record")
+    (Row(mandatory("WARC-Type"), mandatory("WARC-Record-ID"), date,
+      byLower.get("warc-target-uri").orNull,
+      byLower.get("content-type").orNull, len, headers, payload),
+      payloadEnd + 4)
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Write rows of `(warc_type, record_id, warc_date, target_uri,
+    * content_type, payload)` as WARC files, one per partition, gzipped
+    * member-per-record when `gzip` — the fixture/egress twin of
+    * [[decode]], byte-compatible with any spec-conforming reader.
+    * Durability: each file lands under a hidden in-progress name and
+    * renames into place on success, so a failed/speculative attempt's
+    * partial output stays invisible to directory listings (Spark skips
+    * dot-files). Header-bearing columns must not contain CR/LF — header
+    * injection would corrupt the archive framing — and the mandatory
+    * columns must be non-null; both refuse loudly per row. */
   def write(df: DataFrame, dir: String, gzip: Boolean = true): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -168,33 +227,62 @@ object WarcBridge {
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-        val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$attempt$ext")
-        val os = out.getFileSystem(conf.value).create(out, true)
-        try it.foreach { r =>
-          val payload = r.getAs[Array[Byte]](5)
-          val head = new java.lang.StringBuilder(256)
-          head.append("WARC/1.0\r\n")
-          head.append("WARC-Type: ").append(r.getString(0)).append("\r\n")
-          head.append("WARC-Record-ID: ").append(r.getString(1)).append("\r\n")
-          head.append("WARC-Date: ").append(
-            r.getTimestamp(2).toInstant.toString).append("\r\n")
-          if (!r.isNullAt(3))
-            head.append("WARC-Target-URI: ").append(r.getString(3)).append("\r\n")
-          if (!r.isNullAt(4))
-            head.append("Content-Type: ").append(r.getString(4)).append("\r\n")
-          head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
-          val rec = new java.io.ByteArrayOutputStream(256 + payload.length)
-          rec.write(head.toString.getBytes(StandardCharsets.UTF_8))
-          rec.write(payload)
-          rec.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
-          if (gzip) {
-            // one gzip member per record — Common Crawl's layout, which
-            // lets spec-conforming readers skip records by member
-            val gz = new java.util.zip.GZIPOutputStream(os)
-            gz.write(rec.toByteArray)
-            gz.finish()
-          } else os.write(rec.toByteArray)
-        } finally os.close()
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        val finalPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$attempt$ext")
+        val tmpPath = new org.apache.hadoop.fs.Path(dir, f".part-$pid%05d-$attempt$ext.inprogress")
+        val os = fs.create(tmpPath, true)
+        def field(r: Row, i: Int, name: String, mandatoryCol: Boolean): Option[String] =
+          if (r.isNullAt(i)) {
+            if (mandatoryCol) throw ConfigError(s"warc write: null $name")
+            None
+          } else {
+            val v = r.getString(i)
+            if (v.exists(c => c == '\r' || c == '\n')) throw ConfigError(
+              s"warc write: $name contains CR/LF ('$v') — header injection " +
+                "would corrupt the archive framing")
+            Some(v)
+          }
+        try {
+          it.foreach { r =>
+            val payload = r.getAs[Array[Byte]](5)
+            if (payload == null) throw ConfigError("warc write: null payload")
+            val head = new java.lang.StringBuilder(256)
+            head.append("WARC/1.0\r\n")
+            head.append("WARC-Type: ").append(field(r, 0, "warc_type", mandatoryCol = true).get).append("\r\n")
+            head.append("WARC-Record-ID: ").append(field(r, 1, "record_id", mandatoryCol = true).get).append("\r\n")
+            if (r.isNullAt(2)) throw ConfigError("warc write: null warc_date")
+            head.append("WARC-Date: ").append(r.getTimestamp(2).toInstant.toString).append("\r\n")
+            field(r, 3, "target_uri", mandatoryCol = false).foreach(v =>
+              head.append("WARC-Target-URI: ").append(v).append("\r\n"))
+            field(r, 4, "content_type", mandatoryCol = false).foreach(v =>
+              head.append("Content-Type: ").append(v).append("\r\n"))
+            head.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+            val rec = new ByteArrayOutputStream(256 + payload.length)
+            rec.write(head.toString.getBytes(StandardCharsets.UTF_8))
+            rec.write(payload)
+            rec.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+            if (gzip) {
+              // one gzip member per record (Common Crawl's layout). The
+              // member stream is CLOSED (not just finished) so its native
+              // Deflater is released per record; the shield keeps the
+              // underlying file open across members.
+              val shield = new java.io.FilterOutputStream(os) {
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  os.write(b, off, len)
+                override def close(): Unit = flush()
+              }
+              val gz = new java.util.zip.GZIPOutputStream(shield)
+              gz.write(rec.toByteArray)
+              gz.close()
+            } else os.write(rec.toByteArray)
+          }
+          os.close()
+          if (!fs.rename(tmpPath, finalPath)) throw ConfigError(
+            s"warc write: rename to '$finalPath' failed")
+        } catch { case e: Throwable =>
+          try os.close() catch { case _: Throwable => }
+          throw e
+        }
       }
     }
   }

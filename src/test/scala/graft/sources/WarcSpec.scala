@@ -99,6 +99,83 @@ class WarcSpec extends SparkSuite {
     assert(err(badLen).contains("Content-Length"))
   }
 
+  test("a corrupt SECOND gzip member fails loudly instead of silently dropping tail records") {
+    // the JDK's multi-member GZIPInputStream treats a malformed subsequent
+    // member as clean EOF — the exact silent-tail-drop this parser refuses
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz1 = new java.util.zip.GZIPOutputStream(bos)
+    gz1.write(goldenBytes); gz1.finish()
+    bos.write(Array[Byte](0x1f, 0x00, 0x12, 0x34)) // bad magic after member 1
+    val t = intercept[Exception](decodeBytes(bos.toByteArray, "corrupt.warc.gz").collect())
+    val msgs = Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("bad magic"), msgs)
+    // and a flipped payload bit inside a member is a CRC failure, not EOF
+    val good = {
+      val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b); g.write(goldenBytes); g.finish()
+      b.toByteArray
+    }
+    good(good.length - 12) = (good(good.length - 12) ^ 0x01).toByte
+    val t2 = intercept[Exception](decodeBytes(good, "bitflip.warc.gz").collect())
+    val msgs2 = Iterator.iterate(t2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("warc:"), msgs2)
+  }
+
+  test("spec conformance: case-insensitive names, folded lines, repeated fields") {
+    val p = "x"
+    val doc = crlf(
+      s"""WARC/1.0
+         |warc-type: conversion
+         |WARC-RECORD-ID: <urn:uuid:ci-1>
+         |warc-date: 2024-03-01T00:00:00Z
+         |WARC-Target-URI: http://example.org/very/
+         | long/folded/path
+         |WARC-Concurrent-To: <urn:uuid:other-1>
+         |WARC-Concurrent-To: <urn:uuid:other-2>
+         |content-length: 1
+         |
+         |""".stripMargin) + p + "\r\n\r\n"
+    val r = decodeBytes(doc.getBytes(StandardCharsets.UTF_8), "ci.warc").collect()(0)
+    assert(r.getString(0) == "conversion" && r.getString(1) == "<urn:uuid:ci-1>")
+    assert(r.getAs[String]("target_uri") == "http://example.org/very/ long/folded/path")
+    assert(r.getAs[Map[String, String]]("headers")("WARC-Concurrent-To") ==
+      "<urn:uuid:other-1>, <urn:uuid:other-2>")
+  }
+
+  test("non-ASCII header values round-trip as UTF-8") {
+    val dir = Files.createTempDirectory("graft-warc-u8").toString
+    val src = Seq(("conversion", "<urn:uuid:u8>", "2024-01-01 00:00:00",
+      "http://example.org/café/中文", "text/plain", "p"))
+      .toDF("warc_type", "record_id", "ts", "target_uri", "content_type", "body")
+      .select(col("warc_type"), col("record_id"),
+        col("ts").cast("timestamp").as("warc_date"), col("target_uri"),
+        col("content_type"), encode(col("body"), "UTF-8").as("payload"))
+    WarcBridge.write(src, dir)
+    val back = WarcBridge.decode(spark.read.format("binaryFile").load(dir)).collect()(0)
+    assert(back.getAs[String]("target_uri") == "http://example.org/café/中文")
+  }
+
+  test("writer refuses header injection and null mandatory fields loudly") {
+    val dir = Files.createTempDirectory("graft-warc-inj").toString
+    def src(uri: String) = Seq(("conversion", "<urn:uuid:i>", uri))
+      .toDF("warc_type", "record_id", "target_uri")
+      .select(col("warc_type"), col("record_id"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("warc_date"),
+        col("target_uri"), lit("text/plain").as("content_type"),
+        encode(lit("p"), "UTF-8").as("payload"))
+    val t = intercept[Exception](
+      WarcBridge.write(src("http://x/\r\nContent-Type: evil"), dir))
+    val msgs = Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("header injection"), msgs)
+    // failed attempts leave no visible file behind (hidden in-progress only)
+    val visible = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(visible.isEmpty, visible.mkString(", "))
+  }
+
   test("writer round-trip preserves every field and payload byte") {
     val dir = Files.createTempDirectory("graft-warc-w").toString
     val src = Seq(
