@@ -196,6 +196,52 @@ object Centrality {
         (count(lit(1)) + 1).as("ball_size"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the undirected-ized edge list, the graph-side
+    * complement to [[graft.dedup.Dedup.connectedComponents]] (components
+    * ignore density; LPA splits a connected graph into densely-linked
+    * communities — e.g. site/topic clusters in a crawl graph, mirror
+    * groups in a near-dup graph). DETERMINISTIC by construction: every
+    * node starts labeled with its own id; each round every node adopts
+    * its neighbors' most frequent label with the tie broken (count DESC,
+    * label ASC) — all integer comparisons, so a fixed round count yields
+    * identical communities on any engine/partitioning, and the g4 gate
+    * unrolls the same rounds in DuckDB and hash-matches exactly.
+    * Synchronous updates can oscillate on bipartite structures — the
+    * fixed `iterations` (no convergence loop) makes that a defined,
+    * reproducible output rather than a hang. One shuffle pair per round
+    * (edges⋈labels, then the per-(node,label) count + argmax window);
+    * lineage truncated per round via the shared checkpoint seam.
+    * Self-loops are dropped (a node voting for itself drowns sparse
+    * neighborhoods); isolated nodes never occur (nodes = edge endpoints).
+    * Output: `(node, community)`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4,
+      checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val e = truncate(
+      edges.select(col(srcCol).as("__id"), col(dstCol).as("__nbr"))
+        .unionByName(edges.select(col(dstCol).as("__id"), col(srcCol).as("__nbr")))
+        .filter(col("__id") =!= col("__nbr")).distinct(), checkpoint)
+    val nodes = e.select(col("__id")).distinct()
+    var lbl = truncate(nodes.withColumn("__lbl", col("__id")), checkpoint)
+    var i = 0
+    while (i < iterations) {
+      val counts = e
+        .join(lbl.select(col("__id").as("__nbr"), col("__lbl")), Seq("__nbr"))
+        .groupBy("__id", "__lbl").agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__c").desc, col("__lbl").asc)
+      lbl = truncate(
+        counts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(col("__id"), col("__lbl")),
+        checkpoint)
+      i += 1
+    }
+    lbl.select(col("__id").as("node"), col("__lbl").as("community"))
+  }
+
   /** In/out-degree per node — the zero-iteration centrality baseline (and
     * raw in-degree is itself a spam/quality signal in crawl curation).
     * One aggregation per side, full-outer-joined; no iteration. */

@@ -165,6 +165,14 @@ object LlmData {
   def g2Degrees(s: SparkSession, dir: String): DataFrame =
     graft.graph.Centrality.degrees(linkGraph(s, dir), "src", "dst")
 
+  /** Label-propagation communities (g4) over the undirected link graph —
+    * 4 synchronous rounds, integer tie-breaks, so the DuckDB oracle's
+    * unrolled recomputation hash-matches exactly (the g1 pattern for a
+    * second iterative graph algorithm). */
+  def g4LabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Centrality.labelPropagation(linkGraph(s, dir), "src", "dst",
+      iterations = 4)
+
   /** HyperBall harmonic-centrality check (g3, the s4/s6 check pattern):
     * on a BOUNDED deterministic subgraph (nodes < 512 — the exact side is
     * all-pairs quadratic, so the gate pins accuracy at fixed cost instead
@@ -528,6 +536,7 @@ object LlmData {
     "g1_pagerank" -> g1PageRank,
     "g2_degrees" -> g2Degrees,
     "g3_harmonic_check" -> g3HarmonicCheck,
+    "g4_label_prop" -> g4LabelProp,
     "s7_filtered_topk" -> s7FilteredTopK,
     "s8_pq_check" -> s8PqCheck,
     "t9_word_rarity" -> t9WordRarity,
@@ -578,6 +587,28 @@ object LlmData {
        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
        |$rounds
        |SELECT node, rank AS rank_scaled FROM r$iters""".stripMargin
+  }
+
+  /** The g4 oracle: `iters` synchronous LPA rounds unrolled as chained
+    * CTEs over the undirected-ized link graph — all-integer argmax with
+    * the (count DESC, label ASC) tie-break, the same determinism argument
+    * as [[pageRankOracle]]. */
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT node, lbl FROM (
+         |  SELECT eu.a AS node, l.lbl,
+         |         row_number() OVER (PARTITION BY eu.a
+         |           ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |  FROM eu JOIN l${i - 1} l ON eu.b = l.node
+         |  GROUP BY eu.a, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkGraphCtes,
+       |eu AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst
+       |       UNION SELECT dst, src FROM e WHERE src <> dst),
+       |n2 AS (SELECT DISTINCT a AS node FROM eu),
+       |l0 AS (SELECT node, node AS lbl FROM n2),
+       |$rounds
+       |SELECT node, lbl AS community FROM l$iters""".stripMargin
   }
 
   private val exactJaccardSql =
@@ -856,6 +887,9 @@ object LlmData {
     // the engines agree bit-for-bit; any float sneaking into the Spark
     // path, a wrong damping floor, or a missed contribution hash-mismatches
     "g1_pagerank" -> pageRankOracle(5),
+    // g4: four unrolled LPA rounds — any divergence in the undirected-ize,
+    // the vote count, or the tie-break hash-mismatches
+    "g4_label_prop" -> labelPropOracle(4),
     // g3: HyperBall accuracy check — EMPTY when every node's sketch-based
     // harmonic is within tolerance of the exact BFS answer (engine-side
     // invariant, the s4/s6 pattern; GraphSpec pins the positive behavior)

@@ -123,6 +123,32 @@ class GraphSpec extends SparkSuite {
     assert(graft.queries.LlmData.g3HarmonicCheck(spark, sf0001).isEmpty)
   }
 
+  test("label propagation: two triangles with a bridge resolve to two communities") {
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Centrality.labelPropagation(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(got(1L), got(2L)).size == 1 && got(11L) == got(12L))
+    assert(got(1L) != got(11L), s"bridge merged the triangles: $got")
+  }
+
+  test("label propagation is deterministic: tie-break and partitioning") {
+    // node 3's neighbors {1,2,4,5} all carry distinct labels in round 1 —
+    // the (count DESC, label ASC) tie-break must pick 1 deterministically
+    val star = Seq((1L, 3L), (2L, 3L), (4L, 3L), (5L, 3L)).toDF("src", "dst")
+    val r1 = Centrality.labelPropagation(star, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(3L) == 1L, s"tie must break to the smallest label: $r1")
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 60), (i, (i * 13 + 5) % 60)))
+    def run(parts: Int) = Centrality.labelPropagation(
+      edges.toDF("src", "dst").repartition(parts), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(11))
+  }
+
   test("g1 gate query agrees with the reference on the derived link graph") {
     val n = graft.sources.Tables.load(spark, sf0001, "documents").count()
     val edges = (0L until n).flatMap(i =>
