@@ -457,6 +457,25 @@ object LlmData {
       "text", "lang")
   }
 
+  /** HTML→text gate (t14): every doc's text is embedded (entity-escaped)
+    * into a fixed HTML shell with script/style/comment/markup noise, then
+    * extracted back through [[TextAnalysis.htmlToText]]. The DuckDB
+    * oracle performs the IDENTICAL wrap+strip — every operation in the
+    * chain was chosen for Java-regex/RE2 semantic parity, so the result
+    * is hash-exact; any engine-divergent construct sneaking into the
+    * chain (a backreference, `\s`, greedy flip) mismatches. */
+  def t14HtmlText(s: SparkSession, dir: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;")
+    val html = concat(
+      lit("<html><head><title>t</title><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">var s = \"<p>not text</p>\";</script>" +
+        "</head><body>\n<h1>Heading</h1>\n<p class=\"main\">"),
+      esc,
+      lit("</p><!-- hidden <b>comment</b> -->&amp;&lt;tail&gt;</body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      graft.text.TextAnalysis.htmlToText(html).as("clean"))
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -544,6 +563,7 @@ object LlmData {
     "t11_bpe_train" -> t11BpeTrain,
     "t12_bpe_encode" -> t12BpeEncode,
     "t13_nb_classify" -> t13NbClassify,
+    "t14_html_text" -> t14HtmlText,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -890,6 +910,27 @@ object LlmData {
     // g4: four unrolled LPA rounds — any divergence in the undirected-ize,
     // the vote count, or the tie-break hash-mismatches
     "g4_label_prop" -> labelPropOracle(4),
+    // t14: the identical wrap+strip chain in DuckDB (RE2) — patterns were
+    // chosen for Java/RE2 parity (non-greedy + inline flags only, explicit
+    // whitespace class, literal entity replaces, &amp; last)
+    "t14_html_text" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      '<html><head><title>t</title><style>p { color: red; }</style>' ||
+        |      '<script type="text/javascript">var s = "<p>not text</p>";</script>' ||
+        |      '</head><body>' || chr(10) || '<h1>Heading</h1>' || chr(10) ||
+        |      '<p class="main">' ||
+        |      replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |      '</p><!-- hidden <b>comment</b> -->&amp;&lt;tail&gt;</body></html>',
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&'),
+        |  '[ \t\n\r\f]+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
     // g3: HyperBall accuracy check — EMPTY when every node's sketch-based
     // harmonic is within tolerance of the exact BFS answer (engine-side
     // invariant, the s4/s6 pattern; GraphSpec pins the positive behavior)

@@ -166,6 +166,30 @@ object TextAnalysis {
       .withColumn("rare_ratio", round(col("n_rare").cast("double") / col("n_words"), 6))
   }
 
+  /** HTML → text extraction — the boilerplate-strip step between a WARC
+    * `response` record and the `documents` table (the full-fat versions
+    * are jusText/trafilatura; this is the deterministic columnar core:
+    * script/style/comment removal, tag strip, the five predefined XML
+    * entities, whitespace collapse). Built STRICTLY from operations with
+    * identical semantics in Java regex and RE2 so the t14 oracle can
+    * recompute it in DuckDB hash-exactly: non-greedy quantifiers and
+    * `(?is)` flags only (no backreferences — RE2 has none), an explicit
+    * whitespace class (Java's `\s` includes VT, RE2's does not), and
+    * literal `replace` for entities (`&amp;` LAST, the usual one-pass
+    * simplification — `&amp;lt;` decodes to `&lt;` not `<`, documented).
+    * Numeric character references are out of scope (would need eval). */
+  def htmlToText(textCol: Column): Column = {
+    val noScript = regexp_replace(textCol, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), v) }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
   def fingerprint(textCol: Column): Column =
     md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
 

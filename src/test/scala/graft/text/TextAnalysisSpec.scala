@@ -132,4 +132,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(plan.split("Exchange hashpartitioning").length == 2, plan)
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("htmlToText: golden cases for script/style/comment/tags/entities/whitespace") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def clean(html: String): String =
+      Seq(html).toDF("h").select(TextAnalysis.htmlToText(col("h")).as("c"))
+        .collect()(0).getString(0)
+    assert(clean("<p>hello <b>world</b></p>") == "hello world")
+    assert(clean("<SCRIPT>var a = \"<p>x</p>\";</SCRIPT>keep") == "keep")
+    assert(clean("<style media=\"all\">h1 { x: \"<i>\" }</style>t") == "t")
+    assert(clean("a<!-- <b>gone</b>\nstill gone -->b") == "a b")
+    assert(clean("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y") ==
+      "x <tag> \"q\" 's' & y")
+    // the documented one-pass quirk: &amp;lt; decodes to &lt;, not <
+    assert(clean("&amp;lt;") == "&lt;")
+    assert(clean("  a\t\tb\r\nc  ") == "a b c")
+    // naive-stripper semantics, pinned: a bare '<'..'>' SPAN is eaten (the
+    // reason real corpus text must be entity-escaped before embedding);
+    // a '<' with no closing '>' survives
+    assert(clean("5 < 6 and 7 > 3") == "5 3")
+    assert(clean("5 < 6") == "5 < 6")
+  }
 }
