@@ -29,6 +29,16 @@ object CurationTransforms {
     }
   }
 
+  /** Extract clean text from an HTML column ([[TextAnalysis.htmlToText]]'s
+    * chain) — the WARC-response → document-text step of a web-curation
+    * pipeline. parameters: `html_col` (default "html"), `out_col`
+    * (default "text"); other columns pass through. */
+  final class HtmlExtract extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame =
+      inputs.head.withColumn(str(p, "out_col", "text"),
+        TextAnalysis.htmlToText(col(str(p, "html_col", "html"))))
+  }
+
   /** Keep one document per exact content hash (the group's min id). */
   final class ExactDedupFilter extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {

@@ -1519,6 +1519,78 @@ object Extras {
     store.read("c12_t")
   }
 
+  /** Web-curation capstone E2E (c13): the round's pieces composed into ONE
+    * pipeline — WARC response archives of HTML pages → payload decode →
+    * HtmlExtract plugin (t14's chain) → length filter → streaming table,
+    * run twice over a split corpus with checkpoints. The DuckDB oracle
+    * recomputes the whole chain from the raw documents table (the shared
+    * shell-strip expression + the same filter), so a defect in ANY stage —
+    * WARC framing, gzip members, payload decode, the strip chain, the
+    * filter, exactly-once ingest — hash-mismatches. */
+  def c13WebCuration(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-c13")
+    val landing = s"$wh/landing"
+    val fixture = fixtureOnce(s"c13|$dir") { root =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      def recs(df: DataFrame): DataFrame = df.select(
+        lit("response").as("warc_type"),
+        concat(lit("<urn:doc-"), col("doc_id"), lit(">")).as("record_id"),
+        lit("2024-02-01 00:00:00").cast("timestamp").as("warc_date"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("text/html").as("content_type"),
+        encode(graft.queries.LlmData.htmlShellOf(col("text")), "UTF-8").as("payload"))
+      graft.sources.WarcBridge.write(
+        recs(d.filter(col("doc_id") % 2 === 0)).repartition(2), s"$root/a")
+      graft.sources.WarcBridge.write(
+        recs(d.filter(col("doc_id") % 2 === 1)).repartition(2), s"$root/b")
+    }
+    val yaml =
+      s"""pipeline: c13
+         |flowgroup: webcur
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: warc
+         |      readMode: stream
+         |    target: c13_v
+         |  - name: t_decode
+         |    type: transform
+         |    transform_type: sql
+         |    source: c13_v
+         |    target: c13_html
+         |    sql: >
+         |      SELECT CAST(regexp_extract(record_id, '([0-9]+)', 1) AS BIGINT)
+         |               AS doc_id,
+         |             decode(payload, 'UTF-8') AS html
+         |      FROM c13_v WHERE warc_type = 'response'
+         |  - name: t_extract
+         |    type: transform
+         |    transform_type: python
+         |    function: graft.plugins.CurationTransforms$$HtmlExtract
+         |    source: c13_html
+         |    target: c13_text
+         |    parameters: {html_col: html, out_col: text}
+         |  - name: t_filter
+         |    type: transform
+         |    transform_type: sql
+         |    source: c13_text
+         |    target: c13_kept
+         |    sql: "SELECT doc_id, text FROM c13_text WHERE length(text) >= 200"
+         |  - name: w
+         |    type: write
+         |    source: c13_kept
+         |    write_target: {type: streaming_table, table: c13_t}
+         |""".stripMargin
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("c13_t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1532,6 +1604,7 @@ object Extras {
     "c10_orchestrated_medallion" -> c10OrchestratedMedallion,
     "c11_sandboxed_run" -> c11SandboxedRun,
     "c12_warc_ingest" -> c12WarcIngest,
+    "c13_web_curation" -> c13WebCuration,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "q58_windowed_mv" -> q58WindowedMv,
     "q59_dedup_mv" -> q59DedupMv,
@@ -1960,6 +2033,14 @@ object Extras {
     "c12_warc_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer""".stripMargin,
+    // c13: the whole web-curation chain recomputed from the raw documents
+    // table — the shared shell-strip expression plus the same length
+    // filter; any stage defect in the WARC-fronted pipeline mismatches
+    "c13_web_curation" ->
+      s"""SELECT doc_id, clean AS text FROM (
+         |  SELECT doc_id, ${graft.queries.LlmData.htmlShellStripExpr} AS clean
+         |  FROM documents)
+         |WHERE length(clean) >= 200""".stripMargin,
     // c3's oracle is the raw supplier table: the Spark side round-trips it
     // through a real JDBC database, so type mangling or dropped rows at the
     // JDBC boundary hash-mismatch

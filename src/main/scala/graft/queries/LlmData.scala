@@ -464,17 +464,9 @@ object LlmData {
     * chain was chosen for Java-regex/RE2 semantic parity, so the result
     * is hash-exact; any engine-divergent construct sneaking into the
     * chain (a backreference, `\s`, greedy flip) mismatches. */
-  def t14HtmlText(s: SparkSession, dir: String): DataFrame = {
-    val esc = regexp_replace(regexp_replace(col("text"), "&", "&amp;"), "<", "&lt;")
-    val html = concat(
-      lit("<html><head><title>t</title><style>p { color: red; }</style>" +
-        "<script type=\"text/javascript\">var s = \"<p>not text</p>\";</script>" +
-        "</head><body>\n<h1>Heading</h1>\n<p class=\"main\">"),
-      esc,
-      lit("</p><!-- hidden <b>comment</b> -->&amp;&lt;tail&gt;</body></html>"))
+  def t14HtmlText(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-      graft.text.TextAnalysis.htmlToText(html).as("clean"))
-  }
+      graft.text.TextAnalysis.htmlToText(htmlShellOf(col("text"))).as("clean"))
 
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -629,6 +621,41 @@ object LlmData {
        |l0 AS (SELECT node, node AS lbl FROM n2),
        |$rounds
        |SELECT node, lbl AS community FROM l$iters""".stripMargin
+  }
+
+  /** The t14/c13 DuckDB expression: wrap `text` in the fixed HTML shell
+    * (entity-escaped) and strip it back with the RE2 twin of
+    * [[graft.text.TextAnalysis.htmlToText]] — shared so the standalone
+    * gate and the WARC-fronted curation E2E pin the SAME chain. */
+  private[queries] val htmlShellStripExpr: String =
+    """trim(regexp_replace(
+      |  replace(replace(replace(replace(replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      '<html><head><title>t</title><style>p { color: red; }</style>' ||
+      |      '<script type="text/javascript">var s = "<p>not text</p>";</script>' ||
+      |      '</head><body>' || chr(10) || '<h1>Heading</h1>' || chr(10) ||
+      |      '<p class="main">' ||
+      |      replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+      |      '</p><!-- hidden <b>comment</b> -->&amp;&lt;tail&gt;</body></html>',
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]*>', ' ', 'g'),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', ''''), '&amp;', '&'),
+      |  '[ \t\n\r\f]+', ' ', 'g'))""".stripMargin
+
+  /** The Spark-side twin of [[htmlShellStripExpr]]'s WRAP stage (the strip
+    * stage is [[graft.text.TextAnalysis.htmlToText]]): shared by the t14
+    * gate and the c13 fixture builder. */
+  private[queries] def htmlShellOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val esc = regexp_replace(regexp_replace(text, "&", "&amp;"), "<", "&lt;")
+    concat(
+      lit("<html><head><title>t</title><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">var s = \"<p>not text</p>\";</script>" +
+        "</head><body>\n<h1>Heading</h1>\n<p class=\"main\">"),
+      esc,
+      lit("</p><!-- hidden <b>comment</b> -->&amp;&lt;tail&gt;</body></html>"))
   }
 
   private val exactJaccardSql =
@@ -914,23 +941,7 @@ object LlmData {
     // chosen for Java/RE2 parity (non-greedy + inline flags only, explicit
     // whitespace class, literal entity replaces, &amp; last)
     "t14_html_text" ->
-      """SELECT doc_id, trim(regexp_replace(
-        |  replace(replace(replace(replace(replace(
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      '<html><head><title>t</title><style>p { color: red; }</style>' ||
-        |      '<script type="text/javascript">var s = "<p>not text</p>";</script>' ||
-        |      '</head><body>' || chr(10) || '<h1>Heading</h1>' || chr(10) ||
-        |      '<p class="main">' ||
-        |      replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
-        |      '</p><!-- hidden <b>comment</b> -->&amp;&lt;tail&gt;</body></html>',
-        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]*>', ' ', 'g'),
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', ''''), '&amp;', '&'),
-        |  '[ \t\n\r\f]+', ' ', 'g')) AS clean
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id, $htmlShellStripExpr AS clean\nFROM documents",
     // g3: HyperBall accuracy check — EMPTY when every node's sketch-based
     // harmonic is within tolerance of the exact BFS answer (engine-side
     // invariant, the s4/s6 pattern; GraphSpec pins the positive behavior)
