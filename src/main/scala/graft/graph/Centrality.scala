@@ -212,19 +212,23 @@ object Centrality {
     * reproducible output rather than a hang. One shuffle pair per round
     * (edges⋈labels, then the per-(node,label) count + argmax window);
     * lineage truncated per round via the shared checkpoint seam.
-    * Self-loops are dropped (a node voting for itself drowns sparse
-    * neighborhoods); isolated nodes never occur (nodes = edge endpoints).
+    * Self-loops do not vote (a node voting for itself drowns sparse
+    * neighborhoods), but a node whose ONLY edges are self-loops still
+    * appears, keeping its own label — the node universe is every non-null
+    * edge endpoint, matching [[degrees]]/[[pageRank]] so the three
+    * compose over one edge list (null endpoints are dropped).
     * Output: `(node, community)`. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 4,
       checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     import org.apache.spark.sql.expressions.Window
+    val both = edges.select(col(srcCol).as("__id"), col(dstCol).as("__nbr"))
+      .unionByName(edges.select(col(dstCol).as("__id"), col(srcCol).as("__nbr")))
+      .filter(col("__id").isNotNull && col("__nbr").isNotNull)
+    val nodes = truncate(both.select(col("__id")).distinct(), checkpoint)
     val e = truncate(
-      edges.select(col(srcCol).as("__id"), col(dstCol).as("__nbr"))
-        .unionByName(edges.select(col(dstCol).as("__id"), col(srcCol).as("__nbr")))
-        .filter(col("__id") =!= col("__nbr")).distinct(), checkpoint)
-    val nodes = e.select(col("__id")).distinct()
+      both.filter(col("__id") =!= col("__nbr")).distinct(), checkpoint)
     var lbl = truncate(nodes.withColumn("__lbl", col("__id")), checkpoint)
     var i = 0
     while (i < iterations) {
@@ -233,9 +237,15 @@ object Centrality {
         .groupBy("__id", "__lbl").agg(count(lit(1)).as("__c"))
       val w = Window.partitionBy("__id")
         .orderBy(col("__c").desc, col("__lbl").asc)
+      val winners = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__id"), col("__lbl").as("__new"))
+      // a node with no (non-self) neighbors has no winner row and keeps
+      // its label — it must not vanish from the node universe
       lbl = truncate(
-        counts.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).select(col("__id"), col("__lbl")),
+        lbl.join(winners, Seq("__id"), "left")
+          .select(col("__id"),
+            coalesce(col("__new"), col("__lbl")).as("__lbl")),
         checkpoint)
       i += 1
     }

@@ -177,7 +177,11 @@ object TextAnalysis {
     * whitespace class (Java's `\s` includes VT, RE2's does not), and
     * literal `replace` for entities (`&amp;` LAST, the usual one-pass
     * simplification — `&amp;lt;` decodes to `&lt;` not `<`, documented).
-    * Numeric character references are out of scope (would need eval). */
+    * Numeric character references are out of scope (would need eval).
+    * One residual engine nuance: `(?i)` folds ASCII in Java but Unicode
+    * in RE2, so an exotic tag spelling like `<ſcript>` (U+017F folds to
+    * 's') diverges — unreachable through the t14/c13 gates, whose only
+    * tags are the fixed ASCII shell (corpus text is entity-escaped). */
   def htmlToText(textCol: Column): Column = {
     val noScript = regexp_replace(textCol, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
@@ -186,7 +190,7 @@ object TextAnalysis {
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(e), v) }
+      call_function("replace", c, lit(e), lit(v)) }
     trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
   }
 

@@ -134,6 +134,14 @@ class GraphSpec extends SparkSuite {
     assert(got(1L) != got(11L), s"bridge merged the triangles: $got")
   }
 
+  test("label propagation keeps self-loop-only nodes (same node universe as degrees)") {
+    val got = Centrality.labelPropagation(
+      Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 5L), got.toString)
+    assert(got(5L) == 5L) // no non-self neighbors: keeps its own label
+  }
+
   test("label propagation is deterministic: tie-break and partitioning") {
     // node 3's neighbors {1,2,4,5} all carry distinct labels in round 1 —
     // the (count DESC, label ASC) tie-break must pick 1 deterministically
