@@ -468,6 +468,28 @@ object LlmData {
     docs(s, dir).select(col("doc_id"),
       graft.text.TextAnalysis.htmlToText(htmlShellOf(col("text"))).as("clean"))
 
+  /** URL-dedup gate (t15): deterministic MESSY urls fabricated per doc —
+    * uppercase scheme/host, www, a default port on every third, a
+    * trailing slash on every second, utm/fbclid tracking params around a
+    * REAL param (so the separator repair is on the path), a fragment —
+    * canonicalize to one of 125 canonical urls (doc groups of 4 whose
+    * variants all differ pre-canonicalization) and dedup. The DuckDB
+    * oracle rebuilds the same raw urls and recomputes the identical
+    * chain; any rule or repair divergence changes group membership and
+    * hash-mismatches. */
+  def t15UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = docs(s, dir).select(col("doc_id"), concat(
+      lit("HTTP://WWW.Site"), (col("doc_id") % 25).cast("string"),
+      lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0, ":80").otherwise(""),
+      lit("/Sec/p"), (col("doc_id") % 125).cast("string"),
+      when(col("doc_id") % 2 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 4 === 0, "&fbclid=zz").otherwise(""),
+      lit("#sec"), col("doc_id").cast("string")).as("url"))
+    graft.text.UrlOps.urlDedup(raw, "doc_id", "url")
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -556,6 +578,7 @@ object LlmData {
     "t12_bpe_encode" -> t12BpeEncode,
     "t13_nb_classify" -> t13NbClassify,
     "t14_html_text" -> t14HtmlText,
+    "t15_url_dedup" -> t15UrlDedup,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -942,6 +965,45 @@ object LlmData {
     // whitespace class, literal entity replaces, &amp; last)
     "t14_html_text" ->
       s"SELECT doc_id, $htmlShellStripExpr AS clean\nFROM documents",
+    // t15: the same raw-url fabrication + canonicalization chain in DuckDB
+    // (lateral column aliases keep the steps readable); regexp_extract
+    // returns '' on no-match in BOTH engines, which the scheme-less branch
+    // relies on
+    "t15_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |  'HTTP://WWW.Site' || CAST(doc_id % 25 AS VARCHAR) || '.Example.COM' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END ||
+        |  '/Sec/p' || CAST(doc_id % 125 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '&fbclid=zz' ELSE '' END ||
+        |  '#sec' || CAST(doc_id AS VARCHAR) AS u
+        |  FROM documents),
+        |canon AS (SELECT doc_id,
+        |  regexp_replace(trim(u), '#.*', '') AS nofrag,
+        |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+        |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+        |                 '^www\.', '') AS host0,
+        |  CASE WHEN sch = 'http' THEN regexp_replace(host0, ':80$', '')
+        |       WHEN sch = 'https' THEN regexp_replace(host0, ':443$', '')
+        |       ELSE host0 END AS host,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(regexp_replace(rest, '^[^/?]*', ''),
+        |            '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+        |          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '?'),
+        |        '\?$', ''),
+        |      '/\?', '?'),
+        |    '/$', '') AS path,
+        |  CASE WHEN sch = '' THEN host || path
+        |       ELSE sch || '://' || host || path END AS url_canon
+        |  FROM raw)
+        |SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM canon GROUP BY 1""".stripMargin,
     // g3: HyperBall accuracy check — EMPTY when every node's sketch-based
     // harmonic is within tolerance of the exact BFS answer (engine-side
     // invariant, the s4/s6 pattern; GraphSpec pins the positive behavior)
