@@ -980,24 +980,24 @@ object LlmData {
         |  '#sec' || CAST(doc_id AS VARCHAR) AS u
         |  FROM documents),
         |canon AS (SELECT doc_id,
-        |  regexp_replace(trim(u), '#.*', '') AS nofrag,
+        |  regexp_replace(trim(u), '#.*', '', 'g') AS nofrag,
         |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+        |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') AS rest,
         |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
-        |                 '^www\.', '') AS host0,
-        |  CASE WHEN sch = 'http' THEN regexp_replace(host0, ':80$', '')
-        |       WHEN sch = 'https' THEN regexp_replace(host0, ':443$', '')
+        |                 '^www\.', '', 'g') AS host0,
+        |  CASE WHEN sch = 'http' THEN regexp_replace(host0, ':80$', '', 'g')
+        |       WHEN sch = 'https' THEN regexp_replace(host0, ':443$', '', 'g')
         |       ELSE host0 END AS host,
         |  regexp_replace(
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(
-        |          regexp_replace(regexp_replace(rest, '^[^/?]*', ''),
+        |          regexp_replace(regexp_replace(rest, '^[^/?]*', '', 'g'),
         |            '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
-        |          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '?'),
-        |        '\?$', ''),
-        |      '/\?', '?'),
-        |    '/$', '') AS path,
+        |          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '?', 'g'),
+        |        '\?$', '', 'g'),
+        |      '/\?', '?', 'g'),
+        |    '/$', '', 'g') AS path,
         |  CASE WHEN sch = '' THEN host || path
         |       ELSE sch || '://' || host || path END AS url_canon
         |  FROM raw)
