@@ -28,12 +28,20 @@ object Dedup {
       .filter(length(col("shingle")) > 0)
   }
 
+  /** The keeper convention shared by every keyed exact-dedup variant
+    * ([[exact]], [[graft.text.UrlOps.urlDedup]]): one row per key with
+    * `keeper` = min id and `n_dups` = group size — one map-side-combinable
+    * hash-shuffle on the key. */
+  def keepersBy(df: DataFrame, idCol: String, key: Column,
+      keyName: String): DataFrame =
+    df.groupBy(key.as(keyName))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
   /** Exact dedup: canonical keeper per content hash. `fp` = md5(text),
     * `keeper` = min id in the group, `n_dups` = group size. At scale this is
     * one hash-shuffle on a 16-byte key. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+    keepersBy(df, idCol, md5(col(textCol)), "fp")
 
   /** Incremental exact dedup — the shape that actually runs at 100 TB: the
     * historical corpus is never re-shuffled; an append-only content-hash

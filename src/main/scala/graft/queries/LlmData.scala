@@ -983,23 +983,30 @@ object LlmData {
         |  regexp_replace(trim(u), '#.*', '', 'g') AS nofrag,
         |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
         |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') AS rest,
-        |  regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
-        |                 '^www\.', '', 'g') AS host0,
+        |  (sch = '' AND rest LIKE '//%') AS prel,
+        |  CASE WHEN prel THEN regexp_replace(rest, '^//', '', 'g')
+        |       ELSE rest END AS body,
+        |  regexp_extract(body, '^([^/?]*)', 1) AS auth,
+        |  regexp_extract(auth, '^([^/?@]*@)', 1) AS uinfo,
+        |  lower(regexp_replace(auth, '^[^/?@]*@', '', 'g')) AS hostport,
+        |  regexp_replace(hostport, '^www\.', '', 'g') AS host0,
         |  CASE WHEN sch = 'http' THEN regexp_replace(host0, ':80$', '', 'g')
         |       WHEN sch = 'https' THEN regexp_replace(host0, ':443$', '', 'g')
         |       ELSE host0 END AS host,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(regexp_replace(rest, '^[^/?]*', '', 'g'),
-        |            '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
-        |          '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '?', 'g'),
-        |        '\?$', '', 'g'),
-        |      '/\?', '?', 'g'),
-        |    '/$', '', 'g') AS path,
-        |  CASE WHEN sch = '' THEN host || path
-        |       ELSE sch || '://' || host || path END AS url_canon
+        |  regexp_replace(body, '^[^/?]*', '', 'g') AS afterauth,
+        |  regexp_extract(afterauth, '^([^?]*)', 1) AS pathpart,
+        |  regexp_replace(afterauth, '^[^?]*', '', 'g') AS querypart,
+        |  regexp_replace(querypart,
+        |    '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g') AS q1,
+        |  regexp_replace(q1,
+        |    '^\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&?', '?', 'g') AS q2,
+        |  regexp_replace(q2, '^\?$', '', 'g') AS qq,
+        |  regexp_replace(pathpart, '/$', '', 'g') AS pth,
+        |  CASE WHEN sch = ''
+        |       THEN (CASE WHEN prel THEN '//' ELSE '' END) ||
+        |            uinfo || host || pth || qq
+        |       ELSE sch || '://' || uinfo || host || pth || qq
+        |       END AS url_canon
         |  FROM raw)
         |SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keeper,
         |       CAST(count(*) AS BIGINT) AS n_dups

@@ -9,57 +9,72 @@ import org.apache.spark.sql.functions._
   * `target_uri`. Same cross-engine discipline as
   * [[TextAnalysis.htmlToText]]: every regex has identical Java/RE2
   * semantics (anchors, ASCII character classes, alternation — no
-  * backreferences, no `\s`, no lazy-vs-greedy edge), `lower()` is the
-  * ASCII fold both engines share on these characters, so the t15 oracle
-  * recomputes the chain hash-exactly in DuckDB. */
+  * backreferences, no `\s`, no lazy-vs-greedy edge), both engines'
+  * replaces run GLOBAL, `lower()` is the ASCII fold both share on these
+  * characters, so the t15 oracle recomputes the chain hash-exactly. */
 object UrlOps {
 
   /** Canonical form:
     *   - fragment dropped;
-    *   - scheme and host lowercased; a leading `www.` dropped;
+    *   - scheme and host lowercased; a leading `www.` dropped; a
+    *     protocol-relative `//host/...` parses its authority like a
+    *     schemed URL (prefix preserved); userinfo (`user@`) is split off
+    *     the authority first and kept VERBATIM — it is case-sensitive per
+    *     RFC 3986 and must neither fold nor block the `www.` strip;
     *   - the scheme's default port dropped (`:80` for http, `:443` for
-    *     https — a NON-default port is kept);
-    *   - tracking parameters removed (`utm_*`, `fbclid`, `gclid`), with
-    *     the query separator repaired and an emptied query dropped;
-    *   - a single trailing `/` dropped (so `/a/` ≡ `/a`, and a bare host
-    *     ends without a slash).
-    * Scheme-less inputs pass through the same host/path rules. This is a
-    * columnar normalizer, not a validator — a malformed URL normalizes
-    * best-effort instead of failing (curation drops unfetchable URLs
-    * elsewhere). */
+    *     https — a NON-default or wrong-scheme port is kept);
+    *   - query handling splits at the FIRST `?` so repairs never touch
+    *     `?`/`/?` sequences inside query VALUES: tracking parameters
+    *     (`utm_*`, `fbclid`, `gclid`) are removed with the separator
+    *     repaired, and an emptied query drops its `?`;
+    *   - a single trailing `/` on the path dropped (so `/a/` ≡ `/a`,
+    *     `/a/?q` ≡ `/a?q`, and a bare host ends without a slash).
+    * This is a columnar normalizer, not a validator — a malformed URL
+    * normalizes best-effort instead of failing (curation drops
+    * unfetchable URLs elsewhere). */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    // protocol-relative: authority parsing must not see the bare "//"
+    val protoRel = scheme === "" && rest.startsWith("//")
+    val body = when(protoRel, regexp_replace(rest, "^//", "")).otherwise(rest)
+    val authority = regexp_extract(body, "^([^/?]*)", 1)
+    val userinfo = regexp_extract(authority, "^([^/?@]*@)", 1) // "" or verbatim "user@"
+    val hostPort = lower(regexp_replace(authority, "^[^/?@]*@", ""))
     val host0 = regexp_replace(hostPort, "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
-    val path0 = regexp_replace(rest, "^[^/?]*", "")
-    // tracking removal in two shapes so the "?" survives when later params
-    // do: "&param=v" anywhere drops outright; a "?param=v" start re-anchors
-    // the next param onto "?" (or becomes a bare "?" when it was the only
-    // one). Then strip an emptied "?", a slash left dangling before the
-    // query, and a trailing slash (each residual pattern occurs at most
-    // once: a URL has one "?").
+    val afterAuth = regexp_replace(body, "^[^/?]*", "")
+    // split at the FIRST "?": repairs stay out of query values, which may
+    // legally contain "?" themselves
+    val pathPart = regexp_extract(afterAuth, "^([^?]*)", 1)
+    val queryPart = regexp_replace(afterAuth, "^[^?]*", "")
     val trackers = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
-    val noAmp = regexp_replace(path0, s"&$trackers=[^&#]*", "")
-    val noTrack = regexp_replace(noAmp, s"\\?$trackers=[^&#]*&?", "?")
-    val repaired = regexp_replace(
-      regexp_replace(noTrack, "\\?$", ""), "/\\?", "?")
-    val path = regexp_replace(repaired, "/$", "")
-    when(scheme === "", concat(host, path))
-      .otherwise(concat(scheme, lit("://"), host, path))
+    val q1 = regexp_replace(queryPart, s"&$trackers=[^&#]*", "")
+    val q2 = regexp_replace(q1, s"^\\?$trackers=[^&#]*&?", "?")
+    val query = regexp_replace(q2, "^\\?$", "")
+    val path = regexp_replace(pathPart, "/$", "")
+    val tail = concat(host, path, query)
+    when(scheme === "",
+        concat(when(protoRel, lit("//")).otherwise(lit("")), userinfo, tail))
+      .otherwise(concat(scheme, lit("://"), userinfo, tail))
   }
 
-  /** URL-level dedup: one row per canonical URL — the keeper is the
-    * smallest id (the d1 exact-dedup convention). One map-side-combinable
-    * aggregation keyed by canonical URL; at 100 TB this is the cheapest
-    * dedup stage by construction (no shingles, no content reads). Returns
-    * `(urlCanonCol, keeper, n_dups)`. */
+  /** URL-level dedup: one row per canonical URL, the shared d1 keeper
+    * convention ([[graft.dedup.Dedup.keepersBy]] — keeper = min id,
+    * `n_dups` = group size; one map-side-combinable aggregation). Rows
+    * with a NULL url or one that canonicalizes to EMPTY are excluded —
+    * WARC warcinfo/metadata records carry no `WARC-Target-URI`, and
+    * grouping them would mark unrelated URL-less documents as duplicates
+    * of each other. At 100 TB this is the cheapest dedup stage by
+    * construction (no shingles, no content reads). Returns
+    * `(url_canon, keeper, n_dups)`. */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canon"))
-      .groupBy("url_canon")
-      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+    graft.dedup.Dedup.keepersBy(
+      df.filter(col(urlCol).isNotNull)
+        .select(col(idCol), canonicalizeUrl(col(urlCol)).as("__uc"))
+        .filter(col("__uc") =!= ""),
+      idCol, col("__uc"), "url_canon")
 }

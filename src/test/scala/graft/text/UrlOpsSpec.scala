@@ -29,6 +29,28 @@ class UrlOpsSpec extends SparkSuite {
     assert(canon("HTTPS://HOST.io/CaseSensitive") == "https://host.io/CaseSensitive")
   }
 
+  test("review-pinned edges: userinfo, protocol-relative, query values with '?'") {
+    // userinfo is case-sensitive and must not block the www strip
+    assert(canon("http://Alice@WWW.Site.COM/x") == "http://Alice@site.com/x")
+    assert(canon("http://Alice@a.b/x") != canon("http://alice@a.b/x"))
+    // protocol-relative URLs get full host normalization, prefix kept
+    assert(canon("//WWW.Example.COM/x/") == "//example.com/x")
+    assert(canon("//a.b/x") == canon("//WWW.A.B/x"))
+    // repairs stop at the first '?': query values containing '?' or '/?'
+    // pass through untouched
+    assert(canon("http://a.b/p?u=/x/?q=1") == "http://a.b/p?u=/x/?q=1")
+    assert(canon("http://a.b/p?next=?utm_source=x") == "http://a.b/p?next=?utm_source=x")
+    // but a REAL leading tracking param still goes, repairing the query
+    assert(canon("http://a.b/p?utm_source=s&next=?x") == "http://a.b/p?next=?x")
+  }
+
+  test("urlDedup excludes null and empty-canonical urls instead of grouping them") {
+    val rows = Seq((1L, null), (2L, null), (3L, "   "), (4L, "#frag-only"),
+      (5L, "http://keep.me/x")).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(rows, "doc_id", "url").collect()
+    assert(got.length == 1 && got(0).getString(0) == "http://keep.me/x")
+  }
+
   test("urlDedup groups variants and keeps the smallest id") {
     val rows = Seq(
       (1L, "http://a.b/x/"), (2L, "HTTP://WWW.A.B/x?utm_source=z"),
