@@ -54,7 +54,7 @@ object ScaleProbe {
     // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
-      "semantic", "bpe", "graph")
+      "semantic", "bpe", "graph", "classify")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -306,6 +306,29 @@ object ScaleProbe {
       println(f"""{"k":$k,"edges":${e.count()},"pagerank5":$prT%.2f}""")
       e.unpersist(): Unit
     }
+    }
+    // ---- classifier tier (r12 continuation): Naive Bayes scoring with a
+    // FIXED seed (the trained model does not grow with the corpus — it is
+    // broadcast-sized by construction, plan-verified BroadcastHashJoin on
+    // the word join). Expected ~linear in k: one explode + broadcast
+    // lookup + per-(doc,class) sum per replica's rows. A superlinear move
+    // here would mean the model side started shuffling with the corpus.
+    if (tierOn("classify")) {
+    println(f"""{"probe":"classify_linearity","sf":"$sfDir","reps":$reps}""")
+    val seed = docs.filter(col("doc_id") < 250)
+      .join(graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("text"))
+      .persist()
+    seed.count()
+    for (k <- Seq(1, reps)) {
+      val c = corpus(k).persist(); c.count()
+      val t = med(time(graft.text.NaiveBayes.classify(
+        c, "doc_id", "text", seed, "text", "lang")))
+      println(f"""{"k":$k,"rows":${c.count()},"nb_classify":$t%.2f}""")
+      c.unpersist(): Unit
+    }
+    seed.unpersist(): Unit
     }
     spark.stop()
   }
