@@ -307,6 +307,49 @@ class RecomputeMvSpec extends SparkSuite {
     assert(e4.getMessage.contains("watermark does not apply"))
   }
 
+  test("forged crash: a replayed delta batch recomputes idempotently (no dupes, no loss)") {
+    // the append path needed (flow, batch) txn identity to absorb replays
+    // (CrashResumeSpec); the recompute path's claim is stronger — replay
+    // is SELF-HEALING because recompute-from-current-base is idempotent.
+    // Forge the exact crash state (offsets written, partitions swapped,
+    // commit marker missing) and prove it.
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, (0L until 40L).map(i => (i, f"2024-01-01 00:${i}%02d:00", i * 1.0)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, goodSql)))
+    val before = store.read("mv").select("ub", "id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def dropNewestCommit(cp: String): Unit = {
+      val commits = Paths.get(cp, "commits")
+      assert(Files.exists(commits), s"no commits dir at $commits")
+      val newest = Files.list(commits).toArray.map(_.asInstanceOf[Path])
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      Files.delete(newest)
+      Files.deleteIfExists(
+        commits.resolve(s".${newest.getFileName.toString}.crc")): Unit
+    }
+    dropNewestCommit(s"$dir/checkpoints/rmv/fg/mv")
+    // replay with NO new data: the whole first delta batch re-runs
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, goodSql)))
+    val replayed = store.read("mv").select("ub", "id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed == before, "replayed recompute diverged from the original")
+    assert(store.read("mv").count() == 40, "replay duplicated rows")
+    // and a crash forged BETWEEN two runs with new data: the replayed
+    // batch recomputes its keys against the ALREADY-ADVANCED base and
+    // still lands the final answer
+    writeRows(landing, Seq((100L, "2024-01-01 00:50:00", 2.0))) // ub 0
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, goodSql)))
+    dropNewestCommit(s"$dir/checkpoints/rmv/fg/mv")
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, goodSql)))
+    val ub0 = store.read("mv").filter(col("ub") === 0)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(store.read("mv").count() == 41)
+    assert(ub0.size == 11 && ub0(100L) == ub0.values.max,
+      s"post-crash bucket 0 state wrong: $ub0")
+  }
+
   test("q64 gate: cross-run duplicates collapse through the nested-dedup recompute") {
     val got = graft.queries.Extras.q64NestedDedupMv(spark, sf0001)
       .select("ub", "user_id", "n_events", "n_types")
