@@ -490,6 +490,32 @@ object LlmData {
     graft.text.UrlOps.urlDedup(raw, "doc_id", "url")
   }
 
+  /** Bigram-LM perplexity gate (t16): the CCNet-style quality filter —
+    * fit on the doc_id < 250 seed (the t13 convention), score EVERY doc.
+    * The DuckDB oracle refits the model end-to-end (same counts, same
+    * ln-decomposition) and compares xent/ppl at round-6 — the d5
+    * round-then-compare posture; ppl exponentiates the rounded xent in
+    * both engines so exp() cannot amplify ulp drift across a boundary. */
+  def t16LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.LanguageModel.perplexity(d, "doc_id", "text",
+      d.filter(col("doc_id") < 250).select("text"), "text")
+  }
+
+  /** BM25 retrieval gate (s9): first-8-token queries from the first ten
+    * docs against the whole corpus, top-5 per query. The DuckDB oracle
+    * recomputes the full chain — inverted index, idf, length
+    * normalization, and the FIXED-ORDER per-(query,doc) fold
+    * (list_reduce over list(... ORDER BY term) twin of
+    * aggregate/array_sort) — so scores are bit-identical before the
+    * round-6 output formatting and ranks need no tolerance. */
+  def s9Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qs = d.filter(col("doc_id") < 10).select(col("doc_id").as("qid"),
+      array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+    graft.text.Bm25.search(d, "doc_id", "text", qs, "qid", "qtext", k = 5)
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -579,6 +605,8 @@ object LlmData {
     "t13_nb_classify" -> t13NbClassify,
     "t14_html_text" -> t14HtmlText,
     "t15_url_dedup" -> t15UrlDedup,
+    "t16_lm_perplexity" -> t16LmPerplexity,
+    "s9_bm25_topk" -> s9Bm25TopK,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -1050,6 +1078,78 @@ object LlmData {
         |       FROM sc)
         |SELECT doc_id, lang AS predicted FROM rk
         |WHERE rn = 1 AND (nxt IS NULL OR score - nxt > 1e-6)""".stripMargin,
+    // t16: DuckDB refits the bigram LM end-to-end — same BOS-prefixed
+    // bigrams (chr(2) = the Scala U+0002 sentinel), same add-one
+    // smoothing and ln-decomposition (inner joins over SEEN pairs/contexts
+    // + the n·ln(V) closed form) — and compares xent at round-6; ppl
+    // exponentiates the ROUNDED xent in both engines so exp() cannot
+    // amplify last-ulp drift across a rounding boundary
+    "t16_lm_perplexity" ->
+      """WITH seed AS (SELECT text FROM documents WHERE doc_id < 250),
+        |sw AS (SELECT string_split(text, ' ') AS w FROM seed),
+        |sb AS (SELECT unnest(list_zip(list_prepend(chr(2), w[1:len(w)-1]), w)) AS p
+        |       FROM sw),
+        |pc AS (SELECT p[1] AS hist, p[2] AS cur, count(*) AS c FROM sb GROUP BY 1, 2),
+        |cc AS (SELECT hist, SUM(c) AS c FROM pc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT cur) + 1 AS v FROM pc),
+        |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |db AS (SELECT doc_id,
+        |         unnest(list_zip(list_prepend(chr(2), w[1:len(w)-1]), w)) AS p
+        |       FROM dw),
+        |sp AS (SELECT db.doc_id, SUM(ln(CAST(pc.c + 1 AS DOUBLE))) AS s
+        |       FROM db JOIN pc ON db.p[1] = pc.hist AND db.p[2] = pc.cur
+        |       GROUP BY 1),
+        |sc AS (SELECT db.doc_id,
+        |         SUM(ln(CAST(cc.c + v.v AS DOUBLE)) - ln(CAST(v.v AS DOUBLE))) AS s
+        |       FROM db JOIN cc ON db.p[1] = cc.hist CROSS JOIN v GROUP BY 1),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |x AS (SELECT dl.doc_id, dl.n,
+        |        round((CAST(dl.n AS DOUBLE) * ln(CAST(v.v AS DOUBLE))
+        |               + COALESCE(sc.s, 0.0) - COALESCE(sp.s, 0.0))
+        |              / CAST(dl.n AS DOUBLE), 6) AS xent
+        |      FROM dl CROSS JOIN v
+        |      LEFT JOIN sp ON sp.doc_id = dl.doc_id
+        |      LEFT JOIN sc ON sc.doc_id = dl.doc_id)
+        |SELECT doc_id, n AS n_tokens, xent, round(exp(xent), 6) AS ppl FROM x""".stripMargin,
+    // s9: full BM25 chain recomputed — inverted index, idf, length
+    // normalization (every non-exact literal CAST AS DOUBLE so decimal
+    // arithmetic never diverges from Spark's double literals), and the
+    // FIXED-ORDER per-(query,doc) fold: list_reduce over
+    // list(... ORDER BY term) is the left-fold twin of Spark's
+    // aggregate(array_sort(collect_list)), so scores are bit-identical
+    // and ranks carry no tolerance
+    "s9_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) AS avgdl FROM documents),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT t, ln(1.0 + (n.n - CAST(df AS DOUBLE) + 0.5)
+        |                           / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        |        FROM df CROSS JOIN n),
+        |q AS (SELECT DISTINCT q, t FROM (
+        |        SELECT doc_id AS q, unnest(string_split(text, ' ')[1:8]) AS t
+        |        FROM documents WHERE doc_id < 10)),
+        |c AS (SELECT q.q, tf.doc_id AS d, q.t,
+        |        idf.idf * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+        |        / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |           * (0.25 + (0.75 * CAST(dl.len AS DOUBLE)) / n.avgdl)) AS c
+        |      FROM q JOIN tf ON q.t = tf.t
+        |      JOIN idf ON idf.t = q.t
+        |      JOIN dl ON dl.doc_id = tf.doc_id
+        |      CROSS JOIN n),
+        |s AS (SELECT q, d, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list(c ORDER BY t)), (a, b) -> a + b) AS s
+        |      FROM c GROUP BY q, d),
+        |r AS (SELECT q, d, s,
+        |        row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rank
+        |      FROM s)
+        |SELECT q AS query_id, d AS doc_id, CAST(rank AS INT) AS rank,
+        |       round(s, 6) AS bm25
+        |FROM r WHERE rank <= 5""".stripMargin,
     "g2_degrees" ->
       s"""WITH $linkGraphCtes,
          |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c

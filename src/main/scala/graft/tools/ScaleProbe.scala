@@ -54,7 +54,7 @@ object ScaleProbe {
     // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
-      "semantic", "bpe", "graph", "classify")
+      "semantic", "bpe", "graph", "classify", "retrieval")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -329,6 +329,50 @@ object ScaleProbe {
       c.unpersist(): Unit
     }
     seed.unpersist(): Unit
+    }
+    // ---- retrieval tier (r12 continuation): bigram-LM scoring with a
+    // FIXED seed model (like the classifier tier: the count tables are
+    // seed-sized, so scoring is explode + two seed-keyed inner joins +
+    // a per-doc sum — expected ~linear in k) and BM25 with a FIXED query
+    // set over a growing corpus: index build is one corpus scan (~linear);
+    // search reads the query terms' postings, which grow linearly with
+    // the corpus on this fixture's shared vocabulary — the worst case for
+    // a retrieval probe, since real queries' rare terms grow sublinearly.
+    // A superlinear move in either would mean a seed/query-sized side
+    // started shuffling with the corpus.
+    if (tierOn("retrieval")) {
+    println(f"""{"probe":"retrieval_linearity","sf":"$sfDir","reps":$reps}""")
+    val lmSeed = docs.filter(col("doc_id") < 250).select("text").persist()
+    lmSeed.count()
+    val lm = graft.text.LanguageModel.train(lmSeed, "text")
+    val queries = docs.filter(col("doc_id") < 10).select(
+      col("doc_id").as("qid"),
+      array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+      .persist()
+    queries.count()
+    for (k <- Seq(1, reps)) {
+      val c = corpus(k).persist(); c.count()
+      val lmT = med(time(graft.text.LanguageModel.crossEntropy(
+        lm, c, "doc_id", "text")))
+      // index build timed separately from search: build is the corpus
+      // scan, search is the postings join — their ratios answer different
+      // scale questions
+      var idx: graft.text.Bm25.Index = null
+      def buildOnce(): Double = {
+        if (idx != null) { idx.tf.unpersist(); idx.docLen.unpersist() }
+        val t0 = System.nanoTime()
+        idx = graft.text.Bm25.buildIndex(c, "doc_id", "text")
+        idx.tf.persist(); idx.docLen.persist()
+        idx.tf.count(); idx.docLen.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val buildT = med(buildOnce())
+      val searchT = med(time(graft.text.Bm25.topK(idx, queries, "qid", "qtext", k = 5)))
+      idx.tf.unpersist(); idx.docLen.unpersist()
+      println(f"""{"k":$k,"rows":${c.count()},"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f}""")
+      c.unpersist(): Unit
+    }
+    lmSeed.unpersist(); queries.unpersist(): Unit
     }
     spark.stop()
   }

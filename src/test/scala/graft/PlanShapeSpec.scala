@@ -156,4 +156,24 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("LeftAnti"), plan)
   }
+
+  test("LM scoring joins are seed-keyed hash joins — no cartesian, no nested loop") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val lm = graft.text.LanguageModel.train(
+      d.filter(col("doc_id") < 50).select("text"), "text")
+    val plan = physical(graft.text.LanguageModel.crossEntropy(lm, d, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("BM25 broadcasts the query terms; postings join is term-keyed") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val qs = d.filter(col("doc_id") < 10).select(col("doc_id").as("qid"),
+      array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+    val plan = physical(graft.text.Bm25.search(d, "doc_id", "text",
+      qs, "qid", "qtext", k = 5))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** BM25 retrieval: hand-computed scores (tf saturation, length
+  * normalization, idf), query-term dedup, multi-term summation, top-k
+  * truncation with doc-id tie-break, and a relevance sanity check on the
+  * real corpus. The cross-engine leg is the s9 DuckDB gate, which
+  * recomputes the full chain including the fixed-order fold. */
+class Bm25Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(1L -> "x y", 2L -> "x x z", 3L -> "w").toDF("doc_id", "text")
+
+  private def run(qs: Seq[(Long, String)], k: Int = 10): Seq[(Long, Long, Int, Double)] =
+    Bm25.search(corpus, "doc_id", "text", qs.toDF("qid", "qtext"), "qid", "qtext", k)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+
+  private def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("hand-computed single-term scores: tf saturation beats raw tf") {
+    // N=3, avgdl=2.0, df(x)=2 -> idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    // d1: tf=1, len=2 -> idf * 2.2 / (1 + 1.2*(0.25 + 0.75*2/2.0)) = idf
+    // d2: tf=2, len=3 -> idf * 4.4 / (2 + 1.2*(0.25 + 0.75*3/2.0))
+    val d1 = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 2.0 / 2.0))
+    val d2 = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0))
+    assert(d2 > d1) // higher tf wins despite the longer doc
+    val got = run(Seq(10L -> "x"))
+    assert(got == Seq((10L, 2L, 1, r6(d2)), (10L, 1L, 2, r6(d1))))
+  }
+
+  test("docs sharing no query term never appear") {
+    assert(run(Seq(10L -> "x")).forall(_._2 != 3L))
+    assert(run(Seq(10L -> "nope")).isEmpty)
+  }
+
+  test("multi-term queries sum per-term contributions; duplicates dedup") {
+    val one = run(Seq(10L -> "x y"))
+    val dup = run(Seq(10L -> "x y x x"))
+    assert(one == dup)
+    // d1 matches both terms, d2 only x: d1's score strictly gains y's idf part
+    val xOnly = run(Seq(10L -> "x")).map(t => t._2 -> t._4).toMap
+    val both = one.map(t => t._2 -> t._4).toMap
+    assert(both(1L) > xOnly(1L) && both(2L) == xOnly(2L))
+  }
+
+  test("k truncates; exact score ties break by doc id ascending") {
+    val two = Seq(1L -> "same text", 2L -> "same text").toDF("doc_id", "text")
+    val got = Bm25.search(two, "doc_id", "text",
+        Seq(9L -> "same").toDF("qid", "qtext"), "qid", "qtext", 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 1)))
+  }
+
+  test("index save/load round-trips scores exactly; foreign files refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-ix").toString
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    Bm25.saveIndex(idx, dir)
+    val loaded = Bm25.loadIndex(spark, dir)
+    val qs = Seq(10L -> "x y").toDF("qid", "qtext")
+    def s(i: Bm25.Index) = Bm25.topK(i, qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(s(loaded) == s(idx)) // integer stats round-trip exactly
+    val bad = java.nio.file.Files.createTempDirectory("bm25-bad").toString
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$bad/tf")
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$bad/doclen")
+    val e = intercept[IllegalArgumentException](Bm25.loadIndex(spark, bad))
+    assert(e.getMessage.contains("not a BM25"))
+  }
+
+  test("real corpus: rare terms dominate common ones (idf)") {
+    // the documents table is generated over a SHARED 31-word vocabulary,
+    // so every common term appears in nearly every doc and idf ~ 0 —
+    // plant one unique marker per probe doc and retrieve by it mixed with
+    // a common word: the marker's idf must put its host doc first
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("text", when(col("doc_id") < 5,
+        concat(col("text"), lit(" marker"), col("doc_id"))).otherwise(col("text")))
+    val qs = d.filter(col("doc_id") < 5).select(col("doc_id").as("qid"),
+      concat(lit("the marker"), col("doc_id")).as("qtext"))
+    val top1 = Bm25.search(d, "doc_id", "text", qs, "qid", "qtext", 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 5L).forall(q => top1(q) == q), s"marker retrieval: $top1")
+  }
+}
