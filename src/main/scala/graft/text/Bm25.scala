@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * terms, k1 = 1.2, b = 0.75.
   *
   * Scale posture: the term-frequency table IS the inverted index — one
-  * explode + one map-side-combinable count per (term, doc); df/N/avgdl are
-  * one aggregation over it. Scoring joins the (tiny, broadcast) distinct
-  * query-term set against the index TERM-KEYED, so only postings of query
-  * terms are ever read — the corpus itself is never rescanned per query —
+  * explode + one map-side-combinable count per (term, doc); df/N/avgdl
+  * are computed ONCE at build time and carried in [[Index]] (a search
+  * call must never re-aggregate the corpus). Scoring joins the (tiny,
+  * broadcast) distinct query-term set against df (one vocab-sized
+  * term-keyed pass) and then against the postings TERM-KEYED, so only
+  * postings of query terms are ever read — the corpus is never rescanned —
   * then one (query, doc) exchange for the score fold and a per-query
   * top-k window. Hot terms split under AQE (the t9 shape); at 100 TB the
   * index is the only corpus-sized artifact and it is built once
@@ -41,17 +43,29 @@ import org.apache.spark.sql.functions._
   * score is round(·, 6) for the check layer. */
 object Bm25 {
 
-  /** Per-document term frequencies + document lengths: the inverted index.
-    * One corpus scan; persist both frames for train-once/serve-many. */
-  final case class Index(tf: DataFrame, docLen: DataFrame)
+  /** The inverted index PLUS the corpus statistics scoring needs — term
+    * frequencies, document lengths, per-term document frequencies, and
+    * the corpus size/total length. ALL corpus-wide aggregation happens at
+    * build time so a search call touches only query-term postings (the
+    * serve-many contract: per-query cost must not scan the index). */
+  final case class Index(tf: DataFrame, docLen: DataFrame, df: DataFrame,
+      nDocs: Long, totLen: Long) {
+    require(nDocs > 0, "Bm25.Index: empty corpus")
+    /** one division of exact integers -> the identical double anywhere */
+    def avgdl: Double = totLen.toDouble / nDocs.toDouble
+  }
 
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String): Index = {
     val toks = corpus.select(col(idCol).as("__doc"),
       explode(split(col(textCol), " ")).as("__t"))
-    Index(
-      toks.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf")),
-      corpus.select(col(idCol).as("__doc"),
-        size(split(col(textCol), " ")).as("__len")))
+    val tf = toks.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    val docLen = corpus.select(col(idCol).as("__doc"),
+      size(split(col(textCol), " ")).as("__len"))
+    val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // one action for both scalars — not two separate driver jobs
+    val stats = docLen.agg(count(lit(1)), sum(col("__len"))).head()
+    Index(tf, docLen, df, stats.getLong(0),
+      if (stats.isNullAt(1)) 0L else stats.getLong(1))
   }
 
   /** Top-`k` documents per query by BM25. `queries` rows are
@@ -62,18 +76,18 @@ object Bm25 {
   def topK(index: Index, queries: DataFrame, qidCol: String,
       qTextCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nDocs = index.docLen.count()
-    require(nDocs > 0, "Bm25.topK: empty corpus")
-    val totLen = index.docLen.agg(sum(col("__len"))).head().getLong(0)
-    // one division of exact integers -> the identical double on any engine
-    val avgdl = totLen.toDouble / nDocs.toDouble
-    val df = index.tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-      .withColumn("__idf", log(lit(1.0) +
-        (lit(nDocs.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+    val avgdl = index.avgdl
     val qTerms = queries.select(col(qidCol).as("__q"),
       explode(split(col(qTextCol), " ")).as("__t")).distinct()
-    val contrib = broadcast(qTerms).join(index.tf, Seq("__t"))
-      .join(df.select("__t", "__idf"), Seq("__t"))
+    // query terms join df FIRST (one vocab-sized term-keyed pass yields a
+    // query-sized idf table), and THAT broadcasts against the postings —
+    // the full index's postings are never aggregated or scanned per query
+    val qIdf = broadcast(qTerms)
+      .join(index.df, Seq("__t"))
+      .withColumn("__idf", log(lit(1.0) +
+        (lit(index.nDocs.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .select("__q", "__t", "__idf")
+    val contrib = broadcast(qIdf).join(index.tf, Seq("__t"))
       .join(index.docLen, Seq("__doc"))
       .select(col("__q"), col("__doc"), col("__t"),
         (col("__idf") * (col("__tf").cast("double") * lit(k1 + 1.0)) /
@@ -98,16 +112,32 @@ object Bm25 {
   def saveIndex(index: Index, path: String): Unit = {
     index.tf.write.mode("overwrite").parquet(s"$path/tf")
     index.docLen.write.mode("overwrite").parquet(s"$path/doclen")
+    index.df.write.mode("overwrite").parquet(s"$path/df")
+    val spark = index.tf.sparkSession
+    import spark.implicits._
+    Seq((index.nDocs, index.totLen)).toDF("n_docs", "tot_len").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    // validate each piece as it is read, so a foreign directory fails on
+    // its FIRST wrong table with the named message (not a missing-path
+    // error from a later read)
     val tf = spark.read.parquet(s"$path/tf")
-    val dl = spark.read.parquet(s"$path/doclen")
     require(tf.columns.toSet == Set("__doc", "__t", "__tf"),
       s"$path/tf is not a BM25 term-frequency table (have: ${tf.columns.mkString(",")})")
+    val dl = spark.read.parquet(s"$path/doclen")
     require(dl.columns.toSet == Set("__doc", "__len"),
       s"$path/doclen is not a BM25 doc-length table (have: ${dl.columns.mkString(",")})")
-    Index(tf, dl)
+    val df = spark.read.parquet(s"$path/df")
+    require(df.columns.toSet == Set("__t", "__df"),
+      s"$path/df is not a BM25 document-frequency table (have: ${df.columns.mkString(",")})")
+    val stats = spark.read.parquet(s"$path/stats")
+    require(stats.columns.toSet == Set("n_docs", "tot_len"),
+      s"$path/stats is not a BM25 stats table (have: ${stats.columns.mkString(",")})")
+    val rows = stats.collect()
+    require(rows.length == 1, s"$path/stats must hold exactly one row, got ${rows.length}")
+    Index(tf, dl, df, rows(0).getLong(0), rows(0).getLong(1))
   }
 
   /** Build-and-search convenience (the s9 gate shape). */

@@ -85,6 +85,10 @@ object LanguageModel {
     // V = distinct seed TOKENS + 1: `cur` ranges over every seed token
     // (BOS is never a `cur`), so distinct cur IS the vocabulary
     val vocab = bg.select("cur").distinct().count()
+    // an empty seed would otherwise yield the degenerate V=1/lnV=0 model
+    // that scores EVERY doc xent=0 — a silent total quality-gate bypass
+    // (the NaiveBayes empty-seed guard, applied here)
+    require(vocab > 0, "LanguageModel.train: empty seed")
     BigramLm(bg, ctx, vocab + 1)
   }
 
@@ -122,27 +126,35 @@ object LanguageModel {
       seed: DataFrame, seedTextCol: String): DataFrame =
     crossEntropy(train(seed, seedTextCol), corpus, idCol, textCol)
 
-  /** Persist a trained model: count frames as parquet, the vocab size as a
-    * one-line text sidecar — the train-once/serve-many seam shared with
-    * the PQ/IVF codebooks (integer counts round-trip exactly, so a loaded
-    * model scores bit-identically to the fresh one). */
+  /** Persist a trained model: count frames plus a 1-row vocab-size frame,
+    * ALL as parquet through Spark's filesystem layer — so the model
+    * round-trips on any path the session can write (s3a/hdfs/local), not
+    * just the driver's local disk. The train-once/serve-many seam shared
+    * with the PQ/IVF codebooks (integer counts round-trip exactly, so a
+    * loaded model scores bit-identically to the fresh one). */
   def save(lm: BigramLm, path: String): Unit = {
     lm.pairCounts.write.mode("overwrite").parquet(s"$path/pairs")
     lm.contextCounts.write.mode("overwrite").parquet(s"$path/contexts")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/vocab_size"),
-      lm.vocabSize.toString.getBytes("UTF-8"))
+    val spark = lm.pairCounts.sparkSession
+    import spark.implicits._
+    Seq(lm.vocabSize).toDF("vocab_size").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm = {
+    // validate each piece as it is read: a foreign directory fails on its
+    // FIRST wrong table with the named message
     val pairs = spark.read.parquet(s"$path/pairs")
-    val ctx = spark.read.parquet(s"$path/contexts")
     require(pairs.columns.toSet == Set("hist", "cur", "c"),
       s"$path/pairs is not a bigram-LM pair table (have: ${pairs.columns.mkString(",")})")
+    val ctx = spark.read.parquet(s"$path/contexts")
     require(ctx.columns.toSet == Set("hist", "c"),
       s"$path/contexts is not a bigram-LM context table (have: ${ctx.columns.mkString(",")})")
-    val v = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$path/vocab_size")), "UTF-8").trim
-    require(v.nonEmpty && v.forall(_.isDigit), s"$path/vocab_size is not a count: '$v'")
-    BigramLm(pairs, ctx, v.toLong)
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.toSet == Set("vocab_size"),
+      s"$path/meta is not a bigram-LM meta table (have: ${meta.columns.mkString(",")})")
+    val rows = meta.collect()
+    require(rows.length == 1, s"$path/meta must hold exactly one row, got ${rows.length}")
+    BigramLm(pairs, ctx, rows(0).getLong(0))
   }
 }

@@ -359,16 +359,16 @@ object ScaleProbe {
       // scale questions
       var idx: graft.text.Bm25.Index = null
       def buildOnce(): Double = {
-        if (idx != null) { idx.tf.unpersist(); idx.docLen.unpersist() }
+        if (idx != null) { idx.tf.unpersist(); idx.docLen.unpersist(); idx.df.unpersist() }
         val t0 = System.nanoTime()
         idx = graft.text.Bm25.buildIndex(c, "doc_id", "text")
-        idx.tf.persist(); idx.docLen.persist()
-        idx.tf.count(); idx.docLen.count()
+        idx.tf.persist(); idx.docLen.persist(); idx.df.persist()
+        idx.tf.count(); idx.docLen.count(); idx.df.count()
         (System.nanoTime() - t0) / 1e9
       }
       val buildT = med(buildOnce())
       val searchT = med(time(graft.text.Bm25.topK(idx, queries, "qid", "qtext", k = 5)))
-      idx.tf.unpersist(); idx.docLen.unpersist()
+      idx.tf.unpersist(); idx.docLen.unpersist(); idx.df.unpersist()
       println(f"""{"k":$k,"rows":${c.count()},"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f}""")
       c.unpersist(): Unit
     }

@@ -67,9 +67,17 @@ class Bm25Spec extends SparkSuite {
     assert(s(loaded) == s(idx)) // integer stats round-trip exactly
     val bad = java.nio.file.Files.createTempDirectory("bm25-bad").toString
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$bad/tf")
-    Seq((1, "x")).toDF("a", "b").write.parquet(s"$bad/doclen")
     val e = intercept[IllegalArgumentException](Bm25.loadIndex(spark, bad))
     assert(e.getMessage.contains("not a BM25"))
+  }
+
+  test("empty corpus refuses at build time; corpus stats live in the index") {
+    val e = intercept[IllegalArgumentException](
+      Bm25.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text"))
+    assert(e.getMessage.contains("empty corpus"))
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    assert(idx.nDocs == 3 && idx.totLen == 6 && idx.avgdl == 2.0)
   }
 
   test("real corpus: rare terms dominate common ones (idf)") {

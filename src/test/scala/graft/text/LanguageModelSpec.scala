@@ -77,10 +77,14 @@ class LanguageModelSpec extends SparkSuite {
     // a foreign parquet at the path must refuse, not mis-score
     val bad = java.nio.file.Files.createTempDirectory("lm-bad").toString
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$bad/pairs")
-    Seq((1, "x")).toDF("a", "b").write.parquet(s"$bad/contexts")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$bad/vocab_size"), "3".getBytes)
     val e = intercept[IllegalArgumentException](LanguageModel.load(spark, bad))
     assert(e.getMessage.contains("not a bigram-LM"))
+  }
+
+  test("empty seed refuses loudly — never the everything-passes degenerate model") {
+    val e = intercept[IllegalArgumentException](
+      LanguageModel.train(Seq.empty[String].toDF("text"), "text"))
+    assert(e.getMessage.contains("empty seed"))
   }
 
   test("seed-like documents score lower perplexity than off-distribution ones") {
