@@ -21,11 +21,16 @@ object Sampling {
   def md5Bucket(keyCol: String, salt: Int): Column =
     md5Bucket(keyCol, lit(salt.toString))
 
-  /** Column-salt overload (epoch-dependent draws etc.) — the ONE copy of
-    * the documented portable recipe; both arities must stay in sync with
-    * the DuckDB spelling above by construction. */
+  /** Column-salt overload (epoch-dependent draws etc.). */
   def md5Bucket(keyCol: String, salt: Column): Column =
-    conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"),
+    md5BucketOf(col(keyCol), salt)
+
+  /** Column-key form (computed keys, e.g. DSIR's n-gram features) — the
+    * ONE copy of the documented portable recipe; all arities delegate
+    * here so they stay in sync with the DuckDB spelling above by
+    * construction. */
+  def md5BucketOf(key: Column, salt: Column): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":"),
       salt.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
 
   private val PortableBuckets = 4294967296L // 2^32

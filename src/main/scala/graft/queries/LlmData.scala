@@ -516,6 +516,17 @@ object LlmData {
     graft.text.Bm25.search(d, "doc_id", "text", qs, "qid", "qtext", k = 5)
   }
 
+  /** DSIR importance-weight gate (m10): target = the doc_id < 250 seed
+    * (the t13/t16 convention), raw = the whole corpus, 4096 hashed
+    * unigram+bigram buckets via the portable md5 recipe. The DuckDB
+    * oracle refits BOTH distributions end-to-end (same buckets, same
+    * add-one smoothing, same ln chain) and compares at round-6. */
+  def m10DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.Dsir.logWeights(d, "doc_id", "text",
+      d.filter(col("doc_id") < 250).select("text"), "text", numBuckets = 4096)
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -607,6 +618,7 @@ object LlmData {
     "t15_url_dedup" -> t15UrlDedup,
     "t16_lm_perplexity" -> t16LmPerplexity,
     "s9_bm25_topk" -> s9Bm25TopK,
+    "m10_dsir_weights" -> m10DsirWeights,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -1111,6 +1123,45 @@ object LlmData {
         |      LEFT JOIN sp ON sp.doc_id = dl.doc_id
         |      LEFT JOIN sc ON sc.doc_id = dl.doc_id)
         |SELECT doc_id, n AS n_tokens, xent, round(exp(xent), 6) AS ppl FROM x""".stripMargin,
+    // m10: DuckDB refits both DSIR distributions end-to-end — the same
+    // portable md5 buckets over unigram+bigram features, add-one
+    // smoothing, and the same per-bucket ln chain — and compares the
+    // per-doc weight sum at round-6 (the d5/t16 posture; the ~4096-term
+    // sum's order drift is ~1e-12 against a 5e-7 rounding boundary)
+    "m10_dsir_weights" ->
+      """WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents
+        |            WHERE doc_id < 250),
+        |tf AS (SELECT unnest(w) AS f FROM tw
+        |       UNION ALL
+        |       SELECT p[1] || ' ' || p[2] FROM (
+        |         SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        |         FROM tw)),
+        |tb AS (SELECT ('0x' || substring(md5(f || ':0'), 1, 8))::BIGINT % 4096 AS b
+        |       FROM tf),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tb),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |cf AS (SELECT doc_id, unnest(w) AS f FROM cw
+        |       UNION ALL
+        |       SELECT doc_id, p[1] || ' ' || p[2] FROM (
+        |         SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+        |         FROM cw)),
+        |cb AS (SELECT doc_id,
+        |         ('0x' || substring(md5(f || ':0'), 1, 8))::BIGINT % 4096 AS b
+        |       FROM cf),
+        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2),
+        |rc AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM db GROUP BY 1),
+        |rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS t FROM rc),
+        |wt AS (SELECT rc.b,
+        |         ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE))
+        |         - ln(CAST(tt.t + 4096 AS DOUBLE))
+        |         - ln(CAST(rc.cr + 1 AS DOUBLE))
+        |         + ln(CAST(rt.t + 4096 AS DOUBLE)) AS lnw
+        |       FROM rc LEFT JOIN tc ON rc.b = tc.b
+        |       CROSS JOIN tt CROSS JOIN rt)
+        |SELECT db.doc_id,
+        |       round(SUM(CAST(db.c AS DOUBLE) * wt.lnw), 6) AS dsir_logw
+        |FROM db JOIN wt ON db.b = wt.b GROUP BY 1""".stripMargin,
     // s9: full BM25 chain recomputed — inverted index, idf, length
     // normalization (every non-exact literal CAST AS DOUBLE so decimal
     // arithmetic never diverges from Spark's double literals), and the

@@ -369,7 +369,19 @@ object ScaleProbe {
       val buildT = med(buildOnce())
       val searchT = med(time(graft.text.Bm25.topK(idx, queries, "qid", "qtext", k = 5)))
       idx.tf.unpersist(); idx.docLen.unpersist(); idx.df.unpersist()
-      println(f"""{"k":$k,"rows":${c.count()},"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f}""")
+      // DSIR refits the RAW distribution per invocation by design (the
+      // raw side IS the corpus being scored): expected ~linear — one
+      // corpus explode + (doc,bucket) exchange + a B-row broadcast join.
+      // A fresh salt per iteration defeats the internal docB cache (same
+      // cost, different plan) so every timed run computes, not replays.
+      var dsalt = 0
+      def dsirOnce(): Double = {
+        dsalt += 1
+        time(graft.text.Dsir.logWeights(c, "doc_id", "text", lmSeed, "text",
+          numBuckets = 4096, salt = dsalt))
+      }
+      val dsirT = med(dsirOnce())
+      println(f"""{"k":$k,"rows":${c.count()},"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f,"dsir_weights":$dsirT%.2f}""")
       c.unpersist(): Unit
     }
     lmSeed.unpersist(); queries.unpersist(): Unit
