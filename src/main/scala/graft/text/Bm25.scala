@@ -106,6 +106,24 @@ object Bm25 {
         col("rank"), round(col("__s"), 6).as("bm25"))
   }
 
+  /** Append `newDocs` to an existing index WITHOUT rescanning the indexed
+    * corpus — the d8/incremental posture that makes the index maintainable
+    * at 100 TB: only the new documents are exploded; tf/docLen grow by
+    * union (history is never re-shuffled), df merges via one vocab-sized
+    * aggregation, and the scalars add. Integer stats make the result
+    * EXACTLY the index a full rebuild would produce (spec-pinned).
+    * Precondition: `newDocs` ids are disjoint from the indexed ids —
+    * re-adding a doc would double-count it (dedup upstream, d1/d8). */
+  def updateIndex(index: Index, newDocs: DataFrame, idCol: String,
+      textCol: String): Index = {
+    val add = buildIndex(newDocs, idCol, textCol)
+    Index(
+      index.tf.unionByName(add.tf),
+      index.docLen.unionByName(add.docLen),
+      index.df.unionByName(add.df).groupBy("__t").agg(sum(col("__df")).as("__df")),
+      index.nDocs + add.nDocs, index.totLen + add.totLen)
+  }
+
   /** Persist the inverted index — the train-once/serve-many seam shared
     * with the PQ/IVF codebooks and the bigram LM (integer stats round-trip
     * exactly, so a loaded index scores bit-identically). */

@@ -126,6 +126,21 @@ object LanguageModel {
       seed: DataFrame, seedTextCol: String): DataFrame =
     crossEntropy(train(seed, seedTextCol), corpus, idCol, textCol)
 
+  /** Merge two trained models into the model `train` would have produced
+    * on the concatenated seeds — bigram counts ADD, so the merge is EXACT
+    * (spec-pinned), which makes training map-reduce-composable: shard a
+    * 100 TB seed, train per shard, merge pairwise; or maintain a rolling
+    * model by merging each new batch's counts (the d8 posture — history
+    * counts are vocab-sized and never re-derived from text). */
+  def merge(a: BigramLm, b: BigramLm): BigramLm = {
+    val pairs = a.pairCounts.unionByName(b.pairCounts)
+      .groupBy("hist", "cur").agg(sum(col("c")).as("c")).cache()
+    val ctx = pairs.groupBy("hist").agg(sum(col("c")).as("c"))
+    val vocab = pairs.select("cur").distinct().count()
+    require(vocab > 0, "LanguageModel.merge: empty models")
+    BigramLm(pairs, ctx, vocab + 1)
+  }
+
   /** Persist a trained model: count frames plus a 1-row vocab-size frame,
     * ALL as parquet through Spark's filesystem layer — so the model
     * round-trips on any path the session can write (s3a/hdfs/local), not

@@ -71,6 +71,20 @@ class Bm25Spec extends SparkSuite {
     assert(e.getMessage.contains("not a BM25"))
   }
 
+  test("updateIndex(build(A), B) IS build(A ++ B) — exact incremental maintenance") {
+    val a = Seq(1L -> "x y", 2L -> "x x z")
+    val b = Seq(3L -> "w", 4L -> "x w y")
+    val incr = Bm25.updateIndex(
+      Bm25.buildIndex(a.toDF("doc_id", "text"), "doc_id", "text"),
+      b.toDF("doc_id", "text"), "doc_id", "text")
+    val full = Bm25.buildIndex((a ++ b).toDF("doc_id", "text"), "doc_id", "text")
+    assert(incr.nDocs == full.nDocs && incr.totLen == full.totLen)
+    val qs = Seq(9L -> "x w").toDF("qid", "qtext")
+    def s(i: Bm25.Index) = Bm25.topK(i, qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(s(incr) == s(full)) // integer stats add exactly
+  }
+
   test("empty corpus refuses at build time; corpus stats live in the index") {
     val e = intercept[IllegalArgumentException](
       Bm25.buildIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),

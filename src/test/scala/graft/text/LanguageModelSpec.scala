@@ -81,6 +81,21 @@ class LanguageModelSpec extends SparkSuite {
     assert(e.getMessage.contains("not a bigram-LM"))
   }
 
+  test("merge(train(A), train(B)) IS train(A ++ B) — exact, so training is map-reduce-composable") {
+    val a = Seq("a b c", "a b")
+    val b = Seq("b c d", "c a")
+    val merged = LanguageModel.merge(
+      LanguageModel.train(a.toDF("text"), "text"),
+      LanguageModel.train(b.toDF("text"), "text"))
+    val full = LanguageModel.train((a ++ b).toDF("text"), "text")
+    assert(merged.vocabSize == full.vocabSize)
+    val corpus = Seq(1L -> "a b c d", 2L -> "d c b", 3L -> "").toDF("doc_id", "text")
+    def s(m: LanguageModel.BigramLm) =
+      LanguageModel.crossEntropy(m, corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(s(merged) == s(full)) // integer counts add exactly
+  }
+
   test("empty seed refuses loudly — never the everything-passes degenerate model") {
     val e = intercept[IllegalArgumentException](
       LanguageModel.train(Seq.empty[String].toDF("text"), "text"))
