@@ -33,7 +33,11 @@ object Sampling {
     conv(substring(md5(concat(key.cast("string"), lit(":"),
       salt.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
 
-  private val PortableBuckets = 4294967296L // 2^32
+  /** Bucket-space size of the portable recipe: 2^32, the range of 8 hex
+    * chars. Public so derived math (e.g. Dsir's uniform u = (bucket+0.5)/
+    * PortableBuckets) stays in lockstep with the recipe's width by
+    * construction. */
+  val PortableBuckets = 4294967296L // 2^32
   private val HashBuckets = 1000000L
 
   private def bucketAndScale(keyCol: String, salt: Int, portable: Boolean): (Column, Long) =

@@ -116,6 +116,9 @@ object Bm25 {
     * re-adding a doc would double-count it (dedup upstream, d1/d8). */
   def updateIndex(index: Index, newDocs: DataFrame, idCol: String,
       textCol: String): Index = {
+    // an empty delta batch is a valid no-op in a rolling maintenance loop
+    // (the Dedup.incrementalNearDup posture), not an error
+    if (newDocs.isEmpty) return index
     val add = buildIndex(newDocs, idCol, textCol)
     Index(
       index.tf.unionByName(add.tf),

@@ -65,23 +65,29 @@ object Dsir {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     val bucket = pmod(Sampling.md5BucketOf(col("__f"), lit(salt.toString)),
       lit(numBuckets.toLong))
+    // target side first: an empty target must refuse BEFORE any
+    // corpus-scale job runs (an empty target would make every weight the
+    // same raw-only constant shape — a silent selection no-op; the
+    // LanguageModel/NaiveBayes empty-seed guard, applied here). tgtCnt is
+    // cached: it feeds both the total and the weight-table join.
+    val tgtCnt = features(target, targetTextCol).withColumn("__b", bucket)
+      .groupBy("__b").agg(count(lit(1)).as("__ct")).cache()
+    val totT = tgtCnt.agg(sum(col("__ct"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(totT > 0, "Dsir.logWeights: empty target")
     // ONE corpus explode -> (doc, bucket) counts; the raw distribution
     // derives from this frame, never a second pass over the corpus
     val docB = features(corpus, textCol, col(idCol).as("__id"))
       .withColumn("__b", bucket)
       .groupBy("__id", "__b").agg(count(lit(1)).as("__c")).cache()
     val rawCnt = docB.groupBy("__b").agg(sum(col("__c")).as("__cr"))
-    val totR = rawCnt.agg(sum(col("__cr"))).head().getLong(0)
-    val tgtCnt = features(target, targetTextCol).withColumn("__b", bucket)
-      .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val totT = tgtCnt.agg(sum(col("__ct"))).head() match {
+    val totR = rawCnt.agg(sum(col("__cr"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    // an empty target would make every weight the same raw-only constant
-    // shape — a silent selection no-op (the LanguageModel/NaiveBayes
-    // empty-seed guard, applied here)
-    require(totT > 0, "Dsir.logWeights: empty target")
+    require(totR > 0, "Dsir.logWeights: empty corpus")
     val lnTotT = math.log((totT + numBuckets).toDouble)
     val lnTotR = math.log((totR + numBuckets).toDouble)
     // B rows by construction -> broadcast; left join: buckets unseen in
@@ -103,7 +109,8 @@ object Dsir {
   def gumbelTopK(weights: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = (Sampling.md5Bucket(idCol, salt) + lit(0.5)) / lit(4294967296.0)
+    val u = (Sampling.md5Bucket(idCol, salt) + lit(0.5)) /
+      lit(Sampling.PortableBuckets.toDouble)
     weights
       .withColumn("__gumbel", -log(-log(u)))
       .withColumn("__score", col(weightCol) + col("__gumbel"))

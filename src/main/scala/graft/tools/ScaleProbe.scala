@@ -381,7 +381,15 @@ object ScaleProbe {
           numBuckets = 4096, salt = dsalt))
       }
       val dsirT = med(dsirOnce())
-      println(f"""{"k":$k,"rows":${c.count()},"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f,"dsir_weights":$dsirT%.2f}""")
+      val rows = c.count()
+      // each fresh-salt run registered a DISTINCT corpus-scale docB cache
+      // entry (different plan -> no cache dedup) that logWeights cannot
+      // unpersist itself; drop them all so they can't evict c or distort
+      // the next k's timings, then restore this tier's fixture persists
+      spark.catalog.clearCache()
+      lmSeed.persist(); queries.persist()
+      lmSeed.count(); queries.count(): Unit
+      println(f"""{"k":$k,"rows":$rows,"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f,"dsir_weights":$dsirT%.2f}""")
       c.unpersist(): Unit
     }
     lmSeed.unpersist(); queries.unpersist(): Unit
