@@ -527,6 +527,23 @@ object LlmData {
       d.filter(col("doc_id") < 250).select("text"), "text", numBuckets = 4096)
   }
 
+  /** Gopher-rules gate (t17): the fixture's single-line docs are given
+    * deterministic line structure by two LITERAL global replaces (" a "
+    * -> newline + bullet, " of " -> ellipsis + newline — the same
+    * non-overlapping left-to-right scan in both engines), then every
+    * published rule signal + the keep flag is emitted. The DuckDB oracle
+    * recomputes the identical chain; keep derives from the ROUNDED
+    * ratios in both engines. */
+  def t17GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      replace(replace(col("text"), lit(" a "), lit("\n• ")),
+        lit(" of "), lit("...\n")).as("text"))
+    graft.text.TextAnalysis.gopherRules(d, "text")
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_ratio", "ellipsis_ratio", "alpha_ratio", "stopword_hits",
+        "dup_line_ratio", "gopher_keep")
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -619,6 +636,7 @@ object LlmData {
     "t16_lm_perplexity" -> t16LmPerplexity,
     "s9_bm25_topk" -> s9Bm25TopK,
     "m10_dsir_weights" -> m10DsirWeights,
+    "t17_gopher_rules" -> t17GopherRules,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -1123,6 +1141,43 @@ object LlmData {
         |      LEFT JOIN sp ON sp.doc_id = dl.doc_id
         |      LEFT JOIN sc ON sc.doc_id = dl.doc_id)
         |SELECT doc_id, n AS n_tokens, xent, round(exp(xent), 6) AS ppl FROM x""".stripMargin,
+    // t17: the full Gopher-rule chain recomputed — literal replaces for
+    // the fabricated line structure, space/newline splits, length-diff
+    // symbol counts, list filters for the line/word predicates — with
+    // gopher_keep derived from the ROUNDED ratios exactly as the engine
+    // does, so the boolean needs no tolerance
+    "t17_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |    replace(replace(text, ' a ', e'\n• '), ' of ', e'...\n') AS text
+        |  FROM documents),
+        |x AS (SELECT doc_id, text,
+        |    string_split(text, ' ') AS w,
+        |    string_split(text, chr(10)) AS l,
+        |    length(text) AS nc
+        |  FROM d),
+        |sig AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round(CAST(nc - (len(w) - 1) AS DOUBLE) / len(w), 6) AS mean_word_len,
+        |  round(CAST((nc - length(replace(text, '#', '')))
+        |             + (nc - length(replace(text, '...', ''))) / 3
+        |        AS DOUBLE) / len(w), 6) AS symbol_ratio,
+        |  round(CAST(len(list_filter(l, x -> starts_with(x, '•')
+        |             OR starts_with(x, '- '))) AS DOUBLE) / len(l), 6) AS bullet_ratio,
+        |  round(CAST(len(list_filter(l, x -> ends_with(x, '...')))
+        |        AS DOUBLE) / len(l), 6) AS ellipsis_ratio,
+        |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |        AS DOUBLE) / len(w), 6) AS alpha_ratio,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(w, s))) AS BIGINT) AS stopword_hits,
+        |  round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) AS dup_line_ratio
+        |  FROM x)
+        |SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        |   AND stopword_hits >= 2 AND dup_line_ratio <= 0.3) AS gopher_keep
+        |FROM sig""".stripMargin,
     // m10: DuckDB refits both DSIR distributions end-to-end — the same
     // portable md5 buckets over unigram+bigram features, add-one
     // smoothing, and the same per-bucket ln chain — and compares the

@@ -59,6 +59,62 @@ object TextAnalysis {
           && col("avg_word_len") <= 15 && col("uniq_word_ratio") > 0.1)
   }
 
+  /** The published Gopher/MassiveText quality-rule bundle (Rae et al.
+    * 2021, Table A1 — the rule set RedPajama-v2 ships as quality
+    * signals), complementing [[qualityFeatures]]'s C4-style heuristics:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (# and ...), bullet-start and ellipsis-end LINE ratios,
+    * alphabetic-word ratio, the required-stopword rule (>= 2 of the 8
+    * Gopher stopwords present), plus the duplicate-line fraction from the
+    * repetition rules. Every signal is an in-row columnar expression —
+    * zero exchanges, whole-stage codegen (plan-pinned) — and every ratio
+    * is emitted at round-6 with `gopher_keep` computed from the ROUNDED
+    * values, so the keep decision is reproducible cross-engine (the
+    * d5/t16 posture). Lines split on \n; words on single spaces (the
+    * repo-wide t3/t6 convention). */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2, maxDupLineRatio: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws)
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    // occurrence counts by length difference after LITERAL removal —
+    // regex-free, so Java/RE2 semantics cannot diverge
+    val nHash = length(t) - length(replace(t, lit("#"), lit("")))
+    val nEllipsis = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len",
+        round((length(t) - (nWords - lit(1))).cast("double") / nWords, 6))
+      .withColumn("symbol_ratio",
+        round((nHash + nEllipsis).cast("double") / nWords, 6))
+      .withColumn("bullet_ratio", round(size(filter(lines, l =>
+        l.startsWith("•") || l.startsWith("- "))).cast("double") / nLines, 6))
+      .withColumn("ellipsis_ratio", round(size(filter(lines,
+        _.endsWith("..."))).cast("double") / nLines, 6))
+      .withColumn("alpha_ratio", round(size(filter(ws,
+        _.rlike("[A-Za-z]"))).cast("double") / nWords, 6))
+      .withColumn("stopword_hits", size(filter(
+        typedlit(stops), s => array_contains(ws, s))).cast("long"))
+      .withColumn("dup_line_ratio", round(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / nLines, 6))
+      .withColumn("gopher_keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("stopword_hits") >= minStopwords &&
+          col("dup_line_ratio") <= maxDupLineRatio)
+  }
+
   /** Token counts: exact whitespace tokens + a BPE-ish estimate
     * (chars/4, the standard subword-token rule of thumb). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =

@@ -157,6 +157,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("gopher rules are pure in-row expressions — no exchange at all") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val plan = physical(graft.text.TextAnalysis.gopherRules(d, "text"))
+    assert(!plan.contains("Exchange"), "gopher rules grew a shuffle:\n" + plan)
+    // '*(n)' is executedPlan.toString's whole-stage-codegen stage marker
+    assert(plan.contains("*("), "gopher rules fell out of codegen:\n" + plan)
+  }
+
   test("LM scoring joins are seed-keyed hash joins — no cartesian, no nested loop") {
     val d = Tables.load(spark, sf0001, "documents")
     val lm = graft.text.LanguageModel.train(

@@ -154,4 +154,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(clean("5 < 6 and 7 > 3") == "5 3")
     assert(clean("5 < 6") == "5 < 6")
   }
+
+  test("gopher rules: each signal hand-checked on a crafted document") {
+    val text = "• the cat\n- of mat...\nplain # line\nplain # line"
+    val d = Seq((1L, text)).toDF("id", "text")
+    val r = TextAnalysis.gopherRules(d, "text").head()
+    // words (space-split): ["•","the","cat\n-","of","mat...\nplain","#","line\nplain","#","line"] = 9
+    assert(r.getAs[Long]("n_words") == 9L)
+    // lines: 4; starts: "•..." and "- ..." -> 2/4; ends "...": line 2 -> 1/4
+    assert(r.getAs[Double]("bullet_ratio") == 0.5)
+    assert(r.getAs[Double]("ellipsis_ratio") == 0.25)
+    // symbols: two '#' plus one '...' over 9 words
+    assert(r.getAs[Double]("symbol_ratio") ==
+      BigDecimal(3.0 / 9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // alphabetic words: all but "•" and the two "#" -> 6/9
+    assert(r.getAs[Double]("alpha_ratio") ==
+      BigDecimal(6.0 / 9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // stopword hits: only "the" and "of" (others absent)
+    assert(r.getAs[Long]("stopword_hits") == 2L)
+    // duplicate lines: "plain # line" twice -> 1 - 3/4
+    assert(r.getAs[Double]("dup_line_ratio") == 0.25)
+    assert(!r.getAs[Boolean]("gopher_keep")) // fails the 50-word floor
+  }
+
+  test("gopher keep: a clean document passes; each violated bound fails it") {
+    val clean50 = ("the quick brown fox jumps over lazy dogs with " * 6).trim
+    def keep(t: String, minW: Int = 50) =
+      TextAnalysis.gopherRules(Seq((1L, t)).toDF("id", "text"), "text",
+        minWords = minW).head().getAs[Boolean]("gopher_keep")
+    assert(keep(clean50))                       // 54 words, all rules pass
+    assert(!keep(clean50 + " ###########"))     // symbol ratio blows the cap
+    assert(!keep("no stopwords here at all", minW = 1)) // < 2 Gopher stopwords
+    assert(!keep(("a " * 60).trim, minW = 1))   // mean word length below 3
+  }
 }
