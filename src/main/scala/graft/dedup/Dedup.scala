@@ -763,4 +763,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Paragraph-level dedup — the CCNet stage (Wenzek et al. 2020) that
+    * removes boilerplate BETWEEN documents at paragraph granularity:
+    * every paragraph (split on `sep`) keeps its corpus-wide FIRST
+    * occurrence (ordered by (doc, position) — a total order, so the
+    * survivor set is deterministic) and later copies are cut; each doc
+    * is reassembled from its surviving paragraphs in original order.
+    * Sits between [[exact]] (whole-doc) and [[duplicatedSpans]]
+    * (fixed word windows): paragraphs are the natural boilerplate unit
+    * (headers, footers, nav blocks repeat verbatim across pages).
+    *
+    * Returns one row per input doc: `(idCol, text_dedup, n_paras,
+    * n_kept)` — a doc whose every paragraph was seen earlier keeps an
+    * EMPTY text (n_kept = 0), letting the caller decide the drop
+    * threshold. Hashing is raw md5 of the paragraph bytes (no
+    * normalization — compose with a normalizing transform upstream if
+    * desired; documented rather than hidden).
+    *
+    * Scale posture: one explode, one 16-byte-key window (the d1 exact
+    * shape — first-occurrence rank instead of groupBy so position
+    * survives), one per-doc regroup with an in-row sort for reassembly.
+    * Nothing is pairwise; cost is linear in total paragraphs. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__p")))
+    val w = Window.partitionBy(md5(col("__p")))
+      .orderBy(col("__id").asc, col("__pos").asc)
+    val kept = paras.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          x => x.getField("__p")), sep).as("text_dedup"))
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_paras"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

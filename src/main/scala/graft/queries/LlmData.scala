@@ -544,6 +544,19 @@ object LlmData {
         "dup_line_ratio", "gopher_keep")
   }
 
+  /** Paragraph-dedup gate (d15): the fixture's single-line docs get
+    * paragraph structure from ONE literal global replace (" the " ->
+    * blank line — the identical non-overlapping scan in both engines);
+    * the small shared vocabulary makes cross-doc paragraph repeats
+    * plentiful, so the dedup genuinely cuts. Hash-exact oracle: md5
+    * keepers, (doc, position) first-occurrence order, and the
+    * reassembled TEXT itself (no doubles anywhere). */
+  def d15ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      replace(col("text"), lit(" the "), lit("\n\n")).as("text"))
+    Dedup.paragraphDedup(d, "doc_id", "text")
+  }
+
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -637,6 +650,7 @@ object LlmData {
     "s9_bm25_topk" -> s9Bm25TopK,
     "m10_dsir_weights" -> m10DsirWeights,
     "t17_gopher_rules" -> t17GopherRules,
+    "d15_paragraph_dedup" -> d15ParagraphDedup,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -1141,6 +1155,30 @@ object LlmData {
         |      LEFT JOIN sp ON sp.doc_id = dl.doc_id
         |      LEFT JOIN sc ON sc.doc_id = dl.doc_id)
         |SELECT doc_id, n AS n_tokens, xent, round(exp(xent), 6) AS ppl FROM x""".stripMargin,
+    // d15: hash-exact — md5 paragraph keepers at corpus-wide
+    // (doc, position) first-occurrence order and the reassembled text
+    // itself; the only engine-facing subtlety is posexplode's 0-based vs
+    // generate_subscripts' 1-based position, which only ORDERS (never
+    // emitted), so the uniform shift is invisible
+    "d15_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, replace(text, ' the ', e'\n\n') AS text
+        |           FROM documents),
+        |p AS (SELECT doc_id, unnest(ps) AS para,
+        |             generate_subscripts(ps, 1) AS pos
+        |      FROM (SELECT doc_id, string_split(text, e'\n\n') AS ps FROM d)),
+        |k AS (SELECT doc_id, para, pos,
+        |        row_number() OVER (PARTITION BY md5(para)
+        |          ORDER BY doc_id, pos) AS rn
+        |      FROM p),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(para, e'\n\n' ORDER BY pos) AS text_dedup
+        |      FROM k WHERE rn = 1 GROUP BY doc_id),
+        |np AS (SELECT doc_id,
+        |         CAST(len(string_split(text, e'\n\n')) AS BIGINT) AS n_paras
+        |       FROM d)
+        |SELECT np.doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+        |       np.n_paras, COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM np LEFT JOIN r ON np.doc_id = r.doc_id""".stripMargin,
     // t17: the full Gopher-rule chain recomputed — literal replaces for
     // the fabricated line structure, space/newline splits, length-diff
     // symbol counts, list filters for the line/word predicates — with

@@ -372,4 +372,30 @@ class DedupSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Int, Int)].collect().toSet
     assert(pairs == Set((1, 2)))
   }
+
+  test("paragraph dedup: corpus-wide first occurrence survives, docs reassemble in order") {
+    val d = Seq(
+      (1L, "intro\n\nshared footer\n\nbody one"),
+      (2L, "body two\n\nshared footer"),
+      (3L, "shared footer")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns the footer's first occurrence; later copies are cut
+    assert(out(1L) == (("intro\n\nshared footer\n\nbody one", 3L, 3L)))
+    assert(out(2L) == (("body two", 2L, 1L)))
+    // a doc that was ALL boilerplate keeps an empty text, not a lost row
+    assert(out(3L) == (("", 1L, 0L)))
+  }
+
+  test("paragraph dedup is idempotent and a dup-free corpus passes through") {
+    val d = Seq((1L, "a\n\nb"), (2L, "c")).toDF("doc_id", "text")
+    val once = Dedup.paragraphDedup(d, "doc_id", "text")
+    val again = Dedup.paragraphDedup(
+      once.select(col("doc_id"), col("text_dedup").as("text")), "doc_id", "text")
+    assert(once.select("doc_id", "text_dedup").as[(Long, String)].collect().toSet ==
+      Set(1L -> "a\n\nb", 2L -> "c"))
+    assert(again.select("doc_id", "text_dedup").as[(Long, String)].collect().toSet ==
+      Set(1L -> "a\n\nb", 2L -> "c"))
+  }
 }
