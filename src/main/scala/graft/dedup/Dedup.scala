@@ -783,28 +783,29 @@ object Dedup {
     *
     * Scale posture: one explode, one 16-byte-key window (the d1 exact
     * shape — first-occurrence rank instead of groupBy so position
-    * survives), one per-doc regroup with an in-row sort for reassembly.
-    * Nothing is pairwise; cost is linear in total paragraphs. */
+    * survives), and ONE per-doc regroup producing all three outputs as
+    * conditional aggregates (no second scan of the input, no rejoin —
+    * every doc is present in the exploded frame because split never
+    * returns an empty array). Nothing is pairwise; cost is linear in
+    * total paragraphs. A null text is treated as the empty document (one
+    * empty paragraph, participating in dedup like any other). */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     val paras = df.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("__pos", "__p")))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__p")))
     val w = Window.partitionBy(md5(col("__p")))
       .orderBy(col("__id").asc, col("__pos").asc)
-    val kept = paras.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    val rebuilt = kept.groupBy("__id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__p")))),
-          x => x.getField("__p")), sep).as("text_dedup"))
-    df.select(col(idCol).as("__id"),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .cast("long").as("n_paras"))
-      .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
-        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    val keep = row_number().over(w) === 1
+    paras.withColumn("__k", keep)
+      .groupBy("__id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__k"), struct(col("__pos"), col("__p"))))),
+          x => x.getField("__p")), sep).as("text_dedup"),
+        count(lit(1)).as("n_paras"),
+        count(when(col("__k"), lit(1))).as("n_kept"))
+      .select(col("__id").as(idCol), col("text_dedup"),
+        col("n_paras"), col("n_kept"))
   }
 }

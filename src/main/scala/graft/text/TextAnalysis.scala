@@ -67,7 +67,9 @@ object TextAnalysis {
     * alphabetic-word ratio, the required-stopword rule (>= 2 of the 8
     * Gopher stopwords present), plus the duplicate-line fraction from the
     * repetition rules. Every signal is an in-row columnar expression —
-    * zero exchanges, whole-stage codegen (plan-pinned) — and every ratio
+    * zero exchanges (plan-pinned; the higher-order filter() signals are
+    * CodegenFallback in Spark 4.1, i.e. interpreted per row, fine for a
+    * one-pass scan shape) — and every ratio
     * is emitted at round-6 with `gopher_keep` computed from the ROUNDED
     * values, so the keep decision is reproducible cross-engine (the
     * d5/t16 posture). Lines split on \n; words on single spaces (the

@@ -158,11 +158,15 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("gopher rules are pure in-row expressions — no exchange at all") {
+    // NOTE deliberately NOT asserted: whole-stage codegen. The
+    // higher-order filter() signals are CodegenFallback in Spark 4.1, so
+    // the Project runs interpreted per row — acceptable for a
+    // scan-shaped operator (still zero exchanges, still one pass); a
+    // codegen assertion here would only match the scan stage's '*(1)'
+    // and pin nothing.
     val d = Tables.load(spark, sf0001, "documents")
     val plan = physical(graft.text.TextAnalysis.gopherRules(d, "text"))
     assert(!plan.contains("Exchange"), "gopher rules grew a shuffle:\n" + plan)
-    // '*(n)' is executedPlan.toString's whole-stage-codegen stage marker
-    assert(plan.contains("*("), "gopher rules fell out of codegen:\n" + plan)
   }
 
   test("LM scoring joins are seed-keyed hash joins — no cartesian, no nested loop") {
