@@ -42,13 +42,34 @@ object Extras {
     gateDirs.add(wh)
     wh
   }
-  /** The standard gate preamble: temp warehouse + checkpointed runner. */
-  private def gateRunner(s: SparkSession, prefix: String)
+  /** The standard gate preamble: temp warehouse + checkpointed runner.
+    * `confs` mirrors the pipeline_config `configuration` mechanism
+    * (RunProject applies such confs to the run's session): the gate runs
+    * on an ISOLATED newSession carrying them, so e.g. a stateful gate
+    * can size `spark.sql.shuffle.partitions` to its state volume — the
+    * knob a production deployment sets — without touching the caller's
+    * session. Stateful queries pin the partition count into their
+    * checkpoint; each gate invocation uses a fresh checkpoint, so the
+    * constant value is consistent across the gate's runs. */
+  private def gateRunner(s: SparkSession, prefix: String,
+      confs: Map[String, String] = Map.empty)
       : (graft.exec.TableStore, graft.exec.PipelineRunner, String) = {
     val wh = gateDir(prefix)
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    (store, new graft.exec.PipelineRunner(s, store, s"$wh/cp"), wh)
+    val sess = if (confs.isEmpty) s else {
+      val s2 = s.newSession()
+      confs.foreach { case (k, v) => s2.conf.set(k, v) }
+      s2
+    }
+    val store = new graft.exec.TableStore(sess, s"$wh/wh")
+    (store, new graft.exec.PipelineRunner(sess, store, s"$wh/cp"), wh)
   }
+
+  /** State-store-heavy streaming gates size their shuffle/state
+    * partitioning to the gate's state volume (8 partitions) instead of
+    * the session's scan parallelism — at 32, each microbatch commits
+    * 32 x 4 state-store deltas for kilobytes of state and the gates
+    * measure filesystem churn, not the operator. */
+  private val StatefulGateConfs = Map("spark.sql.shuffle.partitions" -> "8")
 
   /** Gate-fixture staging, memoized per key: fixtures that are pure
     * functions of the sf directory (landing file SETS, seeded JDBC
@@ -1051,7 +1072,7 @@ object Extras {
     * files so no window can finalize while later rows of it are still
     * unread within a run. */
   def q58WindowedMv(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q58")
+    val (store, runner, wh) = gateRunner(s, "graft-q58", StatefulGateConfs)
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q58
@@ -1107,7 +1128,7 @@ object Extras {
     * end <= max(ts) - delay: a split, double-emitted, or
     * dropped-at-the-boundary session hash-mismatches. */
   def q60SessionMv(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q60")
+    val (store, runner, wh) = gateRunner(s, "graft-q60", StatefulGateConfs)
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q60
@@ -1159,7 +1180,7 @@ object Extras {
     * would re-append every null-keyed row on the second run and
     * hash-mismatch the DISTINCT oracle. */
   def q59DedupMv(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q59")
+    val (store, runner, wh) = gateRunner(s, "graft-q59", StatefulGateConfs)
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q59
@@ -1206,7 +1227,7 @@ object Extras {
     * hash-mismatches. Bounded-state eviction itself (duplicates beyond
     * the horizon both surviving) is the documented trade, spec-pinned. */
   def q61StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q61")
+    val (store, runner, wh) = gateRunner(s, "graft-q61", StatefulGateConfs)
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q61
@@ -1254,7 +1275,7 @@ object Extras {
     * match, a duplicate emission, or a late-dropped row hash-mismatches.
     * Bounded-state eviction is the spec-pinned trade, as with q61. */
   def q62StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q62")
+    val (store, runner, wh) = gateRunner(s, "graft-q62", StatefulGateConfs)
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q62
