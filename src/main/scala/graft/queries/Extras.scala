@@ -64,12 +64,14 @@ object Extras {
     (store, new graft.exec.PipelineRunner(sess, store, s"$wh/cp"), wh)
   }
 
-  /** State-store-heavy streaming gates size their shuffle/state
-    * partitioning to the gate's state volume (8 partitions) instead of
-    * the session's scan parallelism — at 32, each microbatch commits
-    * 32 x 4 state-store deltas for kilobytes of state and the gates
-    * measure filesystem churn, not the operator. */
-  private val StatefulGateConfs = Map("spark.sql.shuffle.partitions" -> "8")
+  // NOTE: sizing the stateful gates' shuffle partitions DOWN (8) was
+  // tried and REVERTED: the isolated 3-iter comparison looked favorable,
+  // but the rigorous 9-iter A/B on q62 (this host, matched conditions)
+  // went the OTHER way — median 5.63 s at 8 partitions vs 3.66 s at the
+  // session's 32; at sf0.1 the join work outweighs state-store commit
+  // churn, so lower parallelism loses. The confs seam above stays: it is
+  // the production pipeline_config mechanism, and a deployment with
+  // kilobyte state and thousands of partitions WOULD set it.
 
   /** Gate-fixture staging, memoized per key: fixtures that are pure
     * functions of the sf directory (landing file SETS, seeded JDBC
@@ -1072,7 +1074,7 @@ object Extras {
     * files so no window can finalize while later rows of it are still
     * unread within a run. */
   def q58WindowedMv(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q58", StatefulGateConfs)
+    val (store, runner, wh) = gateRunner(s, "graft-q58")
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q58
@@ -1128,7 +1130,7 @@ object Extras {
     * end <= max(ts) - delay: a split, double-emitted, or
     * dropped-at-the-boundary session hash-mismatches. */
   def q60SessionMv(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q60", StatefulGateConfs)
+    val (store, runner, wh) = gateRunner(s, "graft-q60")
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q60
@@ -1180,7 +1182,7 @@ object Extras {
     * would re-append every null-keyed row on the second run and
     * hash-mismatch the DISTINCT oracle. */
   def q59DedupMv(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q59", StatefulGateConfs)
+    val (store, runner, wh) = gateRunner(s, "graft-q59")
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q59
@@ -1227,7 +1229,7 @@ object Extras {
     * hash-mismatches. Bounded-state eviction itself (duplicates beyond
     * the horizon both surviving) is the documented trade, spec-pinned. */
   def q61StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q61", StatefulGateConfs)
+    val (store, runner, wh) = gateRunner(s, "graft-q61")
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q61
@@ -1275,7 +1277,7 @@ object Extras {
     * match, a duplicate emission, or a late-dropped row hash-mismatches.
     * Bounded-state eviction is the spec-pinned trade, as with q61. */
   def q62StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-q62", StatefulGateConfs)
+    val (store, runner, wh) = gateRunner(s, "graft-q62")
     val landing = s"$wh/landing"
     val yaml =
       s"""pipeline: q62
