@@ -1550,6 +1550,81 @@ object Extras {
     * shell-strip expression + the same filter), so a defect in ANY stage —
     * WARC framing, gzip members, payload decode, the strip chain, the
     * filter, exactly-once ingest — hash-mismatches. */
+  /** Incremental-retrieval-index gate (c14): two checkpointed ingest
+    * runs accumulate the corpus into a streaming table; after EACH run an
+    * index flowgroup maintains a persisted BM25 index through the plugin
+    * seam ([[graft.plugins.RetrievalTransforms.Bm25Maintain]]) — run 1
+    * builds it from the even-id batch, run 2 folds in ONLY the odd-id
+    * delta (one anti-join against the index's own doc-length table; the
+    * indexed text is never re-read) — and answers the fixed query set
+    * from the RELOADED index into a materialized view. The DuckDB oracle
+    * recomputes BM25 over the FULL corpus in one shot (the s9 SQL), so a
+    * missed delta, a double-fold on replay, or stale df/avgdl statistics
+    * hash-mismatch: updateIndex must equal a fresh full build EXACTLY. */
+  def c14IncrementalIndex(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-c14")
+    val landing = s"$wh/landing"
+    val ingest =
+      s"""pipeline: c14
+         |flowgroup: ingest
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "doc_id BIGINT, text STRING"
+         |    target: c14_v
+         |  - name: w
+         |    type: write
+         |    source: c14_v
+         |    write_target: {type: streaming_table, table: c14_docs}
+         |""".stripMargin
+    val index =
+      s"""pipeline: c14
+         |flowgroup: index
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: c14_docs}
+         |    target: v_all
+         |  - name: q
+         |    type: transform
+         |    transform_type: sql
+         |    source: v_all
+         |    target: v_q
+         |    sql: >
+         |      SELECT doc_id AS qid,
+         |             array_join(slice(split(text, ' '), 1, 8), ' ') AS qtext
+         |      FROM v_all WHERE doc_id < 10
+         |  - name: m
+         |    type: transform
+         |    transform_type: python
+         |    function: graft.plugins.RetrievalTransforms$$Bm25Maintain
+         |    source: [v_all, v_q]
+         |    target: v_hits
+         |    parameters: {index_path: "$wh/bm25ix", k: "5"}
+         |  - name: w
+         |    type: write
+         |    source: v_hits
+         |    write_target: {type: materialized_view, table: c14_t}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"c14|$dir") { root =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.filter(col("doc_id") % 2 === 0).write.parquet(s"$root/even")
+      d.filter(col("doc_id") % 2 === 1).write.parquet(s"$root/odd")
+    }
+    copyFixture(s"$fixture/even", landing, "even-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(ingest))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(index))
+    copyFixture(s"$fixture/odd", landing, "odd-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(ingest))
+    runner.run(graft.config.YamlConfig.parseFlowGroup(index))
+    store.read("c14_t")
+  }
+
   def c13WebCuration(s: SparkSession, dir: String): DataFrame = {
     val (store, runner, wh) = gateRunner(s, "graft-c13")
     val landing = s"$wh/landing"
@@ -1628,6 +1703,7 @@ object Extras {
     "c11_sandboxed_run" -> c11SandboxedRun,
     "c12_warc_ingest" -> c12WarcIngest,
     "c13_web_curation" -> c13WebCuration,
+    "c14_incremental_index" -> c14IncrementalIndex,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "q58_windowed_mv" -> q58WindowedMv,
     "q59_dedup_mv" -> q59DedupMv,
@@ -2064,6 +2140,11 @@ object Extras {
          |  SELECT doc_id, ${graft.queries.LlmData.htmlShellStripExpr} AS clean
          |  FROM documents)
          |WHERE length(clean) >= 200""".stripMargin,
+    // c14: the incrementally-maintained index must answer EXACTLY like a
+    // fresh full-corpus build — the s9 oracle verbatim (one-shot BM25
+    // over all documents); a missed delta, a replay double-fold, or
+    // stale df/avgdl statistics hash-mismatch
+    "c14_incremental_index" -> graft.queries.LlmData.oracle("s9_bm25_topk"),
     // c3's oracle is the raw supplier table: the Spark side round-trips it
     // through a real JDBC database, so type mangling or dropped rows at the
     // JDBC boundary hash-mismatch

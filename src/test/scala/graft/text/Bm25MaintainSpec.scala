@@ -1,0 +1,44 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** The Bm25Maintain plugin's state machine: build-on-first-run,
+  * delta-only fold, REPLAY idempotence (empty delta no-ops), and the
+  * lost-index self-heal (rebuild from the full accumulated corpus). The
+  * c14 gate pins the end state against the full-corpus DuckDB oracle;
+  * this spec pins the transitions. */
+class Bm25MaintainSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val fn = new graft.plugins.RetrievalTransforms.Bm25Maintain
+  private val qs = Seq(9L -> "x w").toDF("qid", "qtext")
+
+  private def run(corpus: DataFrame, path: String): Set[(Long, Long, Int, Double)] =
+    fn(Seq(corpus, qs), spark, Map("index_path" -> path, "k" -> "10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+  test("build, delta-fold, replay, and self-heal all land on the full-build answer") {
+    val a = Seq(1L -> "x y", 2L -> "x x z")
+    val b = Seq(3L -> "w", 4L -> "x w y")
+    val full = Bm25.topK(Bm25.buildIndex((a ++ b).toDF("doc_id", "text"),
+        "doc_id", "text"), qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("bm25m").toString + "/ix"
+    run(a.toDF("doc_id", "text"), path)                    // run 1: build
+    val afterB = run((a ++ b).toDF("doc_id", "text"), path) // run 2: fold delta
+    assert(afterB == full)
+    val replay = run((a ++ b).toDF("doc_id", "text"), path) // replay: empty delta
+    assert(replay == full)
+    graft.exec.Fs.deleteRecursively(path)                   // index lost mid-swap
+    val healed = run((a ++ b).toDF("doc_id", "text"), path) // rebuild from corpus
+    assert(healed == full)
+  }
+
+  test("missing index_path parameter refuses loudly") {
+    val e = intercept[IllegalArgumentException](
+      fn(Seq(Seq(1L -> "x").toDF("doc_id", "text"), qs), spark, Map.empty))
+    assert(e.getMessage.contains("index_path"))
+  }
+}
