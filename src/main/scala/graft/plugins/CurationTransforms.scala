@@ -15,9 +15,9 @@ import graft.text.TextAnalysis
 object CurationTransforms {
 
   private def str(p: Map[String, Any], k: String, d: String): String =
-    p.get(k).map(_.toString).getOrElse(d)
+    Params.str(p, k, d)
   private def num(p: Map[String, Any], k: String, d: Double): Double =
-    p.get(k).map(_.toString.toDouble).getOrElse(d)
+    Params.num(p, k, d)
 
   /** Keep documents passing the heuristic quality gate (t2's quality_keep). */
   final class QualityFilter extends TransformFunction {

@@ -10,9 +10,6 @@ import graft.text.Bm25
   * plugin seam, like [[CurationTransforms]]). */
 object RetrievalTransforms {
 
-  private def str(p: Map[String, Any], k: String, d: String): String =
-    p.get(k).map(_.toString).getOrElse(d)
-
   /** Incrementally maintain a persisted BM25 index and answer a fixed
     * query set from it — the index IS the pipeline's state (the q59
     * "the table is the dedup state" posture applied to retrieval):
@@ -21,15 +18,25 @@ object RetrievalTransforms {
     *  - index present → the delta is the input rows whose ids the
     *    index's doc-length table does not know (one anti-join against
     *    index metadata — the indexed corpus text is never re-read), and
-    *    [[Bm25.updateIndex]] folds them in EXACTLY (integer stats).
+    *    [[Bm25.updateIndex]] folds them in EXACTLY (integer stats);
+    *  - empty delta (a replayed run) → serve from the live index, no
+    *    rewrite, no swap.
     *
-    * Crash/replay posture: a replayed run's delta is empty and
-    * updateIndex no-ops (idempotent); a crash that loses the index
-    * between stage and swap self-heals, because the next run rebuilds
-    * from the full accumulated corpus — both end states equal a fresh
-    * full build, which the c14 gate pins against the full-corpus DuckDB
-    * oracle. The refreshed index is staged to a sibling dir and swapped
-    * in (never written over the files it is concurrently reading).
+    * All filesystem access goes through Spark's Hadoop FS layer, so
+    * `index_path` may be any scheme the session can write (the same
+    * contract as [[Bm25.saveIndex]]/[[Bm25.loadIndex]]). The refreshed
+    * index is staged to a sibling dir and swapped in move-aside-first
+    * (the TableStore.swapDir order: live → .old, stage → live, rollback
+    * on failure, then drop .old) — never deleted before its replacement
+    * is in place. If the index is lost or unreadable anyway (e.g. a
+    * crash burned both dirs), the run self-heals by rebuilding from the
+    * full accumulated corpus; both end states equal a fresh full build,
+    * which the c14 gate pins against the full-corpus DuckDB oracle.
+    *
+    * The persisted index is rewritten whole on each non-empty delta
+    * (tf/docLen/df parquet) — O(corpus) write cost per maintenance run;
+    * a segment/append layout would make writes O(delta) and is the
+    * documented growth path, not silently claimed.
     *
     * inputs: (corpus, queries). parameters: `index_path` (required),
     * `k` (default 5), `id_col`/`text_col`/`qid_col`/`qtext_col`. */
@@ -41,24 +48,59 @@ object RetrievalTransforms {
       val path = p.get("index_path").map(_.toString).getOrElse(
         throw new IllegalArgumentException("Bm25Maintain: index_path parameter is required"))
       val Seq(corpus, queries) = inputs
-      val id = str(p, "id_col", "doc_id")
-      val text = str(p, "text_col", "text")
+      val id = Params.str(p, "id_col", "doc_id")
+      val text = Params.str(p, "text_col", "text")
+      val qid = Params.str(p, "qid_col", "qid")
+      val qtext = Params.str(p, "qtext_col", "qtext")
       val k = p.get("k").map(_.toString.toInt).getOrElse(5)
-      val refreshed = if (new java.io.File(path).exists()) {
-        val ix = Bm25.loadIndex(spark, path)
-        val delta = corpus.join(
-          ix.docLen.select(col("__doc").as(id)), Seq(id), "left_anti")
-        Bm25.updateIndex(ix, delta, id, text)
-      } else Bm25.buildIndex(corpus, id, text)
-      // stage-and-swap: the refreshed index lazily READS the live files,
-      // so it must land beside them, then replace them
-      val stage = s"$path-stage"
-      Bm25.saveIndex(refreshed, stage)
-      graft.exec.Fs.deleteRecursively(path)
-      require(new java.io.File(stage).renameTo(new java.io.File(path)),
-        s"Bm25Maintain: could not swap $stage into place at $path")
-      Bm25.topK(Bm25.loadIndex(spark, path), queries,
-        str(p, "qid_col", "qid"), str(p, "qtext_col", "qtext"), k)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+
+      // unreadable-but-present index dirs (a crash that burned the swap)
+      // self-heal as a full rebuild rather than wedging every replay
+      val live: Option[Bm25.Index] =
+        if (!fs.exists(hp)) None
+        else scala.util.Try(Bm25.loadIndex(spark, path)).toOption
+
+      live match {
+        case Some(ix) =>
+          // cached: the anti-join over the corpus feeds the empty probe,
+          // the delta's buildIndex stats, and three parquet writes
+          val delta = corpus.join(
+            ix.docLen.select(col("__doc").as(id)), Seq(id), "left_anti").cache()
+          try {
+            if (delta.isEmpty) Bm25.topK(ix, queries, qid, qtext, k)
+            else {
+              stageAndSwap(spark, fs, path, Bm25.updateIndex(ix, delta, id, text))
+              Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)
+            }
+          } finally { delta.unpersist(): Unit }
+        case None =>
+          stageAndSwap(spark, fs, path, Bm25.buildIndex(corpus, id, text))
+          Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)
+      }
+    }
+
+    /** Write `refreshed` beside the live index, then swap move-aside-first
+      * with rollback — the refreshed frames lazily READ the live files, so
+      * the live dir must stay intact until the stage is complete. */
+    private def stageAndSwap(spark: SparkSession,
+        fs: org.apache.hadoop.fs.FileSystem, path: String,
+        refreshed: Bm25.Index): Unit = {
+      import org.apache.hadoop.fs.Path
+      val stage = new Path(path + "-stage")
+      val old = new Path(path + "-old")
+      fs.delete(stage, true); fs.delete(old, true)
+      Bm25.saveIndex(refreshed, stage.toString)
+      val target = new Path(path)
+      if (fs.exists(target)) require(fs.rename(target, old),
+        s"Bm25Maintain: could not move the live index aside ($target -> $old)")
+      if (!fs.rename(stage, target)) {
+        if (fs.exists(old)) fs.rename(old, target) // rollback
+        throw new IllegalStateException(
+          s"Bm25Maintain: could not swap $stage into place at $target")
+      }
+      fs.delete(old, true): Unit
     }
   }
 }

@@ -1550,6 +1550,70 @@ object Extras {
     * shell-strip expression + the same filter), so a defect in ANY stage —
     * WARC framing, gzip members, payload decode, the strip chain, the
     * filter, exactly-once ingest — hash-mismatches. */
+  def c13WebCuration(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-c13")
+    val landing = s"$wh/landing"
+    val fixture = fixtureOnce(s"c13|$dir") { root =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      def recs(df: DataFrame): DataFrame = df.select(
+        lit("response").as("warc_type"),
+        concat(lit("<urn:doc-"), col("doc_id"), lit(">")).as("record_id"),
+        lit("2024-02-01 00:00:00").cast("timestamp").as("warc_date"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("text/html").as("content_type"),
+        encode(graft.queries.LlmData.htmlShellOf(col("text")), "UTF-8").as("payload"))
+      graft.sources.WarcBridge.write(
+        recs(d.filter(col("doc_id") % 2 === 0)).repartition(2), s"$root/a")
+      graft.sources.WarcBridge.write(
+        recs(d.filter(col("doc_id") % 2 === 1)).repartition(2), s"$root/b")
+    }
+    val yaml =
+      s"""pipeline: c13
+         |flowgroup: webcur
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: warc
+         |      readMode: stream
+         |    target: c13_v
+         |  - name: t_decode
+         |    type: transform
+         |    transform_type: sql
+         |    source: c13_v
+         |    target: c13_html
+         |    sql: >
+         |      SELECT CAST(regexp_extract(record_id, '([0-9]+)', 1) AS BIGINT)
+         |               AS doc_id,
+         |             decode(payload, 'UTF-8') AS html
+         |      FROM c13_v WHERE warc_type = 'response'
+         |  - name: t_extract
+         |    type: transform
+         |    transform_type: python
+         |    function: graft.plugins.CurationTransforms$$HtmlExtract
+         |    source: c13_html
+         |    target: c13_text
+         |    parameters: {html_col: html, out_col: text}
+         |  - name: t_filter
+         |    type: transform
+         |    transform_type: sql
+         |    source: c13_text
+         |    target: c13_kept
+         |    sql: "SELECT doc_id, text FROM c13_text WHERE length(text) >= 200"
+         |  - name: w
+         |    type: write
+         |    source: c13_kept
+         |    write_target: {type: streaming_table, table: c13_t}
+         |""".stripMargin
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("c13_t")
+  }
+
   /** Incremental-retrieval-index gate (c14): two checkpointed ingest
     * runs accumulate the corpus into a streaming table; after EACH run an
     * index flowgroup maintains a persisted BM25 index through the plugin
@@ -1623,70 +1687,6 @@ object Extras {
     runner.run(graft.config.YamlConfig.parseFlowGroup(ingest))
     runner.run(graft.config.YamlConfig.parseFlowGroup(index))
     store.read("c14_t")
-  }
-
-  def c13WebCuration(s: SparkSession, dir: String): DataFrame = {
-    val (store, runner, wh) = gateRunner(s, "graft-c13")
-    val landing = s"$wh/landing"
-    val fixture = fixtureOnce(s"c13|$dir") { root =>
-      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      def recs(df: DataFrame): DataFrame = df.select(
-        lit("response").as("warc_type"),
-        concat(lit("<urn:doc-"), col("doc_id"), lit(">")).as("record_id"),
-        lit("2024-02-01 00:00:00").cast("timestamp").as("warc_date"),
-        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
-        lit("text/html").as("content_type"),
-        encode(graft.queries.LlmData.htmlShellOf(col("text")), "UTF-8").as("payload"))
-      graft.sources.WarcBridge.write(
-        recs(d.filter(col("doc_id") % 2 === 0)).repartition(2), s"$root/a")
-      graft.sources.WarcBridge.write(
-        recs(d.filter(col("doc_id") % 2 === 1)).repartition(2), s"$root/b")
-    }
-    val yaml =
-      s"""pipeline: c13
-         |flowgroup: webcur
-         |actions:
-         |  - name: l
-         |    type: load
-         |    source:
-         |      type: cloudfiles
-         |      path: $landing
-         |      format: warc
-         |      readMode: stream
-         |    target: c13_v
-         |  - name: t_decode
-         |    type: transform
-         |    transform_type: sql
-         |    source: c13_v
-         |    target: c13_html
-         |    sql: >
-         |      SELECT CAST(regexp_extract(record_id, '([0-9]+)', 1) AS BIGINT)
-         |               AS doc_id,
-         |             decode(payload, 'UTF-8') AS html
-         |      FROM c13_v WHERE warc_type = 'response'
-         |  - name: t_extract
-         |    type: transform
-         |    transform_type: python
-         |    function: graft.plugins.CurationTransforms$$HtmlExtract
-         |    source: c13_html
-         |    target: c13_text
-         |    parameters: {html_col: html, out_col: text}
-         |  - name: t_filter
-         |    type: transform
-         |    transform_type: sql
-         |    source: c13_text
-         |    target: c13_kept
-         |    sql: "SELECT doc_id, text FROM c13_text WHERE length(text) >= 200"
-         |  - name: w
-         |    type: write
-         |    source: c13_kept
-         |    write_target: {type: streaming_table, table: c13_t}
-         |""".stripMargin
-    copyFixture(s"$fixture/a", landing, "a-")
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
-    copyFixture(s"$fixture/b", landing, "b-")
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
-    store.read("c13_t")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -34,6 +34,11 @@ class Bm25MaintainSpec extends SparkSuite {
     graft.exec.Fs.deleteRecursively(path)                   // index lost mid-swap
     val healed = run((a ++ b).toDF("doc_id", "text"), path) // rebuild from corpus
     assert(healed == full)
+    // present-but-unreadable index (a crash that burned the swap): the
+    // run must rebuild, not wedge on loadIndex forever
+    graft.exec.Fs.deleteRecursively(s"$path/tf")
+    val unwedged = run((a ++ b).toDF("doc_id", "text"), path)
+    assert(unwedged == full)
   }
 
   test("missing index_path parameter refuses loudly") {
