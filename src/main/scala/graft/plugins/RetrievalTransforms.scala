@@ -60,7 +60,18 @@ object RetrievalTransforms {
       // self-heal as a full rebuild rather than wedging every replay
       val live: Option[Bm25.Index] =
         if (!fs.exists(hp)) None
-        else scala.util.Try(Bm25.loadIndex(spark, path)).toOption
+        else scala.util.Try(Bm25.loadIndex(spark, path)) match {
+          case scala.util.Success(ix) => Some(ix)
+          case scala.util.Failure(e) =>
+            // self-heal by rebuilding, but say WHY — a standing
+            // misconfiguration (permissions, throttling) must be
+            // distinguishable from a one-off crash, or an O(delta)
+            // pipeline silently runs O(corpus) forever
+            System.err.println(
+              s"[graft] Bm25Maintain: index at $path unreadable " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}); rebuilding from full corpus")
+            None
+        }
 
       live match {
         case Some(ix) =>

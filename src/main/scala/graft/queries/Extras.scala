@@ -42,36 +42,26 @@ object Extras {
     gateDirs.add(wh)
     wh
   }
-  /** The standard gate preamble: temp warehouse + checkpointed runner.
-    * `confs` mirrors the pipeline_config `configuration` mechanism
-    * (RunProject applies such confs to the run's session): the gate runs
-    * on an ISOLATED newSession carrying them, so e.g. a stateful gate
-    * can size `spark.sql.shuffle.partitions` to its state volume — the
-    * knob a production deployment sets — without touching the caller's
-    * session. Stateful queries pin the partition count into their
-    * checkpoint; each gate invocation uses a fresh checkpoint, so the
-    * constant value is consistent across the gate's runs. */
-  private def gateRunner(s: SparkSession, prefix: String,
-      confs: Map[String, String] = Map.empty)
+  /** The standard gate preamble: temp warehouse + checkpointed runner. */
+  private def gateRunner(s: SparkSession, prefix: String)
       : (graft.exec.TableStore, graft.exec.PipelineRunner, String) = {
     val wh = gateDir(prefix)
-    val sess = if (confs.isEmpty) s else {
-      val s2 = s.newSession()
-      confs.foreach { case (k, v) => s2.conf.set(k, v) }
-      s2
-    }
-    val store = new graft.exec.TableStore(sess, s"$wh/wh")
-    (store, new graft.exec.PipelineRunner(sess, store, s"$wh/cp"), wh)
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    (store, new graft.exec.PipelineRunner(s, store, s"$wh/cp"), wh)
   }
 
-  // NOTE: sizing the stateful gates' shuffle partitions DOWN (8) was
-  // tried and REVERTED: the isolated 3-iter comparison looked favorable,
-  // but the rigorous 9-iter A/B on q62 (this host, matched conditions)
-  // went the OTHER way — median 5.63 s at 8 partitions vs 3.66 s at the
-  // session's 32; at sf0.1 the join work outweighs state-store commit
-  // churn, so lower parallelism loses. The confs seam above stays: it is
-  // the production pipeline_config mechanism, and a deployment with
-  // kilobyte state and thousands of partitions WOULD set it.
+  // NOTE: a per-gate-confs variant of gateRunner (isolated newSession
+  // sizing the stateful gates' shuffle partitions DOWN to 8) was tried
+  // and REVERTED twice over: the isolated 3-iter comparison looked
+  // favorable, but the rigorous 9-iter A/B on q62 (this host, matched
+  // conditions) went the OTHER way — median 5.63 s at 8 partitions vs
+  // 3.66 s at the session's 32; at sf0.1 the join work outweighs
+  // state-store commit churn, so lower parallelism loses. The branch
+  // itself was then dropped as dead code: newSession does NOT inherit
+  // temp views, so a caller mixing it with the temp-view gates would
+  // break on first use — reintroduce it together with its first real
+  // caller and a spec. Production pipelines size state partitions via
+  // pipeline_config `configuration`, which RunProject applies.
 
   /** Gate-fixture staging, memoized per key: fixtures that are pure
     * functions of the sf directory (landing file SETS, seeded JDBC

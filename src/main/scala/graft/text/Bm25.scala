@@ -56,11 +56,16 @@ object Bm25 {
   }
 
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String): Index = {
+    // NULL text is the empty document (one empty-string token, length 1)
+    // — without the coalesce a NULL row would count in nDocs but not in
+    // totLen, silently skewing avgdl/idf for EVERY document, and would
+    // persist a NULL __len row that marks the id as indexed forever
+    val t = coalesce(col(textCol), lit(""))
     val toks = corpus.select(col(idCol).as("__doc"),
-      explode(split(col(textCol), " ")).as("__t"))
+      explode(split(t, " ")).as("__t"))
     val tf = toks.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
     val docLen = corpus.select(col(idCol).as("__doc"),
-      size(split(col(textCol), " ")).as("__len"))
+      size(split(t, " ")).as("__len"))
     val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     // one action for both scalars — not two separate driver jobs
     val stats = docLen.agg(count(lit(1)), sum(col("__len"))).head()
@@ -158,7 +163,9 @@ object Bm25 {
       s"$path/stats is not a BM25 stats table (have: ${stats.columns.mkString(",")})")
     val rows = stats.collect()
     require(rows.length == 1, s"$path/stats must hold exactly one row, got ${rows.length}")
-    Index(tf, dl, df, rows(0).getLong(0), rows(0).getLong(1))
+    // by NAME, not position: a reordered stats parquet passes the
+    // column-set check and positional reads would swap nDocs/totLen
+    Index(tf, dl, df, rows(0).getAs[Long]("n_docs"), rows(0).getAs[Long]("tot_len"))
   }
 
   /** Build-and-search convenience (the s9 gate shape). */

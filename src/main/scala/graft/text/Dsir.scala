@@ -38,9 +38,12 @@ import graft.dedup.Sampling
 object Dsir {
 
   /** Unigram + bigram feature rows of `textCol` (bigram feature = the two
-    * tokens joined by one space), with `extra` columns carried through. */
+    * tokens joined by one space), with `extra` columns carried through.
+    * NULL text is the empty document (one empty-string unigram, no
+    * bigrams) — a row must never silently vanish from the weighting
+    * (the paragraphDedup convention). */
   private def features(df: DataFrame, textCol: String, extra: Column*): DataFrame = {
-    val w = split(col(textCol), " ")
+    val w = split(coalesce(col(textCol), lit("")), " ")
     val uni = df.select(extra :+ explode(w).as("__f"): _*)
     // slice length max(n-1, 0): a one-token doc has no bigrams
     val pairs = arrays_zip(

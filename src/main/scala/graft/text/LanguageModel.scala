@@ -63,9 +63,11 @@ object LanguageModel {
 
   /** `(hist, cur)` bigram rows of `textCol` with a BOS-prefixed history —
     * exactly n bigrams for n tokens, so empty docs ([""] after split)
-    * still produce one row and n is never 0. */
+    * still produce one row and n is never 0. NULL text is the empty
+    * document (the paragraphDedup convention) — a corpus row must never
+    * silently vanish from scoring. */
   private def bigrams(df: DataFrame, textCol: String, extra: Column*): DataFrame = {
-    val w = split(col(textCol), " ")
+    val w = split(coalesce(col(textCol), lit("")), " ")
     val full = concat(array(lit(Bos)), w)
     val pairs = arrays_zip(
       slice(full, lit(1), size(w)).as("hist"), w.as("cur"))
@@ -77,7 +79,10 @@ object LanguageModel {
   /** Fit the bigram LM on `seed`. One explode over the seed; bigram and
     * context counts are one map-side-combinable aggregation each (the
     * context counts derive from the bigram counts — the seed is scanned
-    * once). The vocab count is the only driver-side value. */
+    * once). The vocab count is the only driver-side value. Resource
+    * note: the bigram-count frame is cached and stays resident — the
+    * `clearCache()` lifecycle shared with [[merge]] and the other
+    * caching operators. */
   def train(seed: DataFrame, textCol: String): BigramLm = {
     val bg = bigrams(seed, textCol).groupBy("hist", "cur")
       .agg(count(lit(1)).as("c")).cache()
@@ -107,7 +112,7 @@ object LanguageModel {
         Seq("hist"))
       .groupBy("__id").agg(sum(col("__ln")).as("__sc"))
     val n = corpus.select(col(idCol).as("__id"),
-      size(split(col(textCol), " ")).as("__n"))
+      size(split(coalesce(col(textCol), lit("")), " ")).as("__n"))
     val xent = (col("__n").cast("double") * lit(lm.lnV) +
       coalesce(col("__sc"), lit(0.0)) - coalesce(col("__sp"), lit(0.0))) /
       col("__n").cast("double")
@@ -131,7 +136,11 @@ object LanguageModel {
     * (spec-pinned), which makes training map-reduce-composable: shard a
     * 100 TB seed, train per shard, merge pairwise; or maintain a rolling
     * model by merging each new batch's counts (the d8 posture — history
-    * counts are vocab-sized and never re-derived from text). */
+    * counts are vocab-sized and never re-derived from text). Resource
+    * note: like [[train]], each call caches its merged count frame and
+    * leaves it resident — a pairwise merge tree over many shards should
+    * `spark.catalog.clearCache()` between levels (the
+    * [[graft.dedup.Dedup.incrementalNearDup]] lifecycle). */
   def merge(a: BigramLm, b: BigramLm): BigramLm = {
     val pairs = a.pairCounts.unionByName(b.pairCounts)
       .groupBy("hist", "cur").agg(sum(col("c")).as("c")).cache()

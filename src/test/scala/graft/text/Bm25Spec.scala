@@ -92,6 +92,14 @@ class Bm25Spec extends SparkSuite {
     assert(e.getMessage.contains("empty corpus"))
     val idx = Bm25.buildIndex(corpus, "doc_id", "text")
     assert(idx.nDocs == 3 && idx.totLen == 6 && idx.avgdl == 2.0)
+    // NULL text = the empty document: counted consistently in BOTH nDocs
+    // and totLen (len 1), never a NULL __len row skewing avgdl
+    val withNull = Bm25.buildIndex(
+      (corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+        (9L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(withNull.nDocs == 4 && withNull.totLen == 7)
+    assert(withNull.docLen.filter(col("__len").isNull).isEmpty)
   }
 
   test("real corpus: rare terms dominate common ones (idf)") {

@@ -38,6 +38,16 @@ class DsirSpec extends SparkSuite {
     assert(got(1L) < 0) // unseen-in-target features are a penalty
   }
 
+  test("NULL text is the empty document — the row is weighted, not dropped") {
+    val corpus = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dsir.logWeights(corpus, "doc_id", "text",
+        Seq("alpha beta").toDF("text"), "text", numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(!got(2L).isNaN && !got(2L).isInfinite)
+  }
+
   test("empty target refuses loudly — never a constant-weight no-op") {
     val e = intercept[IllegalArgumentException](
       weights(Seq(1L -> "a"), target = Seq.empty))

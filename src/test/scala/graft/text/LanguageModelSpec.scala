@@ -50,6 +50,10 @@ class LanguageModelSpec extends SparkSuite {
     assert(got.keySet == Set(1L, 2L, 3L))
     assert(got(1L)._1 == 1) // split("") = [""] -> one BOS bigram
     assert(got(1L)._2 > 0)
+    // NULL text = the empty document: scored identically to "", not dropped
+    val withNull = score(Seq(1L -> null, 2L -> ""), Seq("a b"))
+    assert(withNull.keySet == Set(1L, 2L))
+    assert(withNull(1L) == withNull(2L))
   }
 
   test("train once, score many: reused model gives identical results") {
