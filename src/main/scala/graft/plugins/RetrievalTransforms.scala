@@ -16,11 +16,19 @@ object RetrievalTransforms {
     *
     *  - no index at `index_path` → build from the FULL input corpus;
     *  - index present → the delta is the input rows whose ids the
-    *    index's doc-length table does not know (one anti-join against
+    *    index's doc-length table does not know (one id-keyed join against
     *    index metadata — the indexed corpus text is never re-read), and
     *    [[Bm25.updateIndex]] folds them in EXACTLY (integer stats);
     *  - empty delta (a replayed run) → serve from the live index, no
     *    rewrite, no swap.
+    *
+    * Id-immutability contract: ids are append-only. A known id arriving
+    * with the SAME text is a replay and is dropped; a known id whose
+    * text CHANGED (detected via the content hash the index stores per
+    * document) is refused loudly naming the offending ids — an
+    * append-only fold cannot retract the old postings, and silently
+    * ignoring the row would serve stale postings forever. Re-texting
+    * documents requires deleting the index dir (next run full-rebuilds).
     *
     * All filesystem access goes through Spark's Hadoop FS layer, so
     * `index_path` may be any scheme the session can write (the same
@@ -75,17 +83,35 @@ object RetrievalTransforms {
 
       live match {
         case Some(ix) =>
-          // cached: the anti-join over the corpus feeds the empty probe,
-          // the delta's buildIndex stats, and three parquet writes
-          val delta = corpus.join(
-            ix.docLen.select(col("__doc").as(id)), Seq(id), "left_anti").cache()
+          // ONE id-keyed join against the index's doc-length metadata
+          // classifies every input row: no match → delta (to fold in);
+          // match with the SAME content hash → already indexed (a
+          // replayed run), drop; match with a DIFFERENT hash → the id
+          // was re-texted, which an append-only fold cannot express —
+          // refuse loudly rather than serve stale postings forever.
+          // Cached: the changed-probe, the empty probe, the delta's
+          // buildIndex stats, and three parquet writes all read it.
+          val classified = corpus.join(
+            ix.docLen.select(col("__doc").as(id), col("__hash").as("__ixhash")),
+            Seq(id), "left").cache()
           try {
+            val changed = classified.filter(col("__ixhash").isNotNull &&
+              md5(coalesce(col(text), lit(""))) =!= col("__ixhash"))
+            val changedSample = changed.select(col(id)).take(6)
+            if (changedSample.nonEmpty) throw graft.config.YamlConfig.ConfigError(
+              s"Bm25Maintain: input rows ${changedSample.take(5).map(_.get(0)).mkString(", ")}" +
+                (if (changedSample.length > 5) ", ..." else "") +
+                s" carry ids the index at $path already knows but with DIFFERENT text. " +
+                "The incremental fold is append-only (ids are immutable); to re-text " +
+                "documents, delete the index directory and let the next run rebuild " +
+                "from the full corpus.")
+            val delta = classified.filter(col("__ixhash").isNull).drop("__ixhash")
             if (delta.isEmpty) Bm25.topK(ix, queries, qid, qtext, k)
             else {
               stageAndSwap(spark, fs, path, Bm25.updateIndex(ix, delta, id, text))
               Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)
             }
-          } finally { delta.unpersist(): Unit }
+          } finally { classified.unpersist(): Unit }
         case None =>
           stageAndSwap(spark, fs, path, Bm25.buildIndex(corpus, id, text))
           Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)

@@ -1092,16 +1092,19 @@ object LlmData {
     // t13: DuckDB refits the same Naive Bayes (integer counts, Laplace +1,
     // the same score decomposition) and applies the same margin filter —
     // the margin (1e-6) dwarfs cross-engine ln()/summation-order drift
-    // (~1e-12), so the emitted (doc, label) set is deterministic
+    // (~1e-12), so the emitted (doc, label) set is deterministic.
+    // coalesce(text, '') mirrors the Spark side's NULL-text-is-empty-doc
+    // convention (one empty-string token; no row silently vanishes).
     "t13_nb_classify" ->
-      """WITH seed AS (SELECT lang, text FROM documents WHERE doc_id < 250),
+      """WITH seed AS (SELECT lang, coalesce(text, '') AS text
+        |             FROM documents WHERE doc_id < 250),
         |sw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM seed),
         |wc AS (SELECT lang, w, count(*) AS cnt FROM sw GROUP BY 1, 2),
         |ct AS (SELECT lang, count(*) AS tot FROM sw GROUP BY 1),
         |cd AS (SELECT lang, count(*) AS nd FROM seed GROUP BY 1),
         |v AS (SELECT count(DISTINCT w) AS v FROM wc),
         |ns AS (SELECT count(*) AS n FROM seed),
-        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |dw AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
         |       FROM documents),
         |dl AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY 1),
         |sl AS (SELECT dw.doc_id, wc.lang, SUM(ln(wc.cnt + 1)) AS s

@@ -211,10 +211,16 @@ object WarcBridge {
     * content_type, payload)` as WARC files, one per partition, gzipped
     * member-per-record when `gzip` — the fixture/egress twin of
     * [[decode]], byte-compatible with any spec-conforming reader.
-    * Durability: each file lands under a hidden in-progress name and
-    * renames into place on success, so a failed/speculative attempt's
-    * partial output stays invisible to directory listings (Spark skips
-    * dot-files). Header-bearing columns must not contain CR/LF — header
+    * Commit protocol: each attempt writes to a hidden per-ATTEMPT
+    * in-progress name (partial output from a failed attempt stays
+    * invisible — Spark skips dot-files), then renames to a per-PARTITION
+    * final name, replacing any file a prior attempt of the same partition
+    * left behind. Final names carry no attempt id, so a speculative
+    * duplicate or a retried task whose first attempt already committed
+    * can only OVERWRITE partition `pid`'s file with byte-identical
+    * content (the partition's row set is deterministic), never land a
+    * second final file that duplicates records on re-read.
+    * Header-bearing columns must not contain CR/LF — header
     * injection would corrupt the archive framing — and the mandatory
     * columns must be non-null; both refuse loudly per row. */
   def write(df: DataFrame, dir: String, gzip: Boolean = true): Unit = {
@@ -228,7 +234,9 @@ object WarcBridge {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
-        val finalPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$attempt$ext")
+        // final name keyed by partition id ONLY (attempt id stays on the
+        // staging name): re-attempts overwrite rather than accumulate
+        val finalPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$ext")
         val tmpPath = new org.apache.hadoop.fs.Path(dir, f".part-$pid%05d-$attempt$ext.inprogress")
         val os = fs.create(tmpPath, true)
         def field(r: Row, i: Int, name: String, mandatoryCol: Boolean): Option[String] =
@@ -277,6 +285,10 @@ object WarcBridge {
             } else os.write(rec.toByteArray)
           }
           os.close()
+          // last attempt wins: HDFS-semantics rename refuses an existing
+          // target, so clear a prior attempt's file first (content is
+          // byte-identical — same partition, deterministic row order)
+          if (fs.exists(finalPath)) fs.delete(finalPath, false)
           if (!fs.rename(tmpPath, finalPath)) throw ConfigError(
             s"warc write: rename to '$finalPath' failed")
         } catch { case e: Throwable =>

@@ -64,8 +64,11 @@ object Bm25 {
     val toks = corpus.select(col(idCol).as("__doc"),
       explode(split(t, " ")).as("__t"))
     val tf = toks.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    // __hash (md5 of the indexed text) rides on the doc-length metadata
+    // so incremental maintainers can DETECT a re-texted id instead of
+    // silently serving stale postings (RetrievalTransforms.Bm25Maintain)
     val docLen = corpus.select(col(idCol).as("__doc"),
-      size(split(t, " ")).as("__len"))
+      size(split(t, " ")).as("__len"), md5(t).as("__hash"))
     val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     // one action for both scalars — not two separate driver jobs
     val stats = docLen.agg(count(lit(1)), sum(col("__len"))).head()
@@ -153,7 +156,7 @@ object Bm25 {
     require(tf.columns.toSet == Set("__doc", "__t", "__tf"),
       s"$path/tf is not a BM25 term-frequency table (have: ${tf.columns.mkString(",")})")
     val dl = spark.read.parquet(s"$path/doclen")
-    require(dl.columns.toSet == Set("__doc", "__len"),
+    require(dl.columns.toSet == Set("__doc", "__len", "__hash"),
       s"$path/doclen is not a BM25 doc-length table (have: ${dl.columns.mkString(",")})")
     val df = spark.read.parquet(s"$path/df")
     require(df.columns.toSet == Set("__t", "__df"),

@@ -34,8 +34,12 @@ object NaiveBayes {
 
   /** Classify `corpus` rows by the label distribution of `seed`.
     * Tokenization is the repo-wide single-space split (the t3/t6 DuckDB
-    * parity convention). Returns `(idCol, predicted)` for every corpus row
-    * whose decision margin exceeds `minMargin`. */
+    * parity convention). NULL text is the empty document (one empty-string
+    * token, the LanguageModel/Dsir/Bm25 convention) — a corpus row never
+    * silently vanishes from classification, and a NULL-text seed row still
+    * contributes its prior AND its one-token count to its class. Returns
+    * `(idCol, predicted)` for every corpus row whose decision margin
+    * exceeds `minMargin`. */
   def classify(corpus: DataFrame, idCol: String, textCol: String,
       seed: DataFrame, seedTextCol: String, labelCol: String,
       minMargin: Double = 1e-6): DataFrame = {
@@ -47,7 +51,7 @@ object NaiveBayes {
     // after the result materializes — same `clearCache()` lifecycle as
     // Dedup.incrementalNearDup for long-running sessions.
     val wordCounts = seed.select(col(labelCol).as("__label"),
-        explode(split(col(seedTextCol), " ")).as("__w"))
+        explode(split(coalesce(col(seedTextCol), lit("")), " ")).as("__w"))
       .groupBy("__label", "__w")
       .agg(count(lit(1)).as("__cnt")).cache()
     val classTotals = wordCounts.groupBy("__label")
@@ -65,7 +69,7 @@ object NaiveBayes {
           log((col("__tot") + lit(vocab)).cast("double")).as("__lnTotV")))
 
     val docWords = corpus.select(col(idCol).as("__id"),
-      explode(split(col(textCol), " ")).as("__w"))
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("__w"))
     val docLen = docWords.groupBy("__id").agg(count(lit(1)).as("__n"))
     val sumLn = docWords
       .join(wordCounts.select(col("__w"), col("__label"),

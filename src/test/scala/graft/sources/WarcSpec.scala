@@ -194,6 +194,26 @@ class WarcSpec extends SparkSuite {
       "target_uri", "content_type", "payload")).isEmpty)
   }
 
+  test("re-running write overwrites per-partition files — no duplicate records") {
+    // the commit protocol names final files by partition id only, so a
+    // retried/speculative attempt (simulated here by a second full write)
+    // REPLACES partition files instead of landing a second final file
+    // that would duplicate every record on re-read
+    val dir = Files.createTempDirectory("graft-warc-rw").toString
+    val src = Seq(
+      ("response", "<urn:uuid:r1>", "2024-01-02 03:04:05", "http://a/", "text/html", "one"),
+      ("response", "<urn:uuid:r2>", "2024-01-02 03:04:06", "http://b/", "text/html", "two")
+    ).toDF("warc_type", "record_id", "ts", "target_uri", "content_type", "body")
+      .select(col("warc_type"), col("record_id"),
+        col("ts").cast("timestamp").as("warc_date"), col("target_uri"),
+        col("content_type"), encode(col("body"), "UTF-8").as("payload"))
+    WarcBridge.write(src.repartition(2), dir)
+    WarcBridge.write(src.repartition(2), dir) // the "second attempt"
+    val back = WarcBridge.decode(spark.read.format("binaryFile").load(dir))
+    assert(back.count() == 2, "second write must replace, not duplicate")
+    assert(back.select("record_id").distinct().count() == 2)
+  }
+
   test("cloudfiles format warc refuses schema declarations and evolution loudly") {
     val dir = Files.createTempDirectory("graft-warc-cf").toString
     val store = new graft.exec.TableStore(spark, s"$dir/wh")

@@ -41,6 +41,23 @@ class Bm25MaintainSpec extends SparkSuite {
     assert(unwedged == full)
   }
 
+  test("a re-texted known id refuses loudly; same-text replay still no-ops") {
+    val path = java.nio.file.Files.createTempDirectory("bm25m").toString + "/ix"
+    run(Seq(1L -> "x y", 2L -> "z").toDF("doc_id", "text"), path)
+    // same ids, same text → replay, serves fine
+    run(Seq(1L -> "x y", 2L -> "z").toDF("doc_id", "text"), path)
+    // id 2 arrives with DIFFERENT text → append-only fold must refuse,
+    // naming the id, not silently serve stale postings
+    val e = intercept[graft.config.YamlConfig.ConfigError](
+      run(Seq(1L -> "x y", 2L -> "z CHANGED", 3L -> "w").toDF("doc_id", "text"), path))
+    assert(e.getMessage.contains("2"))
+    assert(e.getMessage.contains("DIFFERENT text"))
+    // the refusal must not have corrupted the live index: a clean
+    // append-only run afterwards still works
+    val ok = run(Seq(1L -> "x y", 2L -> "z", 3L -> "w").toDF("doc_id", "text"), path)
+    assert(ok.nonEmpty)
+  }
+
   test("missing index_path parameter refuses loudly") {
     val e = intercept[IllegalArgumentException](
       fn(Seq(Seq(1L -> "x").toDF("doc_id", "text"), qs), spark, Map.empty))

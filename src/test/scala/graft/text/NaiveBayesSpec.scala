@@ -40,6 +40,30 @@ class NaiveBayesSpec extends SparkSuite {
     assert(classify(Seq(1L -> "a z"), seed, minMargin = en - fr + 0.1).isEmpty)
   }
 
+  test("NULL text is the empty document — the corpus row never vanishes") {
+    // the empty doc carries one ""-token; with seed en = {"" ...}? keep it
+    // simpler: NULL corpus text scores as the one-token "" doc, which is
+    // unknown to both classes, so the PRIOR decides — the row must appear
+    // in the output (the LanguageModel/Dsir/Bm25 convention), not be
+    // silently dropped by split(NULL) exploding to nothing
+    val seed = Seq("en" -> "a", "en" -> "b", "fr" -> "c")
+    val corpus = Seq(1L -> "a").toDF("doc_id", "text")
+      .unionByName(Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = NaiveBayes.classify(corpus, "doc_id", "text",
+        seed.toDF("lang", "text"), "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "en")) // 2L: prior 2:1 for en
+    // and a NULL-text SEED row still contributes prior + its ""-token
+    val seedNull = Seq(("en", "a"), ("fr", null.asInstanceOf[String]),
+      ("fr", null.asInstanceOf[String])).toDF("lang", "text")
+    val got2 = NaiveBayes.classify(
+        Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text", seedNull, "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fr saw "" twice in seed; the NULL doc's ""-token matches → fr wins
+    assert(got2 == Map(7L -> "fr"))
+  }
+
   test("exact ties are suppressed, not broken arbitrarily") {
     // identical class-conditional distributions -> equal scores everywhere
     val seed = Seq("x" -> "a b", "y" -> "a b")
