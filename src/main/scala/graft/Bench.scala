@@ -49,8 +49,18 @@ object Bench {
     // sink materializes EVERY declared output column with zero I/O — the
     // timing measures the query as the oracle gate runs it. BenchSpec pins
     // this with a raise_error column that count-pruning would skip.
-    val timings: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
+    // JVM gauges (GC, heap, state-store providers, codegen churn) are
+    // snapped around EVERY timed execution — ~µs of bean reads against
+    // multi-second queries — so an in-bench dispersion outlier (r12: q62
+    // [10.5, 9.5, 24.6] s inside one JVM) carries its own attribution data
+    // instead of demanding a reproduction run. The gauges ride in the full
+    // JSON artifact (`diag` map, never the stdout contract line);
+    // SPARK_GRAFT_DIAG=1 additionally mirrors them to stderr live.
+    val diagStderr = sys.env.get("SPARK_GRAFT_DIAG").exists(_ == "1")
+    val diagRows = scala.collection.mutable.ArrayBuffer[String]()
+    val timings: Seq[Seq[(String, Double)]] = (1 to iters).map { iter =>
       names.map { case (name, fn) =>
+        val before = graft.tools.BenchDiag.snap()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch {
@@ -58,7 +68,12 @@ object Bench {
             errors.getOrElseUpdate(
               name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = graft.tools.BenchDiag.snap()
+        diagRows += graft.tools.BenchDiag.json(iter, name, sec, before, after)
+        if (diagStderr)
+          graft.tools.BenchDiag.emit(iter, name, sec, before, after)
+        name -> sec
       }
     }
     val perQuery: Seq[(String, Seq[Double])] =
@@ -104,8 +119,9 @@ object Bench {
     val errCompact = if (errors.isEmpty) ""
       else errors.keys.map(k => jstr(shortKey(k))).mkString(""","errors":[""", ",", "]")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val diagJson = diagRows.mkString("[", ",", "]")
     Result(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact$errCompact,"sf":"$sfName"}""",
       errors.toMap)
   }

@@ -638,6 +638,116 @@ object Dedup {
         (size(ws) - size(col("__kept"))).as("n_words_removed"))
   }
 
+  /** Maximal duplicated substrings of ARBITRARY length ≥ `minLen` tokens —
+    * the full Lee et al. 2021 ExactSubstr regime (§4.1 of "Deduplicating
+    * Training Data Makes Language Models Better"). [[duplicatedSpans]] marks
+    * the POSITIONS covered by duplicated windows (exactly the ExactSubstr
+    * cut set, since a position sits inside a duplicated substring of length
+    * ≥ n iff it sits inside a duplicated length-n window); what it cannot
+    * report is the duplicated substrings THEMSELVES — their exact token
+    * length, their per-occurrence extent, how many documents share each.
+    * This operator does, via sorted window-hash runs extended to maximal
+    * shared spans:
+    *
+    *  1. every length-`minLen` word window is hashed (64-bit, d2's
+    *     documented 2^-64 collision tolerance);
+    *  2. window occurrences pair across documents on the hash
+    *     (`id_a < id_b`, cross-doc only — within-doc repetition is
+    *     [[graft.text.TextAnalysis.repetition]]'s domain, as for d10);
+    *  3. within a (docA, docB, diagonal = startA − startB) group, maximal
+    *     runs of CONSECUTIVE matched windows are exactly the maximal exact
+    *     matches between the two documents: a run of m consecutive windows
+    *     is a shared substring of m + minLen − 1 tokens, unextendable on
+    *     either side because the flanking window does not match on that
+    *     diagonal;
+    *  4. each run projects an occurrence onto both documents; an occurrence
+    *     strictly contained in another duplicated occurrence of the same
+    *     document is not maximal in the corpus sense (its extension is
+    *     duplicated against SOME partner) and is pruned by a single
+    *     running-max window per document — sort by (start asc, end desc),
+    *     keep iff `end` exceeds the max end over all preceding rows.
+    *
+    * Returns one row per maximal duplicated-substring occurrence:
+    * `(idCol, span_start, span_end, span_len, n_docs)` — 0-based inclusive
+    * word indices, `span_len` in tokens, `n_docs` = distinct partner
+    * documents sharing exactly this occurrence's extent.
+    *
+    * Scale shape (100 TB): step 2 is the one quadratic regime in this file —
+    * a window hash occurring in k documents emits O(k²) pair rows. The
+    * `maxDf` cap bounds it (d2's hot-shingle precedent): hashes seen in more
+    * than `maxDf` distinct documents are excluded from PAIRING — viral
+    * boilerplate is exactly what the linear [[duplicatedSpans]] coverage
+    * path + [[cutSpans]] already handles, so the cap costs reporting detail
+    * only where reporting is least meaningful. The cap is replayed verbatim
+    * in the d16 oracle, so gate semantics are exact. Everything else is
+    * linear: one aggregation for the DF filter, one hash-join back, one
+    * run-detection window per (pair, diagonal), one containment window per
+    * document. The window frame is cached across the DF-agg and the
+    * join-back (the [[duplicatedSpans]] precedent).
+    *
+    * Re-detection fixpoint: cutting every covered position
+    * ([[duplicatedSpans]](n = minLen) → [[cutSpans]]) and re-running leaves
+    * nothing on natural corpora, but is NOT a theorem — concatenation at a
+    * cut seam can mint a new shared run from two sub-threshold shared
+    * fragments (Lee et al. iterate to a fixpoint for the same reason). The
+    * d17 gate pins one detect→cut→re-detect round against the oracle's
+    * replay, whatever the residue. */
+  def exactSubstrings(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, maxDf: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val k = minLen
+    val ws = split(col(textCol), " ")
+    // full windows only, as in duplicatedSpans — a doc under k words has none
+    val starts = when(size(ws) >= k, sequence(lit(0), size(ws) - k))
+      .otherwise(array().cast("array<int>"))
+    val windows = df
+      .select(col(idCol), ws.as("__ws"), explode(starts).as("__s"))
+      .select(col(idCol), col("__s"),
+        xxhash64(concat_ws(" ", slice(col("__ws"), col("__s") + 1, lit(k)))).as("__h"))
+      .cache()
+    // pairing eligibility: ≥ 2 distinct docs (duplicated at all) and ≤ maxDf
+    // (quadratic-regime guard). One map-side-combinable agg.
+    val eligible = windows.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDf)
+      .select(col("__h"))
+    val w2 = windows.join(eligible, Seq("__h"))
+    val a = w2.select(col("__h"), col(idCol).as("__ida"), col("__s").as("__sa"))
+    val b = w2.select(col("__h"), col(idCol).as("__idb"), col("__s").as("__sb"))
+    val m = a.join(b, Seq("__h")).filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"), col("__sa"), col("__sb"),
+        (col("__sa") - col("__sb")).as("__diag"))
+    // maximal runs of consecutive __sa along a diagonal: __sa − row_number is
+    // constant exactly over a consecutive run (ties impossible — one window
+    // per (doc, start))
+    val byDiag = Window.partitionBy(col("__ida"), col("__idb"), col("__diag"))
+      .orderBy(col("__sa"))
+    val runs = m
+      .withColumn("__grp", col("__sa") - row_number().over(byDiag))
+      .groupBy(col("__ida"), col("__idb"), col("__diag"), col("__grp"))
+      .agg(min(col("__sa")).as("__a0"), (max(col("__sa")) + k - 1).as("__a1"),
+        min(col("__sb")).as("__b0"), (max(col("__sb")) + k - 1).as("__b1"))
+    // project the run onto both documents; n_docs counts distinct partners
+    // per exact extent
+    val occ = runs.select(col("__ida").as(idCol), col("__a0").as("span_start"),
+        col("__a1").as("span_end"), col("__idb").as("__partner"))
+      .union(runs.select(col("__idb"), col("__b0"), col("__b1"), col("__ida")))
+    val spans = occ.groupBy(col(idCol), col("span_start"), col("span_end"))
+      .agg(countDistinct(col("__partner")).as("n_docs"))
+    // containment pruning: in (span_start asc, span_end desc) order a span is
+    // strictly contained in an earlier row iff the running max of span_end
+    // over PRECEDING rows already reaches its span_end
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("span_start").asc, col("span_end").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("__maxPrev", max(col("span_end")).over(byDoc))
+      .filter(col("__maxPrev").isNull || col("__maxPrev") < col("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"), col("n_docs"))
+  }
+
   /** Quality-aware canonical selection over a duplicate-pair graph: cluster
     * via [[connectedComponents]], then keep the HIGHEST-QUALITY member of
     * each cluster (ties → smallest id) instead of d6's min-id convention —

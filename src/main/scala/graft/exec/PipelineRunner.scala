@@ -1038,7 +1038,11 @@ final class PipelineRunner(
         //   OVER windows, key-local                  → incremental_recompute
         //     (partition-scoped recompute of affected keys over the
         //     accumulated base; handled by the branch above)
-        //   nested dedup / stream-stream in the MV sql → full refresh
+        //   stream-stream join, all sides watermarked → incremental
+        //     (APPEND-mode: joined rows emit once and append; state is
+        //     bounded by the watermark horizon + the join's time
+        //     constraint — q62's semantics run directly as MV maintenance)
+        //   nested dedup / unwatermarked stream-stream → full refresh
         //     only (omit mode) — the audit below REFUSES with an ACT-011
         //     naming the offending shape instead of letting Spark's
         //     UnsupportedOperationChecker surface an anonymous
@@ -1094,9 +1098,19 @@ final class PipelineRunner(
               .trigger(Trigger.AvailableNow())
               .start().awaitTermination()
           case None =>
+            // stream-stream-bearing SQL auto-routes to append-mode
+            // maintenance when every stream side is watermarked (the r12
+            // decision table sent this shape to a refusal naming the
+            // watermark-transform + streaming_table detour; with the
+            // watermarks already declared, the MV can run the same
+            // append-mode maintenance directly — joined rows emit once,
+            // append across runs, state bounded by the watermark horizon
+            // exactly as q62's streaming_table route)
+            val ssjAppend = watermarkedStreamStreamJoin(df)
             auditIncrementalShape(a.name, df,
-              watermarked = a.watermarkColumn.isDefined)
-            if (a.watermarkColumn.isDefined)
+              watermarked = a.watermarkColumn.isDefined,
+              appendRoute = ssjAppend)
+            if (a.watermarkColumn.isDefined || ssjAppend)
               df.writeStream.outputMode("append")
                 .foreachBatch { (batch: DataFrame, id: Long) =>
                   store.appendBatch(a.table,
@@ -1614,6 +1628,21 @@ final class PipelineRunner(
         try build finally orig.createOrReplaceTempView(target)
     }
 
+  /** True when the MV SQL's plan contains a stream-stream join whose BOTH
+    * sides carry event-time watermarks — the shape the append-mode
+    * maintenance route can run directly (the audit refuses the
+    * unwatermarked variant before this can matter). */
+  private def watermarkedStreamStreamJoin(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Join => LJoin}
+    def hasWm(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.exists { case _: EventTimeWatermark => true; case _ => false }
+    df.isStreaming && df.queryExecution.analyzed.exists {
+      case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
+        hasWm(j.left) && hasWm(j.right)
+      case _ => false
+    }
+  }
+
   /** Detect a TOP-LEVEL dedup on the MV's raw analyzed plan — `Distinct`
     * (SELECT DISTINCT) or `Deduplicate` (dropDuplicates) as the outermost
     * operator over a streaming child. Returns the under-dedup child
@@ -1644,7 +1673,7 @@ final class PipelineRunner(
     * `watermarked` = the MV declared a watermark, so maintenance runs in
     * APPEND mode and the aggregation must be windowed on event time. */
   private def auditIncrementalShape(actionName: String, df: DataFrame,
-      watermarked: Boolean = false): Unit = {
+      watermarked: Boolean = false, appendRoute: Boolean = false): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct, Join => LJoin, Window => LWindow}
     import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
     val plan = df.queryExecution.analyzed
@@ -1675,10 +1704,25 @@ final class PipelineRunner(
             "append), dedup upstream in the streaming_table, use mode: " +
             "incremental_recompute if the whole sql is key-local, or omit mode")
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
-        refuse("a stream-stream join",
-          "join the watermarked streams (transform_type: watermark) into a " +
-            "streaming_table first and aggregate THAT table, or use mode: " +
-            "incremental_join with the fact side under stream(...)")
+        // a stream-stream join IS incrementally maintainable in append mode
+        // when both sides carry event-time watermarks (q62's semantics as MV
+        // maintenance — the caller routes it); the refusal narrows to the
+        // genuinely unbounded shape: a side with no watermark means Spark
+        // could never evict its join state
+        import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+        def hasWm(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+          p.exists { case _: EventTimeWatermark => true; case _ => false }
+        if (!hasWm(j.left) || !hasWm(j.right)) {
+          val bare = Seq(
+            if (!hasWm(j.left)) Some("left") else None,
+            if (!hasWm(j.right)) Some("right") else None).flatten.mkString("+")
+          refuse(s"a stream-stream join with an unwatermarked $bare side " +
+            "(join state could never be evicted)",
+            "watermark every stream side (transform_type: watermark on the " +
+              "source views), bound the join with a time-range condition, " +
+              "or use mode: incremental_join with the fact side under " +
+              "stream(...)")
+        }
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.isStreaming && agg.aggregateExpressions.exists(_.collectFirst {
             case ae: AggregateExpression if ae.isDistinct => ae }.nonEmpty) =>
@@ -1687,30 +1731,37 @@ final class PipelineRunner(
             "the pre-joined companion) or approx_count_distinct")
       case _ =>
     }
-    if (watermarked) {
-      // append-mode emission is keyed to window finalization: an
-      // aggregation with no event-time window group key would never emit
-      // (Spark refuses it anonymously at stream start). The analyzer has
-      // already rewritten window()/session_window() calls, but it marks
-      // the produced group attribute's metadata — the same marker Spark's
-      // own checker keys on.
-      import org.apache.spark.sql.catalyst.expressions.{Attribute, SessionWindow, TimeWindow}
-      val windowedAgg = plan.exists {
-        case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-            if agg.isStreaming =>
-          agg.groupingExpressions.exists(_.exists {
-            case att: Attribute => att.metadata.contains(TimeWindow.marker) ||
-              att.metadata.contains(SessionWindow.marker)
-            case _ => false
-          })
+    // append-mode emission is keyed to window finalization: an aggregation
+    // with no event-time window group key would never emit (Spark refuses
+    // it anonymously at stream start). The analyzer has already rewritten
+    // window()/session_window() calls, but it marks the produced group
+    // attribute's metadata — the same marker Spark's own checker keys on.
+    // Applies on BOTH append routes: a declared watermark (which REQUIRES a
+    // windowed agg — nothing else can emit) and the stream-stream-join
+    // route (where zero aggregation is fine — joined rows emit directly —
+    // but an aggregation, if present, must be windowed).
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, SessionWindow, TimeWindow}
+    def isWindowedAgg(agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate) =
+      agg.groupingExpressions.exists(_.exists {
+        case att: Attribute => att.metadata.contains(TimeWindow.marker) ||
+          att.metadata.contains(SessionWindow.marker)
         case _ => false
-      }
-      if (!windowedAgg) refuse(
-        "a watermark without a window(...) group key",
-        "group by window(<watermark column>, ...) / session_window(...) so " +
-          "finalized windows can emit, or drop the watermark for " +
-          "complete-mode maintenance")
+      })
+    val streamingAggs = plan.collect {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if agg.isStreaming => agg
     }
+    if (watermarked && !streamingAggs.exists(isWindowedAgg)) refuse(
+      "a watermark without a window(...) group key",
+      "group by window(<watermark column>, ...) / session_window(...) so " +
+        "finalized windows can emit, or drop the watermark for " +
+        "complete-mode maintenance")
+    if (!watermarked && appendRoute && !streamingAggs.forall(isWindowedAgg)) refuse(
+      "an unwindowed aggregation above a stream-stream join (append-mode " +
+        "maintenance can only emit finalized windows)",
+      "group by window(...)/session_window(...) on an event-time column, " +
+        "or materialize the join into a streaming_table first and aggregate " +
+        "THAT table under mode: incremental")
   }
 
   /** Refuse `mode: incremental_recompute` MV sql that is not KEY-LOCAL —

@@ -44,13 +44,39 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * therefore serialize per RESOLVED table name within the JVM; distinct
     * tables stay fully parallel, and appendBatch stages its (expensive)
     * batch write OUTSIDE the lock so concurrent fan-in flows only
-    * serialize the cheap file moves. Cross-PROCESS writers remain out of
-    * scope, as the class doc says: that is the Delta/Iceberg commit
-    * protocol seam. */
+    * serialize the cheap file moves.
+    *
+    * Cross-PROCESS (and cross-instance) writers are serialized by a second
+    * layer: an OS advisory file lock (`<table>._writer_lock` sidecar, held
+    * for the mutation's critical section — see [[TableStore.ProcessLock]]).
+    * Two RunProject JVMs against one warehouse can no longer interleave
+    * staging/swap; a holder that will not yield within
+    * `spark.graft.store.lockWaitMs` (default 10 s) is a LOUD error naming
+    * the holder — the reference posture is one runtime per pipeline, so
+    * sustained contention is a deployment bug, not a queue. The file lock
+    * is kernel-released on process death (no stale-lock sweeps). Advisory
+    * flocks hold on local/NFS filesystems; object stores need the
+    * Delta/Iceberg commit protocol — the documented class-doc seam,
+    * unchanged. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(table: String): Object =
     tableLocks.computeIfAbsent(nameMap(table), _ => new Object)
+
+  private def lockWaitMs: Long =
+    spark.conf.get("spark.graft.store.lockWaitMs", "10000").toLong
+
+  /** Every mutation's critical section runs under BOTH layers: the JVM
+    * monitor (cheap, per-instance flow serialization) and the cross-process
+    * file lock. Reentrant per instance — upsert's nested replace/overwrite
+    * re-enter safely. */
+  private[exec] def withTableLock[T](table: String)(body: => T): T =
+    lockFor(table).synchronized {
+      val lockPath = Paths.get(path(table) + "._writer_lock")
+      TableStore.ProcessLock.acquire(lockPath, this, nameMap(table), lockWaitMs)
+      try body
+      finally TableStore.ProcessLock.release(lockPath, this)
+    }
 
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 
@@ -74,14 +100,14 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     if (exists(table)) Some(read(table)) else None
 
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    lockFor(table).synchronized {
+    withTableLock(table) {
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
       recordSchema(table, df)
     }
 
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
-    lockFor(table).synchronized {
+    withTableLock(table) {
       appendGuards(table, df)
       val w = df.write.mode(SaveMode.Append)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
@@ -155,7 +181,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
           }).sortBy(_.toString).toSeq
         finally s.close()
       }
-      lockFor(table).synchronized {
+      withTableLock(table) {
         // re-check under the lock: guard → land → record-schema must be
         // atomic against a concurrent flow's widening append
         appendGuards(table, df)
@@ -188,7 +214,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     // stage-outside split): `df` may read the table being replaced, so a
     // concurrent append landing mid-staging would be silently discarded by
     // the swap — replace is a read-modify-write and must be atomic
-    lockFor(table).synchronized {
+    withTableLock(table) {
       if (!exists(table)) overwrite(table, df, partitionBy)
       else {
         val staging = freshStaging(table)
@@ -209,7 +235,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     // read-modify-write: the existence check, the kept-rows read, and the
     // rewrite must see one consistent table state (locks are reentrant —
     // the nested overwrite/replace/replacePartitions re-acquire safely)
-    lockFor(table).synchronized { readIfExists(table) match {
+    withTableLock(table) { readIfExists(table) match {
       case None => overwrite(table, updates)
       case Some(existing) =>
         val partCols = partitionColumnsOf(table)
@@ -234,7 +260,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def insertIfAbsent(table: String, updates: DataFrame, keys: Seq[String]): Unit =
     // read-modify-write: the absent-key anti-join must see the same state
     // the append lands into
-    lockFor(table).synchronized {
+    withTableLock(table) {
       readIfExists(table) match {
         case None => overwrite(table, updates)
         case Some(existing) =>
@@ -250,7 +276,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * rewritten, or moved: at 100 TB a CDC batch touching 50 of 50k partitions
     * moves 50 directories. */
   def replacePartitions(table: String, rows: DataFrame, partitionBy: Seq[String],
-      affected: Seq[Row]): Unit = lockFor(table).synchronized {
+      affected: Seq[Row]): Unit = withTableLock(table) {
     val staging = freshStaging(table)
     rows.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
 
@@ -294,14 +320,18 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def affectedValues(df: DataFrame, partitionBy: Seq[String]): Seq[Row] =
     df.select(partitionBy.map(col): _*).distinct().collect().toSeq
 
-  def drop(table: String): Unit = lockFor(table).synchronized {
+  def drop(table: String): Unit = withTableLock(table) {
     val f = new java.io.File(path(table))
     if (f.exists()) rm(f)
     // every sidecar is a sibling file named "<dir>._<key>" — remove them all
     // (properties, commit version, snapshot version, once markers, ...)
+    // EXCEPT the writer lock: we are holding it, and deleting it would
+    // detach any concurrently-spinning process onto a fresh inode, letting
+    // two holders coexist — the lock file outlives its table by design
     Option(f.getParentFile).foreach { parent =>
       Option(parent.listFiles()).getOrElse(Array.empty)
-        .filter(s => s.isFile && s.getName.startsWith(f.getName + "._"))
+        .filter(s => s.isFile && s.getName.startsWith(f.getName + "._") &&
+          s.getName != f.getName + "._writer_lock")
         .foreach(_.delete())
     }
   }
@@ -312,7 +342,7 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     * Delta OPTIMIZE; optional `sortBy` re-clusters while compacting. */
   def compact(table: String, targetBytesPerFile: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil, strategy: String = "range"): Unit =
-      lockFor(table).synchronized {
+      withTableLock(table) {
     val dir = new java.io.File(path(table))
     if (!dir.exists()) return
     def walk(f: java.io.File): Long =
@@ -531,6 +561,115 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 }
 
 object TableStore {
+
+  /** Cross-process writer commit lock: one OS advisory file lock
+    * (`FileChannel.tryLock`) per table, held for each mutation's critical
+    * section. Properties the single-JVM monitor cannot provide:
+    *
+    *  - TWO PROCESSES against one warehouse serialize their staging/swap
+    *    sections instead of interleaving them (an interleaved `swapDir`
+    *    could restore a trash dir over the other writer's committed state);
+    *  - a CRASHED holder releases automatically — the kernel drops advisory
+    *    locks with the process, so there is no stale-marker sweep and no
+    *    heartbeat protocol;
+    *  - a holder that will not yield within the deadline is a LOUD error
+    *    carrying the holder's identity (pid@host, written into the lock
+    *    file under the lock itself) — one runtime per pipeline is the
+    *    reference's deployment contract, so sustained contention means two
+    *    pipelines own one table and must be reconfigured, not queued.
+    *
+    * The registry is JVM-GLOBAL (companion, keyed by canonical lock path):
+    * `FileLock` is per-JVM, so two TableStore INSTANCES in one JVM
+    * coordinate here — the owner field makes the lock exclusive between
+    * them and reentrant within one instance. Within-instance thread
+    * exclusion is already guaranteed by the instance's per-table monitor,
+    * which is always taken first. */
+  private[exec] object ProcessLock {
+    private final class Entry {
+      var owner: AnyRef = null
+      var holds = 0
+      var channel: java.nio.channels.FileChannel = null
+      var lock: java.nio.channels.FileLock = null
+    }
+    private val entries =
+      new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+    private def entryFor(lockPath: Path): (String, Entry) = {
+      val key = lockPath.toAbsolutePath.normalize.toString
+      (key, entries.computeIfAbsent(key, _ => new Entry))
+    }
+
+    def acquire(lockPath: Path, owner: AnyRef, table: String, waitMs: Long): Unit = {
+      val (_, e) = entryFor(lockPath)
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      e.synchronized {
+        while (true) {
+          if (e.holds > 0 && (e.owner eq owner)) { e.holds += 1; return }
+          if (e.holds == 0) {
+            Files.createDirectories(lockPath.getParent)
+            val ch = java.nio.channels.FileChannel.open(lockPath,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.READ)
+            val fl =
+              try ch.tryLock()
+              catch {
+                // held elsewhere in THIS JVM outside the registry (a raw
+                // channel, e.g. a test forging a foreign holder) — same
+                // contended path as another process holding it
+                case _: java.nio.channels.OverlappingFileLockException =>
+                  ch.close(); null
+                case t: Throwable => ch.close(); throw t
+              }
+            if (fl != null) {
+              // under the lock: stamp holder identity for the refusal message
+              val info = s"${ProcessHandle.current.pid}@" +
+                s"${java.net.InetAddress.getLocalHost.getHostName} " +
+                s"since=${java.time.Instant.now}"
+              ch.truncate(0)
+              ch.write(java.nio.ByteBuffer.wrap(info.getBytes("UTF-8")))
+              ch.force(false)
+              e.owner = owner; e.holds = 1; e.channel = ch; e.lock = fl
+              return
+            }
+          }
+          val remainingMs = (deadline - System.nanoTime()) / 1000000L
+          if (remainingMs <= 0) {
+            val holder =
+              try Files.readString(lockPath).trim
+              catch { case _: Throwable => "unknown" }
+            val self = s"${ProcessHandle.current.pid}@" +
+              s"${java.net.InetAddress.getLocalHost.getHostName}"
+            throw new IllegalStateException(
+              s"table '$table' is locked by another writer [$holder] and did " +
+                s"not yield within ${waitMs} ms (this writer: $self). The " +
+                "store serializes one mutating runtime per table — two " +
+                "pipelines/processes writing one table is a deployment " +
+                "misconfiguration (reference posture: one runtime per " +
+                "pipeline). Stop the other writer, or raise " +
+                "spark.graft.store.lockWaitMs if the overlap is transient.")
+          }
+          // in-JVM holders notify on release; cross-process holders cannot —
+          // bounded wait doubles as the poll interval for the retry loop
+          e.wait(math.min(100L, remainingMs))
+        }
+      }
+    }
+
+    def release(lockPath: Path, owner: AnyRef): Unit = {
+      val (key, e) = entryFor(lockPath)
+      e.synchronized {
+        require(e.holds > 0 && (e.owner eq owner),
+          s"release of '$key' by a non-holder — lock discipline bug")
+        e.holds -= 1
+        if (e.holds == 0) {
+          try e.lock.release() finally e.channel.close()
+          e.owner = null; e.lock = null; e.channel = null
+          e.notifyAll()
+        }
+      }
+    }
+  }
 
   private[exec] def readJsonSidecar(p: Path): Map[String, String] =
     if (!Files.exists(p)) Map.empty

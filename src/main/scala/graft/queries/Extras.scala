@@ -1320,6 +1320,65 @@ object Extras {
     store.read("q62_t")
   }
 
+  /** Stream-stream join as DIRECT MV maintenance (`mode: incremental`) —
+    * the r12 decision-table refusal folded into the engine: the same
+    * watermarked click→purchase self-join as q62 runs as append-mode MV
+    * maintenance with NO streaming_table detour. Two runs split the events
+    * by event-id parity, so cross-run pairs (click lands in run 1, its
+    * purchase in run 2) emit only if the checkpointed join state survives
+    * runs; a replayed batch's duplicate or a lost cross-boundary match
+    * hash-mismatches against the oracle's one-shot batch join. */
+  def q65StreamStreamMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q65")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q65
+         |flowgroup: ssmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING"
+         |    target: q65_v
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: q65_v
+         |    target: q65_w
+         |    column: ts
+         |    delay: "3650 days"
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+         |             a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+         |      FROM q65_w a JOIN q65_w b
+         |        ON a.user_id = b.user_id
+         |       AND a.event_type = 'click' AND b.event_type = 'purchase'
+         |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE
+         |    write_target:
+         |      type: materialized_view
+         |      table: q65_t
+         |      mode: incremental
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q65|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .filter(col("event_type").isin("click", "purchase"))
+      ev.filter(col("event_id") % 2 === 0).write.parquet(s"$root/even")
+      ev.filter(col("event_id") % 2 === 1).write.parquet(s"$root/odd")
+    }
+    copyFixture(s"$fixture/even", landing, "even-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/odd", landing, "odd-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q65_t")
+  }
+
   /** OVER-window MV through the gate (`mode: incremental_recompute`) — the
     * fifth declared-incremental MV shape: per-user ranked/running window
     * functions maintained by partition-scoped recompute. A bronze
@@ -1701,6 +1760,7 @@ object Extras {
     "q61_stream_dedup" -> q61StreamDedup,
     "q62_stream_stream_join" -> q62StreamStreamJoin,
     "q63_recompute_mv" -> q63RecomputeMv,
+    "q65_ssj_mv" -> q65StreamStreamMv,
     "q64_nested_dedup_mv" -> q64NestedDedupMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -2073,6 +2133,16 @@ object Extras {
     // dropped by lost join state, or a replayed batch's duplicate,
     // hash-mismatches
     "q62_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // q65's oracle is q62's: the direct-MV maintenance route must produce
+    // exactly the one-shot batch join — a lost cross-boundary match
+    // (dropped checkpoint state) or a replay duplicate hash-mismatches
+    "q65_ssj_mv" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
         |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
         |FROM events a JOIN events b

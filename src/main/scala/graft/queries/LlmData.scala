@@ -269,6 +269,30 @@ object LlmData {
       "doc_id", "text")
   }
 
+  /** Arbitrary-length exact-substring regime (Lee et al. ExactSubstr):
+    * maximal duplicated substrings of ANY length ≥ 8 tokens, with exact
+    * per-occurrence extent, token length, and partner-doc count — what d10's
+    * fixed-window islands cannot report. Oracle replays the whole pairwise
+    * run/containment pipeline on window strings. */
+  def d16ExactSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrings(docs(s, dir), "doc_id", "text", minLen = 8, maxDf = 1000)
+
+  /** Re-detection after one detect→cut round — the ExactSubstr fixpoint
+    * property at the arbitrary-length granularity. Cutting every covered
+    * position (d10 coverage = the ExactSubstr cut set) and re-running the
+    * maximal-span detector leaves nothing on natural corpora; the oracle
+    * replays cut + re-detection exactly, so the gate is green whatever the
+    * residue (seam-minted runs are possible in principle — Lee et al.
+    * iterate to a fixpoint for the same reason). */
+  def d17CutFixpoint(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = Dedup.cutSpans(d,
+      Dedup.duplicatedSpans(d, "doc_id", "text", n = 8, minDocs = 2),
+      "doc_id", "text")
+      .select(col("doc_id"), col("text_cut").as("text"))
+    Dedup.exactSubstrings(cut, "doc_id", "text", minLen = 8, maxDf = 1000)
+  }
+
   // ------------------------------------------------------------- similarity
 
   def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
@@ -651,6 +675,8 @@ object LlmData {
     "m10_dsir_weights" -> m10DsirWeights,
     "t17_gopher_rules" -> t17GopherRules,
     "d15_paragraph_dedup" -> d15ParagraphDedup,
+    "d16_exact_substring" -> d16ExactSubstring,
+    "d17_cut_fixpoint" -> d17CutFixpoint,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -770,7 +796,89 @@ object LlmData {
       |JOIN sizes sb ON id_b = sb.doc_id
       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.6""".stripMargin
 
+  /** DuckDB replay of [[Dedup.exactSubstrings]] (minLen = 8, maxDf = 1000)
+    * over a relation `src(doc_id, text)` — shared by the d16 oracle and the
+    * d17 re-detection leg. Matches on window STRINGS where Spark matches on
+    * xxhash64 (d2's documented 2^-64 collision tolerance). CTE names are
+    * e-prefixed so the d17 composition can prepend its cut chain. */
+  private def exactSubstrCtes(src: String): String =
+    s"""etoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+      |ewins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
+      |            list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
+      |          FROM etoks, UNNEST(range(1, len(w) - 6)) AS t(i)
+      |          WHERE len(w) >= 8),
+      |elig AS (SELECT win FROM ewins GROUP BY win
+      |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000),
+      |ew2 AS (SELECT doc_id, s, win FROM ewins JOIN elig USING (win)),
+      |em AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb,
+      |              a.s - b.s AS diag
+      |       FROM ew2 a JOIN ew2 b ON a.win = b.win AND a.doc_id < b.doc_id),
+      |er AS (SELECT ida, idb, sa, sb,
+      |         sa - row_number() OVER (
+      |           PARTITION BY ida, idb, diag ORDER BY sa) AS grp
+      |       FROM em),
+      |eruns AS (SELECT ida, idb, min(sa) AS a0, max(sa) + 7 AS a1,
+      |                 min(sb) AS b0, max(sb) + 7 AS b1
+      |          FROM er GROUP BY ida, idb, grp, sa - sb),
+      |eocc AS (SELECT ida AS doc_id, a0 AS s0, a1 AS s1, idb AS partner
+      |         FROM eruns
+      |         UNION ALL SELECT idb, b0, b1, ida FROM eruns),
+      |espans AS (SELECT doc_id, s0, s1, count(DISTINCT partner) AS n_docs
+      |           FROM eocc GROUP BY doc_id, s0, s1),
+      |epr AS (SELECT doc_id, s0, s1, n_docs,
+      |          max(s1) OVER (PARTITION BY doc_id ORDER BY s0 ASC, s1 DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |        FROM espans)""".stripMargin
+
+  private val exactSubstrSelect: String =
+    """SELECT doc_id, CAST(s0 AS INT) AS span_start, CAST(s1 AS INT) AS span_end,
+      |  CAST(s1 - s0 + 1 AS INT) AS span_len, n_docs
+      |FROM epr WHERE mp IS NULL OR mp < s1""".stripMargin
+
+  /** The d12 span-cut chain as composable CTEs ending in
+    * `cutdocs(doc_id, text)` — the d17 oracle re-detects over it. */
+  private val spanCutCtes: String =
+    """ctoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |cwins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
+      |            list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
+      |          FROM ctoks, UNNEST(range(1, len(w) - 6)) AS t(i)
+      |          WHERE len(w) >= 8),
+      |cdup AS (SELECT win FROM cwins GROUP BY win
+      |         HAVING count(DISTINCT doc_id) >= 2),
+      |cdw AS (SELECT doc_id, s FROM cwins JOIN cdup USING (win)),
+      |cisl AS (SELECT doc_id, s,
+      |           CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+      |                THEN 0 ELSE 1 END AS nw
+      |         FROM cdw),
+      |cgrp AS (SELECT doc_id, s,
+      |           SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
+      |         FROM cisl),
+      |cspans AS (SELECT doc_id, min(s) AS s0, max(s) + 7 AS s1
+      |           FROM cgrp GROUP BY doc_id, g),
+      |cwords AS (SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS wd
+      |           FROM ctoks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+      |ckept AS (SELECT wr.doc_id, wr.p, wr.wd FROM cwords wr
+      |          WHERE NOT EXISTS (SELECT 1 FROM cspans sp
+      |            WHERE sp.doc_id = wr.doc_id AND wr.p BETWEEN sp.s0 AND sp.s1)),
+      |cutdocs AS (SELECT t.doc_id,
+      |    coalesce(string_agg(k.wd, ' ' ORDER BY k.p), '') AS text
+      |  FROM ctoks t LEFT JOIN ckept k USING (doc_id)
+      |  GROUP BY t.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // d16: full pairwise-run replay — window strings, DF-capped eligibility,
+    // diagonal runs via sa − row_number, both-side projection, per-doc
+    // containment pruning. A wrong run boundary, missed projection, or
+    // broken pruning hash-mismatches.
+    "d16_exact_substring" ->
+      s"""WITH ${exactSubstrCtes("documents")}
+        |$exactSubstrSelect""".stripMargin,
+    // d17: the d12 cut chain feeds the d16 detection chain — one
+    // detect→cut→re-detect round, replayed end-to-end
+    "d17_cut_fixpoint" ->
+      s"""WITH $spanCutCtes,
+        |${exactSubstrCtes("cutdocs")}
+        |$exactSubstrSelect""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -86,6 +86,29 @@ class BenchSpec extends SparkSuite {
     assert(back.contains(""""queries_all":"""))
   }
 
+  test("diag gauges ride in the full JSON, one row per timed execution") {
+    // attribution data for in-bench dispersion outliers (r12 verdict #1):
+    // every execution carries GC/heap/state-store/codegen gauges in the
+    // durable artifact — an outlier is attributable post-hoc without a
+    // reproduction run. Never in the compact stdout line (tail budget).
+    val r = Bench.run(spark, sf0001, iters = 2,
+      queries = Map("ok" -> ((s, _) => s.range(3).toDF())))
+    assert(r.json.contains(""""diag":[{"q":"ok","it":1,"""), r.json)
+    assert(r.json.contains(""""it":2"""), r.json)
+    assert(r.json.contains(""""gcMsD":"""), r.json)
+    assert(r.json.contains(""""heapMB":"""), r.json)
+    assert(!r.compact.contains("diag"), r.compact)
+    // the gauges must carry real readings, not the -1 Try-degradation —
+    // pin the reflective/metric readers against the running Spark version
+    // (a Spark-internal rename must surface HERE, not as silently-dead
+    // gauges in a round artifact)
+    val s = graft.tools.BenchDiag.snap()
+    assert(s.stateProviders >= 0,
+      "StateStore.loadedProviders reflective read degraded")
+    assert(s.janinoClasses >= 0, "CodegenMetrics reader degraded")
+    assert(s.gcCount > 0 && s.heapUsedMb > 0, s.toString)
+  }
+
   test("short prefix keys are unique across the full suite") {
     // the compact line keys each query by its prefix before the first '_';
     // a collision would silently merge two queries' timings

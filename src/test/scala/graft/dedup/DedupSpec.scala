@@ -258,6 +258,119 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.duplicatedSpans(cut, "doc_id", "text", n = 8, minDocs = 2).isEmpty)
   }
 
+  test("exactSubstrings: maximal spans carry exact arbitrary length, not window quanta") {
+    // an 11-word shared run with minLen=4 reports ONE span of exactly 11
+    // tokens per side — the arbitrary-length regime d10's islands only
+    // cover positionally
+    val run11 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    val d = Seq(
+      (1L, s"$run11 ta tb tc"),
+      (2L, s"px py $run11"),
+      (3L, "wholly unrelated words that never pair with anything else")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrings(d, "doc_id", "text", minLen = 4)
+      .select("doc_id", "span_start", "span_end", "span_len", "n_docs")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(out == Set((1L, 0, 10, 11, 1L), (2L, 2, 12, 11, 1L)))
+    // run maximality: a 5-word share = one span of len 5, never two windows
+    val d5 = Seq(
+      (1L, "p q r s t one two three"),
+      (2L, "four five p q r s t six")).toDF("doc_id", "text")
+    val out5 = Dedup.exactSubstrings(d5, "doc_id", "text", minLen = 4)
+      .select("doc_id", "span_len").as[(Long, Int)].collect().toSet
+    assert(out5 == Set((1L, 5), (2L, 5)))
+  }
+
+  test("exactSubstrings: overlapping spans with different partners stay distinct where d10 merges") {
+    // A shares its words 0..6 with B and 4..10 with C — two maximal
+    // duplicated substrings that OVERLAP; the fixed-window island merges
+    // them into one [0,10] blob, the arbitrary-length detector must not
+    val a = "a b c d e f g h i j k"
+    val d = Seq(
+      (1L, a),
+      (2L, "a b c d e f g x1 x2"),
+      (3L, "y1 y2 e f g h i j k")).toDF("doc_id", "text")
+    val fine = Dedup.exactSubstrings(d, "doc_id", "text", minLen = 4)
+      .filter($"doc_id" === 1L)
+      .select("span_start", "span_end", "span_len", "n_docs")
+      .as[(Int, Int, Int, Long)].collect().toSet
+    assert(fine == Set((0, 6, 7, 1L), (4, 10, 7, 1L)))
+    val coarse = Dedup.duplicatedSpans(d, "doc_id", "text", n = 4, minDocs = 2)
+      .filter($"doc_id" === 1L)
+      .select("span_start", "span_end").as[(Int, Int)].collect().toSet
+    assert(coarse == Set((0, 10)))
+  }
+
+  test("exactSubstrings: contained occurrences are pruned, equal extents aggregate partners") {
+    // B carries A's full 10-word run, C only its first 6 words: A's [0,5]
+    // MEM with C is strictly inside A's [0,9] MEM with B → pruned from A;
+    // C still reports its own maximal 6-word span (shared with BOTH → n_docs=2)
+    val run10 = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    val d = Seq(
+      (1L, s"$run10 u1 u2"),
+      (2L, s"v1 $run10"),
+      (3L, "m1 m2 m3 m4 m5 m6 z1 z2 z3")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrings(d, "doc_id", "text", minLen = 4)
+      .select("doc_id", "span_start", "span_end", "span_len", "n_docs")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0, 9, 10, 1L),   // the contained [0,5]-with-C occurrence pruned
+      (2L, 1, 10, 10, 1L),
+      (3L, 0, 5, 6, 2L)))   // same extent vs A and vs B → one row, 2 partners
+    // equal-extent aggregation on the long side too: make B's copy also
+    // appear in a third doc → n_docs=2 for every long-run occurrence
+    val d2 = Seq(
+      (1L, s"$run10 u1 u2"),
+      (2L, s"v1 $run10"),
+      (3L, s"$run10 w1 w2")).toDF("doc_id", "text")
+    val agg = Dedup.exactSubstrings(d2, "doc_id", "text", minLen = 4)
+      .select("doc_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(agg == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("exactSubstrings: maxDf cap, within-doc repeats, short docs, guards") {
+    val shared = "alpha beta gamma delta"
+    // three docs share the run; maxDf=2 excludes its windows from pairing
+    val viral = Seq(
+      (1L, s"$shared one uniq"),
+      (2L, s"two $shared uniq2"),
+      (3L, s"$shared three uniq3")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrings(viral, "doc_id", "text", minLen = 4, maxDf = 2).isEmpty)
+    assert(Dedup.exactSubstrings(viral, "doc_id", "text", minLen = 4, maxDf = 3)
+      .count() == 3)
+    // within-doc repetition alone never pairs (cross-doc only, as d10)
+    val selfrep = Seq(
+      (1L, s"$shared $shared"),
+      (2L, "totally different words here man")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrings(selfrep, "doc_id", "text", minLen = 4).isEmpty)
+    // docs under minLen words contribute no windows
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrings(short, "doc_id", "text", minLen = 4).isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrings(short, "doc_id", "text", minLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrings(short, "doc_id", "text", minLen = 4, maxDf = 1)
+    }
+  }
+
+  test("exactSubstrings: detect → cut (coverage path) → re-detect converges on natural text") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"pre $shared post1 q r s t u v"),
+      (2L, s"$shared mid2 w x y z zz yy"),
+      (3L, "wholly unrelated text with plenty of distinct words here")).toDF("doc_id", "text")
+    val detected = Dedup.exactSubstrings(corpus, "doc_id", "text", minLen = 8)
+    assert(detected.count() == 2)
+    // the CUT uses the linear coverage path (duplicatedSpans at n=minLen):
+    // its position set equals the union of arbitrary-length duplicated
+    // spans, so cutting it removes every d16 occurrence too
+    val cut = Dedup.cutSpans(corpus,
+      Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 8, minDocs = 2),
+      "doc_id", "text")
+      .select(col("doc_id"), col("text_cut").as("text"))
+    assert(Dedup.exactSubstrings(cut, "doc_id", "text", minLen = 8).isEmpty)
+  }
+
   test("qualityKeepers: highest score wins the cluster, ties and misses degrade sanely") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val scores = Seq(

@@ -1051,6 +1051,118 @@ class PipelineRunnerSpec extends SparkSuite {
     assert(store.read("ssw").select("user_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("stream-stream-bearing MV SQL auto-routes to append maintenance when watermarked") {
+    // the r12 decision table REFUSED this shape and named the
+    // watermark-transform + streaming_table detour; with every stream side
+    // watermarked, mode: incremental now runs it directly as append-mode
+    // maintenance — cross-run join state held in the checkpoint
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/ssmv_landing"
+    def land(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("user_id", "ts", "kind").repartition(1).write.mode("append").json(landing)
+    def yaml(sql: String) =
+      s"""pipeline: p
+         |flowgroup: ssmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "user_id BIGINT, ts TIMESTAMP, kind STRING"
+         |    target: v_raw
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: v_raw
+         |    target: v_wm
+         |    column: ts
+         |    delay: "2 hours"
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      $sql
+         |    write_target:
+         |      type: materialized_view
+         |      table: ssmv
+         |      mode: incremental
+         |""".stripMargin
+    val joinSql =
+      """SELECT a.user_id, a.ts AS click_ts, b.ts AS buy_ts
+        |      FROM v_wm a JOIN v_wm b
+        |        ON a.user_id = b.user_id AND a.kind = 'click' AND b.kind = 'buy'
+        |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES""".stripMargin
+    // run 1: clicks land, no buys yet — nothing joins
+    land(Seq((1L, "2024-03-01 10:00:00", "click"), (2L, "2024-03-01 10:00:00", "click")))
+    runner.run(YamlConfig.parseFlowGroup(yaml(joinSql)))
+    assert(store.readIfExists("ssmv").forall(_.count() == 0))
+    // run 2: user 1's buy arrives inside the window — the CHECKPOINTED join
+    // state must still hold run 1's click; user 2's buy is out of window
+    land(Seq((1L, "2024-03-01 10:20:00", "buy"), (2L, "2024-03-01 11:00:00", "buy")))
+    runner.run(YamlConfig.parseFlowGroup(yaml(joinSql)))
+    assert(store.read("ssmv").select("user_id").as[Long].collect().toSeq == Seq(1L))
+    // run 3 with no new data appends nothing (no re-emission of old matches)
+    runner.run(YamlConfig.parseFlowGroup(yaml(joinSql)))
+    assert(store.read("ssmv").count() == 1)
+    // an UNWINDOWED aggregation above the join cannot emit in append mode —
+    // refused by name, not by Spark's anonymous stream-start failure
+    val e = intercept[graft.plan.Planner.PlanError](runner.run(YamlConfig.parseFlowGroup(
+      yaml("""SELECT a.user_id, count(*) AS n FROM v_wm a JOIN v_wm b
+        |        ON a.user_id = b.user_id
+        |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES
+        |      GROUP BY a.user_id""".stripMargin))))
+    assert(e.getMessage.contains("GRF-ACT-011") &&
+      e.getMessage.contains("unwindowed aggregation above a stream-stream join"),
+      e.getMessage)
+  }
+
+  test("stream-stream MV refusal narrows to the unwatermarked side, by name") {
+    val (runner, _, dir) = freshRunner()
+    val landing = s"$dir/ssmv2_landing"
+    Seq((1L, "2024-03-01 10:00:00", "click")).toDF("user_id", "ts", "kind")
+      .repartition(1).write.json(landing)
+    // v_raw is streaming but carries NO watermark — its join state could
+    // never be evicted; the refusal names the bare side and the fix
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: ssmv2
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "user_id BIGINT, ts TIMESTAMP, kind STRING"
+         |    target: v_raw
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: v_raw
+         |    target: v_wm
+         |    column: ts
+         |    delay: "2 hours"
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT a.user_id FROM v_wm a JOIN v_raw b
+         |        ON a.user_id = b.user_id
+         |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES
+         |    write_target:
+         |      type: materialized_view
+         |      table: ssmv2
+         |      mode: incremental
+         |""".stripMargin
+    val e = intercept[graft.plan.Planner.PlanError](
+      runner.run(YamlConfig.parseFlowGroup(yaml)))
+    assert(e.getMessage.contains("GRF-ACT-011") &&
+      e.getMessage.contains("unwatermarked right side") &&
+      e.getMessage.contains("transform_type: watermark"), e.getMessage)
+  }
+
   test("watermark transform contract: batch source and unknown column refuse loudly") {
     val (runner, _, _) = freshRunner()
     Seq((1L, "2024-03-01 10:00:00")).toDF("id", "ts").createOrReplaceTempView("wmt_src")
