@@ -603,10 +603,15 @@ object LlmData {
     TextAnalysis.wordRarity(docs(s, dir), "doc_id", "text", rareThreshold = 2)
       .select("doc_id", "n_words", "sum_freq", "n_rare", "mean_freq", "rare_ratio")
 
-  /** BPE tokenizer training over the corpus — rows-only gate (an iterative
-    * merge ladder is not one-shot-SQL-expressible); pinned EXACT by
-    * BpeSpec's independent single-node reference trainer, the s2/s3
-    * precedent. Deterministic by the (count DESC, pair ASC) tie-break. */
+  /** BPE tokenizer training over the corpus — oracle-checked EXACTLY since
+    * r13: the merge ladder replays in DuckDB as a recursive CTE (one
+    * recursion round per merge) with the greedy left-to-right fold
+    * expressed as a string replace over ␟-wrapped symbols (each symbol
+    * carries its own delimiters, so `replace('␟l␟␟r␟' → '␟lr␟')` is
+    * exactly the non-overlapping merge scan — the d15/t17 cross-engine
+    * replace contract). Deterministic by the (count DESC, pair ASC)
+    * tie-break; additionally pinned by BpeSpec's independent single-node
+    * reference trainer. */
   def t11BpeTrain(s: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.trainDf(docs(s, dir), "text",
       graft.text.Bpe.Options(numMerges = 32))
@@ -866,6 +871,61 @@ object LlmData {
       |  GROUP BY t.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t11: the WHOLE training loop replayed — a recursive CTE carries the
+    // (symbol-string, freq) vocabulary across rounds; per round, adjacent
+    // pairs explode with a lateral UNNEST, a window SUM counts them
+    // freq-weighted, a global first_value window picks the (count DESC,
+    // pair ASC) winner, and the merge applies as ONE string replace over
+    // ␟-wrapped symbols (wrap = chr(31) + sym + chr(31), so the pattern
+    // '␟l␟␟r␟' → '␟lr␟' is the exact greedy non-overlapping fold — shared
+    // boundaries are impossible because each symbol owns BOTH its
+    // delimiters). Single-symbol words survive the explode via the
+    // greatest(len, 2) range and a NULL right guard. A wrong count, a
+    // broken tie-break, or a mis-applied merge in ANY round derails every
+    // later round and hash-mismatches.
+    "t11_bpe_train" ->
+      raw"""WITH RECURSIVE
+        |vocab AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |init AS (
+        |  SELECT e'\x1f' || array_to_string(string_split(w, ''), e'\x1f\x1f')
+        |           || e'\x1f' AS s,
+        |         freq
+        |  FROM vocab),
+        |rec AS (
+        |  SELECT 0 AS round, s, freq,
+        |         CAST(NULL AS VARCHAR) AS wl, CAST(NULL AS VARCHAR) AS wr,
+        |         CAST(NULL AS BIGINT) AS wc
+        |  FROM init
+        |  UNION ALL
+        |  SELECT round + 1,
+        |         replace(s, e'\x1f' || wl || e'\x1f\x1f' || wr || e'\x1f',
+        |                    e'\x1f' || wl || wr || e'\x1f') AS s,
+        |         freq, wl, wr, wc
+        |  FROM (
+        |    SELECT round, s, freq,
+        |           first_value(l) OVER ord AS wl,
+        |           first_value(r) OVER ord AS wr,
+        |           first_value(cnt) OVER ord AS wc,
+        |           row_number() OVER (PARTITION BY s ORDER BY i) AS rn
+        |    FROM (
+        |      SELECT round, s, freq, i, l, r,
+        |             CASE WHEN r IS NULL THEN NULL
+        |                  ELSE sum(freq) OVER (PARTITION BY l, r) END AS cnt
+        |      FROM (
+        |        SELECT round, s, freq, i, syms[i] AS l, syms[i+1] AS r
+        |        FROM (SELECT round, s, freq,
+        |                     string_split(trim(s, e'\x1f'), e'\x1f\x1f') AS syms
+        |              FROM rec),
+        |             UNNEST(range(1, greatest(len(syms), 2))) u(i)))
+        |    WINDOW ord AS (ORDER BY cnt DESC NULLS LAST, l ASC, r ASC
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |  WHERE rn = 1 AND round < 32 AND wc >= 2)
+        |SELECT DISTINCT CAST(round - 1 AS INT) AS rank, wl AS "left",
+        |       wr AS "right", wc AS freq
+        |FROM rec WHERE round >= 1""".stripMargin,
     // d16: full pairwise-run replay — window strings, DF-capped eligibility,
     // diagonal runs via sa − row_number, both-side projection, per-doc
     // containment pruning. A wrong run boundary, missed projection, or

@@ -67,13 +67,20 @@ object TextAnalysis {
     * alphabetic-word ratio, the required-stopword rule (>= 2 of the 8
     * Gopher stopwords present), plus the duplicate-line fraction from the
     * repetition rules. Every signal is an in-row columnar expression —
-    * zero exchanges (plan-pinned; the higher-order filter() signals are
-    * CodegenFallback in Spark 4.1, i.e. interpreted per row, fine for a
-    * one-pass scan shape) — and every ratio
-    * is emitted at round-6 with `gopher_keep` computed from the ROUNDED
-    * values, so the keep decision is reproducible cross-engine (the
-    * d5/t16 posture). Lines split on \n; words on single spaces (the
-    * repo-wide t3/t6 convention). */
+    * zero exchanges — and since r13 every signal is CODEGEN-FRIENDLY: the
+    * original higher-order filter() signals were CodegenFallback in Spark
+    * 4.1 (interpreted per row) and a 10× probe (GopherHofProbe) measured
+    * the interpreted pass at ~2× the cost of the equivalent
+    * literal-replace/regex forms, so line ratios count boundary needles
+    * ("\n•", "...\n") by replace length-diff, the alpha ratio is one
+    * whole-text regex scan over space-bounded tokens ([^ ] deliberately
+    * matches \n — tokens split on SINGLE SPACES, the t3/t6 convention, so
+    * "x...\ny" is one word), and stopword hits sum eight codegen'd
+    * array_contains terms. The probe pins the rewrite row-identical to the
+    * HOF forms on fixture + adversarial rows. Every ratio is emitted at
+    * round-6 with `gopher_keep` computed from the ROUNDED values, so the
+    * keep decision is reproducible cross-engine (the d5/t16 posture).
+    * Lines split on \n; words on single spaces. */
   def gopherRules(df: DataFrame, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
@@ -90,19 +97,37 @@ object TextAnalysis {
     val nHash = length(t) - length(replace(t, lit("#"), lit("")))
     val nEllipsis = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // non-overlapping needle counts by length difference after literal
+    // removal — the same trick as the symbol counts, extended to LINE
+    // boundaries: "\n•" occurrences = lines 2..n starting with •, plus the
+    // first line checked directly (needles are mutually exclusive per
+    // position, so the sum never double-counts)
+    def occurrences(needle: String): Column =
+      (length(t) - length(replace(t, lit(needle), lit("")))) / needle.length
+    val bulletStarts = occurrences("\n•") + occurrences("\n- ") +
+      when(t.startsWith("•") || t.startsWith("- "), 1).otherwise(0)
+    val ellipsisEnds = occurrences("...\n") +
+      when(t.endsWith("..."), 1).otherwise(0)
+    // words containing a letter, in ONE whole-text regex scan over
+    // space-padded text. [^ ] deliberately matches \n: words split on
+    // SINGLE SPACES (the t3/t6 convention), so a newline-embedded token
+    // like "x...\ny" is ONE word — normalizing \n first would silently
+    // double-count it (GopherHofProbe pins the equivalence on adversarial
+    // rows the fixture's vocabulary cannot produce)
+    val alphaWords = size(regexp_extract_all(
+      concat(lit(" "), t, lit(" ")), lit(" [^ ]*[A-Za-z][^ ]*(?= )"), lit(0)))
     df.withColumn("n_words", nWords.cast("long"))
       .withColumn("mean_word_len",
         round((length(t) - (nWords - lit(1))).cast("double") / nWords, 6))
       .withColumn("symbol_ratio",
         round((nHash + nEllipsis).cast("double") / nWords, 6))
-      .withColumn("bullet_ratio", round(size(filter(lines, l =>
-        l.startsWith("•") || l.startsWith("- "))).cast("double") / nLines, 6))
-      .withColumn("ellipsis_ratio", round(size(filter(lines,
-        _.endsWith("..."))).cast("double") / nLines, 6))
-      .withColumn("alpha_ratio", round(size(filter(ws,
-        _.rlike("[A-Za-z]"))).cast("double") / nWords, 6))
-      .withColumn("stopword_hits", size(filter(
-        typedlit(stops), s => array_contains(ws, s))).cast("long"))
+      .withColumn("bullet_ratio",
+        round(bulletStarts.cast("double") / nLines, 6))
+      .withColumn("ellipsis_ratio",
+        round(ellipsisEnds.cast("double") / nLines, 6))
+      .withColumn("alpha_ratio", round(alphaWords.cast("double") / nWords, 6))
+      .withColumn("stopword_hits",
+        stops.map(s => array_contains(ws, s).cast("long")).reduce(_ + _))
       .withColumn("dup_line_ratio", round(lit(1.0) -
         size(array_distinct(lines)).cast("double") / nLines, 6))
       .withColumn("gopher_keep",
