@@ -655,11 +655,14 @@ object Dedup {
     *     (`id_a < id_b`, cross-doc only — within-doc repetition is
     *     [[graft.text.TextAnalysis.repetition]]'s domain, as for d10);
     *  3. within a (docA, docB, diagonal = startA − startB) group, maximal
-    *     runs of CONSECUTIVE matched windows are exactly the maximal exact
-    *     matches between the two documents: a run of m consecutive windows
-    *     is a shared substring of m + minLen − 1 tokens, unextendable on
+    *     runs of matched windows are exactly the maximal exact matches
+    *     between the two documents: a run spanning starts s1..s2 is a
+    *     shared substring of s2 − s1 + minLen tokens, unextendable on
     *     either side because the flanking window does not match on that
-    *     diagonal;
+    *     diagonal. Runs merge across start-gaps ≤ minLen — overlapping
+    *     matched windows prove the bridged region position-wise equal, so
+    *     a maxDf-capped window INSIDE a shared passage cannot fragment
+    *     the reported extent (without capping such gaps cannot occur);
     *  4. each run projects an occurrence onto both documents; an occurrence
     *     strictly contained in another duplicated occurrence of the same
     *     document is not maximal in the corpus sense (its extension is
@@ -678,8 +681,14 @@ object Dedup {
     * than `maxDf` distinct documents are excluded from PAIRING — viral
     * boilerplate is exactly what the linear [[duplicatedSpans]] coverage
     * path + [[cutSpans]] already handles, so the cap costs reporting detail
-    * only where reporting is least meaningful. The cap is replayed verbatim
-    * in the d16 oracle, so gate semantics are exact. Everything else is
+    * only where reporting is least meaningful. A capped window INSIDE a
+    * rare shared passage does NOT fragment the reported span (run
+    * bridging, step 3); the residual cap artifact is edge truncation — a
+    * span whose FLANKING windows are all capped reports the extent of its
+    * matched core, and a passage whose every window is capped reports
+    * nothing here (the linear path still covers and cuts it). The cap and
+    * the bridging are replayed verbatim in the d16 oracle, so gate
+    * semantics are exact. Everything else is
     * linear: one aggregation for the DF filter, one hash-join back, one
     * run-detection window per (pair, diagonal), one containment window per
     * document. The window frame is cached across the DF-agg and the
@@ -718,13 +727,24 @@ object Dedup {
     val m = a.join(b, Seq("__h")).filter(col("__ida") < col("__idb"))
       .select(col("__ida"), col("__idb"), col("__sa"), col("__sb"),
         (col("__sa") - col("__sb")).as("__diag"))
-    // maximal runs of consecutive __sa along a diagonal: __sa − row_number is
-    // constant exactly over a consecutive run (ties impossible — one window
-    // per (doc, start))
+    // maximal runs along a diagonal, merging start-gaps ≤ k: two matched
+    // windows at starts s1 < s2 with s2 − s1 ≤ k on one diagonal overlap or
+    // abut, so the region A[s1 .. s2+k−1] is position-wise equal to B's
+    // aligned region — the bridged substring is PROVABLY shared, and the
+    // intermediate windows (whose content lies inside the equal region)
+    // can only be absent from the match set because the maxDf cap excluded
+    // them. Bridging therefore restores the exact maximal extent when a
+    // viral window sits INSIDE a rare shared passage; with no capping,
+    // gaps of 2..k cannot occur and this degenerates to consecutive runs.
+    // (Capped windows at a span's EDGES still truncate the extent — the
+    // one remaining cap artifact, documented in the contract above.)
     val byDiag = Window.partitionBy(col("__ida"), col("__idb"), col("__diag"))
       .orderBy(col("__sa"))
     val runs = m
-      .withColumn("__grp", col("__sa") - row_number().over(byDiag))
+      .withColumn("__new",
+        when(col("__sa") - lag(col("__sa"), 1).over(byDiag) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__grp", sum(col("__new")).over(byDiag))
       .groupBy(col("__ida"), col("__idb"), col("__diag"), col("__grp"))
       .agg(min(col("__sa")).as("__a0"), (max(col("__sa")) + k - 1).as("__a1"),
         min(col("__sb")).as("__b0"), (max(col("__sb")) + k - 1).as("__b1"))

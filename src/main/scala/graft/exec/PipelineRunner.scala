@@ -1705,10 +1705,10 @@ final class PipelineRunner(
             "incremental_recompute if the whole sql is key-local, or omit mode")
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
         // a stream-stream join IS incrementally maintainable in append mode
-        // when both sides carry event-time watermarks (q62's semantics as MV
-        // maintenance — the caller routes it); the refusal narrows to the
-        // genuinely unbounded shape: a side with no watermark means Spark
-        // could never evict its join state
+        // when both sides carry event-time watermarks AND the join
+        // condition bounds both sides' state (q62's semantics as MV
+        // maintenance — the caller routes it); the refusals narrow to the
+        // genuinely unbounded shapes, each named
         import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
         def hasWm(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
           p.exists { case _: EventTimeWatermark => true; case _ => false }
@@ -1722,6 +1722,27 @@ final class PipelineRunner(
               "source views), bound the join with a time-range condition, " +
               "or use mode: incremental_join with the fact side under " +
               "stream(...)")
+        }
+        // watermarks alone never clean join state: without a time
+        // constraint an inner join keeps EVERY row of both sides in the
+        // checkpoint forever (and an outer join fails anonymously at
+        // stream start). Ask Spark's OWN state analyzer, not a re-derived
+        // condition parser — per side, so the refusal names which side's
+        // state would grow without bound.
+        if (!org.apache.spark.sql.graftnative.StreamingJoinProbe.watermarkInJoinKeys(j)) {
+          val (le, re) = org.apache.spark.sql.graftnative.StreamingJoinProbe.evictableSides(j)
+          if (!le || !re) {
+            val bare = Seq(
+              if (!le) Some("left") else None,
+              if (!re) Some("right") else None).flatten.mkString("+")
+            refuse("a stream-stream join whose condition does not bound " +
+              s"the $bare side's state (watermarks alone never evict join " +
+              "state — it would grow with the corpus)",
+              "add an event-time range constraint between the two sides " +
+                "(e.g. b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES), " +
+                "join on the event-time window itself, or materialize via " +
+                "a streaming_table and aggregate that table")
+          }
         }
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.isStreaming && agg.aggregateExpressions.exists(_.collectFirst {

@@ -617,18 +617,24 @@ object TableStore {
                 // held elsewhere in THIS JVM outside the registry (a raw
                 // channel, e.g. a test forging a foreign holder) — same
                 // contended path as another process holding it
-                case _: java.nio.channels.OverlappingFileLockException =>
-                  ch.close(); null
+                case _: java.nio.channels.OverlappingFileLockException => null
                 case t: Throwable => ch.close(); throw t
               }
-            if (fl != null) {
+            // a null tryLock (held by another process) must close THIS
+            // channel too — the poll loop reopens every ~100 ms, and a
+            // leaked fd per iteration exhausts the ulimit under sustained
+            // contention
+            if (fl == null) ch.close()
+            else {
               // under the lock: stamp holder identity for the refusal message
               val info = s"${ProcessHandle.current.pid}@" +
                 s"${java.net.InetAddress.getLocalHost.getHostName} " +
                 s"since=${java.time.Instant.now}"
+              // no force(): the stamp is advisory (error-message detail for
+              // a contender); the LOCK is kernel-state, not file content —
+              // an fsync per mutation would tax every commit for nothing
               ch.truncate(0)
               ch.write(java.nio.ByteBuffer.wrap(info.getBytes("UTF-8")))
-              ch.force(false)
               e.owner = owner; e.holds = 1; e.channel = ch; e.lock = fl
               return
             }

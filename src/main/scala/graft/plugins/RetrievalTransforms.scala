@@ -89,10 +89,16 @@ object RetrievalTransforms {
           // replayed run), drop; match with a DIFFERENT hash → the id
           // was re-texted, which an append-only fold cannot express —
           // refuse loudly rather than serve stale postings forever.
-          // Cached: the changed-probe, the empty probe, the delta's
-          // buildIndex stats, and three parquet writes all read it.
+          // The indexed/delta split keys on a membership FLAG, not on the
+          // hash being null: a pre-r13 index row loads with a NULL __hash
+          // (loadIndex's legacy layout), and treating it as a delta would
+          // re-fold an already-indexed doc — for those rows re-texting is
+          // undetectable (documented loadIndex boundary), replay still
+          // drops them. Cached: the changed-probe, the empty probe, the
+          // delta's buildIndex stats, and three parquet writes all read it.
           val classified = corpus.join(
-            ix.docLen.select(col("__doc").as(id), col("__hash").as("__ixhash")),
+            ix.docLen.select(col("__doc").as(id), col("__hash").as("__ixhash"),
+              lit(true).as("__indexed")),
             Seq(id), "left").cache()
           try {
             val changed = classified.filter(col("__ixhash").isNotNull &&
@@ -105,7 +111,8 @@ object RetrievalTransforms {
                 "The incremental fold is append-only (ids are immutable); to re-text " +
                 "documents, delete the index directory and let the next run rebuild " +
                 "from the full corpus.")
-            val delta = classified.filter(col("__ixhash").isNull).drop("__ixhash")
+            val delta = classified.filter(col("__indexed").isNull)
+              .drop("__ixhash", "__indexed")
             if (delta.isEmpty) Bm25.topK(ix, queries, qid, qtext, k)
             else {
               stageAndSwap(spark, fs, path, Bm25.updateIndex(ix, delta, id, text))

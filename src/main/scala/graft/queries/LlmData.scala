@@ -818,13 +818,17 @@ object LlmData {
       |em AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb,
       |              a.s - b.s AS diag
       |       FROM ew2 a JOIN ew2 b ON a.win = b.win AND a.doc_id < b.doc_id),
-      |er AS (SELECT ida, idb, sa, sb,
-      |         sa - row_number() OVER (
-      |           PARTITION BY ida, idb, diag ORDER BY sa) AS grp
-      |       FROM em),
+      |enw AS (SELECT ida, idb, diag, sa, sb,
+      |          CASE WHEN sa - lag(sa) OVER (
+      |            PARTITION BY ida, idb, diag ORDER BY sa) <= 8
+      |          THEN 0 ELSE 1 END AS nw
+      |        FROM em),
+      |er AS (SELECT ida, idb, diag, sa, sb,
+      |         SUM(nw) OVER (PARTITION BY ida, idb, diag ORDER BY sa) AS grp
+      |       FROM enw),
       |eruns AS (SELECT ida, idb, min(sa) AS a0, max(sa) + 7 AS a1,
       |                 min(sb) AS b0, max(sb) + 7 AS b1
-      |          FROM er GROUP BY ida, idb, grp, sa - sb),
+      |          FROM er GROUP BY ida, idb, diag, grp),
       |eocc AS (SELECT ida AS doc_id, a0 AS s0, a1 AS s1, idb AS partner
       |         FROM eruns
       |         UNION ALL SELECT idb, b0, b1, ida FROM eruns),
@@ -866,7 +870,8 @@ object LlmData {
       |          WHERE NOT EXISTS (SELECT 1 FROM cspans sp
       |            WHERE sp.doc_id = wr.doc_id AND wr.p BETWEEN sp.s0 AND sp.s1)),
       |cutdocs AS (SELECT t.doc_id,
-      |    coalesce(string_agg(k.wd, ' ' ORDER BY k.p), '') AS text
+      |    coalesce(string_agg(k.wd, ' ' ORDER BY k.p), '') AS text_cut,
+      |    CAST(min(len(t.w)) - count(k.p) AS INT) AS n_words_removed
       |  FROM ctoks t LEFT JOIN ckept k USING (doc_id)
       |  GROUP BY t.doc_id)""".stripMargin
 
@@ -937,7 +942,8 @@ object LlmData {
     // detect→cut→re-detect round, replayed end-to-end
     "d17_cut_fixpoint" ->
       s"""WITH $spanCutCtes,
-        |${exactSubstrCtes("cutdocs")}
+        |recut AS (SELECT doc_id, text_cut AS text FROM cutdocs),
+        |${exactSubstrCtes("recut")}
         |$exactSubstrSelect""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
@@ -1097,33 +1103,11 @@ object LlmData {
     // any span are dropped, the rest re-join in order; docs with no spans
     // pass through via the LEFT JOIN (and an all-removed doc degrades to ''
     // exactly as array_join of an empty array does)
+    // composed from the SAME spanCutCtes the d17 oracle re-detects over —
+    // one copy of the cut replay, per the repo's no-drifting-copies rule
     "d12_span_cut" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |wins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
-        |           list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
-        |         FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
-        |         WHERE len(w) >= 8),
-        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
-        |dw AS (SELECT doc_id, s FROM wins JOIN dup USING (win)),
-        |isl AS (SELECT doc_id, s,
-        |          CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
-        |               THEN 0 ELSE 1 END AS nw
-        |        FROM dw),
-        |grp AS (SELECT doc_id, s,
-        |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
-        |        FROM isl),
-        |spans AS (SELECT doc_id, min(s) AS s0, max(s) + 7 AS s1
-        |          FROM grp GROUP BY doc_id, g),
-        |words AS (SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS wd
-        |          FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
-        |kept AS (SELECT wr.doc_id, wr.p, wr.wd FROM words wr
-        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
-        |           WHERE sp.doc_id = wr.doc_id AND wr.p BETWEEN sp.s0 AND sp.s1))
-        |SELECT t.doc_id,
-        |  coalesce(string_agg(k.wd, ' ' ORDER BY k.p), '') AS text_cut,
-        |  CAST(min(len(t.w)) - count(k.p) AS INT) AS n_words_removed
-        |FROM toks t LEFT JOIN kept k USING (doc_id)
-        |GROUP BY t.doc_id""".stripMargin,
+      s"""WITH $spanCutCtes
+        |SELECT doc_id, text_cut, n_words_removed FROM cutdocs""".stripMargin,
     // s7 = s1's exact top-k with the corpus pre-filtered to English docs by
     // the metadata join — a neighbor list containing any non-en id, or
     // under-filled because the filter ran after ranking, hash-mismatches

@@ -213,13 +213,16 @@ object WarcBridge {
     * [[decode]], byte-compatible with any spec-conforming reader.
     * Commit protocol: each attempt writes to a hidden per-ATTEMPT
     * in-progress name (partial output from a failed attempt stays
-    * invisible — Spark skips dot-files), then renames to a per-PARTITION
-    * final name, replacing any file a prior attempt of the same partition
-    * left behind. Final names carry no attempt id, so a speculative
-    * duplicate or a retried task whose first attempt already committed
-    * can only OVERWRITE partition `pid`'s file with byte-identical
-    * content (the partition's row set is deterministic), never land a
-    * second final file that duplicates records on re-read.
+    * invisible — Spark skips dot-files), then ATOMICALLY overwrite-renames
+    * to a per-PARTITION final name (FileContext.rename OVERWRITE — one
+    * operation, so the final path always holds some complete attempt's
+    * bytes; a delete-then-rename pair would let a dying re-attempt remove
+    * a committed file and report the partition lost-but-successful).
+    * Final names carry no attempt id, so a speculative duplicate or a
+    * retried task whose first attempt already committed can only REPLACE
+    * partition `pid`'s file with byte-identical content (the partition's
+    * row set is deterministic), never land a second final file that
+    * duplicates records on re-read.
     * Header-bearing columns must not contain CR/LF — header
     * injection would corrupt the archive framing — and the mandatory
     * columns must be non-null; both refuse loudly per row. */
@@ -285,12 +288,19 @@ object WarcBridge {
             } else os.write(rec.toByteArray)
           }
           os.close()
-          // last attempt wins: HDFS-semantics rename refuses an existing
-          // target, so clear a prior attempt's file first (content is
-          // byte-identical — same partition, deterministic row order)
-          if (fs.exists(finalPath)) fs.delete(finalPath, false)
-          if (!fs.rename(tmpPath, finalPath)) throw ConfigError(
-            s"warc write: rename to '$finalPath' failed")
+          // last attempt wins via ONE atomic overwrite-rename (FileContext
+          // carries the OVERWRITE flavor plain FileSystem.rename lacks).
+          // A delete-then-rename pair here would open a window where a
+          // speculative/retried attempt has deleted the prior attempt's
+          // COMMITTED file and dies before its own rename — the job would
+          // report success with the partition's records gone. Atomic
+          // replace means finalPath always holds some complete attempt's
+          // bytes (all attempts byte-identical — same partition,
+          // deterministic row order).
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            finalPath.toUri, conf.value)
+          fc.rename(tmpPath, finalPath,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         } catch { case e: Throwable =>
           try os.close() catch { case _: Throwable => }
           throw e

@@ -155,9 +155,19 @@ object Bm25 {
     val tf = spark.read.parquet(s"$path/tf")
     require(tf.columns.toSet == Set("__doc", "__t", "__tf"),
       s"$path/tf is not a BM25 term-frequency table (have: ${tf.columns.mkString(",")})")
-    val dl = spark.read.parquet(s"$path/doclen")
-    require(dl.columns.toSet == Set("__doc", "__len", "__hash"),
-      s"$path/doclen is not a BM25 doc-length table (have: ${dl.columns.mkString(",")})")
+    val dl0 = spark.read.parquet(s"$path/doclen")
+    require(dl0.columns.toSet == Set("__doc", "__len", "__hash") ||
+        dl0.columns.toSet == Set("__doc", "__len"),
+      s"$path/doclen is not a BM25 doc-length table (have: ${dl0.columns.mkString(",")})")
+    // pre-r13 indexes carry no content hash: a VALID index, loaded with a
+    // NULL __hash so maintainers see "indexed, re-text undetectable" for
+    // those rows instead of a schema refusal (which Bm25Maintain's
+    // self-heal would mislabel "unreadable" and answer with a full-corpus
+    // rebuild — silently DROPPING history if the maintenance input is
+    // delta-only). New appends stamp real hashes, migrating forward.
+    val dl =
+      if (dl0.columns.contains("__hash")) dl0
+      else dl0.withColumn("__hash", lit(null).cast("string"))
     val df = spark.read.parquet(s"$path/df")
     require(df.columns.toSet == Set("__t", "__df"),
       s"$path/df is not a BM25 document-frequency table (have: ${df.columns.mkString(",")})")

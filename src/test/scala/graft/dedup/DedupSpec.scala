@@ -327,6 +327,27 @@ class DedupSpec extends SparkSuite {
     assert(agg == Set((1L, 2L), (2L, 2L), (3L, 2L)))
   }
 
+  test("exactSubstrings: a capped window INSIDE a shared passage does not fragment the span") {
+    // docs 1 and 2 (alone) share a 12-word passage whose MIDDLE contains a
+    // 4-gram that is viral (present in many other docs, so over maxDf and
+    // excluded from pairing). Run bridging must still report ONE maximal
+    // span of the full extent — overlapping matched windows prove the
+    // bridged region shared; fragmenting it was the pre-fix behavior.
+    val hot = "h1 h2 h3 h4" // the viral 4-gram
+    val passage = s"p1 p2 p3 p4 $hot q1 q2 q3 q4"  // 12 words, hot at 4..7
+    val viral = (10L to 16L).map(i => (i, s"$hot filler$i fillerb$i fillerc$i"))
+    val d = (Seq(
+      (1L, s"$passage tail1 tailx"),
+      (2L, s"lead2 $passage")) ++ viral).toDF("doc_id", "text")
+    // maxDf = 3: the hot 4-gram (in 9 docs) is capped; the passage's other
+    // windows pair only docs 1 and 2
+    val out = Dedup.exactSubstrings(d, "doc_id", "text", minLen = 4, maxDf = 3)
+      .filter($"doc_id".isin(1L, 2L))
+      .select("doc_id", "span_start", "span_end", "span_len", "n_docs")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(out == Set((1L, 0, 11, 12, 1L), (2L, 1, 12, 12, 1L)), out.toString)
+  }
+
   test("exactSubstrings: maxDf cap, within-doc repeats, short docs, guards") {
     val shared = "alpha beta gamma delta"
     // three docs share the run; maxDf=2 excludes its windows from pairing

@@ -1118,6 +1118,51 @@ class PipelineRunnerSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("stream-stream MV: an equality-only join condition refuses — state would never evict") {
+    // both sides watermarked, but no event-time range constraint: Spark's
+    // watermarks alone never clean inner-join state, so the checkpoint
+    // would grow with the corpus — refused by name (via Spark's own
+    // StreamingJoinHelper state analysis), not silently accepted
+    val (runner, _, dir) = freshRunner()
+    val landing = s"$dir/ssmv3_landing"
+    Seq((1L, "2024-03-01 10:00:00", "click")).toDF("user_id", "ts", "kind")
+      .repartition(1).write.json(landing)
+    val yaml =
+      s"""pipeline: p
+         |flowgroup: ssmv3
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "user_id BIGINT, ts TIMESTAMP, kind STRING"
+         |    target: v_raw
+         |  - name: wm
+         |    type: transform
+         |    transform_type: watermark
+         |    source: v_raw
+         |    target: v_wm
+         |    column: ts
+         |    delay: "2 hours"
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT a.user_id FROM v_wm a JOIN v_wm b ON a.user_id = b.user_id
+         |    write_target:
+         |      type: materialized_view
+         |      table: ssmv3
+         |      mode: incremental
+         |""".stripMargin
+    val e = intercept[graft.plan.Planner.PlanError](
+      runner.run(YamlConfig.parseFlowGroup(yaml)))
+    assert(e.getMessage.contains("GRF-ACT-011") &&
+      e.getMessage.contains("does not bound the left+right side") &&
+      e.getMessage.contains("BETWEEN"), e.getMessage)
+  }
+
   test("stream-stream MV refusal narrows to the unwatermarked side, by name") {
     val (runner, _, dir) = freshRunner()
     val landing = s"$dir/ssmv2_landing"

@@ -41,6 +41,41 @@ class Bm25MaintainSpec extends SparkSuite {
     assert(unwedged == full)
   }
 
+  test("a pre-hash (legacy) index loads and folds — never 'self-heals' into a rebuild") {
+    // indexes persisted before the __hash column existed are VALID; a
+    // schema refusal here would be mislabeled "unreadable" by the
+    // self-heal and answered with a full-corpus rebuild — which DROPS
+    // history when the maintenance input is delta-only
+    val a = Seq(1L -> "x y", 2L -> "x x z")
+    val b = Seq(3L -> "w", 4L -> "x w y")
+    val full = Bm25.topK(Bm25.buildIndex((a ++ b).toDF("doc_id", "text"),
+        "doc_id", "text"), qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("bm25m").toString + "/ix"
+    Bm25.saveIndex(Bm25.buildIndex(a.toDF("doc_id", "text"), "doc_id", "text"), path)
+    // forge the legacy layout: strip __hash from the persisted doclen
+    val legacy = spark.read.parquet(s"$path/doclen").drop("__hash")
+    legacy.write.mode("overwrite").parquet(s"$path/doclen-legacy")
+    graft.exec.Fs.deleteRecursively(s"$path/doclen")
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/doclen-legacy"),
+      java.nio.file.Paths.get(s"$path/doclen"))
+    assert(spark.read.parquet(s"$path/doclen").columns.toSet == Set("__doc", "__len"))
+    // DELTA-ONLY input (history absent): the legacy index must load and
+    // fold b — a mislabeled rebuild here would lose docs 1 and 2
+    val out = run(b.toDF("doc_id", "text"), path)
+    assert(out == full)
+    // legacy rows migrated forward only for NEW appends: old rows keep a
+    // NULL hash (re-text undetectable — the documented boundary), and a
+    // replay of a legacy-known id with ANY text drops rather than refolds
+    val replayRetext = run(Seq(1L -> "totally different").toDF("doc_id", "text"), path)
+    assert(replayRetext == full, "legacy-known id was re-folded or rebuilt")
+    // new (post-legacy) rows still get re-text detection
+    val e = intercept[graft.config.YamlConfig.ConfigError] {
+      run(Seq(3L -> "retexted").toDF("doc_id", "text"), path)
+    }
+    assert(e.getMessage.contains("DIFFERENT text"), e.getMessage)
+  }
+
   test("a re-texted known id refuses loudly; same-text replay still no-ops") {
     val path = java.nio.file.Files.createTempDirectory("bm25m").toString + "/ix"
     run(Seq(1L -> "x y", 2L -> "z").toDF("doc_id", "text"), path)
