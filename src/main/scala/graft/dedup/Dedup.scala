@@ -638,6 +638,46 @@ object Dedup {
         (size(ws) - size(col("__kept"))).as("n_words_removed"))
   }
 
+  /** Keep-one-copy span dedup — the Lee et al. ExactSubstr REMOVAL
+    * semantic: every duplicated span is cut from all occurrences EXCEPT a
+    * canonical keeper, so the content survives the corpus exactly once
+    * (d12's cut-everywhere is the aggressive variant; this is the one
+    * that preserves information). Keeper selection is content-keyed:
+    * maximal duplicated spans ([[duplicatedSpans]] islands) group by the
+    * md5 of their covered word sequence, and the globally-first occurrence
+    * (min id, then min span_start) survives; every other occurrence of
+    * that exact content is cut via [[cutSpans]].
+    *
+    * Boundary (documented, not silent): only spans whose ENTIRE island
+    * content matches exactly share a group — two docs whose islands
+    * overlap the same shared text with DIFFERENT extents (mixed-partner
+    * islands) form singleton groups and are both kept. That under-cuts
+    * relative to a position-level keeper assignment, never corrupts; the
+    * aggressive path (d12) removes them everywhere when required.
+    *
+    * Returns one row per input doc: `(idCol, text_cut, n_words_removed)`.
+    *
+    * Scale shape: one extra join of the (rare, short) span set back to its
+    * documents to slice out the span text, one md5-keyed window over the
+    * spans — both span-set-sized, not corpus-sized; detection and cut
+    * retain their documented shapes. */
+  def keepOneSpanCut(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n, minDocs)
+    val ws = split(col(textCol), " ")
+    val keyed = spans
+      .join(df.select(col(idCol), ws.as("__ws")), Seq(idCol))
+      .withColumn("__key", md5(concat_ws(" ",
+        slice(col("__ws"), col("span_start") + 1,
+          col("span_end") - col("span_start") + 1))))
+    val byContent = Window.partitionBy(col("__key"))
+      .orderBy(col(idCol).asc, col("span_start").asc)
+    val losers = keyed.withColumn("__rn", row_number().over(byContent))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("span_start"), col("span_end"))
+    cutSpans(df, losers, idCol, textCol)
+  }
+
   /** Maximal duplicated substrings of ARBITRARY length ≥ `minLen` tokens —
     * the full Lee et al. 2021 ExactSubstr regime (§4.1 of "Deduplicating
     * Training Data Makes Language Models Better"). [[duplicatedSpans]] marks

@@ -269,6 +269,13 @@ object LlmData {
       "doc_id", "text")
   }
 
+  /** Keep-one-copy span dedup (the Lee et al. REMOVAL semantic): every
+    * duplicated span cut everywhere except its globally-first occurrence —
+    * content survives the corpus exactly once. Oracle replays detection +
+    * content-keyed keeper selection + cut. */
+  def d18KeepOneCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepOneSpanCut(docs(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+
   /** Arbitrary-length exact-substring regime (Lee et al. ExactSubstr):
     * maximal duplicated substrings of ANY length ≥ 8 tokens, with exact
     * per-occurrence extent, token length, and partner-doc count — what d10's
@@ -682,6 +689,7 @@ object LlmData {
     "d15_paragraph_dedup" -> d15ParagraphDedup,
     "d16_exact_substring" -> d16ExactSubstring,
     "d17_cut_fixpoint" -> d17CutFixpoint,
+    "d18_keep_one_cut" -> d18KeepOneCut,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -844,9 +852,10 @@ object LlmData {
       |  CAST(s1 - s0 + 1 AS INT) AS span_len, n_docs
       |FROM epr WHERE mp IS NULL OR mp < s1""".stripMargin
 
-  /** The d12 span-cut chain as composable CTEs ending in
-    * `cutdocs(doc_id, text)` — the d17 oracle re-detects over it. */
-  private val spanCutCtes: String =
+  /** The d10 span DETECTION chain as composable CTEs ending in
+    * `cspans(doc_id, s0, s1, nw)` — ONE copy of the window/dup/island
+    * replay, shared by the d10, d12, d17, and d18 oracles. */
+  private val spanDetectCtes: String =
     """ctoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |cwins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
       |            list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
@@ -862,18 +871,28 @@ object LlmData {
       |cgrp AS (SELECT doc_id, s,
       |           SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
       |         FROM cisl),
-      |cspans AS (SELECT doc_id, min(s) AS s0, max(s) + 7 AS s1
-      |           FROM cgrp GROUP BY doc_id, g),
-      |cwords AS (SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS wd
+      |cspans AS (SELECT doc_id, min(s) AS s0, max(s) + 7 AS s1,
+      |             count(*) AS nw
+      |           FROM cgrp GROUP BY doc_id, g)""".stripMargin
+
+  /** The cut/reassemble chain against a span relation `(doc_id, s0, s1)`
+    * — ONE copy of the position-drop replay, parameterized by which span
+    * set cuts (all spans for d12/d17, keeper-losing spans for d18). Ends
+    * in `cutdocs(doc_id, text_cut, n_words_removed)`. */
+  private def cutOnCtes(spanRel: String): String =
+    s"""cwords AS (SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS wd
       |           FROM ctoks, UNNEST(range(1, len(w) + 1)) AS t(i)),
       |ckept AS (SELECT wr.doc_id, wr.p, wr.wd FROM cwords wr
-      |          WHERE NOT EXISTS (SELECT 1 FROM cspans sp
+      |          WHERE NOT EXISTS (SELECT 1 FROM $spanRel sp
       |            WHERE sp.doc_id = wr.doc_id AND wr.p BETWEEN sp.s0 AND sp.s1)),
       |cutdocs AS (SELECT t.doc_id,
       |    coalesce(string_agg(k.wd, ' ' ORDER BY k.p), '') AS text_cut,
       |    CAST(min(len(t.w)) - count(k.p) AS INT) AS n_words_removed
       |  FROM ctoks t LEFT JOIN ckept k USING (doc_id)
       |  GROUP BY t.doc_id)""".stripMargin
+
+  private val spanCutCtes: String =
+    s"$spanDetectCtes,\n${cutOnCtes("cspans")}"
 
   val oracle: Map[String, String] = Map(
     // t11: the WHOLE training loop replayed — a recursive CTE carries the
@@ -1064,23 +1083,26 @@ object LlmData {
     // starting a new span. A wrong window set, off-by-one merge, or missed
     // duplicate hash-mismatches.
     "d10_span_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |wins AS (SELECT doc_id, CAST(i - 1 AS INT) AS s,
-        |           list_aggregate(w[i:i+7], 'string_agg', ' ') AS win
-        |         FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
-        |         WHERE len(w) >= 8),
-        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
-        |dw AS (SELECT doc_id, s FROM wins JOIN dup USING (win)),
-        |isl AS (SELECT doc_id, s,
-        |          CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
-        |               THEN 0 ELSE 1 END AS nw
-        |        FROM dw),
-        |grp AS (SELECT doc_id, s,
-        |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
-        |        FROM isl)
-        |SELECT doc_id, CAST(min(s) AS INT) AS span_start,
-        |  CAST(max(s) + 7 AS INT) AS span_end, count(*) AS n_windows
-        |FROM grp GROUP BY doc_id, g""".stripMargin,
+      s"""WITH $spanDetectCtes
+        |SELECT doc_id, CAST(s0 AS INT) AS span_start,
+        |  CAST(s1 AS INT) AS span_end, nw AS n_windows
+        |FROM cspans""".stripMargin,
+    // d18 extends the shared detection with content-keyed keeper
+    // selection: islands group by the md5 of their covered words, the
+    // globally-first occurrence (doc, start) survives, every other
+    // occurrence cuts via the shared cut chain. A wrong keeper order, a
+    // mis-sliced content key, or a cut keeper hash-mismatches.
+    "d18_keep_one_cut" ->
+      s"""WITH $spanDetectCtes,
+        |kcontent AS (SELECT sp.doc_id, sp.s0, sp.s1,
+        |    md5(list_aggregate(t.w[sp.s0 + 1:sp.s1 + 1], 'string_agg', ' ')) AS key
+        |  FROM cspans sp JOIN ctoks t USING (doc_id)),
+        |klose AS (SELECT doc_id, s0, s1 FROM (
+        |    SELECT doc_id, s0, s1,
+        |      row_number() OVER (PARTITION BY key ORDER BY doc_id, s0) AS rn
+        |    FROM kcontent) WHERE rn > 1),
+        |${cutOnCtes("klose")}
+        |SELECT doc_id, text_cut, n_words_removed FROM cutdocs""".stripMargin,
     // d11 = d6's recursive-CTE closure + keeper re-picked by quality
     // (n_chars DESC, id ASC) per component
     "d11_quality_keeper" ->

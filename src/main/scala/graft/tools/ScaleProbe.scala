@@ -194,7 +194,15 @@ object ScaleProbe {
       val c = corpus(k).persist(); c.count()
       val spans = med(time(graft.dedup.Dedup.duplicatedSpans(
         c, "doc_id", "text", n = 8, minDocs = 2)))
-      println(f"""{"k":$k,"rows":${c.count()},"d10_spans":$spans%.2f}""")
+      // d16 is the file's one quadratic-regime operator (pairwise window
+      // matches): replicas share spans only WITHIN a replica (per-replica
+      // text perturbation), so k× data is k× independent pair groups —
+      // the expected-linear case; the maxDf cap guards the viral case
+      val substr = med(time(graft.dedup.Dedup.exactSubstrings(
+        c, "doc_id", "text", minLen = 8, maxDf = 1000)))
+      val keepOne = med(time(graft.dedup.Dedup.keepOneSpanCut(
+        c, "doc_id", "text", n = 8, minDocs = 2)))
+      println(f"""{"k":$k,"rows":${c.count()},"d10_spans":$spans%.2f,"d16_substr":$substr%.2f,"d18_keep_one":$keepOne%.2f}""")
       c.unpersist(): Unit
     }
     for (k <- Seq(1, reps)) {

@@ -258,6 +258,43 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.duplicatedSpans(cut, "doc_id", "text", n = 8, minDocs = 2).isEmpty)
   }
 
+  test("keepOneSpanCut: content survives exactly once — keeper kept, every other copy cut") {
+    val shared = "s1 s2 s3 s4 s5"  // 5 words, one island at n=4
+    val d = Seq(
+      (1L, s"$shared a1 a2 a3"),        // keeper (min doc, min start)
+      (2L, s"b1 $shared b2 b3"),        // loser: island cut
+      (3L, s"c1 c2 c3 $shared"),        // loser: island cut
+      (4L, "untouched words entirely here")).toDF("doc_id", "text")
+    val out = Dedup.keepOneSpanCut(d, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, String, Int)].collect().map { case (id, t, nr) => id -> (t, nr) }.toMap
+    assert(out(1L) == (s"$shared a1 a2 a3", 0))   // keeper intact
+    assert(out(2L) == ("b1 b2 b3", 5))
+    assert(out(3L) == ("c1 c2 c3", 5))
+    assert(out(4L) == ("untouched words entirely here", 0))
+    // the corpus-level property: after the cut the shared content appears
+    // in EXACTLY one doc
+    assert(out.values.count(_._1.contains(shared)) == 1)
+    // within-doc second occurrence of keeper content also cuts (the
+    // keeper is the doc's FIRST occurrence)
+    val selfA = Seq(
+      (1L, s"$shared mid1 mid2 mid3 $shared"),
+      (2L, s"x1 $shared x2 y1 y2")).toDF("doc_id", "text")
+    val out2 = Dedup.keepOneSpanCut(selfA, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, String, Int)].collect().map { case (id, t, nr) => id -> (t, nr) }.toMap
+    assert(out2(1L) == (s"$shared mid1 mid2 mid3", 5))
+    assert(out2(2L) == ("x1 x2 y1 y2", 5))
+    // documented boundary: islands overlapping the same text with
+    // DIFFERENT extents form singleton content groups — both kept
+    // (under-cut, never corrupt; d12 is the aggressive path)
+    val mixed = Seq(
+      (1L, "a b c d e f g h i j k"),   // island [0,10] (merges two partners)
+      (2L, "a b c d e f g x1 x2"),     // island [0,6]
+      (3L, "y1 y2 e f g h i j k")).toDF("doc_id", "text")
+    val out3 = Dedup.keepOneSpanCut(mixed, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, String, Int)].collect().map { case (id, t, nr) => id -> (t, nr) }.toMap
+    assert(out3.values.forall(_._2 == 0), out3.toString)
+  }
+
   test("exactSubstrings: maximal spans carry exact arbitrary length, not window quanta") {
     // an 11-word shared run with minLen=4 reports ONE span of exactly 11
     // tokens per side — the arbitrary-length regime d10's islands only
