@@ -16,6 +16,60 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bloom-accelerated [[incrementalExact]] — the same EXACT semantics
+    * with the index probe gated by a bloom sketch, the shape that wins
+    * when most of each batch is genuinely new (the steady state of a
+    * crawl pipeline): the history index aggregates ONCE into a
+    * `BloomFilterAggregate` sketch (a few hundred KB at fpp≈1% per
+    * million fingerprints — driver metadata, not data), every batch row
+    * tests it MAP-SIDE (`might_contain` — false = definitely unseen), and
+    * only the maybe-seen residue (true dupes + fpp false positives) pays
+    * the exact anti-join against the index. Output is EXACT — the bloom
+    * can only send extra rows to the verify join, never drop or pass one
+    * wrongly — so d19's oracle is d8's. Same batch-internal keeper
+    * convention and survivor contract as [[incrementalExact]].
+    *
+    * `expectedItems` sizes the sketch (the aggregate needs it at plan
+    * time; an extra count scan to derive it would cost what the sketch
+    * saves — pass the index's approximate cardinality, overestimates only
+    * waste sketch bytes). At 100 TB: the index is scanned twice (sketch +
+    * the maybes' anti-join build) but the BATCH never shuffles for its
+    * definitely-new majority — with a 1% maybe rate the join probe side
+    * shrinks 100×. */
+  def incrementalExactBloom(newDocs: DataFrame, index: Option[DataFrame],
+      idCol: String, textCol: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val hashed = newDocs.withColumn("__fp", md5(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    val inBatch = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    index match {
+      case None => inBatch.drop("__fp")
+      case Some(ix) =>
+        import org.apache.spark.sql.graftnative.BloomFunctions
+        val numBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(expectedItems, fpp)
+        val sketch = ix
+          .agg(BloomFunctions.bloomAgg(xxhash64(col("fp")), expectedItems, numBits)
+            .as("__bf"))
+          .head().getAs[Array[Byte]](0)
+        if (sketch == null) inBatch.drop("__fp") // empty index: all new
+        else {
+          // cached: the definitely-new filter and the maybe branch both
+          // scan the flagged batch (the incrementalNearDup lifecycle)
+          val flagged = inBatch.withColumn("__maybe",
+            BloomFunctions.mightContain(lit(sketch), xxhash64(col("__fp"))))
+            .cache()
+          val fresh = flagged.filter(!col("__maybe"))
+          val maybes = flagged.filter(col("__maybe"))
+            .join(ix.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+          fresh.unionByName(maybes).drop("__maybe", "__fp")
+        }
+    }
+  }
+
   /** Word-level n-gram shingles of a text column, distinct per doc.
     * One row per (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

@@ -234,6 +234,17 @@ object LlmData {
       .select("doc_id", "text")
   }
 
+  /** Bloom-accelerated incremental dedup — IDENTICAL semantics to d8
+    * (the oracle is d8's): the sketch pre-filter is pure acceleration,
+    * so a bloom bug that drops or passes a row wrongly hash-mismatches. */
+  def d19BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val index = d.filter(col("doc_id") < 250).select(md5(col("text")).as("fp")).distinct()
+    Dedup.incrementalExactBloom(d.filter(col("doc_id") >= 250), Some(index),
+      "doc_id", "text", expectedItems = 300)
+      .select("doc_id", "text")
+  }
+
   /** Incremental near-dup: docs ≥ 250 arrive as the new batch and probe the
     * < 250 "historical corpus" through its MinHash band index; survivors
     * near-dup nothing in history. Only colliding history docs are
@@ -690,6 +701,7 @@ object LlmData {
     "d16_exact_substring" -> d16ExactSubstring,
     "d17_cut_fixpoint" -> d17CutFixpoint,
     "d18_keep_one_cut" -> d18KeepOneCut,
+    "d19_bloom_dedup" -> d19BloomDedup,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_lsh_check" -> s3LshCheck,
@@ -968,6 +980,17 @@ object LlmData {
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d8_incremental_dedup" ->
+      """WITH ix AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text, md5(text) AS fp,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT doc_id, text FROM batch
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ix)""".stripMargin,
+    // d19 is EXACTLY d8 semantically (the bloom is a pre-filter, never a
+    // decision): a false negative in the sketch, a wrongly-dropped fresh
+    // row, or a dupe surviving the maybe-join hash-mismatches
+    "d19_bloom_dedup" ->
       """WITH ix AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
         |batch AS (
         |  SELECT doc_id, text, md5(text) AS fp,

@@ -116,6 +116,22 @@ class PlanShapeSpec extends SparkSuite {
       plan)
   }
 
+  test("bloom incremental dedup: ONE join total — the definitely-new branch never joins") {
+    import org.apache.spark.sql.functions.md5
+    val d = Tables.load(spark, sf0001, "documents")
+    val ix = d.filter(col("doc_id") < 20).select(md5(col("text")).as("fp")).distinct()
+    val plan = physical(graft.dedup.Dedup.incrementalExactBloom(
+      d.filter(col("doc_id") >= 20), Some(ix), "doc_id", "text", expectedItems = 20))
+    // the whole point of the sketch: only the maybe residue pays a join.
+    // Two joins would mean the fresh branch re-verified against the index.
+    val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(j => j -> plan.sliding(j.length).count(_ == j)).toMap
+    assert(joins.values.sum == 1, s"$joins\n$plan")
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
   test("word rarity: vocabulary join is keyed on the word — no cartesian") {
     val d = Tables.load(spark, sf0001, "documents")
     val plan = physical(graft.text.TextAnalysis.wordRarity(d, "doc_id", "text"))

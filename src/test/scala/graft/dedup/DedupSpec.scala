@@ -258,6 +258,44 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.duplicatedSpans(cut, "doc_id", "text", n = 8, minDocs = 2).isEmpty)
   }
 
+  test("incrementalExactBloom: exact d8 semantics, join only for the maybe residue") {
+    val history = (0L until 200L).map(i => (i, s"hist doc number $i body")).toDF("doc_id", "text")
+    val index = history.select(md5($"text").as("fp")).distinct()
+    // batch: 30 true dupes of history, 70 fresh, plus an in-batch dupe pair
+    val batch = ((0L until 30L).map(i => (1000L + i, s"hist doc number $i body")) ++
+      (0L until 70L).map(i => (2000L + i, s"fresh doc $i payload")) :+
+      (3000L, "fresh doc 0 payload")).toDF("doc_id", "text")
+    val exact = Dedup.incrementalExact(batch, Some(index), "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val bloom = Dedup.incrementalExactBloom(batch, Some(index), "doc_id", "text",
+      expectedItems = 200)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(bloom == exact)
+    assert(bloom.size == 70) // 30 dupes dropped, in-batch dupe collapsed
+    assert(!bloom.exists(_._1 == 3000L)) // in-batch keeper = min id (2000)
+    // empty / absent index degenerate cleanly
+    assert(Dedup.incrementalExactBloom(batch, None, "doc_id", "text",
+      expectedItems = 1).count() == 100)
+    val emptyIx = index.filter(lit(false))
+    assert(Dedup.incrementalExactBloom(batch, Some(emptyIx), "doc_id", "text",
+      expectedItems = 200).count() == 100)
+    // the sketch itself: definitely-absent is authoritative, present is maybe
+    import org.apache.spark.sql.graftnative.BloomFunctions
+    val sk = index.agg(BloomFunctions.bloomAgg(xxhash64($"fp"), 200L, 4096L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probes = Seq("hist doc number 7 body", "never seen anywhere").toDF("text")
+      .select(BloomFunctions.mightContain(lit(sk), xxhash64(md5($"text"))).as("mc"))
+      .as[Boolean].collect().toSeq
+    assert(probes.head, "a true member must test maybe-present")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalExactBloom(batch, Some(index), "doc_id", "text", expectedItems = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalExactBloom(batch, Some(index), "doc_id", "text",
+        expectedItems = 10, fpp = 1.5)
+    }
+  }
+
   test("keepOneSpanCut: content survives exactly once — keeper kept, every other copy cut") {
     val shared = "s1 s2 s3 s4 s5"  // 5 words, one island at n=4
     val d = Seq(
