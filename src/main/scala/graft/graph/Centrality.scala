@@ -59,8 +59,14 @@ object Centrality {
     require(dampingNum >= 0 && dampingNum <= dampingDen && dampingDen > 0,
       s"damping $dampingNum/$dampingDen is not in [0, 1]")
     require(scale > 0, s"scale must be positive, got $scale")
+    // null endpoints are dropped — the labelPropagation contract the three
+    // operators share so they compose over one edge list. Without the
+    // filter a null dst key survives the contribs groupBy but never joins
+    // back to a node: the contributing node's out-degree is inflated and
+    // its rank mass silently vanishes every iteration.
     val e = truncate(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct(),
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull).distinct(),
       checkpoint)
     val nodes = truncate(
       e.select(col("__src").as("__id"))
@@ -82,7 +88,11 @@ object Centrality {
     var ranks = truncate(nodes.withColumn("__rank", lit(scale)), checkpoint)
     var i = 0
     while (i < iterations) {
-      val withDeg = ranks.join(outDeg, Seq("__id"), "left")
+      // cached: the dangling-mass action and the contribs leg both read
+      // this join — uncached, the lazy contribs side would re-execute the
+      // identical ranks⋈outDeg shuffle, doubling per-iteration cost (the
+      // shape the "ONE shuffle pair" contract above forbids)
+      val withDeg = ranks.join(outDeg, Seq("__id"), "left").cache()
       // dangling mass: a metadata-scale scalar, the one driver-side value
       val dangling = withDeg.filter(col("__deg").isNull)
         .agg(coalesce(sum(col("__rank")), lit(0L))).first().getLong(0)
@@ -100,6 +110,9 @@ object Centrality {
               idiv(lit(dampingNum) * coalesce(col("__in"), lit(0L)),
                 lit(dampingDen))).as("__rank")),
         checkpoint)
+      // the truncate above is EAGER (checkpoint contract) — the new ranks
+      // are materialized, so the iteration's join cache can go
+      withDeg.unpersist()
       i += 1
     }
     outDeg.unpersist()
@@ -127,8 +140,12 @@ object Centrality {
       maxDist: Int = 6, lgConfigK: Int = 12,
       checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // null endpoints dropped — the shared contract with
+    // pageRank/degrees/labelPropagation (one dirty edge list, four
+    // composable operators)
     val e = truncate(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct(),
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .filter(col("__src").isNotNull && col("__dst").isNotNull).distinct(),
       checkpoint)
     val nodes = e.select(col("__src").as("__id"))
       .unionByName(e.select(col("__dst").as("__id"))).distinct()
@@ -256,9 +273,13 @@ object Centrality {
     * raw in-degree is itself a spam/quality signal in crawl curation).
     * One aggregation per side, full-outer-joined; no iteration. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val out = edges.groupBy(col(srcCol).as("node"))
+    // null endpoints dropped (the shared labelPropagation contract) — and
+    // a full_outer join never merges null keys, so two null-node rows
+    // would otherwise leak out of one dirty edge list
+    val clean = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+    val out = clean.groupBy(col(srcCol).as("node"))
       .agg(count(lit(1)).as("out_degree"))
-    val in = edges.groupBy(col(dstCol).as("node"))
+    val in = clean.groupBy(col(dstCol).as("node"))
       .agg(count(lit(1)).as("in_degree"))
     out.join(in, Seq("node"), "full_outer")
       .select(col("node"),

@@ -37,8 +37,11 @@ object Multimodal {
     StructField("mime", StringType),
     StructField("meta", MapType(StringType, StringType))))
 
+  /** `media_id` is boxed (the [[Frame]] convention): a null id row passes
+    * through instead of crashing the tuple deserializer mid-scan — the
+    * dirty-corpus never-throw posture of the decode kernels. */
   final case class MediaFeatures(
-      media_id: Long, mime: String, n_bytes: Long,
+      media_id: java.lang.Long, mime: String, n_bytes: Long,
       width: Int, height: Int, channels: Int,
       sample_rate: Int, duration_ms: Long,
       decoder: String, sha_prefix: String)
@@ -675,8 +678,8 @@ object Multimodal {
   def extractFeatures(media: DataFrame, decoder: Decoder = AutoDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "bytes", "mime")
-      .as[(Long, Array[Byte], String)]
+    media.select(col("media_id").cast("long"), col("bytes"), col("mime"))
+      .as[(java.lang.Long, Array[Byte], String)]
       .mapPartitions { rows =>
         // per-partition setup happens once (codec tables, model weights, …)
         rows.map { case (id, bytes, mime) =>
@@ -691,7 +694,9 @@ object Multimodal {
       .toDF()
   }
 
-  final case class ResizedMedia(media_id: Long, bytes: Array[Byte],
+  /** `media_id` boxed — same null-id pass-through contract as
+    * [[MediaFeatures]]/[[Frame]]. */
+  final case class ResizedMedia(media_id: java.lang.Long, bytes: Array[Byte],
       mime: String, width: Int, height: Int, resized: Boolean)
 
   /** REAL image resize — the one multimodal kernel that by definition must
@@ -712,8 +717,8 @@ object Multimodal {
     require(maxW > 0 && maxH > 0, "resize box must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "bytes", "mime")
-      .as[(Long, Array[Byte], String)]
+    media.select(col("media_id").cast("long"), col("bytes"), col("mime"))
+      .as[(java.lang.Long, Array[Byte], String)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // once per partition pass
         rows.map { case (id, bytes, mime) =>
@@ -799,21 +804,33 @@ object Multimodal {
       .toDF()
   }
 
-  /** Partition a blob table by cumulative byte size (approximate, via a
-    * range repartition on a size-bucket key) so tasks stay memory-bounded
-    * regardless of row width. */
+  /** Partition a blob table so tasks stay memory-bounded regardless of
+    * row width: the partition COUNT comes from the measured total bytes,
+    * and rows HASH-distribute across it — byte-balanced in expectation
+    * even when blob sizes correlate with ingest order (the earlier range
+    * partitioning on media_id gave each partition ~equal ROWS, so a
+    * contiguous id range of large videos landed its whole byte weight in
+    * a few partitions — the exact OOM this function exists to prevent).
+    * Exact byte-balancing would need a global running-sum assignment (one
+    * sequential pass); hash distribution gets within sampling noise of it
+    * at a fraction of the cost and stays fully parallel. */
   def repartitionForBlobs(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    require(targetBytesPerPartition > 0,
+      s"targetBytesPerPartition must be positive, got $targetBytesPerPartition")
     val sized = media.withColumn("__bytes", coalesce(length(col("bytes")).cast("long"), lit(0L)))
     val total = sized.agg(sum("__bytes")).first().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
-    sized.repartitionByRange(parts, col("media_id")).drop("__bytes")
+    sized.repartition(parts, col("media_id")).drop("__bytes")
   }
 
   /** Build a media table from any (id, string-payload) source — test/demo
-    * helper that treats text bytes as the opaque blob. */
+    * helper that treats text bytes as the opaque blob. Non-numeric ids
+    * become NULL media_ids (try_cast — under ANSI mode a plain cast THROWS
+    * on the first malformed id) and pass through every kernel, per the
+    * boxed-id contract. */
   def fromText(df: DataFrame, idCol: String, textCol: String, mime: String): DataFrame =
     df.select(
-      col(idCol).cast("long").as("media_id"),
+      col(idCol).try_cast("long").as("media_id"),
       encode(col(textCol), "UTF-8").as("bytes"),
       lit(mime).as("mime"),
       map(lit("origin"), lit("text")).as("meta"))

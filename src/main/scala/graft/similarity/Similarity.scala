@@ -26,13 +26,30 @@ object Similarity {
 
   private def norm(a: Column): Column = graft.functions.ArrayMath.l2Norm(a)
 
+  /** Null-safe cosine: NULL when either norm is zero — a zero-norm vector
+    * has no direction, and under ANSI mode (Spark 4 default) the bare
+    * division THROWS on it; pre-ANSI it yielded NaN, which desc-sorts
+    * ABOVE every real cosine and made the garbage row everyone's rank-1
+    * neighbor. [[topKByCosine]] excludes the NULL/NaN rows. */
+  private def cosine(d: Column, n1: Column, n2: Column): Column =
+    when(n1 === 0.0 || n2 === 0.0, lit(null).cast("double"))
+      .otherwise(d / (n1 * n2))
+
   /** Shared epilogue of every ANN path: per-query rank by cosine (neighbor
     * id breaks ties for determinism), keep the top k, round the score.
     * One definition so the tie-break/rounding contract cannot drift between
-    * the brute-force, LSH, IVF and quantized variants. */
+    * the brute-force, LSH, IVF and quantized variants.
+    *
+    * NaN cosines are EXCLUDED before ranking: a zero-norm vector (which
+    * real corpora contain) scores 0/0 = NaN against every query, and Spark
+    * sorts NaN above every double under DESC — without the filter that one
+    * garbage row would be the rank-1 "nearest neighbor" of every query. A
+    * zero-norm vector has no direction, hence no cosine neighbors; it
+    * simply never appears in results (and a zero-norm QUERY gets none). */
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.filter(!isnan(col("cosine")) && col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
@@ -49,7 +66,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 
@@ -94,12 +111,30 @@ object Similarity {
     bits.reduce[Column]((x, y) => x.bitwiseOR(y))
   }
 
+  /** Signature banding misconfiguration is a LOUD error, never a silent
+    * empty: bandBits > numBits makes numBands 0 (explode of an empty band
+    * array drops every row — "no neighbors found" with no hint why), a
+    * non-divisible split silently discards the remainder bits, and more
+    * than 64 bits wraps shiftleft (bit 64 aliases bit 0, corrupting
+    * signatures). */
+  private def requireBandConfig(numBits: Int, bandBits: Int): Unit = {
+    require(numBits >= 1 && numBits <= 64,
+      s"numBits must be in 1..64 (one long signature), got $numBits")
+    require(bandBits >= 1 && bandBits <= numBits,
+      s"bandBits must be in 1..numBits($numBits), got $bandBits " +
+        "(bandBits > numBits would yield ZERO bands and silently empty results)")
+    require(numBits % bandBits == 0,
+      s"numBits($numBits) must be divisible by bandBits($bandBits) — " +
+        s"the remainder ${numBits % bandBits} bits would be silently unused")
+  }
+
   /** Unordered candidate pairs (id_a < id_b) from random-hyperplane band
     * collisions — the bucket-join core shared by ANN search and
     * [[graft.dedup.Dedup.embeddingNearDupLsh]]. One band-keyed self-join;
     * no cross join anywhere. */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numBits: Int = 16, bandBits: Int = 8): DataFrame = {
+    requireBandConfig(numBits, bandBits)
     val numBands = numBits / bandBits
     val mask = (1L << bandBits) - 1
     val sigs = df.select(col(idCol).as("id"),
@@ -121,6 +156,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, numBits: Int = 16,
       bandBits: Int = 8): DataFrame = {
+    requireBandConfig(numBits, bandBits)
     val numBands = numBits / bandBits
     val mask = (1L << bandBits) - 1
     def withSig(df: DataFrame, id: String, v: String) = {
@@ -140,7 +176,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
     val scored = candidates
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 
@@ -185,9 +221,13 @@ object Similarity {
     * spec-asserted to beat; not the production default. */
   def sampledCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): DataFrame =
-    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("centv"))
-      .orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long").as("cell_id"), col("centv"))
+    // cell ids come from a window over the sampled slice, NOT a cast of the
+    // user id: casting a string id to long yields NULL for every row, and
+    // NULL cell keys never join — ivfTopK would silently return nothing
+    corpus.select(col(idCol).as("__sid"), col(vecCol).cast("array<double>").as("centv"))
+      .orderBy(col("__sid")).limit(nCells)
+      .select((row_number().over(Window.orderBy(col("__sid"))) - 1)
+        .cast("long").as("cell_id"), col("centv"))
       .withColumn("centn", norm(col("centv")))
 
   /** Int8 scalar quantization of an embedding column — the MEMORY-scale
@@ -237,7 +277,7 @@ object Similarity {
     val c = deq(corpus, "neighbor_id", "cv", "cn")
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 
@@ -436,8 +476,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       // a zero-norm corpus vector reconstructs to a NONZERO centroid, so a
       // bare dot/(qn·cn) would give ±Infinity where every exact path gives
-      // NaN (0/0) — pin the degenerate case to NaN so the s6/s8 isnan
-      // guards see the same value on both sides
+      // NaN (0/0) — pin the degenerate case to NaN explicitly so the
+      // zero-norm exclusion in topKByCosine treats the quantized path
+      // identically to the exact one (and the s6/s8 isnan guards, now
+      // vacuously satisfied, stay correct on both sides)
       .withColumn("cosine",
         when(col("cn") === 0.0 || col("qn") === 0.0, lit(Double.NaN))
           .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
@@ -465,15 +507,28 @@ object Similarity {
     * the lowest cell_id. Returns `(idCol, cell_id, __v, __n)` — the cast
     * vector and its norm ride along so downstream scoring reuses them
     * without a second corpus scan. */
+  /** The shared n-nearest-cells primitive: score every row against the
+    * BROADCAST codebook, keep the top `n` cells per `keyCol` (cosine desc,
+    * cell_id asc). ONE definition — [[assignCells]] (n = 1, the blocking
+    * primitive [[graft.dedup.Dedup.semanticNearDup]] keys on) and
+    * [[ivfTopK]]'s corpus/query sides all route here, so the tie-break and
+    * norm handling cannot drift between the paths that must block
+    * identically. */
+  private def nearestCellsBy(df: DataFrame, keyCol: String, vCol: String,
+      nCol: String, codebook: DataFrame, n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(codebook))
+      .withColumn("__csim", cosine(dot(col(vCol), col("centv")), col(nCol), col("centn")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__csim").desc, col("cell_id").asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+      .drop("__r", "__csim", "centv", "centn")
+  }
+
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame): DataFrame = {
     val c = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val scored = c.crossJoin(broadcast(codebook))
-      .withColumn("__csim", dot(col("__v"), col("centv")) / (col("__n") * col("centn")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__csim").desc, col("cell_id").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+    nearestCellsBy(c, idCol, "__v", "__n", codebook, n = 1)
       .select(col(idCol), col("cell_id"), col("__v"), col("__n"))
   }
 
@@ -483,25 +538,17 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val centroids = broadcast(
-      codebook.getOrElse(trainCentroids(corpus, vecCol, nCells)))
-    def nearestCells(df: DataFrame, vCol: String, nCol: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(centroids)
-        .withColumn("csim", dot(col(vCol), col("centv")) / (col(nCol) * col("centn")))
-      val w = Window.partitionBy(df.columns.head).orderBy(col("csim").desc, col("cell_id").asc)
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
-        .drop("__r", "csim", "centv", "centn")
-    }
+    val centroids = codebook.getOrElse(trainCentroids(corpus, vecCol, nCells))
     // corpus: one cell per vector; queries: nProbe cells each
-    val assigned = nearestCells(c, "cv", "cn", 1)
+    val assigned = nearestCellsBy(c, "neighbor_id", "cv", "cn", centroids, n = 1)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val probed = nearestCells(q, "qv", "qn", nProbe)
+    val probed = nearestCellsBy(q, "query_id", "qv", "qn", centroids, nProbe)
     val scored = probed.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 }

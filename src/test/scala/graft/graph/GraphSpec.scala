@@ -68,6 +68,31 @@ class GraphSpec extends SparkSuite {
     assert(self(1L) > self(2L))
   }
 
+  test("null edge endpoints drop uniformly — the four operators compose on one dirty list") {
+    // a dirty edge list (extraction misses leave null dst/src) must yield
+    // the SAME result as the pre-cleaned list in every operator: before
+    // the shared filter, pageRank leaked rank mass through null-keyed
+    // contributions (inflated out-degree, vanished mass) and degrees
+    // emitted up to TWO null-node rows (full_outer never merges null keys)
+    val clean = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+    val dirtyDf = (clean.map { case (a, b) => (Option(a), Option(b)) } ++
+      Seq((Some(1L), None), (None, Some(3L)), (Option.empty[Long], Option.empty[Long])))
+      .toDF("src", "dst")
+    val cleanDf = clean.toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.get(0) -> r.toSeq.tail).toMap
+    assert(m(Centrality.pageRank(dirtyDf, "src", "dst", 3)) ==
+      m(Centrality.pageRank(cleanDf, "src", "dst", 3)))
+    assert(m(Centrality.degrees(dirtyDf, "src", "dst")) ==
+      m(Centrality.degrees(cleanDf, "src", "dst")))
+    assert(m(Centrality.labelPropagation(dirtyDf, "src", "dst", 2)) ==
+      m(Centrality.labelPropagation(cleanDf, "src", "dst", 2)))
+    assert(m(Centrality.harmonicCentrality(dirtyDf, "src", "dst", maxDist = 3)) ==
+      m(Centrality.harmonicCentrality(cleanDf, "src", "dst", maxDist = 3)))
+    // and no null node leaks from any of them
+    assert(!m(Centrality.degrees(dirtyDf, "src", "dst")).keySet.contains(null))
+  }
+
   test("overflow guard refuses loudly instead of wrapping") {
     val e = intercept[IllegalArgumentException](
       Centrality.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",

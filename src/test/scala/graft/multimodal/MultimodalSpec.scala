@@ -15,6 +15,23 @@ class MultimodalSpec extends SparkSuite {
     assert(m.schema("bytes").dataType.typeName == "binary")
   }
 
+  test("null media_id rows pass through every kernel — never a deserializer crash") {
+    // fromText casts an arbitrary idCol to long, so a non-numeric id lands
+    // as media_id = null; a primitive-Long encoder would throw 'Null value
+    // appeared in non-nullable field' mid-scan (the bug sampleFrames was
+    // boxed to avoid — extractFeatures/resizeToFit share the posture now)
+    val dirty = Multimodal.fromText(
+      Seq(("doc-7", "payload one"), ("42", "payload two")).toDF("id", "text"),
+      "id", "text", "image/fake")
+    assert(dirty.filter($"media_id".isNull).count() == 1)
+    val feats = Multimodal.extractFeatures(dirty).collect()
+    assert(feats.length == 2 && feats.count(_.isNullAt(0)) == 1)
+    val resized = Multimodal.resizeToFit(dirty, 64, 64).collect()
+    assert(resized.length == 2 && resized.count(_.isNullAt(0)) == 1)
+    val frames = Multimodal.sampleFrames(dirty, framesPerItem = 2).collect()
+    assert(frames.length == 4 && frames.count(_.isNullAt(0)) == 2)
+  }
+
   test("extractFeatures decodes deterministically via mapPartitions") {
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()

@@ -34,6 +34,67 @@ class SimilaritySpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("zero-norm vectors never rank — NaN cosine is excluded, not sorted first") {
+    import org.apache.spark.sql.functions._
+    // Spark sorts NaN ABOVE every double under desc: without the exclusion
+    // a single zero-norm corpus vector (0/0 = NaN against everything)
+    // would be the rank-1 "nearest neighbor" of every query
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(!bf.contains(99L), s"zero-norm vector ranked: $bf")
+    assert(bf(2L) == 1, s"true nearest displaced: $bf")
+    // a zero-norm QUERY gets no neighbors (no direction — no cosine)
+    val qz = corpus.filter($"vec_id" === 99L)
+    assert(Similarity.bruteForceTopK(corpus, qz, "vec_id", "embedding", k = 3).isEmpty)
+    // the LSH path routes through the same epilogue
+    val lsh = Similarity.lshTopK(corpus, q, "vec_id", "embedding",
+      k = 3, dim = 2, numBits = 8, bandBits = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!lsh.contains(99L), s"zero-norm vector in LSH results: $lsh")
+  }
+
+  test("LSH banding misconfiguration refuses loudly, never a silent empty") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    // bandBits > numBits → zero bands → would return empty with no error
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(e, e.limit(1), "vec_id", "embedding",
+        k = 3, dim = 64, numBits = 16, bandBits = 32)
+    }
+    assert(e1.getMessage.contains("ZERO bands"), e1.getMessage)
+    // non-divisible split → silently unused remainder bits
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.candidatePairs(e, "vec_id", "embedding",
+        dim = 64, numBits = 16, bandBits = 5)
+    }
+    assert(e2.getMessage.contains("divisible"), e2.getMessage)
+    // a >64-bit signature wraps shiftleft (bit 64 aliases bit 0)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.candidatePairs(e, "vec_id", "embedding",
+        dim = 64, numBits = 128, bandBits = 8)
+    }
+    assert(e3.getMessage.contains("1..64"), e3.getMessage)
+  }
+
+  test("sampledCentroids: non-numeric ids still yield joinable cell ids") {
+    import org.apache.spark.sql.functions._
+    // cell_id used to be cast(id as long) — NULL for string ids, and NULL
+    // cell keys never join, so ivfTopK silently returned nothing
+    val corpus = Seq(
+      ("doc-a", Array(1.0f, 0.0f)), ("doc-b", Array(0.9f, 0.1f)),
+      ("doc-c", Array(0.0f, 1.0f)), ("doc-d", Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val cb = Similarity.sampledCentroids(corpus, "vec_id", "embedding", nCells = 2)
+    assert(cb.filter(col("cell_id").isNull).isEmpty)
+    assert(cb.select("cell_id").as[Long].collect().toSet == Set(0L, 1L))
+    val out = Similarity.ivfTopK(corpus, corpus.limit(1), "vec_id", "embedding",
+      k = 2, nProbe = 2, codebook = Some(cb))
+    assert(out.count() > 0, "string-keyed corpus returned no IVF results")
+  }
+
   test("codebook sidecars round-trip bit-for-bit; foreign files fail loudly") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("codebooks").toString
