@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset mixing for training-data curation.
@@ -108,10 +109,15 @@ object Sampling {
     require(baseRate >= 0 && baseRate <= 1, s"baseRate in [0,1], got $baseRate")
     val (bucket, scale) = bucketAndScale(keyCol, salt, portable)
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__c"))
-    val cmax = counts.agg(max(col("__c")).as("__cmax"))
-    val ratio = col("__cmax").cast("double") / col("__c").cast("double")
+    // cmax via a global window over the (tiny) per-domain table — a
+    // separate agg + crossJoin would embed the corpus-scale groupBy
+    // subtree TWICE in the plan (the exact double-scan mixtureRates'
+    // single-window-pass note documents removing)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratio = max(col("__c")).over(wAll).cast("double") / col("__c").cast("double")
     val boost = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
-    val rates = counts.crossJoin(broadcast(cmax))
+    val rates = counts
       .withColumn("__thr",
         floor(least(lit(1.0), lit(baseRate) * boost) * scale).cast("long"))
       .select(col(domainCol).as("__dom"), col("__thr"))

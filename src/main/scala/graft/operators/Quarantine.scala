@@ -70,7 +70,16 @@ object Quarantine {
         val fixed = dlq.filter(col(StatusCol) === "fixed")
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         val candidates0 = fixed.select((cleanColumns :+ SkCol).map(col): _*)
-        val candidates = rescueCol.filter(cleanColumns.contains) match {
+        // a declared rescue column MUST be among the clean columns — a
+        // silent degrade to the no-reprojection branch would leave every
+        // repaired raw payload unparsed, failing re-validation forever
+        // (the exact stay-quarantined failure the scaladoc warns about
+        // for format mismatches)
+        rescueCol.foreach(rc => require(cleanColumns.contains(rc),
+          s"recycle: rescue column '$rc' is not among cleanColumns " +
+            s"(${cleanColumns.mkString(", ")}) — repaired payloads could " +
+            "never re-project; include it, or pass rescueCol = None"))
+        val candidates = rescueCol match {
           case Some(rc) =>
             val typed = org.apache.spark.sql.types.StructType(
               candidates0.schema.fields.filter(f => f.name != rc && f.name != SkCol))

@@ -68,8 +68,11 @@ object ScdMerge {
     base.drop(dropped: _*)
   }
 
-  /** SCD1: latest row per key wins; deletes remove the key; truncates drop all
-    * rows with sequence below the truncate's. Result = the current table. */
+  /** SCD1: latest row per key wins; deletes remove the key; a truncate row
+    * anywhere in the batch clears the ENTIRE prior target (DLT
+    * apply_as_truncates semantics — truncation is not sequence-relative),
+    * while the batch's own non-truncate rows all apply. Result = the
+    * current table. */
   def scd1(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
     val sq = seqCol(opts)
     val ch0 = selectColumns(
@@ -114,10 +117,16 @@ object ScdMerge {
       else {
         val dataCols = attrCols.filterNot(c =>
           opts.keys.contains(c) || opts.sequenceBy.contains(c))
-        fillNullsWithinSpan(base, opts.keys, Seq(sq.asc, col("__ord").asc), dataCols.toSeq)
+        fillNullsWithinSpan(base, opts.keys,
+          Seq(sq.asc, col(OpCol).asc, col("__ord").asc), dataCols.toSeq)
       }
+    // OpCol breaks sequence ties DETERMINISTICALLY: a delete tied with a
+    // data row at the same sequence applies AFTER it, so the delete wins
+    // the key's final state (the SnapshotCdc shape — a delete stamped at
+    // the snapshot's max sequence can tie an unchanged live version;
+    // without the tie-break the winner depended on partition layout)
     val w = Window.partitionBy(opts.keys.map(col): _*)
-      .orderBy(sq.desc, col("__ord").desc)
+      .orderBy(sq.desc, col(OpCol).desc, col("__ord").desc)
     filled
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(OpCol))
@@ -192,15 +201,28 @@ object ScdMerge {
       .getOrElse(dataCols.toSeq)
       .filterNot(opts.trackHistoryExcept.contains)
 
-    val wAsc = Window.partitionBy(keys.map(col): _*).orderBy(col(StartCol).asc)
-    // 1. deterministic squash of duplicate (key, seq) rows — expressed as a
-    //    lag on the SAME key partitioning as the chain windows below, so all
-    //    window steps share ONE hash exchange (verified: plan has a single
-    //    Exchange for the whole rebuild)
+    // Every chain window orders (start asc, OpCol asc): a tombstone TIED
+    // with a data version at the same sequence reads version-then-delete,
+    // so the delete CLOSES the version ([start,start] span) instead of the
+    // pair resolving by partition layout. The SnapshotCdc feed produces
+    // exactly this tie when an open key's delete is stamped at a snapshot
+    // max sequence another key still lives at.
+    val wAsc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(StartCol).asc, col(OpCol).asc)
+    // 1. deterministic squash of duplicate (key, seq, op) rows — expressed
+    //    as a lag on the SAME key partitioning as the chain windows below,
+    //    so all window steps share ONE hash exchange. The op is part of
+    //    the squash IDENTITY: a data version and a tombstone at one
+    //    sequence are two distinct events (version + its closure), not a
+    //    replay duplicate — squashing them to one row erased the key's
+    //    whole history (the pre-fix behavior)
     val wDedup = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(StartCol).asc, struct(dataCols.toSeq.map(col): _*).desc, col(OpCol).desc)
+      .orderBy(col(StartCol).asc, col(OpCol).asc,
+        struct(dataCols.toSeq.map(col): _*).desc)
     val squashed = versions
-      .withColumn("__dup", lag(col(StartCol), 1).over(wDedup) <=> col(StartCol))
+      .withColumn("__dup",
+        (lag(col(StartCol), 1).over(wDedup) <=> col(StartCol)) &&
+          (lag(col(OpCol), 1).over(wDedup) <=> col(OpCol)))
       .filter(!col("__dup")).drop("__dup")
 
     // 2. forward-fill nulls from earlier versions (ignore_null_updates),
@@ -208,7 +230,8 @@ object ScdMerge {
     //    from scratch, matching the sequential-merge semantics
     val filled =
       if (!opts.ignoreNullUpdates) squashed
-      else fillNullsWithinSpan(squashed, keys, Seq(col(StartCol).asc), dataCols.toSeq)
+      else fillNullsWithinSpan(squashed, keys,
+        Seq(col(StartCol).asc, col(OpCol).asc), dataCols.toSeq)
 
     // 3. change detection on tracked columns (delete boundaries always kept)
     val trackedStruct =
@@ -231,7 +254,7 @@ object ScdMerge {
       else {
         val wAscRows = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wDescRows = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(StartCol).desc)
+          .orderBy(col(StartCol).desc, col(OpCol).desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tagged = filled
           .withColumn("__keep", keep)
@@ -246,7 +269,8 @@ object ScdMerge {
       }
 
     // 4. close each version at the next surviving version's start
-    val wKept = Window.partitionBy(keys.map(col): _*).orderBy(col(StartCol).asc)
+    val wKept = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(StartCol).asc, col(OpCol).asc)
     kept
       .withColumn(EndCol, lead(col(StartCol), 1).over(wKept))
       .filter(!col(OpCol)) // tombstones only exist to close their predecessor

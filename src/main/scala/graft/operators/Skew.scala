@@ -16,9 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types that keep UNMATCHED small-side rows (right/full outer) are
+    * refused: the small side was exploded buckets×, so each unmatched row
+    * would surface buckets duplicated null-padded outputs. Left-flavored
+    * joins are safe — unmatched LARGE rows carry one salt each. */
+  private val safeJoinTypes = Set(
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(safeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: join type '$joinType' would emit every unmatched " +
+        s"small-side row $buckets times (one per exploded salt) — use a " +
+        "left-flavored join from the large side, or an unsalted join")
     val salted = large.withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
     val exploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

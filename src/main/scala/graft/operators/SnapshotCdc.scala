@@ -52,7 +52,19 @@ object SnapshotCdc {
             when(inCur, lit("update")).otherwise(lit("insert")).as(OpCol)): _*)
 
         // deletes: open keys absent from the snapshot, sequenced at the
-        // snapshot's max sequence value (the "snapshot version")
+        // snapshot's max sequence value (the "snapshot version"). An EMPTY
+        // snapshot has no sequence to stamp — its deletes would carry NULL
+        // sequences, which desc-sort last in scd1 (the deletes silently
+        // no-op) and asc-sort first in scd2 (the tombstones close nothing):
+        // either way a broken upstream extract masquerades as a clean run.
+        // Deleting the whole table is expressed by dropping it, not by an
+        // empty snapshot — refuse loudly.
+        require(!(snapshot.isEmpty && !current.isEmpty),
+          "SnapshotCdc.diff: the snapshot is EMPTY while the target has " +
+            "open keys — an empty snapshot usually means a broken upstream " +
+            "extract, and its deletes would carry NULL sequences that merge " +
+            "as silent no-ops. If every key was genuinely deleted, drop or " +
+            "truncate the target instead.")
         val snapVersion = snapshot.agg(maxSeq.as("__v"))
         val deletes0 = joined.filter(inCur && !inSnap)
           .select(snapCols.map {

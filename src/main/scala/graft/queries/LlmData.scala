@@ -1560,10 +1560,13 @@ object LlmData {
         |  len(string_split(text, ' ')) AS n_tokens_ws,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
+    // full 2-word windows only — a doc under 2 words has no grams and no
+    // row (mirrors the engine's full-window convention)
     "t6_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |grams AS (SELECT doc_id, list_aggregate(w[i:i+1], 'string_agg', ' ') AS g
-        |          FROM toks, UNNEST(range(1, greatest(len(w), 2))) AS t(i)),
+        |          FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        |          WHERE len(w) >= 2),
         |counts AS (SELECT doc_id, g, count(*) AS c FROM grams
         |           WHERE length(g) > 0 GROUP BY 1, 2),
         |ranked AS (SELECT doc_id, g, c,

@@ -167,9 +167,14 @@ object TextAnalysis {
     * oracle's tie-break. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     val ws = split(col(textCol), " ")
-    val grams0 = transform(
-      sequence(lit(0), greatest(size(ws) - n, lit(0))),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    // FULL windows only (the d10/d16 convention): a doc shorter than n
+    // words has no n-grams and emits NO row — the earlier greatest(...)
+    // clamp emitted its truncated word run as a single "gram", scoring
+    // every short doc maximally repetitive (top_fraction 1.0), which a
+    // Gopher-style repetition filter then drops as boilerplate
+    val starts = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams0 = transform(starts, i => concat_ws(" ", slice(ws, i + 1, lit(n))))
     val grams = filter(grams0, g => length(g) > 0)
     df.select(col(idCol), grams.as("__gs"))
       .filter(size(col("__gs")) > 0)
@@ -236,17 +241,30 @@ object TextAnalysis {
     require(rareThreshold >= 1, s"rareThreshold must be >= 1, got $rareThreshold")
     // cached: toks feeds both the vocabulary aggregation and the occurrence
     // join — uncached, the corpus-wide word explode would execute twice
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+    val toks = df.select(col(idCol), explode(split(coalesce(col(textCol), lit("")), " "))
+        .as("__w"))
       .filter(length(col("__w")) > 0)
       .cache()
     val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
-    toks.join(vocab, Seq("__w"))
+    val scored = toks.join(vocab, Seq("__w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("__cnt")).as("sum_freq"),
         sum(when(col("__cnt") <= rareThreshold, 1L).otherwise(0L)).as("n_rare"))
-      .withColumn("mean_freq", round(col("sum_freq").cast("double") / col("n_words"), 6))
-      .withColumn("rare_ratio", round(col("n_rare").cast("double") / col("n_words"), 6))
+    // a corpus row must never silently vanish from scoring (the repo-wide
+    // Bm25/NaiveBayes/LanguageModel/Dsir convention): NULL/empty/all-space
+    // docs have no tokens and no aggregate row — re-attach them zero-filled
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("mean_freq",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sum_freq").cast("double") / col("n_words"), 6)))
+      .withColumn("rare_ratio",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_rare").cast("double") / col("n_words"), 6)))
   }
 
   /** HTML → text extraction — the boilerplate-strip step between a WARC

@@ -167,6 +167,64 @@ class ScdMergeSpec extends SparkSuite {
     assert(b2 == Set((1, "a", "n2", 1L, None)))
   }
 
+  test("same-sequence delete+version ties are deterministic: version-then-delete") {
+    // the SnapshotCdc shape: a delete stamped at the snapshot's max
+    // sequence can TIE an unchanged live version (same key, same seq,
+    // same attrs). Pre-fix, scd2's squash treated the pair as one
+    // duplicate and erased the key's whole history; scd1's winner window
+    // had a complete ordering tie and picked by partition layout.
+    val o2 = opts2.copy(applyAsDeletes = Some("__del"))
+    val tie2 = Seq((1, 5L, "a", false), (1, 5L, "a", true), (2, 5L, "b", false))
+      .toDF("k", "seq", "v", "__del")
+    val out2 = ScdMerge.scd2(None, tie2, o2)
+      .select("k", "v", "__start_at", "__end_at")
+      .as[(Int, String, Long, Option[Long])].collect().toSet
+    // key 1's version exists CLOSED at its own start — not erased, not open
+    assert(out2 == Set((1, "a", 5L, Some(5L)), (2, "b", 5L, None)), out2.toString)
+    // scd1: the delete wins the final state, on every partition layout
+    val o1 = opts1.copy(applyAsDeletes = Some("__del"))
+    (1 to 4).foreach { parts =>
+      val tie1 = Seq((1, 5L, "a", false), (1, 5L, "a", true), (2, 5L, "b", false))
+        .toDF("k", "seq", "v", "__del").repartition(parts)
+      val out1 = ScdMerge.scd1(None, tie1, o1)
+        .select("k", "v").as[(Int, String)].collect().toSet
+      assert(out1 == Set((2, "b")), s"parts=$parts: $out1")
+    }
+  }
+
+  test("snapshot-cdc: a delete tying a live version's sequence closes it, never erases it") {
+    // target: A and B both open at seq 5; snapshot 2 carries only B
+    // (unchanged, still seq 5) → A's delete is stamped at max = 5, TYING
+    // A's own live version. Pre-fix this erased A's history entirely.
+    val o = opts2
+    val s1 = Seq((10, 5L, "a"), (20, 5L, "b")).toDF("k", "seq", "v")
+    val t1 = ScdMerge.applyChanges(None,
+      SnapshotCdc.diff(None, s1, o), SnapshotCdc.mergeOptions(o))
+    val s2 = Seq((20, 5L, "b")).toDF("k", "seq", "v")
+    val t2 = ScdMerge.applyChanges(Some(t1),
+      SnapshotCdc.diff(Some(t1), s2, o), SnapshotCdc.mergeOptions(o))
+      .select("k", "v", "__start_at", "__end_at")
+      .as[(Int, String, Long, Option[Long])].collect().toSet
+    assert(t2 == Set((10, "a", 5L, Some(5L)), (20, "b", 5L, None)), t2.toString)
+  }
+
+  test("snapshot-cdc: an EMPTY snapshot against live keys refuses loudly") {
+    // an empty snapshot has no sequence to stamp deletes with — NULL
+    // sequences merge as silent no-ops, masking a broken extract
+    val o = opts2
+    val t1 = ScdMerge.applyChanges(None,
+      SnapshotCdc.diff(None, Seq((1, 1L, "a")).toDF("k", "seq", "v"), o),
+      SnapshotCdc.mergeOptions(o))
+    val empty = Seq.empty[(Int, Long, String)].toDF("k", "seq", "v")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotCdc.diff(Some(t1), empty, o)
+    }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    // an empty snapshot against an EMPTY current state is a fine no-op
+    val t0 = t1.filter("1 = 0")
+    assert(SnapshotCdc.diff(Some(t0), empty, o).isEmpty)
+  }
+
   test("snapshot-cdc: multi-column sequence deletes close the chain at snapshot max") {
     val o = ScdMerge.Options(keys = Seq("k"), sequenceBy = Seq("d", "tiebreak"), scdType = 2)
     def snap(rows: (Int, Long, Long, String)*) = rows.toSeq.toDF("k", "d", "tiebreak", "v")

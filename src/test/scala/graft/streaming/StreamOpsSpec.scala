@@ -57,5 +57,14 @@ class StreamOpsSpec extends SparkSuite {
     val salted = Skew.saltedJoin(large, small, Seq("k"), buckets = 8)
       .select("k", "payload", "label").as[(Int, String, String)].collect().toSet
     assert(salted == plain && plain.size == 102)
+    // left joins keep unmatched LARGE rows exactly once (one salt each)
+    val leftJ = Skew.saltedJoin(large, small, Seq("k"), buckets = 8, joinType = "left")
+    assert(leftJ.count() == large.count())
+    // right/full outer would emit every unmatched small row buckets× —
+    // refused by name, never silently duplicated
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, Seq("k"), buckets = 8, joinType = "full")
+    }
+    assert(e.getMessage.contains("8 times"), e.getMessage)
   }
 }

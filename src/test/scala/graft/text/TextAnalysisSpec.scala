@@ -68,9 +68,17 @@ class TextAnalysisSpec extends SparkSuite {
     assert(byId(1L) == (1L, 3L, 6L, 1L, 2.0, 0.333333))
     assert(byId(2L) == (2L, 2L, 5L, 0L, 2.5, 0.0))
     assert(byId(3L) == (3L, 3L, 5L, 2L, 1.666667, 0.666667))
-    // empty/whitespace-only docs contribute no tokens and no output row
-    val e = Seq((1L, "x y"), (2L, "")).toDF("doc_id", "text")
-    assert(TextAnalysis.wordRarity(e, "doc_id", "text").count() == 1)
+    // empty/whitespace-only/NULL docs score ZERO-FILLED (null ratios) —
+    // a corpus row must never silently vanish from scoring (the repo-wide
+    // Bm25/NaiveBayes/LanguageModel/Dsir convention)
+    val e = Seq((1L, "x y"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+      .unionByName(Seq(4L).toDF("doc_id").withColumn("text",
+        org.apache.spark.sql.functions.lit(null).cast("string")))
+    val er = TextAnalysis.wordRarity(e, "doc_id", "text")
+      .select("doc_id", "n_words").as[(Long, Long)].collect().toMap
+    assert(er == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    assert(TextAnalysis.wordRarity(e, "doc_id", "text")
+      .filter("doc_id = 2 AND mean_freq IS NULL AND rare_ratio IS NULL").count() == 1)
   }
 
   test("fingerprint is whitespace/case insensitive") {
@@ -103,6 +111,13 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(Long, String, Long, Double)].collect().sortBy(_._1)
     assert(out(0) == ((1L, "spam ham", 3L, 0.6)))
     assert(out(1)._3 == 1L && out(1)._4 == 0.333333) // all-unique bigrams, 1 of 3
+    // a doc SHORTER than n words has no n-grams and emits NO row — the
+    // earlier truncated-window clamp scored it top_fraction 1.0, so a
+    // Gopher-style repetition filter dropped every short doc as boilerplate
+    val short = Seq((1L, "hello"), (2L, "two words here"), (3L, "")).toDF("doc_id", "text")
+    val sr = TextAnalysis.repetition(short, "doc_id", "text", n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sr == Set(2L), sr.toString)
   }
 
   test("packing: contiguous per-group fill, docs never split, one shuffle") {
