@@ -277,14 +277,34 @@ object PipelineConfigs {
     if (ns.isEmpty) fg
     else {
       def q(t: String) = if (t.contains(".")) t else (ns :+ t).mkString(".")
+      // table names this flowgroup itself produces/loads, pre-qualification:
+      // a recomputeView naming one of them must follow it into the
+      // namespace (the base table's own write just got qualified, so the
+      // unqualified reference would fail with a spurious "names neither a
+      // view nor a table"); names NOT in this set are session views and
+      // stay as-is (views are not namespaced)
+      val ownTables = fg.actions.collect {
+        case a: TableLoad => a.table
+        case a: StreamingTableWrite => a.table
+        case a: MaterializedViewWrite => a.table
+      }.toSet
       fg.copy(actions = fg.actions.map {
         case a: TableLoad => a.copy(table = q(a.table))
         case a: StreamingTableWrite => a.copy(table = q(a.table))
-        case a: MaterializedViewWrite => a.copy(table = q(a.table))
+        case a: MaterializedViewWrite =>
+          a.copy(table = q(a.table),
+            recomputeView = a.recomputeView.map(v =>
+              if (ownTables.contains(v)) q(v) else v))
         // the DLQ is an engine table too — an unqualified dlq name left in
         // the flat namespace would collide across namespaced pipelines
         case a: graft.model.DataQualityTransform if a.quarantineTable.isDefined =>
           a.copy(quarantineTable = a.quarantineTable.map(q))
+        // a delta sink addressed by tableName writes a STORE-managed table:
+        // unqualified it would land at the warehouse root, colliding
+        // across namespaced pipelines exactly like the DLQ case above
+        case a: graft.model.SinkWrite
+            if a.sinkType == "delta" && a.options.contains("tableName") =>
+          a.copy(options = a.options.updated("tableName", q(a.options("tableName"))))
         case other => other
       })
     }

@@ -530,7 +530,9 @@ object Project {
     * (`True` → "true"). */
   private def loadSubstitutions(dir: Path): Map[String, Map[String, String]] =
     if (!Files.exists(dir)) Map.empty
-    else Files.list(dir).iterator().asScala
+    // Using.resource, like every other walk in this file — Files.list
+    // otherwise holds the directory fd until GC
+    else scala.util.Using.resource(Files.list(dir))(_.iterator().asScala
       .filter(_.toString.endsWith(".yaml"))
       .map { p =>
         val env = stripExt(p)
@@ -549,7 +551,7 @@ object Project {
           case _ => Map.empty[String, String]
         }
         env -> tokens
-      }.toMap
+      }.toMap)
 
   /** Build an env-var-backed secret provider honoring the substitution
     * file's `secrets:` block (reference secret-scope config): scope aliases

@@ -60,8 +60,23 @@ object YamlConfig {
   def resolveAndParse(yamlText: String, vars: Map[String, String],
       tokens: Map[String, String],
       secrets: Substitution.SecretProvider = Substitution.envSecrets): FlowGroup = {
-    val fg0 = parseFlowGroup(yamlText) // first parse to pick up local variables
-    val allVars = fg0.variables ++ vars
+    // read ONLY the variables block pre-substitution (the
+    // FlowGroupResolver discipline): a full parseFlowGroup here would run
+    // field validation against the RAW token text — a token in any
+    // validated position ({rate} in maxFilesPerTrigger, {v} in
+    // version_as_of) would throw on the placeholder before Substitution
+    // ever supplies the value
+    val raw = new org.yaml.snakeyaml.Yaml().load[Any](yamlText)
+    val localVars = raw match {
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.collectFirst {
+          case (k, vm: java.util.Map[_, _]) if k.toString == "variables" =>
+            vm.asScala.map { case (vk, vv) => vk.toString -> String.valueOf(vv) }.toMap
+        }.getOrElse(Map.empty[String, String])
+      case _ => Map.empty[String, String]
+    }
+    val allVars = localVars ++ vars
     parseFlowGroup(Substitution(yamlText, allVars, tokens, secrets))
   }
 
@@ -450,6 +465,37 @@ object YamlConfig {
     }
     val tagsFile = str(wt, "tags_file")
     val tableSchemaDdl = str(wt, "table_schema")
+    // write modes are a per-type allowlist: downstream dispatch is all
+    // Option.contains, so a typo'd mode ('incrementall', 'snapshot-cdc')
+    // would make every check false and the write silently run as plain
+    // append / full refresh — the silent-config class this parser refuses
+    // everywhere else (data_quality already validates its mode)
+    locally {
+      val validModes = Map(
+        // "cdc" is the reference corpus's advisory spelling (the cdc_config
+        // block is what actually drives the merge); "standard" is its
+        // explicit plain-append spelling
+        "streaming_table" -> Set("standard", "cdc", "snapshot_cdc"),
+        "materialized_view" ->
+          Set("incremental", "incremental_join", "incremental_recompute"))
+      str(wt, "mode").foreach { md =>
+        val allowed = validModes.getOrElse(writeType, Set.empty[String])
+        if (!allowed.contains(md)) throw ConfigError(graft.ErrorCodes.ACT_010(
+          s"write '$name': unknown mode '$md' for $writeType" +
+            (if (allowed.nonEmpty) s" (valid: ${allowed.toSeq.sorted.mkString(", ")})"
+             else " (this write type takes no mode)") +
+            " — a typo here would silently degrade to plain append / full refresh"))
+      }
+      // mode: snapshot_cdc without its config would parse cdc = None and
+      // plain-append every full snapshot per run (deletes never diffed,
+      // re-runs duplicating the snapshot)
+      if (writeType == "streaming_table" && str(wt, "mode").contains("snapshot_cdc") &&
+          wt.get("snapshot_cdc_config").orElse(m.get("snapshot_cdc_config"))
+            .orElse(m.get("cdc_config")).orElse(wt.get("cdc_config")).isEmpty)
+        throw ConfigError(graft.ErrorCodes.ACT_010(
+          s"write '$name': mode snapshot_cdc needs snapshot_cdc_config " +
+            "(keys + sequence_by drive the snapshot diff)"))
+    }
     writeType match {
       case "streaming_table" =>
         // snapshot mode carries its config under snapshot_cdc_config

@@ -400,13 +400,17 @@ final class PipelineRunner(
         // the rescue path reads raw lines: a csv header line would parse as
         // a (malformed) data row and emit one phantom rescued record per
         // file; quoted multi-line records break the same way — reject both
-        // configurations loudly rather than corrupt quietly
-        if (a.format == "csv" && a.options.get("header").exists(_.toBoolean))
+        // configurations loudly rather than corrupt quietly. Lookups are
+        // CASE-INSENSITIVE like Spark's own reader options ('Header: true'
+        // takes effect in the reader, so it must trip the guard too)
+        def optCI(name: String): Option[String] =
+          a.options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+        if (a.format == "csv" && optCI("header").exists(_.toBoolean))
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': rescuedDataColumn with csv 'header: true' is " +
             "not supported (the line-based rescue parse would rescue every " +
             "header row); drop the header option or pre-strip headers")
-        if (a.format == "csv" && a.options.get("multiLine").exists(_.toBoolean))
+        if (a.format == "csv" && optCI("multiLine").exists(_.toBoolean))
           throw graft.config.YamlConfig.ConfigError(
             s"load '${a.name}': rescuedDataColumn with csv 'multiLine: true' " +
             "is not supported (rescue parses line-by-line)")
@@ -1007,7 +1011,11 @@ final class PipelineRunner(
     case a: MaterializedViewWrite =>
       applyFullRefresh(a.table, a.name)
       val raw = withWatermarkOverlay(a) {
-        a.sql.orElse(a.sqlPath.map(readFile)).map(spark.sql)
+        // through sqlWithStreamRefs, not bare spark.sql: the incremental
+        // branch's own refusal text recommends "stream(...)", which bare
+        // spark.sql rejects as an unknown table-valued function — the
+        // stream() rewrite must work on the path whose error suggests it
+        a.sql.orElse(a.sqlPath.map(readFile)).map(s => sqlWithStreamRefs(s)._1)
           .getOrElse(resolveSource(a.source.get))
       }
       // top-level dedup detection runs on the RAW plan, before the
@@ -1257,8 +1265,7 @@ final class PipelineRunner(
   private def sqlWithStreamRefs(sql: String): (DataFrame, Boolean) = {
     val streamed = graft.plan.StreamRef.streamedViews(sql)
     val overlays = streamed.filter { t =>
-      !t.contains(".") && !streamingViews.contains(t) && !views.contains(t) &&
-        store.exists(t)
+      !streamingViews.contains(t) && !views.contains(t) && store.exists(t)
     }.flatMap { t =>
       if (store.getMeta(t, "rewritten").isDefined) {
         graft.Log.warn(s"stream($t): table is rewritten by " +
@@ -1267,21 +1274,29 @@ final class PipelineRunner(
         None
       } else Some(t)
     }
+    // QUALIFIED names (namespaced pipelines) overlay under a mangled temp
+    // view and the SQL reference is rewritten to it — a temp view cannot
+    // carry dots, and the earlier dotted-name exclusion silently degraded
+    // stream(cat.sch.t) to a batch re-read of the full history (the exact
+    // duplicate-append regression this function's batch-fallback WARN
+    // exists to prevent; the dotted case had no warning at all)
     val saved = overlays.map { t =>
-      val hadView = spark.catalog.tableExists(t)
+      val viewName = if (t.contains(".")) "__stream_" + t.replace('.', '_') else t
+      val hadView = spark.catalog.tableExists(viewName)
       val batchSchema = store.read(t).schema
       spark.readStream.schema(batchSchema).parquet(store.path(t))
-        .createOrReplaceTempView(t)
-      t -> hadView
+        .createOrReplaceTempView(viewName)
+      (t, viewName, hadView)
     }
+    val rename = saved.collect { case (t, v, _) if t != v => t -> v }.toMap
     try {
-      val df = spark.sql(graft.plan.StreamRef.strip(sql))
+      val df = spark.sql(graft.plan.StreamRef.stripTo(sql, rename))
       (df, df.isStreaming || streamed.exists(streamingViews.contains))
-    } finally saved.foreach { case (t, hadView) =>
+    } finally saved.foreach { case (t, viewName, hadView) =>
       // restore the batch temp view (or remove ours) — later consumers in
       // this run must see the table's batch contents again
-      if (hadView) store.read(t).createOrReplaceTempView(t)
-      else spark.catalog.dropTempView(t): Unit
+      if (hadView) store.read(t).createOrReplaceTempView(viewName)
+      else spark.catalog.dropTempView(viewName): Unit
     }
   }
 

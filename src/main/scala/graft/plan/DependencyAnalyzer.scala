@@ -196,4 +196,14 @@ object StreamRef {
   /** SQL with stream(...) wrappers replaced by the bare view name. */
   def strip(sql: String): String =
     Pat.replaceAllIn(sql, m => m.group(1))
+
+  /** [[strip]] with per-table renames — the runner substitutes a mangled
+    * temp-view name for QUALIFIED stream(catalog.schema.table) references,
+    * which cannot be overlaid under their own dotted name (temp views
+    * reject dots). */
+  def stripTo(sql: String, rename: Map[String, String]): String =
+    Pat.replaceAllIn(sql, m => {
+      val t = m.group(1).replace("`", "")
+      java.util.regex.Matcher.quoteReplacement(rename.getOrElse(t, t))
+    })
 }

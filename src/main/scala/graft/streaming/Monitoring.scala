@@ -12,11 +12,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Monitoring {
 
-  /** Batch union of event-log directories with a source tag. */
-  def unionEventLogs(spark: SparkSession, logs: Map[String, String]): DataFrame =
+  /** Batch union of event-log directories with a source tag. An empty map
+    * is a loud error naming the situation, not a bare empty.reduceLeft —
+    * a project whose pipelines have produced no event logs yet should see
+    * what is missing, not an UnsupportedOperationException. */
+  def unionEventLogs(spark: SparkSession, logs: Map[String, String]): DataFrame = {
+    require(logs.nonEmpty,
+      "unionEventLogs: no event-log sources — no pipeline has produced an " +
+        "event log yet (run a pipeline with event logging enabled first)")
     logs.map { case (pipeline, path) =>
       spark.read.parquet(path).withColumn("_pipeline", lit(pipeline))
     }.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
 
   /** Streaming variant: one AvailableNow flow per source into `targetPath`,
     * each with its own checkpoint (per-stream checkpoints, as the reference

@@ -23,12 +23,18 @@ object StatefulSessionize {
       n_events: Long, total_value: Double)
 
   /** Sessionize a stream of events keyed by user with `gapMs` inactivity.
-    * Emits closed sessions; on stream end (or timeout) open sessions remain
-    * in state. In batch mode every group's sessions emit (final flush). */
+    * STREAMING: emits closed sessions; open sessions persist in the state
+    * store across microbatches/runs (NoTimeout is deliberate for
+    * AvailableNow pipelines — the next run's events may extend them).
+    * BATCH: there is no later run, so every group's final open session is
+    * FLUSHED too — without the flush each user's most recent session
+    * silently vanished from batch results (each group is invoked exactly
+    * once in batch execution; nothing ever came back for the state). */
   def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val longEnc = Encoders.scalaLong
+    val flushOpen = !events.isStreaming
 
     def fn(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
@@ -47,7 +53,8 @@ object StatefulSessionize {
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
-      cur.foreach(state.update) // open session persists to the state store
+      if (flushOpen) cur.foreach(s => out += Session(userId, s.start, s.end, s.n, s.sum))
+      else cur.foreach(state.update) // open session persists to the state store
       out.result().iterator
     }
 

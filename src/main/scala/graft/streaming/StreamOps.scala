@@ -21,13 +21,17 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Exactly-once-ish stream dedup by key within the watermark horizon
-    * (`dropDuplicates` keyed state; batch mode = plain dropDuplicates). */
+  /** Stream dedup BY KEY within the watermark horizon — the primitive the
+    * runner's ingest-time dedup uses (`dropDuplicatesWithinWatermark`:
+    * keyed state evicted at the horizon). Keying on keys ALONE is the
+    * contract: a producer retry that re-stamps the timestamp is still the
+    * same logical event, and the earlier `dropDuplicates(keys :+ ts)` let
+    * both deliveries through. Batch mode = plain dropDuplicates(keys). */
   def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
-      keys: Seq[String]): DataFrame = {
-    val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
-    base.dropDuplicates(keys :+ tsCol)
-  }
+      keys: Seq[String]): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
 
   /** Sliding-window aggregation. */
   def slidingAgg(df: DataFrame, tsCol: String, windowLength: String,

@@ -209,6 +209,66 @@ class YamlConfigSpec extends SparkSuite {
     assert(fg.actions.head.isInstanceOf[graft.model.TableLoad])
   }
 
+  test("write mode is an allowlist — a typo cannot silently degrade the write") {
+    def yaml(writeType: String, mode: String, extra: String = "") =
+      s"""pipeline: p
+         |flowgroup: wm
+         |actions:
+         |  - name: w
+         |    type: write
+         |    source: v
+         |    sql: "SELECT 1 AS x"
+         |    write_target:
+         |      type: $writeType
+         |      table: t
+         |      mode: $mode
+         |$extra""".stripMargin
+    // downstream dispatch is Option.contains — pre-fix these parsed fine
+    // and ran as plain append / full refresh
+    val e1 = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(yaml("materialized_view", "incrementall")))
+    assert(e1.msg.contains("unknown mode 'incrementall'") &&
+      e1.msg.contains("incremental_join"), e1.msg)
+    val e2 = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(yaml("streaming_table", "snapshot-cdc")))
+    assert(e2.msg.contains("snapshot_cdc"), e2.msg)
+    // mode: snapshot_cdc REQUIRES its config — without it every run would
+    // plain-append the full snapshot (deletes never diffed)
+    val e3 = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(yaml("streaming_table", "snapshot_cdc")))
+    assert(e3.msg.contains("snapshot_cdc_config"), e3.msg)
+    // the reference corpus's advisory spellings stay valid
+    YamlConfig.parseFlowGroup(yaml("streaming_table", "cdc",
+      """      cdc_config: {keys: [k], sequence_by: [ts]}
+        |""".stripMargin)): Unit
+    YamlConfig.parseFlowGroup(yaml("streaming_table", "standard")): Unit
+  }
+
+  test("resolveAndParse substitutes BEFORE validation — tokens in validated fields work") {
+    // pre-fix, the pre-substitution parse validated the literal token text
+    // and threw "maxFilesPerTrigger must be a positive integer, got '{rate}'"
+    val yaml =
+      """pipeline: p
+        |flowgroup: rp
+        |variables:
+        |  fmt: json
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source:
+        |      type: cloudfiles
+        |      path: /tmp/x
+        |      format: "%{fmt}"
+        |      readMode: stream
+        |      options: {maxFilesPerTrigger: "{rate}"}
+        |    target: v
+        |""".stripMargin
+    val fg = YamlConfig.resolveAndParse(yaml, Map.empty, Map("rate" -> "4"))
+    val load = fg.actions.head.asInstanceOf[graft.model.CloudFilesLoad]
+    assert(load.format == "json")
+    assert(load.options("maxFilesPerTrigger") == "4")
+  }
+
   test("unknown action type and failureAction are errors") {
     intercept[YamlConfig.ConfigError] {
       YamlConfig.parseAction(Map("name" -> "a", "type" -> "nonsense"))

@@ -999,6 +999,36 @@ class PipelineRunnerSpec extends SparkSuite {
       .contains("append flows"))
   }
 
+  test("MV sql supports stream(...) — including QUALIFIED table names, incrementally") {
+    // two findings in one: (a) the MV main-sql path routed bare spark.sql,
+    // so the stream() form its own refusal recommends threw an anonymous
+    // UNRESOLVED_ROUTINE; (b) dotted stream(cat.sch.t) names were silently
+    // excluded from the streaming overlay (temp views reject dots) and
+    // degraded to a batch re-read — now they overlay under a mangled view
+    val (runner, store, _) = freshRunner()
+    store.overwrite("cat.sch.src", Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v"))
+    val yaml =
+      """pipeline: p
+        |flowgroup: qsmv
+        |actions:
+        |  - name: mv
+        |    type: write
+        |    sql: >
+        |      SELECT count(*) AS n, sum(v) AS total FROM stream(cat.sch.src)
+        |    write_target:
+        |      type: materialized_view
+        |      table: qsmv_out
+        |      mode: incremental
+        |""".stripMargin
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("qsmv_out").as[(Long, Double)].head() == ((2L, 5.0)))
+    // append to the source: the second run reads ONLY the delta (the
+    // checkpointed agg state carries the rest) and the MV updates
+    store.append("cat.sch.src", Seq((3L, 5.0)).toDF("k", "v"))
+    runner.run(YamlConfig.parseFlowGroup(yaml))
+    assert(store.read("qsmv_out").as[(Long, Double)].head() == ((3L, 10.0)))
+  }
+
   test("stream-stream join: watermark transforms unlock a time-bounded self-join across runs") {
     val (runner, store, dir) = freshRunner()
     val landing = s"$dir/ssw_landing"

@@ -9,6 +9,22 @@ import graft.SparkSuite
 class StatefulSessionizeSpec extends SparkSuite {
   import spark.implicits._
 
+  test("batch mode flushes the final open session — the last session never vanishes") {
+    // one user, all events within the gap: pre-fix, batch mode emitted
+    // NOTHING (the open session persisted to meaningless batch state and
+    // each group is invoked exactly once)
+    val events = Seq(
+      (1L, "2024-03-01 10:00:00", 1.0), (1L, "2024-03-01 10:10:00", 2.0),
+      (2L, "2024-03-01 09:00:00", 5.0), (2L, "2024-03-01 11:00:00", 7.0))
+      .toDF("user_id", "ts_s", "value")
+      .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+      .as[StatefulSessionize.Event]
+    val out = StatefulSessionize.sessions(events, gapMs = 30 * 60 * 1000)
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    // user 1: ONE session (2 events); user 2: TWO sessions (gap > 30 min)
+    assert(out == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (2L, 1L, 7.0)), out.toString)
+  }
+
   test("flatMapGroupsWithState sessionizes across restarted AvailableNow runs") {
     val dir = Files.createTempDirectory("stateful").toString
 
