@@ -56,12 +56,9 @@ object EventLog {
     // together would append to the same event-log directory concurrently —
     // Spark's file committer shares a _temporary staging dir per output
     // path, so the first job's commit wipes the second's in-flight files.
-    // The engine-wide single-writer-per-table discipline applies to hooks
-    // too; events are tiny, so the lock costs nothing.
-    private val tableLocks =
-      new java.util.concurrent.ConcurrentHashMap[String, Object]()
-    private def lockFor(table: String): Object =
-      tableLocks.computeIfAbsent(table, _ => new Object)
+    // No lock map of its own: store.append serializes per RESOLVED table
+    // name store-wide (JVM monitor + cross-process file lock) — a second
+    // layer here locked the UNRESOLVED name and could only drift.
 
     private def json(kv: (String, String)*): String = TableStore.jsonObject(kv)
 
@@ -95,10 +92,7 @@ object EventLog {
         m
       }
       import spark.implicits._
-      val table = tableFor(p)
-      lockFor(table).synchronized {
-        store.append(table, mine.toDF())
-      }
+      store.append(tableFor(p), mine.toDF())
     }
   }
 }

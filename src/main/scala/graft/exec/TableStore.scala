@@ -250,7 +250,10 @@ final class TableStore(spark: SparkSession, val warehouse: String,
         } else {
           val kept = existing.join(updates.select(keys.head, keys.tail: _*).distinct(),
             keys, "left_anti")
-          replace(table, kept.unionByName(updates, allowMissingColumns = true))
+          // preserve the on-disk partition layout (the compact precedent):
+          // a bare replace would rewrite a dt-partitioned table flat,
+          // silently losing partition pruning for every future read/merge
+          replace(table, kept.unionByName(updates, allowMissingColumns = true), partCols)
         }
     } }
 
@@ -265,7 +268,10 @@ final class TableStore(spark: SparkSession, val warehouse: String,
         case None => overwrite(table, updates)
         case Some(existing) =>
           val fresh = updates.join(existing.select(keys.head, keys.tail: _*).distinct(), keys, "left_anti")
-          append(table, fresh)
+          // honor the table's partition layout — an unpartitioned append
+          // into a col=value directory tree lands part-files at the ROOT,
+          // and the next read fails on conflicting directory structures
+          append(table, fresh, partitionColumnsOf(table))
       }
     }
 
@@ -541,22 +547,28 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     TableStore.readJsonSidecar(Paths.get(path(table) + "._tags.json"))
 
   def registerAll(): Unit = {
-    val root = new java.io.File(warehouse)
-    if (root.exists()) root.listFiles()
-      .filter(d => d.isDirectory && !d.getName.startsWith(".")).foreach { d =>
-        // the directory name is a PHYSICAL name — routing it through
-        // read()/path() would apply the sandbox nameMap a second time, so
-        // the sidecar is resolved against the physical path directly (a
-        // widened table's view must still carry the added columns; footer
-        // sampling may pick a narrow file)
-        val sidecar = Paths.get(d.getAbsolutePath + "._schema")
-        val df =
-          if (Files.exists(sidecar))
-            spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-              Files.readString(sidecar).trim)).parquet(d.getAbsolutePath)
-          else spark.read.parquet(d.getAbsolutePath)
-        df.createOrReplaceTempView(d.getName)
-      }
+    // resolve TABLE directories via the same nested-qualifier walk
+    // listTables uses — a top-level-only listing would read a schema
+    // directory ('analytics/' holding 'analytics/events') as if it were
+    // itself a parquet table and fail on schema inference, never
+    // registering the real table
+    TableStore.listTables(warehouse).foreach { qualified =>
+      val physical = s"$warehouse/${qualified.replace('.', '/')}"
+      // the directory name is a PHYSICAL name — routing it through
+      // read()/path() would apply the sandbox nameMap a second time, so
+      // the sidecar is resolved against the physical path directly (a
+      // widened table's view must still carry the added columns; footer
+      // sampling may pick a narrow file)
+      val sidecar = Paths.get(physical + "._schema")
+      val df =
+        if (Files.exists(sidecar))
+          spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            Files.readString(sidecar).trim)).parquet(physical)
+        else spark.read.parquet(physical)
+      // leaf-name temp view (temp views reject dots) — the short-name
+      // resolution contract the scheduler's leaf matching relies on
+      df.createOrReplaceTempView(qualified.split('.').last)
+    }
   }
 }
 

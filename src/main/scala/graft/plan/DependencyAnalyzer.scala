@@ -158,15 +158,32 @@ object DependencyAnalyzer {
     }
   }
 
-  /** Flowgroup-level graph: fg depends on fgs producing tables it consumes. */
+  /** Flowgroup-level graph: fg depends on fgs producing tables it consumes.
+    *
+    * Producers map to SETS: cross-flowgroup fan-in (two flowgroups
+    * appending one table — a shape the orchestrator explicitly supports)
+    * must edge the consumer to EVERY producer, or the consumer lands in a
+    * generation concurrent with (or earlier than) one of its writers and
+    * reads a mid-commit table (a last-wins Map dropped all but one edge).
+    * Consumed names also resolve by LEAF name when unambiguous — fg B
+    * reading 'events' written by fg A as 'silver.events' is legal at
+    * runtime (registerAll registers leaf-name views), so the scheduler
+    * must see the edge; an AMBIGUOUS leaf (two qualified tables sharing
+    * it) stays unresolved rather than guessing. */
   def flowgroupGraph(spark: SparkSession, fgs: Seq[FlowGroup],
       trustDependsOn: Boolean = false): Graph = {
-    val producers: Map[String, String] = fgs.flatMap { fg =>
+    val producers: Map[String, Set[String]] = fgs.flatMap { fg =>
       produces(fg).map(_ -> s"${fg.pipeline}.${fg.flowgroup}")
-    }.toMap
+    }.groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2).toSet }
+    val byLeaf: Map[String, Set[String]] = producers.toSeq
+      .groupBy { case (t, _) => t.split('.').last }
+      .collect { case (leaf, ts) if ts.map(_._1).distinct.size == 1 =>
+        leaf -> ts.flatMap(_._2).toSet }
     Graph(fgs.map { fg =>
       val me = s"${fg.pipeline}.${fg.flowgroup}"
-      me -> consumes(spark, fg, trustDependsOn).flatMap(producers.get).filterNot(_ == me)
+      me -> consumes(spark, fg, trustDependsOn)
+        .flatMap(t => producers.getOrElse(t, byLeaf.getOrElse(t, Set.empty)))
+        .filterNot(_ == me)
     }.toMap)
   }
 

@@ -130,7 +130,15 @@ object Planner {
 
   def plan(fg: FlowGroup,
       inputs: Action => Seq[String] = _.inputNames): Seq[Action] = {
-    validate(fg, inputs)
-    order(fg.actions, inputs)
+    // memoize per action: `inputs` may Catalyst-parse SQL, and validate +
+    // order would otherwise each resolve every action — doubling driver
+    // parse work per plan for nothing
+    val cache = new java.util.IdentityHashMap[Action, Seq[String]]()
+    val memo: Action => Seq[String] = a => {
+      val hit = cache.get(a)
+      if (hit != null) hit else { val v = inputs(a); cache.put(a, v); v }
+    }
+    validate(fg, memo)
+    order(fg.actions, memo)
   }
 }

@@ -73,6 +73,13 @@ object WarcBridge {
     * non-gzip garbage all throw with `path` named — never a silent EOF. */
   private[sources] def gunzipStrict(bytes: Array[Byte], path: String): Array[Byte] = {
     def fail(msg: String): Nothing = throw ConfigError(s"warc: '$path': $msg")
+    // whole-file decompression is bounded by the JVM array limit (~2 GB):
+    // a full-size Common Crawl response shard (~1 GB gz → ~4-5 GB raw)
+    // needs a streaming record parser — refuse BY NAME at the limit
+    // instead of dying mid-task with a bare OutOfMemoryError. WET (text
+    // extraction) shards and fixture archives decompress well under it.
+    val maxOut = Int.MaxValue - 64
+    var total = 0L
     val out = new ByteArrayOutputStream(math.min(bytes.length.toLong * 4, Int.MaxValue / 2).toInt)
     val buf = new Array[Byte](64 * 1024)
     var pos = 0
@@ -106,6 +113,11 @@ object WarcBridge {
             fail(s"gzip member $member: truncated deflate stream")
           crc.update(buf, 0, n)
           isize += n
+          total += n
+          if (total > maxOut) fail(
+            s"decompressed size exceeds the JVM array limit (~2 GB) — this " +
+              "whole-file parser cannot hold it; split the archive or use a " +
+              "streaming WARC reader for full-size response shards")
           out.write(buf, 0, n)
         }
         val consumed = (bytes.length - p) - inf.getRemaining
@@ -191,9 +203,13 @@ object WarcBridge {
       catch { case _: java.time.format.DateTimeParseException =>
         fail(s"bad WARC-Date '${mandatory("WARC-Date")}'") }
     val payloadStart = hEnd + 4
-    val payloadEnd = payloadStart + len.toInt
-    if (payloadEnd > bytes.length)
+    // bound computed in LONG: a corrupt multi-GB Content-Length near the
+    // array limit would wrap an Int sum negative, slip past the guard, and
+    // surface as a bare copyOfRange exception with no file/record context
+    val payloadEndL = payloadStart.toLong + len
+    if (payloadEndL > bytes.length)
       fail(s"payload truncated (${bytes.length - payloadStart} of $len bytes)")
+    val payloadEnd = payloadEndL.toInt
     val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)
     if (payloadEnd + 4 > bytes.length ||
         bytes(payloadEnd) != '\r' || bytes(payloadEnd + 1) != '\n' ||

@@ -22,6 +22,38 @@ class TableStoreSpec extends SparkSuite {
             java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong))
       }.toMap
 
+  test("partition layout survives upsert (non-key path) and insertIfAbsent") {
+    val store = freshStore()
+    store.overwrite("pt", Seq((1, 10L, "a"), (2, 20L, "b")).toDF("dt", "id", "v"),
+      partitionBy = Seq("dt"))
+    // upsert keyed on id (dt NOT a key): pre-fix the rewrite landed FLAT,
+    // silently losing the dt=... layout (and partition pruning) forever
+    store.upsert("pt", Seq((1, 10L, "A"), (3, 30L, "c")).toDF("dt", "id", "v"),
+      keys = Seq("id"))
+    assert(store.partitionColumnsOf("pt") == Seq("dt"))
+    assert(new java.io.File(store.path("pt")).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("dt=")))
+    // insertIfAbsent: pre-fix the append landed part-files at the table
+    // ROOT beside dt=... dirs — the next read failed on conflicting
+    // directory structures
+    store.insertIfAbsent("pt", Seq((4, 40L, "d"), (3, 30L, "dupe")).toDF("dt", "id", "v"),
+      keys = Seq("id"))
+    assert(store.read("pt").select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((10L, "A"), (20L, "b"), (30L, "c"), (40L, "d")))
+    assert(store.partitionColumnsOf("pt") == Seq("dt"))
+  }
+
+  test("registerAll registers NESTED (qualified) tables under their leaf name") {
+    val store = freshStore()
+    store.overwrite("analytics.events", Seq((1, "a")).toDF("k", "v"))
+    store.overwrite("flat", Seq((2, "b")).toDF("k", "v"))
+    // pre-fix, registerAll read the 'analytics' SCHEMA directory as if it
+    // were itself a parquet table and failed on schema inference
+    store.registerAll()
+    assert(spark.table("events").count() == 1)
+    assert(spark.table("flat").count() == 1)
+  }
+
   test("replace stages then swaps: self-referencing plan, no localCheckpoint") {
     val store = freshStore()
     store.overwrite("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))

@@ -44,6 +44,39 @@ class DependencyAnalyzerSpec extends SparkSuite {
     assert(g.generations == Seq(Seq("p.a", "p.b"), Seq("p.c")))
   }
 
+  test("cross-flowgroup fan-in edges the consumer to EVERY producer") {
+    // fgs a (gen 1, depends on d's table) and b (gen 0) BOTH write t_fan;
+    // c reads t_fan. A last-wins producers map kept only one edge, so c
+    // could schedule concurrently with the other writer and read a
+    // mid-commit table.
+    val fgs = Seq(
+      fg("p", "d", Seq("ext"), "t_d"),
+      fg("p", "a", Seq("t_d"), "t_fan"),
+      fg("p", "b", Seq("ext2"), "t_fan"),
+      fg("p", "c", Seq("t_fan"), "t_c"))
+    val g = DependencyAnalyzer.flowgroupGraph(spark, fgs)
+    assert(g.edges("p.c") == Set("p.a", "p.b"), g.edges.toString)
+    assert(g.generations == Seq(Seq("p.b", "p.d"), Seq("p.a"), Seq("p.c")))
+  }
+
+  test("leaf-name consumption resolves to the qualified producer when unambiguous") {
+    // fg s writes 'silver.events'; fg r reads 'events' — legal at runtime
+    // (registerAll registers leaf-name views), so the scheduler must see
+    // the edge; pre-fix r could run in the same generation as its writer
+    val fgs = Seq(
+      fg("p", "s", Seq("ext"), "silver.events"),
+      fg("p", "r", Seq("events"), "t_r"))
+    val g = DependencyAnalyzer.flowgroupGraph(spark, fgs)
+    assert(g.edges("p.r") == Set("p.s"), g.edges.toString)
+    // AMBIGUOUS leaf (two qualified tables share it): no edge is guessed
+    val amb = Seq(
+      fg("p", "s1", Seq("ext"), "silver.events"),
+      fg("p", "s2", Seq("ext"), "gold.events"),
+      fg("p", "r", Seq("events"), "t_r"))
+    val g2 = DependencyAnalyzer.flowgroupGraph(spark, amb)
+    assert(g2.edges("p.r") == Set.empty, g2.edges.toString)
+  }
+
   test("dependency graph exports DOT and generation text") {
     val fgs = Seq(
       fg("p", "a", Seq("ext"), "t_a"),
