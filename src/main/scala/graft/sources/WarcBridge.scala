@@ -52,7 +52,15 @@ object WarcBridge {
     StructField("payload", BinaryType, nullable = false)))
 
   /** Decode a `binaryFile` frame (streaming or batch) of `.warc` /
-    * `.warc.gz` / `.wet(.gz)` files into [[recordSchema]] rows. */
+    * `.warc.gz` / `.wet(.gz)` files into [[recordSchema]] rows.
+    *
+    * Gzip archives parse STREAMING, member by member: Common Crawl
+    * compresses record-at-a-time, so the working buffer holds a record or
+    * two — never the full decompressed archive (~4-5 GB for a 1 GB
+    * response shard, past the JVM array limit the old whole-file
+    * concatenation died on). A single-member archive holding many records
+    * degrades gracefully to the old shape (buffer = whole archive),
+    * bounded by the same loud per-member limit. */
   def decode(bin: DataFrame): DataFrame =
     bin.select("path", "content").mapPartitions { it =>
       it.flatMap { fileRow =>
@@ -60,31 +68,50 @@ object WarcBridge {
         val bytes = fileRow.getAs[Array[Byte]](1)
         if (bytes == null || bytes.isEmpty) Iterator.empty[Row]
         else {
-          val raw = if (path.endsWith(".gz")) gunzipStrict(bytes, path) else bytes
-          parseRecords(raw, path)
+          val chunks =
+            if (path.endsWith(".gz")) gunzipMembers(bytes, path)
+            else Iterator.single(bytes)
+          parseRecords(chunks, path)
         }
       }
     }(Encoders.row(recordSchema))
 
   // ------------------------------------------------------------- gunzip
 
-  /** Inflate EVERY gzip member of `bytes`, loudly: corrupt member headers,
-    * CRC/ISIZE mismatches, truncated deflate streams, and trailing
-    * non-gzip garbage all throw with `path` named — never a silent EOF. */
+  /** Inflate every gzip member of `bytes` into one array — spec/fixture
+    * convenience over [[gunzipMembers]]; production decode streams the
+    * members instead (a full-size response shard decompresses past the
+    * JVM array limit this concatenation is bounded by). */
   private[sources] def gunzipStrict(bytes: Array[Byte], path: String): Array[Byte] = {
-    def fail(msg: String): Nothing = throw ConfigError(s"warc: '$path': $msg")
-    // whole-file decompression is bounded by the JVM array limit (~2 GB):
-    // a full-size Common Crawl response shard (~1 GB gz → ~4-5 GB raw)
-    // needs a streaming record parser — refuse BY NAME at the limit
-    // instead of dying mid-task with a bare OutOfMemoryError. WET (text
-    // extraction) shards and fixture archives decompress well under it.
-    val maxOut = Int.MaxValue - 64
-    var total = 0L
     val out = new ByteArrayOutputStream(math.min(bytes.length.toLong * 4, Int.MaxValue / 2).toInt)
+    var total = 0L
+    gunzipMembers(bytes, path).foreach { m =>
+      total += m.length
+      if (total > Int.MaxValue - 64) throw ConfigError(s"warc: '$path': " +
+        "decompressed size exceeds the JVM array limit (~2 GB) — use the " +
+        "streaming decode path (member iteration) for full-size shards")
+      out.write(m)
+    }
+    out.toByteArray
+  }
+
+  /** Inflate gzip members ONE AT A TIME, loudly: corrupt member headers,
+    * CRC/ISIZE mismatches, truncated deflate streams, and trailing
+    * non-gzip garbage all throw with `path` named — never a silent EOF.
+    * Memory is bounded by the largest single member (loud limit), not the
+    * archive. */
+  private[sources] def gunzipMembers(bytes: Array[Byte], path: String): Iterator[Array[Byte]] =
+      new Iterator[Array[Byte]] {
+    def fail(msg: String): Nothing = throw ConfigError(s"warc: '$path': $msg")
+    val maxOut = Int.MaxValue - 64
     val buf = new Array[Byte](64 * 1024)
     var pos = 0
     var member = 0
-    while (pos < bytes.length) {
+    def hasNext: Boolean = pos < bytes.length
+    def next(): Array[Byte] = {
+      if (!hasNext) throw new NoSuchElementException
+      val out = new ByteArrayOutputStream(64 * 1024)
+      var total = 0L
       def u8(i: Int): Int = {
         if (i >= bytes.length) fail(s"gzip member $member: truncated at byte $i")
         bytes(i) & 0xff
@@ -115,9 +142,7 @@ object WarcBridge {
           isize += n
           total += n
           if (total > maxOut) fail(
-            s"decompressed size exceeds the JVM array limit (~2 GB) — this " +
-              "whole-file parser cannot hold it; split the archive or use a " +
-              "streaming WARC reader for full-size response shards")
+            s"gzip member $member alone exceeds the JVM array limit (~2 GB)")
           out.write(buf, 0, n)
         }
         val consumed = (bytes.length - p) - inf.getRemaining
@@ -133,22 +158,69 @@ object WarcBridge {
         pos = trailer + 8
         member += 1
       } finally inf.end()
+      out.toByteArray
     }
-    out.toByteArray
   }
 
   // ------------------------------------------------------------- parser
 
-  /** Sequential record parse over the (decompressed) archive bytes. */
-  private def parseRecords(bytes: Array[Byte], path: String): Iterator[Row] =
+  /** Buffered sequential record parse over an iterator of decompressed
+    * chunks (gzip members, or one chunk for a plain file). A record is
+    * consumed as soon as the buffer holds it COMPLETELY; otherwise the
+    * next chunk appends. Memory = leftover partial record + one chunk —
+    * for Common Crawl's record-per-member layout that is ~one record, so
+    * archives far past the JVM array limit stream through. Truncation
+    * stays loud: a partial record with no chunks left routes into
+    * [[parseOne]], whose named errors fire exactly as in the whole-array
+    * parse. Consumed prefixes compact away once they pass 1 MB, so the
+    * buffer never accretes the archive. */
+  private def parseRecords(chunks: Iterator[Array[Byte]], path: String): Iterator[Row] =
     new Iterator[Row] {
-      private var pos = 0
+      private var buf = Array.emptyByteArray
+      private var off = 0
       private var recordIdx = 0
-      def hasNext: Boolean = pos < bytes.length
+
+      private def append(chunk: Array[Byte]): Unit = {
+        if (off > (1 << 20)) { // compact the consumed prefix
+          buf = java.util.Arrays.copyOfRange(buf, off, buf.length)
+          off = 0
+        }
+        if (buf.length.toLong + chunk.length > Int.MaxValue - 64)
+          throw ConfigError(s"warc: '$path': a single record spans more " +
+            "than the JVM array limit (~2 GB) of buffered archive — " +
+            "record-at-a-time members are required at this size")
+        val grown = java.util.Arrays.copyOf(buf, buf.length + chunk.length)
+        System.arraycopy(chunk, 0, grown, buf.length, chunk.length)
+        buf = grown
+      }
+
+      /** Whether buf holds a complete record at `off`. Conservative: any
+        * header irregularity answers true and lets parseOne fail loudly
+        * with full record context. */
+      private def complete(): Boolean = {
+        var i = off
+        while (i + 3 < buf.length &&
+          !(buf(i) == '\r' && buf(i + 1) == '\n' &&
+            buf(i + 2) == '\r' && buf(i + 3) == '\n')) i += 1
+        if (i + 3 >= buf.length) return false // header block still open
+        val headerText = new String(buf, off, i - off, StandardCharsets.UTF_8)
+        val cls = "(?im)^content-length\\s*:\\s*(\\d{1,18})\\s*$".r
+          .findAllMatchIn(headerText).map(_.group(1).toLong).toSeq
+        cls match {
+          case Seq(len) => i.toLong + 4 + len + 4 <= buf.length
+          case _ => true // missing/odd Content-Length: parseOne names it
+        }
+      }
+
+      def hasNext: Boolean = {
+        while (!complete() && chunks.hasNext) append(chunks.next())
+        off < buf.length
+      }
+
       def next(): Row = {
         if (!hasNext) throw new NoSuchElementException
-        val (row, nextPos) = parseOne(bytes, pos, path, recordIdx)
-        pos = nextPos
+        val (row, nextPos) = parseOne(buf, off, path, recordIdx)
+        off = nextPos
         recordIdx += 1
         row
       }

@@ -82,6 +82,31 @@ class WarcSpec extends SparkSuite {
     assert(rows.length == 4, s"expected 2 members x 2 records, got ${rows.length} (doc $half bytes)")
   }
 
+  test("a record SPLIT across gzip members buffers and parses — streaming, not whole-file") {
+    // the streaming member parser must reassemble a record whose bytes
+    // straddle a member boundary (and whose members each hold fractions
+    // of several records) — the shape that proves decode no longer
+    // concatenates the whole archive before parsing
+    val bos = new java.io.ByteArrayOutputStream()
+    val cut = goldenBytes.length / 3
+    Seq(goldenBytes.slice(0, cut),
+        goldenBytes.slice(cut, 2 * cut),
+        goldenBytes.slice(2 * cut, goldenBytes.length)).foreach { part =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(part); gz.finish()
+    }
+    val rows = decodeBytes(bos.toByteArray, "split.warc.gz")
+      .select("record_id").as[String].collect().sorted
+    assert(rows.toSeq == Seq("<urn:uuid:aaa-111>", "<urn:uuid:bbb-222>"))
+    // and a truncated FINAL record (archive ends mid-payload) stays loud
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val gz2 = new java.util.zip.GZIPOutputStream(bos2)
+    gz2.write(goldenBytes.dropRight(10)); gz2.finish()
+    val e = intercept[Exception](decodeBytes(bos2.toByteArray, "trunc.warc.gz").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ").contains("warc:"))
+  }
+
   test("strict mode fails loudly: truncation, bare LF, bad length") {
     def err(bytes: Array[Byte]): String = {
       val t = intercept[Exception](decodeBytes(bytes, "bad.warc").collect())
