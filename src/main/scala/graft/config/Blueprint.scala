@@ -35,10 +35,25 @@ object Blueprint {
     val instances = root.get("instances") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
         case m: java.util.Map[_, _] =>
-          m.asScala.map { case (k, v) => k.toString -> String.valueOf(v) }.toMap
+          m.asScala.map {
+            // a null instance value would substitute the literal text
+            // "null" into the rendered flowgroup — refuse by name
+            case (k, null) => throw YamlConfig.ConfigError(
+              s"blueprint instance parameter '$k' is null — every " +
+                "parameter needs a value (it substitutes textually)")
+            case (k, v) => k.toString -> String.valueOf(v)
+          }.toMap
         case other => throw YamlConfig.ConfigError(s"blueprint instance must be a map: $other")
       }
-      case _ => Nil
+      // missing, typo'd, or non-list 'instances' must not silently expand
+      // to ZERO flowgroups — the blueprint's pipelines would vanish from
+      // the run with no error (the silent-config class this package
+      // refuses everywhere else)
+      case Some(other) => throw YamlConfig.ConfigError(
+        s"blueprint 'instances' must be a LIST of parameter maps, got: $other")
+      case None => throw YamlConfig.ConfigError(
+        "blueprint missing 'instances' — a blueprint with no instances " +
+          "expands to nothing; list at least one parameter map")
     }
     Doc(
       root.get("blueprint").map(_.toString).getOrElse("blueprint"),

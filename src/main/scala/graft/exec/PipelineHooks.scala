@@ -26,20 +26,24 @@ trait PipelineHooks {
 object PipelineHooks {
   val noop: PipelineHooks = new PipelineHooks {}
 
-  /** Collecting implementation for tests/reporting. */
+  /** Collecting implementation for tests/reporting. Appends are
+    * synchronized: the orchestrator fires hooks from maxParallelism
+    * concurrent flowgroup threads, and ListBuffer's += is not thread-safe
+    * (the EventLog.Writer precedent — lost entries or a corrupted list
+    * otherwise). */
   final class Recording extends PipelineHooks {
     val tables = scala.collection.mutable.ListBuffer[String]()
     val tagged = scala.collection.mutable.ListBuffer[(String, Map[String, String])]()
     val tests = scala.collection.mutable.ListBuffer[(String, String, Long)]()
     val flowgroups = scala.collection.mutable.ListBuffer[(String, Boolean)]()
     override def onTableWritten(p: String, f: String, table: String): Unit =
-      tables += table
+      synchronized { tables += table: Unit }
     override def onTableTagged(p: String, f: String, table: String,
         tags: Map[String, String]): Unit =
-      tagged += ((table, tags))
+      synchronized { tagged += ((table, tags)): Unit }
     override def onTestResult(p: String, f: String, name: String, tt: String, v: Long): Unit =
-      tests += ((name, tt, v))
+      synchronized { tests += ((name, tt, v)): Unit }
     override def onFlowgroupComplete(p: String, f: String, e: Option[Throwable]): Unit =
-      flowgroups += ((s"$p.$f", e.isEmpty))
+      synchronized { flowgroups += ((s"$p.$f", e.isEmpty)): Unit }
   }
 }

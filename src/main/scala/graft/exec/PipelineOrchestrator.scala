@@ -53,9 +53,16 @@ final class PipelineOrchestrator(
       } {
         store.drop(w.table)
         store.drop(s"${w.table}__changes")
+        // the incremental_join companion lives and dies with its MV
+        w match {
+          case mv: graft.model.MaterializedViewWrite if mv.incrementalJoin =>
+            store.drop(s"${w.table}__joined")
+          case _ =>
+        }
         Fs.deleteRecursively(s"$checkpointRoot/${fg.pipeline}/${fg.flowgroup}/${w.name}")
       }
     }
+    val runId = java.util.UUID.randomUUID().toString
     val byName = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg).toMap
     val graph = DependencyAnalyzer.flowgroupGraph(spark, fgs)
     val pool = Executors.newFixedThreadPool(math.max(1, maxParallelism))
@@ -67,15 +74,32 @@ final class PipelineOrchestrator(
           graph.edges.getOrElse(n, Set.empty).exists(dead))
         dead ++= blocked
         val skips = blocked.flatMap(byName.get).map { fg =>
+          // skipped flowgroups fire the completion hook too — the event
+          // log and test reporters must record WHY a flowgroup produced
+          // nothing, or monitoring cannot tell "skipped on upstream
+          // failure" from "never scheduled"
+          hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup,
+            Some(new RuntimeException(
+              "skipped: an upstream flowgroup failed this run")))
           Outcome(s"${fg.pipeline}.${fg.flowgroup}", None, skipped = true,
             durationMs = 0L)
         }
         val futures = runnable.flatMap(byName.get).map { fg =>
           Future {
-            // refresh drops already happened up front — runners must not
-            // re-drop, or a cross-flowgroup fan-in loses earlier flows
+            // runners receive the full-refresh set: the orchestrator's
+            // up-front pass drops the tables/changes/checkpoints ONCE
+            // (per-runner re-drops would let a fan-in's later flow wipe an
+            // earlier flow's fresh output — drops stay idempotent against
+            // that), but the RUNNER-side refresh behaviors beyond dropping
+            // (the incremental_join __joined companion reset, Auto Loader
+            // schema-pin re-inference, includeExistingFiles snapshot
+            // re-take) key off this set and silently never fired when it
+            // arrived empty. One runId for the whole orchestrated run —
+            // per-runner random UUIDs made _pipeline_run_id useless for
+            // correlating a run's outputs across flowgroups.
             val runner = new PipelineRunner(spark, store, checkpointRoot, plugins, hooks,
-              projectRoot, opMetaColumns,
+              projectRoot, opMetaColumns, runId = runId,
+              fullRefresh = fullRefresh, refreshDropsExternal = true,
               tagsEnabled = tagsEnabled, removeUndeclaredTags = removeUndeclaredTags,
               sinkRoot = sinkRoot)
             val name = s"${fg.pipeline}.${fg.flowgroup}"

@@ -66,6 +66,14 @@ final class PipelineRunner(
       * default; `enabled: false` disables the tag sidecar + hook while
       * comments still apply). */
     tagsEnabled: Boolean = true,
+    /** True when an orchestrator performed the full-refresh DROPS up front
+      * (once globally — per-runner drops would let a cross-flowgroup
+      * fan-in's later flow wipe an earlier flow's fresh output). The
+      * runner then skips its own table/companion drops but keeps every
+      * OTHER refresh behavior (checkpoint wipe is idempotent; Auto Loader
+      * schema-pin reset and includeExistingFiles snapshot re-take are
+      * per-load-action and fire exactly once). */
+    refreshDropsExternal: Boolean = false,
     /** Reconcile mode (uc_tagging.remove_undeclared_tags): true = existing
       * tags absent from the declared set are REMOVED; false (reference
       * default) = tagging is purely additive — a tag declared last month
@@ -766,8 +774,11 @@ final class PipelineRunner(
       val src = resolveSource(a.source)
       a.quarantineTable match {
         case None =>
-          val out = Expectations(
-            Expectations.observeWarnings(src, a.rules, a.name), a.rules)
+          // ONE wrap, observation named by the action: the old double wrap
+          // (observeWarnings + apply's default-named observe) computed the
+          // warn metrics twice and collided on the shared default name the
+          // moment two expectation datasets met in one plan
+          val out = Expectations(src, a.rules, observationName = a.name)
           register(a.target, withOpMeta(a0, out), streamingViews.contains(a.source))
         case Some(dlq) if streamingViews.contains(a.source) || src.isStreaming =>
           // streaming quarantine: DLQ routing needs batch writes, so the
@@ -889,7 +900,7 @@ final class PipelineRunner(
       def wrapMv(df0: DataFrame): DataFrame = {
         val d1 = withOpMeta(a, df0)
         val d2 = a.rowFilter.map(d1.filter).getOrElse(d1)
-        enforceDeclaredSchema(Expectations(d2, a.expectations),
+        enforceDeclaredSchema(Expectations(d2, a.expectations, s"expectations_${a.name}"),
           a.tableSchemaDdl, a.name, a.tagsFile)
       }
       // the wrapper stack is column-static: probe it ONCE here so a
@@ -978,7 +989,7 @@ final class PipelineRunner(
       // MV (and this action's checkpoint) must drop the accumulated join
       // too, or the restarted stream re-lands history beside stale rows
       if ((fullRefresh.contains("*") || fullRefresh.contains(a.table)) &&
-          refreshed.add(companion))
+          refreshed.add(companion) && !refreshDropsExternal)
         store.drop(companion)
       val (joined, isStreaming) = sqlWithStreamRefs(a.joinedSql.get)
       if (!isStreaming) throw Planner.PlanError(
@@ -998,7 +1009,7 @@ final class PipelineRunner(
         j.createOrReplaceTempView(tableViewName(companion))
         val agg0 = withOpMeta(a, spark.sql(a.sql.orElse(a.sqlPath.map(readFile)).get))
         val agg1 = a.rowFilter.map(agg0.filter).getOrElse(agg0)
-        val agg = enforceDeclaredSchema(Expectations(agg1, a.expectations),
+        val agg = enforceDeclaredSchema(Expectations(agg1, a.expectations, s"expectations_${a.name}"),
           a.tableSchemaDdl, a.name, a.tagsFile)
         store.overwrite(a.table, clustered(agg, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
       }
@@ -1028,7 +1039,7 @@ final class PipelineRunner(
         if (a.incremental && !a.incrementalJoin) dedupTop(raw) else None
       val df0 = withOpMeta(a, dedup.map(_._1).getOrElse(raw))
       val df1 = a.rowFilter.map(df0.filter).getOrElse(df0)
-      val df = enforceDeclaredSchema(Expectations(df1, a.expectations),
+      val df = enforceDeclaredSchema(Expectations(df1, a.expectations, s"expectations_${a.name}"),
         a.tableSchemaDdl, a.name, a.tagsFile)
       if (a.incremental) {
         // incremental maintenance. MV decision table (shape → mode):
@@ -1905,11 +1916,13 @@ final class PipelineRunner(
     * pre-dropped once by the orchestrator for the same reason.) */
   private def applyFullRefresh(table: String, actionName: String): Unit =
     if (fullRefresh.contains("*") || fullRefresh.contains(table)) {
-      if (refreshed.add(table)) {
+      if (refreshed.add(table) && !refreshDropsExternal) {
         store.drop(table)
         store.drop(s"${table}__changes")
-        txnCache.remove(s"${table}__changes"): Unit
       }
+      // the txn cache entry goes either way — the log was dropped (here or
+      // by the orchestrator's up-front pass)
+      txnCache.remove(s"${table}__changes"): Unit
       Fs.deleteRecursively(checkpointFor(actionName))
     }
 
@@ -1943,7 +1956,7 @@ final class PipelineRunner(
     lazy val src = {
       val src0raw = withOpMeta(a, resolveSource(a.source))
       val src0 = a.rowFilter.map(src0raw.filter).getOrElse(src0raw)
-      val src1 = enforceDeclaredSchema(Expectations(src0, a.expectations),
+      val src1 = enforceDeclaredSchema(Expectations(src0, a.expectations, s"expectations_${a.name}"),
         a.tableSchemaDdl, a.name, a.tagsFile)
       // ingest-time bounded-state dedup (see the model's dedupKeys doc):
       // state is checkpointed, so cross-RUN redeliveries within the

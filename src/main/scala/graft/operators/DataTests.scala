@@ -34,13 +34,22 @@ object DataTests {
       .filter(col("duplicate_count") > 1)
   }
 
-  /** Source rows whose key has no match in the reference table (left anti). */
+  /** Source rows whose key has no match in the reference table (left anti).
+    * Both sides are ALIASED so shared-lineage inputs (a self-referential FK
+    * check, a view over the reference's own table) resolve to distinct
+    * attributes instead of Spark's ambiguous-self-join error — or worse, a
+    * silent within-row rewrite. NULL source keys count as violations (an
+    * equality never matches them), matching the q9 oracle's NOT EXISTS
+    * semantics: a null FK still references no row; use [[completeness]]
+    * for the null-specific test. */
   def referentialIntegrity(source: DataFrame, reference: DataFrame,
       sourceCols: Seq[String], refCols: Seq[String]): DataFrame = {
+    val s = source.alias("__ri_s")
+    val r = reference.alias("__ri_r")
     val cond = sourceCols.zip(refCols)
-      .map { case (s, r) => source(s) === reference(r) }
+      .map { case (sc, rc) => col(s"__ri_s.$sc") === col(s"__ri_r.$rc") }
       .reduce(_ && _)
-    source.join(reference, cond, "left_anti")
+    s.join(r, cond, "left_anti")
   }
 
   /** Rows with any required column null. */

@@ -60,9 +60,14 @@ object Expectations {
     * `array_compact(array(when(~expr(rule), struct(...))))`). */
   def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val checked = rules.filterNot(_.action == Warn)
-    val failedArr = array_compact(array(checked.map { r =>
-      when(!coalesce(pred(r), lit(false)), lit(r.name))
-    }: _*))
+    // zero checked rules: array() of no children types array<null>, which
+    // parquet REJECTS when the (empty) quarantine frame writes its schema
+    // to the DLQ — type the empty case explicitly and no-op
+    val failedArr =
+      if (checked.isEmpty) array().cast("array<string>")
+      else array_compact(array(checked.map { r =>
+        when(!coalesce(pred(r), lit(false)), lit(r.name))
+      }: _*))
     df.withColumn("_failed_rules", failedArr)
       .filter(size(col("_failed_rules")) > 0)
   }
@@ -84,7 +89,22 @@ object Expectations {
     * throws on the first rule with violations. */
   def failViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val failRules = rules.filter(_.action == Fail)
-    if (failRules.nonEmpty) {
+    if (failRules.isEmpty) df
+    else if (df.isStreaming) {
+      // STREAMING: an eager count is impossible (it would throw Spark's
+      // "must be executed with writeStream.start()" at plan-build time,
+      // making expect_or_fail unusable on every streaming path). Enforce
+      // at EXECUTION instead: a violating row evaluates raise_error and
+      // fails its microbatch — DLT's expect_or_fail semantics (the update
+      // fails; already-committed batches stand).
+      failRules.foldLeft(df) { (d, r) =>
+        d.filter(when(!coalesce(pred(r), lit(false)),
+          raise_error(concat(
+            lit(s"expectation '${r.name}' (${r.expression}) violated by row: "),
+            to_json(struct(df.columns.map(col): _*)))))
+          .otherwise(lit(true)))
+      }
+    } else {
       val counts = df.select(failRules.map { r =>
         sum(when(!coalesce(pred(r), lit(false)), 1L).otherwise(0L)).as(r.name)
       }: _*).first()
@@ -92,11 +112,17 @@ object Expectations {
         val c = if (counts.isNullAt(i)) 0L else counts.getLong(i)
         if (c > 0) throw ExpectationViolation(r.name, c)
       }
+      df
     }
-    df
   }
 
-  /** Full pipeline: warn → observe, drop → filter, fail → check-and-throw. */
-  def apply(df: DataFrame, rules: Seq[Rule]): DataFrame =
-    dropViolations(failViolations(observeWarnings(df, rules), rules), rules)
+  /** Full pipeline: warn → observe, drop → filter, fail → check-and-throw.
+    * `observationName` must be UNIQUE per dataset in a plan: Spark refuses
+    * duplicate observed-metric names, so two expectation-wrapped datasets
+    * meeting in one query (a chained data_quality, a write over a dq view)
+    * would otherwise fail at the sink with an anonymous AnalysisException. */
+  def apply(df: DataFrame, rules: Seq[Rule],
+      observationName: String = "expectations"): DataFrame =
+    dropViolations(
+      failViolations(observeWarnings(df, rules, observationName), rules), rules)
 }

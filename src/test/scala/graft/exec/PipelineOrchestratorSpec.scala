@@ -99,7 +99,9 @@ class PipelineOrchestratorSpec extends SparkSuite {
     val grandchild = fgYaml("p", "grandchild", "t_dep", "t_grand")
     val independent = fgYaml("p", "independent", "ok_src", "t_ok")
 
-    val orch = new PipelineOrchestrator(spark, store, s"$dir/cp", maxParallelism = 2)
+    val rec = new PipelineHooks.Recording
+    val orch = new PipelineOrchestrator(spark, store, s"$dir/cp",
+      maxParallelism = 2, hooks = rec)
     val byName = orch.run(Seq(dependent, grandchild, broken, independent))
       .map(o => o.flowgroup -> o).toMap
     assert(byName("p.broken").error.isDefined && !byName("p.broken").skipped)
@@ -107,5 +109,46 @@ class PipelineOrchestratorSpec extends SparkSuite {
     assert(byName("p.grandchild").skipped) // transitive
     assert(byName("p.independent").error.isEmpty && !byName("p.independent").skipped)
     assert(store.read("t_ok").count() == 1)
+    // SKIPPED flowgroups fire the completion hook too (as failures, with
+    // the skip reason): monitoring must be able to tell "skipped on
+    // upstream failure" from "never scheduled"
+    val fgHook = rec.flowgroups.toMap
+    assert(fgHook.get("p.dependent").contains(false), fgHook.toString)
+    assert(fgHook.get("p.grandchild").contains(false), fgHook.toString)
+    assert(fgHook.get("p.independent").contains(true), fgHook.toString)
+  }
+
+  test("orchestrated full refresh fires runner-side refresh behaviors with ONE runId") {
+    // the orchestrator drops tables up front (once, fan-in-safe) AND the
+    // runners receive the refresh set for the behaviors beyond dropping;
+    // all flowgroups in one orchestrated run share one _pipeline_run_id
+    val dir = Files.createTempDirectory("graft-orch-fr").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("fr_src")
+    def fgYaml(flowgroup: String, outTable: String) =
+      YamlConfig.parseFlowGroup(
+        s"""pipeline: p
+           |flowgroup: $flowgroup
+           |operational_metadata: true
+           |actions:
+           |  - name: l
+           |    type: load
+           |    source: {type: table, table: fr_src}
+           |    target: v_$flowgroup
+           |  - name: w
+           |    type: write
+           |    source: v_$flowgroup
+           |    write_target: {type: materialized_view, table: $outTable}
+           |""".stripMargin)
+    val orch = new PipelineOrchestrator(spark, store, s"$dir/cp",
+      maxParallelism = 2, fullRefresh = Set("*"))
+    val outs = orch.run(Seq(fgYaml("a", "fr_a"), fgYaml("b", "fr_b")))
+    assert(outs.forall(_.error.isEmpty), outs.toString)
+    assert(store.read("fr_a").count() == 1 && store.read("fr_b").count() == 1)
+    // one runId for the whole orchestrated run — per-runner random UUIDs
+    // made _pipeline_run_id useless for correlating a run's outputs
+    val ids = store.read("fr_a").select("_pipeline_run_id").as[String].collect() ++
+      store.read("fr_b").select("_pipeline_run_id").as[String].collect()
+    assert(ids.distinct.length == 1, ids.mkString(", "))
   }
 }
