@@ -170,15 +170,31 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         s"${sys.props("user.dir")}/bench_full.json")),
       result.json)
+    // stop the StateStore maintenance task BEFORE SparkEnv goes away —
+    // otherwise its next async tick logs "SparkEnv not active" AFTER the
+    // contract line below and eats tail-window bytes (BENCH_r13 lost 68 of
+    // 143 per-query times to exactly that warning). Reflection because the
+    // object is private[sql] at the Scala level (same seam as BenchDiag).
+    scala.util.Try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val module = cls.getField("MODULE$").get(null)
+      cls.getMethod("stop").invoke(module)
+    }
     spark.stop()
-    // LAST line out (after Spark's shutdown noise), and the ONLY JSON line
-    // on stdout: the compact medians map — small enough to survive the
-    // driver's ~2 KB tail capture whole
+    // drain any already-queued async log lines, then emit the contract
+    // line LAST and alone — nothing may print after it
+    System.out.flush(); System.err.flush()
+    Thread.sleep(300)
     println(result.compact)
+    System.out.flush()
     if (result.errors.nonEmpty) {
       System.err.println(
         s"bench FAILED: ${result.errors.size} queries errored: ${result.errors.keys.mkString(", ")}")
       sys.exit(1)
     }
+    // explicit exit: no non-daemon straggler (a state-store or netty pool
+    // thread) gets a chance to log after the contract line
+    sys.exit(0)
   }
 }

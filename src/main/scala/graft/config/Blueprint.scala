@@ -33,6 +33,14 @@ object Blueprint {
     val root = new Yaml().load[Any](yamlText).asInstanceOf[java.util.Map[String, Any]]
       .asScala.map { case (k, v) => k.toString -> v }.toMap
     val instances = root.get("instances") match {
+      // an explicit 'instances: []' is the same silent-vanishing failure
+      // as a missing key — zero flowgroups with no error — refuse it too
+      case Some(l: java.util.List[_]) if l.isEmpty =>
+        throw YamlConfig.ConfigError(
+          "blueprint 'instances' is an EMPTY list — a blueprint with no " +
+            "instances expands to zero flowgroups (its pipelines would " +
+            "silently vanish from the run); list at least one instance " +
+            "or delete the blueprint file")
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map {
         case m: java.util.Map[_, _] =>
           m.asScala.map {

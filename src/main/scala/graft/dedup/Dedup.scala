@@ -51,10 +51,28 @@ object Dedup {
         import org.apache.spark.sql.graftnative.BloomFunctions
         val numBits = org.apache.spark.util.sketch.BloomFilter
           .optimalNumOfBits(expectedItems, fpp)
-        val sketch = ix
-          .agg(BloomFunctions.bloomAgg(xxhash64(col("fp")), expectedItems, numBits)
-            .as("__bf"))
-          .head().getAs[Array[Byte]](0)
+        // BloomFilterAggregate silently clamps BOTH its arguments to
+        // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+        // (defaults 4 M / 64 M bits) — above ~7 M items at fpp 0.01 the
+        // real FP rate would silently degrade far past the request, and
+        // the 'maybe' residue (the anti-join probe side) balloons at
+        // exactly the 100 TB scale this path exists for. Output stays
+        // exact either way (FPs route to the verify join), so the fix is
+        // capacity, not correctness: raise the caps for the sketch build,
+        // restore after. eval() happens at execution (the .head()), so
+        // the conf must cover the action, not just plan construction.
+        val conf = ix.sparkSession.conf
+        val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+        val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+        val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+        val sketch =
+          try {
+            conf.set(itemsKey, math.max(oldItems.toLong, expectedItems))
+            conf.set(bitsKey, math.max(oldBits.toLong, numBits))
+            ix.agg(BloomFunctions.bloomAgg(
+                xxhash64(col("fp")), expectedItems, numBits).as("__bf"))
+              .head().getAs[Array[Byte]](0)
+          } finally { conf.set(itemsKey, oldItems); conf.set(bitsKey, oldBits) }
         if (sketch == null) inBatch.drop("__fp") // empty index: all new
         else {
           // cached: the definitely-new filter and the maybe branch both

@@ -1129,6 +1129,7 @@ final class PipelineRunner(
             auditIncrementalShape(a.name, df,
               watermarked = a.watermarkColumn.isDefined,
               appendRoute = ssjAppend)
+            if (ssjAppend) logSsjStateHorizon(a.name, df)
             if (a.watermarkColumn.isDefined || ssjAppend)
               df.writeStream.outputMode("append")
                 .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1666,6 +1667,45 @@ final class PipelineRunner(
       case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
         hasWm(j.left) && hasWm(j.right)
       case _ => false
+    }
+  }
+
+  /** One advisory line per stream-stream join naming the computed state
+    * horizon — watermark delay + condition-derived retention range per
+    * side. State = horizon's worth of rows in the checkpoint: a copied
+    * `delay: 3650 days` silently retains a decade of both streams, and
+    * this line is the only place that becomes visible BEFORE the
+    * checkpoint swallows the cluster. Always emitted on the ssj append
+    * route (the audit has already proven both sides bounded). */
+  private def logSsjStateHorizon(actionName: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, LogicalPlan, Join => LJoin}
+    def delayMs(p: LogicalPlan): Long = p.collect {
+      case w: EventTimeWatermark => EventTimeWatermark.getDelayMs(w.delay)
+    }.maxOption.getOrElse(0L)
+    def fmt(ms: Long): String =
+      if (ms >= 86400000L) f"${ms / 86400000.0}%.1f days"
+      else if (ms >= 3600000L) f"${ms / 3600000.0}%.1f h"
+      else s"$ms ms"
+    df.queryExecution.analyzed.foreach {
+      case j: LJoin if j.left.isStreaming && j.right.isStreaming =>
+        val (lRange, rRange) =
+          org.apache.spark.sql.graftnative.StreamingJoinProbe.stateRangeMs(j)
+        def side(name: String, p: LogicalPlan, range: Option[Long]): String = {
+          val d = delayMs(p)
+          range match {
+            case Some(r) => s"$name ≈ ${fmt(d + r)} (watermark delay " +
+              s"${fmt(d)} + join range ${fmt(r)})"
+            case None => s"$name ≈ ${fmt(d)} (watermark delay; " +
+              "state keyed to the event-time window)"
+          }
+        }
+        graft.Log.warn(s"materialized_view '$actionName': stream-stream " +
+          "append maintenance — join state horizon: " +
+          side("left", j.left, lRange) + "; " + side("right", j.right, rRange) +
+          ". The checkpoint retains this horizon's worth of BOTH streams; " +
+          "a large watermark delay means an unbounded-in-practice state " +
+          "store — size the delay to real lateness, not retention.")
+      case _ =>
     }
   }
 

@@ -552,22 +552,33 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     // directory ('analytics/' holding 'analytics/events') as if it were
     // itself a parquet table and fail on schema inference, never
     // registering the real table
-    TableStore.listTables(warehouse).foreach { qualified =>
-      val physical = s"$warehouse/${qualified.replace('.', '/')}"
-      // the directory name is a PHYSICAL name — routing it through
-      // read()/path() would apply the sandbox nameMap a second time, so
-      // the sidecar is resolved against the physical path directly (a
-      // widened table's view must still carry the added columns; footer
-      // sampling may pick a narrow file)
-      val sidecar = Paths.get(physical + "._schema")
-      val df =
-        if (Files.exists(sidecar))
-          spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-            Files.readString(sidecar).trim)).parquet(physical)
-        else spark.read.parquet(physical)
-      // leaf-name temp view (temp views reject dots) — the short-name
-      // resolution contract the scheduler's leaf matching relies on
-      df.createOrReplaceTempView(qualified.split('.').last)
+    // leaf-name temp views (temp views reject dots) are the short-name
+    // resolution contract the scheduler's leaf matching relies on — but an
+    // AMBIGUOUS leaf (dev.events and prod.events both present) must not
+    // last-wins shadow: mirror DependencyAnalyzer.byLeaf's distinct-size==1
+    // rule and refuse to register either, loudly, so a bare-leaf consumer
+    // fails with "view not found" instead of silently reading the wrong one
+    val byLeaf = TableStore.listTables(warehouse).groupBy(_.split('.').last)
+    byLeaf.foreach {
+      case (leaf, qs) if qs.size > 1 =>
+        graft.Log.warn(s"registerAll: leaf name '$leaf' is ambiguous across " +
+          s"${qs.sorted.mkString(", ")} — registering NONE of them as a " +
+          "short-name view; consume by qualified name instead")
+      case (leaf, Seq(qualified)) =>
+        val physical = s"$warehouse/${qualified.replace('.', '/')}"
+        // the directory name is a PHYSICAL name — routing it through
+        // read()/path() would apply the sandbox nameMap a second time, so
+        // the sidecar is resolved against the physical path directly (a
+        // widened table's view must still carry the added columns; footer
+        // sampling may pick a narrow file)
+        val sidecar = Paths.get(physical + "._schema")
+        val df =
+          if (Files.exists(sidecar))
+            spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+              Files.readString(sidecar).trim)).parquet(physical)
+          else spark.read.parquet(physical)
+        df.createOrReplaceTempView(leaf)
+      case _ => ()
     }
   }
 }
@@ -644,9 +655,15 @@ object TableStore {
                 s"since=${java.time.Instant.now}"
               // no force(): the stamp is advisory (error-message detail for
               // a contender); the LOCK is kernel-state, not file content —
-              // an fsync per mutation would tax every commit for nothing
-              ch.truncate(0)
-              ch.write(java.nio.ByteBuffer.wrap(info.getBytes("UTF-8")))
+              // an fsync per mutation would tax every commit for nothing.
+              // A stamp FAILURE is likewise advisory: it must not leak the
+              // acquired OS lock (which would brick the table for every
+              // writer in all processes until this JVM exits), so it is
+              // swallowed — a contender just sees "unknown" as the holder
+              try {
+                ch.truncate(0)
+                ch.write(java.nio.ByteBuffer.wrap(info.getBytes("UTF-8")))
+              } catch { case _: java.io.IOException => () }
               e.owner = owner; e.holds = 1; e.channel = ch; e.lock = fl
               return
             }

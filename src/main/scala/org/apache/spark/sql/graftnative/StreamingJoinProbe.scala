@@ -36,4 +36,18 @@ object StreamingJoinProbe {
     * the other state-bounding shape (windowed stream-stream joins). */
   def watermarkInJoinKeys(j: LJoin): Boolean =
     StreamingJoinHelper.isWatermarkInJoinKeys(j)
+
+  /** Per-side state-retention RANGE in milliseconds beyond that side's
+    * watermark: Spark's state-value watermark with the event watermark
+    * pinned at 0 — the returned value is ≤ 0 and its magnitude is how far
+    * behind the other side's watermark this side's rows must be retained
+    * under the join condition. None = no bound derivable (the audit
+    * refuses that shape before a caller asks). */
+  def stateRangeMs(j: LJoin): (Option[Long], Option[Long]) = {
+    val left = StreamingJoinHelper.getStateValueWatermark(
+      j.left.outputSet, j.right.outputSet, j.condition, Some(0L))
+    val right = StreamingJoinHelper.getStateValueWatermark(
+      j.right.outputSet, j.left.outputSet, j.condition, Some(0L))
+    (left.map(v => math.max(0L, -v)), right.map(v => math.max(0L, -v)))
+  }
 }

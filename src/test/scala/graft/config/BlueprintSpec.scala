@@ -50,6 +50,23 @@ class BlueprintSpec extends SparkSuite {
     assert(e.msg.contains("site_name"))
   }
 
+  test("missing, non-list, and EMPTY 'instances' all refuse loudly") {
+    val body = blueprintYaml.linesIterator
+      .dropWhile(!_.startsWith("flowgroup_template")).mkString("\n")
+    // missing key
+    val eMissing = intercept[YamlConfig.ConfigError](
+      Blueprint.parse(s"blueprint: b\n$body"))
+    assert(eMissing.msg.contains("instances"))
+    // scalar instead of list
+    val eScalar = intercept[YamlConfig.ConfigError](
+      Blueprint.parse(s"blueprint: b\ninstances: oops\n$body"))
+    assert(eScalar.msg.contains("LIST"))
+    // explicit empty list — would expand to ZERO flowgroups silently
+    val eEmpty = intercept[YamlConfig.ConfigError](
+      Blueprint.parse(s"blueprint: b\ninstances: []\n$body"))
+    assert(eEmpty.msg.contains("EMPTY"))
+  }
+
   test("blueprint expands one flowgroup per instance") {
     val fgs = Blueprint.expand(Blueprint.parse(blueprintYaml))
     assert(fgs.map(_.flowgroup) == Seq("ingest_customer", "ingest_orders", "ingest_lineitem"))

@@ -296,6 +296,29 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incrementalExactBloom: sketch sizing above Spark's silent clamp caps") {
+    // BloomFilterAggregate clamps numItems/numBits to the runtime-filter
+    // session caps (4 M / 64 M bits by default) — pre-fix, expectedItems
+    // above ~7 M silently degraded the real fpp far past the request.
+    // The call must raise the caps for the build and restore them after.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    val wanted = 20000000L // needs ~191 M bits at fpp 0.01 — 3× the cap
+    assert(org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(wanted, 0.01) > bits0.toLong)
+    val history = (0L until 50L).map(i => (i, s"clamp doc $i")).toDF("doc_id", "text")
+    val index = history.select(md5($"text").as("fp")).distinct()
+    val batch = Seq((100L, "clamp doc 3"), (101L, "brand new")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactBloom(batch, Some(index), "doc_id", "text",
+      expectedItems = wanted)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(101L)) // still exact
+    // caps restored — the raise must not leak into the session
+    assert(spark.conf.get(itemsKey) == items0)
+    assert(spark.conf.get(bitsKey) == bits0)
+  }
+
   test("keepOneSpanCut: content survives exactly once — keeper kept, every other copy cut") {
     val shared = "s1 s2 s3 s4 s5"  // 5 words, one island at n=4
     val d = Seq(

@@ -1124,9 +1124,18 @@ class PipelineRunnerSpec extends SparkSuite {
         |      FROM v_wm a JOIN v_wm b
         |        ON a.user_id = b.user_id AND a.kind = 'click' AND b.kind = 'buy'
         |       AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTES""".stripMargin
-    // run 1: clicks land, no buys yet — nothing joins
+    // run 1: clicks land, no buys yet — nothing joins. The route must also
+    // name its computed state horizon (watermark delay + join range) so a
+    // copied huge delay is visible BEFORE the checkpoint swallows the
+    // cluster — 2 h delay + 30 min range here
     land(Seq((1L, "2024-03-01 10:00:00", "click"), (2L, "2024-03-01 10:00:00", "click")))
-    runner.run(YamlConfig.parseFlowGroup(yaml(joinSql)))
+    val horizon = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.Log.withSink(horizon += _) {
+      runner.run(YamlConfig.parseFlowGroup(yaml(joinSql)))
+    }
+    assert(horizon.exists(m => m.contains("join state horizon") &&
+      m.contains("2.5 h") && m.contains("watermark delay 2.0 h")),
+      horizon.mkString("\n"))
     assert(store.readIfExists("ssmv").forall(_.count() == 0))
     // run 2: user 1's buy arrives inside the window — the CHECKPOINTED join
     // state must still hold run 1's click; user 2's buy is out of window

@@ -54,6 +54,23 @@ class TableStoreSpec extends SparkSuite {
     assert(spark.table("flat").count() == 1)
   }
 
+  test("registerAll refuses to shadow an AMBIGUOUS leaf name") {
+    val store = freshStore()
+    store.overwrite("dev.events", Seq((1, "dev")).toDF("k", "env"))
+    store.overwrite("prod.events", Seq((2, "prod")).toDF("k", "env"))
+    store.overwrite("solo.metrics", Seq((3, "m")).toDF("k", "env"))
+    spark.catalog.dropTempView("events") // isolate from sibling tests
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.Log.withSink(warnings += _) { store.registerAll() }
+    // pre-fix: last-wins — a bare-leaf consumer silently read whichever
+    // qualified table registerAll walked second
+    assert(!spark.catalog.tableExists("events"))
+    assert(warnings.exists(w => w.contains("ambiguous") &&
+      w.contains("dev.events") && w.contains("prod.events")))
+    // unambiguous leaves still register
+    assert(spark.table("metrics").count() == 1)
+  }
+
   test("replace stages then swaps: self-referencing plan, no localCheckpoint") {
     val store = freshStore()
     store.overwrite("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
