@@ -591,21 +591,42 @@ object YamlConfig {
         val rc = wt.get("recompute").map(asMap)
         val rcKeys = rc.map(strSeq(_, "keys")).getOrElse(Nil)
         val rcView = rc.flatMap(str(_, "view"))
+        val rcBuckets = rc.flatMap(str(_, "buckets")).map { s =>
+          val n = try s.toInt catch { case _: NumberFormatException =>
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': recompute.buckets must be an integer, got '$s'")) }
+          if (n < 2 || n > 4096) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': recompute.buckets must be in [2, 4096], got $n"))
+          if (rcKeys.nonEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': recompute.buckets only applies to the " +
+              "global-window route (no keys) — keyed recompute partitions " +
+              "by the keys themselves"))
+          n
+        }.getOrElse(64)
         if (mode.contains("incremental_recompute")) {
-          if (rcKeys.isEmpty || rcView.isEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
+          // keys OPTIONAL: empty keys selects the GLOBAL-window route
+          // (rank over the whole table, engine-derived range buckets) —
+          // the view (delta) is required either way
+          if (rcView.isEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
             s"write '$name': mode incremental_recompute needs recompute: " +
-              "{keys: [...], view: <base table or streaming view>} — the " +
-              "isolation keys and the delta deciding which keys changed"))
+              "{view: <base table or streaming view>[, keys: [...]]} — " +
+              "the delta deciding what changed; keys for partition-scoped " +
+              "recompute, NO keys for a global-window (leaderboard) sql"))
           if (str(m, "sql").orElse(str(wt, "sql"))
               .orElse(str(m, "sql_path")).orElse(str(wt, "sql_path")).isEmpty)
             throw ConfigError(graft.ErrorCodes.ACT_010(
               s"write '$name': mode incremental_recompute needs sql (the " +
                 "batch query over the accumulated base table)"))
           val pc = strSeq(wt, "partition_columns")
-          if (pc.nonEmpty && pc != rcKeys) throw ConfigError(graft.ErrorCodes.ACT_010(
+          if (rcKeys.nonEmpty && pc.nonEmpty && pc != rcKeys) throw ConfigError(graft.ErrorCodes.ACT_010(
             s"write '$name': partition_columns (${pc.mkString(", ")}) must be " +
               s"empty or equal to recompute.keys (${rcKeys.mkString(", ")}) — " +
               "the recompute keys are the physical replace granularity"))
+          if (rcKeys.isEmpty && pc.nonEmpty && pc != Seq("__gw_bucket"))
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': partition_columns (${pc.mkString(", ")}) must " +
+                "be empty on the global-window route — the engine-derived " +
+                "__gw_bucket is the physical replace granularity"))
           if (wt.contains("watermark")) throw ConfigError(graft.ErrorCodes.ACT_010(
             s"write '$name': watermark does not apply with mode: " +
               "incremental_recompute (the sql is batch; there is no " +
@@ -649,7 +670,8 @@ object YamlConfig {
         watermarkView = wm.flatMap(str(_, "view")),
         incrementalRecompute = str(wt, "mode").contains("incremental_recompute"),
         recomputeKeys = rcKeys,
-        recomputeView = rcView)
+        recomputeView = rcView,
+        recomputeBuckets = rcBuckets)
       case "sink" =>
         // module_path is a Python import-path concept; JVM plugins resolve
         // from the classpath by class name — advisory, same split as above

@@ -877,11 +877,6 @@ final class PipelineRunner(
           s"recompute.view '$deltaView' is not a streaming view — the delta " +
           "stream decides which keys changed; point it at the base table " +
           "or the stream that feeds it"))
-      val missingDelta = keys.filterNot(k => delta.columns.exists(_.equalsIgnoreCase(k)))
-      if (missingDelta.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
-        s"materialized_view '${a.name}' (mode: incremental_recompute): " +
-          s"recompute key(s) ${missingDelta.mkString(", ")} not in " +
-          s"recompute.view '$deltaView' (columns: ${delta.columns.mkString(", ")})"))
       val sqlText = a.sql.orElse(a.sqlPath.map(readFile)).get
       if (graft.plan.StreamRef.streamedViews(sqlText).nonEmpty)
         throw Planner.PlanError(graft.ErrorCodes.ACT_011(
@@ -893,7 +888,6 @@ final class PipelineRunner(
         s"materialized_view '${a.name}' (mode: incremental_recompute): the " +
           "sql must be a BATCH query over the accumulated base table — the " +
           "delta comes from recompute.view, not a streaming source in the sql"))
-      auditRecomputeShape(a.name, probe, keys)
       // ONE wrapper stack shared by the plan-time probe and the per-batch
       // path — drift between the two would make the probe validate a
       // different pipeline than the one that writes
@@ -903,19 +897,28 @@ final class PipelineRunner(
         enforceDeclaredSchema(Expectations(d2, a.expectations, s"expectations_${a.name}"),
           a.tableSchemaDdl, a.name, a.tagsFile)
       }
-      // the wrapper stack is column-static: probe it ONCE here so a
-      // declared schema that drops a key is a plan-time PlanError, not a
-      // mid-stream failure wrapped in StreamingQueryException
-      locally {
-        val lost = keys.filterNot(k =>
-          wrapMv(probe).columns.exists(_.equalsIgnoreCase(k)))
-        if (lost.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
-          s"materialized_view '${a.name}': recompute key(s) " +
-            s"${lost.mkString(", ")} were removed by the declared schema/" +
-            "row wrappers — the keys are the replace granularity and " +
-            "must reach the table"))
-      }
-      val recomputeStream = delta.select(keys.map(col): _*).writeStream
+      val recomputeStream = if (keys.isEmpty)
+        startGlobalWindowRecompute(a, delta, deltaView, sqlText, probe, wrapMv)
+      else {
+        val missingDelta = keys.filterNot(k => delta.columns.exists(_.equalsIgnoreCase(k)))
+        if (missingDelta.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+          s"materialized_view '${a.name}' (mode: incremental_recompute): " +
+            s"recompute key(s) ${missingDelta.mkString(", ")} not in " +
+            s"recompute.view '$deltaView' (columns: ${delta.columns.mkString(", ")})"))
+        auditRecomputeShape(a.name, probe, keys)
+        // the wrapper stack is column-static: probe it ONCE here so a
+        // declared schema that drops a key is a plan-time PlanError, not a
+        // mid-stream failure wrapped in StreamingQueryException
+        locally {
+          val lost = keys.filterNot(k =>
+            wrapMv(probe).columns.exists(_.equalsIgnoreCase(k)))
+          if (lost.nonEmpty) throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+            s"materialized_view '${a.name}': recompute key(s) " +
+              s"${lost.mkString(", ")} were removed by the declared schema/" +
+              "row wrappers — the keys are the replace granularity and " +
+              "must reach the table"))
+        }
+        delta.select(keys.map(col): _*).writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // ONE distinct job: the collected rows serve the cardinality
           // guard, the broadcast probe (as a local relation — the big
@@ -958,6 +961,7 @@ final class PipelineRunner(
         .option("checkpointLocation", checkpointFor(a.name))
         .trigger(Trigger.AvailableNow())
         .start()
+      }
       // refusals raised inside foreachBatch (the cardinality guard) must
       // surface as the same PlanError every other ACT refusal in this
       // branch throws, not buried in Spark's StreamingQueryException wrap
@@ -1670,6 +1674,132 @@ final class PipelineRunner(
     }
   }
 
+  /** GLOBAL-window MV maintenance (mode: incremental_recompute, NO keys) —
+    * the leaderboard shape: `rank()/dense_rank()/row_number() OVER
+    * (ORDER BY …)` with an empty PARTITION BY, ranking the WHOLE base.
+    * Neither streaming maintenance (unbounded state) nor key-local
+    * recompute (no key) can express it, and the naive plan is the one
+    * thing this engine must never run at 100 TB: Spark executes an
+    * empty-partition window as a SINGLE-TASK sort of the entire table.
+    *
+    * Two-level decomposition (see
+    * [[org.apache.spark.sql.graftnative.GlobalWindowMv]] for the plan
+    * surgery): range-bucket the base on the first ORDER BY column
+    * (boundaries sampled once, frozen in the `gwmeta` table sidecar),
+    * rank each bucket locally in parallel, and lift local → global ranks
+    * with per-bucket prefix offsets from a tiny row/distinct-count
+    * summary. Per refresh, the delta's lowest touched bucket m bounds the
+    * work: buckets sorting before m keep their rows AND their offsets
+    * (the base is append-only, so counts only grow after m), hence their
+    * ranks — those partitions are never read or rewritten, byte-stable by
+    * construction. The suffix [m, last] recomputes from the current base
+    * behind a scan-pushable order-column range filter, exactly the keyed
+    * path's posture, and crash replays self-heal the same way (recompute
+    * from current base is idempotent; counts for untouched buckets in a
+    * stale sidecar are still correct because the crashed run never
+    * touched them). The MV table carries a trailing `__gw_bucket` int
+    * column — the physical replace granularity.
+    *
+    * Reference: `generators/write/materialized_view.py:21` (DLT Enzyme's
+    * incremental-MV surface — this closes its global-OVER-window
+    * residue). */
+  private def startGlobalWindowRecompute(a: MaterializedViewWrite,
+      delta: DataFrame, deltaView: String, sqlText: String, probe: DataFrame,
+      wrapMv: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.graftnative.GlobalWindowMv
+    val shape0 = GlobalWindowMv.analyze(probe.queryExecution.analyzed) match {
+      case Right(sh) => sh
+      case Left(msg) => throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+        s"materialized_view '${a.name}' (mode: incremental_recompute, " +
+          s"global-window route): $msg"))
+    }
+    val orderColName = delta.columns
+      .find(_.equalsIgnoreCase(shape0.orderAttr.name)).getOrElse(
+        throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+          s"materialized_view '${a.name}' (global-window route): ORDER BY " +
+            s"column '${shape0.orderAttr.name}' not in recompute.view " +
+            s"'$deltaView' (columns: ${delta.columns.mkString(", ")}) — " +
+            "the delta must carry the ranking column to locate which " +
+            "buckets changed")))
+    // plan-time wrapper probe: a declared schema that drops __gw_bucket
+    // would fail mid-stream; surface it here, by name
+    if (!wrapMv(probe.withColumn("__gw_bucket", lit(0)))
+        .columns.contains("__gw_bucket"))
+      throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+        s"materialized_view '${a.name}' (global-window route): the " +
+          "declared schema/row wrappers removed __gw_bucket — it is the " +
+          "physical replace granularity and must reach the table " +
+          "(declare it as __gw_bucket INT, or drop the declared schema)"))
+    delta.select(col(orderColName)).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // re-resolve per batch (the keyed path's convention): the base
+        // view's files may differ between microbatches of one run
+        val plan = spark.sql(sqlText).queryExecution.analyzed
+        val shape = GlobalWindowMv.analyze(plan)
+          .getOrElse(throw new IllegalStateException(
+            "global-window shape changed between audit and refresh"))
+        val dt = shape.orderAttr.dataType
+        val stored = store.getMeta(a.table, "gwmeta")
+          .flatMap(GlobalWindowMv.decodeMeta)
+          // an order-column type change invalidates the frozen
+          // boundaries — fall back to a fresh bootstrap
+          .filter(_.typeDdl == dt.sql)
+        val (meta0, minBucket) = stored match {
+          case Some(mt) =>
+            val blits = GlobalWindowMv.boundaryLiterals(mt.boundaries, dt)
+            (mt, GlobalWindowMv.minDeltaBucket(batch, orderColName, shape, blits))
+          case None =>
+            val childDf = org.apache.spark.sql.graftnative.PlanBridge
+              .ofRows(spark, shape.windowNode.child)
+            // a sample too small to bucket returns Nil → single-bucket
+            // full recompute this refresh, re-derive next time (cheap by
+            // definition at that size); boundaries only persist once the
+            // table is worth bucketing
+            (GlobalWindowMv.Meta(dt.sql,
+              GlobalWindowMv.sampleBoundaries(childDf, shape0, a.recomputeBuckets),
+              Map.empty, Map.empty), None)
+        }
+        val skip = stored.isDefined && minBucket.isEmpty // empty delta batch
+        if (!skip) {
+          val blits = GlobalWindowMv.boundaryLiterals(meta0.boundaries, dt)
+          val lo = shape.minBucketId
+          val hi = shape.maxBucketId(meta0.boundaries.size)
+          val m = minBucket.getOrElse(lo)
+          val summary = GlobalWindowMv.summarize(spark, shape, blits, minBucket)
+          val counts = meta0.counts.filter(_._1 < m) ++ summary.view.mapValues(_._1)
+          val dists = meta0.distincts.filter(_._1 < m) ++ summary.view.mapValues(_._2)
+          val df = GlobalWindowMv.rewrite(spark, plan, shape, blits, minBucket,
+            GlobalWindowMv.prefixOffsets(lo, hi, counts),
+            GlobalWindowMv.prefixOffsets(lo, hi, dists))
+          import scala.jdk.CollectionConverters._
+          val affected = spark.createDataFrame(
+            (m to hi).map(b => org.apache.spark.sql.Row(b)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__gw_bucket",
+                org.apache.spark.sql.types.IntegerType)))).collect().toSeq
+          store.replacePartitions(a.table,
+            clustered(wrapMv(df), a.clusterColumns, a.clusterStrategy),
+            Seq("__gw_bucket"), affected)
+          if (meta0.boundaries.nonEmpty)
+            store.setMeta(a.table, "gwmeta", GlobalWindowMv.encodeMeta(
+              meta0.copy(counts = counts, distincts = dists)))
+          // skew advisory: frozen boundaries cannot adapt — a bucket far
+          // past the mean means new data outgrew the sampled distribution
+          val vals = counts.values
+          if (vals.size > 1 && vals.max > 100000 &&
+              vals.max > 4L * (vals.sum / vals.size))
+            graft.Log.warn(s"materialized_view '${a.name}': global-window " +
+              s"bucket sizes are skewed (max ${vals.max} rows vs mean " +
+              s"${vals.sum / vals.size}) — the frozen range boundaries no " +
+              "longer fit the data distribution; run a full refresh of " +
+              s"'${a.table}' to re-derive them")
+        }
+      }
+      .option("checkpointLocation", checkpointFor(a.name))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** One advisory line per stream-stream join naming the computed state
     * horizon — watermark delay + condition-derived retention range per
     * side. State = horizon's worth of rows in the checkpoint: a copied
@@ -1754,7 +1884,10 @@ final class PipelineRunner(
       case w: LWindow if w.isStreaming => refuse("a window function (OVER clause)",
         "use mode: incremental_recompute with recompute keys included in " +
           "every PARTITION BY (partition-scoped recompute over the base " +
-          "table), or omit mode (full refresh)")
+          "table); for a GLOBAL window (empty PARTITION BY — rank over " +
+          "the whole table) use mode: incremental_recompute with " +
+          "recompute: {view: <base>} and NO keys; or omit mode (full " +
+          "refresh)")
       // dedup at the MV's TOP level never reaches this audit — dedupTop
       // strips it for anti-join maintenance. A dedup reaching here is
       // NESTED (e.g. an aggregation over distinct rows): pulling it out

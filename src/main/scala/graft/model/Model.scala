@@ -506,8 +506,27 @@ final case class MaterializedViewWrite(
       * column), because each distinct value is one physical partition;
       * per-run cost is O(data under affected keys), not O(base). */
     incrementalRecompute: Boolean = false,
+    /** Empty keys + `mode: incremental_recompute` selects the GLOBAL-
+      * window route: `rank()/dense_rank()/row_number() OVER (ORDER BY ...)`
+      * with an empty PARTITION BY (the leaderboard MV). The engine range-
+      * buckets the base on the first ORDER BY column (boundaries frozen
+      * at first materialization, [[recomputeBuckets]] of them), computes
+      * each window per bucket, and prefix-merges local ranks into global
+      * ones via a per-bucket row/distinct-count summary — parallel
+      * per-bucket sorts, never Spark's single-task empty-partition
+      * window. A delta landing in bucket m rewrites only buckets sorting
+      * at-or-after m; earlier buckets' ranks are provably unchanged and
+      * their partitions stay byte-identical. The MV table gains a
+      * trailing `__gw_bucket` int column — the physical replace
+      * granularity, same contract as the recompute keys in the keyed
+      * form. */
     recomputeKeys: Seq[String] = Nil,
     recomputeView: Option[String] = None,
+    /** Range-bucket count for the global-window route (frozen into the
+      * boundaries at first materialization; changing it later has no
+      * effect until a full refresh re-derives them). Size so one bucket's
+      * rows sort comfortably in one task: ~data volume / 256 MB. */
+    recomputeBuckets: Int = 64,
     operationalMetadata: Option[OpMeta] = None,
     dependsOn: Seq[String] = Nil) extends WriteAction {
   def sources: Seq[String] = source.toSeq

@@ -1456,6 +1456,80 @@ object Extras {
     store.read("q63_mv")
   }
 
+  /** GLOBAL-window MV through the gate (q66, `mode: incremental_recompute`
+    * with NO keys) — the leaderboard shape: rank()/dense_rank() over the
+    * WHOLE base (empty PARTITION BY), the last ACT-011 full-refresh
+    * residue. The engine range-buckets the base on the order column
+    * (boundaries frozen at run 1), ranks each bucket locally in parallel,
+    * and prefix-merges with per-bucket counts from the `gwmeta` sidecar.
+    * Run 2's delta lands ONLY at the BOTTOM of the DESC order (value <
+    * 10), so the refresh rewrites just the tail buckets — and the tail's
+    * global ranks are correct only if the untouched head buckets' stored
+    * counts fed the prefix offsets exactly (a stale or recomputed-wrong
+    * count shifts every tail rank → hash mismatch). `vb = floor(value)`
+    * gives real tie groups, so rank vs dense_rank divergence is also
+    * pinned. The DuckDB oracle ranks all events in one shot. */
+  def q66GlobalWindowMv(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q66")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q66
+         |flowgroup: gwmv
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+         |    target: q66_v
+         |  - name: t
+         |    type: transform
+         |    transform_type: sql
+         |    source: q66_v
+         |    target: q66_e
+         |    sql: >
+         |      SELECT event_id, user_id, value,
+         |             CAST(floor(value) AS BIGINT) AS vb
+         |      FROM q66_v
+         |  - name: w_base
+         |    type: write
+         |    source: q66_e
+         |    write_target: {type: streaming_table, table: q66_base}
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT event_id, user_id, vb,
+         |             CAST(rank() OVER (ORDER BY vb DESC NULLS LAST) AS INT) AS rnk,
+         |             CAST(dense_rank() OVER (ORDER BY vb DESC NULLS LAST) AS INT) AS drk
+         |      FROM q66_base
+         |    write_target:
+         |      type: materialized_view
+         |      table: q66_mv
+         |      mode: incremental_recompute
+         |      recompute: {view: q66_base, buckets: 8}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q66|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      // run 2 = the bottom of the DESC leaderboard only: head buckets'
+      // partitions stay untouched and the refresh must trust their
+      // sidecar counts for the tail's prefix offsets
+      val late = col("value") < 10
+      ev.filter(!late).repartition(1).write.parquet(s"$root/a")
+      ev.filter(late).repartition(1).write.parquet(s"$root/b")
+    }
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    // __gw_bucket is the physical maintenance granularity, not query
+    // output — boundaries are sampled, so no oracle can recompute it
+    store.read("q66_mv").select("event_id", "user_id", "vb", "rnk", "drk")
+  }
+
   /** Nested-dedup MV through the recompute path (q64): an aggregation OVER
     * deduplicated rows — the shape the streaming decision table must
     * refuse (pulling the dedup out changes results; streaming it needs
@@ -1761,6 +1835,7 @@ object Extras {
     "q62_stream_stream_join" -> q62StreamStreamJoin,
     "q63_recompute_mv" -> q63RecomputeMv,
     "q65_ssj_mv" -> q65StreamStreamMv,
+    "q66_global_window_mv" -> q66GlobalWindowMv,
     "q64_nested_dedup_mv" -> q64NestedDedupMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -2162,6 +2237,18 @@ object Extras {
         |         (PARTITION BY user_id % 50, user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    // q66's oracle ranks ALL events in one shot: a tail rank computed
+    // from stale head-bucket counts, a clobbered head partition, or a
+    // local rank not lifted by the prefix offset hash-mismatches
+    "q66_global_window_mv" ->
+      """SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vb,
+        |       CAST(rank() OVER
+        |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST)
+        |         AS INT) AS rnk,
+        |       CAST(dense_rank() OVER
+        |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST)
+        |         AS INT) AS drk
         |FROM events""".stripMargin,
     // q64's oracle dedups and aggregates ALL events in one shot — a
     // cross-run duplicate surviving (delta-only recompute), a dropped

@@ -1,0 +1,398 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Ascending, DenseRank, NamedExpression, NullsFirst, Rank, RowNumber, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, SubqueryAlias, Window => LWindow}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Plan surgery for GLOBAL-window materialized-view maintenance — the
+  * `rank()/dense_rank()/row_number() OVER (ORDER BY …)` leaderboard shape
+  * with an EMPTY `PARTITION BY`, which neither streaming maintenance
+  * (unbounded state) nor key-local recompute (no key) can express, and
+  * whose naive plan is the one thing this engine must never run at scale:
+  * a SINGLE-TASK sort of the whole table (Spark executes an empty
+  * partitionSpec window in one partition).
+  *
+  * The decomposition is two-level, exact, and classic distributed ranking:
+  * RANGE-bucket the table on the first ORDER BY column (boundaries frozen
+  * at first materialization), compute each window function LOCALLY per
+  * bucket (parallel per-bucket sorts — never a global one), and convert
+  * local → global with per-bucket prefix offsets from a tiny summary:
+  *
+  *   - `rank` / `row_number`: global = local + (# rows in buckets that
+  *     sort before this bucket);
+  *   - `dense_rank`: global = local + (# distinct ORDER-BY tuples in
+  *     buckets before).
+  *
+  * Exactness hinges on one invariant the bucket routing guarantees: rows
+  * EQUAL on the first order column always land in the same bucket (the
+  * bucket id counts boundaries *strictly* before the value), so no tie
+  * group ever spans a bucket boundary and the local window sees every
+  * peer of each of its rows.
+  *
+  * Incrementality: the base is append-only, so a delta landing in bucket
+  * m leaves every bucket sorting BEFORE m untouched — same rows, same
+  * offsets, same ranks, byte-stable partitions. Only the suffix
+  * [m, last] is recomputed, and the suffix filter doubles as a plain
+  * comparison on the order column that pushes to the parquet scan.
+  *
+  * Reference counterpart: `generators/write/materialized_view.py:21` —
+  * DLT Enzyme's declared incremental-MV surface; this closes its
+  * unbounded-OVER-window residue (the "global leaderboard" gold-layer
+  * MV). Package-placed for [[ExpressionUtils]]/[[PlanBridge]], the same
+  * seam as [[StreamingJoinProbe]]. */
+object GlobalWindowMv {
+
+  /** Audited decomposable shape of an MV sql with one global window. */
+  final case class Shape(
+      windowNode: LWindow,
+      orderAttr: AttributeReference,
+      asc: Boolean,
+      nullsFirst: Boolean,
+      /** window output attribute -> rank | dense_rank | row_number */
+      funcs: Seq[(Attribute, String)]) {
+    def needsDistinct: Boolean = funcs.exists(_._2 == "dense_rank")
+    def orderSpec: Seq[SortOrder] = windowNode.orderSpec
+    /** Null rows get their own bucket at the end their sort order puts
+      * them: before bucket 0 (id -1) or after the last non-null bucket. */
+    def nullBucketId(numBoundaries: Int): Int =
+      if (nullsFirst) -1 else numBoundaries + 1
+    def minBucketId: Int = if (nullsFirst) -1 else 0
+    def maxBucketId(numBoundaries: Int): Int =
+      if (nullsFirst) numBoundaries else numBoundaries + 1
+  }
+
+  /** Decide whether `plan` is the decomposable global-window shape.
+    * Left = human-readable refusal naming the first disqualifying
+    * construct (the caller wraps it in its ACT-011 convention). */
+  def analyze(plan: LogicalPlan): Either[String, Shape] = {
+    val windows = plan.collect { case w: LWindow => w }
+    if (windows.isEmpty) return Left(
+      "the sql has no window function — omitting recompute.keys selects " +
+        "GLOBAL-window maintenance, which needs rank()/dense_rank()/" +
+        "row_number() OVER (ORDER BY ...) with an empty PARTITION BY")
+    if (windows.size > 1) return Left(
+      "the sql has multiple window specifications — global-window " +
+        "maintenance supports exactly ONE OVER (ORDER BY ...) spec " +
+        "(all window functions sharing it)")
+    val w = windows.head
+    if (w.partitionSpec.nonEmpty) return Left(
+      "the window has a PARTITION BY — declare those columns as " +
+        "recompute.keys for partition-scoped recompute; omitting keys is " +
+        "reserved for the GLOBAL window (empty PARTITION BY)")
+    if (w.orderSpec.isEmpty) return Left(
+      "the global window has no ORDER BY — nothing to rank on")
+    // the plan ABOVE the window must be a row-local single-child chain:
+    // a partition rewrite of the suffix buckets is only sound when every
+    // output row is a function of one window row (SELECT / WHERE /
+    // ORDER BY). Joins, aggregates, limits, set-ops above would mix
+    // buckets and break the replace granularity.
+    @annotation.tailrec
+    def checkAbove(p: LogicalPlan): Option[String] = p match {
+      case x if x eq w => None
+      case _: Project | _: Filter | _: Sort | _: SubqueryAlias =>
+        checkAbove(p.children.head)
+      case other => Some(
+        s"operator ${other.nodeName} above the global window is not " +
+          "partition-rewritable — only row-local SELECT / WHERE / ORDER " +
+          "BY may sit above the window (put a LIMIT-style cut as a " +
+          "filter on the rank column instead)")
+    }
+    checkAbove(plan) match {
+      case Some(msg) => return Left(msg)
+      case None =>
+    }
+    val badName = w.child.output.find(_.name.startsWith("__gw_"))
+    if (badName.isDefined) return Left(
+      s"source column '${badName.get.name}' collides with the " +
+        "maintenance machinery's __gw_ namespace — rename it")
+    val funcsOrLeft: Seq[Either[String, (Attribute, String)]] =
+      w.windowExpressions.map {
+        case a @ Alias(WindowExpression(f, _), _) => f match {
+          case _: Rank => Right(a.toAttribute -> "rank")
+          case _: DenseRank => Right(a.toAttribute -> "dense_rank")
+          case _: RowNumber => Right(a.toAttribute -> "row_number")
+          case other => Left(
+            s"window function ${other.prettyName} over a global ORDER BY " +
+              "is not prefix-decomposable here — supported: rank, " +
+              "dense_rank, row_number (percent_rank/ntile/cume_dist/" +
+              "running aggregates: omit mode for full refresh)")
+        }
+        case other => Left(
+          s"window expression ${other.sql} is not a named window " +
+            "function — unsupported shape")
+      }
+    funcsOrLeft.collectFirst { case Left(m) => m } match {
+      case Some(m) => return Left(m)
+      case None =>
+    }
+    val head = w.orderSpec.head
+    head.child match {
+      case ar: AttributeReference =>
+        // the analyzer extracts a COMPUTED order expression into a
+        // synthetic `_w<i>` projection below the Window — it still reaches
+        // here as an AttributeReference, but no delta can carry it; trace
+        // the attribute one level and refuse aliased computations
+        def isComputed(id: org.apache.spark.sql.catalyst.expressions.ExprId): Boolean =
+          w.child.collectFirst {
+            case node if node.expressions.exists {
+              case al: Alias => al.exprId == id; case _ => false } =>
+              node.expressions.collectFirst {
+                case al: Alias if al.exprId == id => al }.get
+          } match {
+            case Some(al) => al.child match {
+              // plain rename: follow the chain to the real source
+              case src: AttributeReference => isComputed(src.exprId)
+              case _ => true
+            }
+            case None => false // flows straight from a relation column
+          }
+        if (isComputed(ar.exprId)) return Left(
+          s"the first ORDER BY expression is computed (extracted as " +
+            s"'${ar.name}') — it must be a plain column (the bucket-" +
+            "routing and scan-pruning key); materialize the expression " +
+            "as a base-table column upstream")
+        ar.dataType match {
+          case _: NumericType | StringType | DateType | TimestampType |
+               TimestampNTZType | BooleanType =>
+            Right(Shape(w, ar,
+              asc = head.direction == Ascending,
+              nullsFirst = head.nullOrdering == NullsFirst,
+              funcs = funcsOrLeft.map(_.toOption.get)))
+          case dt => Left(
+            s"first ORDER BY column '${ar.name}' has type ${dt.sql} — " +
+              "range bucketing needs an orderable atomic type (numeric, " +
+              "string, date, timestamp)")
+        }
+      case other => Left(
+        s"first ORDER BY expression ${other.sql} must be a plain column " +
+          "— it is the bucket-routing and scan-pruning key; materialize " +
+          "the expression as a column upstream")
+    }
+  }
+
+  /** Rebuild stored boundary strings as typed literals (constant-folded
+    * at plan time). Exact string round-tripping is NOT required for
+    * correctness — boundaries are arbitrary frozen cut points; only
+    * run-to-run consistency matters, and the stored string IS the
+    * canonical form every run derives the literal from. */
+  def boundaryLiterals(reprs: Seq[String], dt: DataType): Seq[Column] =
+    reprs.map(s => lit(s).cast(dt))
+
+  /** Bucket id of an order value: the number of boundaries sorting
+    * STRICTLY before it (so equal values always share a bucket), with
+    * nulls routed to their own end bucket. Boundaries must be in sort
+    * order. A literal comparison chain — codegen'd, no join, no UDF. */
+  def bucketColumn(v: Column, boundaries: Seq[Column], asc: Boolean,
+      nullBucket: Int): Column =
+    if (boundaries.isEmpty) when(v.isNull, lit(nullBucket)).otherwise(lit(0))
+    else when(v.isNull, lit(nullBucket)).otherwise(
+      boundaries.map(b => when(if (asc) v > b else v < b, 1).otherwise(0))
+        .reduce(_ + _))
+
+  /** Derive frozen range boundaries by map-side random sampling + sorting
+    * the bounded sample IN Spark (driver-side comparison would diverge
+    * from Spark's ordering on e.g. non-BMP strings). Returns canonical
+    * CAST-to-string forms, order-direction sorted, deduplicated. Nil when
+    * the table is too small to be worth bucketing — the caller then runs
+    * single-bucket (and re-derives next refresh, cheap by definition at
+    * that size). */
+  def sampleBoundaries(childDf: DataFrame, shape: Shape, buckets: Int): Seq[String] = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"recompute.buckets must be in [2, 4096], got $buckets")
+    val vCol = ExpressionUtils.column(shape.orderAttr)
+    val sampleN = buckets * 512
+    val sorted = childDf.select(vCol.as("__v")).filter(col("__v").isNotNull)
+      .orderBy(rand(42)).limit(sampleN) // map-side partial top-k, one pass
+      .orderBy(if (shape.asc) col("__v").asc else col("__v").desc)
+      .select(col("__v").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    if (sorted.length < buckets * 4) Nil
+    else {
+      val step = sorted.length.toDouble / buckets
+      (1 until buckets).map(i => sorted((i * step).toInt)).distinct
+    }
+  }
+
+  /** Frozen maintenance state, persisted as one table-meta string:
+    * boundary cut points (canonical string forms of the order-column
+    * type) plus per-bucket row / distinct-order-tuple counts — everything
+    * a refresh needs to compute prefix offsets for UNTOUCHED buckets
+    * without reading them. */
+  final case class Meta(typeDdl: String, boundaries: Seq[String],
+      counts: Map[Int, Long], distincts: Map[Int, Long])
+
+  /** Line-based, base64-armored codec (boundary values are arbitrary user
+    * data — base64 sidesteps every escaping concern). */
+  def encodeMeta(m: Meta): String = {
+    val b64 = java.util.Base64.getEncoder
+    def pairs(kv: Map[Int, Long]) =
+      kv.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
+    Seq("v=1",
+      "type=" + b64.encodeToString(m.typeDdl.getBytes("UTF-8")),
+      "boundaries=" + m.boundaries
+        .map(s => b64.encodeToString(s.getBytes("UTF-8"))).mkString(","),
+      "counts=" + pairs(m.counts),
+      "distincts=" + pairs(m.distincts)).mkString("\n")
+  }
+
+  def decodeMeta(s: String): Option[Meta] = scala.util.Try {
+    val b64 = java.util.Base64.getDecoder
+    val kv = s.linesIterator.map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v }.toMap
+    require(kv.get("v").contains("1"), s"unknown gwmeta version ${kv.get("v")}")
+    def str(b: String) = new String(b64.decode(b), "UTF-8")
+    def pairs(v: String): Map[Int, Long] =
+      if (v.isEmpty) Map.empty
+      else v.split(",").map { p =>
+        val Array(k, n) = p.split(":", 2); k.toInt -> n.toLong }.toMap
+    Meta(str(kv("type")),
+      // "" = no boundaries; a lone empty SEGMENT is the base64 of the
+      // empty string — a legal boundary value for STRING order columns
+      kv("boundaries") match {
+        case "" => Nil
+        case bs => bs.split(",", -1).map(str).toSeq
+      },
+      pairs(kv.getOrElse("counts", "")),
+      pairs(kv.getOrElse("distincts", "")))
+  }.toOption
+
+  /** Prefix offsets over the full bucket range: offsets(b) = sum of
+    * counts for buckets numerically (= sort-order) before b. */
+  def prefixOffsets(lo: Int, hi: Int, counts: Map[Int, Long]): Map[Int, Long] = {
+    var acc = 0L
+    (lo to hi).map { b => val r = b -> acc; acc += counts.getOrElse(b, 0L); r }.toMap
+  }
+
+  /** The base with its derived `__gw_bucket` column, suffix-restricted to
+    * buckets >= minBucket with the scan-pushable order-column twin of the
+    * bucket filter — ONE definition shared by the summary scan and the
+    * window recompute, so the two jobs can never see different row sets. */
+  private def bucketedChild(spark: SparkSession, shape: Shape,
+      boundaries: Seq[Column], minBucket: Option[Int]): DataFrame = {
+    val childDf = PlanBridge.ofRows(spark, shape.windowNode.child)
+    val vCol = ExpressionUtils.column(shape.orderAttr)
+    val b0 = childDf.withColumn("__gw_bucket",
+      bucketColumn(vCol, boundaries, shape.asc, shape.nullBucketId(boundaries.size)))
+    minBucket match {
+      case Some(m) =>
+        // pushable twin: bucket >= m is exactly "v sorts strictly after
+        // boundary m-1" — one comparison on the bare order column, so the
+        // parquet scan prunes row groups before the bucket expression
+        // runs. Nulls-last rows live in the final bucket (always in the
+        // suffix) and must survive the comparison.
+        val pruned =
+          if (m >= 1 && m <= boundaries.size) {
+            val cut = boundaries(m - 1)
+            val cmp = if (shape.asc) vCol > cut else vCol < cut
+            b0.filter(if (shape.nullsFirst) cmp else cmp || vCol.isNull)
+          } else b0
+        pruned.filter(col("__gw_bucket") >= m)
+      case None => b0
+    }
+  }
+
+  /** Per-bucket (row count, distinct-order-tuple count) for buckets >=
+    * minBucket — the refresh's summary pass. Distinct is computed only
+    * when a dense_rank needs it (the exact-distinct expand is not free). */
+  def summarize(spark: SparkSession, shape: Shape, boundaries: Seq[Column],
+      minBucket: Option[Int]): Map[Int, (Long, Long)] = {
+    val f = bucketedChild(spark, shape, boundaries, minBucket)
+    val rows =
+      if (shape.needsDistinct) {
+        val tuple = struct(shape.orderSpec.map(so =>
+          ExpressionUtils.column(so.child)): _*)
+        f.groupBy("__gw_bucket")
+          .agg(count(lit(1)).as("n"), count_distinct(tuple).as("nd"))
+          .collect()
+      } else
+        f.groupBy("__gw_bucket").agg(count(lit(1)).as("n"))
+          .withColumn("nd", lit(0L)).collect()
+    rows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Lowest bucket a delta batch touches — every bucket sorting before it
+    * keeps its rows, counts, offsets, and therefore ranks. None = empty
+    * batch (skip the refresh). */
+  def minDeltaBucket(batch: DataFrame, orderColName: String, shape: Shape,
+      boundaries: Seq[Column]): Option[Int] = {
+    val v = col(orderColName).cast(shape.orderAttr.dataType)
+    val r = batch.select(min(bucketColumn(v, boundaries, shape.asc,
+      shape.nullBucketId(boundaries.size))).as("m")).head()
+    if (r.isNullAt(0)) None else Some(r.getInt(0))
+  }
+
+  /** The maintenance plan: `plan` with its global-window subtree replaced
+    * by bucket-local windows plus prefix-offset merge, restricted to
+    * buckets >= `minBucket` (None = bootstrap, everything). Output =
+    * the MV's own columns (same names, same expression ids — the
+    * surrounding SELECT/WHERE resolve untouched) plus a trailing
+    * `__gw_bucket` int column, the physical replace granularity. */
+  def rewrite(spark: SparkSession, plan: LogicalPlan, shape: Shape,
+      boundaries: Seq[Column], minBucket: Option[Int],
+      rowsBefore: Map[Int, Long], distinctBefore: Map[Int, Long]): DataFrame = {
+    val w = shape.windowNode
+    val filtered = bucketedChild(spark, shape, boundaries, minBucket)
+    // direction re-applied through the Column API: a Column wrapping a raw
+    // SortOrder is NOT unwrapped by the Spark 4 WindowSpec (it wraps it in
+    // another SortOrder, which then fails codegen as a value expression)
+    val sortCols = shape.orderSpec.map { so =>
+      val c = ExpressionUtils.column(so.child)
+      (so.direction, so.nullOrdering) match {
+        case (Ascending, NullsFirst) => c.asc_nulls_first
+        case (Ascending, _) => c.asc_nulls_last
+        case (_, NullsFirst) => c.desc_nulls_first
+        case (_, _) => c.desc_nulls_last
+      }
+    }
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gw_bucket")).orderBy(sortCols: _*)
+    def offsetOf(offsets: Map[Int, Long]): Column =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(
+        try_element_at(typedlit(offsets), col("__gw_bucket")), lit(0L))
+    var cur = filtered
+    shape.funcs.zipWithIndex.foreach { case ((_, kind), i) =>
+      val local = kind match {
+        case "rank" => rank().over(wspec)
+        case "dense_rank" => dense_rank().over(wspec)
+        case "row_number" => row_number().over(wspec)
+      }
+      val off = if (kind == "dense_rank") offsetOf(distinctBefore)
+        else offsetOf(rowsBefore)
+      // int like Spark's own rank output (the spliced attribute must keep
+      // the original dataType); past 2^31 rows rank overflows in stock
+      // Spark too, and ANSI mode makes that loud here
+      cur = cur.withColumn(s"__gw_g$i", (local.cast("long") + off).cast("int"))
+    }
+    val analyzed = cur.queryExecution.analyzed
+    val out = analyzed.output
+    def byName(n: String): Attribute = out.find(_.name == n).getOrElse(
+      throw new IllegalStateException(s"global-window rewrite lost $n"))
+    // splice: same output attributes (by exprId) as the original Window
+    // node, so Filters/Projects above resolve against the replacement
+    // without rewriting them; __gw_bucket rides along as an extra column
+    val projList: Seq[NamedExpression] =
+      w.child.output.map(a => out.find(_.exprId == a.exprId).getOrElse(
+        throw new IllegalStateException(
+          s"global-window rewrite lost child column ${a.name}"))) ++
+      shape.funcs.zipWithIndex.map { case ((attr, _), i) =>
+        Alias(byName(s"__gw_g$i"), attr.name)(exprId = attr.exprId) } :+
+      byName("__gw_bucket")
+    val replacement = Project(projList, analyzed)
+    val bucketAttr = replacement.output.last
+    val full = plan.transformUp {
+      case x: LWindow if x eq w => replacement
+      // carry __gw_bucket through every Project above the window (Filter/
+      // Sort/SubqueryAlias pass all child output through untouched)
+      case p: Project
+          if p.child.output.exists(_.exprId == bucketAttr.exprId) &&
+            !p.projectList.exists(_.toAttribute.exprId == bucketAttr.exprId) =>
+        p.copy(projectList = p.projectList :+
+          p.child.output.find(_.exprId == bucketAttr.exprId).get)
+    }
+    PlanBridge.ofRows(spark, full)
+  }
+}

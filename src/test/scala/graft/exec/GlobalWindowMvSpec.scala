@@ -1,0 +1,264 @@
+package graft.exec
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.GlobalWindowMv
+
+import graft.SparkSuite
+import graft.config.YamlConfig
+import graft.plan.Planner
+
+/** `mode: incremental_recompute` with NO keys — global-window (leaderboard)
+  * MV maintenance via range-bucket decomposition. Pins, beyond the q66
+  * DuckDB gate: exactness of the two-run prefix merge against a one-shot
+  * global window (ties, nulls, filter-above-window), physical byte-
+  * stability of buckets sorting before the delta, the scan-pushed suffix
+  * filter and bucket-parallel (never single-task) window in the plan, the
+  * loud ends of the shape audit, and the meta codec. */
+class GlobalWindowMvSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def yamlFor(landing: String, mvSql: String,
+      recompute: String = "{view: base, buckets: 4}"): String =
+    s"""pipeline: gw
+       |flowgroup: fg
+       |actions:
+       |  - name: l
+       |    type: load
+       |    source:
+       |      type: cloudfiles
+       |      path: $landing
+       |      format: parquet
+       |      readMode: stream
+       |      table_schema: "id BIGINT, score DOUBLE"
+       |    target: raw
+       |  - name: w_base
+       |    type: write
+       |    source: raw
+       |    write_target: {type: streaming_table, table: base}
+       |  - name: mv
+       |    type: write
+       |    sql: >
+       |      $mvSql
+       |    write_target:
+       |      type: materialized_view
+       |      table: mv
+       |      mode: incremental_recompute
+       |      recompute: $recompute
+       |""".stripMargin
+
+  private def fresh(): (PipelineRunner, TableStore, String) = {
+    val dir = Files.createTempDirectory("graft-gwmv").toString
+    val store = new TableStore(spark, s"$dir/warehouse")
+    (new PipelineRunner(spark, store, s"$dir/checkpoints"), store, dir)
+  }
+
+  private def writeRows(landing: String, rows: Seq[(Long, java.lang.Double)]): Unit =
+    rows.toDF("id", "score").repartition(1).write.mode("append").parquet(landing)
+
+  /** One-shot oracle: the same window SQL over the accumulated base. */
+  private def oneShot(store: TableStore, sql: String): org.apache.spark.sql.DataFrame = {
+    store.read("base").createOrReplaceTempView("base")
+    spark.sql(sql)
+  }
+
+  private val rankSql =
+    "SELECT id, score, CAST(rank() OVER (ORDER BY score DESC) AS INT) AS rnk, " +
+      "CAST(dense_rank() OVER (ORDER BY score DESC) AS INT) AS drk FROM base"
+
+  test("two-run global rank matches a one-shot window — ties and nulls included") {
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    // 400 rows, deliberate tie groups (score = id/4 → 4-way ties), 8 nulls
+    writeRows(landing, (0L until 400L).map(i =>
+      (i, if (i % 50 == 7) null else java.lang.Double.valueOf((i / 4).toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    // boundaries must have been derived and frozen (4 buckets → 3 cuts)
+    val meta = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta)
+    assert(meta.isDefined && meta.get.boundaries.nonEmpty, "boundaries not frozen")
+    // delta interleaves: a new global top, mid-range ties, one more null
+    writeRows(landing, Seq((1000L, 999.0), (1001L, 25.0), (1002L, null)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    val got = store.read("mv").select("id", "score", "rnk", "drk")
+    val expected = oneShot(store, rankSql)
+    assert(got.count() == 403)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "two-run global-window MV must equal the one-shot window over the base")
+  }
+
+  test("a bottom-of-the-order delta leaves higher buckets byte-stable") {
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, (0L until 400L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    def files(bucket: Int): Map[Path, java.nio.file.attribute.FileTime] = {
+      val p = Paths.get(s"$dir/warehouse/mv/__gw_bucket=$bucket")
+      if (!Files.exists(p)) Map.empty
+      else Files.list(p).iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => f -> Files.getLastModifiedTime(f)).toMap
+    }
+    val nCuts = store.getMeta("mv", "gwmeta")
+      .flatMap(GlobalWindowMv.decodeMeta).get.boundaries.size
+    assert(nCuts >= 2, s"expected multiple buckets, got $nCuts cuts")
+    val before = (0 until nCuts).map(files)
+    // delta strictly below every existing score (DESC order → last bucket)
+    writeRows(landing, Seq((2000L, -5.0), (2001L, -6.0)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    (0 until nCuts).foreach { b =>
+      assert(files(b) == before(b),
+        s"bucket $b sorts before the delta — its ranks are unchanged and " +
+          "its partition must not be rewritten")
+    }
+    val got = store.read("mv").select("id", "score", "rnk", "drk")
+    val expected = oneShot(store, rankSql)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("top-N idiom: a rank filter above the window maintains correctly") {
+    val topSql = "SELECT * FROM (SELECT id, score, " +
+      "CAST(rank() OVER (ORDER BY score DESC) AS INT) AS rnk FROM base) WHERE rnk <= 25"
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, (0L until 300L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, topSql)))
+    assert(store.read("mv").count() == 25)
+    // new top scorers must ENTER and push old rows OUT of the top 25
+    writeRows(landing, (0L until 10L).map(i => (3000L + i, java.lang.Double.valueOf(1000.0 + i))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, topSql)))
+    val got = store.read("mv").select("id", "score", "rnk")
+    val expected = oneShot(store, topSql)
+    assert(got.count() == 25)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "rows ranked out of the top N must leave the MV")
+  }
+
+  test("tiny table: single-bucket fallback stays exact, re-buckets when grown") {
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, Seq((1L, 5.0), (2L, 3.0)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    // too small to bucket: no boundaries persisted, output still exact
+    assert(store.getMeta("mv", "gwmeta").isEmpty)
+    val got1 = store.read("mv").select("id", "score", "rnk", "drk")
+    val exp1 = oneShot(store, rankSql)
+    assert(got1.exceptAll(exp1).isEmpty && exp1.exceptAll(got1).isEmpty)
+    // grow past the sampling floor → boundaries derive on the next refresh
+    writeRows(landing, (10L until 400L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    assert(store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta)
+      .exists(_.boundaries.nonEmpty))
+    val got2 = store.read("mv").select("id", "score", "rnk", "drk")
+    val exp2 = oneShot(store, rankSql)
+    assert(got2.exceptAll(exp2).isEmpty && exp2.exceptAll(got2).isEmpty)
+  }
+
+  test("the rewritten plan is bucket-parallel with a scan-pushed suffix filter") {
+    val dir = Files.createTempDirectory("graft-gwplan").toString
+    (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+      .write.parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("gwplan_base")
+    val probe = spark.sql(
+      "SELECT id, score, rank() OVER (ORDER BY score DESC) AS rnk FROM gwplan_base")
+    val shape = GlobalWindowMv.analyze(probe.queryExecution.analyzed)
+      .toOption.get
+    val blits = GlobalWindowMv.boundaryLiterals(
+      Seq("75.0", "50.0", "25.0"), org.apache.spark.sql.types.DoubleType)
+    val df = GlobalWindowMv.rewrite(spark, probe.queryExecution.analyzed,
+      shape, blits, Some(2),
+      rowsBefore = Map(0 -> 0L, 1 -> 25L, 2 -> 50L, 3 -> 75L, 4 -> 100L),
+      distinctBefore = Map.empty)
+    val physical = df.queryExecution.executedPlan.toString
+    // the window partitions by the bucket — parallel per-bucket sorts,
+    // never Spark's single-partition global-window plan
+    assert(physical.contains("hashpartitioning(__gw_bucket"), physical)
+    // the suffix restriction reaches the parquet scan as a plain
+    // comparison on the order column (+ the nulls-last escape)
+    assert(physical.contains("PushedFilters") &&
+      physical.replaceAll("\\s+", " ").matches("(?s).*PushedFilters: \\[[^\\]]*score[^\\]]*\\].*"),
+      physical)
+    // and the result is the correct suffix of the leaderboard
+    val out = df.collect()
+    assert(out.forall(_.getInt(2) > 50), "only buckets >= 2 (rank > 50) emit")
+    assert(out.length == 50)
+  }
+
+  test("shape audit refuses non-decomposable sql, naming the construct") {
+    val (runner, _, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, Seq((1L, 1.0)))
+    def refusal(sql: String): String = intercept[Planner.PlanError](
+      runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, sql)))).getMessage
+    // PARTITION BY present → that's the keyed mode
+    val m1 = refusal("SELECT id, score, rank() OVER (PARTITION BY id % 2 ORDER BY score) AS r FROM base")
+    assert(m1.contains("ACT-011") && m1.contains("recompute.keys"), m1)
+    // unsupported window function
+    val m2 = refusal("SELECT id, score, percent_rank() OVER (ORDER BY score) AS r FROM base")
+    assert(m2.contains("percent_rank"), m2)
+    // first order key must be a bare column
+    val m3 = refusal("SELECT id, score, rank() OVER (ORDER BY score * 2) AS r FROM base")
+    assert(m3.contains("plain column"), m3)
+    // ...even when the computation hides in a subquery alias
+    val m3b = refusal("SELECT id, rank() OVER (ORDER BY s2) AS r FROM " +
+      "(SELECT id, score * 2 AS s2 FROM base)")
+    assert(m3b.contains("plain column"), m3b)
+    // aggregation above the window mixes buckets
+    val m4 = refusal("SELECT max(r) AS mr FROM (SELECT rank() OVER (ORDER BY score) AS r FROM base)")
+    assert(m4.contains("Aggregate") || m4.contains("no window function"), m4)
+    // no window at all
+    val m5 = refusal("SELECT id, score FROM base")
+    assert(m5.contains("no window function"), m5)
+    // delta must carry the order column
+    val m6 = intercept[Planner.PlanError](runner.run(YamlConfig.parseFlowGroup(
+      yamlFor(landing,
+        "SELECT id, score, rank() OVER (ORDER BY score DESC) AS r FROM base",
+        recompute = "{view: ids_only, buckets: 4}")
+        .replace("  - name: w_base",
+          """  - name: t_ids
+            |    type: transform
+            |    transform_type: sql
+            |    source: raw
+            |    target: ids_only
+            |    sql: "SELECT id FROM raw"
+            |  - name: w_base""".stripMargin)))).getMessage
+    assert(m6.contains("score") && m6.contains("not in"), m6)
+  }
+
+  test("config: buckets bounds and keyed/global exclusivity refuse at parse") {
+    def cfg(recompute: String): String =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: mv
+         |    type: write
+         |    sql: "SELECT 1 AS x"
+         |    write_target:
+         |      type: materialized_view
+         |      table: t
+         |      mode: incremental_recompute
+         |      recompute: $recompute
+         |""".stripMargin
+    val e1 = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(cfg("{view: v, buckets: 1}")))
+    assert(e1.msg.contains("[2, 4096]"))
+    val e2 = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(cfg("{view: v, buckets: nope}")))
+    assert(e2.msg.contains("integer"))
+    val e3 = intercept[YamlConfig.ConfigError](
+      YamlConfig.parseFlowGroup(cfg("{keys: [k], view: v, buckets: 8}")))
+    assert(e3.msg.contains("global-window"))
+    // keys omitted entirely is VALID config (the global route)
+    assert(YamlConfig.parseFlowGroup(cfg("{view: v}")).actions.nonEmpty)
+  }
+
+  test("gwmeta codec round-trips boundaries with hostile characters") {
+    val m = GlobalWindowMv.Meta("STRING",
+      Seq("a,b\nc", "\"quoted\"", "=:x", ""),
+      Map(0 -> 5L, 3 -> 7L), Map(-1 -> 1L))
+    val decoded = GlobalWindowMv.decodeMeta(GlobalWindowMv.encodeMeta(m))
+    assert(decoded.contains(m))
+    assert(GlobalWindowMv.decodeMeta("garbage").isEmpty)
+  }
+}
