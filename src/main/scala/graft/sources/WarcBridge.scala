@@ -54,27 +54,57 @@ object WarcBridge {
   /** Decode a `binaryFile` frame (streaming or batch) of `.warc` /
     * `.warc.gz` / `.wet(.gz)` files into [[recordSchema]] rows.
     *
-    * Gzip archives parse STREAMING, member by member: Common Crawl
-    * compresses record-at-a-time, so the working buffer holds a record or
-    * two — never the full decompressed archive (~4-5 GB for a 1 GB
-    * response shard, past the JVM array limit the old whole-file
-    * concatenation died on). A single-member archive holding many records
-    * degrades gracefully to the old shape (buffer = whole archive),
-    * bounded by the same loud per-member limit. */
-  def decode(bin: DataFrame): DataFrame =
-    bin.select("path", "content").mapPartitions { it =>
+    * Fully streaming, end to end: only the PATH column is read from the
+    * binaryFile frame (column pruning keeps the relation from
+    * materializing file contents), each task re-opens its files through
+    * the Hadoop filesystem and feeds the gzip member iterator straight
+    * from the FS stream. Per-task memory is O(one record + a 64 KB read
+    * buffer) — NOT O(compressed file): 32 concurrent tasks over 1 GB
+    * Common Crawl response shards hold ~2 MB of archive between them,
+    * where the old whole-`content` path held 32 GB before decode began.
+    * A single-member archive holding many records degrades gracefully
+    * (buffer = largest record run), bounded by the same loud per-member
+    * limit. Streams close on task completion — success, failure, or
+    * cancellation. */
+  def decode(bin: DataFrame): DataFrame = {
+    val fs = new org.apache.spark.sql.graftnative.FsInput(bin.sparkSession)
+    bin.select("path").mapPartitions { it =>
       it.flatMap { fileRow =>
         val path = fileRow.getString(0)
-        val bytes = fileRow.getAs[Array[Byte]](1)
-        if (bytes == null || bytes.isEmpty) Iterator.empty[Row]
-        else {
-          val chunks =
-            if (path.endsWith(".gz")) gunzipMembers(bytes, path)
-            else Iterator.single(bytes)
-          parseRecords(chunks, path)
-        }
+        val in = fs.open(path)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
+        val chunks =
+          if (path.endsWith(".gz")) gunzipMembersStream(in, path)
+          else chunkedStream(in, path)
+        parseRecords(chunks, path)
       }
     }(Encoders.row(recordSchema))
+  }
+
+  /** Fixed-size chunks of an uncompressed stream — the plain-`.warc`
+    * feed for [[parseRecords]]'s record-at-a-time buffering. */
+  private def chunkedStream(in: java.io.InputStream,
+      path: String): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private val buf = new Array[Byte](1 << 20)
+    private var pending: Array[Byte] = null
+    private var eof = false
+    private def fill(): Unit = if (pending == null && !eof) {
+      var n = 0
+      while (n < buf.length && !eof) {
+        val r = in.read(buf, n, buf.length - n)
+        if (r < 0) eof = true else n += r
+      }
+      if (n > 0) pending = java.util.Arrays.copyOf(buf, n)
+    }
+    def hasNext: Boolean = { fill(); pending != null }
+    def next(): Array[Byte] = {
+      fill()
+      if (pending == null) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
+  }
 
   // ------------------------------------------------------------- gunzip
 
@@ -95,67 +125,97 @@ object WarcBridge {
     out.toByteArray
   }
 
-  /** Inflate gzip members ONE AT A TIME, loudly: corrupt member headers,
-    * CRC/ISIZE mismatches, truncated deflate streams, and trailing
-    * non-gzip garbage all throw with `path` named — never a silent EOF.
-    * Memory is bounded by the largest single member (loud limit), not the
-    * archive. */
+  /** Array entry point for specs/fixtures — delegates to the ONE
+    * streaming implementation below so the two can never drift. */
   private[sources] def gunzipMembers(bytes: Array[Byte], path: String): Iterator[Array[Byte]] =
-      new Iterator[Array[Byte]] {
+    gunzipMembersStream(new java.io.ByteArrayInputStream(bytes), path)
+
+  /** Inflate gzip members ONE AT A TIME from a stream, loudly: corrupt
+    * member headers, CRC/ISIZE mismatches, truncated deflate streams, and
+    * trailing non-gzip garbage all throw with `path` named — never a
+    * silent EOF (the JDK's multi-member GZIPInputStream treats exactly
+    * these as clean end-of-stream). Reads LAZILY: each `next()` consumes
+    * only its member's compressed bytes plus at most one 64 KB read-ahead
+    * block, so memory is O(largest single decompressed member + 64 KB) —
+    * never the archive, compressed or not. */
+  private[sources] def gunzipMembersStream(in0: java.io.InputStream,
+      path: String): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
     def fail(msg: String): Nothing = throw ConfigError(s"warc: '$path': $msg")
-    val maxOut = Int.MaxValue - 64
-    val buf = new Array[Byte](64 * 1024)
-    var pos = 0
-    var member = 0
-    def hasNext: Boolean = pos < bytes.length
+    private val maxOut = Int.MaxValue - 64
+    private val in = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 64 * 1024), 64 * 1024 + 8)
+    private val inBuf = new Array[Byte](64 * 1024)
+    private val outBuf = new Array[Byte](64 * 1024)
+    private var offset = 0L // consumed compressed bytes, for messages
+    private var member = 0
+    def hasNext: Boolean = {
+      val b = in.read()
+      if (b >= 0) { in.unread(b); true } else false
+    }
     def next(): Array[Byte] = {
       if (!hasNext) throw new NoSuchElementException
-      val out = new ByteArrayOutputStream(64 * 1024)
-      var total = 0L
-      def u8(i: Int): Int = {
-        if (i >= bytes.length) fail(s"gzip member $member: truncated at byte $i")
-        bytes(i) & 0xff
+      val memberStart = offset
+      def u8(): Int = {
+        val b = in.read()
+        if (b < 0) fail(s"gzip member $member: truncated at byte $offset")
+        offset += 1
+        b
       }
-      if (u8(pos) != 0x1f || u8(pos + 1) != 0x8b)
-        fail(s"gzip member $member at offset $pos: bad magic " +
-          f"0x${u8(pos)}%02x${u8(pos + 1)}%02x (corrupt member boundary or trailing garbage)")
-      if (u8(pos + 2) != 8) fail(s"gzip member $member: unsupported compression method ${u8(pos + 2)}")
-      val flg = u8(pos + 3)
-      var p = pos + 10 // fixed header
-      if ((flg & 4) != 0) { val xlen = u8(p) | (u8(p + 1) << 8); p += 2 + xlen } // FEXTRA
-      if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
-      if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
-      if ((flg & 2) != 0) p += 2 // FHCRC
-      if (p > bytes.length) fail(s"gzip member $member: truncated header")
+      val (m0, m1) = (u8(), u8())
+      if (m0 != 0x1f || m1 != 0x8b)
+        fail(s"gzip member $member at offset $memberStart: bad magic " +
+          f"0x$m0%02x$m1%02x (corrupt member boundary or trailing garbage)")
+      val cm = u8()
+      if (cm != 8) fail(s"gzip member $member: unsupported compression method $cm")
+      val flg = u8()
+      var i = 0
+      while (i < 6) { u8(); i += 1 } // MTIME, XFL, OS
+      if ((flg & 4) != 0) { val xlen = u8() | (u8() << 8) // FEXTRA
+        var j = 0; while (j < xlen) { u8(); j += 1 } }
+      if ((flg & 8) != 0) while (u8() != 0) () // FNAME
+      if ((flg & 16) != 0) while (u8() != 0) () // FCOMMENT
+      if ((flg & 2) != 0) { u8(); u8() } // FHCRC
       val inf = new Inflater(true)
       val crc = new CRC32
+      val out = new ByteArrayOutputStream(64 * 1024)
       var isize = 0L
+      var total = 0L
+      var lastN = 0
       try {
-        inf.setInput(bytes, p, bytes.length - p)
         while (!inf.finished()) {
-          val n = try inf.inflate(buf)
+          if (inf.needsInput()) {
+            lastN = in.read(inBuf)
+            if (lastN < 0) fail(s"gzip member $member: truncated deflate stream")
+            offset += lastN
+            inf.setInput(inBuf, 0, lastN)
+          }
+          val n = try inf.inflate(outBuf)
             catch { case e: java.util.zip.DataFormatException =>
               fail(s"gzip member $member: corrupt deflate data (${e.getMessage})") }
-          if (n == 0 && inf.needsInput())
-            fail(s"gzip member $member: truncated deflate stream")
-          crc.update(buf, 0, n)
-          isize += n
-          total += n
-          if (total > maxOut) fail(
-            s"gzip member $member alone exceeds the JVM array limit (~2 GB)")
-          out.write(buf, 0, n)
+          if (n > 0) {
+            crc.update(outBuf, 0, n)
+            isize += n
+            total += n
+            if (total > maxOut) fail(
+              s"gzip member $member alone exceeds the JVM array limit (~2 GB)")
+            out.write(outBuf, 0, n)
+          }
         }
-        val consumed = (bytes.length - p) - inf.getRemaining
-        val trailer = p + consumed
-        if (trailer + 8 > bytes.length)
-          fail(s"gzip member $member: truncated trailer")
-        def le32(i: Int): Long =
-          (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
-        if (le32(trailer) != crc.getValue)
-          fail(s"gzip member $member: CRC mismatch (stored ${le32(trailer)}, computed ${crc.getValue})")
-        if (le32(trailer + 4) != (isize & 0xffffffffL))
+        // the deflate tail over-read into inBuf: hand it back for the
+        // trailer + next member
+        val rem = inf.getRemaining
+        if (rem > 0) { in.unread(inBuf, lastN - rem, rem); offset -= rem }
+        def le32(): Long =
+          try {
+            val t = Array(u8(), u8(), u8(), u8())
+            (t(0) | (t(1) << 8) | (t(2) << 16) | (t(3).toLong << 24)) & 0xffffffffL
+          } catch { case _: ConfigError =>
+            fail(s"gzip member $member: truncated trailer") }
+        val storedCrc = le32()
+        if (storedCrc != crc.getValue)
+          fail(s"gzip member $member: CRC mismatch (stored $storedCrc, computed ${crc.getValue})")
+        if (le32() != (isize & 0xffffffffL))
           fail(s"gzip member $member: ISIZE mismatch")
-        pos = trailer + 8
         member += 1
       } finally inf.end()
       out.toByteArray

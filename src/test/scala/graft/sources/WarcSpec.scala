@@ -107,6 +107,46 @@ class WarcSpec extends SparkSuite {
       .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ").contains("warc:"))
   }
 
+  test("streaming gunzip reads lazily from the FS stream — bounded, not whole-file") {
+    // three members; measure how much of the underlying stream the FIRST
+    // next() pulls. Bounded = one member's compressed bytes + at most one
+    // 64 KB read-ahead block — NOT the archive (the pre-fix decode
+    // materialized the whole compressed shard per task: 32 tasks x 1 GB
+    // Common Crawl shards = a quarter of the heap before decode began)
+    val memberBytes = (1 to 3).map { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(Array.fill[Byte](200 * 1024)((i % 7).toByte)); gz.finish()
+      bos.toByteArray
+    }
+    val archive = memberBytes.reduce(_ ++ _)
+    var readSoFar = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(archive)
+      override def read(): Int = { val b = in.read(); if (b >= 0) readSoFar += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) readSoFar += n; n
+      }
+    }
+    val it = WarcBridge.gunzipMembersStream(counting, "lazy.warc.gz")
+    val first = it.next()
+    assert(first.length == 200 * 1024)
+    assert(readSoFar <= memberBytes.head.length + 64 * 1024 + 16,
+      s"first member pulled $readSoFar of ${archive.length} archive bytes — " +
+        "the decode is slurping ahead instead of streaming")
+    assert(it.next().length == 200 * 1024)
+    assert(it.next().length == 200 * 1024)
+    assert(!it.hasNext)
+    // laziness also means a CORRUPT tail cannot fail records before it:
+    // first member decodes fine from an archive whose second member is cut
+    val cut = archive.take(memberBytes.head.length + 50)
+    val it2 = WarcBridge.gunzipMembersStream(
+      new java.io.ByteArrayInputStream(cut), "cut.warc.gz")
+    assert(it2.next().length == 200 * 1024)
+    val e = intercept[Exception](it2.next())
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
   test("strict mode fails loudly: truncation, bare LF, bad length") {
     def err(bytes: Array[Byte]): String = {
       val t = intercept[Exception](decodeBytes(bytes, "bad.warc").collect())
