@@ -793,13 +793,16 @@ object Dedup {
     * than `maxDf` distinct documents are excluded from PAIRING — viral
     * boilerplate is exactly what the linear [[duplicatedSpans]] coverage
     * path + [[cutSpans]] already handles, so the cap costs reporting detail
-    * only where reporting is least meaningful. A capped window INSIDE a
-    * rare shared passage does NOT fragment the reported span (run
-    * bridging, step 3); the residual cap artifact is edge truncation — a
-    * span whose FLANKING windows are all capped reports the extent of its
-    * matched core, and a passage whose every window is capped reports
-    * nothing here (the linear path still covers and cuts it). The cap and
-    * the bridging are replayed verbatim in the d16 oracle, so gate
+    * only where reporting is least meaningful. Cap artifacts are then
+    * REPAIRED exactly: run bridging (step 3) absorbs capped gaps ≤ minLen,
+    * and flank extension (below) compares the two documents' words
+    * outward from each matched core, restoring the exact extent whatever
+    * the capped-edge length — and healing interior fragmentation beyond
+    * the bridge limit, since fragments of one passage extend to the same
+    * maximal extent and collapse. The one remaining artifact: a passage
+    * whose EVERY window is capped seeds no run and reports nothing here
+    * (the linear coverage path still covers and cuts it). Cap, bridging,
+    * and extension are replayed verbatim in the d16 oracle, so gate
     * semantics are exact. Everything else is
     * linear: one aggregation for the DF filter, one hash-join back, one
     * run-detection window per (pair, diagonal), one containment window per
@@ -848,8 +851,8 @@ object Dedup {
     // them. Bridging therefore restores the exact maximal extent when a
     // viral window sits INSIDE a rare shared passage; with no capping,
     // gaps of 2..k cannot occur and this degenerates to consecutive runs.
-    // (Capped windows at a span's EDGES still truncate the extent — the
-    // one remaining cap artifact, documented in the contract above.)
+    // (Capped windows at a span's EDGES are repaired by the flank
+    // extension after run assembly — see below.)
     val byDiag = Window.partitionBy(col("__ida"), col("__idb"), col("__diag"))
       .orderBy(col("__sa"))
     val runs = m
@@ -860,11 +863,46 @@ object Dedup {
       .groupBy(col("__ida"), col("__idb"), col("__diag"), col("__grp"))
       .agg(min(col("__sa")).as("__a0"), (max(col("__sa")) + k - 1).as("__a1"),
         min(col("__sb")).as("__b0"), (max(col("__sb")) + k - 1).as("__b1"))
+    // FLANK EXTENSION — the exactness repair for the maxDf cap: a run
+    // whose edge windows were all capped reports only its matched core.
+    // Compare the two documents' actual words outward from the core until
+    // they differ; the extension is exact by direct comparison, for ANY
+    // truncation length, and it also heals interior fragmentation (> k
+    // consecutive capped windows): both fragments of one shared passage
+    // extend through the equal interior to the SAME maximal extent and
+    // collapse in the spans groupBy below. Cost: two hash joins carrying
+    // word arrays onto run rows — runs are true duplicate pairs only, so
+    // the join probe side is duplication-sized, not corpus-sized, and the
+    // quadratic pairing regime stays untouched.
+    def prefixTrue(eqs: Column): Column = aggregate(
+      eqs,
+      struct(lit(0).as("n"), lit(true).as("go")),
+      (acc, e) => struct(
+        when(acc("go") && e, acc("n") + 1).otherwise(acc("n")).as("n"),
+        (acc("go") && e).as("go"))).getField("n")
+    val wordsA = df.select(col(idCol).as("__ida"), split(col(textCol), " ").as("__wa"))
+    val wordsB = df.select(col(idCol).as("__idb"), split(col(textCol), " ").as("__wb"))
+    val extended = runs.join(wordsA, "__ida").join(wordsB, "__idb")
+      .withColumn("__extL", prefixTrue(zip_with(
+        reverse(slice(col("__wa"), lit(1), col("__a0"))),
+        reverse(slice(col("__wb"), lit(1), col("__b0"))),
+        (x, y) => x <=> y)))
+      .withColumn("__extR", prefixTrue(zip_with(
+        slice(col("__wa"), col("__a1") + 2,
+          greatest(size(col("__wa")) - col("__a1") - 1, lit(0))),
+        slice(col("__wb"), col("__b1") + 2,
+          greatest(size(col("__wb")) - col("__b1") - 1, lit(0))),
+        (x, y) => x <=> y)))
+      .select(col("__ida"), col("__idb"),
+        (col("__a0") - col("__extL")).as("__a0"),
+        (col("__a1") + col("__extR")).as("__a1"),
+        (col("__b0") - col("__extL")).as("__b0"),
+        (col("__b1") + col("__extR")).as("__b1"))
     // project the run onto both documents; n_docs counts distinct partners
     // per exact extent
-    val occ = runs.select(col("__ida").as(idCol), col("__a0").as("span_start"),
+    val occ = extended.select(col("__ida").as(idCol), col("__a0").as("span_start"),
         col("__a1").as("span_end"), col("__idb").as("__partner"))
-      .union(runs.select(col("__idb"), col("__b0"), col("__b1"), col("__ida")))
+      .union(extended.select(col("__idb"), col("__b0"), col("__b1"), col("__ida")))
     val spans = occ.groupBy(col(idCol), col("span_start"), col("span_end"))
       .agg(countDistinct(col("__partner")).as("n_docs"))
     // containment pruning: in (span_start asc, span_end desc) order a span is

@@ -849,9 +849,26 @@ object LlmData {
       |eruns AS (SELECT ida, idb, min(sa) AS a0, max(sa) + 7 AS a1,
       |                 min(sb) AS b0, max(sb) + 7 AS b1
       |          FROM er GROUP BY ida, idb, diag, grp),
+      |eflank AS (SELECT r.*, ta.w AS wa, tb.w AS wb
+      |           FROM eruns r
+      |           JOIN etoks ta ON ta.doc_id = r.ida
+      |           JOIN etoks tb ON tb.doc_id = r.idb),
+      |eext AS (SELECT ida, idb, a0, a1, b0, b1,
+      |           coalesce(nullif(list_position(list_transform(
+      |             list_zip(list_reverse(wa[1:a0]), list_reverse(wb[1:b0])),
+      |             z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+      |             least(a0, b0)) AS extl,
+      |           coalesce(nullif(list_position(list_transform(
+      |             list_zip(wa[a1+2:], wb[b1+2:]),
+      |             z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+      |             least(len(wa) - a1 - 1, len(wb) - b1 - 1)) AS extr
+      |         FROM eflank),
+      |eex2 AS (SELECT ida, idb, a0 - extl AS a0, a1 + extr AS a1,
+      |                b0 - extl AS b0, b1 + extr AS b1
+      |         FROM eext),
       |eocc AS (SELECT ida AS doc_id, a0 AS s0, a1 AS s1, idb AS partner
-      |         FROM eruns
-      |         UNION ALL SELECT idb, b0, b1, ida FROM eruns),
+      |         FROM eex2
+      |         UNION ALL SELECT idb, b0, b1, ida FROM eex2),
       |espans AS (SELECT doc_id, s0, s1, count(DISTINCT partner) AS n_docs
       |           FROM eocc GROUP BY doc_id, s0, s1),
       |epr AS (SELECT doc_id, s0, s1, n_docs,

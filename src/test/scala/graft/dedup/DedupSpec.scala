@@ -446,6 +446,37 @@ class DedupSpec extends SparkSuite {
     assert(out == Set((1L, 0, 11, 12, 1L), (2L, 1, 12, 12, 1L)), out.toString)
   }
 
+  test("exactSubstrings: capped EDGE windows extend back to the exact extent") {
+    // docs 1 and 2 share a 12-word passage whose first 8 words are viral
+    // boilerplate (every window inside them is over maxDf, 5 consecutive
+    // capped starts — beyond the ≤ minLen bridging limit, and at the EDGE
+    // where bridging can never help). Pre-fix the reported span started at
+    // the first uncapped window; flank extension compares the two docs'
+    // words outward and must restore the full extent exactly.
+    val hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val passage = s"$hot r1 r2 r3 r4"
+    val viral = (10L to 16L).map(i => (i, s"$hot fa$i fb$i fc$i fd$i"))
+    val d = (Seq(
+      (1L, s"$passage t1a t1b"),
+      (2L, s"lead2x $passage")) ++ viral).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrings(d, "doc_id", "text", minLen = 4, maxDf = 3)
+      .filter($"doc_id".isin(1L, 2L))
+      .select("doc_id", "span_start", "span_end", "span_len", "n_docs")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(out == Set((1L, 0, 11, 12, 1L), (2L, 1, 12, 12, 1L)), out.toString)
+    // trailing-edge symmetry: viral SUFFIX, rare head
+    val passage2 = s"s1 s2 s3 s4 $hot"
+    val viral2 = (20L to 26L).map(i => (i, s"ga$i gb$i gc$i gd$i $hot"))
+    val d2 = (Seq(
+      (1L, s"$passage2 u1 u2"),
+      (2L, s"v1 $passage2")) ++ viral2).toDF("doc_id", "text")
+    val out2 = Dedup.exactSubstrings(d2, "doc_id", "text", minLen = 4, maxDf = 3)
+      .filter($"doc_id".isin(1L, 2L))
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(out2 == Set((1L, 0, 11, 12), (2L, 1, 12, 12)), out2.toString)
+  }
+
   test("exactSubstrings: maxDf cap, within-doc repeats, short docs, guards") {
     val shared = "alpha beta gamma delta"
     // three docs share the run; maxDf=2 excludes its windows from pairing
