@@ -19,6 +19,27 @@ object CurationTransforms {
   private def num(p: Map[String, Any], k: String, d: Double): Double =
     Params.num(p, k, d)
 
+  /** Solve token-budget mixture rates over pre-aggregated per-group counts
+    * — [[Sampling.mixtureRates]] (the m9 operator) through the plugin
+    * seam, so a curation pipeline's final sampling plan is one YAML step.
+    * parameters: `group_col`/`tokens_col`/`weight_col` (column names in
+    * the input view) and `budget_num`/`budget_den` — the token budget is
+    * total input tokens × num / den (integer arithmetic, so the DuckDB
+    * oracle reproduces it exactly). Output = mixtureRates' plan rows:
+    * (group, n_tokens, weight, target_tokens, rate). */
+  final class MixtureRates extends TransformFunction {
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      val in = inputs.head
+      val tokens = str(p, "tokens_col", "n_tokens")
+      // one-row aggregate collect: the budget is a CONFIG-scale scalar
+      // (the m9 gate's documented pattern)
+      val tot = in.agg(sum(col(tokens)).cast("long")).head.getLong(0)
+      Sampling.mixtureRates(in, str(p, "group_col", "source"), tokens,
+        str(p, "weight_col", "weight"),
+        tot * num(p, "budget_num", 4.0).toLong / num(p, "budget_den", 5.0).toLong)
+    }
+  }
+
   /** Keep documents passing the heuristic quality gate (t2's quality_keep). */
   final class QualityFilter extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {

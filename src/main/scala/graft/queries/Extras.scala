@@ -1812,6 +1812,218 @@ object Extras {
     store.read("c14_t")
   }
 
+  /** Sustained-crawl capstone (c15): the full LLM-data path as ONE
+    * orchestrated multi-pipeline project — WARC ingest → HTML curation →
+    * incremental exact dedup (the dedup-MV route: per-batch anti-join,
+    * the MV is the dedup state) → persisted-BM25 index maintenance →
+    * token-budget mixture plan → a final gold join — run over TWO crawl
+    * generations with a FORGED CRASH in the middle: generation 2 executes
+    * in a child JVM that hard-halts (`Runtime.halt`, no cleanup) right
+    * after the dedup MV commits, leaving the index/mix/final flowgroups
+    * un-run; the parent then resumes the same project in-process.
+    * Generation 2's shards deliberately RE-CRAWL a tenth of generation
+    * 1's pages (same text, new record ids), so the dedup stage has real
+    * cross-generation work. The DuckDB oracle recomputes the whole chain
+    * from the raw documents table in one shot — a duplicate surviving the
+    * crash boundary, a double-folded index delta, a stale mixture count,
+    * or a lost/replayed row anywhere in the chain hash-mismatches. Every
+    * piece is individually gated (c12/c13 ingest, d1/d8 dedup, c14 index,
+    * m9 mixture); what c15 pins is their COMPOSITION under the
+    * orchestrator's crash/resume with shared state. */
+  def c15CrawlResume(s: SparkSession, dir: String): DataFrame = {
+    val wh = gateDir("graft-c15")
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val landing = s"$wh/landing"
+    val yamlDir = s"$wh/yaml"
+    val ingestYaml =
+      s"""pipeline: crawl
+         |flowgroup: ingest
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: warc
+         |      readMode: stream
+         |    target: c15_v
+         |  - name: t_decode
+         |    type: transform
+         |    transform_type: sql
+         |    source: c15_v
+         |    target: c15_html
+         |    sql: >
+         |      SELECT record_id, decode(payload, 'UTF-8') AS html
+         |      FROM c15_v WHERE warc_type = 'response'
+         |  - name: t_extract
+         |    type: transform
+         |    transform_type: python
+         |    function: graft.plugins.CurationTransforms$$HtmlExtract
+         |    source: c15_html
+         |    target: c15_text
+         |    parameters: {html_col: html, out_col: text}
+         |  - name: t_filter
+         |    type: transform
+         |    transform_type: sql
+         |    source: c15_text
+         |    target: c15_kept
+         |    sql: "SELECT record_id, text FROM c15_text WHERE length(text) >= 200"
+         |  - name: w
+         |    type: write
+         |    source: c15_kept
+         |    write_target: {type: streaming_table, table: c15_raw}
+         |""".stripMargin
+    val dedupYaml =
+      s"""pipeline: curate
+         |flowgroup: dedup
+         |actions:
+         |  - name: mv
+         |    type: write
+         |    sql: "SELECT DISTINCT md5(text) AS fp, text FROM stream(c15_raw)"
+         |    write_target:
+         |      type: materialized_view
+         |      table: c15_corpus
+         |      mode: incremental
+         |""".stripMargin
+    val indexYaml =
+      s"""pipeline: curate
+         |flowgroup: index
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: c15_corpus}
+         |    target: v_all
+         |  - name: q
+         |    type: transform
+         |    transform_type: sql
+         |    source: v_all
+         |    target: v_q
+         |    sql: >
+         |      SELECT fp AS qid, array_join(slice(split(text, ' '), 1, 8), ' ')
+         |               AS qtext
+         |      FROM v_all WHERE fp LIKE '0%'
+         |  - name: m
+         |    type: transform
+         |    transform_type: python
+         |    function: graft.plugins.RetrievalTransforms$$Bm25Maintain
+         |    source: [v_all, v_q]
+         |    target: v_hits
+         |    parameters: {index_path: "$wh/bm25ix", k: "5", id_col: fp}
+         |  - name: w
+         |    type: write
+         |    source: v_hits
+         |    write_target: {type: materialized_view, table: c15_hits}
+         |""".stripMargin
+    val mixYaml =
+      s"""pipeline: mix
+         |flowgroup: mix
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source: {type: table, table: c15_corpus}
+         |    target: v_c
+         |  - name: t
+         |    type: transform
+         |    transform_type: sql
+         |    source: v_c
+         |    target: v_counts
+         |    sql: >
+         |      SELECT CAST(least(length(text) div 400, 9) AS INT) AS bucket,
+         |             CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+         |               AS BIGINT) AS n_tokens,
+         |             CAST(1.0 + CAST(least(length(text) div 400, 9) AS INT) % 3
+         |               AS DOUBLE) AS weight
+         |      FROM v_c
+         |      GROUP BY 1, 3
+         |  - name: m
+         |    type: transform
+         |    transform_type: python
+         |    function: graft.plugins.CurationTransforms$$MixtureRates
+         |    source: v_counts
+         |    target: v_mix
+         |    parameters: {group_col: bucket, tokens_col: n_tokens, weight_col: weight}
+         |  - name: w
+         |    type: write
+         |    source: v_mix
+         |    write_target: {type: materialized_view, table: c15_mix}
+         |""".stripMargin
+    val finalYaml =
+      s"""pipeline: mix
+         |flowgroup: final
+         |actions:
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT h.query_id AS qid, h.doc_id AS fp, h.rank, h.bm25,
+         |             b.bucket, m.rate
+         |      FROM c15_hits h
+         |      JOIN (SELECT fp, CAST(least(length(text) div 400, 9) AS INT)
+         |              AS bucket FROM c15_corpus) b ON h.doc_id = b.fp
+         |      JOIN c15_mix m ON m.bucket = b.bucket
+         |    write_target: {type: materialized_view, table: c15_final}
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(yamlDir))
+    Seq("1_ingest" -> ingestYaml, "2_dedup" -> dedupYaml, "3_index" -> indexYaml,
+      "4_mix" -> mixYaml, "5_final" -> finalYaml).foreach { case (n, y) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$yamlDir/$n.yaml"), y): Unit
+    }
+    val fgs = Seq(ingestYaml, dedupYaml, indexYaml, mixYaml, finalYaml)
+      .map(graft.config.YamlConfig.parseFlowGroup)
+    val fixture = fixtureOnce(s"c15|$dir") { root =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      def recs(df: DataFrame, crawl: Int): DataFrame = df.select(
+        lit("response").as("warc_type"),
+        concat(lit(s"<urn:crawl$crawl-doc-"), col("doc_id"), lit(">")).as("record_id"),
+        lit("2024-02-01 00:00:00").cast("timestamp").as("warc_date"),
+        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        lit("text/html").as("content_type"),
+        encode(graft.queries.LlmData.htmlShellOf(col("text")), "UTF-8").as("payload"))
+      graft.sources.WarcBridge.write(
+        recs(d.filter(col("doc_id") % 2 === 0), 1).repartition(2), s"$root/a")
+      // generation 2 = the odd pages PLUS a re-crawl of a tenth of
+      // generation 1's (same text, new record ids — the dedup stage's
+      // cross-generation work)
+      graft.sources.WarcBridge.write(
+        recs(d.filter(col("doc_id") % 2 === 1), 2)
+          .unionByName(recs(d.filter(col("doc_id") % 10 === 0), 2))
+          .repartition(2), s"$root/b")
+    }
+    def runInProcess(): Unit = {
+      val orch = new graft.exec.PipelineOrchestrator(s, store, s"$wh/cp")
+      val outcomes = orch.run(fgs)
+      outcomes.find(_.error.isDefined).foreach(o => throw o.error.get)
+    }
+    // generation 1: full run in-process
+    copyFixture(s"$fixture/a", landing, "a-")
+    runInProcess()
+    // generation 2: a child JVM that hard-halts right after the dedup MV
+    // commits — ingest + dedup state is on disk, index/mix/final never ran
+    copyFixture(s"$fixture/b", landing, "b-")
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    // C1-only JIT: the child lives ~20 s on small data — skipping C2
+    // compilation shaves a third of its wall clock with no data-path cost
+    val cmd = (Seq(javaBin, "-Xmx4g", "-XX:TieredStopAtLevel=1") ++ addOpens ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.CrawlResumeChild", s"$wh/wh", s"$wh/cp", yamlDir,
+      "c15_corpus")).toArray
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+    val code = proc.waitFor()
+    require(code == 137 && out.contains("HALTING after c15_corpus"),
+      s"c15: child JVM was supposed to hard-halt after the dedup commit " +
+        s"(exit 137), got exit $code; output tail: ${out.takeRight(800)}")
+    // resume: the SAME project, in-process — streams resume their
+    // checkpoints (no new data), the index folds the generation-2 delta
+    // the crashed run never indexed, mix/final recompute
+    runInProcess()
+    store.read("c15_final")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_cloudfiles_ingest" -> c1CloudfilesIngest,
     "c2_avro_ingest" -> c2AvroIngest,
@@ -1827,6 +2039,7 @@ object Extras {
     "c12_warc_ingest" -> c12WarcIngest,
     "c13_web_curation" -> c13WebCuration,
     "c14_incremental_index" -> c14IncrementalIndex,
+    "c15_crawl_resume" -> c15CrawlResume,
     "q55_incremental_join_mv" -> q55IncrementalJoinMv,
     "q58_windowed_mv" -> q58WindowedMv,
     "q59_dedup_mv" -> q59DedupMv,
@@ -2292,6 +2505,99 @@ object Extras {
     // over all documents); a missed delta, a replay double-fold, or
     // stale df/avgdl statistics hash-mismatch
     "c14_incremental_index" -> graft.queries.LlmData.oracle("s9_bm25_topk"),
+    // c15: the WHOLE crawl chain recomputed from the raw documents table
+    // in one shot — shell-strip + length filter (c13), distinct-text
+    // dedup (the corpus), full-corpus BM25 with fp ids (s9's shape), the
+    // m9 mixture solver over length buckets, and the final join. The
+    // Spark side ran it as two orchestrated generations with a hard-halt
+    // between the dedup commit and the index/mix flowgroups — any
+    // duplicate surviving the crash boundary, double-folded index delta,
+    // or stale mixture count hash-mismatches here.
+    "c15_crawl_resume" ->
+      s"""WITH curated AS (
+         |  SELECT clean AS text FROM (
+         |    SELECT ${graft.queries.LlmData.htmlShellStripExpr} AS clean
+         |    FROM documents)
+         |  WHERE length(clean) >= 200),
+         |corpus AS (SELECT DISTINCT md5(text) AS fp, text FROM curated),
+         |tok AS (SELECT fp, unnest(string_split(text, ' ')) AS t FROM corpus),
+         |tf AS (SELECT fp, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT fp, len(string_split(text, ' ')) AS len FROM corpus),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         |              / CAST(count(*) AS DOUBLE) AS avgdl FROM corpus),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (SELECT t, ln(1.0 + (nn.n - CAST(df AS DOUBLE) + 0.5)
+         |                            / (CAST(df AS DOUBLE) + 0.5)) AS idf
+         |        FROM df CROSS JOIN nn),
+         |q AS (SELECT DISTINCT q, t FROM (
+         |        SELECT fp AS q, unnest(string_split(text, ' ')[1:8]) AS t
+         |        FROM corpus WHERE fp LIKE '0%')),
+         |c AS (SELECT q.q, tf.fp AS d, q.t,
+         |        idf.idf * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |        / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |           * (0.25 + (0.75 * CAST(dl.len AS DOUBLE)) / nn.avgdl)) AS c
+         |      FROM q JOIN tf ON q.t = tf.t
+         |      JOIN idf ON idf.t = q.t
+         |      JOIN dl ON dl.fp = tf.fp
+         |      CROSS JOIN nn),
+         |sc AS (SELECT q, d, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list(c ORDER BY t)), (a, b) -> a + b) AS s
+         |       FROM c GROUP BY q, d),
+         |r AS (SELECT q, d, s,
+         |        row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rank
+         |      FROM sc),
+         |hits AS (SELECT q AS qid, d AS fp, CAST(rank AS INT) AS rank,
+         |                round(s, 6) AS bm25
+         |         FROM r WHERE rank <= 5),
+         |buck AS (SELECT fp, CAST(least(length(text) // 400, 9) AS INT) AS bucket
+         |         FROM corpus),
+         |counts AS (SELECT b.bucket,
+         |             CAST(SUM(length(c2.text) - length(replace(c2.text, ' ', '')) + 1)
+         |               AS BIGINT) AS n,
+         |             CAST(1.0 + b.bucket % 3 AS DOUBLE) AS w
+         |           FROM buck b JOIN corpus c2 USING (fp) GROUP BY 1, 3),
+         |bgt AS (SELECT (SUM(n) * 4) // 5 AS budget FROM counts),
+         |withr AS (
+         |  SELECT c3.*, budget,
+         |    CASE WHEN w > 0 THEN CAST(n AS DOUBLE) / w END AS r
+         |  FROM counts c3, bgt),
+         |ranked AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN w > 0 THEN n ELSE 0 END)
+         |      OVER (ORDER BY r ASC NULLS LAST, bucket ASC) AS cumN,
+         |    SUM(CASE WHEN w > 0 THEN w ELSE 0 END)
+         |      OVER (ORDER BY r ASC NULLS LAST, bucket ASC) AS cumW,
+         |    SUM(CASE WHEN w > 0 THEN w ELSE 0 END) OVER () AS totW
+         |  FROM withr),
+         |flagged AS (
+         |  SELECT *, (r IS NOT NULL AND
+         |    CAST(n AS DOUBLE) * (totW - cumW) <= (CAST(budget AS DOUBLE) - CAST(cumN AS DOUBLE)) * w) AS capped
+         |  FROM ranked),
+         |k AS (SELECT COALESCE(MAX(cumN), 0) AS kN,
+         |             COALESCE(arg_max(cumW, cumN), 0.0) AS kW
+         |      FROM flagged WHERE capped),
+         |lam AS (
+         |  SELECT f.*, kN, kW,
+         |    CASE WHEN totW > kW
+         |         THEN (CAST(budget AS DOUBLE) - CAST(kN AS DOUBLE)) / (totW - kW) END AS lv
+         |  FROM flagged f, k),
+         |mix AS (
+         |  SELECT bucket, n,
+         |    CAST(CASE WHEN capped THEN CAST(n AS DOUBLE)
+         |              WHEN r IS NULL THEN 0.0
+         |              ELSE least(CAST(n AS DOUBLE), floor(lv * w)) END AS BIGINT)
+         |      AS target_tokens
+         |  FROM lam),
+         |rates AS (SELECT bucket,
+         |            CASE WHEN n = 0 THEN 0.0
+         |                 ELSE round(CAST(target_tokens AS DOUBLE)
+         |                            / CAST(n AS DOUBLE), 9) END AS rate
+         |          FROM mix)
+         |SELECT h.qid, h.fp, h.rank, h.bm25, b.bucket, m.rate
+         |FROM hits h
+         |JOIN buck b ON h.fp = b.fp
+         |JOIN rates m ON m.bucket = b.bucket""".stripMargin,
     // c3's oracle is the raw supplier table: the Spark side round-trips it
     // through a real JDBC database, so type mangling or dropped rows at the
     // JDBC boundary hash-mismatch
