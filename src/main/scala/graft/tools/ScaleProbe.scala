@@ -54,7 +54,7 @@ object ScaleProbe {
     // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
-      "semantic", "bpe", "graph", "classify", "retrieval")
+      "semantic", "bpe", "graph", "classify", "retrieval", "skew")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -216,6 +216,40 @@ object ScaleProbe {
       println(f"""{"k":$k,"rows":${c.count()},"t9_rarity":$rarity%.2f,"m6_mix":$mix%.2f}""")
       c.unpersist(): Unit
     }
+    }
+    // ---- skew tier (r14): adversarial hot key AT the DF cap. A single
+    // window/shingle shared by exactly maxDf documents is the worst LEGAL
+    // key the d2/d16 pair joins can see: one join key emits ~cap²/2 pair
+    // rows, all in one task. The probe forges that corpus and measures
+    // the cliff three ways: m = 0 (baseline), m = cap (the full quadratic
+    // work of one hot key, in-bounds), m = cap+1 (one past the cap — the
+    // key is excluded from pairing and its cost must vanish). The cap is
+    // itself the skew guard: at cap 1000 the hot key's join task handles
+    // ~1 M intermediate rows — bounded per-key work by construction, so a
+    // straggler can only appear if the measured m=cap delta is large;
+    // salting/AQE-skew-join would be the fix, gated on these numbers.
+    if (tierOn("skew")) {
+    val cap = 1000
+    println(f"""{"probe":"hotkey_skew","sf":"$sfDir","cap":$cap}""")
+    val skewBase = corpus(2).persist(); skewBase.count()
+    def hotCorpus(m: Int): DataFrame =
+      if (m == 0) skewBase
+      else skewBase.unionByName(spark.range(m.toLong).select(
+        (col("id") + lit(900000000L)).as("doc_id"),
+        concat(lit("hotw1 hotw2 hotw3 hotw4 hotw5 hotw6 hotw7 hotw8 uq"),
+          col("id"), lit("a uqq"), col("id"), lit("b uqqq"), col("id"),
+          lit("c")).as("text")))
+    for (m <- Seq(0, cap, cap + 1)) {
+      val c = hotCorpus(m).persist(); c.count()
+      val d16 = med(time(graft.dedup.Dedup.exactSubstrings(
+        c, "doc_id", "text", minLen = 8, maxDf = cap)))
+      val d2 = med(time(graft.dedup.Dedup.ngramJaccard(
+        c, "doc_id", "text", n = 3, threshold = 0.6,
+        maxShingleDocFreq = Some(cap))))
+      println(f"""{"m":$m,"d16_substr":$d16%.2f,"d2_jaccard":$d2%.2f}""")
+      c.unpersist(): Unit
+    }
+    skewBase.unpersist(): Unit
     }
     // ---- semantic tier (r12): cell-blocked near-dup (d14) + PQ encode.
     // Replicated embeddings are PERTURBED per replica with a deterministic
