@@ -1736,14 +1736,23 @@ final class PipelineRunner(
         // view's files may differ between microbatches of one run
         val plan = spark.sql(sqlText).queryExecution.analyzed
         val shape = GlobalWindowMv.analyze(plan)
-          .getOrElse(throw new IllegalStateException(
-            "global-window shape changed between audit and refresh"))
+          .getOrElse(throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+            s"materialized_view '${a.name}' (global-window route): the " +
+              "sql's window shape changed between the plan-time audit and " +
+              "this refresh (a referenced view was redefined mid-run?) — " +
+              "re-run the pipeline")))
         val dt = shape.orderAttr.dataType
+        val sig = GlobalWindowMv.orderSig(shape)
         val stored = store.getMeta(a.table, "gwmeta")
           .flatMap(GlobalWindowMv.decodeMeta)
-          // an order-column type change invalidates the frozen
-          // boundaries — fall back to a fresh bootstrap
-          .filter(_.typeDdl == dt.sql)
+          // the frozen boundaries/counts are only valid for the SAME
+          // order spec (column, direction, nulls, tie-break keys) and
+          // column type; a dense_rank added after counts were stored
+          // without distincts would read zero offsets — all of these
+          // fall back to a fresh bootstrap (full recompute), never to
+          // silently wrong ranks
+          .filter(mt => mt.typeDdl == dt.sql && mt.orderSig == sig &&
+            (!shape.needsDistinct || mt.hasDistincts))
         val (meta0, minBucket) = stored match {
           case Some(mt) =>
             val blits = GlobalWindowMv.boundaryLiterals(mt.boundaries, dt)
@@ -1755,8 +1764,8 @@ final class PipelineRunner(
             // full recompute this refresh, re-derive next time (cheap by
             // definition at that size); boundaries only persist once the
             // table is worth bucketing
-            (GlobalWindowMv.Meta(dt.sql,
-              GlobalWindowMv.sampleBoundaries(childDf, shape0, a.recomputeBuckets),
+            (GlobalWindowMv.Meta(dt.sql, sig, shape.needsDistinct,
+              GlobalWindowMv.sampleBoundaries(childDf, shape, a.recomputeBuckets),
               Map.empty, Map.empty), None)
         }
         val skip = stored.isDefined && minBucket.isEmpty // empty delta batch
@@ -1771,18 +1780,25 @@ final class PipelineRunner(
           val df = GlobalWindowMv.rewrite(spark, plan, shape, blits, minBucket,
             GlobalWindowMv.prefixOffsets(lo, hi, counts),
             GlobalWindowMv.prefixOffsets(lo, hi, dists))
-          import scala.jdk.CollectionConverters._
-          val affected = spark.createDataFrame(
-            (m to hi).map(b => org.apache.spark.sql.Row(b)).asJava,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__gw_bucket",
-                org.apache.spark.sql.types.IntegerType)))).collect().toSeq
+          // driver-local rows with an attached schema (stringForms needs
+          // it) — no Spark job for a <= B+2 element list
+          val bucketSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__gw_bucket",
+              org.apache.spark.sql.types.IntegerType)))
+          val affected: Seq[org.apache.spark.sql.Row] = (m to hi).map(b =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array(b), bucketSchema))
           store.replacePartitions(a.table,
             clustered(wrapMv(df), a.clusterColumns, a.clusterStrategy),
             Seq("__gw_bucket"), affected)
           if (meta0.boundaries.nonEmpty)
             store.setMeta(a.table, "gwmeta", GlobalWindowMv.encodeMeta(
-              meta0.copy(counts = counts, distincts = dists)))
+              // hasDistincts reflects THIS refresh's summary: dropping
+              // dense_rank degrades the stored distincts (the >= m
+              // entries are zeros), so re-adding it later must
+              // re-bootstrap rather than trust them
+              meta0.copy(hasDistincts = shape.needsDistinct,
+                counts = counts, distincts = dists)))
           // skew advisory: frozen boundaries cannot adapt — a bucket far
           // past the mean means new data outgrew the sampled distribution
           val vals = counts.values

@@ -561,6 +561,11 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     val byLeaf = TableStore.listTables(warehouse).groupBy(_.split('.').last)
     byLeaf.foreach {
       case (leaf, qs) if qs.size > 1 =>
+        // also DROP any pre-existing view of this leaf (an earlier
+        // registerAll or write-time registration) — leaving it would turn
+        // the promised "view not found" into a silent read of whichever
+        // table registered it first
+        spark.catalog.dropTempView(leaf)
         graft.Log.warn(s"registerAll: leaf name '$leaf' is ambiguous across " +
           s"${qs.sorted.mkString(", ")} — registering NONE of them as a " +
           "short-name view; consume by qualified name instead")

@@ -32,8 +32,10 @@ object CurationTransforms {
       val in = inputs.head
       val tokens = str(p, "tokens_col", "n_tokens")
       // one-row aggregate collect: the budget is a CONFIG-scale scalar
-      // (the m9 gate's documented pattern)
-      val tot = in.agg(sum(col(tokens)).cast("long")).head.getLong(0)
+      // (the m9 gate's documented pattern); coalesce because sum() over
+      // zero rows is null — an empty counts view is a valid no-op plan
+      val tot = in.agg(coalesce(sum(col(tokens)), lit(0L)).cast("long"))
+        .head.getLong(0)
       Sampling.mixtureRates(in, str(p, "group_col", "source"), tokens,
         str(p, "weight_col", "weight"),
         tot * num(p, "budget_num", 4.0).toLong / num(p, "budget_den", 5.0).toLong)

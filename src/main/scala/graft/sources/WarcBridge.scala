@@ -72,13 +72,29 @@ object WarcBridge {
       it.flatMap { fileRow =>
         val path = fileRow.getString(0)
         val in = fs.open(path)
+        var closed = false
+        def closeQuiet(): Unit = if (!closed) {
+          closed = true
+          try in.close() catch { case _: java.io.IOException => () }
+        }
+        // failure/cancellation safety net; the happy path closes EAGERLY
+        // below — a partition packing thousands of small shards must not
+        // accumulate one open fd (and object-store connection) per
+        // already-consumed file until task end
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ =>
-            try in.close() catch { case _: java.io.IOException => () }))
+          _.addTaskCompletionListener[Unit](_ => closeQuiet()))
         val chunks =
           if (path.endsWith(".gz")) gunzipMembersStream(in, path)
           else chunkedStream(in, path)
-        parseRecords(chunks, path)
+        val rows = parseRecords(chunks, path)
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) closeQuiet()
+            h
+          }
+          def next(): Row = rows.next()
+        }
       }
     }(Encoders.row(recordSchema))
   }

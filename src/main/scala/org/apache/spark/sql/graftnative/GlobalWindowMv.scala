@@ -178,8 +178,13 @@ object GlobalWindowMv {
     * correctness — boundaries are arbitrary frozen cut points; only
     * run-to-run consistency matters, and the stored string IS the
     * canonical form every run derives the literal from. */
-  def boundaryLiterals(reprs: Seq[String], dt: DataType): Seq[Column] =
-    reprs.map(s => lit(s).cast(dt))
+  def boundaryLiterals(reprs: Seq[String], dt: DataType): Seq[Column] = dt match {
+    // TIMESTAMP (with local time zone) casts to/from string through the
+    // SESSION time zone — a zone change between runs would silently shift
+    // every frozen cut; micros-since-epoch is zone-independent
+    case TimestampType => reprs.map(s => timestamp_micros(lit(s).cast("long")))
+    case _ => reprs.map(s => lit(s).cast(dt))
+  }
 
   /** Bucket id of an order value: the number of boundaries sorting
     * STRICTLY before it (so equal values always share a bucket), with
@@ -204,10 +209,14 @@ object GlobalWindowMv {
       s"recompute.buckets must be in [2, 4096], got $buckets")
     val vCol = ExpressionUtils.column(shape.orderAttr)
     val sampleN = buckets * 512
+    val reprCol = shape.orderAttr.dataType match {
+      case TimestampType => unix_micros(col("__v")).cast("string")
+      case _ => col("__v").cast("string")
+    }
     val sorted = childDf.select(vCol.as("__v")).filter(col("__v").isNotNull)
       .orderBy(rand(42)).limit(sampleN) // map-side partial top-k, one pass
       .orderBy(if (shape.asc) col("__v").asc else col("__v").desc)
-      .select(col("__v").cast("string"))
+      .select(reprCol)
       .collect().map(_.getString(0)).toSeq
     if (sorted.length < buckets * 4) Nil
     else {
@@ -221,8 +230,18 @@ object GlobalWindowMv {
     * type) plus per-bucket row / distinct-order-tuple counts — everything
     * a refresh needs to compute prefix offsets for UNTOUCHED buckets
     * without reading them. */
-  final case class Meta(typeDdl: String, boundaries: Seq[String],
+  final case class Meta(typeDdl: String, orderSig: String,
+      hasDistincts: Boolean, boundaries: Seq[String],
       counts: Map[Int, Long], distincts: Map[Int, Long])
+
+  /** Canonical signature of the window's ORDER BY spec — column names,
+    * directions, null ordering, tie-break keys. Persisted beside the
+    * frozen boundaries so an edited sql (different order column, flipped
+    * direction, changed secondary keys — all of which change bucket
+    * routing or distinct counts) invalidates the stored state instead of
+    * silently producing wrong ranks. */
+  def orderSig(shape: Shape): String =
+    shape.orderSpec.map(_.sql).mkString(", ")
 
   /** Line-based, base64-armored codec (boundary values are arbitrary user
     * data — base64 sidesteps every escaping concern). */
@@ -230,8 +249,10 @@ object GlobalWindowMv {
     val b64 = java.util.Base64.getEncoder
     def pairs(kv: Map[Int, Long]) =
       kv.toSeq.sorted.map { case (k, v) => s"$k:$v" }.mkString(",")
-    Seq("v=1",
+    Seq("v=2",
       "type=" + b64.encodeToString(m.typeDdl.getBytes("UTF-8")),
+      "ordersig=" + b64.encodeToString(m.orderSig.getBytes("UTF-8")),
+      "hasdistincts=" + m.hasDistincts,
       "boundaries=" + m.boundaries
         .map(s => b64.encodeToString(s.getBytes("UTF-8"))).mkString(","),
       "counts=" + pairs(m.counts),
@@ -242,13 +263,13 @@ object GlobalWindowMv {
     val b64 = java.util.Base64.getDecoder
     val kv = s.linesIterator.map(_.split("=", 2)).collect {
       case Array(k, v) => k -> v }.toMap
-    require(kv.get("v").contains("1"), s"unknown gwmeta version ${kv.get("v")}")
+    require(kv.get("v").contains("2"), s"unknown gwmeta version ${kv.get("v")}")
     def str(b: String) = new String(b64.decode(b), "UTF-8")
     def pairs(v: String): Map[Int, Long] =
       if (v.isEmpty) Map.empty
       else v.split(",").map { p =>
         val Array(k, n) = p.split(":", 2); k.toInt -> n.toLong }.toMap
-    Meta(str(kv("type")),
+    Meta(str(kv("type")), str(kv("ordersig")), kv("hasdistincts").toBoolean,
       // "" = no boundaries; a lone empty SEGMENT is the base64 of the
       // empty string — a legal boundary value for STRING order columns
       kv("boundaries") match {

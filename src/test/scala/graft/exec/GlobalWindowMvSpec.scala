@@ -254,11 +254,33 @@ class GlobalWindowMvSpec extends SparkSuite {
   }
 
   test("gwmeta codec round-trips boundaries with hostile characters") {
-    val m = GlobalWindowMv.Meta("STRING",
+    val m = GlobalWindowMv.Meta("STRING", "`s2` DESC NULLS LAST, x", true,
       Seq("a,b\nc", "\"quoted\"", "=:x", ""),
       Map(0 -> 5L, 3 -> 7L), Map(-1 -> 1L))
     val decoded = GlobalWindowMv.decodeMeta(GlobalWindowMv.encodeMeta(m))
     assert(decoded.contains(m))
     assert(GlobalWindowMv.decodeMeta("garbage").isEmpty)
+  }
+
+  test("an edited ORDER BY spec invalidates the frozen state — re-bootstrap, never stale ranks") {
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, (0L until 400L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql)))
+    val sig1 = store.getMeta("mv", "gwmeta")
+      .flatMap(GlobalWindowMv.decodeMeta).get.orderSig
+    // flip the direction: bucket routing reverses, counts are stale —
+    // the refresh must re-derive, and the output must match a one-shot
+    val ascSql =
+      "SELECT id, score, CAST(rank() OVER (ORDER BY score ASC) AS INT) AS rnk, " +
+        "CAST(dense_rank() OVER (ORDER BY score ASC) AS INT) AS drk FROM base"
+    writeRows(landing, Seq((9000L, 4.5)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, ascSql)))
+    val meta2 = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta).get
+    assert(meta2.orderSig != sig1, "order signature must track the spec")
+    val got = store.read("mv").select("id", "score", "rnk", "drk")
+    val expected = oneShot(store, ascSql)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "a changed ORDER BY must re-bootstrap, not reuse stale buckets/counts")
   }
 }
