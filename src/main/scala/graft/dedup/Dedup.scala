@@ -417,9 +417,9 @@ object Dedup {
       .withColumn("n", graft.functions.ArrayMath.l2Norm(col("v")))
     val a = normed.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = normed.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    val dot = graft.functions.ArrayMath.dot(col("va"), col("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (col("na") * col("nb")))
+      .withColumn("cosine", graft.functions.ArrayMath.cosine(
+        col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
@@ -1016,8 +1016,8 @@ object Dedup {
       col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        graft.functions.ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", graft.functions.ArrayMath.cosine(
+        col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"),
         col("cell_id"))
@@ -1038,8 +1038,8 @@ object Dedup {
     val a = normed.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = normed.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     candidates.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("cosine",
-        graft.functions.ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", graft.functions.ArrayMath.cosine(
+        col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -36,9 +36,14 @@ object CurationTransforms {
       // zero rows is null — an empty counts view is a valid no-op plan
       val tot = in.agg(coalesce(sum(col(tokens)), lit(0L)).cast("long"))
         .head.getLong(0)
+      val (bNum, bDen) = (num(p, "budget_num", 4.0), num(p, "budget_den", 5.0))
+      require(bNum >= 0 && bNum == bNum.floor && bDen >= 1 && bDen == bDen.floor,
+        s"MixtureRates: budget_num/budget_den must be integers with num >= 0 " +
+          s"and den >= 1, got num=$bNum den=$bDen — the budget is " +
+          "total tokens * num / den in exact integer arithmetic " +
+          "(budget_den: 0.5 is NOT 'keep half'; that is num=1, den=2)")
       Sampling.mixtureRates(in, str(p, "group_col", "source"), tokens,
-        str(p, "weight_col", "weight"),
-        tot * num(p, "budget_num", 4.0).toLong / num(p, "budget_den", 5.0).toLong)
+        str(p, "weight_col", "weight"), tot * bNum.toLong / bDen.toLong)
     }
   }
 

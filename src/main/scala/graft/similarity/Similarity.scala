@@ -247,8 +247,18 @@ object Similarity {
         when(col("__mx") > col("__mn"), (col("__mx") - col("__mn")) / 255.0)
           .otherwise(lit(1.0))) // constant vector: any scale, codes all -128
       .withColumn("offset", col("__mn"))
-      .withColumn("codes", transform(col("__v"), x =>
-        (round((x - col("offset")) / col("scale")) - 128).cast("tinyint")))
+      // a NaN/Infinity component makes scale NaN and the tinyint cast
+      // THROW under ANSI (pre-ANSI it silently quantized to garbage) —
+      // refuse by id instead, naming the cleanse
+      .withColumn("codes", when(
+        !exists(col("__v"), x => isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity),
+        transform(col("__v"), x =>
+          (round((x - col("offset")) / col("scale")) - 128).cast("tinyint")))
+        .otherwise(raise_error(concat(
+          lit("quantize: vector '"), col("id").cast("string"),
+          lit("' contains NaN/Infinity — int8 quantization is undefined; " +
+            "cleanse the embedding column upstream")))))
       .withColumn("norm", norm(col("__v")))
       .select("id", "codes", "scale", "offset", "norm")
   }

@@ -51,8 +51,12 @@ object TextAnalysis {
         round((nChars - (nWords - lit(1))).cast("double") / nWords, 6))
       .withColumn("uniq_word_ratio",
         round(size(array_distinct(ws)).cast("double") / nWords, 6))
+      // nChars = 0 (an empty-string doc — paragraphDedup produces them)
+      // must score 0.0, not throw ANSI DIVIDE_BY_ZERO
       .withColumn("digit_ratio",
-        round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") / nChars, 6))
+        when(nChars > 0,
+          round(size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") / nChars, 6))
+          .otherwise(lit(0.0)))
       .withColumn("stopword_ratio", round(enHits.cast("double") / nWords, 6))
       .withColumn("quality_keep",
         nWords >= 5 && nWords <= 100000 && col("avg_word_len") >= 2
