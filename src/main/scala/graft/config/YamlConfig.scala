@@ -115,7 +115,13 @@ object YamlConfig {
       case Some(s: String) => Map[String, Any]("type" -> "sql", "sql" -> s)
       case _ => Map.empty[String, Any]
     }
-    val readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("batch")
+    val readMode0 = str(m, "readMode").orElse(str(src, "readMode"))
+    readMode0.filterNot(v => v == "batch" || v == "stream").foreach(v =>
+      throw ConfigError(s"load '$name': readMode must be 'batch' or " +
+        s"'stream', got '$v' — every dispatch compares exactly 'stream', " +
+        "so a typo would silently select batch (full re-reads, duplicate " +
+        "downstream appends)"))
+    val readMode = readMode0.getOrElse("batch")
     str(src, "type").getOrElse("sql") match {
       case "cloudfiles" => CloudFilesLoad(name, target,
         path = str(src, "path").getOrElse(throw ConfigError(s"cloudfiles '$name' missing path")),
@@ -139,7 +145,7 @@ object YamlConfig {
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
         schemaPath = str(src, "schema_path").orElse(str(src, "schema_file")),
         schemaDdl = str(src, "table_schema"),
-        readMode = str(m, "readMode").orElse(str(src, "readMode")).getOrElse("stream"))
+        readMode = readMode0.getOrElse("stream"))
       case "delta" | "table" =>
         // deprecated spelling, same posture as the reference
         // (generators/load/delta.py:26-46: removed field, hard error)
@@ -289,7 +295,14 @@ object YamlConfig {
             else throw ConfigError(s"sql load '$name' missing sql")),
           sqlPath = sqlPath,
           readMode = readMode)
-      case "jdbc" => JdbcLoad(name, target,
+      case "jdbc" =>
+        // jdbc is batch-only (the reference's jdbc generator emits
+        // spark.read); accepting readMode: stream would silently
+        // full-re-read the table per run
+        if (readMode == "stream") throw ConfigError(
+          s"load '$name': jdbc loads are batch-only — poll via " +
+            "snapshot_cdc source_function, or land files and stream those")
+        JdbcLoad(name, target,
         url = str(src, "url").getOrElse(throw ConfigError(s"jdbc '$name' missing url")),
         query = str(src, "query"), dbtable = str(src, "dbtable"),
         options = anyMap(src, "options").map { case (k, v) => k -> v.toString },
@@ -489,6 +502,16 @@ object YamlConfig {
       // mode: snapshot_cdc without its config would parse cdc = None and
       // plain-append every full snapshot per run (deletes never diffed,
       // re-runs duplicating the snapshot)
+      // mode: cdc with a missing/typo'd cdc_config would parse cdc = None
+      // and dispatch to plain append — duplicated keys, deletes never
+      // applied, zero errors (the guard snapshot_cdc has always had)
+      if (writeType == "streaming_table" && str(wt, "mode").contains("cdc") &&
+          m.get("cdc_config").orElse(wt.get("cdc_config"))
+            .orElse(wt.get("snapshot_cdc_config")).orElse(m.get("snapshot_cdc_config")).isEmpty)
+        throw ConfigError(graft.ErrorCodes.ACT_010(
+          s"write '$name': mode cdc needs cdc_config (keys + sequence_by " +
+            "drive the merge) — without it every CDC batch would " +
+            "plain-append"))
       if (writeType == "streaming_table" && str(wt, "mode").contains("snapshot_cdc") &&
           wt.get("snapshot_cdc_config").orElse(m.get("snapshot_cdc_config"))
             .orElse(m.get("cdc_config")).orElse(wt.get("cdc_config")).isEmpty)
@@ -549,8 +572,15 @@ object YamlConfig {
           cdc = cdc,
           snapshotCdc = str(wt, "mode").contains("snapshot_cdc") || snapMap.isDefined,
           snapshotFunction = snapMap.flatMap(c =>
-            c.get("source_function").map(asMap).flatMap(sf =>
-              str(sf, "class").orElse(str(sf, "function")))),
+            c.get("source_function").map(asMap).map { sf =>
+              // a typo'd class key would silently switch the write from
+              // polling mode to source-view diff mode
+              str(sf, "class").orElse(str(sf, "function")).getOrElse(
+                throw ConfigError(graft.ErrorCodes.ACT_010(
+                  s"write '$name': snapshot_cdc_config.source_function " +
+                    "needs 'class' (or 'function') naming the snapshot " +
+                    s"poller — got keys: ${sf.keys.toSeq.sorted.mkString(", ")}")))
+            }),
           changeLog = wt.get("change_log").exists(_.toString.toBoolean),
           rowFilter = str(wt, "row_filter"),
           tableProperties = anyMap(wt, "table_properties").map { case (k, v) => k -> v.toString },
@@ -589,6 +619,14 @@ object YamlConfig {
         // maintenance granularity, so a contradicting partition_columns
         // would silently change which rows a refresh replaces)
         val rc = wt.get("recompute").map(asMap)
+        rc.foreach { rm =>
+          val unknown = rm.keySet -- Set("keys", "view", "buckets")
+          if (unknown.nonEmpty) throw ConfigError(graft.ErrorCodes.ACT_010(
+            s"write '$name': unknown recompute key(s) " +
+              s"${unknown.toSeq.sorted.mkString(", ")} (valid: keys, view, " +
+              "buckets) — a typo'd key would silently fall back to its " +
+              "default"))
+        }
         val rcKeys = rc.map(strSeq(_, "keys")).getOrElse(Nil)
         val rcView = rc.flatMap(str(_, "view"))
         val rcBuckets = rc.flatMap(str(_, "buckets")).map { s =>
@@ -696,7 +734,13 @@ object YamlConfig {
             str(wt, "topic").map("topic" -> _).toMap
         SinkWrite(name,
           source = sourceSeq(m).headOption.getOrElse(""),
-          sinkType = str(wt, "sink_type").orElse(str(wt, "format")).getOrElse("files"),
+          sinkType = str(wt, "sink_type").orElse(str(wt, "format")).getOrElse(
+            throw ConfigError(graft.ErrorCodes.ACT_010(
+              s"write '$name': sink needs sink_type (files, kafka, " +
+                "foreachbatch, custom) — the reference refuses a missing " +
+                "sink_type too (sink.py:37), and a silent files default " +
+                "would land parquet under the sink root while the " +
+                "intended connector receives nothing"))),
           options = kafkaOpts ++ anyMap(wt, "options").map { case (k, v) => k -> v.toString },
           handlerClass = str(wt, "handler").orElse(str(wt, "custom_sink_class"))
             .orElse(str(wt, "batch_handler")),

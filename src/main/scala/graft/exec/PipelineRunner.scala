@@ -707,6 +707,14 @@ final class PipelineRunner(
     case a: SqlLoad =>
       val sql = a.sqlPath.map(readFile).getOrElse(a.sql)
       val (df, streaming) = sqlWithStreamRefs(sql)
+      // readMode is declarative intent, not a switch here (streaming-ness
+      // comes from stream(...) refs) — but accepting `readMode: stream`
+      // on a batch sql would silently re-read the full source every run
+      // and duplicate downstream appends; make the mismatch loud
+      if (a.readMode == "stream" && !streaming) throw Planner.PlanError(
+        s"load '${a.name}': readMode: stream on a sql load requires a " +
+          "stream(view_or_table) reference in the sql — this sql resolved " +
+          "fully batch, which would silently full-re-read per run")
       register(a.target, withOpMeta(a, df), streaming)
 
     case a: JdbcLoad =>
@@ -725,7 +733,15 @@ final class PipelineRunner(
 
     case a: FunctionLoad =>
       val fn = plugin[SourceFunction](a.functionClass)
-      register(a.target, withOpMeta(a, fn(spark, a.parameters)), streaming = false)
+      val df = fn(spark, a.parameters)
+      // honor the declared readMode against what the plugin actually
+      // built: `readMode: stream` over a batch frame would silently
+      // re-land the function's full output every run
+      if (a.readMode == "stream" && !df.isStreaming) throw Planner.PlanError(
+        s"load '${a.name}': readMode: stream but function " +
+          s"'${a.functionClass}' returned a BATCH frame — build the source " +
+          "with spark.readStream inside the plugin, or drop readMode")
+      register(a.target, withOpMeta(a, df), df.isStreaming)
 
     case a: CustomSourceLoad =>
       // DataSource V2 provider by class name — the custom_datasource load
@@ -1755,6 +1771,16 @@ final class PipelineRunner(
             (!shape.needsDistinct || mt.hasDistincts))
         val (meta0, minBucket) = stored match {
           case Some(mt) =>
+            // an edited buckets: value cannot take effect while the
+            // boundaries stay frozen — say so instead of appearing to
+            // honor the config (the count itself stays stored so this
+            // fires once per mismatched refresh, not per sync run)
+            if (mt.declaredBuckets != a.recomputeBuckets)
+              graft.Log.warn(s"materialized_view '${a.name}': recompute." +
+                s"buckets is now ${a.recomputeBuckets} but the table's " +
+                s"range boundaries were frozen at ${mt.declaredBuckets} — " +
+                s"the declared value takes effect only after a full " +
+                s"refresh of '${a.table}' re-derives them")
             val blits = GlobalWindowMv.boundaryLiterals(mt.boundaries, dt)
             (mt, GlobalWindowMv.minDeltaBucket(batch, orderColName, shape, blits))
           case None =>
@@ -1765,6 +1791,7 @@ final class PipelineRunner(
             // definition at that size); boundaries only persist once the
             // table is worth bucketing
             (GlobalWindowMv.Meta(dt.sql, sig, shape.needsDistinct,
+              a.recomputeBuckets,
               GlobalWindowMv.sampleBoundaries(childDf, shape, a.recomputeBuckets),
               Map.empty, Map.empty), None)
         }
@@ -2432,6 +2459,13 @@ final class PipelineRunner(
     // (generators/test/_base.py:40-43); drop records-but-continues like warn
     // (violating rows are already excluded from the test view's output)
     val onFail = cfgStr("on_violation").orElse(cfgStr("on_fail")).getOrElse("fail")
+    // allowlist BEFORE dispatch: an unknown value would otherwise silently
+    // dispatch to fail — fail-closed, but a typo'd 'warn' must be refused
+    // by name, not abort a pipeline the user configured to continue
+    if (!Set("fail", "warn", "drop").contains(onFail))
+      throw Planner.PlanError(graft.ErrorCodes.ACT_010(
+        s"test '${a.name}': on_violation must be fail, warn, or drop — " +
+          s"got '$onFail'"))
     if (n > 0) {
       if (onFail == "warn" || onFail == "drop")
         graft.Log.warn(s"data test '${a.name}' (${a.testType}): $n violation(s)")
@@ -2590,7 +2624,16 @@ final class PipelineRunner(
     cfOpt(a, "inferColumnTypes").map(_.toBoolean) match {
       case Some(b) if a.format == "csv" => Map("inferSchema" -> b.toString)
       case Some(b) if a.format == "json" => Map("primitivesAsString" -> (!b).toString)
-      case _ => Map.empty
+      // parquet/orc/avro carry types in the file format — inference is
+      // inherently satisfied, the option is a no-op either way
+      case Some(_) if Set("parquet", "orc", "avro").contains(a.format) => Map.empty
+      // text/xml/binaryFile/warc have no type-inference knob at all:
+      // refuse rather than silently drop (the mergeSchema posture)
+      case Some(_) => throw Planner.PlanError(
+        s"load '${a.name}': cloudFiles.inferColumnTypes is not supported " +
+          s"for format '${a.format}' (csv/json honor it; parquet/orc/avro " +
+          "are already typed) — remove the option or declare a schema")
+      case None => Map.empty
     }
 
   /** Emulate `cloudFiles.includeExistingFiles=false` ("only files arriving

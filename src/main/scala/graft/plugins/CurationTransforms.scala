@@ -29,6 +29,8 @@ object CurationTransforms {
     * (group, n_tokens, weight, target_tokens, rate). */
   final class MixtureRates extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "MixtureRates",
+        "group_col", "tokens_col", "weight_col", "budget_num", "budget_den")
       val in = inputs.head
       val tokens = str(p, "tokens_col", "n_tokens")
       // one-row aggregate collect: the budget is a CONFIG-scale scalar
@@ -50,6 +52,7 @@ object CurationTransforms {
   /** Keep documents passing the heuristic quality gate (t2's quality_keep). */
   final class QualityFilter extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "QualityFilter", "text_col")
       val in = inputs.head
       TextAnalysis.qualityFeatures(in, str(p, "text_col", "text"))
         .filter(col("quality_keep"))
@@ -62,14 +65,17 @@ object CurationTransforms {
     * pipeline. parameters: `html_col` (default "html"), `out_col`
     * (default "text"); other columns pass through. */
   final class HtmlExtract extends TransformFunction {
-    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame =
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "HtmlExtract", "html_col", "out_col")
       inputs.head.withColumn(str(p, "out_col", "text"),
         TextAnalysis.htmlToText(col(str(p, "html_col", "html"))))
+    }
   }
 
   /** Keep one document per exact content hash (the group's min id). */
   final class ExactDedupFilter extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "ExactDedupFilter", "id_col", "text_col")
       val (in, id, text) = (inputs.head, str(p, "id_col", "doc_id"), str(p, "text_col", "text"))
       val keepers = Dedup.exact(in, id, text).select(col("keeper").as(id))
       in.join(keepers, Seq(id), "left_semi")
@@ -80,6 +86,7 @@ object CurationTransforms {
     * only each cluster's canonical (min-id) member. */
   final class NearDupFilter extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "NearDupFilter", "id_col", "text_col", "threshold")
       val (in, id, text) = (inputs.head, str(p, "id_col", "doc_id"), str(p, "text_col", "text"))
       val pairs = Dedup.minHashLsh(in, id, text,
         threshold = num(p, "threshold", 0.6))
@@ -94,6 +101,7 @@ object CurationTransforms {
     * the second input view is the probe set. */
   final class Decontaminate extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "Decontaminate", "id_col", "text_col", "ngram")
       val Seq(corpus, probes) = inputs.take(2)
       val (id, text) = (str(p, "id_col", "doc_id"), str(p, "text_col", "text"))
       val contaminated = Dedup.contamination(corpus, probes, id, text, id, text,
@@ -104,9 +112,11 @@ object CurationTransforms {
 
   /** Deterministic hash sample at `fraction` (portable md5 mode optional). */
   final class HashSample extends TransformFunction {
-    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame =
+    def apply(inputs: Seq[DataFrame], spark: SparkSession, p: Map[String, Any]): DataFrame = {
+      Params.requireKnown(p, "HashSample", "id_col", "fraction", "portable")
       Sampling.byHash(inputs.head, str(p, "id_col", "doc_id"),
         num(p, "fraction", 1.0),
         portable = p.get("portable").exists(_.toString.toBoolean))
+    }
   }
 }

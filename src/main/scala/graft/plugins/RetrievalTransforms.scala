@@ -53,6 +53,8 @@ object RetrievalTransforms {
         p: Map[String, Any]): DataFrame = {
       require(inputs.size == 2,
         s"Bm25Maintain needs (corpus, queries) inputs, got ${inputs.size}")
+      Params.requireKnown(p, "Bm25Maintain",
+        "index_path", "id_col", "text_col", "qid_col", "qtext_col", "k")
       val path = p.get("index_path").map(_.toString).getOrElse(
         throw new IllegalArgumentException("Bm25Maintain: index_path parameter is required"))
       val Seq(corpus, queries) = inputs

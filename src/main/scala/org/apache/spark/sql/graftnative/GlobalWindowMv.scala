@@ -231,7 +231,7 @@ object GlobalWindowMv {
     * a refresh needs to compute prefix offsets for UNTOUCHED buckets
     * without reading them. */
   final case class Meta(typeDdl: String, orderSig: String,
-      hasDistincts: Boolean, boundaries: Seq[String],
+      hasDistincts: Boolean, declaredBuckets: Int, boundaries: Seq[String],
       counts: Map[Int, Long], distincts: Map[Int, Long])
 
   /** Canonical signature of the window's ORDER BY spec — column names,
@@ -253,6 +253,7 @@ object GlobalWindowMv {
       "type=" + b64.encodeToString(m.typeDdl.getBytes("UTF-8")),
       "ordersig=" + b64.encodeToString(m.orderSig.getBytes("UTF-8")),
       "hasdistincts=" + m.hasDistincts,
+      "declaredbuckets=" + m.declaredBuckets,
       "boundaries=" + m.boundaries
         .map(s => b64.encodeToString(s.getBytes("UTF-8"))).mkString(","),
       "counts=" + pairs(m.counts),
@@ -270,6 +271,7 @@ object GlobalWindowMv {
       else v.split(",").map { p =>
         val Array(k, n) = p.split(":", 2); k.toInt -> n.toLong }.toMap
     Meta(str(kv("type")), str(kv("ordersig")), kv("hasdistincts").toBoolean,
+      kv("declaredbuckets").toInt,
       // "" = no boundaries; a lone empty SEGMENT is the base64 of the
       // empty string — a legal boundary value for STRING order columns
       kv("boundaries") match {

@@ -278,4 +278,68 @@ class YamlConfigSpec extends SparkSuite {
         """- {name: r, expression: "1=1", failureAction: explode}"""))
     }
   }
+
+  test("silent-dispatch guards: readMode, mode cdc, recompute keys, sink_type") {
+    def parse(y: String) = YamlConfig.parseFlowGroup(y)
+    def fgYaml(action: String) =
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |$action""".stripMargin
+    // a typo'd readMode silently selected batch-mode dispatch before
+    val e1 = intercept[YamlConfig.ConfigError](parse(fgYaml(
+      """  - name: l
+        |    type: load
+        |    source: {type: cloudfiles, path: /tmp/x, format: json, readMode: streaming}
+        |    target: v""".stripMargin)))
+    assert(e1.msg.contains("readMode") && e1.msg.contains("streaming"))
+    // jdbc loads are batch-only — refuse readMode: stream by name
+    val e2 = intercept[YamlConfig.ConfigError](parse(fgYaml(
+      """  - name: l
+        |    type: load
+        |    source: {type: jdbc, url: "jdbc:derby:x", dbtable: t, readMode: stream}
+        |    target: v""".stripMargin)))
+    assert(e2.msg.contains("batch-only"))
+    // mode: cdc without cdc_config plain-appended every CDC batch before
+    val e3 = intercept[YamlConfig.ConfigError](parse(fgYaml(
+      """  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, table: t, mode: cdc}""".stripMargin)))
+    assert(e3.msg.contains("cdc_config"))
+    // recompute map refuses unknown keys (a typo'd buckets fell back to 64)
+    val e4 = intercept[YamlConfig.ConfigError](parse(fgYaml(
+      """  - name: w
+        |    type: write
+        |    sql: "SELECT 1 AS x"
+        |    write_target:
+        |      type: materialized_view
+        |      table: t
+        |      mode: incremental_recompute
+        |      recompute: {view: v, buckts: 512}""".stripMargin)))
+    assert(e4.msg.contains("buckts"))
+    // a sink needs sink_type (a typo'd key selected the files default and
+    // wrote parquet while the intended connector received nothing)
+    val e5 = intercept[YamlConfig.ConfigError](parse(fgYaml(
+      """  - name: w
+        |    type: write
+        |    source: v
+        |    write_target: {type: sink, sinktype: kafka}""".stripMargin)))
+    assert(e5.msg.contains("sink_type"))
+    // source_function with a typo'd class key silently switched snapshot
+    // polling into source-view diffing
+    val e6 = intercept[YamlConfig.ConfigError](parse(fgYaml(
+      """  - name: w
+        |    type: write
+        |    source: v
+        |    write_target:
+        |      type: streaming_table
+        |      table: t
+        |      mode: snapshot_cdc
+        |      snapshot_cdc_config:
+        |        keys: [k]
+        |        sequence_by: [s]
+        |        source_function: {className: com.x.Poller}""".stripMargin)))
+    assert(e6.msg.contains("source_function") && e6.msg.contains("className"))
+  }
 }

@@ -254,7 +254,7 @@ class GlobalWindowMvSpec extends SparkSuite {
   }
 
   test("gwmeta codec round-trips boundaries with hostile characters") {
-    val m = GlobalWindowMv.Meta("STRING", "`s2` DESC NULLS LAST, x", true,
+    val m = GlobalWindowMv.Meta("STRING", "`s2` DESC NULLS LAST, x", true, 64,
       Seq("a,b\nc", "\"quoted\"", "=:x", ""),
       Map(0 -> 5L, 3 -> 7L), Map(-1 -> 1L))
     val decoded = GlobalWindowMv.decodeMeta(GlobalWindowMv.encodeMeta(m))
