@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Serializes [[incrementalExactBloom]]'s session-conf raise across the
+    * orchestrator's parallel runner threads (one shared SparkSession). */
+  private val bloomCapLock = new Object
+
+
   /** Bloom-accelerated [[incrementalExact]] — the same EXACT semantics
     * with the index probe gated by a bloom sketch, the shape that wins
     * when most of each batch is genuinely new (the steady state of a
@@ -64,8 +69,13 @@ object Dedup {
         val conf = ix.sparkSession.conf
         val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
         val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-        val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
-        val sketch =
+        // read-raise-build-restore is atomic under a process-wide lock:
+        // the orchestrator runs flowgroups in parallel threads sharing one
+        // session, and two interleaved raises could leak a raised cap
+        // permanently (B snapshots A's temporary value as its "old") or
+        // clamp B's sketch mid-eval after A's restore
+        val sketch = bloomCapLock.synchronized {
+          val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
           try {
             conf.set(itemsKey, math.max(oldItems.toLong, expectedItems))
             conf.set(bitsKey, math.max(oldBits.toLong, numBits))
@@ -73,6 +83,7 @@ object Dedup {
                 xxhash64(col("fp")), expectedItems, numBits).as("__bf"))
               .head().getAs[Array[Byte]](0)
           } finally { conf.set(itemsKey, oldItems); conf.set(bitsKey, oldBits) }
+        }
         if (sketch == null) inBatch.drop("__fp") // empty index: all new
         else {
           // cached: the definitely-new filter and the maybe branch both

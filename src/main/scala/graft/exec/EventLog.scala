@@ -92,7 +92,15 @@ object EventLog {
         m
       }
       import spark.implicits._
-      store.append(tableFor(p), mine.toDF())
+      // a failed append must not LOSE the run's events (removed from the
+      // buffer, never on disk): re-buffer and rethrow, so a later
+      // completion of the same flowgroup (a retry) flushes them with its
+      // own batch
+      try store.append(tableFor(p), mine.toDF())
+      catch { case e2: Throwable =>
+        synchronized { buf ++= mine }
+        throw e2
+      }
     }
   }
 }

@@ -78,9 +78,17 @@ final class PipelineOrchestrator(
           // log and test reporters must record WHY a flowgroup produced
           // nothing, or monitoring cannot tell "skipped on upstream
           // failure" from "never scheduled"
-          hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup,
+          // guarded like the runner-thread hooks: a hook failure here
+          // (event-log lock timeout, legacy-table refusal) ran on the
+          // orchestrator thread and aborted every remaining generation,
+          // violating the fault policy above
+          try hooks.onFlowgroupComplete(fg.pipeline, fg.flowgroup,
             Some(new RuntimeException(
               "skipped: an upstream flowgroup failed this run")))
+          catch { case e: Exception =>
+            graft.Log.warn(s"completion hook failed for skipped flowgroup " +
+              s"${fg.pipeline}.${fg.flowgroup}: ${e.getMessage}")
+          }
           Outcome(s"${fg.pipeline}.${fg.flowgroup}", None, skipped = true,
             durationMs = 0L)
         }

@@ -1312,23 +1312,28 @@ final class PipelineRunner(
     // stream(cat.sch.t) to a batch re-read of the full history (the exact
     // duplicate-append regression this function's batch-fallback WARN
     // exists to prevent; the dotted case had no warning at all)
+    // EVERY overlay registers under a fresh mangled name and the SQL
+    // reference is rewritten to it — never a createOrReplace of the
+    // table's own leaf view. Overlaying the shared name was a race under
+    // the orchestrator's parallel flowgroup threads: another flowgroup's
+    // batch `FROM <leaf>` planned during the overlay window resolved the
+    // STREAMING frame and died with Spark's writeStream error (or worse,
+    // planned against the mid-swap restore). Unique names make the
+    // window disappear; the view is dropped once the plan is built.
     val saved = overlays.map { t =>
-      val viewName = if (t.contains(".")) "__stream_" + t.replace('.', '_') else t
-      val hadView = spark.catalog.tableExists(viewName)
+      val viewName = "__stream_" + t.replace('.', '_') + "_" +
+        PipelineRunner.overlayId.incrementAndGet()
       val batchSchema = store.read(t).schema
       spark.readStream.schema(batchSchema).parquet(store.path(t))
         .createOrReplaceTempView(viewName)
-      (t, viewName, hadView)
+      (t, viewName)
     }
-    val rename = saved.collect { case (t, v, _) if t != v => t -> v }.toMap
+    val rename = saved.toMap
     try {
       val df = spark.sql(graft.plan.StreamRef.stripTo(sql, rename))
       (df, df.isStreaming || streamed.exists(streamingViews.contains))
-    } finally saved.foreach { case (t, viewName, hadView) =>
-      // restore the batch temp view (or remove ours) — later consumers in
-      // this run must see the table's batch contents again
-      if (hadView) store.read(t).createOrReplaceTempView(viewName)
-      else spark.catalog.dropTempView(viewName): Unit
+    } finally saved.foreach { case (_, viewName) =>
+      spark.catalog.dropTempView(viewName): Unit
     }
   }
 
@@ -1352,6 +1357,12 @@ final class PipelineRunner(
     // serialize the replay spec FIRST: its separator-name guard must fire
     // before any rows land in the log
     val spec = replaySpec(mergeOpts)
+    // the WHOLE version-assignment + append + counter-advance sequence
+    // runs under the log table's lock (reentrant — the inner appends
+    // re-acquire): two parallel fan-in flowgroups otherwise both peek the
+    // same next version, tag two logical commits with one number, and
+    // interleave each other's intent markers
+    store.withTableLock(chTable) {
     val version = store.nextCommitVersion(chTable, "_commit_version")
     // Write-path integrity: if a previous commit crashed between append and
     // counter advance, nextCommitVersion (a pure peek) returns the SAME
@@ -1368,6 +1379,7 @@ final class PipelineRunner(
     store.setMeta(chTable, "commit_intent", version.toString)
     try commitChangeRows(a, chTable, version, batch, mergeOpts, spec, txnId)
     catch { case e: Throwable => uncacheIntegrity(chTable); throw e }
+    }
   }
 
   /** The append + sidecar sequence of one change-log commit; any throw
@@ -2696,6 +2708,10 @@ final class PipelineRunner(
 }
 
 object PipelineRunner {
+  /** Process-wide counter for transient stream-overlay view names —
+    * uniqueness across the orchestrator's parallel runner instances. */
+  private[exec] val overlayId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Above this many affected partitions a CDC batch full-replaces instead
     * of partition-scoping (the literal pruning predicate stops paying). */
   val MaxScopedPartitions = 2000

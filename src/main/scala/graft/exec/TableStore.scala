@@ -109,9 +109,16 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     withTableLock(table) {
       appendGuards(table, df)
+      // schema sidecar FIRST: appends only ever WIDEN (the guard above),
+      // so a crash after the sidecar but before the files reads old data
+      // with the wider schema — added columns null, the evolution
+      // semantics. The old order left landed files INVISIBLE columns: a
+      // crash between files and sidecar read the new files through the
+      // stale narrow schema with no error and no replay to heal batch
+      // appends.
+      recordSchema(table, df)
       val w = df.write.mode(SaveMode.Append)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
-      recordSchema(table, df)
     }
 
   /** Plain parquet has no schema-evolution protocol of its own. WIDENING
@@ -197,11 +204,14 @@ final class TableStore(spark: SparkSession, val warehouse: String,
             .foreach(Files.delete)
           finally listing.close()
         }
+        // sidecar before the moves (the append ordering): widening-only,
+        // so a crash mid-window reads null-filled wide rather than
+        // silently hiding the landed files' new columns
+        recordSchema(table, df)
         staged.zipWithIndex.foreach { case (p, i) =>
           Files.move(p, tRoot.resolve(stRoot.relativize(p.getParent))
             .resolve(s"$prefix$i.parquet"))
         }
-        recordSchema(table, df)
       }
     } finally rm(new java.io.File(staging))
   }
@@ -287,22 +297,46 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     rows.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging)
 
     val targetRoot = Paths.get(path(table))
-    // 1. drop affected partition dirs (covers fully-deleted partitions);
-    //    match by unescaped dir values against the affected value tuples.
-    //    Values canonicalize through Spark's CAST-to-string (JVM toString
-    //    diverges for timestamps: java.sql.Timestamp appends ".0")
+    // 1. move affected partition dirs ASIDE to a trash sibling (the
+    //    swapDir protocol, not an immediate rm: a failure before step 2
+    //    completes RESTORES them — an rm here permanently lost the
+    //    partition's kept rows to any exception in between, and a merge
+    //    replay then recomputed against a table missing those rows).
+    //    Match by unescaped dir values against the affected value tuples;
+    //    values canonicalize through Spark's CAST-to-string (JVM toString
+    //    diverges for timestamps: java.sql.Timestamp appends ".0").
+    //    A hard kill between the first aside-move and the last staged
+    //    move still loses the window (no journal) — same residual as
+    //    swapDir, but streaming callers replay and the batch window is
+    //    now exception-safe instead of exception-lossy.
     val affectedStrs: Set[Seq[Option[String]]] = stringForms(affected, partitionBy)
-    partitionDirs(targetRoot, partitionBy.size).foreach { case (values, dir) =>
-      if (affectedStrs.contains(values)) rm(dir.toFile)
-    }
-    // 2. move staged partition dirs into place
     val stagingRootPath = Paths.get(staging)
-    partitionDirs(stagingRootPath, partitionBy.size).foreach { case (_, dir) =>
+    val trash = Paths.get(staging + "-old")
+    val movedAside = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    partitionDirs(targetRoot, partitionBy.size).foreach { case (values, dir) =>
+      if (affectedStrs.contains(values)) {
+        val t = trash.resolve(targetRoot.relativize(dir))
+        Files.createDirectories(t.getParent)
+        Files.move(dir, t)
+        movedAside += ((dir, t))
+      }
+    }
+    // 2. move staged partition dirs into place; restore the aside set on
+    //    failure (staged dirs already moved stay — they carry the same
+    //    logical content the restore would shadow, and the restore only
+    //    re-fills dirs the target no longer has)
+    try partitionDirs(stagingRootPath, partitionBy.size).foreach { case (_, dir) =>
       val dest = targetRoot.resolve(stagingRootPath.relativize(dir))
       if (Files.exists(dest)) rm(dest.toFile)
       Files.createDirectories(dest.getParent)
       Files.move(dir, dest): Unit
+    } catch { case e: Throwable =>
+      movedAside.foreach { case (orig, t) =>
+        if (!Files.exists(orig) && Files.exists(t)) Files.move(t, orig): Unit
+      }
+      throw e
     }
+    rm(trash.toFile)
     rm(stagingRootPath.toFile)
     setMeta(table, "rewritten", "true") // file streams over this dir re-read
     recordSchema(table, rows)
@@ -375,11 +409,8 @@ final class TableStore(spark: SparkSession, val warehouse: String,
     if (Files.exists(p)) Some(Files.readString(p).trim) else None
   }
 
-  def setMeta(table: String, key: String, value: String): Unit = {
-    val p = Paths.get(path(table) + s"._$key")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, value): Unit
-  }
+  def setMeta(table: String, key: String, value: String): Unit =
+    TableStore.atomicWrite(Paths.get(path(table) + s"._$key"), value)
 
   def deleteMeta(table: String, key: String): Unit =
     Files.deleteIfExists(Paths.get(path(table) + s"._$key")): Unit
@@ -474,11 +505,8 @@ final class TableStore(spark: SparkSession, val warehouse: String,
   /** Persist the commit counter — the commit's durability point for
     * [[currentCommitVersion]] readers. Call only after the append
     * succeeded (see [[nextCommitVersion]]). */
-  def advanceCommitVersion(table: String, version: Long): Unit = {
-    val p = Paths.get(path(table) + "._version")
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, version.toString): Unit
-  }
+  def advanceCommitVersion(table: String, version: Long): Unit =
+    TableStore.atomicWrite(Paths.get(path(table) + "._version"), version.toString)
 
   // ------------------------------------------------------------ internals
 
@@ -511,7 +539,12 @@ final class TableStore(spark: SparkSession, val warehouse: String,
       import scala.jdk.CollectionConverters._
       val df = spark.createDataFrame(affected.asJava, affected.head.schema)
       df.select(partitionBy.map(c => col(c).cast("string")): _*).collect()
-        .map(r => partitionBy.indices.map(i => Option(r.getString(i))).toSeq).toSet
+        // Spark writes the EMPTY STRING to the same
+        // __HIVE_DEFAULT_PARTITION__ directory as null (and reads both
+        // back as null) — fold "" to None here or an empty-string
+        // affected value never matches its own directory
+        .map(r => partitionBy.indices
+          .map(i => Option(r.getString(i)).filter(_.nonEmpty)).toSeq).toSet
     }
 
   /** Leaf partition directories exactly `depth` levels below `root`, with
@@ -721,6 +754,21 @@ object TableStore {
       }
     }
 
+  /** Write-temp-then-rename sidecar writes: a crash mid-write must never
+    * leave a TORN sidecar (a truncated ._schema bricks every read with a
+    * DDL parse error; a half-written ._version misdirects version_as_of),
+    * and a concurrent read-only process must never observe partial
+    * content. Same-directory ATOMIC_MOVE is a rename. The tmp name keeps
+    * the `<table>._` prefix so [[listTables]]' sidecar exclusion and
+    * [[TableStore!.drop]]'s cleanup both already cover it. */
+  private[exec] def atomicWrite(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + s".tmp-${System.nanoTime()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** One escaper for every hand-rolled flat JSON map in the engine
     * (sidecars here, event-log `details` in [[EventLog]]) — two drifting
     * copies means the next missed-character fix reaches only one. */
@@ -798,6 +846,10 @@ object TableStore {
       partitionBy.zipWithIndex.map { case (c, i) =>
         Option(r.get(i)) match {
           case None => col(c).isNull
+          // the storage layer folds "" into the null partition (Hive
+          // default dir) — rows of that partition read back as null, so
+          // an equality against "" alone would miss every one of them
+          case Some("") => col(c).isNull || col(c) === lit("")
           case Some(v) => col(c) === lit(v)
         }
       }.reduce(_ && _)
