@@ -56,7 +56,13 @@ object DataTests {
   def completeness(df: DataFrame, required: Seq[String]): DataFrame =
     df.filter(!required.map(c => col(c).isNotNull).reduce(_ && _))
 
-  /** Rows outside [min, max] on a column. */
+  /** Rows outside [min, max] on a column. A NULL value PASSES (the
+    * predicate evaluates NULL and the row stays out of the violations
+    * frame) — deliberately matching the reference's generated range test
+    * (`WHERE col < min OR col > max` keeps NULL rows out too) and the q11
+    * oracle; this differs from [[Expectations]]' constraint semantics
+    * (NULL = violation), where the reference differs the same way. Nulls
+    * are the [[completeness]] test's domain. */
   def range(df: DataFrame, column: String, min: Any, max: Any): DataFrame =
     df.filter(!(col(column) >= lit(min) && col(column) <= lit(max)))
 

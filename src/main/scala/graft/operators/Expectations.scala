@@ -59,6 +59,12 @@ object Expectations {
     * reference: templates/transform/data_quality_quarantine.py.j2:120-135,
     * `array_compact(array(when(~expr(rule), struct(...))))`). */
   def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    // reserved-column guard (the AsOfJoin/RangeJoin convention): rows read
+    // back from a DLQ already carry _failed_rules, and a silent overwrite
+    // would clobber the original failure annotation
+    require(!df.columns.contains("_failed_rules"),
+      "quarantine: input already carries a '_failed_rules' column (rows " +
+        "read back from a DLQ?) — drop or rename it before re-validating")
     val checked = rules.filterNot(_.action == Warn)
     // zero checked rules: array() of no children types array<null>, which
     // parquet REJECTS when the (empty) quarantine frame writes its schema

@@ -47,6 +47,15 @@ object ScdMerge {
   val StartCol = "__start_at"
   val EndCol = "__end_at"
   private val OpCol = "__graft_op" // internal: true = delete tombstone
+  private val TruncCol = "__graft_trunc" // internal: true = truncate row
+
+  /** Delete/truncate predicates evaluate NULL-as-false (SQL WHERE
+    * semantics, and the change log's own `_change_type` stamping): an op
+    * column that is NULL on ordinary upserts must not read as a DELETE —
+    * pre-fix, `!NULL` filtered the row out of the winners, silently
+    * deleting the key. */
+  private def predCol(p: Option[String]): Column =
+    p.map(e => coalesce(expr(e), lit(false))).getOrElse(lit(false))
 
   private def seqCol(opts: Options): Column =
     if (opts.sequenceBy.size == 1) col(opts.sequenceBy.head)
@@ -57,7 +66,7 @@ object ScdMerge {
     * truncate predicates are evaluated BEFORE this projection, so an
     * `except_column_list` entry may itself feed a predicate. */
   private def selectColumns(changes: DataFrame, opts: Options): DataFrame = {
-    val keep = Set(OpCol, StartCol)
+    val keep = Set(OpCol, TruncCol, StartCol)
     val base = opts.columnList match {
       case Some(cs) => changes.select(
         ((opts.keys ++ opts.sequenceBy ++ cs).distinct ++ changes.columns.filter(keep)).map(col): _*)
@@ -75,20 +84,25 @@ object ScdMerge {
     * current table. */
   def scd1(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
     val sq = seqCol(opts)
+    // BOTH predicates evaluate before the column projection (the
+    // selectColumns contract: an except_column_list entry may itself feed
+    // a predicate — evaluating the truncate on the projected frame threw
+    // UNRESOLVED_COLUMN whenever the predicate's column was excepted)
     val ch0 = selectColumns(
-      changes.withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false))), opts)
+      changes.withColumn(OpCol, predCol(opts.applyAsDeletes))
+        .withColumn(TruncCol, predCol(opts.applyAsTruncates)), opts)
 
     // Truncates: a truncate row in the batch clears the prior table (DLT
     // truncates the whole target). The has-truncate flag is a 1-row broadcast
     // folded into the merge plan — no separate driver-side job per merge.
     val (ch, tgt) = opts.applyAsTruncates match {
-      case Some(p) =>
+      case Some(_) =>
         val flag = broadcast(ch0.agg(
-          max(when(expr(p), lit(1)).otherwise(lit(0))).as("__trunc")))
+          max(when(col(TruncCol), lit(1)).otherwise(lit(0))).as("__trunc")))
         val tgtKept = target.map(_.crossJoin(flag)
           .filter(col("__trunc").isNull || col("__trunc") === 0).drop("__trunc"))
-        (ch0.filter(!coalesce(expr(p), lit(false))), tgtKept)
-      case None => (ch0, target)
+        (ch0.filter(!col(TruncCol)).drop(TruncCol), tgtKept)
+      case None => (ch0.drop(TruncCol), target)
     }
 
     val attrCols = ch.columns.filterNot(_ == OpCol)
@@ -160,7 +174,8 @@ object ScdMerge {
   def scd2(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
     val sq = seqCol(opts)
     val ch = selectColumns(
-      changes.withColumn(OpCol, opts.applyAsDeletes.map(expr).getOrElse(lit(false))), opts)
+      changes.withColumn(OpCol, predCol(opts.applyAsDeletes)), opts)
+      .drop(TruncCol)
       .withColumn(StartCol, sq)
 
     // Convert existing history rows back into change rows: a closed final row
@@ -169,8 +184,9 @@ object ScdMerge {
     val versions = target match {
       case None => ch
       case Some(t) =>
-        val affected = t.join(ch.select(opts.keys.map(col): _*).distinct(), opts.keys, "left_semi")
-        val untouched = t.join(ch.select(opts.keys.map(col): _*).distinct(), opts.keys, "left_anti")
+        val chKeys = ch.select(opts.keys.map(col): _*).distinct()
+        val affected = t.join(chKeys, opts.keys, "left_semi")
+        val untouched = t.join(chKeys, opts.keys, "left_anti")
         // A row whose __end_at does not meet its successor's __start_at was
         // closed by a DELETE (mid-history gap or final closure) — re-emit
         // that tombstone or the rebuild would resurrect the span.

@@ -27,6 +27,15 @@ object SchemaTransform {
       enforcement: Enforcement = Permissive)
 
   def apply(df: DataFrame, spec: Spec): DataFrame = {
+    // withColumnsRenamed silently no-ops on a missing source column — the
+    // reference's generated withColumnRenamed does the same, so staying
+    // lenient is faithful, but a typo'd rename should at least be VISIBLE
+    // (the declared-schema/cast error it causes downstream points at the
+    // wrong step)
+    spec.renames.keys.filterNot(df.columns.contains).foreach(c =>
+      graft.Log.warn(s"schema transform: rename source column '$c' is not " +
+        s"in the input (columns: ${df.columns.mkString(", ")}) — the " +
+        "rename is a no-op"))
     val renamed = df.withColumnsRenamed(spec.renames)
     val casted = spec.casts.foldLeft(renamed) { case (d, (c, t)) =>
       d.withColumn(c, col(c).cast(t))

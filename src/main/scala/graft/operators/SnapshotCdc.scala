@@ -34,13 +34,34 @@ object SnapshotCdc {
         val current0 = if (t.columns.contains(ScdMerge.EndCol)) t.filter(col(ScdMerge.EndCol).isNull) else t
         val current = current0.select(snapCols.filter(current0.columns.contains).map(col): _*)
 
-        val joined = snapshot.as("s").join(current.as("c"),
-          keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _), "full_outer")
+        // presence detection rides TAG columns, not key-nullness: a row
+        // with a NULL key component never equi-joins, so key-nullness read
+        // it as "absent on both sides" — the row was silently dropped from
+        // the feed (snapshot side) or survived every snapshot forever
+        // (target side). Null-keyed rows cannot be diffed at all; the tag
+        // doubles as a LOUD check that raises naming the side.
+        def tagged(df: DataFrame, side: String): DataFrame = df.withColumn("__kchk",
+          when(keys.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false)),
+            raise_error(concat(lit(s"SnapshotCdc.diff: the $side carries a " +
+              "NULL component in key ("), lit(keys.mkString(", ")),
+              lit(") — null-keyed rows match nothing in a key diff; " +
+                "cleanse or filter them upstream"))))
+            .otherwise(lit(true)))
+        val joined = tagged(snapshot, "snapshot").as("s")
+          .join(tagged(current, "target's open state").as("c"),
+            keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _), "full_outer")
 
-        val inSnap = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
-        val inCur = keys.map(k => col(s"c.$k").isNotNull).reduce(_ && _)
-        val changed = attrCols.filter(current.columns.contains)
-          .map(c => !(col(s"s.$c") <=> col(s"c.$c")))
+        val inSnap = col("s.__kchk").isNotNull
+        val inCur = col("c.__kchk").isNotNull
+        // a snapshot-only column (upstream schema evolution — the target
+        // does not carry it yet): any non-null value IS a change, so the
+        // widened rows flow through the merge instead of silently waiting
+        // for some other column to change
+        val changed = attrCols
+          .map { c =>
+            if (current.columns.contains(c)) !(col(s"s.$c") <=> col(s"c.$c"))
+            else col(s"s.$c").isNotNull
+          }
           .reduceOption(_ || _).getOrElse(lit(false))
 
         val maxSeq: Column =
@@ -68,7 +89,10 @@ object SnapshotCdc {
         val snapVersion = snapshot.agg(maxSeq.as("__v"))
         val deletes0 = joined.filter(inCur && !inSnap)
           .select(snapCols.map {
-            case c if keys.contains(c) || attrCols.contains(c) => col(s"c.$c").as(c)
+            // snapshot-only attr columns have no target-side value yet —
+            // null-fill instead of an unresolved `c.<col>` reference
+            case c if (keys.contains(c) || attrCols.contains(c)) &&
+                current.columns.contains(c) => col(s"c.$c").as(c)
             case c => lit(null).as(c) // sequence cols filled from snapshot version
           }: _*)
         // Sequence deletes at the snapshot's max sequence so they sort AFTER

@@ -27,6 +27,39 @@ class ScdMergeSpec extends SparkSuite {
     assert(t1 == Set((2, "x"), (3, "n")))
   }
 
+  test("a NULL delete predicate is NOT a delete (SQL WHERE semantics)") {
+    // op populated only on deletes (the common CDC shape): ordinary
+    // upserts evaluate the predicate NULL — pre-fix `!NULL` filtered the
+    // winner out, silently deleting every key whose op was null
+    val ch = Seq((1, 1L, "a", null), (2, 1L, "x", "D"), (3, 1L, "c", null))
+      .toDF("k", "seq", "v", "op")
+    val o1 = opts1.copy(applyAsDeletes = Some("op = 'D'"))
+    val out1 = ScdMerge.scd1(None, ch, o1)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(out1 == Set((1, "a"), (3, "c")), out1.toString)
+    val o2 = opts2.copy(applyAsDeletes = Some("op = 'D'"))
+    val open2 = ScdMerge.scd2(None, ch, o2)
+      .filter($"__end_at".isNull)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(open2 == Set((1, "a"), (3, "c")), open2.toString)
+  }
+
+  test("truncate predicate may reference an except_column_list column") {
+    // the selectColumns contract: delete AND truncate predicates evaluate
+    // before the projection — pre-fix the truncate ran on the projected
+    // frame and threw UNRESOLVED_COLUMN whenever its column was excepted
+    val t0 = ScdMerge.scd1(None,
+      Seq((1, 1L, "a", "U"), (2, 1L, "x", "U")).toDF("k", "seq", "v", "op"),
+      opts1.copy(exceptColumnList = Seq("op")))
+    val o = opts1.copy(applyAsTruncates = Some("op = 'T'"),
+      exceptColumnList = Seq("op"))
+    val t1 = ScdMerge.scd1(Some(t0),
+      Seq((9, 2L, "t", "T"), (3, 2L, "n", "U")).toDF("k", "seq", "v", "op"), o)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(t1 == Set((3, "n")), t1.toString) // prior table truncated, batch row applied
+    assert(!t1.exists(_._1 == 9)) // the truncate marker row itself is dropped
+  }
+
   test("scd1: stale change loses to newer target row") {
     val t0 = ScdMerge.scd1(None, changes((1, 5L, "new")), opts1)
     val t1 = ScdMerge.scd1(Some(t0), changes((1, 2L, "stale")), opts1)

@@ -61,4 +61,41 @@ class StatefulSessionizeSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(sessions == Set((1L, 2L, 3.0)))
   }
+
+  test("a LATE cross-batch event must not rewind the open session's end") {
+    val dir = Files.createTempDirectory("stateful-late").toString
+    def writeEvents(rows: Seq[(Long, String, Double)], mode: String): Unit =
+      rows.toDF("user_id", "ts_s", "value")
+        .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+        .write.mode(mode).parquet(s"$dir/in")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .parquet(s"$dir/in").as[StatefulSessionize.Event]
+      StatefulSessionize.sessions(stream, gapMs = 30 * 60 * 1000)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // run 1 leaves state end = 10:00
+    writeEvents(Seq(
+      (1L, "2024-01-01 09:40:00", 1.0),
+      (1L, "2024-01-01 10:00:00", 2.0)), "overwrite")
+    runOnce()
+    // run 2: a LATE event inside the session (9:50). Pre-fix the state's
+    // end rewound to 9:50, so the 10:25 event (within gap of the TRUE
+    // last activity 10:00, beyond gap of 9:50) wrongly split the session.
+    writeEvents(Seq((1L, "2024-01-01 09:50:00", 3.0)), "append")
+    runOnce()
+    writeEvents(Seq((1L, "2024-01-01 10:25:00", 4.0)), "append")
+    runOnce()
+    // close it far past the gap so everything emits
+    writeEvents(Seq((1L, "2024-01-01 23:00:00", 0.0)), "append")
+    runOnce()
+    val sessions = spark.read.parquet(s"$dir/out")
+      .selectExpr("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sessions == Set((1L, 4L, 10.0)), sessions.toString)
+  }
 }
