@@ -189,7 +189,12 @@ object Centrality {
       maxDist: Int = 6,
       checkpoint: IterCheckpoint = LocalCheckpoint): DataFrame = {
     val e = truncate(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct(),
+      // same null-endpoint drop as every production operator in this
+      // file — a baseline keeping null edges would emit a spurious
+      // null-keyed node and diverge from the HyperBall it validates
+      edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+        .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .distinct(),
       checkpoint)
     val nodes = e.select(col("__src").as("__id"))
       .unionByName(e.select(col("__dst").as("__id"))).distinct()

@@ -1275,7 +1275,8 @@ object LlmData {
         |  regexp_extract(body, '^([^/?]*)', 1) AS auth,
         |  regexp_extract(auth, '^([^/?@]*@)', 1) AS uinfo,
         |  lower(regexp_replace(auth, '^[^/?@]*@', '', 'g')) AS hostport,
-        |  regexp_replace(hostport, '^www\.', '', 'g') AS host0,
+        |  regexp_replace(regexp_replace(hostport, '^www\.', '', 'g'),
+        |    '\.(:[0-9]+)?$', '\1', 'g') AS host0,
         |  CASE WHEN sch = 'http' THEN regexp_replace(host0, ':80$', '', 'g')
         |       WHEN sch = 'https' THEN regexp_replace(host0, ':443$', '', 'g')
         |       ELSE host0 END AS host,

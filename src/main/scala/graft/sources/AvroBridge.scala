@@ -265,10 +265,12 @@ object AvroBridge {
   }
 
   private def mergeStructs(path: String)(a: StructType, b: StructType): StructType = {
+    val consumed = scala.collection.mutable.Set.empty[String]
     val merged = a.fields.map { f =>
       resolveField[StructField](b.fields.toIndexedSeq, _.name, f.name,
         s"schema under '$path'") match {
         case Some(bf) =>
+          consumed += bf.name
           val t = mergeTypes(f.dataType, bf.dataType).getOrElse(
             throw ConfigError(s"avro: field '${f.name}' under '$path' has " +
               s"conflicting types across files (${f.dataType.simpleString} vs " +
@@ -277,7 +279,11 @@ object AvroBridge {
         case None => f.copy(nullable = true)
       }
     }
-    val extras = b.fields.filterNot(f => a.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    // a B field is "extra" exactly when NO A field resolved to it — the
+    // old blanket equalsIgnoreCase dropped a case-DISTINCT sibling
+    // ({id} vs {id, ID}) silently, the very collapse resolveField exists
+    // to refuse by name
+    val extras = b.fields.filterNot(f => consumed.contains(f.name))
       .map(_.copy(nullable = true))
     StructType(merged.toIndexedSeq ++ extras)
   }
@@ -406,8 +412,14 @@ object AvroBridge {
       case (ASchema.Type.INT, IntegerType) => identity
       case (ASchema.Type.INT, LongType) => v => v.asInstanceOf[Int].toLong
       case (ASchema.Type.INT, DoubleType) => v => v.asInstanceOf[Int].toDouble
-      case (ASchema.Type.INT, DateType) =>
-        v => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      // strict on the logical type, like LONG/Timestamp below: a plain
+      // int with no `date` annotation must not silently read as epoch
+      // days (a status code 20240115 would decode as year ~57k)
+      case (ASchema.Type.INT, DateType) => ws.getLogicalType match {
+        case _: LogicalTypes.Date =>
+          v => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+        case _ => fail()
+      }
       case (ASchema.Type.LONG, LongType) => identity
       case (ASchema.Type.LONG, DoubleType) => v => v.asInstanceOf[Long].toDouble
       // unit detection is STRICT on the logical type: a local-timestamp
@@ -447,7 +459,10 @@ object AvroBridge {
       case (ASchema.Type.ENUM, StringType) => v => v.toString
       case (ASchema.Type.BYTES | ASchema.Type.FIXED, d: DecimalType) =>
         ws.getLogicalType match {
-          case lt: LogicalTypes.Decimal if lt.getScale == d.scale =>
+          case lt: LogicalTypes.Decimal
+              if lt.getScale == d.scale && lt.getPrecision <= d.precision =>
+            // precision checked too: a wider file decimal passed here and
+            // blew up deep in the row encoder naming neither field nor file
             v => new java.math.BigDecimal(new java.math.BigInteger(bytesOf(v)), d.scale)
           case _ => fail()
         }

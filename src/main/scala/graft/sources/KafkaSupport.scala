@@ -19,8 +19,14 @@ object KafkaSupport {
   def readerOptions(a: KafkaLoad): Map[String, String] = {
     // a mode may arrive as a model field OR through the generic options map
     // (both YAML spellings occur in the wild); field wins on conflict
+    // option keys match CASE-INSENSITIVELY (the connector's own reader
+    // treats them so): a 'Subscribe:' spelling must count as a mode here,
+    // or plan-time validation and the connector disagree — either a late
+    // multi-mode failure at stream start or a spurious 'got 0' refusal
     def mode(k: String, field: Option[String]): Option[(String, String)] =
-      field.orElse(a.options.get(k)).map(k -> _)
+      field.orElse(a.options.collectFirst {
+        case (ok, v) if ok.equalsIgnoreCase(k) => v
+      }).map(k -> _)
     val modes = Seq(
       mode("subscribe", a.subscribe),
       mode("subscribePattern", a.subscribePattern),

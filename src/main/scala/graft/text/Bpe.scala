@@ -153,7 +153,12 @@ object Bpe {
   /** Rank-priority encoding of one word (exposed for the spec's
     * cross-check against training's per-round greedy fold). */
   private[text] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var sym = word.map(_.toString).toArray
+    // CODE-POINT split, matching training's Spark `split(w, "")` (Java
+    // regex never splits inside a surrogate pair) — per-char splitting
+    // broke every supplementary character (emoji) into two lone
+    // surrogates no learned merge could ever rejoin
+    var sym = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     var continue = sym.length >= 2
     while (continue) {
       // lowest-rank adjacent pair present in the word

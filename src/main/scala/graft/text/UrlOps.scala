@@ -42,7 +42,10 @@ object UrlOps {
     val authority = regexp_extract(body, "^([^/?]*)", 1)
     val userinfo = regexp_extract(authority, "^([^/?@]*@)", 1) // "" or verbatim "user@"
     val hostPort = lower(regexp_replace(authority, "^[^/?@]*@", ""))
-    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    // a trailing FQDN dot ("example.com." — DNS root-dot form crawlers
+    // do emit) folds to the dotless host, before OR after a port
+    val host0 = regexp_replace(
+      regexp_replace(hostPort, "^www\\.", ""), "\\.(:[0-9]+)?$", "$1")
     val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
