@@ -989,8 +989,7 @@ final class PipelineRunner(
       }
       store.setProperties(a.table, a.tableProperties)
       applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
-      store.readIfExists(a.table)
-        .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
+      registerTableView(a.table)
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: MaterializedViewWrite if a.incrementalJoin =>
@@ -1035,8 +1034,7 @@ final class PipelineRunner(
       }
       store.setProperties(a.table, a.tableProperties)
       applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
-      store.readIfExists(a.table)
-        .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
+      registerTableView(a.table)
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: MaterializedViewWrite =>
@@ -1174,8 +1172,7 @@ final class PipelineRunner(
       }
       store.setProperties(a.table, a.tableProperties)
       applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
-      store.readIfExists(a.table)
-        .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
+      registerTableView(a.table)
       hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
 
     case a: SinkWrite =>
@@ -1239,8 +1236,7 @@ final class PipelineRunner(
                     "fresh table or stream into this one.")
                 store.append(t, src)
               }
-              store.readIfExists(t)
-                .foreach(_.createOrReplaceTempView(tableViewName(t)))
+              registerTableView(t)
               hooks.onTableWritten(currentPipeline, currentFlowgroup, t)
             case None =>
               val p = a.options.getOrElse("path", throw Planner.PlanError(
@@ -1812,13 +1808,20 @@ final class PipelineRunner(
           val blits = GlobalWindowMv.boundaryLiterals(meta0.boundaries, dt)
           val lo = shape.minBucketId
           val hi = shape.maxBucketId(meta0.boundaries.size)
-          val m = minBucket.getOrElse(lo)
-          val summary = GlobalWindowMv.summarize(spark, shape, blits, minBucket)
+          // percent_rank/cume_dist/ntile are functions of the GLOBAL row
+          // count: any delta changes every row's value, so the suffix
+          // optimization (and byte-stability) only applies to the pure
+          // rank family — N-dependent shapes rewrite all buckets (still
+          // bucket-parallel, never the single-task global sort)
+          val suffixFrom = if (shape.nDependent) None else minBucket
+          val m = suffixFrom.getOrElse(lo)
+          val summary = GlobalWindowMv.summarize(spark, shape, blits, suffixFrom)
           val counts = meta0.counts.filter(_._1 < m) ++ summary.view.mapValues(_._1)
           val dists = meta0.distincts.filter(_._1 < m) ++ summary.view.mapValues(_._2)
-          val df = GlobalWindowMv.rewrite(spark, plan, shape, blits, minBucket,
+          val df = GlobalWindowMv.rewrite(spark, plan, shape, blits, suffixFrom,
             GlobalWindowMv.prefixOffsets(lo, hi, counts),
-            GlobalWindowMv.prefixOffsets(lo, hi, dists))
+            GlobalWindowMv.prefixOffsets(lo, hi, dists),
+            totalRows = counts.values.sum)
           // driver-local rows with an attached schema (stringForms needs
           // it) — no Spark job for a <= B+2 element list
           val bucketSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2296,8 +2299,7 @@ final class PipelineRunner(
     if (a.once) store.setMeta(a.table, onceKey, "done")
     applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
     // a snapshot-polling write may legitimately find no snapshots on a run
-    store.readIfExists(a.table)
-      .foreach(_.createOrReplaceTempView(tableViewName(a.table)))
+    registerTableView(a.table)
     hooks.onTableWritten(currentPipeline, currentFlowgroup, a.table)
   }
 
@@ -2491,6 +2493,24 @@ final class PipelineRunner(
 
   /** `table` may be `catalog.schema.name`; views use the last component. */
   private def tableViewName(table: String): String = table.split('.').last
+
+  /** Register a written table under its leaf temp-view name — UNLESS the
+    * leaf is ambiguous across qualified tables in this warehouse (the
+    * registerAll distinct-size==1 rule): last-wins shadowing at write
+    * time would silently hand a bare-leaf consumer whichever table wrote
+    * second. The ambiguous leaf is dropped and named instead. */
+  private def registerTableView(table: String): Unit =
+    store.readIfExists(table).foreach { df =>
+      val leaf = tableViewName(table)
+      val sameLeaf = graft.exec.TableStore.listTables(store.warehouse)
+        .filter(_.split('.').last == leaf).distinct
+      if (sameLeaf.size > 1) {
+        spark.catalog.dropTempView(leaf)
+        graft.Log.warn(s"table '$table': leaf view name '$leaf' is " +
+          s"ambiguous across ${sameLeaf.sorted.mkString(", ")} — not " +
+          "registering a short-name view; consume by qualified name")
+      } else df.createOrReplaceTempView(leaf)
+    }
 
   private def plugin[T](className: String): T =
     plugins.get(className).map(_.asInstanceOf[T]).getOrElse(

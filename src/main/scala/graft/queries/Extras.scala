@@ -1503,7 +1503,9 @@ object Extras {
          |    sql: >
          |      SELECT event_id, user_id, vb,
          |             CAST(rank() OVER (ORDER BY vb DESC NULLS LAST) AS INT) AS rnk,
-         |             CAST(dense_rank() OVER (ORDER BY vb DESC NULLS LAST) AS INT) AS drk
+         |             CAST(dense_rank() OVER (ORDER BY vb DESC NULLS LAST) AS INT) AS drk,
+         |             percent_rank() OVER (ORDER BY vb DESC NULLS LAST) AS prnk,
+         |             cume_dist() OVER (ORDER BY vb DESC NULLS LAST) AS cdist
          |      FROM q66_base
          |    write_target:
          |      type: materialized_view
@@ -1527,7 +1529,8 @@ object Extras {
     runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
     // __gw_bucket is the physical maintenance granularity, not query
     // output — boundaries are sampled, so no oracle can recompute it
-    store.read("q66_mv").select("event_id", "user_id", "vb", "rnk", "drk")
+    store.read("q66_mv")
+      .select("event_id", "user_id", "vb", "rnk", "drk", "prnk", "cdist")
   }
 
   /** Nested-dedup MV through the recompute path (q64): an aggregation OVER
@@ -2461,7 +2464,11 @@ object Extras {
         |         AS INT) AS rnk,
         |       CAST(dense_rank() OVER
         |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST)
-        |         AS INT) AS drk
+        |         AS INT) AS drk,
+        |       percent_rank() OVER
+        |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST) AS prnk,
+        |       cume_dist() OVER
+        |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST) AS cdist
         |FROM events""".stripMargin,
     // q64's oracle dedups and aggregates ALL events in one shot — a
     // cross-run duplicate surviving (delta-only recompute), a dropped

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Ascending, DenseRank, NamedExpression, NullsFirst, Rank, RowNumber, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Ascending, CumeDist, DenseRank, Literal, NamedExpression, NTile, NullsFirst, PercentRank, Rank, RowNumber, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, SubqueryAlias, Window => LWindow}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   *   - `rank` / `row_number`: global = local + (# rows in buckets that
   *     sort before this bucket);
   *   - `dense_rank`: global = local + (# distinct ORDER-BY tuples in
-  *     buckets before).
+  *     buckets before);
+  *   - `percent_rank` / `cume_dist` / `ntile(k)`: pure derivations of
+  *     the global rank / row count and the refresh-time total N — no
+  *     additional state.
   *
   * Exactness hinges on one invariant the bucket routing guarantees: rows
   * EQUAL on the first order column always land in the same bucket (the
@@ -54,6 +57,14 @@ object GlobalWindowMv {
       /** window output attribute -> rank | dense_rank | row_number */
       funcs: Seq[(Attribute, String)]) {
     def needsDistinct: Boolean = funcs.exists(_._2 == "dense_rank")
+    /** percent_rank/cume_dist/ntile depend on the GLOBAL row count N:
+      * a delta anywhere changes EVERY row's value, so no bucket is ever
+      * "untouched" — each refresh rewrites all buckets (still
+      * bucket-parallel; the single-task global sort is still avoided,
+      * which is the scale win; only the delta-proportional rewrite and
+      * byte-stability are rank/dense_rank/row_number-only properties). */
+    def nDependent: Boolean = funcs.exists { case (_, k) =>
+      k == "percent_rank" || k == "cume_dist" || k.startsWith("ntile:") }
     def orderSpec: Seq[SortOrder] = windowNode.orderSpec
     /** Null rows get their own bucket at the end their sort order puts
       * them: before bucket 0 (id -1) or after the last non-null bucket. */
@@ -114,11 +125,20 @@ object GlobalWindowMv {
           case _: Rank => Right(a.toAttribute -> "rank")
           case _: DenseRank => Right(a.toAttribute -> "dense_rank")
           case _: RowNumber => Right(a.toAttribute -> "row_number")
+          case _: PercentRank => Right(a.toAttribute -> "percent_rank")
+          case _: CumeDist => Right(a.toAttribute -> "cume_dist")
+          case nt: NTile => nt.buckets match {
+            case Literal(k: Int, _) if k >= 1 =>
+              Right(a.toAttribute -> s"ntile:$k")
+            case other => Left(
+              s"ntile bucket count must be a positive integer literal, " +
+                s"got ${other.sql}")
+          }
           case other => Left(
             s"window function ${other.prettyName} over a global ORDER BY " +
               "is not prefix-decomposable here — supported: rank, " +
-              "dense_rank, row_number (percent_rank/ntile/cume_dist/" +
-              "running aggregates: omit mode for full refresh)")
+              "dense_rank, row_number, percent_rank, cume_dist, ntile " +
+              "(running/whole-frame aggregates: omit mode for full refresh)")
         }
         case other => Left(
           s"window expression ${other.sql} is not a named window " +
@@ -355,7 +375,8 @@ object GlobalWindowMv {
     * `__gw_bucket` int column, the physical replace granularity. */
   def rewrite(spark: SparkSession, plan: LogicalPlan, shape: Shape,
       boundaries: Seq[Column], minBucket: Option[Int],
-      rowsBefore: Map[Int, Long], distinctBefore: Map[Int, Long]): DataFrame = {
+      rowsBefore: Map[Int, Long], distinctBefore: Map[Int, Long],
+      totalRows: Long): DataFrame = {
     val w = shape.windowNode
     val filtered = bucketedChild(spark, shape, boundaries, minBucket)
     // direction re-applied through the Column API: a Column wrapping a raw
@@ -377,18 +398,44 @@ object GlobalWindowMv {
       else coalesce(
         try_element_at(typedlit(offsets), col("__gw_bucket")), lit(0L))
     var cur = filtered
+    val offRows = offsetOf(rowsBefore)
     shape.funcs.zipWithIndex.foreach { case ((_, kind), i) =>
-      val local = kind match {
-        case "rank" => rank().over(wspec)
-        case "dense_rank" => dense_rank().over(wspec)
-        case "row_number" => row_number().over(wspec)
+      // each kind keeps its stock Spark output type (the spliced
+      // attribute must match); int ranks past 2^31 rows overflow in
+      // stock Spark too, and ANSI mode makes that loud here
+      val global: Column = kind match {
+        case "rank" =>
+          (rank().over(wspec).cast("long") + offRows).cast("int")
+        case "dense_rank" =>
+          (dense_rank().over(wspec).cast("long") + offsetOf(distinctBefore)).cast("int")
+        case "row_number" =>
+          (row_number().over(wspec).cast("long") + offRows).cast("int")
+        case "percent_rank" =>
+          // (globalRank - 1) / (N - 1); one row total → 0.0 (stock Spark)
+          if (totalRows <= 1L) lit(0.0)
+          else (rank().over(wspec).cast("long") + offRows - 1L).cast("double") /
+            lit((totalRows - 1L).toDouble)
+        case "cume_dist" =>
+          // rows at-or-before current INCLUDING ties: count over the
+          // default RANGE frame is exact-integer (no float round-trip
+          // through the local cume_dist fraction)
+          (count(lit(1)).over(wspec) + offRows).cast("double") /
+            lit(totalRows.toDouble)
+        case nt if nt.startsWith("ntile:") =>
+          // stock ntile: the first N mod k tiles hold ceil(N/k) rows.
+          // Derived from the GLOBAL row number + the (refresh-time
+          // literal) N and k — no extra state
+          val k = nt.stripPrefix("ntile:").toLong
+          val n = math.max(totalRows, 1L)
+          val q = n / k
+          val r = n % k
+          val cut = r * (q + 1)
+          val rn = row_number().over(wspec).cast("long") + offRows
+          (if (q == 0L) rn // fewer rows than tiles: each row its own tile
+           else when(rn <= cut, (rn - 1L) / (q + 1L) + 1L)
+             .otherwise(lit(r) + (rn - cut - 1L) / q + 1L)).cast("int")
       }
-      val off = if (kind == "dense_rank") offsetOf(distinctBefore)
-        else offsetOf(rowsBefore)
-      // int like Spark's own rank output (the spliced attribute must keep
-      // the original dataType); past 2^31 rows rank overflows in stock
-      // Spark too, and ANSI mode makes that loud here
-      cur = cur.withColumn(s"__gw_g$i", (local.cast("long") + off).cast("int"))
+      cur = cur.withColumn(s"__gw_g$i", global)
     }
     val analyzed = cur.queryExecution.analyzed
     val out = analyzed.output

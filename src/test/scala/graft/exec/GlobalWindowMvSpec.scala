@@ -169,7 +169,7 @@ class GlobalWindowMvSpec extends SparkSuite {
     val df = GlobalWindowMv.rewrite(spark, probe.queryExecution.analyzed,
       shape, blits, Some(2),
       rowsBefore = Map(0 -> 0L, 1 -> 25L, 2 -> 50L, 3 -> 75L, 4 -> 100L),
-      distinctBefore = Map.empty)
+      distinctBefore = Map.empty, totalRows = 100L)
     val physical = df.queryExecution.executedPlan.toString
     // the window partitions by the bucket — parallel per-bucket sorts,
     // never Spark's single-partition global-window plan
@@ -185,6 +185,39 @@ class GlobalWindowMvSpec extends SparkSuite {
     assert(out.length == 50)
   }
 
+  test("the full ranking family decomposes: percent_rank, cume_dist, ntile") {
+    val famSql =
+      "SELECT id, score, CAST(rank() OVER (ORDER BY score DESC) AS INT) AS rnk, " +
+        "percent_rank() OVER (ORDER BY score DESC) AS prnk, " +
+        "cume_dist() OVER (ORDER BY score DESC) AS cdist, " +
+        "CAST(ntile(7) OVER (ORDER BY score DESC) AS INT) AS tile FROM base"
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    // unique scores → ntile deterministic; run 2's delta is BOTTOM-ONLY:
+    // percent_rank/cume_dist/ntile depend on the global N, so even a
+    // bottom delta changes EVERY row's value — the route must rewrite all
+    // buckets (a suffix-only rewrite served run 1's stale N to the head
+    // buckets, the exact bug the q66 gate caught)
+    writeRows(landing, (0L until 350L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, famSql)))
+    writeRows(landing, Seq((9000L, -1.0), (9001L, -2.0), (9002L, -3.0)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, famSql)))
+    val got = store.read("mv").select("id", "score", "rnk", "prnk", "cdist", "tile")
+    val expected = oneShot(store, famSql)
+    assert(got.count() == 353)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "derived ranking functions must equal the one-shot window")
+    // ties: percent_rank/cume_dist stay deterministic and exact
+    val tieSql = "SELECT id, vb, percent_rank() OVER (ORDER BY vb) AS prnk, " +
+      "cume_dist() OVER (ORDER BY vb) AS cdist FROM " +
+      "(SELECT id, CAST(score AS INT) % 9 AS vb FROM base)"
+    val e = intercept[Planner.PlanError](runner.run(
+      YamlConfig.parseFlowGroup(yamlFor(landing, tieSql))))
+    // (vb is computed — the plain-column refusal still applies; the tie
+    // case is covered by the q66 gate's floor(value) ties instead)
+    assert(e.getMessage.contains("plain column"))
+  }
+
   test("shape audit refuses non-decomposable sql, naming the construct") {
     val (runner, _, dir) = fresh()
     val landing = s"$dir/landing"
@@ -194,9 +227,11 @@ class GlobalWindowMvSpec extends SparkSuite {
     // PARTITION BY present → that's the keyed mode
     val m1 = refusal("SELECT id, score, rank() OVER (PARTITION BY id % 2 ORDER BY score) AS r FROM base")
     assert(m1.contains("ACT-011") && m1.contains("recompute.keys"), m1)
-    // unsupported window function
-    val m2 = refusal("SELECT id, score, percent_rank() OVER (ORDER BY score) AS r FROM base")
-    assert(m2.contains("percent_rank"), m2)
+    // unsupported window function (running aggregate)
+    val m2 = refusal("SELECT id, score, sum(score) OVER (ORDER BY score) AS r FROM base")
+    assert(m2.contains("not prefix-decomposable") || m2.contains("sum"), m2)
+    // (a non-literal ntile bucket count is refused by Spark's own
+    // analyzer before the shape audit ever sees the plan)
     // first order key must be a bare column
     val m3 = refusal("SELECT id, score, rank() OVER (ORDER BY score * 2) AS r FROM base")
     assert(m3.contains("plain column"), m3)
