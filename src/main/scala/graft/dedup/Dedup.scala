@@ -842,11 +842,15 @@ object Dedup {
         xxhash64(concat_ws(" ", slice(col("__ws"), col("__s") + 1, lit(k)))).as("__h"))
       .cache()
     // pairing eligibility: ≥ 2 distinct docs (duplicated at all) and ≤ maxDf
-    // (quadratic-regime guard). One map-side-combinable agg.
-    val eligible = windows.groupBy(col("__h"))
+    // (quadratic-regime guard). One map-side-combinable agg; the duplicated
+    // subset is cached (duplication-sized, far below the already-cached
+    // window frame) because it is read twice — once as the pairing filter,
+    // once to decide whether ANY hash was capped at all.
+    val dupHashes = windows.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= 2 && col("__nd") <= maxDf)
-      .select(col("__h"))
+      .filter(col("__nd") >= 2)
+      .cache()
+    val eligible = dupHashes.filter(col("__nd") <= maxDf).select(col("__h"))
     val w2 = windows.join(eligible, Seq("__h"))
     val a = w2.select(col("__h"), col(idCol).as("__ida"), col("__s").as("__sa"))
     val b = w2.select(col("__h"), col(idCol).as("__idb"), col("__s").as("__sb"))
@@ -891,24 +895,45 @@ object Dedup {
       (acc, e) => struct(
         when(acc("go") && e, acc("n") + 1).otherwise(acc("n")).as("n"),
         (acc("go") && e).as("go"))).getField("n")
-    val wordsA = df.select(col(idCol).as("__ida"), split(col(textCol), " ").as("__wa"))
-    val wordsB = df.select(col(idCol).as("__idb"), split(col(textCol), " ").as("__wb"))
-    val extended = runs.join(wordsA, "__ida").join(wordsB, "__idb")
-      .withColumn("__extL", prefixTrue(zip_with(
-        reverse(slice(col("__wa"), lit(1), col("__a0"))),
-        reverse(slice(col("__wb"), lit(1), col("__b0"))),
-        (x, y) => x <=> y)))
-      .withColumn("__extR", prefixTrue(zip_with(
-        slice(col("__wa"), col("__a1") + 2,
-          greatest(size(col("__wa")) - col("__a1") - 1, lit(0))),
-        slice(col("__wb"), col("__b1") + 2,
-          greatest(size(col("__wb")) - col("__b1") - 1, lit(0))),
-        (x, y) => x <=> y)))
-      .select(col("__ida"), col("__idb"),
-        (col("__a0") - col("__extL")).as("__a0"),
-        (col("__a1") + col("__extR")).as("__a1"),
-        (col("__b0") - col("__extL")).as("__b0"),
-        (col("__b1") + col("__extR")).as("__b1"))
+    // The extension is PROVABLY a no-op when no hash was capped: without
+    // capping, the window flanking a run failed to match while its last
+    // k−1 positions sit inside the matched (equal) region — so the single
+    // uncovered flank word itself differs and every extension length is 0.
+    // Skipping it then matters beyond the two joins: the word frames
+    // re-evaluate `df`'s ENTIRE upstream pipeline (d17's df is a full
+    // detect→cut chain), so an uncapped corpus paid two extra pipeline
+    // executions for a provable no-op (r14 bench: d17 0.97 → 1.59 s).
+    val anyCapped = !dupHashes.filter(col("__nd") > maxDf).isEmpty
+    val extended = if (!anyCapped)
+      runs.select(col("__ida"), col("__idb"),
+        col("__a0"), col("__a1"), col("__b0"), col("__b1"))
+    else {
+      val wordsA = df.select(col(idCol).as("__ida"), split(col(textCol), " ").as("__wa"))
+      val wordsB = df.select(col(idCol).as("__idb"), split(col(textCol), " ").as("__wb"))
+      runs.join(wordsA, "__ida").join(wordsB, "__idb")
+        .withColumn("__extL", prefixTrue(zip_with(
+          reverse(slice(col("__wa"), lit(1), col("__a0"))),
+          reverse(slice(col("__wb"), lit(1), col("__b0"))),
+          (x, y) => x <=> y)))
+        .withColumn("__extR", prefixTrue(zip_with(
+          slice(col("__wa"), col("__a1") + 2,
+            greatest(size(col("__wa")) - col("__a1") - 1, lit(0))),
+          slice(col("__wb"), col("__b1") + 2,
+            greatest(size(col("__wb")) - col("__b1") - 1, lit(0))),
+          (x, y) => x <=> y)))
+        .select(col("__ida"), col("__idb"),
+          (col("__a0") - col("__extL")).as("__a0"),
+          (col("__a1") + col("__extR")).as("__a1"),
+          (col("__b0") - col("__extL")).as("__b0"),
+          (col("__b1") + col("__extR")).as("__b1"))
+    }
+    runsToSpans(extended, idCol)
+  }
+
+  /** Final projection of [[exactSubstrings]] run pairs onto per-document
+    * span occurrences: partner counting + strict-containment pruning.
+    * Input: `(__ida, __idb, __a0, __a1, __b0, __b1)` run rows. */
+  private def runsToSpans(extended: DataFrame, idCol: String): DataFrame = {
     // project the run onto both documents; n_docs counts distinct partners
     // per exact extent
     val occ = extended.select(col("__ida").as(idCol), col("__a0").as("span_start"),

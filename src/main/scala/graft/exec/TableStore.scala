@@ -562,6 +562,14 @@ final class TableStore(spark: SparkSession, val warehouse: String,
         partitionDirs(d.toPath, depth - 1).map { case (vs, leaf) => (value +: vs, leaf) }
       }
 
+  /** Distinct on-disk partition-value tuples of `table` (unescaped,
+    * outermost first; None = the Hive null partition) — a metadata-scale
+    * directory walk. Lets a maintenance re-bootstrap enumerate EVERY
+    * previously-written partition, including ones outside the new plan's
+    * value range, so replacePartitions can drop rather than strand them. */
+  def partitionValues(table: String, partitionBy: Seq[String]): Seq[Seq[Option[String]]] =
+    partitionDirs(Paths.get(path(table)), partitionBy.size).map(_._1)
+
   /** Persist table properties as a JSON sidecar (the TBLPROPERTIES stand-in
     * for a catalog-less parquet warehouse). */
   def setProperties(table: String, props: Map[String, String]): Unit =
