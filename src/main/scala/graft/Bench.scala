@@ -58,6 +58,14 @@ object Bench {
     // SPARK_GRAFT_DIAG=1 additionally mirrors them to stderr live.
     val diagStderr = sys.env.get("SPARK_GRAFT_DIAG").exists(_ == "1")
     val diagRows = scala.collection.mutable.ArrayBuffer[String]()
+    // gate scaffolding (child-JVM spawn + session lifecycle, recorded by
+    // the gates themselves) is drained per timed execution, so the
+    // contract line can carry plan_cost = total − scaffolding: a
+    // composition gate's lifecycle drift cannot mask (or masquerade as)
+    // an engine drift
+    graft.tools.GateLifecycle.drainSec(): Unit // reset any warm-up residue
+    val lifecycles = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
     val timings: Seq[Seq[(String, Double)]] = (1 to iters).map { iter =>
       names.map { case (name, fn) =>
         val before = graft.tools.BenchDiag.snap()
@@ -69,6 +77,11 @@ object Bench {
               name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        // scaffolding is a sub-interval of this execution by construction;
+        // cap at the measured time so a misbehaving recorder can never
+        // push plan_cost negative
+        lifecycles(name) =
+          math.min(graft.tools.GateLifecycle.drainSec(), sec) :: lifecycles(name)
         val after = graft.tools.BenchDiag.snap()
         diagRows += graft.tools.BenchDiag.json(iter, name, sec, before, after)
         if (diagStderr)
@@ -79,6 +92,9 @@ object Bench {
     val perQuery: Seq[(String, Seq[Double])] =
       names.map { case (name, _) => name -> timings.map(_.toMap.apply(name)) }
     val medians = perQuery.map { case (n, xs) => n -> median(xs) }
+    val lifecycleMedians = names.map { case (n, _) =>
+      n -> (lifecycles(n) match { case Nil => 0.0; case xs => median(xs) }) }
+    val lifecycleTotal = lifecycleMedians.map(_._2).sum
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val all = perQuery.map { case (k, xs) =>
@@ -120,9 +136,15 @@ object Bench {
       else errors.keys.map(k => jstr(shortKey(k))).mkString(""","errors":[""", ",", "]")
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val diagJson = diagRows.mkString("[", ",", "]")
+    // plan_cost = total minus gate scaffolding (per-query medians of the
+    // drained GateLifecycle seconds); the full line also carries the
+    // per-query lifecycle map (nonzero entries only) for attribution
+    val planCost = total - lifecycleTotal
+    val lcJson = lifecycleMedians.filter(_._2 > 0.005)
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     Result(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact$errCompact,"sf":"$sfName"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","plan_cost":${r2(planCost)},"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","plan_cost":${r2(planCost)},"queries":$qsCompact$errCompact,"sf":"$sfName"}""",
       errors.toMap)
   }
 
@@ -182,10 +204,13 @@ object Bench {
       cls.getMethod("stop").invoke(module)
     }
     spark.stop()
-    // drain any already-queued async log lines, then emit the contract
-    // line LAST and alone — nothing may print after it
+    // shut the logging backend DOWN before the contract line — a timed
+    // drain (the old Thread.sleep(300)) still lost the race to a slow
+    // async appender; LogManager.shutdown() flushes and stops every
+    // appender synchronously, so nothing can interleave with or follow
+    // the line. Try-wrapped: a non-log4j backend just has nothing to stop.
+    scala.util.Try(org.apache.logging.log4j.LogManager.shutdown())
     System.out.flush(); System.err.flush()
-    Thread.sleep(300)
     println(result.compact)
     System.out.flush()
     if (result.errors.nonEmpty) {

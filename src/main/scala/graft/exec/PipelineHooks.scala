@@ -9,6 +9,13 @@ package graft.exec
 trait PipelineHooks {
   /** A write action finished materializing `table`. */
   def onTableWritten(pipeline: String, flowgroup: String, table: String): Unit = ()
+  /** One streaming microbatch of `table` committed durably (rows + change
+    * log + checkpoint-visible txn identity). Fires BETWEEN batches of one
+    * stream — the seam monitoring latches onto and the crash-forge matrix
+    * halts in (a kill here leaves the stream half-consumed, the window
+    * [[onTableWritten]] can never express). */
+  def onBatchCommitted(pipeline: String, flowgroup: String, table: String,
+      batchId: Long): Unit = ()
   /** A write target declared governance tags (write_target.tags/tags_file —
     * the uc_tagging hook seam): fired after the write with the merged tag
     * set; a deployment hooks ALTER TABLE ... SET TAGS here. Column-level

@@ -1737,14 +1737,18 @@ final class PipelineRunner(
         s"materialized_view '${a.name}' (mode: incremental_recompute, " +
           s"global-window route): $msg"))
     }
-    val orderColName = delta.columns
-      .find(_.equalsIgnoreCase(shape0.orderAttr.name)).getOrElse(
+    // the delta must carry the ranking column — or, computed ORDER BY,
+    // every column the expression reads — to locate which buckets changed
+    val refNames = GlobalWindowMv.deltaRefNames(shape0)
+    val refCols = refNames.map(n =>
+      delta.columns.find(_.equalsIgnoreCase(n)).getOrElse(
         throw Planner.PlanError(graft.ErrorCodes.ACT_011(
           s"materialized_view '${a.name}' (global-window route): ORDER BY " +
-            s"column '${shape0.orderAttr.name}' not in recompute.view " +
+            s"column '$n' not in recompute.view " +
             s"'$deltaView' (columns: ${delta.columns.mkString(", ")}) — " +
-            "the delta must carry the ranking column to locate which " +
-            "buckets changed")))
+            "the delta must carry the ranking column (for a computed " +
+            "ORDER BY, every column it reads) to locate which buckets " +
+            "changed"))))
     // plan-time wrapper probe: a declared schema that drops __gw_bucket
     // would fail mid-stream; surface it here, by name
     if (!wrapMv(probe.withColumn("__gw_bucket", lit(0)))
@@ -1754,7 +1758,7 @@ final class PipelineRunner(
           "declared schema/row wrappers removed __gw_bucket — it is the " +
           "physical replace granularity and must reach the table " +
           "(declare it as __gw_bucket INT, or drop the declared schema)"))
-    delta.select(col(orderColName)).writeStream
+    delta.select(refCols.map(col): _*).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // re-resolve per batch (the keyed path's convention): the base
         // view's files may differ between microbatches of one run
@@ -1789,8 +1793,13 @@ final class PipelineRunner(
                 s"range boundaries were frozen at ${mt.declaredBuckets} — " +
                 s"the declared value takes effect only after a full " +
                 s"refresh of '${a.table}' re-derives them")
-            val blits = GlobalWindowMv.boundaryLiterals(mt.boundaries, dt)
-            (mt, GlobalWindowMv.minDeltaBucket(batch, orderColName, shape, blits))
+            val bnds = GlobalWindowMv.Boundaries(mt.boundaries, dt)
+            val orderValue = GlobalWindowMv.deltaOrderColumn(shape, batch.columns)
+              .getOrElse(throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+                s"materialized_view '${a.name}' (global-window route): the " +
+                  "delta batch lost the ranking column(s) between plan time " +
+                  "and this refresh — re-run the pipeline")))
+            (mt, GlobalWindowMv.minDeltaBucket(batch, orderValue, shape, bnds))
           case None =>
             val childDf = org.apache.spark.sql.graftnative.PlanBridge
               .ofRows(spark, shape.windowNode.child)
@@ -1798,14 +1807,30 @@ final class PipelineRunner(
             // full recompute this refresh, re-derive next time (cheap by
             // definition at that size); boundaries only persist once the
             // table is worth bucketing
+            val bs = GlobalWindowMv.sampleBoundaries(childDf, shape, a.recomputeBuckets)
+            // tie-skew guard: ties must share a bucket, so a low-cardinality
+            // order key collapses sampled cut points and the route degrades
+            // back toward the single-task global sort it exists to prevent —
+            // say so loudly at bootstrap (the one moment it is cheap to fix)
+            // instead of letting refreshes quietly serialize
+            if (bs.sampled >= a.recomputeBuckets * 4 &&
+                bs.boundaries.size < a.recomputeBuckets / 2)
+              graft.Log.warn(f"materialized_view '${a.name}': the global-" +
+                f"window ORDER BY key has heavy ties — ${bs.sampled} values " +
+                f"sampled, ${bs.distinctValues} distinct; the largest tie " +
+                f"group (value '${bs.topRepr.getOrElse("")}') is " +
+                f"${bs.topShare * 100}%.0f%% of the sample. Ties must share " +
+                f"a range bucket, so only ${bs.boundaries.size + 1} of the " +
+                f"declared ${a.recomputeBuckets} buckets are effective and " +
+                f"refreshes degrade toward a single-task sort; materialize " +
+                f"a higher-cardinality ranking column in the base (e.g. " +
+                f"fold a tie-break term into the ORDER BY key)")
             (GlobalWindowMv.Meta(dt.sql, sig, shape.needsDistinct,
-              a.recomputeBuckets,
-              GlobalWindowMv.sampleBoundaries(childDf, shape, a.recomputeBuckets),
-              Map.empty, Map.empty), None)
+              a.recomputeBuckets, bs.boundaries, Map.empty, Map.empty), None)
         }
         val skip = stored.isDefined && minBucket.isEmpty // empty delta batch
         if (!skip) {
-          val blits = GlobalWindowMv.boundaryLiterals(meta0.boundaries, dt)
+          val blits = GlobalWindowMv.Boundaries(meta0.boundaries, dt)
           val lo = shape.minBucketId
           val hi = shape.maxBucketId(meta0.boundaries.size)
           // percent_rank/cume_dist/ntile are functions of the GLOBAL row
@@ -1827,7 +1852,19 @@ final class PipelineRunner(
           val bucketSchema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("__gw_bucket",
               org.apache.spark.sql.types.IntegerType)))
-          val affected: Seq[org.apache.spark.sql.Row] = (m to hi).map(b =>
+          // On a (re-)bootstrap the new boundary set can be SMALLER than
+          // what previously wrote the table (an invalidated order spec
+          // re-samples; collapsed cut points shrink the range) — replace
+          // by the union of the new range and every __gw_bucket partition
+          // already on disk, or stale ranked rows above the new hi survive
+          // and contradict the fresh output. Metadata-scale directory walk,
+          // bootstrap-only.
+          val affectedIds: Seq[Int] =
+            if (stored.isDefined) m to hi
+            else ((m to hi) ++ store.partitionValues(a.table, Seq("__gw_bucket"))
+              .flatMap(_.headOption.flatten)
+              .flatMap(s => scala.util.Try(s.toInt).toOption)).distinct.sorted
+          val affected: Seq[org.apache.spark.sql.Row] = affectedIds.map(b =>
             new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
               Array(b), bucketSchema))
           store.replacePartitions(a.table,
@@ -2288,6 +2325,7 @@ final class PipelineRunner(
             store.appendBatch(a.table,
               clustered(batch, a.clusterColumns, a.clusterStrategy),
               flowKey, id, a.partitionColumns)
+            hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
@@ -2499,15 +2537,52 @@ final class PipelineRunner(
     * registerAll distinct-size==1 rule): last-wins shadowing at write
     * time would silently hand a bare-leaf consumer whichever table wrote
     * second. The ambiguous leaf is dropped and named instead. */
+  // leaf -> qualified names: seeded from ONE warehouse walk per warehouse
+  // per process, then maintained incrementally on every write — the walk
+  // was O(tables) filesystem scans PER WRITE before (quadratic-ish over a
+  // large project's run). PROCESS-GLOBAL and keyed by warehouse, not a
+  // runner field: the orchestrator builds one runner per flowgroup and
+  // runs them in parallel, so a per-runner index would never see a
+  // sibling flowgroup's dev.events beside this one's prod.events — the
+  // exact last-wins shadowing the ambiguity rule exists to refuse.
+  // Tables another PROCESS creates mid-run surface through the
+  // apparent-ambiguity disk re-confirm below or on the next process.
+  private val leafIndex = PipelineRunner.leafIndexes.computeIfAbsent(
+    store.warehouse,
+    _ => new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]())
+  private def leafIndexAdd(qualified: String): Unit = {
+    leafIndex.computeIfAbsent(tableViewName(qualified),
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(qualified): Unit
+  }
+
   private def registerTableView(table: String): Unit =
     store.readIfExists(table).foreach { df =>
       val leaf = tableViewName(table)
-      val sameLeaf = graft.exec.TableStore.listTables(store.warehouse)
-        .filter(_.split('.').last == leaf).distinct
-      if (sameLeaf.size > 1) {
+      if (PipelineRunner.leafSeededWarehouses.add(store.warehouse))
+        graft.exec.TableStore.listTables(store.warehouse).foreach(leafIndexAdd)
+      leafIndexAdd(table)
+      val sameLeaf = {
+        import scala.jdk.CollectionConverters._
+        Option(leafIndex.get(leaf)).map(_.asScala.toSeq).getOrElse(Nil)
+      }
+      // apparent ambiguity re-confirms against disk (a table dropped by a
+      // full refresh may linger in the index) — the walk runs only on this
+      // rare path, never per write
+      val confirmed =
+        if (sameLeaf.size <= 1) sameLeaf
+        else {
+          val onDisk = graft.exec.TableStore.listTables(store.warehouse)
+            .filter(_.split('.').last == leaf).distinct
+          val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+          onDisk.foreach(set.add)
+          leafIndex.put(leaf, set)
+          onDisk
+        }
+      if (confirmed.size > 1) {
         spark.catalog.dropTempView(leaf)
         graft.Log.warn(s"table '$table': leaf view name '$leaf' is " +
-          s"ambiguous across ${sameLeaf.sorted.mkString(", ")} — not " +
+          s"ambiguous across ${confirmed.sorted.mkString(", ")} — not " +
           "registering a short-name view; consume by qualified name")
       } else df.createOrReplaceTempView(leaf)
     }
@@ -2731,6 +2806,15 @@ object PipelineRunner {
   /** Process-wide counter for transient stream-overlay view names —
     * uniqueness across the orchestrator's parallel runner instances. */
   private[exec] val overlayId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-warehouse leaf→qualified-name indexes shared across ALL runner
+    * instances in the process (the orchestrator runs one runner per
+    * flowgroup in parallel — see registerTableView), plus the set of
+    * warehouses whose index was seeded from a disk walk. */
+  private[exec] val leafIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]]()
+  private[exec] val leafSeededWarehouses =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Above this many affected partitions a CDC batch full-replaces instead
     * of partition-scoping (the literal pruning predicate stops paying). */

@@ -118,6 +118,11 @@ object RetrievalTransforms {
             if (delta.isEmpty) Bm25.topK(ix, queries, qid, qtext, k)
             else {
               stageAndSwap(spark, fs, path, Bm25.updateIndex(ix, delta, id, text))
+              // kill-point: index swapped, downstream hits table NOT yet
+              // written — the double-fold window (a resume that re-folded
+              // the delta would double every posting; the __indexed flag
+              // classification above is what makes the replay a no-op)
+              graft.exec.CrashForge.maybeHalt("bm25_fold")
               Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)
             }
           } finally { classified.unpersist(): Unit }

@@ -1533,6 +1533,69 @@ object Extras {
       .select("event_id", "user_id", "vb", "rnk", "drk", "prnk", "cdist")
   }
 
+  /** Computed-ORDER-BY global-window MV through the gate (q67) — the real
+    * leaderboard shape: rank by an EXPRESSION (`floor(value)*3 + user_id%5`,
+    * the stand-in for `score * decay(ts)`), which the route buckets on the
+    * analyzer's synthetic sort projection and re-evaluates on the delta's
+    * own columns to locate touched buckets. The gwmeta signature freezes
+    * the INLINED expression (not the positional `_w0` token), so an edited
+    * formula re-bootstraps instead of reusing stale counts. Run 2's delta
+    * lands at the BOTTOM of the DESC order (value < 10 → key ≤ 31), so the
+    * untouched head buckets' stored counts must feed the tail's prefix
+    * offsets exactly; integer keys give real tie groups (rank vs
+    * dense_rank divergence). One-shot DuckDB oracle ranks all events. */
+  def q67GlobalWindowComputed(s: SparkSession, dir: String): DataFrame = {
+    val (store, runner, wh) = gateRunner(s, "graft-q67")
+    val landing = s"$wh/landing"
+    val yaml =
+      s"""pipeline: q67
+         |flowgroup: gwc
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: parquet
+         |      readMode: stream
+         |      table_schema: "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+         |    target: q67_v
+         |  - name: w_base
+         |    type: write
+         |    source: q67_v
+         |    write_target: {type: streaming_table, table: q67_base}
+         |  - name: mv
+         |    type: write
+         |    sql: >
+         |      SELECT event_id, user_id, value,
+         |             CAST(rank() OVER
+         |               (ORDER BY floor(value) * 3 + user_id % 5 DESC NULLS LAST)
+         |               AS INT) AS rnk,
+         |             CAST(dense_rank() OVER
+         |               (ORDER BY floor(value) * 3 + user_id % 5 DESC NULLS LAST)
+         |               AS INT) AS drk
+         |      FROM q67_base
+         |    write_target:
+         |      type: materialized_view
+         |      table: q67_mv
+         |      mode: incremental_recompute
+         |      recompute: {view: q67_base, buckets: 8}
+         |""".stripMargin
+    val fixture = fixtureOnce(s"q67|$dir") { root =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val late = col("value") < 10
+      ev.filter(!late).repartition(1).write.parquet(s"$root/a")
+      ev.filter(late).repartition(1).write.parquet(s"$root/b")
+    }
+    copyFixture(s"$fixture/a", landing, "a-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    copyFixture(s"$fixture/b", landing, "b-")
+    runner.run(graft.config.YamlConfig.parseFlowGroup(yaml))
+    store.read("q67_mv")
+      .select("event_id", "user_id", "value", "rnk", "drk")
+  }
+
   /** Nested-dedup MV through the recompute path (q64): an aggregation OVER
     * deduplicated rows — the shape the streaming decision table must
     * refuse (pulling the dedup out changes results; streaming it needs
@@ -1833,11 +1896,24 @@ object Extras {
     * piece is individually gated (c12/c13 ingest, d1/d8 dedup, c14 index,
     * m9 mixture); what c15 pins is their COMPOSITION under the
     * orchestrator's crash/resume with shared state. */
-  def c15CrawlResume(s: SparkSession, dir: String): DataFrame = {
-    val wh = gateDir("graft-c15")
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    val landing = s"$wh/landing"
-    val yamlDir = s"$wh/yaml"
+  /** WARC-wrapped crawl records of `(doc_id, text)` rows — one HTML shell
+    * per doc, record ids namespaced by crawl generation. Shared by the
+    * c15 fixture and the kill-matrix spec. */
+  private[queries] def warcCrawlRecords(df: DataFrame, crawl: Int): DataFrame = df.select(
+    lit("response").as("warc_type"),
+    concat(lit(s"<urn:crawl$crawl-doc-"), col("doc_id"), lit(">")).as("record_id"),
+    lit("2024-02-01 00:00:00").cast("timestamp").as("warc_date"),
+    concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+    lit("text/html").as("content_type"),
+    encode(graft.queries.LlmData.htmlShellOf(col("text")), "UTF-8").as("payload"))
+
+  /** The five-flowgroup sustained-crawl chain (c15's project), built for
+    * any landing/warehouse pair so the kill-point-matrix spec can run the
+    * SAME chain with different halt triggers. `ingestSourceExtra` injects
+    * additional cloudfiles source lines (e.g. a maxFilesPerTrigger rate
+    * limit so a mid-ingest kill point has a between-batches window). */
+  def c15Yamls(landing: String, wh: String,
+      ingestSourceExtra: String = ""): Seq[(String, String)] = {
     val ingestYaml =
       s"""pipeline: crawl
          |flowgroup: ingest
@@ -1848,7 +1924,7 @@ object Extras {
          |      type: cloudfiles
          |      path: $landing
          |      format: warc
-         |      readMode: stream
+         |      readMode: stream$ingestSourceExtra
          |    target: c15_v
          |  - name: t_decode
          |    type: transform
@@ -1965,31 +2041,33 @@ object Extras {
          |      JOIN c15_mix m ON m.bucket = b.bucket
          |    write_target: {type: materialized_view, table: c15_final}
          |""".stripMargin
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(yamlDir))
     Seq("1_ingest" -> ingestYaml, "2_dedup" -> dedupYaml, "3_index" -> indexYaml,
-      "4_mix" -> mixYaml, "5_final" -> finalYaml).foreach { case (n, y) =>
+      "4_mix" -> mixYaml, "5_final" -> finalYaml)
+  }
+
+  def c15CrawlResume(s: SparkSession, dir: String): DataFrame = {
+    val wh = gateDir("graft-c15")
+    val store = new graft.exec.TableStore(s, s"$wh/wh")
+    val landing = s"$wh/landing"
+    val yamlDir = s"$wh/yaml"
+    val yamls = c15Yamls(landing, wh)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(yamlDir))
+    yamls.foreach { case (n, y) =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$yamlDir/$n.yaml"), y): Unit
     }
-    val fgs = Seq(ingestYaml, dedupYaml, indexYaml, mixYaml, finalYaml)
-      .map(graft.config.YamlConfig.parseFlowGroup)
+    val fgs = yamls.map(y => graft.config.YamlConfig.parseFlowGroup(y._2))
     val fixture = fixtureOnce(s"c15|$dir") { root =>
       val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      def recs(df: DataFrame, crawl: Int): DataFrame = df.select(
-        lit("response").as("warc_type"),
-        concat(lit(s"<urn:crawl$crawl-doc-"), col("doc_id"), lit(">")).as("record_id"),
-        lit("2024-02-01 00:00:00").cast("timestamp").as("warc_date"),
-        concat(lit("http://corpus.example/doc/"), col("doc_id")).as("target_uri"),
-        lit("text/html").as("content_type"),
-        encode(graft.queries.LlmData.htmlShellOf(col("text")), "UTF-8").as("payload"))
       graft.sources.WarcBridge.write(
-        recs(d.filter(col("doc_id") % 2 === 0), 1).repartition(2), s"$root/a")
+        warcCrawlRecords(d.filter(col("doc_id") % 2 === 0), 1)
+          .repartition(2), s"$root/a")
       // generation 2 = the odd pages PLUS a re-crawl of a tenth of
       // generation 1's (same text, new record ids — the dedup stage's
       // cross-generation work)
       graft.sources.WarcBridge.write(
-        recs(d.filter(col("doc_id") % 2 === 1), 2)
-          .unionByName(recs(d.filter(col("doc_id") % 10 === 0), 2))
+        warcCrawlRecords(d.filter(col("doc_id") % 2 === 1), 2)
+          .unionByName(warcCrawlRecords(d.filter(col("doc_id") % 10 === 0), 2))
           .repartition(2), s"$root/b")
     }
     def runInProcess(): Unit = {
@@ -2003,20 +2081,13 @@ object Extras {
     // generation 2: a child JVM that hard-halts right after the dedup MV
     // commits — ingest + dedup state is on disk, index/mix/final never ran
     copyFixture(s"$fixture/b", landing, "b-")
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.toArray.map(_.toString)
-      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    // C1-only JIT: the child lives ~20 s on small data — skipping C2
-    // compilation shaves a third of its wall clock with no data-path cost
-    val cmd = (Seq(javaBin, "-Xmx4g", "-XX:TieredStopAtLevel=1") ++ addOpens ++ Seq(
-      "-cp", sys.props("java.class.path"),
-      "graft.tools.CrawlResumeChild", s"$wh/wh", s"$wh/cp", yamlDir,
-      "c15_corpus")).toArray
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-    val code = proc.waitFor()
+    val tChild = System.nanoTime()
+    val (code, out) = graft.tools.CrawlResumeChild.spawn(
+      s"$wh/wh", s"$wh/cp", yamlDir, "c15_corpus")
+    // the child's wall clock is JVM boot + session lifecycle + one crawl
+    // generation — gate scaffolding, not this engine's plan cost; record
+    // it so the bench can report plan_cost beside total
+    graft.tools.GateLifecycle.add((System.nanoTime() - tChild) / 1e9)
     require(code == 137 && out.contains("HALTING after c15_corpus"),
       s"c15: child JVM was supposed to hard-halt after the dedup commit " +
         s"(exit 137), got exit $code; output tail: ${out.takeRight(800)}")
@@ -2052,6 +2123,7 @@ object Extras {
     "q63_recompute_mv" -> q63RecomputeMv,
     "q65_ssj_mv" -> q65StreamStreamMv,
     "q66_global_window_mv" -> q66GlobalWindowMv,
+    "q67_global_window_computed" -> q67GlobalWindowComputed,
     "q64_nested_dedup_mv" -> q64NestedDedupMv,
     "m1_multimodal_features" -> m1Multimodal,
     "m2_hash_sample" -> m2Sample,
@@ -2469,6 +2541,18 @@ object Extras {
         |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST) AS prnk,
         |       cume_dist() OVER
         |         (ORDER BY CAST(floor(value) AS BIGINT) DESC NULLS LAST) AS cdist
+        |FROM events""".stripMargin,
+    // q67's oracle ranks ALL events by the computed key in one shot — a
+    // mis-routed delta bucket, a stale inlined-expression signature, or a
+    // head-bucket offset fed from wrong counts hash-mismatches
+    "q67_global_window_computed" ->
+      """SELECT event_id, user_id, value,
+        |       CAST(rank() OVER
+        |         (ORDER BY floor(value) * 3 + user_id % 5 DESC NULLS LAST)
+        |         AS INT) AS rnk,
+        |       CAST(dense_rank() OVER
+        |         (ORDER BY floor(value) * 3 + user_id % 5 DESC NULLS LAST)
+        |         AS INT) AS drk
         |FROM events""".stripMargin,
     // q64's oracle dedups and aggregates ALL events in one shot — a
     // cross-run duplicate surviving (delta-only recompute), a dropped

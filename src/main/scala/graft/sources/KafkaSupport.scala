@@ -23,10 +23,20 @@ object KafkaSupport {
     // treats them so): a 'Subscribe:' spelling must count as a mode here,
     // or plan-time validation and the connector disagree — either a late
     // multi-mode failure at stream start or a spurious 'got 0' refusal
-    def mode(k: String, field: Option[String]): Option[(String, String)] =
-      field.orElse(a.options.collectFirst {
+    def mode(k: String, field: Option[String]): Option[(String, String)] = {
+      // collect ALL case-variant spellings: two variants of one mode key
+      // ('subscribe' + 'Subscribe') with different values would otherwise
+      // pick a map-iteration-order-dependent winner and silently ignore
+      // the loser — conflict is a refusal, duplicate agreement collapses
+      val inOpts = a.options.collect {
         case (ok, v) if ok.equalsIgnoreCase(k) => v
-      }).map(k -> _)
+      }.toSeq.distinct
+      if (inOpts.size > 1)
+        throw ConfigError(s"kafka load '${a.name}': option '$k' is spelled " +
+          s"in multiple case variants with conflicting values " +
+          s"(${inOpts.mkString(", ")}) — keep one spelling")
+      field.orElse(inOpts.headOption).map(k -> _)
+    }
     val modes = Seq(
       mode("subscribe", a.subscribe),
       mode("subscribePattern", a.subscribePattern),

@@ -2,21 +2,31 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Crash-forge fixture for the c15 sustained-crawl capstone: a SECOND JVM
-  * that runs one orchestrated generation against a shared warehouse and
-  * HARD-HALTS (`Runtime.halt` — no shutdown hooks, no stream cleanup, the
-  * closest in-process approximation of SIGKILL) the instant a named table
-  * finishes writing. The parent gate then resumes the same project
-  * in-process and asserts the final tables are exactly-once anyway.
+/** Crash-forge fixture for the c15 sustained-crawl capstone and the
+  * kill-point matrix: a SECOND JVM that runs one orchestrated generation
+  * against a shared warehouse and HARD-HALTS (`Runtime.halt` — no shutdown
+  * hooks, no stream cleanup, the closest in-process approximation of
+  * SIGKILL) at a chosen point. The parent gate then resumes the same
+  * project in-process and asserts the final tables are exactly-once anyway.
   *
-  * args: `<warehouse> <checkpointRoot> <yamlDir> <haltAfterTable>`.
+  * args: `<warehouse> <checkpointRoot> <yamlDir> <haltSpec>` where haltSpec
+  * selects the kill point:
+  *   - `<table>` or `table:<table>`  — after the named table's write action
+  *     completes (the c15 gate's dedup-commit point);
+  *   - `batch:<table>:<n>`           — after microbatch `n` of the named
+  *     STREAM commits, leaving the stream half-consumed (the mid-ingest
+  *     point: a WARC landing file ingested, its sibling never read);
+  *   - `forge:<point>`               — arms [[graft.exec.CrashForge]] so an
+  *     operator's interior kill-point fires (e.g. `forge:bm25_fold` — index
+  *     swapped, hits table never written: the double-fold window).
+  *
   * Runs every `*.yaml` flowgroup in `yamlDir` (sorted) through the
-  * orchestrator. Prints `HALTING after <table>` just before the halt so
-  * the parent can distinguish the forged crash (exit 137) from a real
-  * failure (exit 1). */
+  * orchestrator. Prints `HALTING after <table>` / `HALTING at <point>` just
+  * before the halt so the parent can distinguish the forged crash (exit
+  * 137) from a real failure (exit 1). */
 object CrawlResumeChild {
   def main(args: Array[String]): Unit = {
-    val Array(wh, cp, yamlDir, haltAfter) = args
+    val Array(wh, cp, yamlDir, haltSpec) = args
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -25,13 +35,24 @@ object CrawlResumeChild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val store = new graft.exec.TableStore(spark, wh)
-    val halt = new graft.exec.PipelineHooks {
-      override def onTableWritten(p: String, f: String, table: String): Unit =
-        if (table == haltAfter) {
-          println(s"HALTING after $table")
-          System.out.flush()
-          Runtime.getRuntime.halt(137)
-        }
+    def haltNow(marker: String): Unit = {
+      println(marker)
+      System.out.flush()
+      Runtime.getRuntime.halt(137)
+    }
+    val halt: graft.exec.PipelineHooks = haltSpec.split(":", 3) match {
+      case Array("forge", point) =>
+        sys.props(graft.exec.CrashForge.prop) = point
+        graft.exec.PipelineHooks.noop
+      case Array("batch", table, n) => new graft.exec.PipelineHooks {
+        override def onBatchCommitted(p: String, f: String, t: String,
+            batchId: Long): Unit =
+          if (t == table && batchId == n.toLong)
+            haltNow(s"HALTING after $table batch $batchId")
+      }
+      case Array(t) => mkTableHalt(t, haltNow)
+      case Array("table", t) => mkTableHalt(t, haltNow)
+      case other => sys.error(s"unknown haltSpec '${other.mkString(":")}'")
     }
     val fgs = new java.io.File(yamlDir).listFiles()
       .filter(_.getName.endsWith(".yaml")).sortBy(_.getName).toSeq
@@ -45,5 +66,32 @@ object CrawlResumeChild {
     }
     println("CHILD COMPLETED (halt hook never fired)")
     sys.exit(0)
+  }
+
+  private def mkTableHalt(t: String,
+      haltNow: String => Unit): graft.exec.PipelineHooks =
+    new graft.exec.PipelineHooks {
+      override def onTableWritten(p: String, f: String, table: String): Unit =
+        if (table == t) haltNow(s"HALTING after $table")
+    }
+
+  /** Spawn this main in a child JVM (C1-only JIT — the child lives ~20 s
+    * on gate-sized data) and wait: `(exitCode, combinedOutput)`. One
+    * definition shared by the c15 gate and the kill-matrix spec so the
+    * add-opens harvesting, classpath, and halt-marker contract cannot
+    * drift apart. */
+  def spawn(wh: String, cp: String, yamlDir: String,
+      haltSpec: String): (Int, String) = {
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val cmd = (Seq(javaBin, "-Xmx4g", "-XX:TieredStopAtLevel=1") ++ addOpens ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.CrawlResumeChild", wh, cp, yamlDir, haltSpec)).toArray
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+    (proc.waitFor(), out)
   }
 }

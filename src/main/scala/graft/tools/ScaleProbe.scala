@@ -54,7 +54,7 @@ object ScaleProbe {
     // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
-      "semantic", "bpe", "graph", "classify", "retrieval", "skew")
+      "semantic", "bpe", "graph", "classify", "retrieval", "skew", "gw")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -435,6 +435,57 @@ object ScaleProbe {
       c.unpersist(): Unit
     }
     lmSeed.unpersist(); queries.unpersist(): Unit
+    }
+
+    // ---- gw tier (r15): global-window MV machinery under an adversarial
+    // delta, at 1× and K×. Best case = a delta landing in the LAST bucket
+    // (suffix = one bucket + the null bucket), worst case = bucket 0
+    // (suffix = the whole range — what an N-dependent shape pays every
+    // refresh). The claim under probe: suffix-rewrite cost scales with
+    // BUCKETS TOUCHED, not table size — the scan-pushed range filter must
+    // keep the best case near-flat as the base grows K×. Also times
+    // boundary sampling at the 4096-bucket cap, where the pre-thinned
+    // sample bounds the driver transfer (≤ ~2M values total, whatever K).
+    if (tierOn("gw")) {
+      import org.apache.spark.sql.graftnative.{GlobalWindowMv, PlanBridge}
+      println(s"""{"probe":"gw_suffix_rewrite","sf":"$sfDir","reps":$reps}""")
+      val tmpGw = java.nio.file.Files.createTempDirectory("graft-probe-gw").toString
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+        .select("event_id", "user_id", "value")
+      def evK(k: Int): DataFrame = (0 until k).map(i => ev.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("user_id"),
+        // spread values per replica so K× also widens the key range a bit
+        (col("value") + lit(i * 0.0001)).as("value")))
+        .reduce(_ unionByName _)
+      for (k <- Seq(1, reps).distinct) {
+        val dirK = s"$tmpGw/base$k"
+        evK(k).write.mode("overwrite").parquet(dirK)
+        spark.read.parquet(dirK).createOrReplaceTempView("gw_probe_base")
+        val plan = spark.sql(
+          "SELECT event_id, user_id, value, CAST(rank() OVER (ORDER BY " +
+            "value DESC NULLS LAST) AS INT) AS rnk FROM gw_probe_base")
+          .queryExecution.analyzed
+        val shape = GlobalWindowMv.analyze(plan).toOption.get
+        val childDf = PlanBridge.ofRows(spark, shape.windowNode.child)
+        val bs = GlobalWindowMv.sampleBoundaries(childDf, shape, 64)
+        val bnds = GlobalWindowMv.Boundaries(bs.boundaries, shape.orderAttr.dataType)
+        val counts = GlobalWindowMv.summarize(spark, shape, bnds, None)
+        val lo = shape.minBucketId
+        val hi = shape.maxBucketId(bnds.size)
+        val offR = GlobalWindowMv.prefixOffsets(lo, hi, counts.view.mapValues(_._1).toMap)
+        def refresh(from: Option[Int]): DataFrame = GlobalWindowMv.rewrite(
+          spark, plan, shape, bnds, from, offR, Map.empty,
+          totalRows = counts.values.map(_._1).sum)
+        val bootstrapT = med(time(refresh(None)))
+        val worstT = med(time(refresh(Some(lo))))       // delta in bucket 0
+        val bestT = med(time(refresh(Some(hi - 1))))    // delta at the tail
+        // boundary sampling at the cap: the driver holds one bounded array
+        val t0 = System.nanoTime()
+        val bs4k = GlobalWindowMv.sampleBoundaries(childDf, shape, 4096)
+        val sample4kT = (System.nanoTime() - t0) / 1e9
+        println(f"""{"k":$k,"rows":${spark.table("gw_probe_base").count()},"buckets":${bnds.size + 1},"bootstrap":$bootstrapT%.2f,"suffix_worst":$worstT%.2f,"suffix_best":$bestT%.2f,"sample4k_sec":$sample4kT%.2f,"sample4k_rows":${bs4k.sampled}}""")
+      }
     }
     spark.stop()
   }

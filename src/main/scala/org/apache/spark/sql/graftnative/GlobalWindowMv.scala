@@ -1,11 +1,79 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Ascending, CumeDist, DenseRank, Literal, NamedExpression, NTile, NullsFirst, PercentRank, Rank, RowNumber, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Ascending, Cast, CumeDist, DenseRank, ExprId, Expression, Literal, NamedExpression, NTile, NullsFirst, PercentRank, Rank, RowNumber, SortOrder, UnaryExpression, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort, SubqueryAlias, Window => LWindow}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bucket id by BINARY SEARCH over the frozen boundary values: the number
+  * of boundaries sorting STRICTLY before the input in the window's order
+  * direction. Replaces the O(B)-term comparison chain (fine at the default
+  * 8–64 buckets, a visible per-row constant at the 4096 cap) with O(log B)
+  * comparisons — interpreted AND whole-stage-codegen'd, so the routing
+  * expression stays inside the scan's codegen span.
+  *
+  * `boundaries` are CATALYST-internal values of `child`'s type (UTF8String
+  * for strings, epoch micros for timestamps, …), sorted in DIRECTION order
+  * (ascending for `asc`, descending otherwise — exactly
+  * [[GlobalWindowMv.sampleBoundaries]]'s output order); equal adjacent
+  * values are legal (the bucket between them is simply empty). Equal-to-a-
+  * boundary inputs count that boundary as NOT before them, preserving the
+  * ties-share-a-bucket invariant. Null-intolerant: the caller routes nulls
+  * to their own end bucket first. */
+case class GwBucketSearch(child: Expression, boundaries: Seq[Any], asc: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "gw_bucket"
+  @transient private lazy val arr: Array[Any] = boundaries.toArray
+  @transient private lazy val ord = TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = ord.compare(arr(mid), v)
+      if (if (asc) c < 0 else c > 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bnds = ctx.addReferenceObj("gwBoundaries", arr, "java.lang.Object[]")
+    val jt = CodeGenerator.javaType(child.dataType)
+    val bt = CodeGenerator.boxedType(child.dataType)
+    nullSafeCodeGen(ctx, ev, v => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val b = ctx.freshName("b")
+      val c = ctx.freshName("cmp")
+      val before = if (asc) s"$c < 0" else s"$c > 0"
+      s"""
+         |int $lo = 0;
+         |int $hi = $bnds.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  $jt $b = ($bt) $bnds[$mid];
+         |  int $c = ${ctx.genComp(child.dataType, b, v)};
+         |  if ($before) { $lo = $mid + 1; } else { $hi = $mid; }
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GwBucketSearch =
+    copy(child = newChild)
+}
 
 /** Plan surgery for GLOBAL-window materialized-view maintenance — the
   * `rank()/dense_rank()/row_number() OVER (ORDER BY …)` leaderboard shape
@@ -55,7 +123,22 @@ object GlobalWindowMv {
       asc: Boolean,
       nullsFirst: Boolean,
       /** window output attribute -> rank | dense_rank | row_number */
-      funcs: Seq[(Attribute, String)]) {
+      funcs: Seq[(Attribute, String)],
+      /** Some(f) when the first ORDER BY key is a COMPUTED expression —
+        * inlined down to relation-level column references (the analyzer
+        * extracts `ORDER BY f(x)` into a synthetic `_w<i>` projection;
+        * this is f itself). None = plain (possibly renamed) column. A
+        * delta re-evaluates f on its own rows to locate touched buckets;
+        * the suffix cut then filters on the computed value, which pushes
+        * through deterministic Projects but not into the parquet scan —
+        * the one posture difference vs a plain order column. */
+      orderExpr: Option[Expression],
+      /** Canonical ORDER BY signature with every synthetic/aliased sort
+        * key inlined to relation-level sql — what gwmeta freezes. (Synthetic
+        * `_w<i>` names are position-assigned: two different edits of the
+        * sql can produce the same `_w1` token, so a name-based signature
+        * would silently accept stale per-bucket distinct counts.) */
+      sig: String) {
     def needsDistinct: Boolean = funcs.exists(_._2 == "dense_rank")
     /** percent_rank/cume_dist/ntile depend on the GLOBAL row count N:
       * a delta anywhere changes EVERY row's value, so no bucket is ever
@@ -148,48 +231,120 @@ object GlobalWindowMv {
       case Some(m) => return Left(m)
       case None =>
     }
+    // inline every synthetic/aliased sort key down to relation-level
+    // columns: the analyzer extracts a COMPUTED order expression into a
+    // synthetic `_w<i>` projection below the Window (a subquery alias of a
+    // computation arrives the same way), and both the signature and the
+    // delta routing need the real expression, not the synthetic name
+    def findAlias(id: ExprId): Option[Alias] =
+      w.child.collectFirst {
+        case node if node.expressions.exists {
+          case al: Alias => al.exprId == id; case _ => false } =>
+          node.expressions.collectFirst {
+            case al: Alias if al.exprId == id => al }.get
+      }
+    def inline(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference => findAlias(ar.exprId) match {
+        case Some(al) => inline(al.child)
+        case None => ar
+      }
+    }
     val head = w.orderSpec.head
     head.child match {
       case ar: AttributeReference =>
-        // the analyzer extracts a COMPUTED order expression into a
-        // synthetic `_w<i>` projection below the Window — it still reaches
-        // here as an AttributeReference, but no delta can carry it; trace
-        // the attribute one level and refuse aliased computations
-        def isComputed(id: org.apache.spark.sql.catalyst.expressions.ExprId): Boolean =
-          w.child.collectFirst {
-            case node if node.expressions.exists {
-              case al: Alias => al.exprId == id; case _ => false } =>
-              node.expressions.collectFirst {
-                case al: Alias if al.exprId == id => al }.get
-          } match {
-            case Some(al) => al.child match {
-              // plain rename: follow the chain to the real source
-              case src: AttributeReference => isComputed(src.exprId)
-              case _ => true
-            }
-            case None => false // flows straight from a relation column
+        val resolved = inline(ar)
+        val orderExpr = resolved match {
+          case _: AttributeReference => None // plain (possibly renamed) column
+          case e => Some(e)
+        }
+        // a computed key is maintainable only when a delta row can
+        // re-evaluate it on its own columns: row-local, deterministic,
+        // AND stable across refreshes — current_date()/now() are
+        // Catalyst-"deterministic" (replaced once per query) yet drift
+        // every refresh, silently re-routing EXISTING rows across the
+        // frozen cut points while untouched prefix buckets keep stale
+        // counts (the decayed-leaderboard trap: score * exp(-datediff(
+        // current_date(), dt)))
+        def timeVarying(e: Expression): Boolean = e.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+          case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestamp => true
+          case _: org.apache.spark.sql.catalyst.expressions.Now => true
+          case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+          case _: org.apache.spark.sql.catalyst.expressions.CurrentTimeZone => true
+          case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+          case _ => false
+        }
+        val exprProblem = orderExpr.flatMap {
+          case e if e.exists(_.isInstanceOf[AggregateExpression]) => Some(
+            s"the first ORDER BY key '${ar.name}' resolves to an " +
+              s"aggregate (${e.sql}) — a delta row cannot re-evaluate it " +
+              "to locate touched buckets; ranking over an aggregated base " +
+              "needs mode omitted (full refresh)")
+          case e if !e.deterministic => Some(
+            s"the first ORDER BY key '${ar.name}' = ${e.sql} is " +
+              "nondeterministic — frozen range boundaries and delta " +
+              "routing need a stable ranking value; materialize it as a " +
+              "base-table column upstream")
+          case e if timeVarying(e) => Some(
+            s"the first ORDER BY key '${ar.name}' = ${e.sql} changes " +
+              "value between refreshes (current_date/current_timestamp/" +
+              "subquery) — existing rows would re-route across the frozen " +
+              "boundaries while untouched buckets keep stale counts; " +
+              "materialize the decayed/derived value as a base-table " +
+              "column that is rewritten when it changes, or omit mode " +
+              "(full refresh)")
+          case _ => None
+        }
+        exprProblem match {
+          case Some(msg) => Left(msg)
+          case None => ar.dataType match {
+            case _: NumericType | StringType | DateType | TimestampType |
+                 TimestampNTZType | BooleanType =>
+              val sig = w.orderSpec.map(so =>
+                so.copy(child = inline(so.child)).sql).mkString(", ")
+              Right(Shape(w, ar,
+                asc = head.direction == Ascending,
+                nullsFirst = head.nullOrdering == NullsFirst,
+                funcs = funcsOrLeft.map(_.toOption.get),
+                orderExpr = orderExpr,
+                sig = sig))
+            case dt => Left(
+              s"first ORDER BY key '${ar.name}' has type ${dt.sql} — " +
+                "range bucketing needs an orderable atomic type (numeric, " +
+                "string, date, timestamp)")
           }
-        if (isComputed(ar.exprId)) return Left(
-          s"the first ORDER BY expression is computed (extracted as " +
-            s"'${ar.name}') — it must be a plain column (the bucket-" +
-            "routing and scan-pruning key); materialize the expression " +
-            "as a base-table column upstream")
-        ar.dataType match {
-          case _: NumericType | StringType | DateType | TimestampType |
-               TimestampNTZType | BooleanType =>
-            Right(Shape(w, ar,
-              asc = head.direction == Ascending,
-              nullsFirst = head.nullOrdering == NullsFirst,
-              funcs = funcsOrLeft.map(_.toOption.get)))
-          case dt => Left(
-            s"first ORDER BY column '${ar.name}' has type ${dt.sql} — " +
-              "range bucketing needs an orderable atomic type (numeric, " +
-              "string, date, timestamp)")
         }
       case other => Left(
         s"first ORDER BY expression ${other.sql} must be a plain column " +
           "— it is the bucket-routing and scan-pruning key; materialize " +
           "the expression as a column upstream")
+    }
+  }
+
+  /** Base-view column names the delta must carry so a refresh can locate
+    * the buckets a batch touches: the order column itself, or — computed
+    * ORDER BY — every column the expression reads. */
+  def deltaRefNames(shape: Shape): Seq[String] = shape.orderExpr match {
+    case None => Seq(shape.orderAttr.name)
+    case Some(e) => e.collect { case ar: AttributeReference => ar.name }.distinct
+  }
+
+  /** The delta-side order value: the plain column cast to the order type,
+    * or the computed ORDER BY expression re-evaluated over the delta's own
+    * columns (matched case-insensitively). Left = the missing column names,
+    * comma-joined — the caller owns the error convention. */
+  def deltaOrderColumn(shape: Shape, deltaCols: Seq[String]): Either[String, Column] = {
+    def find(n: String): Option[String] = deltaCols.find(_.equalsIgnoreCase(n))
+    shape.orderExpr match {
+      case None => find(shape.orderAttr.name)
+        .map(n => col(n).cast(shape.orderAttr.dataType))
+        .toRight(shape.orderAttr.name)
+      case Some(e) =>
+        val missing = deltaRefNames(shape).filterNot(n => find(n).isDefined)
+        if (missing.nonEmpty) Left(missing.mkString(", "))
+        else Right(ExpressionUtils.column(e.transformUp {
+          case ar: AttributeReference => UnresolvedAttribute(Seq(find(ar.name).get))
+        }).cast(shape.orderAttr.dataType))
     }
   }
 
@@ -206,43 +361,113 @@ object GlobalWindowMv {
     case _ => reprs.map(s => lit(s).cast(dt))
   }
 
+  /** Frozen boundary cut points in three coordinated forms: the canonical
+    * string reprs (what gwmeta persists), typed Columns (the scan-pushable
+    * suffix cut), and catalyst-internal values (the binary-search routing).
+    * Always in DIRECTION order ([[sampleBoundaries]]'s output order). */
+  final case class Boundaries(reprs: Seq[String], dt: DataType) {
+    def size: Int = reprs.size
+    def isEmpty: Boolean = reprs.isEmpty
+    lazy val literals: Seq[Column] = boundaryLiterals(reprs, dt)
+    lazy val values: Seq[Any] = dt match {
+      case TimestampType => reprs.map(s => java.lang.Long.valueOf(s.toLong))
+      case _ =>
+        // same string→type semantics the literal path constant-folds to;
+        // zone matters for none of the audited types (timestamps persist
+        // as micros), passed anyway so Cast resolves uniformly
+        val zone = Some(SQLConf.get.sessionLocalTimeZone)
+        reprs.map(s => Cast(Literal(UTF8String.fromString(s), StringType), dt, zone).eval(null))
+    }
+    /** Routing correctness rests on direction-sorted boundaries — verify
+      * once per refresh (≤ 4096 comparisons) rather than trust a sidecar
+      * that anything may have edited. Equal adjacents are legal. */
+    def validateSorted(asc: Boolean): Unit = {
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      val bad = values.sliding(2).exists {
+        case Seq(a, b) => if (asc) ord.compare(a, b) > 0 else ord.compare(a, b) < 0
+        case _ => false
+      }
+      require(!bad, "global-window boundaries are not sorted in the order " +
+        s"direction (asc=$asc) — the gwmeta sidecar is corrupt; run a full " +
+        "refresh of the table to re-derive it")
+    }
+  }
+
   /** Bucket id of an order value: the number of boundaries sorting
     * STRICTLY before it (so equal values always share a bucket), with
-    * nulls routed to their own end bucket. Boundaries must be in sort
-    * order. A literal comparison chain — codegen'd, no join, no UDF. */
-  def bucketColumn(v: Column, boundaries: Seq[Column], asc: Boolean,
+    * nulls routed to their own end bucket. An O(log B) binary search over
+    * the frozen values ([[GwBucketSearch]]) — codegen'd, no join, no UDF. */
+  def bucketColumn(v: Column, boundaries: Boundaries, asc: Boolean,
       nullBucket: Int): Column =
     if (boundaries.isEmpty) when(v.isNull, lit(nullBucket)).otherwise(lit(0))
-    else when(v.isNull, lit(nullBucket)).otherwise(
-      boundaries.map(b => when(if (asc) v > b else v < b, 1).otherwise(0))
-        .reduce(_ + _))
+    else {
+      boundaries.validateSorted(asc)
+      when(v.isNull, lit(nullBucket)).otherwise(ExpressionUtils.column(
+        GwBucketSearch(ExpressionUtils.expression(v), boundaries.values, asc)))
+    }
 
-  /** Derive frozen range boundaries by map-side random sampling + sorting
-    * the bounded sample IN Spark (driver-side comparison would diverge
-    * from Spark's ordering on e.g. non-BMP strings). Returns canonical
-    * CAST-to-string forms, order-direction sorted, deduplicated. Nil when
-    * the table is too small to be worth bucketing — the caller then runs
-    * single-bucket (and re-derives next refresh, cheap by definition at
-    * that size). */
-  def sampleBoundaries(childDf: DataFrame, shape: Shape, buckets: Int): Seq[String] = {
+  /** Boundary derivation result: the cut points plus the tie diagnostics
+    * the caller's skew advisory needs (all driver-side, sample-bounded). */
+  final case class BoundarySample(
+      boundaries: Seq[String],
+      /** rows actually sampled (≤ buckets*512) */
+      sampled: Int,
+      /** distinct order values in the sample */
+      distinctValues: Int,
+      /** the most frequent sampled value and its share of the sample —
+        * the largest tie group, the thing that collapses boundaries */
+      topRepr: Option[String],
+      topShare: Double)
+
+  /** Derive frozen range boundaries by random sampling + sorting the
+    * bounded sample IN Spark (driver-side comparison would diverge from
+    * Spark's ordering on e.g. non-BMP strings). Returns canonical
+    * CAST-to-string forms, order-direction sorted, deduplicated, plus tie
+    * diagnostics. `boundaries` is Nil when the table is too small to be
+    * worth bucketing — the caller then runs single-bucket (and re-derives
+    * next refresh, cheap by definition at that size). */
+  def sampleBoundaries(childDf: DataFrame, shape: Shape, buckets: Int): BoundarySample = {
     require(buckets >= 2 && buckets <= 4096,
       s"recompute.buckets must be in [2, 4096], got $buckets")
     val vCol = ExpressionUtils.column(shape.orderAttr)
     val sampleN = buckets * 512
+    val base = childDf.select(vCol.as("__v")).filter(col("__v").isNotNull)
+    // Bound the rand-ordered top-k: its per-partition selection queue is
+    // O(limit) — 2M entries per task at the 4096-bucket cap. Pre-thinning
+    // with a fraction (one extra single-column count, bootstrap-only)
+    // makes each task feed and retain O(sampleN × 1.5 / tasks) instead;
+    // a binomial undershoot only coarsens the cuts, never breaks them.
+    val n = base.count()
+    val frac = if (n <= sampleN.toLong * 2) 1.0 else math.min(1.0, 1.5 * sampleN / n)
+    val thinned = if (frac < 1.0) base.sample(withReplacement = false, frac, 42) else base
     val reprCol = shape.orderAttr.dataType match {
       case TimestampType => unix_micros(col("__v")).cast("string")
       case _ => col("__v").cast("string")
     }
-    val sorted = childDf.select(vCol.as("__v")).filter(col("__v").isNotNull)
-      .orderBy(rand(42)).limit(sampleN) // map-side partial top-k, one pass
+    val sorted = thinned
+      .orderBy(rand(42)).limit(sampleN)
       .orderBy(if (shape.asc) col("__v").asc else col("__v").desc)
       .select(reprCol)
       .collect().map(_.getString(0)).toSeq
-    if (sorted.length < buckets * 4) Nil
-    else {
-      val step = sorted.length.toDouble / buckets
-      (1 until buckets).map(i => sorted((i * step).toInt)).distinct
+    // tie diagnostics from the direction-sorted sample: equal values are
+    // adjacent, so the largest tie group is the longest equal run
+    var prev: String = null
+    var run = 0
+    var distinct = 0
+    var best = 0
+    var bestV: Option[String] = None
+    sorted.foreach { s =>
+      if (s == prev) run += 1 else { distinct += 1; run = 1; prev = s }
+      if (run > best) { best = run; bestV = Some(s) }
     }
+    val share = if (sorted.isEmpty) 0.0 else best.toDouble / sorted.length
+    val bnds =
+      if (sorted.length < buckets * 4) Nil
+      else {
+        val step = sorted.length.toDouble / buckets
+        (1 until buckets).map(i => sorted((i * step).toInt)).distinct
+      }
+    BoundarySample(bnds, sorted.length, distinct, bestV, share)
   }
 
   /** Frozen maintenance state, persisted as one table-meta string:
@@ -254,14 +479,14 @@ object GlobalWindowMv {
       hasDistincts: Boolean, declaredBuckets: Int, boundaries: Seq[String],
       counts: Map[Int, Long], distincts: Map[Int, Long])
 
-  /** Canonical signature of the window's ORDER BY spec — column names,
-    * directions, null ordering, tie-break keys. Persisted beside the
-    * frozen boundaries so an edited sql (different order column, flipped
-    * direction, changed secondary keys — all of which change bucket
-    * routing or distinct counts) invalidates the stored state instead of
-    * silently producing wrong ranks. */
-  def orderSig(shape: Shape): String =
-    shape.orderSpec.map(_.sql).mkString(", ")
+  /** Canonical signature of the window's ORDER BY spec — expressions
+    * (synthetic sort keys inlined to relation-level sql), directions, null
+    * ordering, tie-break keys. Persisted beside the frozen boundaries so
+    * an edited sql (different order key, flipped direction, changed
+    * secondary keys — all of which change bucket routing or distinct
+    * counts) invalidates the stored state instead of silently producing
+    * wrong ranks. */
+  def orderSig(shape: Shape): String = shape.sig
 
   /** Line-based, base64-armored codec (boundary values are arbitrary user
     * data — base64 sidesteps every escaping concern). */
@@ -314,7 +539,7 @@ object GlobalWindowMv {
     * bucket filter — ONE definition shared by the summary scan and the
     * window recompute, so the two jobs can never see different row sets. */
   private def bucketedChild(spark: SparkSession, shape: Shape,
-      boundaries: Seq[Column], minBucket: Option[Int]): DataFrame = {
+      boundaries: Boundaries, minBucket: Option[Int]): DataFrame = {
     val childDf = PlanBridge.ofRows(spark, shape.windowNode.child)
     val vCol = ExpressionUtils.column(shape.orderAttr)
     val b0 = childDf.withColumn("__gw_bucket",
@@ -324,11 +549,13 @@ object GlobalWindowMv {
         // pushable twin: bucket >= m is exactly "v sorts strictly after
         // boundary m-1" — one comparison on the bare order column, so the
         // parquet scan prunes row groups before the bucket expression
-        // runs. Nulls-last rows live in the final bucket (always in the
-        // suffix) and must survive the comparison.
+        // runs (a COMPUTED order key pushes through the projection but
+        // stops at the scan — documented posture difference). Nulls-last
+        // rows live in the final bucket (always in the suffix) and must
+        // survive the comparison.
         val pruned =
           if (m >= 1 && m <= boundaries.size) {
-            val cut = boundaries(m - 1)
+            val cut = boundaries.literals(m - 1)
             val cmp = if (shape.asc) vCol > cut else vCol < cut
             b0.filter(if (shape.nullsFirst) cmp else cmp || vCol.isNull)
           } else b0
@@ -340,7 +567,7 @@ object GlobalWindowMv {
   /** Per-bucket (row count, distinct-order-tuple count) for buckets >=
     * minBucket — the refresh's summary pass. Distinct is computed only
     * when a dense_rank needs it (the exact-distinct expand is not free). */
-  def summarize(spark: SparkSession, shape: Shape, boundaries: Seq[Column],
+  def summarize(spark: SparkSession, shape: Shape, boundaries: Boundaries,
       minBucket: Option[Int]): Map[Int, (Long, Long)] = {
     val f = bucketedChild(spark, shape, boundaries, minBucket)
     val rows =
@@ -357,12 +584,12 @@ object GlobalWindowMv {
   }
 
   /** Lowest bucket a delta batch touches — every bucket sorting before it
-    * keeps its rows, counts, offsets, and therefore ranks. None = empty
-    * batch (skip the refresh). */
-  def minDeltaBucket(batch: DataFrame, orderColName: String, shape: Shape,
-      boundaries: Seq[Column]): Option[Int] = {
-    val v = col(orderColName).cast(shape.orderAttr.dataType)
-    val r = batch.select(min(bucketColumn(v, boundaries, shape.asc,
+    * keeps its rows, counts, offsets, and therefore ranks. `orderValue` is
+    * [[deltaOrderColumn]]'s result — the plain column or the re-evaluated
+    * computed key. None = empty batch (skip the refresh). */
+  def minDeltaBucket(batch: DataFrame, orderValue: Column, shape: Shape,
+      boundaries: Boundaries): Option[Int] = {
+    val r = batch.select(min(bucketColumn(orderValue, boundaries, shape.asc,
       shape.nullBucketId(boundaries.size))).as("m")).head()
     if (r.isNullAt(0)) None else Some(r.getInt(0))
   }
@@ -374,7 +601,7 @@ object GlobalWindowMv {
     * surrounding SELECT/WHERE resolve untouched) plus a trailing
     * `__gw_bucket` int column, the physical replace granularity. */
   def rewrite(spark: SparkSession, plan: LogicalPlan, shape: Shape,
-      boundaries: Seq[Column], minBucket: Option[Int],
+      boundaries: Boundaries, minBucket: Option[Int],
       rowsBefore: Map[Int, Long], distinctBefore: Map[Int, Long],
       totalRows: Long): DataFrame = {
     val w = shape.windowNode

@@ -39,7 +39,7 @@ class BenchSpec extends SparkSuite {
     val r = Bench.run(spark, sf0001, iters = 1,
       queries = Map("ok" -> ((s, _) => s.range(3).toDF())))
     assert(r.compact.matches(
-      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
+      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","plan_cost":\d+\.\d\d,"queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
       r.compact)
     // error NAMES only in the compact line — a 300-char message per failed
     // query would blow the tail budget the line exists to fit
@@ -47,6 +47,29 @@ class BenchSpec extends SparkSuite {
       "ok" -> ((s, _) => s.range(3).toDF()),
       "broken" -> ((s, _) => s.range(3).select(col("no_such_column")))))
     assert(broken.compact.contains(""""errors":["broken"]"""), broken.compact)
+  }
+
+  test("plan_cost = total minus the gate scaffolding the queries recorded") {
+    val r = Bench.run(spark, sf0001, iters = 1, queries = Map(
+      "gate" -> ((s, _) => {
+        Thread.sleep(400) // the forged child-JVM wall clock...
+        graft.tools.GateLifecycle.add(0.4) // ...recorded as scaffolding
+        s.range(3).toDF()
+      }),
+      "plain" -> ((s, _) => s.range(3).toDF())))
+    val total = """"value":(\d+\.?\d*)""".r.findFirstMatchIn(r.json).get.group(1).toDouble
+    val pc = """"plan_cost":(\d+\.?\d*)""".r.findFirstMatchIn(r.json).get.group(1).toDouble
+    assert(math.abs((total - pc) - 0.4) < 0.02,
+      s"plan_cost must subtract exactly the recorded scaffolding: total=$total plan_cost=$pc")
+    // attribution rides in the full line only (tail budget), keyed by query
+    assert(r.json.contains(""""gate_lifecycle":{"gate":0.4"""), r.json)
+    assert(r.compact.contains(""""plan_cost":"""), r.compact)
+    // a recorder claiming MORE than the measured time caps at it — the
+    // contract line can never carry a negative plan cost
+    val capped = Bench.run(spark, sf0001, iters = 1, queries = Map(
+      "over" -> ((s, _) => { graft.tools.GateLifecycle.add(99.0); s.range(3).toDF() })))
+    val pc2 = """"plan_cost":(-?\d+\.?\d*)""".r.findFirstMatchIn(capped.json).get.group(1).toDouble
+    assert(pc2 >= 0.0, capped.json)
   }
 
   test("compact line for the FULL suite fits the driver's ~2 KB tail capture") {
@@ -62,7 +85,7 @@ class BenchSpec extends SparkSuite {
     // trips again.
     val perQuery = SparkEntry.queries.keys
       .map(_.takeWhile(_ != '_').length + 10).sum
-    val projected = perQuery + 100 // frame: metric/value/unit/queries/sf
+    val projected = perQuery + 120 // frame: metric/value/unit/plan_cost/queries/sf
     assert(projected < 1600,
       s"compact bench line projected at $projected bytes — over the " +
         "tail-capture budget; shorten new query prefixes")

@@ -164,7 +164,7 @@ class GlobalWindowMvSpec extends SparkSuite {
       "SELECT id, score, rank() OVER (ORDER BY score DESC) AS rnk FROM gwplan_base")
     val shape = GlobalWindowMv.analyze(probe.queryExecution.analyzed)
       .toOption.get
-    val blits = GlobalWindowMv.boundaryLiterals(
+    val blits = GlobalWindowMv.Boundaries(
       Seq("75.0", "50.0", "25.0"), org.apache.spark.sql.types.DoubleType)
     val df = GlobalWindowMv.rewrite(spark, probe.queryExecution.analyzed,
       shape, blits, Some(2),
@@ -207,15 +207,19 @@ class GlobalWindowMvSpec extends SparkSuite {
     assert(got.count() == 353)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "derived ranking functions must equal the one-shot window")
-    // ties: percent_rank/cume_dist stay deterministic and exact
+    // ties on a COMPUTED key: percent_rank/cume_dist stay deterministic
+    // and exact through the computed-ORDER-BY route (vb has 9 distinct
+    // values over 353 rows — heavy ties, and the subquery alias is the
+    // shape the old plain-column refusal rejected)
     val tieSql = "SELECT id, vb, percent_rank() OVER (ORDER BY vb) AS prnk, " +
       "cume_dist() OVER (ORDER BY vb) AS cdist FROM " +
       "(SELECT id, CAST(score AS INT) % 9 AS vb FROM base)"
-    val e = intercept[Planner.PlanError](runner.run(
-      YamlConfig.parseFlowGroup(yamlFor(landing, tieSql))))
-    // (vb is computed — the plain-column refusal still applies; the tie
-    // case is covered by the q66 gate's floor(value) ties instead)
-    assert(e.getMessage.contains("plain column"))
+    writeRows(landing, Seq((9100L, 13.0))) // an edited sql refreshes with its next delta
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, tieSql)))
+    val gotTie = store.read("mv").select("id", "vb", "prnk", "cdist")
+    val expTie = oneShot(store, tieSql)
+    assert(gotTie.exceptAll(expTie).isEmpty && expTie.exceptAll(gotTie).isEmpty,
+      "computed-key ties must stay exact")
   }
 
   test("shape audit refuses non-decomposable sql, naming the construct") {
@@ -232,13 +236,21 @@ class GlobalWindowMvSpec extends SparkSuite {
     assert(m2.contains("not prefix-decomposable") || m2.contains("sum"), m2)
     // (a non-literal ntile bucket count is refused by Spark's own
     // analyzer before the shape audit ever sees the plan)
-    // first order key must be a bare column
-    val m3 = refusal("SELECT id, score, rank() OVER (ORDER BY score * 2) AS r FROM base")
-    assert(m3.contains("plain column"), m3)
-    // ...even when the computation hides in a subquery alias
-    val m3b = refusal("SELECT id, rank() OVER (ORDER BY s2) AS r FROM " +
-      "(SELECT id, score * 2 AS s2 FROM base)")
-    assert(m3b.contains("plain column"), m3b)
+    // computed keys are supported, but only deterministic row-local ones:
+    // a nondeterministic key would re-route rows between refreshes
+    val m3 = refusal(
+      "SELECT id, score, rank() OVER (ORDER BY score * rand()) AS r FROM base")
+    assert(m3.contains("nondeterministic"), m3)
+    // ...and an aggregate-valued key has no per-delta-row evaluation
+    val m3b = refusal("SELECT s, rank() OVER (ORDER BY s) AS r FROM " +
+      "(SELECT sum(score) AS s FROM base GROUP BY id % 3)")
+    assert(m3b.contains("aggregate"), m3b)
+    // ...and current_date()-class keys are Catalyst-"deterministic" but
+    // drift between refreshes — existing rows would re-route across the
+    // frozen boundaries (the decayed-leaderboard trap)
+    val m3c = refusal("SELECT id, rank() OVER (ORDER BY score * " +
+      "datediff(current_date(), DATE'2024-01-01')) AS r FROM base")
+    assert(m3c.contains("changes value between refreshes"), m3c)
     // aggregation above the window mixes buckets
     val m4 = refusal("SELECT max(r) AS mr FROM (SELECT rank() OVER (ORDER BY score) AS r FROM base)")
     assert(m4.contains("Aggregate") || m4.contains("no window function"), m4)
@@ -295,6 +307,129 @@ class GlobalWindowMvSpec extends SparkSuite {
     val decoded = GlobalWindowMv.decodeMeta(GlobalWindowMv.encodeMeta(m))
     assert(decoded.contains(m))
     assert(GlobalWindowMv.decodeMeta("garbage").isEmpty)
+  }
+
+  test("computed ORDER BY key: two-run maintenance stays exact, expression edits invalidate") {
+    // real leaderboards rank by expressions (score * decay, weighted sums);
+    // the route materializes nothing extra — it buckets on the in-plan
+    // synthetic column and re-evaluates the expression on the delta's own
+    // columns to locate touched buckets
+    val compSql =
+      "SELECT id, score, CAST(rank() OVER (ORDER BY score * 2 + id % 7 DESC) AS INT) AS rnk, " +
+        "CAST(dense_rank() OVER (ORDER BY score * 2 + id % 7 DESC) AS INT) AS drk FROM base"
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, (0L until 400L).map(i =>
+      (i, java.lang.Double.valueOf((i / 4).toDouble)))) // 4-way ties pre-expression
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, compSql)))
+    val meta1 = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta).get
+    assert(meta1.boundaries.nonEmpty, "computed-key boundaries not frozen")
+    // the signature must carry the EXPRESSION, not the synthetic _w0 name
+    assert(meta1.orderSig.toLowerCase.contains("score"), meta1.orderSig)
+    // delta interleaves mid-range + a new top
+    writeRows(landing, Seq((1000L, 500.0), (1001L, 25.0), (1002L, 3.0)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, compSql)))
+    val got = store.read("mv").select("id", "score", "rnk", "drk")
+    val expected = oneShot(store, compSql)
+    assert(got.count() == 403)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "computed-key two-run MV must equal the one-shot window")
+    // editing the expression (same synthetic name _w0) must invalidate:
+    // a name-keyed signature would silently reuse stale buckets/counts
+    val editedSql = compSql.replace("score * 2 + id % 7", "score * 3 + id % 5")
+    writeRows(landing, Seq((2000L, 7.5)))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, editedSql)))
+    val meta2 = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta).get
+    assert(meta2.orderSig != meta1.orderSig,
+      "the signature must track the inlined expression, not the _w0 token")
+    val got2 = store.read("mv").select("id", "score", "rnk", "drk")
+    val exp2 = oneShot(store, editedSql)
+    assert(got2.exceptAll(exp2).isEmpty && exp2.exceptAll(got2).isEmpty)
+  }
+
+  test("tie-skew advisory fires when boundaries collapse; re-bootstrap drops stale bucket dirs") {
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    // bootstrap on a high-cardinality key: many cut points, many dirs
+    writeRows(landing, (0L until 400L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, rankSql,
+      recompute = "{view: base, buckets: 8}")))
+    val cuts1 = store.getMeta("mv", "gwmeta")
+      .flatMap(GlobalWindowMv.decodeMeta).get.boundaries.size
+    assert(cuts1 >= 4, s"expected a wide bucket range, got $cuts1 cuts")
+    // switch to a 90%-one-value computed key: ties must share a bucket, so
+    // the re-sampled boundaries collapse — the advisory must fire, the old
+    // high-numbered partitions must be dropped (not stranded), and the
+    // output must still be exact (degraded, never wrong)
+    val skewSql = "SELECT id, vb, CAST(rank() OVER (ORDER BY vb) AS INT) AS rnk FROM " +
+      "(SELECT id, CASE WHEN id % 10 < 9 THEN 0 ELSE CAST(id AS INT) END AS vb FROM base)"
+    val warnings = scala.collection.mutable.ArrayBuffer[String]()
+    graft.Log.route(m => warnings.synchronized { warnings += m: Unit })
+    try {
+      writeRows(landing, Seq((9000L, 1.0)))
+      runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, skewSql,
+        recompute = "{view: base, buckets: 8}")))
+    } finally graft.Log.route(graft.Log.stderrAndSlf4j)
+    assert(warnings.exists(w => w.contains("heavy ties") && w.contains("tie-break")),
+      s"expected the tie-skew advisory, got: $warnings")
+    // no partition dir above the new (collapsed) range may survive
+    val newHi = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta)
+      .map(_.boundaries.size + 1).getOrElse(1)
+    val dirs = Option(new java.io.File(s"$dir/warehouse/mv").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("__gw_bucket="))
+      .map(_.getName.stripPrefix("__gw_bucket=").toInt)
+    assert(dirs.forall(_ <= newHi),
+      s"stale bucket dirs survived the re-bootstrap: ${dirs.sorted.mkString(",")} (new hi $newHi)")
+    val got = store.read("mv").select("id", "vb", "rnk")
+    val expected = oneShot(store, skewSql)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "collapsed boundaries must degrade throughput, never correctness")
+  }
+
+  test("GwBucketSearch equals the comparison-chain definition across types and directions") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    def chain(v: org.apache.spark.sql.Column, bs: Seq[org.apache.spark.sql.Column],
+        asc: Boolean): org.apache.spark.sql.Column =
+      bs.map(b => when(if (asc) v > b else v < b, 1).otherwise(0)).reduce(_ + _)
+    def check[T](dt: DataType, gen: () => T): Unit = {
+      val vals = Seq.fill(200)(gen()).distinct
+      Seq(true, false).foreach { asc =>
+        val cutsRaw = Seq.fill(17)(gen()).distinct
+        val b = GlobalWindowMv.Boundaries(cutsRaw.map {
+          case ts: java.sql.Timestamp => (ts.getTime * 1000L).toString
+          case x => String.valueOf(x)
+        }, dt)
+        val sortedVals = {
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(dt)
+          val s = b.values.sorted(ord.asInstanceOf[Ordering[Any]])
+          if (asc) s else s.reverse
+        }
+        val sb = GlobalWindowMv.Boundaries(
+          // re-serialize in direction order through the same repr rules
+          sortedVals.map {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case x => String.valueOf(x)
+          }, dt)
+        val df = spark.createDataFrame(
+          vals.map(v => org.apache.spark.sql.Row(v)).asJava,
+          StructType(Seq(StructField("v", dt))))
+        val cutCols = GlobalWindowMv.boundaryLiterals(sb.reprs, dt)
+        val out = df.select(
+          GlobalWindowMv.bucketColumn(col("v"), sb, asc, -999).as("bin"),
+          chain(col("v"), cutCols, asc).as("ref")).collect()
+        out.foreach(r => assert(r.getInt(0) == r.getInt(1),
+          s"dt=$dt asc=$asc: binary search ${r.getInt(0)} != chain ${r.getInt(1)}"))
+      }
+    }
+    check(IntegerType, () => rnd.nextInt(1000))
+    check(LongType, () => rnd.nextLong() % 10000L)
+    check(DoubleType, () => math.floor(rnd.nextDouble() * 500) / 8)
+    check(StringType, () => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+    check(BooleanType, () => rnd.nextBoolean())
+    check(TimestampType, () =>
+      new java.sql.Timestamp(1500000000000L + rnd.nextInt(1000000).toLong * 1000))
   }
 
   test("an edited ORDER BY spec invalidates the frozen state — re-bootstrap, never stale ranks") {

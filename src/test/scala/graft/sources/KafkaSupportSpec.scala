@@ -41,6 +41,17 @@ class KafkaSupportSpec extends SparkSuite {
     intercept[graft.config.YamlConfig.ConfigError] {
       KafkaSupport.readerOptions(load(sub = Some("t"), opts = Map("assign" -> "{}")))
     }
+    // two case-variant spellings of ONE mode with DIFFERENT values: a
+    // map-iteration-order winner would silently drop the loser — refuse
+    val e = intercept[graft.config.YamlConfig.ConfigError] {
+      KafkaSupport.readerOptions(load(opts =
+        Map("subscribe" -> "topic_a", "Subscribe" -> "topic_b")))
+    }
+    assert(e.msg.contains("case variants"), e.msg)
+    // agreeing duplicates collapse rather than refuse
+    val r3 = KafkaSupport.readerOptions(load(opts =
+      Map("subscribe" -> "same", "Subscribe" -> "same")))
+    assert(r3("subscribe") == "same")
   }
 
   test("consumer and connector options pass through") {
