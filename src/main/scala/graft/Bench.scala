@@ -70,13 +70,23 @@ object Bench {
       names.map { case (name, fn) =>
         val before = graft.tools.BenchDiag.snap()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        var handle: DataFrame = null
+        try {
+          handle = fn(spark, sfDir)
+          handle.write.format("noop").mode("overwrite").save()
+        }
         catch {
           case e: Throwable =>
             errors.getOrElseUpdate(
               name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        // an operator that returns a persisted frame (exactSubstrings
+        // materializes eagerly so it can free its corpus-sized
+        // intermediates) must not pin one block set per iteration across
+        // a 9-iter run; unpersist is a no-op on unpersisted frames and
+        // runs OUTSIDE the timed window
+        if (handle != null) scala.util.Try(handle.unpersist()): Unit
         // scaffolding is a sub-interval of this execution by construction;
         // cap at the measured time so a misbehaving recorder can never
         // push plan_cost negative
@@ -208,8 +218,12 @@ object Bench {
     // drain (the old Thread.sleep(300)) still lost the race to a slow
     // async appender; LogManager.shutdown() flushes and stops every
     // appender synchronously, so nothing can interleave with or follow
-    // the line. Try-wrapped: a non-log4j backend just has nothing to stop.
-    scala.util.Try(org.apache.logging.log4j.LogManager.shutdown())
+    // the line. catch Throwable, not Try/NonFatal: a classpath WITHOUT
+    // log4j raises NoClassDefFoundError (a LinkageError Try rethrows) on
+    // the first LogManager reference, and dying here would eat the very
+    // contract line this block protects.
+    try org.apache.logging.log4j.LogManager.shutdown()
+    catch { case _: Throwable => () }
     System.out.flush(); System.err.flush()
     println(result.compact)
     System.out.flush()

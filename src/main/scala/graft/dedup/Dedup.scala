@@ -826,7 +826,18 @@ object Dedup {
     * cut seam can mint a new shared run from two sub-threshold shared
     * fragments (Lee et al. iterate to a fixpoint for the same reason). The
     * d17 gate pins one detect→cut→re-detect round against the oracle's
-    * replay, whatever the residue. */
+    * replay, whatever the residue.
+    *
+    * Evaluation contract: this function is EAGER — it executes the full
+    * detection at call time (the capped/uncapped branch is a data-dependent
+    * plan choice, and the intermediate caches must be freed before
+    * returning) and hands back the materialized, persisted span frame. The
+    * result reflects the input as of the call; the two construction-scoped
+    * caches (the corpus-sized window frame and the duplicated-hash counts)
+    * are unpersisted before return, so only the duplication-sized spans
+    * stay pinned — `unpersist()` the result when done with it (Bench and
+    * ScaleProbe do, right after their timed noop write, so a 9-iter run
+    * accumulates nothing). */
   def exactSubstrings(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 8, maxDf: Int = 1000): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
@@ -927,7 +938,18 @@ object Dedup {
           (col("__b0") - col("__extL")).as("__b0"),
           (col("__b1") + col("__extR")).as("__b1"))
     }
-    runsToSpans(extended, idCol)
+    // Materialize the spans (duplication-sized) so the two construction
+    // caches can be freed NOW: the window frame is corpus-sized, and a
+    // fixpoint caller (d17) or a bench loop would otherwise pin one per
+    // detection until session end — under memory pressure those evicted
+    // exactly the caches still live (persist keeps lineage, so an evicted
+    // spans block recomputes; localCheckpoint would not survive executor
+    // loss on a real cluster).
+    val out = runsToSpans(extended, idCol).persist()
+    out.count(): Unit
+    windows.unpersist()
+    dupHashes.unpersist()
+    out
   }
 
   /** Final projection of [[exactSubstrings]] run pairs onto per-document

@@ -13,7 +13,13 @@ trait PipelineHooks {
     * log + checkpoint-visible txn identity). Fires BETWEEN batches of one
     * stream — the seam monitoring latches onto and the crash-forge matrix
     * halts in (a kill here leaves the stream half-consumed, the window
-    * [[onTableWritten]] can never express). */
+    * [[onTableWritten]] can never express). Covers EVERY streaming
+    * foreachBatch write path, not just the plain append: CDC merge, the
+    * MV maintenance routes (incremental dedup, incremental_join companion,
+    * key-local and global-window recompute, watermarked append,
+    * complete-mode replace), and the quarantine DLQ drain — a
+    * `batch:<table>:<n>` kill spec or a monitoring listener must not
+    * silently miss a table because of HOW it is maintained. */
   def onBatchCommitted(pipeline: String, flowgroup: String, table: String,
       batchId: Long): Unit = ()
   /** A write target declared governance tags (write_target.tags/tags_file —
@@ -40,11 +46,15 @@ object PipelineHooks {
     * otherwise). */
   final class Recording extends PipelineHooks {
     val tables = scala.collection.mutable.ListBuffer[String]()
+    val batches = scala.collection.mutable.ListBuffer[(String, Long)]()
     val tagged = scala.collection.mutable.ListBuffer[(String, Map[String, String])]()
     val tests = scala.collection.mutable.ListBuffer[(String, String, Long)]()
     val flowgroups = scala.collection.mutable.ListBuffer[(String, Boolean)]()
     override def onTableWritten(p: String, f: String, table: String): Unit =
       synchronized { tables += table: Unit }
+    override def onBatchCommitted(p: String, f: String, table: String,
+        batchId: Long): Unit =
+      synchronized { batches += ((table, batchId)): Unit }
     override def onTableTagged(p: String, f: String, table: String,
         tags: Map[String, String]): Unit =
       synchronized { tagged += ((table, tags)): Unit }

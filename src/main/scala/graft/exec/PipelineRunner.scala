@@ -202,6 +202,9 @@ final class PipelineRunner(
     currentPipeline = fg.pipeline
     currentFlowgroup = fg.flowgroup
     currentOpMeta = fg.operationalMetadata
+    // cross-process tables surface at each run's first write, not once
+    // per process — see registerTableView
+    leafWalkedThisRun = false
     try {
       // dependency edges include views referenced inside SQL (Catalyst
       // parse), so SQL-only consumers order and validate correctly. The
@@ -803,8 +806,9 @@ final class PipelineRunner(
           // clean view stays a pure streaming filter for downstream writes
           val tag = a.quarantineSourceTable.getOrElse(a.source)
           src.writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, id: Long) =>
               Quarantine.routeViolations(store, dlq, batch, a.rules, tag): Unit
+              hooks.onBatchCommitted(currentPipeline, currentFlowgroup, dlq, id)
             }
             .option("checkpointLocation", checkpointFor(a.name + "__quarantine"))
             .trigger(Trigger.AvailableNow())
@@ -935,7 +939,7 @@ final class PipelineRunner(
               "must reach the table"))
         }
         delta.select(keys.map(col): _*).writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           // ONE distinct job: the collected rows serve the cardinality
           // guard, the broadcast probe (as a local relation — the big
           // recompute job does not re-derive the distinct), and
@@ -973,6 +977,9 @@ final class PipelineRunner(
               clustered(wrapMv(recomputed), a.clusterColumns, a.clusterStrategy),
               keys, affectedRows)
           }
+          // fires even for an empty delta batch: the checkpoint advances,
+          // so the microbatch IS committed from the stream's point of view
+          hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
         }
         .option("checkpointLocation", checkpointFor(a.name))
         .trigger(Trigger.AvailableNow())
@@ -1018,6 +1025,7 @@ final class PipelineRunner(
       joined.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           store.appendBatch(companion, batch, mvFlowKey, id)
+          hooks.onBatchCommitted(currentPipeline, currentFlowgroup, companion, id)
         }
         .option("checkpointLocation", checkpointFor(a.name))
         .trigger(Trigger.AvailableNow())
@@ -1130,6 +1138,7 @@ final class PipelineRunner(
                 store.appendBatch(a.table,
                   clustered(fresh, a.clusterColumns, a.clusterStrategy),
                   mvFlowKey, id)
+                hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
               }
               .option("checkpointLocation", checkpointFor(a.name))
               .trigger(Trigger.AvailableNow())
@@ -1154,14 +1163,16 @@ final class PipelineRunner(
                   store.appendBatch(a.table,
                     clustered(batch, a.clusterColumns, a.clusterStrategy),
                     mvFlowKey, id)
+                  hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
                 }
                 .option("checkpointLocation", checkpointFor(a.name))
                 .trigger(Trigger.AvailableNow())
                 .start().awaitTermination()
             else
               df.writeStream.outputMode("complete")
-                .foreachBatch { (batch: DataFrame, _: Long) =>
+                .foreachBatch { (batch: DataFrame, id: Long) =>
                   store.replace(a.table, clustered(batch, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
+                  hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
                 }
                 .option("checkpointLocation", checkpointFor(a.name))
                 .trigger(Trigger.AvailableNow())
@@ -1759,7 +1770,7 @@ final class PipelineRunner(
           "physical replace granularity and must reach the table " +
           "(declare it as __gw_bucket INT, or drop the declared schema)"))
     delta.select(refCols.map(col): _*).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // re-resolve per batch (the keyed path's convention): the base
         // view's files may differ between microbatches of one run
         val plan = spark.sql(sqlText).queryExecution.analyzed
@@ -1795,10 +1806,12 @@ final class PipelineRunner(
                 s"refresh of '${a.table}' re-derives them")
             val bnds = GlobalWindowMv.Boundaries(mt.boundaries, dt)
             val orderValue = GlobalWindowMv.deltaOrderColumn(shape, batch.columns)
-              .getOrElse(throw Planner.PlanError(graft.ErrorCodes.ACT_011(
+              .fold(missing => throw Planner.PlanError(graft.ErrorCodes.ACT_011(
                 s"materialized_view '${a.name}' (global-window route): the " +
-                  "delta batch lost the ranking column(s) between plan time " +
-                  "and this refresh — re-run the pipeline")))
+                  s"delta batch lost ranking column(s) $missing between " +
+                  s"plan time and this refresh (batch has: " +
+                  s"${batch.columns.mkString(", ")}) — re-run the pipeline")),
+                identity)
             (mt, GlobalWindowMv.minDeltaBucket(batch, orderValue, shape, bnds))
           case None =>
             val childDf = org.apache.spark.sql.graftnative.PlanBridge
@@ -1889,6 +1902,7 @@ final class PipelineRunner(
               "longer fit the data distribution; run a full refresh of " +
               s"'${a.table}' to re-derive them")
         }
+        hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, batchId)
       }
       .option("checkpointLocation", checkpointFor(a.name))
       .trigger(Trigger.AvailableNow())
@@ -2274,6 +2288,7 @@ final class PipelineRunner(
           .foreachBatch { (batch: DataFrame, id: Long) =>
             logChanges(a, batch, Some(opts), Some((flowKey, id)))
             mergeInto(a, batch, opts)
+            hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
@@ -2537,54 +2552,80 @@ final class PipelineRunner(
     * registerAll distinct-size==1 rule): last-wins shadowing at write
     * time would silently hand a bare-leaf consumer whichever table wrote
     * second. The ambiguous leaf is dropped and named instead. */
-  // leaf -> qualified names: seeded from ONE warehouse walk per warehouse
-  // per process, then maintained incrementally on every write — the walk
-  // was O(tables) filesystem scans PER WRITE before (quadratic-ish over a
-  // large project's run). PROCESS-GLOBAL and keyed by warehouse, not a
-  // runner field: the orchestrator builds one runner per flowgroup and
-  // runs them in parallel, so a per-runner index would never see a
-  // sibling flowgroup's dev.events beside this one's prod.events — the
-  // exact last-wins shadowing the ambiguity rule exists to refuse.
-  // Tables another PROCESS creates mid-run surface through the
-  // apparent-ambiguity disk re-confirm below or on the next process.
+  // leaf -> qualified names: refreshed from ONE warehouse walk per RUN
+  // (lazily, at the run's first table write), then maintained
+  // incrementally on every write — the walk was O(tables) filesystem
+  // scans PER WRITE before (quadratic-ish over a large project's run).
+  // Per-run, not per-process: a once-per-process seed can never see a
+  // table another PROCESS creates mid-run, so a bare-leaf view would be
+  // silently registered despite a same-leaf table on disk. PROCESS-GLOBAL
+  // and keyed by warehouse, not a runner field: the orchestrator builds
+  // one runner per flowgroup and runs them in parallel, so a per-runner
+  // index would never see a sibling flowgroup's dev.events beside this
+  // one's prod.events — the exact last-wins shadowing the ambiguity rule
+  // exists to refuse. Each runner walks for ITSELF before its first
+  // decision, so no decision ever depends on a sibling thread's
+  // half-finished walk.
   private val leafIndex = PipelineRunner.leafIndexes.computeIfAbsent(
     store.warehouse,
     _ => new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]())
+  private var leafWalkedThisRun = false
+  // adds go through compute() (atomic per key), NOT computeIfAbsent+add:
+  // the re-confirm below REPLACES a leaf's set, and an add landing on the
+  // just-orphaned old set would be lost — the next reader would see the
+  // table vanish from its own index entry
   private def leafIndexAdd(qualified: String): Unit = {
-    leafIndex.computeIfAbsent(tableViewName(qualified),
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-      .add(qualified): Unit
+    leafIndex.compute(tableViewName(qualified), (_, cur) => {
+      val s = if (cur != null) cur
+        else java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      s.add(qualified); s
+    }): Unit
   }
 
   private def registerTableView(table: String): Unit =
     store.readIfExists(table).foreach { df =>
       val leaf = tableViewName(table)
-      if (PipelineRunner.leafSeededWarehouses.add(store.warehouse))
+      if (!leafWalkedThisRun) {
+        leafWalkedThisRun = true
         graft.exec.TableStore.listTables(store.warehouse).foreach(leafIndexAdd)
-      leafIndexAdd(table)
-      val sameLeaf = {
-        import scala.jdk.CollectionConverters._
-        Option(leafIndex.get(leaf)).map(_.asScala.toSeq).getOrElse(Nil)
       }
-      // apparent ambiguity re-confirms against disk (a table dropped by a
-      // full refresh may linger in the index) — the walk runs only on this
-      // rare path, never per write
-      val confirmed =
-        if (sameLeaf.size <= 1) sameLeaf
-        else {
-          val onDisk = graft.exec.TableStore.listTables(store.warehouse)
-            .filter(_.split('.').last == leaf).distinct
-          val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-          onDisk.foreach(set.add)
-          leafIndex.put(leaf, set)
-          onDisk
-        }
-      if (confirmed.size > 1) {
-        spark.catalog.dropTempView(leaf)
-        graft.Log.warn(s"table '$table': leaf view name '$leaf' is " +
-          s"ambiguous across ${confirmed.sorted.mkString(", ")} — not " +
-          "registering a short-name view; consume by qualified name")
-      } else df.createOrReplaceTempView(leaf)
+      // decision AND registration inside ONE per-leaf atomic section
+      // (compute blocks same-key contenders): decided-then-registered as
+      // two steps, a sibling's dropTempView for a just-turned-ambiguous
+      // leaf could be overwritten by this thread's stale
+      // createOrReplaceTempView — the silent last-wins shadowing again
+      leafIndex.compute(leaf, (_, cur) => {
+        import scala.jdk.CollectionConverters._
+        val s = if (cur != null) cur
+          else java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        s.add(table): Unit
+        val entries = s.asScala.toSeq
+        // apparent ambiguity re-confirms against disk (a table dropped by
+        // a full refresh may linger in the index) — the walk runs only on
+        // this rare path. The replacement set is (walk result ∪
+        // still-exists survivors of the current set): a concurrent
+        // writer's table is registered only AFTER its directory exists,
+        // so an entry the walk's snapshot missed (created between
+        // snapshot and here) survives the per-entry exists() check —
+        // only genuine dropped-table residue is evicted.
+        val (resultSet, confirmed) =
+          if (entries.size <= 1) (s, entries)
+          else {
+            val onDisk = graft.exec.TableStore.listTables(store.warehouse)
+              .filter(_.split('.').last == leaf).toSet
+            val survivors = entries.filter(q => onDisk(q) || store.exists(q))
+            val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+            (onDisk ++ survivors).foreach(set.add)
+            (set, (onDisk ++ survivors).toSeq)
+          }
+        if (confirmed.size > 1) {
+          spark.catalog.dropTempView(leaf)
+          graft.Log.warn(s"table '$table': leaf view name '$leaf' is " +
+            s"ambiguous across ${confirmed.sorted.mkString(", ")} — not " +
+            "registering a short-name view; consume by qualified name")
+        } else df.createOrReplaceTempView(leaf)
+        resultSet
+      }): Unit
     }
 
   private def plugin[T](className: String): T =
@@ -2809,12 +2850,11 @@ object PipelineRunner {
 
   /** Per-warehouse leaf→qualified-name indexes shared across ALL runner
     * instances in the process (the orchestrator runs one runner per
-    * flowgroup in parallel — see registerTableView), plus the set of
-    * warehouses whose index was seeded from a disk walk. */
+    * flowgroup in parallel — see registerTableView). Each index is seeded
+    * from a disk walk inside the computeIfAbsent mapping, so it is never
+    * visible half-seeded. */
   private[exec] val leafIndexes = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]]()
-  private[exec] val leafSeededWarehouses =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Above this many affected partitions a CDC batch full-replaces instead
     * of partition-scoping (the literal pruning predicate stops paying). */

@@ -104,7 +104,9 @@ object Extras {
   /** Copy a staged file set's data files into a landing dir, basenames
     * prefixed per set — two sets staged by identical writer plans would
     * otherwise collide on deterministic part-file names. */
-  private def copyFixture(from: String, to: String, prefix: String): Unit = {
+  // private[queries]: CrawlKillMatrixSpec stages the same landing-file
+  // convention — one copy, or the marker-file filters drift apart
+  private[queries] def copyFixture(from: String, to: String, prefix: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
     java.nio.file.Files.createDirectories(dst)

@@ -18,24 +18,26 @@ object KafkaSupport {
     * time with a config error, not inside the connector at stream start. */
   def readerOptions(a: KafkaLoad): Map[String, String] = {
     // a mode may arrive as a model field OR through the generic options map
-    // (both YAML spellings occur in the wild); field wins on conflict
+    // (both YAML spellings occur in the wild); any disagreement refuses
     // option keys match CASE-INSENSITIVELY (the connector's own reader
     // treats them so): a 'Subscribe:' spelling must count as a mode here,
     // or plan-time validation and the connector disagree — either a late
     // multi-mode failure at stream start or a spurious 'got 0' refusal
     def mode(k: String, field: Option[String]): Option[(String, String)] = {
-      // collect ALL case-variant spellings: two variants of one mode key
-      // ('subscribe' + 'Subscribe') with different values would otherwise
-      // pick a map-iteration-order-dependent winner and silently ignore
-      // the loser — conflict is a refusal, duplicate agreement collapses
-      val inOpts = a.options.collect {
+      // collect ALL spellings — the typed field plus every case variant in
+      // the options map ('subscribe' + 'Subscribe'): conflicting values
+      // from ANY two of them would otherwise pick a silent winner (map
+      // iteration order between variants, field-beats-option between
+      // layers) and drop the loser — conflict is a refusal, duplicate
+      // agreement collapses
+      val spellings = (field.toSeq ++ a.options.collect {
         case (ok, v) if ok.equalsIgnoreCase(k) => v
-      }.toSeq.distinct
-      if (inOpts.size > 1)
-        throw ConfigError(s"kafka load '${a.name}': option '$k' is spelled " +
-          s"in multiple case variants with conflicting values " +
-          s"(${inOpts.mkString(", ")}) — keep one spelling")
-      field.orElse(inOpts.headOption).map(k -> _)
+      }).distinct
+      if (spellings.size > 1)
+        throw ConfigError(s"kafka load '${a.name}': mode '$k' is given " +
+          s"more than once (field and/or case-variant option spellings) " +
+          s"with conflicting values (${spellings.mkString(", ")}) — keep one")
+      spellings.headOption.map(k -> _)
     }
     val modes = Seq(
       mode("subscribe", a.subscribe),

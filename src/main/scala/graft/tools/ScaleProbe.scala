@@ -45,8 +45,13 @@ object ScaleProbe {
     // probe hit first)
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val d = df // construction stays inside the timed window (eager ops)
+      d.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // operators returning persisted frames (exactSubstrings) must not
+      // pin one block set per med() rep; no-op on unpersisted frames
+      d.unpersist(): Unit
+      sec
     }
     def med(f: => Double): Double = Seq(f, f, f).sorted.apply(1)
 

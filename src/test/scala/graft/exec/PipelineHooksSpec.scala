@@ -37,6 +37,43 @@ class PipelineHooksSpec extends SparkSuite {
     assert(rec.flowgroups.toList == List(("p.f", true)))
   }
 
+  test("onBatchCommitted fires on CDC-merge and MV-maintenance streams, not just plain appends") {
+    val dir = Files.createTempDirectory("hooksb").toString
+    val store = new TableStore(spark, s"$dir/wh")
+    val rec = new PipelineHooks.Recording
+    val runner = new PipelineRunner(spark, store, s"$dir/cp", hooks = rec)
+    val landing = s"$dir/landing"
+    Seq((1L, 1L, "NY"), (2L, 1L, "SF")).toDF("id", "seq", "city")
+      .write.json(landing)
+    runner.run(YamlConfig.parseFlowGroup(
+      s"""pipeline: p
+         |flowgroup: f
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, seq BIGINT, city STRING"
+         |    target: v
+         |  - name: w_cdc
+         |    type: write
+         |    source: v
+         |    write_target: {type: streaming_table, table: dim}
+         |    cdc_config: {keys: [id], sequence_by: seq, scd_type: 1}
+         |  - name: w_mv
+         |    type: write
+         |    sql: "SELECT city, count(*) AS n FROM v GROUP BY city"
+         |    write_target: {type: materialized_view, table: mv, mode: incremental}
+         |""".stripMargin))
+    // both maintenance routes committed exactly one microbatch each — a
+    // batch:<table>:<n> kill spec or a monitoring listener must see them
+    val byTable = rec.batches.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byTable == Map("dim" -> 1, "mv" -> 1), rec.batches.toList.toString)
+  }
+
   test("test reporters: audit-table rows and JUnit XML per flowgroup") {
     val dir = Files.createTempDirectory("reporters").toString
     val store = new TableStore(spark, s"$dir/wh")

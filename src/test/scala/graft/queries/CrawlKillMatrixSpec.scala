@@ -49,16 +49,6 @@ class CrawlKillMatrixSpec extends SparkSuite {
     f
   }
 
-  private def copyInto(from: String, to: String, prefix: String): Unit = {
-    Files.createDirectories(Paths.get(to))
-    Option(new java.io.File(from).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))
-      .foreach { f =>
-        Files.copy(f.toPath, Paths.get(to, prefix + f.getName)): Unit
-      }
-  }
-
   private def chain(wh: String, ingestExtra: String): Seq[(String, String)] =
     Extras.c15Yamls(s"$wh/landing", wh, ingestExtra)
 
@@ -74,9 +64,9 @@ class CrawlKillMatrixSpec extends SparkSuite {
   /** The never-crashed baseline: both generations in-process. */
   private lazy val expectedWh: String = {
     val wh = s"$root/expected"
-    copyInto(s"$fixture/a", s"$wh/landing", "a-")
+    Extras.copyFixture(s"$fixture/a", s"$wh/landing", "a-")
     runInProcess(wh, "")
-    copyInto(s"$fixture/b", s"$wh/landing", "b-")
+    Extras.copyFixture(s"$fixture/b", s"$wh/landing", "b-")
     runInProcess(wh, "")
     wh
   }
@@ -99,9 +89,9 @@ class CrawlKillMatrixSpec extends SparkSuite {
       Files.writeString(Paths.get(s"$yamlDir/$n.yaml"), y): Unit
     }
     // generation 1 clean, generation 2 killed at the matrix point, resume
-    copyInto(s"$fixture/a", s"$wh/landing", "a-")
+    Extras.copyFixture(s"$fixture/a", s"$wh/landing", "a-")
     runInProcess(wh, ingestExtra)
-    copyInto(s"$fixture/b", s"$wh/landing", "b-")
+    Extras.copyFixture(s"$fixture/b", s"$wh/landing", "b-")
     val out = spawnChild(wh, yamlDir, haltSpec)
     assert(out.contains(marker), s"expected '$marker' in child output; " +
       s"tail: ${out.takeRight(800)}")

@@ -33,10 +33,17 @@ class KafkaSupportSpec extends SparkSuite {
   test("a mode supplied via the generic options map is honored") {
     val r = KafkaSupport.readerOptions(load(opts = Map("subscribe" -> "topic_a")))
     assert(r("subscribe") == "topic_a")
-    // field + conflicting option: still exactly one mode (field wins)
+    // field + conflicting option: refused (a silent field-beats-option
+    // winner is the same class as the case-variant silent winner below)
+    val eFo = intercept[graft.config.YamlConfig.ConfigError] {
+      KafkaSupport.readerOptions(
+        load(sub = Some("field_topic"), opts = Map("subscribe" -> "opt_topic")))
+    }
+    assert(eFo.msg.contains("more than once"), eFo.msg)
+    // field + agreeing option: collapses
     val r2 = KafkaSupport.readerOptions(
-      load(sub = Some("field_topic"), opts = Map("subscribe" -> "opt_topic")))
-    assert(r2("subscribe") == "field_topic")
+      load(sub = Some("same_topic"), opts = Map("subscribe" -> "same_topic")))
+    assert(r2("subscribe") == "same_topic")
     // two different modes across field and options: rejected
     intercept[graft.config.YamlConfig.ConfigError] {
       KafkaSupport.readerOptions(load(sub = Some("t"), opts = Map("assign" -> "{}")))
@@ -47,7 +54,7 @@ class KafkaSupportSpec extends SparkSuite {
       KafkaSupport.readerOptions(load(opts =
         Map("subscribe" -> "topic_a", "Subscribe" -> "topic_b")))
     }
-    assert(e.msg.contains("case variants"), e.msg)
+    assert(e.msg.contains("more than once"), e.msg)
     // agreeing duplicates collapse rather than refuse
     val r3 = KafkaSupport.readerOptions(load(opts =
       Map("subscribe" -> "same", "Subscribe" -> "same")))
