@@ -31,15 +31,28 @@ object Sampling {
     * here so they stay in sync with the DuckDB spelling above by
     * construction. */
   def md5BucketOf(key: Column, salt: Column): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(":"),
-      salt.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+    // NULL keys hash an empty-string sentinel (DuckDB: COALESCE(CAST(k
+    // AS VARCHAR), '')): a bare concat would be NULL for a NULL key, the
+    // bucket would be NULL, and every `bucket < threshold` filter in this
+    // file would silently DROP null-key rows — even at fraction 1.0 —
+    // while the xxhash64 arm (which hashes null inputs to the seed) keeps
+    // them. Non-null keys hash exactly as before. (A literal ""-keyed
+    // row shares the NULL bucket — both are deterministic, neither is
+    // dropped, and no castable key type renders to "".)
+    conv(substring(md5(concat(coalesce(key.cast("string"), lit("")),
+      lit(":"), salt.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
 
   /** Bucket-space size of the portable recipe: 2^32, the range of 8 hex
     * chars. Public so derived math (e.g. Dsir's uniform u = (bucket+0.5)/
     * PortableBuckets) stays in lockstep with the recipe's width by
     * construction. */
   val PortableBuckets = 4294967296L // 2^32
-  private val HashBuckets = 1000000L
+  // the default (xxhash64) space matches the portable width: a 1e6-bucket
+  // space floors any effective rate below 1e-6 to a ZERO threshold — e.g.
+  // applyMixture solving a 5000-token budget against a 1e10-token source
+  // keeps NOTHING instead of ~5e-7 of it, silently under-filling the very
+  // budget the solver exists to hit; at 2^32 the floor is 2.3e-10
+  private val HashBuckets = 4294967296L // 2^32
 
   private def bucketAndScale(keyCol: String, salt: Int, portable: Boolean): (Column, Long) =
     if (portable) (md5Bucket(keyCol, salt), PortableBuckets)

@@ -83,7 +83,15 @@ object Centrality {
         "resolution degrades only to 1/scale per hop)")
     val outDeg = e.groupBy(col("__src").as("__id"))
       .agg(count(lit(1)).as("__deg")).cache()
-    val base = scale * (dampingDen - dampingNum) / dampingDen
+    // exact in BigInteger: the intermediate scale*(dampingDen - dampingNum)
+    // can wrap Long for extreme ratios (scale = 1e12, dampingDen = 1e7
+    // makes it ~1e19 > Long.MaxValue) even though the QUOTIENT always fits
+    // (it is <= scale) — the guard above covers the per-iteration rank
+    // terms, not this one-off teleport constant
+    val base = java.math.BigInteger.valueOf(scale)
+      .multiply(java.math.BigInteger.valueOf(dampingDen - dampingNum))
+      .divide(java.math.BigInteger.valueOf(dampingDen))
+      .longValueExact()
 
     var ranks = truncate(nodes.withColumn("__rank", lit(scale)), checkpoint)
     var i = 0

@@ -26,14 +26,11 @@ object Similarity {
 
   private def norm(a: Column): Column = graft.functions.ArrayMath.l2Norm(a)
 
-  /** Null-safe cosine: NULL when either norm is zero — a zero-norm vector
-    * has no direction, and under ANSI mode (Spark 4 default) the bare
-    * division THROWS on it; pre-ANSI it yielded NaN, which desc-sorts
-    * ABOVE every real cosine and made the garbage row everyone's rank-1
-    * neighbor. [[topKByCosine]] excludes the NULL/NaN rows. */
-  private def cosine(d: Column, n1: Column, n2: Column): Column =
-    when(n1 === 0.0 || n2 === 0.0, lit(null).cast("double"))
-      .otherwise(d / (n1 * n2))
+  /** Null-safe cosine — the ONE definition, shared with the dedup family:
+    * NULL when either norm is zero (see [[graft.functions.ArrayMath.cosine]]
+    * for the ANSI rationale). [[topKByCosine]] excludes the NULL/NaN rows. */
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.functions.ArrayMath.cosine(a, b, na, nb)
 
   /** Shared epilogue of every ANN path: per-query rank by cosine (neighbor
     * id breaks ties for determinism), keep the top k, round the score.
@@ -66,7 +63,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 
@@ -128,6 +125,23 @@ object Similarity {
         s"the remainder ${numBits % bandBits} bits would be silently unused")
   }
 
+  /** The ONE band-explode recipe ([[candidatePairs]] and [[lshTopK]] both
+    * route here, so ANN search and dedup blocking cannot diverge on which
+    * pairs collide): an array of (band, band-signature) structs to explode.
+    * bandBits == 64 is ONE band spanning the whole signature — there
+    * `(1L << 64)` wraps to 1 and the usual mask would zero every band
+    * signature, collapsing all rows into a single bucket (the band join
+    * degenerates to the cross product this file exists to avoid); -1L is
+    * the correct all-bits mask. */
+  private def bandStructs(sig: Column, numBits: Int, bandBits: Int): Column = {
+    val numBands = numBits / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bandBits).bitwiseAND(mask).as("bsig")).as(s"b$b")
+    }: _*)
+  }
+
   /** Unordered candidate pairs (id_a < id_b) from random-hyperplane band
     * collisions — the bucket-join core shared by ANN search and
     * [[graft.dedup.Dedup.embeddingNearDupLsh]]. One band-keyed self-join;
@@ -135,15 +149,10 @@ object Similarity {
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numBits: Int = 16, bandBits: Int = 8): DataFrame = {
     requireBandConfig(numBits, bandBits)
-    val numBands = numBits / bandBits
-    val mask = (1L << bandBits) - 1
     val sigs = df.select(col(idCol).as("id"),
       rhpSignature(col(vecCol).cast("array<double>"), dim, numBits).as("sig"))
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bsig")).as(s"b$b")
-    }
-    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val buckets = sigs
+      .select(col("id"), explode(bandStructs(col("sig"), numBits, bandBits)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bsig"))
     buckets.select(col("id").as("id_a"), col("band"), col("bsig"))
       .join(buckets.select(col("id").as("id_b"), col("band"), col("bsig")), Seq("band", "bsig"))
@@ -157,17 +166,12 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, numBits: Int = 16,
       bandBits: Int = 8): DataFrame = {
     requireBandConfig(numBits, bandBits)
-    val numBands = numBits / bandBits
-    val mask = (1L << bandBits) - 1
     def withSig(df: DataFrame, id: String, v: String) = {
       val s = df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
         .withColumn("sig", rhpSignature(col(v), dim, numBits))
-      val bandCols = (0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bsig")).as(s"b$b")
-      }
       s.withColumn("nrm", norm(col(v)))
-        .select(col(id), col(v), col("nrm"), explode(array(bandCols: _*)).as("bk"))
+        .select(col(id), col(v), col("nrm"),
+          explode(bandStructs(col("sig"), numBits, bandBits)).as("bk"))
         .select(col(id), col(v), col("nrm"), col("bk.band"), col("bk.bsig"))
     }
     val qb = withSig(queries, "query_id", "qv").withColumnRenamed("nrm", "qn")
@@ -176,7 +180,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
     val scored = candidates
-      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 
@@ -249,16 +253,25 @@ object Similarity {
       .withColumn("offset", col("__mn"))
       // a NaN/Infinity component makes scale NaN and the tinyint cast
       // THROW under ANSI (pre-ANSI it silently quantized to garbage) —
-      // refuse by id instead, naming the cleanse
+      // refuse by id instead, naming the cleanse. NULL vectors / NULL
+      // components get their OWN arm first: `exists` over them is NULL,
+      // which would otherwise fall through to the NaN message and send
+      // the operator cleansing NaNs that don't exist
       .withColumn("codes", when(
-        !exists(col("__v"), x => isnan(x) || x === Double.PositiveInfinity ||
-          x === Double.NegativeInfinity),
-        transform(col("__v"), x =>
-          (round((x - col("offset")) / col("scale")) - 128).cast("tinyint")))
-        .otherwise(raise_error(concat(
+        col("__v").isNull || exists(col("__v"), x => x.isNull),
+        raise_error(concat(
           lit("quantize: vector '"), col("id").cast("string"),
-          lit("' contains NaN/Infinity — int8 quantization is undefined; " +
-            "cleanse the embedding column upstream")))))
+          lit("' is NULL or has NULL components — int8 quantization is " +
+            "undefined; drop or impute the embedding upstream"))))
+        .when(
+          exists(col("__v"), x => isnan(x) || x === Double.PositiveInfinity ||
+            x === Double.NegativeInfinity),
+          raise_error(concat(
+            lit("quantize: vector '"), col("id").cast("string"),
+            lit("' contains NaN/Infinity — int8 quantization is undefined; " +
+              "cleanse the embedding column upstream"))))
+        .otherwise(transform(col("__v"), x =>
+          (round((x - col("offset")) / col("scale")) - 128).cast("tinyint"))))
       .withColumn("norm", norm(col("__v")))
       .select("id", "codes", "scale", "offset", "norm")
   }
@@ -287,7 +300,7 @@ object Similarity {
     val c = deq(corpus, "neighbor_id", "cv", "cn")
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 
@@ -438,7 +451,21 @@ object Similarity {
       // 16 bytes, not 64 (the quantize() precedent)
       (array_position(dists, array_min(dists)) - 1).cast("tinyint")
     }
-    df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"),
+    // wrong-length / NULL vectors refuse BY ID: trainPq filters its sample
+    // to size == dim, but encode sees the whole corpus — a short vector's
+    // zip_with pads with NULLs, every centroid distance goes NULL, the
+    // code goes NULL, and pqReconstruct/topKByCosine silently DROP the
+    // document from the index; a long vector's tail is silently ignored
+    // (wrong-but-plausible codes). Same loud posture as quantize's guard.
+    val dim = model.numSubspaces * model.subDim
+    df.select(col(idCol).as("id"),
+      when(v.isNull || size(v) =!= dim,
+        raise_error(concat(
+          lit("pqEncode: vector '"), col(idCol).cast("string"),
+          lit(s"' is NULL or not length $dim (got "),
+          coalesce(size(v).cast("string"), lit("NULL")),
+          lit(") — the PQ model cannot encode it; filter or fix upstream"))))
+        .otherwise(array(codeCols: _*)).as("codes"),
       norm(v).as("norm"))
   }
 
@@ -527,10 +554,30 @@ object Similarity {
   private def nearestCellsBy(df: DataFrame, keyCol: String, vCol: String,
       nCol: String, codebook: DataFrame, n: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(codebook))
-      .withColumn("__csim", cosine(dot(col(vCol), col("centv")), col(nCol), col("centn")))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__csim").desc, col("cell_id").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
-      .drop("__r", "__csim", "centv", "centn")
+      .withColumn("__csim", cosine(col(vCol), col("centv"), col(nCol), col("centn")))
+    if (n == 1) {
+      // n = 1 (assignCells — the CORPUS-side path, the one that sees 100 TB)
+      // reduces the corpus×nCells expansion with a map-side-combinable
+      // max_by BEFORE the exchange; the window form shuffles and sorts the
+      // whole expanded frame for an __r <= 1 filter — nCells-fold more
+      // shuffle I/O. Ordering matches the window exactly: highest cosine,
+      // ties to the LOWEST cell_id (negated in the max struct). A NULL
+      // cosine (zero-norm vector) ranks below every real one via the -2.0
+      // floor (cosine >= -1), so an all-NULL key still yields its lowest
+      // cell_id — the window's nulls-last order, preserved.
+      val keep = scored.columns.filterNot(
+        Set(keyCol, "__csim", "centv", "centn")).toSeq
+      scored.groupBy(col(keyCol))
+        .agg(max_by(
+          struct(keep.map(col): _*),
+          struct(coalesce(col("__csim"), lit(-2.0)).as("s"),
+            (-col("cell_id")).as("c"))).as("__w"))
+        .select(col(keyCol) +: keep.map(c => col("__w." + c)): _*)
+    } else {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("__csim").desc, col("cell_id").asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+        .drop("__r", "__csim", "centv", "centn")
+    }
   }
 
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
@@ -558,7 +605,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-      .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("cosine", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topKByCosine(scored, k)
   }
 }

@@ -297,4 +297,21 @@ class SamplingSpec extends SparkSuite {
     assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
       kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("null keys are sampled, not silently dropped (portable and default agree)") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b"),
+      (null.asInstanceOf[java.lang.Long], "c"),
+      (null.asInstanceOf[java.lang.Long], "d")).toDF("doc_id", "v")
+    // fraction 1.0 must keep EVERYTHING in both hash arms — a NULL md5
+    // bucket used to fail the `< threshold` filter and vanish the rows
+    assert(Sampling.byHash(docs, "doc_id", 1.0, portable = true).count() == 4)
+    assert(Sampling.byHash(docs, "doc_id", 1.0).count() == 4)
+    // deterministic: both null-key rows share one bucket, so a fraction
+    // either keeps both or drops both — never a split
+    val kept = Sampling.byHash(docs, "doc_id", 0.5, portable = true)
+      .filter(col("doc_id").isNull).count()
+    assert(kept == 0 || kept == 2, s"null-key rows split across a threshold: $kept")
+  }
 }

@@ -190,4 +190,19 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == refPageRank(edges, 5))
   }
+
+  test("extreme damping ratios keep the teleport term exact (no Long wrap)") {
+    // scale * (dampingDen - dampingNum) = 1e12 * 9999999 ~ 1e19 overflows
+    // Long; the teleport constant now computes in BigInteger, so ranks
+    // stay non-negative and the near-undamped walk keeps ~all mass in the
+    // uniform term
+    val ranks = Centrality.pageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), "src", "dst",
+      iterations = 2, dampingNum = 1L, dampingDen = 10000000L,
+      scale = 1000000000000L)
+      .collect().map(_.getLong(1))
+    assert(ranks.forall(_ >= 0L), s"negative rank — teleport term wrapped: ${ranks.toSeq}")
+    assert(ranks.forall(r => math.abs(r - 1000000000000L) < 1000000L),
+      s"near-undamped ranks should stay ~Scale: ${ranks.toSeq}")
+  }
 }

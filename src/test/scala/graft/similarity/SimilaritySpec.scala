@@ -319,4 +319,72 @@ class SimilaritySpec extends SparkSuite {
     val cb = Similarity.trainCentroids(dirty, "embedding", nCells = 8)
     assert(cb.count() == 8)
   }
+
+  test("bandBits = 64 is one full-signature band, not a single collapsed bucket") {
+    import org.apache.spark.sql.functions._
+    // (1L << 64) wraps to 1, so the naive mask was 0 and EVERY row landed
+    // in bucket 0 — the band join degenerated to a cross product. With the
+    // all-bits mask, opposite vectors (complementary signatures) never
+    // collide while near-identical ones still do.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.001f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.candidatePairs(corpus, "vec_id", "embedding",
+      dim = 2, numBits = 64, bandBits = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"opposite vectors collided — mask wrapped to 0: $pairs")
+  }
+
+  test("quantize names the actual defect: NULL vectors are not 'NaN/Infinity'") {
+    val nullVec = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.quantize(nullVec, "vec_id", "embedding").collect()
+    }
+    assert(e1.getMessage.contains("NULL"), e1.getMessage)
+    assert(!e1.getMessage.contains("NaN/Infinity"), e1.getMessage)
+    val nanVec = Seq((1L, Array(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.quantize(nanVec, "vec_id", "embedding").collect()
+    }
+    assert(e2.getMessage.contains("NaN/Infinity"), e2.getMessage)
+  }
+
+  test("pqEncode refuses wrong-length and NULL vectors by id, never silent NULL codes") {
+    val model = Similarity.PqModel(Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)))) // dim = 2 subspaces × 2 = 4
+    val short = Seq((7L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.pqEncode(short, "vec_id", "embedding", model).collect()
+    }
+    assert(e1.getMessage.contains("pqEncode") && e1.getMessage.contains("4"),
+      e1.getMessage)
+    val ok = Seq((8L, Array(1.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pqEncode(ok, "vec_id", "embedding", model).count() == 1)
+  }
+
+  test("assignCells n=1 aggregation path: window-equivalent, zero-norm gets lowest cell") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)),
+      (99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding") // zero-norm
+    // explicit unit-vector codebook (norms 1.0) — sampledCentroids would
+    // pick the two lowest-id CORPUS vectors, which both point x-ish here
+    val cb = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cell_id", "centv").withColumn("centn", lit(1.0))
+    val assigned = Similarity.assignCells(corpus, "vec_id", "embedding", cb)
+    val byId = assigned.select("vec_id", "cell_id").as[(Long, Long)]
+      .collect().toMap
+    assert(byId.size == 5, s"every row keeps exactly one cell: $byId")
+    // similar vectors share a cell; dissimilar ones split
+    assert(byId(1L) == byId(2L) && byId(3L) == byId(4L) && byId(1L) != byId(3L), byId.toString)
+    // zero-norm vector: every cosine is NULL — deterministic lowest cell,
+    // same as the window's nulls-last order, never a dropped/NULL row
+    assert(byId(99L) == cb.agg(min("cell_id")).first().getLong(0), byId.toString)
+  }
 }
