@@ -61,18 +61,28 @@ object Multimodal {
   }
 
   object StubDecoder extends Decoder {
+    // one digest per thread, not per decode: getInstance in the per-row
+    // loop is a JCA provider lookup + allocation (digest() resets the
+    // instance, so reuse is safe; ThreadLocal because decoders are
+    // partition-shared singletons called from many task threads)
+    private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
     def decode(mime: String, bytes: Array[Byte]): Decoded = {
       // Deterministic fake for formats with no decoder in this environment
       // (compressed audio/video). Pseudo-dimensions derive from the
       // big-endian first 4 md5 bytes (= first 8 hex chars), so any
       // md5-capable engine — including the DuckDB correctness oracle —
       // replays them exactly.
-      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val d = md5.get().digest(bytes)
       val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
       val w = 64 + (h % 1024).toInt
       val ht = 64 + ((h / 1024) % 1024).toInt
-      val ch = if (mime.startsWith("audio")) 1 else 3
+      // mediaSchema declares mime NULLABLE — a null-mime row must degrade
+      // to stub features like every other dirty row, not NPE the scan
+      // (thrown from inside ImageIoDecoder's catch handler, it would
+      // escape the NonFatal net entirely)
+      val ch = if (mime != null && mime.startsWith("audio")) 1 else 3
       Decoded(w, ht, ch, decoder = "stub")
     }
   }
@@ -681,12 +691,15 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("bytes"), col("mime"))
       .as[(java.lang.Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // per-partition setup happens once (codec tables, model weights, …)
+        // per-partition setup happens once (codec tables, model weights,
+        // and the digest instance — getInstance per ROW is a JCA provider
+        // lookup + allocation in the hot loop; digest() resets the
+        // instance after each call, so one per partition is safe)
+        val sha256 = java.security.MessageDigest.getInstance("SHA-256")
         rows.map { case (id, bytes, mime) =>
           val b = if (bytes == null) Array.emptyByteArray else bytes
           val d = decoder.decode(mime, b)
-          val sha = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(b).take(4).map("%02x".format(_)).mkString
+          val sha = sha256.digest(b).take(4).map("%02x".format(_)).mkString
           MediaFeatures(id, mime, b.length.toLong, d.width, d.height,
             d.channels, d.sampleRate, d.durationMs, d.decoder, sha)
         }
@@ -818,7 +831,9 @@ object Multimodal {
     require(targetBytesPerPartition > 0,
       s"targetBytesPerPartition must be positive, got $targetBytesPerPartition")
     val sized = media.withColumn("__bytes", coalesce(length(col("bytes")).cast("long"), lit(0L)))
-    val total = sized.agg(sum("__bytes")).first().getLong(0)
+    // sum over ZERO rows is NULL — an empty media table (fully filtered
+    // upstream) must yield one partition, not a getLong NPE
+    val total = sized.agg(coalesce(sum("__bytes"), lit(0L))).first().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
     sized.repartition(parts, col("media_id")).drop("__bytes")
   }

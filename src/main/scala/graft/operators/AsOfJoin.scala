@@ -70,6 +70,10 @@ object AsOfJoin {
       "payload name '__asof_t' is reserved by the as-of join; rename first")
     require(salt.isEmpty || !(left.columns ++ payload).exists(_.equalsIgnoreCase("__salt")),
       "column name '__salt' is reserved by the salted as-of join; rename first")
+    val reservedHash = (left.columns ++ payload)
+      .filter(c => c.equalsIgnoreCase("__ph") || c.equalsIgnoreCase("__lh"))
+    require(reservedHash.isEmpty,
+      s"column name(s) ${reservedHash.mkString(", ")} are reserved by the as-of join; rename first")
 
     // matched right time rides inside the payload struct for the tolerance
     // check; left rows are reconstructed from their own struct after the
@@ -80,23 +84,48 @@ object AsOfJoin {
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
     val leftType = left.select(leftStruct.as("__l")).schema("__l").dataType
 
+    // hash-based tie-break and salt terms must be HASHABLE: xxhash64
+    // refuses MapType anywhere in the type tree (AnalysisException at plan
+    // time), so map-bearing columns are excluded from the HASHED
+    // projections only — they still ride in __p/__l untouched. Rows
+    // identical in every hashable field are duplicates up to map content,
+    // where any stable pick is a valid as-of answer; a left frame with no
+    // hashable column at all salt-scatters by its time column.
+    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+    val hashablePayStruct = struct(
+      (TimeCols.tzNorm(right, rightTime).as("__asof_t") +:
+        payload.filter(p => mapFree(right.schema(p).dataType)).map(col)): _*)
+    val hashableLeftCols = left.columns.toSeq
+      .filter(c => mapFree(left.schema(c).dataType)).map(col)
+
     // TimeCols.tzNorm on __t: (a) an NTZ side unions cleanly with a
     // TimestampType side (resample's generated grid is TimestampType even
     // when the observations are NTZ), (b) the tolerance double-cast below
     // is legal — NTZ rejects numeric casts
     val lRows0 = left.select(on.map(col) ++ Seq(
       TimeCols.tzNorm(left, leftTime).as("__t"), lit(1).as("__isL"),
-      leftStruct.as("__l"), lit(null).cast(payType).as("__p")): _*)
+      leftStruct.as("__l"), lit(null).cast(payType).as("__p"),
+      // left rows never tie-break on the payload hash (__isL separates
+      // the sides first) — any constant keeps the union schemas aligned
+      lit(0L).as("__ph"),
+      (if (hashableLeftCols.nonEmpty) xxhash64(hashableLeftCols: _*)
+       else xxhash64(TimeCols.tzNorm(left, leftTime))).as("__lh")): _*)
     val rRows0 = right.filter(col(rightTime).isNotNull).select(on.map(col) ++ Seq(
       TimeCols.tzNorm(right, rightTime).as("__t"), lit(0).as("__isL"),
-      lit(null).cast(leftType).as("__l"), payStruct.as("__p")): _*)
+      lit(null).cast(leftType).as("__l"), payStruct.as("__p"),
+      xxhash64(hashablePayStruct).as("__ph"), lit(0L).as("__lh")): _*)
     // skew salting: left rows scatter by row hash, right rows replicate to
     // every bucket — each (key, bucket) window still sees the full right
     // history, so the fill is identical to the unsalted join's
     val (lRows, rRows, saltCols) = salt match {
       case None => (lRows0, rRows0, Nil)
       case Some(s) =>
-        (lRows0.withColumn("__salt", pmod(xxhash64(col("__l")), lit(s.toLong)).cast("int")),
+        (lRows0.withColumn("__salt", pmod(col("__lh"), lit(s.toLong)).cast("int")),
           rRows0.withColumn("__salt",
             explode(sequence(lit(0), lit(s - 1)))),
           Seq(col("__salt")))
@@ -107,8 +136,8 @@ object AsOfJoin {
     // exact same (key, time), the payload hash breaks the tie — an arbitrary
     // but STABLE pick, so the result does not drift with partition layout
     val ord: Seq[Column] =
-      if (forward) Seq(col("__t").desc, col("__isL").asc, xxhash64(col("__p")).asc)
-      else Seq(col("__t").asc, col("__isL").asc, xxhash64(col("__p")).asc)
+      if (forward) Seq(col("__t").desc, col("__isL").asc, col("__ph").asc)
+      else Seq(col("__t").asc, col("__isL").asc, col("__ph").asc)
     val w = Window.partitionBy(on.map(col) ++ saltCols: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   *             the DataFrame)
   *   - drop  → a single conjunctive `filter`
   *   - fail  → violations counted by the caller (`failViolations`) which
-  *             throws; at scale this is one aggregate over the already-scanned
-  *             data
+  *             throws. On a BATCH frame this is a separate eager aggregate
+  *             job at composition time — the input is scanned once for the
+  *             gate and once at the sink. That second scan is the price of
+  *             fail-BEFORE-write semantics (a typed ExpectationViolation
+  *             with the count, no rows committed); the streaming arm's
+  *             raise_error-per-row form would gate in one scan but surfaces
+  *             as an opaque task failure mid-write. The gate aggregate is
+  *             column-pruned to the rule expressions, so the extra scan
+  *             reads only the violated-rule columns.
   */
 object Expectations {
 
@@ -91,8 +98,9 @@ object Expectations {
     }
   }
 
-  /** Enforce fail-mode rules: one aggregate job counting violations per rule;
-    * throws on the first rule with violations. */
+  /** Enforce fail-mode rules: one EAGER aggregate job counting violations
+    * per rule (batch frames only — executes at composition time, before any
+    * sink sees a row); throws on the first rule with violations. */
   def failViolations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val failRules = rules.filter(_.action == Fail)
     if (failRules.isEmpty) df

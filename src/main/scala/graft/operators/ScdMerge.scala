@@ -182,7 +182,13 @@ object ScdMerge {
     // with no successor means the key was deleted — re-emit the tombstone so
     // the rebuild preserves it.
     val versions = target match {
-      case None => ch
+      // an inherited __end_at on the CHANGE side is derived state, not a
+      // data column (the Some(t) branch drops it before rebuild for the
+      // same reason): kept, it would join the default tracked set — every
+      // adjacent version pair would "differ" on old end timestamps and
+      // never collapse, so replaying an existing SCD2 table's rows into a
+      // fresh target would diverge from the merged history
+      case None => ch.drop(EndCol)
       case Some(t) =>
         val chKeys = ch.select(opts.keys.map(col): _*).distinct()
         val affected = t.join(chKeys, opts.keys, "left_semi")
@@ -201,7 +207,7 @@ object ScdMerge {
         val rebuilt = rebuildChains(reChanges.unionByName(tombstones).unionByName(ch.drop(EndCol)), opts)
         return untouched.unionByName(rebuilt)
     }
-    rebuildChains(ch, opts)
+    rebuildChains(versions, opts)
   }
 
   /** Core chain rebuild: order each key's versions by sequence, squash exact

@@ -91,6 +91,23 @@ object Planner {
   def validate(fg: FlowGroup, inputs: Action => Seq[String] = _.inputNames): Unit = {
     val actions = fg.actions
     if (actions.isEmpty) throw PlanError(graft.ErrorCodes.VAL_002(s"flowgroup '${fg.flowgroup}' has no actions"))
+    // duplicate action names / duplicate view targets (reference:
+    // core/validators/config_validator.py:94-103): every map in
+    // dependencies()/order() keys by name or target, so a duplicate
+    // would otherwise collapse last-wins and one action SILENTLY never
+    // runs (or a consumer orders after only one of two producers)
+    val dupNames = actions.groupBy(_.name).collect {
+      case (n, as) if as.size > 1 => n }
+    if (dupNames.nonEmpty)
+      throw PlanError(graft.ErrorCodes.VAL_002(s"flowgroup '${fg.flowgroup}': " +
+        s"duplicate action name(s): ${dupNames.toSeq.sorted.mkString(", ")} — " +
+        "names key the plan; one of the duplicates would silently never run"))
+    val dupTargets = actions.flatMap(a => a.target.map(_ -> a.name))
+      .groupBy(_._1).collect { case (t, as) if as.size > 1 => s"'$t' (${as.map(_._2).mkString(", ")})" }
+    if (dupTargets.nonEmpty)
+      throw PlanError(graft.ErrorCodes.VAL_002(s"flowgroup '${fg.flowgroup}': " +
+        s"duplicate target view(s): ${dupTargets.toSeq.sorted.mkString(", ")} — " +
+        "a consumer would order after only one producer"))
     val writes = actions.collect { case w: WriteAction => w }
     val hasLoad = actions.exists(_.isInstanceOf[LoadAction])
     // test-only flowgroups are valid pipelines in the reference

@@ -515,10 +515,19 @@ object AvroBridge {
         val schema = new ASchema.Parser().parse(schemaJson)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-        val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d-$attempt.avro")
-        val fs = out.getFileSystem(conf.value)
+        // the WarcBridge.write commit protocol: final name keyed by
+        // partition id ONLY; the attempt id stays on a dot-prefixed
+        // staging name (readers skip dot-files), and the finished file
+        // lands via ONE atomic overwrite-rename. Naming finals by
+        // attempt id left BOTH files when a fully-written attempt's
+        // success report was lost and the re-attempt also finished —
+        // every later read returned the partition's rows twice.
+        val finalPath = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          dir, f".part-$pid%05d-$attempt.avro.inprogress")
+        val fs = tmpPath.getFileSystem(conf.value)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        val os = fs.create(out, true)
+        val os = fs.create(tmpPath, true)
         try {
           w.create(schema, os)
           val encs = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
@@ -531,7 +540,16 @@ object AvroBridge {
             while (i < encs.length) { rec.put(i, encs(i)(r)); i += 1 }
             w.append(rec)
           }
-        } finally w.close() // closes os
+          w.close() // closes os; flushes the avro trailer before rename
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            finalPath.toUri, conf.value)
+          fc.rename(tmpPath, finalPath,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch { case e: Throwable =>
+          scala.util.Try(w.close())
+          scala.util.Try(fs.delete(tmpPath, false))
+          throw e
+        }
       }
     }
   }

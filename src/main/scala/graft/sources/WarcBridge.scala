@@ -252,22 +252,33 @@ object WarcBridge {
     * buffer never accretes the archive. */
   private def parseRecords(chunks: Iterator[Array[Byte]], path: String): Iterator[Row] =
     new Iterator[Row] {
+      // capacity grows GEOMETRICALLY and `len` tracks the filled prefix:
+      // exact-fit growth re-copied the whole accumulated buffer per
+      // appended chunk — O(n^2) bytes memcpy'd for one record larger
+      // than the chunk size (a 500 MB payload in 1 MB chunks = ~125 GB
+      // of copying). Everything below bounds by `len`, never capacity.
       private var buf = Array.emptyByteArray
+      private var len = 0
       private var off = 0
       private var recordIdx = 0
 
       private def append(chunk: Array[Byte]): Unit = {
         if (off > (1 << 20)) { // compact the consumed prefix
-          buf = java.util.Arrays.copyOfRange(buf, off, buf.length)
+          System.arraycopy(buf, off, buf, 0, len - off)
+          len -= off
           off = 0
         }
-        if (buf.length.toLong + chunk.length > Int.MaxValue - 64)
+        if (len.toLong + chunk.length > Int.MaxValue - 64)
           throw ConfigError(s"warc: '$path': a single record spans more " +
             "than the JVM array limit (~2 GB) of buffered archive — " +
             "record-at-a-time members are required at this size")
-        val grown = java.util.Arrays.copyOf(buf, buf.length + chunk.length)
-        System.arraycopy(chunk, 0, grown, buf.length, chunk.length)
-        buf = grown
+        if (len + chunk.length > buf.length) {
+          val cap = math.min(Int.MaxValue.toLong - 64,
+            math.max(buf.length.toLong * 2, len.toLong + chunk.length)).toInt
+          buf = java.util.Arrays.copyOf(buf, cap)
+        }
+        System.arraycopy(chunk, 0, buf, len, chunk.length)
+        len += chunk.length
       }
 
       /** Whether buf holds a complete record at `off`. Conservative: any
@@ -275,43 +286,43 @@ object WarcBridge {
         * with full record context. */
       private def complete(): Boolean = {
         var i = off
-        while (i + 3 < buf.length &&
+        while (i + 3 < len &&
           !(buf(i) == '\r' && buf(i + 1) == '\n' &&
             buf(i + 2) == '\r' && buf(i + 3) == '\n')) i += 1
-        if (i + 3 >= buf.length) return false // header block still open
+        if (i + 3 >= len) return false // header block still open
         val headerText = new String(buf, off, i - off, StandardCharsets.UTF_8)
         val cls = "(?im)^content-length\\s*:\\s*(\\d{1,18})\\s*$".r
           .findAllMatchIn(headerText).map(_.group(1).toLong).toSeq
         cls match {
-          case Seq(len) => i.toLong + 4 + len + 4 <= buf.length
+          case Seq(cl) => i.toLong + 4 + cl + 4 <= len
           case _ => true // missing/odd Content-Length: parseOne names it
         }
       }
 
       def hasNext: Boolean = {
         while (!complete() && chunks.hasNext) append(chunks.next())
-        off < buf.length
+        off < len
       }
 
       def next(): Row = {
         if (!hasNext) throw new NoSuchElementException
-        val (row, nextPos) = parseOne(buf, off, path, recordIdx)
+        val (row, nextPos) = parseOne(buf, off, len, path, recordIdx)
         off = nextPos
         recordIdx += 1
         row
       }
     }
 
-  private def parseOne(bytes: Array[Byte], start: Int, path: String,
-      recordIdx: Int): (Row, Int) = {
+  private def parseOne(bytes: Array[Byte], start: Int, end: Int,
+      path: String, recordIdx: Int): (Row, Int) = {
     def fail(msg: String): Nothing =
       throw ConfigError(s"warc: '$path' record $recordIdx: $msg")
     // header block ends at the first CRLFCRLF
     var hEnd = start
-    while (hEnd + 3 < bytes.length &&
+    while (hEnd + 3 < end &&
       !(bytes(hEnd) == '\r' && bytes(hEnd + 1) == '\n' &&
         bytes(hEnd + 2) == '\r' && bytes(hEnd + 3) == '\n')) hEnd += 1
-    if (hEnd + 3 >= bytes.length) fail("unterminated header block (no CRLFCRLF)")
+    if (hEnd + 3 >= end) fail("unterminated header block (no CRLFCRLF)")
     val headerText = new String(bytes, start, hEnd - start, StandardCharsets.UTF_8)
     if (headerText.contains("\n") && !headerText.contains("\r\n"))
       fail("bare LF in header (WARC requires CRLF)")
@@ -355,11 +366,11 @@ object WarcBridge {
     // array limit would wrap an Int sum negative, slip past the guard, and
     // surface as a bare copyOfRange exception with no file/record context
     val payloadEndL = payloadStart.toLong + len
-    if (payloadEndL > bytes.length)
-      fail(s"payload truncated (${bytes.length - payloadStart} of $len bytes)")
+    if (payloadEndL > end)
+      fail(s"payload truncated (${end - payloadStart} of $len bytes)")
     val payloadEnd = payloadEndL.toInt
     val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)
-    if (payloadEnd + 4 > bytes.length ||
+    if (payloadEnd + 4 > end ||
         bytes(payloadEnd) != '\r' || bytes(payloadEnd + 1) != '\n' ||
         bytes(payloadEnd + 2) != '\r' || bytes(payloadEnd + 3) != '\n')
       fail("missing double CRLF closing the record")

@@ -38,16 +38,35 @@ class BufferSink extends TableProvider {
 object BufferSink {
   private val buffers =
     new java.util.concurrent.ConcurrentHashMap[String, util.List[Seq[Any]]]()
+  // committed epochs per buffer: the streaming commit can REPLAY an epoch
+  // (driver dies after publish, before the checkpoint commit log records
+  // it) — re-publishing the same epoch would duplicate its rows, and this
+  // class is the exactly-once reference shape a real V2 sink copies
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, util.Set[java.lang.Long]]()
 
   def rows(buffer: String): Seq[Seq[Any]] =
     Option(buffers.get(buffer)).map(_.asScala.toSeq).getOrElse(Nil)
 
-  def clear(buffer: String): Unit = { buffers.remove(buffer): Unit }
+  def clear(buffer: String): Unit = {
+    buffers.remove(buffer): Unit
+    epochs.remove(buffer): Unit
+  }
 
   private[v2] def publish(buffer: String, rows: Seq[Seq[Any]]): Unit = {
     buffers.computeIfAbsent(buffer,
       _ => util.Collections.synchronizedList(new util.ArrayList[Seq[Any]]()))
       .addAll(rows.asJava): Unit
+  }
+
+  /** Idempotent per-epoch publish: first commit of (buffer, epoch) wins,
+    * replays are no-ops — the txn-identity dedup every exactly-once sink
+    * needs (the TableStore change-log's (flow, batch) precedent). */
+  private[v2] def publishEpoch(buffer: String, epochId: Long,
+      rows: => Seq[Seq[Any]]): Unit = {
+    val seen = epochs.computeIfAbsent(buffer,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]())
+    if (seen.add(epochId)) publish(buffer, rows)
   }
 }
 
@@ -79,7 +98,8 @@ private class BufferStreamingWrite(buffer: String, schema: StructType) extends S
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     BufferWriterFactory(schema)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case BufferCommit(rs) => BufferSink.publish(buffer, rs) }
+    BufferSink.publishEpoch(buffer, epochId,
+      messages.toSeq.flatMap { case BufferCommit(rs) => rs })
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 

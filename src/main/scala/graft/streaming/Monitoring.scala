@@ -59,6 +59,15 @@ object Monitoring {
         math.max(1, math.min(maxConcurrent, logs.size)))
       try {
         val tasks = logs.toSeq.map { case (pipeline, path) =>
+          // pipeline names come from user YAML: a '/' (or '%'-sequence, or
+          // any char Hive partition paths escape) interpolated raw into the
+          // hand-built _pipeline=<name> directory either escapes the target
+          // dir or reads back as a DIFFERENT _pipeline value than was
+          // written ("Conflicting directory structures" in the worst case).
+          // Escape exactly as Spark's own partitioned writer does, so
+          // partition discovery round-trips the value.
+          val escaped = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(pipeline)
           pool.submit(new java.util.concurrent.Callable[Unit] {
             def call(): Unit = {
               val schema = spark.read.parquet(path).schema
@@ -66,9 +75,9 @@ object Monitoring {
                 .writeStream
                 .foreachBatch { (b: DataFrame, id: Long) =>
                   b.write.mode("overwrite")
-                    .parquet(s"$targetPath/_pipeline=$pipeline/_batch=$id")
+                    .parquet(s"$targetPath/_pipeline=$escaped/_batch=$id")
                 }
-                .option("checkpointLocation", s"$checkpointRoot/monitor_$pipeline")
+                .option("checkpointLocation", s"$checkpointRoot/monitor_$escaped")
                 .trigger(Trigger.AvailableNow())
                 .start().awaitTermination()
             }

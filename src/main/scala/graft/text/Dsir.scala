@@ -112,6 +112,13 @@ object Dsir {
   def gumbelTopK(weights: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the AsOfJoin/RangeJoin reserved-name convention: withColumn would
+    // silently CLOBBER a caller column of the same name and drop() would
+    // then remove it from the output entirely
+    val reserved = weights.columns
+      .filter(c => c.equalsIgnoreCase("__gumbel") || c.equalsIgnoreCase("__score"))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved by gumbelTopK; rename first")
     val u = (Sampling.md5Bucket(idCol, salt) + lit(0.5)) /
       lit(Sampling.PortableBuckets.toDouble)
     weights

@@ -19,7 +19,25 @@ object TextAnalysis {
 
   private def words(textCol: Column): Column = split(textCol, " ")
 
+  /** Stopword hit count (WITH multiplicity) in one codegen'd regex scan —
+    * the r13 gopherRules rewrite applied to the shared helper: the
+    * higher-order filter() form is CodegenFallback in Spark 4.1
+    * (GopherHofProbe measured the interpreted pass at ~2× the codegen'd
+    * equivalent, and languageId evaluates this four times per row).
+    * Tokens are single-space-bounded, exactly words()'s split: `(?:^| )`
+    * anchors the token start, the lookahead `(?= |$)` its end WITHOUT
+    * consuming the boundary space, so adjacent stopwords ("the a") both
+    * count and multiplicity is preserved (an array_contains sum — the
+    * Gopher presence rule's form — would collapse repeats).
+    * StopwordHitsSpec pins this row-identical to the HOF form on
+    * fixture + adversarial rows. */
   private def stopwordHits(textCol: Column, lang: String): Column =
+    regexp_count(textCol,
+      lit(s"(?:^| )(?:${stopwords(lang).mkString("|")})(?= |$$)"))
+
+  /** The HOF (filter/isin) definition of [[stopwordHits]] — test-only
+    * differential oracle for the regex rewrite above. */
+  private[text] def stopwordHitsHof(textCol: Column, lang: String): Column =
     size(filter(words(textCol), w => w.isin(stopwords(lang): _*)))
 
   /** Heuristic language ID: highest stopword-hit count wins (alphabetical
@@ -40,7 +58,11 @@ object TextAnalysis {
     * ratios, stopword ratio, plus a composite keep/drop flag with the usual
     * training-data heuristics (C4-style length + symbol filters). */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // NULL text scores as empty (all features definite, keep = false) —
+    // the repo-wide convention (wordRarity, Bm25, LanguageModel): a NULL
+    // keep flag fails BOTH `filter(keep)` and `filter(!keep)`, so the row
+    // would vanish from both sides of a quality gate
+    val t = coalesce(col(textCol), lit(""))
     val ws = words(t)
     val nWords = size(ws)
     val nChars = length(t)
@@ -91,7 +113,10 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
       minStopwords: Int = 2, maxDupLineRatio: Double = 0.3): DataFrame = {
-    val t = col(textCol)
+    // NULL text evaluates as empty — definite signals, gopher_keep = false
+    // (never NULL: a NULL flag fails filter(keep) AND filter(!keep), so
+    // keep + drop would no longer partition the corpus)
+    val t = coalesce(col(textCol), lit(""))
     val ws = words(t)
     val nWords = size(ws)
     val lines = split(t, "\n")

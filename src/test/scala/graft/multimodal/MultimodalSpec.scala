@@ -530,4 +530,16 @@ class MultimodalSpec extends SparkSuite {
     val mkvMin = ebml(be(0x1A45DFA3L, 4)) ++ ebml(be(0x18538067L, 4))
     assert(Multimodal.AutoDecoder.decode("application/octet-stream", mkvMin).decoder == "mkv")
   }
+
+  test("null mime degrades to stub features; an empty media table repartitions to one partition") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, Array[Byte](1, 2, 3), null.asInstanceOf[String]))
+      .toDF("media_id", "bytes", "mime")
+    val out = Multimodal.extractFeatures(rows).collect()
+    assert(out.length == 1 && out.head.getAs[String]("decoder") == "stub",
+      out.mkString("; "))
+    val empty = rows.filter(lit(false))
+    val rp = Multimodal.repartitionForBlobs(empty, targetBytesPerPartition = 1024)
+    assert(rp.rdd.getNumPartitions == 1 && rp.count() == 0)
+  }
 }

@@ -290,4 +290,21 @@ class JoinOpsSpec extends SparkSuite {
       RangeJoin.inferBucketWidth(pts, "start", "end")
     }
   }
+
+  test("as-of join accepts map-typed payload and left columns (hash tie-break skips them)") {
+    import org.apache.spark.sql.functions._
+    // xxhash64 refuses MapType — the tie-break/salt hashes must exclude
+    // map columns instead of failing analysis for every map-carrying frame
+    val l = Seq((1, 10L), (1, 20L)).toDF("k", "t")
+      .withColumn("attrs", map(lit("side"), lit("left")))
+    val r = Seq((1, 5L, "r1"), (1, 15L, "r2")).toDF("k", "rt", "r_id")
+      .withColumn("props", map(lit("side"), lit("right")))
+    val out = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("r_id", "props"))
+      .select("k", "t", "r_id").as[(Int, Long, String)].collect().toSet
+    assert(out == Set((1, 10L, "r1"), (1, 20L, "r2")), out.toString)
+    // salted path over an all-map-payload frame still analyzes and matches
+    val salted = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("props"),
+      salt = Some(4))
+    assert(salted.count() == 2)
+  }
 }

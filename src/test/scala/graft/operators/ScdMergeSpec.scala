@@ -368,4 +368,20 @@ class ScdMergeSpec extends SparkSuite {
       }
     }
   }
+
+  test("replaying an SCD2 table's rows as changes ignores the inherited __end_at") {
+    // bootstrap-replay: an existing table's rows (which carry __end_at)
+    // fed into a fresh target must rebuild the SAME history the merge
+    // produced — __end_at is derived state, not a tracked data column;
+    // kept, adjacent identical versions would never collapse
+    val merged = ScdMerge.scd2(None,
+      changes((1, 1L, "a"), (1, 2L, "a"), (1, 3L, "b")), opts2)
+    val replayed = ScdMerge.scd2(None, merged.select(
+      $"k", $"v", $"__start_at".as("seq"), $"__end_at"), opts2)
+    val want = merged.select("k", "v", "__start_at", "__end_at")
+      .as[(Int, String, Long, Option[Long])].collect().toSet
+    val got = replayed.select("k", "v", "__start_at", "__end_at")
+      .as[(Int, String, Long, Option[Long])].collect().toSet
+    assert(got == want, s"replayed $got != merged $want")
+  }
 }

@@ -81,4 +81,24 @@ class PlannerSpec extends AnyFunSuite {
     Planner.validate(FlowGroup("p", "f",
       actions = Seq(load, sink("s1", Some("out")), sink("s2", None))))
   }
+
+  test("duplicate action names and duplicate targets refuse instead of silently dropping one") {
+    // every plan map keys by name/target — a duplicate collapsed last-wins
+    // and one action NEVER RAN with no error (reference:
+    // config_validator.py:94-103 refuses both)
+    val dupName = FlowGroup("p", "f", actions = Seq(
+      SqlTransform("t", Some("v_a"), Seq("src"), "SELECT 1"),
+      SqlTransform("t", Some("v_b"), Seq("src"), "SELECT 2"),
+      write("w", "out"), reader("r", "v_a"),
+      StreamingTableWrite("w2", source = "v_b", table = "out2"),
+      StreamingTableWrite("w3", source = "v_r", table = "out3")))
+    val e1 = intercept[Planner.PlanError] { Planner.validate(dupName) }
+    assert(e1.getMessage.contains("duplicate action name"), e1.getMessage)
+    val dupTarget = FlowGroup("p", "f", actions = Seq(
+      SqlTransform("t1", Some("v_a"), Seq("src"), "SELECT 1"),
+      SqlTransform("t2", Some("v_a"), Seq("src"), "SELECT 2"),
+      StreamingTableWrite("w", source = "v_a", table = "out")))
+    val e2 = intercept[Planner.PlanError] { Planner.validate(dupTarget) }
+    assert(e2.getMessage.contains("duplicate target"), e2.getMessage)
+  }
 }

@@ -67,4 +67,14 @@ class DsirSpec extends SparkSuite {
     assert(sel(7) != a || sel(13) != a,
       "different salts should redraw the zero-weight tail")
   }
+
+  test("gumbelTopK refuses reserved column names instead of clobbering them") {
+    import org.apache.spark.sql.functions._
+    val w = Seq((1L, 0.5), (2L, 0.7)).toDF("doc_id", "w")
+      .withColumn("__score", lit(9.9))
+    val e = intercept[IllegalArgumentException] {
+      Dsir.gumbelTopK(w, "doc_id", "w", k = 1)
+    }
+    assert(e.getMessage.contains("__score"), e.getMessage)
+  }
 }

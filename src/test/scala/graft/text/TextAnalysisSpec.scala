@@ -202,4 +202,40 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!keep("no stopwords here at all", minW = 1)) // < 2 Gopher stopwords
     assert(!keep(("a " * 60).trim, minW = 1))   // mean word length below 3
   }
+
+  test("stopwordHits regex rewrite is row-identical to the HOF form") {
+    // adversarial rows: adjacent stopwords (lookahead must not consume the
+    // boundary space), prefix words (theory != the), repeats (multiplicity,
+    // not presence), double spaces (empty tokens), newline-embedded tokens
+    // (words split on SINGLE spaces), first/last-word boundaries, empty, null
+    val rows = Seq(
+      "the a of and", "theory theocracy other", "the the the",
+      "the  the", "the\nend of it", "a", "of", "", "no stop words here",
+      "der und die das the", "el la de que y", null.asInstanceOf[String])
+      .toDF("text")
+    for (lang <- TextAnalysis.stopwords.keys.toSeq.sorted) {
+      val diff = rows.select(
+        TextAnalysis.stopwordHitsHof(col("text"), lang).as("hof"),
+        col("text"))
+        .withColumn("re", regexp_count(col("text"),
+          lit(s"(?:^| )(?:${TextAnalysis.stopwords(lang).mkString("|")})(?= |$$)")))
+        .filter(!(col("hof") <=> col("re")))
+      assert(diff.isEmpty,
+        s"[$lang] regex != HOF on: ${diff.collect().mkString("; ")}")
+    }
+  }
+
+  test("NULL text gets definite quality/gopher flags, never a vanishing NULL") {
+    val rows = Seq((1L, "the a of and to in is it that for real words here"),
+      (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(rows, "text")
+    val g = TextAnalysis.gopherRules(rows, "text")
+    // keep + !keep must PARTITION the corpus — a NULL flag fails both filters
+    assert(q.filter(col("quality_keep")).count() +
+      q.filter(!col("quality_keep")).count() == 3)
+    assert(g.filter(col("gopher_keep")).count() +
+      g.filter(!col("gopher_keep")).count() == 3)
+    assert(q.filter(col("doc_id") >= 2).select("quality_keep")
+      .collect().forall(!_.getBoolean(0)))
+  }
 }
