@@ -9,17 +9,23 @@ package graft.exec
 trait PipelineHooks {
   /** A write action finished materializing `table`. */
   def onTableWritten(pipeline: String, flowgroup: String, table: String): Unit = ()
-  /** One streaming microbatch of `table` committed durably (rows + change
-    * log + checkpoint-visible txn identity). Fires BETWEEN batches of one
-    * stream — the seam monitoring latches onto and the crash-forge matrix
-    * halts in (a kill here leaves the stream half-consumed, the window
-    * [[onTableWritten]] can never express). Covers EVERY streaming
-    * foreachBatch write path, not just the plain append: CDC merge, the
-    * MV maintenance routes (incremental dedup, incremental_join companion,
-    * key-local and global-window recompute, watermarked append,
-    * complete-mode replace), and the quarantine DLQ drain — a
-    * `batch:<table>:<n>` kill spec or a monitoring listener must not
-    * silently miss a table because of HOW it is maintained. */
+  /** One streaming microbatch of `table` finished its TABLE-side commit
+    * (rows + change log + txn identity). Fires inside foreachBatch, AFTER
+    * the table write but BEFORE Spark records the batch in the stream's
+    * checkpoint commit log — so delivery is AT-LEAST-ONCE: a crash in
+    * that window replays the batch and re-fires the hook with the same
+    * (table, batchId); listeners that must count exactly dedupe on that
+    * pair (the table write itself is replay-idempotent, so data is safe
+    * either way). Fires BETWEEN batches of one stream — the seam
+    * monitoring latches onto and the crash-forge matrix halts in (a kill
+    * here leaves the stream half-consumed, the window [[onTableWritten]]
+    * can never express). Covers EVERY streaming foreachBatch write path,
+    * not just the plain append: CDC merge, the MV maintenance routes
+    * (incremental dedup, incremental_join companion, key-local and
+    * global-window recompute, watermarked append, complete-mode replace),
+    * and the quarantine DLQ drain — a `batch:<table>:<n>` kill spec or a
+    * monitoring listener must not silently miss a table because of HOW it
+    * is maintained. */
   def onBatchCommitted(pipeline: String, flowgroup: String, table: String,
       batchId: Long): Unit = ()
   /** A write target declared governance tags (write_target.tags/tags_file —

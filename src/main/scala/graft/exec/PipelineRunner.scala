@@ -202,9 +202,6 @@ final class PipelineRunner(
     currentPipeline = fg.pipeline
     currentFlowgroup = fg.flowgroup
     currentOpMeta = fg.operationalMetadata
-    // cross-process tables surface at each run's first write, not once
-    // per process — see registerTableView
-    leafWalkedThisRun = false
     try {
       // dependency edges include views referenced inside SQL (Catalyst
       // parse), so SQL-only consumers order and validate correctly. The
@@ -977,8 +974,9 @@ final class PipelineRunner(
               clustered(wrapMv(recomputed), a.clusterColumns, a.clusterStrategy),
               keys, affectedRows)
           }
-          // fires even for an empty delta batch: the checkpoint advances,
-          // so the microbatch IS committed from the stream's point of view
+          // fires even for an empty delta batch: the table side finished
+          // its (no-op) commit and the checkpoint will record the batch
+          // next — same at-least-once seam as every other fire site
           hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
         }
         .option("checkpointLocation", checkpointFor(a.name))
@@ -2552,24 +2550,32 @@ final class PipelineRunner(
     * registerAll distinct-size==1 rule): last-wins shadowing at write
     * time would silently hand a bare-leaf consumer whichever table wrote
     * second. The ambiguous leaf is dropped and named instead. */
-  // leaf -> qualified names: refreshed from ONE warehouse walk per RUN
-  // (lazily, at the run's first table write), then maintained
-  // incrementally on every write — the walk was O(tables) filesystem
-  // scans PER WRITE before (quadratic-ish over a large project's run).
-  // Per-run, not per-process: a once-per-process seed can never see a
-  // table another PROCESS creates mid-run, so a bare-leaf view would be
-  // silently registered despite a same-leaf table on disk. PROCESS-GLOBAL
-  // and keyed by warehouse, not a runner field: the orchestrator builds
-  // one runner per flowgroup and runs them in parallel, so a per-runner
-  // index would never see a sibling flowgroup's dev.events beside this
-  // one's prod.events — the exact last-wins shadowing the ambiguity rule
-  // exists to refuse. Each runner walks for ITSELF before its first
-  // decision, so no decision ever depends on a sibling thread's
-  // half-finished walk.
+  // leaf -> qualified names: seeded from ONE warehouse walk per warehouse
+  // per PROCESS (the walk runs INSIDE computeIfAbsent's mapping, so a
+  // sibling runner constructing against the same warehouse blocks until
+  // it finishes — the index is never visible half-seeded), then maintained
+  // incrementally on every write. The per-write walk this replaced was
+  // O(tables) filesystem scans per write; a per-RUN walk was tried and
+  // reverted — O(flowgroups × tables) per orchestrated run, the same cost
+  // class. PROCESS-GLOBAL and keyed by warehouse, not a runner field: the
+  // orchestrator builds one runner per flowgroup and runs them in
+  // parallel, so a per-runner index would never see a sibling flowgroup's
+  // dev.events beside this one's prod.events — the exact last-wins
+  // shadowing the ambiguity rule exists to refuse. IN-process writes (the
+  // real ambiguity risk) keep the index exact through leafIndexAdd; a
+  // table another PROCESS creates mid-run surfaces through the
+  // apparent-ambiguity re-confirm below or on the next process.
   private val leafIndex = PipelineRunner.leafIndexes.computeIfAbsent(
     store.warehouse,
-    _ => new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]())
-  private var leafWalkedThisRun = false
+    wh => {
+      val m = new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+      graft.exec.TableStore.listTables(wh).foreach { q =>
+        m.computeIfAbsent(tableViewName(q),
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+          .add(q): Unit
+      }
+      m
+    })
   // adds go through compute() (atomic per key), NOT computeIfAbsent+add:
   // the re-confirm below REPLACES a leaf's set, and an add landing on the
   // just-orphaned old set would be lost — the next reader would see the
@@ -2585,10 +2591,19 @@ final class PipelineRunner(
   private def registerTableView(table: String): Unit =
     store.readIfExists(table).foreach { df =>
       val leaf = tableViewName(table)
-      if (!leafWalkedThisRun) {
-        leafWalkedThisRun = true
-        graft.exec.TableStore.listTables(store.warehouse).foreach(leafIndexAdd)
+      // the rare-path warehouse walk runs OUTSIDE the per-leaf lock (a
+      // recursive disk walk inside ConcurrentHashMap.compute stalls every
+      // same-bin add for its duration); if the set grows to >1 only after
+      // this probe — both writers racing their FIRST same-leaf tables —
+      // the walk falls back to running under the lock, rare by definition
+      val apparentOthers = {
+        import scala.jdk.CollectionConverters._
+        Option(leafIndex.get(leaf)).exists(_.asScala.exists(_ != table))
       }
+      def walkLeaf(): Set[String] =
+        graft.exec.TableStore.listTables(store.warehouse)
+          .filter(_.split('.').last == leaf).toSet
+      val preWalk: Option[Set[String]] = if (apparentOthers) Some(walkLeaf()) else None
       // decision AND registration inside ONE per-leaf atomic section
       // (compute blocks same-key contenders): decided-then-registered as
       // two steps, a sibling's dropTempView for a just-turned-ambiguous
@@ -2601,22 +2616,26 @@ final class PipelineRunner(
         s.add(table): Unit
         val entries = s.asScala.toSeq
         // apparent ambiguity re-confirms against disk (a table dropped by
-        // a full refresh may linger in the index) — the walk runs only on
-        // this rare path. The replacement set is (walk result ∪
-        // still-exists survivors of the current set): a concurrent
-        // writer's table is registered only AFTER its directory exists,
-        // so an entry the walk's snapshot missed (created between
-        // snapshot and here) survives the per-entry exists() check —
-        // only genuine dropped-table residue is evicted.
+        // a full refresh may linger in the index). The replacement set is
+        // (walk result ∪ survivors of the current set); an entry survives
+        // the walk snapshot missing it when it
+        //   - IS a table right now (created between snapshot and here —
+        //     registration always follows the directory), or
+        //   - has its writer lock HELD (mid-replace swap: the directory
+        //     is legitimately absent between the two renames, and only
+        //     the lock distinguishes that from dropped — a bare exists()
+        //     also resurrected dropped tables whose directory lived on
+        //     as a nested table's parent, spurious ambiguity forever).
         val (resultSet, confirmed) =
           if (entries.size <= 1) (s, entries)
           else {
-            val onDisk = graft.exec.TableStore.listTables(store.warehouse)
-              .filter(_.split('.').last == leaf).toSet
-            val survivors = entries.filter(q => onDisk(q) || store.exists(q))
+            val onDisk = preWalk.getOrElse(walkLeaf())
+            val survivors = entries.filter(q =>
+              onDisk(q) || store.isTableNow(q) || store.writerLockHeld(q))
+            val merged = (onDisk ++ survivors).toSeq
             val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-            (onDisk ++ survivors).foreach(set.add)
-            (set, (onDisk ++ survivors).toSeq)
+            merged.foreach(set.add)
+            (set, merged)
           }
         if (confirmed.size > 1) {
           spark.catalog.dropTempView(leaf)

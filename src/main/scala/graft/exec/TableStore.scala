@@ -80,6 +80,19 @@ final class TableStore(spark: SparkSession, val warehouse: String,
 
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 
+  /** `table` is a table ON DISK right now ([[TableStore.isTableDir]]'s
+    * predicate — stricter than [[exists]]). */
+  def isTableNow(table: String): Boolean = TableStore.isTableDir(path(table))
+
+  /** `table`'s writer lock is CURRENTLY HELD (this JVM or another
+    * process). The one moment a live table's directory is legitimately
+    * absent is inside replace()'s two-rename swap — which always runs
+    * under the writer lock — so "locked right now" distinguishes
+    * mid-swap from dropped (the lock FILE alone cannot: it outlives its
+    * table by design, see [[drop]]). */
+  def writerLockHeld(table: String): Boolean =
+    TableStore.ProcessLock.probeHeld(Paths.get(path(table) + "._writer_lock"))
+
   /** Reads apply the table's recorded schema (sidecar) when present: plain
     * parquet directories holding files written before a schema WIDENED would
     * otherwise read back with whichever schema the footer sample yields —
@@ -668,6 +681,27 @@ object TableStore {
       (key, entries.computeIfAbsent(key, _ => new Entry))
     }
 
+    /** Non-blocking "is this lock held RIGHT NOW by anyone" probe: the
+      * in-JVM registry first (holds > 0), then an OS tryLock round-trip
+      * (released immediately when we win it — a concurrent acquirer's
+      * poll loop absorbs the momentary contention). A missing lock file
+      * means no writer ever touched the table — not held. */
+    def probeHeld(lockPath: Path): Boolean = {
+      val key = lockPath.toAbsolutePath.normalize.toString
+      val e = entries.get(key)
+      if (e != null && e.synchronized(e.holds > 0)) return true
+      if (!Files.exists(lockPath)) return false
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val fl =
+          try ch.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (fl == null) true else { fl.release(); false }
+      } finally ch.close()
+    }
+
     def acquire(lockPath: Path, owner: AnyRef, table: String, waitMs: Long): Unit = {
       val (_, e) = entryFor(lockPath)
       val deadline = System.nanoTime() + waitMs * 1000000L
@@ -809,13 +843,25 @@ object TableStore {
     * directory containing at least one regular data file; nested dirs
     * (catalog/schema qualifiers, partition dirs) walk through. Partition
     * directories (`col=value`) are excluded — their parent is the table. */
+  // sidecar files are SIBLINGS of their table directory, named
+  // `<table>._<key>` — inside a schema directory they must not read as
+  // data, or every qualified table's parent masquerades as a table
+  private def isDataFile(f: java.io.File): Boolean =
+    f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+      !f.getName.contains("._")
+
+  /** Whether `dir` IS a table right now, by [[listTables]]'s own predicate
+    * (data files or partition subdirectories at its root) — a bare
+    * Files.exists is WEAKER: a dropped table whose directory re-exists
+    * empty (or as the parent of a nested table) is not a table, and
+    * treating it as one produces permanent spurious leaf ambiguity. */
+  def isTableDir(dir: String): Boolean = {
+    val entries = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    entries.exists(isDataFile) ||
+      entries.exists(d => d.isDirectory && d.getName.contains("="))
+  }
+
   def listTables(warehouse: String): Seq[String] = {
-    // sidecar files are SIBLINGS of their table directory, named
-    // `<table>._<key>` — inside a schema directory they must not read as
-    // data, or every qualified table's parent masquerades as a table
-    def isDataFile(f: java.io.File): Boolean =
-      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
-        !f.getName.contains("._")
     def walk(dir: java.io.File, prefix: Seq[String]): Seq[String] = {
       val entries = Option(dir.listFiles()).getOrElse(Array.empty)
       val hasData = entries.exists(isDataFile)

@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   * selects the kill point:
   *   - `<table>` or `table:<table>`  — after the named table's write action
   *     completes (the c15 gate's dedup-commit point);
-  *   - `batch:<table>:<n>`           — after microbatch `n` of the named
-  *     STREAM commits, leaving the stream half-consumed (the mid-ingest
-  *     point: a WARC landing file ingested, its sibling never read);
+  *   - `batch:<table>:<n>`           — after microbatch `n`'s TABLE-side
+  *     commit (before Spark's checkpoint records the batch — the
+  *     nastiest window: on resume the batch REPLAYS and the table-side
+  *     idempotence must absorb it), leaving the stream half-consumed
+  *     (the mid-ingest point: a WARC landing file ingested, its sibling
+  *     never read);
   *   - `forge:<point>`               — arms [[graft.exec.CrashForge]] so an
   *     operator's interior kill-point fires (e.g. `forge:bm25_fold` — index
   *     swapped, hits table never written: the double-fold window).

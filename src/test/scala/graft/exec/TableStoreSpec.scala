@@ -290,4 +290,24 @@ class TableStoreSpec extends SparkSuite {
     store.registerAll() // must not throw on the empty .staging dir
     assert(spark.table("vis").count() == 1)
   }
+
+  test("isTableNow and writerLockHeld: the leaf-index survivor predicates") {
+    val store = freshStore()
+    store.overwrite("x.events", Seq((1, "a")).toDF("k", "v"))
+    assert(store.isTableNow("x.events"))
+    // drop leaves the lock FILE behind by design — neither a bare
+    // directory nor a lingering lock file may read as "table exists"
+    store.drop("x.events")
+    assert(!store.isTableNow("x.events"))
+    assert(!store.writerLockHeld("x.events"))
+    // a nested table re-creates the parent DIRECTORY: still not a table
+    store.overwrite("x.events.y", Seq((2, "b")).toDF("k", "v"))
+    assert(new java.io.File(store.path("x.events")).exists())
+    assert(!store.isTableNow("x.events"))
+    // held lock is visible to the probe (same-JVM registry path)
+    store.withTableLock("x.events") {
+      assert(store.writerLockHeld("x.events"))
+    }
+    assert(!store.writerLockHeld("x.events"))
+  }
 }
