@@ -375,13 +375,19 @@ object Advanced {
       """SELECT CAST(0 AS BIGINT) AS approx_total,
         |       CAST(0 AS BIGINT) AS exact_total
         |FROM events WHERE 1 = 0""".stripMargin,
+    // grid_ts stays in NAIVE timestamp arithmetic end-to-end: the obvious
+    // to_timestamp(b*86400)::TIMESTAMP round-trips through TIMESTAMPTZ and
+    // localizes to DuckDB's session TimeZone — which the oracle runner
+    // never pins — so on any non-UTC host every grid point would shift by
+    // the zone offset and the gate would false-fail (Spark's side IS
+    // pinned to UTC)
     "q39_resample" ->
       """WITH bounds AS (
         |  SELECT user_id, min(ts) AS mn, max(ts) AS mx
         |  FROM events GROUP BY user_id),
         |grid AS (
         |  SELECT user_id,
-        |         CAST(to_timestamp(b * 86400) AS TIMESTAMP) AS grid_ts
+        |         TIMESTAMP '1970-01-01' + b * INTERVAL 1 DAY AS grid_ts
         |  FROM bounds,
         |       unnest(generate_series(CAST(floor(epoch(mn) / 86400) AS BIGINT),
         |                              CAST(floor(epoch(mx) / 86400) AS BIGINT))) AS t(b))

@@ -72,13 +72,19 @@ object Extras {
     * precedent applied to the bench gates (r11 verdict item 3). The gate
     * PROTOCOL is unchanged: every invocation still sees a fresh landing
     * dir growing across runs, a fresh warehouse, a fresh checkpoint. */
-  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // memoized through a LAZY HOLDER, not by building inside computeIfAbsent:
+  // the build is a multi-second Spark write job, and running it under the
+  // CHM bin lock serializes unrelated same-bin fixture builds AND throws
+  // ConcurrentHashMap's recursive-update IllegalStateException the moment
+  // one build transitively calls another memoized helper. computeIfAbsent
+  // now only allocates the holder (fast); the lazy val's own monitor gives
+  // the same build-once / block-other-callers guarantee per key.
+  private final class FixtureHolder(build: String => Unit) {
+    lazy val dir: String = { val d = gateDir("graft-fixture"); build(d); d }
+  }
+  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, FixtureHolder]()
   private def fixtureOnce(key: String)(build: String => Unit): String =
-    fixtures.computeIfAbsent(key, { _ =>
-      val d = gateDir("graft-fixture")
-      build(d)
-      d
-    })
+    fixtures.computeIfAbsent(key, _ => new FixtureHolder(build)).dir
 
   /** Copy one staged TABLE from a staged warehouse into a gate's fresh
     * warehouse: the table directory tree plus its sibling sidecar files
@@ -152,15 +158,26 @@ object Extras {
     * (prefix-sum water level) in DuckDB; every arithmetic input is an
     * exact integer-valued double, so λ and the targets match exactly. */
   def m9MixtureRates(s: SparkSession, dir: String): DataFrame = {
+    // cached: the per-source table is tiny (one row per source) but its
+    // LINEAGE is a full documents scan + aggregation, and BOTH the budget
+    // collect below and the returned mixtureRates plan read it — uncached,
+    // every gate invocation scanned documents twice for one result
     val counts = Tables.load(s, dir, "documents")
       .groupBy(col("source"))
       .agg(expr("CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)")
         .as("n_tokens"))
       .withColumn("weight", expr("1.0 + CAST(substring(source, 4) AS INT) % 3"))
+      .cache()
     // one-row aggregate collect: budget is a CONFIG-scale scalar (the same
     // class as the partition-value metadata collects the anti-pattern
-    // sweep allows); integer ×4/5 floor-division reproduces exactly in SQL
-    val totN = counts.agg(sum(col("n_tokens"))).head.getLong(0)
+    // sweep allows); integer ×4/5 floor-division reproduces exactly in SQL.
+    // sum over ZERO rows is NULL — name the empty-fixture assumption
+    // instead of unboxing an NPE
+    val totRow = counts.agg(sum(col("n_tokens"))).head
+    require(!totRow.isNullAt(0),
+      s"m9 needs a non-empty documents table in $dir — was the fixture " +
+        "regenerated empty?")
+    val totN = totRow.getLong(0)
     graft.dedup.Sampling.mixtureRates(counts, "source", "n_tokens", "weight",
       totN * 4 / 5)
   }
@@ -190,6 +207,47 @@ object Extras {
     store.read("cust_evo")
   }
 
+  /** Two-batch CDC flowgroup YAML shared by the CDF family (q33/q46/q47):
+    * ONE copy of the cdc_config contract (the no-drifting-copies rule) —
+    * editing the delete predicate or sequence column edits all three
+    * gates together, as their docstrings assume. */
+  private def cdcTwoBatchYaml(pipeline: String, table: String, view: String): String =
+    s"""pipeline: $pipeline
+       |flowgroup: f
+       |actions:
+       |  - name: l
+       |    type: load
+       |    source: {type: table, table: $view}
+       |    target: v
+       |  - name: w
+       |    type: write
+       |    source: v
+       |    write_target: {type: streaming_table, table: $table, change_log: true}
+       |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
+       |                 apply_as_deletes: "event_type = 'error'"}
+       |""".stripMargin
+
+  /** Register the two parity batch views under INVOCATION-UNIQUE names and
+    * run them through the shared CDC yaml: session temp views are global,
+    * so fixed names (q33_b1...) raced under parallel gate execution — one
+    * invocation's createOrReplaceTempView could land between a sibling's
+    * view definition and its run, feeding it the wrong batch. */
+  private val gateViewNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def runCdcTwoBatches(runner: graft.exec.PipelineRunner,
+      ev: org.apache.spark.sql.DataFrame, pipeline: String, table: String): Unit = {
+    val nonce = gateViewNonce.incrementAndGet()
+    val (b1, b2) = (s"${pipeline}_b1_$nonce", s"${pipeline}_b2_$nonce")
+    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView(b1)
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView(b2)
+    try {
+      runner.run(graft.config.YamlConfig.parseFlowGroup(cdcTwoBatchYaml(pipeline, table, b1)))
+      runner.run(graft.config.YamlConfig.parseFlowGroup(cdcTwoBatchYaml(pipeline, table, b2)))
+    } finally {
+      ev.sparkSession.catalog.dropTempView(b1): Unit
+      ev.sparkSession.catalog.dropTempView(b2): Unit
+    }
+  }
+
   /** CDF emulation through the gate: two CDC batches (split by event_id
     * parity) merge into a change_log table; the `__changes` companion must
     * equal the DuckDB reconstruction — every change row with its
@@ -198,25 +256,7 @@ object Extras {
     val (store, runner, wh) = gateRunner(s, "graft-q33")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    def yamlFor(view: String) =
-      s"""pipeline: q33
-         |flowgroup: f
-         |actions:
-         |  - name: l
-         |    type: load
-         |    source: {type: table, table: $view}
-         |    target: v
-         |  - name: w
-         |    type: write
-         |    source: v
-         |    write_target: {type: streaming_table, table: q33_dim, change_log: true}
-         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
-         |                 apply_as_deletes: "event_type = 'error'"}
-         |""".stripMargin
-    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q33_b1")
-    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q33_b2")
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q33_b1")))
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q33_b2")))
+    runCdcTwoBatches(runner, ev, "q33", "q33_dim")
     store.read("q33_dim__changes")
   }
 
@@ -228,25 +268,7 @@ object Extras {
     val (store, runner, wh) = gateRunner(s, "graft-q46")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    def yamlFor(view: String) =
-      s"""pipeline: q46
-         |flowgroup: f
-         |actions:
-         |  - name: l
-         |    type: load
-         |    source: {type: table, table: $view}
-         |    target: v
-         |  - name: w
-         |    type: write
-         |    source: v
-         |    write_target: {type: streaming_table, table: q46_dim, change_log: true}
-         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
-         |                 apply_as_deletes: "event_type = 'error'"}
-         |""".stripMargin
-    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q46_b1")
-    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q46_b2")
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q46_b1")))
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q46_b2")))
+    runCdcTwoBatches(runner, ev, "q46", "q46_dim")
     runner.execute(graft.config.YamlConfig.parseFlowGroup(
       s"""pipeline: q46r
          |flowgroup: f
@@ -269,25 +291,7 @@ object Extras {
     val (store, runner, wh) = gateRunner(s, "graft-q47")
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    def yamlFor(view: String) =
-      s"""pipeline: q47
-         |flowgroup: f
-         |actions:
-         |  - name: l
-         |    type: load
-         |    source: {type: table, table: $view}
-         |    target: v
-         |  - name: w
-         |    type: write
-         |    source: v
-         |    write_target: {type: streaming_table, table: q47_dim, change_log: true}
-         |    cdc_config: {keys: [user_id], sequence_by: event_id, scd_type: 1,
-         |                 apply_as_deletes: "event_type = 'error'"}
-         |""".stripMargin
-    ev.filter(col("event_id") % 2 === 0).createOrReplaceTempView("q47_b1")
-    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("q47_b2")
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q47_b1")))
-    runner.run(graft.config.YamlConfig.parseFlowGroup(yamlFor("q47_b2")))
+    runCdcTwoBatches(runner, ev, "q47", "q47_dim")
     runner.execute(graft.config.YamlConfig.parseFlowGroup(
       s"""pipeline: q47r
          |flowgroup: f
@@ -1006,13 +1010,19 @@ object Extras {
     Tables.load(s, dir, "customer").createOrReplaceTempView("q55_customer")
     Tables.load(s, dir, "nation").createOrReplaceTempView("q55_nation")
     Tables.load(s, dir, "region").createOrReplaceTempView("q55_region")
+    // the src view is REDEFINED between the two runs (odd batch replaces
+    // even) — unlike the dimension views above (idempotent content, safe
+    // to race), a fixed name here lets a parallel sibling invocation's
+    // redefinition land between this one's view and its run, feeding it
+    // the wrong batch; the name is invocation-unique
+    val srcView = s"q55_src_${gateViewNonce.incrementAndGet()}"
     val factYaml =
-      """pipeline: q55
+      s"""pipeline: q55
         |flowgroup: fact
         |actions:
         |  - name: l
         |    type: load
-        |    source: {type: table, table: q55_src}
+        |    source: {type: table, table: $srcView}
         |    target: v
         |  - name: w
         |    type: write
@@ -1045,12 +1055,13 @@ object Extras {
         |        FROM q55_mv__joined
         |        GROUP BY r_name, CAST(date_trunc('month', o_orderdate) AS DATE)
         |""".stripMargin
-    ord.filter(col("o_orderkey") % 2 === 0).createOrReplaceTempView("q55_src")
+    ord.filter(col("o_orderkey") % 2 === 0).createOrReplaceTempView(srcView)
     runner.run(graft.config.YamlConfig.parseFlowGroup(factYaml))
     runner.run(graft.config.YamlConfig.parseFlowGroup(mvYaml))
-    ord.filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView("q55_src")
+    ord.filter(col("o_orderkey") % 2 === 1).createOrReplaceTempView(srcView)
     runner.run(graft.config.YamlConfig.parseFlowGroup(factYaml))
     runner.run(graft.config.YamlConfig.parseFlowGroup(mvYaml))
+    s.catalog.dropTempView(srcView): Unit
     store.read("q55_mv")
   }
 
@@ -2167,6 +2178,15 @@ object Extras {
     * uses sha256 — both engines hash the same UTF-8 bytes. Sample thresholds
     * are `(fraction * 2^32).toLong` — 0.1 → 429496729, 0.2 → 858993459,
     * 1.0 → 4294967296 (all-pass). */
+  // shared by q62 (streaming_table route) and q65 (direct-MV route)
+  private val ssjBatchJoinSql: String =
+    """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+      |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "m1_multimodal_features" ->
       """SELECT doc_id AS media_id,
@@ -2497,23 +2517,12 @@ object Extras {
     // pair per user within 30 minutes, exactly once — a cross-run match
     // dropped by lost join state, or a replayed batch's duplicate,
     // hash-mismatches
-    "q62_stream_stream_join" ->
-      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
-        |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id
-        | AND a.event_type = 'click' AND b.event_type = 'purchase'
-        | AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin,
-    // q65's oracle is q62's: the direct-MV maintenance route must produce
-    // exactly the one-shot batch join — a lost cross-boundary match
-    // (dropped checkpoint state) or a replay duplicate hash-mismatches
-    "q65_ssj_mv" ->
-      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
-        |       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id
-        | AND a.event_type = 'click' AND b.event_type = 'purchase'
-        | AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 30 MINUTE""".stripMargin,
+    "q62_stream_stream_join" -> ssjBatchJoinSql,
+    // q65's oracle IS q62's (one shared definition, the no-drifting-copies
+    // rule): the direct-MV maintenance route must produce exactly the
+    // one-shot batch join — a lost cross-boundary match (dropped
+    // checkpoint state) or a replay duplicate hash-mismatches
+    "q65_ssj_mv" -> ssjBatchJoinSql,
     // q63's oracle recomputes the per-user windows over ALL events in one
     // shot: a recompute that restarts ranks at the run boundary (delta-only
     // instead of base-wide), clobbers an untouched bucket's partition, or

@@ -31,16 +31,19 @@ object LlmData {
     * amortizes them across query batches. Drift/recall floors are
     * unchanged: the loaded model reconstructs the trained one
     * bit-for-bit (SimilaritySpec pins the round trip). */
-  private val codebookDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // lazy-holder memoization (Extras.fixtureOnce's pattern, same rationale):
+  // the KMeans fits must not run under the CHM bin lock — that serializes
+  // unrelated same-bin builds and recursive-updates if a trainer ever
+  // composes another memoized helper
+  private final class CodebookHolder(train: String => Unit) {
+    // Extras.gateDir registers the dir for JVM-exit cleanup — the same
+    // lifecycle every gate workspace has (a bare createTempDirectory
+    // here leaked a sidecar dir per JVM)
+    lazy val dir: String = { val d = Extras.gateDir("graft-codebook"); train(d); d }
+  }
+  private val codebookDirs = new java.util.concurrent.ConcurrentHashMap[String, CodebookHolder]()
   private def codebookDir(key: String)(train: String => Unit): String =
-    codebookDirs.computeIfAbsent(key, { _ =>
-      // Extras.gateDir registers the dir for JVM-exit cleanup — the same
-      // lifecycle every gate workspace has (a bare createTempDirectory
-      // here leaked a sidecar dir per JVM)
-      val d = Extras.gateDir("graft-codebook")
-      train(d)
-      d
-    })
+    codebookDirs.computeIfAbsent(key, _ => new CodebookHolder(train)).dir
   // one root holds BOTH sidecars (codes are meaningless under another
   // model, so the pair lives and dies together); returning the root from
   // a single seam keeps the memo key in one place and loads the codebook
@@ -130,6 +133,11 @@ object LlmData {
     val d = docs(s, dir).select(col("doc_id"))
     val (n, lo, hi) = {
       val r = d.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).first()
+      // min/max over ZERO rows are NULL — unboxing them would NPE before
+      // the contiguity require below can name the real problem
+      require(r.getLong(0) > 0,
+        "g1-g4 link-graph derivation needs a non-empty documents table " +
+          s"(got 0 rows in $dir) — was the fixture regenerated empty?")
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     // the DuckDB oracle omits the dangling-mass term, which is sound ONLY
@@ -923,6 +931,16 @@ object LlmData {
   private val spanCutCtes: String =
     s"$spanDetectCtes,\n${cutOnCtes("cspans")}"
 
+  // shared by d8 and d19 (bloom = pre-filter, never a decision)
+  private val incrementalDedupSql: String =
+    """WITH ix AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+      |batch AS (
+      |  SELECT doc_id, text, md5(text) AS fp,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents WHERE doc_id >= 250)
+      |SELECT doc_id, text FROM batch
+      |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ix)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // t11: the WHOLE training loop replayed — a recursive CTE carries the
     // (symbol-string, freq) vocabulary across rounds; per round, adjacent
@@ -996,25 +1014,13 @@ object LlmData {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "d8_incremental_dedup" ->
-      """WITH ix AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
-        |batch AS (
-        |  SELECT doc_id, text, md5(text) AS fp,
-        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents WHERE doc_id >= 250)
-        |SELECT doc_id, text FROM batch
-        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ix)""".stripMargin,
+    "d8_incremental_dedup" -> incrementalDedupSql,
     // d19 is EXACTLY d8 semantically (the bloom is a pre-filter, never a
     // decision): a false negative in the sketch, a wrongly-dropped fresh
-    // row, or a dupe surviving the maybe-join hash-mismatches
-    "d19_bloom_dedup" ->
-      """WITH ix AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
-        |batch AS (
-        |  SELECT doc_id, text, md5(text) AS fp,
-        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents WHERE doc_id >= 250)
-        |SELECT doc_id, text FROM batch
-        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ix)""".stripMargin,
+    // row, or a dupe surviving the maybe-join hash-mismatches — ONE shared
+    // definition (the no-drifting-copies rule), so the two gates cannot
+    // quietly pin different contracts
+    "d19_bloom_dedup" -> incrementalDedupSql,
     "d2_ngram_jaccard" -> exactJaccardSql,
     // MinHash-LSH verifies candidates with exact Jaccard; at threshold 0.6
     // with 16 bands × 2 rows the LSH miss probability is < 1e-3 per pair at
