@@ -109,8 +109,17 @@ object RunProject {
           graft.Log.warn(s"pipeline config: catalog/schema " +
             s"for monitoring pipeline '$mp' come from the lhp.yaml " +
             "monitoring block; the pipeline-config values are ignored"))
+        // sibling set per PIPELINE: a recomputeView may name a table any
+        // flowgroup of the same pipeline produces (they share the namespace)
+        val tablesByPipeline: Map[String, Set[String]] = fgs.groupBy(_.pipeline)
+          .map { case (pl, gs) => pl -> gs.flatMap(_.actions.collect {
+            case a: graft.model.TableLoad => a.table
+            case a: graft.model.StreamingTableWrite => a.table
+            case a: graft.model.MaterializedViewWrite => a.table
+          }).toSet }
         fgs.map(fg => graft.config.PipelineConfigs.applyNamespace(
-          fg, pc.settingsFor(fg.pipeline)))
+          fg, pc.settingsFor(fg.pipeline),
+          tablesByPipeline.getOrElse(fg.pipeline, Set.empty)))
       case None => fgs
     }
     val runConfs = pipelineConfig.map(

@@ -27,7 +27,10 @@ object FlowGroupResolver {
       case Some(l: java.util.List[_]) => l.asScala.flatMap {
         case m: java.util.Map[_, _] =>
           val mm = m.asScala.map { case (k, v) => k.toString -> v }
-          for (n <- mm.get("name"); d <- mm.get("default"))
+          // a value-less `default:` parses as null — treat as no-default
+          // (Blueprint.parseBlueprintDoc guards the identical shape), not
+          // an NPE from d.toString
+          for (n <- mm.get("name"); d <- mm.get("default") if d != null)
             yield n.toString -> d.toString
         case _ => None
       }.toMap
@@ -90,23 +93,42 @@ object FlowGroupResolver {
     val yaml = new Yaml()
     val raw = javaToMap(yaml.load[Any](yamlText))
 
-    // 1. local variables (textual %{var})
+    // 1. local variables (textual %{var}) — a value-less key would
+    // substitute the literal text "null"; refuse by name (the
+    // template_parameters posture below)
     val vars = raw.get("variables") match {
-      case Some(m: java.util.Map[_, _]) => javaToMap(m).map { case (k, v) => k -> String.valueOf(v) }
+      case Some(m: java.util.Map[_, _]) => javaToMap(m).map { case (k, v) =>
+        if (v == null) throw YamlConfig.ConfigError(
+          s"variables.$k is null — give it a value (it substitutes textually)")
+        k -> String.valueOf(v)
+      }
       case _ => Map.empty[String, String]
     }
 
     // 2. template expansion: rendered template actions are appended; the
     //    template's own presets apply FIRST (reference
-    //    flowgroup_resolver.py:135-155 — template presets set defaults the
-    //    flowgroup-level presets may override)
+    //    flowgroup_resolver.py:135-155). NOTE the override semantics are
+    //    the reference's, asymmetric by action type: load/write sections
+    //    DEEP-MERGE (later preset wins on conflicts), but transform and
+    //    flowgroup-level keys FILL ABSENT ONLY (apply_preset_config:278-280
+    //    `if key not in action`), so a template preset's transform fill-in
+    //    deliberately blocks a flowgroup preset's value for the same key
     val (withTemplate: Map[String, Any], templatePresets: Seq[String]) =
       raw.get("use_template") match {
         case Some(tName) =>
           val tDoc = templates.getOrElse(tName.toString,
             throw YamlConfig.ConfigError(s"unknown template '$tName'"))
           val params = raw.get("template_parameters") match {
-            case Some(m: java.util.Map[_, _]) => javaToMap(m).map { case (k, v) => k -> String.valueOf(v) }
+            case Some(m: java.util.Map[_, _]) => javaToMap(m).map { case (k, v) =>
+              // a value-less parameter would substitute the literal text
+              // "null" into the rendered actions (String.valueOf) — refuse
+              // by name instead, the Blueprint.parse posture for the same
+              // textual-substitution surface
+              if (v == null) throw YamlConfig.ConfigError(
+                s"template_parameters.$k is null — give it a value " +
+                  "(it substitutes textually into the template)")
+              k -> String.valueOf(v)
+            }
             case _ => Map.empty[String, String]
           }
           val rendered = javaToMap(yaml.load[Any](renderTemplate(parseTemplate(tDoc), params)))

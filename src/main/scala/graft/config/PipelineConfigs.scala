@@ -272,22 +272,26 @@ object PipelineConfigs {
     * targets AND table loads (an unqualified read resolves against the
     * reader pipeline's own target, exactly as in DLT). Already-qualified
     * names and non-table actions (views, sinks, sql text) pass through. */
-  def applyNamespace(fg: FlowGroup, s: Settings): FlowGroup = {
+  def applyNamespace(fg: FlowGroup, s: Settings,
+      siblingTables: Set[String] = Set.empty): FlowGroup = {
     val ns = s.namespace
     if (ns.isEmpty) fg
     else {
       def q(t: String) = if (t.contains(".")) t else (ns :+ t).mkString(".")
-      // table names this flowgroup itself produces/loads, pre-qualification:
-      // a recomputeView naming one of them must follow it into the
+      // table names this PIPELINE produces/loads, pre-qualification: a
+      // recomputeView naming one of them must follow it into the
       // namespace (the base table's own write just got qualified, so the
       // unqualified reference would fail with a spurious "names neither a
       // view nor a table"); names NOT in this set are session views and
-      // stay as-is (views are not namespaced)
+      // stay as-is (views are not namespaced). `siblingTables` carries the
+      // OTHER flowgroups' tables — an MV in flowgroup B recomputing over a
+      // table flowgroup A writes is the normal medallion shape, and a
+      // per-flowgroup-only set left its view reference unqualified
       val ownTables = fg.actions.collect {
         case a: TableLoad => a.table
         case a: StreamingTableWrite => a.table
         case a: MaterializedViewWrite => a.table
-      }.toSet
+      }.toSet ++ siblingTables
       fg.copy(actions = fg.actions.map {
         case a: TableLoad => a.copy(table = q(a.table))
         case a: StreamingTableWrite => a.copy(table = q(a.table))

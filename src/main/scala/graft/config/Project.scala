@@ -89,7 +89,12 @@ final case class Project(
       val matchers = include.map(g => fs.getPathMatcher(s"glob:$g"))
       scala.util.Using.resource(Files.walk(dir)) { s =>
         s.iterator().asScala
-          .filter(p => p.toString.endsWith(".yaml") && Files.isRegularFile(p))
+          // BOTH extensions, like the reference's flowgroup discoverer
+          // (flowgroup_discoverer.py:92-93 rglobs *.yaml AND *.yml) — a
+          // .yaml-only filter silently resolved zero flowgroups from a
+          // .yml-authored project
+          .filter(p => (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")) &&
+            Files.isRegularFile(p))
           .filter(p => matchers.isEmpty || matchers.exists(_.matches(dir.relativize(p))))
           .toList.sortBy(_.toString)
       }
@@ -413,6 +418,13 @@ object Project {
       case Some(cols: java.util.Map[_, _]) => cols.asScala.flatMap {
         case (name, cfg: java.util.Map[_, _]) =>
           val m = cfg.asScala.map { case (k, v) => k.toString -> v }.toMap
+          // a column with no (or a typo'd) `expression` key must refuse by
+          // name — silently dropping it writes every table WITHOUT the
+          // audit column the user declared (the loud-config posture the
+          // applies_to check below already enforces)
+          if (!m.contains("expression")) throw YamlConfig.ConfigError(
+            s"operational_metadata column '$name' has no 'expression' key " +
+              s"(found: ${m.keys.toSeq.sorted.mkString(", ")})")
           m.get("expression").map { e =>
             val appliesTo = m.get("applies_to") match {
               case Some(l: java.util.List[_]) =>

@@ -91,6 +91,10 @@ object Sandbox {
               "sandbox allowed_envs is empty — no environment could ever " +
                 "run --sandbox; remove the key to leave it unrestricted")
             Some(envs)
+          // a scalar spelling (`allowed_envs: dev`) is unambiguous intent —
+          // falling to None silently DISABLED the env gate, the exact
+          // silent-config class the empty-list check above refuses
+          case Some(v) if v != null => Some(Seq(v.toString))
           case _ => None
         }
         Config(strategy,

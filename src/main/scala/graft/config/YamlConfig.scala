@@ -469,8 +469,10 @@ object YamlConfig {
         "the TableStore always materializes the write target"
       if (lenient) graft.Log.warn(msg) else throw ConfigError(msg)
     }
-    val table = str(wt, "table").orElse(str(m, "table"))
-      .map(qualified(wt, _)).getOrElse(name)
+    // the DEFAULTED name (no `table:` key) must qualify exactly like an
+    // explicit one — .getOrElse(name) after the map silently dropped the
+    // write_target's declared catalog/schema for the defaulted spelling
+    val table = qualified(wt, str(wt, "table").orElse(str(m, "table")).getOrElse(name))
     // governance metadata shared by both table-producing write types
     val comment = str(wt, "comment")
     val tags = anyMap(wt, "tags").map { case (k, v) =>
@@ -868,12 +870,18 @@ object YamlConfig {
   private def normalizeWriteNamespace(name: String, wt: Map[String, Any]): Map[String, Any] = {
     val catalog = str(wt, "catalog").filter(_.nonEmpty)
     val schema = str(wt, "schema").filter(_.nonEmpty)
-    if (catalog.isDefined && schema.isDefined) {
+    // DDL-in-`schema` is a hard error whenever `schema` is NOT sitting
+    // next to `database` (where it is the legacy DDL alias, redirected
+    // below): checking only the catalog+schema case let a schema-ONLY DDL
+    // value slip through as a garbage namespace qualifier ("id BIGINT,
+    // name STRING.t") and fail later with an unrelated store error
+    if (str(wt, "database").filter(_.nonEmpty).isEmpty)
       schema.filter(looksLikeDdl).foreach { s =>
         throw ConfigError(s"write '$name': 'schema' value '${s.take(60)}' " +
           "looks like a DDL column list — 'schema' is the namespace name; " +
           "put column DDL in 'table_schema'")
       }
+    if (catalog.isDefined && schema.isDefined) {
       wt
     } else str(wt, "database").filter(_.nonEmpty) match {
       case None => wt

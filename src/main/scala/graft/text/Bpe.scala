@@ -86,6 +86,9 @@ object Bpe {
     * eagerly would force the child's first scan to recompute the whole
     * uncached chain from the corpus. */
   def train(df: DataFrame, textCol: String, opts: Options = Options()): Seq[Merge] = {
+    require(opts.checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1 (every-N-rounds lineage truncation; " +
+        s"got ${opts.checkpointEvery} — use a large value to checkpoint rarely)")
     var cur = vocab(df, textCol).persist()
     var prev: Option[DataFrame] = None
     val merges = mutable.ArrayBuffer.empty[Merge]

@@ -118,4 +118,35 @@ class NamespaceNormalizerSpec extends AnyFunSuite {
       .asInstanceOf[TableLoad]
     assert(l.table == "c.s.t")
   }
+
+  test("schema-only DDL refuses; a defaulted table name still qualifies") {
+    // DDL in `schema` WITHOUT a catalog used to slip through as a garbage
+    // namespace ("id BIGINT, name STRING.t") and fail later in the store
+    val e = intercept[graft.config.YamlConfig.ConfigError] {
+      graft.config.YamlConfig.parseFlowGroup(
+        """pipeline: p
+          |flowgroup: f
+          |actions:
+          |  - name: w
+          |    type: write
+          |    source: v
+          |    write_target: {type: streaming_table, table: t,
+          |                   schema: "id BIGINT, name STRING"}
+          |""".stripMargin)
+    }
+    assert(e.msg.contains("DDL"), e.msg)
+    // no `table:` key: the defaulted action name must qualify exactly like
+    // an explicit one (it used to land bare in the flat namespace)
+    val fg = graft.config.YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |actions:
+        |  - name: orders
+        |    type: write
+        |    source: v
+        |    write_target: {type: streaming_table, catalog: main, schema: silver}
+        |""".stripMargin)
+    val w = fg.actions.collectFirst { case w: graft.model.StreamingTableWrite => w }.get
+    assert(w.table == "main.silver.orders", w.table)
+  }
 }

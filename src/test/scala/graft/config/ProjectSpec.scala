@@ -108,7 +108,22 @@ class ProjectSpec extends SparkSuite {
         |    source: v_rev
         |    write_target: {type: materialized_view, table: revenue}
         |""".stripMargin)
-    Files.writeString(root.resolve("pipelines/bronze/excluded_elsewhere.yml"), "ignored")
+    // .yml is a FIRST-CLASS extension (reference flowgroup_discoverer
+    // rglobs *.yaml AND *.yml) — a .yaml-only filter silently resolved
+    // zero flowgroups from .yml-authored projects
+    Files.writeString(root.resolve("pipelines/bronze/yml_spelled.yml"),
+      """pipeline: bronze
+        |flowgroup: yml_spelled
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: sql, sql: "SELECT 1 AS one"}
+        |    target: v_one
+        |  - name: w
+        |    type: write
+        |    source: v_one
+        |    write_target: {type: materialized_view, table: yml_t}
+        |""".stripMargin)
 
     val project = Project.load(root.toString)
     assert(project.name == "fixture_project")
@@ -123,7 +138,8 @@ class ProjectSpec extends SparkSuite {
         Set("view", "streaming_table", "materialized_view"))))
 
     val fgs = project.flowgroups("dev")
-    assert(fgs.map(_.flowgroup).toSet == Set("events_ingest", "revenue"))
+    assert(fgs.map(_.flowgroup).toSet ==
+      Set("events_ingest", "revenue", "yml_spelled"))
 
     // template + preset + token resolution all landed
     val ingest = fgs.find(_.flowgroup == "events_ingest").get

@@ -142,4 +142,9 @@ class SandboxSpec extends SparkSuite {
     // reads through the SAME store resolve transparently
     assert(store.read("events").count() == 1)
   }
+
+  test("scalar allowed_envs restricts (it used to silently disable the gate)") {
+    val c = cfg("sandbox: {allowed_envs: dev}").get
+    assert(c.allowedEnvs == Some(Seq("dev")), c.allowedEnvs.toString)
+  }
 }
