@@ -79,14 +79,16 @@ object ValidateProject {
       }
     }
     resolved.foreach { case (p, fg) =>
-      Try(Planner.plan(fg, a => DependencyAnalyzer.actionInputs(spark, a))) match {
+      Try(Planner.plan(fg, a => DependencyAnalyzer.actionInputs(spark, a,
+        projectRoot = projectDir))) match {
         case Success(_) => ok += 1
         case Failure(e) =>
           issues += Issue(s"$p (${fg.pipeline}.${fg.flowgroup})", e.getMessage)
       }
     }
     // cross-flowgroup cycles surface here, not at run time
-    Try(DependencyAnalyzer.flowgroupGraph(spark, resolved.map(_._2)).generations) match {
+    Try(DependencyAnalyzer.flowgroupGraph(spark, resolved.map(_._2),
+      projectRoot = projectDir).generations) match {
       case Success(_) => ()
       case Failure(e) => issues += Issue(projectDir, e.getMessage)
     }

@@ -80,7 +80,7 @@ object Dedup {
             conf.set(itemsKey, math.max(oldItems.toLong, expectedItems))
             conf.set(bitsKey, math.max(oldBits.toLong, numBits))
             ix.agg(BloomFunctions.bloomAgg(
-                xxhash64(col("fp")), expectedItems, numBits).as("__bf"))
+                xxhash64(col(ix.columns.head)), expectedItems, numBits).as("__bf"))
               .head().getAs[Array[Byte]](0)
           } finally { conf.set(itemsKey, oldItems); conf.set(bitsKey, oldBits) }
         }
@@ -92,15 +92,28 @@ object Dedup {
             BloomFunctions.mightContain(lit(sketch), xxhash64(col("__fp"))))
             .cache()
           val fresh = flagged.filter(!col("__maybe"))
+          // the index's fingerprint column is its FIRST column, the
+          // incrementalExact/incrementalNearDup convention — a hardcoded
+          // 'fp' broke the documented drop-in contract for any other name
           val maybes = flagged.filter(col("__maybe"))
-            .join(ix.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+            .join(ix.select(col(ix.columns.head).as("__fp")), Seq("__fp"), "left_anti")
           fresh.unionByName(maybes).drop("__maybe", "__fp")
         }
     }
   }
 
   /** Word-level n-gram shingles of a text column, distinct per doc.
-    * One row per (id, shingle). */
+    * One row per (id, shingle).
+    *
+    * SHORT-DOC BOUNDARY (deliberate, oracle-pinned): a document under `n`
+    * words emits ONE pseudo-shingle — its whole text. Two short docs
+    * therefore compare as exact-match-or-nothing (reasonable Jaccard
+    * degeneration), but a short PROBE can never match a LONGER document's
+    * full n-shingles — [[contamination]] has a recall hole for probes
+    * shorter than `n`; pre-filter such probes or lower `n` for them. The
+    * alternative (per-row n = min(n, len)) would change every
+    * shingle-family gate and its DuckDB replay in lockstep — revisit only
+    * with the oracles. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val words = split(col(textCol), " ")
     val sh = transform(
@@ -220,6 +233,19 @@ object Dedup {
   /** Band buckets `(idCol, band, sig)` from a shingle-hash frame. */
   private def bucketsFromHashes(hashed: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // loud misconfiguration (the Similarity.requireBandConfig posture):
+    // rowsPerBand > numHashes gives ZERO bands — explode of an empty
+    // array drops every document and the dedup silently reports nothing;
+    // a non-divisible split silently ignores the remainder hashes
+    // (recall loss with no hint)
+    require(rowsPerBand >= 1 && rowsPerBand <= numHashes,
+      s"rowsPerBand must be in 1..numHashes($numHashes), got $rowsPerBand " +
+        "(rowsPerBand > numHashes would yield ZERO bands and silently " +
+        "report zero duplicates)")
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes($numHashes) must be divisible by rowsPerBand($rowsPerBand) " +
+        s"— the remainder ${numHashes % rowsPerBand} hashes would be " +
+        "silently unused (recall loss)")
     val bands = numHashes / rowsPerBand
     val mins = (0 until numHashes).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
     val minhashes = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -1040,6 +1066,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // loud beats under-merged (the connectedComponents contract): an
+    // unconverged exit returns SPLIT labels — one real component carrying
+    // several — and downstream keeper selection would silently keep
+    // multiple copies of one duplicate cluster
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsPropagation did not converge in $maxIter " +
+        "iterations (propagation needs one round per hop of the longest " +
+        "chain) — raise maxIter or use connectedComponents (O(log^2) rounds)")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

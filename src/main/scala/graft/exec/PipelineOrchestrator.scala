@@ -64,7 +64,8 @@ final class PipelineOrchestrator(
     }
     val runId = java.util.UUID.randomUUID().toString
     val byName = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg).toMap
-    val graph = DependencyAnalyzer.flowgroupGraph(spark, fgs)
+    val graph = DependencyAnalyzer.flowgroupGraph(spark, fgs,
+      projectRoot = projectRoot)
     val pool = Executors.newFixedThreadPool(math.max(1, maxParallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val dead = scala.collection.mutable.Set[String]() // failed or skipped

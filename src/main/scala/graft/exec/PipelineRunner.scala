@@ -210,7 +210,8 @@ final class PipelineRunner(
       // pure waste on metadata-plane latency.
       val parsed = mutable.Map[String, Seq[String]]()
       val inputs = (a: Action) => parsed.getOrElseUpdate(a.name,
-        graft.plan.DependencyAnalyzer.actionInputs(spark, a))
+        graft.plan.DependencyAnalyzer.actionInputs(spark, a,
+          projectRoot = projectRoot))
       refreshTargetedLoads = computeRefreshTargetedLoads(fg, inputs)
       // opt-in per-action wall-clock lines (`spark.graft.timing=true`):
       // the profiling seam for locating which ACTION dominates a pipeline

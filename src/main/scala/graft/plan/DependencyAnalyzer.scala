@@ -58,11 +58,17 @@ object DependencyAnalyzer {
     * [[tablesInSql]] absorbed as empty edge sets. An action that declares
     * `depends_on` is exempt — the user already covered its edges, so its
     * parse failures are suppressed (reference source_parsing.py:128-131). */
-  def extractionWarnings(spark: SparkSession, fgs: Seq[FlowGroup]): Seq[ExtractionWarning] = {
+  def extractionWarnings(spark: SparkSession, fgs: Seq[FlowGroup],
+      projectRoot: String = ""): Seq[ExtractionWarning] = {
+    // resolve sql_path the same way actionInputs does: an unreadable path
+    // reads as an unparseable empty text, so it WARNS here instead of
+    // silently contributing zero edges
     def sqls(a: Action): Seq[String] = a match {
-      case s: SqlLoad => Seq(s.sql)
-      case s: SqlTransform => Seq(s.sql)
-      case m: MaterializedViewWrite => m.sql.toSeq
+      case s: SqlLoad => Seq(sqlText(s.sql, s.sqlPath, projectRoot).getOrElse(""))
+      case s: SqlTransform => Seq(sqlText(s.sql, s.sqlPath, projectRoot).getOrElse(""))
+      case m: MaterializedViewWrite =>
+        m.sqlPath.orElse(m.sql).toSeq.map(_ =>
+          sqlText(m.sql.getOrElse(""), m.sqlPath, projectRoot).getOrElse(""))
       case _ => Nil
     }
     for {
@@ -94,13 +100,33 @@ object DependencyAnalyzer {
     * that action and its inputs are exactly the declared `source:` refs
     * unioned with `depends_on`. Actions without `depends_on` extract
     * exactly as in the default mode. */
+  /** The SQL text an action carries, for EXTRACTION purposes: inline
+    * `sql` wins; an empty inline with a `sql_path` reads the file (direct
+    * path, then projectRoot-relative — PipelineRunner.resolveFile's
+    * lookup order). sqlPath actions used to contribute ZERO edges and no
+    * LHP-DEP-003 warning — the scheduler could run a sqlPath MV before
+    * its producer, and an in-flowgroup transform consumed only by one was
+    * falsely rejected as an orphan. An unreadable path resolves to None:
+    * extraction stays warning-grade; execution fails loudly at readFile. */
+  private def sqlText(inline: String, path: Option[String],
+      projectRoot: String): Option[String] =
+    if (inline != null && inline.trim.nonEmpty) Some(inline)
+    else path.flatMap { pth =>
+      Seq(java.nio.file.Paths.get(pth), java.nio.file.Paths.get(projectRoot, pth))
+        .find(java.nio.file.Files.isRegularFile(_))
+        .flatMap(f => Try(java.nio.file.Files.readString(f)).toOption)
+    }
+
   def actionInputs(spark: SparkSession, a: Action,
-      trustDependsOn: Boolean = false): Seq[String] = {
+      trustDependsOn: Boolean = false, projectRoot: String = ""): Seq[String] = {
     val inputs =
       if (trustDependsOn && a.dependsOn.nonEmpty) a.inputNames
       else a match {
-        case s: SqlLoad => tablesInSql(spark, s.sql) ++ s.dependsOn
-        case s: SqlTransform => s.sources ++ tablesInSql(spark, s.sql) ++ s.dependsOn
+        case s: SqlLoad =>
+          sqlText(s.sql, s.sqlPath, projectRoot).toSeq
+            .flatMap(tablesInSql(spark, _)) ++ s.dependsOn
+        case s: SqlTransform => s.sources ++ sqlText(s.sql, s.sqlPath,
+          projectRoot).toSeq.flatMap(tablesInSql(spark, _)) ++ s.dependsOn
         case m: MaterializedViewWrite =>
           // incremental_join MVs carry their REAL upstream (the streamed
           // fact + dims) in joined_sql; the aggregation sql references only
@@ -108,7 +134,8 @@ object DependencyAnalyzer {
           // artifact, not a dependency — include the former, drop the latter
           // or the planner would order this MV against a phantom producer
           m.sources ++ m.recomputeView ++
-            (m.sql.toSeq ++ m.joinedSql.toSeq).flatMap(tablesInSql(spark, _))
+            (sqlText(m.sql.getOrElse(""), m.sqlPath, projectRoot).toSeq ++
+              m.joinedSql.toSeq).flatMap(tablesInSql(spark, _))
               .filterNot(n => n == s"${m.table}__joined" ||
                 n == s"${m.table.split('.').last}__joined") ++
             m.dependsOn
@@ -131,9 +158,10 @@ object DependencyAnalyzer {
   /** External tables a flowgroup consumes: inputs not defined by any action
     * in the same flowgroup. */
   def consumes(spark: SparkSession, fg: FlowGroup,
-      trustDependsOn: Boolean = false): Set[String] = {
+      trustDependsOn: Boolean = false, projectRoot: String = ""): Set[String] = {
     val internal = fg.actions.flatMap(_.target).toSet
-    fg.actions.flatMap(a => actionInputs(spark, a, trustDependsOn)).toSet -- internal
+    fg.actions.flatMap(a =>
+      actionInputs(spark, a, trustDependsOn, projectRoot)).toSet -- internal
   }
 
   final case class Graph(edges: Map[String, Set[String]]) { // node -> deps
@@ -171,7 +199,7 @@ object DependencyAnalyzer {
     * must see the edge; an AMBIGUOUS leaf (two qualified tables sharing
     * it) stays unresolved rather than guessing. */
   def flowgroupGraph(spark: SparkSession, fgs: Seq[FlowGroup],
-      trustDependsOn: Boolean = false): Graph = {
+      trustDependsOn: Boolean = false, projectRoot: String = ""): Graph = {
     val producers: Map[String, Set[String]] = fgs.flatMap { fg =>
       produces(fg).map(_ -> s"${fg.pipeline}.${fg.flowgroup}")
     }.groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2).toSet }
@@ -181,7 +209,7 @@ object DependencyAnalyzer {
         leaf -> ts.flatMap(_._2).toSet }
     Graph(fgs.map { fg =>
       val me = s"${fg.pipeline}.${fg.flowgroup}"
-      me -> consumes(spark, fg, trustDependsOn)
+      me -> consumes(spark, fg, trustDependsOn, projectRoot)
         .flatMap(t => producers.getOrElse(t, byLeaf.getOrElse(t, Set.empty)))
         .filterNot(_ == me)
     }.toMap)
@@ -189,8 +217,8 @@ object DependencyAnalyzer {
 
   /** Pipeline-level graph, folded up from the flowgroup graph. */
   def pipelineGraph(spark: SparkSession, fgs: Seq[FlowGroup],
-      trustDependsOn: Boolean = false): Graph = {
-    val fgGraph = flowgroupGraph(spark, fgs, trustDependsOn)
+      trustDependsOn: Boolean = false, projectRoot: String = ""): Graph = {
+    val fgGraph = flowgroupGraph(spark, fgs, trustDependsOn, projectRoot)
     val pipelineOf = fgs.map(fg => s"${fg.pipeline}.${fg.flowgroup}" -> fg.pipeline).toMap
     Graph(fgGraph.edges.groupBy { case (n, _) => pipelineOf(n) }
       .map { case (p, es) =>

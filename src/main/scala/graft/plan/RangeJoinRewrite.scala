@@ -101,14 +101,18 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
             case a: Attribute if a.name == BucketCol => a }.isEmpty =>
         val parts = splitConjunctivePredicates(cond)
         // EqualNullSafe counts too: Spark's ExtractEquiJoinKeys plans `<=>`
-        // as a hash join already, so rewriting would only add explode cost
+        // as a hash join already, so rewriting would only add explode cost.
+        // BOTH sides must reference a real column: a literal equality
+        // (`region = 'EU'`) has one EMPTY reference set, which subsets
+        // everything — counting it as an equi key suppressed the rewrite
+        // while Spark still planned the nested loop this rule exists to fix
+        def crossSides(a: Expression, b: Expression): Boolean =
+          a.references.nonEmpty && b.references.nonEmpty &&
+            ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
         val hasEqui = parts.exists {
-          case EqualTo(a, b) =>
-            (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-          case EqualNullSafe(a, b) =>
-            (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-              (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+          case EqualTo(a, b) => crossSides(a, b)
+          case EqualNullSafe(a, b) => crossSides(a, b)
           case _ => false
         }
         // candidate range pair: lower `s <= p` and upper `p <= e` on the

@@ -57,8 +57,15 @@ object CrawlResumeChild {
       case Array("table", t) => mkTableHalt(t, haltNow)
       case other => sys.error(s"unknown haltSpec '${other.mkString(":")}'")
     }
-    val fgs = new java.io.File(yamlDir).listFiles()
-      .filter(_.getName.endsWith(".yaml")).sortBy(_.getName).toSeq
+    // both extensions (the config plane's .yml-parity rule) and a loud
+    // error for a missing dir — listFiles() returns null there, and the
+    // resulting partial/empty project would print the misleading
+    // 'halt hook never fired' instead of naming the real problem
+    val fgFiles = Option(new java.io.File(yamlDir).listFiles()).getOrElse(
+      sys.error(s"CrawlResumeChild: yamlDir '$yamlDir' does not exist"))
+    val fgs = fgFiles
+      .filter(f => f.getName.endsWith(".yaml") || f.getName.endsWith(".yml"))
+      .sortBy(_.getName).toSeq
       .map(f => graft.config.YamlConfig.parseFlowGroup(
         java.nio.file.Files.readString(f.toPath)))
     val orch = new graft.exec.PipelineOrchestrator(spark, store, cp, hooks = halt)

@@ -37,17 +37,17 @@ object Dependencies {
     * consumer of the reference's output can point at this engine's. */
   def toJson(spark: org.apache.spark.sql.SparkSession,
       fgs: Seq[graft.model.FlowGroup],
-      trustDependsOn: Boolean = false): String = {
+      trustDependsOn: Boolean = false, projectRoot: String = ""): String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def jstr(s: String) = "\"" + esc(s) + "\""
     def jarr(xs: Seq[String]) = xs.map(jstr).mkString("[", ", ", "]")
 
-    val pg = DependencyAnalyzer.pipelineGraph(spark, fgs, trustDependsOn)
+    val pg = DependencyAnalyzer.pipelineGraph(spark, fgs, trustDependsOn, projectRoot)
     val byPipeline = fgs.groupBy(_.pipeline)
     val producedAnywhere = fgs.flatMap(DependencyAnalyzer.produces).toSet
     val externalByPipeline: Map[String, Seq[String]] = byPipeline.map {
       case (p, pfgs) =>
-        p -> pfgs.flatMap(DependencyAnalyzer.consumes(spark, _, trustDependsOn))
+        p -> pfgs.flatMap(DependencyAnalyzer.consumes(spark, _, trustDependsOn, projectRoot))
           .filterNot(producedAnywhere).distinct.sorted
     }
     val (stages, circular) =
@@ -73,7 +73,7 @@ object Dependencies {
     // clean) — the reference export's schema contract
     // (core/dependencies/output.py:75-90); DEP-003 advisories mean the
     // graph above is missing edges the user must cover with depends_on
-    val warnings = DependencyAnalyzer.extractionWarnings(spark, fgs)
+    val warnings = DependencyAnalyzer.extractionWarnings(spark, fgs, projectRoot)
     val warningsJson = warnings.map { w =>
       "{" + Seq(
         s""""code": ${jstr(w.code)}""",
@@ -101,9 +101,15 @@ object Dependencies {
       "[dot|json|text] [--trust-depends-on] [--pipeline <name>]")
     val (projectDir, env) = (args(0), args(1))
     val rest = args.drop(2)
-    val format = rest.find(!_.startsWith("-")).getOrElse("text")
+    val pipelineIdx = rest.indexOf("--pipeline")
+    // the token AFTER --pipeline is its VALUE, not the output format —
+    // `--pipeline dot` used to flip the tool into Graphviz mode
+    val pipelineValueIdx = if (pipelineIdx >= 0) pipelineIdx + 1 else -2
+    val format = rest.zipWithIndex.collectFirst {
+      case (t, i) if !t.startsWith("-") && i != pipelineValueIdx => t
+    }.getOrElse("text")
     val trust = rest.contains("--trust-depends-on")
-    val pipelineFilter = rest.indexOf("--pipeline") match {
+    val pipelineFilter = pipelineIdx match {
       case -1 => None
       case i => Some(rest.lift(i + 1).getOrElse(
         throw new IllegalArgumentException("--pipeline needs a name")))
@@ -122,15 +128,15 @@ object Dependencies {
     }
     // advisories to stderr for the human formats (JSON embeds them)
     if (format != "json")
-      DependencyAnalyzer.extractionWarnings(spark, fgs).foreach { w =>
+      DependencyAnalyzer.extractionWarnings(spark, fgs, projectDir).foreach { w =>
         System.err.println(
           s"[graft] WARN ${w.code} ${w.flowgroup}/${w.action}: ${w.message} ${w.suggestion}")
       }
     println(format match {
       case "dot" =>
-        toDot("flowgroups", DependencyAnalyzer.flowgroupGraph(spark, fgs, trust))
-      case "json" => toJson(spark, fgs, trust)
-      case _ => toText(DependencyAnalyzer.flowgroupGraph(spark, fgs, trust))
+        toDot("flowgroups", DependencyAnalyzer.flowgroupGraph(spark, fgs, trust, projectDir))
+      case "json" => toJson(spark, fgs, trust, projectDir)
+      case _ => toText(DependencyAnalyzer.flowgroupGraph(spark, fgs, trust, projectDir))
     })
     spark.stop()
   }

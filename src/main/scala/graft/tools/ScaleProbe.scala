@@ -435,6 +435,12 @@ object ScaleProbe {
       spark.catalog.clearCache()
       lmSeed.persist(); queries.persist()
       lmSeed.count(); queries.count(): Unit
+      // the LM's internal pairCounts cache (LanguageModel.train's .cache())
+      // is ALSO gone after clearCache and is never re-registered by the
+      // loop — without this, the k=reps lm_score reps recompute the seed
+      // aggregation inside the timed window while k=1 ran warm, inflating
+      // the reported linearity ratio with a constant seed-recompute cost
+      lm.pairCounts.persist(); lm.pairCounts.count(): Unit
       println(f"""{"k":$k,"rows":$rows,"lm_score":$lmT%.2f,"bm25_build":$buildT%.2f,"bm25_search":$searchT%.2f,"dsir_weights":$dsirT%.2f}""")
       c.unpersist(): Unit
     }
@@ -490,6 +496,9 @@ object ScaleProbe {
         val sample4kT = (System.nanoTime() - t0) / 1e9
         println(f"""{"k":$k,"rows":${spark.table("gw_probe_base").count()},"buckets":${bnds.size + 1},"bootstrap":$bootstrapT%.2f,"suffix_worst":$worstT%.2f,"suffix_best":$bestT%.2f,"sample4k_sec":$sample4kT%.2f,"sample4k_rows":${bs4k.sampled}}""")
       }
+      // the K=reps base is reps × the fixture — repeated probe runs would
+      // accumulate gigabytes in tmp (the ingest tier's cleanup, applied)
+      graft.exec.Fs.deleteRecursively(new java.io.File(tmpGw))
     }
     spark.stop()
   }

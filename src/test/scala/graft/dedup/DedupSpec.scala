@@ -661,4 +661,43 @@ class DedupSpec extends SparkSuite {
     assert(again.select("doc_id", "text_dedup").as[(Long, String)].collect().toSet ==
       Set(1L -> "a\n\nb", 2L -> "c"))
   }
+
+  test("minHashLsh band misconfiguration refuses loudly, never silently empty") {
+    val d = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // rowsPerBand > numHashes -> zero bands -> every doc silently dropped
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(d, "doc_id", "text", numHashes = 8, rowsPerBand = 16)
+    }
+    assert(e1.getMessage.contains("ZERO bands"), e1.getMessage)
+    // non-divisible split -> silently unused hashes (recall loss)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(d, "doc_id", "text", numHashes = 32, rowsPerBand = 5)
+    }
+    assert(e2.getMessage.contains("divisible"), e2.getMessage)
+  }
+
+  test("connectedComponentsPropagation refuses an unconverged exit (split labels)") {
+    // a 4-hop chain cannot converge in 1 round of min-label propagation
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsPropagation(chain, "a", "b", maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // and converged output is correct
+    val ok = Dedup.connectedComponentsPropagation(chain, "a", "b", maxIter = 10)
+      .select("component").distinct().count()
+    assert(ok == 1)
+  }
+
+  test("incrementalExactBloom honors the first-column index convention, any name") {
+    val batch = Seq((10L, "dup text"), (11L, "fresh text")).toDF("doc_id", "text")
+    // index fingerprint column named 'hash' (not 'fp') — the documented
+    // drop-in contract is incrementalExact's: first column is the key
+    val ix = Seq(Tuple1("dup text")).toDF("t")
+      .select(org.apache.spark.sql.functions.md5($"t").as("hash"))
+    val out = Dedup.incrementalExactBloom(batch, Some(ix), "doc_id", "text",
+      expectedItems = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L), out.toString)
+  }
 }

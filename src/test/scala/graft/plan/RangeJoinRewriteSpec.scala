@@ -171,4 +171,37 @@ class RangeJoinRewriteSpec extends SparkSuite {
         spark.experimental.extraOptimizations.filterNot(_ eq r)
     }
   }
+
+  test("a literal equality is NOT an equi key — the rewrite still fires") {
+    val r = RangeJoinRewrite()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ r
+    try {
+      spark.conf.set(r.WidthKey, "25.0")
+      // region = 'EU' has an empty reference set on one side — Spark can't
+      // hash-join on it, so counting it as an equi key suppressed the
+      // rewrite while the join stayed the nested loop the rule exists to fix
+      val points = (0 until 200).map(i => (i.toLong, (i * 7 % 997).toLong, "EU"))
+        .toDF("pid", "t", "region")
+      val intervals = (0 until 50).map { i =>
+        val st = (i * 13 % 900).toLong
+        (i.toLong, st, st + (i % 50))
+      }.toDF("iid", "s", "e")
+      val joined = points.join(intervals,
+        $"t" >= $"s" && $"t" <= $"e" && $"region" === "EU")
+      assert(joined.queryExecution.executedPlan.toString.contains("Generate"),
+        joined.queryExecution.executedPlan.toString)
+      // results identical to the brute-force inequality join
+      val brute = points.filter($"region" === "EU").as("p")
+        .crossJoin(intervals.as("i"))
+        .filter($"t" >= $"s" && $"t" <= $"e")
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+      val got = joined.select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == brute && got.nonEmpty)
+    } finally {
+      spark.conf.unset(r.WidthKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq r)
+    }
+  }
 }
