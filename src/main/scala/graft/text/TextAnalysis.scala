@@ -19,26 +19,31 @@ object TextAnalysis {
 
   private def words(textCol: Column): Column = split(textCol, " ")
 
-  /** Stopword hit count (WITH multiplicity) in one codegen'd regex scan —
-    * the r13 gopherRules rewrite applied to the shared helper: the
-    * higher-order filter() form is CodegenFallback in Spark 4.1
-    * (GopherHofProbe measured the interpreted pass at ~2× the codegen'd
-    * equivalent, and languageId evaluates this four times per row).
-    * Tokens are single-space-bounded, exactly words()'s split: `(?:^| )`
-    * anchors the token start, the lookahead `(?= |$)` its end WITHOUT
-    * consuming the boundary space, so adjacent stopwords ("the a") both
-    * count and multiplicity is preserved (an array_contains sum — the
-    * Gopher presence rule's form — would collapse repeats).
-    * StopwordHitsSpec pins this row-identical to the HOF form on
-    * fixture + adversarial rows. */
+  /** Stopword hit count (WITH multiplicity). The HOF filter/isin form IS
+    * the implementation: an equivalent one-regex-scan-per-language rewrite
+    * (the r13 gopherRules recipe, `(?:^| )(?:w1|w2|…)(?= |$)`) was tried
+    * and REVERTED on measurement — 9-iter same-host A/B, sf0.1: t1_langid
+    * 0.36 → 0.48 s (+33%); a 10-alternative backtracking scan × 4
+    * languages costs more per row than the CodegenFallback HOF does here
+    * (gopherRules' signals, where the rewrite DID pay 2×, are
+    * literal-replace counts and a single-class regex, not a word-list
+    * alternation). The differential spec keeps BOTH forms row-identical
+    * so the trade can be revisited with data. */
   private def stopwordHits(textCol: Column, lang: String): Column =
-    regexp_count(textCol,
-      lit(s"(?:^| )(?:${stopwords(lang).mkString("|")})(?= |$$)"))
+    stopwordHitsHof(textCol, lang)
 
-  /** The HOF (filter/isin) definition of [[stopwordHits]] — test-only
-    * differential oracle for the regex rewrite above. */
+  /** The HOF (filter/isin) definition — also the differential oracle for
+    * [[stopwordHitsRegex]]. */
   private[text] def stopwordHitsHof(textCol: Column, lang: String): Column =
     size(filter(words(textCol), w => w.isin(stopwords(lang): _*)))
+
+  /** The regex form, kept measurable: one `regexp_count` scan per
+    * language; `(?:^| )` anchors the token start, the lookahead `(?= |$)`
+    * its end WITHOUT consuming the boundary space, so adjacent stopwords
+    * ("the a") both count and multiplicity is preserved. */
+  private[text] def stopwordHitsRegex(textCol: Column, lang: String): Column =
+    regexp_count(textCol,
+      lit(s"(?:^| )(?:${stopwords(lang).mkString("|")})(?= |$$)"))
 
   /** Heuristic language ID: highest stopword-hit count wins (alphabetical
     * tie-break via the comparison order); 'und' (undetermined) when no list
