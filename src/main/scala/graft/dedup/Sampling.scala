@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * reproducible across runs, cluster sizes, and partitionings — the property
   * that matters when a 100 TB corpus is resampled incrementally (a re-run
   * must keep/drop the same documents). No shuffle: sampling is a filter.
+  *
+  * RECIPE VERSION NOTE (stability across engine versions): the default
+  * (non-portable) bucket space widened from 1e6 to 2^32 in r15 — rates
+  * under 1e-6 used to floor to a ZERO threshold and silently keep nothing.
+  * Within either version the kept set is stable, but ACROSS the boundary
+  * the kept set at a given (key, salt, fraction) SHIFTS: `pmod(xxhash64(k,
+  * salt), 1e6) < f*1e6` and `pmod(..., 2^32) < f*2^32` select different
+  * keys. Incrementally-sampled corpora built under the old recipe must
+  * either resample from scratch or pin the old engine for that corpus —
+  * there is no compatibility switch, deliberately: keeping the floored
+  * recipe available would preserve the silent under-fill bug it had. The
+  * `portable = true` arm (md5, documented below) is unchanged and was
+  * always 2^32-wide.
   */
 object Sampling {
 

@@ -691,9 +691,17 @@ object TableStore {
       val e = entries.get(key)
       if (e != null && e.synchronized(e.holds > 0)) return true
       if (!Files.exists(lockPath)) return false
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.WRITE,
-        java.nio.file.StandardOpenOption.READ)
+      // TOCTOU: the file can vanish between the exists check and the open
+      // (a janitor or table drop) — a nonexistent lock is held by no one,
+      // same answer the exists check would have given a moment later
+      val ch =
+        try java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.READ)
+        catch {
+          case _: java.nio.file.NoSuchFileException => return false
+          case _: java.io.FileNotFoundException => return false
+        }
       try {
         val fl =
           try ch.tryLock()

@@ -86,20 +86,49 @@ object AsOfJoin {
 
     // hash-based tie-break and salt terms must be HASHABLE: xxhash64
     // refuses MapType anywhere in the type tree (AnalysisException at plan
-    // time), so map-bearing columns are excluded from the HASHED
-    // projections only — they still ride in __p/__l untouched. Rows
-    // identical in every hashable field are duplicates up to map content,
-    // where any stable pick is a valid as-of answer; a left frame with no
-    // hashable column at all salt-scatters by its time column.
+    // time), and hashing a map's internal iteration order would be
+    // partition-layout-dependent even if it didn't. Map-bearing RIGHT
+    // payload columns therefore enter the tie-break hash through a
+    // CANONICAL form (maps → key-sorted entry arrays, recursively), so the
+    // 'arbitrary but STABLE' tie-break claim holds for map payloads too —
+    // right rows differing only in map content get distinct __ph and a
+    // layout-independent pick. The LEFT salt hash still skips map columns
+    // unhashed: __lh only scatters left rows across buckets, every bucket
+    // sees the full right history, and the result is provably
+    // bucket-assignment-independent — determinism there buys nothing. A
+    // left frame with no hashable column at all salt-scatters by its time
+    // column.
     def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
       case _ => true
     }
+    // canonical hashable image of a possibly-map-bearing value: key-sorted
+    // entry arrays for maps (map keys can never contain maps, so the sort
+    // key is always orderable), rebuilt structs/arrays only where a map
+    // hides underneath. Per-map cost is n·log n + n lookups — paid only on
+    // map-bearing payload schemas.
+    def canon(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case m: org.apache.spark.sql.types.MapType =>
+        transform(array_sort(map_keys(c)), k => struct(
+          canon(k, m.keyType).as("key"),
+          canon(element_at(c, k), m.valueType).as("value")))
+      case s: org.apache.spark.sql.types.StructType if !mapFree(s) =>
+        // NULL-struct guard: rebuilding a null struct field-by-field would
+        // yield a struct of nulls — keep null canonical images null
+        when(c.isNull, lit(null)).otherwise(
+          struct(s.fields.toSeq.map(f => canon(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case a: org.apache.spark.sql.types.ArrayType if !mapFree(a.elementType) =>
+        transform(c, e => canon(e, a.elementType))
+      case _ => c
+    }
     val hashablePayStruct = struct(
       (TimeCols.tzNorm(right, rightTime).as("__asof_t") +:
-        payload.filter(p => mapFree(right.schema(p).dataType)).map(col)): _*)
+        payload.map { p =>
+          val dt = right.schema(p).dataType
+          if (mapFree(dt)) col(p) else canon(col(p), dt)
+        }): _*)
     val hashableLeftCols = left.columns.toSeq
       .filter(c => mapFree(left.schema(c).dataType)).map(col)
 

@@ -503,13 +503,18 @@ object AvroBridge {
   /** Write `df` as Avro container files under `dir` (one file per non-empty
     * partition, snappy-less null codec — the serde jar ships no codec deps).
     * This is the engine's test/fixture writer and the landing-side of the
-    * avro gate; it is NOT a committed sink (no atomic rename protocol) —
+    * avro gate; per-task commits follow the [[StagedCommit]] protocol
+    * (stage to a hidden attempt name, one atomic overwrite-rename —
+    * HDFS/local only), but it is NOT a transactional multi-task sink —
     * production writes stay on the TableStore paths. */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = toAvroSchema(df.schema, "row").toString
     val sparkSchema = df.schema
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // commit protocol (staging names, HDFS/local-only rename atomicity,
+    // stale-staging janitor): see StagedCommit's scaladoc
+    StagedCommit.sweepStaging(dir, conf.value)
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val schema = new ASchema.Parser().parse(schemaJson)
@@ -541,6 +546,7 @@ object AvroBridge {
             w.append(rec)
           }
           w.close() // closes os; flushes the avro trailer before rename
+          graft.exec.CrashForge.maybeHalt("avro_commit") // stage↔rename window
           val fc = org.apache.hadoop.fs.FileContext.getFileContext(
             finalPath.toUri, conf.value)
           fc.rename(tmpPath, finalPath,

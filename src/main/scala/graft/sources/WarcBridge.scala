@@ -407,6 +407,9 @@ object WarcBridge {
     val cols = Seq("warc_type", "record_id", "warc_date", "target_uri",
       "content_type", "payload")
     val ext = if (gzip) ".warc.gz" else ".warc"
+    // commit protocol (staging names, HDFS/local-only rename atomicity,
+    // stale-staging janitor): see StagedCommit's scaladoc
+    StagedCommit.sweepStaging(dir, conf.value)
     df.selectExpr(cols: _*).foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -463,6 +466,7 @@ object WarcBridge {
             } else os.write(rec.toByteArray)
           }
           os.close()
+          graft.exec.CrashForge.maybeHalt("warc_commit") // stage↔rename window
           // last attempt wins via ONE atomic overwrite-rename (FileContext
           // carries the OVERWRITE flavor plain FileSystem.rename lacks).
           // A delete-then-rename pair here would open a window where a

@@ -91,17 +91,6 @@ object CrawlResumeChild {
     * add-opens harvesting, classpath, and halt-marker contract cannot
     * drift apart. */
   def spawn(wh: String, cp: String, yamlDir: String,
-      haltSpec: String): (Int, String) = {
-    val javaBin = java.nio.file.Paths.get(
-      sys.props("java.home"), "bin", "java").toString
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.toArray.map(_.toString)
-      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val cmd = (Seq(javaBin, "-Xmx4g", "-XX:TieredStopAtLevel=1") ++ addOpens ++ Seq(
-      "-cp", sys.props("java.class.path"),
-      "graft.tools.CrawlResumeChild", wh, cp, yamlDir, haltSpec)).toArray
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-    (proc.waitFor(), out)
-  }
+      haltSpec: String): (Int, String) =
+    ChildJvm.spawn("graft.tools.CrawlResumeChild", Seq(wh, cp, yamlDir, haltSpec))
 }

@@ -291,10 +291,11 @@ class JoinOpsSpec extends SparkSuite {
     }
   }
 
-  test("as-of join accepts map-typed payload and left columns (hash tie-break skips them)") {
+  test("as-of join accepts map-typed payload and left columns (canonicalized into the tie-break)") {
     import org.apache.spark.sql.functions._
-    // xxhash64 refuses MapType — the tie-break/salt hashes must exclude
-    // map columns instead of failing analysis for every map-carrying frame
+    // xxhash64 refuses MapType — map payload columns enter the tie-break
+    // hash through a canonical (key-sorted entries) image instead of
+    // failing analysis for every map-carrying frame
     val l = Seq((1, 10L), (1, 20L)).toDF("k", "t")
       .withColumn("attrs", map(lit("side"), lit("left")))
     val r = Seq((1, 5L, "r1"), (1, 15L, "r2")).toDF("k", "rt", "r_id")
@@ -306,5 +307,38 @@ class JoinOpsSpec extends SparkSuite {
     val salted = AsOfJoin(l, r, Seq("k"), "t", "rt", Seq("props"),
       salt = Some(4))
     assert(salted.count() == 2)
+  }
+
+  test("ties differing ONLY in map payload resolve stably (canonical map hash)") {
+    import org.apache.spark.sql.functions._
+    // two right rows identical in every hashable field, distinguished only
+    // by map content — the r15 gap: both shared __ph=constant, so the pick
+    // was partition-layout-dependent. Canonicalization gives them distinct
+    // hashes; the pick must now survive any layout. Nested map (inside a
+    // struct AND with insertion-order-scrambled keys) exercises the
+    // recursive canon path: same logical map built in two insertion orders
+    // must hash IDENTICALLY (order-insensitive), different content must
+    // hash apart (pick stability).
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    def rightDf(scramble: Boolean) = {
+      val m1 = if (scramble) map(lit("b"), lit(2), lit("a"), lit(1))
+               else map(lit("a"), lit(1), lit("b"), lit(2))
+      Seq((1L, 50L, "x"), (1L, 50L, "y")).toDF("k", "rt", "tag")
+        .withColumn("props",
+          when(col("tag") === "x", m1).otherwise(map(lit("a"), lit(9))))
+        .withColumn("nested", struct(col("props").as("inner")))
+        .drop("tag")
+    }
+    def pick(right: org.apache.spark.sql.DataFrame): String =
+      AsOfJoin(l, right, Seq("k"), "t", "rt", Seq("props", "nested"))
+        .select(col("props")("a").cast("string")).as[String].head()
+    val first = pick(rightDf(scramble = false))
+    // layout-independence: repartition/reorder cannot change the winner
+    assert(pick(rightDf(scramble = false).repartition(7)) == first)
+    assert(pick(rightDf(scramble = false)
+      .orderBy(col("rt").desc, col("props")("a").desc).repartition(3)) == first)
+    // insertion-order-insensitivity: scrambling key order inside the SAME
+    // logical map must not flip the pick either
+    assert(pick(rightDf(scramble = true)) == first)
   }
 }
