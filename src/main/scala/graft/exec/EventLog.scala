@@ -26,6 +26,13 @@ object EventLog {
   final class Composite(hs: PipelineHooks*) extends PipelineHooks {
     override def onTableWritten(p: String, f: String, t: String): Unit =
       hs.foreach(_.onTableWritten(p, f, t))
+    // EVERY hook must forward — this composite predates onBatchCommitted
+    // and silently swallowed it for all children (a crash-forge halt spec
+    // or monitoring listener wired through a composite never fired);
+    // CompositeHooksSpec pins the full forwarding surface by reflection
+    override def onBatchCommitted(p: String, f: String, t: String,
+        batchId: Long): Unit =
+      hs.foreach(_.onBatchCommitted(p, f, t, batchId))
     override def onTableTagged(p: String, f: String, t: String,
         tags: Map[String, String]): Unit =
       hs.foreach(_.onTableTagged(p, f, t, tags))

@@ -10,6 +10,7 @@ import org.apache.spark.sql.types.StructType
 import graft.model._
 import graft.operators.{DataTests, Expectations, Quarantine, ScdMerge, SchemaTransform, SnapshotCdc}
 import graft.plan.Planner
+import graft.tools.GateLifecycle.TrackedStart
 
 /** Plugin traits — the Scala equivalent of the reference's python-function
   * load/transform plugins (generators/load/python.py,
@@ -810,7 +811,7 @@ final class PipelineRunner(
             }
             .option("checkpointLocation", checkpointFor(a.name + "__quarantine"))
             .trigger(Trigger.AvailableNow())
-            .start().awaitTermination()
+            .startTracked()
           register(a.target, withOpMeta(a0, Expectations.dropQuarantined(src, a.rules)), streaming = true)
         case Some(dlq) =>
           // batch quarantine: clean rows pass through; violating rows are
@@ -987,12 +988,13 @@ final class PipelineRunner(
       // refusals raised inside foreachBatch (the cardinality guard) must
       // surface as the same PlanError every other ACT refusal in this
       // branch throws, not buried in Spark's StreamingQueryException wrap
-      try recomputeStream.awaitTermination()
-      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-        Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
-          .collectFirst { case pe: Planner.PlanError => pe }
-          .map(throw _).getOrElse(throw e)
-      }
+      graft.tools.GateLifecycle.awaitStream(recomputeStream, q =>
+        try q.awaitTermination()
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+            .collectFirst { case pe: Planner.PlanError => pe }
+            .map(throw _).getOrElse(throw e)
+        })
       store.setProperties(a.table, a.tableProperties)
       applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
       registerTableView(a.table)
@@ -1028,7 +1030,7 @@ final class PipelineRunner(
         }
         .option("checkpointLocation", checkpointFor(a.name))
         .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+        .startTracked()
       store.readIfExists(companion).foreach { j =>
         // registered by basename (the temp-view catalog rejects dots) —
         // the same convention every written table follows below
@@ -1141,7 +1143,7 @@ final class PipelineRunner(
               }
               .option("checkpointLocation", checkpointFor(a.name))
               .trigger(Trigger.AvailableNow())
-              .start().awaitTermination()
+              .startTracked()
           case None =>
             // stream-stream-bearing SQL auto-routes to append-mode
             // maintenance when every stream side is watermarked (the r12
@@ -1166,7 +1168,7 @@ final class PipelineRunner(
                 }
                 .option("checkpointLocation", checkpointFor(a.name))
                 .trigger(Trigger.AvailableNow())
-                .start().awaitTermination()
+                .startTracked()
             else
               df.writeStream.outputMode("complete")
                 .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1175,7 +1177,7 @@ final class PipelineRunner(
                 }
                 .option("checkpointLocation", checkpointFor(a.name))
                 .trigger(Trigger.AvailableNow())
-                .start().awaitTermination()
+                .startTracked()
         }
       } else {
         store.overwrite(a.table, clustered(df, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
@@ -1194,7 +1196,7 @@ final class PipelineRunner(
             src.writeStream.format(a.options.getOrElse("format", "parquet"))
               .option("checkpointLocation", checkpointFor(a.sinkId))
               .option("path", p).trigger(Trigger.AvailableNow())
-              .start().awaitTermination()
+              .startTracked()
           else src.write.mode("append")
             .format(a.options.getOrElse("format", "parquet")).save(p)
         case "kafka" =>
@@ -1204,7 +1206,7 @@ final class PipelineRunner(
           if (src.isStreaming)
             conformed.writeStream.format("kafka").options(opts)
               .option("checkpointLocation", checkpointFor(a.sinkId))
-              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+              .trigger(Trigger.AvailableNow()).startTracked()
           else conformed.write.format("kafka").options(opts).save()
         case "delta" =>
           // reference delta_sink.py: `format: delta` + options.tableName
@@ -1237,7 +1239,7 @@ final class PipelineRunner(
                 src.writeStream.format("parquet")
                   .option("checkpointLocation", checkpointFor(a.sinkId))
                   .option("path", store.path(t))
-                  .trigger(Trigger.AvailableNow()).start().awaitTermination()
+                  .trigger(Trigger.AvailableNow()).startTracked()
               } else {
                 if (sinkLog.exists()) throw Planner.PlanError(
                   s"delta sink '${a.name}': table '$t' is owned by a " +
@@ -1255,7 +1257,7 @@ final class PipelineRunner(
                 src.writeStream.format("parquet")
                   .option("checkpointLocation", checkpointFor(a.sinkId))
                   .option("path", p).trigger(Trigger.AvailableNow())
-                  .start().awaitTermination()
+                  .startTracked()
               else src.write.mode("append").parquet(p)
           }
         case "foreachbatch" =>
@@ -1264,7 +1266,7 @@ final class PipelineRunner(
           if (src.isStreaming)
             src.writeStream.foreachBatch((df: DataFrame, id: Long) => handler(df, id))
               .option("checkpointLocation", checkpointFor(a.sinkId))
-              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+              .trigger(Trigger.AvailableNow()).startTracked()
           else handler(src, 0L)
         case "custom" =>
           // DataSource V2 custom sink: a classpath TableProvider with
@@ -1275,7 +1277,7 @@ final class PipelineRunner(
           if (src.isStreaming)
             src.writeStream.format(provider).options(a.options)
               .option("checkpointLocation", checkpointFor(a.sinkId))
-              .trigger(Trigger.AvailableNow()).start().awaitTermination()
+              .trigger(Trigger.AvailableNow()).startTracked()
           else src.write.format(provider).options(a.options).mode("append").save()
         case other => throw Planner.PlanError(s"unknown sink type '$other'")
       }
@@ -1837,8 +1839,12 @@ final class PipelineRunner(
                 f"refreshes degrade toward a single-task sort; materialize " +
                 f"a higher-cardinality ranking column in the base (e.g. " +
                 f"fold a tie-break term into the ORDER BY key)")
+            // the advisory above is one log line; the same diagnostics
+            // persist in the gwmeta sidecar (via this Meta) so a later
+            // operator can read WHY the MV's buckets collapsed
             (GlobalWindowMv.Meta(dt.sql, sig, shape.needsDistinct,
-              a.recomputeBuckets, bs.boundaries, Map.empty, Map.empty), None)
+              a.recomputeBuckets, bs.boundaries, Map.empty, Map.empty,
+              bs.sampled, bs.distinctValues, bs.topShare), None)
         }
         val skip = stored.isDefined && minBucket.isEmpty // empty delta batch
         if (!skip) {
@@ -2291,7 +2297,7 @@ final class PipelineRunner(
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+          .startTracked()
       case (Some(_), false) =>
         logChanges(a, src, scdOpts)
         mergeInto(a, src, scdOpts.get)
@@ -2343,7 +2349,7 @@ final class PipelineRunner(
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+          .startTracked()
       case (None, _) =>
         logChanges(a, src, None)
         store.append(a.table, clustered(src, a.clusterColumns, a.clusterStrategy), a.partitionColumns)

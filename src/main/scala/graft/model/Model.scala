@@ -77,6 +77,7 @@ object Action {
       case x: DataQualityTransform => x.copy(operationalMetadata = sel)
       case x: TempTableTransform => x.copy(operationalMetadata = sel)
       case x: FunctionTransform => x.copy(operationalMetadata = sel)
+      case x: WatermarkTransform => x.copy(operationalMetadata = sel)
       case x: StreamingTableWrite => x.copy(operationalMetadata = sel)
       case x: MaterializedViewWrite => x.copy(operationalMetadata = sel)
       case x: SinkWrite => x.copy(operationalMetadata = sel)
@@ -99,6 +100,7 @@ object Action {
       case x: DataQualityTransform => x.copy(dependsOn = deps)
       case x: TempTableTransform => x.copy(dependsOn = deps)
       case x: FunctionTransform => x.copy(dependsOn = deps)
+      case x: WatermarkTransform => x.copy(dependsOn = deps)
       case x: StreamingTableWrite => x.copy(dependsOn = deps)
       case x: MaterializedViewWrite => x.copy(dependsOn = deps)
       case x: SinkWrite => x.copy(dependsOn = deps)

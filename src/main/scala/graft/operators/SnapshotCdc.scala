@@ -97,12 +97,24 @@ object SnapshotCdc {
           }: _*)
         // Sequence deletes at the snapshot's max sequence so they sort AFTER
         // every version the snapshot itself carries and close the chain.
+        // The same broken-extract class the empty-snapshot refusal above
+        // catches can also arrive as a NON-empty snapshot whose sequence
+        // column is entirely NULL: max() ignores nulls, __v comes back
+        // null, and the deletes merge as the same silent no-ops — so the
+        // stamp itself refuses a null snapshot version whenever a delete
+        // actually needs it (raise_error rides the delete rows; a run
+        // with no deletes never evaluates it).
+        def checkedV(v: Column): Column = when(v.isNull, raise_error(lit(
+          "SnapshotCdc.diff: the snapshot's sequence column(s) (" +
+            opts.sequenceBy.mkString(", ") + ") are entirely NULL — " +
+            "deletes stamped with a NULL sequence merge as silent no-ops; " +
+            "fix the upstream extract"))).otherwise(v)
         val withVersion = deletes0.crossJoin(broadcast(snapVersion))
         val deletes =
           (if (opts.sequenceBy.size == 1)
-            withVersion.withColumn(opts.sequenceBy.head, col("__v"))
+            withVersion.withColumn(opts.sequenceBy.head, checkedV(col("__v")))
           else opts.sequenceBy.foldLeft(withVersion) { (d, c) =>
-            d.withColumn(c, col(s"__v.$c"))
+            d.withColumn(c, checkedV(col(s"__v.$c")))
           }).drop("__v").withColumn(OpCol, lit("delete"))
 
         upserts.unionByName(deletes)

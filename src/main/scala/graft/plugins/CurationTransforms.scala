@@ -44,8 +44,17 @@ object CurationTransforms {
           s"and den >= 1, got num=$bNum den=$bDen — the budget is " +
           "total tokens * num / den in exact integer arithmetic " +
           "(budget_den: 0.5 is NOT 'keep half'; that is num=1, den=2)")
+      // multiplyExact: a corpus-scale `tot` times a large configured
+      // numerator silently WRAPS in plain Long arithmetic — a negative
+      // budget reads as "keep nothing", the exact silent under-fill the
+      // solver exists to avoid. Refuse loudly instead.
+      val budget = try Math.multiplyExact(tot, bNum.toLong) / bDen.toLong
+        catch { case _: ArithmeticException => throw new IllegalArgumentException(
+          s"MixtureRates: total tokens ($tot) * budget_num (${bNum.toLong}) " +
+            "overflows Long — lower budget_num (the budget is tot*num/den; " +
+            "num/den need not be large to express any ratio)") }
       Sampling.mixtureRates(in, str(p, "group_col", "source"), tokens,
-        str(p, "weight_col", "weight"), tot * bNum.toLong / bDen.toLong)
+        str(p, "weight_col", "weight"), budget)
     }
   }
 

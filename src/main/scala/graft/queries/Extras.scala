@@ -42,13 +42,17 @@ object Extras {
     gateDirs.add(wh)
     wh
   }
-  /** The standard gate preamble: temp warehouse + checkpointed runner. */
+  /** The standard gate preamble: temp warehouse + checkpointed runner.
+    * Timed as gate lifecycle — temp-dir creation and store/runner
+    * construction are scaffolding every composition gate pays before any
+    * plan executes (usually ms; visible only when /tmp is slow). */
   private def gateRunner(s: SparkSession, prefix: String)
-      : (graft.exec.TableStore, graft.exec.PipelineRunner, String) = {
-    val wh = gateDir(prefix)
-    val store = new graft.exec.TableStore(s, s"$wh/wh")
-    (store, new graft.exec.PipelineRunner(s, store, s"$wh/cp"), wh)
-  }
+      : (graft.exec.TableStore, graft.exec.PipelineRunner, String) =
+    graft.tools.GateLifecycle.timed {
+      val wh = gateDir(prefix)
+      val store = new graft.exec.TableStore(s, s"$wh/wh")
+      (store, new graft.exec.PipelineRunner(s, store, s"$wh/cp"), wh)
+    }
 
   // NOTE: a per-gate-confs variant of gateRunner (isolated newSession
   // sizing the stateful gates' shuffle partitions DOWN to 8) was tried

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.tools.GateLifecycle.TrackedStart
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -79,7 +81,7 @@ object Monitoring {
                 }
                 .option("checkpointLocation", s"$checkpointRoot/monitor_$escaped")
                 .trigger(Trigger.AvailableNow())
-                .start().awaitTermination()
+                .startTracked()
             }
           })
         }

@@ -129,9 +129,12 @@ object GlobalWindowMv {
         * extracts `ORDER BY f(x)` into a synthetic `_w<i>` projection;
         * this is f itself). None = plain (possibly renamed) column. A
         * delta re-evaluates f on its own rows to locate touched buckets;
-        * the suffix cut then filters on the computed value, which pushes
-        * through deterministic Projects but not into the parquet scan —
-        * the one posture difference vs a plain order column. */
+        * the suffix cut filters on the computed value (pushes through
+        * deterministic Projects, stops at the scan) AND — when f is
+        * affine in one pivot column plus bounded residuals
+        * ([[MonotoneCut]]) — on a derived bare-pivot conjunct that
+        * reaches the parquet row-group statistics. Keys outside that
+        * grammar keep the stops-at-the-Project posture. */
       orderExpr: Option[Expression],
       /** Canonical ORDER BY signature with every synthetic/aliased sort
         * key inlined to relation-level sql — what gwmeta freezes. (Synthetic
@@ -474,10 +477,19 @@ object GlobalWindowMv {
     * boundary cut points (canonical string forms of the order-column
     * type) plus per-bucket row / distinct-order-tuple counts — everything
     * a refresh needs to compute prefix offsets for UNTOUCHED buckets
-    * without reading them. */
+    * without reading them — plus the bootstrap's TIE DIAGNOSTICS
+    * (`sampled`/`distinctValues`/`topShare`, zeros on pre-r16 sidecars):
+    * the advisory that fires at bootstrap is one log line an operator
+    * diagnosing a slow leaderboard MV a week later never saw; the sidecar
+    * is where the evidence survives. */
   final case class Meta(typeDdl: String, orderSig: String,
       hasDistincts: Boolean, declaredBuckets: Int, boundaries: Seq[String],
-      counts: Map[Int, Long], distincts: Map[Int, Long])
+      counts: Map[Int, Long], distincts: Map[Int, Long],
+      sampled: Int = 0, distinctValues: Int = 0, topShare: Double = 0.0) {
+    /** Buckets that can actually hold distinct work: ties share a bucket,
+      * so collapsed cut points shrink this below `declaredBuckets`. */
+    def effectiveBuckets: Int = boundaries.size + 1
+  }
 
   /** Canonical signature of the window's ORDER BY spec — expressions
     * (synthetic sort keys inlined to relation-level sql), directions, null
@@ -502,7 +514,12 @@ object GlobalWindowMv {
       "boundaries=" + m.boundaries
         .map(s => b64.encodeToString(s.getBytes("UTF-8"))).mkString(","),
       "counts=" + pairs(m.counts),
-      "distincts=" + pairs(m.distincts)).mkString("\n")
+      "distincts=" + pairs(m.distincts),
+      "sampled=" + m.sampled,
+      "distinctvalues=" + m.distinctValues,
+      // %.6f, not toString: a locale-free fixed form round-trips exactly
+      // enough for a diagnostic share and never emits scientific notation
+      "topshare=" + f"${m.topShare}%.6f").mkString("\n")
   }
 
   def decodeMeta(s: String): Option[Meta] = scala.util.Try {
@@ -524,7 +541,12 @@ object GlobalWindowMv {
         case bs => bs.split(",", -1).map(str).toSeq
       },
       pairs(kv.getOrElse("counts", "")),
-      pairs(kv.getOrElse("distincts", "")))
+      pairs(kv.getOrElse("distincts", "")),
+      // absent on pre-r16 sidecars — zeros mean "no recorded diagnostics",
+      // never a decode failure (a failure would force a full refresh)
+      kv.getOrElse("sampled", "0").toInt,
+      kv.getOrElse("distinctvalues", "0").toInt,
+      kv.getOrElse("topshare", "0").toDouble)
   }.toOption
 
   /** Prefix offsets over the full bucket range: offsets(b) = sum of
@@ -549,18 +571,130 @@ object GlobalWindowMv {
         // pushable twin: bucket >= m is exactly "v sorts strictly after
         // boundary m-1" — one comparison on the bare order column, so the
         // parquet scan prunes row groups before the bucket expression
-        // runs (a COMPUTED order key pushes through the projection but
-        // stops at the scan — documented posture difference). Nulls-last
-        // rows live in the final bucket (always in the suffix) and must
-        // survive the comparison.
+        // runs. For a COMPUTED order key that comparison pushes through
+        // the projection but stops at the scan, so a SECOND conjunct is
+        // derived on the bare pivot column when the expression has the
+        // affine-plus-bounded-residual shape ([[MonotoneCut]]) — that one
+        // reaches the parquet row-group statistics. Nulls-last rows live
+        // in the final bucket (always in the suffix) and must survive
+        // every comparison.
         val pruned =
           if (m >= 1 && m <= boundaries.size) {
             val cut = boundaries.literals(m - 1)
             val cmp = if (shape.asc) vCol > cut else vCol < cut
-            b0.filter(if (shape.nullsFirst) cmp else cmp || vCol.isNull)
+            val p1 = b0.filter(if (shape.nullsFirst) cmp else cmp || vCol.isNull)
+            monotoneCutColumn(shape, boundaries, m)
+              .map(p1.filter).getOrElse(p1)
           } else b0
         pruned.filter(col("__gw_bucket") >= m)
       case None => b0
+    }
+  }
+
+  /** Scan-pushable pivot-column conjunct for a computed ORDER BY key —
+    * [[MonotoneCut.derive]]'s implication rendered as a Column, or None
+    * when the shape/typing gives no sound conjunct (the suffix filter
+    * above remains the only cut — correct, just unpruned). */
+  private[graftnative] def monotoneCutColumn(shape: Shape,
+      boundaries: Boundaries, m: Int): Option[Column] =
+    shape.orderExpr.flatMap(f => cutColumnFor(f, boundaries.values(m - 1),
+      shape.asc, shape.nullsFirst, shape.windowNode.child.outputSet))
+
+  /** [[monotoneCutColumn]] with the plan context made explicit — public
+    * so the differential spec can drive the derivation over arbitrary
+    * resolved expressions without a full MV bootstrap. */
+  def cutColumnFor(f: Expression, cutValue: Any, asc: Boolean,
+      nullsFirst: Boolean,
+      childOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[Column] =
+    for {
+      cut <- MonotoneCut.derive(f, cutValue, asc)
+      // the conjunct references base columns by their resolved attrs —
+      // they must pass through to the window child's output (projections
+      // that drop the pivot keep the unpruned posture)
+      if childOut.contains(cut.pivot) && cut.nullKeep.forall(childOut.contains)
+      cmp <- typedCmp(cut)
+      guarded <- cut.wrapCap match {
+        case None => Some(cmp)
+        case Some(cap) =>
+          // |x| > cap rows sit outside the proven-no-wrap domain: keep
+          // them unconditionally. The guard literal rounds the cap DOWN
+          // (keeping MORE rows); if it cannot be typed, the whole
+          // conjunct is withdrawn — emitting cmp without the guard would
+          // be unsound.
+          typedGuard(cut.pivot, cap).map { case (hiLit, loLit) =>
+            val x = ExpressionUtils.column(cut.pivot)
+            cmp || x > hiLit || x < loLit
+          }
+      }
+    } yield
+      if (nullsFirst) guarded
+      else cut.nullKeep.foldLeft(guarded)((acc, r) =>
+        acc || ExpressionUtils.column(r).isNull)
+
+  /** `pivot >= bound` / `pivot <= bound` with the literal typed EXACTLY
+    * like the pivot column (a mismatched literal wraps the column in a
+    * cast, which blocks parquet pushdown), rounded in the loose
+    * direction. None = no useful conjunct (bound out of the type's range
+    * in the direction that would make it trivial or vacuous). */
+  private def typedCmp(cut: MonotoneCut.Cut): Option[Column] = {
+    val x = ExpressionUtils.column(cut.pivot)
+    def intCmp(min: Long, max: Long, mk: Long => Column): Option[Column] = {
+      val r = cut.bound.setScale(0,
+        if (cut.lower) java.math.RoundingMode.FLOOR
+        else java.math.RoundingMode.CEILING)
+      // bound outside the type's range: either the conjunct is trivially
+      // true (prunes nothing) or no in-range value qualifies (pruning
+      // everything would be LEGAL — such rows cannot be in the suffix —
+      // but a no-filter skip is equally sound and far less surprising).
+      // Both → None.
+      if (r.compareTo(java.math.BigDecimal.valueOf(max)) > 0 ||
+          r.compareTo(java.math.BigDecimal.valueOf(min)) < 0) None
+      else {
+        val v = r.longValueExact()
+        Some(if (cut.lower) x >= mk(v) else x <= mk(v))
+      }
+    }
+    cut.pivot.dataType match {
+      case DoubleType =>
+        val d0 = cut.bound.doubleValue()
+        val d = if (cut.lower) Math.nextDown(Math.nextDown(d0))
+                else Math.nextUp(Math.nextUp(d0))
+        Some(if (cut.lower) x >= lit(d) else x <= lit(d))
+      case FloatType =>
+        val f0 = cut.bound.floatValue()
+        val f = if (cut.lower) Math.nextDown(Math.nextDown(f0))
+                else Math.nextUp(Math.nextUp(f0))
+        Some(if (cut.lower) x >= lit(f) else x <= lit(f))
+      case LongType => intCmp(Long.MinValue, Long.MaxValue, lit(_))
+      case IntegerType => intCmp(Int.MinValue, Int.MaxValue, v => lit(v.toInt))
+      case ShortType => intCmp(Short.MinValue, Short.MaxValue, v => lit(v.toShort))
+      case ByteType => intCmp(Byte.MinValue, Byte.MaxValue, v => lit(v.toByte))
+      case _ => None
+    }
+  }
+
+  /** Wrap-guard literals (±cap) typed like the pivot, cap rounded DOWN
+    * (down = more rows kept = safe). */
+  private def typedGuard(pivot: AttributeReference,
+      cap: java.math.BigDecimal): Option[(Column, Column)] = {
+    val r = cap.setScale(0, java.math.RoundingMode.FLOOR)
+    pivot.dataType match {
+      case DoubleType =>
+        val d = Math.nextDown(cap.doubleValue())
+        Some((lit(d), lit(-d)))
+      case FloatType =>
+        val f = Math.nextDown(cap.floatValue())
+        Some((lit(f), lit(-f)))
+      case LongType if r.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0 =>
+        val v = r.longValueExact(); Some((lit(v), lit(-v)))
+      case IntegerType if r.compareTo(java.math.BigDecimal.valueOf(Int.MaxValue)) <= 0 =>
+        val v = r.intValueExact(); Some((lit(v), lit(-v)))
+      case ShortType if r.compareTo(java.math.BigDecimal.valueOf(Short.MaxValue.toLong)) <= 0 =>
+        val v = r.shortValueExact(); Some((lit(v), lit(-v)))
+      case ByteType if r.compareTo(java.math.BigDecimal.valueOf(Byte.MaxValue.toLong)) <= 0 =>
+        val v = r.byteValueExact(); Some((lit(v), lit(-v)))
+      case _ => None
     }
   }
 

@@ -39,7 +39,7 @@ class BenchSpec extends SparkSuite {
     val r = Bench.run(spark, sf0001, iters = 1,
       queries = Map("ok" -> ((s, _) => s.range(3).toDF())))
     assert(r.compact.matches(
-      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","plan_cost":\d+\.\d\d,"queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
+      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","plan_cost":\d+\.\d\d,"unstable":\d+,"queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
       r.compact)
     // error NAMES only in the compact line — a 300-char message per failed
     // query would blow the tail budget the line exists to fit
@@ -72,6 +72,29 @@ class BenchSpec extends SparkSuite {
     assert(pc2 >= 0.0, capped.json)
   }
 
+  test("unstable medians are flagged mechanically: names in full JSON, count in compact") {
+    // r15's adjudication problem: untouched gates spread 4–17× across
+    // iterations (c6 14.5/3.6/0.85 s) and classifying them took a manual
+    // 9-iter A/B. The artifact now flags rel-spread > 1.0 (above a 0.2 s
+    // median floor) itself.
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val r = Bench.run(spark, sf0001, iters = 3, queries = Map(
+      "flappy" -> ((s, _) => {
+        // first iteration 4× slower than the rest — an environmental mover
+        Thread.sleep(if (calls.getAndIncrement() == 0) 1200 else 280)
+        s.range(3).toDF()
+      }),
+      "steady" -> ((s, _) => s.range(3).toDF())))
+    assert(r.json.contains(""""unstable":["flappy"]"""), r.json.take(400))
+    assert("\"spread\":\\{[^}]*\"flappy\":\\d".r.findFirstIn(r.json).isDefined,
+      r.json.take(400))
+    assert(r.compact.contains(""""unstable":1,"""), r.compact)
+    // sub-noise-floor queries never flag, however large their rel spread
+    val fast = Bench.run(spark, sf0001, iters = 3, queries = Map(
+      "tiny" -> ((s, _) => s.range(3).toDF())))
+    assert(fast.json.contains(""""unstable":[]"""), fast.json.take(200))
+  }
+
   test("compact line for the FULL suite fits the driver's ~2 KB tail capture") {
     // The whole point of the compact line is surviving truncation whole.
     // r10 proved the window in practice: the tail capture is 2048 bytes and
@@ -85,7 +108,7 @@ class BenchSpec extends SparkSuite {
     // trips again.
     val perQuery = SparkEntry.queries.keys
       .map(_.takeWhile(_ != '_').length + 10).sum
-    val projected = perQuery + 120 // frame: metric/value/unit/plan_cost/queries/sf
+    val projected = perQuery + 140 // frame: metric/value/unit/plan_cost/unstable/queries/sf
     assert(projected < 1600,
       s"compact bench line projected at $projected bytes — over the " +
         "tail-capture budget; shorten new query prefixes")

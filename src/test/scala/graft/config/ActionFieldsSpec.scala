@@ -47,6 +47,35 @@ class ActionFieldsSpec extends SparkSuite {
     assert(t.inputNames == Seq("v", "cat.sch.dim_a", "cat.sch.dim_b"))
   }
 
+  test("depends_on / operational_metadata parse on a watermark transform (r16 MatchError)") {
+    // Action.withDependsOn/withOperationalMetadata enumerate the sealed
+    // hierarchy by hand and MISSED WatermarkTransform — a watermark action
+    // carrying either field crashed the parse with a MatchError instead of
+    // attaching the edge/selection
+    val fg = YamlConfig.parseFlowGroup(
+      """pipeline: p
+        |flowgroup: f
+        |actions:
+        |  - name: l
+        |    type: load
+        |    source: {type: table, table: src}
+        |    target: v
+        |  - name: wm
+        |    type: transform
+        |    transform_type: watermark
+        |    source: v
+        |    target: vw
+        |    column: ts
+        |    delay: "10 minutes"
+        |    depends_on: [cat.sch.dim_a]
+        |    operational_metadata: false
+        |""".stripMargin)
+    val wm = fg.actions.collectFirst { case a: WatermarkTransform => a }.get
+    assert(wm.dependsOn == Seq("cat.sch.dim_a"))
+    assert(wm.operationalMetadata.contains(OpMeta.Disabled))
+    assert(wm.inputNames == Seq("v", "cat.sch.dim_a"))
+  }
+
   test("depends_on orders a function transform after its producer write") {
     // the reference fixture scenario (19_dependency_bindings/opaque_read_flow
     // .yaml): a python transform reads a table no static analysis can see —

@@ -185,6 +185,49 @@ class GlobalWindowMvSpec extends SparkSuite {
     assert(out.length == 50)
   }
 
+  test("computed key: the monotone pivot conjunct reaches the parquet scan") {
+    // the r15 residue: a computed ORDER BY's suffix cut filtered on the
+    // synthetic _w0 value, which stops at the Project — every refresh
+    // re-scanned all row groups. The affine-plus-bounded-residual shape
+    // (q67's floor(score)*3 + id%5) now derives a bare-pivot conjunct
+    // that reaches PushedFilters, while staying exact.
+    val dir = Files.createTempDirectory("graft-gwcompplan").toString
+    (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+      .write.parquet(s"$dir/t")
+    spark.read.parquet(s"$dir/t").createOrReplaceTempView("gwcomp_base")
+    val probe = spark.sql(
+      "SELECT id, score, rank() OVER (ORDER BY floor(score) * 3 + id % 5 DESC) AS rnk " +
+        "FROM gwcomp_base")
+    val shape = GlobalWindowMv.analyze(probe.queryExecution.analyzed).toOption.get
+    assert(shape.orderExpr.isDefined, "computed key must carry orderExpr")
+    // key(i) = 3i + i%5, unique per i; DESC boundaries in key space
+    val bnds = Seq(225L, 150L, 75L)
+    val key = (i: Long) => 3 * i + i % 5
+    val bucketOf = (i: Long) => bnds.count(_ > key(i))
+    val counts = (0L until 100L).groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    val offsets = (0 to 3).map(b =>
+      b -> (0 until b).map(counts.getOrElse(_, 0L)).sum).toMap
+    val blits = GlobalWindowMv.Boundaries(
+      bnds.map(_.toString), org.apache.spark.sql.types.LongType)
+    val df = GlobalWindowMv.rewrite(spark, probe.queryExecution.analyzed,
+      shape, blits, Some(2), rowsBefore = offsets,
+      distinctBefore = Map.empty, totalRows = 100L)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("hashpartitioning(__gw_bucket"), physical)
+    // the derived conjunct on the BARE pivot column reaches the scan
+    // (the plan string truncates long filter lists with an ellipsis, so
+    // match up to the column name, not the closing bracket)
+    assert(physical.replaceAll("\\s+", " ")
+      .matches("(?s).*PushedFilters: \\[[^\\]]*score.*"), physical)
+    // and the suffix stays exact: global rank = 1 + count-greater (keys
+    // unique), emitted only for buckets >= 2
+    val expected = (0L until 100L).filter(bucketOf(_) >= 2)
+      .map(i => (i, 1 + (0L until 100L).count(j => key(j) > key(i)))).toMap
+    val out = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == expected,
+      s"suffix mismatch: got ${out.toSeq.sorted.take(8)}… expected ${expected.toSeq.sorted.take(8)}…")
+  }
+
   test("the full ranking family decomposes: percent_rank, cume_dist, ntile") {
     val famSql =
       "SELECT id, score, CAST(rank() OVER (ORDER BY score DESC) AS INT) AS rnk, " +
@@ -303,10 +346,19 @@ class GlobalWindowMvSpec extends SparkSuite {
   test("gwmeta codec round-trips boundaries with hostile characters") {
     val m = GlobalWindowMv.Meta("STRING", "`s2` DESC NULLS LAST, x", true, 64,
       Seq("a,b\nc", "\"quoted\"", "=:x", ""),
-      Map(0 -> 5L, 3 -> 7L), Map(-1 -> 1L))
+      Map(0 -> 5L, 3 -> 7L), Map(-1 -> 1L),
+      sampled = 4096, distinctValues = 37, topShare = 0.8125)
     val decoded = GlobalWindowMv.decodeMeta(GlobalWindowMv.encodeMeta(m))
     assert(decoded.contains(m))
     assert(GlobalWindowMv.decodeMeta("garbage").isEmpty)
+    // a pre-r16 sidecar (no diagnostics keys) still decodes — zeros mean
+    // "no recorded diagnostics", never a decode failure forcing a refresh
+    val legacy = GlobalWindowMv.encodeMeta(m).linesIterator
+      .filterNot(l => l.startsWith("sampled=") || l.startsWith("distinctvalues=")
+        || l.startsWith("topshare=")).mkString("\n")
+    val dLegacy = GlobalWindowMv.decodeMeta(legacy)
+    assert(dLegacy.contains(m.copy(sampled = 0, distinctValues = 0, topShare = 0.0)),
+      dLegacy.toString)
   }
 
   test("computed ORDER BY key: two-run maintenance stays exact, expression edits invalidate") {
@@ -372,6 +424,20 @@ class GlobalWindowMvSpec extends SparkSuite {
     } finally graft.Log.route(graft.Log.stderrAndSlf4j)
     assert(warnings.exists(w => w.contains("heavy ties") && w.contains("tie-break")),
       s"expected the tie-skew advisory, got: $warnings")
+    // the advisory's evidence PERSISTS: the re-bootstrapped sidecar
+    // carries the tie diagnostics, so an operator diagnosing the slow MV
+    // a week later reads WHY the buckets collapsed instead of needing the
+    // long-scrolled log line
+    val skewMeta = store.getMeta("mv", "gwmeta")
+      .flatMap(GlobalWindowMv.decodeMeta).get
+    assert(skewMeta.sampled > 0, "tie-collapsed bootstrap recorded no sample size")
+    assert(skewMeta.distinctValues > 0 &&
+      skewMeta.distinctValues < skewMeta.sampled / 2,
+      s"expected few distinct values in the sidecar, got ${skewMeta.distinctValues}/${skewMeta.sampled}")
+    assert(skewMeta.topShare > 0.5,
+      s"the 90%-one-value key must record a dominant tie group, got ${skewMeta.topShare}")
+    assert(skewMeta.effectiveBuckets < skewMeta.declaredBuckets / 2,
+      s"effectiveBuckets ${skewMeta.effectiveBuckets} vs declared ${skewMeta.declaredBuckets}")
     // no partition dir above the new (collapsed) range may survive
     val newHi = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta)
       .map(_.boundaries.size + 1).getOrElse(1)

@@ -258,6 +258,33 @@ class ScdMergeSpec extends SparkSuite {
     assert(SnapshotCdc.diff(Some(t0), empty, o).isEmpty)
   }
 
+  test("snapshot-cdc: an all-NULL-sequence snapshot cannot stamp deletes silently") {
+    // the empty-snapshot refusal's sibling: a NON-empty snapshot whose
+    // sequence column is entirely NULL still has no version to stamp —
+    // max() ignores nulls — and its deletes would merge as the same
+    // silent no-ops. The stamp itself must refuse, but only when a
+    // delete actually needs it.
+    val o = opts2
+    val t1 = ScdMerge.applyChanges(None,
+      SnapshotCdc.diff(None, Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "seq", "v"), o),
+      SnapshotCdc.mergeOptions(o))
+    val nullSeq = Seq((1, null.asInstanceOf[java.lang.Long], "a2"))
+      .toDF("k", "seq", "v")
+    // key 2 vanished → a delete must be stamped → loud refusal
+    val e = intercept[Exception] {
+      SnapshotCdc.diff(Some(t1), nullSeq, o).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("entirely NULL"))),
+      s"expected the null-sequence refusal, got: $e")
+    // same snapshot against only ITS OWN key (no deletes needed) flows —
+    // the check rides the delete rows, not a whole-snapshot precondition
+    val t1only = ScdMerge.applyChanges(None,
+      SnapshotCdc.diff(None, Seq((1, 1L, "a")).toDF("k", "seq", "v"), o),
+      SnapshotCdc.mergeOptions(o))
+    assert(SnapshotCdc.diff(Some(t1only), nullSeq, o).collect().nonEmpty)
+  }
+
   test("snapshot-cdc: multi-column sequence deletes close the chain at snapshot max") {
     val o = ScdMerge.Options(keys = Seq("k"), sequenceBy = Seq("d", "tiebreak"), scdType = 2)
     def snap(rows: (Int, Long, Long, String)*) = rows.toSeq.toDF("k", "d", "tiebreak", "v")
