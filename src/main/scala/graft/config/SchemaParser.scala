@@ -44,7 +44,13 @@ object SchemaParser {
   }
 
   def parse(yamlText: String): SchemaDoc = {
-    val root = new Yaml().load[Any](yamlText).asInstanceOf[java.util.Map[String, Any]]
+    // an empty/comment-only file loads as null — name the problem instead
+    // of NPEing on the cast (same guard parseTagsFile already has)
+    val root = Option(new Yaml().load[Any](yamlText)).getOrElse(
+      throw YamlConfig.ConfigError(
+        "schema file is empty — expected 'columns:' (and optional " +
+          "name/version/primary_key)"))
+      .asInstanceOf[java.util.Map[String, Any]]
       .asScala.map { case (k, v) => k.toString -> v }.toMap
     val cols = root.get("columns") match {
       case Some(l: java.util.List[_]) => l.asScala.toSeq.map { c =>

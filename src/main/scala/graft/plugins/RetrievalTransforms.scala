@@ -117,6 +117,7 @@ object RetrievalTransforms {
               .drop("__ixhash", "__indexed")
             if (delta.isEmpty) Bm25.topK(ix, queries, qid, qtext, k)
             else {
+              refuseDupIds(delta, id, path)
               stageAndSwap(spark, fs, path, Bm25.updateIndex(ix, delta, id, text))
               // kill-point: index swapped, downstream hits table NOT yet
               // written — the double-fold window (a resume that re-folded
@@ -127,9 +128,26 @@ object RetrievalTransforms {
             }
           } finally { classified.unpersist(): Unit }
         case None =>
+          refuseDupIds(corpus, id, path)
           stageAndSwap(spark, fs, path, Bm25.buildIndex(corpus, id, text))
           Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)
       }
+    }
+
+    /** Duplicate ids WITHIN one batch sail past the index-membership
+      * classification (neither copy is indexed yet) and buildIndex would
+      * fold both — double-counted nDocs/df skew every score and the
+      * append-only index can never retract them. One input-sized count
+      * aggregate, loud with the offending ids. */
+    private def refuseDupIds(df: DataFrame, id: String, path: String): Unit = {
+      val dups = df.groupBy(col(id)).count().filter(col("count") > 1)
+        .select(col(id)).take(6)
+      if (dups.nonEmpty) throw graft.config.YamlConfig.ConfigError(
+        s"Bm25Maintain: input batch carries duplicate ids " +
+          s"${dups.take(5).map(_.get(0)).mkString(", ")}" +
+          (if (dups.length > 5) ", ..." else "") +
+          s" — the fold into $path is append-only and would double-count " +
+          "their postings; dedup the batch upstream (d1/d8)")
     }
 
     /** Write `refreshed` beside the live index, then swap move-aside-first

@@ -58,7 +58,8 @@ object ScaleProbe {
     // loud-on-typo posture as Bench's SPARK_GRAFT_FILTER)
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
-      "semantic", "bpe", "graph", "classify", "retrieval", "skew", "gw")
+      "semantic", "bpe", "graph", "classify", "retrieval", "skew", "gw",
+      "gwcut")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -499,6 +500,82 @@ object ScaleProbe {
       // the K=reps base is reps × the fixture — repeated probe runs would
       // accumulate gigabytes in tmp (the ingest tier's cleanup, applied)
       graft.exec.Fs.deleteRecursively(new java.io.File(tmpGw))
+    }
+
+    // ---- gwcut tier (r16): COMPUTED-key suffix rewrite with the
+    // MonotoneCut pivot conjunct. The honest setup: the base is
+    // range-partitioned by the pivot (the realistic leaderboard layout —
+    // score/time-clustered ingest), because parquet row-group statistics
+    // only prune what the layout separates; on a value-shuffled base the
+    // conjunct is a no-op and the suffix rewrite pays a full scan (the
+    // documented residue for unclustered bases). Evidence = the tail
+    // bucket's refresh SCANS rows ∝ suffix, not ∝ table, at 1× and K×:
+    // the scan-node numOutputRows counts rows the reader actually decoded
+    // after row-group/page skipping driven by the pushed conjunct.
+    if (tierOn("gwcut")) {
+      import org.apache.spark.sql.graftnative.{GlobalWindowMv, PlanBridge}
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      println(s"""{"probe":"gw_computed_cut","sf":"$sfDir","reps":$reps}""")
+      val tmpGc = java.nio.file.Files.createTempDirectory("graft-probe-gwcut").toString
+      val ev = graft.sources.Tables.load(spark, sfDir, "events")
+        .select("event_id", "user_id", "value")
+      def evK(k: Int): DataFrame = (0 until k).map(i => ev.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("user_id"),
+        (col("value") + lit(i * 0.0001)).as("value")))
+        .reduce(_ unionByName _)
+      // AQE wraps finished stages in leaf-like QueryStageExec nodes and
+      // reuse in ReusedExchange — a plain children-walk never reaches
+      // the FileSourceScan inside; unwrap all three wrapper kinds
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      for (k <- Seq(1, reps).distinct) {
+        val dirK = s"$tmpGc/base$k"
+        // pivot-clustered layout: 64 range partitions on value, sorted
+        // within, so row-group stats separate the order domain
+        evK(k).repartitionByRange(64, col("value"))
+          .sortWithinPartitions("value")
+          .write.mode("overwrite").parquet(dirK)
+        spark.read.parquet(dirK).createOrReplaceTempView("gwcut_base")
+        val plan = spark.sql(
+          "SELECT event_id, user_id, value, CAST(rank() OVER (ORDER BY " +
+            "floor(value) * 3 + user_id % 5 DESC NULLS LAST) AS INT) AS rnk " +
+            "FROM gwcut_base").queryExecution.analyzed
+        val shape = GlobalWindowMv.analyze(plan).toOption.get
+        require(shape.orderExpr.isDefined, "gwcut probe lost its computed key")
+        val childDf = PlanBridge.ofRows(spark, shape.windowNode.child)
+        val bs = GlobalWindowMv.sampleBoundaries(childDf, shape, 64)
+        val bnds = GlobalWindowMv.Boundaries(bs.boundaries, shape.orderAttr.dataType)
+        val counts = GlobalWindowMv.summarize(spark, shape, bnds, None)
+        val lo = shape.minBucketId
+        val hi = shape.maxBucketId(bnds.size)
+        val offR = GlobalWindowMv.prefixOffsets(lo, hi, counts.view.mapValues(_._1).toMap)
+        val total = counts.values.map(_._1).sum
+        def refresh(from: Option[Int]): DataFrame = GlobalWindowMv.rewrite(
+          spark, plan, shape, bnds, from, offR, Map.empty, totalRows = total)
+        // tail-bucket refresh: the pruning case that matters — time it and
+        // read back how many rows the scan DECODED under the pushed
+        // conjunct. The metric must come from the SAME QueryExecution that
+        // ran: a write(...)  wraps the plan in its own execution, leaving
+        // df.queryExecution's metrics untouched (observed: all zeros) —
+        // so materialize via toRdd on the df's own execution
+        val tailT = med(time(refresh(Some(hi - 1))))
+        val tailQe = refresh(Some(hi - 1)).queryExecution
+        tailQe.toRdd.count(): Unit
+        val scanned = scans(tailQe.executedPlan)
+          .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+        val bootT = med(time(refresh(None)))
+        println(f"""{"k":$k,"rows":$total,"buckets":${bnds.size + 1},"bootstrap":$bootT%.2f,"suffix_tail":$tailT%.2f,"tail_scan_rows":$scanned,"scan_fraction":${if (total == 0) 0.0 else scanned.toDouble / total}%.4f}""")
+      }
+      graft.exec.Fs.deleteRecursively(new java.io.File(tmpGc))
     }
     spark.stop()
   }

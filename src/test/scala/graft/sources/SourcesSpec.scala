@@ -160,6 +160,11 @@ class SourcesSpec extends SparkSuite {
     assert(doc.primaryKey == Seq("c_custkey"))
     val hints = SchemaParser.hints(doc.schema)
     assert(hints == "c_custkey BIGINT NOT NULL, c_acctbal DECIMAL(18,2), `weird type` STRING")
+    // empty/comment-only file: loud ConfigError, not an NPE on the cast
+    val e = intercept[graft.config.YamlConfig.ConfigError] {
+      SchemaParser.parse("# just a comment\n")
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
   }
 
   test("jdbc load reads an embedded Derby table end-to-end") {

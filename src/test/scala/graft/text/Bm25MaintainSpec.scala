@@ -93,6 +93,27 @@ class Bm25MaintainSpec extends SparkSuite {
     assert(ok.nonEmpty)
   }
 
+  test("duplicate ids WITHIN one batch refuse loudly — never double-fold") {
+    // in-batch duplicates sail past the index-membership classification
+    // (neither copy is indexed yet); folding both would double-count
+    // nDocs/df forever in an append-only index
+    val path = java.nio.file.Files.createTempDirectory("bm25dup").toString + "/ix"
+    // full-build branch
+    val e1 = intercept[graft.config.YamlConfig.ConfigError] {
+      run(Seq(1L -> "x y", 1L -> "x z").toDF("doc_id", "text"), path)
+    }
+    assert(e1.getMessage.contains("duplicate ids") && e1.getMessage.contains("1"), e1.getMessage)
+    // delta branch: build clean, then fold a batch whose NEW rows collide
+    run(Seq(1L -> "x y").toDF("doc_id", "text"), path)
+    val e2 = intercept[graft.config.YamlConfig.ConfigError] {
+      run(Seq(1L -> "x y", 2L -> "w", 2L -> "w w").toDF("doc_id", "text"), path)
+    }
+    assert(e2.getMessage.contains("duplicate ids") && e2.getMessage.contains("2"), e2.getMessage)
+    // a clean delta after the refusal still folds (the refusal mutated nothing)
+    val ok = run(Seq(1L -> "x y", 2L -> "w").toDF("doc_id", "text"), path)
+    assert(ok.nonEmpty)
+  }
+
   test("missing index_path parameter refuses loudly") {
     val e = intercept[IllegalArgumentException](
       fn(Seq(Seq(1L -> "x").toDF("doc_id", "text"), qs), spark, Map.empty))
