@@ -32,29 +32,32 @@ object RetrievalTransforms {
     *
     * All filesystem access goes through Spark's Hadoop FS layer, so
     * `index_path` may be any scheme the session can write (the same
-    * contract as [[Bm25.saveIndex]]/[[Bm25.loadIndex]]). The refreshed
-    * index is staged to a sibling dir and swapped in move-aside-first
-    * (the TableStore.swapDir order: live → .old, stage → live, rollback
-    * on failure, then drop .old) — never deleted before its replacement
-    * is in place. If the index is lost or unreadable anyway (e.g. a
-    * crash burned both dirs), the run self-heals by rebuilding from the
-    * full accumulated corpus; both end states equal a fresh full build,
-    * which the c14 gate pins against the full-corpus DuckDB oracle.
-    *
-    * The persisted index is rewritten whole on each non-empty delta
-    * (tf/docLen/df parquet) — O(corpus) write cost per maintenance run;
-    * a segment/append layout would make writes O(delta) and is the
-    * documented growth path, not silently claimed.
+    * contract as [[Bm25.saveIndex]]/[[Bm25.loadIndex]]). Persistence is
+    * the SEGMENT-MANIFEST layout (Bm25's v2): each fold writes ONE new
+    * segment (the delta's tf/doclen) plus a vocab-sized merged-df
+    * snapshot and commits with a single atomic manifest rename —
+    * maintenance writes are O(delta), the indexed corpus is never
+    * re-read or rewritten, and a crash before the rename leaves the
+    * previous index fully live (orphans swept at the next commit). If
+    * the index is lost or unreadable anyway (a crash burned the
+    * manifest, a foreign layout), the run self-heals by rebuilding from
+    * the full accumulated corpus; both end states equal a fresh full
+    * build, which the c14 gate pins against the full-corpus DuckDB
+    * oracle. A pre-r16 flat-layout index still loads; its FIRST fold
+    * migrates it with a one-time full rewrite.
     *
     * inputs: (corpus, queries). parameters: `index_path` (required),
-    * `k` (default 5), `id_col`/`text_col`/`qid_col`/`qtext_col`. */
+    * `k` (default 5), `id_col`/`text_col`/`qid_col`/`qtext_col`,
+    * `max_segments` (default 64 — a fold that would exceed it compacts
+    * the whole index into one segment via the same atomic commit). */
   final class Bm25Maintain extends TransformFunction {
     def apply(inputs: Seq[DataFrame], spark: SparkSession,
         p: Map[String, Any]): DataFrame = {
       require(inputs.size == 2,
         s"Bm25Maintain needs (corpus, queries) inputs, got ${inputs.size}")
       Params.requireKnown(p, "Bm25Maintain",
-        "index_path", "id_col", "text_col", "qid_col", "qtext_col", "k")
+        "index_path", "id_col", "text_col", "qid_col", "qtext_col", "k",
+        "max_segments")
       val path = p.get("index_path").map(_.toString).getOrElse(
         throw new IllegalArgumentException("Bm25Maintain: index_path parameter is required"))
       val Seq(corpus, queries) = inputs
@@ -63,6 +66,7 @@ object RetrievalTransforms {
       val qid = Params.str(p, "qid_col", "qid")
       val qtext = Params.str(p, "qtext_col", "qtext")
       val k = p.get("k").map(_.toString.toInt).getOrElse(5)
+      val maxSegments = p.get("max_segments").map(_.toString.toInt).getOrElse(64)
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -118,8 +122,20 @@ object RetrievalTransforms {
             if (delta.isEmpty) Bm25.topK(ix, queries, qid, qtext, k)
             else {
               refuseDupIds(delta, id, path)
-              stageAndSwap(spark, fs, path, Bm25.updateIndex(ix, delta, id, text))
-              // kill-point: index swapped, downstream hits table NOT yet
+              Bm25.readManifest(spark, path) match {
+                case Some(m) =>
+                  // O(delta): one new segment + a vocab-sized df snapshot,
+                  // committed by the manifest rename — the indexed corpus
+                  // is never re-read or rewritten (until the max_segments
+                  // compaction threshold, the amortized LSM fold)
+                  Bm25.appendSegment(ix, m, delta, id, text, path, maxSegments)
+                case None =>
+                  // legacy flat layout: migrate with a ONE-TIME full
+                  // rewrite into the segment layout; every later fold on
+                  // this index is O(delta)
+                  Bm25.saveIndex(Bm25.updateIndex(ix, delta, id, text), path)
+              }
+              // kill-point: index committed, downstream hits table NOT yet
               // written — the double-fold window (a resume that re-folded
               // the delta would double every posting; the __indexed flag
               // classification above is what makes the replay a no-op)
@@ -129,7 +145,7 @@ object RetrievalTransforms {
           } finally { classified.unpersist(): Unit }
         case None =>
           refuseDupIds(corpus, id, path)
-          stageAndSwap(spark, fs, path, Bm25.buildIndex(corpus, id, text))
+          Bm25.saveIndex(Bm25.buildIndex(corpus, id, text), path)
           Bm25.topK(Bm25.loadIndex(spark, path), queries, qid, qtext, k)
       }
     }
@@ -150,26 +166,9 @@ object RetrievalTransforms {
           "their postings; dedup the batch upstream (d1/d8)")
     }
 
-    /** Write `refreshed` beside the live index, then swap move-aside-first
-      * with rollback — the refreshed frames lazily READ the live files, so
-      * the live dir must stay intact until the stage is complete. */
-    private def stageAndSwap(spark: SparkSession,
-        fs: org.apache.hadoop.fs.FileSystem, path: String,
-        refreshed: Bm25.Index): Unit = {
-      import org.apache.hadoop.fs.Path
-      val stage = new Path(path + "-stage")
-      val old = new Path(path + "-old")
-      fs.delete(stage, true); fs.delete(old, true)
-      Bm25.saveIndex(refreshed, stage.toString)
-      val target = new Path(path)
-      if (fs.exists(target)) require(fs.rename(target, old),
-        s"Bm25Maintain: could not move the live index aside ($target -> $old)")
-      if (!fs.rename(stage, target)) {
-        if (fs.exists(old)) fs.rename(old, target) // rollback
-        throw new IllegalStateException(
-          s"Bm25Maintain: could not swap $stage into place at $target")
-      }
-      fs.delete(old, true): Unit
-    }
+    // (the pre-r16 whole-index stage-and-swap is gone: Bm25.saveIndex /
+    // appendSegment commit through the segment-manifest rename, which
+    // keeps the live index intact until the single atomic commit point —
+    // and folds stopped rewriting the corpus at all)
   }
 }

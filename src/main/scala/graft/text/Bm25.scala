@@ -135,23 +135,180 @@ object Bm25 {
       index.nDocs + add.nDocs, index.totLen + add.totLen)
   }
 
-  /** Persist the inverted index — the train-once/serve-many seam shared
-    * with the PQ/IVF codebooks and the bigram LM (integer stats round-trip
-    * exactly, so a loaded index scores bit-identically). */
-  def saveIndex(index: Index, path: String): Unit = {
-    index.tf.write.mode("overwrite").parquet(s"$path/tf")
-    index.docLen.write.mode("overwrite").parquet(s"$path/doclen")
-    index.df.write.mode("overwrite").parquet(s"$path/df")
-    val spark = index.tf.sparkSession
-    import spark.implicits._
-    Seq((index.nDocs, index.totLen)).toDF("n_docs", "tot_len").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats")
+  // -------------------------------------------------- persistence (v2)
+  //
+  // SEGMENT + MANIFEST layout — O(delta) maintenance writes, the growth
+  // path the r15 verdict recorded as documented-not-claimed, now real:
+  //
+  //   path/manifest.txt         ← THE commit point (one atomic rename)
+  //   path/seg-<uuid>/tf/       ← postings of one fold (append-only)
+  //   path/seg-<uuid>/doclen/
+  //   path/df-<uuid>/           ← merged document frequencies (vocab-sized
+  //                               snapshot, rewritten whole per fold — the
+  //                               one non-delta write, and it is tiny)
+  //
+  // The manifest names the committed segment set, the live df snapshot,
+  // and the integer corpus scalars. Readers resolve ONLY through it, so a
+  // crash anywhere before the manifest rename leaves the previous index
+  // fully live and the half-written dirs invisible (the next commit's
+  // sweep removes them). The rename is atomic on HDFS/local — the same
+  // scope as every sidecar protocol here (see sources/StagedCommit).
+  //
+  // Legacy (pre-r16) flat layout — path/{tf,doclen,df,stats} with no
+  // manifest — still LOADS; the first maintenance fold over it migrates
+  // to v2 with a one-time full rewrite (Bm25Maintain documents it).
+
+  final case class Manifest(nDocs: Long, totLen: Long, dfDir: String,
+      segments: Seq[String])
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
-    // validate each piece as it is read, so a foreign directory fails on
-    // its FIRST wrong table with the named message (not a missing-path
-    // error from a later read)
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Manifest] = {
+    val (fs, _) = hadoopFs(spark, path)
+    val mf = new org.apache.hadoop.fs.Path(s"$path/manifest.txt")
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+      val kv = text.linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => (k, v) }.toSeq
+      def one(k: String): String = kv.collectFirst { case (`k`, v) => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path/manifest.txt is not a BM25 manifest (missing '$k=')"))
+      require(one("v") == "2", s"$path/manifest.txt: unknown version ${one("v")}")
+      Some(Manifest(one("ndocs").toLong, one("totlen").toLong, one("df"),
+        kv.collect { case ("seg", s) => s }))
+    }
+  }
+
+  /** Commit a manifest via staged write + ONE overwrite-rename (atomic on
+    * HDFS/local). Everything the manifest references must already be on
+    * disk — this IS the commit point. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Manifest): Unit = {
+    val (fs, root) = hadoopFs(spark, path)
+    fs.mkdirs(root): Unit
+    val text = (Seq("v=2", s"ndocs=${m.nDocs}", s"totlen=${m.totLen}",
+      s"df=${m.dfDir}") ++ m.segments.map(s => s"seg=$s")).mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.manifest.txt.${java.util.UUID.randomUUID()}.inprogress")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
+      spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/manifest.txt"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Remove every `seg-*` / `df-*` dir (and stale manifest staging) the
+    * live manifest does not reference — crashed folds' invisible leftovers
+    * and superseded df snapshots. Runs AFTER a commit; failures are
+    * harmless (re-swept next commit). */
+  def sweepOrphans(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Manifest): Unit = {
+    val (fs, root) = hadoopFs(spark, path)
+    val referenced = (m.segments :+ m.dfDir).toSet
+    // legacy flat dirs are shadowed the moment a manifest exists — a
+    // migrated index must not keep a stale duplicate copy of its corpus
+    val legacy = Set("tf", "doclen", "df", "stats")
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      val orphanDir = st.isDirectory &&
+        ((n.startsWith("seg-") || n.startsWith("df-")) && !referenced(n) ||
+          legacy(n))
+      val staleStage = st.isFile && n.startsWith(".manifest.txt.") &&
+        n.endsWith(".inprogress")
+      if (orphanDir || staleStage) fs.delete(st.getPath, true): Unit
+    }
+  }
+
+  /** Persist the index as a FRESH v2 commit (one segment + df snapshot +
+    * manifest) — the full-build/migration writer; the train-once/
+    * serve-many seam shared with the PQ/IVF codebooks and the bigram LM
+    * (integer stats round-trip exactly, so a loaded index scores
+    * bit-identically). Any previous contents of `path` (a crashed attempt,
+    * a legacy layout being migrated, a self-heal rebuild target) become
+    * unreferenced at the manifest rename and are swept. */
+  def saveIndex(index: Index, path: String): Unit = {
+    val spark = index.tf.sparkSession
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val dfDir = s"df-${java.util.UUID.randomUUID()}"
+    index.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
+    index.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
+    index.df.write.mode("overwrite").parquet(s"$path/$dfDir")
+    graft.exec.CrashForge.maybeHalt("bm25_manifest") // data staged, uncommitted
+    val m = Manifest(index.nDocs, index.totLen, dfDir, Seq(seg))
+    writeManifest(spark, path, m)
+    // also removes legacy flat dirs (a migration target's stale copy) —
+    // every read this save's frames needed from them completed when the
+    // parquet writes above materialized
+    sweepOrphans(spark, path, m)
+  }
+
+  /** O(delta) maintenance fold: write the delta as ONE new segment plus a
+    * fresh (vocab-sized) merged-df snapshot, then commit by manifest
+    * rename. The indexed corpus is never re-read or rewritten — tf/doclen
+    * history is immutable segments — EXCEPT when the fold would push the
+    * segment count past `maxSegments`: then it COMPACTS instead, folding
+    * history + delta into one fresh segment through the same atomic
+    * commit (the LSM discipline: unbounded segment accumulation is the
+    * small-files/listing trap at the other end of the O(corpus)-rewrite
+    * one; amortized write cost is O(corpus / maxSegments) per fold).
+    * Precondition as [[updateIndex]]: delta ids disjoint from the indexed
+    * ids AND among themselves. */
+  def appendSegment(live: Index, liveManifest: Manifest, delta: DataFrame,
+      idCol: String, textCol: String, path: String,
+      maxSegments: Int = 64): Unit = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    if (liveManifest.segments.size >= maxSegments) {
+      // compaction fold: one full rewrite, committed like any other save
+      saveIndex(updateIndex(live, delta, idCol, textCol), path)
+      return
+    }
+    val spark = delta.sparkSession
+    val add = buildIndex(delta, idCol, textCol)
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val dfDir = s"df-${java.util.UUID.randomUUID()}"
+    add.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
+    add.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
+    // merged df reads the LIVE df snapshot lazily while writing a NEW
+    // versioned dir — never its own input (the old swap protocol's trap)
+    live.df.unionByName(add.df).groupBy("__t").agg(sum(col("__df")).as("__df"))
+      .write.mode("overwrite").parquet(s"$path/$dfDir")
+    graft.exec.CrashForge.maybeHalt("bm25_manifest") // data staged, uncommitted
+    val m = Manifest(liveManifest.nDocs + add.nDocs,
+      liveManifest.totLen + add.totLen, dfDir, liveManifest.segments :+ seg)
+    writeManifest(spark, path, m)
+    sweepOrphans(spark, path, m)
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    readManifest(spark, path) match {
+      case Some(m) =>
+        require(m.segments.nonEmpty, s"$path/manifest.txt names no segments")
+        val tf = spark.read.parquet(m.segments.map(s => s"$path/$s/tf"): _*)
+        require(tf.columns.toSet == Set("__doc", "__t", "__tf"),
+          s"$path is not a BM25 index (tf columns: ${tf.columns.mkString(",")})")
+        val dl = spark.read.parquet(m.segments.map(s => s"$path/$s/doclen"): _*)
+        require(dl.columns.toSet == Set("__doc", "__len", "__hash"),
+          s"$path is not a BM25 index (doclen columns: ${dl.columns.mkString(",")})")
+        val df = spark.read.parquet(s"$path/${m.dfDir}")
+        require(df.columns.toSet == Set("__t", "__df"),
+          s"$path is not a BM25 index (df columns: ${df.columns.mkString(",")})")
+        Index(tf, dl, df, m.nDocs, m.totLen)
+      case None => loadLegacyIndex(spark, path)
+    }
+
+  /** Pre-r16 flat layout (`tf/doclen/df/stats`, no manifest). Validate
+    * each piece as it is read, so a foreign directory fails on its FIRST
+    * wrong table with the named message. */
+  private def loadLegacyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Index = {
     val tf = spark.read.parquet(s"$path/tf")
     require(tf.columns.toSet == Set("__doc", "__t", "__tf"),
       s"$path/tf is not a BM25 term-frequency table (have: ${tf.columns.mkString(",")})")
@@ -164,7 +321,7 @@ object Bm25 {
     // those rows instead of a schema refusal (which Bm25Maintain's
     // self-heal would mislabel "unreadable" and answer with a full-corpus
     // rebuild — silently DROPPING history if the maintenance input is
-    // delta-only). New appends stamp real hashes, migrating forward.
+    // delta-only). New commits stamp real hashes, migrating forward.
     val dl =
       if (dl0.columns.contains("__hash")) dl0
       else dl0.withColumn("__hash", lit(null).cast("string"))

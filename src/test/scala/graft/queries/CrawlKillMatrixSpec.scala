@@ -108,8 +108,18 @@ class CrawlKillMatrixSpec extends SparkSuite {
     }
   }
 
-  test("mid-fold kill: index swapped, hits MV unborn — resume must not double-fold") {
+  test("mid-fold kill: index committed, hits MV unborn — resume must not double-fold") {
     killPoint("foldkill", "forge:bm25_fold", "HALTING at bm25_fold", "")
+  }
+
+  test("mid-commit kill: index segment staged, manifest never renamed — resume re-folds once") {
+    // the r16 segment-manifest window, one step EARLIER than bm25_fold:
+    // the delta's segment and df snapshot are on disk but the manifest
+    // rename (the commit point) never ran. The live manifest still names
+    // only the old state, so the resume re-folds the delta into a fresh
+    // segment and sweeps the torn dirs — double postings would diverge
+    // the hits MV from the never-crashed chain
+    killPoint("manifestkill", "forge:bm25_manifest", "HALTING at bm25_manifest", "")
   }
 
   test("mid-ingest kill: one WARC file committed, sibling unread — resume ingests the remainder") {

@@ -19,6 +19,23 @@ class Bm25MaintainSpec extends SparkSuite {
     fn(Seq(corpus, qs), spark, Map("index_path" -> path, "k" -> "10"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
 
+  /** Forge the pre-r16 FLAT layout (tf/doclen/df/stats, no manifest) —
+    * what old saveIndex wrote; `withHash = false` additionally forges the
+    * pre-r13 doclen (no content hash). */
+  private def writeLegacy(ix: Bm25.Index, path: String, withHash: Boolean): Unit = {
+    ix.tf.write.mode("overwrite").parquet(s"$path/tf")
+    (if (withHash) ix.docLen else ix.docLen.drop("__hash"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    ix.df.write.mode("overwrite").parquet(s"$path/df")
+    Seq((ix.nDocs, ix.totLen)).toDF("n_docs", "tot_len").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def segDirs(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+      .map(_.getName).toSeq.sorted
+
   test("build, delta-fold, replay, and self-heal all land on the full-build answer") {
     val a = Seq(1L -> "x y", 2L -> "x x z")
     val b = Seq(3L -> "w", 4L -> "x w y")
@@ -34,9 +51,9 @@ class Bm25MaintainSpec extends SparkSuite {
     graft.exec.Fs.deleteRecursively(path)                   // index lost mid-swap
     val healed = run((a ++ b).toDF("doc_id", "text"), path) // rebuild from corpus
     assert(healed == full)
-    // present-but-unreadable index (a crash that burned the swap): the
-    // run must rebuild, not wedge on loadIndex forever
-    graft.exec.Fs.deleteRecursively(s"$path/tf")
+    // present-but-unreadable index (a manifest referencing a burned
+    // segment): the run must rebuild, not wedge on loadIndex forever
+    graft.exec.Fs.deleteRecursively(s"$path/${segDirs(path).head}")
     val unwedged = run((a ++ b).toDF("doc_id", "text"), path)
     assert(unwedged == full)
   }
@@ -52,18 +69,18 @@ class Bm25MaintainSpec extends SparkSuite {
         "doc_id", "text"), qs, "qid", "qtext", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
     val path = java.nio.file.Files.createTempDirectory("bm25m").toString + "/ix"
-    Bm25.saveIndex(Bm25.buildIndex(a.toDF("doc_id", "text"), "doc_id", "text"), path)
-    // forge the legacy layout: strip __hash from the persisted doclen
-    val legacy = spark.read.parquet(s"$path/doclen").drop("__hash")
-    legacy.write.mode("overwrite").parquet(s"$path/doclen-legacy")
-    graft.exec.Fs.deleteRecursively(s"$path/doclen")
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/doclen-legacy"),
-      java.nio.file.Paths.get(s"$path/doclen"))
+    // forge the pre-r13 legacy layout: flat dirs, doclen without __hash
+    writeLegacy(Bm25.buildIndex(a.toDF("doc_id", "text"), "doc_id", "text"),
+      path, withHash = false)
     assert(spark.read.parquet(s"$path/doclen").columns.toSet == Set("__doc", "__len"))
     // DELTA-ONLY input (history absent): the legacy index must load and
     // fold b — a mislabeled rebuild here would lose docs 1 and 2
     val out = run(b.toDF("doc_id", "text"), path)
     assert(out == full)
+    // and the fold MIGRATED the layout: manifest present, flat dirs gone
+    assert(Bm25.readManifest(spark, path).isDefined)
+    assert(!new java.io.File(s"$path/tf").exists(),
+      "legacy flat dirs must not survive migration as a stale corpus copy")
     // legacy rows migrated forward only for NEW appends: old rows keep a
     // NULL hash (re-text undetectable — the documented boundary), and a
     // replay of a legacy-known id with ANY text drops rather than refolds
@@ -74,6 +91,93 @@ class Bm25MaintainSpec extends SparkSuite {
       run(Seq(3L -> "retexted").toDF("doc_id", "text"), path)
     }
     assert(e.getMessage.contains("DIFFERENT text"), e.getMessage)
+  }
+
+  test("folds are O(delta): one immutable segment per fold, history bytes untouched") {
+    val path = java.nio.file.Files.createTempDirectory("bm25seg").toString + "/ix"
+    run(Seq(1L -> "x y", 2L -> "x x z").toDF("doc_id", "text"), path)
+    val seg1 = segDirs(path)
+    assert(seg1.size == 1, s"full build = one segment, got $seg1")
+    // fingerprint the first segment's files — a fold must not rewrite them
+    def fingerprint(seg: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/$seg"))
+        .map(f => f.getPath -> (f.lastModified() + f.length())).toMap
+    }
+    val fp1 = fingerprint(seg1.head)
+    run(Seq(1L -> "x y", 2L -> "x x z", 3L -> "w").toDF("doc_id", "text"), path)
+    val seg2 = segDirs(path)
+    assert(seg2.size == 2, s"a fold appends exactly one segment, got $seg2")
+    assert(fingerprint(seg1.head) == fp1,
+      "the fold rewrote history segment bytes — O(delta) violated")
+    run(Seq(4L -> "x w y").toDF("doc_id", "text"), path)
+    assert(segDirs(path).size == 3)
+    // and the segmented index still answers exactly like one full build
+    val full = Bm25.topK(Bm25.buildIndex(
+      Seq(1L -> "x y", 2L -> "x x z", 3L -> "w", 4L -> "x w y")
+        .toDF("doc_id", "text"), "doc_id", "text"), qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val replay = run(Seq(1L -> "x y").toDF("doc_id", "text"), path)
+    assert(replay == full)
+  }
+
+  test("max_segments compaction: the overflowing fold rewrites to ONE segment, scores exact") {
+    // the LSM bound: segments must not accumulate unboundedly (listing +
+    // small-file overhead at fold count ~ thousands); the fold that would
+    // exceed max_segments folds history + delta into one fresh segment
+    // through the same atomic manifest commit
+    val path = java.nio.file.Files.createTempDirectory("bm25cmp").toString + "/ix"
+    def runMax2(c: DataFrame) =
+      fn(Seq(c, qs), spark, Map("index_path" -> path, "k" -> "10",
+        "max_segments" -> "2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    runMax2(Seq(1L -> "x y").toDF("doc_id", "text"))
+    runMax2(Seq(1L -> "x y", 2L -> "x x z").toDF("doc_id", "text"))
+    assert(segDirs(path).size == 2, s"two folds = two segments: ${segDirs(path)}")
+    // third fold would make 3 > max_segments=2 → compacts to ONE
+    runMax2(Seq(3L -> "w").toDF("doc_id", "text"))
+    assert(segDirs(path).size == 1,
+      s"the overflowing fold must compact to one segment: ${segDirs(path)}")
+    val full = Bm25.topK(Bm25.buildIndex(
+      Seq(1L -> "x y", 2L -> "x x z", 3L -> "w", 4L -> "x w y")
+        .toDF("doc_id", "text"), "doc_id", "text"), qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // post-compaction fold appends again and the answer stays exact
+    val out = runMax2(Seq(4L -> "x w y").toDF("doc_id", "text"))
+    assert(out == full, "compacted index diverged from the full build")
+    assert(segDirs(path).size == 2)
+  }
+
+  test("a torn fold (segments written, manifest never renamed) resumes exactly-once") {
+    // the bm25_manifest crash window: data dirs staged, commit rename not
+    // reached. The live manifest still names only the old state, so the
+    // re-run re-folds the delta into ITS OWN fresh segment and the torn
+    // dirs are swept as orphans — no double postings, no litter.
+    val a = Seq(1L -> "x y", 2L -> "x x z")
+    val b = Seq(3L -> "w", 4L -> "x w y")
+    val path = java.nio.file.Files.createTempDirectory("bm25torn").toString + "/ix"
+    run(a.toDF("doc_id", "text"), path)
+    val committed = segDirs(path)
+    // forge the torn state exactly as appendSegment stages it: a segment
+    // and a df snapshot on disk, unreferenced by the manifest
+    val torn = Bm25.buildIndex(b.toDF("doc_id", "text"), "doc_id", "text")
+    torn.tf.write.parquet(s"$path/seg-torn0000/tf")
+    torn.docLen.write.parquet(s"$path/seg-torn0000/doclen")
+    torn.df.write.parquet(s"$path/df-torn0000")
+    val resumed = run((a ++ b).toDF("doc_id", "text"), path)
+    val full = Bm25.topK(Bm25.buildIndex((a ++ b).toDF("doc_id", "text"),
+        "doc_id", "text"), qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(resumed == full, "torn-fold resume diverged from the full build")
+    val after = segDirs(path)
+    assert(!after.contains("seg-torn0000"),
+      s"torn segment survived the commit sweep: $after")
+    assert(!new java.io.File(s"$path/df-torn0000").exists(),
+      "torn df snapshot survived the commit sweep")
+    assert((committed.toSet -- after.toSet).isEmpty,
+      "the sweep removed a COMMITTED segment")
   }
 
   test("a re-texted known id refuses loudly; same-text replay still no-ops") {
