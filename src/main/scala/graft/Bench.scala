@@ -104,9 +104,15 @@ object Bench {
     // query. With 3 iterations a quartile-based IQR degenerates to the
     // range anyway, and the range is what the cross-round adjudications
     // actually read (r15: c6 14.5/3.6/0.85 s — spread 3.8×). A query is
-    // flagged UNSTABLE when its iterations spread over more than its own
-    // median (spread > 1.0) AND the median is above the 0.2 s noise floor
-    // (sub-100 ms queries jitter multiples of themselves on any host).
+    // flagged UNSTABLE when EITHER criterion fires:
+    //   relative — spread > 1.0× its own median AND median above the 0.2 s
+    //     noise floor (sub-100 ms queries jitter multiples of themselves);
+    //   absolute — max − min > 2 s, regardless of median. The relative
+    //     criterion alone missed the r16 movers that mattered: q61 ran
+    //     13.5/12.0/4.7 s (spread 0.73, unflagged) and its "+7.2 s median"
+    //     was pure host contention; likewise q62 24.9/16.6/12.5 and
+    //     q65 29.3/18.2/14.2. A multi-second swing is a contention
+    //     signature whatever the median says.
     // The contract line carries the flagged COUNT + names so a judge can
     // classify environmental movers without re-running a 9-iter A/B; the
     // full artifact carries every query's spread.
@@ -115,8 +121,9 @@ object Bench {
       n -> (if (med <= 0) 0.0 else (xs.max - xs.min) / med)
     }
     val medianByName = medians.toMap
+    val rangeByName = perQuery.map { case (n, xs) => n -> (xs.max - xs.min) }.toMap
     val unstable = spreads.collect {
-      case (n, sp) if sp > 1.0 && medianByName(n) > 0.2 => n
+      case (n, sp) if (sp > 1.0 && medianByName(n) > 0.2) || rangeByName(n) > 2.0 => n
     }
     val lifecycleMedians = names.map { case (n, _) =>
       n -> (lifecycles(n) match { case Nil => 0.0; case xs => median(xs) }) }
@@ -127,6 +134,16 @@ object Bench {
       s"\"" + k + "\":" + xs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    // Whole-run contention signature: the per-ITERATION totals. A monotone
+    // decay like r16's 587/432/272 s says "the host settled mid-run" at a
+    // glance — no per-query forensics needed. Rides the CONTRACT line
+    // (~15 bytes/iter) because it is the first thing a cross-round
+    // comparison should look at. total_min = sum of per-query MINIMA — the
+    // contention-robust secondary statistic (at n=3 the min is far less
+    // corrupted by a noisy neighbor than the median; an engine regression
+    // moves the min too, noise almost never does).
+    val iterTotals = timings.map(_.map(_._2).sum)
+    val totalMin = perQuery.map(_._2.min).sum
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '\\' => "\\\\"
@@ -154,12 +171,12 @@ object Bench {
     // compact line now uses each query's SHORT key — the unique prefix
     // before the first underscore ("q53_test_custom_expectations" → "q53",
     // "d1_exact_dedup" → "d1"). ~13 bytes/query: 83 queries ≈ 1.2 KB, with
-    // headroom for ~40 more. Full names stay in the full JSON line above.
+    // headroom for ~40 more — exhausted at r16's 146 queries, hence the
+    // adaptive median-threshold omission below. Full names stay in the
+    // full JSON line above.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     def r2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsCompact = medians.map { case (k, v) => s"\"" + shortKey(k) + "\":" + r2(v) }
-      .mkString("{", ",", "}")
     // error NAMES only (short keys) — full messages (300 chars each) could
     // blow the very tail budget this line exists to fit; detail lives in the
     // full line and the non-zero exit
@@ -173,9 +190,29 @@ object Bench {
     val planCost = total - lifecycleTotal
     val lcJson = lifecycleMedians.filter(_._2 > 0.005)
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val iterTotalsJson = iterTotals.map(r2).mkString("[", ",", "]")
+    // The compact line must fit the driver's ~2 KB stdout tail WHOLE —
+    // clipping eats its HEAD, which holds total/plan_cost/unstable
+    // (BENCH_r16: 146 queries pushed the line to ~2 KB, an sbt epilogue
+    // took 70 bytes, and the round's headline stats were lost to
+    // parsed:null). The full per-query data is already durable in
+    // bench_full.json (committed), so the compact map may legitimately
+    // omit the cheap queries: pick the smallest median threshold whose
+    // line fits 1850 bytes, and say how many were omitted.
+    def compactAt(minMedian: Double): String = {
+      val kept = medians.filter { case (_, v) => v >= minMedian }
+      val omitted = medians.size - kept.size
+      val qsC = kept.map { case (k, v) => s"\"" + shortKey(k) + "\":" + r2(v) }
+        .mkString("{", ",", "}")
+      val omC = if (omitted == 0) "" else s""","q_omitted":$omitted"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","total_min":${r2(totalMin)},"iter_totals":$iterTotalsJson,"plan_cost":${r2(planCost)},"unstable":${unstable.size},"queries":$qsC$omC$errCompact,"sf":"$sfName"}"""
+    }
+    val compact = Seq(0.0, 0.2, 0.5, 1.0, 2.0, 5.0).map(compactAt)
+      .find(_.length <= 1850)
+      .getOrElse(compactAt(Double.MaxValue))
     Result(
-      s"""{"metric":"total","value":$total,"unit":"sec","plan_cost":${r2(planCost)},"unstable":$unstableJson,"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"spread":$spreadJson,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","plan_cost":${r2(planCost)},"unstable":${unstable.size},"queries":$qsCompact$errCompact,"sf":"$sfName"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r2(totalMin)},"iter_totals":$iterTotalsJson,"plan_cost":${r2(planCost)},"unstable":$unstableJson,"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"spread":$spreadJson,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
+      compact,
       errors.toMap)
   }
 

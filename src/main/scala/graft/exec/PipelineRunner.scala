@@ -1888,6 +1888,15 @@ final class PipelineRunner(
           store.replacePartitions(a.table,
             clustered(wrapMv(df), a.clusterColumns, a.clusterStrategy),
             Seq("__gw_bucket"), affected)
+          // kill-point: bucket partitions swapped, gwmeta NOT yet updated —
+          // the data/sidecar disagreement window. Safe under replay by
+          // construction (GwMetaKillSpec pins it): the stream checkpoint
+          // commits only after this function returns, so a crash here
+          // replays the batch; the replayed refresh recomputes the
+          // suffix-bucket counts from the CURRENT base via summarize and
+          // only reuses stored counts for buckets < m, which the crashed
+          // run never touched.
+          graft.exec.CrashForge.maybeHalt("gw_meta")
           if (meta0.boundaries.nonEmpty)
             store.setMeta(a.table, "gwmeta", GlobalWindowMv.encodeMeta(
               // hasDistincts reflects THIS refresh's summary: dropping

@@ -105,15 +105,23 @@ object AsOfJoin {
       case _ => true
     }
     // canonical hashable image of a possibly-map-bearing value: key-sorted
-    // entry arrays for maps (map keys can never contain maps, so the sort
-    // key is always orderable), rebuilt structs/arrays only where a map
-    // hides underneath. Per-map cost is n·log n + n lookups — paid only on
-    // map-bearing payload schemas.
+    // entry arrays for maps (map keys can never contain maps, so entry
+    // structs are orderable once their VALUES are canonicalized, and the
+    // key — unique within a map — decides the order), rebuilt
+    // structs/arrays only where a map hides underneath. One
+    // array_sort(map_entries(...)) pass per map — O(n log n); the previous
+    // element_at-per-sorted-key form was O(n²) over Spark's array-backed
+    // maps. Paid only on map-bearing payload schemas.
     def canon(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
       case m: org.apache.spark.sql.types.MapType =>
-        transform(array_sort(map_keys(c)), k => struct(
-          canon(k, m.keyType).as("key"),
-          canon(element_at(c, k), m.valueType).as("value")))
+        // canonicalize nested values BEFORE sorting: a map-bearing value
+        // type is not orderable, so array_sort must see the rebuilt form
+        val entries =
+          if (mapFree(m.valueType)) map_entries(c)
+          else transform(map_entries(c), e => struct(
+            e.getField("key").as("key"),
+            canon(e.getField("value"), m.valueType).as("value")))
+        array_sort(entries)
       case s: org.apache.spark.sql.types.StructType if !mapFree(s) =>
         // NULL-struct guard: rebuilding a null struct field-by-field would
         // yield a struct of nulls — keep null canonical images null

@@ -124,10 +124,11 @@ object RetrievalTransforms {
               refuseDupIds(delta, id, path)
               Bm25.readManifest(spark, path) match {
                 case Some(m) =>
-                  // O(delta): one new segment + a vocab-sized df snapshot,
-                  // committed by the manifest rename — the indexed corpus
-                  // is never re-read or rewritten (until the max_segments
-                  // compaction threshold, the amortized LSM fold)
+                  // O(delta): one new segment carrying its own tf/doclen/df
+                  // delta, committed by the manifest rename — the indexed
+                  // corpus is never re-read or rewritten (until the
+                  // max_segments compaction threshold, the amortized LSM
+                  // fold); per-segment dfs merge at load
                   Bm25.appendSegment(ix, m, delta, id, text, path, maxSegments)
                 case None =>
                   // legacy flat layout: migrate with a ONE-TIME full

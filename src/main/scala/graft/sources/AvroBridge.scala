@@ -506,7 +506,10 @@ object AvroBridge {
     * avro gate; per-task commits follow the [[StagedCommit]] protocol
     * (stage to a hidden attempt name, one atomic overwrite-rename —
     * HDFS/local only), but it is NOT a transactional multi-task sink —
-    * production writes stay on the TableStore paths. */
+    * production writes stay on the TableStore paths. SINGLE WRITER per
+    * target directory: the staging sweep at write start deletes every
+    * in-flight `.inprogress` file, so concurrent writes to the same `dir`
+    * destroy each other (see [[StagedCommit]]) — serialize them. */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = toAvroSchema(df.schema, "row").toString
     val sparkSchema = df.schema

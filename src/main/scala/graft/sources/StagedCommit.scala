@@ -24,6 +24,15 @@ package graft.sources
   * fresh staging names carry the NEW attempt ids, minted only after the
   * sweep completes. `BridgeCommitKillSpec` crash-forges the stage→rename
   * window in both bridges and pins exactly-once output plus a clean sweep.
+  *
+  * SINGLE WRITER PER DIRECTORY — a hard contract, not a convention: the
+  * sweep deletes EVERY staging file in the target dir, so two concurrent
+  * bridge writes into the same directory would each sweep the other's
+  * in-flight staging files and watch their task renames fail with
+  * FileNotFoundException. Both bridges inherit this: callers must
+  * serialize writes per target directory (the pipeline lock does this for
+  * engine-managed paths; ad-hoc callers own it themselves). Writes to
+  * DIFFERENT directories are fully independent.
   */
 object StagedCommit {
 

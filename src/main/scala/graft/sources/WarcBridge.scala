@@ -400,7 +400,11 @@ object WarcBridge {
     * duplicates records on re-read.
     * Header-bearing columns must not contain CR/LF — header
     * injection would corrupt the archive framing — and the mandatory
-    * columns must be non-null; both refuse loudly per row. */
+    * columns must be non-null; both refuse loudly per row.
+    * SINGLE WRITER per target directory: the staging sweep at write start
+    * deletes every in-flight `.inprogress` file, so concurrent writes to
+    * the same `dir` destroy each other (see [[StagedCommit]]) —
+    * serialize them. */
   def write(df: DataFrame, dir: String, gzip: Boolean = true): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)

@@ -135,7 +135,7 @@ object Bm25 {
       index.nDocs + add.nDocs, index.totLen + add.totLen)
   }
 
-  // -------------------------------------------------- persistence (v2)
+  // -------------------------------------------------- persistence (v3)
   //
   // SEGMENT + MANIFEST layout — O(delta) maintenance writes, the growth
   // path the r15 verdict recorded as documented-not-claimed, now real:
@@ -143,23 +143,33 @@ object Bm25 {
   //   path/manifest.txt         ← THE commit point (one atomic rename)
   //   path/seg-<uuid>/tf/       ← postings of one fold (append-only)
   //   path/seg-<uuid>/doclen/
-  //   path/df-<uuid>/           ← merged document frequencies (vocab-sized
-  //                               snapshot, rewritten whole per fold — the
-  //                               one non-delta write, and it is tiny)
+  //   path/seg-<uuid>/df/       ← the fold's OWN document frequencies
+  //                               (v3: per-segment delta, merged by sum
+  //                               on load — folds write O(delta), full
+  //                               stop; the r16 vocab-sized merged
+  //                               snapshot per fold is gone)
+  //   path/df-<uuid>/           ← v2 only: merged-df snapshot covering
+  //                               the first `dfcover` segments (kept
+  //                               readable; new folds append v3 segments
+  //                               beside it)
   //
-  // The manifest names the committed segment set, the live df snapshot,
-  // and the integer corpus scalars. Readers resolve ONLY through it, so a
-  // crash anywhere before the manifest rename leaves the previous index
-  // fully live and the half-written dirs invisible (the next commit's
-  // sweep removes them). The rename is atomic on HDFS/local — the same
-  // scope as every sidecar protocol here (see sources/StagedCommit).
+  // The manifest names the committed segment set, the optional v2 df
+  // snapshot (+ how many leading segments it covers), and the integer
+  // corpus scalars. Readers resolve ONLY through it, so a crash anywhere
+  // before the manifest rename leaves the previous index fully live and
+  // the half-written dirs invisible (a later commit's sweep removes
+  // them). The rename is atomic on HDFS/local — the same scope as every
+  // sidecar protocol here (see sources/StagedCommit).
   //
   // Legacy (pre-r16) flat layout — path/{tf,doclen,df,stats} with no
   // manifest — still LOADS; the first maintenance fold over it migrates
-  // to v2 with a one-time full rewrite (Bm25Maintain documents it).
+  // to v3 with a one-time full rewrite (Bm25Maintain documents it).
 
-  final case class Manifest(nDocs: Long, totLen: Long, dfDir: String,
-      segments: Seq[String])
+  /** `dfDir`/`dfCover`: a v2 merged-df snapshot covering the FIRST
+    * `dfCover` segments of `segments`; segments after that carry their
+    * own `df/` delta. Fresh v3 commits have dfDir = None, dfCover = 0. */
+  final case class Manifest(nDocs: Long, totLen: Long,
+      dfDir: Option[String], dfCover: Int, segments: Seq[String])
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -180,9 +190,28 @@ object Bm25 {
       def one(k: String): String = kv.collectFirst { case (`k`, v) => v }
         .getOrElse(throw new IllegalArgumentException(
           s"$path/manifest.txt is not a BM25 manifest (missing '$k=')"))
-      require(one("v") == "2", s"$path/manifest.txt: unknown version ${one("v")}")
-      Some(Manifest(one("ndocs").toLong, one("totlen").toLong, one("df"),
-        kv.collect { case ("seg", s) => s }))
+      def opt(k: String): Option[String] = kv.collectFirst { case (`k`, v) => v }
+      val segs = kv.collect { case ("seg", s) => s }
+      one("v") match {
+        case "2" => // r16 layout: one merged-df snapshot covering every segment
+          Some(Manifest(one("ndocs").toLong, one("totlen").toLong,
+            Some(one("df")), segs.size, segs))
+        case "3" =>
+          val dfDir = opt("df")
+          val dfCover = opt("dfcover").map(_.toInt).getOrElse(0)
+          // df/dfcover must agree or the load-side merge double- or
+          // under-counts silently: a snapshot with dfcover=0 would be
+          // SUMMED with every segment's own df; dfcover>0 with no
+          // snapshot leaves the first dfcover segments with no df at all
+          require(dfDir.isDefined == (dfCover >= 1) && dfCover <= segs.size,
+            s"$path/manifest.txt: df/dfcover inconsistent " +
+              s"(df=${dfDir.getOrElse("<absent>")}, dfcover=$dfCover, " +
+              s"${segs.size} segments)")
+          Some(Manifest(one("ndocs").toLong, one("totlen").toLong,
+            dfDir, dfCover, segs))
+        case v => throw new IllegalArgumentException(
+          s"$path/manifest.txt: unknown version $v")
+      }
     }
   }
 
@@ -193,8 +222,10 @@ object Bm25 {
       m: Manifest): Unit = {
     val (fs, root) = hadoopFs(spark, path)
     fs.mkdirs(root): Unit
-    val text = (Seq("v=2", s"ndocs=${m.nDocs}", s"totlen=${m.totLen}",
-      s"df=${m.dfDir}") ++ m.segments.map(s => s"seg=$s")).mkString("\n")
+    val text = (Seq("v=3", s"ndocs=${m.nDocs}", s"totlen=${m.totLen}") ++
+      m.dfDir.map(d => s"df=$d").toSeq ++
+      (if (m.dfCover != 0) Seq(s"dfcover=${m.dfCover}") else Nil) ++
+      m.segments.map(s => s"seg=$s")).mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.manifest.txt.${java.util.UUID.randomUUID()}.inprogress")
     val out = fs.create(tmp, true)
@@ -205,14 +236,20 @@ object Bm25 {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Remove every `seg-*` / `df-*` dir (and stale manifest staging) the
-    * live manifest does not reference — crashed folds' invisible leftovers
-    * and superseded df snapshots. Runs AFTER a commit; failures are
-    * harmless (re-swept next commit). */
+  /** Remove every `seg-*` / `df-*` dir (and stale manifest staging) that
+    * NEITHER the live manifest NOR the immediately superseded one (`prev`)
+    * references — crashed folds' invisible leftovers, and dirs superseded
+    * TWO commits ago. Keeping `prev`'s dirs one extra commit is the reader
+    * grace period: a reader that resolved the previous manifest can still
+    * lazily scan its frames across one concurrent commit (compaction is
+    * where supersession actually happens — append folds supersede
+    * nothing). Runs AFTER a commit; failures are harmless (re-swept next
+    * commit). */
   def sweepOrphans(spark: org.apache.spark.sql.SparkSession, path: String,
-      m: Manifest): Unit = {
+      m: Manifest, prev: Option[Manifest] = None): Unit = {
     val (fs, root) = hadoopFs(spark, path)
-    val referenced = (m.segments :+ m.dfDir).toSet
+    val referenced = (m.segments ++ m.dfDir.toSeq ++
+      prev.toSeq.flatMap(p => p.segments ++ p.dfDir.toSeq)).toSet
     // legacy flat dirs are shadowed the moment a manifest exists — a
     // migrated index must not keep a stale duplicate copy of its corpus
     val legacy = Set("tf", "doclen", "df", "stats")
@@ -236,31 +273,35 @@ object Bm25 {
     * unreferenced at the manifest rename and are swept. */
   def saveIndex(index: Index, path: String): Unit = {
     val spark = index.tf.sparkSession
+    // snapshot the manifest being superseded BEFORE the data writes touch
+    // the tree — its dirs get the one-commit sweep grace period
+    val prev = scala.util.Try(readManifest(spark, path)).toOption.flatten
     val seg = s"seg-${java.util.UUID.randomUUID()}"
-    val dfDir = s"df-${java.util.UUID.randomUUID()}"
     index.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
     index.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
-    index.df.write.mode("overwrite").parquet(s"$path/$dfDir")
+    index.df.write.mode("overwrite").parquet(s"$path/$seg/df")
     graft.exec.CrashForge.maybeHalt("bm25_manifest") // data staged, uncommitted
-    val m = Manifest(index.nDocs, index.totLen, dfDir, Seq(seg))
+    val m = Manifest(index.nDocs, index.totLen, None, 0, Seq(seg))
     writeManifest(spark, path, m)
     // also removes legacy flat dirs (a migration target's stale copy) —
     // every read this save's frames needed from them completed when the
     // parquet writes above materialized
-    sweepOrphans(spark, path, m)
+    sweepOrphans(spark, path, m, prev)
   }
 
-  /** O(delta) maintenance fold: write the delta as ONE new segment plus a
-    * fresh (vocab-sized) merged-df snapshot, then commit by manifest
-    * rename. The indexed corpus is never re-read or rewritten — tf/doclen
-    * history is immutable segments — EXCEPT when the fold would push the
-    * segment count past `maxSegments`: then it COMPACTS instead, folding
-    * history + delta into one fresh segment through the same atomic
-    * commit (the LSM discipline: unbounded segment accumulation is the
-    * small-files/listing trap at the other end of the O(corpus)-rewrite
-    * one; amortized write cost is O(corpus / maxSegments) per fold).
-    * Precondition as [[updateIndex]]: delta ids disjoint from the indexed
-    * ids AND among themselves. */
+  /** O(delta) maintenance fold: write the delta as ONE new segment (its
+    * tf, doclen, AND its own df delta — nothing vocab- or corpus-sized),
+    * then commit by manifest rename. The indexed corpus is never re-read
+    * or rewritten — tf/doclen/df history is immutable segments — EXCEPT
+    * when the fold would push the segment count past `maxSegments`: then
+    * it COMPACTS instead, folding history + delta into one fresh segment
+    * through the same atomic commit (the LSM discipline: unbounded
+    * segment accumulation is the small-files/listing trap at the other
+    * end of the O(corpus)-rewrite one; amortized write cost is
+    * O(corpus / maxSegments) per fold). Per-segment dfs merge at LOAD
+    * (one sum-by-term over ≤ maxSegments vocab-bounded frames — see
+    * [[loadIndex]]). Precondition as [[updateIndex]]: delta ids disjoint
+    * from the indexed ids AND among themselves. */
   def appendSegment(live: Index, liveManifest: Manifest, delta: DataFrame,
       idCol: String, textCol: String, path: String,
       maxSegments: Int = 64): Unit = {
@@ -273,20 +314,26 @@ object Bm25 {
     val spark = delta.sparkSession
     val add = buildIndex(delta, idCol, textCol)
     val seg = s"seg-${java.util.UUID.randomUUID()}"
-    val dfDir = s"df-${java.util.UUID.randomUUID()}"
     add.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
     add.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
-    // merged df reads the LIVE df snapshot lazily while writing a NEW
-    // versioned dir — never its own input (the old swap protocol's trap)
-    live.df.unionByName(add.df).groupBy("__t").agg(sum(col("__df")).as("__df"))
-      .write.mode("overwrite").parquet(s"$path/$dfDir")
+    add.df.write.mode("overwrite").parquet(s"$path/$seg/df")
     graft.exec.CrashForge.maybeHalt("bm25_manifest") // data staged, uncommitted
+    // an append supersedes nothing: the v2 snapshot (if any) still covers
+    // its leading segments; this fold's df rides inside the segment
     val m = Manifest(liveManifest.nDocs + add.nDocs,
-      liveManifest.totLen + add.totLen, dfDir, liveManifest.segments :+ seg)
+      liveManifest.totLen + add.totLen, liveManifest.dfDir,
+      liveManifest.dfCover, liveManifest.segments :+ seg)
     writeManifest(spark, path, m)
-    sweepOrphans(spark, path, m)
+    sweepOrphans(spark, path, m, Some(liveManifest))
   }
 
+  /** Resolve the index through the live manifest. Reader contract: frames
+    * are LAZY — they re-list their parquet dirs at each action. A commit
+    * that happens while a loaded index is still being queried is survivable
+    * for exactly ONE generation (the sweep's grace period keeps the
+    * previous manifest's dirs); a reader lagging two commits behind can hit
+    * FileNotFoundException mid-scan. Single-writer is assumed throughout
+    * (the Bm25Maintain plugin serializes through the pipeline lock). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index =
     readManifest(spark, path) match {
       case Some(m) =>
@@ -297,9 +344,21 @@ object Bm25 {
         val dl = spark.read.parquet(m.segments.map(s => s"$path/$s/doclen"): _*)
         require(dl.columns.toSet == Set("__doc", "__len", "__hash"),
           s"$path is not a BM25 index (doclen columns: ${dl.columns.mkString(",")})")
-        val df = spark.read.parquet(s"$path/${m.dfDir}")
-        require(df.columns.toSet == Set("__t", "__df"),
-          s"$path is not a BM25 index (df columns: ${df.columns.mkString(",")})")
+        // document frequencies: the v2 snapshot (covering the first
+        // dfCover segments) plus every later segment's own df delta,
+        // merged by one vocab-bounded sum — the load-side price of
+        // O(delta) fold writes. A fresh v3 index is pure per-segment dirs.
+        val dfParts =
+          m.dfDir.map(d => s"$path/$d").toSeq ++
+            m.segments.drop(m.dfCover).map(s => s"$path/$s/df")
+        require(dfParts.nonEmpty,
+          s"$path/manifest.txt names no df source (df/dfcover inconsistent)")
+        val df0 = spark.read.parquet(dfParts: _*)
+        require(df0.columns.toSet == Set("__t", "__df"),
+          s"$path is not a BM25 index (df columns: ${df0.columns.mkString(",")})")
+        val df =
+          if (dfParts.size == 1) df0
+          else df0.groupBy("__t").agg(sum(col("__df")).as("__df"))
         Index(tf, dl, df, m.nDocs, m.totLen)
       case None => loadLegacyIndex(spark, path)
     }

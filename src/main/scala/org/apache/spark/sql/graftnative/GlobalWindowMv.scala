@@ -517,9 +517,15 @@ object GlobalWindowMv {
       "distincts=" + pairs(m.distincts),
       "sampled=" + m.sampled,
       "distinctvalues=" + m.distinctValues,
-      // %.6f, not toString: a locale-free fixed form round-trips exactly
-      // enough for a diagnostic share and never emits scientific notation
-      "topshare=" + f"${m.topShare}%.6f").mkString("\n")
+      // fixed 6-decimal form, not toString: round-trips exactly enough for
+      // a diagnostic share and never emits scientific notation. BigDecimal,
+      // not the f-interpolator: f"%.6f" formats with the JVM DEFAULT locale,
+      // so a comma-decimal host would emit "0,123456", decodeMeta's
+      // .toDouble would throw inside Try, the whole sidecar would decode to
+      // None — and every refresh on such hosts silently degrades to a full
+      // rebuild. BigDecimal.toString is locale-free by spec.
+      "topshare=" + BigDecimal(m.topShare)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString).mkString("\n")
   }
 
   def decodeMeta(s: String): Option[Meta] = scala.util.Try {

@@ -29,11 +29,19 @@ import org.apache.spark.sql.types._
   *     envelope — `a·x + hi ≥ f > C` keeps every row that can possibly
   *     satisfy the cut; descending (`f < C`) uses the lower envelope.
   *   - Rounding: all arithmetic runs in 40-digit decimal; the final bound
-  *     is loosened by a relative+absolute 1e-9 slack and rounded in the
-  *     LOOSE direction per pivot type (floor for a lower bound, ceil for
-  *     an upper; two extra ULPs on the decimal→floating conversion).
-  *     Digits lost to division or a long→double cast (≤ 2^-52 relative
-  *     per op, a handful of ops) sit orders of magnitude inside the slack.
+  *     is loosened by max(relative+absolute 1e-9 of the bound,
+  *     magnitude-scaled runtime budget) and rounded in the LOOSE direction
+  *     per pivot type (floor for a lower bound, ceil for an upper; two
+  *     extra ULPs on the decimal→floating conversion). The magnitude term
+  *     exists because the RUNTIME f is floating arithmetic whose per-row
+  *     error scales with the intermediates (≈ envelope + cut magnitude),
+  *     not with the bound: a float cast of a ~2^30 pivot is off by up to
+  *     64 in f-space while a bound-relative slack is ~1 — a multi-op
+  *     chain (where the error spans more than one ULP of the cut's own
+  *     grid) would drop rows the runtime cut keeps. Budget: 2^-20 of
+  *     (|C| + max|lo,hi| + |rhs|)/|a| when any FloatType node appears in
+  *     the chain, 2^-45 for double-only chains, none for pure-integral
+  *     chains (exact inside the wrap cap).
   *   - Nulls: every accepted op is null-strict, so `f IS NULL` implies a
   *     referenced column is null; the caller ORs `IS NULL` over
   *     [[Cut.nullKeep]] whenever the null bucket lives in the suffix
@@ -62,6 +70,19 @@ object MonotoneCut {
 
   private val MC = new MathContext(40, RoundingMode.HALF_EVEN)
   private val Slack = new JBD("1e-9")
+  // Per-chain runtime rounding budget: the envelope is EXACT arithmetic,
+  // but the runtime f is evaluated in float/double per row, so a row's
+  // f_runtime can exceed f_exact by ~(per-op ulp) × (intermediate
+  // magnitude) × ops. That error scales with the RESIDUAL envelope and
+  // cut magnitude, not with the bound — when they dwarf |bound0|, a
+  // relative-to-bound slack is orders of magnitude too small and the
+  // derived conjunct can drop a row the runtime cut keeps
+  // (MonotoneCutSpec's "runtime floating rounding" case demonstrates it).
+  // Budget: float 2^-20 (per-op 2^-24, 16-op headroom) / double 2^-45
+  // (per-op 2^-53, 256-op headroom); pure-integral chains are exact
+  // inside the wrap cap and need no floating budget at all.
+  private val EpsFloatChain = new JBD(java.lang.Math.pow(2, -20)) // exact
+  private val EpsDoubleChain = new JBD(java.lang.Math.pow(2, -45)) // exact
 
   /** e ∈ [a·pivot + lo, a·pivot + hi]; pivot None means a = 0 (a pure
     * constant interval). */
@@ -279,7 +300,27 @@ object MonotoneCut {
       // the NaN bucket (it sorts first), so desc upper bounds are safe.
       if lower || !asc ||
         !Set[DataType](DoubleType, FloatType)(pivot.dataType)
-      slack = bound0.abs.multiply(Slack, MC).add(Slack)
+      // Two slack regimes, take the max:
+      //   decimal-arithmetic slack — relative+absolute 1e-9 of the bound,
+      //     covering the 40-digit derivation's own division/cast digits;
+      //   runtime floating slack — the binding rows sit NEAR the cut,
+      //     where every intermediate's magnitude is ≤ ~(|C| + max|lo,hi| +
+      //     |rhs|); multiply by the chain's eps budget and divide by |a|
+      //     to convert the f-space error bound into pivot space. Rows far
+      //     below/above the bound have proportionally larger margins than
+      //     errors (both scale with |a·x|), so near-cut is the worst case.
+      //   Pure-integral chains (no floating node anywhere) are exact
+      //     within the wrap cap — no floating budget.
+      chainEps = {
+        if (f.exists(_.dataType == FloatType)) Some(EpsFloatChain)
+        else if (f.exists(_.dataType == DoubleType)) Some(EpsDoubleChain)
+        else None
+      }
+      fpSlack = chainEps.fold(JBD.ZERO) { eps =>
+        c.abs.add(iv.maxAbsB, MC).add(rhs.abs, MC)
+          .multiply(eps, MC).divide(iv.a.abs, MC)
+      }
+      slack = bound0.abs.multiply(Slack, MC).add(Slack).max(fpSlack)
       bound = if (lower) bound0.subtract(slack) else bound0.add(slack)
       capOpt <- wrapCapOf(cons, pivot.dataType)
     } yield Cut(pivot, lower, bound,

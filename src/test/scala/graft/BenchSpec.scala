@@ -39,7 +39,7 @@ class BenchSpec extends SparkSuite {
     val r = Bench.run(spark, sf0001, iters = 1,
       queries = Map("ok" -> ((s, _) => s.range(3).toDF())))
     assert(r.compact.matches(
-      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","plan_cost":\d+\.\d\d,"unstable":\d+,"queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
+      """\{"metric":"total","value":\d+\.\d\d,"unit":"sec","total_min":\d+\.\d\d,"iter_totals":\[\d+\.\d\d\],"plan_cost":\d+\.\d\d,"unstable":\d+,"queries":\{"ok":\d+\.\d\d\},"sf":"sf0\.001"\}"""),
       r.compact)
     // error NAMES only in the compact line — a 300-char message per failed
     // query would blow the tail budget the line exists to fit
@@ -95,23 +95,52 @@ class BenchSpec extends SparkSuite {
     assert(fast.json.contains(""""unstable":[]"""), fast.json.take(200))
   }
 
-  test("compact line for the FULL suite fits the driver's ~2 KB tail capture") {
-    // The whole point of the compact line is surviving truncation whole.
-    // r10 proved the window in practice: the tail capture is 2048 bytes and
-    // sbt's trailing "[success] Total time: …" line eats ~80 of them, so the
-    // usable budget is ~1950 — and the r10 line (full names, 83 queries,
-    // ~2.1 KB) was clipped mid-key while the old projection here still
-    // passed (it budgeted 1950 but under-counted the frame + per-query
-    // bytes). The line now uses short prefix keys; project its size from
-    // the SAME construction run() uses — short key + ":" + up-to-5-char
-    // value + comma — and demand ≤1600 so ~40 more queries fit before this
-    // trips again.
-    val perQuery = SparkEntry.queries.keys
-      .map(_.takeWhile(_ != '_').length + 10).sum
-    val projected = perQuery + 140 // frame: metric/value/unit/plan_cost/unstable/queries/sf
-    assert(projected < 1600,
-      s"compact bench line projected at $projected bytes — over the " +
-        "tail-capture budget; shorten new query prefixes")
+  test("ABSOLUTE swings flag even when the relative criterion misses (r16 q61 class)") {
+    // r16: q61 ran 13.5/12.0/4.7 s — spread 0.73× its median, unflagged,
+    // and its "+7.2 s vs r15" was pure host contention. Multi-second
+    // swings are a contention signature whatever the median says:
+    // max − min > 2 s now flags regardless. Forge: median large enough
+    // that the relative criterion (spread > 1.0) stays quiet.
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val r = Bench.run(spark, sf0001, iters = 3, queries = Map(
+      "bigswing" -> ((s, _) => {
+        Thread.sleep(if (calls.getAndIncrement() == 0) 4800 else 2500)
+        s.range(3).toDF()
+      })))
+    assert(r.json.contains(""""unstable":["bigswing"]"""),
+      "absolute-swing criterion missed a >2 s range: " + r.json.take(400))
+    // and the whole-run contention signature rides the contract line:
+    // per-iteration totals + the contention-robust min-of-iters total
+    assert("\"iter_totals\":\\[\\d+\\.\\d\\d,\\d+\\.\\d\\d,\\d+\\.\\d\\d\\]".r
+      .findFirstIn(r.compact).isDefined, r.compact)
+    assert(r.compact.contains(""""total_min":"""), r.compact)
+  }
+
+  test("compact line SELF-CAPS under the driver's ~2 KB tail capture, whatever the suite size") {
+    // The whole point of the compact line is surviving truncation whole —
+    // clipping eats the HEAD, where total/plan_cost/unstable live. r10
+    // (full names) and r16 (146 short-keyed queries + new fields) both
+    // overflowed static budgets, so the line now adapts: it omits
+    // sub-threshold-median queries (raising the threshold until the line
+    // fits 1850 bytes) and reports how many it dropped. Full per-query
+    // data is always in bench_full.json. Forge a suite far past the old
+    // budget and assert the cap + the q_omitted honesty marker + the
+    // intact headline frame.
+    val many: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] =
+      (0 until 260).map(i => s"z$i" ->
+        ((s: org.apache.spark.sql.SparkSession, _: String) => s.range(3).toDF())).toMap
+    val r = Bench.run(spark, sf0001, iters = 1, queries = many)
+    assert(r.compact.length <= 1850,
+      s"compact line is ${r.compact.length} bytes — would clip in the tail window")
+    assert(r.compact.startsWith("""{"metric":"total","value":"""), r.compact.take(120))
+    assert(r.compact.endsWith("}"), r.compact.takeRight(40))
+    assert(r.compact.contains(""""q_omitted":"""),
+      "260 queries cannot all fit — the omission marker must be present: " +
+        r.compact.take(200))
+    // the full line still carries EVERY query
+    assert((0 until 260).forall(i => r.json.contains(s""""z$i":""")),
+      "full JSON lost queries")
   }
 
   test("writeFull persists the full JSON line to a file, creating parents") {

@@ -228,6 +228,62 @@ class GlobalWindowMvSpec extends SparkSuite {
       s"suffix mismatch: got ${out.toSeq.sorted.take(8)}… expected ${expected.toSeq.sorted.take(8)}…")
   }
 
+  test("END-TO-END: a gate-path tail refresh pushes the pivot conjunct to the scan") {
+    // The rewrite-level test above hand-feeds boundaries; this one drives
+    // the FULL PipelineRunner refresh (the exact path the q67 CORRECTNESS
+    // gate executes) and asserts the EXECUTED plan of the second run's
+    // rewrite job carries (a) the bucket-parallel exchange and (b) a
+    // PushedFilters entry on the BARE pivot column `score` — which only
+    // the MonotoneCut conjunct can put there (the suffix cut itself
+    // filters the synthetic _w0 and stops at the Project; the only other
+    // base-column filter the route makes is the bucket filter on the
+    // computed __gw_bucket, also unpushable). Engagement, not just
+    // derivability.
+    val compSql =
+      "SELECT id, score, CAST(rank() OVER " +
+        "(ORDER BY floor(score) * 3 + id % 5 DESC NULLS LAST) AS INT) AS rnk FROM base"
+    val (runner, store, dir) = fresh()
+    val landing = s"$dir/landing"
+    writeRows(landing, (0L until 400L).map(i => (i, java.lang.Double.valueOf(i.toDouble))))
+    runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, compSql)))
+    val meta = store.getMeta("mv", "gwmeta").flatMap(GlobalWindowMv.decodeMeta)
+    assert(meta.exists(_.boundaries.nonEmpty), "boundaries not frozen on run 1")
+    // capture every executed plan of run 2 (the refresh)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit =
+        scala.util.Try(plans.add(qe.executedPlan.toString)): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // bottom-of-the-DESC-order delta → suffix refresh of the last bucket
+      writeRows(landing, Seq((2000L, -5.0), (2001L, -6.0)))
+      runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, compSql)))
+      // listener delivery is async — poll
+      def hit: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.iterator().asScala.map(_.replaceAll("\\s+", " ")).find(p =>
+          p.contains("hashpartitioning(__gw_bucket") &&
+            p.matches("(?s).*PushedFilters: \\[[^\\]]*score.*"))
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (hit.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(hit.nonEmpty,
+        "no executed refresh plan carried BOTH the bucket-parallel exchange " +
+          "and a scan-pushed pivot conjunct; captured plans:\n" +
+          plans.toArray.mkString("\n---\n").take(8000))
+      // and the refresh stayed exact
+      val got = store.read("mv").select("id", "score", "rnk")
+      store.read("base").createOrReplaceTempView("base")
+      val expected = spark.sql(compSql)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "pruned gate-path refresh diverged from the one-shot window")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("the full ranking family decomposes: percent_rank, cume_dist, ntile") {
     val famSql =
       "SELECT id, score, CAST(rank() OVER (ORDER BY score DESC) AS INT) AS rnk, " +

@@ -136,6 +136,75 @@ class MonotoneCutSpec extends SparkSuite {
     }
   }
 
+  test("runtime floating rounding: tight-envelope chains get magnitude-scaled slack") {
+    // The r16 slack was relative to the BOUND (1e-9·|bound0| + 1e-9) — but
+    // the runtime f is evaluated in float/double, whose per-row error
+    // scales with the INTERMEDIATE magnitudes. Two concrete exposures the
+    // original fixture's small residuals (% 5, % 7) never reached:
+    //
+    // (a) float cast of a ~2^30 integral pivot inside a MULTI-OP chain
+    //     whose result is double: the float ulp at 2^30 is 128, so
+    //     float(n) rounds n ∈ [G−64, G+64] onto the grid point
+    //     G = 2^30 − 256 — up to +64 of f-space error — while the DOUBLE
+    //     result type puts the cut on a grid ~2.4e-7 fine (a single-op
+    //     all-float chain can never jump a cut cell; the double tail makes
+    //     the error span thousands of them). Cut placed at
+    //     C = 2·(G−1) + 1e9: rows n ∈ [G−32, G−4] have runtime
+    //     f = 2G + 1e9 = C + 2 (in the suffix) but exact f ≤ C − 8, so
+    //     the old bound-relative slack (~1.07 on bound0 = G−1) derived
+    //     `n ≥ G−3` and DROPPED all of them. The magnitude-scaled float
+    //     budget (≈ 6.3e9·2^-20/2 ≈ 3000) must keep them.
+    val G = 1073741568L // 2^30 − 256, a float grid point (ulp 64 in this binade)
+    val floatDf = ((G - 70 to G + 5) ++
+        Seq(0L, -5L, Long.MaxValue, Long.MinValue))
+      .map(l => (0.0, l, l)).toDF("value", "n", "user_id")
+    val fSqlF = "cast(n as float) * 2 + 1e9"
+    val (fF, outF) = {
+      val analyzed = floatDf.select(expr(fSqlF).as("f"))
+        .queryExecution.analyzed
+      val f = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+      (f, analyzed.children.head.outputSet)
+    }
+    val cF = 2.0 * (G - 1) + 1e9 // 3147483134.0, exact in double
+    val conjF = GlobalWindowMv.cutColumnFor(fF, cF, true, false, outF)
+    assert(conjF.nonEmpty, "float-cast affine chain left the grammar")
+    // float ulp in [2^29, 2^30) is 64, so n ∈ [G−32, G−1] round up to G —
+    // ~29 of them sit below the old G−3 bound: the rows the old slack drops
+    val suffixF = floatDf.filter(expr(fSqlF) > lit(cF))
+    assert(suffixF.filter(col("n") < G - 3 && col("n") > 0).count() >= 25,
+      "fixture regressed: the rounded-up rows stopped reaching the runtime suffix")
+    val droppedF = suffixF.filter(!conjF.get)
+    assert(droppedF.isEmpty,
+      "float-cast rounding pushed runtime-suffix rows past the conjunct:\n" +
+        droppedF.limit(5).collect().mkString("\n"))
+    //
+    // (b) double chain with a large TIGHT constant offset: near the cut
+    //     C ≈ 3e9 the intermediates are ~1e9-scale, so fl(value + 1e9)
+    //     carries up to ulp(1e9)/2 ≈ 1.2e-7 of error — 100× the old
+    //     1e-9-relative slack at bound0 = 1/3. Values packed 1e-9 apart
+    //     just below the bound probe the window.
+    val dblDf = ((-80 to 80).map(i => 1.0 / 3 + i * 1e-9) ++
+        Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+          0.0, 1e308, -1e308))
+      .map(d => (d, 0L, 0L)).toDF("value", "n", "user_id")
+    val (fD, outD) = {
+      val analyzed = dblDf.select(expr("(value + 1e9) * 3").as("f"))
+        .queryExecution.analyzed
+      val f = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+      (f, analyzed.children.head.outputSet)
+    }
+    val cD = 3.000000001e9
+    val conjD = GlobalWindowMv.cutColumnFor(fD, cD, true, false, outD)
+    assert(conjD.nonEmpty, "double affine chain left the grammar")
+    val droppedD = dblDf
+      .filter(expr("(value + 1e9) * 3") > lit(cD) && !conjD.get)
+    assert(droppedD.isEmpty,
+      "double rounding pushed runtime-suffix rows past the conjunct:\n" +
+        droppedD.limit(5).collect().mkString("\n"))
+  }
+
   test("nulls: suffix null-bucket rows survive via the is-null keeps") {
     // rows where user_id is null but value is not (and vice versa) have
     // f IS NULL — under nulls-last they sit in the suffix's null bucket

@@ -114,6 +114,14 @@ class Bm25MaintainSpec extends SparkSuite {
       "the fold rewrote history segment bytes — O(delta) violated")
     run(Seq(4L -> "x w y").toDF("doc_id", "text"), path)
     assert(segDirs(path).size == 3)
+    // v3: the fold's df rides INSIDE its segment — no vocab-sized merged
+    // snapshot dir is ever written, so a fold's written bytes are O(delta)
+    val topDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+    assert(topDirs.forall(_.startsWith("seg-")),
+      s"non-segment dirs written by v3 folds: ${topDirs.filterNot(_.startsWith("seg-"))}")
+    assert(segDirs(path).forall(s => new java.io.File(s"$path/$s/df").isDirectory),
+      "a v3 segment is missing its per-segment df delta")
     // and the segmented index still answers exactly like one full build
     val full = Bm25.topK(Bm25.buildIndex(
       Seq(1L -> "x y", 2L -> "x x z", 3L -> "w", 4L -> "x w y")
@@ -136,18 +144,28 @@ class Bm25MaintainSpec extends SparkSuite {
     runMax2(Seq(1L -> "x y").toDF("doc_id", "text"))
     runMax2(Seq(1L -> "x y", 2L -> "x x z").toDF("doc_id", "text"))
     assert(segDirs(path).size == 2, s"two folds = two segments: ${segDirs(path)}")
+    val preCompaction = segDirs(path).toSet
     // third fold would make 3 > max_segments=2 → compacts to ONE
     runMax2(Seq(3L -> "w").toDF("doc_id", "text"))
-    assert(segDirs(path).size == 1,
-      s"the overflowing fold must compact to one segment: ${segDirs(path)}")
+    val mCompact = Bm25.readManifest(spark, path).get
+    assert(mCompact.segments.size == 1,
+      s"the overflowing fold must compact to one LIVE segment: $mCompact")
+    // the superseded segments stay on disk ONE extra commit (the reader
+    // grace period) and are unreferenced — the next commit sweeps them
+    assert(preCompaction.subsetOf(segDirs(path).toSet),
+      "grace period violated: superseded segments swept at their own commit")
     val full = Bm25.topK(Bm25.buildIndex(
       Seq(1L -> "x y", 2L -> "x x z", 3L -> "w", 4L -> "x w y")
         .toDF("doc_id", "text"), "doc_id", "text"), qs, "qid", "qtext", 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
-    // post-compaction fold appends again and the answer stays exact
+    // post-compaction fold appends again and the answer stays exact; ITS
+    // sweep (prev = the compacted manifest) finally removes the
+    // pre-compaction segments
     val out = runMax2(Seq(4L -> "x w y").toDF("doc_id", "text"))
     assert(out == full, "compacted index diverged from the full build")
     assert(segDirs(path).size == 2)
+    assert((preCompaction -- segDirs(path).toSet) == preCompaction,
+      "pre-compaction segments survived a SECOND commit — sweep regressed")
   }
 
   test("a torn fold (segments written, manifest never renamed) resumes exactly-once") {

@@ -71,6 +71,41 @@ class Bm25Spec extends SparkSuite {
     assert(e.getMessage.contains("not a BM25"))
   }
 
+  test("a forged v2 manifest (merged-df snapshot) loads; a fold over it appends v3") {
+    // r16 wrote `v=2` manifests: one seg-*/{tf,doclen} per fold plus a
+    // vocab-sized df-<uuid> merged snapshot named by `df=`. v3 readers
+    // must keep scoring those byte-identically, and a fold over one must
+    // write only a per-segment delta (snapshot untouched, still covering
+    // its leading segments via dfcover)
+    val dir = java.nio.file.Files.createTempDirectory("bm25-v2").toString + "/ix"
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    idx.tf.write.parquet(s"$dir/seg-v2fixture/tf")
+    idx.docLen.write.parquet(s"$dir/seg-v2fixture/doclen")
+    idx.df.write.parquet(s"$dir/df-v2fixture") // merged snapshot, v2-style
+    val manifest = Seq("v=2", s"ndocs=${idx.nDocs}", s"totlen=${idx.totLen}",
+      "df=df-v2fixture", "seg=seg-v2fixture").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/manifest.txt"),
+      manifest.getBytes("UTF-8"))
+    val qs = Seq(10L -> "x y").toDF("qid", "qtext")
+    def s(i: Bm25.Index) = Bm25.topK(i, qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val v2 = Bm25.loadIndex(spark, dir)
+    assert(s(v2) == s(idx), "v2 manifest no longer scores like the build")
+    // fold a delta through the v3 append path
+    val m = Bm25.readManifest(spark, dir).get
+    assert(m.dfDir.contains("df-v2fixture") && m.dfCover == 1)
+    Bm25.appendSegment(v2, m, Seq(4L -> "x w").toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val m2 = Bm25.readManifest(spark, dir).get
+    assert(m2.dfDir.contains("df-v2fixture") && m2.dfCover == 1 &&
+      m2.segments.size == 2, s"v2→v3 fold mangled the manifest: $m2")
+    val fullPlus = Bm25.buildIndex(
+      Seq(1L -> "x y", 2L -> "x x z", 3L -> "w", 4L -> "x w")
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(s(Bm25.loadIndex(spark, dir)) == s(fullPlus),
+      "mixed v2-snapshot + v3-segment df merge diverged from the full build")
+  }
+
   test("updateIndex(build(A), B) IS build(A ++ B) — exact incremental maintenance") {
     val a = Seq(1L -> "x y", 2L -> "x x z")
     val b = Seq(3L -> "w", 4L -> "x w y")
