@@ -558,12 +558,21 @@ object ScaleProbe {
         case s: FileSourceScanExec => Seq(s)
         case other => other.children.flatMap(scans)
       }
-      for (k <- Seq(1, reps).distinct) {
-        val dirK = s"$tmpGc/base$k"
-        // pivot-clustered layout: 64 range partitions on value, sorted
-        // within, so row-group stats separate the order domain
-        evK(k).repartitionByRange(64, col("value"))
-          .sortWithinPartitions("value")
+      // layouts: "clustered" = 64 range partitions on the pivot, sorted
+      // within (the realistic score/time-clustered leaderboard ingest —
+      // row-group stats separate the order domain); "unclustered" = hash
+      // partitions (the documented residue: stats can't prune what the
+      // layout doesn't separate, so the fraction quantifies what an
+      // unclustered base PAYS and why cluster-on-write matters at 100 TB).
+      // The unclustered row runs at k=1 only — its number is a property
+      // of the layout, not the scale.
+      for ((k, layout) <- Seq(1 -> "clustered", reps -> "clustered",
+          1 -> "unclustered").distinct) {
+        val dirK = s"$tmpGc/base$k-$layout"
+        (if (layout == "clustered")
+          evK(k).repartitionByRange(64, col("value"))
+            .sortWithinPartitions("value")
+        else evK(k).repartition(64))
           .write.mode("overwrite").parquet(dirK)
         spark.read.parquet(dirK).createOrReplaceTempView("gwcut_base")
         val plan = spark.sql(
@@ -594,7 +603,7 @@ object ScaleProbe {
         val scanned = scans(tailQe.executedPlan)
           .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
         val bootT = med(time(refresh(None)))
-        emit(f"""{"k":$k,"rows":$total,"buckets":${bnds.size + 1},"bootstrap":$bootT%.2f,"suffix_tail":$tailT%.2f,"tail_scan_rows":$scanned,"scan_fraction":${if (total == 0) 0.0 else scanned.toDouble / total}%.4f}""")
+        emit(f"""{"k":$k,"layout":"$layout","rows":$total,"buckets":${bnds.size + 1},"bootstrap":$bootT%.2f,"suffix_tail":$tailT%.2f,"tail_scan_rows":$scanned,"scan_fraction":${if (total == 0) 0.0 else scanned.toDouble / total}%.4f}""")
       }
       graft.exec.Fs.deleteRecursively(new java.io.File(tmpGc))
     }

@@ -116,6 +116,30 @@ class BenchSpec extends SparkSuite {
     assert(r.compact.contains(""""total_min":"""), r.compact)
   }
 
+  test("at >= 4 iterations the cold first pass is warm-up, not instability") {
+    // the r17 5-iter reading: iteration 1 = 553 s vs 324-402 s for every
+    // later pass — structural cold-start, not host noise. With iters >= 4
+    // the stats (median/spread/unstable) exclude iteration 1; the raw
+    // queries_all and iter_totals keep all passes, and total_min may come
+    // from any of them.
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val r = Bench.run(spark, sf0001, iters = 4, queries = Map(
+      "coldstart" -> ((s, _) => {
+        Thread.sleep(if (calls.getAndIncrement() == 0) 3000 else 300)
+        s.range(3).toDF()
+      })))
+    assert(r.json.contains(""""unstable":[]"""),
+      "a cold first pass must not flag at >= 4 iters: " + r.json.take(400))
+    val med = """"coldstart":(\d+\.?\d*)""".r.findFirstMatchIn(r.json).get.group(1).toDouble
+    assert(med < 1.5, s"median $med includes the discarded warm-up pass")
+    assert("\"iter_totals\":\\[(\\d+\\.\\d\\d,){3}\\d+\\.\\d\\d\\]".r
+      .findFirstIn(r.compact).isDefined,
+      "iter_totals must keep ALL passes including the warm-up: " + r.compact)
+    assert("\"coldstart\":\\[(\\d+\\.?\\d*,){3}\\d+\\.?\\d*\\]".r
+      .findFirstIn(r.json).isDefined,
+      "queries_all must keep ALL passes: " + r.json.take(600))
+  }
+
   test("compact line SELF-CAPS under the driver's ~2 KB tail capture, whatever the suite size") {
     // The whole point of the compact line is surviving truncation whole —
     // clipping eats the HEAD, where total/plan_cost/unstable live. r10
