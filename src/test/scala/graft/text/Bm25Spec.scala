@@ -106,6 +106,39 @@ class Bm25Spec extends SparkSuite {
       "mixed v2-snapshot + v3-segment df merge diverged from the full build")
   }
 
+  test("inconsistent df/dfcover manifest refuses loudly — never double-counts df") {
+    // a v3 manifest naming a snapshot with dfcover=0 would SUM the
+    // snapshot with every segment's own df (doubled document frequencies
+    // shift every idf silently); dfcover>0 with no snapshot leaves the
+    // leading segments with no df source. Both must refuse by name, not
+    // load-and-lie.
+    val dir = java.nio.file.Files.createTempDirectory("bm25-bad-mf").toString
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    Bm25.saveIndex(idx, dir) // writes a consistent v3 manifest
+    val seg = Bm25.readManifest(spark, dir).get.segments.head
+    def forge(lines: Seq[String]): Unit = {
+      // saveIndex wrote through Hadoop's ChecksumFileSystem, which keeps a
+      // .manifest.txt.crc sidecar — drop it or the raw overwrite below
+      // fails the read with ChecksumException before the refusal under test
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/.manifest.txt.crc")): Unit
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/manifest.txt"),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    forge(Seq("v=3", s"ndocs=${idx.nDocs}", s"totlen=${idx.totLen}",
+      "df=df-ghost", s"seg=$seg")) // snapshot named, dfcover absent (0)
+    val e1 = intercept[IllegalArgumentException](Bm25.readManifest(spark, dir))
+    assert(e1.getMessage.contains("df/dfcover inconsistent"), e1.getMessage)
+    forge(Seq("v=3", s"ndocs=${idx.nDocs}", s"totlen=${idx.totLen}",
+      "dfcover=1", s"seg=$seg")) // cover without a snapshot
+    val e2 = intercept[IllegalArgumentException](Bm25.readManifest(spark, dir))
+    assert(e2.getMessage.contains("df/dfcover inconsistent"), e2.getMessage)
+    forge(Seq("v=3", s"ndocs=${idx.nDocs}", s"totlen=${idx.totLen}",
+      "df=df-ghost", "dfcover=2", s"seg=$seg")) // cover exceeds segments
+    val e3 = intercept[IllegalArgumentException](Bm25.readManifest(spark, dir))
+    assert(e3.getMessage.contains("df/dfcover inconsistent"), e3.getMessage)
+  }
+
   test("updateIndex(build(A), B) IS build(A ++ B) — exact incremental maintenance") {
     val a = Seq(1L -> "x y", 2L -> "x x z")
     val b = Seq(3L -> "w", 4L -> "x w y")
