@@ -1783,8 +1783,9 @@ final class PipelineRunner(
               "re-run the pipeline")))
         val dt = shape.orderAttr.dataType
         val sig = GlobalWindowMv.orderSig(shape)
-        val stored = store.getMeta(a.table, "gwmeta")
-          .flatMap(GlobalWindowMv.decodeMeta)
+        val rawMeta = store.getMeta(a.table, "gwmeta")
+        val decoded = rawMeta.flatMap(GlobalWindowMv.decodeMeta)
+        val stored = decoded
           // the frozen boundaries/counts are only valid for the SAME
           // order spec (column, direction, nulls, tie-break keys) and
           // column type; a dense_rank added after counts were stored
@@ -1793,6 +1794,22 @@ final class PipelineRunner(
           // silently wrong ranks
           .filter(mt => mt.typeDdl == dt.sql && mt.orderSig == sig &&
             (!shape.needsDistinct || mt.hasDistincts))
+        // an EXISTING sidecar that fails decode or validation degrades to
+        // a full bootstrap — correct, but it must say WHY: a standing
+        // cause (a corrupt sidecar, an edited ORDER BY, a host-class
+        // decode bug — the r16 locale defect was exactly this shape)
+        // would otherwise turn every incremental refresh into a silent
+        // full recompute forever
+        if (rawMeta.isDefined && stored.isEmpty)
+          graft.Log.warn(s"materialized_view '${a.name}': table " +
+            s"'${a.table}' carries a gwmeta sidecar that " +
+            (if (decoded.isEmpty) "failed to decode"
+             else "no longer matches this query's order spec/type " +
+               s"(stored sig/type: '${decoded.get.orderSig}'/" +
+               s"'${decoded.get.typeDdl}', query: '$sig'/'${dt.sql}')") +
+            " — running a full bootstrap refresh and re-deriving state. " +
+            "If this repeats every run, the cause is standing; " +
+            "investigate rather than paying full recomputes forever")
         val (meta0, minBucket) = stored match {
           case Some(mt) =>
             // an edited buckets: value cannot take effect while the

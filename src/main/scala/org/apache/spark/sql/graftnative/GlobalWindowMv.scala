@@ -760,10 +760,24 @@ object GlobalWindowMv {
     }
     val wspec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__gw_bucket")).orderBy(sortCols: _*)
+    // O(1) per row: bucket ids are CONTIGUOUS ints, so the offsets embed
+    // as an array literal indexed by (bucket − lo + 1) — element_at on an
+    // ARRAY is a direct index. The previous map-literal form scanned the
+    // ArrayBasedMapData linearly per row: O(B) × N rows = 4·10¹²
+    // comparisons at the 4096-bucket cap on a 10⁹-row table, all inside
+    // the window projection. Buckets below lo (impossible in production —
+    // prefixOffsets spans [lo, hi]) and above hi read 0 via the guard +
+    // try_element_at's out-of-bounds NULL.
     def offsetOf(offsets: Map[Int, Long]): Column =
       if (offsets.isEmpty) lit(0L)
-      else coalesce(
-        try_element_at(typedlit(offsets), col("__gw_bucket")), lit(0L))
+      else {
+        val lo = offsets.keys.min
+        val hi = offsets.keys.max
+        val arr: Seq[Option[Long]] = (lo to hi).map(offsets.get)
+        when(col("__gw_bucket") >= lit(lo), coalesce(
+          try_element_at(typedlit(arr), col("__gw_bucket") - lit(lo) + lit(1)),
+          lit(0L))).otherwise(lit(0L))
+      }
     var cur = filtered
     val offRows = offsetOf(rowsBefore)
     shape.funcs.zipWithIndex.foreach { case ((_, kind), i) =>
