@@ -138,8 +138,15 @@ object Bench {
     val unstable = spreads.collect {
       case (n, sp) if (sp > 1.0 && medianByName(n) > 0.2) || rangeByName(n) > 2.0 => n
     }
+    // lifecycle medians follow the SAME warm-up discard as the query
+    // stats: lifecycles(n) is built by PREPEND, so iteration 1's sample is
+    // the LAST element — subtracting an all-iterations lifecycle median
+    // from a warm-only query median would re-contaminate plan_cost with
+    // exactly the cold-pass scaffolding the discard removes
     val lifecycleMedians = names.map { case (n, _) =>
-      n -> (lifecycles(n) match { case Nil => 0.0; case xs => median(xs) }) }
+      val all = lifecycles(n)
+      val xs = if (iters >= 4 && all.size >= iters) all.dropRight(1) else all
+      n -> (xs match { case Nil => 0.0; case l => median(l) }) }
     val lifecycleTotal = lifecycleMedians.map(_._2).sum
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1803,10 +1803,19 @@ final class PipelineRunner(
         if (rawMeta.isDefined && stored.isEmpty)
           graft.Log.warn(s"materialized_view '${a.name}': table " +
             s"'${a.table}' carries a gwmeta sidecar that " +
-            (if (decoded.isEmpty) "failed to decode"
-             else "no longer matches this query's order spec/type " +
-               s"(stored sig/type: '${decoded.get.orderSig}'/" +
-               s"'${decoded.get.typeDdl}', query: '$sig'/'${dt.sql}')") +
+            (decoded match {
+              case None => "failed to decode"
+              case Some(mt) if mt.typeDdl != dt.sql || mt.orderSig != sig =>
+                "no longer matches this query's order spec/type " +
+                  s"(stored sig/type: '${mt.orderSig}'/'${mt.typeDdl}', " +
+                  s"query: '$sig'/'${dt.sql}')"
+              case Some(_) =>
+                // the remaining filter condition: distinct counts needed
+                // but never stored — expected ONE-TIME re-bootstrap after
+                // adding a dense_rank, not a standing fault
+                "lacks the distinct counts this query's dense_rank needs " +
+                  "(stored before the function was added — expected once)"
+            }) +
             " — running a full bootstrap refresh and re-deriving state. " +
             "If this repeats every run, the cause is standing; " +
             "investigate rather than paying full recomputes forever")

@@ -264,13 +264,14 @@ object Bm25 {
     }
   }
 
-  /** Persist the index as a FRESH v2 commit (one segment + df snapshot +
-    * manifest) — the full-build/migration writer; the train-once/
-    * serve-many seam shared with the PQ/IVF codebooks and the bigram LM
-    * (integer stats round-trip exactly, so a loaded index scores
-    * bit-identically). Any previous contents of `path` (a crashed attempt,
-    * a legacy layout being migrated, a self-heal rebuild target) become
-    * unreferenced at the manifest rename and are swept. */
+  /** Persist the index as a FRESH v3 commit (one segment carrying its own
+    * tf/doclen/df + manifest, no merged-df snapshot) — the full-build/
+    * migration writer; the train-once/serve-many seam shared with the
+    * PQ/IVF codebooks and the bigram LM (integer stats round-trip exactly,
+    * so a loaded index scores bit-identically). Any previous contents of
+    * `path` (a crashed attempt, a legacy layout being migrated, a
+    * self-heal rebuild target) become unreferenced at the manifest rename
+    * and are swept after the one-commit reader grace period. */
   def saveIndex(index: Index, path: String): Unit = {
     val spark = index.tf.sparkSession
     // snapshot the manifest being superseded BEFORE the data writes touch

@@ -31,15 +31,13 @@ object ScaleProbe {
     // nowhere a judge could diff. Same posture as Bench.writeFull.
     val probeLines = scala.collection.mutable.ArrayBuffer[String]()
     def emit(s: String): Unit = { println(s); probeLines += s }
-    def writeProbeArtifact(): Unit = {
-      val path = java.nio.file.Paths.get(
+    // one definition of "durable artifact beside the checkout" — shared
+    // with the bench (same parent-dir creation, same trailing newline)
+    def writeProbeArtifact(): Unit = if (probeLines.nonEmpty)
+      graft.Bench.writeFull(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
-          s"${sys.props("user.dir")}/probe_full.json"))
-      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(path,
-        (probeLines.mkString("\n") + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+          s"${sys.props("user.dir")}/probe_full.json")),
+        probeLines.mkString("\n"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,6 +86,12 @@ object ScaleProbe {
           s"(have: ${knownTiers.toSeq.sorted.mkString(", ")})")
     }
     def tierOn(name: String): Boolean = tierFilter.forall(_.contains(name))
+
+    // try/finally: a tier that throws mid-run must not discard the tiers
+    // already measured — losing 30 minutes of completed timings to the
+    // last tier's failure is exactly the results-live-only-in-stdout
+    // problem the artifact exists to fix
+    try {
 
     if (tierOn("docs")) {
     emit(f"""{"probe":"t6_d2_linearity","sf":"$sfDir","reps":$reps}""")
@@ -607,7 +611,8 @@ object ScaleProbe {
       }
       graft.exec.Fs.deleteRecursively(new java.io.File(tmpGc))
     }
-    writeProbeArtifact()
+
+    } finally writeProbeArtifact()
     spark.stop()
   }
 }

@@ -38,10 +38,13 @@ import org.apache.spark.sql.types._
   *     not with the bound: a float cast of a ~2^30 pivot is off by up to
   *     64 in f-space while a bound-relative slack is ~1 — a multi-op
   *     chain (where the error spans more than one ULP of the cut's own
-  *     grid) would drop rows the runtime cut keeps. Budget: 2^-20 of
-  *     (|C| + max|lo,hi| + |rhs|)/|a| when any FloatType node appears in
-  *     the chain, 2^-45 for double-only chains, none for pure-integral
-  *     chains (exact inside the wrap cap).
+  *     grid) would drop rows the runtime cut keeps. Budget: eps ×
+  *     max(|C|, |rhs|, max over ALL chain nodes of |a_node|·|bound0| +
+  *     max|b_node|) / |a|, with eps = 2^-20 when any FloatType node
+  *     appears, 2^-45 for double-only chains, none for pure-integral
+  *     chains (exact inside the wrap cap). Interior node magnitudes
+  *     matter because envelopes CANCEL: (x + 1e12) − 1e12 has a zero
+  *     final envelope but rounds x onto 1e12's ulp grid at runtime.
   *   - Nulls: every accepted op is null-strict, so `f IS NULL` implies a
   *     referenced column is null; the caller ORs `IS NULL` over
   *     [[Cut.nullKeep]] whenever the null bucket lives in the suffix
@@ -135,10 +138,18 @@ object MonotoneCut {
     case _ => None // doubles/floats saturate to ±Inf, never wrap
   }
 
-  /** Envelope analysis; integral-node wrap constraints (|a|, max|b|,
-    * typeMax) accumulate into `cons`. */
-  private def analyze(e: Expression, cons: ArrayBuffer[(JBD, JBD, JBD)])
-      : Option[Iv] = {
+  /** Per-derivation accumulators: `cons` = integral-node wrap constraints
+    * (|a|, max|b|, typeMax); `mags` = EVERY accepted node's (|a|, max|b|)
+    * — the runtime-slack bound must see interior magnitudes, because
+    * envelopes CANCEL ((x + K) − K has a final envelope of zero while the
+    * runtime intermediate is K-sized and rounds on K's ulp grid). */
+  private final class Acc {
+    val cons = ArrayBuffer.empty[(JBD, JBD, JBD)]
+    val mags = ArrayBuffer.empty[(JBD, JBD)]
+  }
+
+  /** Envelope analysis; constraints/magnitudes accumulate into `acc`. */
+  private def analyze(e: Expression, acc: Acc): Option[Iv] = {
     if (!okType(e.dataType)) return None
     val iv: Option[Iv] =
       if (e.foldable)
@@ -147,33 +158,33 @@ object MonotoneCut {
       else e match {
         case ar: AttributeReference =>
           Some(Iv(Some(ar), JBD.ONE, JBD.ZERO, JBD.ZERO))
-        case Add(l, r, _) => bin(l, r, cons) { (a, b) =>
+        case Add(l, r, _) => bin(l, r, acc) { (a, b) =>
           Iv(a.pivot.orElse(b.pivot), a.a.add(b.a, MC),
             a.lo.add(b.lo, MC), a.hi.add(b.hi, MC))
         }
-        case Subtract(l, r, _) => bin(l, r, cons) { (a, b) =>
+        case Subtract(l, r, _) => bin(l, r, acc) { (a, b) =>
           Iv(a.pivot.orElse(b.pivot), a.a.subtract(b.a, MC),
             a.lo.subtract(b.hi, MC), a.hi.subtract(b.lo, MC))
         }
-        case UnaryMinus(c, _) => analyze(c, cons).map(i =>
+        case UnaryMinus(c, _) => analyze(c, acc).map(i =>
           Iv(i.pivot, i.a.negate, i.hi.negate, i.lo.negate))
         case Multiply(l, r, _) =>
           def scale(k: JBD, i: Iv): Iv = {
             val (x, y) = (k.multiply(i.lo, MC), k.multiply(i.hi, MC))
             Iv(i.pivot, k.multiply(i.a, MC), x.min(y), x.max(y))
           }
-          (analyze(l, cons), analyze(r, cons)) match {
+          (analyze(l, acc), analyze(r, acc)) match {
             case (Some(Iv(None, _, klo, khi)), Some(ri)) if klo == khi =>
               Some(scale(klo, ri))
             case (Some(li), Some(Iv(None, _, klo, khi))) if klo == khi =>
               Some(scale(klo, li))
             case _ => None
           }
-        case Divide(l, r, _) => divIv(l, r, cons, widen = JBD.ZERO)
-        case IntegralDivide(l, r, _) => divIv(l, r, cons, widen = JBD.ONE)
-        case f: Floor => analyze(f.child, cons).map(i =>
+        case Divide(l, r, _) => divIv(l, r, acc, widen = JBD.ZERO)
+        case IntegralDivide(l, r, _) => divIv(l, r, acc, widen = JBD.ONE)
+        case f: Floor => analyze(f.child, acc).map(i =>
           Iv(i.pivot, i.a, i.lo.subtract(JBD.ONE), i.hi))
-        case c: Ceil => analyze(c.child, cons).map(i =>
+        case c: Ceil => analyze(c.child, acc).map(i =>
           Iv(i.pivot, i.a, i.lo, i.hi.add(JBD.ONE)))
         // result bounded by the modulus WHATEVER the child evaluated to
         // (even a wrapped child) — no recursion into the child's
@@ -204,19 +215,22 @@ object MonotoneCut {
             case (DoubleType, DoubleType) => true
             case _ => false
           }
-          if (ok) analyze(c.child, cons) else None
+          if (ok) analyze(c.child, acc) else None
         case _ => None
       }
-    // wrap constraint for every integral-typed node in the accepted tree
-    for (i <- iv; tm <- typeMax(e.dataType))
-      cons += ((i.a.abs, i.maxAbsB, tm))
+    // magnitude record for EVERY accepted node; wrap constraint for the
+    // integral-typed ones
+    for (i <- iv) {
+      acc.mags += ((i.a.abs, i.maxAbsB))
+      typeMax(e.dataType).foreach(tm => acc.cons += ((i.a.abs, i.maxAbsB, tm)))
+    }
     iv
   }
 
   private def bin(l: Expression, r: Expression,
-      cons: ArrayBuffer[(JBD, JBD, JBD)])(f: (Iv, Iv) => Iv): Option[Iv] =
+      acc: Acc)(f: (Iv, Iv) => Iv): Option[Iv] =
     for {
-      li <- analyze(l, cons); ri <- analyze(r, cons)
+      li <- analyze(l, acc); ri <- analyze(r, acc)
       m <- (li.pivot, ri.pivot) match {
         case (Some(p), Some(q)) if p.exprId != q.exprId => None // two pivots
         case _ => Some(f(li, ri))
@@ -263,8 +277,8 @@ object MonotoneCut {
     else None
 
   private def divIv(l: Expression, r: Expression,
-      cons: ArrayBuffer[(JBD, JBD, JBD)], widen: JBD): Option[Iv] =
-    (analyze(l, cons), analyze(r, cons)) match {
+      acc: Acc, widen: JBD): Option[Iv] =
+    (analyze(l, acc), analyze(r, acc)) match {
       case (Some(li), Some(Iv(None, _, klo, khi)))
           if klo == khi && klo.signum != 0 =>
         val (x, y) = (li.lo.divide(klo, MC), li.hi.divide(klo, MC))
@@ -278,9 +292,9 @@ object MonotoneCut {
     * `f < cutValue` (the [[GlobalWindowMv]] suffix-filter convention).
     * None whenever any soundness condition above fails. */
   def derive(f: Expression, cutValue: Any, asc: Boolean): Option[Cut] = {
-    val cons = ArrayBuffer.empty[(JBD, JBD, JBD)]
+    val acc = new Acc
     for {
-      iv <- analyze(f, cons)
+      iv <- analyze(f, acc)
       pivot <- iv.pivot
       if iv.a.signum != 0 && okType(pivot.dataType)
       c <- bd(cutValue)
@@ -317,12 +331,23 @@ object MonotoneCut {
         else None
       }
       fpSlack = chainEps.fold(JBD.ZERO) { eps =>
-        c.abs.add(iv.maxAbsB, MC).add(rhs.abs, MC)
+        // max magnitude any runtime intermediate reaches near the cut:
+        // per node, |a_node|·|bound0| + max|b_node| — INTERIOR nodes, not
+        // just the final envelope, because envelopes cancel ((x + K) − K
+        // is zero-envelope but the runtime add rounds on K's ulp grid and
+        // a later multiply carries that error off C's own grid); plus the
+        // cut and rhs magnitudes themselves. Per-op error ≤ per-op-ulp ×
+        // its result magnitude, and the eps budget carries the op-count
+        // headroom, so eps × maxMag bounds the chain.
+        val b0 = bound0.abs
+        val nodeMax = acc.mags.foldLeft(JBD.ZERO) { case (m, (aAbs, bMax)) =>
+          m.max(aAbs.multiply(b0, MC).add(bMax, MC)) }
+        c.abs.max(rhs.abs).max(nodeMax)
           .multiply(eps, MC).divide(iv.a.abs, MC)
       }
       slack = bound0.abs.multiply(Slack, MC).add(Slack).max(fpSlack)
       bound = if (lower) bound0.subtract(slack) else bound0.add(slack)
-      capOpt <- wrapCapOf(cons, pivot.dataType)
+      capOpt <- wrapCapOf(acc.cons, pivot.dataType)
     } yield Cut(pivot, lower, bound,
       f.references.toSeq.collect { case ar: AttributeReference => ar },
       capOpt)

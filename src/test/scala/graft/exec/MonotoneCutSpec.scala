@@ -205,6 +205,44 @@ class MonotoneCutSpec extends SparkSuite {
         droppedD.limit(5).collect().mkString("\n"))
   }
 
+  test("envelope CANCELLATION does not hide interior magnitudes from the slack") {
+    // (value + 1e12) − 1e12 has a FINAL envelope of zero (lo = hi = 0 after
+    // the subtract), but at runtime the add quantizes value onto 1e12's
+    // ulp grid (2^-13 ≈ 1.2e-4 near 100) — a K-sized interior magnitude a
+    // final-envelope-only slack never sees. The trailing *3 carries the
+    // quantized value off the cut's own grid, so rows BELOW the exact
+    // bound round UP into the runtime suffix: with g = 100 − 2^-13 (a
+    // grid point) and C = 3·(g − 2^-16), every x in [g − 2^-14, C/3)
+    // quantizes to g, giving runtime f = 3g = C + 3·2^-16 > C while
+    // x < C/3 − (old slack ~1e-7). The magnitude-max slack
+    // (~1e12·2^-45/3 ≈ 0.01 in pivot space) must keep them.
+    val g = 100.0 - math.pow(2, -13)
+    val cC = 3.0 * (g - math.pow(2, -16))
+    val xs = ((-40 to 40).map(i => g + i * 1e-6) ++
+      Seq(0.0, -5.0, 1e308, -1e308, Double.NaN,
+        Double.PositiveInfinity, Double.NegativeInfinity))
+    val cancelDf = xs.map(d => (d, 0L, 0L)).toDF("value", "n", "user_id")
+    val fSql = "(value + 1e12 - 1e12) * 3"
+    val (fC, outC) = {
+      val analyzed = cancelDf.select(expr(fSql).as("f")).queryExecution.analyzed
+      val f = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+      (f, analyzed.children.head.outputSet)
+    }
+    val conjC = GlobalWindowMv.cutColumnFor(fC, cC, true, false, outC)
+    assert(conjC.nonEmpty, "cancelling affine chain left the grammar")
+    val suffixC = cancelDf.filter(expr(fSql) > lit(cC))
+    // fixture health: the quantized-up rows (x below the exact bound C/3,
+    // runtime f above the cut) must exist, else the test pins nothing
+    assert(suffixC.filter(col("value") < cC / 3 - 1e-6).count() >= 5,
+      "fixture regressed: no quantized-up rows below the exact bound reach " +
+        "the runtime suffix")
+    val droppedC = suffixC.filter(!conjC.get)
+    assert(droppedC.isEmpty,
+      "interior-magnitude rounding pushed runtime-suffix rows past the conjunct:\n" +
+        droppedC.limit(5).collect().mkString("\n"))
+  }
+
   test("nulls: suffix null-bucket rows survive via the is-null keeps") {
     // rows where user_id is null but value is not (and vice versa) have
     // f IS NULL — under nulls-last they sit in the suffix's null bucket
