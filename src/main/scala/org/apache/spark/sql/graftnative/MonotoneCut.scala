@@ -28,23 +28,37 @@ import org.apache.spark.sql.types._
   *   - Direction: an ascending cut (`f > C`) solves against the UPPER
   *     envelope — `a·x + hi ≥ f > C` keeps every row that can possibly
   *     satisfy the cut; descending (`f < C`) uses the lower envelope.
-  *   - Rounding: all arithmetic runs in 40-digit decimal; the final bound
-  *     is loosened by max(relative+absolute 1e-9 of the bound,
-  *     magnitude-scaled runtime budget) and rounded in the LOOSE direction
-  *     per pivot type (floor for a lower bound, ceil for an upper; two
-  *     extra ULPs on the decimal→floating conversion). The magnitude term
-  *     exists because the RUNTIME f is floating arithmetic whose per-row
-  *     error scales with the intermediates (≈ envelope + cut magnitude),
-  *     not with the bound: a float cast of a ~2^30 pivot is off by up to
-  *     64 in f-space while a bound-relative slack is ~1 — a multi-op
-  *     chain (where the error spans more than one ULP of the cut's own
-  *     grid) would drop rows the runtime cut keeps. Budget: eps ×
-  *     max(|C|, |rhs|, max over ALL chain nodes of |a_node|·|bound0| +
-  *     max|b_node|) / |a|, with eps = 2^-20 when any FloatType node
-  *     appears, 2^-45 for double-only chains, none for pure-integral
-  *     chains (exact inside the wrap cap). Interior node magnitudes
-  *     matter because envelopes CANCEL: (x + 1e12) − 1e12 has a zero
-  *     final envelope but rounds x onto 1e12's ulp grid at runtime.
+  *   - Rounding — COMPOSITIONAL outward-rounded interval arithmetic.
+  *     The envelope above describes EXACT arithmetic, but the runtime f
+  *     is float/double evaluated per row, so every node's result carries
+  *     IEEE rounding that scales with that node's own magnitude — and
+  *     envelopes CANCEL ((x + 1e12) − 1e12 has a zero final envelope but
+  *     quantizes x onto 1e12's ulp grid), so no final-envelope slack can
+  *     be sound. Instead [[analyze]] carries, per node, a runtime error
+  *     bound AFFINE IN |x|:  E(|x|) = ea·|x| + eb  with the invariant
+  *
+  *         runtime value ∈ [a·x + lo − E(|x|), a·x + hi + E(|x|)]
+  *
+  *     E propagates through each op by that op's own algebra (add: sum;
+  *     scale by k: |k|·E plus the constant's own conversion error against
+  *     the child envelope; divide: / (|k| − err_k); floor/ceil/pmod:
+  *     pass/reset), and every accepted node then widens E outward by its
+  *     own rounding:  eps(type) × (|a|·|x| + max|lo,hi| + E)  with
+  *     eps = 2^-24 for FloatType results, 2^-53 for DoubleType, 0 for
+  *     integral (exact inside the wrap cap) — plus 1e-35 everywhere for
+  *     the 40-digit decimal analysis' own digits. Soundness is therefore
+  *     BY CONSTRUCTION per node — chain depth, interior magnitude, and
+  *     cancellation need no enumerated budgets, and there is no op-count
+  *     headroom to exhaust. [[derive]] then solves the relaxed cut
+  *     `a·x ± ea·|x| ⋈ rhs` exactly (two candidate roots `rhs/(a±ea)`,
+  *     loosest taken; None if ea ≥ |a|), adds a final relative+absolute
+  *     1e-9 slack for the derivation's own division digits, and rounds
+  *     the bound in the LOOSE direction per pivot type (floor for a lower
+  *     bound, ceil for an upper; two extra ULPs on the decimal→floating
+  *     literal conversion). Decimal↔binary conversion of constants and of
+  *     the cut value itself ([[bd]] goes through shortest-repr strings,
+  *     up to half an ulp off the runtime binary value) is covered by the
+  *     same per-node eps and an explicit cut-conversion term in rhs.
   *   - Nulls: every accepted op is null-strict, so `f IS NULL` implies a
   *     referenced column is null; the caller ORs `IS NULL` over
   *     [[Cut.nullKeep]] whenever the null bucket lives in the suffix
@@ -56,15 +70,17 @@ import org.apache.spark.sql.types._
   *     upper-bound conjunct would drop them, so upper bounds are emitted
   *     only for integral pivots (no NaN). Infinities follow the same
   *     case split and are safe under lower bounds by direct check.
-  *   - Integer wrap: the envelope describes EXACT arithmetic; integral
-  *     ops wrap silently in non-ANSI mode. Every node's magnitude is
-  *     itself affine in |x| (|node| ≤ |a|·|x| + max|lo,hi|), so a cap `M`
-  *     with |a|·M + max|b| ≤ typeMax at every integral node guarantees
-  *     exactness for |x| ≤ M; the caller ORs `|x| > M` ([[Cut.wrapCap]])
-  *     so rows outside the proven-exact domain are always KEPT, never
-  *     reasoned about. Remainder/pmod nodes bound their result whatever
-  *     the child did, so their subtrees contribute no constraints. When
-  *     `M` covers the pivot type's whole range the guard is dropped.
+  *   - Integer wrap: integral ops wrap silently in non-ANSI mode. Every
+  *     node's magnitude is itself affine in |x| (|node| ≤ |a|·|x| +
+  *     max|lo,hi|), so a cap `M` with |a|·M + max|b| ≤ typeMax at every
+  *     integral node guarantees exactness for |x| ≤ M; the caller ORs
+  *     `|x| > M` ([[Cut.wrapCap]]) so rows outside the proven-exact
+  *     domain are always KEPT, never reasoned about. Remainder/pmod
+  *     nodes bound their result whatever the child did, so their
+  *     subtrees contribute no constraints. Floor/ceil CLAMP (JLS
+  *     double→long) rather than wrap, which stays inside the envelope.
+  *     When `M` covers the pivot type's whole range the guard is
+  *     dropped.
   *
   * Anything outside the grammar (two non-constant factors, sqrt/abs,
   * decimals, a second pivot) returns None — those keys keep the
@@ -72,25 +88,23 @@ import org.apache.spark.sql.types._
 object MonotoneCut {
 
   private val MC = new MathContext(40, RoundingMode.HALF_EVEN)
+  // error arithmetic rounds AWAY from zero (all error terms are ≥ 0, so
+  // UP = outward = sound)
+  private val MCU = new MathContext(40, RoundingMode.UP)
   private val Slack = new JBD("1e-9")
-  // Per-chain runtime rounding budget: the envelope is EXACT arithmetic,
-  // but the runtime f is evaluated in float/double per row, so a row's
-  // f_runtime can exceed f_exact by ~(per-op ulp) × (intermediate
-  // magnitude) × ops. That error scales with the RESIDUAL envelope and
-  // cut magnitude, not with the bound — when they dwarf |bound0|, a
-  // relative-to-bound slack is orders of magnitude too small and the
-  // derived conjunct can drop a row the runtime cut keeps
-  // (MonotoneCutSpec's "runtime floating rounding" case demonstrates it).
-  // Budget: float 2^-20 (per-op 2^-24, 16-op headroom) / double 2^-45
-  // (per-op 2^-53, 256-op headroom); pure-integral chains are exact
-  // inside the wrap cap and need no floating budget at all.
-  private val EpsFloatChain = new JBD(java.lang.Math.pow(2, -20)) // exact
-  private val EpsDoubleChain = new JBD(java.lang.Math.pow(2, -45)) // exact
+  // Per-node runtime rounding: IEEE fl(y) is within eps·|y| of y.
+  private val EpsFloat = new JBD(java.lang.Math.pow(2, -24)) // exact
+  private val EpsDouble = new JBD(java.lang.Math.pow(2, -53)) // exact
+  // The 40-digit decimal analysis itself rounds (HALF_EVEN) — cover every
+  // node with a relative 1e-35 (per-op decimal error is ≤ 1e-39 relative;
+  // 10^4 headroom costs nothing at these magnitudes).
+  private val EpsDecimal = new JBD("1e-35")
 
-  /** e ∈ [a·pivot + lo, a·pivot + hi]; pivot None means a = 0 (a pure
-    * constant interval). */
+  /** e's EXACT value ∈ [a·pivot + lo, a·pivot + hi]; its RUNTIME value is
+    * within E(|pivot|) = ea·|pivot| + eb of the exact interval (ea, eb ≥
+    * 0). pivot None means a = 0 (a pure constant interval). */
   private final case class Iv(pivot: Option[AttributeReference],
-      a: JBD, lo: JBD, hi: JBD) {
+      a: JBD, lo: JBD, hi: JBD, ea: JBD, eb: JBD) {
     def maxAbsB: JBD = lo.abs.max(hi.abs)
   }
 
@@ -138,75 +152,103 @@ object MonotoneCut {
     case _ => None // doubles/floats saturate to ±Inf, never wrap
   }
 
-  /** Per-derivation accumulators: `cons` = integral-node wrap constraints
-    * (|a|, max|b|, typeMax); `mags` = EVERY accepted node's (|a|, max|b|)
-    * — the runtime-slack bound must see interior magnitudes, because
-    * envelopes CANCEL ((x + K) − K has a final envelope of zero while the
-    * runtime intermediate is K-sized and rounds on K's ulp grid). */
-  private final class Acc {
-    val cons = ArrayBuffer.empty[(JBD, JBD, JBD)]
-    val mags = ArrayBuffer.empty[(JBD, JBD)]
+  /** Per-node runtime rounding eps by RESULT type — float/double ops
+    * round within eps·|result|; integral ops are exact inside the wrap
+    * cap. [[bd]]'s shortest-repr decimal↔binary conversion of a floating
+    * constant is within the same eps of the runtime binary value, so the
+    * uniform per-node widening covers constants too. */
+  private def nodeEps(dt: DataType): JBD = dt match {
+    case FloatType => EpsFloat.add(EpsDecimal)
+    case DoubleType => EpsDouble.add(EpsDecimal)
+    case _ => EpsDecimal
   }
 
-  /** Envelope analysis; constraints/magnitudes accumulate into `acc`. */
+  /** Per-derivation accumulator: integral-node wrap constraints
+    * (|a|, max|b|, typeMax). Runtime rounding needs no accumulator — it
+    * rides inside each [[Iv]] compositionally. */
+  private final class Acc {
+    val cons = ArrayBuffer.empty[(JBD, JBD, JBD)]
+  }
+
+  /** Envelope + runtime-error analysis; wrap constraints accumulate into
+    * `acc`. Each case arm PROPAGATES the children's E through the op's
+    * exact algebra; the uniform post-step then widens E outward by the
+    * node's own rounding. */
   private def analyze(e: Expression, acc: Acc): Option[Iv] = {
     if (!okType(e.dataType)) return None
     val iv: Option[Iv] =
       if (e.foldable)
+        // eval gives the exact runtime constant; conversion error into
+        // decimal is covered by the uniform per-node eps below
         bd(scala.util.Try(e.eval(null)).getOrElse(null))
-          .map(v => Iv(None, JBD.ZERO, v, v))
+          .map(v => Iv(None, JBD.ZERO, v, v, JBD.ZERO, JBD.ZERO))
       else e match {
         case ar: AttributeReference =>
-          Some(Iv(Some(ar), JBD.ONE, JBD.ZERO, JBD.ZERO))
+          // the stored pivot value IS the runtime value — error 0
+          Some(Iv(Some(ar), JBD.ONE, JBD.ZERO, JBD.ZERO, JBD.ZERO, JBD.ZERO))
         case Add(l, r, _) => bin(l, r, acc) { (a, b) =>
           Iv(a.pivot.orElse(b.pivot), a.a.add(b.a, MC),
-            a.lo.add(b.lo, MC), a.hi.add(b.hi, MC))
+            a.lo.add(b.lo, MC), a.hi.add(b.hi, MC),
+            a.ea.add(b.ea, MCU), a.eb.add(b.eb, MCU))
         }
         case Subtract(l, r, _) => bin(l, r, acc) { (a, b) =>
           Iv(a.pivot.orElse(b.pivot), a.a.subtract(b.a, MC),
-            a.lo.subtract(b.hi, MC), a.hi.subtract(b.lo, MC))
+            a.lo.subtract(b.hi, MC), a.hi.subtract(b.lo, MC),
+            a.ea.add(b.ea, MCU), a.eb.add(b.eb, MCU))
         }
         case UnaryMinus(c, _) => analyze(c, acc).map(i =>
-          Iv(i.pivot, i.a.negate, i.hi.negate, i.lo.negate))
+          Iv(i.pivot, i.a.negate, i.hi.negate, i.lo.negate, i.ea, i.eb))
         case Multiply(l, r, _) =>
-          def scale(k: JBD, i: Iv): Iv = {
-            val (x, y) = (k.multiply(i.lo, MC), k.multiply(i.hi, MC))
-            Iv(i.pivot, k.multiply(i.a, MC), x.min(y), x.max(y))
+          // runtime: fl(k_bin · child_rt); |k_bin − k_dec| ≤ err_k, so
+          //   |k_bin·child_rt − k_dec·child_exact|
+          //     ≤ (|k| + err_k)·E_child + err_k·(|a_c|·|x| + maxB_c)
+          def scale(k: Iv, i: Iv): Iv = {
+            val kv = k.lo // == k.hi
+            val (x, y) = (kv.multiply(i.lo, MC), kv.multiply(i.hi, MC))
+            val kAbsUp = kv.abs.add(k.eb, MCU)
+            Iv(i.pivot, kv.multiply(i.a, MC), x.min(y), x.max(y),
+              kAbsUp.multiply(i.ea, MCU).add(k.eb.multiply(i.a.abs, MCU), MCU),
+              kAbsUp.multiply(i.eb, MCU).add(k.eb.multiply(i.maxAbsB, MCU), MCU))
           }
           (analyze(l, acc), analyze(r, acc)) match {
-            case (Some(Iv(None, _, klo, khi)), Some(ri)) if klo == khi =>
-              Some(scale(klo, ri))
-            case (Some(li), Some(Iv(None, _, klo, khi))) if klo == khi =>
-              Some(scale(klo, li))
+            case (Some(ki @ Iv(None, _, klo, khi, _, _)), Some(ri)) if klo == khi =>
+              Some(scale(ki, ri))
+            case (Some(li), Some(ki @ Iv(None, _, klo, khi, _, _))) if klo == khi =>
+              Some(scale(ki, li))
             case _ => None
           }
         case Divide(l, r, _) => divIv(l, r, acc, widen = JBD.ZERO)
         case IntegralDivide(l, r, _) => divIv(l, r, acc, widen = JBD.ONE)
+        // floor/ceil: monotone, exact at runtime (double→long CLAMPS, not
+        // wraps — clamping stays inside the envelope) — the child's E
+        // passes through unchanged, the ±1 widen covers the fraction
         case f: Floor => analyze(f.child, acc).map(i =>
-          Iv(i.pivot, i.a, i.lo.subtract(JBD.ONE), i.hi))
+          Iv(i.pivot, i.a, i.lo.subtract(JBD.ONE), i.hi, i.ea, i.eb))
         case c: Ceil => analyze(c.child, acc).map(i =>
-          Iv(i.pivot, i.a, i.lo, i.hi.add(JBD.ONE)))
+          Iv(i.pivot, i.a, i.lo, i.hi.add(JBD.ONE), i.ea, i.eb))
         // result bounded by the modulus WHATEVER the child evaluated to
         // (even a wrapped child) — no recursion into the child's
-        // envelope, no child wrap constraints. The child must still be
-        // NULL-STRICT: a hidden `a / col` nulling at col = 0 would route
-        // rows to the null bucket with no null INPUT column, and the
-        // is-null keep chain could not see them.
+        // envelope, no child wrap constraints, and the bound is ABSOLUTE
+        // so the runtime error resets to zero (integral ops are exact).
+        // The child must still be NULL-STRICT: a hidden `a / col` nulling
+        // at col = 0 would route rows to the null bucket with no null
+        // INPUT column, and the is-null keep chain could not see them.
         // INTEGRAL results only: a floating remainder propagates a NaN
         // from a NON-pivot column into f, where no pivot-side comparison
         // or guard can see it — the one way a bounded residual can lie
         case Pmod(c, k, _)
             if e.dataType.isInstanceOf[IntegralType] && nullStrict(c) =>
           constVal(k).filter(_.signum != 0).map(kk =>
-            Iv(None, JBD.ZERO, JBD.ZERO, kk.abs))
+            Iv(None, JBD.ZERO, JBD.ZERO, kk.abs, JBD.ZERO, JBD.ZERO))
         case Remainder(c, k, _)
             if e.dataType.isInstanceOf[IntegralType] && nullStrict(c) =>
           constVal(k).filter(_.signum != 0).map(kk =>
-            Iv(None, JBD.ZERO, kk.abs.negate, kk.abs))
+            Iv(None, JBD.ZERO, kk.abs.negate, kk.abs, JBD.ZERO, JBD.ZERO))
         case c: Cast if okType(c.child.dataType) =>
           // value-preserving-enough casts only: integral widenings are
-          // exact; →double/float rounds within relative 2^-24, covered by
-          // the final slack. Narrowing integral casts wrap — rejected.
+          // exact; →double/float rounds within the target type's eps,
+          // applied by the uniform per-node widening below. Narrowing
+          // integral casts wrap — rejected.
           val ok = (c.child.dataType, c.dataType) match {
             case (a: IntegralType, b: IntegralType) =>
               a.defaultSize <= b.defaultSize
@@ -218,13 +260,19 @@ object MonotoneCut {
           if (ok) analyze(c.child, acc) else None
         case _ => None
       }
-    // magnitude record for EVERY accepted node; wrap constraint for the
-    // integral-typed ones
-    for (i <- iv) {
-      acc.mags += ((i.a.abs, i.maxAbsB))
-      typeMax(e.dataType).foreach(tm => acc.cons += ((i.a.abs, i.maxAbsB, tm)))
+    // uniform outward widening by the node's own rounding:
+    //   |fl(y) − y| ≤ eps·|y| ≤ eps·(|a|·|x| + maxAbsB + E_in(|x|))
+    // (the incoming E here already includes the op's propagation), plus
+    // the wrap constraint for integral-typed nodes
+    iv.map { i =>
+      val eps = nodeEps(e.dataType)
+      val out = i.copy(
+        ea = i.ea.add(eps.multiply(i.a.abs.add(i.ea, MCU), MCU), MCU),
+        eb = i.eb.add(eps.multiply(i.maxAbsB.add(i.eb, MCU), MCU), MCU))
+      typeMax(e.dataType).foreach(tm =>
+        acc.cons += ((out.a.abs, out.maxAbsB, tm)))
+      out
     }
-    iv
   }
 
   private def bin(l: Expression, r: Expression,
@@ -279,11 +327,22 @@ object MonotoneCut {
   private def divIv(l: Expression, r: Expression,
       acc: Acc, widen: JBD): Option[Iv] =
     (analyze(l, acc), analyze(r, acc)) match {
-      case (Some(li), Some(Iv(None, _, klo, khi)))
+      case (Some(li), Some(ki @ Iv(None, _, klo, khi, _, _)))
           if klo == khi && klo.signum != 0 =>
-        val (x, y) = (li.lo.divide(klo, MC), li.hi.divide(klo, MC))
-        Some(Iv(li.pivot, li.a.divide(klo, MC),
-          x.min(y).subtract(widen), x.max(y).add(widen)))
+        // runtime: fl(child_rt / k_bin); |k_bin| ≥ |k| − err_k =: kLo
+        // (must stay positive), and |1/k_bin − 1/k_dec| ≤ err_k/(|k|·kLo)
+        val kLo = klo.abs.subtract(ki.eb)
+        if (kLo.signum <= 0) None
+        else {
+          val (x, y) = (li.lo.divide(klo, MC), li.hi.divide(klo, MC))
+          val kk = klo.abs.multiply(kLo, MC)
+          Some(Iv(li.pivot, li.a.divide(klo, MC),
+            x.min(y).subtract(widen), x.max(y).add(widen),
+            li.ea.divide(kLo, MCU)
+              .add(ki.eb.multiply(li.a.abs, MCU).divide(kk, MCU), MCU),
+            li.eb.divide(kLo, MCU)
+              .add(ki.eb.multiply(li.maxAbsB, MCU).divide(kk, MCU), MCU)))
+        }
       case _ => None
     }
 
@@ -297,11 +356,22 @@ object MonotoneCut {
       iv <- analyze(f, acc)
       pivot <- iv.pivot
       if iv.a.signum != 0 && okType(pivot.dataType)
+      // runtime error slope must not swallow the signal (only possible
+      // for pathologically deep chains — refuse rather than mis-solve)
+      if iv.ea.compareTo(iv.a.abs) < 0
       c <- bd(cutValue)
-      // asc:  a·x + hi ≥ f > C  →  a·x > C − hi
-      // desc: a·x + lo ≤ f < C  →  a·x < C − lo
-      rhs = if (asc) c.subtract(iv.hi, MC) else c.subtract(iv.lo, MC)
-      bound0 = rhs.divide(iv.a, MC)
+      // the cut value's own decimal↔binary conversion slack
+      cutErr = cutValue match {
+        case _: java.lang.Double => c.abs.multiply(EpsDouble, MCU)
+        case _: java.lang.Float => c.abs.multiply(EpsFloat, MCU)
+        case _ => JBD.ZERO
+      }
+      // asc:  f_rt ≤ a·x + hi + E(|x|), C_bin ≥ C − cutErr
+      //       f_rt > C_bin  ⟹  a·x + ea·|x| > C − hi − eb − cutErr
+      // desc: f_rt ≥ a·x + lo − E(|x|), C_bin ≤ C + cutErr
+      //       f_rt < C_bin  ⟹  a·x − ea·|x| < C − lo + eb + cutErr
+      rhs = if (asc) c.subtract(iv.hi, MC).subtract(iv.eb.add(cutErr, MCU), MC)
+            else c.subtract(iv.lo, MC).add(iv.eb.add(cutErr, MCU), MC)
       // sign of a flips the inequality; `lower` = the conjunct keeps the
       // large side of the pivot domain
       lower = (iv.a.signum > 0) == asc
@@ -314,38 +384,18 @@ object MonotoneCut {
       // the NaN bucket (it sorts first), so desc upper bounds are safe.
       if lower || !asc ||
         !Set[DataType](DoubleType, FloatType)(pivot.dataType)
-      // Two slack regimes, take the max:
-      //   decimal-arithmetic slack — relative+absolute 1e-9 of the bound,
-      //     covering the 40-digit derivation's own division/cast digits;
-      //   runtime floating slack — the binding rows sit NEAR the cut,
-      //     where every intermediate's magnitude is ≤ ~(|C| + max|lo,hi| +
-      //     |rhs|); multiply by the chain's eps budget and divide by |a|
-      //     to convert the f-space error bound into pivot space. Rows far
-      //     below/above the bound have proportionally larger margins than
-      //     errors (both scale with |a·x|), so near-cut is the worst case.
-      //   Pure-integral chains (no floating node anywhere) are exact
-      //     within the wrap cap — no floating budget.
-      chainEps = {
-        if (f.exists(_.dataType == FloatType)) Some(EpsFloatChain)
-        else if (f.exists(_.dataType == DoubleType)) Some(EpsDoubleChain)
-        else None
-      }
-      fpSlack = chainEps.fold(JBD.ZERO) { eps =>
-        // max magnitude any runtime intermediate reaches near the cut:
-        // per node, |a_node|·|bound0| + max|b_node| — INTERIOR nodes, not
-        // just the final envelope, because envelopes cancel ((x + K) − K
-        // is zero-envelope but the runtime add rounds on K's ulp grid and
-        // a later multiply carries that error off C's own grid); plus the
-        // cut and rhs magnitudes themselves. Per-op error ≤ per-op-ulp ×
-        // its result magnitude, and the eps budget carries the op-count
-        // headroom, so eps × maxMag bounds the chain.
-        val b0 = bound0.abs
-        val nodeMax = acc.mags.foldLeft(JBD.ZERO) { case (m, (aAbs, bMax)) =>
-          m.max(aAbs.multiply(b0, MC).add(bMax, MC)) }
-        c.abs.max(rhs.abs).max(nodeMax)
-          .multiply(eps, MC).divide(iv.a.abs, MC)
-      }
-      slack = bound0.abs.multiply(Slack, MC).add(Slack).max(fpSlack)
+      // the relaxed cut `a·x ± ea·|x| ⋈ rhs` is piecewise linear with
+      // slopes a+ea and a−ea (same sign as a, since ea < |a|) — its keep
+      // set is one-sided with the breakpoint at one of the two candidate
+      // roots; taking the LOOSER root (min for a lower bound, max for an
+      // upper) is exact in every sign quadrant
+      r1 = rhs.divide(iv.a.add(iv.ea), MC)
+      r2 = rhs.divide(iv.a.subtract(iv.ea), MC)
+      bound0 = if (lower) r1.min(r2) else r1.max(r2)
+      // final slack covers the 40-digit derivation's own division/cast
+      // digits (relative+absolute 1e-9 of the bound) — the runtime
+      // floating regime is already inside (ea, eb)
+      slack = bound0.abs.multiply(Slack, MC).add(Slack)
       bound = if (lower) bound0.subtract(slack) else bound0.add(slack)
       capOpt <- wrapCapOf(acc.cons, pivot.dataType)
     } yield Cut(pivot, lower, bound,
@@ -366,9 +416,13 @@ object MonotoneCut {
       case None => Some(None)
       case Some(m) if m.signum <= 0 => None // nothing proven exact
       case Some(m) =>
-        // guard unnecessary when the cap covers the pivot type's range
+        // guard unnecessary only when the cap covers the pivot type's
+        // WHOLE range — which is typeMax + 1 in magnitude, not typeMax:
+        // |typeMin| = typeMax + 1 for two's-complement integrals, and a
+        // pivot AT typeMin (e.g. −Long.MinValue wraps to itself) must
+        // still trip the guard when the cap is only typeMax
         typeMax(pivotDt) match {
-          case Some(r) if m.compareTo(r) >= 0 => Some(None)
+          case Some(r) if m.compareTo(r.add(JBD.ONE)) >= 0 => Some(None)
           case _ => Some(Some(m))
         }
     }

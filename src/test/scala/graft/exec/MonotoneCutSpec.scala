@@ -243,6 +243,28 @@ class MonotoneCutSpec extends SparkSuite {
         droppedC.limit(5).collect().mkString("\n"))
   }
 
+  test("pivot AT typeMin: the wrap guard must cover |typeMin| = typeMax + 1") {
+    // found by MonotoneCutPropertySpec (seed 20260816): `0 - n` wraps at
+    // n = Long.MinValue (−Long.MinValue = Long.MinValue), but the guard
+    // used to be DROPPED whenever the cap reached typeMax — and
+    // |Long.MinValue| = typeMax + 1 sits just past it. Descending cut at
+    // 0: the wrapped row has runtime f = Long.MinValue < 0 (in the
+    // suffix) while exact f = +2^63 would be far above any lower bound —
+    // without the guard the conjunct `n >= -1` drops it.
+    val (f, out) = resolved("0 - n")
+    val conj = GlobalWindowMv.cutColumnFor(f, 0L, false, false, out)
+    assert(conj.nonEmpty, "0 - n left the grammar")
+    val minRow = df.filter(col("n") === Long.MinValue &&
+      expr("0 - n") < lit(0L) && !conj.get)
+    assert(df.filter(col("n") === Long.MinValue).count() > 0,
+      "fixture lost its Long.MinValue row")
+    assert(minRow.isEmpty,
+      "n = Long.MinValue wrapped past the guard and was dropped:\n" +
+        minRow.limit(5).collect().mkString("\n"))
+    // and the general differential over the same shape
+    checkSound("0 - n", asc = false, Seq[Any](-100L, -7L, 0L, 11L, 90L))
+  }
+
   test("nulls: suffix null-bucket rows survive via the is-null keeps") {
     // rows where user_id is null but value is not (and vice versa) have
     // f IS NULL — under nulls-last they sit in the suffix's null bucket
