@@ -666,7 +666,7 @@ object TableStore {
     * them and reentrant within one instance. Within-instance thread
     * exclusion is already guaranteed by the instance's per-table monitor,
     * which is always taken first. */
-  private[exec] object ProcessLock {
+  private[graft] object ProcessLock {
     private final class Entry {
       var owner: AnyRef = null
       var holds = 0
@@ -764,12 +764,12 @@ object TableStore {
             val self = s"${ProcessHandle.current.pid}@" +
               s"${java.net.InetAddress.getLocalHost.getHostName}"
             throw new IllegalStateException(
-              s"table '$table' is locked by another writer [$holder] and did " +
-                s"not yield within ${waitMs} ms (this writer: $self). The " +
-                "store serializes one mutating runtime per table — two " +
-                "pipelines/processes writing one table is a deployment " +
-                "misconfiguration (reference posture: one runtime per " +
-                "pipeline). Stop the other writer, or raise " +
+              s"'$table' is locked by another writer [$holder] and did " +
+                s"not yield within ${waitMs} ms (this writer: $self). " +
+                "Mutations serialize one writing runtime per resource — two " +
+                "pipelines/processes writing one table/index/directory is a " +
+                "deployment misconfiguration (reference posture: one runtime " +
+                "per pipeline). Stop the other writer, or raise " +
                 "spark.graft.store.lockWaitMs if the overlap is transient.")
           }
           // in-JVM holders notify on release; cross-process holders cannot —

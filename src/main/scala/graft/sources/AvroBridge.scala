@@ -507,10 +507,18 @@ object AvroBridge {
     * (stage to a hidden attempt name, one atomic overwrite-rename —
     * HDFS/local only), but it is NOT a transactional multi-task sink —
     * production writes stay on the TableStore paths. SINGLE WRITER per
-    * target directory: the staging sweep at write start deletes every
-    * in-flight `.inprogress` file, so concurrent writes to the same `dir`
-    * destroy each other (see [[StagedCommit]]) — serialize them. */
-  def write(df: DataFrame, dir: String): Unit = {
+    * target directory, enforced via the cross-process writer lock on
+    * local filesystems (see [[StagedCommit]]): the staging sweep at write
+    * start deletes every in-flight `.inprogress` file, so concurrent
+    * writes to the same `dir` would destroy each other — a concurrent
+    * writer now waits or refuses loudly. */
+  def write(df: DataFrame, dir: String): Unit =
+    graft.exec.WriterLock.withLock(dir, s"avro bridge dir '$dir'",
+        graft.exec.WriterLock.waitMs(df.sparkSession)) {
+      writeLocked(df, dir)
+    }
+
+  private def writeLocked(df: DataFrame, dir: String): Unit = {
     val schemaJson = toAvroSchema(df.schema, "row").toString
     val sparkSchema = df.schema
     val conf = new org.apache.spark.util.SerializableConfiguration(

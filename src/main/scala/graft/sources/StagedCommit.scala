@@ -25,14 +25,17 @@ package graft.sources
   * sweep completes. `BridgeCommitKillSpec` crash-forges the stage→rename
   * window in both bridges and pins exactly-once output plus a clean sweep.
   *
-  * SINGLE WRITER PER DIRECTORY — a hard contract, not a convention: the
-  * sweep deletes EVERY staging file in the target dir, so two concurrent
-  * bridge writes into the same directory would each sweep the other's
-  * in-flight staging files and watch their task renames fail with
-  * FileNotFoundException. Both bridges inherit this: callers must
-  * serialize writes per target directory (the pipeline lock does this for
-  * engine-managed paths; ad-hoc callers own it themselves). Writes to
-  * DIFFERENT directories are fully independent.
+  * SINGLE WRITER PER DIRECTORY — a hard contract, and on local/`file:`
+  * filesystems an ENFORCED one: the sweep deletes EVERY staging file in
+  * the target dir, so two concurrent bridge writes into the same
+  * directory would each sweep the other's in-flight staging files and
+  * watch their task renames fail with FileNotFoundException. Both
+  * bridges therefore run their whole sweep→stage→rename under the
+  * cross-process writer lock ([[graft.exec.WriterLock]],
+  * `<dir>/._writer_lock`) — a concurrent write waits, then refuses
+  * loudly naming the holder. On non-local stores the contract stands
+  * unenforced (same seam as the rename-atomicity assumption above);
+  * writes to DIFFERENT directories are fully independent.
   */
 object StagedCommit {
 

@@ -401,11 +401,18 @@ object WarcBridge {
     * Header-bearing columns must not contain CR/LF — header
     * injection would corrupt the archive framing — and the mandatory
     * columns must be non-null; both refuse loudly per row.
-    * SINGLE WRITER per target directory: the staging sweep at write start
-    * deletes every in-flight `.inprogress` file, so concurrent writes to
-    * the same `dir` destroy each other (see [[StagedCommit]]) —
-    * serialize them. */
-  def write(df: DataFrame, dir: String, gzip: Boolean = true): Unit = {
+    * SINGLE WRITER per target directory, enforced via the cross-process
+    * writer lock on local filesystems (see [[StagedCommit]]): the staging
+    * sweep at write start deletes every in-flight `.inprogress` file, so
+    * concurrent writes to the same `dir` would destroy each other — a
+    * concurrent writer now waits or refuses loudly. */
+  def write(df: DataFrame, dir: String, gzip: Boolean = true): Unit =
+    graft.exec.WriterLock.withLock(dir, s"warc bridge dir '$dir'",
+        graft.exec.WriterLock.waitMs(df.sparkSession)) {
+      writeLocked(df, dir, gzip)
+    }
+
+  private def writeLocked(df: DataFrame, dir: String, gzip: Boolean): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val cols = Seq("warc_type", "record_id", "warc_date", "target_uri",

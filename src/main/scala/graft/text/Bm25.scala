@@ -271,23 +271,31 @@ object Bm25 {
     * so a loaded index scores bit-identically). Any previous contents of
     * `path` (a crashed attempt, a legacy layout being migrated, a
     * self-heal rebuild target) become unreferenced at the manifest rename
-    * and are swept after the one-commit reader grace period. */
+    * and are swept after the one-commit reader grace period.
+    *
+    * Single-writer is ENFORCED, not assumed: the whole stage→rename→sweep
+    * runs under the cross-process writer lock ([[graft.exec.WriterLock]],
+    * `<path>/._writer_lock`) — a concurrent writer waits up to the
+    * configured deadline and then refuses loudly, naming the holder. */
   def saveIndex(index: Index, path: String): Unit = {
     val spark = index.tf.sparkSession
-    // snapshot the manifest being superseded BEFORE the data writes touch
-    // the tree — its dirs get the one-commit sweep grace period
-    val prev = scala.util.Try(readManifest(spark, path)).toOption.flatten
-    val seg = s"seg-${java.util.UUID.randomUUID()}"
-    index.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
-    index.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
-    index.df.write.mode("overwrite").parquet(s"$path/$seg/df")
-    graft.exec.CrashForge.maybeHalt("bm25_manifest") // data staged, uncommitted
-    val m = Manifest(index.nDocs, index.totLen, None, 0, Seq(seg))
-    writeManifest(spark, path, m)
-    // also removes legacy flat dirs (a migration target's stale copy) —
-    // every read this save's frames needed from them completed when the
-    // parquet writes above materialized
-    sweepOrphans(spark, path, m, prev)
+    graft.exec.WriterLock.withLock(path, s"bm25 index '$path'",
+        graft.exec.WriterLock.waitMs(spark)) {
+      // snapshot the manifest being superseded BEFORE the data writes
+      // touch the tree — its dirs get the one-commit sweep grace period
+      val prev = scala.util.Try(readManifest(spark, path)).toOption.flatten
+      val seg = s"seg-${java.util.UUID.randomUUID()}"
+      index.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
+      index.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
+      index.df.write.mode("overwrite").parquet(s"$path/$seg/df")
+      graft.exec.CrashForge.maybeHalt("bm25_manifest") // staged, uncommitted
+      val m = Manifest(index.nDocs, index.totLen, None, 0, Seq(seg))
+      writeManifest(spark, path, m)
+      // also removes legacy flat dirs (a migration target's stale copy) —
+      // every read this save's frames needed from them completed when the
+      // parquet writes above materialized
+      sweepOrphans(spark, path, m, prev)
+    }
   }
 
   /** O(delta) maintenance fold: write the delta as ONE new segment (its
@@ -302,30 +310,50 @@ object Bm25 {
     * O(corpus / maxSegments) per fold). Per-segment dfs merge at LOAD
     * (one sum-by-term over ≤ maxSegments vocab-bounded frames — see
     * [[loadIndex]]). Precondition as [[updateIndex]]: delta ids disjoint
-    * from the indexed ids AND among themselves. */
+    * from the indexed ids AND among themselves.
+    *
+    * Single-writer is ENFORCED ([[graft.exec.WriterLock]], as in
+    * [[saveIndex]]) — and because the new manifest is derived from the
+    * CALLER's `liveManifest`, the manifest is re-read UNDER the lock and
+    * the fold refuses loudly when it no longer matches: a writer that
+    * merely waited out a concurrent fold would otherwise commit a
+    * manifest missing that fold's segments — the silent lost-fold race
+    * the lock exists to kill. */
   def appendSegment(live: Index, liveManifest: Manifest, delta: DataFrame,
       idCol: String, textCol: String, path: String,
       maxSegments: Int = 64): Unit = {
     require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
-    if (liveManifest.segments.size >= maxSegments) {
-      // compaction fold: one full rewrite, committed like any other save
-      saveIndex(updateIndex(live, delta, idCol, textCol), path)
-      return
-    }
     val spark = delta.sparkSession
-    val add = buildIndex(delta, idCol, textCol)
-    val seg = s"seg-${java.util.UUID.randomUUID()}"
-    add.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
-    add.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
-    add.df.write.mode("overwrite").parquet(s"$path/$seg/df")
-    graft.exec.CrashForge.maybeHalt("bm25_manifest") // data staged, uncommitted
-    // an append supersedes nothing: the v2 snapshot (if any) still covers
-    // its leading segments; this fold's df rides inside the segment
-    val m = Manifest(liveManifest.nDocs + add.nDocs,
-      liveManifest.totLen + add.totLen, liveManifest.dfDir,
-      liveManifest.dfCover, liveManifest.segments :+ seg)
-    writeManifest(spark, path, m)
-    sweepOrphans(spark, path, m, Some(liveManifest))
+    graft.exec.WriterLock.withLock(path, s"bm25 index '$path'",
+        graft.exec.WriterLock.waitMs(spark)) {
+      val now = readManifest(spark, path)
+      if (!now.contains(liveManifest))
+        throw new IllegalStateException(
+          s"bm25 index '$path': fold basis is stale — the manifest changed " +
+            "since this fold read it (a concurrent writer committed; " +
+            "committing now would silently drop that fold's segments). " +
+            "Reload the index and retry the fold.")
+      if (liveManifest.segments.size >= maxSegments) {
+        // compaction fold: one full rewrite, committed like any other
+        // save (re-enters the writer lock on this thread)
+        saveIndex(updateIndex(live, delta, idCol, textCol), path)
+      } else {
+        val add = buildIndex(delta, idCol, textCol)
+        val seg = s"seg-${java.util.UUID.randomUUID()}"
+        add.tf.write.mode("overwrite").parquet(s"$path/$seg/tf")
+        add.docLen.write.mode("overwrite").parquet(s"$path/$seg/doclen")
+        add.df.write.mode("overwrite").parquet(s"$path/$seg/df")
+        graft.exec.CrashForge.maybeHalt("bm25_manifest") // staged, uncommitted
+        // an append supersedes nothing: the v2 snapshot (if any) still
+        // covers its leading segments; this fold's df rides inside the
+        // segment
+        val m = Manifest(liveManifest.nDocs + add.nDocs,
+          liveManifest.totLen + add.totLen, liveManifest.dfDir,
+          liveManifest.dfCover, liveManifest.segments :+ seg)
+        writeManifest(spark, path, m)
+        sweepOrphans(spark, path, m, Some(liveManifest))
+      }
+    }
   }
 
   /** Resolve the index through the live manifest. Reader contract: frames
@@ -333,8 +361,9 @@ object Bm25 {
     * that happens while a loaded index is still being queried is survivable
     * for exactly ONE generation (the sweep's grace period keeps the
     * previous manifest's dirs); a reader lagging two commits behind can hit
-    * FileNotFoundException mid-scan. Single-writer is assumed throughout
-    * (the Bm25Maintain plugin serializes through the pipeline lock). */
+    * FileNotFoundException mid-scan. Single-writer is ENFORCED on the
+    * write side ([[graft.exec.WriterLock]] around every commit); loads
+    * stay lock-free by design — the grace period is their protection. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index =
     readManifest(spark, path) match {
       case Some(m) =>
