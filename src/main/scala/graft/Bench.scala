@@ -211,6 +211,12 @@ object Bench {
     val lcJson = lifecycleMedians.filter(_._2 > 0.005)
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val iterTotalsJson = iterTotals.map(r2).mkString("[", ",", "]")
+    // the statistics regime must be SELF-DESCRIBING: at >= 4 iterations
+    // `value`/medians silently become warm-only (cold pass discarded),
+    // and a cross-round diff of `value` alone would conflate that
+    // methodology change with an engine improvement — mark it in BOTH
+    // lines whenever the discard is active (r17 ADVICE)
+    val warmupJson = if (iters >= 4) ""","warmup_dropped":1""" else ""
     // The compact line must fit the driver's ~2 KB stdout tail WHOLE —
     // clipping eats its HEAD, which holds total/plan_cost/unstable
     // (BENCH_r16: 146 queries pushed the line to ~2 KB, an sbt epilogue
@@ -225,13 +231,13 @@ object Bench {
       val qsC = kept.map { case (k, v) => s"\"" + shortKey(k) + "\":" + r2(v) }
         .mkString("{", ",", "}")
       val omC = if (omitted == 0) "" else s""","q_omitted":$omitted"""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","total_min":${r2(totalMin)},"iter_totals":$iterTotalsJson,"plan_cost":${r2(planCost)},"unstable":${unstable.size},"queries":$qsC$omC$errCompact,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec"$warmupJson,"total_min":${r2(totalMin)},"iter_totals":$iterTotalsJson,"plan_cost":${r2(planCost)},"unstable":${unstable.size},"queries":$qsC$omC$errCompact,"sf":"$sfName"}"""
     }
     val compact = Seq(0.0, 0.2, 0.5, 1.0, 2.0, 5.0).map(compactAt)
       .find(_.length <= 1850)
       .getOrElse(compactAt(Double.MaxValue))
     Result(
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r2(totalMin)},"iter_totals":$iterTotalsJson,"plan_cost":${r2(planCost)},"unstable":$unstableJson,"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"spread":$spreadJson,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec"$warmupJson,"total_min":${r2(totalMin)},"iter_totals":$iterTotalsJson,"plan_cost":${r2(planCost)},"unstable":$unstableJson,"gate_lifecycle":$lcJson,"queries":$qs,"iters":$iters,"queries_all":$all,"spread":$spreadJson,"errors":$errJson,"diag":$diagJson,"sf":"$sfDir"}""",
       compact,
       errors.toMap)
   }

@@ -138,6 +138,19 @@ class BenchSpec extends SparkSuite {
     assert("\"coldstart\":\\[(\\d+\\.?\\d*,){3}\\d+\\.?\\d*\\]".r
       .findFirstIn(r.json).isDefined,
       "queries_all must keep ALL passes: " + r.json.take(600))
+    // the regime switch is SELF-DESCRIBING (r17 ADVICE): both lines say
+    // the discard was applied, so a cross-round diff of `value` cannot
+    // silently conflate warm-only statistics with an engine improvement
+    assert(r.json.contains(""""warmup_dropped":1""") &&
+      r.compact.contains(""""warmup_dropped":1"""),
+      "active warm-up discard must be marked in BOTH lines: " + r.compact)
+    // and a 3-iter run (the driver default) carries NO marker — all
+    // iterations are in the stats, nothing was dropped
+    val r3 = Bench.run(spark, sf0001, iters = 1, queries = Map(
+      "plain" -> ((s, _) => s.range(3).toDF())))
+    assert(!r3.json.contains("warmup_dropped") &&
+      !r3.compact.contains("warmup_dropped"),
+      "no discard -> no marker: " + r3.compact)
   }
 
   test("compact line SELF-CAPS under the driver's ~2 KB tail capture, whatever the suite size") {
