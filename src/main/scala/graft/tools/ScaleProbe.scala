@@ -78,7 +78,7 @@ object ScaleProbe {
     val tierFilter = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSet)
     val knownTiers = Set("docs", "relational", "ingest", "curation",
       "semantic", "bpe", "graph", "classify", "retrieval", "skew", "gw",
-      "gwcut")
+      "gwcut", "foldbytes")
     tierFilter.foreach { t =>
       val unknown = t -- knownTiers
       require(unknown.isEmpty,
@@ -568,10 +568,11 @@ object ScaleProbe {
       // partitions (the documented residue: stats can't prune what the
       // layout doesn't separate, so the fraction quantifies what an
       // unclustered base PAYS and why cluster-on-write matters at 100 TB).
-      // The unclustered row runs at k=1 only — its number is a property
-      // of the layout, not the scale.
+      // Both layouts run at 1× AND K× (r17 verdict: the unclustered
+      // residue needs the same scale symmetry as the clustered claim —
+      // "100% of the scan, at every scale" is the committed number).
       for ((k, layout) <- Seq(1 -> "clustered", reps -> "clustered",
-          1 -> "unclustered").distinct) {
+          1 -> "unclustered", reps -> "unclustered").distinct) {
         val dirK = s"$tmpGc/base$k-$layout"
         (if (layout == "clustered")
           evK(k).repartitionByRange(64, col("value"))
@@ -610,6 +611,57 @@ object ScaleProbe {
         emit(f"""{"k":$k,"layout":"$layout","rows":$total,"buckets":${bnds.size + 1},"bootstrap":$bootT%.2f,"suffix_tail":$tailT%.2f,"tail_scan_rows":$scanned,"scan_fraction":${if (total == 0) 0.0 else scanned.toDouble / total}%.4f}""")
       }
       graft.exec.Fs.deleteRecursively(new java.io.File(tmpGc))
+    }
+
+    // ---- foldbytes tier (r17 verdict item 3): pin the BM25 "folds write
+    // O(delta)" claim as an ARTIFACT number, the way scan_fraction pins
+    // the gwcut claim. Fixed base corpus (the 1× fixture, indexed once);
+    // then one fold of a 1× delta and one fold of a K× delta into the
+    // SAME index, measuring the bytes each fold's commit added on disk
+    // (the new segment dirs named by the manifest diff). O(delta) =
+    // fold_bytes scales ~K between the two folds AND stays decoupled
+    // from index_bytes (the v2 regression this tier guards against wrote
+    // a merged vocab-sized df snapshot per fold — fold bytes tracked the
+    // INDEX, not the delta).
+    if (tierOn("foldbytes")) {
+      emit(s"""{"probe":"bm25_fold_bytes","sf":"$sfDir","reps":$reps}""")
+      val tmpFb = java.nio.file.Files.createTempDirectory("graft-probe-fb").toString
+      val ixPath = s"$tmpFb/ix"
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(f => java.nio.file.Files.isRegularFile(f))
+            .mapToLong(f => java.nio.file.Files.size(f)).sum()
+          finally s.close()
+        }
+      }
+      // base = replica 0; deltas draw from disjoint replica id ranges
+      graft.text.Bm25.saveIndex(
+        graft.text.Bm25.buildIndex(corpus(1), "doc_id", "text"), ixPath)
+      def foldOf(replicas: Range): (Double, Long, Long) = {
+        val delta = replicas.map(i => docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text")))
+          .reduce(_ unionByName _)
+        val before = graft.text.Bm25.readManifest(spark, ixPath).get
+        val live = graft.text.Bm25.loadIndex(spark, ixPath)
+        val t0 = System.nanoTime()
+        graft.text.Bm25.appendSegment(live, before, delta, "doc_id", "text",
+          ixPath)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = graft.text.Bm25.readManifest(spark, ixPath).get
+        val newSegs = after.segments.toSet -- before.segments.toSet
+        (sec, newSegs.toSeq.map(s => dirBytes(s"$ixPath/$s")).sum,
+          delta.count())
+      }
+      val (sec1, bytes1, rows1) = foldOf(1 to 1)
+      val (secK, bytesK, rowsK) = foldOf(2 to (reps + 1))
+      val ixBytes = dirBytes(ixPath)
+      emit(f"""{"delta_k":1,"delta_rows":$rows1,"fold_sec":$sec1%.2f,"fold_bytes":$bytes1,"index_bytes":$ixBytes}""")
+      emit(f"""{"delta_k":$reps,"delta_rows":$rowsK,"fold_sec":$secK%.2f,"fold_bytes":$bytesK,"index_bytes":$ixBytes,"bytes_ratio":${if (bytes1 == 0) 0.0 else bytesK.toDouble / bytes1}%.2f}""")
+      graft.exec.Fs.deleteRecursively(new java.io.File(tmpFb))
     }
 
     } finally writeProbeArtifact()
