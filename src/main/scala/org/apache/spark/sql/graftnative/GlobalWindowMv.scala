@@ -704,6 +704,68 @@ object GlobalWindowMv {
     }
   }
 
+  /** Bootstrap-time LAYOUT advisory for computed ORDER BY keys: the
+    * MonotoneCut conjunct only prunes what the base layout SEPARATES —
+    * the r18 probe measured 7.7% of the scan on a pivot-range-clustered
+    * base vs 100% on a hash-shuffled one, at 1× and 10× alike
+    * (PROBE_r18.json). When a conjunct IS derivable but the base's data
+    * files each span most of the pivot domain, every tail refresh will
+    * decode the full base; say so ONCE, at bootstrap, where fixing the
+    * ingest layout is cheapest. Returns the advisory text, or None when
+    * no conjunct derives (nothing to exploit), the pivot doesn't reach
+    * the scan, the source isn't file-backed, or the layout already
+    * separates the domain.
+    *
+    * Cost: one pivot-column-pruned sampled scan (per-file min/max of the
+    * pivot) — bootstrap already full-sorts the base, so this is noise;
+    * never runs on incremental refreshes. */
+  def layoutAdvisory(spark: SparkSession, shape: Shape,
+      boundaries: Boundaries, sampleFraction: Double = 0.05): Option[String] =
+    for {
+      f <- shape.orderExpr
+      probeCut <- boundaries.values.lastOption
+      cut <- MonotoneCut.derive(f, probeCut, shape.asc)
+      childOut = shape.windowNode.child.outputSet
+      if childOut.contains(cut.pivot) && cut.nullKeep.forall(childOut.contains)
+      advisory <- {
+        val p = ExpressionUtils.column(cut.pivot).cast("double")
+        // drop nulls, NaN and ±Inf (NaN sorts largest in Spark, so
+        // `p < +Inf` excludes it; ±Inf would poison the domain width)
+        val perFile = PlanBridge.ofRows(spark, shape.windowNode.child)
+          .select(input_file_name().as("__gw_file"), p.as("__gw_p"))
+          .filter(col("__gw_file") =!= "" &&
+            col("__gw_p") > lit(Double.NegativeInfinity) &&
+            col("__gw_p") < lit(Double.PositiveInfinity))
+          .sample(sampleFraction)
+          .groupBy("__gw_file")
+          .agg(min("__gw_p").as("mn"), max("__gw_p").as("mx"))
+          .collect()
+        val ranges = perFile.map(r => (r.getDouble(1), r.getDouble(2)))
+        if (ranges.length < 2) None
+        else {
+          val gmin = ranges.map(_._1).min
+          val gmax = ranges.map(_._2).max
+          if (gmax <= gmin) None
+          else {
+            val avgCover = ranges.map { case (a, b) =>
+              (b - a) / (gmax - gmin) }.sum / ranges.length
+            if (avgCover <= 0.5) None
+            else Some(
+              f"the computed ORDER BY key derives a scan-pushable bound " +
+                f"on column '${cut.pivot.name}', but the base layout is " +
+                f"not clustered on it — each sampled data file spans " +
+                f"~${avgCover * 100}%.0f%% of the '${cut.pivot.name}' " +
+                f"domain (${ranges.length} files sampled), so parquet " +
+                f"row-group statistics cannot prune and every tail " +
+                f"refresh decodes the FULL base instead of ~one bucket. " +
+                f"Cluster the base on write — cluster_columns: " +
+                f"['${cut.pivot.name}'] on the upstream table, or " +
+                f"range-partition the ingest by '${cut.pivot.name}'")
+          }
+        }
+      }
+    } yield advisory
+
   /** Per-bucket (row count, distinct-order-tuple count) for buckets >=
     * minBucket — the refresh's summary pass. Distinct is computed only
     * when a dense_rank needs it (the exact-distinct expand is not free). */

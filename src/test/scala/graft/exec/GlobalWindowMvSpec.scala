@@ -554,6 +554,64 @@ class GlobalWindowMvSpec extends SparkSuite {
       new java.sql.Timestamp(1500000000000L + rnd.nextInt(1000000).toLong * 1000))
   }
 
+  test("layout advisory: fires on an unclustered base, silent on a clustered one") {
+    // the r18 probe's committed numbers: a MonotoneCut conjunct prunes to
+    // ~7.7% on a pivot-range-clustered base and 0% on a hash-shuffled one
+    // (PROBE_r18.json, both scales) — the advisory is the bootstrap-time
+    // bridge from that measurement to the operator who can fix the layout
+    val dir = Files.createTempDirectory("gw-layout").toString
+    val rows = (0L until 4000L).map(i => (i, (i % 997).toDouble * 0.5))
+      .toDF("id", "score")
+    val compSql = "SELECT id, score, CAST(rank() OVER (ORDER BY " +
+      "score * 2 + id % 7 DESC NULLS LAST) AS INT) AS rnk FROM gwlay_base"
+    def adviceFor(layout: String): Option[String] = {
+      val d = s"$dir/$layout"
+      (if (layout == "clustered")
+        rows.repartitionByRange(8, col("score")).sortWithinPartitions("score")
+      else rows.repartition(8))
+        .write.mode("overwrite").parquet(d)
+      spark.read.parquet(d).createOrReplaceTempView("gwlay_base")
+      val plan = spark.sql(compSql).queryExecution.analyzed
+      val shape = GlobalWindowMv.analyze(plan).toOption.get
+      val childDf = org.apache.spark.sql.graftnative.PlanBridge
+        .ofRows(spark, shape.windowNode.child)
+      val bs = GlobalWindowMv.sampleBoundaries(childDf, shape, 8)
+      val bnds = GlobalWindowMv.Boundaries(bs.boundaries, shape.orderAttr.dataType)
+      GlobalWindowMv.layoutAdvisory(spark, shape, bnds, sampleFraction = 0.5)
+    }
+    val unclustered = adviceFor("unclustered")
+    assert(unclustered.isDefined, "hash-shuffled base must draw the advisory")
+    assert(unclustered.get.contains("'score'") &&
+      unclustered.get.contains("cluster_columns"),
+      s"advisory must name the pivot and the fix: ${unclustered.get}")
+    assert(adviceFor("clustered").isEmpty,
+      "a range-clustered base must stay silent")
+    // and through the PIPELINE surface: an unclustered landing bootstraps
+    // the MV with the advisory on the runner's warning channel
+    val (runner, store, pdir) = fresh()
+    val landing = s"$pdir/landing"
+    // two landing files, each spanning the whole score domain
+    writeRows(landing, (0L until 300L).map(i => (i, java.lang.Double.valueOf((i % 97).toDouble))))
+    writeRows(landing, (300L until 600L).map(i => (i, java.lang.Double.valueOf((i % 89).toDouble))))
+    val mvSql = "SELECT id, score, CAST(rank() OVER (ORDER BY " +
+      "score * 2 + id % 7 DESC NULLS LAST) AS INT) AS rnk FROM base"
+    val warnings = scala.collection.mutable.ArrayBuffer[String]()
+    graft.Log.route(m => warnings.synchronized { warnings += m: Unit })
+    try runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, mvSql)))
+    finally graft.Log.route(graft.Log.stderrAndSlf4j)
+    assert(warnings.exists(w => w.contains("not clustered") &&
+      w.contains("'score'") && w.contains("mv")),
+      s"pipeline bootstrap over an unclustered base must advise; got: $warnings")
+    // advisory is bootstrap-only: an incremental refresh stays silent
+    val warnings2 = scala.collection.mutable.ArrayBuffer[String]()
+    writeRows(landing, Seq((9000L, 1.0)))
+    graft.Log.route(m => warnings2.synchronized { warnings2 += m: Unit })
+    try runner.run(YamlConfig.parseFlowGroup(yamlFor(landing, mvSql)))
+    finally graft.Log.route(graft.Log.stderrAndSlf4j)
+    assert(!warnings2.exists(_.contains("not clustered")),
+      s"incremental refreshes must not re-probe the layout; got: $warnings2")
+  }
+
   test("an edited ORDER BY spec invalidates the frozen state — re-bootstrap, never stale ranks") {
     val (runner, store, dir) = fresh()
     val landing = s"$dir/landing"
