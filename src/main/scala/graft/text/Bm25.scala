@@ -192,6 +192,14 @@ object Bm25 {
           s"$path/manifest.txt is not a BM25 manifest (missing '$k=')"))
       def opt(k: String): Option[String] = kv.collectFirst { case (`k`, v) => v }
       val segs = kv.collect { case ("seg", s) => s }
+      // a segment listed TWICE would read its postings twice — doubled
+      // tf/df, silently wrong scores (a multi-path parquet read happily
+      // lists one directory per mention). Corrupt/forged manifests refuse
+      // by name, same posture as the df/dfcover consistency check below.
+      require(segs.distinct.size == segs.size,
+        s"$path/manifest.txt lists a segment more than once " +
+          s"(${segs.diff(segs.distinct).distinct.mkString(", ")}) — " +
+          "refusing to load: duplicate mentions double-count postings")
       one("v") match {
         case "2" => // r16 layout: one merged-df snapshot covering every segment
           Some(Manifest(one("ndocs").toLong, one("totlen").toLong,
@@ -368,6 +376,26 @@ object Bm25 {
     readManifest(spark, path) match {
       case Some(m) =>
         require(m.segments.nonEmpty, s"$path/manifest.txt names no segments")
+        // GUTTED-directory guard: a manifest-referenced dir that exists
+        // with NO entries at all contributes zero rows to a multi-path
+        // read SILENTLY — under-counted df/tf, wrong scores with no
+        // error. A legitimately empty FRAME (e.g. an all-empty-text
+        // delta's df) leaves the committer's _SUCCESS marker behind and
+        // passes; a MISSING dir already fails loudly inside the read.
+        locally {
+          val (fs, _) = hadoopFs(spark, path)
+          val dirs = m.segments.flatMap(s =>
+            Seq(s"$s/tf", s"$s/doclen", s"$s/df")) ++ m.dfDir.toSeq
+          val gutted = dirs.filter { d =>
+            val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+            fs.exists(p) && fs.listStatus(p).isEmpty
+          }
+          require(gutted.isEmpty,
+            s"$path: manifest-referenced director${if (gutted.size == 1) "y is" else "ies are"} " +
+              s"empty (${gutted.mkString(", ")}) — a gutted segment reads " +
+              "as zero rows silently (under-counted df/tf, wrong scores); " +
+              "the index is damaged — rebuild it from the full corpus")
+        }
         val tf = spark.read.parquet(m.segments.map(s => s"$path/$s/tf"): _*)
         require(tf.columns.toSet == Set("__doc", "__t", "__tf"),
           s"$path is not a BM25 index (tf columns: ${tf.columns.mkString(",")})")

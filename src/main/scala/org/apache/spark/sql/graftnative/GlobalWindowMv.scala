@@ -836,6 +836,15 @@ object GlobalWindowMv {
         val lo = offsets.keys.min
         val hi = offsets.keys.max
         val arr: Seq[Option[Long]] = (lo to hi).map(offsets.get)
+        // the coalesce-to-0 is for ABOVE-hi indices only; an IN-RANGE gap
+        // would also read NULL and coalesce to offset 0 — silently wrong
+        // ranks for that bucket. prefixOffsets always emits a contiguous
+        // [lo, hi] map, so a gap here means a caller bypassed it — refuse
+        // rather than rank with zero offsets
+        require(arr.forall(_.isDefined),
+          s"global-window prefix offsets have gaps inside [$lo, $hi] " +
+            s"(missing: ${(lo to hi).filterNot(offsets.contains).mkString(", ")}) — " +
+            "offsets must come from prefixOffsets, which is gap-free")
         when(col("__gw_bucket") >= lit(lo), coalesce(
           try_element_at(typedlit(arr), col("__gw_bucket") - lit(lo) + lit(1)),
           lit(0L))).otherwise(lit(0L))

@@ -612,6 +612,40 @@ class GlobalWindowMvSpec extends SparkSuite {
       s"incremental refreshes must not re-probe the layout; got: $warnings2")
   }
 
+  test("gapped prefix offsets refuse loudly — never rank with silent zero offsets") {
+    // offsetOf's coalesce-to-0 exists for ABOVE-hi indices; an IN-RANGE
+    // gap would read the same NULL and silently rank that bucket from
+    // offset 0. prefixOffsets is gap-free by construction, so a gap means
+    // a caller bypassed it — the rewrite must refuse by name (r17 verdict
+    // review target: try_element_at boundary behavior)
+    val dir = Files.createTempDirectory("gw-gap").toString
+    (0L until 1000L).map(i => (i, i.toDouble)).toDF("id", "score")
+      .write.parquet(s"$dir/base")
+    spark.read.parquet(s"$dir/base").createOrReplaceTempView("gwgap_base")
+    val plan = spark.sql("SELECT id, score, CAST(rank() OVER (ORDER BY " +
+      "score DESC NULLS LAST) AS INT) AS rnk FROM gwgap_base")
+      .queryExecution.analyzed
+    val shape = GlobalWindowMv.analyze(plan).toOption.get
+    val childDf = org.apache.spark.sql.graftnative.PlanBridge
+      .ofRows(spark, shape.windowNode.child)
+    val bs = GlobalWindowMv.sampleBoundaries(childDf, shape, 8)
+    val bnds = GlobalWindowMv.Boundaries(bs.boundaries, shape.orderAttr.dataType)
+    val lo = shape.minBucketId
+    val hi = shape.maxBucketId(bnds.size)
+    val counts = GlobalWindowMv.summarize(spark, shape, bnds, None)
+    val good = GlobalWindowMv.prefixOffsets(lo, hi, counts.view.mapValues(_._1).toMap)
+    val gapped = good - (lo + 1) // a hole strictly inside [lo, hi]
+    val e = intercept[IllegalArgumentException] {
+      GlobalWindowMv.rewrite(spark, plan, shape, bnds, None, gapped,
+        Map.empty, totalRows = counts.values.map(_._1).sum)
+    }
+    assert(e.getMessage.contains("gap") && e.getMessage.contains((lo + 1).toString),
+      e.getMessage)
+    // and the gap-free map still rewrites fine
+    assert(GlobalWindowMv.rewrite(spark, plan, shape, bnds, None, good,
+      Map.empty, totalRows = counts.values.map(_._1).sum).count() == 1000)
+  }
+
   test("an edited ORDER BY spec invalidates the frozen state — re-bootstrap, never stale ranks") {
     val (runner, store, dir) = fresh()
     val landing = s"$dir/landing"

@@ -139,6 +139,68 @@ class Bm25Spec extends SparkSuite {
     assert(e3.getMessage.contains("df/dfcover inconsistent"), e3.getMessage)
   }
 
+  test("a segment listed twice refuses loudly — never double-counts postings") {
+    // a multi-path parquet read lists one directory PER MENTION: a
+    // manifest naming seg-X twice reads its tf/df twice — doubled term
+    // frequencies, silently shifted scores. The r18 review pass found the
+    // reader accepted such a manifest; it must refuse by name instead.
+    val dir = java.nio.file.Files.createTempDirectory("bm25-dup").toString
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    Bm25.saveIndex(idx, dir)
+    val seg = Bm25.readManifest(spark, dir).get.segments.head
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/.manifest.txt.crc")): Unit
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/manifest.txt"),
+      Seq("v=3", s"ndocs=${idx.nDocs}", s"totlen=${idx.totLen}",
+        s"seg=$seg", s"seg=$seg").mkString("\n").getBytes("UTF-8")): Unit
+    val e = intercept[IllegalArgumentException](Bm25.loadIndex(spark, dir))
+    assert(e.getMessage.contains("more than once") &&
+      e.getMessage.contains(seg), e.getMessage)
+  }
+
+  test("a gutted segment dir refuses loudly; a _SUCCESS-only empty frame loads") {
+    // an EXISTS-but-empty dir among MULTIPLE read paths contributes zero
+    // rows silently (the other paths supply the schema, so no error
+    // anywhere — under-counted df, wrong idf); a legitimately empty FRAME
+    // keeps the committer's _SUCCESS marker and must keep loading.
+    // Missing dirs already fail loudly in the read. Two segments, so the
+    // multi-path silence is real.
+    val dir = java.nio.file.Files.createTempDirectory("bm25-gut").toString
+    Bm25.saveIndex(Bm25.buildIndex(corpus, "doc_id", "text"), dir)
+    Bm25.appendSegment(Bm25.loadIndex(spark, dir),
+      Bm25.readManifest(spark, dir).get,
+      Seq(4L -> "x w").toDF("doc_id", "text"), "doc_id", "text", dir)
+    val healthy = Bm25.loadIndex(spark, dir)
+    val qs = Seq(10L -> "x y").toDF("qid", "qtext")
+    def s(i: Bm25.Index) = Bm25.topK(i, qs, "qid", "qtext", 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val healthyScores = s(healthy)
+    val seg2 = Bm25.readManifest(spark, dir).get.segments.last
+    val dfDir = java.nio.file.Paths.get(s"$dir/$seg2/df")
+    // keep the files aside; gut the dir completely
+    val stash = java.nio.file.Files.createTempDirectory("bm25-stash")
+    val files = java.nio.file.Files.list(dfDir).toArray.map(_.toString)
+    assert(files.nonEmpty, "fixture regressed: the fold wrote no df files")
+    files.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      java.nio.file.Files.move(p, stash.resolve(p.getFileName)): Unit
+    }
+    val e = intercept[IllegalArgumentException](Bm25.loadIndex(spark, dir))
+    assert(e.getMessage.contains("empty") && e.getMessage.contains(s"$seg2/df"),
+      e.getMessage)
+    // _SUCCESS alone = a legitimately empty frame — must load again (the
+    // first segment's df supplies the schema)
+    java.nio.file.Files.createFile(dfDir.resolve("_SUCCESS")): Unit
+    Bm25.loadIndex(spark, dir).df.count(): Unit
+    // restore a healthy index and confirm scores are intact end-to-end
+    java.nio.file.Files.delete(dfDir.resolve("_SUCCESS"))
+    files.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      java.nio.file.Files.move(stash.resolve(p.getFileName), p): Unit
+    }
+    assert(s(Bm25.loadIndex(spark, dir)) == healthyScores)
+  }
+
   test("updateIndex(build(A), B) IS build(A ++ B) — exact incremental maintenance") {
     val a = Seq(1L -> "x y", 2L -> "x x z")
     val b = Seq(3L -> "w", 4L -> "x w y")
