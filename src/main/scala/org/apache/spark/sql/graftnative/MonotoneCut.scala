@@ -263,14 +263,21 @@ object MonotoneCut {
     // uniform outward widening by the node's own rounding:
     //   |fl(y) − y| ≤ eps·|y| ≤ eps·(|a|·|x| + maxAbsB + E_in(|x|))
     // (the incoming E here already includes the op's propagation), plus
-    // the wrap constraint for integral-typed nodes
+    // the wrap constraint for integral-typed nodes. The constraint is
+    // E-INFLATED: the cap must bound the RUNTIME value, and a floating
+    // ancestor chain (fl(cast(x as double)) feeding a floor feeding long
+    // arithmetic) puts the runtime up to E(|x|) past the exact envelope —
+    // at 2^62 a cast's half-ulp is 512, enough for `floor(cast(n as
+    // double)) * 2` to wrap just BELOW an exact-envelope cap (r18 review;
+    // bite-pinned in MonotoneCutSpec). |node_rt| ≤ (|a|+ea)·|x| + maxB+eb.
     iv.map { i =>
       val eps = nodeEps(e.dataType)
       val out = i.copy(
         ea = i.ea.add(eps.multiply(i.a.abs.add(i.ea, MCU), MCU), MCU),
         eb = i.eb.add(eps.multiply(i.maxAbsB.add(i.eb, MCU), MCU), MCU))
       typeMax(e.dataType).foreach(tm =>
-        acc.cons += ((out.a.abs, out.maxAbsB, tm)))
+        acc.cons += ((out.a.abs.add(out.ea, MCU),
+          out.maxAbsB.add(out.eb, MCU), tm)))
       out
     }
   }

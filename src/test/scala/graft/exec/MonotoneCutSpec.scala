@@ -265,6 +265,44 @@ class MonotoneCutSpec extends SparkSuite {
     checkSound("0 - n", asc = false, Seq[Any](-100L, -7L, 0L, 11L, 90L))
   }
 
+  test("float rounding can wrap an integral node just below an exact-envelope cap") {
+    // r18 review bite: the wrap cap solved |a|·M + maxB <= typeMax over
+    // the EXACT envelope, but the runtime value runs up to E(|x|) hotter.
+    // At x ≈ 2^62 a long→double cast's half-ulp is 512: for
+    // f = floor(cast(n as double)) * 2, x = 2^62 − 100 casts UP to 2^62,
+    // so runtime f = 2^63 wraps to Long.MinValue while exact
+    // f = 2^63 − 200 sits inside the exact cap M = (2^63−1)/2. Descending
+    // cut at 0: the wrapped row (f_rt < 0) is IN the suffix, and the
+    // E-blind guard left it to the upper-bound conjunct, which dropped
+    // it. The E-inflated constraint shrinks M by exactly the cast's
+    // half-ulp, so the guard keeps every row the rounding can wrap.
+    val cap = Long.MaxValue / 2 // 2^62 − 1 (exact-envelope cap, pre-fix)
+    val ns: Seq[java.lang.Long] =
+      ((-512L to 512L by 64L).map(d => cap - 100L + d) ++ // straddle the cap
+        Seq(0L, -5L, 1000L, -cap + 100L, Long.MaxValue, Long.MinValue))
+        .map(java.lang.Long.valueOf) :+ (null: java.lang.Long)
+    val wrapDf = ns.map(l => (0.0, l, l)).toDF("value", "n", "user_id")
+    val fSql = "floor(cast(n as double)) * 2"
+    val (fW, outW) = {
+      val analyzed = wrapDf.select(expr(fSql).as("f")).queryExecution.analyzed
+      val f = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+      (f, analyzed.children.head.outputSet)
+    }
+    val conjW = GlobalWindowMv.cutColumnFor(fW, 0L, false, false, outW)
+    assert(conjW.nonEmpty, "floor(cast)*2 left the grammar")
+    val suffixW = wrapDf.filter(expr(fSql) < lit(0L))
+    // fixture health: rows that WRAP at runtime while sitting inside the
+    // pre-fix exact cap must exist, else the test pins nothing
+    assert(suffixW.filter(col("n") > 0 && col("n") <= cap).count() >= 3,
+      "fixture regressed: no runtime-wrapped rows inside the exact cap " +
+        "reach the descending suffix")
+    val droppedW = suffixW.filter(!conjW.get)
+    assert(droppedW.isEmpty,
+      "runtime wrap below the exact-envelope cap escaped the guard:\n" +
+        droppedW.limit(5).collect().mkString("\n"))
+  }
+
   test("nulls: suffix null-bucket rows survive via the is-null keeps") {
     // rows where user_id is null but value is not (and vice versa) have
     // f IS NULL — under nulls-last they sit in the suffix's null bucket
