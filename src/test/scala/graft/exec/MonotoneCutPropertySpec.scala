@@ -208,10 +208,24 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
     var declined = 0
     var attempts = 0
     val batch = scala.collection.mutable.ArrayBuffer.empty[Case]
+    // wrap-cap-ADJACENT pivot values accumulated per batch: the fixed
+    // fixture cannot know each random chain's own wrap cap, and the r18
+    // wrap-cap hole (runtime float rounding wrapping an integral node
+    // just BELOW the exact-envelope cap) lives exactly there — so every
+    // derived Cut's wrapCap contributes ±cap-straddling rows to the
+    // batch's evaluation fixture (extra hostile rows are valid test
+    // points for every case in the batch)
+    val capRows = scala.collection.mutable.LinkedHashSet.empty[Long]
     var suffixRowsSeen = 0L
 
     def runBatch(): Unit = {
       if (batch.isEmpty) return
+      val extra = capRows.iterator.map(l =>
+        (java.lang.Double.valueOf(l.toDouble), java.lang.Long.valueOf(l),
+          java.lang.Long.valueOf(l))).toSeq
+      val evalDf =
+        if (extra.isEmpty) df
+        else df.unionByName(extra.toDF("value", "n", "user_id"))
       val checks = batch.zipWithIndex.flatMap { case (k, i) =>
         val fCol = expr(k.sql)
         val inSuffix0 = if (k.asc) fCol > lit(k.cut) else fCol < lit(k.cut)
@@ -220,7 +234,7 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
           max(when(inSuffix && !k.conj, 1).otherwise(0)).as(s"v$i"),
           sum(when(inSuffix, 1L).otherwise(0L)).as(s"s$i"))
       }
-      val row = df.select(checks.toSeq: _*).collect().head
+      val row = evalDf.select(checks.toSeq: _*).collect().head
       batch.indices.foreach { i =>
         suffixRowsSeen += Option(row.getAs[java.lang.Long](s"s$i"))
           .map(_.longValue).getOrElse(0L)
@@ -228,7 +242,7 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
           val k = batch(i)
           val fCol = expr(k.sql)
           val inSuffix0 = if (k.asc) fCol > lit(k.cut) else fCol < lit(k.cut)
-          val offenders = df.filter((inSuffix0 || fCol.isNull) && !k.conj)
+          val offenders = evalDf.filter((inSuffix0 || fCol.isNull) && !k.conj)
             .limit(5).collect()
           fail(s"conjunct dropped runtime-suffix rows for '${k.sql}' " +
             s"(asc=${k.asc}, cut=${k.cut} [${k.cut.getClass.getSimpleName}], " +
@@ -236,6 +250,7 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
         }
       }
       batch.clear()
+      capRows.clear()
     }
 
     while (derived < 1000 && attempts < 6000) {
@@ -265,6 +280,23 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
         case Some(conj) =>
           derived += 1
           batch += Case(chain.sql, cut, asc, conj)
+          // harvest THIS chain's wrap cap and straddle it with pivot
+          // rows (several float-ulp steps each side), so runtime-wrap
+          // rows near the cap are in the batch's evaluation fixture
+          for {
+            c <- org.apache.spark.sql.graftnative.MonotoneCut
+              .derive(f, cut, asc)
+            capBd <- c.wrapCap
+          } {
+            val cap = capBd.setScale(0, java.math.RoundingMode.FLOOR)
+            if (cap.compareTo(new java.math.BigDecimal(Long.MaxValue)) <= 0) {
+              val m = cap.longValueExact()
+              val step = math.max(1L, math.ulp(m.toDouble).toLong / 2)
+              (-4L to 4L).foreach { i =>
+                capRows += (m + i * step); capRows += (-m + i * step): Unit
+              }
+            }
+          }
           if (batch.size >= 50) runBatch()
         case None => declined += 1
       }
