@@ -15,10 +15,15 @@ import org.scalacheck.rng.Seed
   * invariant the rewrite claims — `conjunct ⊇ runtime suffix` — over
   * RANDOM affine-plus-residual chains: random constants spanning
   * 1e-6..1e12 (both signs, integral and fractional), random float/double
-  * casts, floor/ceil, div/mod residuals, depth 1..6, with cuts placed on
+  * casts, floor/ceil, div/mod residuals, depth 1..6, both directions and
+  * BOTH nulls orderings (nulls-first mirrors bucketedChild's filter,
+  * where the null bucket sits outside every suffix), with cuts placed on
   * and off the chain's own value grid. Evaluated over a hostile fixture
   * (NULL/NaN/±Inf/±0/wrap extremes plus dense clusters at nine magnitude
-  * centers, including float-ulp-spaced offsets). Over-keeping is fine;
+  * centers, including float-ulp-spaced offsets) EXTENDED per batch with
+  * rows straddling each derived Cut's own wrap cap — the region a fixed
+  * fixture cannot know in advance, and where the r18 wrap-cap hole
+  * lived. Over-keeping is fine;
   * one dropped suffix row fails. Cases where the derivation declines
   * (out-of-grammar composition, NaN-unsafe quadrant, out-of-range bound)
   * are counted but assert nothing — the generator is tuned so well over
@@ -202,7 +207,8 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
     val probeD = Seq(1.0 / 3, 100.0, -100.0, 1e6, math.pow(2, 30), 0.75, -3.25)
     val probeL = Seq(7L, 100L, -100L, 1L << 30, 1000000L, Long.MaxValue / 3)
 
-    final case class Case(sql: String, cut: Any, asc: Boolean, conj: Column)
+    final case class Case(sql: String, cut: Any, asc: Boolean,
+      nullsFirst: Boolean, conj: Column)
     var seed = seed0
     var derived = 0
     var declined = 0
@@ -229,7 +235,10 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
       val checks = batch.zipWithIndex.flatMap { case (k, i) =>
         val fCol = expr(k.sql)
         val inSuffix0 = if (k.asc) fCol > lit(k.cut) else fCol < lit(k.cut)
-        val inSuffix = inSuffix0 || fCol.isNull // nulls-last suffix bucket
+        // nulls-LAST routes the null bucket into the suffix (the refresh
+        // ORs isNull into its filter); nulls-FIRST puts it at bucket 0,
+        // outside every suffix — mirror bucketedChild's exact filter
+        val inSuffix = if (k.nullsFirst) inSuffix0 else inSuffix0 || fCol.isNull
         Seq(
           max(when(inSuffix && !k.conj, 1).otherwise(0)).as(s"v$i"),
           sum(when(inSuffix, 1L).otherwise(0L)).as(s"s$i"))
@@ -242,7 +251,9 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
           val k = batch(i)
           val fCol = expr(k.sql)
           val inSuffix0 = if (k.asc) fCol > lit(k.cut) else fCol < lit(k.cut)
-          val offenders = evalDf.filter((inSuffix0 || fCol.isNull) && !k.conj)
+          val inSuffixF =
+            if (k.nullsFirst) inSuffix0 else inSuffix0 || fCol.isNull
+          val offenders = evalDf.filter(inSuffixF && !k.conj)
             .limit(5).collect()
           fail(s"conjunct dropped runtime-suffix rows for '${k.sql}' " +
             s"(asc=${k.asc}, cut=${k.cut} [${k.cut.getClass.getSimpleName}], " +
@@ -259,6 +270,7 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
       seed = seed.slide
       val chain = chainGen.pureApply(params, s1)
       val asc = Gen.oneOf(true, false).pureApply(params, s2)
+      val nullsFirst = Gen.oneOf(true, false).pureApply(params, s2.slide)
       val offGrid = Gen.oneOf(true, false).pureApply(params, s2.next)
       val probeIx = Gen.choose(0, 5).pureApply(params, s2.next.next)
       // on-grid cut: f evaluated (driver-side mirror) at a probe pivot;
@@ -276,10 +288,10 @@ class MonotoneCutPropertySpec extends graft.SparkSuite {
         else typedCut(chain.tpe, java.lang.Double.valueOf(
           evD(cut0) * (1 + 1e-7) + 1e-9))
       val (f, childOut) = resolved(chain.sql)
-      GlobalWindowMv.cutColumnFor(f, cut, asc, false, childOut) match {
+      GlobalWindowMv.cutColumnFor(f, cut, asc, nullsFirst, childOut) match {
         case Some(conj) =>
           derived += 1
-          batch += Case(chain.sql, cut, asc, conj)
+          batch += Case(chain.sql, cut, asc, nullsFirst, conj)
           // harvest THIS chain's wrap cap and straddle it with pivot
           // rows (several float-ulp steps each side), so runtime-wrap
           // rows near the cap are in the batch's evaluation fixture
