@@ -739,6 +739,9 @@ object GlobalWindowMv {
           .sample(sampleFraction)
           .groupBy("__gw_file")
           .agg(min("__gw_p").as("mn"), max("__gw_p").as("mx"))
+          // the coverage metric needs a file SAMPLE, not the census — cap
+          // the driver transfer (a 100 TB base can hold ~10^6 files)
+          .limit(10000)
           .collect()
         val ranges = perFile.map(r => (r.getDouble(1), r.getDouble(2)))
         if (ranges.length < 2) None
