@@ -71,16 +71,19 @@ import org.apache.spark.sql.types._
   *     only for integral pivots (no NaN). Infinities follow the same
   *     case split and are safe under lower bounds by direct check.
   *   - Integer wrap: integral ops wrap silently in non-ANSI mode. Every
-  *     node's magnitude is itself affine in |x| (|node| ≤ |a|·|x| +
-  *     max|lo,hi|), so a cap `M` with |a|·M + max|b| ≤ typeMax at every
-  *     integral node guarantees exactness for |x| ≤ M; the caller ORs
-  *     `|x| > M` ([[Cut.wrapCap]]) so rows outside the proven-exact
-  *     domain are always KEPT, never reasoned about. Remainder/pmod
-  *     nodes bound their result whatever the child did, so their
-  *     subtrees contribute no constraints. Floor/ceil CLAMP (JLS
-  *     double→long) rather than wrap, which stays inside the envelope.
-  *     When `M` covers the pivot type's whole range the guard is
-  *     dropped.
+  *     node's RUNTIME magnitude is affine in |x| (|node_rt| ≤
+  *     (|a|+ea)·|x| + max|lo,hi| + eb — the E-inflation matters: a
+  *     floating ancestor can put the runtime past the exact envelope,
+  *     and at 2^62 a cast's half-ulp is 512), so a cap `M` with
+  *     (|a|+ea)·M + max|b|+eb ≤ typeMax at every integral node
+  *     guarantees no wrap for |x| ≤ M; the caller ORs `|x| > M`
+  *     ([[Cut.wrapCap]]) so rows outside the proven-exact domain are
+  *     always KEPT, never reasoned about. Remainder/pmod nodes bound
+  *     their result whatever the child did, so their subtrees contribute
+  *     no constraints. Floor/ceil CLAMP (JLS double→long) rather than
+  *     wrap, which stays inside the envelope. The guard is dropped only
+  *     when `M` covers the pivot type's whole range INCLUDING typeMin
+  *     (|typeMin| = typeMax + 1).
   *
   * Anything outside the grammar (two non-constant factors, sqrt/abs,
   * decimals, a second pivot) returns None — those keys keep the
