@@ -53,6 +53,7 @@ final class PipelineOrchestrator(
       } {
         store.drop(w.table)
         store.drop(s"${w.table}__changes")
+        store.drop(s"${w.table}__tombstones")
         // the incremental_join companion lives and dies with its MV
         w match {
           case mv: graft.model.MaterializedViewWrite if mv.incrementalJoin =>

@@ -2250,6 +2250,7 @@ final class PipelineRunner(
       if (refreshed.add(table) && !refreshDropsExternal) {
         store.drop(table)
         store.drop(s"${table}__changes")
+        store.drop(s"${table}__tombstones")
       }
       // the txn cache entry goes either way — the log was dropped (here or
       // by the orchestrator's up-front pass)
@@ -2506,6 +2507,28 @@ final class PipelineRunner(
     * whole target by definition, so they fall back to a full replace. */
   private def mergeInto(a: StreamingTableWrite, batch: DataFrame, opts: ScdMerge.Options): Unit = {
     val partCols = a.partitionColumns
+    // Deletes that left no row behind persist in the `<table>__tombstones`
+    // companion (keys + delete sequence; small — standing deletes only)
+    // and re-enter every merge. Without them a LATE event below such a
+    // delete's sequence is silently mis-merged — SCD1 resurrects the
+    // deleted key (every delete leaves no row), SCD2 opens an unclosed
+    // span under a DANGLING delete (one that closed nothing when it
+    // arrived) — and the live table disagrees with time travel's
+    // one-batch log replay. DLT keeps the same state internally (its
+    // `pipelines.cdc` tombstone-GC setting exists for it).
+    val tombTable = s"${a.table}__tombstones"
+    val trackTombs = opts.applyAsDeletes.nonEmpty
+    val priorTombs = if (trackTombs) store.readIfExists(tombTable) else None
+    // the tombstone CANDIDATES must materialize BEFORE the live replace:
+    // some change feeds (snapshot-cdc's successive-snapshot diff) are lazy
+    // plans OVER the target table, and re-evaluating `batch` after the
+    // replace reads the target's deleted files (FAILED_READ_FILE)
+    val tombCandidates =
+      if (trackTombs) Some(tombstoneCandidates(batch, opts, priorTombs))
+      else None
+    def merge(t: Option[DataFrame]): DataFrame =
+      if (opts.scdType == 1) ScdMerge.scd1(t, batch, opts, priorTombs)
+      else ScdMerge.scd2(t, batch, opts, priorTombs)
     store.readIfExists(a.table) match {
       case Some(t) if partCols.nonEmpty && partCols.forall(opts.keys.contains) &&
           opts.applyAsTruncates.isEmpty =>
@@ -2515,18 +2538,90 @@ final class PipelineRunner(
         // replace is the better plan there
         if (affected.size > PipelineRunner.MaxScopedPartitions)
           store.replace(a.table,
-            clustered(ScdMerge.applyChanges(Some(t), batch, opts), a.clusterColumns, a.clusterStrategy),
+            clustered(merge(Some(t)), a.clusterColumns, a.clusterStrategy),
             partCols)
         else {
           val scoped = t.filter(TableStore.partitionPredicate(partCols, affected))
-          val merged = ScdMerge.applyChanges(Some(scoped), batch, opts)
+          // the full (unscoped) tombstone set rides into the scoped merge:
+          // out-of-scope tombstone keys contribute no live rows, so the
+          // partition-scoped replace below is unaffected by them
+          val merged = merge(Some(scoped))
           store.replacePartitions(a.table, clustered(merged, a.clusterColumns, a.clusterStrategy),
             partCols, affected)
         }
       case t =>
         store.replace(a.table,
-          clustered(ScdMerge.applyChanges(t, batch, opts), a.clusterColumns, a.clusterStrategy), partCols)
+          clustered(merge(t), a.clusterColumns, a.clusterStrategy), partCols)
     }
+    tombCandidates.foreach(c => refreshTombstones(a.table, tombTable, opts, c))
+  }
+
+  /** The tombstone candidate set for this batch — this batch's delete
+    * rows plus the standing prior tombstones (cleared when the batch
+    * carries a truncate), deduplicated on (keys, sequence). MATERIALIZED
+    * (localCheckpoint) because it must be computable after the live
+    * replace invalidates the batch's own lineage; candidate sets are
+    * delete-rows-sized, not batch-sized. */
+  private def tombstoneCandidates(batch: DataFrame, opts: ScdMerge.Options,
+      priorTombs: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val seqAll = (opts.keys ++ opts.sequenceBy).distinct
+    val delPred = opts.applyAsDeletes.map(p => coalesce(expr(p), lit(false)))
+      .getOrElse(lit(false))
+    val batchDels = batch.filter(delPred).select(seqAll.map(col): _*)
+    // a truncate in this batch cleared the prior state — tombstones too
+    val hasTruncate = opts.applyAsTruncates.exists(t =>
+      !batch.filter(coalesce(expr(t), lit(false))).limit(1).isEmpty)
+    (priorTombs.filter(_ => !hasTruncate) match {
+      case Some(ts) => batchDels.unionByName(ts.select(seqAll.map(col): _*))
+      case None => batchDels
+    }).dropDuplicates(seqAll).localCheckpoint(true)
+  }
+
+  /** Rewrite `<table>__tombstones` AFTER the live merge landed, WITHOUT
+    * re-running the merge. `candidates` come pre-materialized from
+    * [[tombstoneCandidates]]; a candidate STANDS exactly while the
+    * written table cannot re-derive its effect:
+    *   - SCD1 (latest delete per key): stands while the table has NO live
+    *     row for the key — a live row can only exist if something
+    *     outsequenced the delete.
+    *   - SCD2 (every delete): stands while NO stored row is closed at
+    *     exactly its sequence — once one is, the rebuild's gap-detection
+    *     re-emits the closing tombstone from the row itself, so the
+    *     companion copy is redundant. Dangling deletes (closed nothing
+    *     yet) have no such row and stand until late data arrives.
+    * Cost: batch + tombstone-sized frames plus one column-pruned scan of
+    * the written table; never a second full merge.
+    *
+    * Ordering is replay-safe: live first, then tombstones. A crash
+    * between the two leaves stale tombstones, but the stream checkpoint
+    * commits only after mergeInto returns, so the batch REPLAYS — the
+    * merge re-applies idempotently and this rewrite then lands. */
+  private def refreshTombstones(table: String, tombTable: String,
+      opts: ScdMerge.Options, candidates: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val standing =
+      if (opts.scdType == 1) {
+        // only the LATEST delete per key can stand for SCD1
+        val sq = if (opts.sequenceBy.size == 1) col(opts.sequenceBy.head)
+          else struct(opts.sequenceBy.map(col): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(opts.keys.map(col): _*).orderBy(sq.desc)
+        candidates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .join(store.read(table), opts.keys, "left_anti")
+      } else {
+        val cand = candidates.alias("c")
+        val closed = store.read(table)
+          .select((opts.keys :+ ScdMerge.EndCol).map(col): _*).alias("t")
+        val candSq = if (opts.sequenceBy.size == 1)
+          col(s"c.${opts.sequenceBy.head}")
+        else struct(opts.sequenceBy.map(s => col(s"c.$s")): _*)
+        val cond = opts.keys.map(k => col(s"c.$k") === col(s"t.$k"))
+          .reduce(_ && _) && (col(s"t.${ScdMerge.EndCol}") <=> candSq)
+        cand.join(closed, cond, "left_anti")
+      }
+    store.replace(tombTable, standing, Nil)
   }
 
   private def executeTest(a: TestAction): Unit = {

@@ -48,6 +48,16 @@ object ScdMerge {
   val EndCol = "__end_at"
   private val OpCol = "__graft_op" // internal: true = delete tombstone
   private val TruncCol = "__graft_trunc" // internal: true = truncate row
+  // internal: true = a STORED version boundary re-entering a rebuild. A
+  // stored version start is a WITNESSED event: retroactively collapsing
+  // two stored same-value spans (e.g. [1,4)c + [4,6)c after a late c@1
+  // merged below a stored c@4) erases the boundary, and a later late
+  // event landing INSIDE the erased span then rebuilds the wrong value
+  // timeline (b@3 arriving after the erasure yields [3,6)b where the
+  // truth is [3,4)b + [4,6)c — caught by PipelineRunnerSpec's
+  // unordered-batches property). DLT never re-collapses stored rows;
+  // no-op collapse applies only to rows AT THEIR OWN ARRIVAL.
+  private val PinCol = "__graft_pin"
 
   /** Delete/truncate predicates evaluate NULL-as-false (SQL WHERE
     * semantics, and the change log's own `_change_type` stamping): an op
@@ -81,8 +91,24 @@ object ScdMerge {
     * anywhere in the batch clears the ENTIRE prior target (DLT
     * apply_as_truncates semantics — truncation is not sequence-relative),
     * while the batch's own non-truncate rows all apply. Result = the
-    * current table. */
-  def scd1(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
+    * current table.
+    *
+    * `tombstones` are the STANDING deletes from earlier batches (keys +
+    * their delete sequence): because SCD1 deletes leave no row behind, a
+    * later batch carrying a LATE event (sequence below the delete's)
+    * would otherwise silently resurrect the deleted key. DLT keeps the
+    * same state internally (its `pipelines.cdc` tombstone-GC setting
+    * exists for exactly this), and the engine's time-travel replay (the
+    * whole change log as one batch) already keeps the key dead — without
+    * the tombstones the live fold and the replay DISAGREE. Each
+    * tombstone re-enters the competition as a synthetic delete row (data
+    * columns null): a late change below its sequence loses — the key
+    * stays deleted — while a genuinely newer change wins and retires it.
+    * The engine persists them in the `<table>__tombstones` companion
+    * (see PipelineRunner.mergeInto); one-shot callers (no prior batches)
+    * have none. */
+  def scd1(target: Option[DataFrame], changes: DataFrame, opts: Options,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val sq = seqCol(opts)
     // BOTH predicates evaluate before the column projection (the
     // selectColumns contract: an except_column_list entry may itself feed
@@ -93,30 +119,38 @@ object ScdMerge {
         .withColumn(TruncCol, predCol(opts.applyAsTruncates)), opts)
 
     // Truncates: a truncate row in the batch clears the prior table (DLT
-    // truncates the whole target). The has-truncate flag is a 1-row broadcast
+    // truncates the whole target) — and the standing tombstones with it:
+    // they are prior state too. The has-truncate flag is a 1-row broadcast
     // folded into the merge plan — no separate driver-side job per merge.
-    val (ch, tgt) = opts.applyAsTruncates match {
+    val (ch, tgt, tomb) = opts.applyAsTruncates match {
       case Some(_) =>
         val flag = broadcast(ch0.agg(
           max(when(col(TruncCol), lit(1)).otherwise(lit(0))).as("__trunc")))
-        val tgtKept = target.map(_.crossJoin(flag)
-          .filter(col("__trunc").isNull || col("__trunc") === 0).drop("__trunc"))
-        (ch0.filter(!col(TruncCol)).drop(TruncCol), tgtKept)
-      case None => (ch0.drop(TruncCol), target)
+        def keepPrior(d: DataFrame): DataFrame = d.crossJoin(flag)
+          .filter(col("__trunc").isNull || col("__trunc") === 0).drop("__trunc")
+        (ch0.filter(!col(TruncCol)).drop(TruncCol),
+          target.map(keepPrior), tombstones.map(keepPrior))
+      case None => (ch0.drop(TruncCol), target, tombstones)
     }
 
     val attrCols = ch.columns.filterNot(_ == OpCol)
-    val unioned = tgt match {
+    // Targets written by this engine retain the sequence columns, so the
+    // existing row competes at its true position. If a target lacks them
+    // (external table), its rows get null sequence — `desc` ordering puts
+    // nulls last, so any change in the batch wins, i.e. existing = oldest.
+    // Tombstones align the same way (their data columns are null).
+    def align(d: DataFrame): DataFrame =
+      attrCols.foldLeft(d) { (dd, c) =>
+        if (dd.columns.contains(c)) dd else dd.withColumn(c, lit(null))
+      }.select(attrCols.toSeq.map(col): _*)
+    val withTarget = tgt match {
       case None => ch
-      case Some(t) =>
-        // Targets written by this engine retain the sequence columns, so the
-        // existing row competes at its true position. If a target lacks them
-        // (external table), its rows get null sequence — `desc` ordering puts
-        // nulls last, so any change in the batch wins, i.e. existing = oldest.
-        val tAligned = attrCols.foldLeft(t) { (d, c) =>
-          if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-        }.select(attrCols.toSeq.map(col): _*)
-        tAligned.withColumn(OpCol, lit(false)).unionByName(ch)
+      case Some(t) => align(t).withColumn(OpCol, lit(false)).unionByName(ch)
+    }
+    val unioned = tomb match {
+      case None => withTarget
+      case Some(ts) =>
+        withTarget.unionByName(align(ts).withColumn(OpCol, lit(true)))
     }
 
     // ignore_null_updates (DLT semantics, SCD1 too — a null column in an
@@ -170,17 +204,45 @@ object ScdMerge {
   /** SCD2: full history with `__start_at` / `__end_at` (null = current).
     * A key's chain is rebuilt from all its versions; only changes in tracked
     * columns open a new version (untracked-column changes update in place on
-    * the open version, matching DLT's track_history semantics). */
-  def scd2(target: Option[DataFrame], changes: DataFrame, opts: Options): DataFrame = {
+    * the open version, matching DLT's track_history semantics).
+    *
+    * `tombstones` are the standing DANGLING deletes from earlier batches —
+    * deletes that closed nothing when they arrived (the key had no
+    * earlier-sequenced data YET). A closed row re-emits its closing
+    * tombstone at rebuild time, but a dangling delete leaves no row at
+    * all, so without this input a late event below it opens an
+    * unclosed span and same-value runs collapse across the vanished
+    * delete (fold ≠ one-shot — caught by PipelineRunnerSpec's
+    * unordered-batches property). Each one re-enters the rebuild as a
+    * synthetic delete row; duplicates against a re-emitted tombstone
+    * squash away ((key, seq, op) is the squash identity). The engine
+    * persists them in `<table>__tombstones` (PipelineRunner.mergeInto),
+    * retiring each when the written table carries a row closed at
+    * exactly its sequence — from then on the rebuild re-derives it. */
+  def scd2(target: Option[DataFrame], changes: DataFrame, opts: Options,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val sq = seqCol(opts)
-    val ch = selectColumns(
+    val ch0 = selectColumns(
       changes.withColumn(OpCol, predCol(opts.applyAsDeletes)), opts)
       .drop(TruncCol)
       .withColumn(StartCol, sq)
+    val ch = tombstones match {
+      case None => ch0
+      case Some(ts) =>
+        val attrCols = ch0.columns.filterNot(c => c == OpCol || c == StartCol)
+        val aligned = attrCols.foldLeft(ts) { (d, c) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+        }.select(attrCols.toSeq.map(col): _*)
+          .withColumn(OpCol, lit(true))
+          .withColumn(StartCol, sq)
+        ch0.unionByName(aligned)
+    }
 
     // Convert existing history rows back into change rows: a closed final row
     // with no successor means the key was deleted — re-emit the tombstone so
-    // the rebuild preserves it.
+    // the rebuild preserves it. Re-emitted rows are PINNED ([[PinCol]]):
+    // their version boundaries are witnessed events the rebuild must not
+    // retroactively collapse.
     val versions = target match {
       // an inherited __end_at on the CHANGE side is derived state, not a
       // data column (the Some(t) branch drops it before rebuild for the
@@ -188,7 +250,7 @@ object ScdMerge {
       // adjacent version pair would "differ" on old end timestamps and
       // never collapse, so replaying an existing SCD2 table's rows into a
       // fresh target would diverge from the merged history
-      case None => ch.drop(EndCol)
+      case None => ch.drop(EndCol).withColumn(PinCol, lit(false))
       case Some(t) =>
         val chKeys = ch.select(opts.keys.map(col): _*).distinct()
         val affected = t.join(chKeys, opts.keys, "left_semi")
@@ -198,13 +260,15 @@ object ScdMerge {
         // that tombstone or the rebuild would resurrect the span.
         val wk = Window.partitionBy(opts.keys.map(col): _*).orderBy(col(StartCol).asc)
         val withNext = affected.withColumn("__next", lead(col(StartCol), 1).over(wk))
-        val reChanges = withNext.drop("__next", EndCol).withColumn(OpCol, lit(false))
-        val tombstones = withNext
+        val reChanges = withNext.drop("__next", EndCol)
+          .withColumn(OpCol, lit(false)).withColumn(PinCol, lit(true))
+        val reTombs = withNext
           .filter(col(EndCol).isNotNull && !(col(EndCol) <=> col("__next")))
           .withColumn(StartCol, col(EndCol))
           .drop("__next", EndCol)
-          .withColumn(OpCol, lit(true))
-        val rebuilt = rebuildChains(reChanges.unionByName(tombstones).unionByName(ch.drop(EndCol)), opts)
+          .withColumn(OpCol, lit(true)).withColumn(PinCol, lit(true))
+        val rebuilt = rebuildChains(reChanges.unionByName(reTombs)
+          .unionByName(ch.drop(EndCol).withColumn(PinCol, lit(false))), opts)
         return untouched.unionByName(rebuilt)
     }
     rebuildChains(versions, opts)
@@ -218,7 +282,8 @@ object ScdMerge {
   private def rebuildChains(versions: DataFrame, opts: Options): DataFrame = {
     val keys = opts.keys
     val dataCols = versions.columns.filterNot(c =>
-      keys.contains(c) || c == OpCol || c == StartCol || opts.sequenceBy.contains(c))
+      keys.contains(c) || c == OpCol || c == StartCol || c == PinCol ||
+        opts.sequenceBy.contains(c))
     val tracked = opts.trackHistoryColumns
       .getOrElse(dataCols.toSeq)
       .filterNot(opts.trackHistoryExcept.contains)
@@ -238,8 +303,12 @@ object ScdMerge {
     //    sequence are two distinct events (version + its closure), not a
     //    replay duplicate — squashing them to one row erased the key's
     //    whole history (the pre-fix behavior)
+    //    The PINNED copy of a duplicate wins (a replayed batch row that
+    //    duplicates a stored boundary must not strip its pin — an
+    //    unpinned survivor could then be retroactively collapsed, the
+    //    exact loss the pin prevents); data order breaks remaining ties.
     val wDedup = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(StartCol).asc, col(OpCol).asc,
+      .orderBy(col(StartCol).asc, col(OpCol).asc, col(PinCol).desc,
         struct(dataCols.toSeq.map(col): _*).desc)
     val squashed = versions
       .withColumn("__dup",
@@ -255,12 +324,16 @@ object ScdMerge {
       else fillNullsWithinSpan(squashed, keys,
         Seq(col(StartCol).asc, col(OpCol).asc), dataCols.toSeq)
 
-    // 3. change detection on tracked columns (delete boundaries always kept)
+    // 3. change detection on tracked columns (delete boundaries always
+    //    kept; PINNED rows always kept — a stored version boundary is a
+    //    witnessed event, and collapsing it would erase information a
+    //    later late event needs: no-op collapse applies only to rows at
+    //    their own arrival, matching DLT)
     val trackedStruct =
       if (tracked.nonEmpty) struct(tracked.map(col): _*) else lit(0)
     val prevTracked = lag(trackedStruct, 1).over(wAsc)
     val prevOp = lag(col(OpCol), 1).over(wAsc)
-    val keep = prevOp.isNull || col(OpCol) =!= prevOp ||
+    val keep = col(PinCol) || prevOp.isNull || col(OpCol) =!= prevOp ||
       !(trackedStruct <=> prevTracked)
 
     // 3b. untracked columns update in place: the surviving (first) version of
@@ -296,7 +369,7 @@ object ScdMerge {
     kept
       .withColumn(EndCol, lead(col(StartCol), 1).over(wKept))
       .filter(!col(OpCol)) // tombstones only exist to close their predecessor
-      .drop(OpCol)
+      .drop(OpCol, PinCol)
   }
 
   /** Dispatch on scdType. Returns the complete new target table contents. */

@@ -318,6 +318,151 @@ class PipelineRunnerSpec extends SparkSuite {
       (3L, "CHI", None)))
   }
 
+  test("scd1 CDC: a late event after a delete does not resurrect the key (tombstones)") {
+    // DLT retains SCD1 delete tombstones internally (its pipelines.cdc
+    // tombstone-GC setting exists for them); without the same state a
+    // late event BELOW a delete's sequence wins against the emptied
+    // target on the next microbatch and the key silently resurrects —
+    // diverging from DLT and from this engine's own time-travel replay.
+    val (runner, store, dir) = freshRunner()
+    val landing = s"$dir/tomb_landing"
+    def yaml = s"""pipeline: p
+         |flowgroup: fg
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, seq BIGINT, v STRING"
+         |    target: v_ch
+         |  - name: w
+         |    type: write
+         |    source: v_ch
+         |    write_target: {type: streaming_table, table: dim}
+         |    cdc_config:
+         |      keys: [id]
+         |      sequence_by: seq
+         |      scd_type: 1
+         |      apply_as_deletes: "v = 'DEL'"
+         |""".stripMargin
+    def run(rows: (Long, Long, String)*): Unit = {
+      rows.toSeq.toDF("id", "seq", "v").write.mode("append").json(landing)
+      runner.run(YamlConfig.parseFlowGroup(yaml))
+    }
+    def live: Set[(Long, String)] =
+      store.read("dim").select("id", "v").as[(Long, String)].collect().toSet
+    run((1L, 1L, "a"), (2L, 1L, "x"))
+    run((1L, 5L, "DEL"))
+    assert(live == Set((2L, "x")))
+    // the standing delete persists in the companion
+    val tombs = store.read("dim__tombstones").select("id", "seq")
+      .as[(Long, Long)].collect().toSet
+    assert(tombs == Set((1L, 5L)), s"expected the standing tombstone, got $tombs")
+    // LATE event below the delete: key stays dead (the pre-fix fold
+    // resurrected it with the stale value)
+    run((1L, 3L, "stale"))
+    assert(live == Set((2L, "x")),
+      "a late event below the standing delete resurrected the key")
+    // a genuinely newer event retires the tombstone and the key returns
+    run((1L, 7L, "new"))
+    assert(live == Set((1L, "new"), (2L, "x")))
+    assert(store.read("dim__tombstones").isEmpty,
+      "a newer upsert must retire the tombstone")
+  }
+
+  test("property: scd1/scd2 CDC fold over UNORDERED batches == one-shot merge") {
+    // batch-split invariance, with NO watermark: events (unique (key,seq))
+    // are shuffled and split arbitrarily, so late events — including late
+    // events below a delete already applied in an earlier batch — occur
+    // across batches by construction. The folded live table must equal
+    // the whole event set applied as ONE batch (for scd1 that is exactly
+    // what DLT's tombstone retention guarantees; scd2's closed rows carry
+    // the same information structurally).
+    val rnd = new scala.util.Random(29)
+    def yaml(landing: String, table: String, scdType: Int) =
+      s"""pipeline: p
+         |flowgroup: fg_$table
+         |actions:
+         |  - name: l
+         |    type: load
+         |    source:
+         |      type: cloudfiles
+         |      path: $landing
+         |      format: json
+         |      readMode: stream
+         |      table_schema: "id BIGINT, seq BIGINT, v STRING"
+         |    target: v_ch_$table
+         |  - name: w
+         |    type: write
+         |    source: v_ch_$table
+         |    write_target: {type: streaming_table, table: $table}
+         |    cdc_config:
+         |      keys: [id]
+         |      sequence_by: seq
+         |      scd_type: $scdType
+         |      apply_as_deletes: "v = 'DEL'"
+         |""".stripMargin
+    val o1 = graft.operators.ScdMerge.Options(keys = Seq("id"),
+      sequenceBy = Seq("seq"), scdType = 1, applyAsDeletes = Some("v = 'DEL'"))
+    for (trial <- 1 to 4) {
+      val scdType = if (trial % 2 == 1) 1 else 2
+      val (runner, store, dir) = freshRunner()
+      val landing = s"$dir/prop_landing"
+      // unique (key, seq) pairs; ~1/3 deletes; SHUFFLED, split into 3
+      val events = rnd.shuffle(for {
+        key <- 0L to 3L
+        seq <- 1L to (3 + rnd.nextInt(4)).toLong
+      } yield (key, seq, Seq("a", "b", "c", "DEL")(rnd.nextInt(4))))
+      val batches = events.grouped(math.max(1, events.size / 3 + 1)).toSeq
+      batches.foreach { b =>
+        b.toDF("id", "seq", "v").write.mode("append").json(landing)
+        runner.run(YamlConfig.parseFlowGroup(yaml(landing, "t", scdType)))
+      }
+      val allDf = events.toDF("id", "seq", "v")
+      val oneShot =
+        (if (scdType == 1) graft.operators.ScdMerge.scd1(None, allDf, o1)
+         else graft.operators.ScdMerge.scd2(None, allDf, o1.copy(scdType = 2)))
+      if (scdType == 1) {
+        // SCD1: the live table is the whole semantic — exact row equality
+        def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+          df.select("id", "seq", "v").collect().map(_.toSeq).toSet
+        val folded = canon(store.read("t"))
+        val expected = canon(oneShot)
+        assert(folded == expected,
+          s"trial $trial (scd1): fold over ${batches.size} unordered " +
+            s"batches diverged from the one-shot merge\n  folded:   $folded\n" +
+            s"  one-shot: $expected")
+      } else {
+        // SCD2: compare the VALUE TIMELINE, not raw spans — version
+        // granularity legitimately differs under batch splits (a late
+        // same-value event below a stored boundary yields two adjacent
+        // same-value spans where the one-shot collapses them; DLT does
+        // the same), but the value visible at every sequence point and
+        // the alive/dead state must agree exactly.
+        def timeline(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] = {
+          val rows = df.select("id", "v", "__start_at", "__end_at")
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getLong(2), if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+          (for {
+            probe <- events.map(_._2).distinct
+            (id, v, s, e) <- rows
+            if s <= probe && probe < e
+          } yield (id, probe, v)).toSet
+        }
+        val folded = timeline(store.read("t"))
+        val expected = timeline(oneShot)
+        assert(folded == expected,
+          s"trial $trial (scd2): fold over ${batches.size} unordered " +
+            s"batches diverged from the one-shot value timeline\n" +
+            s"  folded:   ${folded.toSeq.sorted}\n" +
+            s"  one-shot: ${expected.toSeq.sorted}")
+      }
+    }
+  }
+
   test("property: partition-scoped CDC merges == unpartitioned merges over random batch sequences") {
     val rnd = new scala.util.Random(13)
     def yaml(landing: String, table: String, partitioned: Boolean, scdType: Int) =

@@ -97,6 +97,34 @@ class ScdMergeSpec extends SparkSuite {
     assert(t1 == Set((1, "a", 1L, Some(4L)), (1, "re", 6L, None)))
   }
 
+  test("scd1: a standing tombstone outranks a late event — no resurrection") {
+    // SCD1 deletes leave no row behind, so without the tombstone input a
+    // LATE event (sequence below the delete's) arriving in a later batch
+    // would win against an empty target and silently resurrect the key —
+    // diverging from both DLT (which keeps tombstones internally) and
+    // this engine's own time-travel replay (one-batch over the full log).
+    val o = opts1.copy(applyAsDeletes = Some("v = 'DEL'"))
+    val t0 = ScdMerge.scd1(None, changes((1, 1L, "a"), (2, 1L, "x")), o)
+    val t1 = ScdMerge.scd1(Some(t0), changes((1, 5L, "DEL")), o)
+    assert(t1.filter($"k" === 1).isEmpty, "delete must remove the key")
+    val tombs = Seq((1, 5L)).toDF("k", "seq")
+    // late event BELOW the tombstone: key stays dead
+    val t2 = ScdMerge.scd1(Some(t1), changes((1, 3L, "stale")), o, Some(tombs))
+    assert(t2.filter($"k" === 1).isEmpty,
+      "a late event below the standing delete resurrected the key")
+    assert(t2.select("k", "v").as[(Int, String)].collect().toSet == Set((2, "x")))
+    // genuinely newer event: wins, key returns
+    val t3 = ScdMerge.scd1(Some(t1), changes((1, 7L, "new")), o, Some(tombs))
+    assert(t3.select("k", "v").as[(Int, String)].collect().toSet ==
+      Set((1, "new"), (2, "x")))
+    // one-shot equivalence: the tombstone-threaded fold equals the whole
+    // stream applied as a single batch
+    val oneShot = ScdMerge.scd1(None,
+      changes((1, 1L, "a"), (2, 1L, "x"), (1, 5L, "DEL"), (1, 3L, "stale")), o)
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(t2.select("k", "v").as[(Int, String)].collect().toSet == oneShot)
+  }
+
   test("scd1: ignore_null_updates keeps standing values on null columns") {
     // was a silent no-op before round 7: the flag parsed but scd1 ignored it
     val o = opts1.copy(ignoreNullUpdates = true)
