@@ -2522,9 +2522,15 @@ final class PipelineRunner(
     // the tombstone CANDIDATES must materialize BEFORE the live replace:
     // some change feeds (snapshot-cdc's successive-snapshot diff) are lazy
     // plans OVER the target table, and re-evaluating `batch` after the
-    // replace reads the target's deleted files (FAILED_READ_FILE)
+    // replace reads the target's deleted files (FAILED_READ_FILE).
+    // None = this batch needs NO companion rewrite (the common delete-free
+    // case): a STALE standing tombstone is harmless — it can never
+    // outrank a newer live row (scd1) and duplicates squash against the
+    // rebuild's re-emitted tombstones (scd2) — so retirement may lag
+    // until the next delete-carrying batch; skipping keeps delete-free
+    // microbatches at zero companion overhead
     val tombCandidates =
-      if (trackTombs) Some(tombstoneCandidates(batch, opts, priorTombs))
+      if (trackTombs) tombstoneCandidates(batch, opts, priorTombs)
       else None
     def merge(t: Option[DataFrame]): DataFrame =
       if (opts.scdType == 1) ScdMerge.scd1(t, batch, opts, priorTombs)
@@ -2561,21 +2567,25 @@ final class PipelineRunner(
     * carries a truncate), deduplicated on (keys, sequence). MATERIALIZED
     * (localCheckpoint) because it must be computable after the live
     * replace invalidates the batch's own lineage; candidate sets are
-    * delete-rows-sized, not batch-sized. */
+    * delete-rows-sized, not batch-sized. None when the batch carries no
+    * deletes and no prior-clearing truncate — nothing to add, and
+    * retirement can wait (see mergeInto). */
   private def tombstoneCandidates(batch: DataFrame, opts: ScdMerge.Options,
-      priorTombs: Option[DataFrame]): DataFrame = {
+      priorTombs: Option[DataFrame]): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     val seqAll = (opts.keys ++ opts.sequenceBy).distinct
     val delPred = opts.applyAsDeletes.map(p => coalesce(expr(p), lit(false)))
       .getOrElse(lit(false))
     val batchDels = batch.filter(delPred).select(seqAll.map(col): _*)
+    val hasDels = !batchDels.limit(1).isEmpty
     // a truncate in this batch cleared the prior state — tombstones too
     val hasTruncate = opts.applyAsTruncates.exists(t =>
       !batch.filter(coalesce(expr(t), lit(false))).limit(1).isEmpty)
-    (priorTombs.filter(_ => !hasTruncate) match {
+    if (!hasDels && !(hasTruncate && priorTombs.nonEmpty)) None
+    else Some((priorTombs.filter(_ => !hasTruncate) match {
       case Some(ts) => batchDels.unionByName(ts.select(seqAll.map(col): _*))
       case None => batchDels
-    }).dropDuplicates(seqAll).localCheckpoint(true)
+    }).dropDuplicates(seqAll).localCheckpoint(true))
   }
 
   /** Rewrite `<table>__tombstones` AFTER the live merge landed, WITHOUT
@@ -2621,7 +2631,10 @@ final class PipelineRunner(
           .reduce(_ && _) && (col(s"t.${ScdMerge.EndCol}") <=> candSq)
         cand.join(closed, cond, "left_anti")
       }
-    store.replace(tombTable, standing, Nil)
+    // don't mint an empty companion for the in-order common case (every
+    // delete retires immediately); once one exists it is kept current
+    if (store.exists(tombTable) || !standing.isEmpty)
+      store.replace(tombTable, standing, Nil)
   }
 
   private def executeTest(a: TestAction): Unit = {

@@ -366,11 +366,24 @@ class PipelineRunnerSpec extends SparkSuite {
     run((1L, 3L, "stale"))
     assert(live == Set((2L, "x")),
       "a late event below the standing delete resurrected the key")
-    // a genuinely newer event retires the tombstone and the key returns
+    // a genuinely newer event wins and the key returns; the now-stale
+    // tombstone is HARMLESS (it can never outrank the newer live row)
+    // and retirement is LAZY — delete-free batches skip the companion
+    // rewrite entirely, so it still stands here...
     run((1L, 7L, "new"))
     assert(live == Set((1L, "new"), (2L, "x")))
-    assert(store.read("dim__tombstones").isEmpty,
-      "a newer upsert must retire the tombstone")
+    // ...and even while stale, late events below the live row stay late
+    run((1L, 4L, "stale2"))
+    assert(live == Set((1L, "new"), (2L, "x")))
+    // the next DELETE-carrying batch (any key) refreshes the companion,
+    // retiring the superseded tombstone
+    run((2L, 8L, "DEL"))
+    assert(live == Set((1L, "new")))
+    val tombs2 = store.read("dim__tombstones").select("id", "seq")
+      .as[(Long, Long)].collect().toSet
+    assert(tombs2 == Set((2L, 8L)),
+      s"the delete-carrying batch must retire the superseded tombstone " +
+        s"and record its own: $tombs2")
   }
 
   test("property: scd1/scd2 CDC fold over UNORDERED batches == one-shot merge") {
