@@ -2270,6 +2270,22 @@ final class PipelineRunner(
     txnCache.getOrElseUpdate(chTable,
       mutable.Set.from(store.committedTxns(chTable)))
 
+  /** Materialize a write batch consumed by MULTIPLE actions — the
+    * change-log append, the delete-kind probe, the tombstone candidate
+    * probe, and the merge's own staged write each run the batch's plan.
+    * Without the persist every consumer recomputes it from scratch: a file
+    * stream re-reads the microbatch's files once per consumer, and a
+    * snapshot-CDC batch re-DIFFS THE FULL TARGET per consumer (guide §5:
+    * cache exactly the reused intermediates; released in the finally).
+    * `reused = false` paths (single-consumer plain appends) skip it. */
+  private def withBatchMaterialized[T](batch: DataFrame, reused: Boolean)(
+      f: DataFrame => T): T =
+    if (!reused) f(batch)
+    else {
+      val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try f(b) finally { b.unpersist(): Unit }
+    }
+
   private def executeStreamingWrite(a: StreamingTableWrite): Unit = {
     applyFullRefresh(a.table, a.name)
     // `once` flows are single backfills (DLT once-flow semantics): after the
@@ -2336,16 +2352,20 @@ final class PipelineRunner(
         val flowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
         src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            logChanges(a, batch, Some(opts), Some((flowKey, id)))
-            mergeInto(a, batch, opts)
+            withBatchMaterialized(batch, reused = true) { b =>
+              logChanges(a, b, Some(opts), Some((flowKey, id)))
+              mergeInto(a, b, opts)
+            }
             hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .startTracked()
       case (Some(_), false) =>
-        logChanges(a, src, scdOpts)
-        mergeInto(a, src, scdOpts.get)
+        withBatchMaterialized(src, reused = true) { b =>
+          logChanges(a, b, scdOpts)
+          mergeInto(a, b, scdOpts.get)
+        }
       case (Some(_), true) if a.snapshotFunction.isDefined =>
         // snapshot-polling CDC: drain the source function until caught up,
         // merging each (snapshot, version) in order; the last processed
@@ -2364,8 +2384,10 @@ final class PipelineRunner(
           val opts = mkScdOpts(Seq(verCol)).get
           val changes = SnapshotCdc.diff(store.readIfExists(a.table), snap, opts)
           val mergeOpts = SnapshotCdc.mergeOptions(opts)
-          logChanges(a, changes, Some(mergeOpts))
-          mergeInto(a, changes, mergeOpts)
+          withBatchMaterialized(changes, reused = true) { b =>
+            logChanges(a, b, Some(mergeOpts))
+            mergeInto(a, b, mergeOpts)
+          }
           store.setMeta(a.table, "snapshot_version", version.toString)
           last = Some(version)
           next = fn(spark, last, Map.empty)
@@ -2376,8 +2398,10 @@ final class PipelineRunner(
         // from the snapshot); the merge itself is partition-scoped
         val changes = SnapshotCdc.diff(store.readIfExists(a.table), src, scdOpts.get)
         val mergeOpts = SnapshotCdc.mergeOptions(scdOpts.get)
-        logChanges(a, changes, Some(mergeOpts))
-        mergeInto(a, changes, mergeOpts)
+        withBatchMaterialized(changes, reused = true) { b =>
+          logChanges(a, b, Some(mergeOpts))
+          mergeInto(a, b, mergeOpts)
+        }
       case (None, _) if src.isStreaming =>
         // exactly-once under crash: foreachBatch replay lands the batch at
         // the SAME deterministic (flow, batch) file names (appendBatch) and
@@ -2386,18 +2410,23 @@ final class PipelineRunner(
         val flowKey = s"$currentPipeline/$currentFlowgroup/${a.name}"
         src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            logChanges(a, batch, None, Some((flowKey, id)))
-            store.appendBatch(a.table,
-              clustered(batch, a.clusterColumns, a.clusterStrategy),
-              flowKey, id, a.partitionColumns)
+            // reused only when a change log rides beside the table append
+            withBatchMaterialized(batch, reused = a.changeLog) { b =>
+              logChanges(a, b, None, Some((flowKey, id)))
+              store.appendBatch(a.table,
+                clustered(b, a.clusterColumns, a.clusterStrategy),
+                flowKey, id, a.partitionColumns)
+            }
             hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
           }
           .option("checkpointLocation", checkpointFor(a.name))
           .trigger(Trigger.AvailableNow())
           .startTracked()
       case (None, _) =>
-        logChanges(a, src, None)
-        store.append(a.table, clustered(src, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
+        withBatchMaterialized(src, reused = a.changeLog) { b =>
+          logChanges(a, b, None)
+          store.append(a.table, clustered(b, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
+        }
     }
     if (a.once) store.setMeta(a.table, onceKey, "done")
     applyGovernanceMetadata(a.table, a.comment, a.tags, a.tagsFile)
@@ -2564,20 +2593,29 @@ final class PipelineRunner(
 
   /** The tombstone candidate set for this batch — this batch's delete
     * rows plus the standing prior tombstones (cleared when the batch
-    * carries a truncate), deduplicated on (keys, sequence). MATERIALIZED
-    * (localCheckpoint) because it must be computable after the live
-    * replace invalidates the batch's own lineage; candidate sets are
-    * delete-rows-sized, not batch-sized. None when the batch carries no
-    * deletes and no prior-clearing truncate — nothing to add, and
-    * retirement can wait (see mergeInto). */
+    * carries a truncate), deduplicated on (keys, sequence). The
+    * batch-derived side is MATERIALIZED (localCheckpoint) because it must
+    * be computable after the live replace invalidates the batch's own
+    * lineage; candidate sets are delete-rows-sized, not batch-sized. None
+    * when the batch carries no deletes and no prior-clearing truncate —
+    * nothing to add, and retirement can wait (see mergeInto). */
   private def tombstoneCandidates(batch: DataFrame, opts: ScdMerge.Options,
       priorTombs: Option[DataFrame]): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     val seqAll = (opts.keys ++ opts.sequenceBy).distinct
     val delPred = opts.applyAsDeletes.map(p => coalesce(expr(p), lit(false)))
       .getOrElse(lit(false))
+    // ONE scan of the batch plan: materialize the (delete-rows-sized) set,
+    // then probe the materialized blocks — the old limit(1) probe + a
+    // checkpoint over the union scanned the batch twice and paid a shuffle
+    // to materialize the dedup (guide §1.2: remove redundant passes). Only
+    // the batch-derived side needs checkpointing (its lineage dies with
+    // the live replace); the prior-tombstone side is a stable table read
+    // that `replace` below stages against safely, so the union + dedup
+    // stay lazy in the candidates the caller consumes.
     val batchDels = batch.filter(delPred).select(seqAll.map(col): _*)
-    val hasDels = !batchDels.limit(1).isEmpty
+      .localCheckpoint(true)
+    val hasDels = !batchDels.isEmpty
     // a truncate in this batch cleared the prior state — tombstones too
     val hasTruncate = opts.applyAsTruncates.exists(t =>
       !batch.filter(coalesce(expr(t), lit(false))).limit(1).isEmpty)
@@ -2585,7 +2623,7 @@ final class PipelineRunner(
     else Some((priorTombs.filter(_ => !hasTruncate) match {
       case Some(ts) => batchDels.unionByName(ts.select(seqAll.map(col): _*))
       case None => batchDels
-    }).dropDuplicates(seqAll).localCheckpoint(true))
+    }).dropDuplicates(seqAll))
   }
 
   /** Rewrite `<table>__tombstones` AFTER the live merge landed, WITHOUT
