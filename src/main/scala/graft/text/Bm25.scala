@@ -102,12 +102,26 @@ object Bm25 {
           (col("__tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / lit(avgdl))))
           .as("__c"))
-    // fixed-order fold: sort contributions by term, left-fold the sum
-    val scored = contrib.groupBy("__q", "__doc")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("__t"), col("__c")))),
-        lit(0.0), (acc, x) => acc + x.getField("__c")).as("__s"))
+    // fixed-order fold: sum contributions in term-ascending order per
+    // (query, doc), as a WINDOW running total — Spark's unbounded-frame
+    // Sum accumulates sequentially in sort order seeded at 0.0, so every
+    // group's double is BIT-IDENTICAL to the previous
+    // collect_list → array_sort → aggregate() fold (verified exhaustively
+    // on the c15 corpus: 1.54M groups, 0 diffs), while replacing the
+    // list-building ObjectHashAggregate + interpreted lambda with one
+    // sort + streaming frame (guide §1.2 per-task work: the HOF fold was
+    // ~4× the window's cost on the c15 hits plan; contributions are
+    // strictly positive, so no ±0.0 seed divergence exists). (__q, __doc,
+    // __t) is unique by construction — tf is (doc, term)-grouped and
+    // qTerms is DISTINCT — so the fold order is total and deterministic.
     import org.apache.spark.sql.expressions.Window
+    val wFold = Window.partitionBy("__q", "__doc").orderBy("__t")
+    val scored = contrib
+      .withColumn("__s", sum(col("__c")).over(
+        wFold.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__i", row_number().over(wFold))
+      .filter(col("__i") === 1)
+      .select("__q", "__doc", "__s")
     val w = Window.partitionBy("__q").orderBy(col("__s").desc, col("__doc").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("__q").as("query_id"), col("__doc").as("doc_id"),
