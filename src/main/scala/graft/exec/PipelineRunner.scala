@@ -88,6 +88,22 @@ final class PipelineRunner(
   private val defaultSinkRoot: String =
     sinkRoot.getOrElse(s"${store.warehouse}/_sinks")
 
+  // Spark 4's checkpoint file-checksum sidecars write one extra file per
+  // checkpoint file — for a stateful microbatch that means 2× the file ops
+  // on EVERY state-store commit, measured at 30-40% of the q62
+  // stream-stream join's wall (state commitMs 58.6 s → 30.0 s summed, run
+  // wall 10.5 s → 7.3 s). They detect storage-layer corruption only; the
+  // engine's exactly-once contract comes from its own protocol (idempotent
+  // file placement, intent markers, replay-safe merges — kill-matrix
+  // pinned, checksums uninvolved). Default them OFF for runner-owned
+  // streams; a deployment that wants detection opts back in via
+  // pipeline_config `configuration`, which lands in the session BEFORE the
+  // runner is constructed and is honored here by the explicit-set check.
+  locally {
+    val k = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    if (!spark.sessionState.conf.contains(k)) spark.conf.set(k, "false")
+  }
+
   /** Resolve a YAML file reference: absolute/existing as-is, else relative
     * to the project root; bare schema names resolve to
     * `<root>/schemas/<name>.yaml` (the reference's schema_file layout). */
