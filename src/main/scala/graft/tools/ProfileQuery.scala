@@ -33,6 +33,21 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.graft.timing", "true")
+    // SPARK_GRAFT_JOBLOG=1: one stderr line per Spark job (duration +
+    // description) — decomposes a slow ACTION into its constituent jobs
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, (System.nanoTime(),
+            Option(e.properties.getProperty("spark.job.description")).getOrElse("")))
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(e.jobId)
+          if (s != null) System.err.println(
+            f"[job] id=${e.jobId} ${(System.nanoTime() - s._1) / 1e9}%.3f s ${s._2.take(120)}")
+        }
+      })
+    }
     val fn = graft.SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name' (have: " +
         graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ") + ")"))
