@@ -134,14 +134,26 @@ object Advanced {
     * estimators. rsd is pinned at 0.01, so the 5% gate sits at 5 standard
     * deviations — meaningful at any cardinality, not a coin flip at one
     * sigma (the default rsd IS 0.05). */
-  def q36ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct("user_id").as("exact_users"))
+  def q36ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // approx and exact are SEPARATE aggregations joined on the tiny key:
+    // combined in one agg, Spark's distinct-aggregate rewrite keys the
+    // partial pass by (event_type, user_id) — ONE ~100 KB HLL sketch (rsd
+    // 0.01 → 2^17 registers) PER DISTINCT PAIR rides the exchange, ~50 k
+    // sketches at sf0.1 and cardinality-many at scale (guide §2.3: shuffle
+    // fewer bytes). Split, each pass shuffles what it needs: per-TYPE HLL
+    // partials (a handful of sketches) and narrow (type, user) rows for
+    // the exact count. HLL registers are max-merged — commutative and
+    // associative — so the estimate is bit-identical either way.
+    val ev = Tables.load(s, dir, "events")
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    approx.join(exact, Seq("event_type"))
       .filter(abs(col("approx_users") - col("exact_users")) >
         col("exact_users") * 0.05)
       .select("event_type", "approx_users", "exact_users")
+  }
 
   /** Approximate-percentile self-check: per event type, the t-digest-style
     * estimator must land within 5% of the exact median (violations surface
