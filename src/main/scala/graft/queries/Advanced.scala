@@ -149,7 +149,10 @@ object Advanced {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
     val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("exact_users"))
-    approx.join(exact, Seq("event_type"))
+    // null-SAFE key: a NULL event_type group (none in TESTDATA today, but
+    // the single-agg original kept it) must survive the join too
+    approx.join(exact, approx("event_type") <=> exact("event_type"))
+      .drop(exact("event_type"))
       .filter(abs(col("approx_users") - col("exact_users")) >
         col("exact_users") * 0.05)
       .select("event_type", "approx_users", "exact_users")
