@@ -1414,10 +1414,21 @@ final class PipelineRunner(
       mergeOpts: Option[ScdMerge.Options], spec: String,
       txnId: Option[String] = None): Unit = {
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
-    store.append(chTable, batch
+    // the delete-ONLY probe (commit-kind decision below) rides the append
+    // itself as an observed metric — a separate probe was one more full
+    // pass over the batch per microbatch (guide §1.2); Observation is
+    // valid here because the append is a BATCH action inside foreachBatch
+    val delProbe =
+      if (mergeOpts.exists(_.scdType == 1) && deleteExpr.isDefined)
+        Some(new org.apache.spark.sql.Observation(
+          s"graft_commitkind_${version}_${java.util.UUID.randomUUID()}"))
+      else None
+    val logged = batch
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
-      .withColumn("_commit_version", lit(version)))
+      .withColumn("_commit_version", lit(version))
+    store.append(chTable, delProbe.fold(logged)(o => logged.observe(o,
+      count(when(!(expr(deleteExpr.get) <=> lit(true)), 1)).as("__n_nondel"))))
     // sidecars advance only AFTER the rows are durably appended — the old
     // counter-first ordering let a crashed append leave a phantom empty
     // latest version, and version_as_of at it silently returned the
@@ -1440,9 +1451,11 @@ final class PipelineRunner(
     // O(log-size) listing on every delete-predicate microbatch (the cost
     // class the intent-marker design above exists to avoid). A row whose
     // predicate is not TRUE (false or null → logged "upsert") makes the
-    // commit a rewrite.
-    val deleteOnly = mergeOpts.exists(_.scdType == 1) && deleteExpr.exists(
-      de => batch.filter(!(expr(de) <=> lit(true))).limit(1).isEmpty)
+    // commit a rewrite. The count arrives from the append's observed
+    // metric (get blocks until the completed write's listener fires); an
+    // empty batch counts 0 non-deletes = "delete", matching the old
+    // probe's is-empty answer.
+    val deleteOnly = delProbe.exists(_.get.get("__n_nondel").contains(0L))
     store.recordCommitKind(chTable, version,
       if (mergeOpts.isEmpty) "append"
       else if (deleteOnly) "delete"
