@@ -95,10 +95,13 @@ final class PipelineRunner(
   // wall 10.5 s → 7.3 s). They detect storage-layer corruption only; the
   // engine's exactly-once contract comes from its own protocol (idempotent
   // file placement, intent markers, replay-safe merges — kill-matrix
-  // pinned, checksums uninvolved). Default them OFF for runner-owned
-  // streams; a deployment that wants detection opts back in via
-  // pipeline_config `configuration`, which lands in the session BEFORE the
-  // runner is constructed and is honored here by the explicit-set check.
+  // pinned, checksums uninvolved). Default them OFF once any runner is
+  // constructed. NOTE the setting is SESSION-WIDE from that point on: it
+  // also covers non-runner streaming queries sharing the session (Spark
+  // offers no per-query writeStream option for it). A deployment that
+  // wants detection opts back in via pipeline_config `configuration`,
+  // which lands in the session BEFORE the runner is constructed and is
+  // honored here by the explicit-set check.
   locally {
     val k = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     if (!spark.sessionState.conf.contains(k)) spark.conf.set(k, "false")
@@ -1368,7 +1371,8 @@ final class PipelineRunner(
     * be reconstructed from the log — the basis of version_as_of. */
   private def logChanges(a: StreamingTableWrite, batch: DataFrame,
       mergeOpts: Option[ScdMerge.Options],
-      txn: Option[(String, Long)] = None): Unit = if (a.changeLog) {
+      txn: Option[(String, Long)] = None): Option[ChangeCommit] =
+    if (!a.changeLog) None else {
     val chTable = s"${a.table}__changes"
     // foreachBatch replay of a FULLY-committed batch (crash after commit,
     // before the checkpoint marker): the txn sidecar says this (flow,
@@ -1377,7 +1381,7 @@ final class PipelineRunner(
     // via this skip: their txn line was not written, and the intent-marker
     // probe below stays loud for them.
     val txnId = txn.map { case (flow, id) => s"$flow#$id" }
-    if (txnId.exists(committedTxnsCached(chTable).contains)) return
+    if (txnId.exists(committedTxnsCached(chTable).contains)) return None
     // serialize the replay spec FIRST: its separator-name guard must fire
     // before any rows land in the log
     val spec = replaySpec(mergeOpts)
@@ -1401,10 +1405,19 @@ final class PipelineRunner(
     if (store.getMeta(chTable, "commit_intent").isDefined)
       assertLogIntegrity(chTable, s"write '${a.name}'", force = true)
     store.setMeta(chTable, "commit_intent", version.toString)
-    try commitChangeRows(a, chTable, version, batch, mergeOpts, spec, txnId)
-    catch { case e: Throwable => uncacheIntegrity(chTable); throw e }
+    val (nDel, nTrunc) =
+      try commitChangeRows(a, chTable, version, batch, mergeOpts, spec, txnId)
+      catch { case e: Throwable => uncacheIntegrity(chTable); throw e }
+    Some(ChangeCommit(chTable, version, nDel, nTrunc))
     }
   }
+
+  /** One completed change-log commit, with the delete/truncate-hit counts
+    * observed on the append itself — the seam that lets the tombstone
+    * machinery reuse the durably-written log rows instead of re-scanning
+    * (and checkpointing) the batch plan a second time. */
+  private final case class ChangeCommit(table: String, version: Long,
+      nDeletes: Option[Long], nTruncates: Option[Long])
 
   /** The append + sidecar sequence of one change-log commit; any throw
     * inside leaves the intent marker set (cleared last) and the caller
@@ -1412,14 +1425,29 @@ final class PipelineRunner(
   private def commitChangeRows(a: StreamingTableWrite, chTable: String,
       version: Long, batch: DataFrame,
       mergeOpts: Option[ScdMerge.Options], spec: String,
-      txnId: Option[String] = None): Unit = {
+      txnId: Option[String] = None): (Option[Long], Option[Long]) = {
     val deleteExpr = mergeOpts.flatMap(_.applyAsDeletes)
-    // the delete-ONLY probe (commit-kind decision below) rides the append
-    // itself as an observed metric — a separate probe was one more full
-    // pass over the batch per microbatch (guide §1.2); Observation is
-    // valid here because the append is a BATCH action inside foreachBatch
+    val truncExpr = mergeOpts.flatMap(_.applyAsTruncates)
+    // the delete-ONLY probe (commit-kind decision below), the delete count,
+    // and the truncate-hit count all ride the append itself as observed
+    // metrics — each was otherwise one more full pass over the batch per
+    // microbatch (guide §1.2); Observation is valid here because the
+    // append is a BATCH action inside foreachBatch. The counts feed the
+    // tombstone machinery (mergeInto), which then derives its candidate
+    // set from the just-written log rows instead of re-scanning the batch.
+    val wantKind = mergeOpts.exists(_.scdType == 1) && deleteExpr.isDefined
+    val obsMetrics = {
+      val b = Seq.newBuilder[org.apache.spark.sql.Column]
+      if (wantKind)
+        b += count(when(!(expr(deleteExpr.get) <=> lit(true)), 1)).as("__n_nondel")
+      deleteExpr.foreach(d =>
+        b += count(when(expr(d) <=> lit(true), 1)).as("__n_del"))
+      truncExpr.foreach(t =>
+        b += count(when(expr(t) <=> lit(true), 1)).as("__n_trunc"))
+      b.result()
+    }
     val delProbe =
-      if (mergeOpts.exists(_.scdType == 1) && deleteExpr.isDefined)
+      if (obsMetrics.nonEmpty)
         Some(new org.apache.spark.sql.Observation(
           s"graft_commitkind_${version}_${java.util.UUID.randomUUID()}"))
       else None
@@ -1427,8 +1455,8 @@ final class PipelineRunner(
       .withColumn("_change_type",
         when(deleteExpr.map(expr).getOrElse(lit(false)), "delete").otherwise("upsert"))
       .withColumn("_commit_version", lit(version))
-    store.append(chTable, delProbe.fold(logged)(o => logged.observe(o,
-      count(when(!(expr(deleteExpr.get) <=> lit(true)), 1)).as("__n_nondel"))))
+    store.append(chTable, delProbe.fold(logged)(o =>
+      logged.observe(o, obsMetrics.head, obsMetrics.tail: _*)))
     // sidecars advance only AFTER the rows are durably appended — the old
     // counter-first ordering let a crashed append leave a phantom empty
     // latest version, and version_as_of at it silently returned the
@@ -1454,8 +1482,35 @@ final class PipelineRunner(
     // commit a rewrite. The count arrives from the append's observed
     // metric (get blocks until the completed write's listener fires); an
     // empty batch counts 0 non-deletes = "delete", matching the old
-    // probe's is-empty answer.
-    val deleteOnly = delProbe.exists(_.get.get("__n_nondel").contains(0L))
+    // probe's is-empty answer. The wait is BOUNDED: if the listener event
+    // is ever dropped (listener-bus overflow) or a future append change
+    // short-circuits the write action, a blocked `get` would hang the
+    // microbatch forever — after the deadline fall back to direct probes
+    // of the (persisted) batch instead.
+    val observed: Map[String, Any] = delProbe.fold(Map.empty[String, Any]) { o =>
+      try {
+        scala.concurrent.Await.ready(o.future,
+          scala.concurrent.duration.Duration(60, "s"))
+        o.get // ready above → no block
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          graft.Log.warn(s"commit-kind observation for '${a.name}' never " +
+            "fired within 60 s — falling back to direct batch probes")
+          Map.empty[String, Any]
+      }
+    }
+    def observedCount(key: String)(fallback: => Long): Option[Long] =
+      observed.get(key) match {
+        case Some(n: Long) => Some(n)
+        case _ if delProbe.isDefined => Some(fallback) // timeout fallback
+        case _ => None
+      }
+    val deleteOnly = wantKind && observedCount("__n_nondel")(
+      batch.filter(!(expr(deleteExpr.get) <=> lit(true))).count()).contains(0L)
+    val nDel = deleteExpr.map(d => observedCount("__n_del")(
+      batch.filter(expr(d) <=> lit(true)).count()).get)
+    val nTrunc = truncExpr.map(t => observedCount("__n_trunc")(
+      batch.filter(expr(t) <=> lit(true)).count()).get)
     store.recordCommitKind(chTable, version,
       if (mergeOpts.isEmpty) "append"
       else if (deleteOnly) "delete"
@@ -1478,6 +1533,7 @@ final class PipelineRunner(
     // finds the log clean, and partial ts/kind sidecar coverage is caught
     // loudly by their own readers)
     store.deleteMeta(chTable, "commit_intent")
+    (nDel, nTrunc)
   }
 
   /** How `<table>__changes` replays into a point-in-time state:
@@ -2382,8 +2438,8 @@ final class PipelineRunner(
         src.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             withBatchMaterialized(batch, reused = true) { b =>
-              logChanges(a, b, Some(opts), Some((flowKey, id)))
-              mergeInto(a, b, opts)
+              val ch = logChanges(a, b, Some(opts), Some((flowKey, id)))
+              mergeInto(a, b, opts, ch)
             }
             hooks.onBatchCommitted(currentPipeline, currentFlowgroup, a.table, id)
           }
@@ -2392,8 +2448,8 @@ final class PipelineRunner(
           .startTracked()
       case (Some(_), false) =>
         withBatchMaterialized(src, reused = true) { b =>
-          logChanges(a, b, scdOpts)
-          mergeInto(a, b, scdOpts.get)
+          val ch = logChanges(a, b, scdOpts)
+          mergeInto(a, b, scdOpts.get, ch)
         }
       case (Some(_), true) if a.snapshotFunction.isDefined =>
         // snapshot-polling CDC: drain the source function until caught up,
@@ -2414,8 +2470,8 @@ final class PipelineRunner(
           val changes = SnapshotCdc.diff(store.readIfExists(a.table), snap, opts)
           val mergeOpts = SnapshotCdc.mergeOptions(opts)
           withBatchMaterialized(changes, reused = true) { b =>
-            logChanges(a, b, Some(mergeOpts))
-            mergeInto(a, b, mergeOpts)
+            val ch = logChanges(a, b, Some(mergeOpts))
+            mergeInto(a, b, mergeOpts, ch)
           }
           store.setMeta(a.table, "snapshot_version", version.toString)
           last = Some(version)
@@ -2428,8 +2484,8 @@ final class PipelineRunner(
         val changes = SnapshotCdc.diff(store.readIfExists(a.table), src, scdOpts.get)
         val mergeOpts = SnapshotCdc.mergeOptions(scdOpts.get)
         withBatchMaterialized(changes, reused = true) { b =>
-          logChanges(a, b, Some(mergeOpts))
-          mergeInto(a, b, mergeOpts)
+          val ch = logChanges(a, b, Some(mergeOpts))
+          mergeInto(a, b, mergeOpts, ch)
         }
       case (None, _) if src.isStreaming =>
         // exactly-once under crash: foreachBatch replay lands the batch at
@@ -2441,7 +2497,7 @@ final class PipelineRunner(
           .foreachBatch { (batch: DataFrame, id: Long) =>
             // reused only when a change log rides beside the table append
             withBatchMaterialized(batch, reused = a.changeLog) { b =>
-              logChanges(a, b, None, Some((flowKey, id)))
+              logChanges(a, b, None, Some((flowKey, id))): Unit
               store.appendBatch(a.table,
                 clustered(b, a.clusterColumns, a.clusterStrategy),
                 flowKey, id, a.partitionColumns)
@@ -2453,7 +2509,7 @@ final class PipelineRunner(
           .startTracked()
       case (None, _) =>
         withBatchMaterialized(src, reused = a.changeLog) { b =>
-          logChanges(a, b, None)
+          logChanges(a, b, None): Unit
           store.append(a.table, clustered(b, a.clusterColumns, a.clusterStrategy), a.partitionColumns)
         }
     }
@@ -2563,7 +2619,8 @@ final class PipelineRunner(
     * directories are rewritten — a CDC batch touching 50 of 50k partitions
     * at 100 TB reads and moves 50, not the whole table. Truncates clear the
     * whole target by definition, so they fall back to a full replace. */
-  private def mergeInto(a: StreamingTableWrite, batch: DataFrame, opts: ScdMerge.Options): Unit = {
+  private def mergeInto(a: StreamingTableWrite, batch: DataFrame,
+      opts: ScdMerge.Options, chCommit: Option[ChangeCommit] = None): Unit = {
     val partCols = a.partitionColumns
     // Deletes that left no row behind persist in the `<table>__tombstones`
     // companion (keys + delete sequence; small — standing deletes only)
@@ -2588,7 +2645,7 @@ final class PipelineRunner(
     // until the next delete-carrying batch; skipping keeps delete-free
     // microbatches at zero companion overhead
     val tombCandidates =
-      if (trackTombs) tombstoneCandidates(batch, opts, priorTombs)
+      if (trackTombs) tombstoneCandidates(batch, opts, priorTombs, chCommit)
       else None
     def merge(t: Option[DataFrame]): DataFrame =
       if (opts.scdType == 1) ScdMerge.scd1(t, batch, opts, priorTombs)
@@ -2629,9 +2686,33 @@ final class PipelineRunner(
     * when the batch carries no deletes and no prior-clearing truncate —
     * nothing to add, and retirement can wait (see mergeInto). */
   private def tombstoneCandidates(batch: DataFrame, opts: ScdMerge.Options,
-      priorTombs: Option[DataFrame]): Option[DataFrame] = {
+      priorTombs: Option[DataFrame],
+      chCommit: Option[ChangeCommit] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     val seqAll = (opts.keys ++ opts.sequenceBy).distinct
+    // FUSED path — the batch was just durably appended to the change log
+    // with `_change_type` computed from the SAME delete predicate and the
+    // delete/truncate-hit counts observed ON that append: the candidate
+    // set is a pushdown-pruned read of the log rows at this version (a
+    // stable file read the live replace below cannot invalidate), so the
+    // batch plan is never re-scanned and nothing needs checkpointing —
+    // delete-free batches pay ZERO probe jobs (the counts rode the
+    // append). Gates without a change log keep the checkpoint path below.
+    chCommit match {
+      case Some(ci) if ci.nDeletes.isDefined =>
+        val hasDels = ci.nDeletes.exists(_ > 0)
+        val hasTruncate = ci.nTruncates.exists(_ > 0)
+        if (!hasDels && !(hasTruncate && priorTombs.nonEmpty)) return None
+        val batchDels = store.read(ci.table)
+          .filter(col("_commit_version") === ci.version &&
+            col("_change_type") === "delete")
+          .select(seqAll.map(col): _*)
+        return Some((priorTombs.filter(_ => !hasTruncate) match {
+          case Some(ts) => batchDels.unionByName(ts.select(seqAll.map(col): _*))
+          case None => batchDels
+        }).dropDuplicates(seqAll))
+      case _ =>
+    }
     val delPred = opts.applyAsDeletes.map(p => coalesce(expr(p), lit(false)))
       .getOrElse(lit(false))
     // ONE scan of the batch plan: materialize the (delete-rows-sized) set,

@@ -2092,6 +2092,12 @@ object Extras {
       val outcomes = orch.run(fgs)
       outcomes.find(_.error.isDefined).foreach(o => throw o.error.get)
     }
+    // the crash-forge child JVM spawns EAGERLY (server mode): its JVM +
+    // Spark-session boot proceeds concurrently with generation 1's
+    // in-process run below, so only the generation-2 crawl itself remains
+    // on the gate's critical path (guide §2.6 — overlap independent work;
+    // the child touches no shared state until the run command arrives)
+    val pendingChild = graft.tools.CrawlResumeChild.spawnEager()
     // generation 1: full run in-process
     copyFixture(s"$fixture/a", landing, "a-")
     runInProcess()
@@ -2099,7 +2105,7 @@ object Extras {
     // commits — ingest + dedup state is on disk, index/mix/final never ran
     copyFixture(s"$fixture/b", landing, "b-")
     val tChild = System.nanoTime()
-    val (code, out) = graft.tools.CrawlResumeChild.spawn(
+    val (code, out) = pendingChild.run(
       s"$wh/wh", s"$wh/cp", yamlDir, "c15_corpus")
     // the child's wall clock is JVM boot + session lifecycle + one crawl
     // generation — gate scaffolding, not this engine's plan cost; record

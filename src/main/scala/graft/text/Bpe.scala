@@ -90,6 +90,24 @@ object Bpe {
       s"checkpointEvery must be >= 1 (every-N-rounds lineage truncation; " +
         s"got ${opts.checkpointEvery} — use a large value to checkpoint rarely)")
     var cur = vocab(df, textCol).persist()
+    // DRIVER-SIDE training when the vocabulary fits (the broadcast-join-
+    // threshold posture, and how single-node BPE trainers run anyway):
+    // every distributed round costs one full Spark job — scheduling +
+    // collect round-trip dominate once the unique-word table is small —
+    // while the local loop is microseconds per round on the same data.
+    // The count() below materializes the persist either way, so the
+    // distributed fallback path loses nothing. Bit-compatibility with the
+    // distributed rounds is pinned by BpeSpec (same greedy fold, same
+    // (count DESC, pair ASC) tie-break under UTF-8 BYTE order — Spark
+    // compares strings as unsigned UTF-8 bytes, NOT as Java UTF-16).
+    val maxLocal = df.sparkSession.conf.getOption("spark.graft.bpe.maxDriverVocab")
+      .map(_.toLong).getOrElse(1000000L)
+    if (cur.count() <= maxLocal) {
+      val words = cur.collect().map(r =>
+        (r.getSeq[String](0).toArray, r.getLong(1)))
+      cur.unpersist()
+      return trainLocal(words, opts)
+    }
     var prev: Option[DataFrame] = None
     val merges = mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -122,6 +140,92 @@ object Bpe {
     }
     prev.foreach(_.unpersist())
     cur.unpersist()
+    merges.toSeq
+  }
+
+  /** Unsigned UTF-8 byte comparison — EXACTLY Spark's string ordering
+    * (UTF8String.compareTo): Java String.compareTo would order
+    * supplementary characters (surrogate pairs, 0xD800-) BELOW
+    * [U+E000, U+FFFF] while Spark's byte order puts them above. */
+  private[text] def compareUtf8(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** The training loop over a collected `(symbols, freq)` vocabulary —
+    * semantically IDENTICAL to the distributed rounds: same weighted pair
+    * counts (Long sums), same (count DESC, left ASC, right ASC) tie-break
+    * under UTF-8 byte order, same greedy left-to-right non-overlapping
+    * merge per word, same minFreq/empty stop conditions. */
+  private[text] def trainLocal(words0: Array[(Array[String], Long)],
+      opts: Options): Seq[Merge] = {
+    var words = words0
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    var done = false
+    while (!done && i < opts.numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val (sym, f) = words(wi)
+        var j = 0
+        while (j < sym.length - 1) {
+          val k = (sym(j), sym(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null) best = e
+          else {
+            val c = java.lang.Long.compare(e._2, best._2)
+            val better = c > 0 || (c == 0 && {
+              val dl = compareUtf8(e._1._1, best._1._1)
+              dl < 0 || (dl == 0 && compareUtf8(e._1._2, best._1._2) < 0)
+            })
+            if (better) best = e
+          }
+        }
+        val ((l, r), c) = best
+        if (c < opts.minFreq) done = true
+        else {
+          merges += Merge(i, l, r, c)
+          words = words.map { case (sym, f) =>
+            // cheap containment probe first — most words lack the pair
+            var has = false
+            var j = 0
+            while (!has && j < sym.length - 1) {
+              if (sym(j) == l && sym(j + 1) == r) has = true
+              j += 1
+            }
+            if (!has) (sym, f)
+            else {
+              val out = mutable.ArrayBuffer.empty[String]
+              var k = 0
+              while (k < sym.length) {
+                if (k < sym.length - 1 && sym(k) == l && sym(k + 1) == r) {
+                  out += l + r; k += 2
+                } else { out += sym(k); k += 1 }
+              }
+              (out.toArray, f)
+            }
+          }
+          i += 1
+        }
+      }
+    }
     merges.toSeq
   }
 

@@ -9,6 +9,48 @@ package graft.tools
 object ChildJvm {
   def spawn(mainClass: String, args: Seq[String],
       extraJvmArgs: Seq[String] = Nil): (Int, String) = {
+    val child = spawnAsync(mainClass, args, extraJvmArgs)
+    child.await()
+  }
+
+  /** A child process whose output is drained CONTINUOUSLY by a daemon
+    * thread from the moment of spawn — a child that boots (and logs)
+    * while the parent is busy elsewhere can never block on a full stdout
+    * pipe. [[send]] feeds one command line to the child's stdin (the
+    * server-mode handshake); [[await]] blocks to exit and returns the
+    * collected combined output. */
+  final class AsyncChild private[ChildJvm] (proc: Process) {
+    private val out = new java.io.ByteArrayOutputStream()
+    private val drainer = new Thread(() => {
+      val in = proc.getInputStream
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.synchronized(out.write(buf, 0, n))
+        n = in.read(buf)
+      }
+    }, "child-jvm-drain")
+    drainer.setDaemon(true)
+    drainer.start()
+
+    def send(line: String): Unit = {
+      val w = proc.getOutputStream
+      w.write((line + "\n").getBytes("UTF-8"))
+      w.flush()
+    }
+
+    def await(): (Int, String) = {
+      val code = proc.waitFor()
+      drainer.join(10000)
+      (code, out.synchronized(new String(out.toByteArray, "UTF-8")))
+    }
+  }
+
+  /** Start the child NOW and return without waiting: JVM + session boot
+    * overlaps whatever the parent does next (guide §2.6 — overlap
+    * independent work). */
+  def spawnAsync(mainClass: String, args: Seq[String],
+      extraJvmArgs: Seq[String] = Nil): AsyncChild = {
     val javaBin = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "java").toString
     val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -18,7 +60,6 @@ object ChildJvm {
       extraJvmArgs ++ Seq("-cp", sys.props("java.class.path"), mainClass) ++
       args).toArray
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-    (proc.waitFor(), out)
+    new AsyncChild(proc)
   }
 }

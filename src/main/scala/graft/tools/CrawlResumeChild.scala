@@ -29,7 +29,25 @@ import org.apache.spark.sql.SparkSession
   * 137) from a real failure (exit 1). */
 object CrawlResumeChild {
   def main(args: Array[String]): Unit = {
-    val Array(wh, cp, yamlDir, haltSpec) = args
+    // `--server`: boot the JVM + Spark session FIRST, then block on stdin
+    // for the four run args. The parent spawns the child eagerly so this
+    // boot overlaps its own in-process work (generation 1 of the crawl) —
+    // the run itself is unchanged: same session, same halt semantics.
+    val runArgs =
+      if (args.headOption.contains("--server")) {
+        // touch the session so the boot genuinely happens before the
+        // command arrives (getOrCreate below then no-ops)
+        SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", 4)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate(): Unit
+        val line = Option(scala.io.StdIn.readLine()).getOrElse(
+          sys.error("CrawlResumeChild --server: stdin closed before a command arrived"))
+        line.trim.split('\u001f')
+      } else args
+    val Array(wh, cp, yamlDir, haltSpec) = runArgs
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -93,4 +111,22 @@ object CrawlResumeChild {
   def spawn(wh: String, cp: String, yamlDir: String,
       haltSpec: String): (Int, String) =
     ChildJvm.spawn("graft.tools.CrawlResumeChild", Seq(wh, cp, yamlDir, haltSpec))
+
+  /** Eager variant: spawn the child in `--server` mode NOW (JVM + Spark
+    * session boot proceed in the background) and hand back a handle whose
+    * [[Pending.run]] sends the four run args and waits for the halt/exit.
+    * The c15 gate spawns this before its in-process generation-1 run, so
+    * the multi-second child boot overlaps real engine work instead of
+    * sitting on the gate's critical path. */
+  final class Pending private[CrawlResumeChild] (child: ChildJvm.AsyncChild) {
+    def run(wh: String, cp: String, yamlDir: String,
+        haltSpec: String): (Int, String) = {
+      child.send(Seq(wh, cp, yamlDir, haltSpec).mkString("\u001f"))
+      child.await()
+    }
+  }
+
+  def spawnEager(): Pending =
+    new Pending(ChildJvm.spawnAsync("graft.tools.CrawlResumeChild",
+      Seq("--server")))
 }

@@ -63,10 +63,14 @@ object GateLifecycle {
   /** `.startTracked()` — drop-in replacement for the
     * `.start().awaitTermination()` tail of a write-stream chain, routing
     * through [[awaitStream]] so every run-to-completion stream the engine
-    * executes attributes its lifecycle. */
+    * executes attributes its lifecycle. The start itself goes through
+    * [[graft.exec.StreamTuning.startAdaptive]] so every runner stream gets
+    * the input-size-derived state partitioning (a no-op for non-file
+    * sources and at/above the session's configured parallelism). */
   implicit final class TrackedStart[T](
       private val w: org.apache.spark.sql.streaming.DataStreamWriter[T])
       extends AnyVal {
-    def startTracked(): Unit = awaitStream(w.start())
+    def startTracked(): Unit =
+      awaitStream(graft.exec.StreamTuning.startAdaptive(w))
   }
 }

@@ -39,8 +39,12 @@ object ProfileQuery {
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          // properties itself can be null for some job submissions — an NPE
+          // here is swallowed by the listener bus and silently loses the line
           starts.put(e.jobId, (System.nanoTime(),
-            Option(e.properties.getProperty("spark.job.description")).getOrElse("")))
+            Option(e.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")))
         override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val s = starts.remove(e.jobId)
           if (s != null) System.err.println(

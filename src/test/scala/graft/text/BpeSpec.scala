@@ -99,4 +99,31 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.encodeWord("abab", Map(("a", "b") -> 0, ("ab", "ab") -> 1)).toSeq ==
       Seq("abab"))
   }
+
+  test("driver-side training path is bit-identical to the distributed rounds") {
+    // corpora chosen to stress the tie-break: repeated pairs with equal
+    // counts, supplementary characters (UTF-8 byte order puts U+1F600
+    // ABOVE U+FFFD; Java UTF-16 order would invert them), multi-byte BMP
+    val corpora = Seq(
+      Seq("aaa aaa aaa", "bc bc bc bc bc bc"),
+      Seq("xy xy \uFFFD\uFFFD \uD83D\uDE00\uD83D\uDE00",
+        "\uFFFD\uFFFD \uD83D\uDE00\uD83D\uDE00"),
+      Seq("the cat sat on the mat", "the bat sat on the hat", "mat hat cat"),
+      Tables.load(spark, sf0001, "documents")
+        .select("text").as[String].take(40).toSeq)
+    corpora.foreach { texts =>
+      val d = texts.toDF("text")
+      val opts = Bpe.Options(numMerges = 16)
+      def withThreshold[T](v: String)(body: => T): T = {
+        spark.conf.set("spark.graft.bpe.maxDriverVocab", v)
+        try body finally spark.conf.unset("spark.graft.bpe.maxDriverVocab")
+      }
+      val local = withThreshold(Long.MaxValue.toString)(Bpe.train(d, "text", opts))
+      val dist = withThreshold("0")(Bpe.train(d, "text", opts))
+      assert(local == dist,
+        s"local/distributed divergence on corpus ${texts.take(1)}: " +
+          s"first diff at rank ${local.zip(dist).indexWhere { case (a, b) => a != b }} " +
+          s"(local ${local.size} merges, dist ${dist.size})")
+    }
+  }
 }
